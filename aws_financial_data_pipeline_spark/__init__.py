@@ -1,0 +1,20 @@
+"""aws_financial_data_pipeline_spark — a from-scratch, PySpark-native analytics
+engine with the query and data-processing capabilities of the reference
+financial-statement pipeline (nimamot/AWS-Financial-Data-Pipeline), re-expressed
+Spark-first (DataFrame/SQL/Catalyst/Structured Streaming) and extended with the
+operators a large-scale training-data pipeline needs (dedup, similarity search,
+text analysis, multimodal plumbing, event windows).
+
+Layout
+------
+- ``session``    : SparkSession factory tuned for the target (AQE, UTC, Arrow).
+- ``schema``     : canonical transaction schema + country dimension.
+- ``sources``    : statement CSV reader, keyed history store, sinks.
+- ``functions``  : scalar/date helpers (projection layer, SURVEY §2.2).
+- ``operators``  : relational core (financial analytics) + scale extensions.
+- ``plans``      : named queries over the driver testdata + DuckDB oracles.
+- ``streaming``  : Structured Streaming ingestion + windowed event analytics.
+- ``report``     : report-document assembly (nested doc → JSON) on aggregates.
+"""
+
+__version__ = "0.1.0"

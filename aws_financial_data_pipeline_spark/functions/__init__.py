@@ -1,0 +1,8 @@
+from .scalar import (  # noqa: F401
+    country_code,
+    month_of,
+    prev_year_month,
+    round2,
+    year_month_of,
+    year_of,
+)

@@ -1,0 +1,47 @@
+"""Projection / scalar layer (SURVEY §2.2, P2-P11).
+
+Every helper returns a Catalyst ``Column`` — zero Python UDFs, so the whole
+layer stays inside whole-stage codegen and is trivially expressible in the
+DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def country_code(location: Column | str) -> Column:
+    """P2: first two chars of a ``CC-RR`` location (docker/lambda_function.py:100,121)."""
+    return F.substring(F.col(location) if isinstance(location, str) else location, 1, 2)
+
+
+def year_month_of(date: Column | str) -> Column:
+    """P3: ``date[:7].replace('-','')`` → ``yyyyMM`` (docker/lambda_function.py:170,258)."""
+    return F.date_format(F.col(date) if isinstance(date, str) else date, "yyyyMM")
+
+
+def year_of(date: Column | str) -> Column:
+    """P4: ``date[:4]`` as int (docker/lambda_function.py:244)."""
+    return F.year(F.col(date) if isinstance(date, str) else date)
+
+
+def month_of(date: Column | str) -> Column:
+    return F.month(F.col(date) if isinstance(date, str) else date)
+
+
+def prev_year_month(year_month: Column | str) -> Column:
+    """P6: previous month of a ``yyyyMM`` string, with the January wrap.
+
+    The reference hand-rolls the wrap (month==1 → (year-1, 12),
+    docker/lambda_function.py:158-165); ``add_months`` handles it natively.
+    """
+    ym = F.col(year_month) if isinstance(year_month, str) else year_month
+    first_day = F.to_date(F.concat(ym, F.lit("01")), "yyyyMMdd")
+    return F.date_format(F.add_months(first_day, -1), "yyyyMM")
+
+
+def round2(x: Column | str) -> Column:
+    """P7: round(x, 2) — applied *before* sums where the reference does
+    (docker/lambda_function.py:147,249,261; see SURVEY §2.12 rounding order)."""
+    return F.round(F.col(x) if isinstance(x, str) else x, 2)

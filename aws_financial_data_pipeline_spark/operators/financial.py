@@ -1,0 +1,270 @@
+"""Relational core: the reference's analytics re-expressed set-based.
+
+The reference runs every analysis inside a per-user Python loop
+(``docker/lambda_function.py:495-522``). Here each analysis is ONE declarative
+DataFrame transform over *all* users at once (SURVEY §2.4 J3): grouping keys
+carry ``user_id``, per-user scalars become broadcast-joined 1-row-per-user
+frames, and Catalyst plans the physical strategy. That is the whole point of
+the Spark-native rebuild — the per-user loop disappears.
+
+Input contract: a flat transactions DataFrame with (at least) the columns
+``user_id, id, date, vendor, category, amount, recurring, country`` where
+``country`` is the resolved transaction country (after the J1 dimension join)
+and ``amount`` is numeric. ``year_month`` is derived from ``date``.
+
+Semantic fine print preserved from SURVEY §2.12:
+- per-transaction (not per-month) historical average, empty → 0.0
+  (docker/lambda_function.py:88-94);
+- mode home-country with deterministic tie-break (count desc, country asc) —
+  the reference's first-wins insertion order is not reproducible distributed;
+- strict ``>`` for high-value / risky (docker/lambda_function.py:124,227);
+- amounts rounded to 2dp BEFORE summation (docker/lambda_function.py:147,249,261);
+- trend classification with strict inequalities over the 3 most recent months
+  (docker/lambda_function.py:263-281).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round2, year_month_of
+
+# ---------------------------------------------------------------------------
+# A1/Q1 — historical per-user average spend
+# ---------------------------------------------------------------------------
+
+
+def historical_average(hist: DataFrame) -> DataFrame:
+    """A1 (docker/lambda_function.py:88-94): mean over all historical
+    transactions per user, rounded to 2dp. Returns (user_id, avg_amount).
+
+    Partial+final HashAggregate; one shuffle on user_id. Users with no history
+    simply don't appear — callers that need the reference's ``0.0 on empty``
+    behavior coalesce after a left join (see :func:`user_scalars`).
+    """
+    return hist.groupBy("user_id").agg(
+        F.round(F.avg(F.col("amount").cast("double")), 2).alias("avg_amount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/Q2 — home-country detection (mode with deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+
+def home_country(hist: DataFrame) -> DataFrame:
+    """A2 (docker/lambda_function.py:96-115): most frequent transaction country
+    per user. Tie-break: higher count first, then country name ascending
+    (deterministic replacement for Python dict insertion order — SURVEY §7).
+
+    Plan: partial count per (user, country) → window top-1. The window
+    partitions by user_id, so it reuses the groupBy shuffle partitioning —
+    Catalyst plans a single exchange.
+    """
+    counts = hist.groupBy("user_id", "country").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("country"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("country").alias("home_country"))
+    )
+
+
+def user_scalars(hist: DataFrame) -> DataFrame:
+    """J2 prep: per-user scalar frame (avg_amount, home_country).
+
+    The reference computes these as two Python scalars per user and closes over
+    them (docker/lambda_function.py:498-499); set-based they are one small
+    frame keyed by user_id, broadcast into the comparison joins.
+    """
+    return historical_average(hist).join(home_country(hist), "user_id", "full_outer")
+
+
+# ---------------------------------------------------------------------------
+# Q3 — risky-transaction flagging (J2 + F1 + F2 + P10)
+# ---------------------------------------------------------------------------
+
+
+def flag_risky(current: DataFrame, scalars: DataFrame) -> DataFrame:
+    """Q3 (docker/lambda_function.py:117-141): flag current transactions made
+    outside the user's home country; risk level High if amount strictly exceeds
+    the historical average else Moderate (P10).
+
+    Empty-history semantics (SURVEY §2.12): home_country NULL → every
+    transaction is abroad; avg NULL → 0.0, so any positive amount is High Risk.
+
+    The scalar frame is tiny (1 row per user) → broadcast hash join, no
+    shuffle of the fact side.
+    """
+    j = current.join(F.broadcast(scalars), "user_id", "left")
+    abroad = F.col("home_country").isNull() | (F.col("country") != F.col("home_country"))
+    amt = F.col("amount").cast("double")
+    avg = F.coalesce(F.col("avg_amount"), F.lit(0.0))
+    return (
+        j.filter(abroad)
+        .select(
+            "user_id",
+            F.col("id").alias("transaction_id"),
+            round2(amt).alias("amount"),
+            avg.alias("average_amount"),
+            F.col("country").alias("location"),
+            F.when(amt > avg, F.lit("High Risk")).otherwise(F.lit("Moderate Risk")).alias("risk_level"),
+            "home_country",
+            "category",
+            "vendor",
+            "date",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/Q4 — spending by category (current month)
+# ---------------------------------------------------------------------------
+
+
+def spending_by_category(current: DataFrame) -> DataFrame:
+    """A3 (docker/lambda_function.py:143-152): SUM(round(amount,2)) per
+    (user, category), result rounded again — the reference's double-round is
+    part of the oracle contract (SURVEY §2.12)."""
+    return current.groupBy("user_id", "category").agg(
+        F.round(F.sum(round2(F.col("amount").cast("double"))), 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — high-value transactions (J2 + F2)
+# ---------------------------------------------------------------------------
+
+
+def high_value(current: DataFrame, scalars: DataFrame) -> DataFrame:
+    """Q6 (docker/lambda_function.py:224-236): current transactions with amount
+    STRICTLY above the user's historical average (ties excluded). No-history
+    users: average treated as 0 → every positive amount qualifies."""
+    j = current.join(F.broadcast(scalars.select("user_id", "avg_amount")), "user_id", "left")
+    amt = F.col("amount").cast("double")
+    avg = F.coalesce(F.col("avg_amount"), F.lit(0.0))
+    return j.filter(amt > avg).select(
+        "user_id",
+        F.col("id").alias("transaction_id"),
+        round2(amt).alias("amount"),
+        avg.alias("average_amount"),
+        "vendor",
+        "category",
+        "date",
+        F.col("country").alias("location"),
+    )
+
+
+def top_k_high_value(high: DataFrame, k: int = 3) -> DataFrame:
+    """O1/W2/Q10 (docker/lambda_function.py:310-313): top-k by amount per user.
+    Window row_number with a deterministic secondary key (transaction_id) —
+    Catalyst plans this as a partial top-k per partition (WindowGroupLimit)
+    before the shuffle, so no full per-user sort materializes at scale."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("amount"), F.asc("transaction_id"))
+    return high.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# A4/Q7 — recurring spend year-to-date by vendor
+# ---------------------------------------------------------------------------
+
+
+def recurring_ytd(all_txns: DataFrame, statement_year: DataFrame | int) -> DataFrame:
+    """Q7 (docker/lambda_function.py:238-251): over current ∪ historical (U1),
+    keep rows in the statement's CALENDAR year with recurring=true (F4), then
+    SUM(round(amount,2)) per (user, vendor) (A4).
+
+    ``statement_year`` may be a literal int or a 1-row DataFrame
+    ``(statement_year int)`` — the latter keeps the plan fully declarative
+    (scalar subquery → BroadcastNestedLoopJoin, no driver collect).
+    """
+    if isinstance(statement_year, DataFrame):
+        t = all_txns.join(F.broadcast(statement_year), F.year("date") == F.col("statement_year"))
+    else:
+        t = all_txns.filter(F.year("date") == F.lit(statement_year))
+    return (
+        t.filter(F.col("recurring"))
+        .groupBy("user_id", "vendor")
+        .agg(F.round(F.sum(round2(F.col("amount").cast("double"))), 2).alias("total"))
+    )
+
+
+def predict_year_end(recurring_totals: DataFrame, months_elapsed: DataFrame | int) -> DataFrame:
+    """Q9/P11 (docker/lambda_function.py:392-399): linear extrapolation of each
+    recurring vendor's YTD total to year-end:
+    ``predicted = round(total + total/months_elapsed * months_remaining, 2)``."""
+    if isinstance(months_elapsed, DataFrame):
+        t = recurring_totals.join(F.broadcast(months_elapsed))
+        me = F.col("months_elapsed").cast("double")
+    else:
+        t = recurring_totals
+        me = F.lit(float(months_elapsed))
+    rem = F.lit(12.0) - me
+    return t.select(
+        "user_id",
+        "vendor",
+        F.col("total"),
+        F.round(F.col("total") + F.col("total") / me * rem, 2).alias("predicted_year_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/Q8 — monthly spending + trend classification (O2 + W1)
+# ---------------------------------------------------------------------------
+
+
+def monthly_spending(all_txns: DataFrame) -> DataFrame:
+    """A5 (docker/lambda_function.py:256-261): SUM(round(amount,2)) per
+    (user, yyyyMM(date))."""
+    return (
+        all_txns.withColumn("year_month", year_month_of("date"))
+        .groupBy("user_id", "year_month")
+        .agg(F.round(F.sum(round2(F.col("amount").cast("double"))), 2).alias("total"))
+    )
+
+
+def classify_trend(monthly: DataFrame) -> DataFrame:
+    """W1 (docker/lambda_function.py:263-281): per user, take the 3 most recent
+    months (O2: lexicographic desc on yyyyMM = chronological) and classify with
+    STRICT inequalities; <3 months → 'Not enough data'.
+
+    v0=latest, v1, v2: v0>v1>v2 → Up; v0<v1<v2 → Down; else Stable.
+
+    Plan: one window (row_number desc over user) + conditional aggregation —
+    both reuse the same user_id partitioning, single shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.desc("year_month"))
+    ranked = monthly.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    pivoted = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("total"))).alias("m0"),
+        F.max(F.when(F.col("rn") == 2, F.col("total"))).alias("m1"),
+        F.max(F.when(F.col("rn") == 3, F.col("total"))).alias("m2"),
+        F.count("*").alias("n_months"),
+    )
+    return pivoted.select(
+        "user_id",
+        F.when(F.col("n_months") < 3, F.lit("Not enough data"))
+        .when((F.col("m0") > F.col("m1")) & (F.col("m1") > F.col("m2")), F.lit("Up"))
+        .when((F.col("m0") < F.col("m1")) & (F.col("m1") < F.col("m2")), F.lit("Down"))
+        .otherwise(F.lit("Stable"))
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — previous-month category comparison (P6 + F3 + A3)
+# ---------------------------------------------------------------------------
+
+
+def previous_month_spending(all_txns: DataFrame, prev_ym: DataFrame | str) -> DataFrame:
+    """Q5 (docker/lambda_function.py:154-173): spending-by-category over rows
+    whose yyyyMM(date) equals the month before the statement month. Data comes
+    from historical ∪ current — a back-dated row in the current file counts
+    (SURVEY §2.12)."""
+    t = all_txns.withColumn("ym", year_month_of("date"))
+    if isinstance(prev_ym, DataFrame):
+        t = t.join(F.broadcast(prev_ym), t["ym"] == F.col("prev_ym"))
+    else:
+        t = t.filter(F.col("ym") == F.lit(prev_ym))
+    return spending_by_category(t)

@@ -1,0 +1,30 @@
+"""Nesting boundary (A7 + the S4 flatten).
+
+The reference stores statements as nested DynamoDB items
+``{UserId, YearMonth, transactions: list<txn>}`` (docker/lambda_function.py:468-474)
+and flattens them back when reading history (docker/lambda_function.py:47-48).
+Engine-internally everything is a FLAT transactions table; nesting exists only
+at the storage boundary — ``collect_list(struct(...))`` on write, ``inline`` on
+read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEY_COLS = ("user_id", "year_month")
+
+
+def nest_statements(txns: DataFrame, key_cols: tuple[str, str] = KEY_COLS) -> DataFrame:
+    """A7: one nested row per (user_id, year_month) with transactions[]."""
+    payload = [c for c in txns.columns if c not in key_cols]
+    return txns.groupBy(*key_cols).agg(
+        F.collect_list(F.struct(*payload)).alias("transactions")
+    )
+
+
+def flatten_statements(nested: DataFrame, key_cols: tuple[str, str] = KEY_COLS) -> DataFrame:
+    """S4 flatten (docker/lambda_function.py:47-48): explode transactions[]
+    back to the flat table. ``inline`` expands the struct fields in one step."""
+    return nested.select(*key_cols, F.inline("transactions"))

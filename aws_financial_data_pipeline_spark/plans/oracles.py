@@ -1,0 +1,161 @@
+"""DuckDB oracle SQL — one entry per key in FINANCIAL_QUERIES.
+
+Each statement is ``ORACLE_PRELUDE + SELECT``: the prelude re-derives the same
+canonical transactions view, current/historical split and per-user scalars in
+ANSI SQL. Aliases match the Spark side exactly (driver hashes after sorting
+columns by name).
+"""
+
+from __future__ import annotations
+
+from .transactions_view import ORACLE_PRELUDE as P
+
+FINANCIAL_ORACLES: dict[str, str] = {
+    "q01_historical_avg": P
+    + """
+    SELECT user_id, avg_amount FROM scal
+    """,
+    "q02_home_country": P
+    + """
+    SELECT user_id, home_country FROM home
+    """,
+    "q03_risky_transactions": P
+    + """
+    SELECT c.user_id,
+           c.id AS transaction_id,
+           round(c.amount, 2) AS amount,
+           coalesce(s.avg_amount, 0.0) AS average_amount,
+           c.country AS location,
+           CASE WHEN c.amount > coalesce(s.avg_amount, 0.0)
+                THEN 'High Risk' ELSE 'Moderate Risk' END AS risk_level,
+           h.home_country,
+           c.category,
+           c.vendor,
+           c."date"
+    FROM cur c
+    LEFT JOIN scal s USING (user_id)
+    LEFT JOIN home h USING (user_id)
+    WHERE h.home_country IS NULL OR c.country <> h.home_country
+    """,
+    "q04_spending_by_category": P
+    + """
+    SELECT user_id, category, round(sum(round(amount, 2)), 2) AS total
+    FROM cur GROUP BY user_id, category
+    """,
+    "q05_prev_month_category": P
+    + """
+    , prev AS (
+      SELECT strftime(strptime(cur_ym || '01', '%Y%m%d') - INTERVAL 1 MONTH, '%Y%m') AS prev_ym
+      FROM latest
+    )
+    SELECT t.user_id, t.category, round(sum(round(t.amount, 2)), 2) AS total
+    FROM txns t, prev WHERE t.ym = prev.prev_ym
+    GROUP BY t.user_id, t.category
+    """,
+    "q06_high_value": P
+    + """
+    SELECT c.user_id,
+           c.id AS transaction_id,
+           round(c.amount, 2) AS amount,
+           coalesce(s.avg_amount, 0.0) AS average_amount,
+           c.vendor,
+           c.category,
+           c."date",
+           c.country AS location
+    FROM cur c LEFT JOIN scal s USING (user_id)
+    WHERE c.amount > coalesce(s.avg_amount, 0.0)
+    """,
+    "q07_recurring_ytd": P
+    + """
+    SELECT t.user_id, t.vendor, round(sum(round(t.amount, 2)), 2) AS total
+    FROM txns t, latest
+    WHERE year(t."date") = CAST(substr(latest.cur_ym, 1, 4) AS INT) AND t.recurring
+    GROUP BY t.user_id, t.vendor
+    """,
+    "q08_monthly_spending": P
+    + """
+    SELECT user_id, ym AS year_month, round(sum(round(amount, 2)), 2) AS total
+    FROM txns GROUP BY user_id, ym
+    """,
+    "q09_trend": P
+    + """
+    , monthly AS (
+      SELECT user_id, ym, round(sum(round(amount, 2)), 2) AS total
+      FROM txns GROUP BY user_id, ym
+    ), ranked AS (
+      SELECT user_id, total,
+             row_number() OVER (PARTITION BY user_id ORDER BY ym DESC) AS rn
+      FROM monthly
+    ), last3 AS (
+      SELECT user_id,
+             max(CASE WHEN rn = 1 THEN total END) AS m0,
+             max(CASE WHEN rn = 2 THEN total END) AS m1,
+             max(CASE WHEN rn = 3 THEN total END) AS m2,
+             count(*) AS n_months
+      FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN n_months < 3 THEN 'Not enough data'
+                WHEN m0 > m1 AND m1 > m2 THEN 'Up'
+                WHEN m0 < m1 AND m1 < m2 THEN 'Down'
+                ELSE 'Stable' END AS trend
+    FROM last3
+    """,
+    "q10_prediction": P
+    + """
+    , rec AS (
+      SELECT t.user_id, t.vendor, round(sum(round(t.amount, 2)), 2) AS total
+      FROM txns t, latest
+      WHERE year(t."date") = CAST(substr(latest.cur_ym, 1, 4) AS INT) AND t.recurring
+      GROUP BY t.user_id, t.vendor
+    )
+    SELECT r.user_id, r.vendor, r.total,
+           round(r.total + r.total / me.months_elapsed * (12.0 - me.months_elapsed), 2)
+             AS predicted_year_end
+    FROM rec r,
+         (SELECT CAST(substr(cur_ym, 5, 2) AS INT)::DOUBLE AS months_elapsed FROM latest) me
+    """,
+    "q11_top3_high_value": P
+    + """
+    , hv AS (
+      SELECT c.user_id,
+             c.id AS transaction_id,
+             round(c.amount, 2) AS amount,
+             coalesce(s.avg_amount, 0.0) AS average_amount,
+             c.vendor, c.category, c."date", c.country AS location
+      FROM cur c LEFT JOIN scal s USING (user_id)
+      WHERE c.amount > coalesce(s.avg_amount, 0.0)
+    )
+    SELECT user_id, transaction_id, amount, average_amount, vendor, category,
+           "date", location
+    FROM (
+      SELECT hv.*, row_number() OVER (
+               PARTITION BY user_id ORDER BY amount DESC, transaction_id ASC) AS rn
+      FROM hv
+    ) WHERE rn <= 3
+    """,
+    "q12_statement_roundtrip": P
+    + """
+    SELECT user_id, ym AS year_month, count(*) AS n_txns,
+           round(sum(round(amount, 2)), 2) AS total
+    FROM txns GROUP BY user_id, ym
+    """,
+    "q13_scalar_projections": P
+    + """
+    SELECT id,
+           substr(country, 1, 2) AS country_code,
+           ym AS year_month,
+           year("date") AS yr,
+           month("date") AS mo,
+           printf('%04d%02d', year("date"), month("date")) AS ym_formatted,
+           strftime(strptime(ym || '01', '%Y%m%d') - INTERVAL 1 MONTH, '%Y%m') AS prev_ym,
+           round(amount, 2) AS amount_2dp
+    FROM txns
+    """,
+    "q14_union_all": P
+    + """
+    SELECT user_id, count(*) AS n_txns, round(sum(round(amount, 2)), 2) AS total
+    FROM (SELECT * FROM cur UNION ALL SELECT * FROM hist)
+    GROUP BY user_id
+    """,
+}

@@ -1,0 +1,164 @@
+"""Named queries over the driver testdata — the SURVEY §2 coverage surface.
+
+Each entry is ``(spark, sf_dir) -> DataFrame``; the matching DuckDB oracle SQL
+lives in :mod:`.oracles`. Column names/aliases are kept identical on both
+sides (the driver sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import prev_year_month, round2
+from ..operators import financial as fin
+from ..operators.nesting import flatten_statements, nest_statements
+from . import transactions_view as tv
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _base(spark: SparkSession, sf_dir: str):
+    txns = tv.transactions(spark, sf_dir)
+    cur, hist = tv.current_and_historical(txns)
+    return txns, cur, hist
+
+
+def q01_historical_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/Q1: per-user historical average (docker/lambda_function.py:88-94)."""
+    _, _, hist = _base(spark, sf_dir)
+    return fin.historical_average(hist)
+
+
+def q02_home_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A6/Q2: mode country per user, deterministic tie-break
+    (docker/lambda_function.py:96-115)."""
+    _, _, hist = _base(spark, sf_dir)
+    return fin.home_country(hist)
+
+
+def q03_risky_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 = J2+F1+F2+P10 flagging (docker/lambda_function.py:117-141)."""
+    _, cur, hist = _base(spark, sf_dir)
+    return fin.flag_risky(cur, fin.user_scalars(hist))
+
+
+def q04_spending_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/Q4: current-month category totals (docker/lambda_function.py:143-152)."""
+    _, cur, _ = _base(spark, sf_dir)
+    return fin.spending_by_category(cur)
+
+
+def q05_prev_month_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 = P6+F3+A3 previous-month comparison (docker/lambda_function.py:154-173);
+    January wrap handled by add_months inside prev_year_month."""
+    txns, _, _ = _base(spark, sf_dir)
+    prev = tv.statement_scalars(txns)["prev_ym"]
+    return fin.previous_month_spending(txns.withColumnRenamed("ym", "src_ym"), prev)
+
+
+def q06_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 = J2+F2: strictly-above-average transactions
+    (docker/lambda_function.py:224-236)."""
+    _, cur, hist = _base(spark, sf_dir)
+    return fin.high_value(cur, fin.user_scalars(hist))
+
+
+def q07_recurring_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 = U1+F4+A4: recurring spend in the statement's calendar year by
+    vendor (docker/lambda_function.py:238-251). The union is explicit
+    (current ∪ historical) to exercise U1."""
+    txns, cur, hist = _base(spark, sf_dir)
+    unioned = cur.unionByName(hist)  # U1 (docker/lambda_function.py:241)
+    year = tv.statement_scalars(txns)["statement_year"]
+    return fin.recurring_ytd(unioned, year)
+
+
+def q08_monthly_spending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-user monthly totals (docker/lambda_function.py:256-261)."""
+    txns, _, _ = _base(spark, sf_dir)
+    return fin.monthly_spending(txns.drop("ym"))
+
+
+def q09_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/Q8: trend over the 3 most recent months, strict inequalities
+    (docker/lambda_function.py:263-281)."""
+    txns, _, _ = _base(spark, sf_dir)
+    return fin.classify_trend(fin.monthly_spending(txns.drop("ym")))
+
+
+def q10_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9/P11: linear year-end extrapolation of recurring YTD totals
+    (docker/lambda_function.py:392-399)."""
+    txns, cur, hist = _base(spark, sf_dir)
+    scalars = tv.statement_scalars(txns)
+    rec = fin.recurring_ytd(cur.unionByName(hist), scalars["statement_year"])
+    return fin.predict_year_end(rec, scalars["months_elapsed"])
+
+
+def q11_top3_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10/O1/W2: top-3 by amount per user among high-value transactions
+    (docker/lambda_function.py:310-313)."""
+    _, cur, hist = _base(spark, sf_dir)
+    return fin.top_k_high_value(fin.high_value(cur, fin.user_scalars(hist)), k=3)
+
+
+def q12_statement_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+S4: nest per (user, month) → flatten back → aggregate. Proves the
+    storage-boundary nesting (docker/lambda_function.py:462-474,47-48) is
+    lossless; the oracle aggregates the flat table directly."""
+    txns, _, _ = _base(spark, sf_dir)
+    nested = nest_statements(txns.withColumnRenamed("ym", "year_month"))
+    flat = flatten_statements(nested)
+    return flat.groupBy("user_id", "year_month").agg(
+        F.count("*").alias("n_txns"),
+        F.round(F.sum(round2(F.col("amount").cast("double"))), 2).alias("total"),
+    )
+
+
+def q13_scalar_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P7 scalar layer on every transaction: substring country code, yyyyMM,
+    year/month extraction, previous-month with January wrap, zero-pad format,
+    rounding — all Catalyst expressions (zero UDFs)."""
+    txns = tv.transactions(spark, sf_dir)
+    return txns.select(
+        "id",
+        F.substring("country", 1, 2).alias("country_code"),  # P2
+        F.col("ym").alias("year_month"),  # P3
+        F.year("date").alias("yr"),  # P4
+        F.month("date").alias("mo"),  # P5
+        F.format_string("%04d%02d", F.year("date"), F.month("date")).alias("ym_formatted"),  # P5
+        prev_year_month(F.col("ym")).alias("prev_ym"),  # P6 (per-row January wraps)
+        round2(F.col("amount").cast("double")).alias("amount_2dp"),  # P7
+    )
+
+
+def q14_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 in isolation: current ∪ historical preserves duplicates and schema
+    (docker/lambda_function.py:241,254,497)."""
+    _, cur, hist = _base(spark, sf_dir)
+    return (
+        cur.unionByName(hist)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_txns"), F.round(F.sum(round2("amount")), 2).alias("total"))
+    )
+
+
+FINANCIAL_QUERIES: dict[str, QueryFn] = {
+    "q01_historical_avg": q01_historical_avg,
+    "q02_home_country": q02_home_country,
+    "q03_risky_transactions": q03_risky_transactions,
+    "q04_spending_by_category": q04_spending_by_category,
+    "q05_prev_month_category": q05_prev_month_category,
+    "q06_high_value": q06_high_value,
+    "q07_recurring_ytd": q07_recurring_ytd,
+    "q08_monthly_spending": q08_monthly_spending,
+    "q09_trend": q09_trend,
+    "q10_prediction": q10_prediction,
+    "q11_top3_high_value": q11_top3_high_value,
+    "q12_statement_roundtrip": q12_statement_roundtrip,
+    "q13_scalar_projections": q13_scalar_projections,
+    "q14_union_all": q14_union_all,
+}

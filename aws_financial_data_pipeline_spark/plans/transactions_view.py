@@ -1,0 +1,127 @@
+"""Adapter: driver testdata (TPC-H-ish star schema) → canonical transactions.
+
+The correctness gate runs on `/root/testdata/sf*/` (TESTDATA.md), so the
+reference's transaction concepts are mapped onto those tables per FIXTURES.md §4:
+
+    user_id   ← orders.o_custkey
+    id        ← l_orderkey*10 + l_linenumber   (unique per line item)
+    date      ← lineitem.l_shipdate (cast date)
+    vendor    ← part.p_brand        (repeats across months → recurring analysis)
+    category  ← orders.o_orderpriority (small domain, like statement categories)
+    amount    ← lineitem.l_extendedprice (double — mirrors the reference's float math)
+    recurring ← l_returnflag = 'R'  (boolean proxy per FIXTURES.md)
+    country   ← supplier's nation name (J1 dimension-join shape: the pycountry
+                lookup becomes lineitem→supplier→nation broadcast joins)
+
+"Current month" = the global max yyyyMM of l_shipdate (the statement month);
+everything earlier is "historical" — the same date-range split FIXTURES.md
+prescribes.
+
+Scale notes (100 TB posture):
+- lineitem⋈orders is the one genuinely big join: equi-join on l_orderkey,
+  which Catalyst plans as sort-merge/shuffled-hash with AQE skew splitting. At
+  cluster scale both sides would be bucketed by orderkey to make it
+  shuffle-free; locally AQE broadcasts the smaller side.
+- nation (25 rows) is explicitly broadcast; part/supplier are left to AQE's
+  auto-broadcast so the plan stays valid when they outgrow the threshold.
+- The current/historical split joins against 1-row aggregates → Catalyst plans
+  BroadcastNestedLoopJoin (the scalar-subquery shape, J2) — no driver collect,
+  no hard-coded dates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import prev_year_month
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical flat transactions frame (see module docstring)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supplier = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    sup_nation = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(sup_nation, li.l_suppkey == sup_nation.s_suppkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+            F.col("l_shipdate").cast("date").alias("date"),
+            F.col("p_brand").alias("vendor"),
+            F.col("o_orderpriority").alias("category"),
+            F.col("l_extendedprice").alias("amount"),
+            (F.col("l_returnflag") == "R").alias("recurring"),
+            F.col("n_name").alias("country"),
+            F.date_format("l_shipdate", "yyyyMM").alias("ym"),
+        )
+    )
+
+
+def latest_ym(txns: DataFrame) -> DataFrame:
+    """1-row frame (cur_ym) — the statement month, derived from the data."""
+    return txns.agg(F.max("ym").alias("cur_ym"))
+
+
+def current_and_historical(txns: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Date-range split: (current = statement month, historical = before)."""
+    lym = latest_ym(txns)
+    cur = txns.join(F.broadcast(lym), txns.ym == F.col("cur_ym")).drop("cur_ym")
+    hist = txns.join(F.broadcast(lym), txns.ym < F.col("cur_ym")).drop("cur_ym")
+    return cur, hist
+
+
+def statement_scalars(txns: DataFrame) -> dict[str, DataFrame]:
+    """Declarative 1-row frames derived from the statement month: previous
+    month (P6, January-wrap safe), statement calendar year (Q7), months
+    elapsed in that year (Q9)."""
+    lym = latest_ym(txns)
+    return {
+        "prev_ym": lym.select(prev_year_month(F.col("cur_ym")).alias("prev_ym")),
+        "statement_year": lym.select(F.substring("cur_ym", 1, 4).cast("int").alias("statement_year")),
+        "months_elapsed": lym.select(F.substring("cur_ym", 5, 2).cast("int").alias("months_elapsed")),
+    }
+
+
+# Shared DuckDB-oracle prelude: the same view in ANSI SQL. Every oracle query
+# is f"{ORACLE_PRELUDE} SELECT ...". Keep in lockstep with transactions().
+ORACLE_PRELUDE = """
+WITH txns AS (
+  SELECT o.o_custkey                              AS user_id,
+         l.l_orderkey * 10 + l.l_linenumber       AS id,
+         CAST(l.l_shipdate AS DATE)               AS "date",
+         p.p_brand                                AS vendor,
+         o.o_orderpriority                        AS category,
+         l.l_extendedprice                        AS amount,
+         (l.l_returnflag = 'R')                   AS recurring,
+         n.n_name                                 AS country,
+         strftime(l.l_shipdate, '%Y%m')           AS ym
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN part p     ON l.l_partkey  = p.p_partkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+),
+latest AS (SELECT max(ym) AS cur_ym FROM txns),
+cur  AS (SELECT t.* FROM txns t, latest WHERE t.ym = latest.cur_ym),
+hist AS (SELECT t.* FROM txns t, latest WHERE t.ym < latest.cur_ym),
+scal AS (SELECT user_id, round(avg(amount), 2) AS avg_amount FROM hist GROUP BY user_id),
+home AS (
+  SELECT user_id, country AS home_country FROM (
+    SELECT user_id, country,
+           row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, country ASC) AS rn
+    FROM hist GROUP BY user_id, country
+  ) WHERE rn = 1
+)
+"""

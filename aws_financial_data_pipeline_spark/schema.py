@@ -1,0 +1,105 @@
+"""Canonical schemas + the country dimension.
+
+Transaction schema per the reference's record layout (parse sites
+``docker/lambda_function.py:66-77`` and ``:449-460``): explicit ``StructType``,
+no inference — schema-on-read CSV with typed parse replaces the reference's
+per-row dict building. CSV headers use dotted names (``transactions.amount``,
+see ``test_data/user_1_new_statement202412.csv:1``); the reader renames them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Engine-internal (flat) transaction schema. Amounts are decimal(12,2) at rest
+# (the reference ingests Decimal, ``docker/lambda_function.py:71``) and cast to
+# double inside aggregations to mirror its float math
+# (``docker/lambda_function.py:90,124,147``).
+TXN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("year_month", T.StringType(), False),  # statement YYYYMM
+        T.StructField("id", T.StringType(), False),
+        T.StructField("date", T.DateType(), True),
+        T.StructField("vendor", T.StringType(), True),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("amount", T.DecimalType(12, 2), True),
+        T.StructField("currency", T.StringType(), True),
+        T.StructField("recurring", T.BooleanType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("location", T.StringType(), True),  # "CC-RR"
+        T.StructField("description", T.StringType(), True),
+    ]
+)
+
+# Raw CSV schema: dotted column names exactly as in the statement files; all
+# strings except where CSV parsing is trivially safe. Booleans arrive as
+# "true"/"false" in any case (``lower()=="true"``, docker/lambda_function.py:73)
+# so they are parsed by expression, not by the CSV reader.
+CSV_FIELDS = [
+    ("UserId", T.StringType()),
+    ("YearMonth", T.StringType()),
+    ("transactions.id", T.StringType()),
+    ("transactions.date", T.StringType()),
+    ("transactions.vendor", T.StringType()),
+    ("transactions.category", T.StringType()),
+    ("transactions.amount", T.StringType()),
+    ("transactions.currency", T.StringType()),
+    ("transactions.recurring", T.StringType()),
+    ("transactions.type", T.StringType()),
+    ("transactions.location", T.StringType()),
+    ("transactions.description", T.StringType()),
+]
+CSV_SCHEMA = T.StructType([T.StructField(n, t, True) for n, t in CSV_FIELDS])
+
+# Nested statement-document schema (DynamoDB item shape,
+# docker/lambda_function.py:468-474): key (UserId, YearMonth) + transactions[].
+STATEMENT_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("year_month", T.StringType(), False),
+        T.StructField(
+            "transactions",
+            T.ArrayType(
+                T.StructType([f for f in TXN_SCHEMA.fields if f.name not in ("user_id", "year_month")])
+            ),
+            True,
+        ),
+    ]
+)
+
+# ISO-3166 alpha-2 → country name. The reference resolves codes through the
+# pycountry package at docker/lambda_function.py:101,121; pycountry is not in
+# this image, so we embed the (public, standardized) subset needed plus common
+# codes. The dimension is tiny by construction → always a broadcast join (J1).
+_ISO_3166_ALPHA2 = {
+    "AD": "Andorra", "AE": "United Arab Emirates", "AR": "Argentina", "AT": "Austria",
+    "AU": "Australia", "BE": "Belgium", "BG": "Bulgaria", "BR": "Brazil", "CA": "Canada",
+    "CH": "Switzerland", "CL": "Chile", "CN": "China", "CO": "Colombia", "CZ": "Czechia",
+    "DE": "Germany", "DK": "Denmark", "DZ": "Algeria", "EE": "Estonia", "EG": "Egypt",
+    "ES": "Spain", "ET": "Ethiopia", "FI": "Finland", "FR": "France",
+    "GB": "United Kingdom", "GR": "Greece", "HK": "Hong Kong", "HR": "Croatia",
+    "HU": "Hungary", "ID": "Indonesia", "IE": "Ireland", "IL": "Israel", "IN": "India",
+    "IQ": "Iraq", "IR": "Iran, Islamic Republic of", "IS": "Iceland", "IT": "Italy",
+    "JO": "Jordan", "JP": "Japan", "KE": "Kenya", "KR": "Korea, Republic of",
+    "KW": "Kuwait", "LT": "Lithuania", "LU": "Luxembourg", "LV": "Latvia",
+    "MA": "Morocco", "MX": "Mexico", "MZ": "Mozambique", "NL": "Netherlands",
+    "NO": "Norway", "NZ": "New Zealand", "PE": "Peru", "PH": "Philippines",
+    "PL": "Poland", "PT": "Portugal", "QA": "Qatar", "RO": "Romania",
+    "RU": "Russian Federation", "SA": "Saudi Arabia", "SE": "Sweden", "SG": "Singapore",
+    "SI": "Slovenia", "SK": "Slovakia", "TH": "Thailand", "TN": "Tunisia",
+    "TR": "Türkiye", "UA": "Ukraine", "US": "United States", "UY": "Uruguay",
+    "VN": "Viet Nam", "ZA": "South Africa",
+}
+
+
+def country_dim(spark: SparkSession) -> DataFrame:
+    """Small country dimension (alpha2 → name) for the J1 broadcast join.
+
+    The reference crashes on unknown codes (``.get() is None`` →
+    AttributeError, docker/lambda_function.py:101); we use a left join +
+    coalesce(code) instead — documented deviation (SURVEY §2.12).
+    """
+    rows = [(k, v) for k, v in sorted(_ISO_3166_ALPHA2.items())]
+    return spark.createDataFrame(rows, "alpha2 string, country_name string")

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Replaces the reference's module-import bootstrap (client construction +
+connectivity check, ``docker/lambda_function.py:20-35``) with an idiomatic
+Spark session. Config choices are made for the 100 TB posture and documented
+inline; locally everything runs in one JVM (``local[N]``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "afdp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    - AQE on (runtime coalesce + skew-join splitting): at 100 TB the static
+      shuffle-partition guess is always wrong somewhere; AQE fixes it at runtime.
+    - Dynamic partition overwrite: gives DynamoDB ``put_item``-style whole-key
+      upsert semantics for the history store (SURVEY §2 S5).
+    - UTC session timezone: parquet timestamps compare bit-identically with the
+      DuckDB oracle.
+    - Arrow enabled: every pandas interchange (mapInPandas/applyInPandas in the
+      extension operators) goes through columnar batches, not pickled rows.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 4) if cpus else 32
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
