@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from aws_financial_data_pipeline_spark.plans.ext_oracles import EXT_ORACLES
+from aws_financial_data_pipeline_spark.plans.ext_queries import EXT_QUERIES
 from aws_financial_data_pipeline_spark.plans.oracles import FINANCIAL_ORACLES
 from aws_financial_data_pipeline_spark.plans.queries import FINANCIAL_QUERIES
 
@@ -31,9 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(FINANCIAL_QUERIES)
+    return {**FINANCIAL_QUERIES, **EXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (same aliases both sides)."""
-    return dict(FINANCIAL_ORACLES)
+    return {**FINANCIAL_ORACLES, **EXT_ORACLES}

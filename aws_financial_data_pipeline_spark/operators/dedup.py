@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point — these must survive 100 TB):
+
+- **Exact**: hash-groupBy on md5(text). One shuffle keyed by a 128-bit digest —
+  uniformly distributed, no skew, map-side partial aggregation.
+- **Jaccard (verification path)**: shingle → explode → self-equi-join on the
+  shingle. Quadratic in the worst case; at scale it is only ever run on
+  *candidate pairs* produced by LSH, never on the full corpus. The full
+  pairwise form exists for correctness oracles at small SF.
+- **MinHash+LSH (scale path)**: signature = k independent min-hashes over the
+  shingle set (map + one groupBy per doc), banded into b buckets; candidate
+  pairs come from a groupBy on (band, band_key) — expected near-linear for
+  near-dup-sparse corpora. All hashing is md5-based and engine-portable (the
+  DuckDB oracle reproduces it bit-for-bit; lexicographic min over hex digests).
+- **SimHash**: 32-bit signature via per-token hash bit voting; Hamming-band
+  buckets (4×8-bit) for candidates, pigeonhole guarantees distance ≤ 3 pairs
+  collide in ≥ 1 band.
+
+Embedding-cosine near-dup lives in :mod:`.similarity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: one row per distinct text with the
+    canonical (minimum) id and the duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) exploded distinct-shingle table."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n=n)).alias("s")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """All pairs sharing ≥1 word-n-gram shingle, with exact Jaccard similarity
+    of their shingle sets. ``threshold`` filters on the similarity.
+
+    |A∩B| from the self-join on shingles; |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = _shingle_table(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Banded MinHash signatures: (doc_id, band_id, band_key).
+
+    Hash family h_i(s) = md5(i ‖ ':' ‖ s); the min is taken lexicographically
+    over hex digests (portable across engines). band_key = md5 of the band's
+    minhashes joined in hash-index order.
+
+    Docs with fewer than ``n`` tokens have no shingles and drop out (they can
+    only be exact-duplicates; handled by :func:`exact_duplicates`).
+    """
+    sh = _shingle_table(docs, text_col, id_col, n)
+    hashed = sh.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"), "s"
+    ).select(
+        "doc_id",
+        "h",
+        F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("s"))).alias("hv"),
+    )
+    minh = hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("mh"))
+    banded = minh.withColumn("band_id", (F.col("h") / band_size).cast("int"))
+    return banded.groupBy("doc_id", "band_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "mh"))), lambda x: x["mh"]
+                ),
+            )
+        ).alias("band_key")
+    )
+
+
+def minhash_candidates(signatures: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs sharing any (band_id, band_key) bucket.
+    This is the near-linear scale path — a groupBy on the band key, never a
+    full cross join."""
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH dedup: LSH candidates → exact Jaccard verification on
+    the candidate pairs only → pairs ≥ threshold."""
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, band_size, n)
+    cand = minhash_candidates(sig)
+    sh = _shingle_table(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(b, (cand.doc_b == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over distinct whitespace tokens.
+
+    Token hash = first 8 hex chars of md5 as an int; each of the 32 bits votes
+    ±1; signature bit j is set iff the vote sum is strictly positive.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("t"),
+    )
+    hashed = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("v")
+    )
+    bits = hashed.select(
+        "doc_id", "v", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    ).select(
+        "doc_id",
+        "j",
+        (F.expr("shiftright(v, j) & 1") * 2 - 1).alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "j").agg(F.sum("vote").alias("sv"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("sv") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates from SimHash signatures: band the 32 bits into 4
+    bytes; by pigeonhole any pair within Hamming distance 3 shares ≥1 byte
+    band. Exact Hamming distance verifies the candidates."""
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_id"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, band_id * 8) & 255"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.expr("sig_a ^ sig_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,88 @@
+"""Event-stream analytics (batch form).
+
+The reference's trigger model is micro-batch-shaped but has no windowed
+analytics (SURVEY §2.9) — these operators are the extension surface over the
+``events`` table: tumbling/sliding windows, sessionization, and JSON-props
+extraction. Each has a streaming twin in :mod:`..streaming.windows` built on
+the same expressions.
+
+Window starts are emitted as formatted strings so results compare bit-stable
+across engines (Spark session TZ is pinned UTC in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregate per event_type: count + sum(value).
+    ``F.window`` keeps the grouping fully Catalyst-side; one shuffle."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding(events: DataFrame, duration: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """Sliding-window aggregate: each event lands in duration/slide windows
+    (Spark expands them via the same ``window`` expression)."""
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Sessionization: per user, a new session starts when the gap to the
+    previous event exceeds ``gap_seconds``. Classic lag + running-sum — two
+    window functions over the same (user_id, ts) ordering, one shuffle.
+
+    Output: one row per session with start epoch, event count, duration and
+    value total. (Streaming twin: ``session_window`` in streaming/windows.py.)
+    """
+    ts_d = F.col("ts").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = events.withColumn(
+        "_new",
+        F.when(
+            (ts_d - F.lag(ts_d).over(w)).isNull() | ((ts_d - F.lag(ts_d).over(w)) > gap_seconds),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = gapped.withColumn(
+        "session_seq", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.round(F.min(ts_d), 3).alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.max(ts_d) - F.min(ts_d), 3).alias("duration_s"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured path: extract ``$.k`` from the JSON props column and
+    aggregate per event_type. ``get_json_object`` is a Catalyst expression —
+    no Python in the loop."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 2).alias("avg_k"),
+    )

@@ -1,0 +1,86 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content is carried as ``binary`` columns with a metadata
+struct; decode/feature-extraction runs as Arrow-batched pandas stages via
+``mapInPandas`` (never row-at-a-time Python). The decode step itself is
+STUBBED — the image/audio libraries are not in this container — behind
+``NotImplementedError`` plus a deterministic fake used by tests; everything
+Spark-side (schema, batching, partitioning, UDF signatures) is real.
+
+At scale: payload columns are large → keep them out of shuffles. The pattern
+here extracts features in a map-only stage and drops the payload before any
+wide operation; parquet column pruning means queries not touching ``payload``
+never read those bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Schema for binary-payload rows: the payload plus typed metadata.
+PAYLOAD_COLS = "doc_id bigint, payload binary, media_type string, byte_len bigint"
+FEATURE_COLS = "doc_id bigint, media_type string, byte_len bigint, digest string, feature_mean double"
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Test/demo adapter: treat the UTF-8 encoding of a text column as an
+    opaque binary payload with metadata — the same shape real image bytes
+    would have."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(payload).alias("byte_len"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload to an array. STUB: pillow/opencv are not in
+    this container. The Spark-side plumbing calls extract_features below,
+    which uses a deterministic fake instead."""
+    raise NotImplementedError("image decode requires pillow/opencv (not in this image)")
+
+
+def decode_audio(payload: bytes) -> "object":
+    raise NotImplementedError("audio decode requires soundfile/librosa (not in this image)")
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30) -> "list[object]":
+    raise NotImplementedError("video decode requires pyav/opencv (not in this image)")
+
+
+def _fake_feature(payload: bytes) -> float:
+    """Deterministic stand-in for a decoded-content feature (e.g. mean pixel):
+    mean byte value of the payload."""
+    return float(sum(payload)) / len(payload) if payload else 0.0
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas.
+
+    Real pipeline: decode → resize/frame-sample → featurize per batch. Here
+    the decode is the deterministic fake (mean byte + md5 digest), but the
+    batch shape, schema, and partition behavior are exactly what a real
+    extractor uses: one pandas batch in, one out, payload dropped on output.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["byte_len"],
+                    "digest": pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "feature_mean": pdf["payload"].map(lambda b: round(_fake_feature(bytes(b)), 4)),
+                }
+            )
+            yield out
+
+    return with_payload.mapInPandas(run, FEATURE_COLS)

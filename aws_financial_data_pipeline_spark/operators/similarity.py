@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale mandate:
+
+- **Brute-force top-k** (baseline / oracle): query set × corpus with the dot
+  product as a sequential Catalyst ``aggregate`` over ``zip_with`` — stays
+  JVM-side, and the left-to-right accumulation order is reproducible in the
+  DuckDB oracle (``list_dot_product``), so results hash-match bit-for-bit.
+  Cost O(|Q|·N·d): fine when |Q| is small or as the verification step.
+- **LSH-bucketed ANN** (scale path): 16 random-hyperplane signs → bucket id;
+  candidates = same-bucket pairs; exact cosine only within buckets. The
+  hyperplanes are deterministic (md5-derived), so the oracle reproduces them
+  from the same constants. Expected cost O(N·d·16 + Σ bucket²) ≪ N².
+
+At cluster scale the corpus side is partitioned by bucket (co-located joins)
+and the query side broadcast; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NUM_PLANES = 16
+DIM = 64
+
+
+def _plane_weight(j: int, i: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1] for plane j, dim i."""
+    h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def plane_rows(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[tuple[int, int, float]]:
+    """(plane, dim, weight) triples — shared by the Spark literal frame and the
+    oracle's VALUES list."""
+    return [(j, i, _plane_weight(j, i)) for j in range(num_planes) for i in range(dim)]
+
+
+def _dot(a, b):
+    """Sequential dot product of two array columns in double precision —
+    accumulation order matches DuckDB's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("_norm2", _dot(F.col(vec_col), F.col(vec_col)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: for every query row (q_id, q_emb) return the k
+    nearest corpus vectors (excluding self). Deterministic tie-break on
+    neighbor id. Query side is broadcast — the corpus is scanned once."""
+    corpus = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), "_norm2"
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), F.col("_norm2").alias("_qnorm2")
+    )
+    pairs = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
+    cos = _dot(F.col("_e"), F.col("_qe")) / F.sqrt(F.col("_norm2") * F.col("_qnorm2"))
+    scored = pairs.select("q_id", "neighbor_id", cos.alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rn")
+    )
+
+
+def lsh_bands(
+    spark: SparkSession,
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = NUM_PLANES,
+    band_size: int = 4,
+    dim: int = DIM,
+) -> DataFrame:
+    """Banded random-hyperplane LSH signature: bit_j = (v·w_j > 0); the
+    ``num_planes`` bits are grouped into bands of ``band_size`` and each band
+    becomes a bucket value → (vec_id, band_id, band_val).
+
+    OR-amplification: two vectors are candidates if ANY band matches — the
+    standard recall/cost dial (more+smaller bands = higher recall). The planes
+    frame is tiny → broadcast; the signature is a map-side pass, the only
+    shuffle is the groupBy on (vec_id) here and the band-join later.
+    """
+    planes = spark.createDataFrame(
+        [(j, [_plane_weight(j, i) for i in range(dim)]) for j in range(num_planes)],
+        "j int, w array<double>",
+    )
+    crossed = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e")).crossJoin(
+        F.broadcast(planes)
+    )
+    bit = (_dot(F.col("_e"), F.col("w")) > 0).cast("long")
+    return (
+        crossed.select("vec_id", (F.col("j") / band_size).cast("int").alias("band_id"),
+                       (F.col("j") % band_size).alias("jb"), bit.alias("b"))
+        .groupBy("vec_id", "band_id")
+        .agg(F.sum(F.expr("shiftleft(b, jb)")).alias("band_val"))
+    )
+
+
+def ann_topk_lsh(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: exact cosine restricted to candidates sharing ≥1 LSH band
+    with the query. Returns (q_id, neighbor_id, cosine, rn). Approximate —
+    recall vs :func:`cosine_topk` is the quality metric (tests assert it).
+
+    Scale path: the corpus is scanned once for signatures, the candidate join
+    is an equi-join on (band_id, band_val) — expected near-linear, vs the
+    brute-force O(|Q|·N·d)."""
+    sig = lsh_bands(spark, emb, vec_col, id_col)
+    cand = (
+        sig.join(
+            F.broadcast(sig.withColumnsRenamed({"vec_id": "q_id"}).join(
+                queries.select(F.col(id_col).alias("q_id")), "q_id")),
+            ["band_id", "band_val"],
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(F.col("q_id"), F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    corpus = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), "_norm2"
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), F.col("_norm2").alias("_qnorm2")
+    )
+    pairs = cand.join(corpus, "neighbor_id").join(F.broadcast(q), "q_id")
+    cos = _dot(F.col("_e"), F.col("_qe")) / F.sqrt(F.col("_norm2") * F.col("_qnorm2"))
+    scored = pairs.select("q_id", "neighbor_id", cos.alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rn")
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold), restricted
+    to same-LSH-bucket candidates would be the scale path; this is the exact
+    pairwise form used for oracle checks at small SF."""
+    a = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_ea"), F.col("_norm2").alias("_na")
+    )
+    b = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_eb"), F.col("_norm2").alias("_nb")
+    )
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    cos = _dot(F.col("_ea"), F.col("_eb")) / F.sqrt(F.col("_na") * F.col("_nb"))
+    return pairs.select("doc_a", "doc_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

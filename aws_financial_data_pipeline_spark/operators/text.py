@@ -1,0 +1,143 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+All of these compile to Catalyst expressions (split/transform/filter/regexp —
+higher-order functions run inside codegen, no Python) so they hold up at
+100 TB: a pure map stage with no shuffle, pushed-down column pruning (only
+``text`` + keys are read), and every output is a narrow numeric/string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared tokenization: whitespace split of the raw text. The testdata corpus is
+# single-space separated lowercase; the regex keeps it robust to runs of
+# whitespace without changing clean inputs.
+TOKEN_SPLIT = r"\s+"
+
+# Small per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Public common words; overlap (la/de) is resolved by the
+# deterministic argmax chain below.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "les", "et", "une", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es": ("el", "los", "las", "y", "un", "es", "en"),
+    "zh": ("的", "是", "了", "在", "我", "不", "和"),
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum symbol —
+# the classic GPT-2-style pre-split shape, as a pure regex.
+BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(F.col(text) if isinstance(text, str) else text, TOKEN_SPLIT)
+
+
+def _isin(words) -> "callable":
+    """Single-arg lambda factory for higher-order filters (a two-arg lambda
+    with a default would be called with two Columns by PySpark)."""
+    lst = list(words)
+    return lambda t: t.isin(lst)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (space-joined).
+
+    Guarded for short documents: fewer than n tokens → empty array (Spark's
+    ``sequence`` would otherwise generate a *descending* range).
+    """
+    tok = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(tok) - n)  # shingle start offsets (0-based)
+    parts = lambda i: [F.element_at(tok, i + k + 1) for k in range(n)]  # noqa: E731
+    make = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.when(F.size(tok) >= n, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features per document: token counts, distinct ratio,
+    average token length, stopword ratio, and a composite quality score.
+    One map stage; no shuffle."""
+    tok = tokens(text_col)
+    n_tok = F.size(tok)
+    n_distinct = F.size(F.array_distinct(tok))
+    n_stop = F.size(F.filter(tok, _isin(LANG_STOPWORDS["en"])))
+    # single-space corpus: total token chars = chars minus separators
+    tok_chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    avg_tok_len = F.round(tok_chars / n_tok, 4)
+    stop_ratio = F.round(n_stop / n_tok, 4)
+    distinct_ratio = F.round(n_distinct / n_tok, 4)
+    # No final round: the inputs are 4dp-rounded, so the weighted sum lands on
+    # a 5dp grid where decimal-rounding diverges between engines (Java
+    # shortest-string HALF_UP vs binary multiply-floor). The raw double is
+    # bit-identical on both sides instead.
+    quality = (
+        F.lit(0.3) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.4) * F.least(F.lit(1.0), avg_tok_len / F.lit(8.0))
+    )
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: score = #tokens in each language's stopword
+    list; prediction = deterministic argmax (chain order en,fr,de,es,zh)."""
+    tok = tokens(text_col)
+    scores = {
+        lang: F.size(F.filter(tok, _isin(words))) for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    return docs.select(
+        id_col,
+        F.col("lang").alias("lang_actual"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex tokens
+    (letter runs / digit runs / single symbols)."""
+    lower = F.lower(F.col(text_col))
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.size(F.split(lower, TOKEN_SPLIT)).alias("ws_tokens"),
+        F.regexp_count(lower, F.lit(BPE_REGEX)).alias("bpe_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """Document fingerprint: minimum md5 over word n-gram shingles (a
+    winnowing-style min-hash selection with the hash as the rolling window).
+    Stable across partitioning; identical docs → identical fingerprint."""
+    sh = shingles(text_col, n=n)
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        id_col,
+        fp.alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )

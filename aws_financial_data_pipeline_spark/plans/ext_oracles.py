@@ -1,0 +1,289 @@
+"""DuckDB oracles for the extension queries.
+
+The md5-based hash families make MinHash/SimHash/fingerprints engine-portable
+(lexicographic min over hex digests is identical everywhere); dot products are
+sequential in both engines (Spark ``aggregate`` over ``zip_with`` ↔ DuckDB
+``list_dot_product``), so even float results hash-match after rounding.
+"""
+
+from __future__ import annotations
+
+from ..operators.similarity import plane_rows
+from ..operators.text import BPE_REGEX, LANG_STOPWORDS
+
+# shared shingle prelude (word 3-grams, distinct per doc)
+_SHINGLES = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+  FROM toks, LATERAL UNNEST(range(len(t) - 2)) AS u(i)
+)
+"""
+
+_MINHASH_SIG = (
+    _SHINGLES
+    + r"""
+, hx AS (
+  SELECT doc_id, h, min(md5(h || ':' || s)) AS mh
+  FROM sh, LATERAL UNNEST(range(16)) AS v(h)
+  GROUP BY doc_id, h
+),
+sig AS (
+  SELECT doc_id, CAST(h // 4 AS INT) AS band_id,
+         md5(string_agg(mh, ',' ORDER BY h)) AS band_key
+  FROM hx GROUP BY doc_id, h // 4
+)
+"""
+)
+
+_SIMHASH = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tk FROM (
+    SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS tk FROM documents
+  )
+),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS v FROM tok),
+bits AS (
+  SELECT doc_id, j, CASE WHEN ((v >> j) & 1) = 1 THEN 1 ELSE -1 END AS vote
+  FROM h, LATERAL UNNEST(range(32)) AS u(j)
+),
+votes AS (SELECT doc_id, j, sum(vote) AS sv FROM bits GROUP BY doc_id, j),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+_EMB_NORM = r"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM base),
+q AS (SELECT vec_id AS q_id, e AS qe, n2 AS qn2 FROM n WHERE vec_id % 100 = 0)
+"""
+
+
+def _planes_values() -> str:
+    return ", ".join(f"({j},{i},{w!r})" for j, i, w in plane_rows())
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"CAST(len(list_filter(tok, x -> x IN ({lst}))) AS BIGINT) AS score_{lang}"
+        )
+    return ",\n       ".join(parts)
+
+
+def _lang_pred_sql() -> str:
+    langs = list(LANG_STOPWORDS)
+    clauses = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+EXT_ORACLES: dict[str, str] = {
+    "x01_dedup_exact": """
+    SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    "x02_jaccard_pairs": _SHINGLES
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.0
+    """,
+    "x03_minhash_signatures": _MINHASH_SIG + "SELECT doc_id, band_id, band_key FROM sig",
+    "x04_minhash_candidates": _MINHASH_SIG
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    "x05_simhash": _SIMHASH + "SELECT doc_id, simhash FROM sims",
+    "x06_simhash_candidates": _SIMHASH
+    + """
+    , bands AS (
+      SELECT doc_id, simhash, CAST(b AS INT) AS band_id,
+             (simhash >> (CAST(b AS INT) * 8)) & 255 AS band_val
+      FROM sims, LATERAL UNNEST(range(4)) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+    """,
+    "x07_cosine_topk": _EMB_NORM
+    + """
+    , scored AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             list_dot_product(c.e, q.qe) / sqrt(c.n2 * q.qn2) AS cos
+      FROM n c, q WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+    "x08_ann_lsh_topk": f"""
+    WITH planes AS (
+      SELECT j, list(w ORDER BY i) AS wv
+      FROM (VALUES {_planes_values()}) p(j, i, w) GROUP BY j
+    ),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM base),
+    sig AS (
+      SELECT b.vec_id, CAST(p.j // 4 AS INT) AS band_id,
+             CAST(sum(CASE WHEN list_dot_product(b.e, p.wv) > 0
+                           THEN (1::BIGINT << CAST(p.j % 4 AS INT)) ELSE 0 END) AS BIGINT)
+               AS band_val
+      FROM base b, planes p GROUP BY b.vec_id, p.j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT qs.vec_id AS q_id, cs.vec_id AS neighbor_id
+      FROM sig cs
+      JOIN sig qs ON cs.band_id = qs.band_id AND cs.band_val = qs.band_val
+      WHERE qs.vec_id % 100 = 0 AND cs.vec_id <> qs.vec_id
+    ),
+    q AS (SELECT vec_id AS q_id, e AS qe, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT cand.q_id, cand.neighbor_id,
+             list_dot_product(c.e, q.qe) / sqrt(c.n2 * q.qn2) AS cos
+      FROM cand
+      JOIN n c ON c.vec_id = cand.neighbor_id
+      JOIN q ON q.q_id = cand.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+    "x09_embedding_neardup": """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM base)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2), 6) >= 0.35
+    """,
+    "x10_text_stats": r"""
+    WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS tok FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct_tokens,
+           round(len(list_distinct(tok)) / len(tok), 4) AS distinct_ratio,
+           round(length(regexp_replace(text, '\s', '', 'g')) / len(tok), 4) AS avg_token_len,
+           round(len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is'))) / len(tok), 4)
+             AS stopword_ratio,
+           0.3 * least(1.0, len(tok) / 100.0)
+               + 0.3 * (1.0 - round(len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is'))) / len(tok), 4))
+               + 0.4 * least(1.0, round(length(regexp_replace(text, '\s', '', 'g')) / len(tok), 4) / 8.0)
+             AS quality_score
+    FROM t
+    """,
+    "x11_language_id": r"""
+    WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS tok FROM documents),
+    s AS (
+      SELECT doc_id, lang AS lang_actual,
+       """
+    + _lang_scores_sql()
+    + """
+      FROM t
+    )
+    SELECT doc_id, lang_actual, score_en, score_fr, score_de, score_es, score_zh,
+           """
+    + _lang_pred_sql()
+    + r""" AS lang_pred
+    FROM s
+    """,
+    "x12_token_counts": rf"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+    "x13_fingerprint": _SHINGLES
+    + """
+    SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+    "x14_events_tumbling": """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "x15_events_sliding": """
+    WITH e AS (
+      SELECT *, CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS g FROM events
+    ),
+    w AS (
+      SELECT *, to_timestamp(g - k * 900) AS ws
+      FROM e, LATERAL UNNEST(range(4)) AS u(k)
+      WHERE epoch(ts) < g - k * 900 + 3600
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    "x16_events_sessions": """
+    WITH g AS (
+      SELECT user_id, event_id, value, epoch(ts) AS tsd,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY tsd, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           round(min(tsd), 3) AS session_start,
+           count(*) AS n_events,
+           round(max(tsd) - min(tsd), 3) AS duration_s,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+    "x17_events_json": """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
+           round(avg(json_extract_string(props, '$.k')::INT), 2) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    "x18_multimodal_features": """
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS digest
+    FROM documents
+    """,
+}

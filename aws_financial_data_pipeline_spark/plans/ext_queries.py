@@ -1,0 +1,164 @@
+"""Extension queries: dedup, similarity search, text analysis, events, multimodal.
+
+These are the LLM-training-data-pipeline operators (driver north star) over the
+``documents`` / ``embeddings`` / ``events`` testdata tables. Every query has a
+DuckDB oracle in :mod:`.ext_oracles` unless noted (approximate/streaming ops
+get rows-only checks + pytest ground-truth tests).
+
+Integer-width convention: counts/lengths are cast to long on the Spark side to
+match DuckDB's BIGINT outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, events, multimodal, similarity, text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table. The driver testdata stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read nanos as
+    long (runtime conf) and convert to a microsecond timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def x01_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def x02_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.0)
+
+
+def x03_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def x04_minhash_candidates(spark, sf_dir):
+    return dedup.minhash_candidates(dedup.minhash_signatures(_docs(spark, sf_dir)))
+
+
+def x05_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def x06_simhash_candidates(spark, sf_dir):
+    return dedup.simhash_candidates(dedup.simhash(_docs(spark, sf_dir)), max_hamming=8)
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def _queryset(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % 100 == 0)
+
+
+def x07_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.cosine_topk(emb, _queryset(emb), k=10)
+
+
+def x08_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.ann_topk_lsh(spark, emb, _queryset(emb), k=10)
+
+
+def x09_embedding_neardup(spark, sf_dir):
+    return similarity.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.35)
+
+
+# -- text -------------------------------------------------------------------
+
+
+def _long(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+def x10_text_stats(spark, sf_dir):
+    return _long(
+        text.text_stats(_docs(spark, sf_dir)), "n_chars", "n_tokens", "n_distinct_tokens"
+    )
+
+
+def x11_language_id(spark, sf_dir):
+    out = text.language_id(_docs(spark, sf_dir))
+    return _long(out, *[c for c in out.columns if c.startswith("score_")])
+
+
+def x12_token_counts(spark, sf_dir):
+    return _long(text.token_counts(_docs(spark, sf_dir)), "n_chars", "ws_tokens", "bpe_tokens")
+
+
+def x13_fingerprint(spark, sf_dir):
+    # n=3 to share the oracle's shingle prelude (operator default is 5-gram)
+    return _long(text.fingerprint(_docs(spark, sf_dir), n=3), "n_shingles")
+
+
+# -- events -----------------------------------------------------------------
+
+
+def x14_events_tumbling(spark, sf_dir):
+    return events.tumbling(_events(spark, sf_dir), "1 hour")
+
+
+def x15_events_sliding(spark, sf_dir):
+    return events.sliding(_events(spark, sf_dir), "1 hour", "15 minutes")
+
+
+def x16_events_sessions(spark, sf_dir):
+    return _long(events.sessionize(_events(spark, sf_dir)), "session_seq")
+
+
+def x17_events_json(spark, sf_dir):
+    return events.json_props_stats(_events(spark, sf_dir))
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def x18_multimodal_features(spark, sf_dir):
+    """Binary-payload plumbing through mapInPandas (Arrow batches). The
+    deterministic fake feature is oracle-checked via per-char byte math."""
+    feats = multimodal.extract_features(multimodal.attach_payload(_docs(spark, sf_dir)))
+    return feats.select("doc_id", "media_type", "byte_len", "digest")
+
+
+EXT_QUERIES = {
+    "x01_dedup_exact": x01_dedup_exact,
+    "x02_jaccard_pairs": x02_jaccard_pairs,
+    "x03_minhash_signatures": x03_minhash_signatures,
+    "x04_minhash_candidates": x04_minhash_candidates,
+    "x05_simhash": x05_simhash,
+    "x06_simhash_candidates": x06_simhash_candidates,
+    "x07_cosine_topk": x07_cosine_topk,
+    "x08_ann_lsh_topk": x08_ann_lsh_topk,
+    "x09_embedding_neardup": x09_embedding_neardup,
+    "x10_text_stats": x10_text_stats,
+    "x11_language_id": x11_language_id,
+    "x12_token_counts": x12_token_counts,
+    "x13_fingerprint": x13_fingerprint,
+    "x14_events_tumbling": x14_events_tumbling,
+    "x15_events_sliding": x15_events_sliding,
+    "x16_events_sessions": x16_events_sessions,
+    "x17_events_json": x17_events_json,
+    "x18_multimodal_features": x18_multimodal_features,
+}
