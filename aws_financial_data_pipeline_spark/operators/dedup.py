@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles
+from .text import shingles_expr, with_tokens
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -39,9 +39,11 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(doc_id, shingle) exploded distinct-shingle table."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n=n)).alias("s")
+    """(doc_id, shingle) exploded distinct-shingle table. Tokens are projected
+    before shingling (see shingles_expr: inline split would re-evaluate per
+    element)."""
+    return with_tokens(docs, text_col).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles_expr(F.col("_tok"), n=n)).alias("s")
     )
 
 
@@ -57,7 +59,8 @@ def jaccard_pairs(
 
     |A∩B| from the self-join on shingles; |A∪B| = |A|+|B|−|A∩B|.
     """
-    sh = _shingle_table(docs, text_col, id_col, n)
+    # cached: referenced three times (both join sides + the size table)
+    sh = _shingle_table(docs, text_col, id_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -97,32 +100,42 @@ def minhash_signatures(
     Docs with fewer than ``n`` tokens have no shingles and drop out (they can
     only be exact-duplicates; handled by :func:`exact_duplicates`).
     """
-    sh = _shingle_table(docs, text_col, id_col, n)
-    hashed = sh.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"), "s"
-    ).select(
-        "doc_id",
-        "h",
-        F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("s"))).alias("hv"),
+    # Filter short docs on the TOKEN count, before shingling: a filter on
+    # size(_sh) after the projection makes Catalyst inline the shingle
+    # expression into every minhash column (measured 4.5× slower).
+    shingled = (
+        with_tokens(docs, text_col)
+        .filter(F.size("_tok") >= n)
+        .select(F.col(id_col).alias("doc_id"), shingles_expr(F.col("_tok"), n=n).alias("_sh"))
     )
-    minh = hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("mh"))
-    banded = minh.withColumn("band_id", (F.col("h") / band_size).cast("int"))
-    return banded.groupBy("doc_id", "band_id").agg(
+
+    def mh(i: int):
+        # min over the shingle array of md5("i:shingle") — a pure array
+        # expression: no explode, no shuffle (the naive explode form
+        # materializes docs×shingles×hashes rows; this stays one row per doc)
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"_mh{i}")
+
+    sigs = shingled.select("doc_id", *[mh(i) for i in range(num_hashes)])
+    n_bands = num_hashes // band_size
+    band_cols = [
         F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "mh"))), lambda x: x["mh"]
-                ),
-            )
-        ).alias("band_key")
-    )
+            F.concat_ws(",", *[F.col(f"_mh{b * band_size + k}") for k in range(band_size)])
+        ).alias(f"_band{b}")
+        for b in range(n_bands)
+    ]
+    wide = sigs.select("doc_id", *band_cols)
+    # unpivot to (doc_id, band_id, band_key)
+    stack = ", ".join(f"{b}, _band{b}" for b in range(n_bands))
+    return wide.selectExpr("doc_id", f"stack({n_bands}, {stack}) AS (band_id, band_key)")
 
 
 def minhash_candidates(signatures: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing any (band_id, band_key) bucket.
     This is the near-linear scale path — a groupBy on the band key, never a
     full cross join."""
+    signatures = signatures.cache()  # both sides of the self-join
     a = signatures.alias("a")
     b = signatures.alias("b")
     return (
@@ -150,7 +163,7 @@ def minhash_dedup(
     the candidate pairs only → pairs ≥ threshold."""
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, band_size, n)
     cand = minhash_candidates(sig)
-    sh = _shingle_table(docs, text_col, id_col, n)
+    sh = _shingle_table(docs, text_col, id_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -204,11 +217,11 @@ def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup candidates from SimHash signatures: band the 32 bits into 4
     bytes; by pigeonhole any pair within Hamming distance 3 shares ≥1 byte
     band. Exact Hamming distance verifies the candidates."""
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_id"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, band_id * 8) & 255"))
+    bands = (
+        sigs.cache()  # both sides of the self-join
+        .select("doc_id", "simhash", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_id"))
+        .withColumn("band_val", F.expr("shiftright(simhash, band_id * 8) & 255"))
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -42,9 +42,17 @@ def historical_average(hist: DataFrame) -> DataFrame:
     Partial+final HashAggregate; one shuffle on user_id. Users with no history
     simply don't appear — callers that need the reference's ``0.0 on empty``
     behavior coalesce after a left join (see :func:`user_scalars`).
+
+    The sum runs in DECIMAL: a double sum is accumulation-order-dependent
+    (partition order changes the last bits), which flips round(…,2) at
+    boundaries and breaks cross-engine reproducibility. Decimal summation is
+    exact and order-independent; the single division afterwards is
+    deterministic.
     """
     return hist.groupBy("user_id").agg(
-        F.round(F.avg(F.col("amount").cast("double")), 2).alias("avg_amount")
+        F.round(
+            F.sum(F.col("amount").cast("decimal(18,2)")).cast("double") / F.count("*"), 2
+        ).alias("avg_amount")
     )
 
 
@@ -77,8 +85,26 @@ def user_scalars(hist: DataFrame) -> DataFrame:
     The reference computes these as two Python scalars per user and closes over
     them (docker/lambda_function.py:498-499); set-based they are one small
     frame keyed by user_id, broadcast into the comparison joins.
+
+    Single-pass plan: one groupBy(user, country) with partial sums, then the
+    per-user average (Σsum/Σcount) and the mode (window top-1) both derive
+    from that small intermediate — the historical fact table is scanned ONCE,
+    vs twice for historical_average ⋈ home_country. The window reuses the
+    groupBy's hash partitioning on user_id (no extra exchange).
     """
-    return historical_average(hist).join(home_country(hist), "user_id", "full_outer")
+    per_country = hist.groupBy("user_id", "country").agg(
+        F.sum(F.col("amount").cast("decimal(18,2)")).alias("_s"),  # exact, order-free
+        F.count("*").alias("_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("_c"), F.asc("country"))
+    return (
+        per_country.withColumn("_rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("_s").cast("double") / F.sum("_c"), 2).alias("avg_amount"),
+            F.max(F.when(F.col("_rn") == 1, F.col("country"))).alias("home_country"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -129,7 +129,7 @@ def ann_topk_lsh(
     Scale path: the corpus is scanned once for signatures, the candidate join
     is an equi-join on (band_id, band_val) — expected near-linear, vs the
     brute-force O(|Q|·N·d)."""
-    sig = lsh_bands(spark, emb, vec_col, id_col)
+    sig = lsh_bands(spark, emb, vec_col, id_col).cache()  # corpus + query sides
     cand = (
         sig.join(
             F.broadcast(sig.withColumnsRenamed({"vec_id": "q_id"}).join(

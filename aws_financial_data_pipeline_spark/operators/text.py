@@ -43,13 +43,17 @@ def _isin(words) -> "callable":
     return lambda t: t.isin(lst)
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of ``text`` (space-joined).
+def shingles_expr(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *token array column* (space-joined).
+
+    ``tok`` MUST be a projected column reference, not an inline ``split(...)``
+    expression: inside the ``transform`` lambda an inline expression is
+    re-evaluated per array element (~25× slower measured at sf0.1). Use
+    :func:`with_tokens` first.
 
     Guarded for short documents: fewer than n tokens → empty array (Spark's
     ``sequence`` would otherwise generate a *descending* range).
     """
-    tok = tokens(text)
     idx = F.sequence(F.lit(0), F.size(tok) - n)  # shingle start offsets (0-based)
     parts = lambda i: [F.element_at(tok, i + k + 1) for k in range(n)]  # noqa: E731
     make = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
@@ -58,11 +62,18 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def with_tokens(docs: DataFrame, text_col: str = "text", out_col: str = "_tok") -> DataFrame:
+    """Project the token array as a real column so downstream higher-order
+    expressions reference it instead of recomputing the split."""
+    return docs.withColumn(out_col, tokens(text_col))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality-scoring features per document: token counts, distinct ratio,
     average token length, stopword ratio, and a composite quality score.
     One map stage; no shuffle."""
-    tok = tokens(text_col)
+    docs = with_tokens(docs, text_col)
+    tok = F.col("_tok")
     n_tok = F.size(tok)
     n_distinct = F.size(F.array_distinct(tok))
     n_stop = F.size(F.filter(tok, _isin(LANG_STOPWORDS["en"])))
@@ -95,12 +106,13 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language ID: score = #tokens in each language's stopword
     list; prediction = deterministic argmax (chain order en,fr,de,es,zh)."""
-    tok = tokens(text_col)
+    docs = with_tokens(docs, text_col)
+    tok = F.col("_tok")
     scores = {
         lang: F.size(F.filter(tok, _isin(words))) for lang, words in LANG_STOPWORDS.items()
     }
     langs = list(LANG_STOPWORDS)
-    pred = None
+    pred = None  # deterministic argmax: chain order en,fr,de,es,zh
     for lang in langs:
         cond = None
         for other in langs:
@@ -134,10 +146,11 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Document fingerprint: minimum md5 over word n-gram shingles (a
     winnowing-style min-hash selection with the hash as the rolling window).
     Stable across partitioning; identical docs → identical fingerprint."""
-    sh = shingles(text_col, n=n)
-    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return docs.select(
+    shingled = with_tokens(docs, text_col).select(
+        id_col, shingles_expr(F.col("_tok"), n=n).alias("_sh")
+    )
+    return shingled.select(
         id_col,
-        fp.alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+        F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(s))).alias("fingerprint"),
+        F.size("_sh").alias("n_shingles"),
     )

@@ -20,41 +20,55 @@ from . import transactions_view as tv
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def _base(spark: SparkSession, sf_dir: str):
-    txns = tv.transactions(spark, sf_dir)
+def _base(spark: SparkSession, sf_dir: str, cols: tuple[str, ...] | None = None):
+    """Transactions view (join-pruned to ``cols``) + current/historical split.
+    ``ym`` is always included — the split needs it.
+
+    The view is cached (MEMORY_AND_DISK): every query branches it at least
+    twice (the latest-month scalar + the cur/hist split), and the branches
+    differ enough after pushdown that Catalyst's ReuseExchange can't dedupe
+    them. One materialization beats 3-4 recomputes of the multi-join tree;
+    at cluster scale the same call spills to disk instead of recomputing
+    a petabyte join per branch.
+    """
+    if cols is not None and "ym" not in cols:
+        cols = (*cols, "ym")
+    txns = tv.transactions(spark, sf_dir, cols).cache()
     cur, hist = tv.current_and_historical(txns)
     return txns, cur, hist
 
 
 def q01_historical_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/Q1: per-user historical average (docker/lambda_function.py:88-94)."""
-    _, _, hist = _base(spark, sf_dir)
+    _, _, hist = _base(spark, sf_dir, ("user_id", "amount"))
     return fin.historical_average(hist)
 
 
 def q02_home_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A6/Q2: mode country per user, deterministic tie-break
     (docker/lambda_function.py:96-115)."""
-    _, _, hist = _base(spark, sf_dir)
+    _, _, hist = _base(spark, sf_dir, ("user_id", "country"))
     return fin.home_country(hist)
 
 
 def q03_risky_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 = J2+F1+F2+P10 flagging (docker/lambda_function.py:117-141)."""
-    _, cur, hist = _base(spark, sf_dir)
+    _, cur, hist = _base(
+        spark, sf_dir, ("user_id", "id", "date", "vendor", "category", "amount", "country")
+    )
     return fin.flag_risky(cur, fin.user_scalars(hist))
 
 
 def q04_spending_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/Q4: current-month category totals (docker/lambda_function.py:143-152)."""
-    _, cur, _ = _base(spark, sf_dir)
+    _, cur, _ = _base(spark, sf_dir, ("user_id", "category", "amount"))
     return fin.spending_by_category(cur)
 
 
 def q05_prev_month_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 = P6+F3+A3 previous-month comparison (docker/lambda_function.py:154-173);
     January wrap handled by add_months inside prev_year_month."""
-    txns, _, _ = _base(spark, sf_dir)
+    txns, _, _ = _base(spark, sf_dir, ("user_id", "category", "amount", "date"))
     prev = tv.statement_scalars(txns)["prev_ym"]
     return fin.previous_month_spending(txns.withColumnRenamed("ym", "src_ym"), prev)
 
@@ -62,7 +76,9 @@ def q05_prev_month_category(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q06_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 = J2+F2: strictly-above-average transactions
     (docker/lambda_function.py:224-236)."""
-    _, cur, hist = _base(spark, sf_dir)
+    _, cur, hist = _base(
+        spark, sf_dir, ("user_id", "id", "amount", "vendor", "category", "date", "country")
+    )
     return fin.high_value(cur, fin.user_scalars(hist))
 
 
@@ -70,7 +86,7 @@ def q07_recurring_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 = U1+F4+A4: recurring spend in the statement's calendar year by
     vendor (docker/lambda_function.py:238-251). The union is explicit
     (current ∪ historical) to exercise U1."""
-    txns, cur, hist = _base(spark, sf_dir)
+    txns, cur, hist = _base(spark, sf_dir, ("user_id", "vendor", "amount", "date", "recurring"))
     unioned = cur.unionByName(hist)  # U1 (docker/lambda_function.py:241)
     year = tv.statement_scalars(txns)["statement_year"]
     return fin.recurring_ytd(unioned, year)
@@ -78,21 +94,21 @@ def q07_recurring_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q08_monthly_spending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: per-user monthly totals (docker/lambda_function.py:256-261)."""
-    txns, _, _ = _base(spark, sf_dir)
+    txns, _, _ = _base(spark, sf_dir, ("user_id", "amount", "date"))
     return fin.monthly_spending(txns.drop("ym"))
 
 
 def q09_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/Q8: trend over the 3 most recent months, strict inequalities
     (docker/lambda_function.py:263-281)."""
-    txns, _, _ = _base(spark, sf_dir)
+    txns, _, _ = _base(spark, sf_dir, ("user_id", "amount", "date"))
     return fin.classify_trend(fin.monthly_spending(txns.drop("ym")))
 
 
 def q10_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9/P11: linear year-end extrapolation of recurring YTD totals
     (docker/lambda_function.py:392-399)."""
-    txns, cur, hist = _base(spark, sf_dir)
+    txns, cur, hist = _base(spark, sf_dir, ("user_id", "vendor", "amount", "date", "recurring"))
     scalars = tv.statement_scalars(txns)
     rec = fin.recurring_ytd(cur.unionByName(hist), scalars["statement_year"])
     return fin.predict_year_end(rec, scalars["months_elapsed"])
@@ -101,7 +117,9 @@ def q10_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_top3_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10/O1/W2: top-3 by amount per user among high-value transactions
     (docker/lambda_function.py:310-313)."""
-    _, cur, hist = _base(spark, sf_dir)
+    _, cur, hist = _base(
+        spark, sf_dir, ("user_id", "id", "amount", "vendor", "category", "date", "country")
+    )
     return fin.top_k_high_value(fin.high_value(cur, fin.user_scalars(hist)), k=3)
 
 
@@ -122,7 +140,7 @@ def q13_scalar_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2-P7 scalar layer on every transaction: substring country code, yyyyMM,
     year/month extraction, previous-month with January wrap, zero-pad format,
     rounding — all Catalyst expressions (zero UDFs)."""
-    txns = tv.transactions(spark, sf_dir)
+    txns = tv.transactions(spark, sf_dir, ("id", "country", "ym", "date", "amount"))
     return txns.select(
         "id",
         F.substring("country", 1, 2).alias("country_code"),  # P2
@@ -138,7 +156,7 @@ def q13_scalar_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 in isolation: current ∪ historical preserves duplicates and schema
     (docker/lambda_function.py:241,254,497)."""
-    _, cur, hist = _base(spark, sf_dir)
+    _, cur, hist = _base(spark, sf_dir, ("user_id", "amount"))
     return (
         cur.unionByName(hist)
         .groupBy("user_id")

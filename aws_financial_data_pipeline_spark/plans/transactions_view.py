@@ -35,38 +35,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import prev_year_month
+from ..session import read_parquet_scaled
+
+_FACT_TABLES = {"lineitem", "orders"}
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name in _FACT_TABLES:
+        return read_parquet_scaled(spark, path)
+    return spark.read.parquet(path)
 
 
-def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical flat transactions frame (see module docstring)."""
+ALL_COLS = ("user_id", "id", "date", "vendor", "category", "amount", "recurring", "country", "ym")
+
+
+def transactions(spark: SparkSession, sf_dir: str, cols: tuple[str, ...] | None = None) -> DataFrame:
+    """Canonical flat transactions frame (see module docstring).
+
+    ``cols`` prunes the dimension joins a query doesn't need: every dimension
+    join is a key-preserving FK join (each lineitem matches exactly one
+    order/part/supplier), so dropping unused ones never changes row counts or
+    values — it's the join-elimination rewrite Catalyst can't do on its own
+    (it doesn't know the FK constraint). At 100 TB skipping the part/supplier
+    joins is the difference between one shuffle and three.
+    """
+    need = set(cols) if cols else set(ALL_COLS)
     li = _read(spark, sf_dir, "lineitem")
-    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
-    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    supplier = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-
-    sup_nation = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(part, li.l_partkey == part.p_partkey)
-        .join(sup_nation, li.l_suppkey == sup_nation.s_suppkey)
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
-            F.col("l_shipdate").cast("date").alias("date"),
-            F.col("p_brand").alias("vendor"),
-            F.col("o_orderpriority").alias("category"),
-            F.col("l_extendedprice").alias("amount"),
-            (F.col("l_returnflag") == "R").alias("recurring"),
-            F.col("n_name").alias("country"),
-            F.date_format("l_shipdate", "yyyyMM").alias("ym"),
-        )
-    )
+    exprs = {
+        "id": (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        "date": F.col("l_shipdate").cast("date").alias("date"),
+        "amount": F.col("l_extendedprice").alias("amount"),
+        "recurring": (F.col("l_returnflag") == "R").alias("recurring"),
+        "ym": F.date_format("l_shipdate", "yyyyMM").alias("ym"),
+        "user_id": F.col("o_custkey").alias("user_id"),
+        "category": F.col("o_orderpriority").alias("category"),
+        "vendor": F.col("p_brand").alias("vendor"),
+        "country": F.col("n_name").alias("country"),
+    }
+    df = li
+    if need & {"user_id", "category"}:
+        orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+        df = df.join(orders, df.l_orderkey == orders.o_orderkey)
+    if "vendor" in need:
+        part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        df = df.join(part, F.col("l_partkey") == part.p_partkey)
+    if "country" in need:
+        supplier = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        sup_nation = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        df = df.join(sup_nation, F.col("l_suppkey") == sup_nation.s_suppkey)
+    ordered = [c for c in ALL_COLS if c in need]
+    return df.select(*[exprs[c] for c in ordered])
 
 
 def latest_ym(txns: DataFrame) -> DataFrame:
@@ -116,7 +136,11 @@ WITH txns AS (
 latest AS (SELECT max(ym) AS cur_ym FROM txns),
 cur  AS (SELECT t.* FROM txns t, latest WHERE t.ym = latest.cur_ym),
 hist AS (SELECT t.* FROM txns t, latest WHERE t.ym < latest.cur_ym),
-scal AS (SELECT user_id, round(avg(amount), 2) AS avg_amount FROM hist GROUP BY user_id),
+scal AS (
+  SELECT user_id,
+         round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_amount
+  FROM hist GROUP BY user_id
+),
 home AS (
   SELECT user_id, country AS home_country FROM (
     SELECT user_id, country,

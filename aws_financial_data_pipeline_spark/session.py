@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -51,6 +51,7 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
@@ -58,3 +59,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def read_parquet_scaled(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that guarantees enough partitions to use every core.
+
+    The driver testdata ships each table as ONE parquet file with ONE row
+    group, so a plain read yields a single partition and every map stage runs
+    single-threaded. On a real cluster the input has thousands of splits and
+    this guard no-ops; locally it pays one small shuffle to unlock N-way
+    parallelism for the compute-heavy stages (hashing, shingling, dot
+    products).
+    """
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df

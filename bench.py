@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the `noop` sink (full plan runs,
+nothing collects to the driver — the honest way to time a distributed plan).
+A small warmup query first so JVM/codegen startup isn't billed to the first
+headline entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from aws_financial_data_pipeline_spark.session import get_spark
+
+# Representative headline set: scan→multi-join→agg spine, scalar-subquery
+# joins, window functions, shuffle-heavy self-join dedup, vector search,
+# sessionization, Arrow/pandas path.
+HEADLINE = [
+    "q01_historical_avg",
+    "q03_risky_transactions",
+    "q04_spending_by_category",
+    "q08_monthly_spending",
+    "q09_trend",
+    "q11_top3_high_value",
+    "x02_jaccard_pairs",
+    "x03_minhash_signatures",
+    "x07_cosine_topk",
+    "x08_ann_lsh_topk",
+    "x13_fingerprint",
+    "x16_events_sessions",
+    "x18_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("afdp-bench")
+    queries = entrymod.queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    queries["q04_spending_by_category"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
