@@ -87,7 +87,7 @@ def lsh_bands(
     id_col: str = "vec_id",
     num_planes: int = NUM_PLANES,
     band_size: int = 4,
-    dim: int = DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Banded random-hyperplane LSH signature: bit_j = (v·w_j > 0); the
     ``num_planes`` bits are grouped into bands of ``band_size`` and each band
@@ -98,6 +98,11 @@ def lsh_bands(
     frame is tiny → broadcast; the signature is a map-side pass, the only
     shuffle is the groupBy on (vec_id) here and the band-join later.
     """
+    if dim is None:
+        # one metadata-sized driver lookup; a mismatched hard-coded dim would
+        # silently null out every signature (zip_with pads with nulls)
+        first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first else DIM
     planes = spark.createDataFrame(
         [(j, [_plane_weight(j, i) for i in range(dim)]) for j in range(num_planes)],
         "j int, w array<double>",

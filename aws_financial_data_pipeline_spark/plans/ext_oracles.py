@@ -286,4 +286,12 @@ EXT_ORACLES: dict[str, str] = {
            md5(text) AS digest
     FROM documents
     """,
+    # Streaming twin of x14: a bounded availableNow replay of the same
+    # windowed aggregation must equal the batch result, so it shares the
+    # batch oracle verbatim.
+    "x19_stream_tumbling": """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
 }

@@ -133,6 +133,40 @@ def x17_events_json(spark, sf_dir):
     return events.json_props_stats(_events(spark, sf_dir))
 
 
+def x19_stream_tumbling(spark, sf_dir):
+    """Streaming twin of x14: the SAME tumbling-window expressions run as a
+    Structured Streaming job (file source → watermark → windowed agg → memory
+    sink, availableNow replay). A full replay must equal the batch result, so
+    this entry shares x14's DuckDB oracle — a real correctness gate on the
+    streaming path.
+
+    The watermark is generous (365 days) because a bounded replay should drop
+    nothing; late-data *dropping* is exercised in tests/test_streaming.py where
+    batch boundaries are controlled."""
+    from ..streaming.windows import tumbling_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a DIRECTORY; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    out = tumbling_stream(stream, "1 hour", watermark="365 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("x19_stream_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("x19_stream_tumbling")
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -162,4 +196,5 @@ EXT_QUERIES = {
     "x16_events_sessions": x16_events_sessions,
     "x17_events_json": x17_events_json,
     "x18_multimodal_features": x18_multimodal_features,
+    "x19_stream_tumbling": x19_stream_tumbling,
 }

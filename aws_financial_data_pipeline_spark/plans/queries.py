@@ -164,6 +164,29 @@ def q14_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_report_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (docker/lambda_function.py:511-521): the full nested report document
+    per user — map/array/struct sections assembled set-based for ALL users in
+    one job. Maps/arrays are sorted for bit-stable output. Rows-only driver
+    check (nested maps aren't hash-comparable through the SQL oracle); values
+    are golden-tested in tests/test_report.py."""
+    from . import report as rpt
+
+    txns, cur, hist = _base(spark, sf_dir)
+    year = tv.statement_scalars(txns)["statement_year"]
+    return rpt.assemble_report(cur, hist, year)
+
+
+def q16_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (docker/lambda_function.py:524-526): report documents serialized to
+    one JSON string per user via to_json — the engine-side sink format."""
+    from . import report as rpt
+
+    txns, cur, hist = _base(spark, sf_dir)
+    year = tv.statement_scalars(txns)["statement_year"]
+    return rpt.report_json(rpt.assemble_report(cur, hist, year))
+
+
 FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q01_historical_avg": q01_historical_avg,
     "q02_home_country": q02_home_country,
@@ -179,4 +202,6 @@ FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q12_statement_roundtrip": q12_statement_roundtrip,
     "q13_scalar_projections": q13_scalar_projections,
     "q14_union_all": q14_union_all,
+    "q15_report_document": q15_report_document,
+    "q16_report_json": q16_report_json,
 }

@@ -1,0 +1,103 @@
+"""Report document assembly (SURVEY §2.11 Q12, §1.1 report shape).
+
+The reference builds one nested report dict per (user, statement-month) from
+the Q3–Q10 results (``docker/lambda_function.py:511-521``) and serializes it to
+JSON (``:524-526``). Set-based: each section is a grouped aggregate over the
+section query's output, assembled with ``map_from_entries`` /
+``collect_list(struct(...))`` and joined on ``user_id`` — one job for ALL
+users, replacing the reference's per-user Python loop.
+
+Determinism: every array section is sorted (``array_sort`` on structs whose
+first field is the sort key) and every map is built from sorted entries, so
+the document is bit-stable across partitionings — required for golden-file
+tests and exactly-once re-runs.
+
+Field names use the corrected spellings (reference misspells
+``avarage_amount``/``home_counter``/``categoty`` at
+``docker/lambda_function.py:133,136,137`` — documented deviation, SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import financial as fin
+
+
+def _map_section(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """(user_id, key, val) → (user_id, out: map<key,val>) with sorted entries."""
+    return df.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col(key), F.col(val))))
+        ).alias(out)
+    )
+
+
+def _array_section(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """(user_id, *cols) → (user_id, out: array<struct>) sorted by cols[0]."""
+    return df.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct(*[F.col(c) for c in cols]))).alias(out)
+    )
+
+
+def assemble_report(cur: DataFrame, hist: DataFrame, statement_year) -> DataFrame:
+    """One nested report row per user for the statement month
+    (docker/lambda_function.py:511-521):
+
+    ``SpendingByCategory``, ``FlaggedTransactions``, ``HighValueTransaction``,
+    ``RecurringTransactionsYearToDate``,
+    ``MonthlySpending_Trend = {MonthlySpending, Trend}``.
+
+    ``cur``/``hist`` are flat transaction frames (current statement month /
+    everything earlier). The per-user scalar frame is computed once and feeds
+    both the flagging and high-value joins.
+    """
+    scalars = fin.user_scalars(hist)
+    sections = [
+        _map_section(fin.spending_by_category(cur), "category", "total", "SpendingByCategory"),
+        _array_section(
+            fin.flag_risky(cur, scalars),
+            [
+                "transaction_id", "amount", "average_amount", "location",
+                "risk_level", "home_country", "category", "vendor", "date",
+            ],
+            "FlaggedTransactions",
+        ),
+        _array_section(
+            fin.high_value(cur, scalars),
+            ["transaction_id", "amount", "vendor", "category", "date", "location"],
+            "HighValueTransaction",
+        ),
+        _map_section(
+            fin.recurring_ytd(cur.unionByName(hist), statement_year),
+            "vendor", "total", "RecurringTransactionsYearToDate",
+        ),
+        _map_section(
+            fin.monthly_spending(cur.unionByName(hist)),
+            "year_month", "total", "MonthlySpending",
+        ),
+        fin.classify_trend(fin.monthly_spending(cur.unionByName(hist))).select(
+            "user_id", F.col("trend").alias("Trend")
+        ),
+    ]
+    # All users that appear in the current statement get a report (the
+    # reference iterates current-statement groups, docker/lambda_function.py:495).
+    doc = cur.select("user_id").distinct()
+    for s in sections:
+        doc = doc.join(s, "user_id", "left")
+    return doc.select(
+        "user_id",
+        "SpendingByCategory",
+        F.coalesce("FlaggedTransactions", F.array()).alias("FlaggedTransactions"),
+        F.coalesce("HighValueTransaction", F.array()).alias("HighValueTransaction"),
+        "RecurringTransactionsYearToDate",
+        F.struct(F.col("MonthlySpending"), F.col("Trend")).alias("MonthlySpending_Trend"),
+    )
+
+
+def report_json(report: DataFrame) -> DataFrame:
+    """S7 (docker/lambda_function.py:524-526): one JSON document per user."""
+    return report.select(
+        "user_id", F.to_json(F.struct(*[c for c in report.columns if c != "user_id"])).alias("report")
+    )

@@ -1,0 +1,1 @@
+"""Sources & sinks: statement CSV ingest (S1/S2), keyed history store (S4/S5)."""

@@ -1,0 +1,69 @@
+"""Keyed history store (SURVEY §2.1 S4/S5): the DynamoDB replacement.
+
+The reference keeps per-user history in DynamoDB — partition key ``UserId``,
+sort key ``YearMonth``, whole-item ``put_item`` upserts
+(``docker/lambda_function.py:37-56,544-545``). The Spark-native equivalent is a
+parquet table partitioned by the same keys:
+
+- point lookup by user  →  partition pruning (``PartitionFilters`` in the scan,
+  no data files outside the user's directories are opened);
+- ``put_item`` upsert   →  dynamic partition overwrite (only the partitions
+  present in the write are replaced — exactly the reference's whole-item
+  replacement unit, since it always writes complete ``(UserId, YearMonth)``
+  items).
+
+Scale posture (100 TB): hive-style partitioning on a high-cardinality user key
+produces millions of small directories. At that scale the right physical
+layout is partition by ``year_month`` only + bucket/cluster files by
+``user_id`` inside each partition with a lakehouse table format (Delta/Iceberg
+``MERGE INTO``) for sub-partition upserts. Neither format ships in this
+container, so the store keeps the reference's exact key-granularity with
+vanilla parquet and exposes ``partition_cols`` for the coarser layout; the
+upsert contract (replace whole key) is identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.nesting import flatten_statements, nest_statements
+
+PARTITION_COLS = ("user_id", "year_month")
+
+
+class HistoryStore:
+    """Flat transactions at rest, partitioned ``(user_id, year_month)``."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_cols=PARTITION_COLS):
+        self.spark = spark
+        self.path = path
+        self.partition_cols = list(partition_cols)
+
+    # -- S5: keyed upsert ---------------------------------------------------
+    def upsert(self, txns: DataFrame) -> None:
+        """put_item semantics (docker/lambda_function.py:544-545): every
+        ``(user_id, year_month)`` present in ``txns`` is replaced wholesale;
+        all other partitions untouched. Requires
+        ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
+        session.py)."""
+        txns.write.partitionBy(*self.partition_cols).mode("overwrite").parquet(self.path)
+
+    # -- S4: keyed read (partition pruning = DynamoDB key query) ------------
+    def read(self, user_id: str | None = None) -> DataFrame:
+        """All history, or one user's (docker/lambda_function.py:37-56). The
+        user filter hits partition pruning: check ``PartitionFilters`` in
+        ``.explain`` — only that user's directories are listed/read."""
+        df = self.spark.read.parquet(self.path)
+        if user_id is not None:
+            df = df.filter(F.col("user_id") == user_id)
+        return df
+
+    def read_documents(self, user_id: str | None = None) -> DataFrame:
+        """Nested DynamoDB-item view (docker/lambda_function.py:468-474)."""
+        return nest_statements(self.read(user_id))
+
+    @staticmethod
+    def flatten(nested: DataFrame) -> DataFrame:
+        """S4 flatten of the nested item shape (docker/lambda_function.py:47-48)."""
+        return flatten_statements(nested)

@@ -1,0 +1,106 @@
+"""Statement CSV ingest (SURVEY §2.1 S1/S2, §2.2 P1).
+
+The reference parses the statement CSV row-at-a-time into dicts — twice per
+file (``docker/lambda_function.py:58-86`` and ``:441-481``). Here it is ONE
+schema-on-read scan with a typed projection; callers that need both the flat
+and the nested shape branch the same DataFrame (fixes the double parse,
+SURVEY §4.2 "scan sharing").
+
+Parse semantics preserved:
+- header row with dotted column names (``transactions.amount``, see the
+  reference fixture header ``test_data/user_1_new_statement202412.csv:1``);
+- UTF-8 with optional BOM (``encoding="utf-8-sig"``,
+  ``docker/lambda_function.py:61``) — Spark's univocity reader strips the BOM
+  when a header row is present;
+- ``recurring`` parsed as ``lower(s) == "true"`` (``docker/lambda_function.py:73``);
+- ``amount`` ingested as ``decimal(12,2)`` (``Decimal(...)``,
+  ``docker/lambda_function.py:71``);
+- malformed rows: the reference swallows ALL exceptions and returns partial
+  data (``docker/lambda_function.py:84-85``); we use PERMISSIVE mode with a
+  ``_corrupt_record`` column instead — visible, not silent (documented
+  deviation, SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import country_code
+from ..operators.nesting import nest_statements
+from ..schema import CSV_SCHEMA, country_dim
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_statement_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: raw statement CSV → typed flat transactions frame.
+
+    One scan, explicit schema (no inferSchema — a second pass at scale),
+    PERMISSIVE mode. Returns the engine-canonical flat layout
+    (user_id, year_month, id, date, vendor, category, amount, currency,
+    recurring, type, location, description).
+    """
+    import copy
+
+    schema = copy.deepcopy(CSV_SCHEMA).add(CORRUPT_COL, "string", True)
+    raw = (
+        spark.read.option("header", True)
+        .option("encoding", "UTF-8")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(schema)
+        .csv(path)
+    )
+    c = lambda n: F.col(f"`{n}`")  # noqa: E731  (dotted raw names need backticks)
+    return raw.filter(F.col(CORRUPT_COL).isNull()).select(
+        F.col("UserId").alias("user_id"),
+        F.col("YearMonth").alias("year_month"),
+        c("transactions.id").alias("id"),
+        F.to_date(c("transactions.date"), "yyyy-MM-dd").alias("date"),
+        c("transactions.vendor").alias("vendor"),
+        c("transactions.category").alias("category"),
+        c("transactions.amount").cast("decimal(12,2)").alias("amount"),
+        c("transactions.currency").alias("currency"),
+        (F.lower(c("transactions.recurring")) == "true").alias("recurring"),
+        c("transactions.type").alias("type"),
+        c("transactions.location").alias("location"),
+        c("transactions.description").alias("description"),
+    )
+
+
+def corrupt_records(spark: SparkSession, path: str) -> DataFrame:
+    """The rows the reference would silently drop (docker/lambda_function.py:84-85)."""
+    import copy
+
+    schema = copy.deepcopy(CSV_SCHEMA).add(CORRUPT_COL, "string", True)
+    raw = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(schema)
+        .csv(path)
+    )
+    return raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+
+
+def with_country(txns: DataFrame, spark: SparkSession) -> DataFrame:
+    """J1/P8: resolve ``location`` ("CC-RR") to a country name via a broadcast
+    join against the tiny ISO-3166 dimension — the set-based form of the
+    reference's per-row pycountry lookup (docker/lambda_function.py:101,121).
+
+    Left join + coalesce(code): unknown codes keep the raw code instead of
+    crashing (reference crashes — documented deviation, SURVEY §2.12).
+    """
+    dim = country_dim(spark)
+    return (
+        txns.join(F.broadcast(dim), country_code("location") == dim.alpha2, "left")
+        .withColumn("country", F.coalesce("country_name", country_code("location")))
+        .drop("alpha2", "country_name")
+    )
+
+
+def statement_documents(txns: DataFrame) -> DataFrame:
+    """S2: nested statement documents ``(user_id, year_month, transactions[])``
+    — the DynamoDB item shape (docker/lambda_function.py:462-474) via A7."""
+    return nest_statements(txns)

@@ -1,0 +1,2 @@
+"""Structured Streaming surface: file-source statement ingest (S3/S8) and
+watermarked event-time windows (streaming twins of operators.events)."""

@@ -1,0 +1,103 @@
+"""Event-driven statement ingestion (SURVEY §2.1 S3/S8, §3 entry point 1).
+
+The reference's trigger model — one S3 ``ObjectCreated`` event per uploaded
+CSV, process fully, delete the source (``docker/lambda_function.py:483-491,548``)
+— is exactly a Structured Streaming **file source** with per-batch processing:
+
+    readStream(csv dir) → foreachBatch(pipeline) → checkpointed progress
+                                                    + cleanSource=delete
+
+Idempotency: the history upsert is a dynamic partition overwrite (whole
+``(user_id, year_month)`` partitions), so re-processing a batch after a crash
+rewrites the same partitions with the same content — effectively-once, the
+property the reference gets from DynamoDB put_item being a full-item PUT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schema import CSV_SCHEMA
+from ..sources.history import HistoryStore
+from ..sources.statements import CORRUPT_COL
+
+
+def statement_stream(spark: SparkSession, in_dir: str, clean_source: str = "delete") -> DataFrame:
+    """S3: unbounded frame of statement rows from CSVs landing in ``in_dir``.
+
+    ``cleanSource=delete`` is S8 (the reference's ``delete_object``,
+    docker/lambda_function.py:548); use ``"archive"`` + ``sourceArchiveDir``
+    to keep originals. ``maxFilesPerTrigger=1`` mirrors the reference's
+    one-file-per-invocation model.
+    """
+    import copy
+
+    schema = copy.deepcopy(CSV_SCHEMA).add(CORRUPT_COL, "string", True)
+    return (
+        spark.readStream.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("cleanSource", clean_source)
+        .option("maxFilesPerTrigger", 1)
+        .schema(schema)
+        .csv(in_dir)
+    )
+
+
+def _typed(raw: DataFrame) -> DataFrame:
+    """Same typed projection as sources.statements.read_statement_csv (kept as
+    an expression so it applies to the streaming frame unchanged)."""
+    c = lambda n: F.col(f"`{n}`")  # noqa: E731
+    return raw.filter(F.col(CORRUPT_COL).isNull()).select(
+        F.col("UserId").alias("user_id"),
+        F.col("YearMonth").alias("year_month"),
+        c("transactions.id").alias("id"),
+        F.to_date(c("transactions.date"), "yyyy-MM-dd").alias("date"),
+        c("transactions.vendor").alias("vendor"),
+        c("transactions.category").alias("category"),
+        c("transactions.amount").cast("decimal(12,2)").alias("amount"),
+        c("transactions.currency").alias("currency"),
+        (F.lower(c("transactions.recurring")) == "true").alias("recurring"),
+        c("transactions.type").alias("type"),
+        c("transactions.location").alias("location"),
+        c("transactions.description").alias("description"),
+    )
+
+
+def run_statement_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    history_path: str,
+    checkpoint_dir: str,
+    batch_hook: Callable[[DataFrame, int], None] | None = None,
+    available_now: bool = True,
+    clean_source: str = "delete",
+) -> StreamingQuery:
+    """S3+S8+Q11 end-to-end: ingest statement CSVs, upsert the history store.
+
+    ``batch_hook(typed_batch_df, batch_id)`` runs after the upsert — the seam
+    where the report pipeline (plans.report) attaches, mirroring the
+    reference's per-invocation report generation without coupling ingest to
+    reporting. ``available_now=True`` drains everything currently in the
+    directory then stops (test/backfill mode); ``False`` runs continuously.
+    """
+    store = HistoryStore(spark, history_path)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        typed = _typed(batch)
+        store.upsert(typed)
+        if batch_hook is not None:
+            batch_hook(typed, batch_id)
+
+    writer = (
+        statement_stream(spark, in_dir, clean_source)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,79 @@
+"""Watermarked event-time windows — streaming twins of
+:mod:`..operators.events` (SURVEY §2.9: extension beyond the reference, which
+has no windowed analytics).
+
+Each builder takes an unbounded DataFrame (``spark.readStream...``) and returns
+the transformed streaming frame; callers attach the sink/trigger. The window
+expressions are IDENTICAL to the batch forms, so a full replay through
+``trigger(availableNow=True)`` must equal the batch result — that equivalence
+is the correctness oracle (tested in tests/test_streaming.py and exposed as a
+``queries()`` entry that shares the batch oracle SQL).
+
+Late data: rows older than ``watermark`` behind the max event time seen are
+dropped once state for their window is evicted — the knob the reference lacks
+(its late rows silently merge on the next run, SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _finish(grouped: DataFrame) -> DataFrame:
+    return grouped.agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    ).select(
+        F.date_format("w.start", TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def tumbling_stream(events: DataFrame, duration: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    """Tumbling windows per event_type with a watermark. State per open window
+    is O(groups), evicted at watermark — bounded memory on an unbounded
+    stream."""
+    return _finish(
+        events.withWatermark("ts", watermark).groupBy(
+            F.window("ts", duration).alias("w"), "event_type"
+        )
+    )
+
+
+def sliding_stream(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    return _finish(
+        events.withWatermark("ts", watermark).groupBy(
+            F.window("ts", duration, slide).alias("w"), "event_type"
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Native streaming sessionization: ``session_window`` merges events within
+    ``gap`` into one growing window per (user, session) — the stateful
+    equivalent of the batch lag+running-sum form (operators/events.py
+    sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            F.date_format("w.end", TS_FMT).alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )

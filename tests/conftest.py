@@ -1,0 +1,86 @@
+"""Shared fixtures: one SparkSession per test run + canonical fixture frames.
+
+The fixture data is OUR OWN (schema per FIXTURES.md §1, values crafted to hit
+every SURVEY §2.12 edge case) — hand-computed expectations live next to the
+assertions in each test module.
+"""
+
+from __future__ import annotations
+
+import sys
+from datetime import date
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from aws_financial_data_pipeline_spark.session import get_spark  # noqa: E402
+
+TXN_COLS = "user_id string, id string, date date, vendor string, category string, amount double, recurring boolean, country string"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("afdp-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+def _d(s: str) -> date:
+    return date.fromisoformat(s)
+
+
+@pytest.fixture(scope="session")
+def hist_txns(spark):
+    """Historical transactions (months < 202412).
+
+    u1: home United States (2 US vs 1 France), avg = (100+50+30)/3 = 60.0
+    u2: NO history (empty-history semantics: avg→0, home→NULL)
+    u3: tied mode (2 Canada, 2 United States) → tie-break asc → Canada; avg 25.0
+    plus a 2023 recurring row for u1 (excluded from 2024 YTD).
+    """
+    rows = [
+        ("1", "h11", _d("2024-10-05"), "VendA", "Groceries", 100.0, True, "United States"),
+        ("1", "h12", _d("2024-10-15"), "VendB", "Shopping", 50.0, False, "United States"),
+        ("1", "h13", _d("2024-11-10"), "VendA", "Groceries", 30.0, True, "France"),
+        ("1", "h10", _d("2023-12-20"), "VendA", "Groceries", 999.0, True, "United States"),
+        ("3", "h31", _d("2024-10-01"), "VendA", "Dining", 10.0, False, "Canada"),
+        ("3", "h32", _d("2024-10-02"), "VendB", "Dining", 20.0, False, "United States"),
+        ("3", "h33", _d("2024-11-01"), "VendA", "Dining", 30.0, False, "Canada"),
+        ("3", "h34", _d("2024-11-02"), "VendB", "Dining", 40.0, False, "United States"),
+    ]
+    return spark.createDataFrame(rows, TXN_COLS)
+
+
+@pytest.fixture(scope="session")
+def hist_2024(hist_txns):
+    """History restricted to 2024 — the per-user scalar inputs used by most
+    financial tests (the 2023 row only matters for the YTD year filter)."""
+    from pyspark.sql import functions as F
+
+    return hist_txns.filter(F.year("date") == 2024)
+
+
+@pytest.fixture(scope="session")
+def cur_txns(spark):
+    """Current statement month (202412)."""
+    rows = [
+        ("1", "t11", _d("2024-12-01"), "VendC", "Dining", 70.0, True, "France"),
+        ("1", "t12", _d("2024-12-02"), "VendB", "Groceries", 55.0, False, "United States"),
+        ("1", "t13", _d("2024-12-03"), "VendC", "Dining", 60.0, False, "France"),
+        ("2", "t21", _d("2024-12-05"), "VendA", "Travel", 5.0, False, "Canada"),
+        ("3", "t31", _d("2024-12-06"), "VendA", "Dining", 10.0, False, "Canada"),
+        ("3", "t32", _d("2024-12-07"), "VendB", "Dining", 30.0, False, "United States"),
+    ]
+    return spark.createDataFrame(rows, TXN_COLS)
+
+
+def rows_by_key(df, *key_cols):
+    """collect() into {key_tuple: row_dict} for order-free assertions."""
+    out = {}
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        k = tuple(d[c] for c in key_cols)
+        assert k not in out, f"duplicate key {k}"
+        out[k] = d
+    return out

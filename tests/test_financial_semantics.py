@@ -1,0 +1,148 @@
+"""SURVEY §2.12 semantic fine print, hand-computed on our own fixtures:
+per-transaction averages, empty-history propagation, strict inequalities,
+mode tie-break, pre-sum rounding, January wrap, trend classification.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.functions.scalar import prev_year_month
+from aws_financial_data_pipeline_spark.operators import financial as fin
+from conftest import TXN_COLS, rows_by_key
+
+
+def test_historical_average_per_transaction(hist_2024):
+    got = rows_by_key(fin.historical_average(hist_2024), "user_id")
+    assert got[("1",)]["avg_amount"] == 60.0  # (100+50+30)/3, NOT per-month
+    assert got[("3",)]["avg_amount"] == 25.0
+    assert ("2",) not in got  # no history → no row (0.0 injected at join time)
+
+
+def test_home_country_mode_and_tiebreak(hist_2024):
+    got = rows_by_key(fin.home_country(hist_2024), "user_id")
+    assert got[("1",)]["home_country"] == "United States"  # 2 US vs 1 FR
+    assert got[("3",)]["home_country"] == "Canada"  # 2-2 tie → name asc
+
+
+def test_user_scalars_single_pass_equals_separate(hist_2024):
+    scalars = rows_by_key(fin.user_scalars(hist_2024), "user_id")
+    assert scalars[("1",)] == {"user_id": "1", "avg_amount": 60.0, "home_country": "United States"}
+    assert scalars[("3",)] == {"user_id": "3", "avg_amount": 25.0, "home_country": "Canada"}
+
+
+def test_flag_risky_abroad_and_strictness(cur_txns, hist_2024):
+    got = rows_by_key(fin.flag_risky(cur_txns, fin.user_scalars(hist_2024)), "transaction_id")
+    # u1 home=US avg=60: t11 France 70>60 → High; t13 France 60==60 NOT > → Moderate
+    assert got[("t11",)]["risk_level"] == "High Risk"
+    assert got[("t13",)]["risk_level"] == "Moderate Risk"
+    assert ("t12",) not in got  # home country → never flagged
+    # u2 no history: home NULL → abroad; avg 0 → any positive amount High
+    assert got[("t21",)]["risk_level"] == "High Risk"
+    assert got[("t21",)]["average_amount"] == 0.0
+    assert got[("t21",)]["home_country"] is None
+    # u3: t31 Canada==home not flagged; t32 US abroad 30>25 High
+    assert ("t31",) not in got
+    assert got[("t32",)]["risk_level"] == "High Risk"
+    assert set(got) == {("t11",), ("t13",), ("t21",), ("t32",)}
+
+
+def test_high_value_strictly_above(cur_txns, hist_2024):
+    got = rows_by_key(fin.high_value(cur_txns, fin.user_scalars(hist_2024)), "transaction_id")
+    # u1: 70>60 in; 55<60 out; 60==60 out (strict). u2: 5>0 in. u3: 30>25 in; 10<25 out.
+    assert set(got) == {("t11",), ("t21",), ("t32",)}
+
+
+def test_top_k_high_value(spark):
+    rows = [("1", f"t{i}", date(2024, 12, i), "V", "C", float(i), False, "US") for i in range(1, 7)]
+    hv = spark.createDataFrame(rows, TXN_COLS).select(
+        "user_id", F.col("id").alias("transaction_id"), "amount", "vendor", "category", "date"
+    )
+    got = rows_by_key(fin.top_k_high_value(hv, k=3), "transaction_id")
+    assert set(got) == {("t6",), ("t5",), ("t4",)}
+
+
+def test_spending_by_category_rounds_before_sum(spark):
+    rows = [
+        ("1", "a1", date(2024, 12, 1), "V", "Groceries", 10.004, False, "US"),
+        ("1", "a2", date(2024, 12, 2), "V", "Groceries", 10.004, False, "US"),
+    ]
+    cur = spark.createDataFrame(rows, TXN_COLS)
+    got = rows_by_key(fin.spending_by_category(cur), "user_id", "category")
+    # round2 each (→10.0) THEN sum = 20.0; sum-then-round would give 20.01
+    assert got[("1", "Groceries")]["total"] == 20.0
+
+
+def test_spending_by_category_values(cur_txns):
+    got = rows_by_key(fin.spending_by_category(cur_txns), "user_id", "category")
+    assert got[("1", "Dining")]["total"] == 130.0  # 70 + 60
+    assert got[("1", "Groceries")]["total"] == 55.0
+    assert got[("2", "Travel")]["total"] == 5.0
+    assert got[("3", "Dining")]["total"] == 40.0
+
+
+def test_recurring_ytd_calendar_year_filter(cur_txns, hist_txns):
+    got = rows_by_key(fin.recurring_ytd(cur_txns.unionByName(hist_txns), 2024), "user_id", "vendor")
+    # u1 recurring in 2024: h11 (VendA 100), h13 (VendA 30), t11 (VendC 70).
+    # The 2023 VendA 999 row is excluded (calendar year, not rolling 12 months).
+    assert got[("1", "VendA")]["total"] == 130.0
+    assert got[("1", "VendC")]["total"] == 70.0
+    assert set(got) == {("1", "VendA"), ("1", "VendC")}
+
+
+def test_predict_year_end_extrapolation(spark):
+    totals = spark.createDataFrame([("1", "VendA", 130.0)], "user_id string, vendor string, total double")
+    got = rows_by_key(fin.predict_year_end(totals, 6), "user_id", "vendor")
+    # total + total/6 * (12-6) = 2*total
+    assert got[("1", "VendA")]["predicted_year_end"] == 260.0
+    got12 = rows_by_key(fin.predict_year_end(totals, 12), "user_id", "vendor")
+    assert got12[("1", "VendA")]["predicted_year_end"] == 130.0
+
+
+def test_previous_month_with_january_wrap(spark):
+    assert spark.range(1).select(prev_year_month(F.lit("202501")).alias("p")).first()["p"] == "202412"
+    assert spark.range(1).select(prev_year_month(F.lit("202403")).alias("p")).first()["p"] == "202402"
+
+
+def test_previous_month_spending_includes_backdated_current_rows(spark, cur_txns, hist_txns):
+    # a back-dated 202411 row in the CURRENT file must count (SURVEY §2.12 Q5)
+    backdated = spark.createDataFrame(
+        [("1", "t99", date(2024, 11, 30), "VendZ", "Groceries", 7.0, False, "United States")],
+        TXN_COLS,
+    )
+    all_txns = cur_txns.unionByName(backdated).unionByName(hist_txns)
+    got = rows_by_key(fin.previous_month_spending(all_txns, "202411"), "user_id", "category")
+    assert got[("1", "Groceries")]["total"] == 37.0  # h13 (30) + backdated (7)
+    assert got[("3", "Dining")]["total"] == 70.0  # h33 + h34
+
+
+MONTHLY = "user_id string, year_month string, total double"
+
+
+def test_trend_classification(spark):
+    rows = [
+        ("up", "202410", 10.0), ("up", "202411", 20.0), ("up", "202412", 30.0),
+        ("down", "202410", 30.0), ("down", "202411", 20.0), ("down", "202412", 10.0),
+        # equal adjacent months → strict inequality fails → Stable
+        ("stable", "202410", 10.0), ("stable", "202411", 10.0), ("stable", "202412", 30.0),
+        ("short", "202411", 10.0), ("short", "202412", 20.0),
+        # 4 months: only the 3 most recent count (old crash month ignored)
+        ("windowed", "202301", 999.0), ("windowed", "202410", 1.0),
+        ("windowed", "202411", 2.0), ("windowed", "202412", 3.0),
+    ]
+    got = rows_by_key(spark.createDataFrame(rows, MONTHLY).transform(fin.classify_trend), "user_id")
+    assert got[("up",)]["trend"] == "Up"
+    assert got[("down",)]["trend"] == "Down"
+    assert got[("stable",)]["trend"] == "Stable"
+    assert got[("short",)]["trend"] == "Not enough data"
+    assert got[("windowed",)]["trend"] == "Up"
+
+
+def test_monthly_spending(cur_txns, hist_txns):
+    got = rows_by_key(fin.monthly_spending(cur_txns.unionByName(hist_txns)), "user_id", "year_month")
+    assert got[("1", "202412")]["total"] == 185.0  # 70+55+60
+    assert got[("1", "202410")]["total"] == 150.0
+    assert got[("1", "202311")] if ("1", "202311") in got else True
+    assert got[("3", "202411")]["total"] == 70.0

@@ -1,0 +1,63 @@
+"""S4/S5: history store — put_item-granularity upsert via dynamic partition
+overwrite, partition-pruned point lookups, nested↔flat roundtrip."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.sources.history import HistoryStore
+from conftest import rows_by_key
+
+COLS = "user_id string, year_month string, id string, date date, amount double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_upsert_replaces_only_written_partitions(spark, tmp_path):
+    store = HistoryStore(spark, str(tmp_path / "hist"))
+    store.upsert(
+        _df(spark, [
+            ("1", "202411", "a", date(2024, 11, 1), 10.0),
+            ("1", "202412", "b", date(2024, 12, 1), 20.0),
+            ("2", "202412", "c", date(2024, 12, 2), 30.0),
+        ])
+    )
+    # replace ONLY (u1, 202412) — put_item semantics (docker/lambda_function.py:544-545)
+    store.upsert(_df(spark, [("1", "202412", "b2", date(2024, 12, 5), 99.0)]))
+    got = rows_by_key(store.read(), "id")
+    assert set(got) == {("a",), ("b2",), ("c",)}  # "b" replaced, others intact
+    assert got[("b2",)]["amount"] == 99.0
+
+
+def test_point_lookup_prunes_partitions(spark, tmp_path):
+    store = HistoryStore(spark, str(tmp_path / "hist2"))
+    store.upsert(
+        _df(spark, [
+            ("1", "202412", "a", date(2024, 12, 1), 1.0),
+            ("2", "202412", "b", date(2024, 12, 1), 2.0),
+        ])
+    )
+    df = store.read(user_id="1")
+    assert {r["id"] for r in df.collect()} == {"a"}
+    # the user filter must reach the scan as a partition filter, not a post-scan filter
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "user_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_nested_roundtrip(spark, tmp_path):
+    store = HistoryStore(spark, str(tmp_path / "hist3"))
+    flat = _df(spark, [
+        ("1", "202412", "a", date(2024, 12, 1), 1.0),
+        ("1", "202412", "b", date(2024, 12, 2), 2.0),
+    ])
+    store.upsert(flat)
+    docs = store.read_documents("1")
+    assert docs.count() == 1 and len(docs.first()["transactions"]) == 2
+    back = HistoryStore.flatten(docs).select(*flat.columns)
+    assert rows_by_key(back, "id").keys() == {("a",), ("b",)}
+    # value integrity through the nest/flatten boundary
+    assert rows_by_key(back, "id")[("b",)]["amount"] == 2.0

@@ -1,0 +1,78 @@
+"""Property-based invariants (SURVEY §5.2.4) with hypothesis.
+
+Examples are kept small (Spark job per example); the properties target the
+semantic contracts, not throughput.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import financial as fin
+from conftest import TXN_COLS
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+amounts = st.floats(min_value=0.01, max_value=1000.0, allow_nan=False)
+categories = st.sampled_from(["A", "B", "C"])
+
+
+@st.composite
+def txn_rows(draw, min_size=1, max_size=12):
+    n = draw(st.integers(min_size, max_size))
+    return [
+        (
+            "u1",
+            f"t{i}",
+            date(2024, 12, 1 + (i % 28)),
+            "V",
+            draw(categories),
+            round(draw(amounts), 3),
+            draw(st.booleans()),
+            draw(st.sampled_from(["Canada", "France"])),
+        )
+        for i in range(n)
+    ]
+
+
+@given(rows=txn_rows())
+@settings(**SETTINGS)
+def test_category_totals_partition_the_rounded_sum(spark, rows):
+    """Σ category totals == Σ round2(amount) — no row lost or double-counted."""
+    cur = spark.createDataFrame(rows, TXN_COLS)
+    total_by_cat = (
+        fin.spending_by_category(cur).agg(F.round(F.sum("total"), 2).alias("s")).first()["s"]
+    )
+    direct = cur.select(F.round(F.sum(F.round("amount", 2)), 2).alias("s")).first()["s"]
+    assert abs(total_by_cat - direct) < 1e-6
+
+
+@given(rows=txn_rows(min_size=2))
+@settings(**SETTINGS)
+def test_topk_is_subset_of_high_value(spark, rows):
+    cur = spark.createDataFrame(rows, TXN_COLS)
+    hist = spark.createDataFrame(rows[:1], TXN_COLS)  # some history
+    hv = fin.high_value(cur, fin.user_scalars(hist))
+    top = fin.top_k_high_value(hv, k=3)
+    hv_ids = {r["transaction_id"] for r in hv.collect()}
+    top_ids = {r["transaction_id"] for r in top.collect()}
+    assert top_ids <= hv_ids and len(top_ids) <= 3
+
+
+@given(rows=txn_rows(min_size=3))
+@settings(**SETTINGS)
+def test_flagged_are_exactly_the_abroad_rows_when_no_history(spark, rows):
+    """With empty history: home is NULL → every row abroad → all flagged High."""
+    cur = spark.createDataFrame(rows, TXN_COLS)
+    hist = cur.limit(0)
+    flagged = fin.flag_risky(cur, fin.user_scalars(hist))
+    assert flagged.count() == cur.count()
+    assert {r["risk_level"] for r in flagged.collect()} == {"High Risk"}

@@ -1,0 +1,52 @@
+"""Q12/S7: report document assembly — section values, empty-section defaults,
+deterministic ordering, JSON serialization."""
+
+from __future__ import annotations
+
+import json
+
+from aws_financial_data_pipeline_spark.plans.report import assemble_report, report_json
+from conftest import rows_by_key
+
+
+def test_report_sections(spark, cur_txns, hist_2024):
+    got = rows_by_key(assemble_report(cur_txns, hist_2024, 2024), "user_id")
+    assert set(got) == {("1",), ("2",), ("3",)}  # one report per current-statement user
+
+    u1 = got[("1",)]
+    assert u1["SpendingByCategory"] == {"Dining": 130.0, "Groceries": 55.0}
+    assert [f["transaction_id"] for f in u1["FlaggedTransactions"]] == ["t11", "t13"]
+    assert u1["FlaggedTransactions"][0]["risk_level"] == "High Risk"
+    assert [h["transaction_id"] for h in u1["HighValueTransaction"]] == ["t11"]
+    assert u1["RecurringTransactionsYearToDate"] == {"VendA": 130.0, "VendC": 70.0}
+    assert u1["MonthlySpending_Trend"]["MonthlySpending"] == {
+        "202410": 150.0, "202411": 30.0, "202412": 185.0,
+    }
+    assert u1["MonthlySpending_Trend"]["Trend"] == "Stable"
+
+    u2 = got[("2",)]  # no history: everything flagged, empty-section defaults hold
+    assert [f["transaction_id"] for f in u2["FlaggedTransactions"]] == ["t21"]
+    assert u2["MonthlySpending_Trend"]["Trend"] == "Not enough data"
+
+    u3 = got[("3",)]
+    assert [f["transaction_id"] for f in u3["FlaggedTransactions"]] == ["t32"]
+    # u3 monthly: 202410=30, 202411=70, 202412=40 → neither strict chain → Stable
+    assert u3["MonthlySpending_Trend"]["Trend"] == "Stable"
+
+
+def test_report_empty_arrays_not_null(spark, cur_txns, hist_2024):
+    # a user whose current month has no flags/high-value rows gets [], not NULL
+    from pyspark.sql import functions as F
+
+    no_flag_cur = cur_txns.filter(F.col("id") == "t12")  # u1 domestic, below avg
+    got = rows_by_key(assemble_report(no_flag_cur, hist_2024, 2024), "user_id")
+    assert got[("1",)]["FlaggedTransactions"] == []
+    assert got[("1",)]["HighValueTransaction"] == []
+
+
+def test_report_json_roundtrip(spark, cur_txns, hist_2024):
+    docs = rows_by_key(report_json(assemble_report(cur_txns, hist_2024, 2024)), "user_id")
+    parsed = json.loads(docs[("1",)]["report"])
+    assert parsed["SpendingByCategory"]["Dining"] == 130.0
+    assert parsed["MonthlySpending_Trend"]["Trend"] == "Stable"
+    assert parsed["FlaggedTransactions"][0]["transaction_id"] == "t11"

@@ -1,0 +1,78 @@
+"""Similarity search: brute-force cosine ground truth, LSH recall, near-dup."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import similarity as sim
+from conftest import rows_by_key
+
+EMB_COLS = "vec_id long, embedding array<double>"
+
+
+def _vecs(spark, dim=8):
+    """Tiny corpus with known geometry: v1==v2 (cosine 1), v3 orthogonal-ish."""
+
+    def unit(i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    rows = [
+        (1, unit(0)),
+        (2, unit(0)),                      # identical to 1
+        (3, unit(1)),                      # orthogonal to 1
+        (4, [1.0, 1.0] + [0.0] * (dim - 2)),  # 45° from 1
+    ]
+    return spark.createDataFrame(rows, EMB_COLS)
+
+
+def test_cosine_topk_exact(spark):
+    emb = _vecs(spark)
+    queries = emb.filter(F.col("vec_id") == 1)
+    got = rows_by_key(sim.cosine_topk(emb, queries, k=3), "q_id", "neighbor_id")
+    assert got[(1, 2)]["rn"] == 1 and got[(1, 2)]["cosine"] == 1.0
+    assert got[(1, 4)]["rn"] == 2 and got[(1, 4)]["cosine"] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert got[(1, 3)]["rn"] == 3 and got[(1, 3)]["cosine"] == 0.0
+    # self is excluded
+    assert (1, 1) not in got
+
+
+def test_ann_lsh_finds_identical_vector(spark):
+    # identical vectors share every band → always candidates → rn 1, cosine 1
+    emb = _vecs(spark)
+    queries = emb.filter(F.col("vec_id") == 1)
+    got = rows_by_key(sim.ann_topk_lsh(spark, emb, queries, k=3), "q_id", "neighbor_id")
+    assert (1, 2) in got and got[(1, 2)]["cosine"] == 1.0 and got[(1, 2)]["rn"] == 1
+
+
+def test_ann_results_subset_of_exact(spark):
+    emb = _vecs(spark)
+    queries = emb.filter(F.col("vec_id") <= 2)
+    exact = {(r["q_id"], r["neighbor_id"]) for r in sim.cosine_topk(emb, queries, k=4).collect()}
+    approx = {(r["q_id"], r["neighbor_id"]) for r in sim.ann_topk_lsh(spark, emb, queries, k=4).collect()}
+    assert approx <= exact  # ANN may miss but never invents neighbors
+
+
+def test_embedding_near_duplicates(spark):
+    got = rows_by_key(sim.embedding_near_duplicates(_vecs(spark), threshold=0.7), "doc_a", "doc_b")
+    assert (1, 2) in got and got[(1, 2)]["cosine"] == 1.0
+    # cos=0.7071 for every unit vector vs v4; (1,3) orthogonal → out
+    assert set(got) == {(1, 2), (1, 4), (2, 4), (3, 4)}
+
+
+def test_multimodal_feature_extraction(spark):
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    got = rows_by_key(mm.extract_features(mm.attach_payload(docs)), "doc_id")
+    r = got[(1,)]
+    payload = "abc".encode()
+    assert r["byte_len"] == 3
+    assert r["digest"] == hashlib.md5(payload).hexdigest()
+    assert r["feature_mean"] == pytest.approx(sum(payload) / 3, abs=1e-4)
+    assert r["media_type"] == "text/plain"

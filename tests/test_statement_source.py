@@ -1,0 +1,62 @@
+"""S1/S2/P1/J1: statement CSV ingest — BOM, dotted headers, typed parse,
+case-insensitive booleans, country resolution, nested document grouping."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from aws_financial_data_pipeline_spark.sources import statements as src
+from conftest import rows_by_key
+
+HEADER = (
+    "UserId,YearMonth,transactions.id,transactions.date,transactions.vendor,"
+    "transactions.category,transactions.amount,transactions.currency,"
+    "transactions.recurring,transactions.type,transactions.location,transactions.description"
+)
+ROWS = [
+    "1,202412,1001,2024-12-01,VendA,Groceries,12.34,USD,TRUE,subscription,US-CA,weekly shop",
+    "1,202412,1002,2024-12-02,VendB,Dining,20.00,CAD,False,purchase,FR-IDF,dinner",
+    "2,202412,2001,2024-12-03,VendC,Travel,150.00,USD,false,purchase,ZZ-XX,unknown country",
+]
+
+
+def _write_csv(tmp_path, name="stmt.csv", rows=ROWS, bom=True):
+    p = tmp_path / name
+    text = HEADER + "\n" + "\n".join(rows) + "\n"
+    p.write_bytes(("﻿" if bom else "").encode("utf-8") + text.encode("utf-8"))
+    return str(p)
+
+
+def test_read_statement_csv_types_and_bom(spark, tmp_path):
+    got = rows_by_key(src.read_statement_csv(spark, _write_csv(tmp_path)), "id")
+    assert set(got) == {("1001",), ("1002",), ("2001",)}
+    r = got[("1001",)]
+    assert r["user_id"] == "1"  # BOM did not corrupt the first header/field
+    assert r["year_month"] == "202412"
+    assert str(r["date"]) == "2024-12-01"
+    assert r["amount"] == Decimal("12.34")
+    assert r["recurring"] is True  # "TRUE" parsed case-insensitively
+    assert got[("1002",)]["recurring"] is False
+    assert r["location"] == "US-CA"
+
+
+def test_with_country_resolution_and_unknown_code(spark, tmp_path):
+    txns = src.read_statement_csv(spark, _write_csv(tmp_path))
+    got = rows_by_key(src.with_country(txns, spark), "id")
+    assert got[("1001",)]["country"] == "United States"
+    assert got[("1002",)]["country"] == "France"
+    # unknown alpha-2 keeps the code (reference would crash — documented deviation)
+    assert got[("2001",)]["country"] == "ZZ"
+
+
+def test_statement_documents_nesting(spark, tmp_path):
+    txns = src.read_statement_csv(spark, _write_csv(tmp_path))
+    docs = rows_by_key(src.statement_documents(txns), "user_id", "year_month")
+    assert set(docs) == {("1", "202412"), ("2", "202412")}
+    t = docs[("1", "202412")]["transactions"]
+    assert len(t) == 2 and {x["id"] for x in t} == {"1001", "1002"}
+    # payload keeps every non-key transaction field (DynamoDB item shape)
+    assert set(t[0]) == {
+        "id", "date", "vendor", "category", "amount", "currency",
+        "recurring", "type", "location", "description",
+    }

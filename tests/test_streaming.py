@@ -1,0 +1,109 @@
+"""Streaming surface: file-source statement ingest (S3/S8 + Q11 upsert) and
+watermarked window twins (replay equality vs the batch operators)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import events as batch_events
+from aws_financial_data_pipeline_spark.sources.history import HistoryStore
+from aws_financial_data_pipeline_spark.streaming import windows as sw
+from aws_financial_data_pipeline_spark.streaming.ingest import run_statement_ingest
+from conftest import rows_by_key
+from test_statement_source import HEADER
+
+EVENT_COLS = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _csv(dirpath, name, rows):
+    p = dirpath / name
+    p.write_text(HEADER + "\n" + "\n".join(rows) + "\n")
+    return p
+
+
+def _row(uid, ym, tid, d, amount):
+    return f"{uid},{ym},{tid},{d},VendA,Groceries,{amount},USD,true,subscription,US-CA,x"
+
+
+def test_ingest_upserts_history(spark, tmp_path):
+    in_dir = tmp_path / "in"; in_dir.mkdir()
+    _csv(in_dir, "u1.csv", [_row(1, 202411, "a", "2024-11-01", 10.0),
+                            _row(1, 202411, "b", "2024-11-02", 20.0)])
+    _csv(in_dir, "u2.csv", [_row(2, 202411, "c", "2024-11-03", 30.0)])
+
+    hist = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_statement_ingest(spark, str(in_dir), hist, ckpt, clean_source="off")
+    q.awaitTermination()
+    store = HistoryStore(spark, hist)
+    assert set(rows_by_key(store.read(), "id")) == {("a",), ("b",), ("c",)}
+
+    # a re-statement for (u1, 202411) lands later → whole-key replacement
+    _csv(in_dir, "u1_restated.csv", [_row(1, 202411, "a2", "2024-11-05", 99.0)])
+    q = run_statement_ingest(spark, str(in_dir), hist, ckpt, clean_source="off")
+    q.awaitTermination()
+    got = rows_by_key(store.read(), "id")
+    assert set(got) == {("a2",), ("c",)}  # u1/202411 replaced wholesale; u2 untouched
+    assert got[("a2",)]["user_id"] == "1" and got[("a2",)]["year_month"] == "202411"
+
+
+def _events_df(spark):
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 100, "view", 1.0),
+        (2, base.replace(minute=20), 100, "view", 2.0),
+        (3, base.replace(hour=11, minute=5), 100, "click", 3.0),
+        (4, base.replace(hour=11, minute=50), 200, "view", 4.0),
+        (5, base.replace(hour=13, minute=0), 200, "view", 5.0),
+    ]
+    return spark.createDataFrame(rows, EVENT_COLS)
+
+
+def _replay(spark, tmp_path, builder, name):
+    """Write the fixture events to parquet, stream-read them back, run the
+    streaming transform, drain with availableNow into a memory sink."""
+    src_dir = str(tmp_path / f"{name}_src")
+    _events_df(spark).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(_events_df(spark).schema).parquet(src_dir)
+    q = (
+        builder(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    got = _replay(spark, tmp_path, lambda s: sw.tumbling_stream(s, "1 hour"), "t_tumble")
+    want = batch_events.tumbling(_events_df(spark), "1 hour")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # sanity on one hand-computed window: 10:00 has 2 view events, value 3.0
+    k = rows_by_key(got, "window_start", "event_type")
+    assert k[("2024-01-01 10:00:00", "view")]["n_events"] == 2
+    assert k[("2024-01-01 10:00:00", "view")]["total_value"] == 3.0
+
+
+def test_sliding_stream_equals_batch(spark, tmp_path):
+    got = _replay(
+        spark, tmp_path, lambda s: sw.sliding_stream(s, "1 hour", "30 minutes"), "t_slide"
+    )
+    want = batch_events.sliding(_events_df(spark), "1 hour", "30 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_stream_gap_semantics(spark, tmp_path):
+    got = _replay(spark, tmp_path, lambda s: sw.session_stream(s, "30 minutes"), "t_sess")
+    k = rows_by_key(got, "user_id", "session_start")
+    # user 100: events at 10:00, 10:20 merge (gap 20m < 30m); 11:05 starts a new session
+    # user 200: 11:50 and 13:00 are separate sessions
+    assert len([s for s in k if s[0] == 100]) == 2
+    assert len([s for s in k if s[0] == 200]) == 2
+    first = k[(100, "2024-01-01 10:00:00")]
+    assert first["n_events"] == 2 and first["total_value"] == 3.0
+    assert first["session_end"] == "2024-01-01 10:50:00"  # last event + gap

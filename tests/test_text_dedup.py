@@ -1,0 +1,112 @@
+"""Dedup + text analysis on hand-crafted documents with known ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import dedup, text
+from conftest import rows_by_key
+
+DOC_COLS = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_COLS)
+
+
+def test_exact_duplicates(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a  b c")])
+    got = rows_by_key(dedup.exact_duplicates(docs), "canonical_id")
+    # docs 1+2 identical byte-wise; 4 differs (double space) → its own group
+    assert got[(1,)]["n_copies"] == 2
+    assert got[(3,)]["n_copies"] == 1 and got[(4,)]["n_copies"] == 1
+
+
+def test_jaccard_pairs_known_value(spark):
+    # 3-shingles: d1={"a b c","b c d"}, d2={"a b c","b c e"} → J = 1/3
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    got = rows_by_key(dedup.jaccard_pairs(docs, threshold=0.0, n=3), "doc_a", "doc_b")
+    assert got[(1, 2)]["jaccard"] == 0.3333  # rounded to 4dp by the operator
+
+
+def test_minhash_identical_docs_collide_everywhere(spark):
+    docs = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog"),
+                         (2, "the quick brown fox jumps over the lazy dog"),
+                         (3, "completely different words in this document here")])
+    sigs = dedup.minhash_signatures(docs)
+    cand = rows_by_key(dedup.minhash_candidates(sigs), "doc_a", "doc_b")
+    assert (1, 2) in cand
+    assert (1, 3) not in cand and (2, 3) not in cand
+    # identical docs agree on EVERY band
+    per_band = (
+        sigs.groupBy("band_id")
+        .agg(F.countDistinct("band_key").alias("nk"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_band:
+        assert r["n"] == 3 and r["nk"] == 2  # 3 docs, but 1&2 share each key
+
+
+def test_minhash_short_docs_drop_out(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a b c d e")])  # doc 1: < 3 tokens
+    sigs = dedup.minhash_signatures(docs, n=3)
+    assert {r["doc_id"] for r in sigs.select("doc_id").distinct().collect()} == {2}
+
+
+def test_minhash_dedup_end_to_end(spark):
+    docs = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog"),
+                         (2, "the quick brown fox jumps over the lazy dog"),
+                         (3, "unrelated text about something else entirely now")])
+    got = rows_by_key(dedup.minhash_dedup(docs, threshold=0.8), "doc_a", "doc_b")
+    assert set(got) == {(1, 2)} and got[(1, 2)]["jaccard"] == 1.0
+
+
+def test_simhash_identical_and_candidates(spark):
+    docs = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+                         (3, "zeta eta theta iota")])
+    sigs = dedup.simhash(docs)
+    by_id = rows_by_key(sigs, "doc_id")
+    assert by_id[(1,)]["simhash"] == by_id[(2,)]["simhash"]
+    cand = rows_by_key(dedup.simhash_candidates(sigs, max_hamming=3), "doc_a", "doc_b")
+    assert (1, 2) in cand and cand[(1, 2)]["hamming"] == 0
+
+
+def test_fingerprint_stability(spark):
+    docs = _docs(spark, [(1, "one two three four five"), (2, "one two three four five"),
+                         (3, "six seven eight nine ten")])
+    got = rows_by_key(text.fingerprint(docs, n=3), "doc_id")
+    assert got[(1,)]["fingerprint"] == got[(2,)]["fingerprint"]
+    assert got[(1,)]["fingerprint"] != got[(3,)]["fingerprint"]
+    assert got[(1,)]["n_shingles"] == 3
+
+
+def test_text_stats_values(spark):
+    got = rows_by_key(text.text_stats(_docs(spark, [(1, "the cat sat")])), "doc_id")
+    r = got[(1,)]
+    assert r["n_tokens"] == 3 and r["n_distinct_tokens"] == 3
+    assert r["stopword_ratio"] == 0.3333  # "the", rounded to 4dp
+    assert r["avg_token_len"] == pytest.approx(3.0)
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and the dog is of note", "en"),
+            (2, "le chat est dans la maison et les chiens", "fr"),
+            (3, "el perro y los gatos en un parque es", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = rows_by_key(text.language_id(docs), "doc_id")
+    assert got[(1,)]["lang_pred"] == "en"
+    assert got[(2,)]["lang_pred"] == "fr"
+    assert got[(3,)]["lang_pred"] == "es"
+
+
+def test_token_counts(spark):
+    got = rows_by_key(text.token_counts(_docs(spark, [(1, "hello world42 foo-bar")])), "doc_id")
+    r = got[(1,)]
+    assert r["ws_tokens"] == 3
+    # bpe-ish: hello | world | 42 | foo | - | bar
+    assert r["bpe_tokens"] == 6
