@@ -1,0 +1,8 @@
+"""Report rendering layer (SURVEY §2.1 S9/S10): chart + PDF artifacts.
+
+Driver-side by design — the inputs are the per-user aggregates (tiny after the
+engine reduces them), so rendering is not a distributed concern. The chart
+libraries (matplotlib, fpdf) are not in this container; rendering degrades to
+structured chart-DATA payloads (the exact series the reference plots), and the
+painters raise a clear error if invoked without the libs.
+"""

@@ -1,0 +1,133 @@
+"""S9/S10: chart + PDF rendering of the report document.
+
+The reference renders three PNG charts and one PDF per user per statement
+month (``docker/lambda_function.py:175-222`` pie, ``:283-308`` bar+line,
+``:388-430`` grouped bar + prediction, ``:315-387`` PDF), all from aggregates
+that are tiny (≤ categories / ≤ months / ≤ vendors rows). The engine therefore
+computes the aggregates distributed (plans.report) and this module renders on
+the driver from the COLLECTED report rows — never from raw transactions.
+
+matplotlib / fpdf are not installed in this container, so:
+- :func:`chart_payloads` (pure data: every series the reference plots) always
+  works and is what tests cover;
+- :func:`render_png_charts` / :func:`render_pdf` try-import and raise
+  ``RenderDependencyError`` when the libs are missing. The plotting code paths
+  are deliberately thin wrappers over the payloads so the unrenderable part is
+  exactly the third-party painting call.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+class RenderDependencyError(RuntimeError):
+    """Raised when a painting library (matplotlib/fpdf) is unavailable."""
+
+
+def chart_payloads(report_row: dict[str, Any], prediction: dict[str, float] | None = None) -> dict:
+    """The chart-data series for one user's report row (collected dict from
+    ``plans.report.assemble_report``):
+
+    - ``pie``: category → share of the month (reference pie chart,
+      docker/lambda_function.py:175-222);
+    - ``bar_line``: months ascending with totals (bar) + the same series as
+      the trend line (docker/lambda_function.py:283-308);
+    - ``recurring``: vendor → (ytd_total, predicted_year_end) grouped bars
+      (docker/lambda_function.py:388-430); prediction defaults to the YTD
+      totals when no extrapolation frame is supplied.
+    """
+    spending = dict(report_row.get("SpendingByCategory") or {})
+    total = sum(spending.values())
+    monthly = dict((report_row.get("MonthlySpending_Trend") or {}).get("MonthlySpending") or {})
+    recurring = dict(report_row.get("RecurringTransactionsYearToDate") or {})
+    return {
+        "pie": {
+            "labels": sorted(spending),
+            "values": [spending[k] for k in sorted(spending)],
+            "shares": [round(spending[k] / total, 4) if total else 0.0 for k in sorted(spending)],
+        },
+        "bar_line": {
+            "months": sorted(monthly),
+            "totals": [monthly[m] for m in sorted(monthly)],
+            "trend": (report_row.get("MonthlySpending_Trend") or {}).get("Trend"),
+        },
+        "recurring": {
+            "vendors": sorted(recurring),
+            "ytd": [recurring[v] for v in sorted(recurring)],
+            "predicted": [
+                (prediction or recurring).get(v, recurring[v]) for v in sorted(recurring)
+            ],
+        },
+    }
+
+
+def collect_report_payloads(report: DataFrame, prediction: DataFrame | None = None) -> dict[str, dict]:
+    """user_id → chart payloads, from the (small) assembled report frame.
+    The only driver-side collect in the reporting path — one row per user."""
+    preds: dict[str, dict[str, float]] = {}
+    if prediction is not None:
+        for r in prediction.collect():
+            preds.setdefault(r["user_id"], {})[r["vendor"]] = r["predicted_year_end"]
+    out = {}
+    for row in report.collect():
+        d = row.asDict(recursive=True)
+        out[d["user_id"]] = chart_payloads(d, preds.get(d["user_id"]))
+    return out
+
+
+def write_payload_json(payloads: dict[str, dict], out_path: str) -> str:
+    """Library-free artifact: the chart data as JSON (deterministic order)."""
+    with open(out_path, "w") as f:
+        json.dump(payloads, f, indent=2, sort_keys=True)
+    return out_path
+
+
+def render_png_charts(payloads: dict[str, dict], out_dir: str) -> list[str]:
+    """S9: paint the three reference charts per user. Requires matplotlib."""
+    try:
+        import matplotlib  # noqa: F401
+        from matplotlib import pyplot as plt
+    except ImportError as e:  # pragma: no cover - container has no matplotlib
+        raise RenderDependencyError(
+            "matplotlib is required for PNG charts; chart DATA is available via chart_payloads()"
+        ) from e
+    paths = []  # pragma: no cover - exercised only where matplotlib exists
+    for uid, p in payloads.items():  # pragma: no cover
+        fig, axes = plt.subplots(1, 3, figsize=(18, 5))
+        axes[0].pie(p["pie"]["values"], labels=p["pie"]["labels"], autopct="%1.1f%%")
+        axes[1].bar(p["bar_line"]["months"], p["bar_line"]["totals"])
+        axes[1].plot(p["bar_line"]["months"], p["bar_line"]["totals"], color="red")
+        x = range(len(p["recurring"]["vendors"]))
+        axes[2].bar([i - 0.2 for i in x], p["recurring"]["ytd"], width=0.4, label="YTD")
+        axes[2].bar([i + 0.2 for i in x], p["recurring"]["predicted"], width=0.4, label="Predicted")
+        axes[2].set_xticks(list(x), p["recurring"]["vendors"], rotation=45)
+        axes[2].legend()
+        path = f"{out_dir}/user_{uid}_charts.png"
+        fig.savefig(path)
+        plt.close(fig)
+        paths.append(path)
+    return paths  # pragma: no cover
+
+
+def render_pdf(report_row: dict[str, Any], chart_paths: list[str], out_path: str) -> str:
+    """S10: A4 PDF with the report tables + chart images. Requires fpdf."""
+    try:
+        from fpdf import FPDF
+    except ImportError as e:  # pragma: no cover - container has no fpdf
+        raise RenderDependencyError(
+            "fpdf is required for PDF reports; the report document is available as JSON"
+        ) from e
+    pdf = FPDF()  # pragma: no cover - exercised only where fpdf exists
+    pdf.add_page()  # pragma: no cover
+    pdf.set_font("Helvetica", size=12)  # pragma: no cover
+    pdf.cell(0, 10, f"Statement report for user {report_row.get('user_id')}", ln=1)  # pragma: no cover
+    for k, v in sorted((report_row.get("SpendingByCategory") or {}).items()):  # pragma: no cover
+        pdf.cell(0, 8, f"{k}: {v:.2f}", ln=1)
+    for p in chart_paths:  # pragma: no cover
+        pdf.image(p, w=180)
+    pdf.output(out_path)  # pragma: no cover
+    return out_path  # pragma: no cover

@@ -1,0 +1,50 @@
+"""S9/S10 reporting layer: chart payload data + graceful degradation when the
+painting libraries are absent."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from aws_financial_data_pipeline_spark.plans.report import assemble_report
+from aws_financial_data_pipeline_spark.reporting.render import (
+    RenderDependencyError,
+    collect_report_payloads,
+    render_pdf,
+    render_png_charts,
+    write_payload_json,
+)
+
+
+@pytest.fixture(scope="module")
+def payloads(spark, cur_txns, hist_2024):
+    report = assemble_report(cur_txns, hist_2024, 2024)
+    return collect_report_payloads(report)
+
+
+def test_chart_payload_series(payloads):
+    u1 = payloads["1"]
+    assert u1["pie"]["labels"] == ["Dining", "Groceries"]
+    assert u1["pie"]["values"] == [130.0, 55.0]
+    assert u1["pie"]["shares"] == [round(130 / 185, 4), round(55 / 185, 4)]
+    assert u1["bar_line"]["months"] == ["202410", "202411", "202412"]
+    assert u1["bar_line"]["totals"] == [150.0, 30.0, 185.0]
+    assert u1["bar_line"]["trend"] == "Stable"
+    assert u1["recurring"]["vendors"] == ["VendA", "VendC"]
+    assert u1["recurring"]["ytd"] == [130.0, 70.0]
+
+
+def test_payload_json_artifact(payloads, tmp_path):
+    path = write_payload_json(payloads, str(tmp_path / "charts.json"))
+    loaded = json.loads(open(path).read())
+    assert loaded["1"]["pie"]["labels"] == ["Dining", "Groceries"]
+
+
+def test_png_and_pdf_degrade_without_libs(payloads, tmp_path):
+    # this container has neither matplotlib nor fpdf: the painters must fail
+    # loudly with the dedicated error, never silently or with ImportError
+    with pytest.raises(RenderDependencyError):
+        render_png_charts(payloads, str(tmp_path))
+    with pytest.raises(RenderDependencyError):
+        render_pdf({"user_id": "1"}, [], str(tmp_path / "r.pdf"))
