@@ -1,0 +1,80 @@
+"""Skew mitigation utilities (100 TB posture).
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime skew,
+but two patterns are worth expressing explicitly because they change the
+LOGICAL plan:
+
+- **Two-phase salted aggregation**: a groupBy on a key where a handful of hot
+  keys dominate (power-law user/vendor distributions) puts one reducer task on
+  the hot key's whole partition. Salting splits each key into ``n_salts``
+  sub-groups (partial agg) and then merges the partials — the hot key's work
+  spreads over ``n_salts`` tasks. Works for any algebraic aggregate
+  (sum/count/min/max; avg = sum+count merged at the end).
+
+- **Salted broadcast-side replication join**: for a skewed equi-join where the
+  build side is small enough to replicate ``n_salts`` times, explode the build
+  side with a salt column and join on (key, salt). With AQE available prefer
+  plain ``broadcast()``; this form is for when the probe side's hot key would
+  overwhelm a single stream task even under AQE (e.g. sort-merge fallback).
+
+Both are pure DataFrame transforms — no RDDs, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    n_salts: int = 16,
+    out_col: str = "total",
+) -> DataFrame:
+    """``groupBy(group_cols).sum(value_col)`` with two-phase salting.
+
+    Phase 1 shuffles on (group_cols..., salt) — hot keys spread over
+    ``n_salts`` partitions; phase 2 merges the ≤ n_salts partial rows per key.
+    Result is identical to the direct aggregation (addition is associative);
+    only the shuffle layout differs.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(F.sum(val).alias("_partial"))
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("_partial").alias(out_col))
+
+
+def salted_count(
+    df: DataFrame, group_cols: list[str], n_salts: int = 16, out_col: str = "cnt"
+) -> DataFrame:
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
+    partial = df.withColumn("_salt", salt).groupBy(*group_cols, "_salt").agg(
+        F.count("*").alias("_partial")
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("_partial").alias(out_col))
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join: salt the probe side randomly, replicate the build side
+    across all salts, join on (key, salt). Row multiplicity is preserved —
+    each probe row matches exactly the one replica with its salt value.
+
+    Cost model: build side grows ``n_salts``×, so this only pays when
+    |build| × n_salts ≪ |probe's hot partition|. The salt/replica columns are
+    dropped from the output.
+    """
+    p = probe.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    b = build.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return p.join(b, [on, "_salt"], how).drop("_salt")

@@ -1,0 +1,63 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's only "state" is the DynamoDB history table consulted per
+invocation (``docker/lambda_function.py:37-56``). Its streaming-native
+equivalent keeps the per-user aggregate IN the stream's state store: no
+external lookup per batch, state checkpointed with the query, recovery
+exactly-once. This is the SURVEY §7 phase-5 extension surface ("streaming
+state via applyInPandasWithState").
+
+Pattern notes (the part that must scale):
+- state is per GROUP KEY (user), value is a few numbers — O(users), not
+  O(transactions);
+- the update function receives Arrow-batched pandas frames per key, never
+  row-at-a-time Python;
+- output mode "update": one row per user per batch that touched it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_OUTPUT = "user_id string, n_txns bigint, total_amount double, avg_amount double"
+RUNNING_TOTALS_STATE = "n bigint, total double"
+
+
+def _update_running_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for one user into (n, total)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["amount"].astype(float).sum())
+    state.update((n, round(total, 2)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_txns": [n],
+            "total_amount": [round(total, 2)],
+            "avg_amount": [round(total / n, 2) if n else 0.0],
+        }
+    )
+
+
+def running_user_totals(txns: DataFrame) -> DataFrame:
+    """Streaming running spend per user: cumulative count/total/average across
+    ALL batches seen so far, maintained in the state store.
+
+    Input: a streaming frame with at least (user_id, amount). Output (update
+    mode): the refreshed totals for every user present in the batch.
+    """
+    return txns.groupBy("user_id").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

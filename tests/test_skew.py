@@ -1,0 +1,53 @@
+"""Salted aggregation/join must be value-identical to the direct forms —
+only the shuffle layout may differ."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import skew
+from conftest import rows_by_key
+
+
+def _skewed(spark, n=2000):
+    # 90% of rows on one hot key
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_sum_matches_direct(spark):
+    df = _skewed(spark)
+    direct = rows_by_key(df.groupBy("k").agg(F.sum("v").alias("total")), "k")
+    salted = rows_by_key(skew.salted_sum(df, ["k"], "v"), "k")
+    assert salted.keys() == direct.keys()
+    for k in direct:
+        assert salted[k]["total"] == direct[k]["total"]
+
+
+def test_salted_count_matches_direct(spark):
+    df = _skewed(spark)
+    direct = rows_by_key(df.groupBy("k").agg(F.count("*").alias("cnt")), "k")
+    salted = rows_by_key(skew.salted_count(df, ["k"]), "k")
+    for k in direct:
+        assert salted[k]["cnt"] == direct[k]["cnt"]
+
+
+def test_salted_join_matches_direct(spark):
+    probe = _skewed(spark, 500)
+    build = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, label string")
+    direct = probe.join(build, "k").groupBy("k", "label").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    salted = skew.salted_join(probe, build, "k").groupBy("k", "label").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_preserves_multiplicity_with_dup_build_keys(spark):
+    probe = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double")
+    build = spark.createDataFrame([("a", "x"), ("a", "y")], "k string, label string")
+    got = skew.salted_join(probe, build, "k")
+    assert got.count() == 4  # 2 probe × 2 build-key rows, exactly as direct join

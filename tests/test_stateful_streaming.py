@@ -1,0 +1,52 @@
+"""applyInPandasWithState: per-user running totals must accumulate ACROSS
+micro-batches — state is restored from the checkpoint between query runs
+(the memory sink can't recover a checkpoint, so results are captured with
+foreachBatch, which can)."""
+
+from __future__ import annotations
+
+from aws_financial_data_pipeline_spark.streaming.stateful import running_user_totals
+
+TXN = "user_id string, amount double"
+
+
+def _run_batch(spark, src_dir, ckpt):
+    rows = {}
+
+    def capture(batch, _bid):
+        for r in batch.collect():
+            rows[r["user_id"]] = r.asDict()
+
+    stream = spark.readStream.schema(TXN).parquet(src_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_state_accumulates_across_batches(spark, tmp_path):
+    src = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([("1", 10.0), ("1", 20.0), ("2", 5.0)], TXN).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got1 = _run_batch(spark, src, ckpt)
+    assert got1["1"]["n_txns"] == 2 and got1["1"]["total_amount"] == 30.0
+    assert got1["2"]["avg_amount"] == 5.0
+
+    # second batch: state for u1 carries over; u3 is new
+    spark.createDataFrame([("1", 40.0), ("3", 7.0)], TXN).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got2 = _run_batch(spark, src, ckpt)
+    assert got2["1"]["n_txns"] == 3 and got2["1"]["total_amount"] == 70.0
+    assert got2["1"]["avg_amount"] == 23.33
+    assert got2["3"]["n_txns"] == 1
+    assert "2" not in got2  # untouched user not re-emitted in update mode
