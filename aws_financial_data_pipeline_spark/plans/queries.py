@@ -24,16 +24,18 @@ def _base(spark: SparkSession, sf_dir: str, cols: tuple[str, ...] | None = None)
     """Transactions view (join-pruned to ``cols``) + current/historical split.
     ``ym`` is always included — the split needs it.
 
-    The view is cached (MEMORY_AND_DISK): every query branches it at least
-    twice (the latest-month scalar + the cur/hist split), and the branches
-    differ enough after pushdown that Catalyst's ReuseExchange can't dedupe
-    them. One materialization beats 3-4 recomputes of the multi-join tree;
-    at cluster scale the same call spills to disk instead of recomputing
-    a petabyte join per branch.
+    Deliberately NOT cached: although every query branches the view 2-4 ways
+    (latest-month scalar + cur/hist split), Catalyst's ReuseExchange dedupes
+    the shared join subtree, and measurement at sf0.1 shows recompute beats
+    materialize-then-scan for every one-shot query (e.g. q03 2.4s vs 3.4s,
+    q01 1.9s vs 3.3s). At 100 TB the same call stands: materializing a joined
+    fact view is a full extra write+read of the dataset. Callers that run MANY
+    queries over one view should ``.cache()`` at their own scope where the
+    amortization is real.
     """
     if cols is not None and "ym" not in cols:
         cols = (*cols, "ym")
-    txns = tv.transactions(spark, sf_dir, cols).cache()
+    txns = tv.transactions(spark, sf_dir, cols)
     cur, hist = tv.current_and_historical(txns)
     return txns, cur, hist
 
