@@ -1,0 +1,77 @@
+"""As-of join — an operator Spark lacks natively (SURVEY §2.4 notes the
+reference has no as-of/interval joins; this is the extension surface).
+
+Semantics: for each left row, attach the single right row with the same key
+and the greatest ``ts`` ≤ the left row's ``ts`` (a time-series point lookup:
+"most recent quote before the trade").
+
+Spark-first implementation — NOT a range join (which explodes to
+O(|L|·|R| / key) candidate pairs) and NOT a per-key loop:
+
+    union(right tagged 0, left tagged 1)
+      → window last(value, ignorenulls) over
+          partitionBy(key).orderBy(ts, tag)
+          rowsBetween(unboundedPreceding, current)
+      → keep left rows
+
+One shuffle on the key (identical cost to the equi-join the data needs
+anyway); state per partition is one running value per right column. Right
+rows sort BEFORE left rows at equal ``ts``, so the match is inclusive
+(``r.ts <= l.ts``). Works unchanged at any |L|/|R| ratio — nothing is
+broadcast, nothing is exploded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, with ``right_cols`` from the most
+    recent right row at or before its ``ts`` (NULLs when none exists).
+
+    ``right`` must carry ``on + [ts] + right_cols``. If several right rows can
+    share (key, ts), pass ``tiebreak`` (a right column) — the row with the
+    greatest tiebreak value wins deterministically.
+    """
+    lcols = left.columns
+    carry = list(right_cols)
+    if tiebreak is not None and tiebreak not in carry:
+        carry.append(tiebreak)
+    l_tagged = left
+    for c in carry:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l_tagged = l_tagged.withColumn("_tag", F.lit(1))
+
+    r_tagged = right.select(*on, ts, *carry)
+    for c in lcols:
+        if c not in (*on, ts):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r_tagged = r_tagged.withColumn("_tag", F.lit(0))
+
+    unioned = l_tagged.unionByName(r_tagged)
+    order = [F.col(ts), F.col("_tag")]
+    if tiebreak is not None:
+        # right rows order by tiebreak at equal ts; left rows have NULL there
+        order.append(F.col(tiebreak).asc_nulls_last())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "_tag",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in right_cols],
+    )
+    return filled.filter(F.col("_tag") == 1).select(
+        *lcols, *[F.col(f"_asof_{c}").alias(c) for c in right_cols]
+    )

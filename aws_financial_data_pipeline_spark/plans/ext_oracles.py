@@ -294,4 +294,28 @@ EXT_ORACLES: dict[str, str] = {
            event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
+    # (user_id, ts) is unique in the events table, so the as-of match is
+    # deterministic without a tiebreak on both engines.
+    "x20_asof_join": """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    v AS (
+      SELECT user_id, ts, event_id AS view_id, value AS view_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT c.click_id, c.user_id, c.click_ts, v.view_id,
+           round(v.view_value, 4) AS view_value
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    "x21_percentiles": """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
 }

@@ -167,6 +167,40 @@ def x19_stream_tumbling(spark, sf_dir):
     return spark.table("x19_stream_tumbling")
 
 
+def x20_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks natively): each click event matched to
+    the user's most recent view event at or before it. One shuffle on user_id
+    (union + running last), no range explosion — see operators/asof.py."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "ts",
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.col("value").alias("view_value")
+    )
+    out = asof_join(clicks, views, on=["user_id"], ts="ts", right_cols=["view_id", "view_value"])
+    return out.select("click_id", "user_id", "click_ts", "view_id", F.round("view_value", 4).alias("view_value"))
+
+
+def x21_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per event_type — the statistical
+    aggregate family (reference gap). At 100 TB the same query swaps
+    percentile → approx_percentile (t-digest, mergeable sketch) with no other
+    change; exact is kept here because the oracle can hash-match it."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -197,4 +231,6 @@ EXT_QUERIES = {
     "x17_events_json": x17_events_json,
     "x18_multimodal_features": x18_multimodal_features,
     "x19_stream_tumbling": x19_stream_tumbling,
+    "x20_asof_join": x20_asof_join,
+    "x21_percentiles": x21_percentiles,
 }

@@ -158,4 +158,36 @@ FINANCIAL_ORACLES: dict[str, str] = {
     FROM (SELECT * FROM cur UNION ALL SELECT * FROM hist)
     GROUP BY user_id
     """,
+    "q17_rollup": P
+    + """
+    SELECT user_id,
+           category,
+           CAST(sum(CAST(round(amount, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           count(*) AS n_txns
+    FROM cur
+    GROUP BY ROLLUP (user_id, category)
+    """,
+    "q18_distinct_agg": P
+    + """
+    SELECT user_id,
+           count(DISTINCT vendor) AS n_vendors,
+           count(DISTINCT category) AS n_categories,
+           count(*) AS n_txns
+    FROM txns GROUP BY user_id
+    """,
+    "q19_pivot": P
+    + """
+    SELECT user_id,
+           CAST(sum(CASE WHEN category = '1-URGENT'
+                THEN CAST(round(amount,2) AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent,
+           CAST(sum(CASE WHEN category = '2-HIGH'
+                THEN CAST(round(amount,2) AS DECIMAL(18,2)) END) AS DOUBLE) AS high,
+           CAST(sum(CASE WHEN category = '3-MEDIUM'
+                THEN CAST(round(amount,2) AS DECIMAL(18,2)) END) AS DOUBLE) AS medium,
+           CAST(sum(CASE WHEN category = '4-NOT SPECIFIED'
+                THEN CAST(round(amount,2) AS DECIMAL(18,2)) END) AS DOUBLE) AS not_specified,
+           CAST(sum(CASE WHEN category = '5-LOW'
+                THEN CAST(round(amount,2) AS DECIMAL(18,2)) END) AS DOUBLE) AS low
+    FROM cur GROUP BY user_id
+    """,
 }

@@ -189,6 +189,60 @@ def q16_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rpt.report_json(rpt.assemble_report(cur, hist, year))
 
 
+def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (user_id, category) on the current month — multi-level
+    aggregation the reference lacks (SURVEY §2.3 gap). Sums run in decimal so
+    every grouping level is accumulation-order independent; Spark plans ONE
+    Expand + hash aggregate, not three scans."""
+    _, cur, _ = _base(spark, sf_dir, ("user_id", "category", "amount"))
+    return (
+        cur.rollup("user_id", "category")
+        .agg(
+            F.sum(round2(F.col("amount").cast("double")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.count("*").alias("n_txns"),
+        )
+    )
+
+
+def q18_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (reference gap): vendor/category cardinality per
+    user. Catalyst plans the two distinct aggregates as a single Expand +
+    two-stage aggregate — one shuffle, no joins."""
+    txns, _, _ = _base(spark, sf_dir, ("user_id", "vendor", "category"))
+    return txns.groupBy("user_id").agg(
+        F.countDistinct("vendor").alias("n_vendors"),
+        F.countDistinct("category").alias("n_categories"),
+        F.count("*").alias("n_txns"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_ALIAS = {
+    "1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+    "4-NOT SPECIFIED": "not_specified", "5-LOW": "low",
+}
+
+
+def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (reference gap): per-user monthly totals spread across category
+    columns. The pivot value list is EXPLICIT — without it Spark runs an extra
+    distinct job to discover values, a full scan at 100 TB."""
+    _, cur, _ = _base(spark, sf_dir, ("user_id", "category", "amount"))
+    pivoted = (
+        cur.groupBy("user_id")
+        .pivot("category", _PRIORITIES)
+        .agg(
+            F.sum(round2(F.col("amount").cast("double")).cast("decimal(18,2)"))
+            .cast("double")
+        )
+    )
+    return pivoted.select(
+        "user_id", *[F.col(f"`{p}`").alias(_PIVOT_ALIAS[p]) for p in _PRIORITIES]
+    )
+
+
 FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q01_historical_avg": q01_historical_avg,
     "q02_home_country": q02_home_country,
@@ -206,4 +260,7 @@ FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q14_union_all": q14_union_all,
     "q15_report_document": q15_report_document,
     "q16_report_json": q16_report_json,
+    "q17_rollup": q17_rollup,
+    "q18_distinct_agg": q18_distinct_agg,
+    "q19_pivot": q19_pivot,
 }

@@ -1,0 +1,60 @@
+"""As-of join edge semantics: inclusive match, no-prior-row NULLs, per-key
+isolation, deterministic tiebreak."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from aws_financial_data_pipeline_spark.operators.asof import asof_join
+from conftest import rows_by_key
+
+L = "lid string, k string, ts timestamp"
+R = "k string, ts timestamp, val double"
+
+
+def _t(m):
+    return datetime(2024, 1, 1, 10, m)
+
+
+def test_asof_basic_and_inclusive(spark):
+    left = spark.createDataFrame(
+        [("a", "u", _t(10)), ("b", "u", _t(20)), ("c", "u", _t(5))], L
+    )
+    right = spark.createDataFrame([("u", _t(10), 1.0), ("u", _t(15), 2.0)], R)
+    got = rows_by_key(
+        asof_join(left, right, on=["k"], ts="ts", right_cols=["val"]), "lid"
+    )
+    assert got[("a",)]["val"] == 1.0  # equal ts matches (inclusive)
+    assert got[("b",)]["val"] == 2.0  # most recent prior, not first
+    assert got[("c",)]["val"] is None  # nothing at or before 10:05
+
+
+def test_asof_keys_are_isolated(spark):
+    left = spark.createDataFrame([("a", "u1", _t(20)), ("b", "u2", _t(20))], L)
+    right = spark.createDataFrame([("u1", _t(10), 1.0)], R)
+    got = rows_by_key(
+        asof_join(left, right, on=["k"], ts="ts", right_cols=["val"]), "lid"
+    )
+    assert got[("a",)]["val"] == 1.0
+    assert got[("b",)]["val"] is None  # u1's rows never leak into u2
+
+
+def test_asof_tiebreak_deterministic(spark):
+    # two right rows at the SAME (key, ts): greatest tiebreak value must win
+    right = spark.createDataFrame(
+        [("u", _t(10), 1.0, "r1"), ("u", _t(10), 2.0, "r2")],
+        "k string, ts timestamp, val double, rid string",
+    )
+    left = spark.createDataFrame([("a", "u", _t(11))], L)
+    got = rows_by_key(
+        asof_join(left, right, on=["k"], ts="ts", right_cols=["val"], tiebreak="rid"),
+        "lid",
+    )
+    assert got[("a",)]["val"] == 2.0  # rid "r2" > "r1"
+
+
+def test_asof_preserves_left_multiplicity(spark):
+    left = spark.createDataFrame([("a", "u", _t(10)), ("a2", "u", _t(10))], L)
+    right = spark.createDataFrame([("u", _t(5), 1.0)], R)
+    out = asof_join(left, right, on=["k"], ts="ts", right_cols=["val"])
+    assert out.count() == 2  # one output row per left row, always
