@@ -1,0 +1,54 @@
+"""Interval (range) join — the second join shape Spark has no native operator
+for (SURVEY §2.4: the reference has neither as-of nor interval joins).
+
+Problem: ``points ⋈ intervals ON key AND start <= ts <= end``. Catalyst plans
+a non-equi join as BroadcastNestedLoopJoin (fine only while one side
+broadcasts) or falls back to a cartesian product — O(|P|·|I|) at scale.
+
+Scale path here: **bin both sides to a fixed time grid** so the range
+predicate becomes an equi-join on (key, bin) plus a residual filter:
+
+    points:    bin = floor(ts / w)                     (1 row per point)
+    intervals: explode bins floor(start/w)..floor(end/w)  (len/w rows each)
+    join on (key, bin) → filter start <= ts <= end
+
+Each (point, interval) match shares exactly the point's bin, so no
+deduplication is needed. Shuffle cost is linear in |P| + |I|·(len/w); pick
+``bin_width`` ≈ typical interval length so the blow-up factor stays ~2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start: str,
+    end: str,
+    bin_width_seconds: int = 600,
+) -> DataFrame:
+    """Inner interval join: every (point, interval) pair with matching keys
+    and ``start <= point_ts <= end`` (inclusive both ends). Output carries all
+    point columns + all interval columns (keys once).
+
+    Correctness does not depend on ``bin_width_seconds`` — only the shuffle
+    volume does.
+    """
+
+    def _bin(c: Column) -> Column:
+        return F.floor(c.cast("double") / bin_width_seconds).cast("long")
+
+    p = points.withColumn("_bin", _bin(F.col(point_ts)))
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(_bin(F.col(start)), _bin(F.col(end)))),
+    )
+    joined = p.join(i, [*on, "_bin"]).filter(
+        (F.col(start) <= F.col(point_ts)) & (F.col(point_ts) <= F.col(end))
+    )
+    return joined.drop("_bin")

@@ -318,4 +318,18 @@ EXT_ORACLES: dict[str, str] = {
            count(*) AS n_events
     FROM events GROUP BY event_type
     """,
+    "x22_interval_join": """
+    WITH e AS (
+      SELECT user_id, event_id AS error_id, ts AS err_start,
+             ts + INTERVAL 10 MINUTE AS err_end
+      FROM events WHERE event_type = 'error'
+    ),
+    v AS (SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view')
+    SELECT v.user_id, v.view_id, e.error_id
+    FROM v JOIN e ON v.user_id = e.user_id
+                 AND e.err_start <= v.ts AND v.ts <= e.err_end
+    """,
+    "x23_stream_dedup": """
+    SELECT DISTINCT md5(text) AS fp FROM documents
+    """,
 }

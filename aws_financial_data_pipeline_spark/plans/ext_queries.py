@@ -201,6 +201,55 @@ def x21_percentiles(spark, sf_dir):
     )
 
 
+def x22_interval_join(spark, sf_dir):
+    """Binned interval join: view events landing within 10 minutes after an
+    error event by the same user. The range predicate runs as an equi-join on
+    (user_id, time-bin) + residual filter — linear shuffle, no nested-loop
+    join (see operators/rangejoin.py)."""
+    from ..operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("err_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    out = interval_join(
+        views, errors, on=["user_id"], point_ts="ts", start="err_start", end="err_end"
+    )
+    return out.select("user_id", "view_id", "error_id")
+
+
+def x23_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates over a content digest keeps
+    per-key state in the store — the unbounded-stream form of x01. A full
+    availableNow replay must produce exactly the distinct digest set, so the
+    oracle is plain SELECT DISTINCT."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = (
+        stream.select(F.md5("text").alias("fp"))
+        .dropDuplicates(["fp"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("x23_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("x23_stream_dedup")
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -233,4 +282,6 @@ EXT_QUERIES = {
     "x19_stream_tumbling": x19_stream_tumbling,
     "x20_asof_join": x20_asof_join,
     "x21_percentiles": x21_percentiles,
+    "x22_interval_join": x22_interval_join,
+    "x23_stream_dedup": x23_stream_dedup,
 }

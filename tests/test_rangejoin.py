@@ -1,0 +1,69 @@
+"""Binned interval join: results must be identical to the naive range join
+regardless of bin width (bins change shuffle volume, never the answer)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators.rangejoin import interval_join
+
+P = "k string, pid string, ts timestamp"
+I = "k string, iid string, s timestamp, e timestamp"
+
+
+def _t(m, s=0):
+    return datetime(2024, 1, 1, 10, m, s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    points = spark.createDataFrame(
+        [
+            ("u", "p1", _t(0)),        # == interval start (inclusive)
+            ("u", "p2", _t(10)),       # == interval end (inclusive)
+            ("u", "p3", _t(10, 1)),    # just past the end
+            ("u", "p4", _t(5)),        # inside i1, crosses a bin boundary
+            ("u", "p5", _t(59)),       # inside the long interval i2 only
+            ("w", "p6", _t(5)),        # right time, wrong key
+        ],
+        P,
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u", "i1", _t(0), _t(10)),   # 10-min interval
+            ("u", "i2", _t(30), _t(59)),  # spans many small bins
+        ],
+        I,
+    )
+    return points, intervals
+
+
+EXPECTED = {("p1", "i1"), ("p2", "i1"), ("p4", "i1"), ("p5", "i2")}
+
+
+@pytest.mark.parametrize("bin_s", [60, 600, 3600])
+def test_matches_naive_for_any_bin_width(spark, frames, bin_s):
+    points, intervals = frames
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, on=["k"], point_ts="ts", start="s", end="e",
+            bin_width_seconds=bin_s,
+        ).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_equals_nested_loop_reference(spark, frames):
+    points, intervals = frames
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points.k == intervals.k) & (intervals.s <= points.ts) & (points.ts <= intervals.e),
+        ).collect()
+    }
+    assert naive == EXPECTED
