@@ -26,9 +26,11 @@ from aws_financial_data_pipeline_spark.plans.queries import FINANCIAL_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: Q3 risky-transaction flagging —
-    exercises the scan→join→scalar-subquery→filter→project spine."""
-    return FINANCIAL_QUERIES["q03_risky_transactions"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the full nested report
+    document (Q12) — one row per user assembling spending-by-category maps,
+    risk flags, high-value arrays, recurring YTD and the trend classification;
+    exercises the scan→join→scalar-subquery→filter→agg→nest spine end-to-end."""
+    return FINANCIAL_QUERIES["q15_report_document"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

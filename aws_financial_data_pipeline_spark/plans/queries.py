@@ -171,7 +171,12 @@ def q15_report_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user — map/array/struct sections assembled set-based for ALL users in
     one job. Maps/arrays are sorted for bit-stable output. Rows-only driver
     check (nested maps aren't hash-comparable through the SQL oracle); values
-    are golden-tested in tests/test_report.py."""
+    are golden-tested in tests/test_report.py.
+
+    Even with six sections branching the view, caching measured SLOWER here
+    (9.7s vs 6.3s at sf0.1): the sections prune to different column subsets,
+    and a cache forces one full-width materialization that defeats per-branch
+    pruning + exchange reuse. Kept uncached."""
     from . import report as rpt
 
     txns, cur, hist = _base(spark, sf_dir)

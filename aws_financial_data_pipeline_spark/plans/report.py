@@ -54,6 +54,9 @@ def assemble_report(cur: DataFrame, hist: DataFrame, statement_year) -> DataFram
     both the flagging and high-value joins.
     """
     scalars = fin.user_scalars(hist)
+    # computed once, consumed by both the map section and the trend — same
+    # logical subtree, one aggregation
+    monthly = fin.monthly_spending(cur.unionByName(hist))
     sections = [
         _map_section(fin.spending_by_category(cur), "category", "total", "SpendingByCategory"),
         _array_section(
@@ -73,13 +76,8 @@ def assemble_report(cur: DataFrame, hist: DataFrame, statement_year) -> DataFram
             fin.recurring_ytd(cur.unionByName(hist), statement_year),
             "vendor", "total", "RecurringTransactionsYearToDate",
         ),
-        _map_section(
-            fin.monthly_spending(cur.unionByName(hist)),
-            "year_month", "total", "MonthlySpending",
-        ),
-        fin.classify_trend(fin.monthly_spending(cur.unionByName(hist))).select(
-            "user_id", F.col("trend").alias("Trend")
-        ),
+        _map_section(monthly, "year_month", "total", "MonthlySpending"),
+        fin.classify_trend(monthly).select("user_id", F.col("trend").alias("Trend")),
     ]
     # All users that appear in the current statement get a report (the
     # reference iterates current-statement groups, docker/lambda_function.py:495).

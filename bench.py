@@ -32,6 +32,8 @@ HEADLINE = [
     "q08_monthly_spending",
     "q09_trend",
     "q11_top3_high_value",
+    "q15_report_document",
+    "q17_rollup",
     "x02_jaccard_pairs",
     "x03_minhash_signatures",
     "x07_cosine_topk",
@@ -39,6 +41,8 @@ HEADLINE = [
     "x13_fingerprint",
     "x16_events_sessions",
     "x18_multimodal_features",
+    "x20_asof_join",
+    "x22_interval_join",
 ]
 
 
