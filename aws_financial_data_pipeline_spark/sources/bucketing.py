@@ -1,0 +1,43 @@
+"""Bucketed table layout — the shuffle-free-join write path (100 TB posture).
+
+SCALING.md calls out that at cluster scale the lineitem⋈orders join should be
+bucketed on the order key so the sort-merge join needs NO exchange on either
+side. This module is that write path: Spark-native bucketing (no Hive
+metastore needed — the bucket spec lives in the session catalog), verified by
+a test that asserts the join plan of two co-bucketed tables contains no
+Exchange.
+
+Bucket-count discipline: pick ``num_buckets`` so each bucket file lands in
+the 128 MB–1 GB range at the target scale; both join sides MUST use the same
+count (mismatched counts reintroduce a shuffle on one side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-within-bucket) table.
+
+    Sorting by the bucket column makes the downstream sort-merge join skip its
+    sort as well — the join becomes a pure zip of pre-sorted bucket files.
+    """
+    w = df.write.bucketBy(num_buckets, bucket_col).mode("overwrite").format("parquet")
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Equi-join of two co-bucketed tables. With matching bucket specs the
+    plan has no Exchange; callers can assert via ``.explain``."""
+    return spark.table(left_table).join(spark.table(right_table), on)

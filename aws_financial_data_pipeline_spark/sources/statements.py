@@ -80,6 +80,10 @@ def corrupt_records(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(schema)
         .csv(path)
+        # Spark forbids queries touching ONLY the internal corrupt-record
+        # column on a raw CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+        # RECORD_COLUMN); caching the parsed frame is the documented pattern
+        .cache()
     )
     return raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
 

@@ -54,10 +54,12 @@ def main() -> None:
     spark = get_spark("afdp-bench")
     queries = entrymod.queries()
 
-    # warmup: JVM + codegen + parquet footer caches
-    queries["q04_spending_by_category"](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    # warmup: JVM JIT + codegen + parquet footer caches across the main
+    # physical shapes (hash agg, window, broadcast join, higher-order exprs) —
+    # without this the first queries absorb one-time JIT cost and round-over-
+    # round numbers aren't comparable
+    for w in ("q04_spending_by_category", "q09_trend", "x14_events_tumbling", "x10_text_stats"):
+        queries[w](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

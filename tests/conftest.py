@@ -22,7 +22,14 @@ TXN_COLS = "user_id string, id string, date date, vendor string, category string
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("afdp-tests", master="local[4]", shuffle_partitions=4)
+    import tempfile
+
+    s = get_spark(
+        "afdp-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="afdp-warehouse-")},
+    )
     yield s
 
 

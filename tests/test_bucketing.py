@@ -1,0 +1,44 @@
+"""Bucketed co-located join: the plan must contain NO Exchange — the physical
+proof behind SCALING.md's bucketing claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.sources.bucketing import bucketed_join, write_bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the sort-merge path so the Exchange assertion is meaningful."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_co_bucketed_join_has_no_shuffle(spark, no_broadcast):
+    left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(500).select(F.col("id").alias("k"), (F.col("id") + 7).alias("b"))
+    write_bucketed(left, "t_left_bkt", "k", 8, sort_col="k")
+    write_bucketed(right, "t_right_bkt", "k", 8, sort_col="k")
+
+    joined = bucketed_join(spark, "t_left_bkt", "t_right_bkt", "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: zero shuffles on either side
+    assert joined.count() == 500
+
+    # contrast: the same join on unbucketed frames DOES shuffle
+    plain = left.join(right, "k")
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plain_plan
+
+
+def test_mismatched_bucket_counts_still_correct(spark, no_broadcast):
+    left = spark.range(100).select(F.col("id").alias("k"))
+    right = spark.range(100).select(F.col("id").alias("k"))
+    write_bucketed(left, "t_left_16", "k", 16)
+    write_bucketed(right, "t_right_4", "k", 4)
+    assert bucketed_join(spark, "t_left_16", "t_right_4", "k").count() == 100

@@ -64,6 +64,22 @@ def test_embedding_near_duplicates(spark):
     assert set(got) == {(1, 2), (1, 4), (2, 4), (3, 4)}
 
 
+def test_ann_recall_floor_on_testdata(spark):
+    """Measured quality gate: LSH ANN must recover a meaningful fraction of
+    the exact top-10 on the real embeddings table. The 16-plane/4-bit-band
+    config trades ~4x candidate pruning for roughly half recall on this
+    near-random corpus (see SCALING.md); this asserts that floor holds so a
+    config change that silently destroys recall fails CI."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)  # ~10 queries at sf0.001
+    exact = sim.cosine_topk(emb, queries, k=10).collect()
+    approx = sim.ann_topk_lsh(spark, emb, queries, k=10).collect()
+    exact_pairs = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"ANN recall@10 collapsed: {recall:.2f}"
+
+
 def test_multimodal_feature_extraction(spark):
     from aws_financial_data_pipeline_spark.operators import multimodal as mm
     import hashlib

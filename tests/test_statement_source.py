@@ -49,6 +49,17 @@ def test_with_country_resolution_and_unknown_code(spark, tmp_path):
     assert got[("2001",)]["country"] == "ZZ"
 
 
+def test_corrupt_rows_surfaced_not_swallowed(spark, tmp_path):
+    # a row with an unterminated quote is unparseable; the reference would
+    # silently drop it (blanket except) — we surface it in corrupt_records
+    bad = '3,202412,3001,2024-12-04,"VendD,Dining,9.99,USD,true,purchase,US-NY,oops'
+    path = _write_csv(tmp_path, name="bad.csv", rows=ROWS + [bad])
+    parsed = src.read_statement_csv(spark, path)
+    assert {r["id"] for r in parsed.collect()} == {"1001", "1002", "2001"}
+    corrupt = src.corrupt_records(spark, path).collect()
+    assert len(corrupt) == 1 and "3001" in corrupt[0][src.CORRUPT_COL]
+
+
 def test_statement_documents_nesting(spark, tmp_path):
     txns = src.read_statement_csv(spark, _write_csv(tmp_path))
     docs = rows_by_key(src.statement_documents(txns), "user_id", "year_month")
