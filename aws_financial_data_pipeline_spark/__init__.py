@@ -13,8 +13,11 @@ Layout
 - ``functions``  : scalar/date helpers (projection layer, SURVEY §2.2).
 - ``operators``  : relational core (financial analytics) + scale extensions.
 - ``plans``      : named queries over the driver testdata + DuckDB oracles.
-- ``streaming``  : Structured Streaming ingestion + windowed event analytics.
-- ``report``     : report-document assembly (nested doc → JSON) on aggregates.
+- ``streaming``  : Structured Streaming ingestion, windows, stateful operators.
+- ``plans.report``: report-document assembly (nested doc → JSON) on aggregates.
+- ``reporting``  : chart payloads + PNG/PDF painters (gated on libs).
+- ``pipeline``   : end-to-end batch statement pipeline (the lambda_handler
+  equivalent): ``process_statement(spark, csv, history_path)``.
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,87 @@
+"""End-to-end statement pipeline — the batch equivalent of the reference's
+``lambda_handler`` (docker/lambda_function.py:483-554), set-based.
+
+One call processes a statement CSV exactly like one reference invocation:
+
+    parse (S1, one scan — the reference parses twice)
+      → country resolution (J1 broadcast dim join)
+      → analyses Q1–Q10 against the history store (S4) → report document (Q12)
+      → report JSON artifacts (S7, optional)
+      → history upsert (S5, whole-key dynamic partition overwrite)
+
+All users in the file are processed in ONE Spark job per stage — the
+reference's per-user Python loop (docker/lambda_function.py:495) does not
+exist here.
+
+Documented deviation (SURVEY §2.12 policy): on RE-statement of an existing
+(user_id, year_month), the reference unions the new rows with the stale stored
+rows for the same month during analysis (docker/lambda_function.py:497) —
+double-counting the month — and only then overwrites. We exclude the restated
+keys from history (left_anti join) so re-processing is idempotent.
+
+The streaming twin is :mod:`streaming.ingest` (same stages driven by
+``foreachBatch``); this module is the direct/batch invocation path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.report import assemble_report, report_json
+from .sources.history import HistoryStore
+from .sources.statements import read_statement_csv, with_country
+
+
+def _analysis_cols(txns: DataFrame) -> DataFrame:
+    """Project the analysis layout: the financial operators key on
+    (user_id, id, date, vendor, category, amount, recurring, country)."""
+    return txns.select(
+        "user_id", "id", "date", "vendor", "category",
+        F.col("amount").cast("double").alias("amount"),
+        "recurring", "country",
+    )
+
+
+def process_statement(
+    spark: SparkSession,
+    csv_path: str,
+    history_path: str,
+    reports_dir: str | None = None,
+) -> DataFrame:
+    """Process one statement CSV end-to-end; returns the per-user report
+    documents (and writes them as JSON under ``reports_dir`` if given).
+
+    The statement year is derived from the file's maximum ``year_month`` —
+    the same scalar the reference takes from each processed group
+    (docker/lambda_function.py:505).
+    """
+    stmt = with_country(read_statement_csv(spark, csv_path), spark)
+    store = HistoryStore(spark, history_path)
+
+    try:
+        hist_raw = store.read()
+    except Exception:  # first ever statement: no store yet
+        hist_raw = stmt.limit(0)
+    # idempotent re-statement: stale rows for the keys being restated are
+    # excluded from the analysis (deviation — see module docstring)
+    hist_raw = hist_raw.join(
+        stmt.select("user_id", "year_month").distinct(), ["user_id", "year_month"], "left_anti"
+    )
+
+    cur = _analysis_cols(stmt)
+    hist = _analysis_cols(with_country(hist_raw, spark) if "country" not in hist_raw.columns else hist_raw)
+    year = stmt.agg(F.max(F.substring("year_month", 1, 4)).cast("int").alias("statement_year"))
+
+    report = assemble_report(cur, hist, year)
+    # Materialize BEFORE the upsert: the report plan reads the history files
+    # the upsert is about to overwrite (dynamic partition overwrite deletes
+    # replaced partitions) — a lazily-evaluated report would hit
+    # FAILED_READ_FILE on re-statement. localCheckpoint truncates the lineage
+    # so the returned frame is self-contained.
+    report = report.localCheckpoint(eager=True)
+    if reports_dir is not None:
+        report_json(report).write.mode("overwrite").json(reports_dir)
+
+    store.upsert(stmt)  # S5 LAST, like the reference (analysis sees pre-state)
+    return report

@@ -1,0 +1,75 @@
+"""End-to-end batch pipeline: CSV in → report out → history upserted, across
+multiple statement months, with idempotent re-statement."""
+
+from __future__ import annotations
+
+import json
+
+from aws_financial_data_pipeline_spark.pipeline import process_statement
+from aws_financial_data_pipeline_spark.sources.history import HistoryStore
+from conftest import rows_by_key
+from test_statement_source import HEADER
+
+
+def _csv(tmp_path, name, rows):
+    p = tmp_path / name
+    p.write_text(HEADER + "\n" + "\n".join(rows) + "\n")
+    return str(p)
+
+
+def _row(uid, ym, tid, d, vendor, cat, amount, rec, loc):
+    return f"{uid},{ym},{tid},{d},{vendor},{cat},{amount},USD,{rec},purchase,{loc},x"
+
+
+def test_pipeline_two_months(spark, tmp_path):
+    hist = str(tmp_path / "hist")
+
+    # month 1: no history — everything flagged High (home NULL, avg 0)
+    nov = _csv(tmp_path, "nov.csv", [
+        _row(1, 202411, "a1", "2024-11-01", "VendA", "Groceries", 100.0, "true", "US-CA"),
+        _row(1, 202411, "a2", "2024-11-02", "VendB", "Dining", 50.0, "false", "US-NY"),
+    ])
+    r1 = rows_by_key(process_statement(spark, nov, hist), "user_id")
+    assert len(r1[("1",)]["FlaggedTransactions"]) == 2
+    assert all(f["risk_level"] == "High Risk" for f in r1[("1",)]["FlaggedTransactions"])
+    assert r1[("1",)]["MonthlySpending_Trend"]["Trend"] == "Not enough data"
+
+    # month 2: November history now drives the scalars (home US, avg 75)
+    dec = _csv(tmp_path, "dec.csv", [
+        _row(1, 202412, "b1", "2024-12-01", "VendA", "Groceries", 80.0, "true", "FR-IDF"),
+        _row(1, 202412, "b2", "2024-12-02", "VendB", "Dining", 70.0, "false", "US-CA"),
+    ])
+    r2 = rows_by_key(process_statement(spark, dec, hist, reports_dir=str(tmp_path / "rep")), "user_id")
+    flags = {f["transaction_id"]: f for f in r2[("1",)]["FlaggedTransactions"]}
+    assert set(flags) == {"b1"}  # France row only; b2 is home-country
+    assert flags["b1"]["risk_level"] == "High Risk"  # 80 > avg 75
+    assert flags["b1"]["home_country"] == "United States"
+    assert r2[("1",)]["RecurringTransactionsYearToDate"] == {"VendA": 180.0}
+
+    # history store now holds both months
+    store = HistoryStore(spark, hist)
+    assert store.read().count() == 4
+
+    # report JSON artifact parses
+    j = spark.read.json(str(tmp_path / "rep")).collect()
+    parsed = json.loads(j[0]["report"])
+    assert parsed["SpendingByCategory"]["Groceries"] == 80.0
+
+
+def test_pipeline_restatement_is_idempotent(spark, tmp_path):
+    hist = str(tmp_path / "hist2")
+    v1 = _csv(tmp_path, "v1.csv", [
+        _row(1, 202411, "a1", "2024-11-01", "VendA", "Groceries", 100.0, "false", "US-CA"),
+    ])
+    process_statement(spark, v1, hist)
+    # restate the SAME month with corrected data — analysis must not see the
+    # stale row (the reference would double-count it), store must be replaced
+    v2 = _csv(tmp_path, "v2.csv", [
+        _row(1, 202411, "a1x", "2024-11-03", "VendA", "Groceries", 60.0, "false", "US-CA"),
+    ])
+    r = rows_by_key(process_statement(spark, v2, hist), "user_id")
+    assert r[("1",)]["SpendingByCategory"] == {"Groceries": 60.0}
+    assert r[("1",)]["MonthlySpending_Trend"]["MonthlySpending"] == {"202411": 60.0}
+    store = HistoryStore(spark, hist)
+    got = rows_by_key(store.read(), "id")
+    assert set(got) == {("a1x",)}
