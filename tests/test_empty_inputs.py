@@ -1,0 +1,63 @@
+"""Empty-input sweep: every operator must return an empty (or well-defined)
+result on empty frames — never throw. Guards the scalar-subquery/left-join
+edges (SURVEY §7 'empty-history scalars propagating through J2')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import dedup, financial as fin, similarity as sim, text
+from aws_financial_data_pipeline_spark.plans.report import assemble_report
+from conftest import TXN_COLS
+
+
+def _empty_txns(spark):
+    return spark.createDataFrame([], TXN_COLS)
+
+
+def test_financial_ops_on_empty(spark, cur_txns):
+    empty = _empty_txns(spark)
+    assert fin.historical_average(empty).count() == 0
+    assert fin.home_country(empty).count() == 0
+    assert fin.user_scalars(empty).count() == 0
+    assert fin.monthly_spending(empty).count() == 0
+    assert fin.classify_trend(fin.monthly_spending(empty)).count() == 0
+    assert fin.recurring_ytd(empty, 2024).count() == 0
+    # empty CURRENT side: no reports, no flags, regardless of history
+    assert fin.flag_risky(empty, fin.user_scalars(cur_txns)).count() == 0
+    assert fin.high_value(empty, fin.user_scalars(cur_txns)).count() == 0
+
+
+def test_report_on_empty_current(spark, hist_2024):
+    empty = _empty_txns(spark)
+    # no statement rows → no report rows (reference iterates statement groups)
+    assert assemble_report(empty, hist_2024, 2024).count() == 0
+
+
+def test_text_dedup_on_empty(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.exact_duplicates(docs).count() == 0
+    assert dedup.minhash_signatures(docs).count() == 0
+    assert dedup.jaccard_pairs(docs, threshold=0.0).count() == 0
+    assert text.text_stats(docs).count() == 0
+    assert text.fingerprint(docs).count() == 0
+
+
+def test_similarity_on_empty(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sim.cosine_topk(emb, emb, k=5).count() == 0
+    assert sim.embedding_near_duplicates(emb).count() == 0
+    # ann on empty corpus: dim auto-detect has no row to probe — must not blow up
+    assert sim.ann_topk_lsh(spark, emb, emb, k=5).count() == 0
+
+
+def test_single_row_inputs(spark, cur_txns):
+    one = cur_txns.limit(1)
+    assert fin.spending_by_category(one).count() == 1
+    assert fin.top_k_high_value(
+        one.select("user_id", F.col("id").alias("transaction_id"), "amount",
+                   "vendor", "category", "date"), k=3
+    ).count() == 1
+    docs = spark.createDataFrame([(1, "only one doc")], "doc_id long, text string")
+    assert dedup.exact_duplicates(docs).count() == 1
+    assert dedup.jaccard_pairs(docs, threshold=0.0, n=2).count() == 0  # no pairs

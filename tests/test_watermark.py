@@ -1,0 +1,76 @@
+"""Watermark semantics: data arriving behind the watermark is DROPPED from the
+windowed aggregation — the late-data control the reference lacks entirely
+(SURVEY §2.9).
+
+Batch boundaries are forced with maxFilesPerTrigger=1 + explicit file
+modification times (the file source processes oldest files first). Note the
+one-batch lag: the watermark used for FILTERING batch N is the one committed
+after batch N-1, which was computed from batch N-2's data — so the late row
+is placed two batches after the on-time data that advances the watermark past
+it (verified against numRowsDroppedByWatermark)."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+from aws_financial_data_pipeline_spark.streaming.windows import tumbling_stream
+
+EVENT_COLS = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def test_late_rows_behind_watermark_are_dropped(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, EVENT_COLS).coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    # batch 0: events to 12:00 → watermark 11:50 (committed after this batch)
+    write_file("f1", [
+        (1, datetime(2024, 1, 1, 10, 30), 1, "view", 1.0),
+        (2, datetime(2024, 1, 1, 12, 0), 1, "view", 2.0),
+    ], now - 90)
+    # batch 1: keeps the stream moving (filter for batch 2 = 11:50)
+    write_file("f2", [(4, datetime(2024, 1, 1, 12, 30), 1, "view", 4.0)], now - 60)
+    # batch 2: 08:05 is far behind the 11:50 filtering watermark → dropped;
+    # 12:45 is on time → counted
+    write_file("f3", [
+        (5, datetime(2024, 1, 1, 8, 5), 1, "view", 100.0),
+        (6, datetime(2024, 1, 1, 12, 45), 1, "view", 6.0),
+    ], now - 30)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "f1")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        tumbling_stream(stream, "1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # exactly the 08:05 row
+
+    got = {r["window_start"]: r for r in spark.table("wm_test").collect()}
+    # append mode finalized the 10:00 window; the late 08:00 window NEVER
+    # appears — its only row was discarded at the input filter
+    assert "2024-01-01 08:00:00" not in got
+    assert got["2024-01-01 10:00:00"]["n_events"] == 1
+    assert got["2024-01-01 10:00:00"]["total_value"] == 1.0
