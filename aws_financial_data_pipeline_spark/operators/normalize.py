@@ -1,0 +1,47 @@
+"""Grouped-map pandas operators (``applyInPandas``).
+
+Completes the Arrow-batched Python API surface next to ``mapInPandas``
+(multimodal) and ``applyInPandasWithState`` (streaming state): one pandas
+frame per GROUP, for group-local computations that would otherwise need a
+window + several joins.
+
+Caveats encoded here (the 100 TB fine print):
+- a group must fit in one executor's memory — keys are users, not the whole
+  table, and the payload is pruned to the columns the kernel needs;
+- the equivalent pure-Catalyst form (window avg/stddev) is preferred when
+  expressible — this operator exists for kernels that AREN'T (sklearn-style
+  per-group fitting); the z-score kernel doubles as the oracle-checkable
+  proof that the grouped path computes exactly what the SQL says.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ZSCORE_SCHEMA = "user_id bigint, id bigint, amount double, zscore double"
+
+
+def _zscore_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group z-score with SAMPLE stddev (ddof=1 — matches SQL
+    stddev_samp). Single-member groups and zero-variance groups → NULL."""
+    std = pdf["amount"].std(ddof=1)
+    mean = pdf["amount"].mean()
+    z = (pdf["amount"] - mean) / std if std and std > 0 else pd.Series([None] * len(pdf))
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "id": pdf["id"],
+            "amount": pdf["amount"],
+            "zscore": z.astype("float64").round(4),
+        }
+    )
+
+
+def zscore_per_user(txns: DataFrame) -> DataFrame:
+    """Per-user z-score of transaction amounts via grouped-map pandas.
+    Input needs (user_id, id, amount); one shuffle on user_id, then each
+    user's rows arrive as one Arrow batch to the kernel."""
+    return txns.select("user_id", "id", "amount").groupBy("user_id").applyInPandas(
+        _zscore_kernel, ZSCORE_SCHEMA
+    )

@@ -332,4 +332,17 @@ EXT_ORACLES: dict[str, str] = {
     "x23_stream_dedup": """
     SELECT DISTINCT md5(text) AS fp FROM documents
     """,
+    # pandas std(ddof=1) == stddev_samp; singleton/zero-variance users → NULL
+    "x24_zscore_grouped_pandas": """
+    SELECT user_id, id, amount,
+           round((amount - avg(amount) OVER w) / nullif(stddev_samp(amount) OVER w, 0), 4)
+             AS zscore
+    FROM (
+      SELECT l_suppkey AS user_id,
+             l_orderkey * 10 + l_linenumber AS id,
+             l_extendedprice AS amount
+      FROM lineitem
+    )
+    WINDOW w AS (PARTITION BY user_id)
+    """,
 }

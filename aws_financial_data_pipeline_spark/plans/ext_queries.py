@@ -201,6 +201,22 @@ def x21_percentiles(spark, sf_dir):
     )
 
 
+def x24_zscore_grouped_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas (per-user z-score) with a full SQL oracle —
+    proof the Arrow grouped path computes exactly what the window SQL says.
+    Uses the lineitem-only columns (id derivable without joins)."""
+    from ..operators.normalize import zscore_per_user
+    from ..session import read_parquet_scaled
+
+    li = read_parquet_scaled(spark, f"{sf_dir}/lineitem.parquet")
+    txns = li.select(
+        F.col("l_suppkey").alias("user_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    return zscore_per_user(txns)
+
+
 def x22_interval_join(spark, sf_dir):
     """Binned interval join: view events landing within 10 minutes after an
     error event by the same user. The range predicate runs as an equi-join on
@@ -284,4 +300,5 @@ EXT_QUERIES = {
     "x21_percentiles": x21_percentiles,
     "x22_interval_join": x22_interval_join,
     "x23_stream_dedup": x23_stream_dedup,
+    "x24_zscore_grouped_pandas": x24_zscore_grouped_pandas,
 }
