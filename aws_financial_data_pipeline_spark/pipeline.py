@@ -43,22 +43,20 @@ def _analysis_cols(txns: DataFrame) -> DataFrame:
     )
 
 
-def process_statement(
-    spark: SparkSession,
-    csv_path: str,
-    history_path: str,
-    reports_dir: str | None = None,
-) -> DataFrame:
-    """Process one statement CSV end-to-end; returns the per-user report
-    documents (and writes them as JSON under ``reports_dir`` if given).
+def analyze_statement(spark: SparkSession, stmt: DataFrame, store: HistoryStore) -> DataFrame:
+    """Q1–Q12 analysis of a typed statement frame against the PRE-upsert
+    store; returns the materialized per-user report documents.
 
-    The statement year is derived from the file's maximum ``year_month`` —
+    Shared by the batch path (:func:`process_statement`) and the streaming
+    path (:func:`streaming.ingest.run_statement_ingest` with a report dir) so
+    both produce identical reports for identical inputs.
+
+    The statement year is derived from the frame's maximum ``year_month`` —
     the same scalar the reference takes from each processed group
     (docker/lambda_function.py:505).
     """
-    stmt = with_country(read_statement_csv(spark, csv_path), spark)
-    store = HistoryStore(spark, history_path)
-
+    if "country" not in stmt.columns:
+        stmt = with_country(stmt, spark)
     try:
         hist_raw = store.read()
     except Exception:  # first ever statement: no store yet
@@ -79,9 +77,21 @@ def process_statement(
     # replaced partitions) — a lazily-evaluated report would hit
     # FAILED_READ_FILE on re-statement. localCheckpoint truncates the lineage
     # so the returned frame is self-contained.
-    report = report.localCheckpoint(eager=True)
+    return report.localCheckpoint(eager=True)
+
+
+def process_statement(
+    spark: SparkSession,
+    csv_path: str,
+    history_path: str,
+    reports_dir: str | None = None,
+) -> DataFrame:
+    """Process one statement CSV end-to-end; returns the per-user report
+    documents (and writes them as JSON under ``reports_dir`` if given)."""
+    stmt = with_country(read_statement_csv(spark, csv_path), spark)
+    store = HistoryStore(spark, history_path)
+    report = analyze_statement(spark, stmt, store)
     if reports_dir is not None:
         report_json(report).write.mode("overwrite").json(reports_dir)
-
     store.upsert(stmt)  # S5 LAST, like the reference (analysis sees pre-state)
     return report

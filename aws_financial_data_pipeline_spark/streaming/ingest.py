@@ -73,22 +73,33 @@ def run_statement_ingest(
     in_dir: str,
     history_path: str,
     checkpoint_dir: str,
+    reports_dir: str | None = None,
     batch_hook: Callable[[DataFrame, int], None] | None = None,
     available_now: bool = True,
     clean_source: str = "delete",
 ) -> StreamingQuery:
-    """S3+S8+Q11 end-to-end: ingest statement CSVs, upsert the history store.
+    """S3+S8+Q11(+Q12) end-to-end: ingest statement CSVs, upsert the history
+    store, and — when ``reports_dir`` is given — run the SAME per-statement
+    analysis as the batch pipeline (pipeline.analyze_statement, pre-upsert
+    history semantics) and write the report JSON under
+    ``reports_dir/batch_<id>/``, mirroring the reference's per-invocation
+    report generation (docker/lambda_function.py:524-541).
 
-    ``batch_hook(typed_batch_df, batch_id)`` runs after the upsert — the seam
-    where the report pipeline (plans.report) attaches, mirroring the
-    reference's per-invocation report generation without coupling ingest to
-    reporting. ``available_now=True`` drains everything currently in the
-    directory then stops (test/backfill mode); ``False`` runs continuously.
+    ``batch_hook(typed_batch_df, batch_id)`` runs after the upsert — a seam
+    for custom sinks. ``available_now=True`` drains everything currently in
+    the directory then stops (test/backfill mode); ``False`` runs
+    continuously.
     """
     store = HistoryStore(spark, history_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         typed = _typed(batch)
+        if reports_dir is not None:
+            from ..pipeline import analyze_statement
+            from ..plans.report import report_json
+
+            report = analyze_statement(spark, typed, store)
+            report_json(report).write.mode("overwrite").json(f"{reports_dir}/batch_{batch_id}")
         store.upsert(typed)
         if batch_hook is not None:
             batch_hook(typed, batch_id)

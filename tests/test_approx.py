@@ -1,0 +1,44 @@
+"""Approximate aggregates — the documented 100 TB swaps for the exact forms
+(SCALING.md / x21 docstring). These can't be oracle-hash-checked (sketches),
+so the quality bound is asserted here against the exact answer instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def _events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    docs = _docs(spark)
+    exact = docs.select(F.countDistinct("text").alias("n")).first()["n"]
+    approx = docs.select(F.approx_count_distinct("text", rsd=0.02).alias("n")).first()["n"]
+    assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd
+
+
+def test_approx_percentile_close_to_exact(spark):
+    ev = _events(spark)
+    got = ev.agg(
+        F.percentile("value", 0.5).alias("exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx"),
+    ).first()
+    spread = (
+        ev.agg((F.max("value") - F.min("value")).alias("r")).first()["r"]
+    )
+    assert abs(got["approx"] - got["exact"]) <= 0.01 * spread
+
+
+def test_sketches_are_mergeable_across_partitioning(spark):
+    """The property that makes sketches the scale path: the result must not
+    depend on how the data is partitioned."""
+    docs = _docs(spark)
+    a = docs.repartition(2).select(F.approx_count_distinct("text", 0.02).alias("n")).first()["n"]
+    b = docs.repartition(17).select(F.approx_count_distinct("text", 0.02).alias("n")).first()["n"]
+    assert a == b

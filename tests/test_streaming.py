@@ -49,6 +49,40 @@ def test_ingest_upserts_history(spark, tmp_path):
     assert got[("a2",)]["user_id"] == "1" and got[("a2",)]["year_month"] == "202411"
 
 
+def test_ingest_with_reports_matches_batch_pipeline(spark, tmp_path):
+    """Streaming ingest + reports_dir must produce the SAME report JSON as the
+    batch pipeline fed the same file (shared analyze_statement)."""
+    import json
+
+    from aws_financial_data_pipeline_spark.pipeline import process_statement
+
+    rows = [
+        _row(1, 202411, "a", "2024-11-01", 10.0),
+        _row(1, 202411, "b", "2024-11-02", 20.0),
+    ]
+    in_dir = tmp_path / "in"; in_dir.mkdir()
+    _csv(in_dir, "u1.csv", rows)
+    q = run_statement_ingest(
+        spark, str(in_dir), str(tmp_path / "hist_s"), str(tmp_path / "ckpt"),
+        reports_dir=str(tmp_path / "rep_s"), clean_source="off",
+    )
+    q.awaitTermination()
+    stream_reports = {
+        r["user_id"]: json.loads(r["report"])
+        for r in spark.read.json(str(tmp_path / "rep_s") + "/batch_*").collect()
+    }
+
+    batch_csv = _csv(tmp_path, "u1_batch.csv", rows)
+    process_statement(spark, str(batch_csv), str(tmp_path / "hist_b"),
+                      reports_dir=str(tmp_path / "rep_b"))
+    batch_reports = {
+        r["user_id"]: json.loads(r["report"])
+        for r in spark.read.json(str(tmp_path / "rep_b")).collect()
+    }
+    assert stream_reports == batch_reports
+    assert stream_reports["1"]["SpendingByCategory"]["Groceries"] == 30.0
+
+
 def _events_df(spark):
     base = datetime(2024, 1, 1, 10, 0, 0)
     rows = [
