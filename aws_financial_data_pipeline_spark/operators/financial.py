@@ -108,6 +108,76 @@ def user_scalars(hist: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Summary layer: pre-aggregated history (the 100 TB read path)
+# ---------------------------------------------------------------------------
+
+SUMMARY_KEYS = ("user_id", "year_month", "country", "category", "vendor", "recurring")
+
+
+def summarize_transactions(txns: DataFrame) -> DataFrame:
+    """Additive summary of a transactions frame:
+    (user_id, year_month, country, category, vendor, recurring) →
+    (sum_amount decimal — exact, cnt).
+
+    Every history-side aggregate the reference needs (per-user avg, mode
+    country, monthly totals, recurring YTD) is derivable from this summary, so
+    statement analysis reads O(|summary|) instead of O(|history rows|). The
+    sums are decimal → re-aggregation is exact and order-free, and since
+    amounts are 2dp at rest (decimal(12,2), SURVEY §1.1), Σamount equals the
+    reference's Σround2(amount) exactly.
+    """
+    ym = F.coalesce(F.col("year_month"), year_month_of("date")) if "year_month" in txns.columns \
+        else year_month_of("date")
+    return (
+        txns.withColumn("_ym", ym)
+        .groupBy(F.col("user_id"), F.col("_ym").alias("year_month"),
+                 "country", "category", "vendor", "recurring")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(18,2)")).alias("sum_amount"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def user_scalars_from_summary(summary: DataFrame) -> DataFrame:
+    """A1+A2 from the summary: identical output to :func:`user_scalars` on the
+    underlying rows (decimal re-aggregation is exact; mode counts are Σcnt)."""
+    per_country = summary.groupBy("user_id", "country").agg(
+        F.sum("sum_amount").alias("_s"), F.sum("cnt").alias("_c")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("_c"), F.asc("country"))
+    return (
+        per_country.withColumn("_rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("_s").cast("double") / F.sum("_c"), 2).alias("avg_amount"),
+            F.max(F.when(F.col("_rn") == 1, F.col("country"))).alias("home_country"),
+        )
+    )
+
+
+def monthly_spending_from_summary(summary: DataFrame) -> DataFrame:
+    """A5 from the summary (exact: Σ of exact decimal partials)."""
+    return summary.groupBy("user_id", "year_month").agg(
+        F.round(F.sum("sum_amount").cast("double"), 2).alias("total")
+    )
+
+
+def recurring_ytd_from_summary(summary: DataFrame, statement_year: DataFrame | int) -> DataFrame:
+    """A4/Q7 from the summary."""
+    year_col = F.substring("year_month", 1, 4).cast("int")
+    if isinstance(statement_year, DataFrame):
+        t = summary.join(F.broadcast(statement_year), year_col == F.col("statement_year"))
+    else:
+        t = summary.filter(year_col == F.lit(statement_year))
+    return (
+        t.filter(F.col("recurring"))
+        .groupBy("user_id", "vendor")
+        .agg(F.round(F.sum("sum_amount").cast("double"), 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q3 — risky-transaction flagging (J2 + F1 + F2 + P10)
 # ---------------------------------------------------------------------------
 

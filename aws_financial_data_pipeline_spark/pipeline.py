@@ -55,23 +55,30 @@ def analyze_statement(spark: SparkSession, stmt: DataFrame, store: HistoryStore)
     the same scalar the reference takes from each processed group
     (docker/lambda_function.py:505).
     """
+    from .operators.financial import SUMMARY_KEYS
+    from .plans.report import assemble_report_from_summary
+
     if "country" not in stmt.columns:
         stmt = with_country(stmt, spark)
+    # History side reads the maintained SUMMARY, not raw rows: the analysis
+    # cost is O(|statement| + |summary|) — at 100 TB the raw history is never
+    # rescanned per statement (see HistoryStore / SCALING.md).
     try:
-        hist_raw = store.read()
+        hist_summary = store.read_summary()
     except Exception:  # first ever statement: no store yet
-        hist_raw = stmt.limit(0)
-    # idempotent re-statement: stale rows for the keys being restated are
-    # excluded from the analysis (deviation — see module docstring)
-    hist_raw = hist_raw.join(
+        from .operators.financial import summarize_transactions
+
+        hist_summary = summarize_transactions(_analysis_cols(stmt)).limit(0)
+    # idempotent re-statement: stale summary partitions for the keys being
+    # restated are excluded from the analysis (deviation — see module docstring)
+    hist_summary = hist_summary.join(
         stmt.select("user_id", "year_month").distinct(), ["user_id", "year_month"], "left_anti"
-    )
+    ).select(*SUMMARY_KEYS, "sum_amount", "cnt")
 
     cur = _analysis_cols(stmt)
-    hist = _analysis_cols(with_country(hist_raw, spark) if "country" not in hist_raw.columns else hist_raw)
     year = stmt.agg(F.max(F.substring("year_month", 1, 4)).cast("int").alias("statement_year"))
 
-    report = assemble_report(cur, hist, year)
+    report = assemble_report_from_summary(cur, hist_summary, year)
     # Materialize BEFORE the upsert: the report plan reads the history files
     # the upsert is about to overwrite (dynamic partition overwrite deletes
     # replaced partitions) — a lazily-evaluated report would hit

@@ -94,6 +94,56 @@ def assemble_report(cur: DataFrame, hist: DataFrame, statement_year) -> DataFram
     )
 
 
+def assemble_report_from_summary(
+    cur: DataFrame, hist_summary: DataFrame, statement_year
+) -> DataFrame:
+    """Same document as :func:`assemble_report`, but every history-side
+    aggregate derives from the pre-aggregated summary
+    (operators.financial.summarize_transactions) instead of raw history rows
+    — the 100 TB read path: O(|statement| + |summary|) per run.
+
+    Output is value-identical to the row path (decimal partials re-aggregate
+    exactly; tests assert parity)."""
+    scalars = fin.user_scalars_from_summary(hist_summary)
+    all_summary = fin.summarize_transactions(cur).unionByName(
+        hist_summary.select(*fin.SUMMARY_KEYS, "sum_amount", "cnt")
+    )
+    monthly = fin.monthly_spending_from_summary(all_summary)
+    sections = [
+        _map_section(fin.spending_by_category(cur), "category", "total", "SpendingByCategory"),
+        _array_section(
+            fin.flag_risky(cur, scalars),
+            [
+                "transaction_id", "amount", "average_amount", "location",
+                "risk_level", "home_country", "category", "vendor", "date",
+            ],
+            "FlaggedTransactions",
+        ),
+        _array_section(
+            fin.high_value(cur, scalars),
+            ["transaction_id", "amount", "vendor", "category", "date", "location"],
+            "HighValueTransaction",
+        ),
+        _map_section(
+            fin.recurring_ytd_from_summary(all_summary, statement_year),
+            "vendor", "total", "RecurringTransactionsYearToDate",
+        ),
+        _map_section(monthly, "year_month", "total", "MonthlySpending"),
+        fin.classify_trend(monthly).select("user_id", F.col("trend").alias("Trend")),
+    ]
+    doc = cur.select("user_id").distinct()
+    for s in sections:
+        doc = doc.join(s, "user_id", "left")
+    return doc.select(
+        "user_id",
+        "SpendingByCategory",
+        F.coalesce("FlaggedTransactions", F.array()).alias("FlaggedTransactions"),
+        F.coalesce("HighValueTransaction", F.array()).alias("HighValueTransaction"),
+        "RecurringTransactionsYearToDate",
+        F.struct(F.col("MonthlySpending"), F.col("Trend")).alias("MonthlySpending_Trend"),
+    )
+
+
 def report_json(report: DataFrame) -> DataFrame:
     """S7 (docker/lambda_function.py:524-526): one JSON document per user."""
     return report.select(

@@ -33,11 +33,17 @@ PARTITION_COLS = ("user_id", "year_month")
 
 
 class HistoryStore:
-    """Flat transactions at rest, partitioned ``(user_id, year_month)``."""
+    """Flat transactions at rest, partitioned ``(user_id, year_month)``, plus
+    a maintained additive SUMMARY table (the 100 TB analysis read path: per
+    (user, month, country, category, vendor, recurring) exact decimal sums —
+    see operators.financial.summarize_transactions). Both tables upsert with
+    the same whole-key dynamic partition overwrite, so they stay consistent
+    batch-atomically per key."""
 
     def __init__(self, spark: SparkSession, path: str, partition_cols=PARTITION_COLS):
         self.spark = spark
         self.path = path
+        self.summary_path = path.rstrip("/") + "_summary"
         self.partition_cols = list(partition_cols)
 
     # -- S5: keyed upsert ---------------------------------------------------
@@ -46,8 +52,29 @@ class HistoryStore:
         ``(user_id, year_month)`` present in ``txns`` is replaced wholesale;
         all other partitions untouched. Requires
         ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
-        session.py)."""
+        session.py). The summary partitions for the same keys are recomputed
+        from the incoming rows and overwritten alongside."""
         txns.write.partitionBy(*self.partition_cols).mode("overwrite").parquet(self.path)
+        cols = set(txns.columns)
+        if {"category", "vendor", "recurring", "amount"} <= cols and (
+            "country" in cols or "location" in cols
+        ):
+            from ..operators.financial import summarize_transactions
+            from .statements import with_country
+
+            with_ctry = txns if "country" in cols else with_country(txns, self.spark)
+            summarize_transactions(with_ctry).write.partitionBy(*self.partition_cols).mode(
+                "overwrite"
+            ).parquet(self.summary_path)
+        # non-canonical schemas (e.g. generic keyed state) skip the summary;
+        # read_summary then raises and callers fall back to raw rows
+
+    def read_summary(self, user_id: str | None = None) -> DataFrame:
+        """The additive summary (same partition pruning as :meth:`read`)."""
+        df = self.spark.read.parquet(self.summary_path)
+        if user_id is not None:
+            df = df.filter(F.col("user_id") == user_id)
+        return df
 
     # -- S4: keyed read (partition pruning = DynamoDB key query) ------------
     def read(self, user_id: str | None = None) -> DataFrame:

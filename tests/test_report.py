@@ -44,6 +44,19 @@ def test_report_empty_arrays_not_null(spark, cur_txns, hist_2024):
     assert got[("1",)]["HighValueTransaction"] == []
 
 
+def test_summary_path_report_parity(spark, cur_txns, hist_2024):
+    """The O(summary) read path must produce the IDENTICAL document to the
+    raw-row path — the invariant that lets the store swap one for the other."""
+    from aws_financial_data_pipeline_spark.operators.financial import summarize_transactions
+    from aws_financial_data_pipeline_spark.plans.report import assemble_report_from_summary
+
+    rows = assemble_report(cur_txns, hist_2024, 2024)
+    summ = assemble_report_from_summary(cur_txns, summarize_transactions(hist_2024), 2024)
+    a = {r["user_id"]: r.asDict(recursive=True) for r in rows.collect()}
+    b = {r["user_id"]: r.asDict(recursive=True) for r in summ.collect()}
+    assert a == b
+
+
 def test_report_json_roundtrip(spark, cur_txns, hist_2024):
     docs = rows_by_key(report_json(assemble_report(cur_txns, hist_2024, 2024)), "user_id")
     parsed = json.loads(docs[("1",)]["report"])
