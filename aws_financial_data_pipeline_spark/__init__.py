@@ -21,3 +21,19 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Primary user API re-exported at the package root: a reference user's whole
+# workflow is get_spark() → process_statement(...) (or the streaming twin).
+from .session import get_spark  # noqa: E402,F401
+
+
+def process_statement(*args, **kwargs):  # noqa: D103 — thin lazy re-export
+    from .pipeline import process_statement as _ps
+
+    return _ps(*args, **kwargs)
+
+
+def run_statement_ingest(*args, **kwargs):  # noqa: D103
+    from .streaming.ingest import run_statement_ingest as _ri
+
+    return _ri(*args, **kwargs)

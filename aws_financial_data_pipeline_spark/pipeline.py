@@ -92,13 +92,21 @@ def process_statement(
     csv_path: str,
     history_path: str,
     reports_dir: str | None = None,
+    charts_path: str | None = None,
 ) -> DataFrame:
     """Process one statement CSV end-to-end; returns the per-user report
-    documents (and writes them as JSON under ``reports_dir`` if given)."""
+    documents. Optionally writes report JSON under ``reports_dir`` (S7) and
+    the chart-data payloads (S9: pie/bar-line/recurring series per user) to
+    ``charts_path`` — the library-free artifact; PNG/PDF painting is
+    reporting.render when matplotlib/fpdf are installed."""
     stmt = with_country(read_statement_csv(spark, csv_path), spark)
     store = HistoryStore(spark, history_path)
     report = analyze_statement(spark, stmt, store)
     if reports_dir is not None:
         report_json(report).write.mode("overwrite").json(reports_dir)
+    if charts_path is not None:
+        from .reporting.render import collect_report_payloads, write_payload_json
+
+        write_payload_json(collect_report_payloads(report), charts_path)
     store.upsert(stmt)  # S5 LAST, like the reference (analysis sees pre-state)
     return report

@@ -56,6 +56,19 @@ def test_pipeline_two_months(spark, tmp_path):
     assert parsed["SpendingByCategory"]["Groceries"] == 80.0
 
 
+def test_pipeline_chart_payload_artifact(spark, tmp_path):
+    csvp = _csv(tmp_path, "c.csv", [
+        _row(1, 202411, "a1", "2024-11-01", "VendA", "Groceries", 100.0, "true", "US-CA"),
+        _row(1, 202411, "a2", "2024-11-02", "VendB", "Dining", 60.0, "false", "US-CA"),
+    ])
+    charts = str(tmp_path / "charts.json")
+    process_statement(spark, csvp, str(tmp_path / "h"), charts_path=charts)
+    payload = json.loads(open(charts).read())
+    assert payload["1"]["pie"]["labels"] == ["Dining", "Groceries"]
+    assert payload["1"]["pie"]["values"] == [60.0, 100.0]
+    assert payload["1"]["bar_line"]["months"] == ["202411"]
+
+
 def test_pipeline_restatement_is_idempotent(spark, tmp_path):
     hist = str(tmp_path / "hist2")
     v1 = _csv(tmp_path, "v1.csv", [
