@@ -158,6 +158,42 @@ FINANCIAL_ORACLES: dict[str, str] = {
     FROM (SELECT * FROM cur UNION ALL SELECT * FROM hist)
     GROUP BY user_id
     """,
+    "q20_report_flat": P
+    + """
+    , monthly AS (
+      SELECT user_id, ym, round(sum(round(amount, 2)), 2) AS total
+      FROM txns GROUP BY user_id, ym
+    ), ranked AS (
+      SELECT user_id, total,
+             row_number() OVER (PARTITION BY user_id ORDER BY ym DESC) AS rn
+      FROM monthly
+    ), last3 AS (
+      SELECT user_id,
+             max(CASE WHEN rn = 1 THEN total END) AS m0,
+             max(CASE WHEN rn = 2 THEN total END) AS m1,
+             max(CASE WHEN rn = 3 THEN total END) AS m2,
+             count(*) AS n_months
+      FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT user_id, 'spending_by_category' AS section, category AS k,
+           round(sum(round(amount, 2)), 2) AS v
+    FROM cur GROUP BY user_id, category
+    UNION ALL
+    SELECT t.user_id, 'recurring_ytd', t.vendor, round(sum(round(t.amount, 2)), 2)
+    FROM txns t, latest
+    WHERE year(t."date") = CAST(substr(latest.cur_ym, 1, 4) AS INT) AND t.recurring
+    GROUP BY t.user_id, t.vendor
+    UNION ALL
+    SELECT user_id, 'monthly_spending', ym, total FROM monthly
+    UNION ALL
+    SELECT user_id, 'trend',
+           CASE WHEN n_months < 3 THEN 'Not enough data'
+                WHEN m0 > m1 AND m1 > m2 THEN 'Up'
+                WHEN m0 < m1 AND m1 < m2 THEN 'Down'
+                ELSE 'Stable' END,
+           NULL
+    FROM last3
+    """,
     "q17_rollup": P
     + """
     SELECT user_id,

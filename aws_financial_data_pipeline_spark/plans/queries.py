@@ -248,6 +248,34 @@ def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_report_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 in flattened, ORACLE-CHECKABLE form: the report's scalar sections as
+    (user_id, section, k, v) rows. Complements the rows-only q15 — the nested
+    maps can't hash through SQL, but their exact contents can, section by
+    section. Flagged/high-value arrays are hash-gated separately via q03/q06."""
+    txns, cur, hist = _base(spark, sf_dir, ("user_id", "category", "vendor", "amount",
+                                            "date", "recurring"))
+    year = tv.statement_scalars(txns)["statement_year"]
+    spend = fin.spending_by_category(cur).select(
+        "user_id", F.lit("spending_by_category").alias("section"),
+        F.col("category").alias("k"), F.col("total").alias("v"),
+    )
+    rec = fin.recurring_ytd(cur.unionByName(hist), year).select(
+        "user_id", F.lit("recurring_ytd").alias("section"),
+        F.col("vendor").alias("k"), F.col("total").alias("v"),
+    )
+    monthly = fin.monthly_spending(txns.drop("ym"))
+    mon = monthly.select(
+        "user_id", F.lit("monthly_spending").alias("section"),
+        F.col("year_month").alias("k"), F.col("total").alias("v"),
+    )
+    trend = fin.classify_trend(monthly).select(
+        "user_id", F.lit("trend").alias("section"),
+        F.col("trend").alias("k"), F.lit(None).cast("double").alias("v"),
+    )
+    return spend.unionByName(rec).unionByName(mon).unionByName(trend)
+
+
 FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q01_historical_avg": q01_historical_avg,
     "q02_home_country": q02_home_country,
@@ -268,4 +296,5 @@ FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q17_rollup": q17_rollup,
     "q18_distinct_agg": q18_distinct_agg,
     "q19_pivot": q19_pivot,
+    "q20_report_flat": q20_report_flat,
 }
