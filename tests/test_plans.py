@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the optimizations SCALING.md claims must be
+visible in `.explain`, so a regression (lost pushdown, broadcast that became
+a shuffle, a cartesian product sneaking in) fails CI — not just slows down.
+
+Plans are checked on the sf0.001 testdata (plan SHAPE is SF-independent)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query in the registry may plan a cartesian product (the scalar
+    1-row cross joins plan as BroadcastNestedLoopJoin, which is fine)."""
+    for name in entrymod.queries():
+        if name.startswith(("x19", "x23")):  # streaming: runs a query, skip
+            continue
+        assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_q04_scan_is_pruned_and_joins_broadcast(spark):
+    plan = _plan(spark, "q04_spending_by_category")
+    # column pruning reaches the parquet scan: only the 3 referenced lineitem
+    # columns are read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    # join pruning: q04 needs no vendor/country → part/supplier never scanned
+    assert "part.parquet" not in plan and "supplier.parquet" not in plan
+
+
+def test_q01_joins_only_orders(spark):
+    plan = _plan(spark, "q01_historical_avg")
+    assert "part.parquet" not in plan and "nation.parquet" not in plan
+
+
+def test_q03_scalars_are_broadcast(spark):
+    # the per-user scalar frame must reach the fact side as a broadcast, so
+    # the current-month side never shuffles for the comparison join
+    plan = _plan(spark, "q03_risky_transactions")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_topk_uses_window_group_limit(spark):
+    # per-user top-3 must plan the partial top-k (WindowGroupLimit), not a
+    # full per-user sort of every row
+    plan = _plan(spark, "q11_top3_high_value")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q13_no_python_udfs_in_scalar_layer(spark):
+    plan = _plan(spark, "q13_scalar_projections")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_x10_text_stats_is_map_only(spark):
+    # pure narrow pipeline: no shuffle at all in the text-stats plan
+    plan = _plan(spark, "x10_text_stats")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_x22_interval_join_is_equi_join(spark):
+    # the binned range join must plan as a hash equi-join, never a
+    # nested-loop over the range predicate
+    plan = _plan(spark, "x22_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
