@@ -66,16 +66,16 @@ def home_country(hist: DataFrame) -> DataFrame:
     per user. Tie-break: higher count first, then country name ascending
     (deterministic replacement for Python dict insertion order — SURVEY §7).
 
-    Plan: partial count per (user, country) → window top-1. The window
-    partitions by user_id, so it reuses the groupBy shuffle partitioning —
-    Catalyst plans a single exchange.
+    Plan: partial count per (user, country) → argmax as
+    ``min(struct(-cnt, country))`` — a plain two-level hash aggregation with
+    NO window sort. The struct ordering encodes the tie-break exactly:
+    smallest -cnt = largest count, then country ascending.
     """
     counts = hist.groupBy("user_id", "country").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("country"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("country").alias("home_country"))
+    return counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("country")))
+        .getField("country")
+        .alias("home_country")
     )
 
 
@@ -87,23 +87,21 @@ def user_scalars(hist: DataFrame) -> DataFrame:
     frame keyed by user_id, broadcast into the comparison joins.
 
     Single-pass plan: one groupBy(user, country) with partial sums, then the
-    per-user average (Σsum/Σcount) and the mode (window top-1) both derive
-    from that small intermediate — the historical fact table is scanned ONCE,
-    vs twice for historical_average ⋈ home_country. The window reuses the
-    groupBy's hash partitioning on user_id (no extra exchange).
+    per-user average (Σsum/Σcount) and the mode both derive from that small
+    intermediate — the historical fact table is scanned ONCE, vs twice for
+    historical_average ⋈ home_country. The mode is ``min(struct(-cnt,
+    country))`` (argmax with the deterministic tie-break encoded in struct
+    ordering), so the whole thing is two hash aggregations — no window sort.
     """
     per_country = hist.groupBy("user_id", "country").agg(
         F.sum(F.col("amount").cast("decimal(18,2)")).alias("_s"),  # exact, order-free
         F.count("*").alias("_c"),
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("_c"), F.asc("country"))
-    return (
-        per_country.withColumn("_rn", F.row_number().over(w))
-        .groupBy("user_id")
-        .agg(
-            F.round(F.sum("_s").cast("double") / F.sum("_c"), 2).alias("avg_amount"),
-            F.max(F.when(F.col("_rn") == 1, F.col("country"))).alias("home_country"),
-        )
+    return per_country.groupBy("user_id").agg(
+        F.round(F.sum("_s").cast("double") / F.sum("_c"), 2).alias("avg_amount"),
+        F.min(F.struct((-F.col("_c")).alias("nc"), F.col("country")))
+        .getField("country")
+        .alias("home_country"),
     )
 
 
@@ -145,14 +143,11 @@ def user_scalars_from_summary(summary: DataFrame) -> DataFrame:
     per_country = summary.groupBy("user_id", "country").agg(
         F.sum("sum_amount").alias("_s"), F.sum("cnt").alias("_c")
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("_c"), F.asc("country"))
-    return (
-        per_country.withColumn("_rn", F.row_number().over(w))
-        .groupBy("user_id")
-        .agg(
-            F.round(F.sum("_s").cast("double") / F.sum("_c"), 2).alias("avg_amount"),
-            F.max(F.when(F.col("_rn") == 1, F.col("country"))).alias("home_country"),
-        )
+    return per_country.groupBy("user_id").agg(
+        F.round(F.sum("_s").cast("double") / F.sum("_c"), 2).alias("avg_amount"),
+        F.min(F.struct((-F.col("_c")).alias("nc"), F.col("country")))
+        .getField("country")
+        .alias("home_country"),
     )
 
 
