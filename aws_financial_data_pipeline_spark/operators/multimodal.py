@@ -57,8 +57,11 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> "list[object]":
 
 def _fake_feature(payload: bytes) -> float:
     """Deterministic stand-in for a decoded-content feature (e.g. mean pixel):
-    mean byte value of the payload."""
-    return float(sum(payload)) / len(payload) if payload else 0.0
+    mean byte value of the payload. numpy per row beats a Python byte loop
+    ~20x — inside a pandas kernel, vectorize even the per-row work."""
+    import numpy as np
+
+    return float(np.frombuffer(payload, dtype=np.uint8).mean()) if payload else 0.0
 
 
 def extract_features(with_payload: DataFrame) -> DataFrame:

@@ -332,6 +332,14 @@ EXT_ORACLES: dict[str, str] = {
     "x23_stream_dedup": """
     SELECT DISTINCT md5(text) AS fp FROM documents
     """,
+    # replay of the stream-stream interval join == batch range join
+    "x25_stream_stream_join": """
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+    SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+    FROM c JOIN v ON c.user_id = v.user_id
+                 AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+    """,
     # pandas std(ddof=1) == stddev_samp; singleton/zero-variance users → NULL
     "x24_zscore_grouped_pandas": """
     SELECT user_id, id, amount,

@@ -266,6 +266,39 @@ def x23_stream_dedup(spark, sf_dir):
     return spark.table("x23_stream_dedup")
 
 
+def x25_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (clicks ⋈ views within 10 minutes, per
+    user) — both sides unbounded, state bounded by watermarks. A full
+    availableNow replay equals the batch range join, which is the DuckDB
+    oracle. Same semantics as x22 but with view events BEFORE the click
+    (the stream-join buffering direction)."""
+    from ..streaming.windows import stream_stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return s.filter(F.col("event_type") == event_type).select("user_id", "event_id", "ts")
+
+    out = stream_stream_interval_join(side("click"), side("view"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("x25_stream_stream_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("x25_stream_stream_join")
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -301,4 +334,5 @@ EXT_QUERIES = {
     "x22_interval_join": x22_interval_join,
     "x23_stream_dedup": x23_stream_dedup,
     "x24_zscore_grouped_pandas": x24_zscore_grouped_pandas,
+    "x25_stream_stream_join": x25_stream_stream_join,
 }

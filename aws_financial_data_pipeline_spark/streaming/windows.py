@@ -57,6 +57,36 @@ def sliding_stream(
     )
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_delay: str = "10 minutes",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each click
+    joined to the same user's view events in the preceding ``max_delay``.
+
+    Both sides are watermarked so Spark can bound the join state: buffered
+    view rows are evicted once the click-side watermark passes their maximum
+    usable age (ts + max_delay). This is the unbounded-stream twin of
+    operators.rangejoin.interval_join — a full replay equals the batch range
+    join, which is the oracle.
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    v = views.withWatermark("ts", watermark).alias("v")
+    return c.join(
+        v,
+        F.expr(
+            "c.user_id = v.user_id AND "
+            f"v.ts BETWEEN c.ts - INTERVAL {max_delay} AND c.ts"
+        ),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+    )
+
+
 def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Native streaming sessionization: ``session_window`` merges events within
     ``gap`` into one growing window per (user, session) — the stateful
