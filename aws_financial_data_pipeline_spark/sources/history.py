@@ -76,6 +76,26 @@ class HistoryStore:
             df = df.filter(F.col("user_id") == user_id)
         return df
 
+    def compact(self, target_files_per_partition: int = 1) -> None:
+        """Small-file compaction: rewrite every partition into
+        ``target_files_per_partition`` files.
+
+        Micro-batch upserts (one small statement at a time) accumulate one
+        tiny file per batch per key; at scale the file-listing and open()
+        overhead eventually dominates reads. Rewriting via repartition on the
+        partition keys makes each task own whole partitions, so the dynamic
+        overwrite replaces every partition with exactly the target file
+        count. Values are untouched (tested)."""
+        df = self.read().repartition(
+            max(self.spark.sparkContext.defaultParallelism, target_files_per_partition),
+            *[F.col(c) for c in self.partition_cols],
+        )
+        # localCheckpoint: the rewrite reads the same files the overwrite
+        # deletes — same hazard as pipeline.analyze_statement
+        df.localCheckpoint(eager=True).write.partitionBy(*self.partition_cols).mode(
+            "overwrite"
+        ).parquet(self.path)
+
     # -- S4: keyed read (partition pruning = DynamoDB key query) ------------
     def read(self, user_id: str | None = None) -> DataFrame:
         """All history, or one user's (docker/lambda_function.py:37-56). The

@@ -48,6 +48,30 @@ def test_point_lookup_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "user_id" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_compaction_reduces_files_preserves_values(spark, tmp_path):
+    import glob
+
+    store = HistoryStore(spark, str(tmp_path / "hist_c"))
+    # several micro-upserts to the same partition → several small files
+    for i in range(3):
+        store.upsert(
+            _df(spark, [("1", "202412", f"r{i}_{j}", date(2024, 12, 1 + j), float(j)) for j in range(4)])
+        )
+    # note: each upsert REPLACES the partition, so seed multi-file state instead
+    big = _df(spark, [("1", "202412", f"x{j}", date(2024, 12, 1), float(j)) for j in range(40)])
+    big.repartition(8).write.partitionBy("user_id", "year_month").mode("overwrite").parquet(store.path)
+
+    part_dir = str(tmp_path / "hist_c" / "user_id=1" / "year_month=202412")
+    before = len(glob.glob(part_dir + "/*.parquet"))
+    assert before > 1
+    rows_before = sorted(r["id"] for r in store.read().collect())
+
+    store.compact()
+    after = len(glob.glob(part_dir + "/*.parquet"))
+    assert after < before
+    assert sorted(r["id"] for r in store.read().collect()) == rows_before
+
+
 def test_nested_roundtrip(spark, tmp_path):
     store = HistoryStore(spark, str(tmp_path / "hist3"))
     flat = _df(spark, [
