@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 NUM_PLANES = 16
 DIM = 64
+NUM_CELLS = 16
+NPROBE = 4
 
 
 def _plane_weight(j: int, i: int) -> float:
@@ -53,6 +55,21 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("_norm2", _dot(F.col(vec_col), F.col(vec_col)))
 
 
+def _topk_rerank(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared exact-rerank tail: score (q_id, neighbor_id, _e, _norm2, _qe,
+    _qnorm2) pairs with exact cosine and keep the top k per query
+    (deterministic tie-break on neighbor id → TakeOrdered-style WindowGroupLimit,
+    no full sort)."""
+    cos = _dot(F.col("_e"), F.col("_qe")) / F.sqrt(F.col("_norm2") * F.col("_qnorm2"))
+    scored = pairs.select("q_id", "neighbor_id", cos.alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rn")
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -70,14 +87,7 @@ def cosine_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), F.col("_norm2").alias("_qnorm2")
     )
     pairs = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
-    cos = _dot(F.col("_e"), F.col("_qe")) / F.sqrt(F.col("_norm2") * F.col("_qnorm2"))
-    scored = pairs.select("q_id", "neighbor_id", cos.alias("_cos"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rn")
-    )
+    return _topk_rerank(pairs, k)
 
 
 def lsh_bands(
@@ -152,14 +162,143 @@ def ann_topk_lsh(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), F.col("_norm2").alias("_qnorm2")
     )
     pairs = cand.join(corpus, "neighbor_id").join(F.broadcast(q), "q_id")
-    cos = _dot(F.col("_e"), F.col("_qe")) / F.sqrt(F.col("_norm2") * F.col("_qnorm2"))
-    scored = pairs.select("q_id", "neighbor_id", cos.alias("_cos"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rn")
+    return _topk_rerank(pairs, k)
+
+
+def _norm2_py(vec) -> float:
+    """Driver-side ||v||² with the same sequential left-to-right accumulation
+    as :func:`_dot` / DuckDB ``list_dot_product`` — bit-identical doubles."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _centroid_cells(centroids: DataFrame, vec_col: str = "embedding"):
+    """Centroids as a literal array<struct<cell_id, ce, cn2>> column. Trained
+    centroids are driver-side constants in any real IVF index (the FAISS
+    model), so collecting the tiny (cell_id, embedding) frame here is by
+    design — it makes assignment a pure projection, not a join."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell_id"])).alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("ce"),
+                F.lit(_norm2_py(r[vec_col])).alias("cn2"),
+            )
+            for r in rows
+        ]
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every corpus vector to its nearest centroid
+    by cosine → (vec_id, cell_id). Centroids frame: (cell_id, embedding).
+
+    The argmax is ``array_min(transform(cells, c -> (-cos, cell_id)))`` over
+    the literal centroid array — a single map-side projection with ZERO
+    shuffle (ties → smallest cell_id). At cluster scale the output is
+    persisted partitioned BY cell_id so probes become partition-pruned reads.
+    ``keep_vec=True`` carries (_e, _norm2) through so the rerank needs no
+    corpus re-join."""
+    cells = _centroid_cells(centroids, vec_col)
+    corpus = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e"), "_norm2"
+    )
+    best = F.array_min(
+        F.transform(
+            cells,
+            lambda c: F.struct(
+                (-(_dot(F.col("_e"), c["ce"]) / F.sqrt(F.col("_norm2") * c["cn2"]))).alias(
+                    "_neg"
+                ),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+    )
+    keep = ["vec_id", "_e", "_norm2"] if keep_vec else ["vec_id"]
+    return corpus.select(*keep, best["cell_id"].alias("cell_id"))
+
+
+def ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rank cells per query by centroid cosine; keep the ``nprobe`` nearest →
+    (q_id, cell_id). |Q|×|cells| rows — negligible next to the corpus."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), F.col("_norm2").alias("_qn2")
+    )
+    cent = with_norm(centroids, vec_col).select(
+        F.col("cell_id"), F.col(vec_col).alias("_ce"), F.col("_norm2").alias("_cn2")
+    )
+    crossed = q.crossJoin(F.broadcast(cent))
+    cos = _dot(F.col("_qe"), F.col("_ce")) / F.sqrt(F.col("_qn2") * F.col("_cn2"))
+    w = Window.partitionBy("q_id").orderBy(F.desc(cos), F.asc("cell_id"))
+    return (
+        crossed.withColumn("_rc", F.row_number().over(w))
+        .filter(F.col("_rc") <= nprobe)
+        .select("q_id", "cell_id")
+    )
+
+
+def seed_centroids(
+    emb: DataFrame,
+    num_cells: int = NUM_CELLS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic centroid choice: the ``num_cells`` lowest-id corpus
+    vectors. No k-means refinement — iterative float averaging is
+    accumulation-order dependent across engines, which would break oracle
+    reproducibility; seed quality is what the recall gate measures."""
+    return emb.filter(F.col(id_col) < num_cells).select(
+        F.col(id_col).cast("int").alias("cell_id"), F.col(vec_col).alias(vec_col)
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 10,
+    nprobe: int = NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: exact cosine restricted to corpus vectors whose cell is
+    among the query's ``nprobe`` nearest cells. Second scale path next to
+    :func:`ann_topk_lsh` — IVF prunes by partition (cells are disjoint, so no
+    ``distinct`` is needed on candidates), LSH prunes by hash collision.
+
+    Cost: one broadcast pass to assign (N×|cells| dots) + exact rerank over
+    ~nprobe/|cells| of the corpus per query, vs brute-force O(|Q|·N·d)."""
+    if centroids is None:
+        centroids = seed_centroids(emb, vec_col=vec_col, id_col=id_col)
+    assign = ivf_assign(emb, centroids, vec_col, id_col, keep_vec=True)
+    probes = ivf_probe(queries, centroids, nprobe, vec_col, id_col)
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), F.col("_norm2").alias("_qnorm2")
+    )
+    # both joins broadcast → the corpus is scanned exactly once, map-side;
+    # the only shuffle in the whole query is the per-query top-k window
+    pairs = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "_e", "_norm2", "_qe", "_qnorm2")
+    )
+    return _topk_rerank(pairs, k)
 
 
 def embedding_near_duplicates(

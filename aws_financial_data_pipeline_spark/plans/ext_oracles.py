@@ -183,6 +183,45 @@ EXT_ORACLES: dict[str, str] = {
     SELECT q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 10
     """,
+    "x26_ann_ivf_topk": _EMB_NORM
+    + """
+    , cent AS (SELECT CAST(vec_id AS INT) AS cell_id, e AS ce, n2 AS cn2 FROM n WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT b.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_dot_product(b.e, c.ce) / sqrt(b.n2 * c.cn2) DESC,
+                                           c.cell_id ASC) AS rc
+        FROM n b, cent c)
+      WHERE rc = 1
+    ),
+    probe AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY list_dot_product(q.qe, c.ce) / sqrt(q.qn2 * c.cn2) DESC,
+                                           c.cell_id ASC) AS rc
+        FROM q, cent c)
+      WHERE rc <= 4
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign a USING (cell_id)
+      WHERE a.vec_id <> p.q_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.neighbor_id,
+             list_dot_product(c.e, q.qe) / sqrt(c.n2 * q.qn2) AS cos
+      FROM cand JOIN n c ON c.vec_id = cand.neighbor_id JOIN q ON q.q_id = cand.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
     "x09_embedding_neardup": """
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM base)

@@ -85,6 +85,11 @@ def x09_embedding_neardup(spark, sf_dir):
     return similarity.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.35)
 
 
+def x26_ann_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.ann_topk_ivf(emb, _queryset(emb), k=10)
+
+
 # -- text -------------------------------------------------------------------
 
 
@@ -335,4 +340,5 @@ EXT_QUERIES = {
     "x23_stream_dedup": x23_stream_dedup,
     "x24_zscore_grouped_pandas": x24_zscore_grouped_pandas,
     "x25_stream_stream_join": x25_stream_stream_join,
+    "x26_ann_ivf_topk": x26_ann_ivf_topk,
 }

@@ -80,6 +80,49 @@ def test_ann_recall_floor_on_testdata(spark):
     assert recall >= 0.3, f"ANN recall@10 collapsed: {recall:.2f}"
 
 
+def test_ivf_assign_puts_vector_in_own_cell(spark):
+    # a vector that IS a centroid assigns to itself (cosine 1, tie-break min id)
+    emb = _vecs(spark)
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)], "cell_id int, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["cell_id"] for r in sim.ivf_assign(emb, cents).collect()}
+    assert got[1] == 0 and got[2] == 0  # unit(0) vectors → cell 0
+    assert got[3] == 1                  # unit(1) → cell 1
+    assert got[4] == 0                  # 45°: cos equal to both → min cell_id
+
+
+def test_ann_ivf_finds_identical_vector(spark):
+    emb = _vecs(spark)
+    queries = emb.filter(F.col("vec_id") == 1)
+    got = rows_by_key(
+        sim.ann_topk_ivf(emb, queries, centroids=sim.seed_centroids(emb, num_cells=2, id_col="vec_id"), k=3),
+        "q_id", "neighbor_id",
+    )
+    assert (1, 2) in got and got[(1, 2)]["cosine"] == 1.0 and got[(1, 2)]["rn"] == 1
+
+
+def test_ann_ivf_results_subset_of_exact(spark):
+    emb = _vecs(spark)
+    queries = emb.filter(F.col("vec_id") <= 2)
+    exact = {(r["q_id"], r["neighbor_id"]) for r in sim.cosine_topk(emb, queries, k=4).collect()}
+    approx = {(r["q_id"], r["neighbor_id"]) for r in sim.ann_topk_ivf(emb, queries, k=4).collect()}
+    assert approx <= exact
+
+
+def test_ivf_recall_floor_on_testdata(spark):
+    """IVF quality gate on real embeddings: 16 seed cells, nprobe=4 → scans
+    ~1/4 of the corpus per query; recall floor asserted like the LSH gate."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = sim.cosine_topk(emb, queries, k=10).collect()
+    approx = sim.ann_topk_ivf(emb, queries, k=10).collect()
+    exact_pairs = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall@10 collapsed: {recall:.2f}"
+
+
 def test_multimodal_feature_extraction(spark):
     from aws_financial_data_pipeline_spark.operators import multimodal as mm
     import hashlib
