@@ -226,4 +226,19 @@ FINANCIAL_ORACLES: dict[str, str] = {
                 THEN CAST(round(amount,2) AS DECIMAL(18,2)) END) AS DOUBLE) AS low
     FROM cur GROUP BY user_id
     """,
+    "q21_currency_normalized": P
+    + """
+    , rates AS (
+      SELECT n_name AS country,
+             round(0.5 + CAST(n_nationkey % 20 AS DOUBLE) / 10.0, 2) AS fx_rate
+      FROM nation
+    )
+    SELECT t.user_id, t.category,
+           round(CAST(sum(round(CAST(t.amount AS DECIMAL(18,2))
+                                * CAST(r.fx_rate AS DECIMAL(4,2)), 2)) AS DOUBLE), 2)
+             AS total_usd,
+           count(*) AS n_txns
+    FROM txns t JOIN rates r USING (country)
+    GROUP BY t.user_id, t.category
+    """,
 }

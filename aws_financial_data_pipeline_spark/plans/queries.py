@@ -276,6 +276,34 @@ def q20_report_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.unionByName(rec).unionByName(mon).unionByName(trend)
 
 
+def q21_currency_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency normalization (capability note, SURVEY §5.1): the reference
+    carries a currency column but sums mixed currencies UNCONVERTED
+    (docker/lambda_function.py:143-152 — no rate handling anywhere). Proper
+    form: broadcast FX-rate dimension join, convert per transaction, THEN
+    aggregate. Rates are derived deterministically from the nation key so the
+    oracle reproduces them; in production this dim is a tiny daily-rates table
+    — always broadcast, never shuffled."""
+    from . import transactions_view as tvm
+
+    txns = tvm.transactions(spark, sf_dir, ("user_id", "category", "amount", "country"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rates = nation.select(
+        F.col("n_name").alias("country"),
+        F.round(0.5 + (F.col("n_nationkey") % 20).cast("double") / 10.0, 2).alias("fx_rate"),
+    )
+    joined = txns.join(F.broadcast(rates), "country")
+    # exact-decimal conversion: amount×rate in decimal, round in decimal —
+    # a double product rounds differently across engines at .xx5 boundaries
+    conv = F.round(
+        F.col("amount").cast("decimal(18,2)") * F.col("fx_rate").cast("decimal(4,2)"), 2
+    )
+    return joined.groupBy("user_id", "category").agg(
+        F.round(F.sum(conv).cast("double"), 2).alias("total_usd"),
+        F.count("*").alias("n_txns"),
+    )
+
+
 FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q01_historical_avg": q01_historical_avg,
     "q02_home_country": q02_home_country,
@@ -297,4 +325,5 @@ FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q18_distinct_agg": q18_distinct_agg,
     "q19_pivot": q19_pivot,
     "q20_report_flat": q20_report_flat,
+    "q21_currency_normalized": q21_currency_normalized,
 }

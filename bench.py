@@ -38,6 +38,7 @@ HEADLINE = [
     "x03_minhash_signatures",
     "x07_cosine_topk",
     "x08_ann_lsh_topk",
+    "x26_ann_ivf_topk",
     "x13_fingerprint",
     "x16_events_sessions",
     "x18_multimodal_features",
