@@ -1,0 +1,117 @@
+"""Distributed connected components (dedup clustering).
+
+Near-dup *pairs* (MinHash/SimHash/embedding candidates) are not a dedup
+decision: duplicates are transitive (A~B, B~C ⇒ keep one of {A,B,C}), so the
+pipeline step the reference lacks — and every training-data pipeline needs —
+is "group the pair graph into components, keep one canonical doc per
+component". The reference has no analogue (single-process, per-user loops:
+docker/lambda_function.py:495-497); this is part of the extension surface.
+
+Scale design (100 TB posture):
+
+- **Min-label propagation with pointer doubling.** Each iteration propagates
+  the smallest reachable id one hop through the edge set (join + min-groupBy)
+  AND one hop through the label table itself (label[x] ← label[label[x]]).
+  Doubling turns O(diameter) convergence into O(log diameter) — on a path of
+  2^k nodes, k+1 iterations instead of 2^k. Near-dup graphs have tiny
+  components, so in practice 2-3 iterations.
+- **Per-iteration cost is bounded**: one shuffle keyed by node id for the
+  min-combine (map-side partial min), one equi-join edges⋈labels (both sides
+  hash-partitioned on the same key after the first iteration — AQE reuses the
+  exchange), one labels⋈labels self-join for the doubling hop. No
+  collect; the driver only sees the converged-or-not count.
+- **Lineage is truncated with localCheckpoint every iteration** — iterative
+  DataFrame plans otherwise grow exponentially and re-execute from the root.
+- **Convergence check batching**: the `check_every` knob amortizes the count
+  action over several iterations for high-diameter graphs; default 1 because
+  dedup graphs converge almost immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    check_every: int = 1,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the minimum
+    node id reachable from it (the component id).
+
+    Returns (node, component). Nodes are whatever integer/string type the
+    edge columns carry; ``min`` must be meaningful on it.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)  # edge set is reused every iteration
+    )
+    labels = (
+        e.select(F.col("s").alias("node")).distinct().select("node", F.col("node").alias("component"))
+    ).localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        # hop 1: each node offers its component to its neighbors
+        msgs = e.join(labels, e.s == labels.node).select(
+            F.col("d").alias("node"), "component"
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # hop 2 (pointer doubling): component ids are themselves node ids, so
+        # one self-join rewrites label[x] → label[label[x]]
+        lk = new.select(F.col("node").alias("c_node"), F.col("component").alias("c_comp"))
+        new = (
+            new.join(lk, new.component == lk.c_node, "left")
+            .select("node", F.coalesce("c_comp", "component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        if (it + 1) % check_every == 0:
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                return new
+        labels = new
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Full dedup decision: candidate pairs → connected components → every doc
+    labeled with (component, cluster_size, is_canonical). Docs in no pair are
+    their own singleton component. Canonical = minimum doc_id per component
+    (deterministic, join-free to compute: it IS the component id)."""
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    labeled = (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "component").select(
+        F.col(id_col),
+        "component",
+        "cluster_size",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )

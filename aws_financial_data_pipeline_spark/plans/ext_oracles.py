@@ -115,6 +115,31 @@ EXT_ORACLES: dict[str, str] = {
     FROM sig a JOIN sig b
       ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """,
+    # transitive closure of the LSH candidate graph: min reachable doc_id per
+    # doc (recursive CTE), singletons label themselves. The RECURSIVE flag is
+    # spliced onto the shared shingle prelude's WITH.
+    "x27_dedup_clusters": _MINHASH_SIG.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    e AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, c.component,
+           count(*) OVER (PARTITION BY c.component) AS cluster_size,
+           d.doc_id = c.component AS is_canonical
+    FROM documents d JOIN comp c ON c.node = d.doc_id
+    """,
     "x05_simhash": _SIMHASH + "SELECT doc_id, simhash FROM sims",
     "x06_simhash_candidates": _SIMHASH
     + """

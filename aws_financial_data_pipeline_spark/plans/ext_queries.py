@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, events, multimodal, similarity, text
+from ..operators import dedup, events, graph, multimodal, similarity, text
 from ..session import read_parquet_scaled
 
 
@@ -54,6 +54,16 @@ def x03_minhash_signatures(spark, sf_dir):
 
 def x04_minhash_candidates(spark, sf_dir):
     return dedup.minhash_candidates(dedup.minhash_signatures(_docs(spark, sf_dir)))
+
+
+def x27_dedup_clusters(spark, sf_dir):
+    """The full dedup DECISION over the LSH candidate graph: MinHash bands →
+    candidate pairs → connected components (min-label propagation with pointer
+    doubling, operators/graph.py) → one canonical doc per cluster. The oracle
+    recomputes the transitive closure with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_candidates(dedup.minhash_signatures(docs))
+    return graph.dedup_clusters(docs, pairs)
 
 
 def x05_simhash(spark, sf_dir):
@@ -341,4 +351,5 @@ EXT_QUERIES = {
     "x24_zscore_grouped_pandas": x24_zscore_grouped_pandas,
     "x25_stream_stream_join": x25_stream_stream_join,
     "x26_ann_ivf_topk": x26_ann_ivf_topk,
+    "x27_dedup_clusters": x27_dedup_clusters,
 }

@@ -40,6 +40,7 @@ HEADLINE = [
     "x08_ann_lsh_topk",
     "x26_ann_ivf_topk",
     "x13_fingerprint",
+    "x27_dedup_clusters",
     "x16_events_sessions",
     "x18_multimodal_features",
     "x20_asof_join",

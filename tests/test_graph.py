@@ -1,0 +1,82 @@
+"""Connected components / dedup clustering (operators/graph.py).
+
+Ground truth is an in-test union-find — independent of the Spark
+implementation and of any SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per component
+    return {x: find(x) for x in parent}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df, **kw).collect()}
+    return got
+
+
+def test_two_components_and_ordering(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    assert _run(spark, edges) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_exercises_pointer_doubling(spark):
+    # path 0-1-2-...-12: diameter 12 must converge well inside max_iter=6
+    # (doubling ⇒ ~log2(12)+slack iterations; plain propagation would need 12)
+    edges = [(i, i + 1) for i in range(12)]
+    got = _run(spark, edges, max_iter=6)
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_edge_direction_irrelevant(spark):
+    assert _run(spark, [(5, 4), (4, 3)]) == {3: 3, 4: 3, 5: 3}
+
+
+def test_random_graph_matches_union_find(spark):
+    # deterministic pseudo-random graph: 60 nodes, 45 edges
+    edges, x = [], 7
+    for _ in range(45):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 60
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 60
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    expect = _uf_components(edges)
+    assert _run(spark, edges) == expect
+
+
+def test_dedup_clusters_labels_singletons_and_canonicals(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 4)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert {d: r["component"] for d, r in rows.items()} == {
+        0: 0, 3: 0, 4: 0, 1: 1, 2: 2, 5: 5,
+    }
+    assert {d: r["cluster_size"] for d, r in rows.items()} == {
+        0: 3, 3: 3, 4: 3, 1: 1, 2: 1, 5: 1,
+    }
+    assert [d for d, r in sorted(rows.items()) if r["is_canonical"]] == [0, 1, 2, 5]
