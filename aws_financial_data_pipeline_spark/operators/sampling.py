@@ -1,0 +1,62 @@
+"""Deterministic sampling: train/val/test splits and stratified sampling.
+
+Training-data pipelines need splits and samples that are (a) reproducible
+run-to-run, (b) independent of partitioning/row order, and (c) stable under
+incremental re-runs (a doc keeps its split when new data arrives). Spark's
+``df.sample``/``sampleBy`` are seeded-RNG-per-partition — none of those hold.
+The standard fix is content hashing: bucket = h(id) mod B, thresholds on the
+bucket. Pure map-side projection, no shuffle, no state; and md5 makes it
+portable bit-for-bit across engines (the DuckDB oracles reproduce it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from the first 32 bits of
+    md5(id). Uniformity is inherited from md5; 32 bits ≫ buckets keeps the
+    modulo bias negligible."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Assign every row a split label from cumulative bucket thresholds.
+    ``splits`` maps label → percentage (must sum to 100); default 80/10/10
+    train/val/test. Adds ``bucket`` and ``split`` columns."""
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100: {splits}")
+    out = df.withColumn("bucket", hash_bucket(id_col))
+    expr = None
+    cum = 0
+    for label, pct in splits.items():
+        cum += pct
+        cond = F.col("bucket") < cum
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    return out.withColumn("split", expr)
+
+
+def stratified_sample_flag(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: flag rows where bucket(id) falls
+    under the stratum's rate (percent of the 100-bucket space). ``rates`` maps
+    stratum value → sampling fraction in [0,1]. Flag (not filter) so callers
+    can audit what was dropped — filter on ``in_sample`` to materialize."""
+    expr = F.lit(default_rate)
+    for value, rate in rates.items():
+        expr = F.when(F.col(stratum_col) == value, F.lit(rate)).otherwise(expr)
+    b = F.col("bucket") if "bucket" in df.columns else hash_bucket(id_col)
+    return df.withColumn("in_sample", b < expr * 100)

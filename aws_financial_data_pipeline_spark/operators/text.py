@@ -142,6 +142,51 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (tfidf = tf · ln(N/df)).
+
+    Scale shape: one shuffle for tf (keyed (doc, term) — uniform), one for df
+    (keyed term), then the df table joins BACK broadcast — document-frequency
+    is vocabulary-sized, orders of magnitude smaller than the corpus, so the
+    big tf table never reshuffles on term. Final top-k is a rank-limited
+    window per doc (WindowGroupLimit pushes the k cut below the sort).
+
+    N is read once driver-side (`docs.count()`) — a scalar, not a collect of
+    data; at 100 TB this is a metadata-cheap count job reused as a literal.
+
+    Ranking is on the ROUNDED score (6dp) with a term tiebreak: mathematically
+    equal scores with different (tf, df) factorizations (e.g. 2·ln(10) vs
+    ln(100)) differ in the last ulp across engines — ranking on raw doubles
+    would make the top-k cut engine-dependent.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    tok = with_tokens(docs, text_col).select(
+        F.col(id_col).alias("doc_id"), F.explode("_tok").alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """Document fingerprint: minimum md5 over word n-gram shingles (a
     winnowing-style min-hash selection with the hash as the rolling window).

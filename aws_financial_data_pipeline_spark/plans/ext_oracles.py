@@ -293,6 +293,41 @@ EXT_ORACLES: dict[str, str] = {
            CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS BIGINT) AS bpe_tokens
     FROM documents
     """,
+    # ranking is on the 6dp-ROUNDED score (see text.tfidf_top_terms: equal
+    # real scores from different (tf,df) factorizations differ in the last
+    # ulp across engines)
+    "x28_tfidf_topk": r"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(nd.n / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term), nd
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    "x29_split_sample": """
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           bucket < (CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample
+    FROM b
+    """,
     "x13_fingerprint": _SHINGLES
     + """
     SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles

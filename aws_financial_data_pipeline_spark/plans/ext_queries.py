@@ -124,6 +124,23 @@ def x12_token_counts(spark, sf_dir):
     return _long(text.token_counts(_docs(spark, sf_dir)), "n_chars", "ws_tokens", "bpe_tokens")
 
 
+def x28_tfidf_topk(spark, sf_dir):
+    return _long(text.tfidf_top_terms(_docs(spark, sf_dir), k=5), "tf", "df")
+
+
+def x29_split_sample(spark, sf_dir):
+    """Deterministic train/val/test split + stratified sample over documents:
+    md5-bucket thresholds, reproducible and partition-independent (see
+    operators/sampling.py). English is downsampled to 20%, other languages
+    kept at 50% — the classic rebalancing shape."""
+    from ..operators import sampling
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = sampling.split_assign(docs)
+    out = sampling.stratified_sample_flag(out, "doc_id", "lang", {"en": 0.2}, default_rate=0.5)
+    return out.select("doc_id", "lang", "bucket", "split", "in_sample")
+
+
 def x13_fingerprint(spark, sf_dir):
     # n=3 to share the oracle's shingle prelude (operator default is 5-gram)
     return _long(text.fingerprint(_docs(spark, sf_dir), n=3), "n_shingles")
@@ -352,4 +369,6 @@ EXT_QUERIES = {
     "x25_stream_stream_join": x25_stream_stream_join,
     "x26_ann_ivf_topk": x26_ann_ivf_topk,
     "x27_dedup_clusters": x27_dedup_clusters,
+    "x28_tfidf_topk": x28_tfidf_topk,
+    "x29_split_sample": x29_split_sample,
 }

@@ -1,0 +1,83 @@
+"""TF-IDF top terms (operators/text.py) and deterministic sampling
+(operators/sampling.py): hand-computed values + invariance properties."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import sampling
+from aws_financial_data_pipeline_spark.operators.text import tfidf_top_terms
+
+
+def test_tfidf_known_values(spark):
+    # N=4 docs; "rare" appears in 1 doc (df=1, tf=2), "common" in all 4
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common x"),
+            (2, "common y"),
+            (3, "common z"),
+            (4, "common w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["term"]): r for r in tfidf_top_terms(docs, k=10).collect()}
+    r = out[(1, "rare")]
+    assert (r["tf"], r["df"]) == (2, 1)
+    assert r["tfidf"] == pytest.approx(round(2 * math.log(4 / 1), 6))
+    assert r["rn"] == 1  # highest score in doc 1
+    # idf of an everywhere-term is ln(1)=0
+    assert out[(2, "common")]["tfidf"] == 0.0
+
+
+def test_tfidf_k_cut_and_tiebreak(spark):
+    # doc 1 has three equal-scored singleton terms -> tie broken by term asc
+    docs = spark.createDataFrame(
+        [(1, "b c a"), (2, "zz zz")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).where("doc_id = 1").orderBy("rn").collect()
+    assert [r["term"] for r in rows] == ["a", "b"]
+    assert [r["rn"] for r in rows] == [1, 2]
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in sampling.split_assign(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign(df.repartition(7, "doc_id")).collect()
+    }
+    assert a == b  # content-hashed: independent of partitioning/order
+    # rough proportions at n=500 (md5-uniform: generous tolerance)
+    n_train = sum(1 for s in a.values() if s == "train")
+    assert 0.7 * 500 < n_train < 0.9 * 500
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_split_assign_rejects_bad_percentages(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        sampling.split_assign(df, splits={"train": 50, "test": 40})
+
+
+def test_stratified_rates_respected(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample_flag(df, "doc_id", "lang", {"en": 0.1}, default_rate=0.9)
+    got = out.groupBy("lang").agg(
+        F.avg(F.col("in_sample").cast("double")).alias("frac")
+    )
+    fracs = {r["lang"]: r["frac"] for r in got.collect()}
+    assert abs(fracs["en"] - 0.1) < 0.06
+    assert abs(fracs["fr"] - 0.9) < 0.06
+    # the flag is exactly bucket < rate*100 on the SAME bucket as split_assign
+    chk = sampling.split_assign(df)
+    chk = sampling.stratified_sample_flag(chk, "doc_id", "lang", {"en": 0.1}, 0.9)
+    bad = chk.where(
+        (F.col("in_sample").cast("int"))
+        != (F.col("bucket") < F.when(F.col("lang") == "en", 10).otherwise(90)).cast("int")
+    ).count()
+    assert bad == 0
