@@ -393,6 +393,29 @@ EXT_ORACLES: dict[str, str] = {
            event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
+    # batch twin of streaming session_window: new session at gap >= 30 min
+    # (session windows are half-open [start, last+gap)); end = last + gap.
+    # (user_id, ts) is unique, so ORDER BY ts needs no tiebreak.
+    "x30_stream_sessions": """
+    WITH g AS (
+      SELECT user_id, value, ts, epoch(ts) AS tsd,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY tsd
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM g
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, seq
+    """,
     # (user_id, ts) is unique in the events table, so the as-of match is
     # deterministic without a tiebreak on both engines.
     "x20_asof_join": """

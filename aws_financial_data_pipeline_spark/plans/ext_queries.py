@@ -331,6 +331,35 @@ def x25_stream_stream_join(spark, sf_dir):
     return spark.table("x25_stream_stream_join")
 
 
+def x30_stream_sessions(spark, sf_dir):
+    """Native streaming sessionization (session_window state merge) — the
+    stateful twin of x16's batch lag+running-sum form. A full availableNow
+    replay must equal batch gap-sessionization, which is the oracle: sessions
+    split where the inter-event gap is ≥ 30 min (session windows are half-open
+    [start, last+gap)), end = last event + gap."""
+    from ..streaming.windows import session_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    out = session_stream(stream, gap="30 minutes", watermark="365 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("x30_stream_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("x30_stream_sessions")
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -371,4 +400,5 @@ EXT_QUERIES = {
     "x27_dedup_clusters": x27_dedup_clusters,
     "x28_tfidf_topk": x28_tfidf_topk,
     "x29_split_sample": x29_split_sample,
+    "x30_stream_sessions": x30_stream_sessions,
 }

@@ -226,6 +226,20 @@ FINANCIAL_ORACLES: dict[str, str] = {
                 THEN CAST(round(amount,2) AS DECIMAL(18,2)) END) AS DOUBLE) AS low
     FROM cur GROUP BY user_id
     """,
+    "q22_user_set_ops": P
+    + """
+    , prev AS (
+      SELECT strftime(strptime(cur_ym || '01', '%Y%m%d') - INTERVAL 1 MONTH, '%Y%m') AS prev_ym
+      FROM latest
+    ),
+    uc AS (SELECT DISTINCT user_id FROM cur),
+    up AS (SELECT DISTINCT t.user_id FROM txns t, prev WHERE t.ym = prev.prev_ym)
+    SELECT user_id, 'retained' AS op FROM (SELECT user_id FROM uc INTERSECT SELECT user_id FROM up)
+    UNION ALL
+    SELECT user_id, 'new' AS op FROM (SELECT user_id FROM uc EXCEPT SELECT user_id FROM up)
+    UNION ALL
+    SELECT user_id, 'churned' AS op FROM (SELECT user_id FROM up EXCEPT SELECT user_id FROM uc)
+    """,
     "q21_currency_normalized": P
     + """
     , rates AS (

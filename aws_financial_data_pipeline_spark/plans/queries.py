@@ -304,6 +304,24 @@ def q21_currency_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q22_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT DISTINCT): user retention between the
+    statement month and the month before it. Catalyst plans both as aggregated
+    joins on the full row — one shuffle each on user_id, broadcast 1-row month
+    scalars, no collect."""
+    txns, cur, _ = _base(spark, sf_dir, ("user_id",))
+    prev = tv.statement_scalars(txns)["prev_ym"]
+    prev_users = (
+        txns.join(F.broadcast(prev), txns.ym == F.col("prev_ym")).select("user_id").distinct()
+    )
+    cur_users = cur.select("user_id").distinct()
+    return (
+        cur_users.intersect(prev_users).withColumn("op", F.lit("retained"))
+        .unionByName(cur_users.subtract(prev_users).withColumn("op", F.lit("new")))
+        .unionByName(prev_users.subtract(cur_users).withColumn("op", F.lit("churned")))
+    )
+
+
 FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q01_historical_avg": q01_historical_avg,
     "q02_home_country": q02_home_country,
@@ -326,4 +344,5 @@ FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q19_pivot": q19_pivot,
     "q20_report_flat": q20_report_flat,
     "q21_currency_normalized": q21_currency_normalized,
+    "q22_user_set_ops": q22_user_set_ops,
 }

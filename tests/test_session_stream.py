@@ -1,0 +1,67 @@
+"""Native streaming session windows (streaming/windows.py:session_stream):
+sessions MERGE across micro-batches — the stateful behavior the batch
+lag-based form cannot exhibit and the availableNow-replay oracle (x30) cannot
+isolate."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+from aws_financial_data_pipeline_spark.streaming.windows import session_stream
+
+EVENT_COLS = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def test_sessions_merge_across_batches(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, EVENT_COLS).coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    # batch 0: u1 event 10:00; u2 two events 35 min apart (two sessions)
+    write_file("f1", [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view", 1.0),
+        (2, datetime(2024, 1, 1, 9, 0), 2, "view", 10.0),
+        (3, datetime(2024, 1, 1, 9, 35), 2, "view", 20.0),
+    ], now - 60)
+    # batch 1: u1 event 10:20 — inside the 30-min gap, must MERGE into the
+    # session opened in batch 0 (state-store window merge)
+    write_file("f2", [(4, datetime(2024, 1, 1, 10, 20), 1, "view", 2.0)], now - 30)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "f1")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        session_stream(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_merge_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.table("sess_merge_test").collect()
+    }
+    assert set(rows) == {
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 09:00:00"),
+        (2, "2024-01-01 09:35:00"),
+    }
+    merged = rows[(1, "2024-01-01 10:00:00")]
+    assert merged["n_events"] == 2
+    assert merged["session_end"] == "2024-01-01 10:50:00"  # last event + gap
+    assert merged["total_value"] == 3.0
+    assert rows[(2, "2024-01-01 09:00:00")]["n_events"] == 1
