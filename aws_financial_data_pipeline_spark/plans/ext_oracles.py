@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from ..operators.similarity import plane_rows
 from ..operators.text import BPE_REGEX, LANG_STOPWORDS
+from .transactions_view import ORACLE_PRELUDE as _P
 
 # shared shingle prelude (word 3-grams, distinct per doc)
 _SHINGLES = r"""
@@ -327,6 +328,47 @@ EXT_ORACLES: dict[str, str] = {
                 ELSE 'test' END AS split,
            bucket < (CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample
     FROM b
+    """,
+    # salting is value-invisible: the oracle is the plain group-by sum
+    "x31_salted_agg": _P
+    + """
+    SELECT country,
+           round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM txns GROUP BY country
+    """,
+    "x32_corpus_curation": r"""
+    WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS tok FROM documents),
+    q AS (
+      SELECT doc_id,
+             0.3 * least(1.0, len(tok) / 100.0)
+               + 0.3 * (1.0 - round(len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is'))) / len(tok), 4))
+               + 0.4 * least(1.0, round(length(regexp_replace(text, '\s', '', 'g')) / len(tok), 4) / 8.0)
+               AS quality_score
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+       """
+    + _lang_scores_sql()
+    + """
+      FROM t
+    ),
+    l AS (SELECT doc_id, """
+    + _lang_pred_sql()
+    + """ AS lang_pred FROM s),
+    canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    sel AS (
+      SELECT c.doc_id, l.lang_pred, q.quality_score,
+             ('0x' || substr(md5(c.doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      FROM canon c
+      JOIN q USING (doc_id) JOIN l USING (doc_id)
+      WHERE q.quality_score >= 0.5 AND l.lang_pred = 'en'
+    )
+    SELECT doc_id, lang_pred, quality_score, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM sel
     """,
     "x13_fingerprint": _SHINGLES
     + """

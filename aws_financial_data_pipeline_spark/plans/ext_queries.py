@@ -360,6 +360,51 @@ def x30_stream_sessions(spark, sf_dir):
     return spark.table("x30_stream_sessions")
 
 
+def x31_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py) on a genuinely hot
+    key: country has ~25 values over the whole fact table, so a direct groupBy
+    puts each country on one reducer. Salting must be value-invisible — the
+    oracle is the PLAIN group-by sum. Decimal partials keep the merge exact
+    (double partials would be accumulation-order dependent)."""
+    from ..operators import skew
+    from . import transactions_view as tv
+
+    txns = tv.transactions(spark, sf_dir, ("country", "amount"))
+    out = skew.salted_sum(
+        txns, ["country"], F.col("amount").cast("decimal(18,2)"), out_col="total_dec"
+    )
+    return out.select(
+        "country", F.round(F.col("total_dec").cast("double"), 2).alias("total")
+    )
+
+
+def x32_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation — the composition every training-data
+    pipeline runs: exact-dedup to canonical docs, quality gate, language
+    filter, then deterministic split assignment. Each stage is an existing
+    operator (x01/x10/x11/x29); this entry locks in that they compose."""
+    from ..operators import dedup, sampling, text
+
+    docs = _docs(spark, sf_dir)
+    canon = (
+        dedup.exact_duplicates(docs)
+        .select(F.col("canonical_id").alias("doc_id"))
+        .distinct()
+    )
+    stats = text.text_stats(docs).select("doc_id", "quality_score")
+    lang = text.language_id(docs).select("doc_id", "lang_pred")
+    out = (
+        docs.select("doc_id")
+        .join(canon, "doc_id")  # keep one doc per exact-dup cluster
+        .join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en"))
+    )
+    return sampling.split_assign(out).select(
+        "doc_id", "lang_pred", "quality_score", "bucket", "split"
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -401,4 +446,6 @@ EXT_QUERIES = {
     "x28_tfidf_topk": x28_tfidf_topk,
     "x29_split_sample": x29_split_sample,
     "x30_stream_sessions": x30_stream_sessions,
+    "x31_salted_agg": x31_salted_agg,
+    "x32_corpus_curation": x32_corpus_curation,
 }
