@@ -1,0 +1,54 @@
+"""Time-series densification (gap filling / resampling).
+
+Monthly aggregates are SPARSE — a user with no transactions in a month simply
+has no row — but trend analysis, forecasting features, and the reference's
+month-over-month comparisons (SURVEY §2.6 Q5/Q9/Q10) all implicitly assume a
+dense axis. The reference sidesteps this by iterating over only the months
+present (docker/lambda_function.py:154-173), silently skipping gaps; the
+correct operator materializes the missing periods with explicit zeros.
+
+Scale shape: bounds are a per-key min/max aggregate (one shuffle, map-side
+combine), the dense axis is `sequence()` + `explode` — generated, never
+shuffled — and the fill is a left join back on (key, period), co-partitioned
+with the aggregate it fills. Axis cardinality is keys × periods, linear in
+the output; no cross join against a global calendar (which at 100 TB would
+explode keys × all-time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gap_fill_months(
+    txns: DataFrame,
+    key_col: str = "user_id",
+    ym_col: str = "ym",
+    amount_col: str = "amount",
+) -> DataFrame:
+    """Dense per-key monthly totals from each key's first to last active
+    month; months with no rows appear with total 0 and ``is_gap`` true.
+
+    Money sums are exact-decimal then rounded once (engine-portable)."""
+    monthly = txns.groupBy(key_col, ym_col).agg(
+        F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("_dec")
+    )
+    bounds = txns.groupBy(key_col).agg(
+        F.min(ym_col).alias("_mn"), F.max(ym_col).alias("_mx")
+    )
+    axis = bounds.select(
+        key_col,
+        F.explode(
+            F.expr(
+                "sequence(to_date(concat(_mn, '01'), 'yyyyMMdd'), "
+                "to_date(concat(_mx, '01'), 'yyyyMMdd'), interval 1 month)"
+            )
+        ).alias("_m"),
+    ).select(key_col, F.date_format("_m", "yyyyMM").alias(ym_col))
+    return axis.join(monthly, [key_col, ym_col], "left").select(
+        key_col,
+        ym_col,
+        F.round(F.coalesce(F.col("_dec"), F.lit(0)).cast("double"), 2).alias("total"),
+        F.col("_dec").isNull().alias("is_gap"),
+    )

@@ -329,6 +329,24 @@ EXT_ORACLES: dict[str, str] = {
            bucket < (CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample
     FROM b
     """,
+    "x33_gapfill_monthly": _P
+    + """
+    , monthly AS (
+      SELECT user_id, ym, sum(CAST(amount AS DECIMAL(18,2))) AS dec
+      FROM txns GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(ym) AS mn, max(ym) AS mx FROM txns GROUP BY 1),
+    axis AS (
+      SELECT user_id, strftime(m, '%Y%m') AS ym
+      FROM bounds, LATERAL UNNEST(generate_series(
+        strptime(mn || '01', '%Y%m%d'), strptime(mx || '01', '%Y%m%d'),
+        INTERVAL 1 MONTH)) AS g(m)
+    )
+    SELECT a.user_id, a.ym,
+           round(CAST(coalesce(mo.dec, 0) AS DOUBLE), 2) AS total,
+           mo.dec IS NULL AS is_gap
+    FROM axis a LEFT JOIN monthly mo USING (user_id, ym)
+    """,
     # salting is value-invisible: the oracle is the plain group-by sum
     "x31_salted_agg": _P
     + """

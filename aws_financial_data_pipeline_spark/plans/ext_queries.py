@@ -360,6 +360,17 @@ def x30_stream_sessions(spark, sf_dir):
     return spark.table("x30_stream_sessions")
 
 
+def x33_gapfill_monthly(spark, sf_dir):
+    """Time-series densification: dense per-user monthly totals with explicit
+    zero rows for inactive months (operators/timeseries.py). The reference
+    iterates only the months present, silently skipping gaps."""
+    from ..operators.timeseries import gap_fill_months
+    from . import transactions_view as tv
+
+    txns = tv.transactions(spark, sf_dir, ("user_id", "amount", "ym"))
+    return gap_fill_months(txns)
+
+
 def x31_salted_agg(spark, sf_dir):
     """Two-phase salted aggregation (operators/skew.py) on a genuinely hot
     key: country has ~25 values over the whole fact table, so a direct groupBy
@@ -448,4 +459,5 @@ EXT_QUERIES = {
     "x30_stream_sessions": x30_stream_sessions,
     "x31_salted_agg": x31_salted_agg,
     "x32_corpus_curation": x32_corpus_curation,
+    "x33_gapfill_monthly": x33_gapfill_monthly,
 }

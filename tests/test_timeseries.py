@@ -1,0 +1,35 @@
+"""Time-series gap filling (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+from aws_financial_data_pipeline_spark.operators.timeseries import gap_fill_months
+
+
+def test_gap_fill_months(spark):
+    txns = spark.createDataFrame(
+        [
+            ("u1", "202410", 10.0),
+            ("u1", "202501", 5.0),   # gap: 202411, 202412 (year wrap)
+            ("u2", "202412", 7.0),   # single month: no gaps
+        ],
+        "user_id string, ym string, amount double",
+    )
+    rows = {(r["user_id"], r["ym"]): r for r in gap_fill_months(txns).collect()}
+    assert set(rows) == {
+        ("u1", "202410"), ("u1", "202411"), ("u1", "202412"), ("u1", "202501"),
+        ("u2", "202412"),
+    }
+    assert rows[("u1", "202411")]["total"] == 0.0 and rows[("u1", "202411")]["is_gap"]
+    assert rows[("u1", "202412")]["is_gap"]
+    assert rows[("u1", "202410")]["total"] == 10.0 and not rows[("u1", "202410")]["is_gap"]
+    assert rows[("u1", "202501")]["total"] == 5.0
+    assert rows[("u2", "202412")]["total"] == 7.0
+
+
+def test_gap_fill_sums_within_month(spark):
+    txns = spark.createDataFrame(
+        [("u1", "202410", 1.11), ("u1", "202410", 2.22)],
+        "user_id string, ym string, amount double",
+    )
+    [r] = gap_fill_months(txns).collect()
+    assert (r["ym"], r["total"], r["is_gap"]) == ("202410", 3.33, False)
