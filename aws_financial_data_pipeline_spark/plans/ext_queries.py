@@ -371,6 +371,25 @@ def x33_gapfill_monthly(spark, sf_dir):
     return gap_fill_months(txns)
 
 
+def x34_sketch_profile(spark, sf_dir):
+    """Mergeable-sketch profile (Apache DataSketches, built into Spark 4):
+    HLL distinct users, Theta distinct users, KLL median of value — per event
+    type. These are THE 100 TB forms of count(distinct)/percentile: fixed-size
+    state, map-side partial merge, partition-order independent (asserted in
+    tests/test_approx.py). No SQL oracle — DuckDB's HLL internals differ —
+    so this entry is rows-only; accuracy bounds are pytest-gated against the
+    exact aggregates."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_distinct_users"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias("theta_distinct_users"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("kll_p50"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def x31_salted_agg(spark, sf_dir):
     """Two-phase salted aggregation (operators/skew.py) on a genuinely hot
     key: country has ~25 values over the whole fact table, so a direct groupBy
@@ -460,4 +479,5 @@ EXT_QUERIES = {
     "x31_salted_agg": x31_salted_agg,
     "x32_corpus_curation": x32_corpus_curation,
     "x33_gapfill_monthly": x33_gapfill_monthly,
+    "x34_sketch_profile": x34_sketch_profile,
 }

@@ -35,6 +35,39 @@ def test_approx_percentile_close_to_exact(spark):
     assert abs(got["approx"] - got["exact"]) <= 0.01 * spread
 
 
+def test_datasketches_accuracy_against_exact(spark):
+    """HLL/Theta/KLL (x34) must land within tight bounds of the exact
+    aggregates at sf0.01 cardinalities."""
+    ev = _events(spark)
+    got = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias("theta"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("kll_p50"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile("value", 0.5).alias("exact_p50"),
+        (F.max("value") - F.min("value")).alias("spread"),
+    )
+    for r in got.collect():
+        assert abs(r["hll"] - r["exact_users"]) <= 0.05 * r["exact_users"] + 2, r
+        assert abs(r["theta"] - r["exact_users"]) <= 0.05 * r["exact_users"] + 2, r
+        assert abs(r["kll_p50"] - r["exact_p50"]) <= 0.02 * r["spread"], r
+
+
+def test_datasketches_partition_invariant(spark):
+    ev = _events(spark).select("event_type", "user_id")
+    def run(n):
+        return sorted(
+            (r["event_type"], r["e"])
+            for r in ev.repartition(n)
+            .groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+            .collect()
+        )
+    assert run(2) == run(19)
+
+
 def test_sketches_are_mergeable_across_partitioning(spark):
     """The property that makes sketches the scale path: the result must not
     depend on how the data is partitioned."""
