@@ -514,6 +514,15 @@ EXT_ORACLES: dict[str, str] = {
     "x23_stream_dedup": """
     SELECT DISTINCT md5(text) AS fp FROM documents
     """,
+    # replay of the stream-static enrichment == the batch join
+    "x35_stream_static_join": """
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
     # replay of the stream-stream interval join == batch range join
     "x25_stream_stream_join": """
     WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),

@@ -435,6 +435,43 @@ def x32_corpus_curation(spark, sf_dir):
     )
 
 
+def x35_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the unbounded event stream joined to
+    BATCH dimension tables (customer → nation), then windowless aggregation
+    per (market segment, event type). The static side is re-read per
+    micro-batch and broadcast — no state, the canonical dimension-enrichment
+    shape. Replay equals the batch join, which is the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    dim = cust.join(F.broadcast(nation), "c_nationkey").select(
+        "user_id", "c_mktsegment", "nation"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    out = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("x35_stream_static_join")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("x35_stream_static_join")
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -480,4 +517,5 @@ EXT_QUERIES = {
     "x32_corpus_curation": x32_corpus_curation,
     "x33_gapfill_monthly": x33_gapfill_monthly,
     "x34_sketch_profile": x34_sketch_profile,
+    "x35_stream_static_join": x35_stream_static_join,
 }
