@@ -1,0 +1,65 @@
+"""Arrow-vectorized scalar pandas UDFs — the sanctioned Python escape hatch.
+
+Policy (SCALING.md): hot paths stay JVM-side (`pyspark.sql.functions`,
+whole-stage codegen); when Python is genuinely unavoidable (a numpy/model
+kernel with no Catalyst equivalent), it enters as a **scalar
+``@pandas_udf``** — Arrow-batched columns in, vectorized numpy out — never a
+row-at-a-time Python UDF. This module holds that pattern once, tested for
+exact agreement with the JVM expression form (tests/test_vectorized.py), so
+new kernels have a proven template to copy.
+
+UDFs are exposed as cached factories (``cosine_similarity_pandas()``), not
+module-level decorations: ``pandas_udf`` registration needs a live
+SparkSession, and import must stay session-free.
+
+``cosine_similarity_pandas`` deliberately duplicates the built-in-expression
+cosine in operators/similarity.py: the JVM form is the production path; this
+is the benchmarked fallback shape for kernels that NEED numpy.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+
+def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine similarity of two array<float|double> columns, one Arrow batch
+    at a time. Rows are stacked into a 2-D ndarray so the dot products and
+    norms are single BLAS calls per batch — no per-row Python."""
+    # upcast BEFORE the reductions: float32 accumulation diverges from the
+    # JVM path (which casts each element to double) at ~1e-8
+    av = np.stack(a.to_numpy()).astype(np.float64)
+    bv = np.stack(b.to_numpy()).astype(np.float64)
+    dots = np.einsum("ij,ij->i", av, bv)
+    norms = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(norms == 0, np.nan, dots / norms)  # NaN -> SQL NULL via Arrow
+    return pd.Series(out)
+
+
+def _log1p_ratio_kernel(num: pd.Series, den: pd.Series) -> pd.Series:
+    """log1p(num/den) with 0-denominator → null (Arrow returns
+    pandas NaN as SQL NULL) — a minimal numeric-kernel
+    template (replace the body, keep the shape)."""
+    n = num.to_numpy(dtype="float64")
+    d = den.to_numpy(dtype="float64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(d == 0, np.nan, np.log1p(n / d))
+    return pd.Series(out)
+
+
+@lru_cache(maxsize=None)
+def cosine_similarity_pandas():
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_cosine_kernel, "double")
+
+
+@lru_cache(maxsize=None)
+def log1p_ratio_pandas():
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_log1p_ratio_kernel, "double")

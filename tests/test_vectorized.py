@@ -1,0 +1,66 @@
+"""Scalar pandas UDFs (functions/vectorized.py): the Arrow-batched numpy
+kernels must agree with the JVM expression forms they mirror."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.functions.vectorized import (
+    cosine_similarity_pandas,
+    log1p_ratio_pandas,
+)
+
+
+def test_cosine_pandas_matches_jvm_expression(spark):
+    from aws_financial_data_pipeline_spark.operators.similarity import _dot
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    paired = emb.alias("a").join(
+        emb.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+    )
+    jvm = _dot(F.col("ea"), F.col("eb")) / F.sqrt(
+        _dot(F.col("ea"), F.col("ea")) * _dot(F.col("eb"), F.col("eb"))
+    )
+    out = paired.select(
+        "vec_id",
+        jvm.alias("cos_jvm"),
+        cosine_similarity_pandas()("ea", "eb").alias("cos_py"),
+    ).collect()
+    assert len(out) > 100
+    for r in out:
+        assert r["cos_py"] == pytest.approx(r["cos_jvm"], abs=1e-9), r["vec_id"]
+
+
+def test_cosine_pandas_zero_vector_is_null(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "ea array<double>, eb array<double>",
+    )
+    got = df.select(cosine_similarity_pandas()("ea", "eb").alias("c")).collect()
+    assert got[0]["c"] is None  # numpy NaN comes back as SQL NULL via Arrow
+    assert got[1]["c"] == pytest.approx(1.0)
+
+
+def test_log1p_ratio_template(spark):
+    df = spark.createDataFrame([(3.0, 1.0), (5.0, 0.0)], "n double, d double")
+    got = df.select(log1p_ratio_pandas()("n", "d").alias("v")).collect()
+    assert got[0]["v"] == pytest.approx(math.log1p(3.0))
+    assert got[1]["v"] is None
+
+
+def test_plan_uses_arrow_eval(spark):
+    """The UDF must plan as ArrowEvalPython (vectorized), never BatchEvalPython
+    (row-at-a-time)."""
+    df = spark.createDataFrame([(1.0, 2.0)], "n double, d double").select(
+        log1p_ratio_pandas()("n", "d").alias("v")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
