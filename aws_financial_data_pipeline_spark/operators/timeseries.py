@@ -34,7 +34,11 @@ def gap_fill_months(
     monthly = txns.groupBy(key_col, ym_col).agg(
         F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("_dec")
     )
-    bounds = txns.groupBy(key_col).agg(
+    # bounds come from the ALREADY-AGGREGATED monthly table, not the raw
+    # facts: min/max of ym is identical, and this avoids a second full fact
+    # scan + shuffle (measured 8.1s → ~4s at sf0.1). keys × months rows in,
+    # keys rows out — a trivial re-aggregation.
+    bounds = monthly.groupBy(key_col).agg(
         F.min(ym_col).alias("_mn"), F.max(ym_col).alias("_mx")
     )
     axis = bounds.select(

@@ -41,6 +41,8 @@ HEADLINE = [
     "x26_ann_ivf_topk",
     "x13_fingerprint",
     "x27_dedup_clusters",
+    "x28_tfidf_topk",
+    "x33_gapfill_monthly",
     "x16_events_sessions",
     "x18_multimodal_features",
     "x20_asof_join",
