@@ -347,6 +347,31 @@ EXT_ORACLES: dict[str, str] = {
            mo.dec IS NULL AS is_gap
     FROM axis a LEFT JOIN monthly mo USING (user_id, ym)
     """,
+    "x36_rolling_monthly": _P
+    + """
+    , monthly AS (
+      SELECT user_id, ym, sum(CAST(amount AS DECIMAL(18,2))) AS dec
+      FROM txns GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(ym) AS mn, max(ym) AS mx FROM monthly GROUP BY 1),
+    axis AS (
+      SELECT user_id, strftime(m, '%Y%m') AS ym
+      FROM bounds, LATERAL UNNEST(generate_series(
+        strptime(mn || '01', '%Y%m%d'), strptime(mx || '01', '%Y%m%d'),
+        INTERVAL 1 MONTH)) AS g(m)
+    ),
+    dense AS (
+      SELECT a.user_id, a.ym, round(CAST(coalesce(mo.dec, 0) AS DOUBLE), 2) AS total
+      FROM axis a LEFT JOIN monthly mo USING (user_id, ym)
+    )
+    SELECT user_id, ym, total,
+           round(sum(total) OVER w3, 2) AS sum3,
+           count(*) OVER w3 AS n3,
+           round(total - lag(total, 1) OVER wl, 2) AS mom_delta
+    FROM dense
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wl AS (PARTITION BY user_id ORDER BY ym)
+    """,
     # salting is value-invisible: the oracle is the plain group-by sum
     "x31_salted_agg": _P
     + """

@@ -371,6 +371,33 @@ def x33_gapfill_monthly(spark, sf_dir):
     return gap_fill_months(txns)
 
 
+def x36_rolling_monthly(spark, sf_dir):
+    """Window-frame analytics over the DENSE monthly series (x33's gap fill
+    composed): 3-month rolling sum (ROWS 2 PRECEDING) and month-over-month
+    delta (lag). Rolling windows over a sparse series are silently wrong —
+    the frame would span non-adjacent months — which is why this composes the
+    densification first. Rolling SUM (not avg) keeps values on the 2-decimal
+    grid where rounding is engine-stable; deltas of 2dp values are likewise
+    exact."""
+    from pyspark.sql import Window
+
+    from ..operators.timeseries import gap_fill_months
+    from . import transactions_view as tv
+
+    txns = tv.transactions(spark, sf_dir, ("user_id", "amount", "ym"))
+    dense = gap_fill_months(txns)
+    w3 = Window.partitionBy("user_id").orderBy("ym").rowsBetween(-2, 0)
+    wl = Window.partitionBy("user_id").orderBy("ym")
+    return dense.select(
+        "user_id",
+        "ym",
+        "total",
+        F.round(F.sum("total").over(w3), 2).alias("sum3"),
+        F.count("*").over(w3).alias("n3"),
+        F.round(F.col("total") - F.lag("total", 1).over(wl), 2).alias("mom_delta"),
+    )
+
+
 def x34_sketch_profile(spark, sf_dir):
     """Mergeable-sketch profile (Apache DataSketches, built into Spark 4):
     HLL distinct users, Theta distinct users, KLL median of value — per event
@@ -518,4 +545,5 @@ EXT_QUERIES = {
     "x33_gapfill_monthly": x33_gapfill_monthly,
     "x34_sketch_profile": x34_sketch_profile,
     "x35_stream_static_join": x35_stream_static_join,
+    "x36_rolling_monthly": x36_rolling_monthly,
 }
