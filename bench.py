@@ -64,6 +64,13 @@ def main() -> None:
     # round numbers aren't comparable
     for w in ("q04_spending_by_category", "q09_trend", "x14_events_tumbling", "x10_text_stats"):
         queries[w](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # ... and the Python-worker pool: the first Arrow/pandas stage pays the
+    # interpreter fork (~6s for 32 workers, measured; 0.7s steady-state on
+    # x18). Workers are reused afterwards (spark.python.worker.reuse), so a
+    # trivial mapInPandas here moves that one-time cost out of the timings.
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id bigint"
+    ).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
