@@ -240,6 +240,16 @@ FINANCIAL_ORACLES: dict[str, str] = {
     UNION ALL
     SELECT user_id, 'churned' AS op FROM (SELECT user_id FROM up EXCEPT SELECT user_id FROM uc)
     """,
+    "q23_grouping_sets": P
+    + """
+    SELECT category, country,
+           round(CAST(sum(CAST(round(amount, 2) AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total,
+           count(*) AS n_txns,
+           grouping(category, country) AS gid
+    FROM cur
+    GROUP BY GROUPING SETS ((category), (country), ())
+    """,
     "q21_currency_normalized": P
     + """
     , rates AS (

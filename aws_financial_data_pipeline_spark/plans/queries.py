@@ -322,6 +322,26 @@ def q22_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q23_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((category), (country), ()) with grouping_id —
+    completes the multi-level aggregation family next to q17's ROLLUP and
+    q19's pivot. One Expand + one hash aggregate, not three scans; decimal
+    sums keep every level accumulation-order independent."""
+    txns, cur, _ = _base(spark, sf_dir, ("category", "country", "amount"))
+    cur.createOrReplaceTempView("_q23_cur")
+    return spark.sql(
+        """
+        SELECT category, country,
+               round(CAST(sum(CAST(round(amount, 2) AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS total,
+               count(*) AS n_txns,
+               grouping_id(category, country) AS gid
+        FROM _q23_cur
+        GROUP BY GROUPING SETS ((category), (country), ())
+        """
+    )
+
+
 FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q01_historical_avg": q01_historical_avg,
     "q02_home_country": q02_home_country,
@@ -345,4 +365,5 @@ FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q20_report_flat": q20_report_flat,
     "q21_currency_normalized": q21_currency_normalized,
     "q22_user_set_ops": q22_user_set_ops,
+    "q23_grouping_sets": q23_grouping_sets,
 }
