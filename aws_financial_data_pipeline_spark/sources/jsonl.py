@@ -1,0 +1,72 @@
+"""JSONL (newline-delimited JSON) document source/sink.
+
+The reference ingests only CSV (SURVEY §2.1 S1); a training-data pipeline's
+dominant wire format is JSONL — one document object per line, append-friendly,
+splittable. Same ingestion discipline as the CSV path:
+
+- **explicit schema, never inferSchema** — inference is a second full pass of
+  the data at scale and silently widens types between runs;
+- **PERMISSIVE mode with a ``_corrupt_record`` column** — malformed lines are
+  surfaced as rows, not dropped (and not a job failure: one bad line in a
+  100 TB crawl must not kill the job);
+- ``multiLine`` stays False: single-line objects are what makes JSONL
+  splittable — a multiline file is one unsplittable task.
+
+The writer exists for round-trips and hand-offs; parquet remains the at-rest
+format (columnar pruning — JSONL always reads whole lines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .statements import CORRUPT_COL
+
+# engine-canonical document schema (mirrors the testdata documents table)
+DOC_SCHEMA = (
+    StructType()
+    .add("doc_id", "long")
+    .add("text", "string")
+    .add("lang", "string")
+    .add("source", "string")
+    .add("n_chars", "long")
+)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Typed JSONL scan with corrupt lines kept in ``_corrupt_record``.
+
+    Clean rows have a NULL corrupt column; ``corrupt_lines`` below isolates
+    the rest. Callers drop the column once they've routed the bad lines.
+
+    The scan is cached: Spark forbids any query over a raw JSON/CSV scan
+    whose only referenced column is the corrupt-record column — which is
+    exactly what ``clean_docs(...).count()`` prunes down to (same
+    load-bearing cache as sources/statements.py corrupt_records; see NOTES).
+    """
+    import copy
+
+    s = copy.deepcopy(schema or DOC_SCHEMA).add(CORRUPT_COL, "string", True)
+    return (
+        spark.read.schema(s)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .cache()
+    )
+
+
+def clean_docs(raw: DataFrame) -> DataFrame:
+    return raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+
+
+def corrupt_lines(raw: DataFrame) -> DataFrame:
+    """The malformed raw lines (the scan is already cached in read_jsonl)."""
+    return raw.filter(raw[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,45 @@
+"""JSONL source (sources/jsonl.py): typed scan, corrupt-line surfacing,
+round-trip fidelity against the parquet documents table."""
+
+from __future__ import annotations
+
+from aws_financial_data_pipeline_spark.sources import jsonl
+
+
+def test_roundtrip_matches_parquet(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    jsonl.write_jsonl(docs, out)
+    back = jsonl.clean_docs(jsonl.read_jsonl(spark, out))
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    # exact content equality both directions
+    assert back.exceptAll(docs.select(*back.columns)).count() == 0
+    assert docs.select(*back.columns).exceptAll(back).count() == 0
+
+
+def test_corrupt_lines_surfaced_not_dropped(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "{this is not json}\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "fr", "source": "s", "n_chars": 7}\n'
+    )
+    raw = jsonl.read_jsonl(spark, str(p))
+    assert jsonl.clean_docs(raw).count() == 2
+    bad = jsonl.corrupt_lines(raw).collect()
+    assert len(bad) == 1
+    assert "not json" in bad[0][0]
+
+
+def test_schema_is_exact_no_inference(spark, tmp_path):
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"doc_id": 7, "text": "t", "lang": "en", "source": "s", "n_chars": 1}\n')
+    got = jsonl.clean_docs(jsonl.read_jsonl(spark, str(p)))
+    assert dict(got.dtypes) == {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    }
