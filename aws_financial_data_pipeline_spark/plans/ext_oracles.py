@@ -478,6 +478,20 @@ EXT_ORACLES: dict[str, str] = {
            event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
+    "x37_rank_functions": """
+    WITH counts AS (
+      SELECT event_type, user_id, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, n_events,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM counts
+    WINDOW w AS (PARTITION BY event_type ORDER BY n_events DESC, user_id ASC)
+    """,
     # batch twin of streaming session_window: new session at gap >= 30 min
     # (session windows are half-open [start, last+gap)); end = last + gap.
     # (user_id, ts) is unique, so ORDER BY ts needs no tiebreak.

@@ -398,6 +398,30 @@ def x36_rolling_monthly(spark, sf_dir):
     )
 
 
+def x37_rank_functions(spark, sf_dir):
+    """The ranking window-function family in one pass: rank, dense_rank,
+    percent_rank, cume_dist, ntile(4) — users ranked per event_type by event
+    COUNT (integer key: ordering is engine-exact; double sums would make the
+    order accumulation-dependent), user_id tiebreak for total determinism."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return counts.select(
+        "event_type",
+        "user_id",
+        "n_events",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def x34_sketch_profile(spark, sf_dir):
     """Mergeable-sketch profile (Apache DataSketches, built into Spark 4):
     HLL distinct users, Theta distinct users, KLL median of value — per event
@@ -546,4 +570,5 @@ EXT_QUERIES = {
     "x34_sketch_profile": x34_sketch_profile,
     "x35_stream_static_join": x35_stream_static_join,
     "x36_rolling_monthly": x36_rolling_monthly,
+    "x37_rank_functions": x37_rank_functions,
 }

@@ -240,6 +240,13 @@ FINANCIAL_ORACLES: dict[str, str] = {
     UNION ALL
     SELECT user_id, 'churned' AS op FROM (SELECT user_id FROM up EXCEPT SELECT user_id FROM uc)
     """,
+    "q24_exists_high_value": P
+    + """
+    SELECT s.user_id, s.avg_amount
+    FROM scal s
+    WHERE EXISTS (SELECT 1 FROM cur c
+                  WHERE c.user_id = s.user_id AND c.amount > s.avg_amount)
+    """,
     "q23_grouping_sets": P
     + """
     SELECT category, country,

@@ -342,6 +342,26 @@ def q23_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — users with ≥1 current-month transaction
+    strictly above their historical average. Catalyst rewrites the subquery to a
+    LEFT SEMI join on user_id (one shuffle, no row duplication) — the
+    subquery surface q03/q06 express as explicit joins."""
+    _, cur, hist = _base(spark, sf_dir, ("user_id", "amount"))
+    scal = fin.historical_average(hist)
+    cur.createOrReplaceTempView("_q24_cur")
+    scal.createOrReplaceTempView("_q24_scal")
+    return spark.sql(
+        """
+        SELECT s.user_id, s.avg_amount
+        FROM _q24_scal s
+        WHERE EXISTS (SELECT 1 FROM _q24_cur c
+                      WHERE c.user_id = s.user_id
+                        AND c.amount > s.avg_amount)
+        """
+    )
+
+
 FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q01_historical_avg": q01_historical_avg,
     "q02_home_country": q02_home_country,
@@ -366,4 +386,5 @@ FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q21_currency_normalized": q21_currency_normalized,
     "q22_user_set_ops": q22_user_set_ops,
     "q23_grouping_sets": q23_grouping_sets,
+    "q24_exists_high_value": q24_exists_high_value,
 }
