@@ -71,7 +71,7 @@ class HistoryStore:
 
     def read_summary(self, user_id: str | None = None) -> DataFrame:
         """The additive summary (same partition pruning as :meth:`read`)."""
-        df = self.spark.read.parquet(self.summary_path)
+        df = self.spark.read.option("mergeSchema", True).parquet(self.summary_path)
         if user_id is not None:
             df = df.filter(F.col("user_id") == user_id)
         return df
@@ -100,8 +100,17 @@ class HistoryStore:
     def read(self, user_id: str | None = None) -> DataFrame:
         """All history, or one user's (docker/lambda_function.py:37-56). The
         user filter hits partition pruning: check ``PartitionFilters`` in
-        ``.explain`` — only that user's directories are listed/read."""
-        df = self.spark.read.parquet(self.path)
+        ``.explain`` — only that user's directories are listed/read.
+
+        ``mergeSchema=True``: DynamoDB items are schemaless, so an upsert may
+        add columns; without the merge, Spark infers the schema from a SAMPLE
+        file and a late-added column silently vanishes (or appears) depending
+        on which file wins — nondeterministic reads. With it, added columns
+        surface as nulls on old keys (tested in test_history_store.py). Cost
+        is a footer scan of every file; at 100 TB the store would pin its
+        schema in a lakehouse catalog (Delta/Iceberg) instead — same
+        contract, no per-read merge."""
+        df = self.spark.read.option("mergeSchema", True).parquet(self.path)
         if user_id is not None:
             df = df.filter(F.col("user_id") == user_id)
         return df

@@ -85,3 +85,23 @@ def test_nested_roundtrip(spark, tmp_path):
     assert rows_by_key(back, "id").keys() == {("a",), ("b",)}
     # value integrity through the nest/flatten boundary
     assert rows_by_key(back, "id")[("b",)]["amount"] == 2.0
+
+
+def test_schema_evolution_added_column_survives_reads(spark, tmp_path):
+    """A later upsert may carry NEW columns (DynamoDB items are schemaless).
+    mergeSchema on read makes this deterministic: the added column is always
+    visible, null on keys written before it existed. Without the merge, Spark
+    samples one file's footer and the column appears/disappears depending on
+    which file wins."""
+    store = HistoryStore(spark, str(tmp_path / "hist_evo"))
+    store.upsert(_df(spark, [("1", "202411", "a", date(2024, 11, 1), 10.0)]))
+    evolved = spark.createDataFrame(
+        [("2", "202412", "b", date(2024, 12, 1), 20.0, "m-77")],
+        COLS + ", merchant_id string",
+    )
+    store.upsert(evolved)
+    got = rows_by_key(store.read(), "id")
+    assert set(got) == {("a",), ("b",)}
+    assert "merchant_id" in store.read().columns
+    assert got[("a",)]["merchant_id"] is None  # pre-evolution key → null
+    assert got[("b",)]["merchant_id"] == "m-77"
