@@ -478,6 +478,12 @@ EXT_ORACLES: dict[str, str] = {
            event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
+    "x38_global_topk": """
+    SELECT user_id, count(*) AS n_events,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC LIMIT 20
+    """,
     "x37_rank_functions": """
     WITH counts AS (
       SELECT event_type, user_id, count(*) AS n_events

@@ -422,6 +422,22 @@ def x37_rank_functions(spark, sf_dir):
     )
 
 
+def x38_global_topk(spark, sf_dir):
+    """Global heavy hitters: top-20 most active users by event count.
+    Physically this is TakeOrderedAndProject — per-partition bounded heaps
+    merged at the driver, never a full sort (asserted in test_plans.py) —
+    the other top-k shape next to q11's per-group WindowGroupLimit.
+    min/max aggregates ride along because they're order-independent
+    (engine-exact on doubles, unlike sums)."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return counts.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(20)
+
+
 def x34_sketch_profile(spark, sf_dir):
     """Mergeable-sketch profile (Apache DataSketches, built into Spark 4):
     HLL distinct users, Theta distinct users, KLL median of value — per event
@@ -571,4 +587,5 @@ EXT_QUERIES = {
     "x35_stream_static_join": x35_stream_static_join,
     "x36_rolling_monthly": x36_rolling_monthly,
     "x37_rank_functions": x37_rank_functions,
+    "x38_global_topk": x38_global_topk,
 }

@@ -77,3 +77,8 @@ def test_x22_interval_join_is_equi_join(spark):
     # nested-loop over the range predicate
     plan = _plan(spark, "x22_interval_join")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_x38_global_topk_uses_bounded_heap_not_full_sort(spark):
+    plan = _plan(spark, "x38_global_topk")
+    assert "TakeOrderedAndProject" in plan
