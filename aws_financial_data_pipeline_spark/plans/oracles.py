@@ -240,6 +240,30 @@ FINANCIAL_ORACLES: dict[str, str] = {
     UNION ALL
     SELECT user_id, 'churned' AS op FROM (SELECT user_id FROM up EXCEPT SELECT user_id FROM uc)
     """,
+    "q25_category_mom_full_join": P
+    + """
+    , prev AS (
+      SELECT strftime(strptime(cur_ym || '01', '%Y%m%d') - INTERVAL 1 MONTH, '%Y%m') AS prev_ym
+      FROM latest
+    ),
+    ct AS (
+      SELECT user_id, category, round(sum(round(amount, 2)), 2) AS cur_total
+      FROM cur GROUP BY user_id, category
+    ),
+    pt AS (
+      SELECT t.user_id, t.category, round(sum(round(t.amount, 2)), 2) AS prev_total
+      FROM txns t, prev WHERE t.ym = prev.prev_ym
+      GROUP BY t.user_id, t.category
+    )
+    SELECT coalesce(ct.user_id, pt.user_id) AS user_id,
+           coalesce(ct.category, pt.category) AS category,
+           ct.cur_total, pt.prev_total,
+           CASE WHEN ct.cur_total IS NULL THEN 'only_prev'
+                WHEN pt.prev_total IS NULL THEN 'only_cur'
+                ELSE 'both' END AS status
+    FROM ct FULL OUTER JOIN pt
+      ON ct.user_id = pt.user_id AND ct.category = pt.category
+    """,
     "q24_exists_high_value": P
     + """
     SELECT s.user_id, s.avg_amount

@@ -362,6 +362,28 @@ def q24_exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q25_category_mom_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — current vs previous month per-category totals side
+    by side, keeping categories that appeared or disappeared (the comparison
+    the reference's Q5 loop silently drops on either side). Key columns
+    coalesce across sides; one shuffle on (user_id, category)."""
+    txns, cur, _ = _base(spark, sf_dir, ("user_id", "category", "amount", "date"))
+    prev = tv.statement_scalars(txns)["prev_ym"]
+    cur_t = fin.spending_by_category(cur).withColumnRenamed("total", "cur_total")
+    prev_t = fin.previous_month_spending(
+        txns.withColumnRenamed("ym", "src_ym"), prev
+    ).withColumnRenamed("total", "prev_total")
+    joined = cur_t.join(prev_t, ["user_id", "category"], "full_outer")
+    status = (
+        F.when(F.col("cur_total").isNull(), F.lit("only_prev"))
+        .when(F.col("prev_total").isNull(), F.lit("only_cur"))
+        .otherwise(F.lit("both"))
+    )
+    return joined.select(
+        "user_id", "category", "cur_total", "prev_total", status.alias("status")
+    )
+
+
 FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q01_historical_avg": q01_historical_avg,
     "q02_home_country": q02_home_country,
@@ -387,4 +409,5 @@ FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q22_user_set_ops": q22_user_set_ops,
     "q23_grouping_sets": q23_grouping_sets,
     "q24_exists_high_value": q24_exists_high_value,
+    "q25_category_mom_full_join": q25_category_mom_full_join,
 }
