@@ -24,14 +24,17 @@ def _base(spark: SparkSession, sf_dir: str, cols: tuple[str, ...] | None = None)
     """Transactions view (join-pruned to ``cols``) + current/historical split.
     ``ym`` is always included — the split needs it.
 
-    Deliberately NOT cached: although every query branches the view 2-4 ways
-    (latest-month scalar + cur/hist split), Catalyst's ReuseExchange dedupes
-    the shared join subtree, and measurement at sf0.1 shows recompute beats
-    materialize-then-scan for every one-shot query (e.g. q03 2.4s vs 3.4s,
-    q01 1.9s vs 3.3s). At 100 TB the same call stands: materializing a joined
-    fact view is a full extra write+read of the dataset. Callers that run MANY
-    queries over one view should ``.cache()`` at their own scope where the
-    amortization is real.
+    Deliberately NOT cached: every query branches the view 2-4 ways
+    (latest-month scalar + cur/hist split), and Spark INLINES the shared
+    subtree per branch, then column-prunes each copy differently — so the
+    branches become distinct plans (no ReuseExchange fires; q15's executed
+    plan shows 25 independent pruned scans and 0 reuses). Recompute still
+    wins, measured at sf0.1: N narrow column-pruned scans beat one full-width
+    materialize-then-scan for every one-shot query (q03 2.4s vs 3.4s, q01
+    1.9s vs 3.3s — caching forces the widest column set on every branch). At
+    100 TB the same call stands for one-shot queries; repeated ANALYSIS over
+    history should read the pre-aggregated summary path instead
+    (assemble_report_from_summary), not re-scan facts N times.
     """
     if cols is not None and "ym" not in cols:
         cols = (*cols, "ym")
