@@ -141,6 +141,29 @@ EXT_ORACLES: dict[str, str] = {
            d.doc_id = c.component AS is_canonical
     FROM documents d JOIN comp c ON c.node = d.doc_id
     """,
+    # LSH candidates verified with exact Jaccard over their shingle sets
+    "x39_minhash_dedup": _MINHASH_SIG
+    + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.7
+    """,
     "x05_simhash": _SIMHASH + "SELECT doc_id, simhash FROM sims",
     "x06_simhash_candidates": _SIMHASH
     + """

@@ -66,6 +66,15 @@ def x27_dedup_clusters(spark, sf_dir):
     return graph.dedup_clusters(docs, pairs)
 
 
+def x39_minhash_dedup(spark, sf_dir):
+    """The COMPLETE scale-path dedup operator end-to-end: LSH candidates →
+    exact Jaccard verification on the candidate pairs ONLY → pairs ≥ 0.7.
+    x02's full pairwise Jaccard is the small-SF oracle form; this is what
+    actually runs at 100 TB (shingle join restricted to LSH-colliding
+    pairs — near-linear, never quadratic)."""
+    return dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.7)
+
+
 def x05_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -588,4 +597,5 @@ EXT_QUERIES = {
     "x36_rolling_monthly": x36_rolling_monthly,
     "x37_rank_functions": x37_rank_functions,
     "x38_global_topk": x38_global_topk,
+    "x39_minhash_dedup": x39_minhash_dedup,
 }
