@@ -45,3 +45,30 @@ def round2(x: Column | str) -> Column:
     """P7: round(x, 2) — applied *before* sums where the reference does
     (docker/lambda_function.py:147,249,261; see SURVEY §2.12 rounding order)."""
     return F.round(F.col(x) if isinstance(x, str) else x, 2)
+
+
+def avg_2dp_from_cents(cents: Column, n: Column) -> Column:
+    """Exact HALF_UP average at 2 decimals from integer cents:
+    ``round_half_up(cents / n) / 100`` in pure integer arithmetic.
+
+    Why not ``round(sum/count, 2)``: Spark rounds doubles on their SHORTEST
+    decimal repr (BigDecimal HALF_UP) while DuckDB rounds the BINARY value
+    C-style, so the two diverge whenever the quotient has >2 decimal digits
+    near a .xx5 boundary (this is what failed q01 in round 1). Integer
+    arithmetic has no such boundary: ``(2a + b) div (2b)`` IS half-up for
+    non-negative a, and both engines agree exactly. Negative sums take a
+    mirrored positive-operand branch so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` never see a negative dividend.
+
+    The inner division is exact: ``a - pmod(a, b)`` is an exact multiple of
+    ``b``, and the integer quotient (an average in cents) is far below 2^53,
+    so the double division returns the exact integer.
+    """
+
+    def _exact_div(a: Column, b: Column) -> Column:  # a, b >= 0
+        return (a - F.pmod(a, b)) / b
+
+    two_n = F.lit(2) * n
+    pos = _exact_div(F.lit(2) * cents + n, two_n)
+    neg = -_exact_div(F.lit(-2) * cents + n, two_n)
+    return F.when(cents >= 0, pos).otherwise(neg) / F.lit(100.0)

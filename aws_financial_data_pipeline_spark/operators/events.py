@@ -18,12 +18,19 @@ from pyspark.sql import functions as F
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _value_sum() -> F.Column:
+    """Exact order-independent sum of the 2-decimal ``value`` column: decimal
+    accumulation, surfaced as double. round(sum(double), 2) is accumulation-
+    order dependent and diverges across engines (round-1 x16 lesson)."""
+    return F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+
+
 def tumbling(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     """Tumbling-window aggregate per event_type: count + sum(value).
     ``F.window`` keeps the grouping fully Catalyst-side; one shuffle."""
     return (
         events.groupBy(F.window("ts", duration).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _value_sum().alias("total_value"))
         .select(
             F.date_format("w.start", TS_FMT).alias("window_start"),
             "event_type",
@@ -38,7 +45,7 @@ def sliding(events: DataFrame, duration: str = "1 hour", slide: str = "15 minute
     (Spark expands them via the same ``window`` expression)."""
     return (
         events.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _value_sum().alias("total_value"))
         .select(
             F.date_format("w.start", TS_FMT).alias("window_start"),
             "event_type",
@@ -48,20 +55,28 @@ def sliding(events: DataFrame, duration: str = "1 hour", slide: str = "15 minute
     )
 
 
-def sessionize(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Sessionization: per user, a new session starts when the gap to the
     previous event exceeds ``gap_seconds``. Classic lag + running-sum — two
     window functions over the same (user_id, ts) ordering, one shuffle.
 
-    Output: one row per session with start epoch, event count, duration and
-    value total. (Streaming twin: ``session_window`` in streaming/windows.py.)
+    Hash-stability (round-1 x16 failure): session times are INTEGER epoch
+    microseconds (``unix_micros`` ↔ DuckDB ``epoch_us``) — rounding double
+    epoch seconds diverges across engines at .xxx5 — and ``value`` sums run
+    in decimal(18,2) (exact: the column is on the 2-decimal grid), because
+    double sums are accumulation-order dependent under round(…,2).
+
+    Output: one row per session with start epoch (µs), event count, duration
+    (µs) and value total. (Streaming twin: ``session_window`` in
+    streaming/windows.py.)
     """
-    ts_d = F.col("ts").cast("double")
+    ts_us = F.unix_micros(F.col("ts"))
+    gap_us = F.lit(int(gap_seconds) * 1_000_000)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = events.withColumn(
         "_new",
         F.when(
-            (ts_d - F.lag(ts_d).over(w)).isNull() | ((ts_d - F.lag(ts_d).over(w)) > gap_seconds),
+            (ts_us - F.lag(ts_us).over(w)).isNull() | ((ts_us - F.lag(ts_us).over(w)) > gap_us),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -69,10 +84,10 @@ def sessionize(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
         "session_seq", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return sess.groupBy("user_id", "session_seq").agg(
-        F.round(F.min(ts_d), 3).alias("session_start"),
+        F.min(ts_us).alias("session_start_us"),
         F.count("*").alias("n_events"),
-        F.round(F.max(ts_d) - F.min(ts_d), 3).alias("duration_s"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        (F.max(ts_us) - F.min(ts_us)).alias("duration_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
 
 
@@ -85,4 +100,39 @@ def json_props_stats(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("k").alias("sum_k"),
         F.round(F.avg("k"), 2).alias("avg_k"),
+    )
+
+
+def event_type_profile(events: DataFrame) -> DataFrame:
+    """Per-event-type profile in ONE aggregation: the semi-structured JSON
+    path (``get_json_object`` on props — Catalyst expression, no Python) and
+    the statistical-aggregate family (exact linear-interpolation percentiles
+    of ``value``). Consolidates the former x17 + x21 registry entries into a
+    single checked slot; one shuffle on event_type.
+
+    ``avg_k`` is rounded in integer arithmetic (avg_2dp_from_cents) — exact
+    and engine-identical, unlike round(avg(double), 2). At 100 TB the exact
+    percentiles swap for approx_percentile (mergeable t-digest sketch) with
+    no other change.
+    """
+    from ..functions.scalar import avg_2dp_from_cents
+
+    k = F.get_json_object("props", "$.k").cast("int")
+    agg = events.select("event_type", k.alias("k"), "value").groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k") * 100).cast("long").alias("_k_cents"),
+        F.count("k").alias("_k_n"),
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "sum_k",
+        avg_2dp_from_cents(F.col("_k_cents"), F.col("_k_n")).alias("avg_k"),
+        "p25",
+        "p50",
+        "p90",
     )

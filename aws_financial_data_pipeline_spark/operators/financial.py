@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import round2, year_month_of
+from ..functions.scalar import avg_2dp_from_cents, round2, year_month_of
 
 # ---------------------------------------------------------------------------
 # A1/Q1 — historical per-user average spend
@@ -43,16 +43,17 @@ def historical_average(hist: DataFrame) -> DataFrame:
     simply don't appear — callers that need the reference's ``0.0 on empty``
     behavior coalesce after a left join (see :func:`user_scalars`).
 
-    The sum runs in DECIMAL: a double sum is accumulation-order-dependent
-    (partition order changes the last bits), which flips round(…,2) at
-    boundaries and breaks cross-engine reproducibility. Decimal summation is
-    exact and order-independent; the single division afterwards is
-    deterministic.
+    The sum runs in DECIMAL (exact, order-independent) and the 2dp rounding
+    happens in INTEGER-CENTS arithmetic (functions.scalar.avg_2dp_from_cents):
+    rounding the double quotient diverged across engines at .xx5 boundaries
+    (round-1 q01 failure — NOTES.md decimal-rounding rule).
     """
-    return hist.groupBy("user_id").agg(
-        F.round(
-            F.sum(F.col("amount").cast("decimal(18,2)")).cast("double") / F.count("*"), 2
-        ).alias("avg_amount")
+    agg = hist.groupBy("user_id").agg(
+        (F.sum(F.col("amount").cast("decimal(18,2)")) * 100).cast("long").alias("_cents"),
+        F.count("*").alias("_n"),
+    )
+    return agg.select(
+        "user_id", avg_2dp_from_cents(F.col("_cents"), F.col("_n")).alias("avg_amount")
     )
 
 
@@ -97,11 +98,17 @@ def user_scalars(hist: DataFrame) -> DataFrame:
         F.sum(F.col("amount").cast("decimal(18,2)")).alias("_s"),  # exact, order-free
         F.count("*").alias("_c"),
     )
-    return per_country.groupBy("user_id").agg(
-        F.round(F.sum("_s").cast("double") / F.sum("_c"), 2).alias("avg_amount"),
+    agg = per_country.groupBy("user_id").agg(
+        (F.sum("_s") * 100).cast("long").alias("_cents"),
+        F.sum("_c").alias("_n"),
         F.min(F.struct((-F.col("_c")).alias("nc"), F.col("country")))
         .getField("country")
         .alias("home_country"),
+    )
+    return agg.select(
+        "user_id",
+        avg_2dp_from_cents(F.col("_cents"), F.col("_n")).alias("avg_amount"),
+        "home_country",
     )
 
 
@@ -143,11 +150,17 @@ def user_scalars_from_summary(summary: DataFrame) -> DataFrame:
     per_country = summary.groupBy("user_id", "country").agg(
         F.sum("sum_amount").alias("_s"), F.sum("cnt").alias("_c")
     )
-    return per_country.groupBy("user_id").agg(
-        F.round(F.sum("_s").cast("double") / F.sum("_c"), 2).alias("avg_amount"),
+    agg = per_country.groupBy("user_id").agg(
+        (F.sum("_s") * 100).cast("long").alias("_cents"),
+        F.sum("_c").alias("_n"),
         F.min(F.struct((-F.col("_c")).alias("nc"), F.col("country")))
         .getField("country")
         .alias("home_country"),
+    )
+    return agg.select(
+        "user_id",
+        avg_2dp_from_cents(F.col("_cents"), F.col("_n")).alias("avg_amount"),
+        "home_country",
     )
 
 

@@ -441,51 +441,76 @@ EXT_ORACLES: dict[str, str] = {
     SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles
     FROM sh GROUP BY doc_id
     """,
-    "x14_events_tumbling": """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-    "x15_events_sliding": """
-    WITH e AS (
-      SELECT *, CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS g FROM events
-    ),
-    w AS (
-      SELECT *, to_timestamp(g - k * 900) AS ws
-      FROM e, LATERAL UNNEST(range(4)) AS u(k)
-      WHERE epoch(ts) < g - k * 900 + 3600
+    # tumbling + sliding consolidated (round-1 x14+x15); decimal value sums
+    # (exact on the 2-decimal grid; round(sum(double),2) is order-dependent)
+    "x14_events_windows": """
+    SELECT 'tumbling' AS kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding', window_start, event_type, n_events, total_value FROM (
+      WITH e AS (
+        SELECT *, CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS g FROM events
+      ),
+      w AS (
+        SELECT *, to_timestamp(g - k * 900) AS ws
+        FROM e, LATERAL UNNEST(range(4)) AS u(k)
+        WHERE epoch(ts) < g - k * 900 + 3600
+      )
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM w GROUP BY 1, 2
     )
-    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
-    FROM w GROUP BY 1, 2
     """,
+    # integer-microsecond session times (epoch_us ↔ unix_micros) + decimal
+    # value sums — the round-1 hash-mismatch fix (double epoch rounding and
+    # double sums both diverge across engines)
     "x16_events_sessions": """
     WITH g AS (
-      SELECT user_id, event_id, value, epoch(ts) AS tsd,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+      SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
       SELECT *, CAST(sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY tsd, event_id
+               PARTITION BY user_id ORDER BY tsu, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       FROM g
     )
     SELECT user_id, session_seq,
-           round(min(tsd), 3) AS session_start,
+           min(tsu) AS session_start_us,
            count(*) AS n_events,
-           round(max(tsd) - min(tsd), 3) AS duration_s,
-           round(sum(value), 2) AS total_value
+           max(tsu) - min(tsu) AS duration_us,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, session_seq
     """,
-    "x17_events_json": """
-    SELECT event_type, count(*) AS n_events,
-           CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
-           round(avg(json_extract_string(props, '$.k')::INT), 2) AS avg_k
-    FROM events GROUP BY event_type
+    # JSON props + percentiles consolidated (round-1 x17+x21); avg_k rounds
+    # in integer arithmetic, mirroring functions.scalar.avg_2dp_from_cents
+    "x17_events_profile": """
+    WITH k AS (
+      SELECT event_type, json_extract_string(props, '$.k')::INT AS k, value FROM events
+    ),
+    a AS (
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             CAST(sum(k) * 100 AS BIGINT) AS kc,
+             count(k) AS kn,
+             round(quantile_cont(value, 0.25), 6) AS p25,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90
+      FROM k GROUP BY event_type
+    )
+    SELECT event_type, n_events, sum_k,
+           (CASE WHEN kc >= 0 THEN (2 * kc + kn) // (2 * kn)
+                 ELSE -((-2 * kc + kn) // (2 * kn)) END) / 100.0 AS avg_k,
+           p25, p50, p90
+    FROM a
     """,
     "x18_multimodal_features": """
     SELECT doc_id, 'text/plain' AS media_type,
@@ -498,7 +523,8 @@ EXT_ORACLES: dict[str, str] = {
     # batch oracle verbatim.
     "x19_stream_tumbling": """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     "x38_global_topk": """
@@ -541,7 +567,8 @@ EXT_ORACLES: dict[str, str] = {
     )
     SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-           user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+           user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, seq
     """,
     # (user_id, ts) is unique in the events table, so the as-of match is
@@ -560,14 +587,6 @@ EXT_ORACLES: dict[str, str] = {
            round(v.view_value, 4) AS view_value
     FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
     """,
-    "x21_percentiles": """
-    SELECT event_type,
-           round(quantile_cont(value, 0.25), 6) AS p25,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90,
-           count(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
     "x22_interval_join": """
     WITH e AS (
       SELECT user_id, event_id AS error_id, ts AS err_start,
@@ -585,7 +604,8 @@ EXT_ORACLES: dict[str, str] = {
     # replay of the stream-static enrichment == the batch join
     "x35_stream_static_join": """
     SELECT c.c_mktsegment, e.event_type,
-           count(*) AS n_events, round(sum(e.value), 2) AS total_value
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey

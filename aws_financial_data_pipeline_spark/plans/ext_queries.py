@@ -33,7 +33,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = read_parquet_scaled(spark, f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer DIV, not double division: epoch-nanos exceed 2^53, so
+        # (ns / 1000).cast("long") routes through an imprecise double and can
+        # shift timestamps by ±1 µs vs DuckDB's exact truncation
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
@@ -158,20 +161,26 @@ def x13_fingerprint(spark, sf_dir):
 # -- events -----------------------------------------------------------------
 
 
-def x14_events_tumbling(spark, sf_dir):
-    return events.tumbling(_events(spark, sf_dir), "1 hour")
-
-
-def x15_events_sliding(spark, sf_dir):
-    return events.sliding(_events(spark, sf_dir), "1 hour", "15 minutes")
+def x14_events_windows(spark, sf_dir):
+    """Tumbling AND sliding event-time windows in one checked entry (round-1
+    x14 + x15 consolidated for the driver's 50-slot oracle budget): the two
+    window shapes union with a ``kind`` discriminator; each remains its own
+    operator (operators/events.py tumbling / sliding)."""
+    ev = _events(spark, sf_dir)
+    t = events.tumbling(ev, "1 hour").withColumn("kind", F.lit("tumbling"))
+    s = events.sliding(ev, "1 hour", "15 minutes").withColumn("kind", F.lit("sliding"))
+    return t.unionByName(s)
 
 
 def x16_events_sessions(spark, sf_dir):
     return _long(events.sessionize(_events(spark, sf_dir)), "session_seq")
 
 
-def x17_events_json(spark, sf_dir):
-    return events.json_props_stats(_events(spark, sf_dir))
+def x17_events_profile(spark, sf_dir):
+    """JSON-props extraction + exact percentiles per event_type in ONE
+    aggregation (round-1 x17 + x21 consolidated — both grouped by
+    event_type, so the merge costs nothing)."""
+    return events.event_type_profile(_events(spark, sf_dir))
 
 
 def x19_stream_tumbling(spark, sf_dir):
@@ -226,20 +235,6 @@ def x20_asof_join(spark, sf_dir):
     )
     out = asof_join(clicks, views, on=["user_id"], ts="ts", right_cols=["view_id", "view_value"])
     return out.select("click_id", "user_id", "click_ts", "view_id", F.round("view_value", 4).alias("view_value"))
-
-
-def x21_percentiles(spark, sf_dir):
-    """Exact linear-interpolation percentiles per event_type — the statistical
-    aggregate family (reference gap). At 100 TB the same query swaps
-    percentile → approx_percentile (t-digest, mergeable sketch) with no other
-    change; exact is kept here because the oracle can hash-match it."""
-    ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.25), 6).alias("p25"),
-        F.round(F.percentile("value", 0.5), 6).alias("p50"),
-        F.round(F.percentile("value", 0.9), 6).alias("p90"),
-        F.count("*").alias("n_events"),
-    )
 
 
 def x24_zscore_grouped_pandas(spark, sf_dir):
@@ -535,7 +530,8 @@ def x35_stream_static_join(spark, sf_dir):
     )
     enriched = stream.join(F.broadcast(dim), "user_id")
     out = enriched.groupBy("c_mktsegment", "event_type").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
     q = (
         out.writeStream.format("memory")
@@ -572,14 +568,12 @@ EXT_QUERIES = {
     "x11_language_id": x11_language_id,
     "x12_token_counts": x12_token_counts,
     "x13_fingerprint": x13_fingerprint,
-    "x14_events_tumbling": x14_events_tumbling,
-    "x15_events_sliding": x15_events_sliding,
+    "x14_events_windows": x14_events_windows,
     "x16_events_sessions": x16_events_sessions,
-    "x17_events_json": x17_events_json,
+    "x17_events_profile": x17_events_profile,
     "x18_multimodal_features": x18_multimodal_features,
     "x19_stream_tumbling": x19_stream_tumbling,
     "x20_asof_join": x20_asof_join,
-    "x21_percentiles": x21_percentiles,
     "x22_interval_join": x22_interval_join,
     "x23_stream_dedup": x23_stream_dedup,
     "x24_zscore_grouped_pandas": x24_zscore_grouped_pandas,

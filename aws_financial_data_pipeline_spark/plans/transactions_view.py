@@ -137,9 +137,18 @@ latest AS (SELECT max(ym) AS cur_ym FROM txns),
 cur  AS (SELECT t.* FROM txns t, latest WHERE t.ym = latest.cur_ym),
 hist AS (SELECT t.* FROM txns t, latest WHERE t.ym < latest.cur_ym),
 scal AS (
+  -- HALF_UP average in integer-cents arithmetic: (2a+b)//(2b) — exactly
+  -- mirrors functions.scalar.avg_2dp_from_cents (rounding the double
+  -- quotient diverges across engines at .xx5 boundaries).
   SELECT user_id,
-         round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_amount
-  FROM hist GROUP BY user_id
+         (CASE WHEN cents >= 0 THEN (2 * cents + n) // (2 * n)
+               ELSE -((-2 * cents + n) // (2 * n)) END) / 100.0 AS avg_amount
+  FROM (
+    SELECT user_id,
+           CAST(sum(CAST(amount AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+           count(*) AS n
+    FROM hist GROUP BY user_id
+  )
 ),
 home AS (
   SELECT user_id, country AS home_country FROM (

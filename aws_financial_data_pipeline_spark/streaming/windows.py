@@ -22,9 +22,16 @@ from pyspark.sql import functions as F
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _value_sum() -> F.Column:
+    """Exact decimal sum of the 2-decimal ``value`` column (see
+    operators.events._value_sum — round(sum(double),2) is accumulation-order
+    dependent and cross-engine unstable)."""
+    return F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+
+
 def _finish(grouped: DataFrame) -> DataFrame:
     return grouped.agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count("*").alias("n_events"), _value_sum().alias("total_value")
     ).select(
         F.date_format("w.start", TS_FMT).alias("window_start"),
         "event_type",
@@ -97,7 +104,7 @@ def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = 
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _value_sum().alias("total_value"),
         )
         .select(
             F.date_format("w.start", TS_FMT).alias("session_start"),
