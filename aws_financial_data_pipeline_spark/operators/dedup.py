@@ -53,27 +53,49 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+    allow_full_corpus: bool = False,
 ) -> DataFrame:
-    """All pairs sharing ≥1 word-n-gram shingle, with exact Jaccard similarity
-    of their shingle sets. ``threshold`` filters on the similarity.
+    """Exact Jaccard similarity of shingle sets, per candidate pair.
 
-    |A∩B| from the self-join on shingles; |A∪B| = |A|+|B|−|A∩B|.
-    """
+    VERIFY-ONLY CONTRACT: pass ``candidates`` (doc_a, doc_b) — normally LSH
+    collisions from :func:`minhash_candidates` — and only those pairs are
+    scored (|A∩B| via a shingle join restricted to the candidate docs;
+    |A∪B| = |A|+|B|−|A∩B|). The all-pairs form (``allow_full_corpus=True``)
+    self-joins the whole shingle table — O(N²) worst case — and exists solely
+    as the small-SF recall oracle; it raises by default so no caller can
+    quadratic-join a full corpus by accident (round-1 verdict)."""
     # cached: referenced three times (both join sides + the size table)
     sh = _shingle_table(docs, text_col, id_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    if candidates is None:
+        if not allow_full_corpus:
+            raise ValueError(
+                "jaccard_pairs without a candidates frame is the O(N²) oracle "
+                "form; pass candidates (see minhash_candidates / minhash_dedup) "
+                "or allow_full_corpus=True."
+            )
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.alias("sa")
+        b = sh.alias("sb")
+        inter = (
+            candidates.join(a, candidates.doc_a == F.col("sa.doc_id"))
+            .join(b, (candidates.doc_b == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    sa_ = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb_ = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(sa_, "doc_a")
+        .join(sb_, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -159,29 +181,14 @@ def minhash_dedup(
     band_size: int = 4,
     n: int = 3,
 ) -> DataFrame:
-    """Full MinHash-LSH dedup: LSH candidates → exact Jaccard verification on
-    the candidate pairs only → pairs ≥ threshold."""
+    """Full MinHash-LSH dedup end-to-end: banded signatures → LSH candidate
+    pairs → exact Jaccard verification on the candidates ONLY → pairs ≥
+    threshold. This is what runs at 100 TB (never quadratic); it subsumes the
+    round-1 x02/x03/x04 registry entries as internal stages."""
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, band_size, n)
     cand = minhash_candidates(sig)
-    sh = _shingle_table(docs, text_col, id_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    inter = (
-        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
-        .join(b, (cand.doc_b == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return jaccard_pairs(
+        docs, text_col, id_col, n, threshold=threshold, candidates=cand
     )
 
 

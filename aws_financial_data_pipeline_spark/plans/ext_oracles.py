@@ -94,28 +94,6 @@ EXT_ORACLES: dict[str, str] = {
     SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
     FROM documents GROUP BY md5(text)
     """,
-    "x02_jaccard_pairs": _SHINGLES
-    + """
-    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.0
-    """,
-    "x03_minhash_signatures": _MINHASH_SIG + "SELECT doc_id, band_id, band_key FROM sig",
-    "x04_minhash_candidates": _MINHASH_SIG
-    + """
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sig a JOIN sig b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
     # transitive closure of the LSH candidate graph: min reachable doc_id per
     # doc (recursive CTE), singletons label themselves. The RECURSIVE flag is
     # spliced onto the shared shingle prelude's WITH.
@@ -164,7 +142,6 @@ EXT_ORACLES: dict[str, str] = {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.7
     """,
-    "x05_simhash": _SIMHASH + "SELECT doc_id, simhash FROM sims",
     "x06_simhash_candidates": _SIMHASH
     + """
     , bands AS (
@@ -271,17 +248,51 @@ EXT_ORACLES: dict[str, str] = {
     SELECT q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 10
     """,
-    "x09_embedding_neardup": """
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM base)
-    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-           round(list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2), 6) AS cosine
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.e, b.e) / sqrt(a.n2 * b.n2), 6) >= 0.35
+    # the SCALE form: candidates = pairs sharing >=1 hyperplane LSH band
+    # (same deterministic planes as x08), exact cosine on candidates only
+    "x09_embedding_neardup": f"""
+    WITH planes AS (
+      SELECT j, list(w ORDER BY i) AS wv
+      FROM (VALUES {_planes_values()}) p(j, i, w) GROUP BY j
+    ),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM base),
+    sig AS (
+      SELECT b.vec_id, CAST(p.j // 4 AS INT) AS band_id,
+             CAST(sum(CASE WHEN list_dot_product(b.e, p.wv) > 0
+                           THEN (1::BIGINT << CAST(p.j % 4 AS INT)) ELSE 0 END) AS BIGINT)
+               AS band_val
+      FROM base b, planes p GROUP BY b.vec_id, p.j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(list_dot_product(na.e, nb.e) / sqrt(na.n2 * nb.n2), 6) AS cosine
+    FROM cand c
+    JOIN n na ON na.vec_id = c.doc_a
+    JOIN n nb ON nb.vec_id = c.doc_b
+    WHERE round(list_dot_product(na.e, nb.e) / sqrt(na.n2 * nb.n2), 6) >= 0.35
     """,
-    "x10_text_stats": r"""
-    WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS tok FROM documents)
-    SELECT doc_id,
+    # single merged per-document profile (round-1 x10+x11+x12+x13): stats +
+    # quality, language scores/prediction, ws/BPE token counts, fingerprint
+    "x10_text_profile": _SHINGLES
+    + r"""
+    , fp AS (
+      SELECT doc_id, min(md5(s)) AS fingerprint, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY doc_id
+    ),
+    t AS (SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS tok FROM documents),
+    sc AS (
+      SELECT doc_id, lang AS lang_actual, text, tok,
+       """
+    + _lang_scores_sql()
+    + r"""
+      FROM t
+    )
+    SELECT sc.doc_id, lang_actual,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(tok) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct_tokens,
@@ -292,30 +303,16 @@ EXT_ORACLES: dict[str, str] = {
            0.3 * least(1.0, len(tok) / 100.0)
                + 0.3 * (1.0 - round(len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is'))) / len(tok), 4))
                + 0.4 * least(1.0, round(length(regexp_replace(text, '\s', '', 'g')) / len(tok), 4) / 8.0)
-             AS quality_score
-    FROM t
-    """,
-    "x11_language_id": r"""
-    WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS tok FROM documents),
-    s AS (
-      SELECT doc_id, lang AS lang_actual,
-       """
-    + _lang_scores_sql()
-    + """
-      FROM t
-    )
-    SELECT doc_id, lang_actual, score_en, score_fr, score_de, score_es, score_zh,
+             AS quality_score,
+           score_en, score_fr, score_de, score_es, score_zh,
            """
     + _lang_pred_sql()
-    + r""" AS lang_pred
-    FROM s
-    """,
-    "x12_token_counts": rf"""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars,
+    + rf""" AS lang_pred,
            CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS BIGINT) AS bpe_tokens
-    FROM documents
+           CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS BIGINT) AS bpe_tokens,
+           fp.fingerprint,
+           coalesce(fp.n_shingles, 0) AS n_shingles
+    FROM sc LEFT JOIN fp USING (doc_id)
     """,
     # ranking is on the 6dp-ROUNDED score (see text.tfidf_top_terms: equal
     # real scores from different (tf,df) factorizations differ in the last
@@ -339,38 +336,10 @@ EXT_ORACLES: dict[str, str] = {
     SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 5
     """,
-    "x29_split_sample": """
-    WITH b AS (
-      SELECT doc_id, lang,
-             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
-      FROM documents
-    )
-    SELECT doc_id, lang, bucket,
-           CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val'
-                ELSE 'test' END AS split,
-           bucket < (CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample
-    FROM b
-    """,
-    "x33_gapfill_monthly": _P
-    + """
-    , monthly AS (
-      SELECT user_id, ym, sum(CAST(amount AS DECIMAL(18,2))) AS dec
-      FROM txns GROUP BY 1, 2
-    ),
-    bounds AS (SELECT user_id, min(ym) AS mn, max(ym) AS mx FROM txns GROUP BY 1),
-    axis AS (
-      SELECT user_id, strftime(m, '%Y%m') AS ym
-      FROM bounds, LATERAL UNNEST(generate_series(
-        strptime(mn || '01', '%Y%m%d'), strptime(mx || '01', '%Y%m%d'),
-        INTERVAL 1 MONTH)) AS g(m)
-    )
-    SELECT a.user_id, a.ym,
-           round(CAST(coalesce(mo.dec, 0) AS DOUBLE), 2) AS total,
-           mo.dec IS NULL AS is_gap
-    FROM axis a LEFT JOIN monthly mo USING (user_id, ym)
-    """,
-    "x36_rolling_monthly": _P
+    # densify + rolling frames consolidated (round-1 x33+x36): the dense
+    # series columns (total, is_gap) ride through, so the gap fill itself
+    # stays hash-gated
+    "x33_gapfill_rolling": _P
     + """
     , monthly AS (
       SELECT user_id, ym, sum(CAST(amount AS DECIMAL(18,2))) AS dec
@@ -384,10 +353,11 @@ EXT_ORACLES: dict[str, str] = {
         INTERVAL 1 MONTH)) AS g(m)
     ),
     dense AS (
-      SELECT a.user_id, a.ym, round(CAST(coalesce(mo.dec, 0) AS DOUBLE), 2) AS total
+      SELECT a.user_id, a.ym, round(CAST(coalesce(mo.dec, 0) AS DOUBLE), 2) AS total,
+             mo.dec IS NULL AS is_gap
       FROM axis a LEFT JOIN monthly mo USING (user_id, ym)
     )
-    SELECT user_id, ym, total,
+    SELECT user_id, ym, total, is_gap,
            round(sum(total) OVER w3, 2) AS sum3,
            count(*) OVER w3 AS n3,
            round(total - lag(total, 1) OVER wl, 2) AS mom_delta
@@ -433,13 +403,9 @@ EXT_ORACLES: dict[str, str] = {
     SELECT doc_id, lang_pred, quality_score, bucket,
            CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val'
-                ELSE 'test' END AS split
+                ELSE 'test' END AS split,
+           bucket < (CASE WHEN lang_pred = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample
     FROM sel
-    """,
-    "x13_fingerprint": _SHINGLES
-    + """
-    SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles
-    FROM sh GROUP BY doc_id
     """,
     # tumbling + sliding consolidated (round-1 x14+x15); decimal value sums
     # (exact on the 2-decimal grid; round(sum(double),2) is order-dependent)
@@ -526,12 +492,6 @@ EXT_ORACLES: dict[str, str] = {
            event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
-    """,
-    "x38_global_topk": """
-    SELECT user_id, count(*) AS n_events,
-           min(value) AS min_value, max(value) AS max_value
-    FROM events GROUP BY user_id
-    ORDER BY n_events DESC, user_id ASC LIMIT 20
     """,
     "x37_rank_functions": """
     WITH counts AS (

@@ -47,18 +47,6 @@ def x01_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
-def x02_jaccard_pairs(spark, sf_dir):
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.0)
-
-
-def x03_minhash_signatures(spark, sf_dir):
-    return dedup.minhash_signatures(_docs(spark, sf_dir))
-
-
-def x04_minhash_candidates(spark, sf_dir):
-    return dedup.minhash_candidates(dedup.minhash_signatures(_docs(spark, sf_dir)))
-
-
 def x27_dedup_clusters(spark, sf_dir):
     """The full dedup DECISION over the LSH candidate graph: MinHash bands →
     candidate pairs → connected components (min-label propagation with pointer
@@ -70,19 +58,20 @@ def x27_dedup_clusters(spark, sf_dir):
 
 
 def x39_minhash_dedup(spark, sf_dir):
-    """The COMPLETE scale-path dedup operator end-to-end: LSH candidates →
-    exact Jaccard verification on the candidate pairs ONLY → pairs ≥ 0.7.
-    x02's full pairwise Jaccard is the small-SF oracle form; this is what
-    actually runs at 100 TB (shingle join restricted to LSH-colliding
-    pairs — near-linear, never quadratic)."""
+    """The COMPLETE scale-path dedup operator end-to-end: banded MinHash
+    signatures → LSH candidate pairs → exact Jaccard verification on the
+    candidates ONLY → pairs ≥ 0.7. Subsumes the round-1 x02/x03/x04 entries
+    (its oracle recomputes signatures, candidates AND verified Jaccard, so
+    every internal stage stays hash-gated); never quadratic — this is what
+    actually runs at 100 TB."""
     return dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.7)
 
 
-def x05_simhash(spark, sf_dir):
-    return dedup.simhash(_docs(spark, sf_dir))
-
-
 def x06_simhash_candidates(spark, sf_dir):
+    """SimHash near-dup candidates; computes the 32-bit signatures internally
+    (the oracle recomputes them too, so the former x05 signature entry is
+    subsumed — its exact per-doc values gate through the band keys + exact
+    Hamming distances here)."""
     return dedup.simhash_candidates(dedup.simhash(_docs(spark, sf_dir)), max_hamming=8)
 
 
@@ -104,7 +93,12 @@ def x08_ann_lsh_topk(spark, sf_dir):
 
 
 def x09_embedding_neardup(spark, sf_dir):
-    return similarity.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.35)
+    """Embedding near-dup pairs via the SCALE path: LSH-band candidates →
+    exact cosine on candidates only (round 1 shipped the exact all-pairs
+    O(N²) form here; that form is now the guarded pytest recall oracle).
+    The SQL oracle replicates the hyperplane bands, so the approximation is
+    itself hash-gated, not just rows-counted."""
+    return similarity.embedding_near_duplicates_lsh(spark, _emb(spark, sf_dir), threshold=0.35)
 
 
 def x26_ann_ivf_topk(spark, sf_dir):
@@ -121,41 +115,19 @@ def _long(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
-def x10_text_stats(spark, sf_dir):
-    return _long(
-        text.text_stats(_docs(spark, sf_dir)), "n_chars", "n_tokens", "n_distinct_tokens"
-    )
-
-
-def x11_language_id(spark, sf_dir):
-    out = text.language_id(_docs(spark, sf_dir))
-    return _long(out, *[c for c in out.columns if c.startswith("score_")])
-
-
-def x12_token_counts(spark, sf_dir):
-    return _long(text.token_counts(_docs(spark, sf_dir)), "n_chars", "ws_tokens", "bpe_tokens")
+def x10_text_profile(spark, sf_dir):
+    """All per-document text analysis in one map-only pass (round-1
+    x10+x11+x12+x13 consolidated): stats/quality, stopword language-ID,
+    ws/BPE token counts, min-hash fingerprint. One checked slot, zero
+    shuffle."""
+    out = text.text_profile(_docs(spark, sf_dir))
+    longs = ["n_chars", "n_tokens", "n_distinct_tokens", "ws_tokens", "bpe_tokens",
+             "n_shingles", *[c for c in out.columns if c.startswith("score_")]]
+    return _long(out, *longs)
 
 
 def x28_tfidf_topk(spark, sf_dir):
     return _long(text.tfidf_top_terms(_docs(spark, sf_dir), k=5), "tf", "df")
-
-
-def x29_split_sample(spark, sf_dir):
-    """Deterministic train/val/test split + stratified sample over documents:
-    md5-bucket thresholds, reproducible and partition-independent (see
-    operators/sampling.py). English is downsampled to 20%, other languages
-    kept at 50% — the classic rebalancing shape."""
-    from ..operators import sampling
-
-    docs = _docs(spark, sf_dir).select("doc_id", "lang")
-    out = sampling.split_assign(docs)
-    out = sampling.stratified_sample_flag(out, "doc_id", "lang", {"en": 0.2}, default_rate=0.5)
-    return out.select("doc_id", "lang", "bucket", "split", "in_sample")
-
-
-def x13_fingerprint(spark, sf_dir):
-    # n=3 to share the oracle's shingle prelude (operator default is 5-gram)
-    return _long(text.fingerprint(_docs(spark, sf_dir), n=3), "n_shingles")
 
 
 # -- events -----------------------------------------------------------------
@@ -364,25 +336,18 @@ def x30_stream_sessions(spark, sf_dir):
     return spark.table("x30_stream_sessions")
 
 
-def x33_gapfill_monthly(spark, sf_dir):
-    """Time-series densification: dense per-user monthly totals with explicit
-    zero rows for inactive months (operators/timeseries.py). The reference
-    iterates only the months present, silently skipping gaps."""
-    from ..operators.timeseries import gap_fill_months
-    from . import transactions_view as tv
-
-    txns = tv.transactions(spark, sf_dir, ("user_id", "amount", "ym"))
-    return gap_fill_months(txns)
-
-
-def x36_rolling_monthly(spark, sf_dir):
-    """Window-frame analytics over the DENSE monthly series (x33's gap fill
-    composed): 3-month rolling sum (ROWS 2 PRECEDING) and month-over-month
-    delta (lag). Rolling windows over a sparse series are silently wrong —
-    the frame would span non-adjacent months — which is why this composes the
-    densification first. Rolling SUM (not avg) keeps values on the 2-decimal
-    grid where rounding is engine-stable; deltas of 2dp values are likewise
-    exact."""
+def x33_gapfill_rolling(spark, sf_dir):
+    """Time-series densification + window-frame analytics in one checked slot
+    (round-1 x33+x36 consolidated — the rolling output carries the gap-filled
+    series verbatim in its (user_id, ym, total, is_gap) columns): dense
+    per-user monthly totals with explicit zero rows for inactive months
+    (operators/timeseries.py — the reference iterates only months present,
+    silently skipping gaps), then a 3-month rolling sum (ROWS 2 PRECEDING)
+    and month-over-month delta (lag). Rolling windows over a SPARSE series
+    are silently wrong — the frame would span non-adjacent months — which is
+    why the densification composes first. Rolling SUM (not avg) keeps values
+    on the 2-decimal grid where rounding is engine-stable; deltas of 2dp
+    values are likewise exact."""
     from pyspark.sql import Window
 
     from ..operators.timeseries import gap_fill_months
@@ -396,6 +361,7 @@ def x36_rolling_monthly(spark, sf_dir):
         "user_id",
         "ym",
         "total",
+        "is_gap",
         F.round(F.sum("total").over(w3), 2).alias("sum3"),
         F.count("*").over(w3).alias("n3"),
         F.round(F.col("total") - F.lag("total", 1).over(wl), 2).alias("mom_delta"),
@@ -432,7 +398,12 @@ def x38_global_topk(spark, sf_dir):
     merged at the driver, never a full sort (asserted in test_plans.py) —
     the other top-k shape next to q11's per-group WindowGroupLimit.
     min/max aggregates ride along because they're order-independent
-    (engine-exact on doubles, unlike sums)."""
+    (engine-exact on doubles, unlike sums).
+
+    NOT a registry entry since round 2 (the driver checks at most 50 slots):
+    the bounded-heap plan shape is pytest-gated (test_plans.py) and the
+    orderBy+limit semantics are oracle-covered by x07/x08/x26's rank-limited
+    outputs; kept as a public operator entry point."""
     ev = _events(spark, sf_dir)
     counts = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
@@ -448,8 +419,10 @@ def x34_sketch_profile(spark, sf_dir):
     type. These are THE 100 TB forms of count(distinct)/percentile: fixed-size
     state, map-side partial merge, partition-order independent (asserted in
     tests/test_approx.py). No SQL oracle — DuckDB's HLL internals differ —
-    so this entry is rows-only; accuracy bounds are pytest-gated against the
-    exact aggregates."""
+    and a rows-only driver check adds nothing over the pytest accuracy
+    bounds, so since round 2 this is NOT a registry entry (the driver checks
+    at most 50 slots; the slot went to an oracle-checkable operator). Kept as
+    a public operator entry point, accuracy pytest-gated."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_distinct_users"),
@@ -482,8 +455,12 @@ def x31_salted_agg(spark, sf_dir):
 def x32_corpus_curation(spark, sf_dir):
     """End-to-end corpus curation — the composition every training-data
     pipeline runs: exact-dedup to canonical docs, quality gate, language
-    filter, then deterministic split assignment. Each stage is an existing
-    operator (x01/x10/x11/x29); this entry locks in that they compose."""
+    filter, deterministic split assignment, and stratified sample flagging
+    (md5-bucket thresholds: reproducible, partition-independent). Each stage
+    is an existing operator (x01 / x10's profile / operators.sampling); this
+    entry locks in that they compose AND is the checked slot for the
+    split/sample operators (round-1 x29 subsumed: split_assign and
+    stratified_sample_flag both gate here)."""
     from ..operators import dedup, sampling, text
 
     docs = _docs(spark, sf_dir)
@@ -501,8 +478,12 @@ def x32_corpus_curation(spark, sf_dir):
         .join(lang, "doc_id")
         .filter((F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en"))
     )
-    return sampling.split_assign(out).select(
-        "doc_id", "lang_pred", "quality_score", "bucket", "split"
+    out = sampling.split_assign(out)
+    out = sampling.stratified_sample_flag(
+        out, "doc_id", "lang_pred", {"en": 0.2}, default_rate=0.5
+    )
+    return out.select(
+        "doc_id", "lang_pred", "quality_score", "bucket", "split", "in_sample"
     )
 
 
@@ -554,20 +535,25 @@ def x18_multimodal_features(spark, sf_dir):
     return feats.select("doc_id", "media_type", "byte_len", "digest")
 
 
+# The driver oracle-checks at most 50 registry slots (round-1 CORRECTNESS
+# contained exactly the first 50 sorted keys, leaving x26-x39 unverified), so
+# the registry holds exactly one entry per DISTINCT operator and strict
+# sub-steps gate through their composites:
+#   x02/x03/x04 → x39 (signatures + candidates + verified Jaccard)
+#   x05 → x06 (simhash signatures gate through band keys + Hamming)
+#   x10-x13 → x10_text_profile (one map-only pass)
+#   x14+x15 → x14_events_windows;  x17+x21 → x17_events_profile
+#   x29 → x32 (split + stratified-sample columns);  x33+x36 → x33_gapfill_rolling
+#   q20 → q15 (canonical section strings are fully hash-gated)
+#   x34 (no SQL oracle) and x38 (plan-shape gate) → pytest-only, see docstrings
+# Total: 24 q + 26 x = 50 entries, every one oracle-checked.
 EXT_QUERIES = {
     "x01_dedup_exact": x01_dedup_exact,
-    "x02_jaccard_pairs": x02_jaccard_pairs,
-    "x03_minhash_signatures": x03_minhash_signatures,
-    "x04_minhash_candidates": x04_minhash_candidates,
-    "x05_simhash": x05_simhash,
     "x06_simhash_candidates": x06_simhash_candidates,
     "x07_cosine_topk": x07_cosine_topk,
     "x08_ann_lsh_topk": x08_ann_lsh_topk,
     "x09_embedding_neardup": x09_embedding_neardup,
-    "x10_text_stats": x10_text_stats,
-    "x11_language_id": x11_language_id,
-    "x12_token_counts": x12_token_counts,
-    "x13_fingerprint": x13_fingerprint,
+    "x10_text_profile": x10_text_profile,
     "x14_events_windows": x14_events_windows,
     "x16_events_sessions": x16_events_sessions,
     "x17_events_profile": x17_events_profile,
@@ -581,15 +567,11 @@ EXT_QUERIES = {
     "x26_ann_ivf_topk": x26_ann_ivf_topk,
     "x27_dedup_clusters": x27_dedup_clusters,
     "x28_tfidf_topk": x28_tfidf_topk,
-    "x29_split_sample": x29_split_sample,
     "x30_stream_sessions": x30_stream_sessions,
     "x31_salted_agg": x31_salted_agg,
     "x32_corpus_curation": x32_corpus_curation,
-    "x33_gapfill_monthly": x33_gapfill_monthly,
-    "x34_sketch_profile": x34_sketch_profile,
+    "x33_gapfill_rolling": x33_gapfill_rolling,
     "x35_stream_static_join": x35_stream_static_join,
-    "x36_rolling_monthly": x36_rolling_monthly,
     "x37_rank_functions": x37_rank_functions,
-    "x38_global_topk": x38_global_topk,
     "x39_minhash_dedup": x39_minhash_dedup,
 }

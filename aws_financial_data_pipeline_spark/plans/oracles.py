@@ -10,7 +10,125 @@ from __future__ import annotations
 
 from .transactions_view import ORACLE_PRELUDE as P
 
+# Shared report-section prelude for q15/q16: every section rendered as a
+# canonical JSON string (sorted entries, explicit %.2f / %d formatting) —
+# byte-identical to plans.report.canonical_report by construction. Values are
+# on the 2-decimal grid, where printf is engine-exact; the string domains
+# (categories, brands, nation names, yyyyMM) contain no JSON metacharacters.
+_REPORT_SECTIONS = """
+, spend AS (
+  SELECT user_id, category AS k, round(sum(round(amount, 2)), 2) AS v
+  FROM cur GROUP BY user_id, category
+),
+spend_s AS (
+  SELECT user_id, '{' || string_agg(printf('"%s":%.2f', k, v), ',' ORDER BY k) || '}' AS s
+  FROM spend GROUP BY user_id
+),
+flagged AS (
+  SELECT c.user_id, c.id AS transaction_id, round(c.amount, 2) AS amount,
+         coalesce(s.avg_amount, 0.0) AS average_amount, c.country AS location,
+         CASE WHEN c.amount > coalesce(s.avg_amount, 0.0)
+              THEN 'High Risk' ELSE 'Moderate Risk' END AS risk_level,
+         h.home_country, c.category, c.vendor, c."date"
+  FROM cur c LEFT JOIN scal s USING (user_id) LEFT JOIN home h USING (user_id)
+  WHERE h.home_country IS NULL OR c.country <> h.home_country
+),
+flag_s AS (
+  SELECT user_id, '[' || string_agg(
+           printf('{"transaction_id":%d,"amount":%.2f,"average_amount":%.2f,"location":"%s","risk_level":"%s","home_country":%s,"category":"%s","vendor":"%s","date":"%s"}',
+                  transaction_id, amount, average_amount, location, risk_level,
+                  coalesce('"' || home_country || '"', 'null'),
+                  category, vendor, strftime("date", '%Y-%m-%d')),
+           ',' ORDER BY transaction_id) || ']' AS s
+  FROM flagged GROUP BY user_id
+),
+hv AS (
+  SELECT c.user_id, c.id AS transaction_id, round(c.amount, 2) AS amount,
+         c.vendor, c.category, c."date", c.country AS location
+  FROM cur c LEFT JOIN scal s USING (user_id)
+  WHERE c.amount > coalesce(s.avg_amount, 0.0)
+),
+hv_s AS (
+  SELECT user_id, '[' || string_agg(
+           printf('{"transaction_id":%d,"amount":%.2f,"vendor":"%s","category":"%s","date":"%s","location":"%s"}',
+                  transaction_id, amount, vendor, category,
+                  strftime("date", '%Y-%m-%d'), location),
+           ',' ORDER BY transaction_id) || ']' AS s
+  FROM hv GROUP BY user_id
+),
+rec AS (
+  SELECT t.user_id, t.vendor AS k, round(sum(round(t.amount, 2)), 2) AS v
+  FROM txns t, latest
+  WHERE year(t."date") = CAST(substr(latest.cur_ym, 1, 4) AS INT) AND t.recurring
+  GROUP BY 1, 2
+),
+rec_s AS (
+  SELECT user_id, '{' || string_agg(printf('"%s":%.2f', k, v), ',' ORDER BY k) || '}' AS s
+  FROM rec GROUP BY user_id
+),
+monthly AS (
+  SELECT user_id, ym AS k, round(sum(round(amount, 2)), 2) AS v
+  FROM txns GROUP BY user_id, ym
+),
+mon_s AS (
+  SELECT user_id, '{' || string_agg(printf('"%s":%.2f', k, v), ',' ORDER BY k) || '}' AS s
+  FROM monthly GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, v, row_number() OVER (PARTITION BY user_id ORDER BY k DESC) AS rn
+  FROM monthly
+),
+last3 AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN v END) AS m0,
+         max(CASE WHEN rn = 2 THEN v END) AS m1,
+         max(CASE WHEN rn = 3 THEN v END) AS m2,
+         count(*) AS n_months
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+),
+tr AS (
+  SELECT user_id,
+         CASE WHEN n_months < 3 THEN 'Not enough data'
+              WHEN m0 > m1 AND m1 > m2 THEN 'Up'
+              WHEN m0 < m1 AND m1 < m2 THEN 'Down'
+              ELSE 'Stable' END AS trend
+  FROM last3
+),
+users AS (SELECT DISTINCT user_id FROM cur),
+report_cols AS (
+  SELECT u.user_id,
+         coalesce(sp.s, '{}') AS spending_by_category,
+         coalesce(fl.s, '[]') AS flagged_transactions,
+         coalesce(hh.s, '[]') AS high_value_transactions,
+         coalesce(rr.s, '{}') AS recurring_ytd,
+         coalesce(mm.s, '{}') AS monthly_spending,
+         tr.trend AS trend
+  FROM users u
+  LEFT JOIN spend_s sp USING (user_id)
+  LEFT JOIN flag_s fl USING (user_id)
+  LEFT JOIN hv_s hh USING (user_id)
+  LEFT JOIN rec_s rr USING (user_id)
+  LEFT JOIN mon_s mm USING (user_id)
+  LEFT JOIN tr USING (user_id)
+)
+"""
+
 FINANCIAL_ORACLES: dict[str, str] = {
+    "q15_report_document": P + _REPORT_SECTIONS + """
+    SELECT user_id, spending_by_category, flagged_transactions,
+           high_value_transactions, recurring_ytd, monthly_spending, trend
+    FROM report_cols
+    """,
+    "q16_report_json": P + _REPORT_SECTIONS + """
+    SELECT user_id,
+           '{"SpendingByCategory":' || spending_by_category ||
+           ',"FlaggedTransactions":' || flagged_transactions ||
+           ',"HighValueTransaction":' || high_value_transactions ||
+           ',"RecurringTransactionsYearToDate":' || recurring_ytd ||
+           ',"MonthlySpending_Trend":{"MonthlySpending":' || monthly_spending ||
+           ',"Trend":"' || trend || '"}}' AS report
+    FROM report_cols
+    """,
     "q01_historical_avg": P
     + """
     SELECT user_id, avg_amount FROM scal
@@ -157,42 +275,6 @@ FINANCIAL_ORACLES: dict[str, str] = {
     SELECT user_id, count(*) AS n_txns, round(sum(round(amount, 2)), 2) AS total
     FROM (SELECT * FROM cur UNION ALL SELECT * FROM hist)
     GROUP BY user_id
-    """,
-    "q20_report_flat": P
-    + """
-    , monthly AS (
-      SELECT user_id, ym, round(sum(round(amount, 2)), 2) AS total
-      FROM txns GROUP BY user_id, ym
-    ), ranked AS (
-      SELECT user_id, total,
-             row_number() OVER (PARTITION BY user_id ORDER BY ym DESC) AS rn
-      FROM monthly
-    ), last3 AS (
-      SELECT user_id,
-             max(CASE WHEN rn = 1 THEN total END) AS m0,
-             max(CASE WHEN rn = 2 THEN total END) AS m1,
-             max(CASE WHEN rn = 3 THEN total END) AS m2,
-             count(*) AS n_months
-      FROM ranked WHERE rn <= 3 GROUP BY user_id
-    )
-    SELECT user_id, 'spending_by_category' AS section, category AS k,
-           round(sum(round(amount, 2)), 2) AS v
-    FROM cur GROUP BY user_id, category
-    UNION ALL
-    SELECT t.user_id, 'recurring_ytd', t.vendor, round(sum(round(t.amount, 2)), 2)
-    FROM txns t, latest
-    WHERE year(t."date") = CAST(substr(latest.cur_ym, 1, 4) AS INT) AND t.recurring
-    GROUP BY t.user_id, t.vendor
-    UNION ALL
-    SELECT user_id, 'monthly_spending', ym, total FROM monthly
-    UNION ALL
-    SELECT user_id, 'trend',
-           CASE WHEN n_months < 3 THEN 'Not enough data'
-                WHEN m0 > m1 AND m1 > m2 THEN 'Up'
-                WHEN m0 < m1 AND m1 < m2 THEN 'Down'
-                ELSE 'Stable' END,
-           NULL
-    FROM last3
     """,
     "q17_rollup": P
     + """

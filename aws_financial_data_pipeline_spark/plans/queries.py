@@ -170,11 +170,14 @@ def q14_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q15_report_document(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12 (docker/lambda_function.py:511-521): the full nested report document
-    per user — map/array/struct sections assembled set-based for ALL users in
-    one job. Maps/arrays are sorted for bit-stable output. Rows-only driver
-    check (nested maps aren't hash-comparable through the SQL oracle); values
-    are golden-tested in tests/test_report.py.
+    """Q12 (docker/lambda_function.py:511-521): the full report document per
+    user — map/array/struct sections assembled set-based for ALL users in one
+    job, then projected to canonical per-section JSON strings so the driver
+    can hash every section against the SQL oracle (round-1 ran rows-only and
+    errored on the nested columns; this form is fully hash-gated and
+    subsumes the old q20 flat projection). The nested document remains the
+    engine API (plans.report.assemble_report, golden-tested in
+    tests/test_report.py).
 
     Even with six sections branching the view, caching measured SLOWER here
     (9.7s vs 6.3s at sf0.1): the sections prune to different column subsets,
@@ -184,17 +187,20 @@ def q15_report_document(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     txns, cur, hist = _base(spark, sf_dir)
     year = tv.statement_scalars(txns)["statement_year"]
-    return rpt.assemble_report(cur, hist, year)
+    return rpt.canonical_report(rpt.assemble_report(cur, hist, year))
 
 
 def q16_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7 (docker/lambda_function.py:524-526): report documents serialized to
-    one JSON string per user via to_json — the engine-side sink format."""
+    """S7 (docker/lambda_function.py:524-526): one JSON document string per
+    user. The driver-gate form uses the canonical constructor (explicit %.2f
+    formatting, byte-reproducible from SQL); the engine sink keeps to_json
+    (plans.report.report_json) whose Jackson double formatting can't be
+    compared byte-wise across engines."""
     from . import report as rpt
 
     txns, cur, hist = _base(spark, sf_dir)
     year = tv.statement_scalars(txns)["statement_year"]
-    return rpt.report_json(rpt.assemble_report(cur, hist, year))
+    return rpt.canonical_report_json(rpt.assemble_report(cur, hist, year))
 
 
 def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,34 +255,6 @@ def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "user_id", *[F.col(f"`{p}`").alias(_PIVOT_ALIAS[p]) for p in _PRIORITIES]
     )
-
-
-def q20_report_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12 in flattened, ORACLE-CHECKABLE form: the report's scalar sections as
-    (user_id, section, k, v) rows. Complements the rows-only q15 — the nested
-    maps can't hash through SQL, but their exact contents can, section by
-    section. Flagged/high-value arrays are hash-gated separately via q03/q06."""
-    txns, cur, hist = _base(spark, sf_dir, ("user_id", "category", "vendor", "amount",
-                                            "date", "recurring"))
-    year = tv.statement_scalars(txns)["statement_year"]
-    spend = fin.spending_by_category(cur).select(
-        "user_id", F.lit("spending_by_category").alias("section"),
-        F.col("category").alias("k"), F.col("total").alias("v"),
-    )
-    rec = fin.recurring_ytd(cur.unionByName(hist), year).select(
-        "user_id", F.lit("recurring_ytd").alias("section"),
-        F.col("vendor").alias("k"), F.col("total").alias("v"),
-    )
-    monthly = fin.monthly_spending(txns.drop("ym"))
-    mon = monthly.select(
-        "user_id", F.lit("monthly_spending").alias("section"),
-        F.col("year_month").alias("k"), F.col("total").alias("v"),
-    )
-    trend = fin.classify_trend(monthly).select(
-        "user_id", F.lit("trend").alias("section"),
-        F.col("trend").alias("k"), F.lit(None).cast("double").alias("v"),
-    )
-    return spend.unionByName(rec).unionByName(mon).unionByName(trend)
 
 
 def q21_currency_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,7 +385,8 @@ FINANCIAL_QUERIES: dict[str, QueryFn] = {
     "q17_rollup": q17_rollup,
     "q18_distinct_agg": q18_distinct_agg,
     "q19_pivot": q19_pivot,
-    "q20_report_flat": q20_report_flat,
+    # q20_report_flat removed: q15's canonical-string form hash-gates every
+    # section directly, so the flat proxy no longer earns a driver slot
     "q21_currency_normalized": q21_currency_normalized,
     "q22_user_set_ops": q22_user_set_ops,
     "q23_grouping_sets": q23_grouping_sets,

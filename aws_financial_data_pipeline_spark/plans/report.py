@@ -25,18 +25,22 @@ from pyspark.sql import functions as F
 from ..operators import financial as fin
 
 
-def _map_section(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
-    """(user_id, key, val) → (user_id, out: map<key,val>) with sorted entries."""
-    return df.groupBy("user_id").agg(
+def _map_section(
+    df: DataFrame, key: str, val: str, out: str, keys: tuple[str, ...] = ("user_id",)
+) -> DataFrame:
+    """(keys..., key, val) → (keys..., out: map<key,val>) with sorted entries."""
+    return df.groupBy(*keys).agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct(F.col(key), F.col(val))))
         ).alias(out)
     )
 
 
-def _array_section(df: DataFrame, cols: list[str], out: str) -> DataFrame:
-    """(user_id, *cols) → (user_id, out: array<struct>) sorted by cols[0]."""
-    return df.groupBy("user_id").agg(
+def _array_section(
+    df: DataFrame, cols: list[str], out: str, keys: tuple[str, ...] = ("user_id",)
+) -> DataFrame:
+    """(keys..., *cols) → (keys..., out: array<struct>) sorted by cols[0]."""
+    return df.groupBy(*keys).agg(
         F.array_sort(F.collect_list(F.struct(*[F.col(c) for c in cols]))).alias(out)
     )
 
@@ -144,8 +148,218 @@ def assemble_report_from_summary(
     )
 
 
+def assemble_reports_by_month(cur: DataFrame, hist_summary: DataFrame) -> DataFrame:
+    """One report per (user_id, year_month) STATEMENT GROUP — the reference's
+    exact grouping (docker/lambda_function.py:495: ``for (user_id, year_month)
+    in new_data``): each group is analyzed against the STORED history only
+    (never against the file's other groups), its YTD year is the group's own
+    calendar year, and its monthly/trend series is history ∪ that group's
+    rows. A single-month statement produces exactly
+    :func:`assemble_report_from_summary`'s output plus the ``year_month``
+    column (the reference report's YearMonth field).
+
+    Set-based: every section keys on (user_id, year_month); the history side
+    is the additive summary joined per group key, so a multi-month file still
+    runs as one job — no driver-side loop over groups.
+    """
+    key = ("user_id", "year_month")
+    scalars = fin.user_scalars_from_summary(hist_summary)
+    cur_summary = fin.summarize_transactions(cur)
+    group_keys = cur.select(*key).distinct()
+
+    # RecurringYTD per group: recurring sums for the GROUP's calendar year =
+    # the group's own rows (all inside that year by construction) + the
+    # user's stored history for that year
+    yr = F.substring("year_month", 1, 4)
+    cur_rec = (
+        cur_summary.filter(F.col("recurring"))
+        .groupBy(*key, "vendor")
+        .agg(F.sum("sum_amount").alias("_dc"))
+    )
+    hist_rec = (
+        hist_summary.filter(F.col("recurring"))
+        .groupBy("user_id", yr.alias("_yr"), "vendor")
+        .agg(F.sum("sum_amount").alias("_dh"))
+    )
+    rec = (
+        group_keys.withColumn("_yr", yr)
+        .join(hist_rec, ["user_id", "_yr"])
+        .select(*key, "vendor", "_dh")
+        .join(cur_rec, [*key, "vendor"], "full_outer")
+        .select(
+            *key,
+            "vendor",
+            F.round(
+                (F.coalesce(F.col("_dh"), F.lit(0).cast("decimal(18,2)"))
+                 + F.coalesce(F.col("_dc"), F.lit(0).cast("decimal(18,2)"))).cast("double"),
+                2,
+            ).alias("total"),
+        )
+    )
+
+    # MonthlySpending per group: the user's stored months (restated keys
+    # already excluded upstream) ∪ the group's own month total
+    hist_monthly = fin.monthly_spending_from_summary(hist_summary).select(
+        "user_id", F.col("year_month").alias("month"), "total"
+    )
+    cur_monthly = cur_summary.groupBy(*key).agg(
+        F.round(F.sum("sum_amount").cast("double"), 2).alias("total")
+    ).select(*key, F.col("year_month").alias("month"), "total")
+    monthly = (
+        group_keys.join(hist_monthly, "user_id")
+        .select(*key, "month", "total")
+        .unionByName(cur_monthly)
+    )
+
+    sections = [
+        _map_section(
+            fin.spending_by_category(cur, extra_keys=("year_month",)),
+            "category", "total", "SpendingByCategory", keys=key,
+        ),
+        _array_section(
+            fin.flag_risky(cur, scalars, keep_cols=("year_month",)),
+            [
+                "transaction_id", "amount", "average_amount", "location",
+                "risk_level", "home_country", "category", "vendor", "date",
+            ],
+            "FlaggedTransactions", keys=key,
+        ),
+        _array_section(
+            fin.high_value(cur, scalars, keep_cols=("year_month",)),
+            ["transaction_id", "amount", "vendor", "category", "date", "location"],
+            "HighValueTransaction", keys=key,
+        ),
+        _map_section(rec, "vendor", "total", "RecurringTransactionsYearToDate", keys=key),
+        _map_section(monthly, "month", "total", "MonthlySpending", keys=key),
+        fin.classify_trend(monthly, keys=key, month_col="month").select(
+            *key, F.col("trend").alias("Trend")
+        ),
+    ]
+    doc = group_keys
+    for s in sections:
+        doc = doc.join(s, list(key), "left")
+    return doc.select(
+        "user_id",
+        "year_month",
+        "SpendingByCategory",
+        F.coalesce("FlaggedTransactions", F.array()).alias("FlaggedTransactions"),
+        F.coalesce("HighValueTransaction", F.array()).alias("HighValueTransaction"),
+        "RecurringTransactionsYearToDate",
+        F.struct(F.col("MonthlySpending"), F.col("Trend")).alias("MonthlySpending_Trend"),
+    )
+
+
 def report_json(report: DataFrame) -> DataFrame:
     """S7 (docker/lambda_function.py:524-526): one JSON document per user."""
     return report.select(
         "user_id", F.to_json(F.struct(*[c for c in report.columns if c != "user_id"])).alias("report")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical (oracle-hashable) projection of the nested document
+# ---------------------------------------------------------------------------
+#
+# The driver's canonicalizer hashes flat values — nested map/array columns are
+# unhashable (round-1 q15 harness error), and engine-NATIVE JSON serializers
+# can't be compared byte-wise either (Jackson prints doubles via Java
+# Double.toString — scientific notation above 1e7 — while DuckDB uses C
+# shortest-repr). So the registry forms serialize every section to a JSON
+# string built with EXPLICIT %.2f / %d formatting on both engines: all values
+# are on the 2-decimal grid, where printf is bit-identical everywhere. String
+# fields (categories, brands, nation names, yyyyMM) contain no JSON
+# metacharacters in this domain, so no escaping pass is needed.
+
+
+def _map_json(col: F.Column) -> F.Column:
+    """map<string,double> → '{"k":12.34,...}' with entries sorted by key."""
+    items = F.transform(
+        F.array_sort(F.map_entries(col)),
+        lambda e: F.format_string('"%s":%.2f', e["key"], e["value"]),
+    )
+    return F.coalesce(
+        F.concat(F.lit("{"), F.array_join(items, ","), F.lit("}")), F.lit("{}")
+    )
+
+
+def _flagged_json(col: F.Column) -> F.Column:
+    """FlaggedTransactions array (sorted by transaction_id) → JSON array."""
+    items = F.transform(
+        col,
+        lambda e: F.format_string(
+            '{"transaction_id":%d,"amount":%.2f,"average_amount":%.2f,'
+            '"location":"%s","risk_level":"%s","home_country":%s,'
+            '"category":"%s","vendor":"%s","date":"%s"}',
+            e["transaction_id"],
+            e["amount"],
+            e["average_amount"],
+            e["location"],
+            e["risk_level"],
+            # format_string null-propagates, so the nullable field wraps
+            # itself: '"CC"' or the literal JSON null token
+            F.coalesce(F.concat(F.lit('"'), e["home_country"], F.lit('"')), F.lit("null")),
+            e["category"],
+            e["vendor"],
+            e["date"].cast("string"),
+        ),
+    )
+    return F.concat(F.lit("["), F.array_join(items, ","), F.lit("]"))
+
+
+def _high_value_json(col: F.Column) -> F.Column:
+    items = F.transform(
+        col,
+        lambda e: F.format_string(
+            '{"transaction_id":%d,"amount":%.2f,"vendor":"%s","category":"%s",'
+            '"date":"%s","location":"%s"}',
+            e["transaction_id"],
+            e["amount"],
+            e["vendor"],
+            e["category"],
+            e["date"].cast("string"),
+            e["location"],
+        ),
+    )
+    return F.concat(F.lit("["), F.array_join(items, ","), F.lit("]"))
+
+
+def canonical_report(report: DataFrame) -> DataFrame:
+    """The nested report document as per-section canonical JSON strings —
+    deterministic, hashable, and reproducible bit-for-bit from ANSI SQL
+    (the driver-gate form of Q12; the nested form stays the engine API)."""
+    mst = F.col("MonthlySpending_Trend")
+    return report.select(
+        "user_id",
+        _map_json(F.col("SpendingByCategory")).alias("spending_by_category"),
+        _flagged_json(F.col("FlaggedTransactions")).alias("flagged_transactions"),
+        _high_value_json(F.col("HighValueTransaction")).alias("high_value_transactions"),
+        _map_json(F.col("RecurringTransactionsYearToDate")).alias("recurring_ytd"),
+        _map_json(mst["MonthlySpending"]).alias("monthly_spending"),
+        mst["Trend"].alias("trend"),
+    )
+
+
+def canonical_report_json(report: DataFrame) -> DataFrame:
+    """S7 driver-gate form: the whole document as ONE canonical JSON string
+    per user, assembled from the section strings (field order fixed, all
+    numbers %.2f) — byte-identical to the DuckDB oracle's string_agg
+    construction, unlike to_json (see module comment)."""
+    c = canonical_report(report)
+    return c.select(
+        "user_id",
+        F.concat(
+            F.lit('{"SpendingByCategory":'),
+            F.col("spending_by_category"),
+            F.lit(',"FlaggedTransactions":'),
+            F.col("flagged_transactions"),
+            F.lit(',"HighValueTransaction":'),
+            F.col("high_value_transactions"),
+            F.lit(',"RecurringTransactionsYearToDate":'),
+            F.col("recurring_ytd"),
+            F.lit(',"MonthlySpending_Trend":{"MonthlySpending":'),
+            F.col("monthly_spending"),
+            F.lit(',"Trend":"'),
+            F.col("trend"),
+            F.lit('"}}'),
+        ).alias("report"),
     )

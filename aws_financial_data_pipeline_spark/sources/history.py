@@ -41,6 +41,18 @@ class HistoryStore:
     batch-atomically per key."""
 
     def __init__(self, spark: SparkSession, path: str, partition_cols=PARTITION_COLS):
+        # Fail LOUDLY if the session wasn't built by session.get_spark: under
+        # the default static partitionOverwriteMode, upsert's mode("overwrite")
+        # would silently TRUNCATE the entire store instead of replacing only
+        # the touched partitions.
+        mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        if str(mode).lower() != "dynamic":
+            raise ValueError(
+                "HistoryStore requires spark.sql.sources.partitionOverwriteMode="
+                f"'dynamic' (got {mode!r}): static overwrite would truncate the "
+                "whole store on upsert. Build the session via session.get_spark "
+                "or set the conf explicitly."
+            )
         self.spark = spark
         self.path = path
         self.summary_path = path.rstrip("/") + "_summary"

@@ -23,8 +23,9 @@ import __spark_entry__ as entrymod
 from aws_financial_data_pipeline_spark.session import get_spark
 
 # Representative headline set: scan→multi-join→agg spine, scalar-subquery
-# joins, window functions, shuffle-heavy self-join dedup, vector search,
-# sessionization, Arrow/pandas path.
+# joins, window functions, LSH dedup end-to-end (the scale path, NOT the
+# all-pairs oracle form — round-1 verdict), vector search, sessionization,
+# Arrow/pandas path.
 HEADLINE = [
     "q01_historical_avg",
     "q03_risky_transactions",
@@ -34,15 +35,15 @@ HEADLINE = [
     "q11_top3_high_value",
     "q15_report_document",
     "q17_rollup",
-    "x02_jaccard_pairs",
-    "x03_minhash_signatures",
+    "x39_minhash_dedup",
+    "x09_embedding_neardup",
     "x07_cosine_topk",
     "x08_ann_lsh_topk",
     "x26_ann_ivf_topk",
-    "x13_fingerprint",
+    "x10_text_profile",
     "x27_dedup_clusters",
     "x28_tfidf_topk",
-    "x33_gapfill_monthly",
+    "x33_gapfill_rolling",
     "x16_events_sessions",
     "x18_multimodal_features",
     "x20_asof_join",
@@ -62,7 +63,7 @@ def main() -> None:
     # physical shapes (hash agg, window, broadcast join, higher-order exprs) —
     # without this the first queries absorb one-time JIT cost and round-over-
     # round numbers aren't comparable
-    for w in ("q04_spending_by_category", "q09_trend", "x14_events_tumbling", "x10_text_stats"):
+    for w in ("q04_spending_by_category", "q09_trend", "x14_events_windows", "x17_events_profile"):
         queries[w](spark, sf_dir).write.mode("overwrite").format("noop").save()
     # ... and the Python-worker pool: the first Arrow/pandas stage pays the
     # interpreter fork (~6s for 32 workers, measured; 0.7s steady-state on

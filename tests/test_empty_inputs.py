@@ -38,7 +38,7 @@ def test_text_dedup_on_empty(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.exact_duplicates(docs).count() == 0
     assert dedup.minhash_signatures(docs).count() == 0
-    assert dedup.jaccard_pairs(docs, threshold=0.0).count() == 0
+    assert dedup.jaccard_pairs(docs, threshold=0.0, allow_full_corpus=True).count() == 0
     assert text.text_stats(docs).count() == 0
     assert text.fingerprint(docs).count() == 0
 
@@ -46,7 +46,7 @@ def test_text_dedup_on_empty(spark):
 def test_similarity_on_empty(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert sim.cosine_topk(emb, emb, k=5).count() == 0
-    assert sim.embedding_near_duplicates(emb).count() == 0
+    assert sim.embedding_near_duplicates(emb, allow_full_corpus=True).count() == 0
     # ann on empty corpus: dim auto-detect has no row to probe — must not blow up
     assert sim.ann_topk_lsh(spark, emb, emb, k=5).count() == 0
 
@@ -60,4 +60,4 @@ def test_single_row_inputs(spark, cur_txns):
     ).count() == 1
     docs = spark.createDataFrame([(1, "only one doc")], "doc_id long, text string")
     assert dedup.exact_duplicates(docs).count() == 1
-    assert dedup.jaccard_pairs(docs, threshold=0.0, n=2).count() == 0  # no pairs
+    assert dedup.jaccard_pairs(docs, threshold=0.0, n=2, allow_full_corpus=True).count() == 0  # no pairs

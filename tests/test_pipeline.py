@@ -69,6 +69,52 @@ def test_pipeline_chart_payload_artifact(spark, tmp_path):
     assert payload["1"]["bar_line"]["months"] == ["202411"]
 
 
+def test_pipeline_multi_month_statement_groups(spark, tmp_path):
+    """A multi-month CSV must yield ONE report per (user, year_month) group,
+    each analyzed against STORED history only (the reference's grouping,
+    docker/lambda_function.py:495) — not one merged report at the max month."""
+    hist = str(tmp_path / "hist3")
+    # seed stored history: October
+    oct_ = _csv(tmp_path, "oct.csv", [
+        _row(1, 202410, "o1", "2024-10-05", "VendA", "Groceries", 100.0, "true", "US-CA"),
+    ])
+    process_statement(spark, oct_, hist)
+    # one file restating nothing but carrying TWO new months
+    both = _csv(tmp_path, "both.csv", [
+        _row(1, 202411, "n1", "2024-11-01", "VendA", "Groceries", 40.0, "true", "US-CA"),
+        _row(1, 202412, "d1", "2024-12-01", "VendA", "Groceries", 70.0, "true", "FR-IDF"),
+    ])
+    r = rows_by_key(process_statement(spark, both, hist), "user_id", "year_month")
+    assert set(r) == {(("1"), "202411"), (("1"), "202412")}
+    nov, dec = r[("1", "202411")], r[("1", "202412")]
+    # each group's sections cover ONLY its own rows
+    assert nov["SpendingByCategory"] == {"Groceries": 40.0}
+    assert dec["SpendingByCategory"] == {"Groceries": 70.0}
+    # both groups' analyses run against stored history (October), never
+    # against each other: home country = US for both, so only the FR row flags
+    assert [f["transaction_id"] for f in nov["FlaggedTransactions"]] == []
+    assert [f["transaction_id"] for f in dec["FlaggedTransactions"]] == ["d1"]
+    # recurring YTD is per-group-year over group + stored history
+    assert nov["RecurringTransactionsYearToDate"] == {"VendA": 140.0}
+    assert dec["RecurringTransactionsYearToDate"] == {"VendA": 170.0}
+    # monthly series = stored months ∪ the group's own month (not the sibling)
+    assert nov["MonthlySpending_Trend"]["MonthlySpending"] == {"202410": 100.0, "202411": 40.0}
+    assert dec["MonthlySpending_Trend"]["MonthlySpending"] == {"202410": 100.0, "202412": 70.0}
+
+
+def test_history_store_requires_dynamic_overwrite(spark, tmp_path):
+    """A session without partitionOverwriteMode=dynamic must be rejected
+    loudly — static overwrite would truncate the whole store on upsert."""
+    import pytest
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        with pytest.raises(ValueError, match="dynamic"):
+            HistoryStore(spark, str(tmp_path / "h"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
 def test_pipeline_restatement_is_idempotent(spark, tmp_path):
     hist = str(tmp_path / "hist2")
     v1 = _csv(tmp_path, "v1.csv", [

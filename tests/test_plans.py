@@ -66,9 +66,11 @@ def test_q13_no_python_udfs_in_scalar_layer(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_x10_text_stats_is_map_only(spark):
-    # pure narrow pipeline: no shuffle at all in the text-stats plan
-    plan = _plan(spark, "x10_text_stats")
+def test_x10_text_profile_is_map_only(spark):
+    # pure narrow pipeline: no shuffle at all in the merged text-profile plan
+    # (stats + lang-ID + token counts + fingerprint derive from one projected
+    # token array — composing them as joins would shuffle a map computation)
+    plan = _plan(spark, "x10_text_profile")
     assert "Exchange hashpartitioning" not in plan
 
 
@@ -80,5 +82,10 @@ def test_x22_interval_join_is_equi_join(spark):
 
 
 def test_x38_global_topk_uses_bounded_heap_not_full_sort(spark):
-    plan = _plan(spark, "x38_global_topk")
+    # x38 left the driver registry in round 2 (50-slot budget; see
+    # ext_queries) but the operator and its plan-shape guarantee remain
+    from aws_financial_data_pipeline_spark.plans.ext_queries import x38_global_topk
+
+    df = x38_global_topk(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan

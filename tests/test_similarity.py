@@ -58,10 +58,54 @@ def test_ann_results_subset_of_exact(spark):
 
 
 def test_embedding_near_duplicates(spark):
-    got = rows_by_key(sim.embedding_near_duplicates(_vecs(spark), threshold=0.7), "doc_a", "doc_b")
+    got = rows_by_key(
+        sim.embedding_near_duplicates(_vecs(spark), threshold=0.7, allow_full_corpus=True),
+        "doc_a", "doc_b",
+    )
     assert (1, 2) in got and got[(1, 2)]["cosine"] == 1.0
     # cos=0.7071 for every unit vector vs v4; (1,3) orthogonal → out
     assert set(got) == {(1, 2), (1, 4), (2, 4), (3, 4)}
+
+
+def test_embedding_near_duplicates_guards_full_corpus(spark):
+    # the O(N²) all-pairs form must be opt-in (round-1 verdict: unguarded
+    # quadratic entry points are scale-killers)
+    with pytest.raises(ValueError, match="candidates"):
+        sim.embedding_near_duplicates(_vecs(spark), threshold=0.7)
+
+
+def test_embedding_near_duplicates_lsh_recall(spark):
+    """The LSH-bucketed near-dup (scale path) must be a subset of the exact
+    all-pairs form with identical cosines, and must always recover IDENTICAL
+    vectors (which collide in every band)."""
+    emb = _vecs(spark)
+    exact = rows_by_key(
+        sim.embedding_near_duplicates(emb, threshold=0.7, allow_full_corpus=True),
+        "doc_a", "doc_b",
+    )
+    approx = rows_by_key(
+        sim.embedding_near_duplicates_lsh(spark, emb, threshold=0.7), "doc_a", "doc_b"
+    )
+    assert set(approx) <= set(exact)
+    for k, r in approx.items():
+        assert r["cosine"] == exact[k]["cosine"]
+    assert (1, 2) in approx and approx[(1, 2)]["cosine"] == 1.0
+
+
+def test_embedding_near_duplicates_lsh_recall_floor_on_testdata(spark):
+    """Measured recall floor of the banded near-dup on the real embeddings
+    table (threshold 0.35 ≈ 69°: P[band match] ≈ 0.46 with 4×4-bit bands on
+    near-random vectors; clustered real corpora do better)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = sim.embedding_near_duplicates(
+        emb, threshold=0.35, allow_full_corpus=True
+    ).collect()
+    approx = sim.embedding_near_duplicates_lsh(spark, emb, threshold=0.35).collect()
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact}
+    approx_pairs = {(r["doc_a"], r["doc_b"]) for r in approx}
+    assert approx_pairs <= exact_pairs
+    recall = len(approx_pairs) / max(1, len(exact_pairs))
+    assert recall >= 0.3, f"near-dup LSH recall collapsed: {recall:.2f}"
 
 
 def test_ann_recall_floor_on_testdata(spark):

@@ -26,7 +26,7 @@ def test_exact_duplicates(spark):
 def test_jaccard_pairs_known_value(spark):
     # 3-shingles: d1={"a b c","b c d"}, d2={"a b c","b c e"} → J = 1/3
     docs = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
-    got = rows_by_key(dedup.jaccard_pairs(docs, threshold=0.0, n=3), "doc_a", "doc_b")
+    got = rows_by_key(dedup.jaccard_pairs(docs, threshold=0.0, n=3, allow_full_corpus=True), "doc_a", "doc_b")
     assert got[(1, 2)]["jaccard"] == 0.3333  # rounded to 4dp by the operator
 
 
