@@ -1,0 +1,90 @@
+"""Token-window chunking + sequence packing for training-data preparation.
+
+Two operators every LLM pretraining pipeline runs between "clean corpus" and
+"batched samples":
+
+- **chunk_tokens**: split each document's token array into fixed-size windows
+  (optionally overlapping via ``stride``) — the map-only step that bounds
+  every downstream sample at ``window`` tokens. Pure Catalyst ``slice`` over
+  generated offsets: no shuffle, no Python.
+- **pack_chunks**: assign chunks to fixed-token-budget bins (sample packing).
+  Exact first-fit packing is inherently sequential; the distributed-standard
+  compromise is CONTIGUOUS GREEDY packing over a deterministic order: bin =
+  floor(exclusive-prefix-sum / budget). One window function, deterministic,
+  partition-independent; a bin may overflow the budget by less than its last
+  item (never if every item ≤ budget is packed after chunking, see
+  ``tests/test_packing.py`` for the exact bound asserted).
+
+Scale: the prefix sum is a single global window today (one-task ceiling at
+100 TB). The cluster recipe — same math, two passes — is per-partition
+prefix sums + a broadcast of per-partition totals as offsets; packing is
+usually run per shard/date-partition anyway, which keeps each prefix sum
+bounded. Documented here, asserted at test scale.
+
+Pytest-gated (registry capped at 50 driver slots — NOTES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    window: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text) → one row per token window:
+    (doc_id, chunk_id, n_tokens, chunk_text).
+
+    ``stride`` defaults to ``window`` (disjoint chunks that exactly tile the
+    document); smaller stride overlaps windows (context-preserving chunking).
+    The final partial window is kept (training pipelines pad or pack it).
+    """
+    if stride is None:
+        stride = window
+    if stride <= 0 or window <= 0:
+        raise ValueError(f"window and stride must be positive: {window}, {stride}")
+    tok = F.split(F.col(text_col), r"\s+")
+    docs = docs.withColumn("_tok", tok)
+    n = F.size("_tok")
+    # chunk start offsets: 0, stride, 2·stride, … < n (empty doc → one empty chunk)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = docs.select(
+        F.col(id_col), "_tok", F.posexplode(starts).alias("chunk_id", "_start")
+    )
+    piece = F.slice(F.col("_tok"), F.col("_start") + 1, window)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 2048,
+    size_col: str = "n_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+) -> DataFrame:
+    """Assign each chunk a ``bin_id`` by contiguous greedy packing in
+    ``order_cols`` order: bin = floor(exclusive_prefix_sum(size) / budget).
+
+    Properties (asserted in tests): deterministic and partition-independent;
+    bins are contiguous in the given order (doc locality preserved — adjacent
+    chunks co-locate, which is what sample packing wants); every bin's total
+    is < budget + its last item's size, and ≤ budget whenever all items are
+    ≤ budget ÷ 2 or the order tiles exactly. Items larger than the budget
+    get a bin of their own (they should have been chunked first).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    w = Window.orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return chunks.withColumn("bin_id", F.floor(prefix / budget))

@@ -353,13 +353,24 @@ def embedding_near_duplicates_lsh(
     threshold: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    num_planes: int = NUM_PLANES,
+    band_size: int = 4,
 ) -> DataFrame:
     """The SCALE path for embedding near-dup pairs: candidates = pairs sharing
-    ≥1 random-hyperplane LSH band (equi-join on (band_id, band_val) — near
-    linear), exact cosine on candidates only, threshold filter. Mirror of
-    minhash_dedup's LSH→verify shape; recall vs the exact all-pairs form is
-    pytest-asserted (tests/test_similarity.py)."""
-    sig = lsh_bands(spark, emb, vec_col, id_col)
+    ≥1 random-hyperplane LSH band (equi-join on (band_id, band_val)), exact
+    cosine on candidates only, threshold filter. Mirror of minhash_dedup's
+    LSH→verify shape; recall vs the exact all-pairs form is pytest-asserted
+    (tests/test_similarity.py).
+
+    Scale contract: expected bucket load is N / 2^band_size per band, so the
+    candidate join is N²/2^band_size-ish on a NEAR-RANDOM corpus — band_size
+    must grow with log₂N (and num_planes with it) to hold bucket loads
+    constant; the defaults (16 planes, 4-bit bands) are tuned to the
+    testdata corpus and its 0.3 recall gate at threshold 0.35. Real near-dup
+    corpora cluster (duplicates share buckets by construction), which is
+    what makes LSH near-linear in practice; the knobs are exposed precisely
+    because the right setting is corpus- and threshold-dependent."""
+    sig = lsh_bands(spark, emb, vec_col, id_col, num_planes=num_planes, band_size=band_size)
     sig_b = sig.withColumnsRenamed({"vec_id": "_vb"})
     cand = (
         sig.join(sig_b, ["band_id", "band_val"])

@@ -1,0 +1,120 @@
+"""Count-min sketch: mergeable frequency estimation + heavy-hitter lookup.
+
+The 100 TB shape for "how often does key X occur" over a stream/corpus too
+large for exact per-key counts: a depth×width counter grid, updated by d
+independent hashes per row. Point estimate = min over the d counters — always
+an OVERestimate (collisions only add), within ε·N with probability 1−δ for
+width=⌈e/ε⌉, depth=⌈ln(1/δ)⌉ (Cormode & Muthukrishnan 2005, public
+algorithm).
+
+Spark-first construction: the sketch IS a DataFrame of (row, bucket, cnt) —
+built with one explode + one groupBy (map-side partial aggregation does the
+heavy counting), merged by unioning sketches and re-summing (additive —
+exactly the summary-table pattern), and applied via a BROADCAST join (d×w
+rows, e.g. 4×1024, is literally kilobytes regardless of corpus size).
+Hashing is md5-based so estimates are deterministic and engine-portable.
+
+Complements x34's DataSketches profile (HLL/KLL): those answer distinct/
+quantile; count-min answers per-key frequency, which Spark 4 has no built-in
+sketch for. Pytest-gated (tests/test_sketch.py): no SQL oracle slot — the
+registry is capped at 50 driver-checked entries (NOTES.md) — but every
+property (overestimate, ε-bound, mergeability, partition invariance) is
+asserted against exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEPTH = 4
+WIDTH = 1024
+
+
+def _bucket(key, i: int, width: int):
+    """Deterministic bucket of ``key`` under hash row ``i``: first 32 bits of
+    md5("i:key") mod width — portable across engines and partitionings."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % width
+    )
+
+
+def cm_build(
+    df: DataFrame, key_col: str, depth: int = DEPTH, width: int = WIDTH
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt) with one row per NON-EMPTY counter
+    (absent counters are zero). One explode (×depth) + one hash aggregation;
+    the shuffle moves at most depth×width partial rows per map task.
+    """
+    key = F.col(key_col)
+    rows = df.select(key.alias("_k"), F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+    # per-row bucket: md5 depends on the hash row index, so one expression
+    # parameterized by the exploded index would re-hash per row anyway; CASE
+    # over the (small, fixed) depth keeps it a single projection
+    bucket = None
+    for i in range(depth):
+        b = _bucket(F.col("_k"), i, width)
+        bucket = F.when(F.col("row") == i, b) if bucket is None else bucket.when(F.col("row") == i, b)
+    return (
+        rows.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): counters add —
+    the same additivity contract as the history summary table."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Point estimates for a frame of keys: min over the d counters.
+
+    The sketch side is broadcast (≤ depth×width rows by construction), so the
+    estimate is a map-side join + small aggregation on the keys frame — no
+    shuffle of the sketch ever, no matter the corpus it summarizes.
+    Returns (key_col, estimate). Keys whose counters are all absent → 0.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key.alias(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    bucket = None
+    for i in range(depth):
+        b = _bucket(F.col(key_col), i, width)
+        bucket = F.when(F.col("row") == i, b) if bucket is None else bucket.when(F.col("row") == i, b)
+    probes = probes.select(key_col, "row", bucket.alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate")
+    )
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Top-k keys by ESTIMATED frequency: build once, estimate every distinct
+    key, take the global top-k (TakeOrderedAndProject — bounded heaps, no
+    full sort). Estimates are upper bounds, so no true heavy hitter can be
+    pushed out by an undercount — only impostors can sneak IN (classic CM
+    guarantee). Returns (key_col, estimate) ordered desc.
+    """
+    sketch = cm_build(df, key_col, depth, width)
+    est = cm_estimate(sketch, df.select(key_col).distinct(), key_col, depth, width)
+    return est.orderBy(F.col("estimate").desc(), F.col(key_col).asc()).limit(k)

@@ -1,0 +1,64 @@
+"""Chunking + sequence packing: tiling, overlap, budget bounds, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import packing as pk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_disjoint_tiles_reconstruct_document(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = _docs(spark, [(1, text)])
+    chunks = pk.chunk_tokens(docs, window=4).orderBy("chunk_id").collect()
+    assert [c["n_tokens"] for c in chunks] == [4, 4, 2]  # 10 = 4+4+2, tail kept
+    rebuilt = " ".join(c["chunk_text"] for c in chunks)
+    assert rebuilt == text  # stride == window → exact tiling, lossless
+
+
+def test_chunk_overlapping_stride(spark):
+    text = " ".join(f"t{i}" for i in range(6))
+    chunks = pk.chunk_tokens(_docs(spark, [(1, text)]), window=4, stride=2).orderBy("chunk_id").collect()
+    # starts 0,2,4 → windows [0:4],[2:6],[4:6]
+    assert [c["chunk_text"] for c in chunks] == ["t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5"]
+
+
+def test_chunk_short_doc_single_window(spark):
+    chunks = pk.chunk_tokens(_docs(spark, [(1, "a b")]), window=512).collect()
+    assert len(chunks) == 1 and chunks[0]["n_tokens"] == 2
+
+
+def test_pack_respects_budget_bound_and_contiguity(spark):
+    rows = [(d, " ".join(f"w{i}" for i in range(n))) for d, n in
+            [(1, 100), (2, 80), (3, 60), (4, 120), (5, 40), (6, 90)]]
+    chunks = pk.chunk_tokens(_docs(spark, rows), window=64)
+    packed = pk.pack_chunks(chunks, budget=128)
+    got = packed.orderBy("doc_id", "chunk_id").collect()
+    # bins contiguous in (doc_id, chunk_id) order
+    bins = [r["bin_id"] for r in got]
+    assert bins == sorted(bins)
+    # every bin total < budget + its last item (contiguous-greedy bound);
+    # with all chunks ≤ 64 = budget/2 the overflow is < 64
+    totals: dict[int, int] = {}
+    last: dict[int, int] = {}
+    for r in got:
+        totals[r["bin_id"]] = totals.get(r["bin_id"], 0) + r["n_tokens"]
+        last[r["bin_id"]] = r["n_tokens"]
+    for b, t in totals.items():
+        assert t < 128 + last[b], (b, t)
+    # no tokens lost
+    assert sum(totals.values()) == 100 + 80 + 60 + 120 + 40 + 90
+
+
+def test_pack_is_partition_invariant_and_deterministic(spark):
+    rows = [(d, " ".join("x" for _ in range(d * 7 % 50 + 1))) for d in range(1, 40)]
+    chunks = pk.chunk_tokens(_docs(spark, rows), window=16)
+    a = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
+         for r in pk.pack_chunks(chunks.coalesce(1), budget=32).collect()}
+    b = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
+         for r in pk.pack_chunks(chunks.repartition(16), budget=32).collect()}
+    assert a == b

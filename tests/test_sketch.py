@@ -1,0 +1,73 @@
+"""Count-min sketch: overestimate guarantee, accuracy bound, mergeability,
+partition invariance, heavy-hitter recovery."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import sketch as cm
+
+
+def _skewed(spark, n_hot=5, hot=200, n_cold=500):
+    """5 hot keys × 200 occurrences + 500 singleton keys."""
+    hot_rows = [(f"hot{i}",) for i in range(n_hot) for _ in range(hot)]
+    cold_rows = [(f"cold{j}",) for j in range(n_cold)]
+    return spark.createDataFrame(hot_rows + cold_rows, "k string").repartition(8)
+
+
+def test_cm_never_underestimates_and_is_tight_on_hot_keys(spark):
+    df = _skewed(spark)
+    sk = cm.cm_build(df, "k")
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    est = {
+        r["k"]: r["estimate"]
+        for r in cm.cm_estimate(sk, df.select("k").distinct(), "k").collect()
+    }
+    n_total = sum(exact.values())
+    for k, true in exact.items():
+        assert est[k] >= true, f"CM underestimated {k}: {est[k]} < {true}"
+        # ε = e/width ≈ 0.00265 → slack εN ≈ 4 at N=1500; depth=4 makes the
+        # failure probability negligible, but keep a loose deterministic bound
+        assert est[k] <= true + 0.01 * n_total + 5, f"CM way off on {k}"
+
+
+def test_cm_unknown_key_estimates_near_zero(spark):
+    df = _skewed(spark)
+    sk = cm.cm_build(df, "k")
+    other = spark.createDataFrame([("never-seen",)], "k string")
+    [(row)] = cm.cm_estimate(sk, other, "k").collect()
+    assert row["estimate"] <= 5  # collisions only; usually exactly 0
+
+
+def test_cm_merge_equals_sketch_of_union(spark):
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(100)], "k string")
+    b = spark.createDataFrame([(f"k{i % 13}",) for i in range(150)], "k string")
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cm.cm_merge(cm.cm_build(a, "k"), cm.cm_build(b, "k")).collect()
+    }
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cm.cm_build(a.unionByName(b), "k").collect()
+    }
+    assert merged == direct
+
+
+def test_cm_is_partition_invariant(spark):
+    df = _skewed(spark)
+    one = {(r["row"], r["bucket"]): r["cnt"] for r in cm.cm_build(df.coalesce(1), "k").collect()}
+    many = {(r["row"], r["bucket"]): r["cnt"] for r in cm.cm_build(df.repartition(32), "k").collect()}
+    assert one == many
+
+
+def test_cm_heavy_hitters_recovers_hot_keys(spark):
+    df = _skewed(spark)
+    top = cm.cm_heavy_hitters(df, "k", k=5).collect()
+    assert {r["k"] for r in top} == {f"hot{i}" for i in range(5)}
+    assert all(r["estimate"] >= 200 for r in top)  # upper bounds ≥ true count
+
+
+def test_cm_heavy_hitters_plan_is_bounded_heap(spark):
+    df = _skewed(spark)
+    plan = cm.cm_heavy_hitters(df, "k", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a full global sort
