@@ -190,9 +190,7 @@ def recurring_ytd_from_summary(summary: DataFrame, statement_year: DataFrame | i
 # ---------------------------------------------------------------------------
 
 
-def flag_risky(
-    current: DataFrame, scalars: DataFrame, keep_cols: tuple[str, ...] = ()
-) -> DataFrame:
+def flag_risky(current: DataFrame, scalars: DataFrame) -> DataFrame:
     """Q3 (docker/lambda_function.py:117-141): flag current transactions made
     outside the user's home country; risk level High if amount strictly exceeds
     the historical average else Moderate (P10).
@@ -201,10 +199,9 @@ def flag_risky(
     transaction is abroad; avg NULL → 0.0, so any positive amount is High Risk.
 
     The scalar frame is tiny (1 row per user) → broadcast hash join, no
-    shuffle of the fact side.
-
-    ``keep_cols`` carries extra current-side columns through (e.g.
-    ``year_month`` for the per-statement-group report assembly).
+    shuffle of the fact side. (The report assembly computes this section
+    fused with high_value in one aggregation — plans.report._risk_sections;
+    this standalone form is the q03 query surface.)
     """
     j = current.join(F.broadcast(scalars), "user_id", "left")
     abroad = F.col("home_country").isNull() | (F.col("country") != F.col("home_country"))
@@ -223,7 +220,6 @@ def flag_risky(
             "category",
             "vendor",
             "date",
-            *keep_cols,
         )
     )
 
@@ -248,9 +244,7 @@ def spending_by_category(current: DataFrame, extra_keys: tuple[str, ...] = ()) -
 # ---------------------------------------------------------------------------
 
 
-def high_value(
-    current: DataFrame, scalars: DataFrame, keep_cols: tuple[str, ...] = ()
-) -> DataFrame:
+def high_value(current: DataFrame, scalars: DataFrame) -> DataFrame:
     """Q6 (docker/lambda_function.py:224-236): current transactions with amount
     STRICTLY above the user's historical average (ties excluded). No-history
     users: average treated as 0 → every positive amount qualifies."""
@@ -266,7 +260,6 @@ def high_value(
         "category",
         "date",
         F.col("country").alias("location"),
-        *keep_cols,
     )
 
 

@@ -45,6 +45,44 @@ def _array_section(
     )
 
 
+def _risk_sections(
+    cur: DataFrame, scalars: DataFrame, keys: tuple[str, ...] = ("user_id",)
+) -> DataFrame:
+    """FlaggedTransactions + HighValueTransaction from ONE cur⋈scalars scan
+    and ONE aggregation: both sections filter the same broadcast join, so
+    materializing them separately recomputes the transactions view twice.
+    ``collect_list`` skips nulls, so each section's predicate gates its
+    struct inside a single groupBy — element values/order identical to
+    operators.financial.flag_risky / high_value (oracle-locked)."""
+    j = cur.join(F.broadcast(scalars), "user_id", "left")
+    abroad = F.col("home_country").isNull() | (F.col("country") != F.col("home_country"))
+    amt = F.col("amount").cast("double")
+    avg = F.coalesce(F.col("avg_amount"), F.lit(0.0))
+    flag_struct = F.struct(
+        F.col("id").alias("transaction_id"),
+        F.round(amt, 2).alias("amount"),
+        avg.alias("average_amount"),
+        F.col("country").alias("location"),
+        F.when(amt > avg, F.lit("High Risk")).otherwise(F.lit("Moderate Risk")).alias("risk_level"),
+        F.col("home_country"),
+        F.col("category"),
+        F.col("vendor"),
+        F.col("date"),
+    )
+    hv_struct = F.struct(
+        F.col("id").alias("transaction_id"),
+        F.round(amt, 2).alias("amount"),
+        F.col("vendor"),
+        F.col("category"),
+        F.col("date"),
+        F.col("country").alias("location"),
+    )
+    return j.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.when(abroad, flag_struct))).alias("FlaggedTransactions"),
+        F.array_sort(F.collect_list(F.when(amt > avg, hv_struct))).alias("HighValueTransaction"),
+    )
+
+
 def assemble_report(cur: DataFrame, hist: DataFrame, statement_year) -> DataFrame:
     """One nested report row per user for the statement month
     (docker/lambda_function.py:511-521):
@@ -63,19 +101,10 @@ def assemble_report(cur: DataFrame, hist: DataFrame, statement_year) -> DataFram
     monthly = fin.monthly_spending(cur.unionByName(hist))
     sections = [
         _map_section(fin.spending_by_category(cur), "category", "total", "SpendingByCategory"),
-        _array_section(
-            fin.flag_risky(cur, scalars),
-            [
-                "transaction_id", "amount", "average_amount", "location",
-                "risk_level", "home_country", "category", "vendor", "date",
-            ],
-            "FlaggedTransactions",
-        ),
-        _array_section(
-            fin.high_value(cur, scalars),
-            ["transaction_id", "amount", "vendor", "category", "date", "location"],
-            "HighValueTransaction",
-        ),
+        # flagged + high-value come from ONE shared scan+join+agg (they are
+        # two predicates over the same cur⋈scalars frame — building them via
+        # flag_risky/high_value separately recomputes the view twice)
+        _risk_sections(cur, scalars),
         _map_section(
             fin.recurring_ytd(cur.unionByName(hist), statement_year),
             "vendor", "total", "RecurringTransactionsYearToDate",
@@ -115,19 +144,7 @@ def assemble_report_from_summary(
     monthly = fin.monthly_spending_from_summary(all_summary)
     sections = [
         _map_section(fin.spending_by_category(cur), "category", "total", "SpendingByCategory"),
-        _array_section(
-            fin.flag_risky(cur, scalars),
-            [
-                "transaction_id", "amount", "average_amount", "location",
-                "risk_level", "home_country", "category", "vendor", "date",
-            ],
-            "FlaggedTransactions",
-        ),
-        _array_section(
-            fin.high_value(cur, scalars),
-            ["transaction_id", "amount", "vendor", "category", "date", "location"],
-            "HighValueTransaction",
-        ),
+        _risk_sections(cur, scalars),
         _map_section(
             fin.recurring_ytd_from_summary(all_summary, statement_year),
             "vendor", "total", "RecurringTransactionsYearToDate",
@@ -216,19 +233,7 @@ def assemble_reports_by_month(cur: DataFrame, hist_summary: DataFrame) -> DataFr
             fin.spending_by_category(cur, extra_keys=("year_month",)),
             "category", "total", "SpendingByCategory", keys=key,
         ),
-        _array_section(
-            fin.flag_risky(cur, scalars, keep_cols=("year_month",)),
-            [
-                "transaction_id", "amount", "average_amount", "location",
-                "risk_level", "home_country", "category", "vendor", "date",
-            ],
-            "FlaggedTransactions", keys=key,
-        ),
-        _array_section(
-            fin.high_value(cur, scalars, keep_cols=("year_month",)),
-            ["transaction_id", "amount", "vendor", "category", "date", "location"],
-            "HighValueTransaction", keys=key,
-        ),
+        _risk_sections(cur, scalars, keys=key),
         _map_section(rec, "vendor", "total", "RecurringTransactionsYearToDate", keys=key),
         _map_section(monthly, "month", "total", "MonthlySpending", keys=key),
         fin.classify_trend(monthly, keys=key, month_col="month").select(
