@@ -182,12 +182,30 @@ def q15_report_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     Even with six sections branching the view, caching measured SLOWER here
     (9.7s vs 6.3s at sf0.1): the sections prune to different column subsets,
     and a cache forces one full-width materialization that defeats per-branch
-    pruning + exchange reuse. Kept uncached."""
+    pruning + exchange reuse. Kept uncached; instead each section's branch is
+    JOIN-pruned via the ``pruned`` factory (a monthly-totals branch joins
+    orders only, never part/supplier/nation — Catalyst prunes columns but
+    can't eliminate FK joins itself)."""
     from . import report as rpt
 
     txns, cur, hist = _base(spark, sf_dir)
     year = tv.statement_scalars(txns)["statement_year"]
-    return rpt.canonical_report(rpt.assemble_report(cur, hist, year))
+    return rpt.canonical_report(
+        rpt.assemble_report(cur, hist, year, pruned=_pruned_factory(spark, sf_dir))
+    )
+
+
+def _pruned_factory(spark: SparkSession, sf_dir: str):
+    """cols → (cur, hist) with the transactions view built join-pruned to
+    exactly those columns (see transactions(): key-preserving FK joins make
+    this value-identical). Each call creates independent branches; the
+    latest-month scalar inside the split is a lineitem-only subplan."""
+
+    def get(cols: tuple[str, ...]):
+        _, c, h = _base(spark, sf_dir, tuple(cols))
+        return c, h
+
+    return get
 
 
 def q16_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +218,9 @@ def q16_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     txns, cur, hist = _base(spark, sf_dir)
     year = tv.statement_scalars(txns)["statement_year"]
-    return rpt.canonical_report_json(rpt.assemble_report(cur, hist, year))
+    return rpt.canonical_report_json(
+        rpt.assemble_report(cur, hist, year, pruned=_pruned_factory(spark, sf_dir))
+    )
 
 
 def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,7 +83,7 @@ def _risk_sections(
     )
 
 
-def assemble_report(cur: DataFrame, hist: DataFrame, statement_year) -> DataFrame:
+def assemble_report(cur: DataFrame, hist: DataFrame, statement_year, pruned=None) -> DataFrame:
     """One nested report row per user for the statement month
     (docker/lambda_function.py:511-521):
 
@@ -94,19 +94,38 @@ def assemble_report(cur: DataFrame, hist: DataFrame, statement_year) -> DataFram
     ``cur``/``hist`` are flat transaction frames (current statement month /
     everything earlier). The per-user scalar frame is computed once and feeds
     both the flagging and high-value joins.
+
+    ``pruned`` (optional): ``cols → (cur, hist)`` factory returning frames
+    carrying ONLY those columns. Because every report section recomputes its
+    branch of the plan (caching measured slower — see q15), a section's
+    branch pays for every FK join its source frame was built with; Catalyst
+    prunes scan COLUMNS per branch but cannot eliminate the JOINS (it
+    doesn't know the FK constraints). With the factory, each section's
+    branch joins only the dimensions it actually reads — against the
+    testdata view this cut q15 from 105 table scans to ~half. Callers whose
+    frames are already join-free (the statement pipeline) omit it.
     """
-    scalars = fin.user_scalars(hist)
+    get = pruned if pruned is not None else (lambda cols: (cur, hist))
+    scalars = fin.user_scalars(get(("user_id", "amount", "country"))[1])
     # computed once, consumed by both the map section and the trend — same
     # logical subtree, one aggregation
-    monthly = fin.monthly_spending(cur.unionByName(hist))
+    c_m, h_m = get(("user_id", "amount", "date"))
+    monthly = fin.monthly_spending(c_m.unionByName(h_m))
+    c_r, h_r = get(("user_id", "vendor", "amount", "date", "recurring"))
     sections = [
-        _map_section(fin.spending_by_category(cur), "category", "total", "SpendingByCategory"),
+        _map_section(
+            fin.spending_by_category(get(("user_id", "category", "amount"))[0]),
+            "category", "total", "SpendingByCategory",
+        ),
         # flagged + high-value come from ONE shared scan+join+agg (they are
         # two predicates over the same cur⋈scalars frame — building them via
         # flag_risky/high_value separately recomputes the view twice)
-        _risk_sections(cur, scalars),
+        _risk_sections(
+            get(("user_id", "id", "date", "vendor", "category", "amount", "country"))[0],
+            scalars,
+        ),
         _map_section(
-            fin.recurring_ytd(cur.unionByName(hist), statement_year),
+            fin.recurring_ytd(c_r.unionByName(h_r), statement_year),
             "vendor", "total", "RecurringTransactionsYearToDate",
         ),
         _map_section(monthly, "year_month", "total", "MonthlySpending"),
@@ -114,7 +133,7 @@ def assemble_report(cur: DataFrame, hist: DataFrame, statement_year) -> DataFram
     ]
     # All users that appear in the current statement get a report (the
     # reference iterates current-statement groups, docker/lambda_function.py:495).
-    doc = cur.select("user_id").distinct()
+    doc = get(("user_id",))[0].select("user_id").distinct()
     for s in sections:
         doc = doc.join(s, "user_id", "left")
     return doc.select(

@@ -112,6 +112,10 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # the dedup/near-dup entries cache internal frames (shingle tables,
+        # LSH signatures); drop them so later entries aren't timed under
+        # another query's memory pressure
+        spark.catalog.clearCache()
 
     times["q15_report_from_summary"] = _bench_q15_from_summary(spark, sf_dir)
 

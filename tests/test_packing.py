@@ -54,6 +54,28 @@ def test_pack_respects_budget_bound_and_contiguity(spark):
     assert sum(totals.values()) == 100 + 80 + 60 + 120 + 40 + 90
 
 
+def test_chunk_pack_on_documents_table(spark):
+    """End-to-end over the real documents table: chunk to ≤64-token windows,
+    pack into 256-token bins — the prepare-for-pretraining shape. Asserts
+    lossless token accounting and the packing bound on real data."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_tokens_total = docs.select(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("n")
+    ).collect()[0]["n"]
+    chunks = pk.chunk_tokens(docs, window=64)
+    assert chunks.filter(F.col("n_tokens") > 64).count() == 0
+    packed = pk.pack_chunks(chunks, budget=256)
+    agg = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n")
+    ).collect()
+    assert sum(r["total"] for r in agg) == n_tokens_total  # lossless
+    # every chunk ≤ 64 → bins overflow 256 by < 64
+    assert all(r["total"] < 256 + 64 for r in agg)
+    # packing actually packs: average fill ≥ 75% of budget
+    fills = [r["total"] for r in agg]
+    assert sum(fills) / len(fills) >= 0.75 * 256
+
+
 def test_pack_is_partition_invariant_and_deterministic(spark):
     rows = [(d, " ".join("x" for _ in range(d * 7 % 50 + 1))) for d in range(1, 40)]
     chunks = pk.chunk_tokens(_docs(spark, rows), window=16)

@@ -81,6 +81,21 @@ def test_x22_interval_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_q15_report_sections_are_join_pruned(spark):
+    """The 6-section report recomputes the view per branch BY DESIGN (caching
+    measured slower), so each branch must be JOIN-pruned to the dimensions
+    its section reads: unpruned, q15 planned 21 branches × all 5 tables =
+    105 scans; with the pruned factory + risk-section fusion it plans 59
+    (part only where vendor is read, supplier/nation only where country is).
+    Locally AQE broadcasts everything so wall time is flat — at scale the
+    eliminated scans/joins are the difference. Pin the shape so a lost
+    factory or un-fused section fails CI."""
+    plan = _plan(spark, "q15_report_document")
+    assert plan.count("Scan parquet") <= 70, "q15 branch join-pruning lost"
+    assert plan.count("part.parquet") <= 9, "part joined into a section that reads no vendor"
+    assert plan.count("nation.parquet") <= 7, "nation joined into a section that reads no country"
+
+
 def test_x38_global_topk_uses_bounded_heap_not_full_sort(spark):
     # x38 left the driver registry in round 2 (50-slot budget; see
     # ext_queries) but the operator and its plan-shape guarantee remain
