@@ -192,6 +192,40 @@ def minhash_dedup(
     )
 
 
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Train/test decontamination: (train_id, test_id, jaccard) pairs whose
+    shingle Jaccard ≥ threshold — the benchmark-leakage check every
+    pretraining pipeline runs before training.
+
+    Pure composition of the scale-path dedup: the two corpora union under a
+    disjoint id space (test ids offset by max(train id)+1 — one metadata-cheap
+    scalar read), run through minhash_dedup (LSH candidates → exact verify,
+    never quadratic), and only CROSS-corpus pairs survive. Within-corpus
+    duplicates are deliberately excluded — they're x39's job.
+    """
+    row = train.agg(F.max(F.col(id_col)).alias("m")).first()
+    off = int(row["m"]) + 1 if row["m"] is not None else 1
+    test_shift = test.withColumn(id_col, F.col(id_col) + F.lit(off))
+    union = train.select(id_col, text_col).unionByName(test_shift.select(id_col, text_col))
+    pairs = minhash_dedup(union, text_col, id_col, threshold, num_hashes, band_size, n)
+    # doc_a < doc_b always; train ids < off ≤ shifted test ids
+    cross = pairs.filter((F.col("doc_a") < off) & (F.col("doc_b") >= off))
+    return cross.select(
+        F.col("doc_a").alias("train_id"),
+        (F.col("doc_b") - F.lit(off)).alias("test_id"),
+        "jaccard",
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over distinct whitespace tokens.
 

@@ -185,9 +185,19 @@ def text_profile(
     pred = pred.otherwise(F.lit(langs[-1]))
     lower = F.lower(F.col(text_col))
     shingled = docs.withColumn("_sh", shingles_expr(tok, n=shingle_n))
+    # repetition signal (Gopher/CCNet-style quality rule): fraction of
+    # DUPLICATE n-gram shingles — shingles_expr is distinct, so dup ratio =
+    # 1 − |distinct| / |total positions|
+    n_sh_total = F.greatest(n_tok - shingle_n + 1, F.lit(0))
+    dup_ratio = F.when(
+        n_sh_total > 0, F.round(F.lit(1.0) - F.size("_sh") / n_sh_total, 4)
+    ).otherwise(F.lit(0.0))
+    lang_actual = (
+        F.col("lang") if "lang" in docs.columns else F.lit(None).cast("string")
+    )
     return shingled.select(
         id_col,
-        F.col("lang").alias("lang_actual"),
+        lang_actual.alias("lang_actual"),
         F.length(text_col).alias("n_chars"),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
@@ -201,6 +211,8 @@ def text_profile(
         F.regexp_count(lower, F.lit(BPE_REGEX)).alias("bpe_tokens"),
         F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(s))).alias("fingerprint"),
         F.size("_sh").alias("n_shingles"),
+        n_sh_total.alias("n_shingles_total"),
+        dup_ratio.alias("dup_shingle_ratio"),
     )
 
 

@@ -311,7 +311,11 @@ EXT_ORACLES: dict[str, str] = {
            CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS BIGINT) AS bpe_tokens,
            fp.fingerprint,
-           coalesce(fp.n_shingles, 0) AS n_shingles
+           coalesce(fp.n_shingles, 0) AS n_shingles,
+           CAST(greatest(len(tok) - 2, 0) AS BIGINT) AS n_shingles_total,
+           CASE WHEN len(tok) - 2 > 0
+                THEN round(1.0 - coalesce(fp.n_shingles, 0) / (len(tok) - 2), 4)
+                ELSE 0.0 END AS dup_shingle_ratio
     FROM sc LEFT JOIN fp USING (doc_id)
     """,
     # ranking is on the 6dp-ROUNDED score (see text.tfidf_top_terms: equal

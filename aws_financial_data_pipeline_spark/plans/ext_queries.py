@@ -122,7 +122,8 @@ def x10_text_profile(spark, sf_dir):
     shuffle."""
     out = text.text_profile(_docs(spark, sf_dir))
     longs = ["n_chars", "n_tokens", "n_distinct_tokens", "ws_tokens", "bpe_tokens",
-             "n_shingles", *[c for c in out.columns if c.startswith("score_")]]
+             "n_shingles", "n_shingles_total",
+             *[c for c in out.columns if c.startswith("score_")]]
     return _long(out, *longs)
 
 

@@ -110,3 +110,41 @@ def test_token_counts(spark):
     assert r["ws_tokens"] == 3
     # bpe-ish: hello | world | 42 | foo | - | bar
     assert r["bpe_tokens"] == 6
+
+
+def test_cross_corpus_contamination(spark):
+    """Decontamination: a test docnear-identical to a train doc is caught with
+    its Jaccard; clean pairs and WITHIN-corpus duplicates are not reported."""
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # within-train dup
+        (3, "completely unrelated training text about databases and joins"),
+    ])
+    test = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog today"),  # near-dup of train 1/2
+        (2, "novel held-out evaluation sentence with fresh tokens entirely"),
+    ])
+    got = rows_by_key(
+        dedup.cross_corpus_contamination(train, test, threshold=0.5),
+        "train_id", "test_id",
+    )
+    assert set(got) == {(1, 1), (2, 1)}  # both train copies flag test doc 1
+    assert 0.5 <= got[(1, 1)]["jaccard"] < 1.0
+    # disjoint corpora → empty
+    clean = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    assert dedup.cross_corpus_contamination(train, clean, threshold=0.5).count() == 0
+
+
+def test_text_profile_repetition_ratio(spark):
+    """dup_shingle_ratio: a doc that is one phrase repeated has mostly
+    duplicate 3-gram shingles; a non-repetitive doc has ratio 0."""
+    rep = " ".join(["spam ham eggs"] * 10)       # 30 tokens, few distinct shingles
+    uniq = " ".join(f"w{i}" for i in range(30))  # all shingles distinct
+    prof = rows_by_key(text.text_profile(_docs(spark, [(1, rep), (2, uniq)])), "doc_id")
+    r, u = prof[(1,)], prof[(2,)]
+    assert r["n_shingles_total"] == 28 and u["n_shingles_total"] == 28
+    assert u["dup_shingle_ratio"] == 0.0
+    assert r["dup_shingle_ratio"] > 0.8  # 3 distinct shingles out of 28 positions
+    # short doc: no shingle positions → ratio 0, not NULL/NaN
+    short = rows_by_key(text.text_profile(_docs(spark, [(3, "a b")])), "doc_id")
+    assert short[(3,)]["dup_shingle_ratio"] == 0.0 and short[(3,)]["n_shingles_total"] == 0
