@@ -76,3 +76,38 @@ def test_flagged_are_exactly_the_abroad_rows_when_no_history(spark, rows):
     flagged = fin.flag_risky(cur, fin.user_scalars(hist))
     assert flagged.count() == cur.count()
     assert {r["risk_level"] for r in flagged.collect()} == {"High Risk"}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_connected_components_match_union_find_on_random_graphs(spark, edges):
+    """min-label propagation + pointer doubling == a sequential union-find on
+    arbitrary random graphs (NOTES.md candidate; the example-based parity
+    lives in test_graph.py — this samples the input space)."""
+    from aws_financial_data_pipeline_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
