@@ -177,7 +177,7 @@ def x19_stream_tumbling(spark, sf_dir):
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     out = tumbling_stream(stream, "1 hour", watermark="365 days")
     q = (
         out.writeStream.format("memory")
@@ -293,7 +293,7 @@ def x25_stream_stream_join(spark, sf_dir):
             .parquet(sf_dir)
         )
         if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return s.filter(F.col("event_type") == event_type).select("user_id", "event_id", "ts")
 
     out = stream_stream_interval_join(side("click"), side("view"))
@@ -324,7 +324,7 @@ def x30_stream_sessions(spark, sf_dir):
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     out = session_stream(stream, gap="30 minutes", watermark="365 days")
     q = (
         out.writeStream.format("memory")
