@@ -71,3 +71,28 @@ def test_cm_heavy_hitters_plan_is_bounded_heap(spark):
     df = _skewed(spark)
     plan = cm.cm_heavy_hitters(df, "k", k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # never a full global sort
+
+
+def test_cm_incremental_streaming_maintenance(spark, tmp_path):
+    """The sketch's additivity under a REAL micro-batch stream: each batch's
+    partial sketch merges into a running store (foreachBatch), and after an
+    availableNow replay the accumulated sketch equals the one-shot batch
+    sketch — the unbounded-corpus maintenance pattern (same contract as the
+    history summary table)."""
+    df = _skewed(spark)
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)  # several files → several batches
+
+    acc: dict[tuple[int, int], int] = {}
+
+    def merge_batch(batch, _bid):
+        for r in cm.cm_build(batch, "k").collect():  # ≤ depth×width rows
+            key = (r["row"], r["bucket"])
+            acc[key] = acc.get(key, 0) + r["cnt"]
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    direct = {(r["row"], r["bucket"]): r["cnt"] for r in cm.cm_build(df, "k").collect()}
+    assert acc == direct
