@@ -192,6 +192,78 @@ def minhash_dedup(
     )
 
 
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Dedup an incoming batch against an EXISTING corpus without
+    re-processing the corpus: the production shape at 100 TB, where the
+    (doc_id, band_id, band_key) signature table is maintained as a store
+    (exactly like the history summary) and each ingest batch only
+
+    1. computes signatures for ITS OWN rows (O(|batch|)),
+    2. equi-joins them against the stored signatures on (band_id, band_key)
+       — at scale the store is partitioned/bucketed by band key, so this is
+       a co-located join that touches only colliding buckets,
+    3. exact-verifies the candidate pairs by reading JUST those corpus docs
+       (a semi-join by id — partition-pruned point reads in a real store).
+
+    Returns (corpus_id, new_id, jaccard) with jaccard ≥ threshold. Ids may
+    overlap between the two frames (they are different id spaces); pairs are
+    keyed by side, not by id ordering. Within-batch duplicates are NOT
+    reported — run :func:`minhash_dedup` on the batch for those. After the
+    batch is accepted, append its signatures to the store (the signature
+    table is additive, like every other maintained table in this engine).
+    """
+    new_sig = minhash_signatures(new_docs, text_col, id_col, num_hashes, band_size, n)
+    cand = (
+        corpus_signatures.withColumnsRenamed({"doc_id": "corpus_id"})
+        .join(
+            new_sig.withColumnsRenamed({"doc_id": "new_id"}),
+            ["band_id", "band_key"],
+        )
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    # verify with exact Jaccard over shingles of ONLY the implicated docs
+    corpus_needed = corpus_docs.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sh_c = _shingle_table(corpus_needed, text_col, id_col, n).cache()
+    sh_n = _shingle_table(new_docs, text_col, id_col, n).cache()
+    sh_c2 = sh_c.select(F.col("doc_id").alias("_cid"), F.col("s").alias("_sc"))
+    sh_n2 = sh_n.select(F.col("doc_id").alias("_nid"), F.col("s").alias("_sn"))
+    inter = (
+        cand.join(sh_c2, F.col("corpus_id") == F.col("_cid"))
+        .join(sh_n2, (F.col("new_id") == F.col("_nid")) & (F.col("_sc") == F.col("_sn")))
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes_c = sh_c.groupBy("doc_id").agg(F.count("*").alias("nc")).select(
+        F.col("doc_id").alias("corpus_id"), "nc"
+    )
+    sizes_n = sh_n.groupBy("doc_id").agg(F.count("*").alias("nn")).select(
+        F.col("doc_id").alias("new_id"), "nn"
+    )
+    return (
+        inter.join(sizes_c, "corpus_id")
+        .join(sizes_n, "new_id")
+        .select(
+            "corpus_id",
+            "new_id",
+            F.round(F.col("inter") / (F.col("nc") + F.col("nn") - F.col("inter")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     test: DataFrame,

@@ -148,3 +148,37 @@ def test_text_profile_repetition_ratio(spark):
     # short doc: no shingle positions → ratio 0, not NULL/NaN
     short = rows_by_key(text.text_profile(_docs(spark, [(3, "a b")])), "doc_id")
     assert short[(3,)]["dup_shingle_ratio"] == 0.0 and short[(3,)]["n_shingles_total"] == 0
+
+
+def test_incremental_minhash_dedup_against_signature_store(spark, tmp_path):
+    """Batch-vs-corpus dedup through a persisted signature store: the corpus
+    is signed ONCE, the store is written to parquet, and a later batch is
+    checked against it — detecting a near-dup of a stored doc (with the same
+    jaccard the full recompute finds) while a fresh doc passes clean.
+    The store then extends additively with the batch's signatures."""
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely unrelated corpus text about databases and joins"),
+    ])
+    store = str(tmp_path / "sigs")
+    dedup.minhash_signatures(corpus).write.parquet(store)
+
+    batch = _docs(spark, [
+        (101, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+        (102, "novel incoming document with entirely fresh tokens here"),
+    ])
+    sigs = spark.read.parquet(store)
+    got = rows_by_key(
+        dedup.incremental_minhash_dedup(batch, corpus, sigs, threshold=0.5),
+        "corpus_id", "new_id",
+    )
+    assert set(got) == {(1, 101)}
+    # jaccard equals the full-recompute value for the same pair
+    full = rows_by_key(
+        dedup.minhash_dedup(corpus.unionByName(batch), threshold=0.5), "doc_a", "doc_b"
+    )
+    assert got[(1, 101)]["jaccard"] == full[(1, 101)]["jaccard"]
+    # the store grows additively with the accepted batch
+    dedup.minhash_signatures(batch).write.mode("append").parquet(store)
+    grown = spark.read.parquet(store)
+    assert grown.select("doc_id").distinct().count() == 4
