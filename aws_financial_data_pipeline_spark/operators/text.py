@@ -261,6 +261,35 @@ def tfidf_top_terms(
     )
 
 
+# PII scrubbing patterns, applied IN ORDER (each pattern sees the previous
+# replacements, so e.g. an SSN is consumed before the looser phone pattern
+# can eat it). Pure-regex heuristics — the standard pre-training scrub; a
+# production pipeline layers model-based NER on top for recall.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"(?<![\w.])\+?\d[\d().-]{6,}\d(?![\w.])"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub PII-shaped spans: each pattern is counted then replaced with a
+    typed placeholder (``<PII:email>`` …), sequentially so later patterns
+    never re-match earlier replacements. Map-only Catalyst regexps (JVM
+    codegen — no Python in the loop); counts ride along per kind so a
+    pipeline can audit/threshold what it scrubbed (docs dropping too much
+    are usually boilerplate/spam)."""
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, f"<PII:{kind}>")
+    return docs.select(id_col, cur.alias("text_redacted"), *counts)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """Document fingerprint: minimum md5 over word n-gram shingles (a
     winnowing-style min-hash selection with the hash as the rolling window).

@@ -1,0 +1,82 @@
+"""Streaming incremental deduplication against a maintained signature store.
+
+The unbounded-corpus form of x39: documents arrive in micro-batches; each
+batch is deduped (a) within itself and (b) against everything already
+accepted, WITHOUT re-processing the corpus — the batch signs only its own
+rows and joins the persisted (doc_id, band_id, band_key) signature table
+(operators.dedup.incremental_minhash_dedup). Accepted rows then append their
+signatures + docs to the stores, so the state grows additively exactly like
+the history summary table.
+
+Invariant (tested): a full availableNow replay reports THE SAME duplicate
+pairs, with the same Jaccard values, as running the batch operator
+(minhash_dedup) over the whole corpus at once — batching must not change
+the dedup decision.
+
+At cluster scale the signature store is partitioned/bucketed by band key
+(co-located store join) and the docs store by doc_id (partition-pruned
+verify reads); checkpointing the stream gives exactly-once appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    sig_store: str,
+    doc_store: str,
+    pairs_out: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_files_per_trigger: int = 1,
+    path_glob: str | None = None,
+):
+    """Drain ``src_dir`` with an availableNow file stream, emitting duplicate
+    pairs (doc_a < doc_b, jaccard) to ``pairs_out`` and growing the signature
+    + document stores. Returns after the replay completes."""
+
+    def process(batch: DataFrame, _bid: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # reused across several jobs
+        within = dedup.minhash_dedup(batch, text_col, id_col, threshold)
+        try:
+            sigs = spark.read.parquet(sig_store)
+            corpus = spark.read.parquet(doc_store)
+            cross = dedup.incremental_minhash_dedup(
+                batch, corpus, sigs, text_col, id_col, threshold
+            ).select(
+                # normalize side-keyed pairs to the (min, max) convention so
+                # the replay compares 1:1 with the batch operator
+                F.least("corpus_id", "new_id").alias("doc_a"),
+                F.greatest("corpus_id", "new_id").alias("doc_b"),
+                "jaccard",
+            )
+            pairs = within.unionByName(cross)
+        except Exception as e:  # first batch: stores don't exist yet
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            pairs = within
+        pairs.write.mode("append").parquet(pairs_out)
+        dedup.minhash_signatures(batch, text_col, id_col).write.mode("append").parquet(sig_store)
+        batch.select(id_col, text_col).write.mode("append").parquet(doc_store)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if path_glob:
+        stream = stream.option("pathGlobFilter", path_glob)
+    q = (
+        stream.parquet(src_dir)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_out)

@@ -182,3 +182,51 @@ def test_incremental_minhash_dedup_against_signature_store(spark, tmp_path):
     dedup.minhash_signatures(batch).write.mode("append").parquet(store)
     grown = spark.read.parquet(store)
     assert grown.select("doc_id").distinct().count() == 4
+
+
+def test_redact_pii(spark):
+    docs = _docs(spark, [
+        (1, "contact jane.doe@example.com or +1 (555) 123-4567 at 192.168.0.1"),
+        (2, "ssn 123-45-6789 hides from the phone pattern"),
+        (3, "clean text with no identifiers at all"),
+    ])
+    got = rows_by_key(text.redact_pii(docs), "doc_id")
+    r1 = got[(1,)]
+    assert "<PII:email>" in r1["text_redacted"] and "jane" not in r1["text_redacted"]
+    assert "<PII:ipv4>" in r1["text_redacted"]
+    assert r1["n_email"] == 1 and r1["n_ipv4"] == 1 and r1["n_phone"] >= 1
+    r2 = got[(2,)]
+    # ordered patterns: the SSN placeholder, never the looser phone match
+    assert "<PII:ssn>" in r2["text_redacted"] and r2["n_ssn"] == 1 and r2["n_phone"] == 0
+    r3 = got[(3,)]
+    assert r3["text_redacted"] == "clean text with no identifiers at all"
+    assert r3["n_email"] == r3["n_ssn"] == r3["n_ipv4"] == r3["n_phone"] == 0
+
+
+def test_streaming_incremental_dedup_replay_equals_batch(spark, tmp_path):
+    """Micro-batched incremental dedup (sign batch → join signature store →
+    verify → append stores) must report EXACTLY the pairs the one-shot batch
+    operator finds on the full corpus, same jaccard values — batching must
+    not change the dedup decision. Runs on the real documents table split
+    across several files."""
+    from aws_financial_data_pipeline_spark.streaming.dedup import run_incremental_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)  # 3 files → 3 micro-batches
+
+    got = run_incremental_dedup(
+        spark, src, docs.schema,
+        sig_store=str(tmp_path / "sigs"),
+        doc_store=str(tmp_path / "docs"),
+        pairs_out=str(tmp_path / "pairs"),
+        threshold=0.7,
+    )
+    streamed = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got.collect()}
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup(docs, threshold=0.7).collect()
+    }
+    assert streamed == batch and len(batch) > 0
