@@ -44,6 +44,31 @@ def split_assign(
     return out.withColumn("split", expr)
 
 
+def quota_sample_flag(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    quota: int,
+    quotas: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum QUOTA sampling (domain/language balancing):
+    flag at most ``quota`` rows per stratum (``quotas`` overrides per value),
+    chosen by md5(id) order — reproducible, partition-independent, and stable
+    under re-runs (a kept row stays kept when new rows arrive only if it
+    still wins the hash order; for append-only stability, pin quotas per
+    ingest window). One window per stratum partition; heavy strata cost a
+    shuffle keyed by the stratum — salt upstream if one stratum dominates."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
+    rn = F.row_number().over(w)
+    limit = F.lit(quota)
+    for value, q in (quotas or {}).items():
+        limit = F.when(F.col(stratum_col) == value, F.lit(q)).otherwise(limit)
+    return df.withColumn("in_quota", rn <= limit)
+
+
 def stratified_sample_flag(
     df: DataFrame,
     id_col: str,

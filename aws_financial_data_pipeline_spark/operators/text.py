@@ -261,6 +261,66 @@ def tfidf_top_terms(
     )
 
 
+def gopher_quality_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The classic Gopher/MassiveText repetition-and-shape document filters
+    (Rae et al. 2021, public method) as one map-only projection: each rule is
+    a boolean flag plus the measured value, and ``keep`` is their
+    conjunction. Flags (not a filter) so pipelines can audit per-rule drop
+    rates before committing thresholds:
+
+    - word count in [50, 100_000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# or …) ≤ 0.1
+    - fraction of lines starting with a bullet ≤ 0.9
+    - fraction of lines ending with an ellipsis ≤ 0.3
+    - ≥ 80% of words contain at least one alphabetic character
+    - contains ≥ 2 distinct common-English stopwords
+    """
+    docs = with_tokens(docs, text_col)
+    tok = F.col("_tok")
+    n_words = F.size(tok)
+    mean_wl = F.aggregate(
+        tok, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / n_words
+    sym_ratio = (
+        F.regexp_count(F.col(text_col), F.lit(r"[#]|\.\.\.|…")) / n_words
+    )
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines
+    ellipsis_frac = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    alpha_frac = F.size(F.filter(tok, lambda t: t.rlike("[A-Za-z]"))) / n_words
+    n_stop = F.size(
+        F.array_distinct(F.filter(tok, _isin(LANG_STOPWORDS["en"])))
+    )
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "ok_symbol_ratio": sym_ratio <= 0.1,
+        "ok_bullet_lines": bullet_frac <= 0.9,
+        "ok_ellipsis_lines": ellipsis_frac <= 0.3,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stopwords": n_stop >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        n_stop.alias("n_distinct_stopwords"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 # PII scrubbing patterns, applied IN ORDER (each pattern sees the previous
 # replacements, so e.g. an SSN is consumed before the looser phone pattern
 # can eat it). Pure-regex heuristics — the standard pre-training scrub; a

@@ -230,3 +230,42 @@ def test_streaming_incremental_dedup_replay_equals_batch(spark, tmp_path):
         for r in dedup.minhash_dedup(docs, threshold=0.7).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_gopher_quality_flags(spark):
+    good = " ".join(
+        "the quick brown fox and a dog of unusual size went to town".split() * 6
+    )  # 72 words, normal shape
+    short = "tiny doc"
+    symbols = " ".join(["woord### ..."] * 60)
+    bullets = "\n".join(["- item one of the list"] * 10)
+    numbers = " ".join(["12345"] * 60) + " the of and to in is a"
+    docs = _docs(spark, [(1, good), (2, short), (3, symbols), (4, bullets), (5, numbers)])
+    got = rows_by_key(text.gopher_quality_flags(docs), "doc_id")
+    assert got[(1,)]["keep"] is True
+    assert got[(2,)]["keep"] is False and got[(2,)]["ok_word_count"] is False
+    assert got[(3,)]["ok_symbol_ratio"] is False
+    assert got[(4,)]["ok_bullet_lines"] is False
+    assert got[(5,)]["ok_alpha_words"] is False
+    # flags are audit-complete: measured values ride along
+    assert got[(1,)]["n_words"] == 78 and got[(1,)]["n_distinct_stopwords"] >= 2
+
+
+def test_quota_sample_flag(spark):
+    from aws_financial_data_pipeline_spark.operators import sampling
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.quota_sample_flag(df, "doc_id", "lang", quota=5, quotas={"en": 10})
+    kept = out.filter("in_quota").groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert by_lang == {"en": 10, "fr": 5}
+    # deterministic + partition-invariant
+    a = {r["doc_id"] for r in out.filter("in_quota").collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.quota_sample_flag(
+            df.repartition(13), "doc_id", "lang", quota=5, quotas={"en": 10}
+        ).filter("in_quota").collect()
+    }
+    assert a == b
