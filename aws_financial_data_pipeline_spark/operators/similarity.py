@@ -316,6 +316,38 @@ def _scored_pairs(
     return pairs.select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
 
 
+def cluster_embeddings(
+    emb: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Corpus clustering over the embedding column via Spark MLlib KMeans
+    (distributed Lloyd's with k-means|| init — the built-in, battle-tested
+    path; no hand-rolled iteration). Returns (id, cluster).
+
+    Curation use: cluster → per-cluster quota sampling
+    (operators.sampling.quota_sample_flag) is the standard diversity-
+    balancing recipe — cap each semantic neighborhood instead of sampling
+    the raw corpus, so dominant content types can't crowd the mixture.
+
+    Unlike the ANN/near-dup operators this is APPROXIMATE AND SEED-DEPENDENT
+    (iterative float averaging is not oracle-reproducible across engines —
+    NOTES.md), so it is pytest-gated on cluster-recovery quality, not
+    hash-gated. Train cost is O(iters · N · k · d) map-side with tiny
+    reduces; inference is a broadcast-model projection."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return model.transform(feats).select(id_col, F.col("prediction").alias("cluster"))
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.35,

@@ -179,3 +179,34 @@ def test_multimodal_feature_extraction(spark):
     assert r["digest"] == hashlib.md5(payload).hexdigest()
     assert r["feature_mean"] == pytest.approx(sum(payload) / 3, abs=1e-4)
     assert r["media_type"] == "text/plain"
+
+
+def test_cluster_embeddings_recovers_separated_clusters(spark):
+    """Three well-separated groups must come back as three pure clusters,
+    and the composition with quota sampling must cap each cluster."""
+    import random
+
+    from aws_financial_data_pipeline_spark.operators import sampling
+
+    rng = random.Random(5)
+    rows = []
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sim.cluster_embeddings(emb, k=3)
+    rows_out = got.collect()
+    # purity: every true group maps to exactly one predicted cluster
+    by_group = {}
+    for r in rows_out:
+        by_group.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in by_group.values())
+    assert len({next(iter(s)) for s in by_group.values()}) == 3
+    # determinism under the fixed seed
+    again = {(r["vec_id"], r["cluster"]) for r in sim.cluster_embeddings(emb, k=3).collect()}
+    assert again == {(r["vec_id"], r["cluster"]) for r in rows_out}
+    # diversity-balancing composition: ≤10 kept per semantic cluster
+    balanced = sampling.quota_sample_flag(got, "vec_id", "cluster", quota=10)
+    kept = balanced.filter("in_quota").groupBy("cluster").count().collect()
+    assert all(r["count"] == 10 for r in kept)
