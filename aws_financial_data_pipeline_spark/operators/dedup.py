@@ -112,8 +112,9 @@ def minhash_signatures(
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Banded MinHash signatures: (doc_id, band_id, band_key).
+    """Banded MinHash signatures: (doc_id, [carry_cols...,] band_id, band_key).
 
     Hash family h_i(s) = md5(i ‖ ':' ‖ s); the min is taken lexicographically
     over hex digests (portable across engines). band_key = md5 of the band's
@@ -121,6 +122,8 @@ def minhash_signatures(
 
     Docs with fewer than ``n`` tokens have no shingles and drop out (they can
     only be exact-duplicates; handled by :func:`exact_duplicates`).
+    ``carry_cols`` ride through unchanged — e.g. a shard key for
+    :func:`sharded_minhash_dedup`.
     """
     # Filter short docs on the TOKEN count, before shingling: a filter on
     # size(_sh) after the projection makes Catalyst inline the shingle
@@ -128,7 +131,11 @@ def minhash_signatures(
     shingled = (
         with_tokens(docs, text_col)
         .filter(F.size("_tok") >= n)
-        .select(F.col(id_col).alias("doc_id"), shingles_expr(F.col("_tok"), n=n).alias("_sh"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            *carry_cols,
+            shingles_expr(F.col("_tok"), n=n).alias("_sh"),
+        )
     )
 
     def mh(i: int):
@@ -139,7 +146,7 @@ def minhash_signatures(
             F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
         ).alias(f"_mh{i}")
 
-    sigs = shingled.select("doc_id", *[mh(i) for i in range(num_hashes)])
+    sigs = shingled.select("doc_id", *carry_cols, *[mh(i) for i in range(num_hashes)])
     n_bands = num_hashes // band_size
     band_cols = [
         F.md5(
@@ -147,29 +154,64 @@ def minhash_signatures(
         ).alias(f"_band{b}")
         for b in range(n_bands)
     ]
-    wide = sigs.select("doc_id", *band_cols)
-    # unpivot to (doc_id, band_id, band_key)
+    wide = sigs.select("doc_id", *carry_cols, *band_cols)
+    # unpivot to (doc_id, [carry...], band_id, band_key)
     stack = ", ".join(f"{b}, _band{b}" for b in range(n_bands))
-    return wide.selectExpr("doc_id", f"stack({n_bands}, {stack}) AS (band_id, band_key)")
+    return wide.selectExpr(
+        "doc_id", *carry_cols, f"stack({n_bands}, {stack}) AS (band_id, band_key)"
+    )
 
 
-def minhash_candidates(signatures: DataFrame) -> DataFrame:
+def minhash_candidates(
+    signatures: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
     """LSH candidate pairs: docs sharing any (band_id, band_key) bucket.
     This is the near-linear scale path — a groupBy on the band key, never a
-    full cross join."""
+    full cross join. ``extra_keys`` join additionally (shard-restricted
+    candidates — see :func:`sharded_minhash_dedup`)."""
     signatures = signatures.cache()  # both sides of the self-join
     a = signatures.alias("a")
     b = signatures.alias("b")
+    cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for k in extra_keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def sharded_minhash_dedup(
+    docs: DataFrame,
+    shard_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Two-level dedup for EXTREME corpus sizes: candidates are restricted to
+    pairs in the same shard (language, domain, embedding cluster, date
+    range…), so the band join's bucket loads are bounded by the largest
+    shard instead of the whole corpus — the shard key simply joins alongside
+    the band key, no separate per-shard jobs.
+
+    DOCUMENTED TRADEOFF: near-duplicates that STRADDLE shards are missed by
+    construction (asserted in tests) — choose a shard key that near-dups
+    share (near-identical docs share language, embedding cluster, usually
+    domain). For exhaustive cross-shard coverage run :func:`minhash_dedup`;
+    this operator is the knob to turn when that join stops fitting."""
+    sig = minhash_signatures(
+        docs, text_col, id_col, num_hashes, band_size, n, carry_cols=(shard_col,)
+    )
+    cand = minhash_candidates(sig, extra_keys=(shard_col,))
+    return jaccard_pairs(docs, text_col, id_col, n, threshold=threshold, candidates=cand)
 
 
 def minhash_dedup(

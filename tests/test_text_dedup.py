@@ -269,3 +269,26 @@ def test_quota_sample_flag(spark):
         ).filter("in_quota").collect()
     }
     assert a == b
+
+
+def test_sharded_minhash_dedup_bounds_join_to_shards(spark):
+    """Same-shard near-dups are found with the exact jaccard of the global
+    operator; the cross-shard pair is MISSED by construction (the documented
+    tradeoff that bounds bucket loads at extreme N)."""
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, base, "en"),
+        (2, base.replace("tonight", "today"), "en"),   # same-shard near-dup
+        (3, base.replace("tonight", "madrugada"), "es"),  # cross-shard near-dup
+        (4, "unrelated spanish corpus text entirely different words", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sharded = rows_by_key(
+        dedup.sharded_minhash_dedup(docs, "lang", threshold=0.5), "doc_a", "doc_b"
+    )
+    global_ = rows_by_key(dedup.minhash_dedup(docs, threshold=0.5), "doc_a", "doc_b")
+    assert (1, 2) in sharded
+    assert sharded[(1, 2)]["jaccard"] == global_[(1, 2)]["jaccard"]
+    # the global form catches the cross-shard pairs; the sharded form cannot
+    assert (1, 3) in global_ and (1, 3) not in sharded
+    assert set(sharded) < set(global_)
