@@ -51,11 +51,37 @@ def _log1p_ratio_kernel(num: pd.Series, den: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _compression_ratio_kernel(text: pd.Series) -> pd.Series:
+    """zlib compressed-size / raw-size per document — the classic
+    machine-generated/boilerplate detector (highly repetitive text compresses
+    far below natural language's ~0.3–0.5). No Catalyst equivalent exists, so
+    this is a legitimate pandas-UDF kernel (per-row C calls into zlib, Arrow
+    batches in/out, no Python loops over characters). Empty docs → null."""
+    import zlib
+
+    raw = text.to_numpy()
+    out = np.empty(len(raw), dtype="float64")
+    for i, t in enumerate(raw):  # per-ROW loop only; zlib does the heavy work in C
+        if t is None or len(t) == 0:
+            out[i] = np.nan
+        else:
+            b = t.encode("utf-8")
+            out[i] = len(zlib.compress(b, 6)) / len(b)
+    return pd.Series(out)
+
+
 @lru_cache(maxsize=None)
 def cosine_similarity_pandas():
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(_cosine_kernel, "double")
+
+
+@lru_cache(maxsize=None)
+def compression_ratio_pandas():
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_compression_ratio_kernel, "double")
 
 
 @lru_cache(maxsize=None)

@@ -1,0 +1,47 @@
+"""Raw text-file corpus source: a directory of .txt documents → (doc_id, text).
+
+Real corpora usually arrive as files-of-documents before anyone makes parquet;
+this source reads them with Spark's wholetext reader (one row per FILE — the
+document boundary IS the file boundary) and derives a stable doc_id from the
+file name, so downstream dedup/profiling/packing run unchanged.
+
+Scale notes: ``wholetext`` makes one task per file — right for document
+corpora (millions of small files want consolidation into parquet/jsonl
+anyway, which :func:`to_parquet_corpus` does as step one). File-name ids are
+deterministic and re-ingest-stable, unlike ``monotonically_increasing_id``
+(partition-order dependent — banned here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, pattern: str = "*.txt"
+) -> DataFrame:
+    """(doc_name, text) per file under ``path`` matching ``pattern``;
+    ``doc_name`` is the file's base name without extension."""
+    # NB: wholetext must be the KEYWORD argument — DataFrameReader.text()
+    # overwrites a same-named .option() with its own default (tested)
+    df = spark.read.option("pathGlobFilter", pattern).text(path, wholetext=True)
+    name = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\.[^./]*)?$", 1)
+    return df.select(name.alias("doc_name"), F.col("value").alias("text"))
+
+
+def to_parquet_corpus(
+    spark: SparkSession, src_dir: str, out_path: str, pattern: str = "*.txt"
+) -> DataFrame:
+    """Consolidate a file-per-document corpus into parquet with a stable
+    numeric doc_id (dense rank over doc_name — deterministic, not
+    partition-ordered), the layout every downstream operator expects."""
+    from pyspark.sql import Window
+
+    docs = read_text_corpus(spark, src_dir, pattern)
+    w = Window.orderBy("doc_name")
+    out = docs.select(
+        F.row_number().over(w).cast("long").alias("doc_id"), "doc_name", "text"
+    )
+    out.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

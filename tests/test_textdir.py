@@ -1,0 +1,61 @@
+"""Raw text-directory corpus source + compression-ratio quality kernel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.sources import textdir
+from conftest import rows_by_key
+
+
+def _write(tmp_path, name, content):
+    (tmp_path / name).write_text(content)
+
+
+def test_read_text_corpus_one_row_per_file(spark, tmp_path):
+    _write(tmp_path, "doc_a.txt", "alpha beta gamma")
+    _write(tmp_path, "doc_b.txt", "delta epsilon\nzeta eta")  # newlines preserved
+    _write(tmp_path, "ignore.json", "{}")  # filtered by pattern
+    got = rows_by_key(textdir.read_text_corpus(spark, str(tmp_path)), "doc_name")
+    assert set(got) == {("doc_a",), ("doc_b",)}
+    assert got[("doc_b",)]["text"] == "delta epsilon\nzeta eta"
+
+
+def test_to_parquet_corpus_stable_ids_feed_operators(spark, tmp_path):
+    from aws_financial_data_pipeline_spark.operators import dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "one.txt", "the quick brown fox jumps over the lazy dog")
+    _write(src, "two.txt", "the quick brown fox jumps over the lazy dog")
+    _write(src, "three.txt", "completely different text about something else")
+    out = textdir.to_parquet_corpus(spark, str(src), str(tmp_path / "corpus"))
+    ids = {r["doc_name"]: r["doc_id"] for r in out.collect()}
+    assert ids == {"one": 1, "three": 2, "two": 3}  # dense rank over name, stable
+    # the consolidated corpus drives the standard operators unchanged
+    dups = rows_by_key(dedup.exact_duplicates(out), "canonical_id")
+    assert dups[(1,)]["n_copies"] == 2  # one.txt == two.txt
+
+
+def test_compression_ratio_kernel(spark):
+    from aws_financial_data_pipeline_spark.functions.vectorized import (
+        compression_ratio_pandas,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),                      # hyper-repetitive → tiny ratio
+            (2, " ".join(f"w{i}x{i*7%13}" for i in range(400))),  # varied → higher
+            (3, ""),                                 # empty → NULL
+        ],
+        "doc_id long, text string",
+    )
+    udf = compression_ratio_pandas()
+    got = rows_by_key(docs.select("doc_id", udf("text").alias("cr")), "doc_id")
+    assert got[(1,)]["cr"] < 0.05
+    assert got[(2,)]["cr"] > 2 * got[(1,)]["cr"]
+    assert got[(3,)]["cr"] is None
+    # deterministic: zlib level pinned
+    again = rows_by_key(docs.select("doc_id", udf("text").alias("cr")), "doc_id")
+    assert again[(1,)]["cr"] == got[(1,)]["cr"]
