@@ -77,9 +77,11 @@ def pack_chunks(
     Properties (asserted in tests): deterministic and partition-independent;
     bins are contiguous in the given order (doc locality preserved — adjacent
     chunks co-locate, which is what sample packing wants); every bin's total
-    is < budget + its last item's size, and ≤ budget whenever all items are
-    ≤ budget ÷ 2 or the order tiles exactly. Items larger than the budget
-    get a bin of their own (they should have been chunked first).
+    is < budget + the size of its last item (the only guaranteed bound — a
+    bin's last item may straddle the boundary), and exactly ≤ budget when the
+    sizes tile the budget (e.g. chunks of ``window`` tokens with
+    budget = k·window). Items larger than the budget get a bin of their own
+    (they should have been chunked first).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")

@@ -325,11 +325,26 @@ def gopher_quality_flags(
 # replacements, so e.g. an SSN is consumed before the looser phone pattern
 # can eat it). Pure-regex heuristics — the standard pre-training scrub; a
 # production pipeline layers model-based NER on top for recall.
+#
+# Every pattern is deliberately RE2-compatible (no lookaround — \b only), so
+# the DuckDB oracle replicates the redaction byte-for-byte; Java and RE2
+# share leftmost-first alternation semantics for these shapes. The phone
+# pattern enumerates phone SHAPES instead of "7+ phone-ish chars" so that
+# ISO dates (2024-10-05: 4-2-2 groups, 8 total digits) can never match —
+# the old catch-all ``\+?\d[\d().-]{6,}\d`` redacted dates. Bare 8-digit
+# runs are intentionally NOT matched (YYYYMMDD ambiguity); 7 and 9-15 digit
+# runs are.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-    ("phone", r"(?<![\w.])\+?\d[\d().-]{6,}\d(?![\w.])"),
+    (
+        "phone",
+        r"\+\d{1,3}[ .-]?\d(?:[ ().-]?\d){5,12}"  # +country, any grouping, ≥7 digits
+        r"|\(\d{3}\)[ .-]?\d{3}[.-]?\d{4}"  # (415) 555-2671
+        r"|\b\d{3}[.-]\d{3}[.-]\d{4}\b"  # 415-555-2671 (3-3-4, never 4-2-2)
+        r"|\b\d{7}\b|\b\d{9,15}\b",  # bare runs; 8 excluded (YYYYMMDD)
+    ),
 )
 
 

@@ -205,7 +205,16 @@ def assemble_reports_by_month(cur: DataFrame, hist_summary: DataFrame) -> DataFr
 
     # RecurringYTD per group: recurring sums for the GROUP's calendar year =
     # the group's own rows (all inside that year by construction) + the
-    # user's stored history for that year
+    # user's stored history for that year.
+    # DATA CONTRACT: the year is taken from the year_month prefix on BOTH
+    # sides, while the reference filters on the transaction date's year
+    # (lambda_function.py:243-246 date[:4]). This assumes date[:7] ==
+    # year_month for every row — true of the reference's statement model
+    # (a YYYY-MM statement contains that month's transactions) and of every
+    # summary row whose year_month was derived from date
+    # (summarize_transactions). A row violating the contract (date year ≠
+    # YearMonth year) would land in the YearMonth year here but the date year
+    # in the reference.
     yr = F.substring("year_month", 1, 4)
     cur_rec = (
         cur_summary.filter(F.col("recurring"))

@@ -21,25 +21,36 @@ from pyspark.sql import functions as F
 def read_text_corpus(
     spark: SparkSession, path: str, pattern: str = "*.txt"
 ) -> DataFrame:
-    """(doc_name, text) per file under ``path`` matching ``pattern``;
-    ``doc_name`` is the file's base name without extension."""
+    """(doc_name, doc_path, text) per file under ``path`` matching ``pattern``;
+    ``doc_name`` is the file's base name without extension, ``doc_path`` the
+    full input path (the collision-free identity)."""
     # NB: wholetext must be the KEYWORD argument — DataFrameReader.text()
     # overwrites a same-named .option() with its own default (tested)
-    df = spark.read.option("pathGlobFilter", pattern).text(path, wholetext=True)
+    df = (
+        spark.read.option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .text(path, wholetext=True)
+    )
     name = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\.[^./]*)?$", 1)
-    return df.select(name.alias("doc_name"), F.col("value").alias("text"))
+    return df.select(
+        name.alias("doc_name"),
+        F.input_file_name().alias("doc_path"),
+        F.col("value").alias("text"),
+    )
 
 
 def to_parquet_corpus(
     spark: SparkSession, src_dir: str, out_path: str, pattern: str = "*.txt"
 ) -> DataFrame:
     """Consolidate a file-per-document corpus into parquet with a stable
-    numeric doc_id (dense rank over doc_name — deterministic, not
-    partition-ordered), the layout every downstream operator expects."""
+    numeric doc_id (row_number over the FULL input file path — deterministic,
+    not partition-ordered, and unambiguous when the same base name appears in
+    different subdirectories or with different stripped extensions), the
+    layout every downstream operator expects."""
     from pyspark.sql import Window
 
     docs = read_text_corpus(spark, src_dir, pattern)
-    w = Window.orderBy("doc_name")
+    w = Window.orderBy("doc_path")
     out = docs.select(
         F.row_number().over(w).cast("long").alias("doc_id"), "doc_name", "text"
     )

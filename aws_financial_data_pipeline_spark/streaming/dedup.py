@@ -15,12 +15,19 @@ the dedup decision.
 
 At cluster scale the signature store is partitioned/bucketed by band key
 (co-located store join) and the docs store by doc_id (partition-pruned
-verify reads); checkpointing the stream gives exactly-once appends.
+verify reads). Delivery: the source offsets are checkpointed (pass
+``checkpoint``) so batches are not re-read after success, but the three
+per-batch appends (pairs, signatures, docs) are NOT atomic — a crash
+mid-batch followed by a replay can double-append the partial batch.
+Exactly-once needs a transactional table format (Delta/Iceberg MERGE) or an
+idempotent overwrite keyed by batch id; with plain parquet this is
+at-least-once, deduplicable downstream by (doc_a, doc_b) / (doc_id, band_id).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 
 from ..operators import dedup
@@ -38,6 +45,7 @@ def run_incremental_dedup(
     threshold: float = 0.7,
     max_files_per_trigger: int = 1,
     path_glob: str | None = None,
+    checkpoint: str | None = None,
 ):
     """Drain ``src_dir`` with an availableNow file stream, emitting duplicate
     pairs (doc_a < doc_b, jaccard) to ``pairs_out`` and growing the signature
@@ -59,7 +67,7 @@ def run_incremental_dedup(
                 "jaccard",
             )
             pairs = within.unionByName(cross)
-        except Exception as e:  # first batch: stores don't exist yet
+        except AnalysisException as e:  # first batch: stores don't exist yet
             if "PATH_NOT_FOUND" not in str(e):
                 raise
             pairs = within
@@ -72,11 +80,9 @@ def run_incremental_dedup(
     )
     if path_glob:
         stream = stream.option("pathGlobFilter", path_glob)
-    q = (
-        stream.parquet(src_dir)
-        .writeStream.foreachBatch(process)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.parquet(src_dir).writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(pairs_out)

@@ -203,6 +203,43 @@ def test_redact_pii(spark):
     assert r3["n_email"] == r3["n_ssn"] == r3["n_ipv4"] == r3["n_phone"] == 0
 
 
+def test_redact_pii_dates_survive(spark):
+    """ISO dates must NOT be redacted (the round-2 phone pattern matched any
+    8+ digit/dash run, eating 2024-10-05), while real phone shapes still are;
+    and the patterns must behave identically under DuckDB's RE2 engine (no
+    lookaround), which the x32 oracle relies on."""
+    cases = [
+        (1, "released on 2024-10-05 and updated 2025-01-31 at noon"),
+        (2, "timestamp 2024-10-05 14:30:22 then call 555-123-4567"),
+        (3, "order 20241005 shipped"),  # bare YYYYMMDD: ambiguous, kept
+        (4, "call +1 (555) 123-4567 or 5551234567 or 1234567"),
+        (5, "ssn 123-45-6789 ip 10.0.0.1 mail a.b@c.de"),
+    ]
+    docs = _docs(spark, cases)
+    got = rows_by_key(text.redact_pii(docs), "doc_id")
+    assert got[(1,)]["text_redacted"] == cases[0][1]  # untouched
+    assert got[(1,)]["n_phone"] == 0
+    r2 = got[(2,)]
+    assert "2024-10-05 14:30:22" in r2["text_redacted"] and r2["n_phone"] == 1
+    assert got[(3,)]["text_redacted"] == cases[2][1]
+    assert got[(4,)]["n_phone"] == 3
+    r5 = got[(5,)]
+    assert r5["n_ssn"] == 1 and r5["n_ipv4"] == 1 and r5["n_email"] == 1
+
+    # cross-engine parity: DuckDB (RE2) sequential replace == Spark (Java)
+    import duckdb
+
+    from aws_financial_data_pipeline_spark.operators.text import PII_PATTERNS
+
+    con = duckdb.connect()
+    for _id, s in cases:
+        expr = "?"
+        for kind, pat in PII_PATTERNS:
+            expr = f"regexp_replace({expr}, '{pat}', '<PII:{kind}>', 'g')"
+        duck = con.execute(f"SELECT {expr}", [s]).fetchone()[0]
+        assert duck == got[(_id,)]["text_redacted"], (s, duck)
+
+
 def test_streaming_incremental_dedup_replay_equals_batch(spark, tmp_path):
     """Micro-batched incremental dedup (sign batch → join signature store →
     verify → append stores) must report EXACTLY the pairs the one-shot batch

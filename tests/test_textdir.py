@@ -38,6 +38,22 @@ def test_to_parquet_corpus_stable_ids_feed_operators(spark, tmp_path):
     assert dups[(1,)]["n_copies"] == 2  # one.txt == two.txt
 
 
+def test_to_parquet_corpus_duplicate_basenames_deterministic(spark, tmp_path):
+    """Same base name in different subdirs (or with different stripped
+    extensions) must get a DETERMINISTIC id: ordering is on the full input
+    path, so re-ingests assign identically (round-2 advice)."""
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    _write(src / "a", "doc.txt", "text from subdir a")
+    _write(src / "b", "doc.txt", "text from subdir b")
+    out1 = textdir.to_parquet_corpus(spark, str(src), str(tmp_path / "c1"), "*.txt")
+    out2 = textdir.to_parquet_corpus(spark, str(src), str(tmp_path / "c2"), "*.txt")
+    m1 = {r["text"]: r["doc_id"] for r in out1.collect()}
+    m2 = {r["text"]: r["doc_id"] for r in out2.collect()}
+    assert m1 == m2 == {"text from subdir a": 1, "text from subdir b": 2}
+
+
 def test_compression_ratio_kernel(spark):
     from aws_financial_data_pipeline_spark.functions.vectorized import (
         compression_ratio_pandas,
