@@ -13,9 +13,11 @@ Scale design (the whole point — these must survive 100 TB):
   pairs come from a groupBy on (band, band_key) — expected near-linear for
   near-dup-sparse corpora. All hashing is md5-based and engine-portable (the
   DuckDB oracle reproduces it bit-for-bit; lexicographic min over hex digests).
-- **SimHash**: 32-bit signature via per-token hash bit voting; Hamming-band
-  buckets (4×8-bit) for candidates, pigeonhole guarantees distance ≤ 3 pairs
-  collide in ≥ 1 band.
+- **SimHash**: per-token hash bit voting; Hamming-band buckets for
+  candidates, pigeonhole guarantees distance ≤ 3 pairs collide in ≥ 1 band.
+  The SCALE form is :func:`simhash64` (4×16-bit bands → 65 536 buckets/band,
+  map-only signature); the 32-bit/8-bit-band form is kept as the small-SF
+  demo — its 256 buckets/band are near-quadratic at scale.
 
 Embedding-cosine near-dup lives in :mod:`.similarity`.
 """
@@ -341,7 +343,9 @@ def cross_corpus_contamination(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over distinct whitespace tokens.
+    """32-bit SimHash over distinct whitespace tokens — SMALL-SF DEMO ONLY;
+    use :func:`simhash64` at scale (this form's 8-bit bands are
+    near-quadratic: see its docstring).
 
     Token hash = first 8 hex chars of md5 as an int; each of the 32 bits votes
     ±1; signature bit j is set iff the vote sum is strictly positive.
@@ -365,6 +369,109 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.sum(
             F.when(F.col("sv") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
         ).alias("simhash")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as FOUR 16-bit band values — the scale form.
+
+    The round-2 32-bit/8-bit-band form (:func:`simhash` + :func:`simhash_candidates`)
+    has only 256 bucket values per band, so bucket load grows as N/256 and
+    candidate pairs as ~N²/256 — near-quadratic by construction (its own
+    oracle emitted ~46% of all pairs on a 500-doc corpus). 16-bit bands give
+    65 536 buckets per band: load N/65 536, the same pigeonhole guarantee
+    (any pair within Hamming distance 3 of 64 bits collides in ≥1 of the 4
+    bands), and a far sharper signature.
+
+    Also a better plan: the signature is computed with array expressions
+    (aggregate over the hashed-token array) — a MAP-ONLY projection with zero
+    shuffle, vs the 32-bit form's explode + two groupBys. Token hash = two
+    32-bit halves of md5 (bits 0–31 from hex[0:8], 32–63 from hex[8:16]);
+    bit j of the signature is set iff more than half the distinct tokens have
+    bit j set (vote sum > 0 ⟺ 2·set_count > n). Band k packs bits
+    [16k, 16k+16) little-endian → (doc_id, band0..band3), each < 2¹⁶ so no
+    64-bit signed overflow on either engine (the packed-int64 form would
+    overflow DuckDB's BIGINT shift).
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.split(F.col(text_col), r"\s+")).alias("_t"),
+    )
+    # hash each token ONCE (projected array — inline md5 inside the nested
+    # lambdas below would re-evaluate per bit, ~64×)
+    d = d.withColumn(
+        "_h",
+        F.transform(
+            "_t",
+            lambda t: F.struct(
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("v1"),
+                F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("v2"),
+            ),
+        ),
+    )
+    # set-bit counts per bit position: aggregate over tokens of the 64-bit
+    # indicator array — pure array math, no explode, no shuffle.
+    # shiftright() takes only literal amounts, so bit j is extracted as
+    # floor(v / 2^j) & 1 — division by a power of two is exact in binary
+    # floating point (exponent shift only), and v < 2^32 ≪ 2^53.
+    pw = F.array(*[F.lit(1 << jj).cast("long") for jj in range(32)])
+    bits_of = lambda h: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.floor(
+            F.when(j < 32, h["v1"]).otherwise(h["v2"]) / F.element_at(pw, (j % 32) + 1)
+        ).bitwiseAND(F.lit(1)),
+    )
+    d = d.withColumn(
+        "_votes",
+        F.aggregate(
+            "_h",
+            F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b),
+        ),
+    )
+    n = F.size("_t")
+
+    def band(k: int):
+        e = F.lit(0).cast("long")
+        for j in range(16):
+            bit = (F.element_at("_votes", 16 * k + j + 1) * 2 > n).cast("long")
+            e = e + bit * F.lit(1 << j)
+        return e.alias(f"band{k}")
+
+    return d.select("doc_id", *[band(k) for k in range(4)])
+
+
+def simhash64_candidates(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup candidates from 64-bit SimHash signatures: band the 64 bits
+    into 4×16-bit buckets; pigeonhole guarantees any pair within Hamming
+    distance 3 shares ≥1 band (distances 4..max_hamming are found with high
+    probability — the usual LSH recall dial). Exact Hamming distance over the
+    four bands verifies the candidates. Output: (doc_a, doc_b, hamming)."""
+    wide = sigs.cache()  # both sides of the self-join
+    stack = ", ".join(f"{k}, band{k}" for k in range(4))
+    bands = wide.selectExpr("doc_id", f"stack(4, {stack}) AS (band_id, band_val)")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = wide.select(F.col("doc_id").alias("doc_a"), *[F.col(f"band{k}").alias(f"_a{k}") for k in range(4)])
+    wb = wide.select(F.col("doc_id").alias("doc_b"), *[F.col(f"band{k}").alias(f"_b{k}") for k in range(4)])
+    hamming = sum(
+        F.bit_count(F.col(f"_a{k}").bitwiseXOR(F.col(f"_b{k}"))) for k in range(4)
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -37,22 +37,37 @@ sig AS (
 """
 )
 
-_SIMHASH = r"""
+# 64-bit SimHash as 4×16-bit band values (the scale form — see
+# operators/dedup.py simhash64): token hash = two 32-bit md5 halves; bit j
+# set iff more than half the distinct tokens have it set.
+_SIMHASH64 = r"""
 WITH tok AS (
   SELECT DISTINCT doc_id, tk FROM (
     SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS tk FROM documents
   )
 ),
-h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS v FROM tok),
-bits AS (
-  SELECT doc_id, j, CASE WHEN ((v >> j) & 1) = 1 THEN 1 ELSE -1 END AS vote
-  FROM h, LATERAL UNNEST(range(32)) AS u(j)
-),
-votes AS (SELECT doc_id, j, sum(vote) AS sv FROM bits GROUP BY doc_id, j),
-sims AS (
+h AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
-           AS simhash
+         CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS v1,
+         CAST(('0x' || substr(md5(tk), 9, 8)) AS BIGINT) AS v2
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN j < 32 THEN (v1 >> j) & 1 ELSE (v2 >> (j - 32)) & 1 END AS bit
+  FROM h, LATERAL UNNEST(range(64)) AS u(j)
+),
+votes AS (SELECT doc_id, j, sum(bit) AS setc, count(*) AS n FROM bits GROUP BY doc_id, j),
+wide AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN j < 16 AND 2 * setc > n
+                       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN j >= 16 AND j < 32 AND 2 * setc > n
+                       THEN (1::BIGINT << CAST(j - 16 AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN j >= 32 AND j < 48 AND 2 * setc > n
+                       THEN (1::BIGINT << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN j >= 48 AND 2 * setc > n
+                       THEN (1::BIGINT << CAST(j - 48 AS INT)) ELSE 0 END) AS BIGINT) AS b3
   FROM votes GROUP BY doc_id
 )
 """
@@ -142,21 +157,27 @@ EXT_ORACLES: dict[str, str] = {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.7
     """,
-    "x06_simhash_candidates": _SIMHASH
+    "x06_simhash_candidates": _SIMHASH64
     + """
     , bands AS (
-      SELECT doc_id, simhash, CAST(b AS INT) AS band_id,
-             (simhash >> (CAST(b AS INT) * 8)) & 255 AS band_val
-      FROM sims, LATERAL UNNEST(range(4)) AS u(b)
+      SELECT doc_id, CAST(b AS INT) AS band_id,
+             CASE CAST(b AS INT) WHEN 0 THEN b0 WHEN 1 THEN b1
+                                 WHEN 2 THEN b2 ELSE b3 END AS band_val
+      FROM wide, LATERAL UNNEST(range(4)) AS u(b)
     ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sig_a, b.simhash AS sig_b
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+                + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS INT)
+               AS hamming
+      FROM cand JOIN wide wa ON wa.doc_id = doc_a JOIN wide wb ON wb.doc_id = doc_b
     )
-    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
-    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 8
     """,
     "x07_cosine_topk": _EMB_NORM
     + """

@@ -68,11 +68,13 @@ def x39_minhash_dedup(spark, sf_dir):
 
 
 def x06_simhash_candidates(spark, sf_dir):
-    """SimHash near-dup candidates; computes the 32-bit signatures internally
-    (the oracle recomputes them too, so the former x05 signature entry is
-    subsumed — its exact per-doc values gate through the band keys + exact
-    Hamming distances here)."""
-    return dedup.simhash_candidates(dedup.simhash(_docs(spark, sf_dir)), max_hamming=8)
+    """SimHash near-dup candidates via the 64-bit SCALE form (round-3 fix:
+    the 32-bit/8-bit-band version emitted ~46% of all pairs — near-quadratic
+    by construction; 16-bit bands give 65 536 buckets/band and a map-only
+    signature). The oracle recomputes signatures AND bands, so the per-doc
+    signature values gate through the band keys + exact Hamming distances;
+    the 32-bit form remains as a pytest-covered demo (test_text_dedup)."""
+    return dedup.simhash64_candidates(dedup.simhash64(_docs(spark, sf_dir)), max_hamming=8)
 
 
 # -- similarity -------------------------------------------------------------

@@ -72,6 +72,55 @@ def test_simhash_identical_and_candidates(spark):
     assert (1, 2) in cand and cand[(1, 2)]["hamming"] == 0
 
 
+def test_simhash64_identical_pigeonhole_and_near(spark):
+    docs = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+                         (3, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup
+                         (4, "qq ww ee rr tt yy uu oo")])
+    sigs = dedup.simhash64(docs)
+    by_id = rows_by_key(sigs, "doc_id")
+    assert all(by_id[(1,)][f"band{k}"] == by_id[(2,)][f"band{k}"] for k in range(4))
+    assert all(0 <= by_id[(1,)][f"band{k}"] < 1 << 16 for k in range(4))
+    cand = rows_by_key(dedup.simhash64_candidates(sigs, max_hamming=8), "doc_a", "doc_b")
+    assert cand[(1, 2)]["hamming"] == 0
+    assert (1, 3) in cand and 0 < cand[(1, 3)]["hamming"] <= 8
+
+
+def test_simhash64_candidates_near_linear_vs_32bit(spark):
+    """The round-2 scale defect: 8-bit bands have 256 buckets → candidate
+    pairs ~N²/256 regardless of similarity. 16-bit bands must stay
+    near-LINEAR on a vocabulary-diverse corpus: each doc's vocabulary is
+    unique, so signatures are ~random and almost no pair should collide —
+    while pairs within Hamming ≤ 3 are still guaranteed (pigeonhole)."""
+    n = 200
+    rows = [(i, " ".join(f"tok{i}x{k}" for k in range(30))) for i in range(n)]
+    docs = _docs(spark, rows)
+    all_pairs = n * (n - 1) / 2
+    c64 = dedup.simhash64_candidates(dedup.simhash64(docs), max_hamming=64).count()
+    c32 = dedup.simhash_candidates(dedup.simhash(docs), max_hamming=32).count()
+    # expected random-collision rates: 4 bands × N²/2 ÷ buckets-per-band →
+    # ~1.2 pairs at 2^16 buckets vs ~311 at 2^8. Assert an order-of-magnitude
+    # separation with generous slack, not the exact expectation.
+    assert c64 / all_pairs < 0.002, f"64-bit banding is not near-linear: {c64}/{all_pairs}"
+    assert c32 > 30 * max(c64, 1), f"expected the 32-bit form to over-generate: {c32} vs {c64}"
+
+    # pigeonhole recall on the REAL corpus: every pair within Hamming 3 of
+    # the 64-bit signature shares >=1 of the 4 16-bit bands → must be present
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedup.simhash64(real)
+    rows64 = {r["doc_id"]: [r[f"band{k}"] for k in range(4)] for r in sigs.collect()}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash64_candidates(sigs, max_hamming=3).collect()
+    }
+    ids = sorted(rows64)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(rows64[a], rows64[b]))
+            if h <= 3:
+                assert (a, b) in got, (a, b, h)
+
+
 def test_fingerprint_stability(spark):
     docs = _docs(spark, [(1, "one two three four five"), (2, "one two three four five"),
                          (3, "six seven eight nine ten")])
