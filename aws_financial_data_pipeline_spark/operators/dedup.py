@@ -66,8 +66,25 @@ def jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|). The all-pairs form (``allow_full_corpus=True``)
     self-joins the whole shingle table — O(N²) worst case — and exists solely
     as the small-SF recall oracle; it raises by default so no caller can
-    quadratic-join a full corpus by accident (round-1 verdict)."""
-    # cached: referenced three times (both join sides + the size table)
+    quadratic-join a full corpus by accident (round-1 verdict).
+
+    Candidate-bounded (round-2 verdict): in verify mode the corpus is
+    left-semi-joined to the docs IMPLICATED by ``candidates`` before any
+    shingling, so the exploded shingle table — the expensive intermediate —
+    is O(implicated docs), not O(corpus). At 100 TB the verify stage of a
+    sparse dedup touches a small fraction of the corpus; shingling all of it
+    (as round 2 did) made verification corpus-sized regardless of how few
+    pairs the LSH emitted. Same shape as
+    :func:`incremental_minhash_dedup`'s ``corpus_needed`` semi-join."""
+    if candidates is not None:
+        implicated = (
+            candidates.select(F.col("doc_a").alias(id_col))
+            .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.join(implicated, id_col, "left_semi")
+    # cached: referenced three times (both join sides + the size table);
+    # candidate-bounded when a candidates frame was given
     sh = _shingle_table(docs, text_col, id_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if candidates is None:
@@ -164,14 +181,51 @@ def minhash_signatures(
     )
 
 
+def oversized_buckets(
+    signatures: DataFrame,
+    bucket_cap: int,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Audit helper: the (band_id, band_key[, extra...], n_docs) buckets that
+    :func:`minhash_candidates` would DROP under ``bucket_cap``. Run/persist
+    this alongside a capped dedup so the recall tradeoff is observable."""
+    keys = ["band_id", "band_key", *extra_keys]
+    return (
+        signatures.groupBy(*keys)
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > bucket_cap)
+    )
+
+
 def minhash_candidates(
-    signatures: DataFrame, extra_keys: tuple[str, ...] = ()
+    signatures: DataFrame,
+    extra_keys: tuple[str, ...] = (),
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any (band_id, band_key) bucket.
     This is the near-linear scale path — a groupBy on the band key, never a
     full cross join. ``extra_keys`` join additionally (shard-restricted
-    candidates — see :func:`sharded_minhash_dedup`)."""
+    candidates — see :func:`sharded_minhash_dedup`).
+
+    ``bucket_cap``: the classic MinHash failure on boilerplate-heavy crawls
+    is a bucket holding B near-identical docs → ~B²/2 output pairs (AQE can
+    split the shuffle, but the OUTPUT is still quadratic in B). With a cap,
+    buckets larger than ``bucket_cap`` are dropped from candidate generation
+    — a DOCUMENTED RECALL TRADEOFF (pairs whose only collision was an
+    oversized bucket are missed); use :func:`oversized_buckets` to audit
+    what was dropped, and run :func:`exact_duplicates` first (as
+    :func:`minhash_dedup` now does) so identical texts never inflate a
+    bucket in the first place."""
     signatures = signatures.cache()  # both sides of the self-join
+    if bucket_cap is not None:
+        keys = ["band_id", "band_key", *extra_keys]
+        ok = (
+            signatures.groupBy(*keys)
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+        signatures = signatures.join(ok, keys, "left_semi")
     a = signatures.alias("a")
     b = signatures.alias("b")
     cond = (
@@ -197,6 +251,7 @@ def sharded_minhash_dedup(
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Two-level dedup for EXTREME corpus sizes: candidates are restricted to
     pairs in the same shard (language, domain, embedding cluster, date
@@ -212,7 +267,7 @@ def sharded_minhash_dedup(
     sig = minhash_signatures(
         docs, text_col, id_col, num_hashes, band_size, n, carry_cols=(shard_col,)
     )
-    cand = minhash_candidates(sig, extra_keys=(shard_col,))
+    cand = minhash_candidates(sig, extra_keys=(shard_col,), bucket_cap=bucket_cap)
     return jaccard_pairs(docs, text_col, id_col, n, threshold=threshold, candidates=cand)
 
 
@@ -224,16 +279,75 @@ def minhash_dedup(
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Full MinHash-LSH dedup end-to-end: banded signatures → LSH candidate
-    pairs → exact Jaccard verification on the candidates ONLY → pairs ≥
-    threshold. This is what runs at 100 TB (never quadratic); it subsumes the
-    round-1 x02/x03/x04 registry entries as internal stages."""
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, band_size, n)
-    cand = minhash_candidates(sig)
-    return jaccard_pairs(
-        docs, text_col, id_col, n, threshold=threshold, candidates=cand
+    """Full MinHash-LSH dedup end-to-end: EXACT-dedup pre-pass → banded
+    signatures over one representative per distinct text → LSH candidate
+    pairs → exact Jaccard verification on the candidates ONLY → re-expansion
+    through the exact-duplicate groups → pairs ≥ threshold. This is what runs
+    at 100 TB (never quadratic in corpus size); it subsumes the round-1
+    x02/x03/x04 registry entries as internal stages.
+
+    The pre-pass (round-2 verdict) is the cheap, lossless hot-bucket
+    hardening: K byte-identical docs (boilerplate, mirrored pages) would
+    otherwise put K rows in EVERY band bucket they touch and emit ~K²/2
+    candidate pairs per bucket; deduping them first makes the LSH stage see
+    each text once. The contract is unchanged — identical-doc pairs come
+    back as jaccard-1.0 rows via the group expansion, and near-dup pairs are
+    expanded to every member of both groups — so the OUTPUT is still
+    pair-complete (inherently quadratic in a group's size, as the contract
+    demands) while every intermediate is linear in distinct texts.
+    ``bucket_cap`` additionally caps residual hot buckets of NEAR-identical
+    texts (a recall tradeoff — see :func:`minhash_candidates`)."""
+    fp = docs.select(F.col(id_col).alias("_m_id"), F.md5(F.col(text_col)).alias("_fp"))
+    groups = fp.groupBy("_fp").agg(F.min("_m_id").alias("_canon"))
+    members = fp.join(groups, "_fp").cache()  # (_fp, _m_id, _canon); small: ids+digests
+    reps = docs.join(
+        members.filter(F.col("_m_id") == F.col("_canon")).select(
+            F.col("_m_id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
     )
+    sig = minhash_signatures(reps, text_col, id_col, num_hashes, band_size, n)
+    cand = minhash_candidates(sig, bucket_cap=bucket_cap)
+    pairs_c = jaccard_pairs(reps, text_col, id_col, n, threshold=threshold, candidates=cand)
+    # expand canonical near-dup pairs to all members of both groups (groups
+    # differ in _fp, so the two sides never collide; least/greatest restores
+    # the doc_a < doc_b convention)
+    ma = members.select(F.col("_canon").alias("doc_a"), F.col("_m_id").alias("_ia"))
+    mb = members.select(F.col("_canon").alias("doc_b"), F.col("_m_id").alias("_ib"))
+    cross = (
+        pairs_c.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("_ia", "_ib").alias("doc_a"),
+            F.greatest("_ia", "_ib").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs: identical texts are jaccard 1.0 by definition —
+    # but only docs with ≥ n tokens have shingles at all (shorter docs never
+    # pair in the direct form; size() on the token split preserves that)
+    eligible = (
+        docs.filter(F.size(F.split(F.col(text_col), r"\s+")) >= n)
+        .select(F.col(id_col).alias("_m_id"))
+        .join(members, "_m_id")
+        .select("_fp", "_m_id")
+    )
+    within = (
+        eligible.alias("x")
+        .join(
+            eligible.alias("y"),
+            (F.col("x._fp") == F.col("y._fp")) & (F.col("x._m_id") < F.col("y._m_id")),
+        )
+        .select(
+            F.col("x._m_id").alias("doc_a"),
+            F.col("y._m_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def incremental_minhash_dedup(

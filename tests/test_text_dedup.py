@@ -62,6 +62,91 @@ def test_minhash_dedup_end_to_end(spark):
     assert set(got) == {(1, 2)} and got[(1, 2)]["jaccard"] == 1.0
 
 
+def test_minhash_dedup_prepass_equals_direct_composition(spark):
+    """The exact-dedup pre-pass + group re-expansion must be OUTPUT-invisible:
+    on the real corpus, minhash_dedup == the round-2 direct composition
+    (sign all docs → candidates → verify), pair for pair, jaccard for
+    jaccard."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct_cand = dedup.minhash_candidates(dedup.minhash_signatures(docs))
+    direct = rows_by_key(
+        dedup.jaccard_pairs(docs, threshold=0.7, candidates=direct_cand),
+        "doc_a", "doc_b",
+    )
+    got = rows_by_key(dedup.minhash_dedup(docs, threshold=0.7), "doc_a", "doc_b")
+    assert set(got) == set(direct)
+    for k in got:
+        assert got[k]["jaccard"] == direct[k]["jaccard"]
+
+
+def test_minhash_dedup_identical_flood_stays_linear(spark):
+    """Adversarial: K byte-identical docs. The pre-pass must collapse them to
+    ONE signed doc (band buckets of size 1 — the intermediate is linear),
+    while the output still reports all C(K,2) jaccard-1.0 pairs, plus the
+    cross pairs to a near-duplicate of the group text."""
+    k = 40
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(k)]
+    rows.append((999, boiler.replace("dog", "cat")))  # near-dup of the group
+    docs = _docs(spark, rows)
+    # intermediate: signatures see ONE representative of the identical group
+    fp_reps = dedup.minhash_signatures(
+        docs.dropDuplicates(["text"]), num_hashes=16, band_size=4
+    )
+    assert fp_reps.select("doc_id").distinct().count() == 2
+    got = rows_by_key(dedup.minhash_dedup(docs, threshold=0.5), "doc_a", "doc_b")
+    within = {p for p in got if p[1] != 999}
+    cross = {p for p in got if p[1] == 999}
+    assert len(within) == k * (k - 1) // 2
+    assert all(got[p]["jaccard"] == 1.0 for p in within)
+    assert len(cross) == k  # every member pairs with the near-dup
+    assert len({round(got[p]["jaccard"], 4) for p in cross}) == 1
+
+
+def test_minhash_bucket_cap_bounds_near_identical_flood(spark):
+    """Adversarial: K NEAR-identical docs (distinct texts — the pre-pass
+    cannot collapse them). Uncapped, every band bucket holds all K docs →
+    ~K²/2 candidate pairs; with bucket_cap the candidate stage drops the hot
+    buckets (documented recall tradeoff) and oversized_buckets reports
+    exactly what was dropped."""
+    k = 60
+    base = " ".join(f"w{j}" for j in range(40))
+    docs = _docs(spark, [(i, base + f" unique{i}") for i in range(k)])
+    sig = dedup.minhash_signatures(docs)
+    uncapped = dedup.minhash_candidates(sig).count()
+    # near-all pairs collide (a unique-suffix shingle can occasionally win a
+    # minhash slot and split one pair out of a band)
+    assert uncapped >= 0.95 * k * (k - 1) // 2  # the failure mode being guarded
+    capped = dedup.minhash_candidates(sig, bucket_cap=10).count()
+    assert capped == 0  # every bucket holds all K docs → all dropped
+    dropped = dedup.oversized_buckets(sig, bucket_cap=10)
+    assert dropped.count() == 4  # one oversized bucket per band
+    assert all(r["n_docs"] >= 0.8 * k for r in dropped.collect())
+    # end-to-end: capped dedup completes with bounded output
+    assert dedup.minhash_dedup(docs, threshold=0.5, bucket_cap=10).count() == 0
+
+
+def test_jaccard_pairs_candidate_bounded_shingling(spark):
+    """Verify mode must shingle ONLY docs implicated by the candidates frame:
+    the plan shows a left-semi join below the shingle explode, and the
+    cached shingle table's doc set is candidate-bounded."""
+    rows = [(i, f"a b c d{i} e f") for i in range(50)]
+    docs = _docs(spark, rows)
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = dedup.jaccard_pairs(docs, threshold=0.0, candidates=cand)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # the shingle table under the semi-join covers 2 docs, not 50
+    implicated = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(implicated, "doc_id", "left_semi")
+    assert sh.count() == 2
+    assert out.count() == 1  # the (1,2) pair is scored; nothing else
+
+
 def test_simhash_identical_and_candidates(spark):
     docs = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
                          (3, "zeta eta theta iota")])
