@@ -143,18 +143,29 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def text_profile(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    gopher: bool = False,
+    pii: bool = False,
 ) -> DataFrame:
     """EVERY per-document text analysis in ONE map-only projection: stats +
     quality (text_stats), stopword language-ID (language_id), ws/BPE token
-    counts (token_counts) and the min-hash fingerprint (fingerprint).
+    counts (token_counts) and the min-hash fingerprint (fingerprint); with
+    ``gopher=True`` the Gopher/MassiveText rule flags and with ``pii=True``
+    the PII redaction (redacted text + per-kind counts) append in the SAME
+    stage — the expressions are shared with :func:`gopher_quality_flags` /
+    :func:`redact_pii` via the ``_gopher_exprs`` / ``_pii_output_cols``
+    builders, so the profile and the standalone operators cannot drift.
 
     This is both the consolidated driver-gate entry (round-1 x10–x13 merged
-    into one checked slot) and the right 100 TB shape: the four operators
-    share the tokenization, so composing them as separate frames joined on
-    doc_id would shuffle a pure map computation four times — here the token
-    array is projected once and every feature derives from it in the same
-    stage, no shuffle at all (plan-asserted in tests/test_plans.py)."""
+    into one checked slot; round-3 adds gopher+pii) and the right 100 TB
+    shape: the operators share the tokenization, so composing them as
+    separate frames joined on doc_id would shuffle a pure map computation
+    several times — here the token array is projected once and every feature
+    derives from it in the same stage, no shuffle at all (plan-asserted in
+    tests/test_plans.py)."""
     docs = with_tokens(docs, text_col)
     tok = F.col("_tok")
     n_tok = F.size(tok)
@@ -213,6 +224,8 @@ def text_profile(
         F.size("_sh").alias("n_shingles"),
         n_sh_total.alias("n_shingles_total"),
         dup_ratio.alias("dup_shingle_ratio"),
+        *(_gopher_output_cols(text_col, tok) if gopher else []),
+        *(_pii_output_cols(text_col) if pii else []),
     )
 
 
@@ -261,6 +274,67 @@ def tfidf_top_terms(
     )
 
 
+def _gopher_exprs(text_col: str, tok: Column) -> tuple[dict[str, Column], dict[str, Column]]:
+    """Raw (unrounded) Gopher rule measurements and flags, shared by
+    :func:`gopher_quality_flags` and :func:`text_profile` so the driver-gated
+    profile and the standalone operator can never drift. Returns
+    (measurements, flags); flags compare the RAW measurements (rounding
+    happens only at output time)."""
+    n_words = F.size(tok)
+    mean_wl = F.aggregate(
+        tok, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / n_words
+    sym_ratio = (
+        F.regexp_count(F.col(text_col), F.lit(r"[#]|\.\.\.|…")) / n_words
+    )
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines
+    ellipsis_frac = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    alpha_frac = F.size(F.filter(tok, lambda t: t.rlike("[A-Za-z]"))) / n_words
+    n_stop = F.size(
+        F.array_distinct(F.filter(tok, _isin(LANG_STOPWORDS["en"])))
+    )
+    meas = {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_distinct_stopwords": n_stop,
+    }
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "ok_symbol_ratio": sym_ratio <= 0.1,
+        "ok_bullet_lines": bullet_frac <= 0.9,
+        "ok_ellipsis_lines": ellipsis_frac <= 0.3,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stopwords": n_stop >= 2,
+    }
+    return meas, flags
+
+
+def _gopher_output_cols(text_col: str, tok: Column) -> list[Column]:
+    """The Gopher rule output columns (rounded measurements + flags + keep)."""
+    meas, flags = _gopher_exprs(text_col, tok)
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return [
+        meas["n_words"].alias("n_words"),
+        F.round(meas["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(meas["symbol_ratio"], 4).alias("symbol_ratio"),
+        F.round(meas["bullet_line_frac"], 4).alias("bullet_line_frac"),
+        F.round(meas["ellipsis_line_frac"], 4).alias("ellipsis_line_frac"),
+        F.round(meas["alpha_word_frac"], 4).alias("alpha_word_frac"),
+        meas["n_distinct_stopwords"].alias("n_distinct_stopwords"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        keep.alias("keep"),
+    ]
+
+
 def gopher_quality_flags(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -279,46 +353,7 @@ def gopher_quality_flags(
     - contains ≥ 2 distinct common-English stopwords
     """
     docs = with_tokens(docs, text_col)
-    tok = F.col("_tok")
-    n_words = F.size(tok)
-    mean_wl = F.aggregate(
-        tok, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    ) / n_words
-    sym_ratio = (
-        F.regexp_count(F.col(text_col), F.lit(r"[#]|\.\.\.|…")) / n_words
-    )
-    lines = F.split(F.col(text_col), r"\n")
-    n_lines = F.size(lines)
-    bullet_frac = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines
-    ellipsis_frac = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
-    alpha_frac = F.size(F.filter(tok, lambda t: t.rlike("[A-Za-z]"))) / n_words
-    n_stop = F.size(
-        F.array_distinct(F.filter(tok, _isin(LANG_STOPWORDS["en"])))
-    )
-    flags = {
-        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
-        "ok_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
-        "ok_symbol_ratio": sym_ratio <= 0.1,
-        "ok_bullet_lines": bullet_frac <= 0.9,
-        "ok_ellipsis_lines": ellipsis_frac <= 0.3,
-        "ok_alpha_words": alpha_frac >= 0.8,
-        "ok_stopwords": n_stop >= 2,
-    }
-    keep = None
-    for c in flags.values():
-        keep = c if keep is None else (keep & c)
-    return docs.select(
-        id_col,
-        n_words.alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(sym_ratio, 4).alias("symbol_ratio"),
-        F.round(bullet_frac, 4).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
-        F.round(alpha_frac, 4).alias("alpha_word_frac"),
-        n_stop.alias("n_distinct_stopwords"),
-        *[expr.alias(name) for name, expr in flags.items()],
-        keep.alias("keep"),
-    )
+    return docs.select(id_col, *_gopher_output_cols(text_col, F.col("_tok")))
 
 
 # PII scrubbing patterns, applied IN ORDER (each pattern sees the previous
@@ -348,6 +383,19 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def _pii_output_cols(text_col: str) -> list[Column]:
+    """Redacted text + per-kind match counts, shared by :func:`redact_pii`
+    and :func:`text_profile`. Each pattern is counted against the text AS THE
+    PREVIOUS PATTERN LEFT IT, then replaced — order matters and is part of
+    the contract."""
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, f"<PII:{kind}>")
+    return [cur.alias("text_redacted"), *counts]
+
+
 def redact_pii(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -357,12 +405,7 @@ def redact_pii(
     codegen — no Python in the loop); counts ride along per kind so a
     pipeline can audit/threshold what it scrubbed (docs dropping too much
     are usually boilerplate/spam)."""
-    cur = F.col(text_col)
-    counts = []
-    for kind, pat in PII_PATTERNS:
-        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
-        cur = F.regexp_replace(cur, pat, f"<PII:{kind}>")
-    return docs.select(id_col, cur.alias("text_redacted"), *counts)
+    return docs.select(id_col, *_pii_output_cols(text_col))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:

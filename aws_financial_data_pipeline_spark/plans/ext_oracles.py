@@ -9,7 +9,7 @@ sequential in both engines (Spark ``aggregate`` over ``zip_with`` ↔ DuckDB
 from __future__ import annotations
 
 from ..operators.similarity import plane_rows
-from ..operators.text import BPE_REGEX, LANG_STOPWORDS
+from ..operators.text import BPE_REGEX, LANG_STOPWORDS, PII_PATTERNS
 from .transactions_view import ORACLE_PRELUDE as _P
 
 # shared shingle prelude (word 3-grams, distinct per doc)
@@ -81,6 +81,58 @@ q AS (SELECT vec_id AS q_id, e AS qe, n2 AS qn2 FROM n WHERE vec_id % 100 = 0)
 
 def _planes_values() -> str:
     return ", ".join(f"({j},{i},{w!r})" for j, i, w in plane_rows())
+
+
+def _pii_sql(col: str = "text") -> tuple[str, list[str]]:
+    """Chained redaction expression + per-kind count columns, generated from
+    the SAME PII_PATTERNS the Spark operator uses (RE2-compatible by design —
+    no lookaround; parity is also pytest-asserted in test_text_dedup.py).
+    Each count runs against the text as the previous pattern left it."""
+    expr = col
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT) AS n_{kind}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '<PII:{kind}>', 'g')"
+    return expr, counts
+
+
+# Gopher rule raw measurements (unrounded — flags compare these; output
+# rounds to 4dp exactly like the Spark side)
+_GOPHER_GP = r"""
+, gp AS (
+  SELECT doc_id,
+         CAST(len(tok) AS BIGINT) AS g_nw,
+         list_sum(list_transform(tok, x -> length(x))) / len(tok) AS g_mwl,
+         len(regexp_extract_all(text, '[#]|\.\.\.|…')) / len(tok) AS g_sym,
+         len(list_filter(ln, l -> regexp_matches(l, '^\s*[-*•]'))) / len(ln) AS g_bul,
+         len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) / len(ln) AS g_ell,
+         len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]'))) / len(tok) AS g_alpha,
+         CAST(len(list_distinct(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is')))) AS BIGINT) AS g_nstop
+  FROM t
+)
+"""
+
+_GOPHER_FLAGS = """
+           g_nw AS n_words,
+           round(g_mwl, 4) AS mean_word_len,
+           round(g_sym, 4) AS symbol_ratio,
+           round(g_bul, 4) AS bullet_line_frac,
+           round(g_ell, 4) AS ellipsis_line_frac,
+           round(g_alpha, 4) AS alpha_word_frac,
+           g_nstop AS n_distinct_stopwords,
+           (g_nw >= 50 AND g_nw <= 100000) AS ok_word_count,
+           (g_mwl >= 3 AND g_mwl <= 10) AS ok_mean_word_len,
+           (g_sym <= 0.1) AS ok_symbol_ratio,
+           (g_bul <= 0.9) AS ok_bullet_lines,
+           (g_ell <= 0.3) AS ok_ellipsis_lines,
+           (g_alpha >= 0.8) AS ok_alpha_words,
+           (g_nstop >= 2) AS ok_stopwords,
+           (g_nw >= 50 AND g_nw <= 100000 AND g_mwl >= 3 AND g_mwl <= 10
+            AND g_sym <= 0.1 AND g_bul <= 0.9 AND g_ell <= 0.3
+            AND g_alpha >= 0.8 AND g_nstop >= 2) AS keep
+"""
 
 
 def _lang_scores_sql() -> str:
@@ -156,6 +208,60 @@ EXT_ORACLES: dict[str, str] = {
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.7
+    """,
+    # train/test decontamination: the full-corpus LSH + exact-verify pairs
+    # (same machinery as x39 — signatures are content-based, so the union-
+    # with-offset id space the Spark operator uses yields exactly the cross-
+    # membership subset of the full-corpus pair set), keeping only pairs that
+    # straddle the train (doc_id % 5 <> 0) / test (doc_id % 5 = 0) split
+    "x40_decontamination": _MINHASH_SIG
+    + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+             round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.7
+    )
+    SELECT CASE WHEN doc_a % 5 <> 0 THEN doc_a ELSE doc_b END AS train_id,
+           CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS test_id,
+           jaccard
+    FROM verified
+    WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+    """,
+    # chunking (32-token windows, stride 24) + contiguous greedy packing
+    # (bin = exclusive-prefix-sum // 256 over (doc_id, chunk_id) order)
+    "x41_chunk_pack": r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+    ch AS (
+      SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+             list_slice(t, s + 1, s + 32) AS piece
+      FROM toks, LATERAL UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS u(s)
+    ),
+    c2 AS (
+      SELECT doc_id, chunk_id, CAST(len(piece) AS BIGINT) AS n_tokens,
+             array_to_string(piece, ' ') AS chunk_text
+      FROM ch
+    )
+    SELECT doc_id, chunk_id, n_tokens, chunk_text,
+           CAST(floor(coalesce(sum(n_tokens) OVER pre, 0) / 256) AS BIGINT) AS bin_id
+    FROM c2
+    WINDOW pre AS (ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     """,
     "x06_simhash_candidates": _SIMHASH64
     + """
@@ -297,15 +403,18 @@ EXT_ORACLES: dict[str, str] = {
     JOIN n nb ON nb.vec_id = c.doc_b
     WHERE round(list_dot_product(na.e, nb.e) / sqrt(na.n2 * nb.n2), 6) >= 0.35
     """,
-    # single merged per-document profile (round-1 x10+x11+x12+x13): stats +
-    # quality, language scores/prediction, ws/BPE token counts, fingerprint
+    # single merged per-document profile (round-1 x10+x11+x12+x13; round-3
+    # adds the Gopher rule flags + PII redaction): stats + quality, language
+    # scores/prediction, ws/BPE token counts, fingerprint, gopher, redaction
     "x10_text_profile": _SHINGLES
     + r"""
     , fp AS (
       SELECT doc_id, min(md5(s)) AS fingerprint, CAST(count(*) AS BIGINT) AS n_shingles
       FROM sh GROUP BY doc_id
     ),
-    t AS (SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS tok FROM documents),
+    t AS (SELECT doc_id, lang, text, string_split_regex(text, '\s+') AS tok,
+                 string_split_regex(text, '\n') AS ln
+          FROM documents),
     sc AS (
       SELECT doc_id, lang AS lang_actual, text, tok,
        """
@@ -313,6 +422,9 @@ EXT_ORACLES: dict[str, str] = {
     + r"""
       FROM t
     )
+    """
+    + _GOPHER_GP
+    + r"""
     SELECT sc.doc_id, lang_actual,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(tok) AS BIGINT) AS n_tokens,
@@ -336,8 +448,15 @@ EXT_ORACLES: dict[str, str] = {
            CAST(greatest(len(tok) - 2, 0) AS BIGINT) AS n_shingles_total,
            CASE WHEN len(tok) - 2 > 0
                 THEN round(1.0 - coalesce(fp.n_shingles, 0) / (len(tok) - 2), 4)
-                ELSE 0.0 END AS dup_shingle_ratio
-    FROM sc LEFT JOIN fp USING (doc_id)
+                ELSE 0.0 END AS dup_shingle_ratio,
+    """
+    + _GOPHER_FLAGS
+    + ",\n           "
+    + _pii_sql("text")[0]
+    + " AS text_redacted,\n           "
+    + ",\n           ".join(_pii_sql("text")[1])
+    + r"""
+    FROM sc LEFT JOIN fp USING (doc_id) JOIN gp USING (doc_id)
     """,
     # ranking is on the 6dp-ROUNDED score (see text.tfidf_top_terms: equal
     # real scores from different (tf,df) factorizations differ in the last
@@ -429,7 +548,9 @@ EXT_ORACLES: dict[str, str] = {
            CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split,
-           bucket < (CASE WHEN lang_pred = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample
+           bucket < (CASE WHEN lang_pred = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample,
+           row_number() OVER (PARTITION BY lang_pred
+                              ORDER BY md5(doc_id::VARCHAR), doc_id) <= 50 AS in_quota
     FROM sel
     """,
     # tumbling + sliding consolidated (round-1 x14+x15); decimal value sums
@@ -509,14 +630,43 @@ EXT_ORACLES: dict[str, str] = {
            md5(text) AS digest
     FROM documents
     """,
-    # Streaming twin of x14: a bounded availableNow replay of the same
-    # windowed aggregation must equal the batch result, so it shares the
-    # batch oracle verbatim.
-    "x19_stream_tumbling": """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, count(*) AS n_events,
+    # Streaming replays must equal their batch twins, so the merged streaming
+    # entry (round-3: tumbling + session windows in one slot) is the UNION of
+    # the two batch oracles under a kind discriminator. Session semantics:
+    # new session at gap >= 30 min (session windows are half-open
+    # [start, last+gap)); end = last + gap; (user_id, ts) is unique so
+    # ORDER BY ts needs no tiebreak.
+    "x19_stream_windows": """
+    SELECT 'tumbling' AS kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(NULL AS VARCHAR) AS win_end,
+           event_type AS grp, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 4
+    UNION ALL
+    SELECT 'session', session_start, session_end, CAST(user_id AS VARCHAR),
+           n_events, total_value
+    FROM (
+      WITH g AS (
+        SELECT user_id, value, ts, epoch(ts) AS tsd,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ),
+      s AS (
+        SELECT *, sum(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY tsd
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM g
+      )
+      SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM s GROUP BY user_id, seq
+    )
     """,
     "x37_rank_functions": """
     WITH counts AS (
@@ -531,30 +681,6 @@ EXT_ORACLES: dict[str, str] = {
            CAST(ntile(4) OVER w AS INT) AS quartile
     FROM counts
     WINDOW w AS (PARTITION BY event_type ORDER BY n_events DESC, user_id ASC)
-    """,
-    # batch twin of streaming session_window: new session at gap >= 30 min
-    # (session windows are half-open [start, last+gap)); end = last + gap.
-    # (user_id, ts) is unique, so ORDER BY ts needs no tiebreak.
-    "x30_stream_sessions": """
-    WITH g AS (
-      SELECT user_id, value, ts, epoch(ts) AS tsd,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                       OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ),
-    s AS (
-      SELECT *, sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY tsd
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
-      FROM g
-    )
-    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-           user_id, count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM s GROUP BY user_id, seq
     """,
     # (user_id, ts) is unique in the events table, so the as-of match is
     # deterministic without a tiebreak on both engines.
@@ -583,18 +709,19 @@ EXT_ORACLES: dict[str, str] = {
     FROM v JOIN e ON v.user_id = e.user_id
                  AND e.err_start <= v.ts AND v.ts <= e.err_end
     """,
-    "x23_stream_dedup": """
-    SELECT DISTINCT md5(text) AS fp FROM documents
-    """,
-    # replay of the stream-static enrichment == the batch join
-    "x35_stream_static_join": """
-    SELECT c.c_mktsegment, e.event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    # merged streaming slot #2 (round-3): exact dedup replay == the distinct
+    # digest set; stream-static enrichment replay == the batch join
+    "x23_stream_dedup_enrich": """
+    SELECT 'dedup' AS kind, fp AS k1, CAST(NULL AS VARCHAR) AS k2,
+           CAST(NULL AS BIGINT) AS n_events, CAST(NULL AS DOUBLE) AS total_value
+    FROM (SELECT DISTINCT md5(text) AS fp FROM documents)
+    UNION ALL
+    SELECT 'enrich', c.c_mktsegment, e.event_type,
+           count(*), CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY 1, 2
+    GROUP BY 2, 3
     """,
     # replay of the stream-stream interval join == batch range join
     "x25_stream_stream_join": """

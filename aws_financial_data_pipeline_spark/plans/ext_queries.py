@@ -119,12 +119,15 @@ def _long(df: DataFrame, *cols: str) -> DataFrame:
 
 def x10_text_profile(spark, sf_dir):
     """All per-document text analysis in one map-only pass (round-1
-    x10+x11+x12+x13 consolidated): stats/quality, stopword language-ID,
-    ws/BPE token counts, min-hash fingerprint. One checked slot, zero
-    shuffle."""
-    out = text.text_profile(_docs(spark, sf_dir))
+    x10+x11+x12+x13 consolidated; round-3 folds in the Gopher quality-rule
+    flags and PII redaction so both are driver-oracle-gated): stats/quality,
+    stopword language-ID, ws/BPE token counts, min-hash fingerprint, the
+    seven Gopher rule measurements + flags + keep, and the redacted text +
+    per-kind PII counts. One checked slot, zero shuffle."""
+    out = text.text_profile(_docs(spark, sf_dir), gopher=True, pii=True)
     longs = ["n_chars", "n_tokens", "n_distinct_tokens", "ws_tokens", "bpe_tokens",
-             "n_shingles", "n_shingles_total",
+             "n_shingles", "n_shingles_total", "n_words", "n_distinct_stopwords",
+             "n_email", "n_ssn", "n_ipv4", "n_phone",
              *[c for c in out.columns if c.startswith("score_")]]
     return _long(out, *longs)
 
@@ -158,21 +161,12 @@ def x17_events_profile(spark, sf_dir):
     return events.event_type_profile(_events(spark, sf_dir))
 
 
-def x19_stream_tumbling(spark, sf_dir):
-    """Streaming twin of x14: the SAME tumbling-window expressions run as a
-    Structured Streaming job (file source → watermark → windowed agg → memory
-    sink, availableNow replay). A full replay must equal the batch result, so
-    this entry shares x14's DuckDB oracle — a real correctness gate on the
-    streaming path.
-
-    The watermark is generous (365 days) because a bounded replay should drop
-    nothing; late-data *dropping* is exercised in tests/test_streaming.py where
-    batch boundaries are controlled."""
-    from ..streaming.windows import tumbling_stream
-
+def _events_stream(spark, sf_dir):
+    """Unbounded file-source stream over the events table (glob-filtered to
+    the one parquet — the file stream source wants a DIRECTORY), with the
+    same nanos→micros conversion as the batch reader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source wants a DIRECTORY; glob-filter to the one table
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -180,16 +174,72 @@ def x19_stream_tumbling(spark, sf_dir):
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    out = tumbling_stream(stream, "1 hour", watermark="365 days")
+    return stream
+
+
+def _replay(spark, out, name: str, mode: str):
+    """Run a streaming frame to completion (availableNow) into a memory sink
+    and return the materialized table."""
     q = (
         out.writeStream.format("memory")
-        .queryName("x19_stream_tumbling")
-        .outputMode("complete")
+        .queryName(name)
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table("x19_stream_tumbling")
+    return spark.table(name)
+
+
+def x19_stream_windows(spark, sf_dir):
+    """Streaming event-time WINDOWS, both shapes in one checked slot (round-3
+    merge of the round-2 x19_stream_tumbling + x30_stream_sessions entries —
+    the four streaming replays held four of the driver's 50 oracle slots;
+    merging them freed slots for the LLM-pipeline operators):
+
+    - tumbling: the SAME 1-hour window expressions as batch x14 run as a
+      Structured Streaming job (file source → watermark → windowed agg →
+      memory sink, availableNow replay);
+    - session: native ``session_window`` state-merge sessionization, the
+      stateful twin of x16's batch lag+running-sum form (sessions split at
+      gap ≥ 30 min, end = last event + gap).
+
+    A full replay must equal the batch result, so the oracle is the UNION of
+    the two batch forms under a ``kind`` discriminator. The watermark is
+    generous (365 days) because a bounded replay should drop nothing;
+    late-data *dropping* is exercised in tests/test_streaming.py and
+    tests/test_watermark.py where batch boundaries are controlled."""
+    from ..streaming.windows import session_stream, tumbling_stream
+
+    t = _replay(
+        spark,
+        tumbling_stream(_events_stream(spark, sf_dir), "1 hour", watermark="365 days"),
+        "x19_tumbling",
+        "complete",
+    )
+    s = _replay(
+        spark,
+        session_stream(_events_stream(spark, sf_dir), gap="30 minutes", watermark="365 days"),
+        "x19_sessions",
+        "complete",
+    )
+    return t.select(
+        F.lit("tumbling").alias("kind"),
+        F.col("window_start").alias("win_start"),
+        F.lit(None).cast("string").alias("win_end"),
+        F.col("event_type").alias("grp"),
+        "n_events",
+        "total_value",
+    ).unionByName(
+        s.select(
+            F.lit("session").alias("kind"),
+            F.col("session_start").alias("win_start"),
+            F.col("session_end").alias("win_end"),
+            F.col("user_id").cast("string").alias("grp"),
+            "n_events",
+            "total_value",
+        )
+    )
 
 
 def x20_asof_join(spark, sf_dir):
@@ -251,30 +301,68 @@ def x22_interval_join(spark, sf_dir):
     return out.select("user_id", "view_id", "error_id")
 
 
-def x23_stream_dedup(spark, sf_dir):
-    """Streaming exact dedup: dropDuplicates over a content digest keeps
-    per-key state in the store — the unbounded-stream form of x01. A full
-    availableNow replay must produce exactly the distinct digest set, so the
-    oracle is plain SELECT DISTINCT."""
+def x23_stream_dedup_enrich(spark, sf_dir):
+    """The two STATEless/stateful streaming shapes that don't involve
+    event-time windows, in one checked slot (round-3 merge of the round-2
+    x23_stream_dedup + x35_stream_static_join entries — see x19's docstring
+    for why):
+
+    - dedup: ``dropDuplicates`` over a content digest keeps per-key state in
+      the store — the unbounded-stream form of x01; a full availableNow
+      replay must produce exactly the distinct digest set.
+    - enrich: the unbounded event stream joined to BATCH dimension tables
+      (customer → nation), broadcast per micro-batch, then windowless
+      aggregation per (market segment, event type) — the canonical
+      dimension-enrichment shape; replay equals the batch join.
+
+    The oracle is the UNION of the two batch equivalents under a ``kind``
+    discriminator (dedup rows carry NULL aggregate columns)."""
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
+    doc_stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    deduped = (
-        stream.select(F.md5("text").alias("fp"))
-        .dropDuplicates(["fp"])
+    d = _replay(
+        spark,
+        doc_stream.select(F.md5("text").alias("fp")).dropDuplicates(["fp"]),
+        "x23_dedup",
+        "append",
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("x23_stream_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
     )
-    q.awaitTermination()
-    return spark.table("x23_stream_dedup")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    dim = cust.join(F.broadcast(nation), "c_nationkey").select(
+        "user_id", "c_mktsegment", "nation"
+    )
+    enriched = _events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    e = _replay(
+        spark,
+        enriched.groupBy("c_mktsegment", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        ),
+        "x23_enrich",
+        "complete",
+    )
+    return d.select(
+        F.lit("dedup").alias("kind"),
+        F.col("fp").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("total_value"),
+    ).unionByName(
+        e.select(
+            F.lit("enrich").alias("kind"),
+            F.col("c_mktsegment").alias("k1"),
+            F.col("event_type").alias("k2"),
+            "n_events",
+            "total_value",
+        )
+    )
 
 
 def x25_stream_stream_join(spark, sf_dir):
@@ -308,35 +396,6 @@ def x25_stream_stream_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table("x25_stream_stream_join")
-
-
-def x30_stream_sessions(spark, sf_dir):
-    """Native streaming sessionization (session_window state merge) — the
-    stateful twin of x16's batch lag+running-sum form. A full availableNow
-    replay must equal batch gap-sessionization, which is the oracle: sessions
-    split where the inter-event gap is ≥ 30 min (session windows are half-open
-    [start, last+gap)), end = last event + gap."""
-    from ..streaming.windows import session_stream
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    out = session_stream(stream, gap="30 minutes", watermark="365 days")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("x30_stream_sessions")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table("x30_stream_sessions")
 
 
 def x33_gapfill_rolling(spark, sf_dir):
@@ -463,7 +522,8 @@ def x32_corpus_curation(spark, sf_dir):
     is an existing operator (x01 / x10's profile / operators.sampling); this
     entry locks in that they compose AND is the checked slot for the
     split/sample operators (round-1 x29 subsumed: split_assign and
-    stratified_sample_flag both gate here)."""
+    stratified_sample_flag both gate here; round-3 adds quota_sample_flag —
+    at most 50 docs per predicted language, chosen by md5(id) order)."""
     from ..operators import dedup, sampling, text
 
     docs = _docs(spark, sf_dir)
@@ -485,47 +545,51 @@ def x32_corpus_curation(spark, sf_dir):
     out = sampling.stratified_sample_flag(
         out, "doc_id", "lang_pred", {"en": 0.2}, default_rate=0.5
     )
+    out = sampling.quota_sample_flag(out, "doc_id", "lang_pred", quota=50)
     return out.select(
-        "doc_id", "lang_pred", "quality_score", "bucket", "split", "in_sample"
+        "doc_id", "lang_pred", "quality_score", "bucket", "split", "in_sample",
+        "in_quota",
     )
 
 
-def x35_stream_static_join(spark, sf_dir):
-    """Stream-static enrichment join: the unbounded event stream joined to
-    BATCH dimension tables (customer → nation), then windowless aggregation
-    per (market segment, event type). The static side is re-read per
-    micro-batch and broadcast — no state, the canonical dimension-enrichment
-    shape. Replay equals the batch join, which is the oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+# -- decontamination / packing ----------------------------------------------
+
+
+def x40_decontamination(spark, sf_dir):
+    """Train/test decontamination (operators/dedup.py
+    cross_corpus_contamination): the documents table split into a train corpus
+    (doc_id % 5 ≠ 0) and a held-out test corpus (doc_id % 5 = 0), then the
+    benchmark-leakage check every pretraining pipeline runs — cross-corpus
+    pairs with shingle Jaccard ≥ 0.7 found via the scale-path MinHash dedup
+    (union under a disjoint id space → LSH candidates → exact verify on
+    candidates only, never quadratic). The oracle recomputes signatures,
+    candidates AND verified Jaccard over the full corpus and keeps only
+    cross-membership pairs — every internal stage stays hash-gated."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.cross_corpus_contamination(train, test, threshold=0.7)
+
+
+def x41_chunk_pack(spark, sf_dir):
+    """Token-window chunking + sequence packing (operators/packing.py), the
+    two steps between "clean corpus" and "batched samples": each document's
+    tokens split into 32-token windows with stride 24 (overlapping — stride
+    exercised on purpose), then contiguous greedy packing into 256-token bins
+    via one exclusive-prefix-sum window. Both are plain SQL (slice over
+    generated offsets; sum() OVER rows-preceding), so the whole pipeline is
+    hash-gated including every chunk's text."""
+    from ..operators import packing
+
+    chunks = packing.chunk_tokens(_docs(spark, sf_dir), window=32, stride=24)
+    packed = packing.pack_chunks(chunks, budget=256)
+    return packed.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+        "bin_id",
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
-    )
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
-    )
-    dim = cust.join(F.broadcast(nation), "c_nationkey").select(
-        "user_id", "c_mktsegment", "nation"
-    )
-    enriched = stream.join(F.broadcast(dim), "user_id")
-    out = enriched.groupBy("c_mktsegment", "event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
-    )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("x35_stream_static_join")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table("x35_stream_static_join")
 
 
 # -- multimodal -------------------------------------------------------------
@@ -544,10 +608,14 @@ def x18_multimodal_features(spark, sf_dir):
 # sub-steps gate through their composites:
 #   x02/x03/x04 → x39 (signatures + candidates + verified Jaccard)
 #   x05 → x06 (simhash signatures gate through band keys + Hamming)
-#   x10-x13 → x10_text_profile (one map-only pass)
+#   x10-x13 → x10_text_profile (one map-only pass; round-3 also gates the
+#     Gopher rule flags + PII redaction there)
 #   x14+x15 → x14_events_windows;  x17+x21 → x17_events_profile
-#   x29 → x32 (split + stratified-sample columns);  x33+x36 → x33_gapfill_rolling
+#   x29 → x32 (split + stratified + quota sample columns);  x33+x36 → x33
 #   q20 → q15 (canonical section strings are fully hash-gated)
+#   round-3 streaming merges (freed two slots for x40/x41):
+#     x19_stream_tumbling + x30_stream_sessions → x19_stream_windows
+#     x23_stream_dedup + x35_stream_static_join → x23_stream_dedup_enrich
 #   x34 (no SQL oracle) and x38 (plan-shape gate) → pytest-only, see docstrings
 # Total: 24 q + 26 x = 50 entries, every one oracle-checked.
 EXT_QUERIES = {
@@ -561,20 +629,20 @@ EXT_QUERIES = {
     "x16_events_sessions": x16_events_sessions,
     "x17_events_profile": x17_events_profile,
     "x18_multimodal_features": x18_multimodal_features,
-    "x19_stream_tumbling": x19_stream_tumbling,
+    "x19_stream_windows": x19_stream_windows,
     "x20_asof_join": x20_asof_join,
     "x22_interval_join": x22_interval_join,
-    "x23_stream_dedup": x23_stream_dedup,
+    "x23_stream_dedup_enrich": x23_stream_dedup_enrich,
     "x24_zscore_grouped_pandas": x24_zscore_grouped_pandas,
     "x25_stream_stream_join": x25_stream_stream_join,
     "x26_ann_ivf_topk": x26_ann_ivf_topk,
     "x27_dedup_clusters": x27_dedup_clusters,
     "x28_tfidf_topk": x28_tfidf_topk,
-    "x30_stream_sessions": x30_stream_sessions,
     "x31_salted_agg": x31_salted_agg,
     "x32_corpus_curation": x32_corpus_curation,
     "x33_gapfill_rolling": x33_gapfill_rolling,
-    "x35_stream_static_join": x35_stream_static_join,
     "x37_rank_functions": x37_rank_functions,
     "x39_minhash_dedup": x39_minhash_dedup,
+    "x40_decontamination": x40_decontamination,
+    "x41_chunk_pack": x41_chunk_pack,
 }
