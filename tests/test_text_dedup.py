@@ -463,3 +463,37 @@ def test_sharded_minhash_dedup_bounds_join_to_shards(spark):
     # the global form catches the cross-shard pairs; the sharded form cannot
     assert (1, 3) in global_ and (1, 3) not in sharded
     assert set(sharded) < set(global_)
+
+
+def test_sharded_dedup_recall_on_testdata(spark):
+    """MEASURED cross-shard miss on the real sf0.001 corpus (round-3 verdict
+    task; numbers recorded in SCALING.md): sharding by the lang LABEL loses
+    most true pairs on this corpus (the generator reuses texts across
+    languages — metadata doesn't follow content), while sharding by the
+    CONTENT-DERIVED predicted language keeps every pair. The floors assert
+    the measured values with slack for testdata regeneration."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup(docs, threshold=0.7).collect()
+    }
+    assert len(full) >= 10  # enough signal to measure recall at all
+
+    by_label = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.sharded_minhash_dedup(docs, "lang", threshold=0.7).collect()
+    }
+    label_recall = len(full & by_label) / len(full)
+    # measured 8/28 ≈ 0.29: cross-label pairs are missed BY CONSTRUCTION
+    assert by_label <= full
+    assert label_recall < 0.8, "lang label unexpectedly became a good shard key"
+
+    pred = text.language_id(docs).select("doc_id", "lang_pred")
+    by_content = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.sharded_minhash_dedup(
+            docs.join(pred, "doc_id"), "lang_pred", threshold=0.7
+        ).collect()
+    }
+    content_recall = len(full & by_content) / len(full)
+    assert content_recall >= 0.95, f"content-derived shard recall fell: {content_recall:.2f}"
