@@ -99,8 +99,12 @@ def x09_embedding_neardup(spark, sf_dir):
     exact cosine on candidates only (round 1 shipped the exact all-pairs
     O(N²) form here; that form is now the guarded pytest recall oracle).
     The SQL oracle replicates the hyperplane bands, so the approximation is
-    itself hash-gated, not just rows-counted."""
-    return similarity.embedding_near_duplicates_lsh(spark, _emb(spark, sf_dir), threshold=0.35)
+    itself hash-gated, not just rows-counted. Knobs are PINNED (16 planes,
+    4-bit bands) to match the oracle's VALUES list; production callers leave
+    them None and get corpus-derived settings (scale_lsh_params)."""
+    return similarity.embedding_near_duplicates_lsh(
+        spark, _emb(spark, sf_dir), threshold=0.35, num_planes=16, band_size=4
+    )
 
 
 def x26_ann_ivf_topk(spark, sf_dir):

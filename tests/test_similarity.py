@@ -108,6 +108,49 @@ def test_embedding_near_duplicates_lsh_recall_floor_on_testdata(spark):
     assert recall >= 0.3, f"near-dup LSH recall collapsed: {recall:.2f}"
 
 
+def test_scale_lsh_params_grow_with_corpus():
+    """band_size must grow with log2(N) (bucket-load bound) and the band
+    count with the threshold's per-band match probability (recall bound)."""
+    p_small, b_small = sim.scale_lsh_params(500, 0.8)
+    p_big, b_big = sim.scale_lsh_params(500_000, 0.8)
+    assert b_big > b_small >= 4
+    assert p_small % b_small == 0 and p_big % b_big == 0  # whole bands
+    # harder (lower) threshold at the same N needs more bands, not fewer
+    planes_hard, band_hard = sim.scale_lsh_params(500_000, 0.35)
+    assert band_hard == b_big
+    assert planes_hard // band_hard >= p_big // b_big
+
+
+def _planted_corpus(spark, n, n_pairs, dim=32, seed=11):
+    """n base vectors + n_pairs planted near-dups (tiny noise ⇒ cosine ≈ 1),
+    deterministic. Returns (emb frame, planted pair set)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    planted = set()
+    for j in range(n_pairs):
+        noisy = base[j] + 0.02 * rng.standard_normal(dim)
+        rows.append((n + j, [float(x) for x in noisy]))
+        planted.add((j, n + j))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return emb, planted
+
+
+def test_lsh_auto_knobs_hold_recall_at_two_corpus_sizes(spark):
+    """Round-2 verdict: the fixed defaults were testdata-sized. With knobs
+    left None the operator derives them from the corpus count, so the SAME
+    call recovers planted near-dups at both 200 and 2000 vectors — no manual
+    re-tuning between scales."""
+    for n in (200, 2000):
+        emb, planted = _planted_corpus(spark, n, n_pairs=20)
+        got = sim.embedding_near_duplicates_lsh(spark, emb, threshold=0.9).collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+        recall = len(planted & pairs) / len(planted)
+        assert recall >= 0.7, f"auto-knob recall at n={n}: {recall:.2f}"
+
+
 def test_ann_recall_floor_on_testdata(spark):
     """Measured quality gate: LSH ANN must recover a meaningful fraction of
     the exact top-10 on the real embeddings table. The 16-plane/4-bit-band
