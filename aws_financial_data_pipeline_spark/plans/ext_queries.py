@@ -26,18 +26,33 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet_scaled(spark, f"{sf_dir}/embeddings.parquet")
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table. The driver testdata stores ``ts`` as parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read nanos as
-    long (runtime conf) and convert to a microsecond timestamp."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = read_parquet_scaled(spark, f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV, not double division: epoch-nanos exceed 2^53, so
-        # (ns / 1000).cast("long") routes through an imprecise double and can
-        # shift timestamps by ±1 µs vs DuckDB's exact truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Bring ``ts`` to TimestampType (µs, instant semantics) from either
+    encoding the driver testdata has shipped:
+
+    - parquet TIMESTAMP(NANOS) read as long via ``nanosAsLong``: integer
+      ``DIV 1000``, not double division — epoch-nanos exceed 2^53, so
+      ``(ns / 1000).cast("long")`` routes through an imprecise double and can
+      shift timestamps by ±1 µs vs DuckDB's exact truncation;
+    - parquet TIMESTAMP(MICROS) isAdjustedToUTC=false, which Spark reads as
+      TIMESTAMP_NTZ: plain cast — the session timezone is pinned to UTC
+      (session.py), so local==UTC and the instant matches DuckDB's naive
+      read bit-for-bit.
+    """
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table, ``ts`` normalized to a µs TimestampType (the testdata
+    has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) encodings —
+    see _normalize_event_ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_event_ts(read_parquet_scaled(spark, f"{sf_dir}/events.parquet"))
 
 
 # -- dedup ------------------------------------------------------------------
@@ -84,14 +99,20 @@ def _queryset(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") % 100 == 0)
 
 
-def x07_cosine_topk(spark, sf_dir):
+def x07_knn_topk(spark, sf_dir):
+    """Exact cosine top-k AND its LSH ANN scale path in ONE checked slot
+    (round-3 merge of x07_cosine_topk + x08_ann_lsh_topk — freed the slot
+    x42_dup_spans occupies), discriminated by ``method``: 'brute' is the
+    exact baseline every ANN variant is judged against (broadcast query
+    side, one corpus scan); 'lsh' restricts the same exact cosine to
+    band-sharing candidates (equi-join on band keys — the near-linear form).
+    Both rank with the same deterministic tie-break; the oracle replicates
+    the hyperplane bands bit-for-bit."""
     emb = _emb(spark, sf_dir)
-    return similarity.cosine_topk(emb, _queryset(emb), k=10)
-
-
-def x08_ann_lsh_topk(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    return similarity.ann_topk_lsh(spark, emb, _queryset(emb), k=10)
+    qs = _queryset(emb)
+    brute = similarity.cosine_topk(emb, qs, k=10).withColumn("method", F.lit("brute"))
+    lsh = similarity.ann_topk_lsh(spark, emb, qs, k=10).withColumn("method", F.lit("lsh"))
+    return brute.unionByName(lsh)
 
 
 def x09_embedding_neardup(spark, sf_dir):
@@ -168,7 +189,7 @@ def x17_events_profile(spark, sf_dir):
 def _events_stream(spark, sf_dir):
     """Unbounded file-source stream over the events table (glob-filtered to
     the one parquet — the file stream source wants a DIRECTORY), with the
-    same nanos→micros conversion as the batch reader."""
+    same ts normalization as the batch reader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -176,9 +197,7 @@ def _events_stream(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    return _normalize_event_ts(stream)
 
 
 def _replay(spark, out, name: str, mode: str):
@@ -381,13 +400,11 @@ def x25_stream_stream_join(spark, sf_dir):
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def side(event_type):
-        s = (
+        s = _normalize_event_ts(
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return s.filter(F.col("event_type") == event_type).select("user_id", "event_id", "ts")
 
     out = stream_stream_interval_join(side("click"), side("view"))
@@ -596,6 +613,25 @@ def x41_chunk_pack(spark, sf_dir):
     )
 
 
+def x42_dup_spans(spark, sf_dir):
+    """Cross-document duplicated n-gram SPAN removal (operators/spans.py):
+    token 8-grams occurring in ≥2 distinct docs are merged into maximal
+    per-doc spans and cut out of the text — the n-gram approximation of
+    suffix-array exact-substring dedup (Lee et al. 2021), i.e. the
+    boilerplate-stripping step that whole-doc dedup (x39) cannot express.
+    Output is (doc_id, removed_tokens, clean_text) for EVERY doc, so the
+    hash transitively gates the gram table, the duplicate-gram filter, the
+    interval merge AND the token-level removal: an off-by-one span boundary
+    changes clean_text."""
+    from ..operators import spans as spans_mod
+
+    docs = _docs(spark, sf_dir)
+    sp = spans_mod.duplicated_ngram_spans(docs, n=8, min_docs=2)
+    return spans_mod.remove_duplicated_spans(docs, sp).select(
+        "doc_id", "removed_tokens", "clean_text"
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -620,13 +656,14 @@ def x18_multimodal_features(spark, sf_dir):
 #   round-3 streaming merges (freed two slots for x40/x41):
 #     x19_stream_tumbling + x30_stream_sessions → x19_stream_windows
 #     x23_stream_dedup + x35_stream_static_join → x23_stream_dedup_enrich
+#   round-3 ANN merge (freed the slot for x42_dup_spans):
+#     x07_cosine_topk + x08_ann_lsh_topk → x07_knn_topk (method discriminator)
 #   x34 (no SQL oracle) and x38 (plan-shape gate) → pytest-only, see docstrings
 # Total: 24 q + 26 x = 50 entries, every one oracle-checked.
 EXT_QUERIES = {
     "x01_dedup_exact": x01_dedup_exact,
     "x06_simhash_candidates": x06_simhash_candidates,
-    "x07_cosine_topk": x07_cosine_topk,
-    "x08_ann_lsh_topk": x08_ann_lsh_topk,
+    "x07_knn_topk": x07_knn_topk,
     "x09_embedding_neardup": x09_embedding_neardup,
     "x10_text_profile": x10_text_profile,
     "x14_events_windows": x14_events_windows,
@@ -649,4 +686,5 @@ EXT_QUERIES = {
     "x39_minhash_dedup": x39_minhash_dedup,
     "x40_decontamination": x40_decontamination,
     "x41_chunk_pack": x41_chunk_pack,
+    "x42_dup_spans": x42_dup_spans,
 }
