@@ -1,0 +1,68 @@
+"""Runtime-filter tuning helpers (SCALING.md §runtime-filters).
+
+Spark injects a *runtime bloom filter* on the probe side of a shuffle join
+when the build side is selective: the build side is pre-aggregated into a
+bloom filter (``bloom_filter_agg``) and the probe-side scan gains a
+``might_contain(...)`` predicate, so probe rows that cannot possibly join are
+dropped AT THE SCAN, before the shuffle. For this engine's history semi-joins
+(`incremental_minhash_dedup`'s corpus restriction, the report's per-section
+history branches) that is exactly the 100 TB shape you want: the candidate-id
+side is tiny, the corpus scan is huge, and the bloom filter turns "shuffle
+100 TB then throw 99% away" into "read-and-drop at the source".
+
+On a real cluster the defaults already do this — injection requires the
+application side's scan to exceed
+``spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold``
+(10 GB) and the creation side to be under ``creationSideThreshold`` (10 MB),
+thresholds a 100 TB corpus scan clears trivially. Local testdata never
+reaches 10 GB, so demos/tests use :func:`runtime_bloom_filter` to drop the
+application-side threshold to 0; production code should NOT override the
+defaults (they are the guard against building filters nobody needs).
+
+Broadcast joins never get a bloom filter (the broadcast hash set already
+filters exactly); the injection only matters for shuffle joins, which is why
+the demo scope also disables auto-broadcast.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+_UNSET = object()
+
+
+@contextmanager
+def _scoped_conf(spark, settings: dict[str, str]):
+    old: dict[str, object] = {}
+    for k, v in settings.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = _UNSET
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in old.items():
+            if prev is _UNSET:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
+
+
+@contextmanager
+def runtime_bloom_filter(spark, *, force_shuffle_join: bool = True):
+    """Scope in which runtime bloom-filter injection fires on LOCAL-sized
+    data: application-side scan threshold dropped to 0 (default 10 GB — the
+    production guard, cleared trivially by a real corpus scan) and, when
+    ``force_shuffle_join``, auto-broadcast disabled (broadcast joins don't
+    need the filter — the hash set filters exactly). Restores every conf on
+    exit, so surrounding plans are untouched."""
+    settings = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    if force_shuffle_join:
+        settings["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    with _scoped_conf(spark, settings):
+        yield
