@@ -1,0 +1,157 @@
+"""Cross-document duplicated n-gram SPAN detection and removal.
+
+The n-gram approximation of exact-substring dedup ("Deduplicating Training
+Data Makes Language Models Better", Lee et al. 2021, arXiv:2107.06499): the
+suffix-array pass that finds verbatim ≥50-token repeats is not expressible as
+a dataflow, but its standard large-scale approximation is — mark every token
+n-gram that occurs verbatim in ≥ ``min_docs`` distinct documents, then merge
+overlapping marks into maximal per-document spans. Those spans are the
+boilerplate/license-header/navigation chrome a pretraining pipeline masks
+OUT of documents (distinct from whole-doc dedup, which keeps or drops entire
+documents — this keeps the document and removes the repeated substring).
+
+Shape at 100 TB: one groupBy on the n-gram key (the only shuffle — partial
+map-side combine applies since it's a count-distinct-docs aggregate), one
+shuffle join back to the gram table, then per-(doc) window merges. The gram
+key is the joined token string here because the DuckDB oracle must reproduce
+it exactly; a production run keys on ``xxhash64(gram)`` (``hash_grams=True``)
+to shuffle 8-byte keys instead of strings — same spans, cheaper exchange.
+
+No reference counterpart (the reference engine has no text surface); built
+for the LLM-pipeline brief alongside operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import with_tokens
+
+
+def _gram_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, off, gram): every token n-gram with its 0-based start offset.
+    NOT distinct per doc — a doc repeating its own n-gram yields one row per
+    occurrence, each a separate markable position."""
+    toked = with_tokens(docs, text_col)
+    tok = F.col("_tok")
+    idx = F.when(F.size(tok) >= n, F.sequence(F.lit(0), F.size(tok) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("off"),
+            F.concat_ws(" ", F.slice(tok, i + 1, n)).alias("gram"),
+        ),
+    )
+    return toked.select(
+        F.col(id_col).alias("doc_id"), F.explode(pair).alias("g")
+    ).select("doc_id", F.col("g.off").alias("off"), F.col("g.gram").alias("gram"))
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Maximal per-document token spans covered by n-grams that occur in
+    ≥ ``min_docs`` DISTINCT documents.
+
+    Returns (doc_id, span_start, span_end, span_tokens): token offsets,
+    ``span_end`` exclusive, ``span_tokens = span_end - span_start``. Spans
+    are maximal: overlapping or adjacent duplicated n-gram windows merge
+    (classic interval-merge via a running-max window — a new span starts
+    exactly when an offset exceeds every previous window's end).
+
+    ``hash_grams=True`` shuffles ``xxhash64(gram)`` (8 bytes) instead of the
+    gram string — the production setting; the default keeps the string key so
+    the DuckDB oracle can reproduce the grouping byte-for-byte.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    grams = _gram_table(docs, text_col, id_col, n)
+    key = F.xxhash64("gram").alias("k") if hash_grams else F.col("gram").alias("k")
+    grams = grams.select("doc_id", "off", key)
+    dup_keys = (
+        grams.groupBy("k")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    marks = grams.join(dup_keys, "k", "left_semi").select("doc_id", "off").distinct()
+
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy("doc_id").orderBy("off").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_max_end = F.max(F.col("off") + n).over(prev)
+    new_span = F.when(
+        prev_max_end.isNull() | (F.col("off") > prev_max_end), 1
+    ).otherwise(0)
+    return (
+        marks.withColumn("_grp", F.sum(new_span).over(run))
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("off").cast("long").alias("span_start"),
+            (F.max("off") + n).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply span removal: rebuild each document's text with every token
+    inside a duplicated span dropped (space-rejoined; documents with no spans
+    pass through verbatim).
+
+    Adds ``clean_text`` and ``removed_tokens``. Documents with no spans keep
+    their ORIGINAL text verbatim; documents with spans are rebuilt from the
+    surviving tokens space-joined (the corpus convention). The span list is
+    aggregated per doc and the filter is one JVM-side higher-order expression
+    (``exists`` over the span array per token index) — no Python in the row
+    path, and docs without spans never join (left join, empty-array
+    coalesce)."""
+    span_arr = spans.groupBy(F.col(id_col)).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toked = with_tokens(docs.join(span_arr, id_col, "left"), text_col)
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    tok = F.col("_tok")
+    # token i survives iff no span [s, e) contains i
+    kept = F.filter(
+        F.transform(tok, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda p: ~F.exists(
+            sp, lambda s: (s.span_start <= p.i) & (p.i < s.span_end)
+        ),
+    )
+    rebuilt = F.concat_ws(" ", F.transform(kept, lambda p: p.t))
+    return (
+        toked.withColumn(
+            "clean_text", F.when(F.size(sp) == 0, F.col(text_col)).otherwise(rebuilt)
+        )
+        .withColumn(
+            "removed_tokens", (F.size(tok) - F.size(kept)).cast("long")
+        )
+        .drop("_tok", "_spans")
+    )

@@ -263,6 +263,51 @@ EXT_ORACLES: dict[str, str] = {
     WINDOW pre AS (ORDER BY doc_id, chunk_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     """,
+    # x42: duplicated 8-gram spans (interval merge via running-max window)
+    # applied as token-level removal; span-free docs pass through verbatim
+    "x42_dup_spans": r"""
+    WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS off, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    marks AS (SELECT DISTINCT doc_id, off FROM grams SEMI JOIN dup USING (g)),
+    m AS (
+      SELECT doc_id, off,
+             max(off + 8) OVER (PARTITION BY doc_id ORDER BY off
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM marks
+    ),
+    g2 AS (
+      SELECT doc_id, off,
+             sum(CASE WHEN pme IS NULL OR off > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY off) AS grp
+      FROM m
+    ),
+    spans AS (SELECT doc_id, min(off) AS s, max(off) + 8 AS e FROM g2 GROUP BY doc_id, grp),
+    tokpos AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM tokpos p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = p.doc_id AND s.s <= p.pos AND p.pos < s.e)
+    ),
+    rebuilt AS (
+      SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS rt,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.t) - coalesce(r.kept_n, 0) AS BIGINT) AS removed_tokens,
+           CASE WHEN sp.doc_id IS NULL THEN c.text ELSE coalesce(r.rt, '') END AS clean_text
+    FROM toks c
+    LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
     "x06_simhash_candidates": _SIMHASH64
     + """
     , bands AS (
@@ -285,28 +330,26 @@ EXT_ORACLES: dict[str, str] = {
     )
     SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 8
     """,
-    "x07_cosine_topk": _EMB_NORM
-    + """
-    , scored AS (
+    # x07_knn_topk: brute baseline UNION LSH scale path (round-3 merge of
+    # x07_cosine_topk + x08_ann_lsh_topk), method discriminator
+    "x07_knn_topk": f"""
+    WITH planes AS (
+      SELECT j, list(w ORDER BY i) AS wv
+      FROM (VALUES {{planes}}) p(j, i, w) GROUP BY j
+    ),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM base),
+    q AS (SELECT vec_id AS q_id, e AS qe, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+    brute_scored AS (
       SELECT q.q_id, c.vec_id AS neighbor_id,
              list_dot_product(c.e, q.qe) / sqrt(c.n2 * q.qn2) AS cos
       FROM n c, q WHERE c.vec_id <> q.q_id
     ),
-    ranked AS (
+    brute_ranked AS (
       SELECT q_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
-      FROM scored
-    )
-    SELECT q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
-    FROM ranked WHERE rn <= 10
-    """,
-    "x08_ann_lsh_topk": f"""
-    WITH planes AS (
-      SELECT j, list(w ORDER BY i) AS wv
-      FROM (VALUES {_planes_values()}) p(j, i, w) GROUP BY j
+      FROM brute_scored
     ),
-    base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM base),
     sig AS (
       SELECT b.vec_id, CAST(p.j // 4 AS INT) AS band_id,
              CAST(sum(CASE WHEN list_dot_product(b.e, p.wv) > 0
@@ -320,22 +363,24 @@ EXT_ORACLES: dict[str, str] = {
       JOIN sig qs ON cs.band_id = qs.band_id AND cs.band_val = qs.band_val
       WHERE qs.vec_id % 100 = 0 AND cs.vec_id <> qs.vec_id
     ),
-    q AS (SELECT vec_id AS q_id, e AS qe, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
-    scored AS (
+    lsh_scored AS (
       SELECT cand.q_id, cand.neighbor_id,
              list_dot_product(c.e, q.qe) / sqrt(c.n2 * q.qn2) AS cos
       FROM cand
       JOIN n c ON c.vec_id = cand.neighbor_id
       JOIN q ON q.q_id = cand.q_id
     ),
-    ranked AS (
+    lsh_ranked AS (
       SELECT q_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
-      FROM scored
+      FROM lsh_scored
     )
-    SELECT q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
-    FROM ranked WHERE rn <= 10
-    """,
+    SELECT 'brute' AS method, q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+    FROM brute_ranked WHERE rn <= 10
+    UNION ALL
+    SELECT 'lsh' AS method, q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+    FROM lsh_ranked WHERE rn <= 10
+    """.format(planes=_planes_values()),
     "x26_ann_ivf_topk": _EMB_NORM
     + """
     , cent AS (SELECT CAST(vec_id AS INT) AS cell_id, e AS ce, n2 AS cn2 FROM n WHERE vec_id < 16),

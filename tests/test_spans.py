@@ -1,0 +1,98 @@
+"""Duplicated n-gram span detection + removal (operators/spans.py).
+
+Fixture corpus is crafted: a shared 10-token license header across three
+docs, a shared middle sentence across two, a doc with no duplication, and a
+doc shorter than n. Expected spans are hand-derived from token offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import spans
+
+HEADER = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 10 tokens, shared by docs 1-3
+MID = "m0 m1 m2 m3 m4 m5 m6 m7"  # 8 tokens, shared by docs 1 and 2
+
+
+def _docs(spark):
+    rows = [
+        (1, HEADER + " a1 a2 a3 " + MID + " a4 a5"),
+        (2, HEADER + " b1 b2 b3 b4 b5 " + MID),
+        (3, HEADER + " c1 c2 c3 c4 c5 c6 c7 c8"),
+        (4, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"),
+        (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_spans_cover_shared_header_and_middle(spark):
+    out = spans.duplicated_ngram_spans(_docs(spark), n=8, min_docs=2)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in out.collect()
+    }
+    # doc 1: header tokens 0-9 (grams at off 0..2), MID at tokens 13-20
+    # (grams at off 13 only: MID is exactly 8 tokens and neighbors differ)
+    assert (1, 0, 10, 10) in got
+    assert (1, 13, 21, 8) in got
+    # doc 2: header span + MID at its own offsets (tokens 15-22)
+    assert (2, 0, 10, 10) in got
+    assert (2, 15, 23, 8) in got
+    # doc 3: header only
+    assert (3, 0, 10, 10) in got
+    # docs 4 and 5: nothing duplicated / too short
+    assert not any(d in (4, 5) for d, *_ in got)
+    assert len(got) == 5
+
+
+def test_hash_grams_gives_identical_spans(spark):
+    base = spans.duplicated_ngram_spans(_docs(spark), n=8, min_docs=2)
+    hashed = spans.duplicated_ngram_spans(_docs(spark), n=8, min_docs=2, hash_grams=True)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, hashed.collect()))
+
+
+def test_min_docs_three_keeps_only_header(spark):
+    out = spans.duplicated_ngram_spans(_docs(spark), n=8, min_docs=3)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in out.collect()}
+    assert got == {(1, 0, 10), (2, 0, 10), (3, 0, 10)}
+
+
+def test_within_doc_repeat_not_marked_without_second_doc(spark):
+    # the same 8-gram twice in ONE doc: count_distinct(doc_id)=1 < min_docs
+    df = spark.createDataFrame(
+        [(1, "r0 r1 r2 r3 r4 r5 r6 r7 x r0 r1 r2 r3 r4 r5 r6 r7")],
+        "doc_id long, text string",
+    )
+    assert spans.duplicated_ngram_spans(df, n=8, min_docs=2).count() == 0
+
+
+def test_adjacent_windows_merge_into_one_maximal_span(spark):
+    # 12 shared tokens → grams at offsets 0..4 all overlap → ONE span [0, 12)
+    shared = " ".join(f"s{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, shared + " a"), (2, shared + " b")], "doc_id long, text string"
+    )
+    out = spans.duplicated_ngram_spans(df, n=8, min_docs=2).collect()
+    assert {(r.doc_id, r.span_start, r.span_end) for r in out} == {(1, 0, 12), (2, 0, 12)}
+
+
+def test_remove_duplicated_spans_rebuilds_text(spark):
+    docs = _docs(spark)
+    sp = spans.duplicated_ngram_spans(docs, n=8, min_docs=2)
+    cleaned = {r.doc_id: r for r in spans.remove_duplicated_spans(docs, sp).collect()}
+    # doc 3: header removed, unique tail kept
+    assert cleaned[3].clean_text == "c1 c2 c3 c4 c5 c6 c7 c8"
+    assert cleaned[3].removed_tokens == 10
+    # doc 1: header AND MID removed
+    assert cleaned[1].clean_text == "a1 a2 a3 a4 a5"
+    assert cleaned[1].removed_tokens == 18
+    # untouched docs pass through verbatim
+    assert cleaned[4].clean_text == cleaned[4].text and cleaned[4].removed_tokens == 0
+    assert cleaned[5].clean_text == "tiny doc"
+
+
+def test_plan_has_single_gram_shuffle_no_python(spark):
+    out = spans.duplicated_ngram_spans(_docs(spark), n=8, min_docs=2, hash_grams=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # JVM-side end to end
