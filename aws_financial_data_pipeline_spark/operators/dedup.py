@@ -328,11 +328,15 @@ def minhash_dedup(
     )
     # within-group pairs: identical texts are jaccard 1.0 by definition —
     # but only docs with ≥ n tokens have shingles at all (shorter docs never
-    # pair in the direct form; size() on the token split preserves that)
+    # pair in the direct form). Group members share the exact text (same
+    # md5), so eligibility is decided once per GROUP by whether its
+    # representative produced any signature row — reusing `sig` instead of
+    # re-tokenizing the whole corpus a second time (one full split+size pass
+    # saved; sig rows are (rep, band) pairs, tiny next to the corpus).
     eligible = (
-        docs.filter(F.size(F.split(F.col(text_col), r"\s+")) >= n)
-        .select(F.col(id_col).alias("_m_id"))
-        .join(members, "_m_id")
+        members.join(
+            sig.select(F.col("doc_id").alias("_canon")).distinct(), "_canon"
+        )
         .select("_fp", "_m_id")
     )
     within = (

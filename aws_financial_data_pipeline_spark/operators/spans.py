@@ -57,9 +57,16 @@ def duplicated_ngram_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = False,
+    count_mode: str = "docs",
 ) -> DataFrame:
-    """Maximal per-document token spans covered by n-grams that occur in
-    ≥ ``min_docs`` DISTINCT documents.
+    """Maximal per-document token spans covered by duplicated n-grams.
+
+    ``count_mode='docs'`` (default): an n-gram is duplicated when it occurs
+    in ≥ ``min_docs`` DISTINCT documents — the boilerplate/shared-header
+    form. ``count_mode='occurrences'``: duplicated when its TOTAL occurrence
+    count is ≥ ``min_docs``, which also marks a document repeating itself —
+    the full Lee et al. semantics (their suffix array spans document
+    boundaries, so a within-doc verbatim repeat is a dup too).
 
     Returns (doc_id, span_start, span_end, span_tokens): token offsets,
     ``span_end`` exclusive, ``span_tokens = span_end - span_start``. Spans
@@ -73,12 +80,17 @@ def duplicated_ngram_spans(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
+    if count_mode not in ("docs", "occurrences"):
+        raise ValueError(f"count_mode must be 'docs' or 'occurrences': {count_mode}")
     grams = _gram_table(docs, text_col, id_col, n)
     key = F.xxhash64("gram").alias("k") if hash_grams else F.col("gram").alias("k")
     grams = grams.select("doc_id", "off", key)
+    counter = (
+        F.count_distinct("doc_id") if count_mode == "docs" else F.count("*")
+    )
     dup_keys = (
         grams.groupBy("k")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        .agg(counter.alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("k")
     )

@@ -420,3 +420,73 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(s))).alias("fingerprint"),
         F.size("_sh").alias("n_shingles"),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    top_v: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus token vocabulary: the ``top_v`` most frequent tokens with rank,
+    count, corpus share, and cumulative coverage — the frequency table a
+    tokenizer-training or OOV-audit step starts from.
+
+    Returns (rank, token, count, share, cum_share), rank 1-based, ties broken
+    by token ascending (deterministic, partition-invariant). One shuffle
+    (token count groupBy, map-side combine) + an orderBy().limit() top-V —
+    Spark plans TakeOrderedAndProject, a bounded heap per partition + merge,
+    never a full sort of the distinct-token table. The cumulative window runs
+    over the V surviving rows only (single partition of size V, fine for any
+    sane vocab), and the total-token scalar joins as a literal-free
+    crossjoin-broadcast so coverage needs no driver round-trip.
+    """
+    from pyspark.sql import Window
+
+    tok = F.explode(tokens(text_col)).alias("token")
+    base = docs.select(tok)
+    if lowercase:
+        base = base.select(F.lower("token").alias("token"))
+    counts = base.groupBy("token").agg(F.count("*").alias("count"))
+    total = counts.agg(F.sum("count").alias("_total"))
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(top_v)
+    w = Window.orderBy(F.desc("count"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("count"), F.asc("token"))))
+        .withColumn("share", F.col("count") / F.col("_total"))
+        .withColumn("cum_share", F.sum("count").over(w) / F.col("_total"))
+        .select("rank", "token", "count", "share", "cum_share")
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a ``build_vocab`` frame:
+    (doc_id, n_tokens, n_oov, oov_rate). The vocab side is broadcast as a
+    collected set into one JVM-side ``array_contains``-style filter — no
+    per-row Python, no shuffle of the corpus (map-side lookup join)."""
+    vocab_tokens = vocab.select(F.col("token").alias("_vt"))
+    toked = with_tokens(docs, text_col)
+    tok = F.col("_tok")
+    if lowercase:
+        toked = toked.withColumn("_tok", F.transform(tok, lambda t: F.lower(t)))
+    exploded = toked.select(id_col, F.explode_outer("_tok").alias("_t")).join(
+        F.broadcast(vocab_tokens), F.col("_t") == F.col("_vt"), "left"
+    )
+    return exploded.groupBy(id_col).agg(
+        F.count("_t").alias("n_tokens"),
+        F.sum(F.when(F.col("_vt").isNull() & F.col("_t").isNotNull(), 1).otherwise(0)).alias("n_oov"),
+        F.try_divide(
+            F.sum(F.when(F.col("_vt").isNull() & F.col("_t").isNotNull(), 1).otherwise(0)),
+            F.count("_t"),
+        ).alias("oov_rate"),
+    )

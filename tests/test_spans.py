@@ -67,6 +67,17 @@ def test_within_doc_repeat_not_marked_without_second_doc(spark):
     assert spans.duplicated_ngram_spans(df, n=8, min_docs=2).count() == 0
 
 
+def test_occurrences_mode_marks_within_doc_repeat(spark):
+    # same corpus, count_mode='occurrences': both copies of the repeated
+    # 8-gram are spans (tokens 0-8 and 9-17; the separator x survives)
+    df = spark.createDataFrame(
+        [(1, "r0 r1 r2 r3 r4 r5 r6 r7 x r0 r1 r2 r3 r4 r5 r6 r7")],
+        "doc_id long, text string",
+    )
+    out = spans.duplicated_ngram_spans(df, n=8, min_docs=2, count_mode="occurrences")
+    assert {(r.span_start, r.span_end) for r in out.collect()} == {(0, 8), (9, 17)}
+
+
 def test_adjacent_windows_merge_into_one_maximal_span(spark):
     # 12 shared tokens → grams at offsets 0..4 all overlap → ONE span [0, 12)
     shared = " ".join(f"s{i}" for i in range(12))

@@ -1,0 +1,56 @@
+"""Vocabulary building + OOV audit (operators/text.py build_vocab/oov_rate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_financial_data_pipeline_spark.operators import text as T
+
+
+def _docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "a cat and a dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_build_vocab_ranks_counts_and_coverage(spark):
+    # counts: the=3, sat=2, cat=2, dog=2, a=2, on=1, mat=1, and=1  (total 14)
+    out = T.build_vocab(_docs(spark), top_v=4).collect()
+    got = [(r.rank, r.token, r["count"]) for r in out]  # .count is the Row tuple method
+    # ties broken by token ascending: a < cat < dog < sat
+    assert got == [(1, "the", 3), (2, "a", 2), (3, "cat", 2), (4, "dog", 2)]
+    assert out[0].share == pytest.approx(3 / 14)
+    assert out[-1].cum_share == pytest.approx((3 + 2 + 2 + 2) / 14)
+
+
+def test_build_vocab_partition_invariant(spark):
+    docs = _docs(spark)
+    a = T.build_vocab(docs.repartition(7), top_v=5).collect()
+    b = T.build_vocab(docs.coalesce(1), top_v=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_build_vocab_plans_bounded_heap_topk(spark):
+    plan = (
+        T.build_vocab(_docs(spark), top_v=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a full distinct-token sort
+
+
+def test_oov_rate_against_vocab(spark):
+    docs = _docs(spark)
+    vocab = T.build_vocab(docs, top_v=4)  # the, a, cat, dog
+    rates = {r.doc_id: r for r in T.oov_rate(docs, vocab).collect()}
+    # doc 2: "the dog sat" -> sat OOV
+    assert rates[2].n_tokens == 3 and rates[2].n_oov == 1
+    assert rates[2].oov_rate == pytest.approx(1 / 3)
+    # doc 3: "a cat and a dog" -> and OOV
+    assert rates[3].n_tokens == 5 and rates[3].n_oov == 1
+    # every doc accounted for
+    assert set(rates) == {1, 2, 3}
