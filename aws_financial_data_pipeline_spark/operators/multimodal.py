@@ -2,16 +2,17 @@
 
 Image/audio/video content is carried as ``binary`` columns with a metadata
 struct; decode/feature-extraction runs as Arrow-batched pandas stages via
-``mapInPandas`` (never row-at-a-time Python). Two decoders are REAL,
-pure-numpy parsers of the public container formats (no external libs):
+``mapInPandas`` (never row-at-a-time Python). All three media decoders are
+REAL, pure-numpy parsers of the public container formats (no external libs):
 
 - :func:`decode_image` — uncompressed 24/32-bit BI_RGB BMP → HxWx3 uint8 RGB
 - :func:`decode_audio` — PCM RIFF/WAVE (8/16-bit) → (rate, float samples)
+- :func:`sample_video_frames` — uncompressed RIFF/AVI ('00db' raw-DIB
+  frames) → every-n-th frame as HxWx3 uint8 RGB
 
 plus :func:`resize_image` (nearest-neighbor) and round-trip encoders for
-fixtures. Compressed formats (JPEG/PNG/MP3/MP4) still raise
-``NotImplementedError`` — those codecs aren't in this container — and
-:func:`sample_video_frames` stays stubbed (no container parser).
+fixtures. Compressed formats (JPEG/PNG/MP3/MJPEG/H.264) raise
+``NotImplementedError`` — those codecs aren't in this container.
 
 At scale: payload columns are large → keep them out of shuffles. The pattern
 here extracts features in a map-only stage and drops the payload before any
@@ -141,8 +142,101 @@ def resize_image(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     return img[ri][:, ci]
 
 
-def sample_video_frames(payload: bytes, every_n: int = 30) -> "list[object]":
-    raise NotImplementedError("video decode requires pyav/opencv (not in this image)")
+def _avi_chunks(payload: bytes, pos: int, end: int):
+    """Walk RIFF subchunks in payload[pos:end], yielding (fourcc, body_start,
+    body_size). LIST chunks yield their list-type as fourcc with the body
+    positioned past the type tag so callers can recurse."""
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"LIST" and size >= 4:
+            yield payload[body : body + 4], body + 4, size - 4
+        else:
+            yield cid, body, size
+        pos = body + size + (size & 1)  # chunks are word-aligned
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30) -> list[np.ndarray]:
+    """Decode an uncompressed (BI_RGB 24-bit 'DIB ') RIFF/AVI payload and
+    return every ``every_n``-th frame as an HxWx3 uint8 RGB array — a REAL
+    pure-numpy chunk-walking parser of the public AVI container (RIFF 'AVI '
+    → 'hdrl'/'strf' BITMAPINFOHEADER → 'movi' LIST of '00db' raw-DIB
+    frames), no external libs. Frames are bottom-up BGR rows padded to
+    4-byte stride, exactly the BMP body layout. Compressed codecs
+    (MJPEG/H.264/...) raise: no codecs in this container."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1: {every_n}")
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only uncompressed RIFF/AVI decodes in-container (pyav/opencv absent)"
+        )
+    w = h = bpp = comp = None
+    movi: tuple[int, int] | None = None
+    for cc, body, size in _avi_chunks(payload, 12, len(payload)):
+        if cc == b"hdrl":
+            for cc2, b2, s2 in _avi_chunks(payload, body, body + size):
+                if cc2 == b"strl":
+                    for cc3, b3, s3 in _avi_chunks(payload, b2, b2 + s2):
+                        if cc3 == b"strf" and s3 >= 40:
+                            w, h = struct.unpack_from("<ii", payload, b3 + 4)
+                            (bpp,) = struct.unpack_from("<H", payload, b3 + 14)
+                            (comp,) = struct.unpack_from("<I", payload, b3 + 16)
+        elif cc == b"movi":
+            movi = (body, body + size)
+    if w is None or movi is None:
+        raise NotImplementedError("AVI missing strf/movi")
+    if comp != 0 or bpp != 24 or w <= 0 or h == 0:
+        raise NotImplementedError(f"unsupported AVI variant (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    frames: list[np.ndarray] = []
+    idx = 0
+    for cc, body, size in _avi_chunks(payload, movi[0], movi[1]):
+        if len(cc) == 4 and cc[2:4] in (b"db", b"dc") and size >= stride * h:
+            if idx % every_n == 0:
+                data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=body)
+                rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                rgb = rows[..., ::-1]
+                frames.append(rgb[::-1] if bottom_up else rgb)
+            idx += 1
+    return frames
+
+
+def encode_avi(frames: "list[np.ndarray]", fps: int = 30) -> bytes:
+    """Round-trip encoder (uncompressed 24-bit 'DIB ' frames) for
+    fixtures/sinks. All frames must share one HxWx3 shape."""
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = fr[0].shape
+    stride = (w * 3 + 3) & ~3
+    bodies = []
+    for f in fr:
+        body = np.zeros((h, stride), dtype=np.uint8)
+        body[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # RGB → bottom-up BGR
+        bodies.append(body.tobytes())
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10, len(fr), 0, 1, frame_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(fr), frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", b) for b in bodies))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 def _fake_feature(payload: bytes) -> float:
@@ -163,6 +257,9 @@ def _feature(media_type: str, payload: bytes) -> float:
         return float(decode_image(payload).mean())
     if media_type == "audio/wav":
         return float(np.abs(decode_audio(payload)[1]).mean())
+    if media_type == "video/avi":
+        frames = sample_video_frames(payload, every_n=1)
+        return float(np.mean([f.mean() for f in frames])) if frames else 0.0
     return _fake_feature(payload)
 
 

@@ -116,3 +116,45 @@ def test_extract_features_decodes_real_media(spark):
     expected_wav = float(np.abs(mm.decode_audio(wav)[1]).mean())
     assert got[(2,)]["feature_mean"] == pytest.approx(expected_wav, abs=1e-4)
     assert got[(3,)]["feature_mean"] == pytest.approx(sum(b"abc") / 3, abs=1e-4)
+
+
+def test_avi_roundtrip_frame_sampling():
+    """encode_avi → sample_video_frames recovers exact frames; every_n=2
+    keeps frames 0, 2, 4 of 5."""
+    frames = [_gradient(3, 4) + i for i in range(5)]  # uint8 wraps are fine
+    payload = mm.encode_avi([f.astype(np.uint8) for f in frames], fps=10)
+    out = mm.sample_video_frames(payload, every_n=2)
+    assert len(out) == 3
+    for got, idx in zip(out, (0, 2, 4)):
+        assert got.shape == (3, 4, 3)
+        np.testing.assert_array_equal(got, frames[idx].astype(np.uint8))
+
+
+def test_avi_rejects_compressed_and_foreign():
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        mm.sample_video_frames(b"\x00" * 64)  # not RIFF/AVI
+    # a real AVI header but a compressed fourcc in strf must raise too
+    payload = bytearray(mm.encode_avi([_gradient(2, 2)]))
+    strf_at = payload.find(b"strf")
+    assert strf_at > 0
+    # biCompression lives 16 bytes into BITMAPINFOHEADER (after the 8-byte chunk header)
+    payload[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"
+    with _pt.raises(NotImplementedError):
+        mm.sample_video_frames(bytes(payload))
+
+
+def test_extract_features_decodes_video(spark):
+    frames = [_gradient(2, 3), _gradient(2, 3) + 10]
+    avi = mm.encode_avi([f.astype(np.uint8) for f in frames])
+    df = spark.createDataFrame(
+        [(9, bytearray(avi), "video/avi")], "doc_id long, payload binary, media_type string"
+    )
+    from pyspark.sql import functions as F
+
+    got = rows_by_key(
+        mm.extract_features(df.withColumn("byte_len", F.octet_length("payload"))), "doc_id"
+    )
+    expected = float(np.mean([f.astype(np.uint8).mean() for f in frames]))
+    assert got[(9,)]["feature_mean"] == pytest.approx(expected, abs=1e-4)
