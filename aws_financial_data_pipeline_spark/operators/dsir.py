@@ -1,0 +1,154 @@
+"""Data Selection via Importance Resampling (DSIR) — Spark-first.
+
+The published recipe (Xie et al. 2023, arXiv:2302.03169): featurize documents
+into HASHED n-gram buckets, fit unigram-over-buckets models for the TARGET
+distribution (the high-quality corpus you want more of) and the RAW corpus,
+weight every raw document by the log-likelihood ratio of its features, and
+sample without replacement in proportion to the weights (Gumbel-top-k). The
+selected subset is distributed like the target while coming from the raw pool
+— the standard pretraining-mixture upweighting step.
+
+Spark shape: two bucket-count groupBys (map-side combined, key space =
+``num_buckets`` regardless of corpus size), ONE broadcast join of the
+B-row log-ratio table back to the per-doc feature rows, one per-doc sum, and
+a bounded-heap top-k (TakeOrderedAndProject) for the sample. No stage is
+corpus×corpus; the only per-doc state is its bucket counts. Randomness is
+deterministic (md5 of doc id + seed → uniform → Gumbel), so the sample is
+reproducible and partition-invariant — no rand() nondeterminism under
+retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import with_tokens
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    num_buckets: int = 8192,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket, cnt): token n-grams hashed into ``num_buckets`` via
+    non-negative ``pmod(xxhash64(gram), B)`` — the fixed-size feature space
+    that makes the model size independent of corpus size. Docs shorter than
+    ``n`` tokens produce no rows (no features — callers treat them as
+    weight-neutral)."""
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2: {num_buckets}")
+    toked = with_tokens(docs, text_col)
+    tok = F.col("_tok")
+    idx = F.when(F.size(tok) >= n, F.sequence(F.lit(0), F.size(tok) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)))
+    return (
+        toked.select(F.col(id_col).alias("doc_id"), F.explode(gram).alias("_g"))
+        .select("doc_id", F.pmod(F.xxhash64("_g"), F.lit(num_buckets)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _bucket_log_probs(feats: DataFrame, num_buckets: int, alpha: float, out: str) -> DataFrame:
+    """(bucket, <out>): add-α smoothed log probability of each bucket under
+    the corpus that produced ``feats``. Missing buckets get the smoothing
+    floor via the caller's coalesce (α / (total + α·B))."""
+    return (
+        feats.groupBy("bucket")
+        .agg(F.sum("cnt").alias("_c"))
+        .join(F.broadcast(feats.agg(F.sum("cnt").alias("_t"))))
+        .select(
+            "bucket",
+            F.log((F.col("_c") + alpha) / (F.col("_t") + alpha * num_buckets)).alias(out),
+        )
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 8192,
+    n: int = 2,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, log_weight) for every raw doc: Σ_b c_b(x)·(log p_target(b) −
+    log p_raw(b)), the hashed-n-gram log-likelihood ratio. Positive ⇒ the doc
+    looks more like the target corpus than like the raw pool.
+
+    The ratio table is ``num_buckets`` rows — broadcast — so weighting is one
+    map-side join + one per-doc sum; featureless docs (< n tokens) come back
+    with log_weight 0 (no evidence either way)."""
+    raw_feats = hashed_ngram_counts(raw, num_buckets, n, text_col, id_col)
+    tgt_feats = hashed_ngram_counts(target, num_buckets, n, text_col, id_col)
+    lp_t = _bucket_log_probs(tgt_feats, num_buckets, alpha, "_lpt")
+    lp_r = _bucket_log_probs(raw_feats, num_buckets, alpha, "_lpr")
+    # outer-join the two B-row tables; a bucket absent from one corpus takes
+    # that corpus's smoothing floor (α / (α·B) cancels totals only partly —
+    # compute the floor from the OTHER side's total, carried via a literal-
+    # free cross of the two totals)
+    t_tot = tgt_feats.agg(F.sum("cnt").alias("_tt"))
+    r_tot = raw_feats.agg(F.sum("cnt").alias("_rt"))
+    ratio = (
+        lp_t.join(lp_r, "bucket", "full")
+        .join(F.broadcast(t_tot)).join(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("_lpt"), F.log(alpha / (F.col("_tt") + alpha * num_buckets)))
+                - F.coalesce(F.col("_lpr"), F.log(alpha / (F.col("_rt") + alpha * num_buckets)))
+            ).alias("_llr"),
+        )
+    )
+    per_doc = (
+        raw_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("_llr")).alias("log_weight"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"))
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    num_buckets: int = 8192,
+    n: int = 2,
+    alpha: float = 1.0,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select ``k`` raw docs ~ importance weights, without replacement, via
+    the Gumbel-top-k trick: key = log_weight + Gumbel(0,1) noise, take the k
+    largest. Noise is DETERMINISTIC — md5(seed‖doc_id) → uniform(0,1) →
+    −log(−log u) — so the sample is reproducible and partition-invariant
+    (contrast rand(), which re-draws per task retry). The top-k plans as a
+    bounded heap (TakeOrderedAndProject), never a full corpus sort.
+
+    Returns (doc_id, log_weight, gumbel_key), the selected rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = dsir_weights(raw, target, num_buckets, n, alpha, text_col, id_col)
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id"))), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    # clamp away exact 0/1 so the double log is finite
+    u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    return (
+        w.withColumn("gumbel_key", F.col("log_weight") - F.log(-F.log(u)))
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(k)
+    )

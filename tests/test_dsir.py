@@ -1,0 +1,87 @@
+"""DSIR importance resampling (operators/dsir.py): hashed n-gram features,
+likelihood-ratio weights, deterministic Gumbel-top-k selection."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_financial_data_pipeline_spark.operators import dsir
+
+SCIENCE = [
+    "the experiment measured the quantum energy levels of the atom",
+    "we derive the field equations from the action principle",
+    "the measurement apparatus recorded the particle energy spectrum",
+]
+CHAT = [
+    "lol that movie was so funny you have to watch it",
+    "omg cant believe the game last night was so wild",
+    "haha yeah totally going to the party this weekend",
+]
+
+
+def _raw(spark):
+    rows = [(i, t) for i, t in enumerate(SCIENCE + CHAT)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _target(spark):
+    rows = [
+        (100, "the theory predicts the energy levels of the quantum field"),
+        (101, "we measured the particle spectrum with the apparatus"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hashed_counts_sum_to_ngram_total(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = dsir.hashed_ngram_counts(df, num_buckets=16, n=2).collect()
+    assert sum(r.cnt for r in out) == 3  # "a b", "b c", "c d"
+    assert all(0 <= r.bucket < 16 for r in out)
+    # doc shorter than n → no feature rows
+    short = spark.createDataFrame([(2, "solo")], "doc_id long, text string")
+    assert dsir.hashed_ngram_counts(short, num_buckets=16, n=2).count() == 0
+
+
+def test_science_docs_outweigh_chat_against_science_target(spark):
+    w = {
+        r.doc_id: r.log_weight
+        for r in dsir.dsir_weights(_raw(spark), _target(spark), num_buckets=512).collect()
+    }
+    assert set(w) == set(range(6))
+    science, chat = [w[i] for i in (0, 1, 2)], [w[i] for i in (3, 4, 5)]
+    assert min(science) > max(chat)
+
+
+def test_sample_is_deterministic_and_partition_invariant(spark):
+    raw, tgt = _raw(spark), _target(spark)
+    a = dsir.dsir_sample(raw, tgt, k=3, num_buckets=512, seed=7).collect()
+    b = dsir.dsir_sample(raw.repartition(5), tgt.coalesce(1), k=3, num_buckets=512, seed=7).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == 3
+    # a different seed may reorder; same seed never does
+    c = dsir.dsir_sample(raw, tgt, k=3, num_buckets=512, seed=7).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in c]
+
+
+def test_sample_prefers_target_like_docs(spark):
+    got = {
+        r.doc_id
+        for r in dsir.dsir_sample(_raw(spark), _target(spark), k=3, num_buckets=512, seed=1).collect()
+    }
+    # weights dominate the Gumbel noise here (ratios are large) → the three
+    # science docs are selected
+    assert got == {0, 1, 2}
+
+
+def test_sample_plans_bounded_heap(spark):
+    df = dsir.dsir_sample(_raw(spark), _target(spark), k=2, num_buckets=512)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_featureless_docs_get_zero_weight(spark):
+    raw = spark.createDataFrame(
+        [(1, "the quantum energy field"), (2, "x")], "doc_id long, text string"
+    )
+    w = {r.doc_id: r.log_weight for r in dsir.dsir_weights(raw, _target(spark), num_buckets=512).collect()}
+    assert w[2] == pytest.approx(0.0)
