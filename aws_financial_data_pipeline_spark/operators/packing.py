@@ -10,16 +10,21 @@ Two operators every LLM pretraining pipeline runs between "clean corpus" and
 - **pack_chunks**: assign chunks to fixed-token-budget bins (sample packing).
   Exact first-fit packing is inherently sequential; the distributed-standard
   compromise is CONTIGUOUS GREEDY packing over a deterministic order: bin =
-  floor(exclusive-prefix-sum / budget). One window function, deterministic,
-  partition-independent; a bin may overflow the budget by less than its last
-  item (never if every item ≤ budget is packed after chunking, see
-  ``tests/test_packing.py`` for the exact bound asserted).
+  floor(exclusive-prefix-sum / budget). Deterministic, partition-independent;
+  a bin may overflow the budget by less than its last item (never if every
+  item ≤ budget is packed after chunking, see ``tests/test_packing.py`` for
+  the exact bound asserted).
 
-Scale: the prefix sum is a single global window today (one-task ceiling at
-100 TB). The cluster recipe — same math, two passes — is per-partition
-prefix sums + a broadcast of per-partition totals as offsets; packing is
-usually run per shard/date-partition anyway, which keeps each prefix sum
-bounded. Documented here, asserted at test scale.
+Scale: the prefix sum is a TWO-PASS distributed computation, not a global
+window. Rows shard by a deterministic range bucket of the leading order
+column (min/max come from a one-row aggregate broadcast in-plan — no driver
+round-trip); pass 1 is a per-shard window prefix sum (parallel across
+shards), pass 2 folds the per-shard totals through one tiny window over
+``num_shards`` rows and broadcasts the exclusive shard offsets back. The
+only unpartitioned window in the plan therefore touches ``num_shards`` rows,
+never the data. Shard balance tracks the id-density of the leading order
+column (ids assigned by ingest are near-uniform; pass ``num_shards`` to
+re-tune).
 
 Pytest-gated (registry capped at 50 driver slots — NOTES.md).
 """
@@ -70,23 +75,61 @@ def pack_chunks(
     budget: int = 2048,
     size_col: str = "n_tokens",
     order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    num_shards: int = 32,
 ) -> DataFrame:
     """Assign each chunk a ``bin_id`` by contiguous greedy packing in
     ``order_cols`` order: bin = floor(exclusive_prefix_sum(size) / budget).
 
-    Properties (asserted in tests): deterministic and partition-independent;
-    bins are contiguous in the given order (doc locality preserved — adjacent
-    chunks co-locate, which is what sample packing wants); every bin's total
-    is < budget + the size of its last item (the only guaranteed bound — a
+    Properties (asserted in tests): deterministic and partition-independent
+    (``order_cols`` should be a unique key, as the defaults are); bins are
+    contiguous in the given order (doc locality preserved — adjacent chunks
+    co-locate, which is what sample packing wants); every bin's total is
+    < budget + the size of its last item (the only guaranteed bound — a
     bin's last item may straddle the boundary), and exactly ≤ budget when the
     sizes tile the budget (e.g. chunks of ``window`` tokens with
     budget = k·window). Items larger than the budget get a bin of their own
     (they should have been chunked first).
+
+    The prefix sum is two-pass distributed (see module docstring): shard on a
+    deterministic range bucket of ``order_cols[0]``, per-shard window prefix
+    sums, then a broadcast join of the exclusive per-shard offsets. Identical
+    output to a single global window at any ``num_shards``.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
-    w = Window.orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive: {num_shards}")
+    cols = [F.col(c) for c in order_cols]
+    lead = F.col(order_cols[0]).cast("double")
+    # deterministic monotone shard of the leading order column: bounds come
+    # from a one-row aggregate broadcast in-plan (no .collect()); every row of
+    # a given leading value lands in one shard, and shard order == global
+    # order, so per-shard prefixes + shard offsets reproduce the global prefix
+    bounds = chunks.agg(
+        F.min(lead).alias("_lo"), F.max(lead).alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo")
+    shard = F.least(
+        F.lit(num_shards - 1),
+        F.floor(
+            F.when(span > 0, (lead - F.col("_lo")) * num_shards / (span + 1))
+            .otherwise(F.lit(0.0))
+        ),
+    ).alias("_shard")
+    sharded = chunks.join(F.broadcast(bounds)).select("*", shard).drop("_lo", "_hi")
+    w_in = Window.partitionBy("_shard").orderBy(*cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    prefix = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return chunks.withColumn("bin_id", F.floor(prefix / budget))
+    within = F.coalesce(F.sum(size_col).over(w_in), F.lit(0))
+    totals = sharded.groupBy("_shard").agg(F.sum(size_col).alias("_stotal"))
+    w_off = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_shard",
+        F.coalesce(F.sum("_stotal").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    return (
+        sharded.withColumn("_within", within)
+        .join(F.broadcast(offsets), "_shard")
+        .withColumn("bin_id", F.floor((F.col("_offset") + F.col("_within")) / budget))
+        .drop("_shard", "_within", "_offset")
+    )

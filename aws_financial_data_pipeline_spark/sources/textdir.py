@@ -40,19 +40,54 @@ def read_text_corpus(
 
 
 def to_parquet_corpus(
-    spark: SparkSession, src_dir: str, out_path: str, pattern: str = "*.txt"
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    pattern: str = "*.txt",
+    id_from: str = "rank",
 ) -> DataFrame:
     """Consolidate a file-per-document corpus into parquet with a stable
-    numeric doc_id (row_number over the FULL input file path — deterministic,
-    not partition-ordered, and unambiguous when the same base name appears in
-    different subdirectories or with different stripped extensions), the
-    layout every downstream operator expects."""
+    numeric doc_id, the layout every downstream operator expects.
+
+    ``id_from='rank'`` (default): dense 1-based row_number over the FULL
+    input file path — deterministic, not partition-ordered, and unambiguous
+    when the same base name appears in different subdirectories or with
+    different stripped extensions. The rank window runs over the NARROW
+    (doc_path) projection only — one task sees N path strings, never the
+    document text — and ids join back to the text on doc_path. Rank ids
+    SHIFT when files are added to the tree: re-rank on every full re-ingest.
+
+    ``id_from='path_hash'``: ``xxhash64(doc_path)`` — pure map-side (no
+    window at all) and stable under INCREMENTAL ingest: adding files never
+    changes an existing document's id, which is what a persisted signature
+    store (operators/dedup.py incremental path) keyed by doc_id needs.
+    Collision odds for a 64-bit hash are ~N²/2⁶⁵ (≈3e-7 at 100M files);
+    uniqueness is asserted post-write with one cheap count over the output.
+    """
     from pyspark.sql import Window
 
     docs = read_text_corpus(spark, src_dir, pattern)
-    w = Window.orderBy("doc_path")
-    out = docs.select(
-        F.row_number().over(w).cast("long").alias("doc_id"), "doc_name", "text"
-    )
+    if id_from == "path_hash":
+        out = docs.select(
+            F.xxhash64("doc_path").alias("doc_id"), "doc_name", "text"
+        )
+    elif id_from == "rank":
+        w = Window.orderBy("doc_path")
+        ids = docs.select("doc_path").withColumn(
+            "doc_id", F.row_number().over(w).cast("long")
+        )
+        out = docs.join(ids, "doc_path").select("doc_id", "doc_name", "text")
+    else:
+        raise ValueError(f"id_from must be 'rank' or 'path_hash': {id_from!r}")
     out.write.mode("overwrite").parquet(out_path)
-    return spark.read.parquet(out_path)
+    result = spark.read.parquet(out_path)
+    if id_from == "path_hash":
+        n_rows, n_ids = result.agg(
+            F.count("*").alias("n"), F.countDistinct("doc_id").alias("d")
+        ).first()
+        if n_rows != n_ids:
+            raise RuntimeError(
+                f"path_hash id collision: {n_rows} docs, {n_ids} distinct ids —"
+                " re-ingest with id_from='rank'"
+            )
+    return result

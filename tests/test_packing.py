@@ -84,3 +84,20 @@ def test_pack_is_partition_invariant_and_deterministic(spark):
     b = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
          for r in pk.pack_chunks(chunks.repartition(16), budget=32).collect()}
     assert a == b
+
+
+def test_pack_two_pass_matches_global_window_at_any_shard_count(spark):
+    """The sharded two-pass prefix sum must be bin-for-bin identical to the
+    single-shard (≡ one global window) form — num_shards is a parallelism
+    knob, never a semantics knob. Also covers the degenerate single-doc
+    corpus where every row lands in shard 0."""
+    rows = [(d, " ".join("x" for _ in range(d * 11 % 37 + 1))) for d in range(1, 60)]
+    chunks = pk.chunk_tokens(_docs(spark, rows), window=8)
+    ref = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
+           for r in pk.pack_chunks(chunks, budget=24, num_shards=1).collect()}
+    for shards in (3, 7, 32, 256):
+        got = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
+               for r in pk.pack_chunks(chunks, budget=24, num_shards=shards).collect()}
+        assert got == ref, shards
+    one_doc = pk.chunk_tokens(_docs(spark, rows[:1]), window=8)
+    assert pk.pack_chunks(one_doc, budget=24).count() == one_doc.count()

@@ -54,6 +54,28 @@ def test_to_parquet_corpus_duplicate_basenames_deterministic(spark, tmp_path):
     assert m1 == m2 == {"text from subdir a": 1, "text from subdir b": 2}
 
 
+def test_to_parquet_corpus_path_hash_ids_survive_incremental_ingest(spark, tmp_path):
+    """path_hash ids must not shift when the tree grows — the property rank
+    ids cannot have (adding a file re-ranks everything after it)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b.txt", "text b")
+    _write(src, "d.txt", "text d")
+    out1 = textdir.to_parquet_corpus(
+        spark, str(src), str(tmp_path / "c1"), id_from="path_hash"
+    )
+    ids1 = {r["doc_name"]: r["doc_id"] for r in out1.collect()}
+    _write(src, "a.txt", "text a")  # sorts BEFORE b → would shift rank ids
+    out2 = textdir.to_parquet_corpus(
+        spark, str(src), str(tmp_path / "c2"), id_from="path_hash"
+    )
+    ids2 = {r["doc_name"]: r["doc_id"] for r in out2.collect()}
+    assert ids2["b"] == ids1["b"] and ids2["d"] == ids1["d"]
+    assert len({*ids2.values()}) == 3  # unique (collision check ran on write)
+    with pytest.raises(ValueError):
+        textdir.to_parquet_corpus(spark, str(src), str(tmp_path / "c3"), id_from="nope")
+
+
 def test_compression_ratio_kernel(spark):
     from aws_financial_data_pipeline_spark.functions.vectorized import (
         compression_ratio_pandas,
