@@ -460,6 +460,49 @@ def cross_corpus_contamination(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Exact token-n-gram decontamination: (train_id, test_id, n_shared_grams)
+    for every train/test pair sharing ≥1 verbatim token n-gram — the GPT-3
+    appendix-C check (n=13 there) that complements the fuzzy MinHash form in
+    :func:`cross_corpus_contamination`. Fuzzy Jaccard catches paraphrased
+    near-copies; exact n-grams catch short verbatim quotes (a benchmark
+    answer embedded in a long page) that whole-document similarity dilutes
+    below any workable threshold.
+
+    Shape at scale: distinct grams per doc on both sides, one equi-join on
+    the gram key, one pair-count aggregate. The test side is a benchmark
+    suite — orders of magnitude smaller than train — so Spark broadcasts it
+    (AQE) and the train grams never shuffle. ``hash_grams=True`` joins on
+    ``xxhash64(gram)`` (8-byte keys) for production; the default string key
+    is byte-reproducible by the DuckDB oracle.
+    """
+    from .spans import _gram_table
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: F.col(c))
+    tg = (
+        _gram_table(train, text_col, id_col, n)
+        .select(F.col("doc_id").alias("train_id"), key("gram").alias("_g"))
+        .distinct()
+    )
+    sg = (
+        _gram_table(test, text_col, id_col, n)
+        .select(F.col("doc_id").alias("test_id"), key("gram").alias("_g"))
+        .distinct()
+    )
+    return tg.join(sg, "_g").groupBy("train_id", "test_id").agg(
+        F.count("*").alias("n_shared_grams")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over distinct whitespace tokens — SMALL-SF DEMO ONLY;
     use :func:`simhash64` at scale (this form's 8-bit bands are

@@ -237,11 +237,27 @@ EXT_ORACLES: dict[str, str] = {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.7
     )
-    SELECT CASE WHEN doc_a % 5 <> 0 THEN doc_a ELSE doc_b END AS train_id,
-           CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS test_id,
-           jaccard
-    FROM verified
-    WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+    , fuzzy AS (
+      SELECT 'minhash' AS method,
+             CASE WHEN doc_a % 5 <> 0 THEN doc_a ELSE doc_b END AS train_id,
+             CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS test_id,
+             jaccard AS score
+      FROM verified
+      WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+    ),
+    toks13 AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+    grams13 AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g
+      FROM toks13, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+    ),
+    exact AS (
+      SELECT 'ngram' AS method, a.doc_id AS train_id, b.doc_id AS test_id,
+             CAST(count(*) AS DOUBLE) AS score
+      FROM grams13 a JOIN grams13 b USING (g)
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      GROUP BY 2, 3
+    )
+    SELECT * FROM fuzzy UNION ALL SELECT * FROM exact
     """,
     # chunking (32-token windows, stride 24) + contiguous greedy packing
     # (bin = exclusive-prefix-sum // 256 over (doc_id, chunk_id) order)

@@ -577,19 +577,35 @@ def x32_corpus_curation(spark, sf_dir):
 
 
 def x40_decontamination(spark, sf_dir):
-    """Train/test decontamination (operators/dedup.py
-    cross_corpus_contamination): the documents table split into a train corpus
-    (doc_id % 5 ≠ 0) and a held-out test corpus (doc_id % 5 = 0), then the
-    benchmark-leakage check every pretraining pipeline runs — cross-corpus
-    pairs with shingle Jaccard ≥ 0.7 found via the scale-path MinHash dedup
-    (union under a disjoint id space → LSH candidates → exact verify on
-    candidates only, never quadratic). The oracle recomputes signatures,
-    candidates AND verified Jaccard over the full corpus and keeps only
-    cross-membership pairs — every internal stage stays hash-gated."""
+    """Train/test decontamination, BOTH industry-standard methods over the
+    same split (documents with doc_id % 5 = 0 held out as the test corpus):
+
+    - method='minhash' — fuzzy whole-document leakage (operators/dedup.py
+      cross_corpus_contamination): shingle Jaccard ≥ 0.7 via the scale-path
+      MinHash dedup (union under a disjoint id space → LSH candidates →
+      exact verify on candidates only, never quadratic). score = jaccard.
+    - method='ngram' — exact verbatim leakage (dedup.ngram_contamination,
+      the GPT-3 13-gram check): train/test pairs sharing ≥1 exact 13-token
+      gram. score = shared-gram count (integral, cross-engine exact).
+
+    The oracle recomputes signatures, candidates, verified Jaccard AND the
+    gram join — every internal stage of both methods stays hash-gated."""
     docs = _docs(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
-    return dedup.cross_corpus_contamination(train, test, threshold=0.7)
+    fuzzy = dedup.cross_corpus_contamination(train, test, threshold=0.7).select(
+        F.lit("minhash").alias("method"),
+        "train_id",
+        "test_id",
+        F.col("jaccard").alias("score"),
+    )
+    exact = dedup.ngram_contamination(train, test, n=13).select(
+        F.lit("ngram").alias("method"),
+        "train_id",
+        "test_id",
+        F.col("n_shared_grams").cast("double").alias("score"),
+    )
+    return fuzzy.unionByName(exact)
 
 
 def x41_chunk_pack(spark, sf_dir):

@@ -269,6 +269,36 @@ def test_cross_corpus_contamination(spark):
     assert dedup.cross_corpus_contamination(train, clean, threshold=0.5).count() == 0
 
 
+def test_ngram_contamination_catches_verbatim_quote(spark):
+    """Exact n-gram decontamination (GPT-3 13-gram form): a train doc that
+    EMBEDS a verbatim 13-token span of a test doc is flagged even though
+    whole-document Jaccard is far below any fuzzy threshold; paraphrases and
+    clean docs are not."""
+    quote = " ".join(f"q{i}" for i in range(13))  # 13 verbatim test tokens
+    filler = " ".join(f"f{i}" for i in range(80))
+    train = _docs(spark, [
+        (1, f"{filler} {quote}"),              # long page quoting the benchmark
+        (2, filler),                           # clean
+        (3, " ".join(f"q{i}" for i in range(12)) + " DIFFERENT"),  # 12 of 13 — no hit
+    ])
+    test = _docs(spark, [(10, f"benchmark question {quote} answer")])
+    got = rows_by_key(dedup.ngram_contamination(train, test, n=13),
+                      "train_id", "test_id")
+    assert set(got) == {(1, 10)}
+    assert got[(1, 10)]["n_shared_grams"] == 1
+    # whole-doc fuzzy check would MISS this pair: 13 shared tokens of ~93
+    fuzzy = dedup.cross_corpus_contamination(train, test, threshold=0.5)
+    assert fuzzy.filter("train_id = 1").count() == 0
+    # hashed-key production form finds identical pairs
+    hashed = rows_by_key(
+        dedup.ngram_contamination(train, test, n=13, hash_grams=True),
+        "train_id", "test_id",
+    )
+    assert set(hashed) == set(got)
+    with pytest.raises(ValueError):
+        dedup.ngram_contamination(train, test, n=0)
+
+
 def test_text_profile_repetition_ratio(spark):
     """dup_shingle_ratio: a doc that is one phrase repeated has mostly
     duplicate 3-gram shingles; a non-repetitive doc has ratio 0."""
