@@ -384,6 +384,57 @@ def cluster_embeddings(
     return model.transform(feats).select(id_col, F.col("prediction").alias("cluster"))
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    by clustering first and comparing only WITHIN clusters — the trick that
+    turns the O(N²) embedding-similarity dedup into k independent
+    O((N/k)²) problems. Grow ``k`` with the corpus so cluster sizes stay
+    roughly constant and the whole pass stays near-linear.
+
+    Pipeline: MLlib KMeans (:func:`cluster_embeddings`) → within-cluster
+    (a < b) candidate pairs via a self-equi-join on the cluster id (the only
+    shuffle beyond training) → exact cosine on candidates only → a vector is
+    a duplicate iff some SAME-CLUSTER vector with a smaller id sits at
+    cosine ≥ ``threshold`` (keep-lowest-id canonicalization: deterministic,
+    partition-invariant, one survivor per ε-ball).
+
+    Returns one row per vector: (``id_col``, cluster, is_duplicate, dup_of,
+    dup_cosine) — ``dup_of`` the smallest qualifying neighbor id, null for
+    keepers. Filter ``~is_duplicate`` for the deduplicated corpus.
+
+    Seed-dependent through KMeans (cluster boundaries move duplicates only
+    if an ε-ball straddles clusters — the documented SemDeDup recall loss),
+    so pytest-gated like :func:`cluster_embeddings`, not oracle-gated.
+    """
+    clusters = cluster_embeddings(emb, k, vec_col, id_col, seed, max_iter)
+    a = clusters.select(F.col(id_col).alias("doc_a"), "cluster")
+    b = clusters.select(F.col(id_col).alias("doc_b"), "cluster")
+    cand = a.join(b, "cluster").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    scored = embedding_near_duplicates(
+        emb, threshold, vec_col, id_col, candidates=cand
+    )
+    dups = scored.groupBy("doc_b").agg(
+        F.min("doc_a").alias("dup_of"), F.max("cosine").alias("dup_cosine")
+    )
+    return (
+        clusters.join(
+            dups.withColumnRenamed("doc_b", id_col), id_col, "left"
+        )
+        .withColumn("is_duplicate", F.col("dup_of").isNotNull())
+        .select(id_col, "cluster", "is_duplicate", "dup_of", "dup_cosine")
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.35,

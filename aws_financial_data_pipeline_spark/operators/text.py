@@ -356,6 +356,73 @@ def gopher_quality_flags(
     return docs.select(id_col, *_gopher_output_cols(text_col, F.col("_tok")))
 
 
+def c4_line_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """The C4 line-and-page cleaning rules (Raffel et al. 2019, §2.2 — public
+    method) as one map-only projection, complementing the document-shape
+    Gopher rules (:func:`gopher_quality_flags`):
+
+    line level (lines are dropped, the page survives):
+    - keep only lines ending in terminal punctuation (``.!?"'``)
+    - keep only lines with ≥ ``min_words_per_line`` words
+    - drop any line containing the word "javascript" (cookie/JS banners)
+
+    page level (flags + their conjunction ``keep``; audit before filtering):
+    - no "lorem ipsum" anywhere (case-insensitive)
+    - no curly brace (code pages)
+    - ≥ ``min_sentences`` sentences AFTER line cleaning
+    - no ``blocklist`` phrase (C4 uses the public "bad words" list; pass your
+      own — an empty default keeps the operator list-free)
+
+    C4's remaining rule — dedup of three-sentence spans across pages — is
+    exactly :mod:`..operators.spans` (``duplicated_ngram_spans`` +
+    ``remove_duplicated_spans``); compose them after this pass.
+
+    Returns (id, clean_text, n_lines, n_lines_kept, n_sentences,
+    has_lorem_ipsum, has_curly_brace, has_blocklisted, keep). Pure Catalyst
+    higher-order/regexp expressions: no shuffle, no Python.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    ln_ok = lambda ln: (
+        F.rtrim(ln).rlike(r"[.!?\"']$")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, ln_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    low = F.lower(F.col(text_col))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    has_blocked = (
+        low.rlike("|".join(sorted({w.lower() for w in blocklist})))
+        if blocklist
+        else F.lit(False)
+    )
+    return docs.select(
+        id_col,
+        clean.alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        has_blocked.alias("has_blocklisted"),
+        (
+            ~has_lorem
+            & ~has_brace
+            & ~has_blocked
+            & (n_sent >= min_sentences)
+        ).alias("keep"),
+    )
+
+
 # PII scrubbing patterns, applied IN ORDER (each pattern sees the previous
 # replacements, so e.g. an SSN is consumed before the looser phone pattern
 # can eat it). Pure-regex heuristics — the standard pre-training scrub; a

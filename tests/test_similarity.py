@@ -253,3 +253,47 @@ def test_cluster_embeddings_recovers_separated_clusters(spark):
     balanced = sampling.quota_sample_flag(got, "vec_id", "cluster", quota=10)
     kept = balanced.filter("in_quota").groupBy("cluster").count().collect()
     assert all(r["count"] == 10 for r in kept)
+
+
+def test_semantic_dedup_marks_within_cluster_near_copies(spark):
+    """SemDeDup: three separated semantic groups, each containing planted
+    near-copies (same direction, tiny perturbation) plus genuinely distinct
+    members. Near-copies collapse to one lowest-id survivor; distinct members
+    of the same cluster survive; nothing dedups across clusters."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    # groups on orthogonal axes; ids encode (group, member)
+    for g, center in enumerate(([40.0, 0.0, 0.0], [0.0, 40.0, 0.0], [0.0, 0.0, 40.0])):
+        for m in range(10):
+            vid = g * 100 + m
+            if m < 6:  # near-copies of the group direction (cosine ≈ 1)
+                rows.append((vid, [x + rng.uniform(-0.2, 0.2) for x in center]))
+            else:  # distinct members: same cluster, well off-axis (cosine ~0.7)
+                off = [12.0 * ((m + i) % 3) for i in range(3)]
+                rows.append((vid, [x + y for x, y in zip(center, off)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = rows_by_key(sim.semantic_dedup(emb, k=3, threshold=0.99), "vec_id")
+    for g in range(3):
+        near = [g * 100 + m for m in range(6)]
+        # lowest id of each near-copy ball survives, the rest point at it
+        assert got[(near[0],)]["is_duplicate"] is False
+        for v in near[1:]:
+            assert got[(v,)]["is_duplicate"] is True
+            assert got[(v,)]["dup_of"] == near[0]
+            assert got[(v,)]["dup_cosine"] >= 0.99
+    # distinct members survive; exactly 3 keepers per cluster (1 ball + 2 off-axis... )
+    keepers = [r for r in got.values() if not r["is_duplicate"]]
+    assert len(keepers) >= 3 * 2  # at least the ball survivor + distinct members
+    # nothing ever dedups across clusters: dup_of stays within the group
+    for key, r in got.items():
+        if r["is_duplicate"]:
+            assert r["dup_of"] // 100 == key[0] // 100
+    # determinism / partition invariance
+    again = rows_by_key(
+        sim.semantic_dedup(emb.repartition(13), k=3, threshold=0.99), "vec_id"
+    )
+    assert {k: (v["is_duplicate"], v["dup_of"]) for k, v in got.items()} == {
+        k: (v["is_duplicate"], v["dup_of"]) for k, v in again.items()
+    }

@@ -452,6 +452,37 @@ def test_gopher_quality_flags(spark):
     assert got[(1,)]["n_words"] == 78 and got[(1,)]["n_distinct_stopwords"] >= 2
 
 
+def test_c4_line_filters(spark):
+    """C4 §2.2 rules: line-level terminal-punct/min-words/javascript drops,
+    page-level lorem-ipsum / curly-brace / sentence-count / blocklist flags."""
+    page = "\n".join([
+        "This is a perfectly fine opening sentence about data pipelines.",
+        "short line.",                                      # < 5 words → dropped
+        "no terminal punctuation on this line here",        # dropped
+        "Please enable javascript to continue reading now.",  # dropped
+        "Another good sentence follows the banner right here!",
+        "And a third complete sentence closes the page?",
+    ])
+    lorem = "Lorem ipsum dolor sit amet the usual filler text here."
+    codey = "A page with code: function f() { return 1; } explained."
+    sparse = "One good sentence is all this tiny page has to offer."
+    docs = _docs(spark, [(1, page), (2, lorem), (3, codey), (4, sparse)])
+    got = rows_by_key(text.c4_line_filters(docs), "doc_id")
+    r = got[(1,)]
+    assert r["n_lines"] == 6 and r["n_lines_kept"] == 3
+    assert r["clean_text"].count("\n") == 2 and "javascript" not in r["clean_text"]
+    assert r["n_sentences"] == 3 and r["keep"] is True
+    assert got[(2,)]["has_lorem_ipsum"] is True and got[(2,)]["keep"] is False
+    assert got[(3,)]["has_curly_brace"] is True and got[(3,)]["keep"] is False
+    assert got[(4,)]["n_sentences"] == 1 and got[(4,)]["keep"] is False
+    # blocklist is caller-supplied and case-insensitive
+    blocked = rows_by_key(
+        text.c4_line_filters(docs, blocklist=("filler text",)), "doc_id"
+    )
+    assert blocked[(2,)]["has_blocklisted"] is True
+    assert blocked[(1,)]["has_blocklisted"] is False
+
+
 def test_quota_sample_flag(spark):
     from aws_financial_data_pipeline_spark.operators import sampling
 
