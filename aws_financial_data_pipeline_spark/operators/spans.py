@@ -124,6 +124,78 @@ def duplicated_ngram_spans(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document PARAGRAPH dedup (the CCNet / RefinedWeb / MassiveWeb
+    line-level rule — public method): a paragraph (newline-delimited segment,
+    matched on its md5 after trim) that occurs in ≥ ``min_docs`` distinct
+    documents is boilerplate; drop every occurrence except the first
+    (``keep_first=True``, first = smallest (doc_id, position) — CCNet keeps
+    one copy) or every occurrence outright (``keep_first=False`` — the
+    boilerplate-strip form). Granularity sits between whole-document dedup
+    (operators/dedup.py) and token-span removal (:func:`duplicated_ngram_spans`).
+
+    Returns (id, clean_text, n_paras, n_removed); documents losing no
+    paragraph keep their original text verbatim.
+
+    Scale shape: explode to (doc, pos, md5) — 16-byte keys, never paragraph
+    text — one groupBy on the hash (map-side combine), an aggregate keeper
+    pick via min(struct), a semi-ish join back, one per-doc reassembly
+    groupBy. No window, no Python, no driver action.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "para"),
+    ).withColumn("_k", F.md5(F.trim("para")))
+    stats = paras.groupBy("_k").agg(
+        F.count_distinct("doc_id").alias("_nd"),
+        F.min(F.struct("doc_id", "pos")).alias("_keeper"),
+    )
+    marked = paras.join(stats, "_k")
+    is_dup_key = F.col("_nd") >= min_docs
+    is_keeper = (F.col("_keeper.doc_id") == F.col("doc_id")) & (
+        F.col("_keeper.pos") == F.col("pos")
+    )
+    drop = is_dup_key & (~is_keeper if keep_first else F.lit(True))
+    kept = marked.filter(~drop)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s.para,
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count("*").alias("_n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col),
+        F.size(F.split(F.col(text_col), r"\n")).alias("n_paras"),
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.when(
+                F.coalesce(F.col("_n_kept"), F.lit(0)) == F.col("n_paras"),
+                F.col(text_col),
+            )
+            .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+            .alias("clean_text"),
+            "n_paras",
+            (F.col("n_paras") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def remove_duplicated_spans(
     docs: DataFrame,
     spans: DataFrame,

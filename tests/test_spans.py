@@ -107,3 +107,39 @@ def test_plan_has_single_gram_shuffle_no_python(spark):
     out = spans.duplicated_ngram_spans(_docs(spark), n=8, min_docs=2, hash_grams=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # JVM-side end to end
+
+
+def test_paragraph_dedup_keep_first(spark):
+    """CCNet form: a paragraph shared by 3 docs survives only at its first
+    (doc_id, pos) occurrence; unique paragraphs pass through; untouched docs
+    keep their text verbatim (same object, not a rebuilt equivalent)."""
+    boiler = "Subscribe to our newsletter for updates."
+    rows = [
+        (1, f"Unique intro one.\n{boiler}\nUnique body one."),
+        (2, f"{boiler}\nUnique body two."),
+        (3, f"Unique intro three.\n{boiler}"),
+        (4, "Entirely unique document with no shared lines."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in spans.paragraph_dedup(docs).collect()}
+    assert got[1]["clean_text"] == rows[0][1]  # first occurrence kept → verbatim
+    assert got[1]["n_removed"] == 0
+    assert got[2]["clean_text"] == "Unique body two." and got[2]["n_removed"] == 1
+    assert got[3]["clean_text"] == "Unique intro three." and got[3]["n_removed"] == 1
+    assert got[4]["clean_text"] == rows[3][1] and got[4]["n_removed"] == 0
+    # strip form: every occurrence goes, including the first
+    strip = {r["doc_id"]: r for r in
+             spans.paragraph_dedup(docs, keep_first=False).collect()}
+    assert strip[1]["clean_text"] == "Unique intro one.\nUnique body one."
+    assert strip[1]["n_removed"] == 1
+    # whitespace-normalized matching: trailing spaces don't hide a dup
+    ws = spark.createDataFrame(
+        [(1, f"{boiler}  \nkeep one."), (2, f"{boiler}\nkeep two.")],
+        "doc_id long, text string",
+    )
+    ws_got = {r["doc_id"]: r for r in spans.paragraph_dedup(ws).collect()}
+    assert ws_got[2]["n_removed"] == 1
+    # partition invariance
+    again = {r["doc_id"]: r["clean_text"]
+             for r in spans.paragraph_dedup(docs.repartition(7)).collect()}
+    assert again == {k: v["clean_text"] for k, v in got.items()}
