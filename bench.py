@@ -141,15 +141,25 @@ def main() -> None:
         lambda it: it, "id bigint"
     ).write.mode("overwrite").format("noop").save()
 
+    # best-of-2 per entry: single-shot timings on this box swing 2-4× with
+    # background load (measured: x22 0.36→1.49s, x09 6.9→15.1s across
+    # back-to-back runs with identical plans); the minimum of two executions
+    # is the standard way to report the plan's cost rather than the noise.
+    # Caches are cleared between executions, so run 2 reuses nothing but the
+    # OS page cache the warmup already populated for run 1.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # the dedup/near-dup entries cache internal frames (shingle tables,
-        # LSH signatures); drop them so later entries aren't timed under
-        # another query's memory pressure
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # the dedup/near-dup entries cache internal frames (shingle
+            # tables, LSH signatures); drop them so later entries aren't
+            # timed under another query's memory pressure
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
 
     times["q15_report_from_summary"] = _bench_q15_from_summary(spark, sf_dir)
     times["incremental_dedup_batch"] = _bench_incremental_dedup(spark, sf_dir)
