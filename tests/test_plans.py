@@ -104,3 +104,33 @@ def test_x38_global_topk_uses_bounded_heap_not_full_sort(spark):
     df = x38_global_topk(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_paragraph_dedup_plan_is_window_free_and_jvm_only(spark):
+    """paragraph_dedup must stay aggregates + joins: no WindowExec (ordering
+    is encoded as min(struct)/array_sort), no Python evaluation anywhere."""
+    from aws_financial_data_pipeline_spark.operators import spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = spans.paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_contamination_broadcasts_small_test_side(spark):
+    """The benchmark (test) side of the gram join must broadcast — the train
+    grams never shuffle for an equi-join against a small suite — and the row
+    path must stay JVM-side."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0).limit(20)
+    plan = (
+        dedup.ngram_contamination(train, test, n=13)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

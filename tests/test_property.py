@@ -111,3 +111,29 @@ def test_connected_components_match_union_find_on_random_graphs(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=40),
+    budget=st.integers(8, 64),
+    shards=st.integers(1, 48),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_two_pass_packing_equals_global_prefix_sum(spark, sizes, budget, shards):
+    """pack_chunks' sharded two-pass prefix sum must equal the mathematical
+    global exclusive-prefix-sum bin assignment for ANY sizes/budget/shard
+    count — num_shards is parallelism, never semantics."""
+    from aws_financial_data_pipeline_spark.operators import packing as pk
+
+    rows = [(i, 0, s) for i, s in enumerate(sizes)]
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in pk.pack_chunks(chunks, budget=budget, num_shards=shards).collect()
+    }
+    prefix, expect = 0, {}
+    for i, s in enumerate(sizes):  # order_cols order == doc_id order here
+        expect[i] = prefix // budget
+        prefix += s
+    assert got == expect
