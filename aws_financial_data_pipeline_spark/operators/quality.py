@@ -1,0 +1,90 @@
+"""Model-based document quality scoring (fastText-classifier style).
+
+The heuristic quality family (``text.text_stats``, ``text.gopher_quality_flags``,
+``text.c4_line_filters``) covers rule-based filtering; this module adds the
+MODEL-BASED stage the big public pipelines layer on top — CCNet's fastText
+language/quality models, RefinedWeb's quality classifier, FineWeb-Edu's
+educational-value scorer (all public methods): train a linear classifier on
+hashed bag-of-token features against a labeled seed set (curated "good" vs
+crawl "bad"), then score the whole corpus and filter/re-weight on the
+probability.
+
+Spark-first shape:
+
+- **Features**: ``HashingTF`` over whitespace tokens — a fixed ``num_features``
+  dimension regardless of corpus vocabulary (the fastText hashing trick), so
+  the model is a constant-size coefficient vector.
+- **Training** (:func:`train_quality_classifier`): MLlib ``LogisticRegression``
+  (distributed L-BFGS). Cost is O(iters · |labeled| · avg_tokens) map-side
+  with tiny reduces; the labeled seed set is orders of magnitude smaller than
+  the corpus being scored.
+- **Inference** (:func:`score_quality`): the fitted model broadcasts with the
+  task closure; scoring is one map-only projection (tokenize → hash → dot
+  product → sigmoid) — no shuffle, no Python row path, nothing scales with
+  anything but the one corpus scan. Plan shape is pytest-asserted.
+
+Like the other MLlib-backed operators (``similarity.cluster_embeddings``),
+training is seed-dependent and float-iterative, hence pytest-gated
+(separation quality + determinism), not oracle-gated.
+
+No reference counterpart (the reference engine has no text surface); built
+for the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+):
+    """Fit tokenize→HashingTF→LogisticRegression on a labeled seed frame
+    (``label_col`` ∈ {0.0, 1.0}; 1.0 = high quality). Returns the fitted
+    ``PipelineModel``; persist with ``model.write().overwrite().save(path)``
+    and reload with ``PipelineModel.load`` — training is per-seed-set, not
+    per-corpus."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="_qtok", pattern=r"\s+", toLowercase=True
+    )
+    tf = HashingTF(inputCol="_qtok", outputCol="_qfeat", numFeatures=num_features)
+    lr = LogisticRegression(
+        featuresCol="_qfeat",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+    )
+    return Pipeline(stages=[tok, tf, lr]).fit(labeled)
+
+
+def score_quality(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_threshold: float | None = None,
+) -> DataFrame:
+    """(id, quality_prob) for every document — P(label=1) under the fitted
+    classifier; one map-only pass (broadcast coefficients, no shuffle —
+    plan-asserted in tests). With ``keep_threshold`` adds a ``keep`` flag so
+    pipelines can audit drop rates before filtering, mirroring the
+    flags-not-filters convention of ``gopher_quality_flags``."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(docs.select(id_col, text_col))
+    prob = F.round(vector_to_array("probability").getItem(1), 6)
+    out = scored.select(id_col, prob.alias("quality_prob"))
+    if keep_threshold is not None:
+        out = out.withColumn("keep", F.col("quality_prob") >= keep_threshold)
+    return out

@@ -1,0 +1,61 @@
+"""Model-based quality classifier (operators/quality.py): separation on a
+crafted seed set, held-out generalization, determinism, map-only inference."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import quality as ql
+
+GOOD_WORDS = (
+    "the of and to in is was for on that with as by at from research history "
+    "science culture method result analysis evidence theory chapter"
+).split()
+BAD_WORDS = (
+    "click here buy now free casino winner jackpot subscribe deal offer "
+    "cheap viagra lottery prize claim urgent limited"
+).split()
+
+
+def _seed_docs(spark, n=80, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        good = i % 2 == 0
+        words = GOOD_WORDS if good else BAD_WORDS
+        text = " ".join(rng.choice(words) for _ in range(60))
+        rows.append((i, text, 1.0 if good else 0.0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_quality_classifier_separates_and_generalizes(spark):
+    seed = _seed_docs(spark)
+    train = seed.filter(F.col("doc_id") < 60)
+    heldout = seed.filter(F.col("doc_id") >= 60)
+    model = ql.train_quality_classifier(train, num_features=1 << 12)
+    got = {r["doc_id"]: r for r in
+           ql.score_quality(heldout, model, keep_threshold=0.5).collect()}
+    good_probs = [r["quality_prob"] for d, r in got.items() if d % 2 == 0]
+    bad_probs = [r["quality_prob"] for d, r in got.items() if d % 2 == 1]
+    # every held-out good doc scores above every held-out bad doc
+    assert min(good_probs) > max(bad_probs)
+    assert all(got[d]["keep"] is (d % 2 == 0) for d in got)
+    # deterministic retrain → identical scores (L-BFGS from a fixed init)
+    again = {r["doc_id"]: r["quality_prob"] for r in ql.score_quality(
+        heldout, ql.train_quality_classifier(train, num_features=1 << 12)
+    ).collect()}
+    assert again == {d: r["quality_prob"] for d, r in got.items()}
+
+
+def test_quality_inference_is_map_only(spark):
+    """Scoring must add no exchange: broadcast coefficients, one projection."""
+    model = ql.train_quality_classifier(_seed_docs(spark), num_features=1 << 12)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        ql.score_quality(docs, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
