@@ -1,0 +1,132 @@
+"""Full corpus-curation funnel with per-stage audit accounting.
+
+The registry's x32 slot locks in that the curation operators COMPOSE (and
+oracle-checks the split/sample math); this module is the production-shaped
+wrapper around the same pieces: run the standard pretraining-data pipeline
+stage by stage in the canonical order, carry a per-stage audit of survivor
+counts (the "funnel" every data team reports), and return both the curated
+corpus and the audit.
+
+Canonical order and why (each stage cheapens the next):
+
+1. exact dedup (``dedup.exact_duplicates``)      — hash groupBy, removes the
+   mass of literal copies before anything tokenizes
+2. paragraph dedup (``spans.paragraph_dedup``)   — strips cross-doc
+   boilerplate so rules/classifier see content, not chrome
+3. rule filters (``text.c4_line_filters`` +      — map-only, cheapest
+   ``text.gopher_quality_flags``)                  per-row gates
+4. model filter (``quality.score_quality``)      — broadcast classifier on
+   rule survivors only
+5. fuzzy dedup (``dedup.minhash_dedup``          — the expensive stage runs
+   + keep-lowest-id)                               last, on the smallest set
+6. split assignment (``sampling.split_assign``)  — deterministic md5 buckets
+
+Every stage is flags-then-filter, so the audit is exact. Stage boundaries are
+``localCheckpoint(eager=False)``-ed by default: each stage's lineage computes
+ONCE and is reused by both the next stage and its audit row — without it,
+every audit count and every downstream stage replays the whole upstream
+pipeline (MinHash included), which multiplies the funnel's cost by its depth.
+That is the executor-storage trade a production funnel makes (or it persists
+stage outputs to the lake — pass ``materialize=False`` if the caller manages
+persistence itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as dd
+from . import sampling as sp
+from . import spans as sps
+from . import text as tx
+
+
+def curation_funnel(
+    docs: DataFrame,
+    quality_model=None,
+    quality_threshold: float = 0.5,
+    minhash_threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the standard curation pipeline; returns ``(corpus, audit)``.
+
+    ``corpus``: surviving documents with ``clean_text`` (boilerplate
+    stripped), the rule flags, ``quality_prob`` (when a model is given) and
+    ``split``. ``audit``: (stage, docs_kept) — one row per stage in pipeline
+    order, the funnel report.
+
+    ``quality_model`` is a fitted :mod:`.quality` PipelineModel; omit it to
+    skip the model stage (rules-only curation).
+    """
+    def _stage(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=False) if materialize else frame
+
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    canon = (
+        dd.exact_duplicates(docs, text_col, id_col)
+        .select(F.col("canonical_id").alias(id_col))
+        .distinct()
+    )
+    cur = docs.join(canon, id_col, "left_semi")
+    cur = _stage(cur)
+    stages.append(("exact_dedup", cur))
+
+    para = sps.paragraph_dedup(cur, text_col=text_col, id_col=id_col).select(
+        id_col, "clean_text"
+    )
+    cur = cur.join(para, id_col).drop(text_col).withColumnRenamed(
+        "clean_text", text_col
+    )
+    cur = _stage(cur)
+    stages.append(("paragraph_dedup", cur))
+
+    c4 = tx.c4_line_filters(cur, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("keep").alias("_c4_keep")
+    )
+    gopher = tx.gopher_quality_flags(cur, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("keep").alias("_gopher_keep")
+    )
+    cur = (
+        cur.join(c4, id_col)
+        .join(gopher, id_col)
+        .filter(F.col("_c4_keep") | F.col("_gopher_keep"))
+        .drop("_c4_keep", "_gopher_keep")
+    )
+    cur = _stage(cur)
+    stages.append(("rule_filters", cur))
+
+    if quality_model is not None:
+        from .quality import score_quality
+
+        scored = score_quality(
+            cur, quality_model, text_col=text_col, id_col=id_col
+        )
+        cur = cur.join(scored, id_col).filter(
+            F.col("quality_prob") >= quality_threshold
+        )
+        cur = _stage(cur)
+        stages.append(("quality_model", cur))
+
+    pairs = dd.minhash_dedup(
+        cur.select(id_col, text_col), text_col, id_col, minhash_threshold
+    )
+    dup_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    cur = cur.join(dup_ids, id_col, "left_anti")
+    cur = _stage(cur)
+    stages.append(("minhash_dedup", cur))
+
+    cur = sp.split_assign(cur, id_col=id_col)
+    cur = _stage(cur)
+    stages.append(("split_assign", cur))
+
+    audit = None
+    for name, frame in stages:
+        row = frame.agg(
+            F.lit(name).alias("stage"), F.count("*").alias("docs_kept")
+        )
+        audit = row if audit is None else audit.unionByName(row)
+    return cur, audit

@@ -1,0 +1,78 @@
+"""curation_funnel: end-to-end composition + exact audit accounting.
+
+The fixture is built so each stage drops exactly one document:
+exact dedup → doc 2 (literal copy), rule filters → doc 4 (post-strip stub),
+quality model → doc 5 (rule-passing spam), minhash → doc 6 (near-dup of 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import curation, quality
+
+BOILER = "Subscribe to our newsletter for all the latest updates."
+GOOD1 = (
+    "The research method chapter presents the analysis and the evidence. "
+    "The result supports the theory with history and culture in context. "
+    "Science is the method of the chapter and the analysis of the result."
+)
+GOOD3 = (
+    "A separate chapter discusses the history of the field in detail. "
+    "The evidence from the culture survey supports a different theory. "
+    "The analysis in this result section uses the standard method twice."
+)
+SPAM = (
+    "Click here to buy now the free casino winner jackpot. "
+    "Claim the urgent limited lottery prize deal and the cheap offer now. "
+    "Subscribe winner and click the jackpot casino prize offer here now."
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, GOOD1),                      # survives everything
+        (2, GOOD1),                      # exact copy → exact dedup
+        (3, f"{BOILER}\n{GOOD3}"),       # boiler's FIRST occurrence: kept here
+        (4, f"{BOILER}\nShort."),        # loses boiler → stub → rules drop it
+        (5, SPAM),                       # passes rules; classifier kills it
+        (6, GOOD1 + " Extra closing sentence appended right here."),  # near-dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curation_funnel_stages_and_audit(spark):
+    docs = _corpus(spark)
+    seed_rows = [
+        (100 + i,
+         "the of and research method analysis evidence theory result chapter " * 4
+         if i % 2 == 0 else "click here buy now free casino winner jackpot prize " * 4,
+         1.0 if i % 2 == 0 else 0.0)
+        for i in range(20)
+    ]
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string, label double")
+    model = quality.train_quality_classifier(seed, num_features=1 << 12, max_iter=15)
+
+    corpus, audit = curation.curation_funnel(
+        docs, quality_model=model, minhash_threshold=0.5
+    )
+    funnel = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    out = {r["doc_id"]: r for r in corpus.collect()}
+
+    assert funnel["input"] == 6
+    assert funnel["exact_dedup"] == 5          # doc 2 gone (copy of 1)
+    assert funnel["paragraph_dedup"] == 5      # strips paragraphs, drops no docs
+    assert funnel["rule_filters"] == 4         # doc 4 (post-strip stub) gone
+    assert funnel["quality_model"] == 3        # rule-passing spam doc 5 gone
+    assert funnel["minhash_dedup"] == 2        # near-dup 6 collapses into 1
+    assert funnel["split_assign"] == 2
+    assert sorted(out) == [1, 3]
+    # CCNet keep-first: doc 3 is the boilerplate's first occurrence → keeps it
+    assert BOILER in out[3]["text"] and GOOD3 in out[3]["text"]
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())
+    assert all(r["quality_prob"] >= 0.5 for r in out.values())
+    # rules-only mode: no model stage in the audit, spam survives to minhash
+    _, audit2 = curation.curation_funnel(docs, minhash_threshold=0.5)
+    funnel2 = {r["stage"]: r["docs_kept"] for r in audit2.collect()}
+    assert "quality_model" not in funnel2
+    assert funnel2["minhash_dedup"] == 3       # spam doc 5 still in
