@@ -85,10 +85,10 @@ def pack_chunks(
     contiguous in the given order (doc locality preserved — adjacent chunks
     co-locate, which is what sample packing wants); every bin's total is
     < budget + the size of its last item (the only guaranteed bound — a
-    bin's last item may straddle the boundary), and exactly ≤ budget when the
-    sizes tile the budget (e.g. chunks of ``window`` tokens with
-    budget = k·window). Items larger than the budget get a bin of their own
-    (they should have been chunked first).
+    bin's last item may straddle the boundary), and exactly ≤ budget in the
+    special case where ALL sizes equal w and budget = k·w (no partial tail
+    chunks — every prefix is a multiple of w). Items larger than the budget
+    get a bin of their own (they should have been chunked first).
 
     The prefix sum is two-pass distributed (see module docstring): shard on a
     deterministic range bucket of ``order_cols[0]``, per-shard window prefix
