@@ -1,0 +1,148 @@
+"""Hashed n-gram language-model perplexity scoring (the CCNet signal).
+
+CCNet (Wenzek et al. 2019, public method) scores every document's perplexity
+under a language model trained on a trusted corpus (Wikipedia) and keeps the
+low-perplexity "head" of the distribution — perplexity-against-a-reference is
+the classic fluency/quality signal between cheap rules and a trained
+classifier. CCNet uses KenLM; the distributed re-expression here is a hashed
+BIGRAM model with add-k smoothing, the same fixed-size-table trick as
+``operators/dsir.py``:
+
+- **Training** (:func:`train_ngram_lm`): two groupBys over the reference
+  corpus — bigram-hash counts and context(unigram)-hash counts — plus a
+  1-row vocabulary-size aggregate. Model size is bounded by the distinct
+  n-grams of the REFERENCE corpus (hashed to 8-byte keys), independent of
+  the corpus later scored.
+- **Scoring** (:func:`ngram_perplexity`): explode each document's bigrams,
+  equi-join the model tables on the hash (AQE broadcasts when the model is
+  small; a shuffle join otherwise — never a driver collect), then one
+  per-doc aggregate: nll = −mean log P(w|prev), ppl = exp(nll). Unseen
+  bigrams back off to the smoothed floor k/(c(prev)+k·V); unseen contexts to
+  1/V — both exact, engine-side arithmetic.
+- **Bucketing** (:func:`perplexity_buckets`): CCNet's head/middle/tail split
+  at corpus quantiles via one ``approx_percentile`` aggregate broadcast back
+  — no sort, no window.
+
+Hash collisions conflate n-grams exactly as in DSIR's hashed features — the
+standard memory/bias trade, deterministic given the seed constant.
+
+No reference counterpart (the reference engine has no text surface); built
+for the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import with_tokens
+
+_SEED = 41
+
+
+def _bigram_table(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, prev_h, big_h) per token position ≥ 1 (lowercased tokens)."""
+    toked = with_tokens(docs, text_col).withColumn(
+        "_tok", F.transform(F.col("_tok"), lambda t: F.lower(t))
+    )
+    tok = F.col("_tok")
+    pairs = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: F.struct(
+                F.xxhash64(F.element_at(tok, i), F.lit(_SEED)).alias("prev_h"),
+                F.xxhash64(
+                    F.concat_ws(" ", F.element_at(tok, i), F.element_at(tok, i + 1)),
+                    F.lit(_SEED),
+                ).alias("big_h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev_h:bigint,big_h:bigint>>"))
+    return (
+        toked.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.prev_h").alias("prev_h"), F.col("p.big_h").alias("big_h"))
+    )
+
+
+def train_ngram_lm(
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Fit the hashed bigram LM on a trusted reference corpus. Returns three
+    frames — ``{'bigrams': (big_h, c_big), 'contexts': (prev_h, c_prev),
+    'vocab': 1-row (v)}`` — persist them with ``.write.parquet`` like the
+    dedup signature store; they are the entire model."""
+    big = _bigram_table(reference, text_col, id_col)
+    return {
+        "bigrams": big.groupBy("big_h").agg(F.count("*").alias("c_big")),
+        "contexts": big.groupBy("prev_h").agg(F.count("*").alias("c_prev")),
+        "vocab": with_tokens(reference, text_col)
+        .select(F.explode("_tok").alias("t"))
+        .agg(F.count_distinct(F.lower("t")).alias("v")),
+    }
+
+
+def ngram_perplexity(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """(id, n_bigrams, nll, ppl) per document under the fitted LM:
+    nll = −mean log P(cur|prev) with add-k smoothing, ppl = exp(nll).
+    Documents with < 2 tokens score NULL (no bigram evidence)."""
+    big = _bigram_table(docs, text_col, id_col)
+    v = F.col("v").cast("double")
+    scored = (
+        big.join(lm["bigrams"], "big_h", "left")
+        .join(lm["contexts"], "prev_h", "left")
+        .join(F.broadcast(lm["vocab"]))
+    )
+    c_big = F.coalesce(F.col("c_big").cast("double"), F.lit(0.0))
+    c_prev = F.coalesce(F.col("c_prev").cast("double"), F.lit(0.0))
+    logp = F.log((c_big + add_k) / (c_prev + add_k * v))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(-F.avg(logp), 6).alias("nll"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "nll",
+            F.round(F.exp("nll"), 4).alias("ppl"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    head: float = 1 / 3,
+    middle: float = 2 / 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail assignment: one approx_percentile aggregate
+    over ``ppl`` (null ppl → 'tail'), thresholds broadcast back — no sort,
+    no window. Returns the input plus a ``ppl_bucket`` column."""
+    cuts = scored.agg(
+        F.percentile_approx("ppl", F.array(F.lit(head), F.lit(middle))).alias("_c")
+    ).select(
+        F.col("_c").getItem(0).alias("_head_cut"),
+        F.col("_c").getItem(1).alias("_mid_cut"),
+    )
+    return (
+        scored.join(F.broadcast(cuts))
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("ppl").isNull(), F.lit("tail"))
+            .when(F.col("ppl") <= F.col("_head_cut"), F.lit("head"))
+            .when(F.col("ppl") <= F.col("_mid_cut"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_head_cut", "_mid_cut")
+    )

@@ -1,0 +1,72 @@
+"""Hashed bigram LM perplexity (operators/lm.py): fluent-vs-gibberish
+separation, smoothing floors, determinism, CCNet bucketing."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import lm
+
+FLUENT = "the cat sat on the mat and the dog sat on the rug"
+
+
+def _reference(spark, n=40, seed=9):
+    """Reference corpus of sentences drawn from a tiny fixed grammar, so its
+    bigrams are heavily reused — the trusted-corpus shape."""
+    rng = random.Random(seed)
+    subj = ["the cat", "the dog", "a bird"]
+    verb = ["sat on", "ran to", "looked at"]
+    obj = ["the mat", "the rug", "a tree"]
+    rows = [
+        (i, " and ".join(
+            f"{rng.choice(subj)} {rng.choice(verb)} {rng.choice(obj)}"
+            for _ in range(4)
+        ))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_perplexity_separates_fluent_from_gibberish(spark):
+    ref = _reference(spark)
+    model = lm.train_ngram_lm(ref)
+    docs = spark.createDataFrame(
+        [
+            (1, FLUENT),                                  # in-grammar → low ppl
+            (2, "zq xv qq plf mnt kkw zzj vbx rrp wqn"),  # gibberish → floor ppl
+            (3, "mat the on sat cat the"),                # right words, wrong order
+            (4, "single"),                                # <2 tokens → NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lm.ngram_perplexity(docs, model).collect()}
+    # fluent text is cheapest; all-OOV gibberish sits at the smoothing floor
+    # (ppl = V, every context unseen); REORDERED known words are the most
+    # surprising of all: seen contexts (large c_prev) assign the unseen
+    # continuation k/(c_prev + kV) << 1/V — proper LM behavior
+    assert got[1]["ppl"] < got[2]["ppl"] < got[3]["ppl"]
+    assert got[4]["ppl"] is None and got[4]["n_bigrams"] == 0
+    # deterministic: retrain + rescore → identical values
+    again = {r["doc_id"]: r["ppl"]
+             for r in lm.ngram_perplexity(docs, lm.train_ngram_lm(_reference(spark))).collect()}
+    assert again == {d: r["ppl"] for d, r in got.items()}
+
+
+def test_perplexity_buckets_head_middle_tail(spark):
+    ref = _reference(spark)
+    model = lm.train_ngram_lm(ref)
+    rows = [(i, FLUENT) for i in range(10)] + \
+           [(100 + i, "mat the on sat cat the dog rug a") for i in range(10)] + \
+           [(200 + i, "zq xv qq plf mnt kkw zzj") for i in range(10)] + \
+           [(300, "x")]  # null ppl → tail
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = lm.ngram_perplexity(docs, model)
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in lm.perplexity_buckets(scored).collect()}
+    assert all(got[i] == "head" for i in range(10))
+    # gibberish floors at ppl=V (middle); reordered-known-words score worst
+    assert {got[200 + i] for i in range(10)} == {"middle"}
+    assert all(got[100 + i] == "tail" for i in range(10))
+    assert got[300] == "tail"
