@@ -435,19 +435,30 @@ def cross_corpus_contamination(
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
+    id_offset: int | None = None,
 ) -> DataFrame:
     """Train/test decontamination: (train_id, test_id, jaccard) pairs whose
     shingle Jaccard ≥ threshold — the benchmark-leakage check every
     pretraining pipeline runs before training.
 
     Pure composition of the scale-path dedup: the two corpora union under a
-    disjoint id space (test ids offset by max(train id)+1 — one metadata-cheap
-    scalar read), run through minhash_dedup (LSH candidates → exact verify,
-    never quadratic), and only CROSS-corpus pairs survive. Within-corpus
-    duplicates are deliberately excluded — they're x39's job.
+    disjoint id space (test ids shifted by ``id_offset``), run through
+    minhash_dedup (LSH candidates → exact verify, never quadratic), and only
+    CROSS-corpus pairs survive. Within-corpus duplicates are deliberately
+    excluded — they're x39's job.
+
+    ``id_offset``: a caller who KNOWS its id range (e.g. dense ingest ids
+    < 2^40) passes any bound strictly above every train id and skips the
+    offset job entirely; the default None computes max(train id)+1 with one
+    scalar aggregate — correct for ANY id distribution (path-hash ids are
+    full-range 64-bit and can be negative, so no constant is safe as a
+    default).
     """
-    row = train.agg(F.max(F.col(id_col)).alias("m")).first()
-    off = int(row["m"]) + 1 if row["m"] is not None else 1
+    if id_offset is not None:
+        off = int(id_offset)
+    else:
+        row = train.agg(F.max(F.col(id_col)).alias("m")).first()
+        off = int(row["m"]) + 1 if row["m"] is not None else 1
     test_shift = test.withColumn(id_col, F.col(id_col) + F.lit(off))
     union = train.select(id_col, text_col).unionByName(test_shift.select(id_col, text_col))
     pairs = minhash_dedup(union, text_col, id_col, threshold, num_hashes, band_size, n)

@@ -593,7 +593,11 @@ def x40_decontamination(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
-    fuzzy = dedup.cross_corpus_contamination(train, test, threshold=0.7).select(
+    # testdata ids are dense non-negative longs ≪ 2^40: the explicit offset
+    # skips the max(id) scalar job (the offset cancels in the output ids)
+    fuzzy = dedup.cross_corpus_contamination(
+        train, test, threshold=0.7, id_offset=1 << 40
+    ).select(
         F.lit("minhash").alias("method"),
         "train_id",
         "test_id",
