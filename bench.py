@@ -119,6 +119,38 @@ def _bench_incremental_dedup(spark, sf_dir: str) -> float:
         shutil.rmtree(sigdir, ignore_errors=True)
 
 
+def _bench_paragraph_dedup(spark, sf_dir: str) -> float:
+    """Cross-doc paragraph dedup over the documents table (md5 keys, CCNet
+    keep-first) — the line-level rule between whole-doc and span dedup."""
+    from aws_financial_data_pipeline_spark.operators import spans
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    t0 = time.perf_counter()
+    spans.paragraph_dedup(_docs(spark, sf_dir)).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _bench_lm_perplexity(spark, sf_dir: str) -> float:
+    """CCNet-style perplexity: hashed bigram LM trained on a 20% reference
+    slice (untimed — the model is per-reference-corpus, not per-corpus
+    scored), then the timed pass scores the remaining 80% and buckets it."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import lm
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    model = {k: v.localCheckpoint() for k, v in
+             lm.train_ngram_lm(docs.filter(F.col("doc_id") % 5 == 0)).items()}
+
+    t0 = time.perf_counter()
+    scored = lm.ngram_perplexity(docs.filter(F.col("doc_id") % 5 != 0), model)
+    lm.perplexity_buckets(scored).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -163,6 +195,8 @@ def main() -> None:
 
     times["q15_report_from_summary"] = _bench_q15_from_summary(spark, sf_dir)
     times["incremental_dedup_batch"] = _bench_incremental_dedup(spark, sf_dir)
+    times["paragraph_dedup"] = _bench_paragraph_dedup(spark, sf_dir)
+    times["lm_perplexity_score"] = _bench_lm_perplexity(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(
