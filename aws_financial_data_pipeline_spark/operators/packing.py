@@ -99,6 +99,16 @@ def pack_chunks(
         raise ValueError(f"budget must be positive: {budget}")
     if num_shards <= 0:
         raise ValueError(f"num_shards must be positive: {num_shards}")
+    lead_type = chunks.schema[order_cols[0]].dataType.typeName()
+    if lead_type not in (
+        "byte", "short", "integer", "long", "float", "double", "decimal", "timestamp",
+    ):
+        # a non-numeric leading column would cast to NULL and silently
+        # mis-shard every row; fail loudly instead (schema check, no job)
+        raise TypeError(
+            f"order_cols[0] ({order_cols[0]!r}) must be numeric/temporal for "
+            f"range sharding, got {lead_type}"
+        )
     cols = [F.col(c) for c in order_cols]
     lead = F.col(order_cols[0]).cast("double")
     # deterministic monotone shard of the leading order column: bounds come

@@ -101,3 +101,15 @@ def test_pack_two_pass_matches_global_window_at_any_shard_count(spark):
         assert got == ref, shards
     one_doc = pk.chunk_tokens(_docs(spark, rows[:1]), window=8)
     assert pk.pack_chunks(one_doc, budget=24).count() == one_doc.count()
+
+
+def test_pack_rejects_non_numeric_leading_order_col(spark):
+    """A string leading order column would cast to NULL and silently
+    mis-shard; the schema check must fail loudly instead."""
+    import pytest
+
+    chunks = spark.createDataFrame(
+        [("a", 0, 5)], "doc_name string, chunk_id long, n_tokens long"
+    )
+    with pytest.raises(TypeError, match="must be numeric"):
+        pk.pack_chunks(chunks, budget=8, order_cols=("doc_name", "chunk_id"))
