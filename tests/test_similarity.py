@@ -255,6 +255,29 @@ def test_cluster_embeddings_recovers_separated_clusters(spark):
     assert all(r["count"] == 10 for r in kept)
 
 
+def test_semantic_dedup_straddle_recall_measured_on_testdata(spark):
+    """SemDeDup's documented recall trade, MEASURED (SCALING.md §Dedup): the
+    cluster bound only examines same-cluster pairs, so recall on LOOSE
+    'related' pairs (cosine ≥ 0.35 — the testdata has no tighter pairs) is
+    the same-cluster fraction, and it degrades as k grows. Floors assert the
+    measured values (KMeans seed pinned) stay in their band."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = sim.embedding_near_duplicates(
+        emb, threshold=0.35, allow_full_corpus=True
+    ).select("doc_a", "doc_b")
+    tot = truth.count()
+    assert tot > 100  # the corpus does contain loose pairs
+    rates = {}
+    for k in (4, 8):
+        cl = sim.cluster_embeddings(emb, k=k)
+        a = cl.select(F.col("vec_id").alias("doc_a"), F.col("cluster").alias("ca"))
+        b = cl.select(F.col("vec_id").alias("doc_b"), F.col("cluster").alias("cb"))
+        same = truth.join(a, "doc_a").join(b, "doc_b").filter("ca = cb").count()
+        rates[k] = same / tot
+    assert rates[4] > rates[8]          # more clusters → more straddling
+    assert rates[4] >= 0.5 and rates[8] >= 0.35  # measured: 0.59 / 0.40
+
+
 def test_semantic_dedup_marks_within_cluster_near_copies(spark):
     """SemDeDup: three separated semantic groups, each containing planted
     near-copies (same direction, tiny perturbation) plus genuinely distinct
