@@ -386,12 +386,13 @@ def cluster_embeddings(
 
 def semantic_dedup(
     emb: DataFrame,
-    k: int = 16,
+    k: int | None = None,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
     max_iter: int = 20,
+    target_cluster: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     by clustering first and comparing only WITHIN clusters — the trick that
@@ -411,10 +412,28 @@ def semantic_dedup(
     keepers. Filter ``~is_duplicate`` for the deduplicated corpus.
 
     Seed-dependent through KMeans (cluster boundaries move duplicates only
-    if an ε-ball straddles clusters — the documented SemDeDup recall loss),
-    so pytest-gated like :func:`cluster_embeddings`, not oracle-gated.
+    if an ε-ball straddles clusters — the documented SemDeDup recall loss,
+    MEASURED in SCALING.md §Dedup), so pytest-gated like
+    :func:`cluster_embeddings`, not oracle-gated.
+
+    ``k=None`` derives k from the corpus with one count job:
+    k = clamp(N / target_cluster, 1, 65536) — cluster sizes (and so the
+    within-cluster quadratic term) stay ~``target_cluster`` at any N, the
+    paper's grow-k-with-N recipe applied automatically. The floor is ONE
+    cluster, not two: a corpus smaller than ~2·target_cluster dedups
+    exhaustively in a single cluster, whereas k=n would put every vector in
+    its own cluster and find nothing. Pass k explicitly to pin it (tests do).
     """
-    clusters = cluster_embeddings(emb, k, vec_col, id_col, seed, max_iter)
+    if k is None:
+        n = emb.count()
+        k = max(1, min(65536, n // target_cluster))
+    if k <= 1:
+        # MLlib KMeans requires k ≥ 2; one cluster needs no model at all —
+        # the corpus dedups exhaustively (bounded: only reached when
+        # N ≲ 2·target_cluster)
+        clusters = emb.select(id_col, F.lit(0).alias("cluster"))
+    else:
+        clusters = cluster_embeddings(emb, k, vec_col, id_col, seed, max_iter)
     a = clusters.select(F.col(id_col).alias("doc_a"), "cluster")
     b = clusters.select(F.col(id_col).alias("doc_b"), "cluster")
     cand = a.join(b, "cluster").filter(F.col("doc_a") < F.col("doc_b")).select(

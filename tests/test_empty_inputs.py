@@ -61,3 +61,46 @@ def test_single_row_inputs(spark, cur_txns):
     docs = spark.createDataFrame([(1, "only one doc")], "doc_id long, text string")
     assert dedup.exact_duplicates(docs).count() == 1
     assert dedup.jaccard_pairs(docs, threshold=0.0, n=2, allow_full_corpus=True).count() == 0  # no pairs
+
+
+def test_round3_ops_on_empty(spark):
+    """The round-3 additions: every new operator must be total on empty
+    frames — the composed funnel included."""
+    from aws_financial_data_pipeline_spark.operators import lm, packing, spans
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert spans.paragraph_dedup(docs).count() == 0
+    assert spans.duplicated_ngram_spans(docs).count() == 0
+    assert text.c4_line_filters(docs).count() == 0
+    assert dedup.ngram_contamination(docs, docs).count() == 0
+    chunks = spark.createDataFrame([], "doc_id long, chunk_id long, n_tokens long")
+    assert packing.pack_chunks(chunks).count() == 0
+    # LM trained on an empty reference still scores (everything at the
+    # smoothing floor over a NULL vocab → null ppl, never a throw)
+    model = lm.train_ngram_lm(docs)
+    scored = lm.ngram_perplexity(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"), model
+    )
+    assert scored.count() == 1
+    assert lm.perplexity_buckets(lm.ngram_perplexity(docs, model)).count() == 0
+
+
+def test_semantic_and_funnel_on_tiny_not_empty(spark):
+    """KMeans needs k ≤ n, so the smallest meaningful corpus (2 vectors) must
+    work end-to-end; the funnel must survive a corpus where every stage
+    filters everything out."""
+    from aws_financial_data_pipeline_spark.operators import curation
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001])], "vec_id long, embedding array<double>"
+    )
+    # auto-k floors at ONE cluster for a tiny corpus (k=n would isolate every
+    # vector and find nothing — the clamp this pins)
+    got = {r["vec_id"]: r for r in sim.semantic_dedup(emb, threshold=0.99).collect()}
+    assert got[2]["is_duplicate"] is True and got[1]["is_duplicate"] is False
+    # a corpus of empty-text docs: rules drop everything, audit stays exact
+    blank = spark.createDataFrame([(1, ""), (2, "")], "doc_id long, text string")
+    corpus, audit = curation.curation_funnel(blank)
+    funnel = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert funnel["input"] == 2 and funnel["split_assign"] == 0
+    assert corpus.count() == 0

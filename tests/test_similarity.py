@@ -320,3 +320,10 @@ def test_semantic_dedup_marks_within_cluster_near_copies(spark):
     assert {k: (v["is_duplicate"], v["dup_of"]) for k, v in got.items()} == {
         k: (v["is_duplicate"], v["dup_of"]) for k, v in again.items()
     }
+    # auto-k (k=None): 30 vectors / target_cluster=10 → k=3, same balls found
+    auto = rows_by_key(
+        sim.semantic_dedup(emb, threshold=0.99, target_cluster=10), "vec_id"
+    )
+    assert {k for k, v in auto.items() if v["is_duplicate"]} == {
+        k for k, v in got.items() if v["is_duplicate"]
+    }
