@@ -141,3 +141,46 @@ def test_session_stream_gap_semantics(spark, tmp_path):
     first = k[(100, "2024-01-01 10:00:00")]
     assert first["n_events"] == 2 and first["total_value"] == 3.0
     assert first["session_end"] == "2024-01-01 10:50:00"  # last event + gap
+
+
+def test_quality_family_runs_unchanged_on_streams(spark, tmp_path):
+    """The rule-based quality family is map-only Catalyst, so the SAME
+    operators run on a streaming frame with no code changes — the streaming
+    quality gate is composition, not a new operator. Replay == batch."""
+    from aws_financial_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A good first sentence right here. And a second one follows. Then a third closes it."),
+            (2, "lorem ipsum dolor sit amet filler"),
+            (3, "Call +1 415 555 2671 for a fine offer. Two more sentences follow here. And one more closes."),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "qstream_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    def gate(df):
+        flags = text.c4_line_filters(df)
+        red = text.redact_pii(df)
+        return df.select("doc_id").join(flags, "doc_id").join(
+            red.select("doc_id", "text_redacted", "n_phone"), "doc_id"
+        )
+
+    q = (
+        gate(stream)
+        .writeStream.format("memory")
+        .queryName("q_quality_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {r["doc_id"]: r for r in spark.table("q_quality_gate").collect()}
+    batch = {r["doc_id"]: r for r in gate(docs).collect()}
+    assert {d: (r["keep"], r["text_redacted"]) for d, r in streamed.items()} == {
+        d: (r["keep"], r["text_redacted"]) for d, r in batch.items()
+    }
+    assert streamed[2]["has_lorem_ipsum"] is True
+    assert streamed[3]["n_phone"] == 1 and "<PII:phone>" in streamed[3]["text_redacted"]
