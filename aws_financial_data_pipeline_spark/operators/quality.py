@@ -68,6 +68,60 @@ def train_quality_classifier(
     return Pipeline(stages=[tok, tf, lr]).fit(labeled)
 
 
+def quality_signal_table(
+    docs: DataFrame,
+    clf_model=None,
+    lm_model: dict | None = None,
+    compression: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EVERY quality signal side by side in one table — the score table a
+    curation team filters, weights and ablates against:
+
+    - rule signals (stats, language-ID, token counts, repetition, Gopher
+      flags, PII counts, C4 flags) come from ONE map-only projection
+      (``text.text_profile(gopher=True, pii=True, c4=True)`` — shuffle-free,
+      plan-asserted in tests);
+    - ``compression=True`` appends the zlib compression-ratio kernel (an
+      Arrow-batched pandas column on the same pass — still no shuffle);
+    - ``clf_model`` (a :func:`train_quality_classifier` fit) appends
+      ``quality_prob`` via a broadcast map-only transform;
+    - ``lm_model`` (a :mod:`.lm` ``train_ngram_lm`` dict) appends
+      ``nll``/``ppl`` — the one genuinely non-map signal (explode + model
+      join + per-doc aggregate), joined back on the id.
+
+    Everything stays one pass over the corpus except the LM branch, whose
+    cost is documented in SCALING.md §Text.
+    """
+    from ..operators import text as tx
+
+    extra = []
+    if compression:
+        from ..functions.vectorized import compression_ratio_pandas
+
+        extra.append(
+            compression_ratio_pandas()(F.col(text_col)).alias("compression_ratio")
+        )
+    out = tx.text_profile(
+        docs, text_col=text_col, id_col=id_col,
+        gopher=True, pii=True, c4=True, extra_cols=extra,
+    )
+    if clf_model is not None:
+        out = out.join(
+            score_quality(docs, clf_model, text_col=text_col, id_col=id_col),
+            id_col,
+        )
+    if lm_model is not None:
+        from .lm import ngram_perplexity
+
+        out = out.join(
+            ngram_perplexity(docs, lm_model, text_col=text_col, id_col=id_col),
+            id_col,
+        )
+    return out
+
+
 def score_quality(
     docs: DataFrame,
     model,

@@ -149,14 +149,18 @@ def text_profile(
     shingle_n: int = 3,
     gopher: bool = False,
     pii: bool = False,
+    c4: bool = False,
+    extra_cols: list | None = None,
 ) -> DataFrame:
     """EVERY per-document text analysis in ONE map-only projection: stats +
     quality (text_stats), stopword language-ID (language_id), ws/BPE token
     counts (token_counts) and the min-hash fingerprint (fingerprint); with
-    ``gopher=True`` the Gopher/MassiveText rule flags and with ``pii=True``
-    the PII redaction (redacted text + per-kind counts) append in the SAME
-    stage — the expressions are shared with :func:`gopher_quality_flags` /
-    :func:`redact_pii` via the ``_gopher_exprs`` / ``_pii_output_cols``
+    ``gopher=True`` the Gopher/MassiveText rule flags, with ``pii=True``
+    the PII redaction (redacted text + per-kind counts), and with ``c4=True``
+    the C4 line/page flags (``c4_keep`` etc., sans ``clean_text``) append in
+    the SAME stage — the expressions are shared with
+    :func:`gopher_quality_flags` / :func:`redact_pii` / :func:`c4_line_filters`
+    via the ``_gopher_output_cols`` / ``_pii_output_cols`` / ``_c4_output_cols``
     builders, so the profile and the standalone operators cannot drift.
 
     This is both the consolidated driver-gate entry (round-1 x10–x13 merged
@@ -226,6 +230,11 @@ def text_profile(
         dup_ratio.alias("dup_shingle_ratio"),
         *(_gopher_output_cols(text_col, tok) if gopher else []),
         *(_pii_output_cols(text_col) if pii else []),
+        *(_c4_output_cols(text_col, include_clean_text=False) if c4 else []),
+        # caller-supplied columns (e.g. an Arrow-batched kernel over the text)
+        # ride the SAME projection — quality_signal_table uses this to keep
+        # the whole rule-signal table one pass
+        *(extra_cols or []),
     )
 
 
@@ -356,6 +365,49 @@ def gopher_quality_flags(
     return docs.select(id_col, *_gopher_output_cols(text_col, F.col("_tok")))
 
 
+def _c4_output_cols(
+    text_col: str,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = (),
+    include_clean_text: bool = True,
+) -> list:
+    """The C4 rule columns, shared by :func:`c4_line_filters` and
+    :func:`text_profile` (``c4=True``) so the two cannot drift."""
+    lines = F.split(F.col(text_col), r"\n")
+    ln_ok = lambda ln: (
+        F.rtrim(ln).rlike(r"[.!?\"']$")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, ln_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    low = F.lower(F.col(text_col))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    has_blocked = (
+        low.rlike("|".join(sorted({w.lower() for w in blocklist})))
+        if blocklist
+        else F.lit(False)
+    )
+    return [
+        *([clean.alias("clean_text")] if include_clean_text else []),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        has_blocked.alias("has_blocklisted"),
+        (
+            ~has_lorem
+            & ~has_brace
+            & ~has_blocked
+            & (n_sent >= min_sentences)
+        ).alias("c4_keep"),
+    ]
+
+
 def c4_line_filters(
     docs: DataFrame,
     text_col: str = "text",
@@ -388,39 +440,10 @@ def c4_line_filters(
     has_lorem_ipsum, has_curly_brace, has_blocklisted, keep). Pure Catalyst
     higher-order/regexp expressions: no shuffle, no Python.
     """
-    lines = F.split(F.col(text_col), r"\n")
-    ln_ok = lambda ln: (
-        F.rtrim(ln).rlike(r"[.!?\"']$")
-        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
-        & ~F.lower(ln).contains("javascript")
-    )
-    kept = F.filter(lines, ln_ok)
-    clean = F.array_join(kept, "\n")
-    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
-    low = F.lower(F.col(text_col))
-    has_lorem = low.contains("lorem ipsum")
-    has_brace = F.col(text_col).contains("{")
-    has_blocked = (
-        low.rlike("|".join(sorted({w.lower() for w in blocklist})))
-        if blocklist
-        else F.lit(False)
-    )
     return docs.select(
         id_col,
-        clean.alias("clean_text"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_lines_kept"),
-        n_sent.alias("n_sentences"),
-        has_lorem.alias("has_lorem_ipsum"),
-        has_brace.alias("has_curly_brace"),
-        has_blocked.alias("has_blocklisted"),
-        (
-            ~has_lorem
-            & ~has_brace
-            & ~has_blocked
-            & (n_sent >= min_sentences)
-        ).alias("keep"),
-    )
+        *_c4_output_cols(text_col, min_words_per_line, min_sentences, blocklist),
+    ).withColumnRenamed("c4_keep", "keep")
 
 
 # PII scrubbing patterns, applied IN ORDER (each pattern sees the previous

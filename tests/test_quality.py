@@ -59,3 +59,45 @@ def test_quality_inference_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quality_signal_table_matches_standalone_operators(spark):
+    """The unified score table must agree column-for-column with the
+    standalone operators (shared expression builders make drift impossible;
+    this pins it), and model signals join on when provided."""
+    from aws_financial_data_pipeline_spark.operators import lm, text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The first good sentence is here. And a second one follows! A third closes it."),
+            (2, "lorem ipsum filler with an email a@b.co inside"),
+        ],
+        "doc_id long, text string",
+    )
+    model = ql.train_quality_classifier(_seed_docs(spark), num_features=1 << 12)
+    lmod = lm.train_ngram_lm(docs)
+    got = {r["doc_id"]: r for r in ql.quality_signal_table(
+        docs, clf_model=model, lm_model=lmod, compression=True
+    ).collect()}
+    c4 = {r["doc_id"]: r for r in text.c4_line_filters(docs).collect()}
+    gopher = {r["doc_id"]: r for r in text.gopher_quality_flags(docs).collect()}
+    ppl = {r["doc_id"]: r for r in lm.ngram_perplexity(docs, lmod).collect()}
+    for d in (1, 2):
+        assert got[d]["c4_keep"] == c4[d]["keep"]
+        assert got[d]["has_lorem_ipsum"] == c4[d]["has_lorem_ipsum"]
+        assert got[d]["keep"] == gopher[d]["keep"]
+        assert got[d]["ppl"] == ppl[d]["ppl"]
+        assert got[d]["compression_ratio"] is not None
+        assert 0.0 <= got[d]["quality_prob"] <= 1.0
+    assert got[2]["n_email"] == 1 and "<PII:email>" in got[2]["text_redacted"]
+
+
+def test_quality_signal_table_rule_config_is_shuffle_free(spark):
+    """With no model signals, the entire rule table (profile + Gopher + PII +
+    C4 + compression kernel) must plan as ONE map stage: no Exchange."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        ql.quality_signal_table(docs, compression=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
