@@ -84,15 +84,13 @@ def curation_funnel(
     cur = _stage(cur)
     stages.append(("paragraph_dedup", cur))
 
-    c4 = tx.c4_line_filters(cur, text_col=text_col, id_col=id_col).select(
-        id_col, F.col("keep").alias("_c4_keep")
-    )
-    gopher = tx.gopher_quality_flags(cur, text_col=text_col, id_col=id_col).select(
-        id_col, F.col("keep").alias("_gopher_keep")
-    )
+    # both rule families come from the ONE-pass profile (c4_keep + gopher
+    # keep ride the same projection) — a single join instead of two
+    rules = tx.text_profile(
+        cur, text_col=text_col, id_col=id_col, gopher=True, c4=True
+    ).select(id_col, F.col("c4_keep").alias("_c4_keep"), F.col("keep").alias("_gopher_keep"))
     cur = (
-        cur.join(c4, id_col)
-        .join(gopher, id_col)
+        cur.join(rules, id_col)
         .filter(F.col("_c4_keep") | F.col("_gopher_keep"))
         .drop("_c4_keep", "_gopher_keep")
     )
