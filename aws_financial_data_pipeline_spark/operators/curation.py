@@ -50,17 +50,34 @@ def curation_funnel(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    rule_mode: str = "all",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard curation pipeline; returns ``(corpus, audit)``.
 
-    ``corpus``: surviving documents with ``clean_text`` (boilerplate
-    stripped), the rule flags, ``quality_prob`` (when a model is given) and
-    ``split``. ``audit``: (stage, docs_kept) — one row per stage in pipeline
-    order, the funnel report.
+    ``corpus``: the surviving documents — the original columns with
+    ``text_col`` REPLACED by its boilerplate-stripped form (the intermediate
+    ``clean_text`` is renamed back, and the per-rule flag columns are
+    dropped after the gate; run :func:`..operators.text.text_profile`
+    separately when per-rule flag auditing of survivors is needed), plus
+    ``quality_prob`` (when a model is given) and ``split``. ``audit``:
+    (stage, docs_kept) — one row per stage in pipeline order, the funnel
+    report.
 
     ``quality_model`` is a fitted :mod:`.quality` PipelineModel; omit it to
     skip the model stage (rules-only curation).
+
+    ``rule_mode`` controls how the C4 and Gopher rule families combine:
+    ``"all"`` (default) keeps a document only if BOTH families pass — the
+    conjunctive stacking every reference pipeline (C4, Gopher/MassiveText,
+    RefinedWeb) applies, so e.g. a code page with curly braces is dropped
+    even when Gopher's shape rules pass, and a sub-50-word stub is dropped
+    even when C4 passes. ``"any"`` is the deliberately lenient union —
+    a recall-biased gate for corpora where one family is known to be
+    miscalibrated (round-3 shipped this as the silent default; it is now
+    opt-in and audited under the same ``rule_filters`` stage name).
     """
+    if rule_mode not in ("all", "any"):
+        raise ValueError(f"rule_mode must be 'all' or 'any': {rule_mode!r}")
     def _stage(frame: DataFrame) -> DataFrame:
         return frame.localCheckpoint(eager=False) if materialize else frame
 
@@ -89,11 +106,12 @@ def curation_funnel(
     rules = tx.text_profile(
         cur, text_col=text_col, id_col=id_col, gopher=True, c4=True
     ).select(id_col, F.col("c4_keep").alias("_c4_keep"), F.col("keep").alias("_gopher_keep"))
-    cur = (
-        cur.join(rules, id_col)
-        .filter(F.col("_c4_keep") | F.col("_gopher_keep"))
-        .drop("_c4_keep", "_gopher_keep")
+    gate = (
+        (F.col("_c4_keep") & F.col("_gopher_keep"))
+        if rule_mode == "all"
+        else (F.col("_c4_keep") | F.col("_gopher_keep"))
     )
+    cur = cur.join(rules, id_col).filter(gate).drop("_c4_keep", "_gopher_keep")
     cur = _stage(cur)
     stages.append(("rule_filters", cur))
 

@@ -442,31 +442,55 @@ def cross_corpus_contamination(
     pretraining pipeline runs before training.
 
     Pure composition of the scale-path dedup: the two corpora union under a
-    disjoint id space (test ids shifted by ``id_offset``), run through
-    minhash_dedup (LSH candidates → exact verify, never quadratic), and only
-    CROSS-corpus pairs survive. Within-corpus duplicates are deliberately
-    excluded — they're x39's job.
+    disjoint id space, run through minhash_dedup (LSH candidates → exact
+    verify, never quadratic), and only CROSS-corpus pairs survive.
+    Within-corpus duplicates are deliberately excluded — they're x39's job.
 
-    ``id_offset``: a caller who KNOWS its id range (e.g. dense ingest ids
-    < 2^40) passes any bound strictly above every train id and skips the
-    offset job entirely; the default None computes max(train id)+1 with one
-    scalar aggregate — correct for ANY id distribution (path-hash ids are
-    full-range 64-bit and can be negative, so no constant is safe as a
-    default).
+    Disjointness of the id spaces (round-3 advice — offsetting cannot work
+    for arbitrary ids, since two full 64-bit spaces don't fit in 64 bits):
+
+    - default (``id_offset=None``): each doc is keyed by a
+      ``struct(side, id)`` MEMBERSHIP TAG (side 0 = train, 1 = test) before
+      the union — correct for ANY id distribution, including full-range
+      signed path-hash ids, with no arithmetic at all. Struct keys compare
+      lexicographically, so every train doc sorts before every test doc and
+      the dedup's ``doc_a < doc_b`` convention makes a cross pair exactly
+      (train, test); the ids inside the struct pass through untouched.
+    - ``id_offset``: the arithmetic fast path for a caller who KNOWS its id
+      range (e.g. dense ingest ids < 2^40, as the registry's x40 pins so the
+      flat-integer oracle SQL can replicate it): test ids shift by the
+      offset, which must sit strictly above every train id and below
+      2^63 − max(test id). Misuse (overlap/overflow) is on the caller — use
+      the default when unsure.
     """
     if id_offset is not None:
         off = int(id_offset)
-    else:
-        row = train.agg(F.max(F.col(id_col)).alias("m")).first()
-        off = int(row["m"]) + 1 if row["m"] is not None else 1
-    test_shift = test.withColumn(id_col, F.col(id_col) + F.lit(off))
-    union = train.select(id_col, text_col).unionByName(test_shift.select(id_col, text_col))
+        test_shift = test.withColumn(id_col, F.col(id_col) + F.lit(off))
+        union = train.select(id_col, text_col).unionByName(
+            test_shift.select(id_col, text_col)
+        )
+        pairs = minhash_dedup(union, text_col, id_col, threshold, num_hashes, band_size, n)
+        # doc_a < doc_b always; train ids < off ≤ shifted test ids
+        cross = pairs.filter((F.col("doc_a") < off) & (F.col("doc_b") >= off))
+        return cross.select(
+            F.col("doc_a").alias("train_id"),
+            (F.col("doc_b") - F.lit(off)).alias("test_id"),
+            "jaccard",
+        )
+    tag = lambda frame, side: frame.select(  # noqa: E731
+        F.struct(
+            F.lit(side).alias("_side"), F.col(id_col).alias("_id")
+        ).alias(id_col),
+        text_col,
+    )
+    union = tag(train, 0).unionByName(tag(test, 1))
     pairs = minhash_dedup(union, text_col, id_col, threshold, num_hashes, band_size, n)
-    # doc_a < doc_b always; train ids < off ≤ shifted test ids
-    cross = pairs.filter((F.col("doc_a") < off) & (F.col("doc_b") >= off))
+    cross = pairs.filter(
+        (F.col("doc_a._side") == 0) & (F.col("doc_b._side") == 1)
+    )
     return cross.select(
-        F.col("doc_a").alias("train_id"),
-        (F.col("doc_b") - F.lit(off)).alias("test_id"),
+        F.col("doc_a._id").alias("train_id"),
+        F.col("doc_b._id").alias("test_id"),
         "jaccard",
     )
 
@@ -489,8 +513,10 @@ def ngram_contamination(
 
     Shape at scale: distinct grams per doc on both sides, one equi-join on
     the gram key, one pair-count aggregate. The test side is a benchmark
-    suite — orders of magnitude smaller than train — so Spark broadcasts it
-    (AQE) and the train grams never shuffle. ``hash_grams=True`` joins on
+    suite — orders of magnitude smaller than train BY CONTRACT — so it is
+    explicitly ``F.broadcast``-hinted (round-3 verdict: don't leave a known
+    size asymmetry to AQE's runtime estimate at 100 TB) and the train grams
+    never shuffle for the join. ``hash_grams=True`` joins on
     ``xxhash64(gram)`` (8-byte keys) for production; the default string key
     is byte-reproducible by the DuckDB oracle.
     """
@@ -509,7 +535,7 @@ def ngram_contamination(
         .select(F.col("doc_id").alias("test_id"), key("gram").alias("_g"))
         .distinct()
     )
-    return tg.join(sg, "_g").groupBy("train_id", "test_id").agg(
+    return tg.join(F.broadcast(sg), "_g").groupBy("train_id", "test_id").agg(
         F.count("*").alias("n_shared_grams")
     )
 

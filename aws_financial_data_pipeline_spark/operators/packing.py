@@ -119,12 +119,20 @@ def pack_chunks(
         F.min(lead).alias("_lo"), F.max(lead).alias("_hi")
     )
     span = F.col("_hi") - F.col("_lo")
-    shard = F.least(
-        F.lit(num_shards - 1),
-        F.floor(
-            F.when(span > 0, (lead - F.col("_lo")) * num_shards / (span + 1))
-            .otherwise(F.lit(0.0))
-        ),
+    # NULL leading values shard to 0 explicitly: the per-shard window orders
+    # nulls first within shard 0 and the bounds aggregate ignores nulls, so
+    # the output matches the single-global-window (nulls-first) semantics.
+    # Left implicit, a NULL lead poisons the arithmetic and either drops the
+    # row at the offsets equi-join or lands it in the LAST shard (F.least
+    # skips nulls) — num_shards must stay parallelism, never semantics.
+    shard = F.when(lead.isNull(), F.lit(0)).otherwise(
+        F.least(
+            F.lit(num_shards - 1),
+            F.floor(
+                F.when(span > 0, (lead - F.col("_lo")) * num_shards / (span + 1))
+                .otherwise(F.lit(0.0))
+            ),
+        )
     ).alias("_shard")
     sharded = chunks.join(F.broadcast(bounds)).select("*", shard).drop("_lo", "_hi")
     w_in = Window.partitionBy("_shard").orderBy(*cols).rowsBetween(

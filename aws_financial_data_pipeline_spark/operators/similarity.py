@@ -140,28 +140,54 @@ def lsh_bands(
     becomes a bucket value → (vec_id, band_id, band_val).
 
     OR-amplification: two vectors are candidates if ANY band matches — the
-    standard recall/cost dial (more+smaller bands = higher recall). The planes
-    frame is tiny → broadcast; the signature is a map-side pass, the only
-    shuffle is the groupBy on (vec_id) here and the band-join later.
+    standard recall/cost dial (more+smaller bands = higher recall).
+
+    MAP-ONLY (round-3 verdict): the planes are deterministic CONSTANTS, so
+    they are inlined as literal arrays and every band value is a pure
+    projection — bit_j from the same sequential :func:`_dot`, packed with
+    shift-adds, the bands unpivoted with one ``explode`` (a Generate, not an
+    Exchange). The previous form crossJoined the corpus with the planes frame
+    and re-grouped N×num_planes rows each carrying the full embedding — a
+    10²–10³× shuffle amplification at corpus-derived knob sizes, the one plan
+    in the engine that was not the 100×-scale plan. Bit values are unchanged
+    (identical double accumulation order), so the oracle replicas still
+    hash-match. Zero-Exchange is plan-asserted in tests/test_plans.py.
     """
     if dim is None:
         # one metadata-sized driver lookup; a mismatched hard-coded dim would
         # silently null out every signature (zip_with pads with nulls)
         first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = first["d"] if first else DIM
-    planes = spark.createDataFrame(
-        [(j, [_plane_weight(j, i) for i in range(dim)]) for j in range(num_planes)],
-        "j int, w array<double>",
+    import math
+
+    def bit(j: int):
+        w = F.array(*[F.lit(_plane_weight(j, i)) for i in range(dim)])
+        return (_dot(F.col("_e"), w) > 0).cast("long")
+
+    n_bands = math.ceil(num_planes / band_size)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                sum(
+                    (
+                        bit(b * band_size + jb) * F.lit(1 << jb).cast("long")
+                        for jb in range(min(band_size, num_planes - b * band_size))
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    crossed = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e")).crossJoin(
-        F.broadcast(planes)
-    )
-    bit = (_dot(F.col("_e"), F.col("w")) > 0).cast("long")
     return (
-        crossed.select("vec_id", (F.col("j") / band_size).cast("int").alias("band_id"),
-                       (F.col("j") % band_size).alias("jb"), bit.alias("b"))
-        .groupBy("vec_id", "band_id")
-        .agg(F.sum(F.expr("shiftleft(b, jb)")).alias("band_val"))
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e"))
+        .select("vec_id", F.explode(bands).alias("_bb"))
+        .select(
+            "vec_id",
+            F.col("_bb.band_id").alias("band_id"),
+            F.col("_bb.band_val").alias("band_val"),
+        )
     )
 
 
@@ -228,39 +254,73 @@ def _centroid_cells(centroids: DataFrame, vec_col: str = "embedding"):
     )
 
 
+MAX_LITERAL_CELLS = 256
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep_vec: bool = False,
+    max_literal_cells: int = MAX_LITERAL_CELLS,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every corpus vector to its nearest centroid
     by cosine → (vec_id, cell_id). Centroids frame: (cell_id, embedding).
 
-    The argmax is ``array_min(transform(cells, c -> (-cos, cell_id)))`` over
-    the literal centroid array — a single map-side projection with ZERO
-    shuffle (ties → smallest cell_id). At cluster scale the output is
-    persisted partitioned BY cell_id so probes become partition-pruned reads.
-    ``keep_vec=True`` carries (_e, _norm2) through so the rerank needs no
-    corpus re-join."""
-    cells = _centroid_cells(centroids, vec_col)
+    Two physically different plans, SAME argmin semantics (nearest cosine,
+    ties → smallest cell_id; recall equality at both paths is pytest-asserted):
+
+    - **≤ max_literal_cells** (default 256): the centroids are inlined as a
+      literal array and the argmin is
+      ``array_min(transform(cells, c -> (-cos, cell_id)))`` — a single
+      map-side projection with ZERO shuffle. A literal of 10⁴–10⁵ cells
+      would blow plan/codegen limits, hence the cap (round-3 verdict).
+    - **> max_literal_cells**: broadcast-join path — the centroid FRAME is
+      broadcast (never collected), the corpus crossJoins it map-side, and
+      ``min_by(cell_id, struct(-cos, cell_id))`` groups per vector. The
+      N×|cells| expansion is pipelined into the partial (map-side) aggregate,
+      so the one Exchange carries ~N rows — the real-IVF shape at 10⁴–10⁵
+      cells.
+
+    At cluster scale the output is persisted partitioned BY cell_id so probes
+    become partition-pruned reads. ``keep_vec=True`` carries (_e, _norm2)
+    through so the rerank needs no corpus re-join."""
     corpus = with_norm(emb, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e"), "_norm2"
     )
-    best = F.array_min(
-        F.transform(
-            cells,
-            lambda c: F.struct(
-                (-(_dot(F.col("_e"), c["ce"]) / F.sqrt(F.col("_norm2") * c["cn2"]))).alias(
-                    "_neg"
-                ),
-                c["cell_id"].alias("cell_id"),
-            ),
-        )
-    )
     keep = ["vec_id", "_e", "_norm2"] if keep_vec else ["vec_id"]
-    return corpus.select(*keep, best["cell_id"].alias("cell_id"))
+    # path choice needs only "more than max_literal_cells rows?" — the limit
+    # stops the scan after cap+1 rows instead of counting a frame that may be
+    # a filtered view over the corpus
+    n_cells = centroids.limit(max_literal_cells + 1).count()
+    if n_cells <= max_literal_cells:
+        cells = _centroid_cells(centroids, vec_col)
+        best = F.array_min(
+            F.transform(
+                cells,
+                lambda c: F.struct(
+                    (-(_dot(F.col("_e"), c["ce"]) / F.sqrt(F.col("_norm2") * c["cn2"]))).alias(
+                        "_neg"
+                    ),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+        return corpus.select(*keep, best["cell_id"].alias("cell_id"))
+    cent = with_norm(centroids, vec_col).select(
+        F.col("cell_id").alias("_cid"), F.col(vec_col).alias("_ce"), F.col("_norm2").alias("_cn2")
+    )
+    neg = -(_dot(F.col("_e"), F.col("_ce")) / F.sqrt(F.col("_norm2") * F.col("_cn2")))
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        *keep, F.col("_cid"), F.struct(neg.alias("_neg"), F.col("_cid").alias("_c")).alias("_key")
+    )
+    aggs = [F.min_by("_cid", "_key").alias("cell_id")]
+    if keep_vec:
+        # every row of a group carries the SAME vector — first() is exact
+        aggs = [F.first("_e").alias("_e"), F.first("_norm2").alias("_norm2"), *aggs]
+    out = scored.groupBy("vec_id").agg(*aggs)
+    return out.select(*keep, "cell_id")
 
 
 def ivf_probe(

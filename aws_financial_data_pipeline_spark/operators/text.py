@@ -386,8 +386,13 @@ def _c4_output_cols(
     low = F.lower(F.col(text_col))
     has_lorem = low.contains("lorem ipsum")
     has_brace = F.col(text_col).contains("{")
+    # real "bad words" lists contain regex metacharacters (., *, parens) —
+    # escape every term so it matches literally instead of mis-matching or
+    # failing pattern compilation (re.escape output is valid Java regex too)
+    import re as _re
+
     has_blocked = (
-        low.rlike("|".join(sorted({w.lower() for w in blocklist})))
+        low.rlike("|".join(_re.escape(w) for w in sorted({w.lower() for w in blocklist})))
         if blocklist
         else F.lit(False)
     )

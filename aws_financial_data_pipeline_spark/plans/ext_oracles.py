@@ -215,7 +215,7 @@ EXT_ORACLES: dict[str, str] = {
     # membership subset of the full-corpus pair set), keeping only pairs that
     # straddle the train (doc_id % 5 <> 0) / test (doc_id % 5 = 0) split
     "x40_decontamination": _MINHASH_SIG
-    + """
+    + r"""
     , cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b

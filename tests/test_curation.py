@@ -12,20 +12,35 @@ from pyspark.sql import functions as F
 from aws_financial_data_pipeline_spark.operators import curation, quality
 
 BOILER = "Subscribe to our newsletter for all the latest updates."
+# every surviving document must clear BOTH rule families under the default
+# conjunctive gate — Gopher's 50-word floor is the binding constraint
 GOOD1 = (
+    "The research method chapter presents the analysis and the evidence in detail. "
+    "The result supports the theory with history and culture in the context. "
+    "Science is the method of the chapter and the analysis of the result. "
+    "The survey section reviews the evidence and the standard literature again. "
+    "The final chapter states the conclusion and the broader theory clearly."
+)
+GOOD3 = (
+    "A separate chapter discusses the history of the field in proper detail. "
+    "The evidence from the culture survey supports a different theory entirely. "
+    "The analysis in this result section uses the standard method twice. "
+    "Another section compares the method against the earlier published evidence. "
+    "The closing chapter summarizes the history and the theory together."
+)
+SPAM = (
+    "Click here to buy now the free casino winner jackpot prize. "
+    "Claim the urgent limited lottery prize deal and the cheap offer now. "
+    "Subscribe winner and click the jackpot casino prize offer here now. "
+    "Act now to claim the free bonus prize and the winner deal. "
+    "The casino offer and the lottery jackpot deal end very soon."
+)
+# passes C4 (3 clean sentences) but FAILS Gopher (33 words < the 50 floor) —
+# the cross-family fixture for the rule_mode semantics test
+SHORT_GOOD = (
     "The research method chapter presents the analysis and the evidence. "
     "The result supports the theory with history and culture in context. "
     "Science is the method of the chapter and the analysis of the result."
-)
-GOOD3 = (
-    "A separate chapter discusses the history of the field in detail. "
-    "The evidence from the culture survey supports a different theory. "
-    "The analysis in this result section uses the standard method twice."
-)
-SPAM = (
-    "Click here to buy now the free casino winner jackpot. "
-    "Claim the urgent limited lottery prize deal and the cheap offer now. "
-    "Subscribe winner and click the jackpot casino prize offer here now."
 )
 
 
@@ -76,3 +91,27 @@ def test_curation_funnel_stages_and_audit(spark):
     funnel2 = {r["stage"]: r["docs_kept"] for r in audit2.collect()}
     assert "quality_model" not in funnel2
     assert funnel2["minhash_dedup"] == 3       # spam doc 5 still in
+
+
+def test_rule_gate_is_conjunctive_by_default(spark):
+    """A document that passes C4 but fails Gopher (33 words < the 50-word
+    floor) must be dropped by the default conjunctive gate and kept only
+    under the opt-in lenient rule_mode='any' (round-3 verdict: the OR gate
+    silently bypassed each family's independent precision rules)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, GOOD1), (7, SHORT_GOOD)], "doc_id long, text string"
+    )
+    corpus_all, audit_all = curation.curation_funnel(docs)
+    f_all = {r["stage"]: r["docs_kept"] for r in audit_all.collect()}
+    assert f_all["rule_filters"] == 1
+    assert [r["doc_id"] for r in corpus_all.collect()] == [1]
+
+    corpus_any, audit_any = curation.curation_funnel(docs, rule_mode="any")
+    f_any = {r["stage"]: r["docs_kept"] for r in audit_any.collect()}
+    assert f_any["rule_filters"] == 2
+    assert sorted(r["doc_id"] for r in corpus_any.collect()) == [1, 7]
+
+    with pytest.raises(ValueError, match="rule_mode"):
+        curation.curation_funnel(docs, rule_mode="both")

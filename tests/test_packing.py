@@ -113,3 +113,22 @@ def test_pack_rejects_non_numeric_leading_order_col(spark):
     )
     with pytest.raises(TypeError, match="must be numeric"):
         pk.pack_chunks(chunks, budget=8, order_cols=("doc_name", "chunk_id"))
+
+
+def test_pack_null_leading_value_packs_first_and_drops_nothing(spark):
+    """A NULL leading order value must shard deterministically to shard 0
+    (matching the global window's nulls-first order), never be dropped by
+    the shard equi-join or land in the last shard (round-3 advice: F.least
+    skips nulls). Row count is preserved and output matches num_shards=1 at
+    every shard count."""
+    rows = [(None, 0, 10), (1, 0, 10), (2, 0, 10), (3, 0, 10)]
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_id long, n_tokens long")
+    ref = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
+           for r in pk.pack_chunks(chunks, budget=20, num_shards=1).collect()}
+    assert len(ref) == 4
+    # nulls-first: the NULL row is the global prefix start → bin 0
+    assert ref[(None, 0)] == 0
+    for shards in (2, 8):
+        got = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
+               for r in pk.pack_chunks(chunks, budget=20, num_shards=shards).collect()}
+        assert got == ref, shards

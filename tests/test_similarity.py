@@ -179,6 +179,40 @@ def test_ivf_assign_puts_vector_in_own_cell(spark):
     assert got[4] == 0                  # 45°: cos equal to both → min cell_id
 
 
+def test_ivf_assign_join_path_matches_literal_path(spark):
+    """Above max_literal_cells the assignment switches to the broadcast-join
+    + min_by plan; same argmin semantics → identical assignments, and the
+    centroid side must plan as a broadcast (never collected to a literal)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # equality gate at 300 cells: both paths are cheap enough to run, and the
+    # assignments must agree cell-for-cell (same argmin, same tie-break)
+    cents300 = sim.seed_centroids(emb, num_cells=300)
+    got_lit = {r["vec_id"]: r["cell_id"]
+               for r in sim.ivf_assign(emb, cents300, max_literal_cells=1 << 20).collect()}
+    got_join = {r["vec_id"]: r["cell_id"]
+                for r in sim.ivf_assign(emb, cents300, max_literal_cells=16).collect()}
+    assert got_join == got_lit and len(got_join) == emb.count()
+    # scale smoke at 1k+ synthetic cells (the corpus is only 500 vectors):
+    # a literal array this size would blow codegen — exactly what the join
+    # path exists for; assert it plans as a broadcast and completes
+    dim = emb.select(F.size("embedding")).first()[0]
+    cents1k = spark.range(1024 + 8).select(
+        F.col("id").cast("int").alias("cell_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.sin(F.col("id") * 31 + i).cast("double"),
+        ).alias("embedding"),
+    )
+    join_path = sim.ivf_assign(emb, cents1k)  # default threshold → join path
+    assert join_path.count() == emb.count()
+    plan = join_path._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # keep_vec survives the aggregate form too
+    kv = sim.ivf_assign(emb, cents300, keep_vec=True, max_literal_cells=16)
+    row = kv.filter(F.col("vec_id") == 0).first()
+    assert row["_e"] is not None and row["_norm2"] > 0
+
+
 def test_ann_ivf_finds_identical_vector(spark):
     emb = _vecs(spark)
     queries = emb.filter(F.col("vec_id") == 1)

@@ -269,6 +269,30 @@ def test_cross_corpus_contamination(spark):
     assert dedup.cross_corpus_contamination(train, clean, threshold=0.5).count() == 0
 
 
+def test_cross_corpus_contamination_full_range_ids(spark):
+    """The default (tagged) path must be correct for FULL-RANGE signed 64-bit
+    ids — e.g. path-hash ingest ids, where ~half are negative and max+1
+    offset arithmetic overflows/wraps (round-3 advice). Train id at the top
+    of the space, test ids negative: the pair must still be reported with
+    the ORIGINAL ids."""
+    hi = (1 << 63) - 1
+    lo = -(1 << 62)
+    train = _docs(spark, [
+        (hi, "the quick brown fox jumps over the lazy dog tonight"),
+        (5, "completely unrelated training text about databases and joins"),
+    ])
+    test = _docs(spark, [
+        (lo, "the quick brown fox jumps over the lazy dog today"),
+        (-7, "novel held-out evaluation sentence with fresh tokens entirely"),
+    ])
+    got = rows_by_key(
+        dedup.cross_corpus_contamination(train, test, threshold=0.5),
+        "train_id", "test_id",
+    )
+    assert set(got) == {(hi, lo)}
+    assert 0.5 <= got[(hi, lo)]["jaccard"] < 1.0
+
+
 def test_ngram_contamination_catches_verbatim_quote(spark):
     """Exact n-gram decontamination (GPT-3 13-gram form): a train doc that
     EMBEDS a verbatim 13-token span of a test doc is flagged even though
