@@ -151,6 +151,80 @@ def _bench_lm_perplexity(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _bench_curation_funnel(spark, sf_dir: str, with_model: bool) -> float:
+    """The full curation pipeline end-to-end over the documents table (exact →
+    paragraph → conjunctive rules → [classifier] → minhash → split), timing
+    the curated corpus + the per-stage audit. The classifier variant trains
+    untimed (the model is per-seed-set, not per-corpus) on a deterministic
+    doc-id slice pseudo-labeled by Gopher's keep flag."""
+    from aws_financial_data_pipeline_spark.operators import curation, quality, text
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    model = None
+    if with_model:
+        seed = (
+            text.gopher_quality_flags(docs.filter(F.col("doc_id") % 10 == 0))
+            .select("doc_id", F.col("keep").cast("double").alias("label"))
+            .join(docs, "doc_id")
+        )
+        model = quality.train_quality_classifier(seed, num_features=1 << 15, max_iter=10)
+
+    t0 = time.perf_counter()
+    corpus, audit = curation.curation_funnel(docs, quality_model=model)
+    corpus.write.mode("overwrite").format("noop").save()
+    audit.write.mode("overwrite").format("noop").save()
+    elapsed = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    return elapsed
+
+
+def _bench_semantic_dedup(spark, sf_dir: str) -> float:
+    """SemDeDup over the embeddings table with corpus-derived k (cluster →
+    within-cluster pairs only — the near-linear semantic dedup path)."""
+    from aws_financial_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.perf_counter()
+    sim.semantic_dedup(emb).write.mode("overwrite").format("noop").save()
+    elapsed = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    return elapsed
+
+
+def _bench_score_quality(spark, sf_dir: str) -> float:
+    """Model-based quality scoring over the documents table: broadcast
+    PipelineModel, map-only inference. Training is untimed (per-seed-set)."""
+    from aws_financial_data_pipeline_spark.operators import quality, text
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    seed = (
+        text.gopher_quality_flags(docs.filter(F.col("doc_id") % 10 == 0))
+        .select("doc_id", F.col("keep").cast("double").alias("label"))
+        .join(docs, "doc_id")
+    )
+    model = quality.train_quality_classifier(seed, num_features=1 << 15, max_iter=10)
+
+    t0 = time.perf_counter()
+    quality.score_quality(docs, model).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _bench_dsir_weights(spark, sf_dir: str) -> float:
+    """DSIR importance weights: hashed-bigram LLR of every raw doc against a
+    target slice (doc_id % 5 = 0) — broadcast ratio table, one map-side sum."""
+    from aws_financial_data_pipeline_spark.operators import dsir
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    t0 = time.perf_counter()
+    dsir.dsir_weights(
+        docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
+    ).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -197,6 +271,11 @@ def main() -> None:
     times["incremental_dedup_batch"] = _bench_incremental_dedup(spark, sf_dir)
     times["paragraph_dedup"] = _bench_paragraph_dedup(spark, sf_dir)
     times["lm_perplexity_score"] = _bench_lm_perplexity(spark, sf_dir)
+    times["curation_funnel_rules"] = _bench_curation_funnel(spark, sf_dir, with_model=False)
+    times["curation_funnel_model"] = _bench_curation_funnel(spark, sf_dir, with_model=True)
+    times["semantic_dedup"] = _bench_semantic_dedup(spark, sf_dir)
+    times["score_quality"] = _bench_score_quality(spark, sf_dir)
+    times["dsir_weights"] = _bench_dsir_weights(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(

@@ -457,6 +457,53 @@ def test_streaming_incremental_dedup_replay_equals_batch(spark, tmp_path):
     assert streamed == batch and len(batch) > 0
 
 
+def test_streaming_incremental_dedup_crash_replay_is_exactly_once(spark, tmp_path):
+    """Fault injection for the idempotent-overwrite recovery path: batch 1
+    crashes AFTER its pairs + signature writes but BEFORE its doc write (the
+    worst partial state — some of the batch's own state is visible to its
+    replay). The replay of batch 1 must leave every store carrying the
+    batch's rows EXACTLY ONCE, pair-identical to an uninterrupted run — the
+    append-mode sink this replaced would double up pairs and signatures."""
+    from aws_financial_data_pipeline_spark.streaming import dedup as sd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    stores = dict(
+        sig_store=str(tmp_path / "sigs"),
+        doc_store=str(tmp_path / "docs"),
+        pairs_out=str(tmp_path / "pairs"),
+    )
+    sd.process_dedup_batch(spark, b0, 0, **stores)
+
+    # --- crash: batch 1 writes pairs + sigs, dies before the doc write ---
+    within = dedup.minhash_dedup(b1, threshold=0.7)
+    partial = within.limit(3)  # even the pair file is incomplete
+    partial.write.mode("overwrite").parquet(f"{stores['pairs_out']}/batch=1")
+    dedup.minhash_signatures(b1).write.mode("overwrite").parquet(
+        f"{stores['sig_store']}/batch=1"
+    )
+
+    # --- recovery: the checkpoint replays batch 1 from the source ---
+    sd.process_dedup_batch(spark, b1, 1, **stores)
+
+    sig_rows = spark.read.parquet(stores["sig_store"]).drop("batch")
+    assert sig_rows.count() == sig_rows.distinct().count()
+    doc_rows = spark.read.parquet(stores["doc_store"]).drop("batch")
+    assert doc_rows.count() == docs.count()
+    streamed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in spark.read.parquet(stores["pairs_out"]).collect()
+    }
+    expected = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup(docs, threshold=0.7).collect()
+    }
+    assert streamed == expected and len(expected) > 0
+
+
 def test_gopher_quality_flags(spark):
     good = " ".join(
         "the quick brown fox and a dog of unusual size went to town".split() * 6
