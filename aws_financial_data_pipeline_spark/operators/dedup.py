@@ -299,9 +299,24 @@ def minhash_dedup(
     demands) while every intermediate is linear in distinct texts.
     ``bucket_cap`` additionally caps residual hot buckets of NEAR-identical
     texts (a recall tradeoff — see :func:`minhash_candidates`)."""
-    fp = docs.select(F.col(id_col).alias("_m_id"), F.md5(F.col(text_col)).alias("_fp"))
-    groups = fp.groupBy("_fp").agg(F.min("_m_id").alias("_canon"))
-    members = fp.join(groups, "_fp").cache()  # (_fp, _m_id, _canon); small: ids+digests
+    from pyspark.sql import Window
+
+    # canonical id + group size in ONE narrow shuffle (ids+digests only): a
+    # window over the digest replaces the round-3 groupBy + join-back, which
+    # shuffled the fingerprint frame twice and added a join stage. A window
+    # also never materializes a per-group id array, so a 10M-copy boilerplate
+    # group costs nothing extra (the groupBy+collect_list alternative would).
+    wfp = Window.partitionBy("_fp")
+    members = (
+        docs.select(F.col(id_col).alias("_m_id"), F.md5(F.col(text_col)).alias("_fp"))
+        .select(
+            "_fp",
+            "_m_id",
+            F.min("_m_id").over(wfp).alias("_canon"),
+            F.count("*").over(wfp).alias("_cnt"),
+        )
+        .cache()
+    )
     reps = docs.join(
         members.filter(F.col("_m_id") == F.col("_canon")).select(
             F.col("_m_id").alias(id_col)
@@ -331,11 +346,16 @@ def minhash_dedup(
     # pair in the direct form). Group members share the exact text (same
     # md5), so eligibility is decided once per GROUP by whether its
     # representative produced any signature row — reusing `sig` instead of
-    # re-tokenizing the whole corpus a second time (one full split+size pass
-    # saved; sig rows are (rep, band) pairs, tiny next to the corpus).
+    # re-tokenizing the whole corpus a second time. Only groups with ≥ 2
+    # members can pair at all, so filter on the window count FIRST (dup
+    # members are a sliver of the corpus), and take band 0 as the one-row-
+    # per-signed-doc marker (stack emits every band per doc) instead of a
+    # distinct over the signature table — drops a whole shuffle.
     eligible = (
-        members.join(
-            sig.select(F.col("doc_id").alias("_canon")).distinct(), "_canon"
+        members.filter(F.col("_cnt") > 1)
+        .join(
+            sig.filter(F.col("band_id") == 0).select(F.col("doc_id").alias("_canon")),
+            "_canon",
         )
         .select("_fp", "_m_id")
     )

@@ -188,10 +188,8 @@ def q15_report_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't eliminate FK joins itself)."""
     from . import report as rpt
 
-    txns, cur, hist = _base(spark, sf_dir)
-    year = tv.statement_scalars(txns)["statement_year"]
     return rpt.canonical_report(
-        rpt.assemble_report(cur, hist, year, pruned=_pruned_factory(spark, sf_dir))
+        rpt.assemble_report_fused(_pruned_txns_factory(spark, sf_dir))
     )
 
 
@@ -208,6 +206,18 @@ def _pruned_factory(spark: SparkSession, sf_dir: str):
     return get
 
 
+def _pruned_txns_factory(spark: SparkSession, sf_dir: str):
+    """cols → FULL transactions view join-pruned to those columns (``ym``
+    always included) — the :func:`report.assemble_report_fused` contract."""
+
+    def get(cols: tuple[str, ...]):
+        if "ym" not in cols:
+            cols = (*cols, "ym")
+        return tv.transactions(spark, sf_dir, tuple(cols))
+
+    return get
+
+
 def q16_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 (docker/lambda_function.py:524-526): one JSON document string per
     user. The driver-gate form uses the canonical constructor (explicit %.2f
@@ -216,10 +226,8 @@ def q16_report_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared byte-wise across engines."""
     from . import report as rpt
 
-    txns, cur, hist = _base(spark, sf_dir)
-    year = tv.statement_scalars(txns)["statement_year"]
     return rpt.canonical_report_json(
-        rpt.assemble_report(cur, hist, year, pruned=_pruned_factory(spark, sf_dir))
+        rpt.assemble_report_fused(_pruned_txns_factory(spark, sf_dir))
     )
 
 

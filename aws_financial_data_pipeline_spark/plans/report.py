@@ -146,6 +146,109 @@ def assemble_report(cur: DataFrame, hist: DataFrame, statement_year, pruned=None
     )
 
 
+def assemble_report_fused(get_txns) -> DataFrame:
+    """Value-identical to :func:`assemble_report`, restructured for one-shot
+    execution cost: the three grouped sections (SpendingByCategory,
+    RecurringTransactionsYearToDate, MonthlySpending) and the Trend all
+    derive from ONE tagged-leg explode over a single pruned scan of the full
+    transactions view, instead of one scan-plus-aggregation per section.
+
+    ``get_txns(cols)`` must return the FULL transactions view join-pruned to
+    ``cols`` (``ym`` always included) — the fused form needs the view, not a
+    cur/hist split, because current ∪ historical IS the view (the split is
+    ``ym`` vs its max) and every leg condition is a flag against the 1-row
+    statement-month scalar.
+
+    Per row, up to three (tag, key, amt) legs are emitted map-side:
+    ``cat`` (current-month rows → category totals), ``mon`` (every row →
+    month totals), ``rec`` (recurring rows in the statement year → vendor
+    totals). ``SUM(round2(amount))`` then re-rounds per (user, tag, key) —
+    exactly each section's double-round contract (SURVEY §2.12) — and one
+    groupBy(user) pivots the tags into the three maps. Trend needs no window:
+    the sorted months array is already in hand, so the 3-most-recent
+    comparison (docker/lambda_function.py:263-281, strict inequalities) reads
+    its last three entries.
+
+    The document spine is the risk-section frame itself (one row per
+    current-month user — the reference's report population,
+    docker/lambda_function.py:495), so the assembly is ONE join, not five.
+
+    Differences visible only to nested-document callers: sections a user has
+    no rows for come back as EMPTY maps/arrays rather than the join-miss
+    NULLs of :func:`assemble_report` — identical under the canonical JSON
+    projection (both print ``{}``/``[]``), which is why the q15/q16 gates can
+    run this form. Parity with the unfused form is pytest-asserted."""
+    lym = get_txns(("ym",)).agg(F.max("ym").alias("_cur_ym"))
+
+    # per-user scalars from the historical side (avg + home country)
+    t_sc = get_txns(("user_id", "amount", "country", "ym"))
+    scalars = fin.user_scalars(
+        t_sc.join(F.broadcast(lym), t_sc.ym < F.col("_cur_ym")).drop("_cur_ym")
+    )
+
+    # risk sections over the current month; one row per current-month user →
+    # doubles as the document spine
+    t_cur = get_txns(("user_id", "id", "date", "vendor", "category", "amount", "country", "ym"))
+    cur = t_cur.join(F.broadcast(lym), t_cur.ym == F.col("_cur_ym")).drop("_cur_ym")
+    risk = _risk_sections(cur, scalars)
+
+    # tagged legs: country-free scan (orders+part joins only)
+    t = get_txns(("user_id", "category", "vendor", "amount", "recurring", "ym"))
+    j = t.join(F.broadcast(lym))
+    amt2 = F.round(F.col("amount").cast("double"), 2)
+    leg = lambda tag, key: F.struct(F.lit(tag).alias("tag"), key.alias("key"), amt2.alias("amt"))
+    legs = F.array_compact(
+        F.array(
+            F.when(F.col("ym") == F.col("_cur_ym"), leg("cat", F.col("category"))),
+            leg("mon", F.col("ym")),
+            F.when(
+                F.col("recurring")
+                & (F.substring("ym", 1, 4) == F.substring("_cur_ym", 1, 4)),
+                leg("rec", F.col("vendor")),
+            ),
+        )
+    )
+    per_key = (
+        j.select("user_id", F.explode(legs).alias("e"))
+        .groupBy("user_id", F.col("e.tag").alias("tag"), F.col("e.key").alias("key"))
+        .agg(F.round(F.sum("e.amt"), 2).alias("total"))
+    )
+
+    def entries(tag: str) -> F.Column:
+        return F.array_sort(
+            F.collect_list(
+                F.when(F.col("tag") == tag, F.struct(F.col("key"), F.col("total")))
+            )
+        )
+
+    per_user = per_key.groupBy("user_id").agg(
+        F.map_from_entries(entries("cat")).alias("SpendingByCategory"),
+        F.map_from_entries(entries("rec")).alias("RecurringTransactionsYearToDate"),
+        entries("mon").alias("_months"),
+    )
+    m = [F.try_element_at(F.reverse(F.col("_months")), F.lit(i))["total"] for i in (1, 2, 3)]
+    per_user = per_user.select(
+        "user_id",
+        "SpendingByCategory",
+        "RecurringTransactionsYearToDate",
+        F.map_from_entries(F.col("_months")).alias("MonthlySpending"),
+        F.when(F.size("_months") < 3, F.lit("Not enough data"))
+        .when((m[0] > m[1]) & (m[1] > m[2]), F.lit("Up"))
+        .when((m[0] < m[1]) & (m[1] < m[2]), F.lit("Down"))
+        .otherwise(F.lit("Stable"))
+        .alias("Trend"),
+    )
+
+    return risk.join(per_user, "user_id", "left").select(
+        "user_id",
+        "SpendingByCategory",
+        F.coalesce("FlaggedTransactions", F.array()).alias("FlaggedTransactions"),
+        F.coalesce("HighValueTransaction", F.array()).alias("HighValueTransaction"),
+        "RecurringTransactionsYearToDate",
+        F.struct(F.col("MonthlySpending"), F.col("Trend")).alias("MonthlySpending_Trend"),
+    )
+
+
 def assemble_report_from_summary(
     cur: DataFrame, hist_summary: DataFrame, statement_year
 ) -> DataFrame:

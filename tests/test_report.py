@@ -57,6 +57,37 @@ def test_summary_path_report_parity(spark, cur_txns, hist_2024):
     assert a == b
 
 
+def test_fused_report_parity(spark, cur_txns, hist_txns):
+    """assemble_report_fused (one tagged-leg scan + one join — the q15/q16
+    execution shape) must produce canonical documents byte-identical to the
+    section-per-branch form on the same inputs. hist includes the 2023 row so
+    the fused year gate (statement year derived from max(ym)) is exercised
+    against the unfused literal-year filter; empty-section users (u2) pin the
+    empty-map-vs-NULL equivalence under the canonical projection."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.plans.report import (
+        assemble_report_fused,
+        canonical_report,
+    )
+
+    # canonical_report prints transaction_id with %d (bigint in the gate's
+    # view); remap the fixtures' string ids to distinct integers (t→1, h→2)
+    as_int_id = lambda df: df.withColumn("id", F.translate("id", "th", "12").cast("bigint"))
+    cur, hist = as_int_id(cur_txns), as_int_id(hist_txns)
+    full = cur.unionByName(hist).withColumn("ym", F.date_format("date", "yyyyMM"))
+    fused = canonical_report(assemble_report_fused(lambda cols: full.select(*cols)))
+    ref = canonical_report(assemble_report(cur, hist, 2024))
+    a = rows_by_key(ref, "user_id")
+    b = rows_by_key(fused, "user_id")
+    assert a == b
+    # the fused trend path (sorted-months array, no window) hits all three
+    # outcomes across the fixture users
+    assert b[("1",)]["trend"] == "Stable"
+    assert b[("2",)]["trend"] == "Not enough data"
+    assert b[("3",)]["trend"] == "Stable"
+
+
 def test_report_json_roundtrip(spark, cur_txns, hist_2024):
     docs = rows_by_key(report_json(assemble_report(cur_txns, hist_2024, 2024)), "user_id")
     parsed = json.loads(docs[("1",)]["report"])
