@@ -250,7 +250,7 @@ def assemble_report_fused(get_txns) -> DataFrame:
 
 
 def assemble_report_from_summary(
-    cur: DataFrame, hist_summary: DataFrame, statement_year
+    cur: DataFrame, hist_summary: DataFrame, statement_year, pruned=None
 ) -> DataFrame:
     """Same document as :func:`assemble_report`, but every history-side
     aggregate derives from the pre-aggregated summary
@@ -258,15 +258,30 @@ def assemble_report_from_summary(
     — the 100 TB read path: O(|statement| + |summary|) per run.
 
     Output is value-identical to the row path (decimal partials re-aggregate
-    exactly; tests assert parity)."""
+    exactly; tests assert parity).
+
+    ``pruned`` (optional, round 4): ``cols → cur`` factory returning the
+    current-month frame carrying ONLY those columns — same FK-join-pruning
+    contract as :func:`assemble_report`'s factory, for callers whose ``cur``
+    is a joined view (the bench's testdata adapter). The category section
+    then joins one dimension instead of four. Flat-frame callers (the
+    statement pipeline) omit it. The document spine is the risk-section
+    frame (one row per current-month user — identical population to the
+    former distinct-scan, minus one scan)."""
+    get = pruned if pruned is not None else (lambda cols: cur)
     scalars = fin.user_scalars_from_summary(hist_summary)
-    all_summary = fin.summarize_transactions(cur).unionByName(
-        hist_summary.select(*fin.SUMMARY_KEYS, "sum_amount", "cnt")
-    )
+    all_summary = fin.summarize_transactions(
+        get(("user_id", "date", "country", "category", "vendor", "recurring", "amount"))
+    ).unionByName(hist_summary.select(*fin.SUMMARY_KEYS, "sum_amount", "cnt"))
     monthly = fin.monthly_spending_from_summary(all_summary)
+    doc = _risk_sections(
+        get(("user_id", "id", "date", "vendor", "category", "amount", "country")), scalars
+    )
     sections = [
-        _map_section(fin.spending_by_category(cur), "category", "total", "SpendingByCategory"),
-        _risk_sections(cur, scalars),
+        _map_section(
+            fin.spending_by_category(get(("user_id", "category", "amount"))),
+            "category", "total", "SpendingByCategory",
+        ),
         _map_section(
             fin.recurring_ytd_from_summary(all_summary, statement_year),
             "vendor", "total", "RecurringTransactionsYearToDate",
@@ -274,7 +289,6 @@ def assemble_report_from_summary(
         _map_section(monthly, "year_month", "total", "MonthlySpending"),
         fin.classify_trend(monthly).select("user_id", F.col("trend").alias("Trend")),
     ]
-    doc = cur.select("user_id").distinct()
     for s in sections:
         doc = doc.join(s, "user_id", "left")
     return doc.select(

@@ -76,11 +76,16 @@ def _bench_q15_from_summary(spark, sf_dir: str) -> float:
             "overwrite"
         ).parquet(sumdir)
 
+        def pruned_cur(cols):
+            t = tv.transactions(spark, sf_dir, (*cols, "ym"))
+            c, _ = tv.current_and_historical(t)
+            return c
+
         t0 = time.perf_counter()
         hist_summary = spark.read.parquet(sumdir)
         year = tv.statement_scalars(txns)["statement_year"]
         report = rpt.canonical_report(
-            rpt.assemble_report_from_summary(cur, hist_summary, year)
+            rpt.assemble_report_from_summary(cur, hist_summary, year, pruned=pruned_cur)
         )
         report.write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)

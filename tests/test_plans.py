@@ -81,19 +81,22 @@ def test_x22_interval_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
-def test_q15_report_sections_are_join_pruned(spark):
-    """The 6-section report recomputes the view per branch BY DESIGN (caching
-    measured slower), so each branch must be JOIN-pruned to the dimensions
-    its section reads: unpruned, q15 planned 21 branches × all 5 tables =
-    105 scans; with the pruned factory + risk-section fusion it plans 59
-    (part only where vendor is read, supplier/nation only where country is).
-    Locally AQE broadcasts everything so wall time is flat — at scale the
-    eliminated scans/joins are the difference. Pin the shape so a lost
-    factory or un-fused section fails CI."""
+def test_q15_report_sections_are_join_pruned_and_fused(spark):
+    """The report document runs the FUSED assembly (round 4): the three
+    grouped sections + trend come from ONE tagged-leg explode (a single
+    Generate, zero Window — the trend reads the sorted months array), the
+    risk frame is the document spine, and every remaining branch is
+    JOIN-pruned to the dimensions it reads. History: the unpruned 6-branch
+    form planned 105 scans, the round-3 pruned form 59, the fused form 15
+    (part/nation only under the risk + summary-leg branches). Pin the shape
+    so a lost factory, an un-fused section, or a window sneaking back into
+    the trend fails CI."""
     plan = _plan(spark, "q15_report_document")
-    assert plan.count("Scan parquet") <= 70, "q15 branch join-pruning lost"
-    assert plan.count("part.parquet") <= 9, "part joined into a section that reads no vendor"
-    assert plan.count("nation.parquet") <= 7, "nation joined into a section that reads no country"
+    assert plan.count("Scan parquet") <= 18, "q15 fused branch count regressed"
+    assert plan.count("part.parquet") <= 3, "part joined into a branch that reads no vendor"
+    assert plan.count("nation.parquet") <= 3, "nation joined into a branch that reads no country"
+    assert plan.count("Generate") == 1, "tagged-leg explode lost (or duplicated)"
+    assert "Window" not in plan, "fused trend must not plan a window"
 
 
 def test_x38_global_topk_uses_bounded_heap_not_full_sort(spark):
