@@ -1,0 +1,251 @@
+"""Product quantization (PQ) for embedding columns — the compressed-codes ANN
+tier (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011; the FAISS IVFPQ recipe).
+
+Why a third ANN path next to LSH and IVF (operators.similarity): at 100 TB the
+dominant cost of vector search is *reading the vectors*. A 64-dim float corpus
+is 256 bytes/vector; PQ codes at m=8 subspaces × 8 bits are 8 bytes — a 32×
+smaller scan, small enough that the CODES table is what the cluster keeps hot
+while the raw embeddings are only touched for the final exact rerank of a
+shortlist. The classic deployment stacks all three tiers: IVF cells prune the
+corpus, PQ-ADC scores the survivors from codes alone, exact cosine reranks the
+shortlist.
+
+Spark shapes (everything stays declarative):
+
+- **Train** (:func:`train_pq_codebooks`): m independent MLlib KMeans fits, one
+  per subspace, over the sliced+normalized sub-vectors — distributed Lloyd's
+  per FAISS's trainer; the resulting codebooks (m × 2^nbits × d/m floats) are
+  a driver-side model object, exactly like IVF centroids and KMeans models.
+- **Encode** (:func:`pq_encode`): map-only projection — per subspace, argmin
+  L2 over the literal codebook (``array_min(transform(...))``, the
+  :func:`similarity.ivf_assign` literal technique), emitting an
+  ``array<int>`` of m codes. ZERO shuffle, plan-asserted.
+- **Score** (:func:`pq_adc_topk`): asymmetric distance computation. The
+  per-query lookup table LUT[s][c] = <q_s, codebook[s][c]> is computed ONCE
+  per query (m·2^nbits sub-dots) and carried as a column on the broadcast
+  query side; every (candidate, query) pair then costs m array lookups + m
+  adds — NOT a d-dim dot. This is the whole point of ADC: per-pair work is
+  O(m), independent of d.
+
+Approximate and seed-dependent (KMeans), so pytest-gated on recall vs
+``cosine_topk`` — no cross-engine oracle exists (same rationale as
+cluster_embeddings / semantic_dedup, NOTES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _dot, _topk_rerank, with_norm
+
+M_SUBSPACES = 8
+NBITS = 6
+
+
+def _normalized(vec_col: str):
+    """Unit-normalized copy of an array<float> column (double precision).
+    PQ here quantizes the UNIT sphere so ADC inner products approximate
+    cosine directly; zero vectors pass through unchanged (norm guard)."""
+    n = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    return F.when(n == 0, F.col(vec_col).cast("array<double>")).otherwise(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = M_SUBSPACES,
+    nbits: int = NBITS,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: returns ``codebooks[s][c]`` = the c-th
+    sub-centroid (d/m floats) of subspace s, with 2^nbits codes per subspace.
+
+    Each subspace trains an independent MLlib KMeans over the corpus's
+    normalized sub-vectors — m small distributed fits (k = 2^nbits each).
+    ``sample_fraction`` trains on a deterministic sample (the standard
+    practice at 100 TB: codebooks converge on a few hundred k vectors;
+    FAISS's own trainer subsamples the same way). Encoding/scoring always
+    run over the FULL corpus — only training samples.
+
+    The embedding dimension must divide evenly by ``m`` (subspaces of equal
+    width); anything else raises rather than silently truncating dimensions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    d = first["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    k = 1 << nbits
+    base = emb.select(_normalized(vec_col).alias("_v"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    base = base.cache()  # m fits read the same normalized projection
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        feats = base.select(
+            array_to_vector(F.slice("_v", s * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    base.unpersist()
+    return books
+
+
+def _codebook_frame(spark, codebooks: list[list[list[float]]]):
+    """The codebook + per-code squared norms as a 1-ROW DataFrame
+    ``(_cb: array<array<array<double>>>, _cn2: array<array<double>>)`` to be
+    broadcast-joined (the engine's scalar-subquery shape, J2).
+
+    Measured rationale: putting the codebook IN the plan is quadratic-ish in
+    its size — an unrolled per-code expression tree spent ~30s in codegen
+    compile, and even a single nested ``F.lit`` made OPTIMIZER time scale
+    from 1.5s at 16 codes to 14s at 256 (the literal is copied through every
+    rule pass). As a broadcast row the codebook is DATA: the plan holds one
+    tiny BroadcastNestedLoopJoin and planning cost is constant in m/nbits —
+    the same reason IVF's >256-cell path broadcasts its centroid frame."""
+    cb = [[[float(x) for x in c] for c in book] for book in codebooks]
+    n2 = [[sum(x * x for x in c) for c in book] for book in codebooks]
+    return spark.createDataFrame(
+        [(cb, n2)], "_cb array<array<array<double>>>, _cn2 array<array<double>>"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its m nearest-sub-centroid codes →
+    (vec_id, codes: array<int>). Map-only: per subspace the argmin is
+    ``array_min(transform(codes_with_norms, c -> (||c||² − 2⟨x_s,c⟩, code)))``
+    — ⟨x_s,x_s⟩ is constant per row so the L2 argmin needs only the cross
+    term; ties break to the smaller code. The codebook rides in as a 1-row
+    BROADCAST frame — data, not plan (see :func:`_codebook_frame` for the
+    measured planning-cost rationale) — and the per-code loop is a runtime
+    ``transform`` lambda, so both plan size and compiled code size are
+    constant in m and nbits. No shuffle (plan-asserted; the only join is the
+    1-row broadcast): at 100 TB this runs as one projection pass writing the
+    32×-smaller codes table the ANN tier serves from."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb_df = _codebook_frame(emb.sparkSession, codebooks)
+
+    def code(s: int):
+        xs = F.slice("_v", s * sub + 1, sub)
+        cells = F.transform(
+            F.col("_cb")[s],
+            lambda c, ci: F.struct(
+                (F.col("_cn2")[s][ci] - 2.0 * _dot(xs, c)).alias("_d2"),
+                ci.alias("_c"),
+            ),
+        )
+        return F.array_min(cells)["_c"]
+
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), _normalized(vec_col).alias("_v"))
+        .join(F.broadcast(cb_df))
+        .select("vec_id", F.array(*[code(s) for s in range(m)]).alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k from CODES ALONE → (q_id, neighbor_id, adc_score, rn).
+
+    The broadcast query side carries its precomputed lookup table
+    LUT[s][c] = ⟨q_s, codebook[s][c]⟩ (m·2^nbits sub-dots, once per query);
+    each (candidate, query) pair is then ``Σ_s LUT[s][codes[s]]`` — m array
+    lookups, no vector math, no touch of the raw embeddings. adc_score
+    approximates cosine(q, v) for unit-normalized training; the top-k is the
+    usual WindowGroupLimit with the neighbor-id tie-break."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb_df = _codebook_frame(queries.sparkSession, codebooks)
+    # NB Column[...] is getItem — 0-based for arrays (element_at is the
+    # 1-based one); every index below is 0-based
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.col("_cb")[s], lambda c: _dot(F.slice("_qv", s * sub + 1, sub), c)
+        ),
+    )
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), _normalized(vec_col).alias("_qv"))
+        .join(F.broadcast(cb_df))
+        .select("q_id", lut.alias("_lut"))
+    )
+    pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.col("_lut")[s][F.col("codes")[s]],
+    )
+    scored = pairs.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), score.alias("adc_score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("adc_score", 6).alias("adc_score"), "rn")
+    )
+
+
+def ann_topk_pq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = M_SUBSPACES,
+    nbits: int = NBITS,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """End-to-end PQ ANN: train (unless ``codebooks`` given) → encode →
+    ADC shortlist of k·``refine`` per query → EXACT cosine rerank of the
+    shortlist only → (q_id, neighbor_id, cosine, rn).
+
+    The two-stage shape is the standard PQ deployment: ADC's quantization
+    error perturbs ranks near the cut, so the shortlist over-fetches by
+    ``refine`` and the exact rerank (touching ``k·refine·|Q|`` raw vectors —
+    a pointwise join by id, not a corpus scan) restores the final order.
+    Recall vs :func:`similarity.cosine_topk` is the quality gate
+    (tests/test_similarity.py)."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb, m, nbits, vec_col, seed=seed)
+    codes = pq_encode(emb, codebooks, vec_col, id_col)
+    shortlist = pq_adc_topk(codes, queries, codebooks, k * refine, vec_col, id_col)
+    corpus = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), "_norm2"
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qe"),
+        F.col("_norm2").alias("_qnorm2"),
+    )
+    pairs = (
+        shortlist.select("q_id", "neighbor_id")
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(q), "q_id")
+    )
+    return _topk_rerank(pairs, k)

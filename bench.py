@@ -230,6 +230,26 @@ def _bench_dsir_weights(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _bench_pq_ann(spark, sf_dir: str) -> float:
+    """PQ ANN over the embeddings table: codebooks train untimed (per-corpus
+    model, like the LM and classifier entries), then the timed pass encodes
+    the corpus to m-byte codes, ADC-scores 10 queries from codes alone, and
+    exact-reranks the shortlist."""
+    from aws_financial_data_pipeline_spark.operators import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq.train_pq_codebooks(emb, sample_fraction=0.2)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    t0 = time.perf_counter()
+    pq.ann_topk_pq(emb, queries, k=10, codebooks=books).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    elapsed = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -281,6 +301,7 @@ def main() -> None:
     times["semantic_dedup"] = _bench_semantic_dedup(spark, sf_dir)
     times["score_quality"] = _bench_score_quality(spark, sf_dir)
     times["dsir_weights"] = _bench_dsir_weights(spark, sf_dir)
+    times["pq_ann_topk"] = _bench_pq_ann(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(
