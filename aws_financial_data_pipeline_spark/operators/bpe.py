@@ -1,0 +1,204 @@
+"""Byte-pair-encoding tokenizer: distributed word counting → classic merge
+learning → Arrow-batched distributed encoding.
+
+The reference's surface stops at token COUNTING (text.token_counts uses the
+BPE-ish pre-tokenizer regex); a training-data pipeline also needs the real
+thing — learned subword merges — because token budgets (packing), length
+filters, and dedup-by-token-span all change meaning with the tokenizer.
+This module implements the original BPE recipe (Sennrich, Haddow & Birch,
+"Neural Machine Translation of Rare Words with Subword Units", ACL 2016 —
+the GPT-2/SentencePiece ancestor), shaped for Spark:
+
+- **Train** (:func:`train_bpe`): BPE never trains on the raw corpus — it
+  trains on the WORD-FREQUENCY table (the paper's formulation). The corpus-
+  sized work is therefore one distributed pre-tokenize → explode → groupBy
+  count, capped to the top ``max_words`` types via TakeOrderedAndProject
+  (a bounded driver collect — word TYPES are Zipf-bounded, ~10⁵ covers
+  >99.9% of tokens at any corpus size; the tail contributes negligible pair
+  mass). The merge loop itself runs driver-side over that bounded table
+  with incrementally-maintained pair counts — O(total symbols) overall, the
+  standard efficient implementation; a per-merge distributed recount would
+  be thousands of Spark jobs for work that fits in memory by construction.
+- **Encode** (:func:`bpe_encode`): applying an ordered merge list is an
+  inherently iterative per-word loop — not expressible as Catalyst
+  expressions — so encoding is the sanctioned Python boundary: Arrow-batched
+  ``mapInPandas`` with the merge ranks in the task closure (small, like the
+  quality model) and a per-worker WORD CACHE — Zipf again: a partition's
+  distinct words are a sliver of its tokens, so amortized per-token cost is
+  a dict lookup, not a merge loop. Map-only, no shuffle.
+
+End-of-word marker ``</w>`` per the paper; pre-tokenization reuses
+text.BPE_REGEX (lowercased letter runs | digit runs | single symbols) so
+token counts here are consistent with text.token_counts' ``bpe_tokens``.
+Deterministic by construction (tie-breaks: highest pair count, then
+lexicographically smallest pair; word table capped by count desc, word asc)
+— pytest-gated; no SQL oracle exists for an iterative learner (NOTES.md).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import BPE_REGEX
+
+END = "</w>"
+
+
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> DataFrame:
+    """Distributed word-frequency table: (word, freq), the top ``max_words``
+    types by (freq desc, word asc). One explode + one map-side-combined
+    groupBy + TakeOrderedAndProject — the only corpus-sized work in BPE
+    training."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_REGEX), F.lit(0))
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_words)
+    )
+
+
+def learn_merges(word_freqs: list[tuple[str, int]], num_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a (word, freq) table — pure driver
+    code. Incremental pair bookkeeping: each merge touches only the words
+    containing the merged pair, so the whole loop is O(total symbols), not
+    O(num_merges × table). Deterministic: best pair = highest total freq,
+    ties to the lexicographically smallest pair."""
+    symbols: list[list[str]] = [list(w) + [END] for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(symbols):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += freqs[wi]
+            pair_words[(a, b)].add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        # min over (-count, pair): highest count first, ties to the
+        # lexicographically smallest pair — deterministic at every step
+        live = ((-cnt, pair) for pair, cnt in pair_counts.items() if cnt > 0)
+        best = min(live, default=None)
+        if best is None:
+            break
+        a, b = best[1]
+        merged = a + b
+        merges.append((a, b))
+        # rebuild the pair contributions of each AFFECTED word wholesale
+        # (subtract old, merge, add new): O(|word|) per touch and immune to
+        # the neighbor-bookkeeping edge cases of in-place updates (aaa-runs,
+        # adjacent occurrences); words without the pair are never visited
+        for wi in list(pair_words[(a, b)]):
+            syms = symbols[wi]
+            f = freqs[wi]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= f
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symbols[wi] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] += f
+                pair_words[p].add(wi)
+        pair_counts[(a, b)] = 0
+        pair_words.pop((a, b), None)
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merge rules from the corpus (see module
+    docstring for the distributed/driver split). Returns the ordered merge
+    list — the model object, like PQ codebooks or the LM count tables."""
+    table = [
+        (r["word"], r["freq"])
+        for r in word_frequencies(docs, text_col, max_words).collect()
+    ]
+    # collect() order is not the orderBy order guarantee for downstream
+    # determinism — re-sort the bounded table driver-side
+    table.sort(key=lambda t: (-t[1], t[0]))
+    return learn_merges(table, num_merges)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly merge the lowest-rank
+    (earliest-learned) adjacent pair — the standard GPT-2-style application
+    of an ordered merge list."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed encode → (doc_id, bpe_tokens array<string>, n_bpe_tokens).
+    Arrow-batched mapInPandas, map-only (no shuffle); the merge ranks travel
+    in the task closure and every partition memoizes per WORD, so repeated
+    words (Zipf: almost all of them) cost one dict lookup."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pattern = BPE_REGEX
+
+    def run(batches):
+        import pandas as pd
+
+        rx = re.compile(pattern)
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            toks: list[str] = []
+            for w in rx.findall((text or "").lower()):
+                got = cache.get(w)
+                if got is None:
+                    got = encode_word(w, ranks)
+                    cache[w] = got
+                toks.extend(got)
+            return toks
+
+        for pdf in batches:
+            toks = pdf[text_col].map(enc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "bpe_tokens": toks,
+                    "n_bpe_tokens": toks.map(len),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
+    )

@@ -1,0 +1,122 @@
+"""BPE tokenizer (operators.bpe): merge learning on the distributed
+word-frequency table, greedy encoding, Arrow-batched distributed encode.
+
+Pytest-gated (iterative learner — no SQL oracle, NOTES.md); determinism is
+by construction (tie-breaks pinned), so exact-value assertions are safe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import bpe
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_learn_merges_classic_example():
+    """Sennrich's worked example shape: with 'low' dominating the table, the
+    first merges build 'low</w>' bottom-up; every step is hand-checkable."""
+    table = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe.learn_merges(table, 4)
+    # pair counts: ('e','s') 9, ('s','t') 9, ('t','</w>') 9, ('l','o') 7 ...
+    # ties at 9 break lexicographically: (e,s) < (s,t) < (t,</w>)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    assert merges[3] == ("l", "o")
+
+
+def test_learn_merges_aaa_run_counts():
+    """Overlapping-occurrence edge case: 'aaa' holds TWO (a,a) pairs; after
+    merging (a,a) the word is [aa, a, </w>] (greedy left-to-right), never
+    [a, aa] or a double-merge."""
+    merges = bpe.learn_merges([("aaa", 1)], 1)
+    assert merges == [("a", "a")]
+    assert bpe.encode_word("aaa", {("a", "a"): 0}) == ["aa", "a", "</w>"]
+
+
+def test_encode_word_reproduces_training_segmentation():
+    table = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe.learn_merges(table, 30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # enough merges → every training word becomes a single token
+    for w, _ in table:
+        assert bpe.encode_word(w, ranks) == [w + "</w>"]
+
+
+def test_encode_word_round_trip_property():
+    table = [("hello", 3), ("help", 2), ("yelp", 1)]
+    ranks = {p: i for i, p in enumerate(bpe.learn_merges(table, 5))}
+    for w in ("hello", "help", "yelp", "unseen", "hel"):
+        toks = bpe.encode_word(w, ranks)
+        assert "".join(toks) == w + "</w>"  # merges never alter content
+
+
+def test_distributed_encode_matches_driver(spark):
+    docs = _corpus(spark, ["the cat sat", "the hat", "cats cats cats"])
+    merges = bpe.train_bpe(docs, num_merges=20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {r["doc_id"]: r for r in bpe.bpe_encode(docs, merges).collect()}
+    import re
+
+    from aws_financial_data_pipeline_spark.operators.text import BPE_REGEX
+
+    rx = re.compile(BPE_REGEX)
+    for i, text in enumerate(["the cat sat", "the hat", "cats cats cats"]):
+        want = [t for w in rx.findall(text.lower()) for t in bpe.encode_word(w, ranks)]
+        assert list(got[i]["bpe_tokens"]) == want
+        assert got[i]["n_bpe_tokens"] == len(want)
+
+
+def test_train_is_deterministic_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    m1 = bpe.train_bpe(docs, num_merges=50)
+    m2 = bpe.train_bpe(docs, num_merges=50)
+    assert m1 == m2
+    assert len(m1) == 50
+
+
+def test_more_merges_compress_more(spark):
+    """Monotone compression: a longer merge list can only merge further, so
+    total token count is non-increasing in num_merges — and always ≤ the
+    character count + word count (the no-merge ceiling)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    m_few = bpe.train_bpe(docs, num_merges=10)
+    m_many = bpe.train_bpe(docs, num_merges=100)
+    assert m_many[:10] == m_few  # prefix property: same table, same order
+    n_few = bpe.bpe_encode(docs, m_few).agg(F.sum("n_bpe_tokens")).first()[0]
+    n_many = bpe.bpe_encode(docs, m_many).agg(F.sum("n_bpe_tokens")).first()[0]
+    n_none = bpe.bpe_encode(docs, []).agg(F.sum("n_bpe_tokens")).first()[0]
+    assert n_many < n_few < n_none
+
+
+def test_empty_and_null_text(spark):
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "ok")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bpe.bpe_encode(docs, [("o", "k")]).collect()}
+    assert rows[0]["n_bpe_tokens"] == 0 and list(rows[0]["bpe_tokens"]) == []
+    assert rows[1]["n_bpe_tokens"] == 0
+    assert list(rows[2]["bpe_tokens"]) == ["ok", "</w>"]
+
+
+def test_encode_plan_is_map_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        bpe.bpe_encode(docs, [("t", "h")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # one Arrow stage, no shuffle
+
+
+def test_word_frequencies_bounded_and_ordered(spark):
+    docs = _corpus(spark, ["b b b a a c"])
+    rows = bpe.word_frequencies(docs, max_words=2).collect()
+    assert [(r["word"], r["freq"]) for r in rows] == [("b", 3), ("a", 2)]
