@@ -167,6 +167,7 @@ def pq_adc_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k from CODES ALONE → (q_id, neighbor_id, adc_score, rn).
 
@@ -175,7 +176,13 @@ def pq_adc_topk(
     each (candidate, query) pair is then ``Σ_s LUT[s][codes[s]]`` — m array
     lookups, no vector math, no touch of the raw embeddings. adc_score
     approximates cosine(q, v) for unit-normalized training; the top-k is the
-    usual WindowGroupLimit with the neighbor-id tie-break."""
+    usual WindowGroupLimit with the neighbor-id tie-break.
+
+    ``candidates`` (optional, (q_id, vec_id)): restrict scoring to those
+    pairs — the IVFPQ shape, where the IVF probe list bounds the ADC work to
+    ~nprobe/|cells| of the corpus per query instead of all N×|Q| pairs (see
+    :func:`ann_topk_ivfpq`). Without it every code row is scored against
+    every query — fine for small |Q|, brute-force-shaped for large."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     cb_df = _codebook_frame(queries.sparkSession, codebooks)
@@ -192,7 +199,15 @@ def pq_adc_topk(
         .join(F.broadcast(cb_df))
         .select("q_id", lut.alias("_lut"))
     )
-    pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    if candidates is not None:
+        pairs = (
+            candidates.select("q_id", "vec_id")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .join(codes, "vec_id")
+            .join(F.broadcast(q), "q_id")
+        )
+    else:
+        pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -235,6 +250,59 @@ def ann_topk_pq(
         codebooks = train_pq_codebooks(emb, m, nbits, vec_col, seed=seed)
     codes = pq_encode(emb, codebooks, vec_col, id_col)
     shortlist = pq_adc_topk(codes, queries, codebooks, k * refine, vec_col, id_col)
+    corpus = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), "_norm2"
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qe"),
+        F.col("_norm2").alias("_qnorm2"),
+    )
+    pairs = (
+        shortlist.select("q_id", "neighbor_id")
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(q), "q_id")
+    )
+    return _topk_rerank(pairs, k)
+
+
+def ann_topk_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = M_SUBSPACES,
+    nbits: int = NBITS,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """The full FAISS IVFPQ stack: IVF cells prune the corpus, ADC scores the
+    survivors from codes alone, exact cosine reranks the shortlist →
+    (q_id, neighbor_id, cosine, rn).
+
+    Per-query ADC work drops from N pairs to ~N·nprobe/|cells| — the cell
+    restriction is one broadcast equi-join on cell_id (IVF's probe shape),
+    and the codes+cell table is exactly what a 100 TB deployment persists
+    partitioned BY cell_id (probes become partition-pruned reads of m-byte
+    rows). Recall is bounded by the IVF probe recall × PQ shortlist recall;
+    nprobe = |cells| recovers :func:`ann_topk_pq` exactly (pytest-pinned)."""
+    from .similarity import ivf_assign, ivf_probe, seed_centroids
+
+    if centroids is None:
+        centroids = seed_centroids(emb, vec_col=vec_col, id_col=id_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb, m, nbits, vec_col, seed=seed)
+    codes = pq_encode(emb, codebooks, vec_col, id_col)
+    assign = ivf_assign(emb, centroids, vec_col, id_col)
+    probes = ivf_probe(queries, centroids, nprobe, vec_col, id_col)
+    cand = assign.join(F.broadcast(probes), "cell_id").select("q_id", "vec_id")
+    shortlist = pq_adc_topk(
+        codes, queries, codebooks, k * refine, vec_col, id_col, candidates=cand
+    )
     corpus = with_norm(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), "_norm2"
     )

@@ -116,6 +116,30 @@ def test_encode_plan_is_map_only(spark):
     assert "Exchange" not in plan  # one Arrow stage, no shuffle
 
 
+def test_bpe_counts_feed_token_budget_packing(spark):
+    """Composition — the real pretraining data path: learned-tokenizer counts
+    drive the token-budget packer (pack_chunks doesn't care where sizes come
+    from, but budgets only MEAN anything in the model's own token space)."""
+    from aws_financial_data_pipeline_spark.operators import packing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    merges = bpe.train_bpe(docs, num_merges=50)
+    enc = bpe.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+    packed = packing.pack_chunks(
+        enc, budget=512, size_col="n_bpe_tokens", order_cols=("doc_id",)
+    )
+    rows = packed.orderBy("doc_id").collect()
+    assert len(rows) == 100
+    # bins contiguous in doc order, totals bounded by budget + last item
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    for b, items in by_bin.items():
+        total = sum(r["n_bpe_tokens"] for r in items)
+        assert total < 512 + items[-1]["n_bpe_tokens"]
+
+
 def test_word_frequencies_bounded_and_ordered(spark):
     docs = _corpus(spark, ["b b b a a c"])
     rows = bpe.word_frequencies(docs, max_words=2).collect()

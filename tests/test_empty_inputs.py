@@ -85,6 +85,33 @@ def test_round3_ops_on_empty(spark):
     assert lm.perplexity_buckets(lm.ngram_perplexity(docs, model)).count() == 0
 
 
+def test_round4_ops_on_empty_and_tiny(spark):
+    """Round-4 additions (PQ, BPE): total on empty/tiny inputs. PQ training
+    on an empty corpus raises loudly (a codebook of nothing is a caller
+    bug); encode/score of an empty frame with a VALID codebook is fine."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators import bpe, pq
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe.train_bpe(docs) == []  # no words → no merges, not a throw
+    assert bpe.bpe_encode(docs, [("a", "b")]).count() == 0
+    assert bpe.word_frequencies(docs).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq.train_pq_codebooks(emb, m=2)
+    # 2-vector corpus: KMeans k=2^nbits needs k ≤ n → nbits=1 trains;
+    # encode + two-stage search stay total
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    books = pq.train_pq_codebooks(tiny, m=2, nbits=1)
+    assert pq.pq_encode(emb, books).count() == 0
+    got = pq.ann_topk_pq(tiny, tiny, k=1, codebooks=books).collect()
+    assert {(r.q_id, r.neighbor_id) for r in got} == {(1, 2), (2, 1)}
+
+
 def test_semantic_and_funnel_on_tiny_not_empty(spark):
     """KMeans needs k ≤ n, so the smallest meaningful corpus (2 vectors) must
     work end-to-end; the funnel must survive a corpus where every stage

@@ -113,6 +113,48 @@ def test_two_stage_scores_are_exact_cosines(emb, books):
         assert pair in exact and exact[pair] == cos
 
 
+def test_ivfpq_full_probe_equals_plain_pq(emb, books):
+    """nprobe = |cells| makes the IVF restriction a no-op, so the full IVFPQ
+    stack must reproduce ann_topk_pq exactly — pins that the candidate-
+    restricted ADC path scores identically to the unrestricted one."""
+    from aws_financial_data_pipeline_spark.operators.similarity import seed_centroids
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = seed_centroids(emb, num_cells=8)
+    full = {
+        (r.q_id, r.neighbor_id, r.cosine, r.rn)
+        for r in pq.ann_topk_ivfpq(
+            emb, queries, cents, k=10, nprobe=8, codebooks=books
+        ).collect()
+    }
+    plain = {
+        (r.q_id, r.neighbor_id, r.cosine, r.rn)
+        for r in pq.ann_topk_pq(emb, queries, k=10, codebooks=books).collect()
+    }
+    assert full == plain
+
+
+def test_ivfpq_recall_floor(emb, books):
+    """With a partial probe list the cell restriction costs some recall;
+    on testdata nprobe=4 of 8 cells must still recover ≥ 60% of the exact
+    top-10 (recall = IVF probe recall × PQ shortlist recall)."""
+    from aws_financial_data_pipeline_spark.operators.similarity import seed_centroids
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.q_id, r.neighbor_id)
+        for r in pq.ann_topk_ivfpq(
+            emb, queries, seed_centroids(emb, num_cells=8), k=10, nprobe=4,
+            codebooks=books,
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.60
+
+
 def test_refine_widens_recall(emb, books):
     """More refine → shortlist closer to exhaustive → recall must not drop
     (and reaches 1.0 when the shortlist covers the corpus)."""
