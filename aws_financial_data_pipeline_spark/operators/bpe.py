@@ -160,18 +160,54 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+UNK = "<unk>"
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> list[str]:
+    """The token vocabulary the merges induce on this corpus: encode the
+    (bounded) word-frequency table and collect every emitted symbol, ordered
+    by (token frequency desc, token asc) after the reserved ``<unk>`` at
+    id 0 — deterministic, and covers exactly what the tokenizer can produce
+    on in-distribution text (a character never seen in training has no
+    symbol and maps to ``<unk>`` at encode time). Same distributed/driver
+    split as training: one word-count pass, driver work bounded by the word
+    table."""
+    table = [
+        (r["word"], r["freq"])
+        for r in word_frequencies(docs, text_col, max_words).collect()
+    ]
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    counts: Counter = Counter()
+    for w, f in table:
+        for t in encode_word(w, ranks):
+            counts[t] += f
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [UNK] + [t for t, _ in ordered]
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """Distributed encode → (doc_id, bpe_tokens array<string>, n_bpe_tokens).
     Arrow-batched mapInPandas, map-only (no shuffle); the merge ranks travel
     in the task closure and every partition memoizes per WORD, so repeated
-    words (Zipf: almost all of them) cost one dict lookup."""
+    words (Zipf: almost all of them) cost one dict lookup.
+
+    With ``vocab`` (from :func:`bpe_vocab`) the output also carries
+    ``bpe_ids array<int>`` — integer token ids (out-of-vocabulary symbols →
+    id 0, ``<unk>``), the form packing/training sinks consume."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     pattern = BPE_REGEX
+    tok2id = {t: i for i, t in enumerate(vocab)} if vocab is not None else None
 
     def run(batches):
         import pandas as pd
@@ -191,14 +227,18 @@ def bpe_encode(
 
         for pdf in batches:
             toks = pdf[text_col].map(enc)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "bpe_tokens": toks,
-                    "n_bpe_tokens": toks.map(len),
-                }
-            )
+            cols = {
+                "doc_id": pdf[id_col],
+                "bpe_tokens": toks,
+                "n_bpe_tokens": toks.map(len),
+            }
+            if tok2id is not None:
+                cols["bpe_ids"] = toks.map(
+                    lambda ts: [tok2id.get(t, 0) for t in ts]
+                )
+            yield pd.DataFrame(cols)
 
-    return docs.select(id_col, text_col).mapInPandas(
-        run, "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
-    )
+    schema = "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
+    if tok2id is not None:
+        schema += ", bpe_ids array<int>"
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

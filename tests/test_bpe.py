@@ -116,6 +116,28 @@ def test_encode_plan_is_map_only(spark):
     assert "Exchange" not in plan  # one Arrow stage, no shuffle
 
 
+def test_vocab_and_id_encoding(spark):
+    """bpe_vocab induces a deterministic token→id table; id encoding round-
+    trips through it, and symbols outside the training alphabet map to
+    <unk> (id 0)."""
+    docs = _corpus(spark, ["the cat sat on the mat", "the cat"])
+    merges = bpe.train_bpe(docs, num_merges=30)
+    vocab = bpe.bpe_vocab(docs, merges)
+    assert vocab[0] == "<unk>"
+    assert vocab == bpe.bpe_vocab(docs, merges)  # deterministic
+    assert len(vocab) == len(set(vocab))
+    enc = {r["doc_id"]: r for r in bpe.bpe_encode(docs, merges, vocab=vocab).collect()}
+    for r in enc.values():
+        assert len(r["bpe_ids"]) == r["n_bpe_tokens"]
+        # ids round-trip to the exact token strings (nothing was OOV here)
+        assert [vocab[i] for i in r["bpe_ids"]] == list(r["bpe_tokens"])
+        assert 0 not in r["bpe_ids"]
+    # a character absent from training (digit) → symbol not in vocab → <unk>
+    oov = spark.createDataFrame([(9, "cat 7")], "doc_id long, text string")
+    row = bpe.bpe_encode(oov, merges, vocab=vocab).first()
+    assert 0 in row["bpe_ids"]
+
+
 def test_bpe_counts_feed_token_budget_packing(spark):
     """Composition — the real pretraining data path: learned-tokenizer counts
     drive the token-budget packer (pack_chunks doesn't care where sizes come

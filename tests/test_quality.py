@@ -101,3 +101,48 @@ def test_quality_signal_table_rule_config_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_corpus_datasheet_on_testdata(spark):
+    """The one-pass dataset report card: every metric lands in the right
+    range and the numbers agree with direct computation over the corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ds = {(r["section"], r["metric"]): r["value"]
+          for r in ql.corpus_datasheet(docs).collect()}
+    n = docs.count()
+    assert ds[("volume", "n_docs")] == float(n)
+    assert ds[("volume", "total_chars")] == float(
+        docs.agg(F.sum(F.length("text"))).first()[0]
+    )
+    # language shares: argmax over the fixed domain → they partition the corpus
+    shares = [v for (sec, _), v in ds.items() if sec == "language"]
+    assert abs(sum(shares) - 1.0) < 1e-6
+    # quantiles are monotone; rates are probabilities
+    p = [ds[("length", f"ws_tokens_p{q}")] for q in (10, 50, 90, 99)]
+    assert p == sorted(p)
+    for met in ("gopher_keep_rate", "c4_keep_rate", "mean_stopword_ratio"):
+        assert 0.0 <= ds[("quality", met)] <= 1.0
+    assert 0.0 <= ds[("pii", "docs_with_pii_rate")] <= 1.0
+    assert ds[("quality", "mean_compression_ratio")] > 0.0
+    # determinism (HLL and approx percentiles are deterministic per input)
+    again = {(r["section"], r["metric"]): r["value"]
+             for r in ql.corpus_datasheet(docs).collect()}
+    assert ds == again
+
+
+def test_corpus_datasheet_sees_duplication(spark):
+    """100 docs over 20 distinct texts: the fingerprint HLL estimate must
+    sit near 20, nowhere near 100. The fingerprint is the MIN-HASH doc
+    fingerprint, so the variants need disjoint vocabularies — texts that
+    differ in one word share a fingerprint by design (that near-dup
+    tolerance is the point of the estimate)."""
+    rows = [
+        (i, " ".join(f"tok{(i % 20) * 40 + j}" for j in range(30)))
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ds = {(r["section"], r["metric"]): r["value"]
+          for r in ql.corpus_datasheet(docs, compression=False).collect()}
+    est = ds[("duplication", "approx_distinct_fingerprints")]
+    assert 15 <= est <= 25
+    assert ds[("volume", "n_docs")] == 100.0
