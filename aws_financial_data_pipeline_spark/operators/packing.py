@@ -7,6 +7,9 @@ Two operators every LLM pretraining pipeline runs between "clean corpus" and
   (optionally overlapping via ``stride``) — the map-only step that bounds
   every downstream sample at ``window`` tokens. Pure Catalyst ``slice`` over
   generated offsets: no shuffle, no Python.
+- **chunk_sentences**: the boundary-respecting variant (retrieval/RAG
+  ingestion) — greedy sentence runs under a token budget, one per-doc
+  ``aggregate`` fold, equally map-only.
 - **pack_chunks**: assign chunks to fixed-token-budget bins (sample packing).
   Exact first-fit packing is inherently sequential; the distributed-standard
   compromise is CONTIGUOUS GREEDY packing over a deterministic order: bin =
@@ -67,6 +70,65 @@ def chunk_tokens(
         "chunk_id",
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_sentences(
+    docs: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-boundary-respecting chunking (the retrieval/RAG-ingestion
+    chunker, complementing :func:`chunk_tokens`' fixed windows):
+    (doc_id, text) → (doc_id, chunk_id, n_tokens, chunk_text) where each
+    chunk is a run of CONSECUTIVE sentences whose total whitespace-token
+    count fits ``budget`` — a sentence never splits across chunks, so no
+    chunk starts or ends mid-thought. A single sentence longer than the
+    budget gets a chunk of its own (the greedy else-branch; feed such
+    chunks through :func:`chunk_tokens` if a hard cap matters).
+
+    Map-only: sentence split (lookbehind on terminal punctuation) + ONE
+    per-document ``aggregate`` lambda folding sentences into an
+    array<struct<used, txt>> accumulator (greedy: open a new chunk exactly
+    when the next sentence would overflow a non-empty one) + posexplode.
+    No shuffle, no Python, no window — per-doc cost is O(sentences ×
+    chunks-per-doc) from the slice-and-append accumulator, bounded and
+    embarrassingly parallel."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    sentences = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    acc0 = F.array().cast("array<struct<used:int,txt:string>>")
+    ntok = lambda s: F.size(F.split(s, r"\s+"))  # noqa: E731
+
+    def fold(acc, s):
+        last = F.element_at(acc, -1)
+        n = ntok(s)
+        fresh = F.array(F.struct(n.alias("used"), s.alias("txt")))
+        opened = F.concat(acc, fresh)
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    (last["used"] + n).alias("used"),
+                    F.concat_ws(" ", last["txt"], s).alias("txt"),
+                )
+            ),
+        )
+        return F.when(
+            (F.size(acc) == 0) | ((last["used"] + n > budget) & (last["used"] > 0)),
+            opened,
+        ).otherwise(extended)
+
+    chunks = F.aggregate(sentences, acc0, fold)
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.col("_c.used").alias("n_tokens"),
+        F.col("_c.txt").alias("chunk_text"),
     )
 
 

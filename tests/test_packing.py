@@ -132,3 +132,69 @@ def test_pack_null_leading_value_packs_first_and_drops_nothing(spark):
         got = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
                for r in pk.pack_chunks(chunks, budget=20, num_shards=shards).collect()}
         assert got == ref, shards
+
+
+def test_chunk_sentences_respects_boundaries_and_budget(spark):
+    """Chunks are runs of whole sentences; totals fit the budget unless a
+    single sentence alone exceeds it."""
+    from aws_financial_data_pipeline_spark.operators.packing import chunk_sentences
+
+    text = "One two three. Four five. Six seven eight nine. Ten."
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_sentences(docs, budget=5).orderBy("chunk_id").collect()
+    # sentences: 3,2,4,1 tokens → greedy at 5: [3+2] [4+1]
+    assert [(r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in rows] == [
+        (0, 5, "One two three. Four five."),
+        (1, 5, "Six seven eight nine. Ten."),
+    ]
+    # round trip: concatenating chunks restores the document
+    assert " ".join(r["chunk_text"] for r in rows) == text
+
+
+def test_chunk_sentences_oversized_sentence_gets_own_chunk(spark):
+    from aws_financial_data_pipeline_spark.operators.packing import chunk_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "Tiny. A very long sentence with many many tokens inside it. End.")],
+        "doc_id long, text string",
+    )
+    rows = chunk_sentences(docs, budget=4).orderBy("chunk_id").collect()
+    assert [r["chunk_text"] for r in rows] == [
+        "Tiny.",
+        "A very long sentence with many many tokens inside it.",
+        "End.",
+    ]
+    assert rows[1]["n_tokens"] == 10  # over budget, alone by design
+
+
+def test_chunk_sentences_is_map_only_and_total(spark):
+    from aws_financial_data_pipeline_spark.operators.packing import chunk_sentences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = chunk_sentences(docs, budget=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every document is covered; a chunk may exceed the budget ONLY as a
+    # single unsplittable sentence (testdata docs carry no terminal
+    # punctuation, so each is one giant "sentence" — exactly that case):
+    # over-budget chunks must contain no internal sentence boundary
+    assert df.select("doc_id").distinct().count() == docs.count()
+    assert df.filter(r"n_tokens > 64 AND chunk_text rlike '[.!?]\\s'").count() == 0
+    # chunks feed the packer unchanged
+    from aws_financial_data_pipeline_spark.operators.packing import pack_chunks
+
+    packed = pack_chunks(df, budget=512)
+    assert packed.count() == df.count()
+
+
+def test_chunk_sentences_empty_and_null(spark):
+    from aws_financial_data_pipeline_spark.operators.packing import chunk_sentences
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "Only one.")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in chunk_sentences(docs, budget=8).collect()}
+    assert rows[1]["chunk_text"] == ""  # empty doc → one empty chunk (chunk_tokens convention)
+    assert 2 not in rows  # null text drops, like chunk_tokens
+    assert rows[3]["chunk_text"] == "Only one."
