@@ -158,3 +158,94 @@ def test_extract_features_decodes_video(spark):
     )
     expected = float(np.mean([f.astype(np.uint8).mean() for f in frames]))
     assert got[(9,)]["feature_mean"] == pytest.approx(expected, abs=1e-4)
+
+
+def _natural_image(seed, h=64, w=48):
+    """1/f-ish random field (white noise box-blurred twice): the natural-image
+    spectral shape pHash assumes. Synthetic gradients/cosine mixes are the
+    DEGENERATE case — their 8x8 DCT block is mostly ~0, so half the bits sit
+    on the median threshold and tiny noise flips them; a full low-frequency
+    spectrum gives every bit a margin."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    g = rng.standard_normal((h, w))
+    for _ in range(2):
+        c = np.cumsum(np.cumsum(np.pad(g, ((1, 0), (1, 0))), 0), 1)
+        k = 9
+        c = np.pad(c, ((0, k), (0, k)), mode="edge")
+        g = (c[k : h + k, k : w + k] - c[:h, k : w + k] - c[k : h + k, :w] + c[:h, :w]) / (k * k)
+    g = (g - g.min()) / (g.max() - g.min()) * 255
+    return np.repeat(g[:, :, None], 3, 2).astype(np.uint8)
+
+
+def test_phash_invariance_and_discrimination():
+    """pHash must be stable under mild noise and resize, and far apart for
+    different images (on natural-spectrum content — see _natural_image)."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.default_rng(103)
+    base = _natural_image(3)
+    h0 = mm.phash64(base)
+    assert mm.phash64(base) == h0  # deterministic
+    noisy = np.clip(base.astype(int) + rng.integers(-4, 5, base.shape), 0, 255).astype(np.uint8)
+    assert ham(h0, mm.phash64(noisy)) <= 6
+    assert ham(h0, mm.phash64(mm.resize_image(base, (100, 80)))) <= 6
+    assert ham(h0, mm.phash64(_natural_image(53))) > 10
+
+
+def test_phash_near_duplicates_end_to_end(spark):
+    """Planted near-dup BMP pair found; unrelated image excluded; recall is
+    exact by the pigeonhole band bound."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(107)
+    base = _natural_image(7)
+    noisy = np.clip(base.astype(int) + rng.integers(-3, 4, base.shape), 0, 255).astype(np.uint8)
+    other = _natural_image(57)
+    rows = [
+        (1, bytearray(mm.encode_bmp(base)), "image/bmp", 0),
+        (2, bytearray(mm.encode_bmp(noisy)), "image/bmp", 0),
+        (3, bytearray(mm.encode_bmp(other)), "image/bmp", 0),
+        (4, bytearray(b"not an image"), "text/plain", 0),  # filtered by media type
+    ]
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    hashes = mm.image_phash(frames)
+    got = {r["doc_id"]: r["phash"] for r in hashes.collect()}
+    assert set(got) == {1, 2, 3}
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.phash_near_duplicates(hashes, max_distance=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_band_verify_is_jvm_and_radius_guard(spark):
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    hashes = spark.createDataFrame(
+        [(1, 0), (2, 3), (3, -1)], "doc_id long, phash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.phash_near_duplicates(hashes, max_distance=7).collect()
+    }
+    # hamming(0, 3) = 2; hamming(0, -1) = 64 (all bits); hamming(3, -1) = 62
+    assert got == {(1, 2): 2}
+    plan = (
+        mm.phash_near_duplicates(hashes)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pytest.raises(ValueError, match="hamming 7"):
+        mm.phash_near_duplicates(hashes, max_distance=12)
