@@ -249,3 +249,60 @@ def test_phash_band_verify_is_jvm_and_radius_guard(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     with pytest.raises(ValueError, match="hamming 7"):
         mm.phash_near_duplicates(hashes, max_distance=12)
+
+
+def _tone_mix(seed, secs=1.0, rate=8000):
+    """Natural-ish audio: a few random tones + filtered noise."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * rate)) / rate
+    x = sum(a * np.sin(2 * np.pi * f * t)
+            for a, f in zip(rng.uniform(0.1, 0.4, 5), rng.uniform(80, 3000, 5)))
+    x = x + 0.02 * rng.standard_normal(len(t))
+    return (x / np.max(np.abs(x)) * 0.8)
+
+
+def test_audio_hash_invariance_and_discrimination():
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    x = _tone_mix(5)
+    wav = mm.encode_wav(x)
+    h0 = mm.audio_hash64(wav)
+    assert mm.audio_hash64(wav) == h0  # deterministic
+    # amplitude scaling (re-normalized release) → identical hash
+    assert mm.audio_hash64(mm.encode_wav(x * 0.5)) == h0
+    # mild additive noise → small hamming
+    rng = np.random.default_rng(99)
+    noisy = np.clip(x + 0.01 * rng.standard_normal(len(x)), -1, 0.999)
+    assert ham(h0, mm.audio_hash64(mm.encode_wav(noisy))) <= 6
+    # different content → far
+    assert ham(h0, mm.audio_hash64(mm.encode_wav(_tone_mix(77)))) > 10
+
+
+def test_audio_near_duplicates_reuse_band_machinery(spark):
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    x = _tone_mix(13)
+    rng = np.random.default_rng(131)
+    noisy = np.clip(x + 0.01 * rng.standard_normal(len(x)), -1, 0.999)
+    rows = [
+        (1, bytearray(mm.encode_wav(x)), "audio/wav", 0),
+        (2, bytearray(mm.encode_wav(noisy)), "audio/wav", 0),
+        (3, bytearray(mm.encode_wav(_tone_mix(44))), "audio/wav", 0),
+    ]
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    hashes = mm.audio_fingerprints(frames)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.phash_near_duplicates(hashes, hash_col="ahash", max_distance=6).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
