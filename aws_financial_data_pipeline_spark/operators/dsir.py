@@ -152,3 +152,105 @@ def dsir_sample(
         .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    num_buckets: int = 8192,
+    n: int = 2,
+    alpha: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributional distance between two corpora over the hashed-n-gram
+    feature space — the data-mixing / drift audit: KL(a‖b), KL(b‖a) and the
+    Jensen–Shannon divergence (nats) of the add-α smoothed bucket
+    distributions, plus the bucket-support overlap. One row:
+    (kl_ab, kl_ba, js_divergence, overlap_frac, buckets_a, buckets_b).
+
+    Use it to answer "did this month's crawl drift from last month's?",
+    "how far is the curated mix from the target domain?" (the decision
+    DSIR's weights then act on), or "are these two shards the same
+    distribution?" — JS is symmetric, bounded by ln 2, and measures
+    PROPORTIONS, not volume: a corpus and its k-fold duplication measure
+    ≈0 (exactly 0 only at α=0 — smoothing weights the two totals
+    differently, so a small residual ~the smoothing fraction remains;
+    tested).
+
+    Cost shape: two hashed-count passes (map-side-combined groupBys bounded
+    by ``num_buckets`` rows), one full-outer join of two ≤B-row tables, one
+    scalar aggregate. Buckets observed in NEITHER corpus still carry
+    smoothing mass; their total contribution is identical per bucket and is
+    added in CLOSED FORM (n_missing × per-bucket term), so the result is
+    exact over all B buckets while touching only observed rows.
+
+    ``alpha=None`` (default) derives the smoothing from the data:
+    α = max(min(T_a, T_b), 1) / (10·B), keeping the total smoothing mass a
+    bounded ~9% fraction of the smaller corpus at ANY size — a fixed α is a
+    trap here (α=1 over 8192 buckets swamps a small corpus into uniformity
+    and reports ~0 divergence for DISJOINT vocabularies, measured). Pass an
+    explicit α to compare against externally-computed distributions."""
+    import math
+
+    def bucket_counts(docs: DataFrame, out: str) -> DataFrame:
+        return (
+            hashed_ngram_counts(docs, num_buckets, n, text_col, id_col)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias(out))
+        )
+
+    ca, cb = bucket_counts(a, "_ca"), bucket_counts(b, "_cb")
+    j = ca.join(cb, "bucket", "full_outer").select(
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    zero = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731  (empty corpus → 0, not null)
+    tot = j.agg(
+        zero(F.sum("_ca")).alias("_ta"),
+        zero(F.sum("_cb")).alias("_tb"),
+        F.count("*").alias("_nobs"),
+        zero(F.sum((F.col("_ca") > 0).cast("int"))).alias("_na"),
+        zero(F.sum((F.col("_cb") > 0).cast("int"))).alias("_nb"),
+        zero(F.sum(((F.col("_ca") > 0) & (F.col("_cb") > 0)).cast("int"))).alias("_nab"),
+    )
+    jt = j.join(F.broadcast(tot))
+    al = (
+        F.lit(float(alpha))
+        if alpha is not None
+        else F.greatest(F.least("_ta", "_tb"), F.lit(1)) / F.lit(10.0 * num_buckets)
+    )
+    p = (F.col("_ca") + al) / (F.col("_ta") + al * num_buckets)
+    q = (F.col("_cb") + al) / (F.col("_tb") + al * num_buckets)
+    m = (p + q) / 2
+    sums = jt.agg(
+        F.sum(p * F.log(p / q)).alias("_klab"),
+        F.sum(q * F.log(q / p)).alias("_klba"),
+        F.sum(p / 2 * F.log(p / m) + q / 2 * F.log(q / m)).alias("_js"),
+    )
+    # 1-row × 1-row cross: totals survive even when jt is EMPTY (two empty
+    # corpora → identical uniform smoothed distributions → all zeros below)
+    per = tot.join(F.broadcast(sums))
+    # closed-form mass of the (B - observed) buckets absent from BOTH sides:
+    # every one has the same p0/q0, so their Σ is a product, not a scan
+    p0 = al / (F.col("_ta") + al * num_buckets)
+    q0 = al / (F.col("_tb") + al * num_buckets)
+    m0 = (p0 + q0) / 2
+    miss = F.lit(num_buckets) - F.col("_nobs")
+    return per.select(
+        F.round(F.coalesce(F.col("_klab"), F.lit(0.0)) + miss * p0 * F.log(p0 / q0), 6).alias("kl_ab"),
+        F.round(F.coalesce(F.col("_klba"), F.lit(0.0)) + miss * q0 * F.log(q0 / p0), 6).alias("kl_ba"),
+        F.round(
+            F.coalesce(F.col("_js"), F.lit(0.0))
+            + miss * (p0 / 2 * F.log(p0 / m0) + q0 / 2 * F.log(q0 / m0)),
+            6,
+        ).alias("js_divergence"),
+        F.round(
+            F.when(F.col("_na") + F.col("_nb") > 0,
+                   F.col("_nab") / (F.col("_na") + F.col("_nb") - F.col("_nab")))
+            .otherwise(F.lit(float(math.nan))),
+            6,
+        ).alias("overlap_frac"),
+        F.col("_na").alias("buckets_a"),
+        F.col("_nb").alias("buckets_b"),
+    )

@@ -85,3 +85,63 @@ def test_featureless_docs_get_zero_weight(spark):
     )
     w = {r.doc_id: r.log_weight for r in dsir.dsir_weights(raw, _target(spark), num_buckets=512).collect()}
     assert w[2] == pytest.approx(0.0)
+
+
+def _docs(spark, texts, offset=0):
+    return spark.createDataFrame(
+        [(i + offset, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_corpus_divergence_identity_and_duplication_invariance(spark):
+    """JS/KL are 0 for a corpus against itself; against its k-fold
+    duplication they are ≈0 (divergence measures PROPORTIONS, not volume —
+    exact 0 only at α=0, since smoothing weighs the two totals
+    differently)."""
+    from aws_financial_data_pipeline_spark.operators.dsir import corpus_divergence
+
+    a = _docs(spark, ["the cat sat on the mat", "dogs chase cats daily"])
+    dup = _docs(spark, ["the cat sat on the mat", "dogs chase cats daily"] * 3, offset=100)
+    r = corpus_divergence(a, a).first()
+    assert r["kl_ab"] == 0.0 and r["kl_ba"] == 0.0 and r["js_divergence"] == 0.0
+    assert r["overlap_frac"] == 1.0
+    r2 = corpus_divergence(a, dup).first()
+    assert r2["js_divergence"] < 0.01 and r2["kl_ab"] < 0.05
+    assert corpus_divergence(a, dup, alpha=1e-12).first()["js_divergence"] < 1e-6
+
+
+def test_corpus_divergence_orders_similarity(spark):
+    """More-different corpora measure farther apart; symmetry and the ln 2
+    bound hold; disjoint corpora approach the bound."""
+    import math
+
+    from aws_financial_data_pipeline_spark.operators.dsir import corpus_divergence
+
+    a = _docs(spark, ["alpha beta gamma delta epsilon zeta eta theta"] * 4)
+    near = _docs(spark, ["alpha beta gamma delta epsilon zeta eta iota"] * 4, 100)
+    far = _docs(spark, ["one two three four five six seven eight"] * 4, 200)
+    js_near = corpus_divergence(a, near).first()["js_divergence"]
+    js_far = corpus_divergence(a, far).first()["js_divergence"]
+    assert 0.0 < js_near < js_far <= math.log(2) + 1e-9
+    assert js_far > 0.5  # disjoint vocab: close to the ln 2 ceiling
+    # symmetry of JS (KLs swap)
+    fwd, rev = corpus_divergence(a, far).first(), corpus_divergence(far, a).first()
+    assert fwd["js_divergence"] == rev["js_divergence"]
+    assert fwd["kl_ab"] == rev["kl_ba"]
+    assert fwd["overlap_frac"] == rev["overlap_frac"] == 0.0
+
+
+def test_corpus_divergence_empty_and_determinism(spark):
+    from aws_financial_data_pipeline_spark.operators.dsir import corpus_divergence
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = corpus_divergence(empty, empty).first()
+    assert r["js_divergence"] == 0.0 and r["buckets_a"] == 0
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    r1 = corpus_divergence(half_a, half_b).first()
+    r2 = corpus_divergence(half_a, half_b).first()
+    assert r1 == r2
+    # two random halves of one corpus: same distribution family → small JS
+    assert r1["js_divergence"] < 0.2
