@@ -184,3 +184,53 @@ def test_quality_family_runs_unchanged_on_streams(spark, tmp_path):
     }
     assert streamed[2]["has_lorem_ipsum"] is True
     assert streamed[3]["n_phone"] == 1 and "<PII:phone>" in streamed[3]["text_redacted"]
+
+
+def test_tokenizer_and_fingerprints_run_unchanged_on_streams(spark, tmp_path):
+    """The round-4 Arrow map stages (BPE encode, perceptual image hashing)
+    are mapInPandas projections, so the SAME operators run on a streaming
+    frame with no code changes — the streaming ingest can tokenize and
+    fingerprint per micro-batch. Replay == batch."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import bpe, multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat"), (3, "dogs chase cats")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(docs, num_merges=15)  # model trains on the batch side
+    src = str(tmp_path / "bpe_src")
+    docs.write.mode("overwrite").parquet(src)
+    q = (
+        bpe.bpe_encode(spark.readStream.schema(docs.schema).parquet(src), merges)
+        .writeStream.format("memory")
+        .queryName("q_bpe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {r["doc_id"]: list(r["bpe_tokens"]) for r in spark.table("q_bpe_stream").collect()}
+    batch = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(docs, merges).collect()}
+    assert streamed == batch
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    frames = spark.createDataFrame(
+        [(1, bytearray(mm.encode_bmp(img)), "image/bmp", 0)], mm.PAYLOAD_COLS
+    )
+    psrc = str(tmp_path / "phash_src")
+    frames.write.mode("overwrite").parquet(psrc)
+    q2 = (
+        mm.image_phash(spark.readStream.schema(frames.schema).parquet(psrc))
+        .writeStream.format("memory")
+        .queryName("q_phash_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = {r["doc_id"]: r["phash"] for r in spark.table("q_phash_stream").collect()}
+    want = {r["doc_id"]: r["phash"] for r in mm.image_phash(frames).collect()}
+    assert got == want
