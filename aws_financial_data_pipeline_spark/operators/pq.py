@@ -17,10 +17,11 @@ Spark shapes (everything stays declarative):
   per subspace, over the sliced+normalized sub-vectors — distributed Lloyd's
   per FAISS's trainer; the resulting codebooks (m × 2^nbits × d/m floats) are
   a driver-side model object, exactly like IVF centroids and KMeans models.
-- **Encode** (:func:`pq_encode`): map-only projection — per subspace, argmin
-  L2 over the literal codebook (``array_min(transform(...))``, the
-  :func:`similarity.ivf_assign` literal technique), emitting an
-  ``array<int>`` of m codes. ZERO shuffle, plan-asserted.
+- **Encode** (:func:`pq_encode`): one projection over the corpus — per
+  subspace, argmin L2 over the codebook via ``array_min(transform(...))``,
+  with the codebook riding in as a 1-row broadcast frame (data, not plan —
+  see :func:`_codebook_frame`), emitting an ``array<int>`` of m codes.
+  No shuffle, plan-asserted.
 - **Score** (:func:`pq_adc_topk`): asymmetric distance computation. The
   per-query lookup table LUT[s][c] = <q_s, codebook[s][c]> is computed ONCE
   per query (m·2^nbits sub-dots) and carried as a column on the broadcast
@@ -245,11 +246,25 @@ def ann_topk_pq(
     ``refine`` and the exact rerank (touching ``k·refine·|Q|`` raw vectors —
     a pointwise join by id, not a corpus scan) restores the final order.
     Recall vs :func:`similarity.cosine_topk` is the quality gate
-    (tests/test_similarity.py)."""
+    (tests/test_pq.py)."""
     if codebooks is None:
         codebooks = train_pq_codebooks(emb, m, nbits, vec_col, seed=seed)
     codes = pq_encode(emb, codebooks, vec_col, id_col)
     shortlist = pq_adc_topk(codes, queries, codebooks, k * refine, vec_col, id_col)
+    return _rerank_shortlist(emb, queries, shortlist, k, vec_col, id_col)
+
+
+def _rerank_shortlist(
+    emb: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-cosine rerank of an ADC shortlist: pointwise id join back to the
+    raw vectors (k·refine·|Q| rows — never a corpus scan), broadcast query
+    side, WindowGroupLimit top-k."""
     corpus = with_norm(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), "_norm2"
     )
@@ -303,17 +318,4 @@ def ann_topk_ivfpq(
     shortlist = pq_adc_topk(
         codes, queries, codebooks, k * refine, vec_col, id_col, candidates=cand
     )
-    corpus = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), "_norm2"
-    )
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("_qe"),
-        F.col("_norm2").alias("_qnorm2"),
-    )
-    pairs = (
-        shortlist.select("q_id", "neighbor_id")
-        .join(corpus, "neighbor_id")
-        .join(F.broadcast(q), "q_id")
-    )
-    return _topk_rerank(pairs, k)
+    return _rerank_shortlist(emb, queries, shortlist, k, vec_col, id_col)
