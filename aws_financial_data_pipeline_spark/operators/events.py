@@ -136,3 +136,94 @@ def event_type_profile(events: DataFrame) -> DataFrame:
         "p50",
         "p90",
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis (the ClickHouse ``windowFunnel`` semantics,
+    public): per user, the longest prefix of ``steps`` completed by DISTINCT
+    events in timestamp order, optionally with every step inside
+    ``within_seconds`` of the chain's FIRST step. Returns
+    (user_id, steps_completed).
+
+    Plan: one groupBy(user) collecting (ts, type) structs, ``array_sort``
+    (struct ordering = ts, then type — deterministic for ties), then ONE
+    ``aggregate`` fold. No window function, no self-joins per step (the
+    naive k-step funnel is k-1 self-joins of the events table; this is one
+    shuffle regardless of k).
+
+    The fold is the windowFunnel DP: state i keeps the MAXIMUM chain-start
+    time among chains completing steps[0..i] — a later start strictly
+    dominates for window feasibility (e.ts ≤ start+T admits more future
+    events), so one timestamp per state is lossless. A user who misses the
+    window on their earliest chain but fits on a later one IS counted
+    (pinned in tests). All states update from the PREVIOUS event's
+    accumulator, so one event never advances two steps — required when
+    ``steps`` repeats a type. Timestamps fold as integer epoch micros
+    (NOTES exact-time rule)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    # testdata events read as TIMESTAMP_NTZ (micros, isAdjustedToUTC=false —
+    # NOTES); cast is exact under the pinned UTC session tz and makes
+    # unix_micros accept both encodings
+    sorted_events = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                F.col("event_type").alias("y"),
+            )
+        )
+    )
+    steps_lit = F.lit(steps)
+    win = F.lit(within_seconds * 1_000_000) if within_seconds is not None else None
+    acc0 = F.array_repeat(F.lit(None).cast("bigint"), k)
+
+    def fold(acc, e):
+        def upd(b, i):
+            match = e["y"] == steps_lit[i]
+            prev = F.element_at(acc, i)  # 1-based: state i-1 for 0-based i
+            ok_prev = F.when(i == 0, F.lit(True)).otherwise(
+                prev.isNotNull()
+                & (F.lit(True) if win is None else (e["t"] <= prev + win))
+            )
+            start = F.when(i == 0, e["t"]).otherwise(prev)
+            return F.when(match & ok_prev, F.greatest(F.coalesce(b, start), start)).otherwise(b)
+
+        return F.zip_with(
+            acc, F.sequence(F.lit(0), F.lit(k - 1)), lambda b, i: upd(b, i)
+        )
+
+    done = F.aggregate(sorted_events, acc0, fold)
+    reached = F.size(F.filter(done, lambda b: b.isNotNull()))
+    # states fill prefix-first (state i needs state i-1), so the count of
+    # non-null states IS the completed prefix length
+    return events.groupBy("user_id").agg(reached.alias("steps_completed"))
+
+
+def funnel_summary(per_user: DataFrame, steps: list[str]) -> DataFrame:
+    """(step, step_name, n_users, conversion) from :func:`funnel` output:
+    users completing ≥ step, and the fraction of step-1 completers — the
+    report row a product funnel chart plots. One conditional aggregate."""
+    aggs = [
+        F.sum((F.col("steps_completed") >= i + 1).cast("long")).alias(f"_s{i}")
+        for i in range(len(steps))
+    ]
+    row = per_user.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"_s{i}").alias("n_users"),
+                F.round(
+                    F.when(F.col("_s0") > 0, F.col(f"_s{i}") / F.col("_s0")).otherwise(0.0), 6
+                ).alias("conversion"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")

@@ -1,0 +1,103 @@
+"""Ordered event-funnel analysis (operators.events.funnel): the windowFunnel
+DP — strict step order, distinct events, optional window from the chain's
+first step, later-chain recovery."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from aws_financial_data_pipeline_spark.operators import events as ev
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1, h, m), u, t, 1.0, "{}")
+            for i, (u, h, m, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    return _events(
+        spark,
+        [
+            (1, 10, 0, "view"), (1, 10, 5, "click"), (1, 10, 9, "purchase"),  # full
+            (2, 10, 0, "click"), (2, 10, 5, "view"),  # out of order → 1
+            # first chain's window expires; a LATER view starts a chain that
+            # fits → 3 (the max-start DP this operator exists for)
+            (3, 9, 0, "view"), (3, 10, 0, "view"), (3, 10, 4, "click"), (3, 10, 8, "purchase"),
+            (4, 10, 0, "view"), (4, 10, 5, "click"), (4, 10, 20, "purchase"),  # window → 2
+            (5, 10, 0, "error"),  # nothing relevant → 0
+        ],
+    )
+
+
+def test_funnel_ordered_window_semantics(spark, fixture):
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in ev.funnel(fixture, STEPS, within_seconds=600).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 3, 4: 2, 5: 0}
+
+
+def test_funnel_without_window(spark, fixture):
+    got = {
+        r["user_id"]: r["steps_completed"] for r in ev.funnel(fixture, STEPS).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 3, 4: 3, 5: 0}
+
+
+def test_funnel_repeated_step_needs_distinct_events(spark):
+    """One event must never advance two states — steps may repeat a type."""
+    one = _events(spark, [(9, 10, 0, "click")])
+    two = _events(spark, [(9, 10, 0, "click"), (9, 10, 1, "click")])
+    assert ev.funnel(one, ["click", "click"]).first()["steps_completed"] == 1
+    assert ev.funnel(two, ["click", "click"]).first()["steps_completed"] == 2
+
+
+def test_funnel_summary_counts_and_conversion(spark, fixture):
+    per_user = ev.funnel(fixture, STEPS, within_seconds=600)
+    rows = ev.funnel_summary(per_user, STEPS).collect()
+    assert [(r["step"], r["step_name"], r["n_users"]) for r in rows] == [
+        (1, "view", 4), (2, "click", 3), (3, "purchase", 2),
+    ]
+    assert rows[0]["conversion"] == 1.0 and rows[2]["conversion"] == 0.5
+
+
+def test_funnel_no_window_function_in_plan(spark, fixture):
+    """The k-step funnel must stay ONE aggregation — no per-step self-joins,
+    no window function (the naive SQL funnel is k-1 self-joins)."""
+    plan = (
+        ev.funnel(fixture, STEPS)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the user groupBy
+
+
+def test_funnel_on_testdata_monotone(spark):
+    """Real events table: conversions are non-increasing step over step, and
+    a windowed funnel never beats the unwindowed one."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    steps = ["view", "click", "purchase"]
+    free = ev.funnel_summary(ev.funnel(events, steps), steps).collect()
+    tight = ev.funnel_summary(
+        ev.funnel(events, steps, within_seconds=3600), steps
+    ).collect()
+    ns_free = [r["n_users"] for r in free]
+    ns_tight = [r["n_users"] for r in tight]
+    assert ns_free == sorted(ns_free, reverse=True)
+    assert all(t <= f for t, f in zip(ns_tight, ns_free))
+    assert ns_free[0] > 0
+
+
+def test_funnel_empty_steps_raise(spark, fixture):
+    with pytest.raises(ValueError, match="non-empty"):
+        ev.funnel(fixture, [])
