@@ -166,3 +166,53 @@ def test_word_frequencies_bounded_and_ordered(spark):
     docs = _corpus(spark, ["b b b a a c"])
     rows = bpe.word_frequencies(docs, max_words=2).collect()
     assert [(r["word"], r["freq"]) for r in rows] == [("b", 3), ("a", 2)]
+
+
+# ---- property-based (hypothesis) — pure driver primitives, no Spark ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcdefg", min_size=1, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_words, st.integers(1, 50)), min_size=1, max_size=12))
+def test_property_encode_round_trips_any_vocab(table):
+    """For ANY learned merge list, encoding any word — in- or out-of-table —
+    concatenates back to the word + end marker: merges rewrite boundaries,
+    never content."""
+    # dedupe words (learn_merges assumes a frequency TABLE: one row per word)
+    table = list({w: f for w, f in table}.items())
+    ranks = {p: i for i, p in enumerate(bpe.learn_merges(table, 10))}
+    for w, _ in table + [("unseen", 1), ("gfedcba", 1)]:
+        toks = bpe.encode_word(w, ranks)
+        assert "".join(toks) == w + "</w>"
+        assert all(toks)  # no empty symbols
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(_words, st.integers(1, 50)), min_size=1, max_size=10),
+       st.integers(0, 12))
+def test_property_merge_lists_are_prefix_stable(table, n):
+    """learn_merges(k) is a prefix of learn_merges(k+j) for the same table —
+    the determinism/prefix contract the incremental-vocab story rests on."""
+    table = list({w: f for w, f in table}.items())
+    small = bpe.learn_merges(table, n)
+    big = bpe.learn_merges(table, n + 5)
+    assert big[: len(small)] == small
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(_words, st.integers(1, 20)), min_size=1, max_size=8))
+def test_property_merges_never_shrink_symbol_mass(table):
+    """Every merge reduces (or keeps, once dry) the total symbol count of the
+    training table — BPE is monotone compression on its own training set."""
+    table = list({w: f for w, f in table}.items())
+    merges = bpe.learn_merges(table, 15)
+    prev = None
+    for k in range(len(merges) + 1):
+        ranks = {p: i for i, p in enumerate(merges[:k])}
+        total = sum(f * len(bpe.encode_word(w, ranks)) for w, f in table)
+        assert prev is None or total < prev  # strictly: each merge fired somewhere
+        prev = total
