@@ -146,3 +146,79 @@ def curation_funnel(
         )
         audit = row if audit is None else audit.unionByName(row)
     return cur, audit
+
+
+def pretraining_pipeline(
+    docs: DataFrame,
+    test_corpus: DataFrame | None = None,
+    quality_model=None,
+    num_merges: int = 200,
+    pack_budget: int = 2048,
+    contamination_n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **funnel_kwargs,
+) -> dict:
+    """The whole raw-corpus → training-samples path as ONE audited call — the
+    capstone composition every piece of this engine exists for:
+
+    1. :func:`curation_funnel` (exact + paragraph dedup, conjunctive rules,
+       optional classifier, MinHash dedup, split assignment),
+    2. decontamination against ``test_corpus`` when given (exact
+       ``contamination_n``-gram join, the GPT-3 appendix-C check — drops the
+       implicated TRAIN docs),
+    3. tokenizer training on the surviving corpus (:func:`..bpe.train_bpe`
+       — training AFTER cleaning, so boilerplate and benchmark text never
+       shape the vocabulary),
+    4. encoding to integer token ids,
+    5. token-budget sample packing of the ``train`` split
+       (:func:`..packing.pack_chunks`; val/test stay unpacked — evaluation
+       wants documents, not bins),
+    6. a :func:`..quality.corpus_datasheet` of what ships.
+
+    Returns a dict of artifacts: ``corpus`` (curated+decontaminated docs
+    with split), ``tokenized`` (doc_id, bpe_tokens, bpe_ids, n_bpe_tokens,
+    split), ``packed`` (train rows + bin_id), ``merges``/``vocab`` (the
+    tokenizer model), ``datasheet``, and ``audit`` — the funnel audit
+    extended with a ``decontamination`` row, so the drop accounting covers
+    the full path. Laziness: everything except the tokenizer model (a
+    driver-side artifact by nature) stays a DataFrame."""
+    from . import bpe
+    from .packing import pack_chunks
+    from .quality import corpus_datasheet
+
+    corpus, audit = curation_funnel(
+        docs, quality_model=quality_model, text_col=text_col, id_col=id_col,
+        **funnel_kwargs,
+    )
+    if test_corpus is not None:
+        hits = dd.ngram_contamination(
+            corpus, test_corpus, n=contamination_n, text_col=text_col, id_col=id_col
+        )
+        corpus = corpus.join(
+            hits.select(F.col("train_id").alias(id_col)).distinct(), id_col, "left_anti"
+        )
+        corpus = corpus.localCheckpoint(eager=False)
+        audit = audit.unionByName(
+            corpus.agg(F.lit("decontamination").alias("stage"), F.count("*").alias("docs_kept"))
+        )
+    merges = bpe.train_bpe(corpus, num_merges=num_merges, text_col=text_col)
+    vocab = bpe.bpe_vocab(corpus, merges, text_col=text_col)
+    tokenized = bpe.bpe_encode(corpus, merges, text_col, id_col, vocab=vocab).join(
+        corpus.select(F.col(id_col).alias("doc_id"), "split"), "doc_id"
+    )
+    packed = pack_chunks(
+        tokenized.filter(F.col("split") == "train").select("doc_id", "n_bpe_tokens"),
+        budget=pack_budget,
+        size_col="n_bpe_tokens",
+        order_cols=("doc_id",),
+    )
+    return {
+        "corpus": corpus,
+        "tokenized": tokenized,
+        "packed": packed,
+        "merges": merges,
+        "vocab": vocab,
+        "datasheet": corpus_datasheet(corpus, text_col=text_col, id_col=id_col),
+        "audit": audit,
+    }

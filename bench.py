@@ -250,6 +250,52 @@ def _bench_pq_ann(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_bpe_encode(spark, sf_dir: str) -> float:
+    """BPE tokenization of the documents table: merges train untimed (the
+    model is per-corpus, like codebooks/LM), the timed pass encodes every
+    document with ids and sums the token counts."""
+    from aws_financial_data_pipeline_spark.operators import bpe
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe(docs, num_merges=200)
+    vocab = bpe.bpe_vocab(docs, merges)
+
+    t0 = time.perf_counter()
+    bpe.bpe_encode(docs, merges, vocab=vocab).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _bench_corpus_divergence(spark, sf_dir: str) -> float:
+    """KL/JS drift between the two doc-id halves of the documents table —
+    two B-bounded count passes + one small join."""
+    from aws_financial_data_pipeline_spark.operators.dsir import corpus_divergence
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    t0 = time.perf_counter()
+    corpus_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    ).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _bench_event_funnel(spark, sf_dir: str) -> float:
+    """view→click→purchase funnel over the events table (1h window): one
+    groupBy + one fold, no per-step self-joins."""
+    from aws_financial_data_pipeline_spark.operators import events as ev
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    steps = ["view", "click", "purchase"]
+    t0 = time.perf_counter()
+    ev.funnel_summary(
+        ev.funnel(events, steps, within_seconds=3600), steps
+    ).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -302,6 +348,9 @@ def main() -> None:
     times["score_quality"] = _bench_score_quality(spark, sf_dir)
     times["dsir_weights"] = _bench_dsir_weights(spark, sf_dir)
     times["pq_ann_topk"] = _bench_pq_ann(spark, sf_dir)
+    times["bpe_encode"] = _bench_bpe_encode(spark, sf_dir)
+    times["corpus_divergence"] = _bench_corpus_divergence(spark, sf_dir)
+    times["event_funnel"] = _bench_event_funnel(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(

@@ -115,3 +115,109 @@ def test_rule_gate_is_conjunctive_by_default(spark):
 
     with pytest.raises(ValueError, match="rule_mode"):
         curation.curation_funnel(docs, rule_mode="both")
+
+
+TPL = [
+    "The {a} chapter presents the {b} analysis and the supporting evidence in clear detail.",
+    "Researchers in {a} often compare the {b} records against older published material.",
+    "A careful reading of the {a} sources shows how {b} practice changed over decades.",
+    "Several {a} institutes published long reports describing their {b} findings last year.",
+    "Critics argue that modern {a} writing borrows heavily from classic {b} traditions.",
+    "Students of {a} usually begin with a short overview of applied {b} principles.",
+    "Field notes from the {a} expedition mention unexpected {b} patterns near the coast.",
+    "The committee reviewed every {a} proposal before funding the new {b} program.",
+    "Archives preserve thousands of {a} letters that illuminate early {b} debates.",
+    "Local museums curate {a} exhibits alongside interactive {b} demonstrations daily.",
+    "Journals devoted to {a} regularly invite essays on emerging {b} questions.",
+    "Translations of {a} classics introduced {b} ideas to a much wider audience.",
+]
+NOUNS = ["history", "science", "culture", "method", "survey", "market",
+         "climate", "industry", "language", "medicine", "geography", "economy"]
+
+
+def _wellformed_corpus(spark, n=30):
+    """n rule-safe documents (punctuated full sentences around Gopher's
+    50-word floor) built from per-doc SEEDED random template+noun draws —
+    structurally diverse so only the PLANTED pairs collide under MinHash at
+    0.8 (a fixed template skeleton measured Jaccard > 0.8 across the whole
+    corpus once punctuation tokens entered the shingles). Plants one exact
+    copy of doc 0 and one near-dup of doc 1."""
+    import random
+
+    def doc(i):
+        rng = random.Random(1000 + i)
+        return " ".join(
+            t.format(a=rng.choice(NOUNS), b=rng.choice(NOUNS))
+            for t in rng.sample(TPL, 5)
+        )
+
+    rows = [(i, doc(i)) for i in range(n)]
+    rows.append((n, rows[0][1]))  # exact copy of doc 0
+    rows.append((n + 1, rows[1][1] + " One extra closing sentence is appended right here."))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pretraining_pipeline_end_to_end(spark):
+    """The capstone composition: curation → decontamination → tokenizer
+    train/encode → train-split packing → datasheet, with drop accounting
+    across the whole path."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import curation
+
+    docs = _wellformed_corpus(spark)
+    n_in = docs.count()
+
+    # baseline run (no benchmark suite) to find a survivor to contaminate
+    base = curation.pretraining_pipeline(docs, num_merges=30, pack_budget=1024,
+                                         minhash_threshold=0.8)
+    survivor = base["corpus"].select("doc_id", "text").first()
+    quote = " ".join(survivor["text"].split()[:13])
+    bench_suite = spark.createDataFrame(
+        [(900001, f"benchmark item: {quote}")], "doc_id long, text string"
+    )
+
+    out = curation.pretraining_pipeline(
+        docs, test_corpus=bench_suite, num_merges=30, pack_budget=1024,
+        minhash_threshold=0.8,
+    )
+    audit = {r["stage"]: r["docs_kept"] for r in out["audit"].collect()}
+    order = ["input", "exact_dedup", "paragraph_dedup", "rule_filters",
+             "minhash_dedup", "split_assign", "decontamination"]
+    counts = [audit[s] for s in order]
+    assert counts[0] == n_in
+    assert audit["exact_dedup"] == n_in - 1      # the planted copy
+    # the near-dup is exactly one more drop on top of whatever the rules took
+    assert audit["minhash_dedup"] == audit["rule_filters"] - 1
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # the planted verbatim 13-gram removed exactly its carrier
+    corpus_ids = {r["doc_id"] for r in out["corpus"].select("doc_id").collect()}
+    assert survivor["doc_id"] not in corpus_ids
+    assert len(corpus_ids) == audit["decontamination"]
+    assert len(corpus_ids) >= 20  # rules did NOT nuke the corpus
+
+    tokenized = out["tokenized"].collect()
+    assert {r["doc_id"] for r in tokenized} == corpus_ids
+    vocab_size = len(out["vocab"])
+    assert all(0 <= i < vocab_size for r in tokenized for i in r["bpe_ids"])
+    splits = {r["doc_id"]: r["split"] for r in tokenized}
+    train_ids = {d for d, s in splits.items() if s == "train"}
+
+    packed = sorted(out["packed"].collect(), key=lambda r: r["doc_id"])
+    assert {r["doc_id"] for r in packed} == train_ids  # only train packs
+    by_bin = {}
+    for r in packed:
+        by_bin.setdefault(r["bin_id"], []).append(r["n_bpe_tokens"])
+    # the documented pack bound: a bin exceeds the budget by less than its
+    # last item; with ~250-token docs and budget 1024 the bins really pack
+    for sizes in by_bin.values():
+        assert sum(sizes) < 1024 + sizes[-1]
+    assert any(len(sizes) > 1 for sizes in by_bin.values())
+
+    ds = {(r["section"], r["metric"]): r["value"] for r in out["datasheet"].collect()}
+    assert ds[("volume", "n_docs")] == float(len(corpus_ids))
+    # tokenizer trained AFTER decontamination: deterministic for the run
+    assert out["merges"] == curation.pretraining_pipeline(
+        docs, test_corpus=bench_suite, num_merges=30, pack_budget=1024,
+        minhash_threshold=0.8,
+    )["merges"]
