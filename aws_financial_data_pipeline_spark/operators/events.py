@@ -227,3 +227,49 @@ def funnel_summary(per_user: DataFrame, steps: list[str]) -> DataFrame:
         ]
     )
     return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — the other standard events-table report next
+    to :func:`funnel`: users cohorted by their FIRST-ever activity period,
+    then counted in every later period they return →
+    (cohort, period_offset, n_users, retention) with retention = the
+    fraction of the cohort active ``period_offset`` periods after joining
+    (offset 0 ≡ 1.0 by construction).
+
+    Plan: one groupBy(user, period) for activity, one groupBy(user) min for
+    the cohort (both partial+final hash aggregates), one join keyed by user,
+    one final groupBy(cohort, offset) — no window functions, no per-period
+    self-joins. ``period``: 'week' (Monday-truncated) or 'month' or 'day'.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month: {period!r}")
+    p = F.date_trunc(period, F.col("ts").cast("timestamp"))
+    active = events.select(F.col("user_id"), p.alias("_p")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("_p").alias("_c"))
+    unit = {"day": 86400.0, "week": 7 * 86400.0, "month": None}[period]
+    j = active.join(cohort, "user_id")
+    if period == "month":
+        off = (
+            (F.year("_p") - F.year("_c")) * 12 + (F.month("_p") - F.month("_c"))
+        ).cast("int")
+    else:
+        off = ((F.unix_timestamp("_p") - F.unix_timestamp("_c")) / unit).cast("int")
+    per_cell = j.groupBy(
+        F.date_format("_c", TS_FMT).alias("cohort"), off.alias("period_offset")
+    ).agg(F.count("*").alias("n_users"))
+    base = per_cell.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_users").alias("_n0")
+    )
+    return (
+        per_cell.join(base, "cohort")
+        .select(
+            "cohort",
+            "period_offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("_n0"), 6).alias("retention"),
+        )
+    )

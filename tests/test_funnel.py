@@ -101,3 +101,52 @@ def test_funnel_on_testdata_monotone(spark):
 def test_funnel_empty_steps_raise(spark, fixture):
     with pytest.raises(ValueError, match="non-empty"):
         ev.funnel(fixture, [])
+
+
+def test_retention_cohorts_semantics(spark):
+    """Hand-checkable cohort matrix: weekly cohorts, known return pattern."""
+    rows = [
+        # u1 joins week of Jan 1 (Mon), returns week+1 and week+3
+        (1, 1, 2, "view"), (1, 8, 3, "click"), (1, 22, 4, "view"),
+        # u2 same cohort, never returns
+        (2, 2, 5, "view"),
+        # u3 joins week of Jan 8, returns week+1
+        (3, 9, 6, "view"), (3, 15, 7, "purchase"),
+    ]
+    df = _events_days(spark, rows)
+    got = {
+        (r["cohort"][:10], r["period_offset"]): (r["n_users"], r["retention"])
+        for r in ev.retention_cohorts(df, "week").collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-01", 3)] == (1, 0.5)
+    assert ("2024-01-01", 2) not in got
+    assert got[("2024-01-08", 0)] == (1, 1.0)
+    assert got[("2024-01-08", 1)] == (1, 1.0)
+
+
+def _events_days(spark, rows):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, d, h), u, t, 1.0, "{}")
+            for i, (u, d, h, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def test_retention_cohorts_invariants_on_testdata(spark):
+    """Real events: offset-0 retention is exactly 1, retention ≤ 1 everywhere,
+    and cohort sizes sum to the distinct-user count."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = ev.retention_cohorts(events, "week").collect()
+    assert all(r["retention"] <= 1.0 for r in got)
+    zero = [r for r in got if r["period_offset"] == 0]
+    assert all(r["retention"] == 1.0 for r in zero)
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in zero) == n_users
+    with pytest.raises(ValueError, match="day|week|month"):
+        ev.retention_cohorts(events, "year")
