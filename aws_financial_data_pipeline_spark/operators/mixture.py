@@ -1,0 +1,202 @@
+"""Domain-mixture planning: temperature sampling + token-budget epoch plans.
+
+Pretraining corpora are mixtures of domains (crawl, code, books, wiki, per-
+language shards). Two published knobs govern how much of each domain a
+training run consumes:
+
+- **Temperature / exponent sampling** (mT5, XLM-R; arXiv:2010.11934 §3.1):
+  sample domain *i* with probability q_i ∝ p_i^α where p_i is the natural
+  token share and α ∈ (0, 1] — α = 1 keeps natural proportions, α → 0 tends
+  to uniform, in between upsamples low-resource domains without letting them
+  dominate.
+- **Epoch caps under a token budget** (data-constrained scaling, Muennighoff
+  et al. 2023, arXiv:2305.16264): repeating a domain beyond ~4 epochs yields
+  rapidly diminishing returns, so a budget plan must cap per-domain repeats
+  and re-distribute the freed budget to uncapped domains (water-filling).
+
+Spark shape — each stage is the cheapest thing that can compute it:
+
+- :func:`domain_stats`: one groupBy over the DOMAIN key space (a handful of
+  values — the one shuffle here carries D rows of partial sums, map-side
+  combined).
+- :func:`temperature_weights`: a projection over the D-row stats frame
+  (one broadcast join against the 1-row total).
+- :func:`plan_token_budget`: driver-side water-filling over the collected
+  D-row stats. Collecting is BY DESIGN — a mixture plan is a constant of the
+  training run (like the IVF centroid model, ``similarity._centroid_cells``):
+  D is the number of DOMAINS (tens, maybe hundreds), never the corpus, and
+  the fixed point needs a data-dependent number of clamp/renormalize rounds
+  that a Catalyst plan can't express without D chained self-joins.
+- :func:`apply_mixture`: map-only materialization — broadcast the D-row plan
+  onto the corpus, give every doc ⌊rate⌋ full epochs plus a deterministic
+  hash-sampled fractional epoch, explode the epoch sequence (a Generate, not
+  an Exchange). Output row count ≈ Σ_i rate_i·|domain_i| with NO shuffle, so
+  the 100 TB materialization is a single scan-and-write.
+
+Determinism: the fractional epoch uses the same md5 content-hash rule as
+``sampling.hash_bucket`` — reproducible, partition-order-independent, and
+stable under incremental re-runs (a doc keeps its epoch count when unrelated
+data arrives). No ``rand()`` anywhere.
+
+No reference counterpart (the reference engine has no text surface); built
+for the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+MAX_EPOCHS = 4.0  # arXiv:2305.16264: returns decay fast past ~4 repeats
+
+
+def domain_stats(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(domain, n_docs, tokens): whitespace-token volume per domain — the
+    input every planning step consumes. One map-side-combined groupBy whose
+    key space is the domain values, so the shuffle carries D rows."""
+    return (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("_t"),
+        )
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("tokens"))
+    )
+
+
+def temperature_weights(stats: DataFrame, alpha: float = 0.7) -> DataFrame:
+    """Add natural and temperature-scaled shares to a :func:`domain_stats`
+    frame: ``natural_share`` = tokens_i / Σ tokens and ``sampled_share`` ∝
+    natural_share^α (renormalized). α=1 reproduces the natural mixture; α<1
+    flattens it toward uniform (the mT5 dial, their α=0.3 for 101 languages).
+
+    Projection over D rows + one broadcast join against the 1-row totals —
+    nothing here scales with the corpus."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    tot = stats.agg(F.sum("tokens").alias("_tot"))
+    powed = (
+        stats.join(F.broadcast(tot))
+        .withColumn("natural_share", F.col("tokens") / F.col("_tot"))
+        .withColumn("_pow", F.pow("natural_share", F.lit(alpha)))
+    )
+    ptot = powed.agg(F.sum("_pow").alias("_ptot"))
+    return (
+        powed.join(F.broadcast(ptot))
+        .select(
+            "domain",
+            "n_docs",
+            "tokens",
+            F.round("natural_share", 6).alias("natural_share"),
+            F.round(F.col("_pow") / F.col("_ptot"), 6).alias("sampled_share"),
+        )
+    )
+
+
+def plan_token_budget(
+    stats: DataFrame,
+    budget: int,
+    alpha: float = 0.7,
+    max_epochs: float = MAX_EPOCHS,
+) -> list[dict]:
+    """Water-filled token-budget plan: how many tokens (hence epochs) of each
+    domain a ``budget``-token training run should consume.
+
+    Targets start at budget × sampled_share (the α-temperature mixture), are
+    capped at ``max_epochs`` × tokens_i (repeating past the cap is wasted
+    budget — arXiv:2305.16264), and the budget freed by capped domains is
+    re-distributed among uncapped domains in proportion to their shares until
+    a fixed point (≤ D rounds: each round caps ≥ 1 new domain or stops).
+
+    Returns a list of dicts (domain, tokens, n_docs, target_tokens, rate,
+    capped), ``rate`` = target_tokens / tokens = fractional epochs. The total
+    planned tokens equal min(budget, Σ caps) up to float rounding. Driver-side
+    over D collected rows BY DESIGN (see module docstring)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0: {max_epochs}")
+    rows = [r.asDict() for r in temperature_weights(stats, alpha).collect()]
+    rows.sort(key=lambda r: r["domain"])
+    for r in rows:
+        r["cap"] = max_epochs * r["tokens"]
+        r["target_tokens"] = 0.0
+        r["capped"] = False
+    live = [r for r in rows if r["tokens"] > 0]
+    remaining = float(budget)
+    while live and remaining > 1e-9:
+        share_tot = sum(r["sampled_share"] for r in live)
+        if share_tot <= 0:
+            break
+        newly_capped = []
+        for r in live:
+            want = r["target_tokens"] + remaining * r["sampled_share"] / share_tot
+            if want >= r["cap"]:
+                r["target_tokens"] = r["cap"]
+                r["capped"] = True
+                newly_capped.append(r)
+        if not newly_capped:
+            for r in live:
+                r["target_tokens"] += remaining * r["sampled_share"] / share_tot
+            break
+        live = [r for r in live if not r["capped"]]
+        remaining = float(budget) - sum(r["target_tokens"] for r in rows)
+    return [
+        {
+            "domain": r["domain"],
+            "tokens": r["tokens"],
+            "n_docs": r["n_docs"],
+            "target_tokens": round(r["target_tokens"], 3),
+            "rate": round(r["target_tokens"] / r["tokens"], 9) if r["tokens"] else 0.0,
+            "capped": r["capped"],
+        }
+        for r in rows
+    ]
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: list[dict],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a :func:`plan_token_budget` plan: every doc of a domain
+    with rate *r* appears ⌊r⌋ times plus once more with probability r − ⌊r⌋
+    (deterministic md5 hash of (id, domain) — partition-invariant, stable
+    under re-runs), each copy tagged with an ``epoch`` column (0-based) so
+    downstream shuffling/packing can keep epochs apart.
+
+    The fractional epoch samples at DOC granularity, so realized tokens match
+    the target in expectation with O(1/√n_docs) relative error — exact
+    token-level packing to a budget is ``packing.pack_chunks``'s job.
+
+    Map-only: broadcast D-row plan join + one Generate (explode). Domains
+    absent from the plan are dropped (rate 0). No shuffle — at 100 TB this is
+    a single scan whose output is the training mix."""
+    spark = docs.sparkSession
+    plan_df = spark.createDataFrame(
+        [(p["domain"], float(p["rate"])) for p in plan], ["domain", "_rate"]
+    )
+    full = F.floor("_rate").cast("int")
+    frac = F.col("_rate") - full
+    res = 1_000_000
+    extra = (
+        hash_bucket(F.concat_ws(":", F.col(id_col).cast("string"), F.col("domain")), res)
+        < frac * res
+    ).cast("int")
+    return (
+        docs.join(
+            F.broadcast(plan_df), docs[domain_col] == plan_df["domain"], "inner"
+        )
+        .withColumn("_n", full + extra)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_rate", "_n", "domain")
+    )

@@ -196,6 +196,68 @@ def corpus_datasheet(
     return row.select(F.explode(entries).alias("e")).select("e.*")
 
 
+def threshold_sweep(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "quality_prob",
+    buckets: int = 100,
+) -> DataFrame:
+    """Operating-point table for a scored corpus: precision / recall / F1 /
+    keep-rate at every occupied score bucket — the curve a curation team
+    reads before committing to a keep threshold (FineWeb-Edu publishes
+    exactly this sweep for its educational scorer; threshold 3 on a 0–5
+    scale came out of it).
+
+    ``scored`` carries a score in [0, 1] (``score_col``) and a {0,1} truth
+    label (``label_col`` — usually a held-out labeled slice, or a costlier
+    oracle like an LLM judge on a sample). Scores are binned into
+    ``buckets`` fixed-width bins; each output row is the operating point
+    "keep everything scoring ≥ threshold":
+
+    (threshold, tp, fp, fn, kept, precision, recall, f1, keep_rate)
+
+    Scale shape: one map-side-combined groupBy whose key space is ≤
+    ``buckets`` regardless of corpus size, then the cumulative sums run in a
+    single-partition window over those ≤``buckets`` rows — bounded driver-
+    sized work by construction (same B-bounded argument as the sketch
+    tables), NOT a corpus-sized window. Rows with a NULL score or label are
+    excluded (count them upstream if coverage matters)."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2: {buckets}")
+    from pyspark.sql import Window
+
+    b = F.least(F.floor(F.col(score_col) * buckets), F.lit(buckets - 1)).cast("int")
+    lab = F.col(label_col).cast("double")
+    binned = (
+        scored.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("_bin"))
+        .agg(F.sum(lab).alias("_pos"), F.sum(1 - lab).alias("_neg"))
+    )
+    tot = binned.agg(
+        F.sum("_pos").alias("_tpos"), F.sum(F.col("_pos") + F.col("_neg")).alias("_tall")
+    )
+    w = Window.orderBy(F.desc("_bin")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        binned.join(F.broadcast(tot))
+        .withColumn("tp", F.sum("_pos").over(w))
+        .withColumn("fp", F.sum("_neg").over(w))
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.when(F.col("_tpos") > 0, F.col("tp") / F.col("_tpos"))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return cum.select(
+        F.round(F.col("_bin") / buckets, 6).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("_tpos") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("tp") + F.col("fp")).cast("long").alias("kept"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round((F.col("tp") + F.col("fp")) / F.col("_tall"), 6).alias("keep_rate"),
+    ).orderBy(F.desc("threshold"))
+
+
 def score_quality(
     docs: DataFrame,
     model,

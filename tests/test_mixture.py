@@ -1,0 +1,197 @@
+"""Domain-mixture planning: temperature weights, budget water-filling,
+deterministic epoch materialization (operators/mixture.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import mixture as mx
+
+DOCS_COLS = "doc_id long, text string, source string"
+
+
+def _docs(spark, spec):
+    """spec: {domain: [token_counts...]} → docs frame with exact ws tokens."""
+    rows, did = [], 0
+    for dom, counts in spec.items():
+        for c in counts:
+            rows.append((did, " ".join(["tok"] * c), dom))
+            did += 1
+    return spark.createDataFrame(rows, DOCS_COLS)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # big: 4 docs × 100 tok = 400; mid: 4 × 25 = 100; small: 2 × 5 = 10
+    return _docs(
+        spark, {"big": [100] * 4, "mid": [25] * 4, "small": [5, 5]}
+    )
+
+
+def _stats_map(stats):
+    return {r["domain"]: r.asDict() for r in stats.collect()}
+
+
+def test_domain_stats_counts_tokens(spark, corpus):
+    s = _stats_map(mx.domain_stats(corpus))
+    assert s["big"] == {"domain": "big", "n_docs": 4, "tokens": 400}
+    assert s["mid"]["tokens"] == 100 and s["small"]["tokens"] == 10
+
+
+def test_temperature_alpha1_is_natural_share(spark, corpus):
+    w = _stats_map(mx.temperature_weights(mx.domain_stats(corpus), alpha=1.0))
+    for d, share in [("big", 400 / 510), ("mid", 100 / 510), ("small", 10 / 510)]:
+        assert w[d]["natural_share"] == pytest.approx(share, abs=1e-6)
+        assert w[d]["sampled_share"] == pytest.approx(share, abs=1e-6)
+
+
+def test_temperature_alpha0_is_uniform(spark, corpus):
+    w = _stats_map(mx.temperature_weights(mx.domain_stats(corpus), alpha=0.0))
+    for d in ("big", "mid", "small"):
+        assert w[d]["sampled_share"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_temperature_flattens_between(spark, corpus):
+    """0 < α < 1 sits strictly between natural and uniform: the low-resource
+    domain is upsampled but never past the big one."""
+    w = _stats_map(mx.temperature_weights(mx.domain_stats(corpus), alpha=0.5))
+    assert w["small"]["sampled_share"] > w["small"]["natural_share"]
+    assert w["big"]["sampled_share"] < w["big"]["natural_share"]
+    assert w["big"]["sampled_share"] > w["mid"]["sampled_share"] > w["small"]["sampled_share"]
+    # exact: shares ∝ sqrt(tokens)
+    tot = math.sqrt(400 / 510) + math.sqrt(100 / 510) + math.sqrt(10 / 510)
+    assert w["mid"]["sampled_share"] == pytest.approx(math.sqrt(100 / 510) / tot, abs=1e-6)
+
+
+def test_temperature_rejects_bad_alpha(spark, corpus):
+    with pytest.raises(ValueError, match="alpha"):
+        mx.temperature_weights(mx.domain_stats(corpus), alpha=1.5)
+
+
+def _plan_map(plan):
+    return {p["domain"]: p for p in plan}
+
+
+def test_plan_uncapped_matches_shares(spark, corpus):
+    """Small budget, no cap binds → targets are exactly budget × share."""
+    stats = mx.domain_stats(corpus)
+    plan = _plan_map(mx.plan_token_budget(stats, budget=100, alpha=1.0))
+    assert plan["big"]["target_tokens"] == pytest.approx(100 * 400 / 510, abs=0.01)
+    assert plan["small"]["target_tokens"] == pytest.approx(100 * 10 / 510, abs=0.01)
+    assert not any(p["capped"] for p in plan.values())
+    assert sum(p["target_tokens"] for p in plan.values()) == pytest.approx(100, abs=0.01)
+
+
+def test_plan_water_fills_past_caps(spark, corpus):
+    """Uniform shares + tight budget: the small domain caps at max_epochs ×
+    its volume and its leftover budget flows to the uncapped domains."""
+    stats = mx.domain_stats(corpus)
+    plan = _plan_map(mx.plan_token_budget(stats, budget=300, alpha=0.0, max_epochs=2.0))
+    # uniform would want 100 each; small caps at 2 × 10 = 20
+    assert plan["small"]["capped"] and plan["small"]["target_tokens"] == pytest.approx(20)
+    assert plan["small"]["rate"] == pytest.approx(2.0)
+    # the freed 80 splits evenly between big and mid (equal shares under α=0)
+    assert plan["big"]["target_tokens"] == pytest.approx(140, abs=0.01)
+    assert plan["mid"]["target_tokens"] == pytest.approx(140, abs=0.01)
+    assert sum(p["target_tokens"] for p in plan.values()) == pytest.approx(300, abs=0.01)
+
+
+def test_plan_budget_exceeds_all_caps(spark, corpus):
+    """Budget beyond Σ caps: every domain caps; planned total = Σ caps."""
+    stats = mx.domain_stats(corpus)
+    plan = _plan_map(mx.plan_token_budget(stats, budget=10_000, max_epochs=3.0))
+    assert all(p["capped"] for p in plan.values())
+    assert sum(p["target_tokens"] for p in plan.values()) == pytest.approx(3 * 510)
+    for p in plan.values():
+        assert p["rate"] == pytest.approx(3.0)
+
+
+def test_plan_cascading_caps(spark):
+    """Water-filling must iterate: redistribution from the first capped
+    domain pushes a SECOND domain over its cap."""
+    docs = _docs(spark, {"a": [100], "b": [30], "c": [10]})
+    plan = _plan_map(mx.plan_token_budget(mx.domain_stats(docs), budget=210, alpha=0.0, max_epochs=2.0))
+    # round 1 uniform 70 each: c caps at 20; round 2 leftover → 95 each: b caps at 60
+    assert plan["c"]["capped"] and plan["c"]["target_tokens"] == pytest.approx(20)
+    assert plan["b"]["capped"] and plan["b"]["target_tokens"] == pytest.approx(60)
+    assert plan["a"]["target_tokens"] == pytest.approx(130)  # under its 200 cap
+    assert not plan["a"]["capped"]
+
+
+def test_plan_zero_budget_and_validation(spark, corpus):
+    stats = mx.domain_stats(corpus)
+    plan = mx.plan_token_budget(stats, budget=0)
+    assert all(p["target_tokens"] == 0.0 for p in plan)
+    with pytest.raises(ValueError, match="budget"):
+        mx.plan_token_budget(stats, budget=-1)
+    with pytest.raises(ValueError, match="max_epochs"):
+        mx.plan_token_budget(stats, budget=10, max_epochs=0)
+
+
+def test_apply_integer_rates_exact(spark, corpus):
+    """rate 2.0 → every doc exactly twice, epochs {0,1}; rate 0 → dropped."""
+    plan = [
+        {"domain": "big", "rate": 2.0},
+        {"domain": "mid", "rate": 0.0},
+        {"domain": "small", "rate": 1.0},
+    ]
+    out = mx.apply_mixture(corpus, plan)
+    by_dom = {
+        r["source"]: (r["n"], sorted(r["epochs"]))
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("n"), F.collect_set("epoch").alias("epochs"))
+        .collect()
+    }
+    assert by_dom["big"] == (8, [0, 1])
+    assert by_dom["small"] == (2, [0])
+    assert "mid" not in by_dom
+    # every big doc appears once per epoch
+    per_doc = out.filter(F.col("source") == "big").groupBy("doc_id").count().collect()
+    assert all(r["count"] == 2 for r in per_doc) and len(per_doc) == 4
+
+
+def test_apply_fractional_rate_hits_expectation(spark):
+    """rate 1.5 over many uniform docs → realized count within a few % of
+    1.5×, and each doc appears 1 or 2 times."""
+    docs = _docs(spark, {"a": [10] * 400})
+    out = mx.apply_mixture(docs, [{"domain": "a", "rate": 1.5}])
+    n = out.count()
+    assert 400 * 1.35 <= n <= 400 * 1.65
+    per = out.groupBy("doc_id").count()
+    assert per.filter(~F.col("count").isin(1, 2)).count() == 0
+
+
+def test_apply_deterministic_and_partition_invariant(spark, corpus):
+    plan = mx.plan_token_budget(mx.domain_stats(corpus), budget=800, alpha=0.5)
+    a = mx.apply_mixture(corpus, plan).select("doc_id", "epoch")
+    b = mx.apply_mixture(corpus.repartition(7, "doc_id"), plan).select("doc_id", "epoch")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_apply_no_shuffle_plan(spark, corpus):
+    """The materialization is scan → broadcast join → explode: zero Exchange
+    on the corpus side (the D-row plan frame broadcasts)."""
+    plan = [{"domain": "big", "rate": 2.5}]
+    phys = (
+        mx.apply_mixture(corpus, plan)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in phys
+    assert "Exchange hashpartitioning" not in phys
+
+
+def test_end_to_end_budget_realized(spark):
+    """Plan → apply: realized token volume lands near the budget (doc-level
+    fractional sampling, uniform doc sizes → tight tolerance)."""
+    docs = _docs(spark, {"a": [10] * 200, "b": [10] * 50})
+    stats = mx.domain_stats(docs)
+    budget = 4000
+    plan = mx.plan_token_budget(stats, budget=budget, alpha=0.5, max_epochs=3.0)
+    out = mx.apply_mixture(docs, plan)
+    realized = out.select(F.sum(F.size(F.split("text", r"\s+")))).collect()[0][0]
+    assert budget * 0.9 <= realized <= budget * 1.1

@@ -146,3 +146,54 @@ def test_corpus_datasheet_sees_duplication(spark):
     est = ds[("duplication", "approx_distinct_fingerprints")]
     assert 15 <= est <= 25
     assert ds[("volume", "n_docs")] == 100.0
+
+
+def test_threshold_sweep_hand_computed(spark):
+    """Five scored docs, buckets=10 — every operating point checked by hand."""
+    rows = [
+        (1, 0.95, 1.0), (2, 0.85, 1.0), (3, 0.75, 0.0), (4, 0.65, 1.0), (5, 0.25, 0.0),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, quality_prob double, label double")
+    sweep = {r["threshold"]: r.asDict() for r in ql.threshold_sweep(scored, buckets=10).collect()}
+    assert set(sweep) == {0.9, 0.8, 0.7, 0.6, 0.2}
+    assert (sweep[0.9]["tp"], sweep[0.9]["fp"], sweep[0.9]["fn"]) == (1, 0, 2)
+    assert sweep[0.9]["precision"] == 1.0 and sweep[0.9]["recall"] == round(1 / 3, 6)
+    assert (sweep[0.8]["tp"], sweep[0.8]["fp"]) == (2, 0)
+    assert sweep[0.7]["precision"] == round(2 / 3, 6)
+    assert (sweep[0.6]["tp"], sweep[0.6]["fp"], sweep[0.6]["fn"]) == (3, 1, 0)
+    assert sweep[0.6]["recall"] == 1.0 and sweep[0.6]["f1"] == round(2 * 0.75 / 1.75, 6)
+    assert sweep[0.2]["kept"] == 5 and sweep[0.2]["keep_rate"] == 1.0
+    # monotone by construction: recall never falls as the threshold drops
+    ordered = [sweep[t] for t in sorted(sweep, reverse=True)]
+    assert all(a["recall"] <= b["recall"] for a, b in zip(ordered, ordered[1:]))
+    assert all(a["kept"] < b["kept"] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_threshold_sweep_nulls_edge_bins_and_validation(spark):
+    """NULL score/label rows are excluded; score 1.0 lands in the top bin
+    (not an overflow bin); buckets < 2 rejected."""
+    import pytest
+
+    rows = [(1, 1.0, 1.0), (2, 0.0, 0.0), (3, None, 1.0), (4, 0.5, None)]
+    scored = spark.createDataFrame(rows, "doc_id long, quality_prob double, label double")
+    sweep = {r["threshold"]: r.asDict() for r in ql.threshold_sweep(scored, buckets=10).collect()}
+    assert set(sweep) == {0.9, 0.0}
+    assert (sweep[0.9]["tp"], sweep[0.9]["fp"]) == (1, 0)
+    assert sweep[0.0]["kept"] == 2  # the two non-null rows only
+    with pytest.raises(ValueError, match="buckets"):
+        ql.threshold_sweep(scored, buckets=1)
+
+
+def test_threshold_sweep_on_trained_classifier(spark):
+    """End-to-end: train → score held-out → sweep. The separating classifier
+    must expose an operating point with precision = recall = 1.0."""
+    seed = _seed_docs(spark)
+    model = ql.train_quality_classifier(seed.filter(F.col("doc_id") < 60), num_features=1 << 12)
+    heldout = seed.filter(F.col("doc_id") >= 60)
+    scored = ql.score_quality(heldout, model).join(heldout.select("doc_id", "label"), "doc_id")
+    best = (
+        ql.threshold_sweep(scored)
+        .orderBy(F.desc("f1"), F.desc("threshold"))
+        .first()
+    )
+    assert best["f1"] == 1.0 and best["precision"] == 1.0 and best["recall"] == 1.0
