@@ -282,6 +282,23 @@ def _bench_corpus_divergence(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _bench_mixture_plan_apply(spark, sf_dir: str) -> float:
+    """Domain-mixture planning + materialization over the documents table
+    (domains = `source`): token stats → water-filled 2×-volume budget plan →
+    broadcast+explode epoch materialization. The whole path is one D-row
+    groupBy plus one corpus scan."""
+    from aws_financial_data_pipeline_spark.operators import mixture as mx
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    budget = 2 * docs.select(F.sum(F.size(F.split("text", r"\s+")))).collect()[0][0]
+
+    t0 = time.perf_counter()
+    plan = mx.plan_token_budget(mx.domain_stats(docs), budget=budget, alpha=0.5)
+    mx.apply_mixture(docs, plan).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _bench_event_funnel(spark, sf_dir: str) -> float:
     """view→click→purchase funnel over the events table (1h window): one
     groupBy + one fold, no per-step self-joins."""
@@ -351,6 +368,7 @@ def main() -> None:
     times["bpe_encode"] = _bench_bpe_encode(spark, sf_dir)
     times["corpus_divergence"] = _bench_corpus_divergence(spark, sf_dir)
     times["event_funnel"] = _bench_event_funnel(spark, sf_dir)
+    times["mixture_plan_apply"] = _bench_mixture_plan_apply(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(
