@@ -100,31 +100,16 @@ def temperature_weights(stats: DataFrame, alpha: float = 0.7) -> DataFrame:
     )
 
 
-def plan_token_budget(
-    stats: DataFrame,
-    budget: int,
-    alpha: float = 0.7,
-    max_epochs: float = MAX_EPOCHS,
-) -> list[dict]:
-    """Water-filled token-budget plan: how many tokens (hence epochs) of each
-    domain a ``budget``-token training run should consume.
+def water_fill(rows: list[dict], budget: float, max_epochs: float = MAX_EPOCHS) -> None:
+    """In-place water-filling over plan ``rows`` (each carrying
+    ``sampled_share``, ``tokens``): set ``target_tokens``/``capped`` so the
+    budget distributes by share, no domain exceeds ``max_epochs`` × tokens,
+    and budget freed by capped domains flows to uncapped ones until a fixed
+    point (≤ D rounds: each round caps ≥ 1 new domain or stops).
 
-    Targets start at budget × sampled_share (the α-temperature mixture), are
-    capped at ``max_epochs`` × tokens_i (repeating past the cap is wasted
-    budget — arXiv:2305.16264), and the budget freed by capped domains is
-    re-distributed among uncapped domains in proportion to their shares until
-    a fixed point (≤ D rounds: each round caps ≥ 1 new domain or stops).
-
-    Returns a list of dicts (domain, tokens, n_docs, target_tokens, rate,
-    capped), ``rate`` = target_tokens / tokens = fractional epochs. The total
-    planned tokens equal min(budget, Σ caps) up to float rounding. Driver-side
-    over D collected rows BY DESIGN (see module docstring)."""
-    if budget < 0:
-        raise ValueError(f"budget must be >= 0: {budget}")
-    if max_epochs <= 0:
-        raise ValueError(f"max_epochs must be > 0: {max_epochs}")
-    rows = [r.asDict() for r in temperature_weights(stats, alpha).collect()]
-    rows.sort(key=lambda r: r["domain"])
+    Pure driver-side math over D rows — factored out so the invariants
+    (Σ targets = min(budget, Σ caps); targets ≤ caps; share-proportionality
+    among uncapped domains) are property-testable without a SparkSession."""
     for r in rows:
         r["cap"] = max_epochs * r["tokens"]
         r["target_tokens"] = 0.0
@@ -148,6 +133,34 @@ def plan_token_budget(
             break
         live = [r for r in live if not r["capped"]]
         remaining = float(budget) - sum(r["target_tokens"] for r in rows)
+
+
+def plan_token_budget(
+    stats: DataFrame,
+    budget: int,
+    alpha: float = 0.7,
+    max_epochs: float = MAX_EPOCHS,
+) -> list[dict]:
+    """Water-filled token-budget plan: how many tokens (hence epochs) of each
+    domain a ``budget``-token training run should consume.
+
+    Targets start at budget × sampled_share (the α-temperature mixture), are
+    capped at ``max_epochs`` × tokens_i (repeating past the cap is wasted
+    budget — arXiv:2305.16264), and the budget freed by capped domains is
+    re-distributed among uncapped domains in proportion to their shares until
+    a fixed point (see :func:`water_fill`).
+
+    Returns a list of dicts (domain, tokens, n_docs, target_tokens, rate,
+    capped), ``rate`` = target_tokens / tokens = fractional epochs. The total
+    planned tokens equal min(budget, Σ caps) up to float rounding. Driver-side
+    over D collected rows BY DESIGN (see module docstring)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0: {max_epochs}")
+    rows = [r.asDict() for r in temperature_weights(stats, alpha).collect()]
+    rows.sort(key=lambda r: r["domain"])
+    water_fill(rows, budget, max_epochs)
     return [
         {
             "domain": r["domain"],

@@ -195,3 +195,65 @@ def test_end_to_end_budget_realized(spark):
     out = mx.apply_mixture(docs, plan)
     realized = out.select(F.sum(F.size(F.split("text", r"\s+")))).collect()[0][0]
     assert budget * 0.9 <= realized <= budget * 1.1
+
+
+# ---- water_fill property tests (pure driver math — no Spark per example) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _domains(draw):
+    n = draw(st.integers(1, 12))
+    tokens = [draw(st.integers(0, 10_000)) for _ in range(n)]
+    # shares from raw positive weights, normalized (mirrors temperature_weights)
+    weights = [draw(st.floats(0.001, 1.0)) for _ in range(n)]
+    wt = sum(w for w, t in zip(weights, tokens) if t > 0) or 1.0
+    return [
+        {
+            "domain": f"d{i}",
+            "tokens": t,
+            "sampled_share": (w / wt if t > 0 else 0.0),
+        }
+        for i, (t, w) in enumerate(zip(tokens, weights))
+    ]
+
+
+@given(rows=_domains(), budget=st.floats(0, 1e8), max_epochs=st.floats(0.1, 8.0))
+@settings(max_examples=300, deadline=None)
+def test_water_fill_invariants(rows, budget, max_epochs):
+    mx.water_fill(rows, budget, max_epochs)
+    caps_tot = sum(max_epochs * r["tokens"] for r in rows)
+    got = sum(r["target_tokens"] for r in rows)
+    # conservation: planned total = min(budget, Σ caps) up to float slack
+    tol = 1e-6 * max(1.0, budget, caps_tot)
+    assert got <= min(budget, caps_tot) + tol
+    assert got >= min(budget, caps_tot) - tol
+    for r in rows:
+        # cap respected; capped flag consistent; zero-token domains get nothing
+        assert r["target_tokens"] <= max_epochs * r["tokens"] + tol
+        assert r["target_tokens"] >= 0
+        if r["capped"]:
+            assert r["target_tokens"] == pytest.approx(max_epochs * r["tokens"], abs=tol)
+        if r["tokens"] == 0:
+            assert r["target_tokens"] == 0.0
+    # share-proportionality among UNCAPPED domains: target/share constant
+    unc = [r for r in rows if not r["capped"] and r["tokens"] > 0 and r["sampled_share"] > 0]
+    if len(unc) >= 2 and budget < caps_tot - tol and budget > 0:
+        ratios = [r["target_tokens"] / r["sampled_share"] for r in unc]
+        assert max(ratios) - min(ratios) <= 1e-6 * max(1.0, max(ratios))
+
+
+@given(rows=_domains(), max_epochs=st.floats(0.1, 8.0), b1=st.floats(0, 1e6), b2=st.floats(0, 1e6))
+@settings(max_examples=150, deadline=None)
+def test_water_fill_monotone_in_budget(rows, max_epochs, b1, b2):
+    """A bigger budget never reduces any domain's allocation."""
+    import copy
+
+    lo, hi = sorted((b1, b2))
+    a, b = copy.deepcopy(rows), copy.deepcopy(rows)
+    mx.water_fill(a, lo, max_epochs)
+    mx.water_fill(b, hi, max_epochs)
+    for ra, rb in zip(a, b):
+        assert rb["target_tokens"] >= ra["target_tokens"] - 1e-6 * max(1.0, hi)
