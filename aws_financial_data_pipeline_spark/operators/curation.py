@@ -155,6 +155,10 @@ def pretraining_pipeline(
     num_merges: int = 200,
     pack_budget: int = 2048,
     contamination_n: int = 13,
+    mixture_budget: int | None = None,
+    mixture_alpha: float = 0.7,
+    mixture_max_epochs: float | None = None,
+    domain_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
     **funnel_kwargs,
@@ -171,19 +175,34 @@ def pretraining_pipeline(
        — training AFTER cleaning, so boilerplate and benchmark text never
        shape the vocabulary),
     4. encoding to integer token ids,
-    5. token-budget sample packing of the ``train`` split
-       (:func:`..packing.pack_chunks`; val/test stay unpacked — evaluation
-       wants documents, not bins),
-    6. a :func:`..quality.corpus_datasheet` of what ships.
+    5. optional domain-mixture reweighting of the ``train`` split when
+       ``mixture_budget`` is given (:mod:`..mixture`: temperature shares →
+       water-filled epoch plan over ``domain_col``, planned in REAL BPE
+       token units, materialized as deterministic per-doc epochs — the
+       data-constrained-scaling step),
+    6. token-budget sample packing of the (possibly epoch-expanded)
+       ``train`` split (:func:`..packing.pack_chunks`; val/test stay
+       unpacked — evaluation wants documents, not bins; epochs pack in
+       (epoch, doc) order so repeats stay apart),
+    7. a :func:`..quality.corpus_datasheet` of what ships.
+
+    Mixture placement is deliberate: AFTER tokenizer training and encoding
+    (epoch repeats must not bias BPE merge counts toward upsampled domains,
+    and each doc encodes once however many epochs it trains), and the plan
+    is denominated in ``n_bpe_tokens`` — the unit the budget is actually
+    spent in.
 
     Returns a dict of artifacts: ``corpus`` (curated+decontaminated docs
     with split), ``tokenized`` (doc_id, bpe_tokens, bpe_ids, n_bpe_tokens,
-    split), ``packed`` (train rows + bin_id), ``merges``/``vocab`` (the
-    tokenizer model), ``datasheet``, and ``audit`` — the funnel audit
-    extended with a ``decontamination`` row, so the drop accounting covers
-    the full path. Laziness: everything except the tokenizer model (a
-    driver-side artifact by nature) stays a DataFrame."""
+    split), ``packed`` (train rows + bin_id, plus ``epoch`` under mixture),
+    ``merges``/``vocab`` (the tokenizer model), ``mixture_plan`` (the D-row
+    plan, [] when disabled), ``datasheet``, and ``audit`` — the funnel audit
+    extended with ``decontamination`` / ``mixture`` rows, so the drop (and
+    expansion) accounting covers the full path. Laziness: everything except
+    the tokenizer model and the mixture plan (driver-side artifacts by
+    nature) stays a DataFrame."""
     from . import bpe
+    from . import mixture as mx
     from .packing import pack_chunks
     from .quality import corpus_datasheet
 
@@ -207,11 +226,26 @@ def pretraining_pipeline(
     tokenized = bpe.bpe_encode(corpus, merges, text_col, id_col, vocab=vocab).join(
         corpus.select(F.col(id_col).alias("doc_id"), "split"), "doc_id"
     )
+    train = tokenized.filter(F.col("split") == "train").select("doc_id", "n_bpe_tokens")
+    plan: list[dict] = []
+    if mixture_budget is not None:
+        with_dom = train.join(
+            corpus.select(F.col(id_col).alias("doc_id"), domain_col), "doc_id"
+        )
+        stats = mx.domain_stats(with_dom, domain_col=domain_col, size_col="n_bpe_tokens")
+        kwargs = {} if mixture_max_epochs is None else {"max_epochs": mixture_max_epochs}
+        plan = mx.plan_token_budget(stats, budget=mixture_budget, alpha=mixture_alpha, **kwargs)
+        train = mx.apply_mixture(
+            with_dom, plan, domain_col=domain_col, id_col="doc_id"
+        ).select("doc_id", "n_bpe_tokens", "epoch")
+        audit = audit.unionByName(
+            train.agg(F.lit("mixture").alias("stage"), F.count("*").alias("docs_kept"))
+        )
     packed = pack_chunks(
-        tokenized.filter(F.col("split") == "train").select("doc_id", "n_bpe_tokens"),
+        train,
         budget=pack_budget,
         size_col="n_bpe_tokens",
-        order_cols=("doc_id",),
+        order_cols=("epoch", "doc_id") if mixture_budget is not None else ("doc_id",),
     )
     return {
         "corpus": corpus,
@@ -219,6 +253,7 @@ def pretraining_pipeline(
         "packed": packed,
         "merges": merges,
         "vocab": vocab,
+        "mixture_plan": plan,
         "datasheet": corpus_datasheet(corpus, text_col=text_col, id_col=id_col),
         "audit": audit,
     }

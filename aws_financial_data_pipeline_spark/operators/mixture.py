@@ -57,15 +57,21 @@ def domain_stats(
     domain_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    size_col: str | None = None,
 ) -> DataFrame:
-    """(domain, n_docs, tokens): whitespace-token volume per domain — the
-    input every planning step consumes. One map-side-combined groupBy whose
-    key space is the domain values, so the shuffle carries D rows."""
+    """(domain, n_docs, tokens): token volume per domain — the input every
+    planning step consumes. Tokens are whitespace counts split from
+    ``text_col``, or the precomputed per-doc ``size_col`` when given (e.g.
+    ``n_bpe_tokens`` after tokenization — plan in the units you train in).
+    One map-side-combined groupBy whose key space is the domain values, so
+    the shuffle carries D rows."""
+    size = (
+        F.col(size_col).cast("long")
+        if size_col is not None
+        else F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    )
     return (
-        docs.select(
-            F.col(domain_col).alias("domain"),
-            F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("_t"),
-        )
+        docs.select(F.col(domain_col).alias("domain"), size.alias("_t"))
         .groupBy("domain")
         .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("tokens"))
     )

@@ -221,3 +221,54 @@ def test_pretraining_pipeline_end_to_end(spark):
         docs, test_corpus=bench_suite, num_merges=30, pack_budget=1024,
         minhash_threshold=0.8,
     )["merges"]
+
+
+def test_pretraining_pipeline_mixture_stage(spark):
+    """With mixture_budget the train split is epoch-expanded per the
+    water-filled plan (in BPE-token units) BEFORE packing; without it the
+    pipeline is unchanged (no epoch column, empty plan)."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import curation
+
+    docs = _wellformed_corpus(spark).withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("books")
+    )
+
+    base = curation.pretraining_pipeline(docs, num_merges=30, pack_budget=1024,
+                                         minhash_threshold=0.8)
+    assert base["mixture_plan"] == [] and "epoch" not in base["packed"].columns
+    train_tokens = (
+        base["tokenized"].filter(F.col("split") == "train")
+        .agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
+    n_train = base["tokenized"].filter(F.col("split") == "train").count()
+
+    out = curation.pretraining_pipeline(
+        docs, num_merges=30, pack_budget=1024, minhash_threshold=0.8,
+        mixture_budget=2 * train_tokens, mixture_alpha=1.0, mixture_max_epochs=4.0,
+    )
+    # plan is denominated in BPE tokens and targets ~2 epochs everywhere
+    plan = {p["domain"]: p for p in out["mixture_plan"]}
+    assert set(plan) == {"web", "books"}
+    assert sum(p["tokens"] for p in plan.values()) == train_tokens
+    for p in plan.values():
+        assert 1.9 <= p["rate"] <= 2.1 and not p["capped"]
+
+    packed = out["packed"].collect()
+    assert "epoch" in out["packed"].columns
+    assert {r["epoch"] for r in packed} <= {0, 1, 2}
+    audit = {r["stage"]: r["docs_kept"] for r in out["audit"].collect()}
+    assert audit["mixture"] == len(packed)
+    # ~2× expansion of the train split, each doc 1–3 times
+    assert 1.7 * n_train <= len(packed) <= 2.3 * n_train
+    per_doc = {}
+    for r in packed:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert set(per_doc) == {r["doc_id"] for r in base["packed"].collect()}
+    assert all(1 <= c <= 3 for c in per_doc.values())
+    # epochs pack contiguously: no epoch-1 row lands in a bin before the
+    # last epoch-0 bin (order_cols = (epoch, doc_id))
+    bins_e0 = [r["bin_id"] for r in packed if r["epoch"] == 0]
+    bins_e1 = [r["bin_id"] for r in packed if r["epoch"] == 1]
+    assert bins_e1 and min(bins_e1) >= max(bins_e0)
