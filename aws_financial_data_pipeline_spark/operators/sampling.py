@@ -44,6 +44,62 @@ def split_assign(
     return out.withColumn("split", expr)
 
 
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Deterministic global random ORDER for a training-example stream: every
+    row gets a unique ``shuffle_pos`` in [0, N) — the position it takes when
+    the corpus is read in shuffled order — plus the ``shuffle_shard`` to
+    bucket writes by. Training-data pipelines materialize exactly this once
+    per run (examples must be order-randomized, but reproducibly so across
+    retries and identically for every consumer).
+
+    Order definition: ascending (xxhash64(seed, id), id) — a pseudo-random
+    permutation that is deterministic, partition-invariant, and re-seedable.
+    ``df.orderBy(rand())`` gives none of those (per-task RNG re-draws under
+    retries); a global ``orderBy(hash)`` gives the order but pays a full
+    range-sort exchange AND leaves no shard column for bucketed writes.
+
+    Scale shape (two-pass, mirroring ``packing.pack_chunks``): the hash key
+    is uniform over the full int64 range by construction, so range-sharding
+    the KEY SPACE into ``num_shards`` equal intervals is both uniform (no
+    skew) and monotone (shard order == key order) — ``num_shards`` is
+    parallelism, never semantics (pytest pins shard-count invariance). Pass 1
+    ranks within each shard (parallel windows keyed by the one hash-shuffle);
+    pass 2 folds per-shard counts through a window over ``num_shards`` rows
+    and broadcasts the exclusive offsets back. No stage sorts or windows the
+    full corpus in one task. At 100 TB: write bucketed by ``shuffle_shard``
+    with ``sortWithinPartitions(shuffle_pos)`` and read shards in order."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive: {num_shards}")
+    key = F.xxhash64(F.lit(int(seed)), F.col(id_col))
+    # monotone uniform shard of the signed-64 key space: map to [0,1) through
+    # a double (53-bit mantissa — plenty for shard boundaries; exact keys
+    # still order within the shard, so rounding can't reorder rows)
+    shard = F.least(
+        F.lit(num_shards - 1),
+        F.floor((key.cast("double") / F.lit(2.0**64) + 0.5) * num_shards),
+    ).cast("int")
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("_skey", key).withColumn("shuffle_shard", shard)
+    w_in = Window.partitionBy("shuffle_shard").orderBy("_skey", id_col)
+    counts = keyed.groupBy("shuffle_shard").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("shuffle_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "shuffle_shard", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w_in) - 1)
+        .join(F.broadcast(offsets), "shuffle_shard")
+        .withColumn("shuffle_pos", F.col("_off") + F.col("_rn"))
+        .drop("_skey", "_rn", "_off")
+    )
+
+
 def quota_sample_flag(
     df: DataFrame,
     id_col: str,

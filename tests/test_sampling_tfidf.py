@@ -81,3 +81,70 @@ def test_stratified_rates_respected(spark):
         != (F.col("bucket") < F.when(F.col("lang") == "en", 10).otherwise(90)).cast("int")
     ).count()
     assert bad == 0
+
+
+def _ids(spark, n):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    out = sampling.global_shuffle(_ids(spark, 500), num_shards=8)
+    pos = sorted(r["shuffle_pos"] for r in out.collect())
+    assert pos == list(range(500))
+
+
+def test_global_shuffle_actually_shuffles_and_reseeds(spark):
+    """The permutation is non-trivial (not identity-ish) and seed-dependent."""
+    base = {r["doc_id"]: r["shuffle_pos"] for r in
+            sampling.global_shuffle(_ids(spark, 500), seed=0).collect()}
+    other = {r["doc_id"]: r["shuffle_pos"] for r in
+             sampling.global_shuffle(_ids(spark, 500), seed=1).collect()}
+    moved = sum(1 for d in base if base[d] != d)
+    assert moved > 450  # a random permutation fixes ~1 point
+    assert sum(1 for d in base if base[d] != other[d]) > 450
+
+
+def test_global_shuffle_shard_count_is_parallelism_not_semantics(spark):
+    """Identical positions at any num_shards, and under repartitioning —
+    the permutation is a pure function of (seed, id)."""
+    df = _ids(spark, 300)
+    ref = {r["doc_id"]: r["shuffle_pos"] for r in
+           sampling.global_shuffle(df, num_shards=1).collect()}
+    for shards, frame in ((3, df), (7, df.repartition(5)), (32, df)):
+        got = {r["doc_id"]: r["shuffle_pos"] for r in
+               sampling.global_shuffle(frame, num_shards=shards).collect()}
+        assert got == ref, f"num_shards={shards}"
+
+
+def test_global_shuffle_shards_are_balanced(spark):
+    """Key-space range sharding inherits xxhash64 uniformity: no empty or
+    dominant shard at 2000 rows / 8 shards."""
+    out = sampling.global_shuffle(_ids(spark, 2000), num_shards=8)
+    sizes = [r["n"] for r in out.groupBy("shuffle_shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8
+    assert max(sizes) < 2 * min(sizes)
+    # shard order == position order (what makes bucketed writes readable in order)
+    rows = out.select("shuffle_shard", "shuffle_pos").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shuffle_shard"], []).append(r["shuffle_pos"])
+    hi = -1
+    for s in sorted(by_shard):
+        lo = min(by_shard[s])
+        assert lo > hi
+        hi = max(by_shard[s])
+
+
+def test_global_shuffle_no_single_partition_data_window(spark):
+    """The only unpartitioned window runs over num_shards rows; the data-
+    sized window is partitioned by shard."""
+    import pytest
+
+    plan = (
+        sampling.global_shuffle(_ids(spark, 100), num_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    rank_windows = [ln for ln in plan.splitlines() if "row_number" in ln]
+    assert rank_windows and all("shuffle_shard" in ln for ln in rank_windows)
+    with pytest.raises(ValueError, match="num_shards"):
+        sampling.global_shuffle(_ids(spark, 10), num_shards=0)
