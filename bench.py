@@ -299,6 +299,20 @@ def _bench_mixture_plan_apply(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _bench_global_shuffle(spark, sf_dir: str) -> float:
+    """Deterministic training-order shuffle over the largest table (600k
+    lineitem rows at sf0.1): two-pass positions, no global sort."""
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("doc_id"),
+        "l_partkey",
+    )
+    t0 = time.perf_counter()
+    sp.global_shuffle(li).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _bench_event_funnel(spark, sf_dir: str) -> float:
     """view→click→purchase funnel over the events table (1h window): one
     groupBy + one fold, no per-step self-joins."""
@@ -369,6 +383,7 @@ def main() -> None:
     times["corpus_divergence"] = _bench_corpus_divergence(spark, sf_dir)
     times["event_funnel"] = _bench_event_funnel(spark, sf_dir)
     times["mixture_plan_apply"] = _bench_mixture_plan_apply(spark, sf_dir)
+    times["global_shuffle"] = _bench_global_shuffle(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(
