@@ -605,14 +605,28 @@ EXT_ORACLES: dict[str, str] = {
       JOIN q USING (doc_id) JOIN l USING (doc_id)
       WHERE q.quality_score >= 0.5 AND l.lang_pred = 'en'
     )
-    SELECT doc_id, lang_pred, quality_score, bucket,
-           CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val'
-                ELSE 'test' END AS split,
-           bucket < (CASE WHEN lang_pred = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample,
-           row_number() OVER (PARTITION BY lang_pred
-                              ORDER BY md5(doc_id::VARCHAR), doc_id) <= 50 AS in_quota
-    FROM sel
+    , flags AS (
+      SELECT doc_id, lang_pred, quality_score, bucket,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             bucket < (CASE WHEN lang_pred = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample,
+             row_number() OVER (PARTITION BY lang_pred
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) <= 50 AS in_quota
+      FROM sel
+    ),
+    -- mixture materialization, fixed rate-1.5 plan: one guaranteed epoch
+    -- plus a second iff md5(id:source) falls under the 0.5 fraction (the
+    -- exact hash_bucket rule apply_mixture uses)
+    exp AS (
+      SELECT f.*, d.source,
+             1 + CASE WHEN ('0x' || substr(md5(f.doc_id::VARCHAR || ':' || d.source), 1, 8))::BIGINT
+                           % 1000000 < 500000 THEN 1 ELSE 0 END AS _n
+      FROM flags f JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, source, u.k AS epoch, lang_pred, quality_score, bucket,
+           split, in_sample, in_quota
+    FROM exp, LATERAL UNNEST(range(_n)) AS u(k)
     """,
     # tumbling + sliding consolidated (round-1 x14+x15); decimal value sums
     # (exact on the 2-decimal grid; round(sum(double),2) is order-dependent)

@@ -544,8 +544,15 @@ def x32_corpus_curation(spark, sf_dir):
     entry locks in that they compose AND is the checked slot for the
     split/sample operators (round-1 x29 subsumed: split_assign and
     stratified_sample_flag both gate here; round-3 adds quota_sample_flag —
-    at most 50 docs per predicted language, chosen by md5(id) order)."""
-    from ..operators import dedup, sampling, text
+    at most 50 docs per predicted language, chosen by md5(id) order;
+    round-4 adds the mixture materialization: a fixed rate-1.5 plan over
+    the `source` domain epoch-expands the selected corpus via
+    operators.mixture.apply_mixture — every doc once, plus a second epoch
+    iff md5(id:source) lands under the 0.5 fraction. The PLANNING side
+    (water-filling) is driver math gated by hypothesis in
+    tests/test_mixture.py; this slot oracle-gates the distributed
+    materialization, which is the part that runs against the corpus)."""
+    from ..operators import dedup, mixture, sampling, text
 
     docs = _docs(spark, sf_dir)
     canon = (
@@ -567,9 +574,16 @@ def x32_corpus_curation(spark, sf_dir):
         out, "doc_id", "lang_pred", {"en": 0.2}, default_rate=0.5
     )
     out = sampling.quota_sample_flag(out, "doc_id", "lang_pred", quota=50)
+    sources = [r["source"] for r in _docs(spark, sf_dir).select("source").distinct().collect()]
+    out = mixture.apply_mixture(
+        out.join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id"),
+        [{"domain": s, "rate": 1.5} for s in sorted(sources)],
+        domain_col="source",
+        id_col="doc_id",
+    )
     return out.select(
-        "doc_id", "lang_pred", "quality_score", "bucket", "split", "in_sample",
-        "in_quota",
+        "doc_id", "source", "epoch", "lang_pred", "quality_score", "bucket",
+        "split", "in_sample", "in_quota",
     )
 
 
