@@ -200,8 +200,14 @@ def apply_mixture(
     absent from the plan are dropped (rate 0). No shuffle — at 100 TB this is
     a single scan whose output is the training mix."""
     spark = docs.sparkSession
-    plan_df = spark.createDataFrame(
-        [(p["domain"], float(p["rate"])) for p in plan], ["domain", "_rate"]
+    rows = [(p["domain"], float(p["rate"])) for p in plan]
+    # empty plan (nothing budgeted) → empty frame → zero rows ship; the
+    # explicit schema covers the case inference can't (non-string domains
+    # still infer from the rows when present)
+    plan_df = (
+        spark.createDataFrame(rows, ["domain", "_rate"])
+        if rows
+        else spark.createDataFrame(rows, "domain string, _rate double")
     )
     full = F.floor("_rate").cast("int")
     frac = F.col("_rate") - full

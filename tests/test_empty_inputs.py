@@ -131,3 +131,34 @@ def test_semantic_and_funnel_on_tiny_not_empty(spark):
     funnel = {r["stage"]: r["docs_kept"] for r in audit.collect()}
     assert funnel["input"] == 2 and funnel["split_assign"] == 0
     assert corpus.count() == 0
+
+
+def test_session3_ops_on_empty_and_edge(spark):
+    """Mixture / shuffle / sweep on empty frames and empty plans."""
+    from aws_financial_data_pipeline_spark.operators import mixture as mx
+    from aws_financial_data_pipeline_spark.operators import quality as ql
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    one = spark.createDataFrame([(1, "a b c", "web")], "doc_id long, text string, source string")
+
+    assert mx.domain_stats(empty).count() == 0
+    assert mx.plan_token_budget(mx.domain_stats(empty), budget=100) == []
+    # empty PLAN over non-empty docs: nothing budgeted → zero rows, no crash
+    assert mx.apply_mixture(one, []).count() == 0
+    # empty DOCS under a non-empty plan: zero rows
+    assert mx.apply_mixture(empty, [{"domain": "web", "rate": 2.0}]).count() == 0
+    # plan for a domain absent from the docs: zero rows (inner-join contract)
+    assert mx.apply_mixture(one, [{"domain": "books", "rate": 2.0}]).count() == 0
+
+    assert sp.global_shuffle(empty).count() == 0
+    shuffled_one = sp.global_shuffle(one).collect()
+    assert len(shuffled_one) == 1 and shuffled_one[0]["shuffle_pos"] == 0
+
+    scored = spark.createDataFrame([], "doc_id long, quality_prob double, label double")
+    assert ql.threshold_sweep(scored).count() == 0
+    # all-null scores reduce to the empty sweep, not a null bin
+    nulls = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 0.0)], "doc_id long, quality_prob double, label double"
+    )
+    assert ql.threshold_sweep(nulls).count() == 0

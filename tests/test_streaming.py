@@ -234,3 +234,35 @@ def test_tokenizer_and_fingerprints_run_unchanged_on_streams(spark, tmp_path):
     got = {r["doc_id"]: r["phash"] for r in spark.table("q_phash_stream").collect()}
     want = {r["doc_id"]: r["phash"] for r in mm.image_phash(frames).collect()}
     assert got == want
+
+
+def test_mixture_apply_runs_unchanged_on_streams(spark, tmp_path):
+    """apply_mixture is a broadcast join + Generate — map-side Catalyst, so
+    the SAME operator epoch-expands a streaming ingest per micro-batch with
+    no code changes (the plan is a run constant, like the BPE model on the
+    encode stream). Replay == batch."""
+    from aws_financial_data_pipeline_spark.operators import mixture as mx
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 5, ("web" if i % 2 == 0 else "books")) for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    plan = [{"domain": "web", "rate": 2.0}, {"domain": "books", "rate": 0.5}]
+    src = str(tmp_path / "mix_src")
+    docs.write.mode("overwrite").parquet(src)
+    q = (
+        mx.apply_mixture(spark.readStream.schema(docs.schema).parquet(src), plan)
+        .writeStream.format("memory")
+        .queryName("q_mix_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        (r["doc_id"], r["epoch"]) for r in spark.table("q_mix_stream").collect()
+    )
+    batch = sorted((r["doc_id"], r["epoch"]) for r in mx.apply_mixture(docs, plan).collect())
+    assert streamed == batch
+    # the plan really acted: every web doc exactly twice, books hash-sampled
+    assert sum(1 for d, e in streamed if d % 2 == 0) == 20
