@@ -146,6 +146,49 @@ def assemble_report(cur: DataFrame, hist: DataFrame, statement_year, pruned=None
     )
 
 
+def _pivot_sections(per_key: DataFrame, null_empty: bool = False) -> DataFrame:
+    """(user_id, tag ∈ {cat,rec,mon}, key, total) → one row per user with
+    SpendingByCategory / RecurringTransactionsYearToDate / MonthlySpending
+    maps + the Trend read off the sorted months array (no window — the
+    3-most-recent comparison, docker/lambda_function.py:263-281, strict
+    inequalities). Shared pivot tail of the fused report forms.
+
+    ``null_empty=True`` returns NULL (not ``{}``) for a user with no rows
+    under a tag — the join-miss semantics of the section-per-branch
+    :func:`assemble_report`, which the summary path's nested-parity contract
+    requires. The fused recompute form keeps empty maps (identical under the
+    canonical JSON projection)."""
+
+    def entries(tag: str) -> F.Column:
+        return F.array_sort(
+            F.collect_list(
+                F.when(F.col("tag") == tag, F.struct(F.col("key"), F.col("total")))
+            )
+        )
+
+    def as_map(col: F.Column) -> F.Column:
+        m = F.map_from_entries(col)
+        return F.when(F.size(col) > 0, m) if null_empty else m
+
+    per_user = per_key.groupBy("user_id").agg(
+        entries("cat").alias("_cats"),
+        entries("rec").alias("_recs"),
+        entries("mon").alias("_months"),
+    )
+    m = [F.try_element_at(F.reverse(F.col("_months")), F.lit(i))["total"] for i in (1, 2, 3)]
+    return per_user.select(
+        "user_id",
+        as_map(F.col("_cats")).alias("SpendingByCategory"),
+        as_map(F.col("_recs")).alias("RecurringTransactionsYearToDate"),
+        as_map(F.col("_months")).alias("MonthlySpending"),
+        F.when(F.size("_months") < 3, F.lit("Not enough data"))
+        .when((m[0] > m[1]) & (m[1] > m[2]), F.lit("Up"))
+        .when((m[0] < m[1]) & (m[1] < m[2]), F.lit("Down"))
+        .otherwise(F.lit("Stable"))
+        .alias("Trend"),
+    )
+
+
 def assemble_report_fused(get_txns) -> DataFrame:
     """Value-identical to :func:`assemble_report`, restructured for one-shot
     execution cost: the three grouped sections (SpendingByCategory,
@@ -213,31 +256,7 @@ def assemble_report_fused(get_txns) -> DataFrame:
         .groupBy("user_id", F.col("e.tag").alias("tag"), F.col("e.key").alias("key"))
         .agg(F.round(F.sum("e.amt"), 2).alias("total"))
     )
-
-    def entries(tag: str) -> F.Column:
-        return F.array_sort(
-            F.collect_list(
-                F.when(F.col("tag") == tag, F.struct(F.col("key"), F.col("total")))
-            )
-        )
-
-    per_user = per_key.groupBy("user_id").agg(
-        F.map_from_entries(entries("cat")).alias("SpendingByCategory"),
-        F.map_from_entries(entries("rec")).alias("RecurringTransactionsYearToDate"),
-        entries("mon").alias("_months"),
-    )
-    m = [F.try_element_at(F.reverse(F.col("_months")), F.lit(i))["total"] for i in (1, 2, 3)]
-    per_user = per_user.select(
-        "user_id",
-        "SpendingByCategory",
-        "RecurringTransactionsYearToDate",
-        F.map_from_entries(F.col("_months")).alias("MonthlySpending"),
-        F.when(F.size("_months") < 3, F.lit("Not enough data"))
-        .when((m[0] > m[1]) & (m[1] > m[2]), F.lit("Up"))
-        .when((m[0] < m[1]) & (m[1] < m[2]), F.lit("Down"))
-        .otherwise(F.lit("Stable"))
-        .alias("Trend"),
-    )
+    per_user = _pivot_sections(per_key)
 
     return risk.join(per_user, "user_id", "left").select(
         "user_id",
@@ -263,35 +282,60 @@ def assemble_report_from_summary(
     ``pruned`` (optional, round 4): ``cols → cur`` factory returning the
     current-month frame carrying ONLY those columns — same FK-join-pruning
     contract as :func:`assemble_report`'s factory, for callers whose ``cur``
-    is a joined view (the bench's testdata adapter). The category section
-    then joins one dimension instead of four. Flat-frame callers (the
-    statement pipeline) omit it. The document spine is the risk-section
-    frame (one row per current-month user — identical population to the
-    former distinct-scan, minus one scan)."""
+    is a joined view (the bench's testdata adapter). Flat-frame callers (the
+    statement pipeline) omit it.
+
+    Execution shape (round-4 session 3 — previously one section-per-branch
+    DAG that re-derived the current-month view per section, 53 scans on the
+    testdata adapter): the statement rows are scanned exactly TWICE — once
+    summarized to the additive grain (feeding ALL THREE grouped sections and
+    the trend through one tagged-leg explode over cur-summary ∪
+    hist-summary, the :func:`assemble_report_fused` pivot), and once at row
+    level for the risk sections, whose frame doubles as the document spine.
+    Everything else runs over summary-sized frames. Section totals
+    re-aggregate the exact decimal partials (the summary's additivity
+    contract), so values are identical to the row path — nested-parity
+    pytest-asserted, including NULL-vs-empty section semantics
+    (``_pivot_sections(null_empty=True)``)."""
     get = pruned if pruned is not None else (lambda cols: cur)
     scalars = fin.user_scalars_from_summary(hist_summary)
-    all_summary = fin.summarize_transactions(
+    cur_summary = fin.summarize_transactions(
         get(("user_id", "date", "country", "category", "vendor", "recurring", "amount"))
-    ).unionByName(hist_summary.select(*fin.SUMMARY_KEYS, "sum_amount", "cnt"))
-    monthly = fin.monthly_spending_from_summary(all_summary)
+    )
+    u = (
+        cur_summary.select(*fin.SUMMARY_KEYS, "sum_amount")
+        .withColumn("_is_cur", F.lit(True))
+        .unionByName(
+            hist_summary.select(*fin.SUMMARY_KEYS, "sum_amount")
+            .withColumn("_is_cur", F.lit(False))
+        )
+    )
+    year_col = F.substring("year_month", 1, 4).cast("int")
+    if isinstance(statement_year, DataFrame):
+        u = u.join(F.broadcast(statement_year))  # 1-row scalar cross
+        year_match = year_col == F.col("statement_year")
+    else:
+        year_match = year_col == F.lit(int(statement_year))
+    leg = lambda tag, key: F.struct(  # noqa: E731
+        F.lit(tag).alias("tag"), key.alias("key"), F.col("sum_amount").alias("amt")
+    )
+    legs = F.array_compact(
+        F.array(
+            F.when(F.col("_is_cur"), leg("cat", F.col("category"))),
+            leg("mon", F.col("year_month")),
+            F.when(F.col("recurring") & year_match, leg("rec", F.col("vendor"))),
+        )
+    )
+    per_key = (
+        u.select("user_id", F.explode(legs).alias("e"))
+        .groupBy("user_id", F.col("e.tag").alias("tag"), F.col("e.key").alias("key"))
+        .agg(F.round(F.sum("e.amt").cast("double"), 2).alias("total"))
+    )
+    per_user = _pivot_sections(per_key, null_empty=True)
     doc = _risk_sections(
         get(("user_id", "id", "date", "vendor", "category", "amount", "country")), scalars
     )
-    sections = [
-        _map_section(
-            fin.spending_by_category(get(("user_id", "category", "amount"))),
-            "category", "total", "SpendingByCategory",
-        ),
-        _map_section(
-            fin.recurring_ytd_from_summary(all_summary, statement_year),
-            "vendor", "total", "RecurringTransactionsYearToDate",
-        ),
-        _map_section(monthly, "year_month", "total", "MonthlySpending"),
-        fin.classify_trend(monthly).select("user_id", F.col("trend").alias("Trend")),
-    ]
-    for s in sections:
-        doc = doc.join(s, "user_id", "left")
-    return doc.select(
+    return doc.join(per_user, "user_id", "left").select(
         "user_id",
         "SpendingByCategory",
         F.coalesce("FlaggedTransactions", F.array()).alias("FlaggedTransactions"),
