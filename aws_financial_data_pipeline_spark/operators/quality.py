@@ -196,6 +196,72 @@ def corpus_datasheet(
     return row.select(F.explode(entries).alias("e")).select("e.*")
 
 
+def signal_correlations(
+    sig: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Pairwise Pearson correlation of quality signals — the redundancy audit
+    a curation team runs over :func:`quality_signal_table` before stacking
+    filters ("does the compression kernel add anything over dup_shingle_ratio?
+    is the classifier just re-learning the stopword ratio?"). Highly
+    correlated signals gate the same documents; a new filter earns its place
+    by low correlation with the incumbents.
+
+    Returns one row per unordered pair: (signal_a, signal_b, pearson_r, n) —
+    ``n`` the co-observed (both non-null) count, ``pearson_r`` null when a
+    side is constant. Booleans are cast to 0/1 (point-biserial / phi).
+
+    Cost shape: ONE global aggregate over one pass of the signal table —
+    the C(k,2) pairs' co-observed moments (n, Σx, Σy, Σx², Σy², Σxy) all
+    ride the same partial+final reduction, so the corpus is scanned once
+    regardless of how many pairs are audited; the reshape to rows is a
+    literal-array explode of the 1-row result (the :func:`corpus_datasheet`
+    pattern). No shuffle keys on data columns. The single-pass moment
+    formula is double-precision textbook (not Welford) — plenty for an
+    audit over bounded ratio/count signals; standardize signals upstream if
+    a pathological mean/variance ratio ever matters."""
+    if len(cols) < 2:
+        raise ValueError(f"need at least two signal columns: {cols}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    num = {c: F.col(c).cast("double") for c in cols}
+    # explicit co-observed moments instead of F.corr: under ANSI mode corr
+    # RAISES (divide-by-zero) on a constant column, where the audit wants a
+    # NULL cell; try_divide + a clamped variance give exactly that
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        x, y = num[a], num[b]
+        both = x.isNotNull() & y.isNotNull()
+        cx, cy = F.when(both, x), F.when(both, y)
+        aggs += [
+            F.count(cx).cast("double").alias(f"_n{i}"),
+            F.sum(cx).alias(f"_sx{i}"),
+            F.sum(cy).alias(f"_sy{i}"),
+            F.sum(cx * cx).alias(f"_sxx{i}"),
+            F.sum(cy * cy).alias(f"_syy{i}"),
+            F.sum(cx * cy).alias(f"_sxy{i}"),
+        ]
+    row = sig.agg(*aggs)
+
+    def pearson(i: int) -> F.Column:
+        n, sx, sy = F.col(f"_n{i}"), F.col(f"_sx{i}"), F.col(f"_sy{i}")
+        sxx, syy, sxy = F.col(f"_sxx{i}"), F.col(f"_syy{i}"), F.col(f"_sxy{i}")
+        vx = F.greatest(n * sxx - sx * sx, F.lit(0.0))  # float-noise clamp
+        vy = F.greatest(n * syy - sy * sy, F.lit(0.0))
+        return F.try_divide(n * sxy - sx * sy, F.sqrt(vx * vy))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("signal_a"),
+                F.lit(b).alias("signal_b"),
+                F.round(pearson(i), 6).alias("pearson_r"),
+                F.col(f"_n{i}").cast("long").alias("n"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
 def threshold_sweep(
     scored: DataFrame,
     label_col: str = "label",

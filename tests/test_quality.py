@@ -197,3 +197,54 @@ def test_threshold_sweep_on_trained_classifier(spark):
         .first()
     )
     assert best["f1"] == 1.0 and best["precision"] == 1.0 and best["recall"] == 1.0
+
+
+def test_signal_correlations_known_values(spark):
+    """Hand-checkable correlations: exact ±1 on linear pairs, ~0 on an
+    orthogonal one, boolean phi, null on a constant signal — all from one
+    aggregate pass."""
+    import pytest
+
+    rows = [
+        # x, y=2x (r=1), z=-x (r=-1), w alternates independent of x, const, flag=x>2
+        (1.0, 2.0, -1.0, 1.0, 5.0, False),
+        (2.0, 4.0, -2.0, -1.0, 5.0, False),
+        (3.0, 6.0, -3.0, 1.0, 5.0, True),
+        (4.0, 8.0, -4.0, -1.0, 5.0, True),
+    ]
+    sig = spark.createDataFrame(
+        rows, "x double, y double, z double, w double, c double, flag boolean"
+    )
+    got = {
+        (r["signal_a"], r["signal_b"]): r
+        for r in ql.signal_correlations(sig, ["x", "y", "z", "w", "c", "flag"]).collect()
+    }
+    assert len(got) == 15  # C(6,2), unordered, one scan
+    assert got[("x", "y")]["pearson_r"] == 1.0
+    assert got[("x", "z")]["pearson_r"] == -1.0
+    assert got[("y", "z")]["pearson_r"] == -1.0
+    assert abs(got[("x", "w")]["pearson_r"]) < 0.5  # orthogonal-ish
+    assert got[("x", "c")]["pearson_r"] is None  # constant side → undefined
+    # point-biserial x vs (x>2): hand value r = 2*sqrt(5)/5 ≈ 0.894427
+    assert got[("x", "flag")]["pearson_r"] == pytest.approx(0.894427, abs=1e-6)
+    assert all(r["n"] == 4 for r in got.values())
+    with pytest.raises(ValueError, match="two signal"):
+        ql.signal_correlations(sig, ["x"])
+
+
+def test_signal_correlations_on_signal_table(spark):
+    """Over the real signal table: correlations are bounded, the trivially
+    coupled pair (ws_tokens vs n_chars) is strongly positive, and nulls
+    co-count correctly."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = ql.quality_signal_table(docs)
+    out = {
+        (r["signal_a"], r["signal_b"]): r
+        for r in ql.signal_correlations(
+            sig, ["ws_tokens", "n_chars", "stopword_ratio", "dup_shingle_ratio"]
+        ).collect()
+    }
+    for r in out.values():
+        assert r["pearson_r"] is None or -1.0 <= r["pearson_r"] <= 1.0
+    assert out[("ws_tokens", "n_chars")]["pearson_r"] > 0.9
+    assert all(r["n"] == 500 for r in out.values())
