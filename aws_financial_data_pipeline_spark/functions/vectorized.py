@@ -89,3 +89,31 @@ def log1p_ratio_pandas():
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(_log1p_ratio_kernel, "double")
+
+
+def _unicode_normalize_kernel(form: str | None, strip_accents: bool):
+    """Kernel factory: unicode canonical/compatibility normalization and/or
+    combining-mark removal, one Arrow batch at a time. ``Series.str.normalize``
+    wraps unicodedata's C implementation; accent stripping decomposes (NFD)
+    then drops combining marks — the only per-char Python here, and it runs
+    only when ``strip_accents`` is requested."""
+    import unicodedata
+
+    def kern(s: pd.Series) -> pd.Series:
+        out = s.str.normalize(form) if form else s
+        if strip_accents:
+            nfd = out.str.normalize("NFD")
+            out = nfd.map(
+                lambda t: t if t is None
+                else "".join(c for c in t if not unicodedata.combining(c))
+            )
+        return out
+
+    return kern
+
+
+@lru_cache(maxsize=None)
+def unicode_normalize_pandas(form: str | None = "NFKC", strip_accents: bool = False):
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_unicode_normalize_kernel(form, strip_accents), "string")

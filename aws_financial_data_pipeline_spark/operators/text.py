@@ -62,6 +62,52 @@ def shingles_expr(tok: Column, n: int = 3) -> Column:
     )
 
 
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str | None = "NFKC",
+    lowercase: bool = False,
+    strip_accents: bool = False,
+    digits_to_zero: bool = False,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Standard pretraining text normalization, staged so Python touches the
+    data ONLY when a unicode table is genuinely required:
+
+    - ``form`` ("NFKC"/"NFC"/...): unicode normalization — ligatures,
+      full-width forms, compatibility codepoints (the Gopher/MassiveText
+      NFKC step). Arrow-batched pandas stage (no Catalyst equivalent).
+    - ``strip_accents``: NFD-decompose + drop combining marks (same stage).
+    - ``lowercase`` / ``digits_to_zero`` / ``strip_control`` (C0/DEL/format
+      chars, tabs+newlines kept) / ``collapse_whitespace`` (``\\s+``→space,
+      trim): pure Catalyst regexp/lower — JVM-side, whole-stage codegen.
+
+    With ``form=None, strip_accents=False`` the whole operator is a map-only
+    JVM projection (zero Python — plan-asserted in tests). The CCNet dedup-
+    key recipe (lowercase + accent-strip + digits→0; arXiv:1911.00359 §4.1)
+    is ``normalize_text(docs, lowercase=True, strip_accents=True,
+    digits_to_zero=True)`` — normalize BEFORE md5/minhash fingerprinting so
+    trivially-variant copies collide. Overwrites ``text_col`` unless
+    ``out_col`` is given. NULL text stays NULL through every stage."""
+    c = F.col(text_col)
+    if form or strip_accents:
+        from ..functions.vectorized import unicode_normalize_pandas
+
+        c = unicode_normalize_pandas(form, strip_accents)(c)
+    if lowercase:
+        c = F.lower(c)
+    if digits_to_zero:
+        c = F.regexp_replace(c, r"\d", "0")
+    if strip_control:
+        # C0 controls except \t \n \r, DEL, and zero-width/format chars
+        c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]|\p{Cf}", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return docs.withColumn(out_col or text_col, c)
+
+
 def with_tokens(docs: DataFrame, text_col: str = "text", out_col: str = "_tok") -> DataFrame:
     """Project the token array as a real column so downstream higher-order
     expressions reference it instead of recomputing the split."""

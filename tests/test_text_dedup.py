@@ -629,3 +629,49 @@ def test_sharded_dedup_recall_on_testdata(spark):
     }
     content_recall = len(full & by_content) / len(full)
     assert content_recall >= 0.95, f"content-derived shard recall fell: {content_recall:.2f}"
+
+
+def test_normalize_text_unicode_and_rules(spark):
+    """NFKC folds ligatures/full-width/superscripts; CCNet recipe collapses
+    trivially-variant copies to one key; JVM rules behave; NULL passes."""
+    from aws_financial_data_pipeline_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "The ﬁne café ＡBC ² x"),       # ﬁ ligature, café, ＡBC, ²
+        (2, "the fine café ABC 2 x"),                     # decomposed é, plain forms
+        (3, "tabs\tand\nlines  plus\x07bell​zero-width"),  # controls/format chars
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # CCNet dedup-key recipe: rows 1 and 2 must collide exactly
+    keyed = {r["doc_id"]: r["key"] for r in normalize_text(
+        docs, lowercase=True, strip_accents=True, digits_to_zero=True, out_col="key"
+    ).collect()}
+    assert keyed[1] == keyed[2] == "the fine cafe abc 0 x"
+    assert keyed[4] is None
+
+    # rule stages alone: control/zero-width stripped, whitespace collapsed
+    plain = {r["doc_id"]: r["text"] for r in normalize_text(docs, form=None).collect()}
+    assert plain[3] == "tabs and lines plusbellzero-width"
+
+    # structure-preserving mode: newlines/tabs survive when not collapsing
+    kept = {r["doc_id"]: r["text"] for r in normalize_text(
+        docs, form=None, collapse_whitespace=False
+    ).collect()}
+    assert "\t" in kept[3] and "\n" in kept[3] and "\x07" not in kept[3]
+
+
+def test_normalize_text_jvm_only_when_no_unicode_stage(spark):
+    """form=None + no accent strip → zero Python in the plan (pure Catalyst)."""
+    from aws_financial_data_pipeline_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame([(1, "A  b\tc")], "doc_id long, text string")
+    plan = (
+        normalize_text(docs, form=None, lowercase=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    # and the unicode form does use the Arrow batch path
+    plan2 = normalize_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan2 or "Python" in plan2
