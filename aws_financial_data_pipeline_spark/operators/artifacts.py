@@ -1,0 +1,102 @@
+"""Persistence for run-constant model artifacts — the "index files".
+
+Every approximate operator in this engine splits into a distributed pass
+over the corpus and a small RUN-CONSTANT model the pass consumes: PQ
+codebooks, IVF centroids, BPE merges + vocab, the hashed-bigram LM tables,
+a mixture plan, the minhash signature store. Training is per-corpus (or
+per-seed-set), not per-query — production runs train once, persist, and
+reload, exactly as FAISS serializes an index or a tokenizer ships its
+``merges.txt``. This module pins ONE convention for that:
+
+- **DataFrame-shaped artifacts** (IVF centroids, LM tables, signature
+  stores) persist as parquet through the Spark writer — DFS/object-store
+  compatible unchanged, mergeable (the stores are additive), readable with
+  plain ``spark.read.parquet`` by anything else.
+- **Driver-value artifacts** (codebooks, merges, vocab, mixture plans —
+  a few KB to a few MB of plain lists) persist as a single JSON file with a
+  ``kind`` tag and the knobs that must match at load time (m/nbits, the
+  text column's tokenizer regime is the caller's contract). JSON, not
+  pickle: auditable, diffable, language-neutral, and immune to class-path
+  drift. Written with local file I/O — at cluster scale these files live
+  on the artifact store next to the parquet (the reference uploads its
+  artifacts the same way, ``docker/lambda_function.py:432-438``).
+
+Round-trip equality (bit-identical downstream results after reload) is
+pytest-asserted for every artifact kind.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _write_json(path: str, kind: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"kind": kind, **payload}, f, separators=(",", ":"))
+
+
+def _read_json(path: str, kind: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        obj = json.load(f)
+    if obj.get("kind") != kind:
+        raise ValueError(f"{path}: expected artifact kind {kind!r}, got {obj.get('kind')!r}")
+    return obj
+
+
+def save_pq_index(path: str, codebooks: list[list[list[float]]]) -> None:
+    """Persist PQ codebooks (``train_pq_codebooks`` output). m and nbits are
+    implied by the nesting shape and re-derived at load."""
+    _write_json(path, "pq_codebooks", {"codebooks": codebooks})
+
+
+def load_pq_index(path: str) -> list[list[list[float]]]:
+    return [
+        [[float(x) for x in c] for c in book]
+        for book in _read_json(path, "pq_codebooks")["codebooks"]
+    ]
+
+
+def save_bpe_model(path: str, merges: list[tuple[str, str]], vocab: list[str] | None = None) -> None:
+    """Persist learned BPE merges (ordered — order IS the model) and
+    optionally the induced vocab (``bpe_vocab`` output; token→id is its
+    list position, <unk>=0 by construction)."""
+    _write_json(path, "bpe_model", {"merges": [list(m) for m in merges], "vocab": vocab})
+
+
+def load_bpe_model(path: str) -> tuple[list[tuple[str, str]], list[str] | None]:
+    obj = _read_json(path, "bpe_model")
+    return [tuple(m) for m in obj["merges"]], obj["vocab"]
+
+
+def save_mixture_plan(path: str, plan: list[dict]) -> None:
+    """Persist a ``plan_token_budget`` output — the auditable record of what
+    the training run was budgeted to consume per domain."""
+    _write_json(path, "mixture_plan", {"plan": plan})
+
+
+def load_mixture_plan(path: str) -> list[dict]:
+    return _read_json(path, "mixture_plan")["plan"]
+
+
+def save_ivf_centroids(centroids: DataFrame, path: str) -> None:
+    """Persist an IVF coarse quantizer (cell_id, embedding) as parquet."""
+    centroids.write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def save_lm(model: dict[str, DataFrame], path: str) -> None:
+    """Persist a ``train_ngram_lm`` model: one parquet dir per table under
+    ``path`` (bigrams/contexts/vocab)."""
+    for name, df in model.items():
+        df.write.mode("overwrite").parquet(os.path.join(path, name))
+
+
+def load_lm(spark: SparkSession, path: str, tables: tuple[str, ...] = ("bigrams", "contexts", "vocab")) -> dict[str, DataFrame]:
+    return {name: spark.read.parquet(os.path.join(path, name)) for name in tables}

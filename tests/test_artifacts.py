@@ -1,0 +1,94 @@
+"""Model-artifact persistence (operators/artifacts.py): every artifact kind
+round-trips to BIT-IDENTICAL downstream results after reload."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import artifacts as ar
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_pq_index_roundtrip(spark, emb, tmp_path):
+    from aws_financial_data_pipeline_spark.operators import pq
+
+    books = pq.train_pq_codebooks(emb, sample_fraction=0.5)
+    p = str(tmp_path / "pq.json")
+    ar.save_pq_index(p, books)
+    loaded = ar.load_pq_index(p)
+    assert loaded == books
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, pq.ann_topk_pq(emb, queries, k=5, codebooks=books).collect()))
+    b = sorted(map(tuple, pq.ann_topk_pq(emb, queries, k=5, codebooks=loaded).collect()))
+    assert a == b
+
+
+def test_bpe_model_roundtrip(spark, docs, tmp_path):
+    from aws_financial_data_pipeline_spark.operators import bpe
+
+    small = docs.limit(50)
+    merges = bpe.train_bpe(small, num_merges=40)
+    vocab = bpe.bpe_vocab(small, merges)
+    p = str(tmp_path / "bpe.json")
+    ar.save_bpe_model(p, merges, vocab)
+    m2, v2 = ar.load_bpe_model(p)
+    assert m2 == merges and v2 == vocab
+    a = {r["doc_id"]: list(r["bpe_ids"]) for r in bpe.bpe_encode(small, merges, vocab=vocab).collect()}
+    b = {r["doc_id"]: list(r["bpe_ids"]) for r in bpe.bpe_encode(small, m2, vocab=v2).collect()}
+    assert a == b
+
+
+def test_mixture_plan_roundtrip(spark, docs, tmp_path):
+    from aws_financial_data_pipeline_spark.operators import mixture as mx
+
+    plan = mx.plan_token_budget(mx.domain_stats(docs), budget=50_000, alpha=0.5)
+    p = str(tmp_path / "plan.json")
+    ar.save_mixture_plan(p, plan)
+    loaded = ar.load_mixture_plan(p)
+    assert loaded == plan
+    a = sorted((r["doc_id"], r["epoch"]) for r in mx.apply_mixture(docs, plan).collect())
+    b = sorted((r["doc_id"], r["epoch"]) for r in mx.apply_mixture(docs, loaded).collect())
+    assert a == b
+
+
+def test_ivf_centroids_roundtrip(spark, emb, tmp_path):
+    from aws_financial_data_pipeline_spark.operators import similarity as sim
+
+    cent = sim.seed_centroids(emb)
+    p = str(tmp_path / "ivf")
+    ar.save_ivf_centroids(cent, p)
+    loaded = ar.load_ivf_centroids(spark, p)
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, sim.ann_topk_ivf(emb, queries, cent, k=5).collect()))
+    b = sorted(map(tuple, sim.ann_topk_ivf(emb, queries, loaded, k=5).collect()))
+    assert a == b
+
+
+def test_lm_roundtrip(spark, docs, tmp_path):
+    from aws_financial_data_pipeline_spark.operators import lm
+
+    model = lm.train_ngram_lm(docs.filter(F.col("doc_id") % 5 == 0))
+    p = str(tmp_path / "lm")
+    ar.save_lm(model, p)
+    loaded = ar.load_lm(spark, p)
+    score = docs.filter(F.col("doc_id") < 30)
+    a = {r["doc_id"]: r["ppl"] for r in lm.ngram_perplexity(score, model).collect()}
+    b = {r["doc_id"]: r["ppl"] for r in lm.ngram_perplexity(score, loaded).collect()}
+    assert a == b
+
+
+def test_kind_tag_rejects_mismatch(tmp_path):
+    p = str(tmp_path / "x.json")
+    ar.save_mixture_plan(p, [])
+    with pytest.raises(ValueError, match="kind"):
+        ar.load_pq_index(p)

@@ -248,3 +248,36 @@ def test_signal_correlations_on_signal_table(spark):
         assert r["pearson_r"] is None or -1.0 <= r["pearson_r"] <= 1.0
     assert out[("ws_tokens", "n_chars")]["pearson_r"] > 0.9
     assert all(r["n"] == 500 for r in out.values())
+
+
+def test_threshold_sweep_matches_python_reference(spark):
+    """300 seeded-random (score, label) rows: every operating point must equal
+    a brute-force Python reference computed from the same rows."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, round(rng.random(), 4), float(rng.random() < 0.4)) for i in range(300)
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, quality_prob double, label double")
+    B = 20
+    got = {r["threshold"]: r.asDict() for r in ql.threshold_sweep(scored, buckets=B).collect()}
+
+    # reference: bin, then cumulate from the top
+    bins = {}
+    for _, s, lab in rows:
+        b = min(int(s * B), B - 1)
+        p, n = bins.get(b, (0, 0))
+        bins[b] = (p + int(lab), n + (1 - int(lab)))
+    total_pos = sum(p for p, _ in bins.values())
+    tp = fp = 0
+    for b in sorted(bins, reverse=True):
+        tp += bins[b][0]
+        fp += bins[b][1]
+        t = round(b / B, 6)
+        assert (got[t]["tp"], got[t]["fp"]) == (tp, fp), t
+        assert got[t]["fn"] == total_pos - tp
+        assert got[t]["precision"] == round(tp / (tp + fp), 6)
+        assert got[t]["recall"] == round(tp / total_pos, 6)
+        assert got[t]["kept"] == tp + fp
+    assert len(got) == len(bins)
