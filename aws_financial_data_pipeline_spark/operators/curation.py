@@ -51,6 +51,7 @@ def curation_funnel(
     id_col: str = "doc_id",
     materialize: bool = True,
     rule_mode: str = "all",
+    normalize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard curation pipeline; returns ``(corpus, audit)``.
 
@@ -65,6 +66,11 @@ def curation_funnel(
 
     ``quality_model`` is a fitted :mod:`.quality` PipelineModel; omit it to
     skip the model stage (rules-only curation).
+
+    ``normalize=True`` prepends a count-preserving NFKC + control/whitespace
+    normalization stage (:func:`..text.normalize_text`) so trivially-variant
+    copies collide in both dedup stages; off by default (byte-preserving
+    corpora are the safer default, and some sources are pre-normalized).
 
     ``rule_mode`` controls how the C4 and Gopher rule families combine:
     ``"all"`` (default) keeps a document only if BOTH families pass — the
@@ -82,6 +88,15 @@ def curation_funnel(
         return frame.localCheckpoint(eager=False) if materialize else frame
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    if normalize:
+        # stage 0 (opt-in): NFKC + control/whitespace normalization BEFORE
+        # any hashing, so trivially-variant copies (ligatures, full-width
+        # forms, zero-width junk) collide in exact AND minhash dedup.
+        # Count-preserving (a map), but audited so lineage shows it ran.
+        docs = tx.normalize_text(docs, text_col=text_col)
+        docs = _stage(docs)
+        stages.append(("normalize", docs))
 
     canon = (
         dd.exact_duplicates(docs, text_col, id_col)

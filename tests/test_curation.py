@@ -272,3 +272,29 @@ def test_pretraining_pipeline_mixture_stage(spark):
     bins_e0 = [r["bin_id"] for r in packed if r["epoch"] == 0]
     bins_e1 = [r["bin_id"] for r in packed if r["epoch"] == 1]
     assert bins_e1 and min(bins_e1) >= max(bins_e0)
+
+
+def test_funnel_normalize_stage_collides_unicode_variants(spark):
+    """normalize=True: a full-width/ligature variant of a doc becomes an
+    exact duplicate and is dropped; without it both survive exact dedup."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import curation
+
+    base = _wellformed_corpus(spark, n=10)  # 10 docs + planted copy + near-dup
+    # build a REAL unicode variant of doc 0: ligature swap (or zero-width pad)
+    row0 = base.filter(F.col("doc_id") == 0).first()["text"]
+    uni = row0.replace("fi", "ﬁ") if "fi" in row0 else row0 + "​"
+    docs = base.unionByName(
+        spark.createDataFrame([(100, uni)], "doc_id long, text string")
+    )
+    assert uni != row0
+
+    _, audit_off = curation.curation_funnel(docs, minhash_threshold=0.8)
+    off = {r["stage"]: r["docs_kept"] for r in audit_off.collect()}
+    _, audit_on = curation.curation_funnel(docs, minhash_threshold=0.8, normalize=True)
+    on = {r["stage"]: r["docs_kept"] for r in audit_on.collect()}
+    assert "normalize" in on and on["normalize"] == on["input"] == 13
+    assert "normalize" not in off
+    # with normalization the unicode variant collapses into doc 0 at exact dedup
+    assert on["exact_dedup"] == off["exact_dedup"] - 1
