@@ -155,3 +155,53 @@ def test_ngram_contamination_broadcasts_small_test_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_summary_read_path_is_fused_and_scan_bounded(spark):
+    """The pre-aggregated read path (assemble_report_from_summary) runs the
+    SAME tagged-leg pivot as the fused recompute: statement rows scan twice
+    (one summarize leg pass, one row-level risk/spine pass) and the grouped
+    sections add NO per-section scans. History: the round-4 session-2 form
+    planned 53 scans / 49 joins on the testdata adapter — slower than the
+    recompute it exists to beat. Pin the fused shape (≤30 scans, exactly one
+    Generate, no data-sized window) so a de-fusion regresses loudly."""
+    import re
+    import shutil
+    import tempfile
+
+    from aws_financial_data_pipeline_spark.operators.financial import (
+        summarize_transactions,
+    )
+    from aws_financial_data_pipeline_spark.plans import report as rpt
+    from aws_financial_data_pipeline_spark.plans import transactions_view as tv
+
+    sumdir = tempfile.mkdtemp(prefix="afdp_plan_summary_")
+    try:
+        txns = tv.transactions(spark, SF)
+        cur, hist = tv.current_and_historical(txns)
+        summarize_transactions(
+            hist.withColumnRenamed("ym", "year_month")
+        ).write.mode("overwrite").parquet(sumdir)
+
+        def pruned_cur(cols):
+            t = tv.transactions(spark, SF, (*cols, "ym"))
+            c, _ = tv.current_and_historical(t)
+            return c
+
+        report = rpt.canonical_report(
+            rpt.assemble_report_from_summary(
+                cur,
+                spark.read.parquet(sumdir),
+                tv.statement_scalars(txns)["statement_year"],
+                pruned=pruned_cur,
+            )
+        )
+        plan = report._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") <= 30, "summary path de-fused (scan count)"
+        assert plan.count("Generate") == 1, "summary path lost the tagged-leg explode"
+        # the only windows allowed are the view's id-ranking internals — the
+        # pivot itself (trend included) must stay window-free; a window over
+        # the summary union would show a partitionBy on user_id
+        assert not re.search(r"Window .*user_id", plan), "pivot planned a window"
+    finally:
+        shutil.rmtree(sumdir, ignore_errors=True)
