@@ -159,44 +159,8 @@ def pack_chunks(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
-    if num_shards <= 0:
-        raise ValueError(f"num_shards must be positive: {num_shards}")
-    lead_type = chunks.schema[order_cols[0]].dataType.typeName()
-    if lead_type not in (
-        "byte", "short", "integer", "long", "float", "double", "decimal", "timestamp",
-    ):
-        # a non-numeric leading column would cast to NULL and silently
-        # mis-shard every row; fail loudly instead (schema check, no job)
-        raise TypeError(
-            f"order_cols[0] ({order_cols[0]!r}) must be numeric/temporal for "
-            f"range sharding, got {lead_type}"
-        )
     cols = [F.col(c) for c in order_cols]
-    lead = F.col(order_cols[0]).cast("double")
-    # deterministic monotone shard of the leading order column: bounds come
-    # from a one-row aggregate broadcast in-plan (no .collect()); every row of
-    # a given leading value lands in one shard, and shard order == global
-    # order, so per-shard prefixes + shard offsets reproduce the global prefix
-    bounds = chunks.agg(
-        F.min(lead).alias("_lo"), F.max(lead).alias("_hi")
-    )
-    span = F.col("_hi") - F.col("_lo")
-    # NULL leading values shard to 0 explicitly: the per-shard window orders
-    # nulls first within shard 0 and the bounds aggregate ignores nulls, so
-    # the output matches the single-global-window (nulls-first) semantics.
-    # Left implicit, a NULL lead poisons the arithmetic and either drops the
-    # row at the offsets equi-join or lands it in the LAST shard (F.least
-    # skips nulls) — num_shards must stay parallelism, never semantics.
-    shard = F.when(lead.isNull(), F.lit(0)).otherwise(
-        F.least(
-            F.lit(num_shards - 1),
-            F.floor(
-                F.when(span > 0, (lead - F.col("_lo")) * num_shards / (span + 1))
-                .otherwise(F.lit(0.0))
-            ),
-        )
-    ).alias("_shard")
-    sharded = chunks.join(F.broadcast(bounds)).select("*", shard).drop("_lo", "_hi")
+    sharded = _with_range_shard(chunks, order_cols, num_shards)
     w_in = Window.partitionBy("_shard").orderBy(*cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -212,4 +176,79 @@ def pack_chunks(
         .join(F.broadcast(offsets), "_shard")
         .withColumn("bin_id", F.floor((F.col("_offset") + F.col("_within")) / budget))
         .drop("_shard", "_within", "_offset")
+    )
+
+
+def _with_range_shard(
+    chunks: DataFrame, order_cols: tuple[str, ...], num_shards: int
+) -> DataFrame:
+    """Add the deterministic monotone ``_shard`` column pack_chunks partitions
+    its prefix windows by (factored out so the parallelism contract — shard
+    spread under low-cardinality leads — is directly testable)."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive: {num_shards}")
+    lead_type = chunks.schema[order_cols[0]].dataType.typeName()
+    if lead_type not in (
+        "byte", "short", "integer", "long", "float", "double", "decimal", "timestamp",
+    ):
+        # a non-numeric leading column would cast to NULL and silently
+        # mis-shard every row; fail loudly instead (schema check, no job)
+        raise TypeError(
+            f"order_cols[0] ({order_cols[0]!r}) must be numeric/temporal for "
+            f"range sharding, got {lead_type}"
+        )
+    lead = F.col(order_cols[0]).cast("double")
+    # deterministic monotone shard of the leading order column: bounds come
+    # from a one-row aggregate broadcast in-plan (no .collect()); every row of
+    # a given leading value lands in one shard, and shard order == global
+    # order, so per-shard prefixes + shard offsets reproduce the global prefix
+    #
+    # LOW-CARDINALITY LEAD (round-4: mixture epochs — order (epoch, doc_id)
+    # has ~max_epochs distinct lead values, which would collapse the range
+    # shard to that many single-task windows at any num_shards): when the
+    # lead is INTEGRAL and a second numeric order column exists, fold it in
+    # as a fractional part strictly < 1 — lead + (second−lo₂)/(span₂+2) is
+    # still monotone in the lexicographic (lead, second) order (integral
+    # leads differ by ≥ 1), so shard boundaries may now split WITHIN a lead
+    # value and parallelism no longer degrades with lead cardinality. Bin
+    # output is unchanged by construction (sharding is never semantics —
+    # the shard-count-equality tests pin this for the epoch shape too).
+    integral_lead = lead_type in ("byte", "short", "integer", "long")
+    second = None
+    if integral_lead and len(order_cols) > 1:
+        t2 = chunks.schema[order_cols[1]].dataType.typeName()
+        if t2 in ("byte", "short", "integer", "long", "float", "double", "decimal"):
+            second = F.col(order_cols[1]).cast("double")
+    aggs = [F.min(lead).alias("_lo"), F.max(lead).alias("_hi")]
+    if second is not None:
+        aggs += [F.min(second).alias("_lo2"), F.max(second).alias("_hi2")]
+    bounds = chunks.agg(*aggs)
+    if second is not None:
+        span2 = F.col("_hi2") - F.col("_lo2")
+        frac = F.coalesce(
+            F.when(span2 > 0, (second - F.col("_lo2")) / (span2 + 2)).otherwise(F.lit(0.0)),
+            F.lit(0.0),  # NULL second → fraction 0, nulls-first within the lead
+        )
+        key = lead + frac
+        span = F.col("_hi") - F.col("_lo") + 1  # key space is [lo, hi+1)
+    else:
+        key = lead
+        span = F.col("_hi") - F.col("_lo")
+    # NULL leading values shard to 0 explicitly: the per-shard window orders
+    # nulls first within shard 0 and the bounds aggregate ignores nulls, so
+    # the output matches the single-global-window (nulls-first) semantics.
+    # Left implicit, a NULL lead poisons the arithmetic and either drops the
+    # row at the offsets equi-join or lands it in the LAST shard (F.least
+    # skips nulls) — num_shards must stay parallelism, never semantics.
+    shard = F.when(lead.isNull(), F.lit(0)).otherwise(
+        F.least(
+            F.lit(num_shards - 1),
+            F.floor(
+                F.when(span > 0, (key - F.col("_lo")) * num_shards / (span + 1))
+                .otherwise(F.lit(0.0))
+            ),
+        )
+    ).alias("_shard")
+    return chunks.join(F.broadcast(bounds)).select("*", shard).drop(
+        *(["_lo", "_hi", "_lo2", "_hi2"] if second is not None else ["_lo", "_hi"])
     )

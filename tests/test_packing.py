@@ -198,3 +198,40 @@ def test_chunk_sentences_empty_and_null(spark):
     assert rows[1]["chunk_text"] == ""  # empty doc → one empty chunk (chunk_tokens convention)
     assert 2 not in rows  # null text drops, like chunk_tokens
     assert rows[3]["chunk_text"] == "Only one."
+
+
+def test_pack_chunks_low_cardinality_lead_still_parallel(spark):
+    """Epoch-style ordering (lead has 3 distinct values): the composite range
+    shard must (a) spread rows across FAR more shards than lead cardinality —
+    the session-2 lead-only shard collapsed to one window task per epoch —
+    and (b) leave bin assignment identical to the single-window form."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators.packing import (
+        _with_range_shard,
+        pack_chunks,
+    )
+
+    rows = [(e, d, 10) for e in range(3) for d in range(200)]
+    chunks = spark.createDataFrame(rows, "epoch int, doc_id long, n_tokens int")
+
+    shards = (
+        _with_range_shard(chunks, ("epoch", "doc_id"), 32)
+        .select("_shard").distinct().count()
+    )
+    assert shards > 16, f"composite shard collapsed to {shards} shards"
+
+    ref = {
+        (r["epoch"], r["doc_id"]): r["bin_id"]
+        for r in pack_chunks(
+            chunks, budget=64, order_cols=("epoch", "doc_id"), num_shards=1
+        ).collect()
+    }
+    for n in (8, 32, 256):
+        got = {
+            (r["epoch"], r["doc_id"]): r["bin_id"]
+            for r in pack_chunks(
+                chunks, budget=64, order_cols=("epoch", "doc_id"), num_shards=n
+            ).collect()
+        }
+        assert got == ref, f"num_shards={n} changed bins"
