@@ -227,6 +227,209 @@ def ann_topk_lsh(
     return _topk_rerank(pairs, k)
 
 
+def contrastive_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: per anchor, the
+    ``k`` hardest NEGATIVES (nearest vectors with a DIFFERENT label — the
+    pairs a contrastive loss learns most from) and the ``k`` strongest
+    POSITIVES (nearest vectors with the SAME label). Returns
+    (q_id, neighbor_id, cosine, rn, role) with role ∈ {'pos', 'neg'} and rn
+    ranked within (anchor, role).
+
+    One corpus scan + one window: every (anchor, candidate) pair is scored
+    once and the role split is a projection, so mining both sides costs the
+    same as one :func:`cosine_topk` pass. Null labels are excluded on both
+    sides (an unlabeled vector is neither a safe positive nor a provably
+    hard negative). Scale path: :func:`contrastive_topk_lsh` restricts the
+    same scoring to LSH-band candidates."""
+    corpus = (
+        with_norm(emb.filter(F.col(label_col).isNotNull()), vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_e"),
+            "_norm2",
+            F.col(label_col).alias("_nl"),
+        )
+    )
+    q = (
+        with_norm(queries.filter(F.col(label_col).isNotNull()), vec_col)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("_qe"),
+            F.col("_norm2").alias("_qnorm2"),
+            F.col(label_col).alias("_ql"),
+        )
+    )
+    pairs = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
+    cos = _dot(F.col("_e"), F.col("_qe")) / F.sqrt(F.col("_norm2") * F.col("_qnorm2"))
+    role = F.when(F.col("_nl") == F.col("_ql"), F.lit("pos")).otherwise(F.lit("neg"))
+    scored = pairs.select("q_id", "neighbor_id", cos.alias("_cos"), role.alias("role"))
+    w = Window.partitionBy("q_id", "role").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rn", "role")
+    )
+
+
+def contrastive_topk_lsh(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    num_planes: int = NUM_PLANES,
+    band_size: int = 4,
+) -> DataFrame:
+    """Scale path for :func:`contrastive_topk`: candidates = LSH-band
+    collisions (the same equi-join as :func:`ann_topk_lsh`), labels joined
+    on afterwards, the (anchor, role) window over candidates only. Hard
+    negatives are by definition NEAR the anchor, which is exactly what
+    random-hyperplane buckets surface — recall vs the exact form is
+    pytest-asserted, approximation is expected on the 'pos' tail (distant
+    same-label vectors don't collide, and a contrastive miner doesn't want
+    them anyway)."""
+    labeled = emb.filter(F.col(label_col).isNotNull())
+    sig = lsh_bands(spark, labeled, vec_col, id_col, num_planes, band_size)
+    q_ids = queries.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("q_id")
+    )
+    cand = (
+        sig.join(
+            F.broadcast(sig.withColumnsRenamed({"vec_id": "q_id"}).join(q_ids, "q_id")),
+            ["band_id", "band_val"],
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    corpus = with_norm(labeled, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_e"),
+        "_norm2",
+        F.col(label_col).alias("_nl"),
+    )
+    q = with_norm(labeled.join(q_ids, F.col(id_col) == F.col("q_id")), vec_col).select(
+        "q_id",
+        F.col(vec_col).alias("_qe"),
+        F.col("_norm2").alias("_qnorm2"),
+        F.col(label_col).alias("_ql"),
+    )
+    pairs = cand.join(corpus, "neighbor_id").join(F.broadcast(q), "q_id")
+    cos = _dot(F.col("_e"), F.col("_qe")) / F.sqrt(F.col("_norm2") * F.col("_qnorm2"))
+    role = F.when(F.col("_nl") == F.col("_ql"), F.lit("pos")).otherwise(F.lit("neg"))
+    scored = pairs.select("q_id", "neighbor_id", cos.alias("_cos"), role.alias("role"))
+    w = Window.partitionBy("q_id", "role").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rn", "role")
+    )
+
+
+def knn_classify(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label propagation: predict each query vector's label as the
+    majority label of its ``k`` nearest labeled corpus vectors (self
+    excluded). Returns (q_id, predicted_label, votes, total) — ``votes`` the
+    winning label's neighbor count out of ``total`` ≤ k scored neighbors.
+
+    Curation use: transfer a small hand-labeled quality/domain seed set onto
+    the full corpus without training a model — the embedding-space analogue
+    of the HashingTF classifier in operators.quality. Ties break to the
+    smallest label (``min(struct(-cnt, label))`` — the engine's standard
+    window-free argmax, NOTES.md). Cost = one :func:`cosine_topk` pass; at
+    scale swap the exact top-k for :func:`ann_topk_lsh` candidates upstream
+    and the vote is unchanged."""
+    neighbors = cosine_topk(
+        emb.filter(F.col(label_col).isNotNull()), queries, k, vec_col, id_col
+    )
+    labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        neighbors.join(labels, "neighbor_id")
+        .groupBy("q_id", "_nl")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    best = votes.groupBy("q_id").agg(
+        F.min(F.struct((-F.col("_cnt")).alias("_neg"), F.col("_nl").alias("_l"))).alias("_b"),
+        F.sum("_cnt").alias("total"),
+    )
+    return best.select(
+        "q_id",
+        F.col("_b._l").alias("predicted_label"),
+        (-F.col("_b._neg")).alias("votes"),
+        "total",
+    )
+
+
+def embedding_contamination(
+    spark: SparkSession,
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int | None = None,
+    band_size: int | None = None,
+) -> DataFrame:
+    """Semantic train/test decontamination: (train_id, test_id, cosine) pairs
+    with cosine ≥ ``threshold`` — the embedding-space member of the
+    decontamination trio (MinHash Jaccard catches near-copies, exact n-grams
+    catch verbatim quotes, THIS catches paraphrases/translations that share
+    no surface n-grams at all). Same LSH→verify shape as
+    :func:`embedding_near_duplicates_lsh`, but the candidate join is
+    train-signatures × test-signatures directly — the two id spaces never
+    mix, so no membership tagging or offset arithmetic is needed (contrast
+    dedup.cross_corpus_contamination, which must union its corpora to reuse
+    minhash_dedup). The test side of the band join is broadcast-hinted: a
+    benchmark suite is orders of magnitude smaller than train BY CONTRACT.
+
+    Knobs default to corpus-derived via :func:`scale_lsh_params` on the
+    TRAIN count (the big side bounds bucket loads); pin them for oracle
+    replication."""
+    if num_planes is None or band_size is None:
+        auto_planes, auto_band = scale_lsh_params(train.count(), threshold)
+        num_planes = auto_planes if num_planes is None else num_planes
+        band_size = auto_band if band_size is None else band_size
+    sig_tr = lsh_bands(spark, train, vec_col, id_col, num_planes, band_size)
+    sig_te = lsh_bands(spark, test, vec_col, id_col, num_planes, band_size)
+    cand = (
+        sig_tr.join(
+            F.broadcast(sig_te.withColumnsRenamed({"vec_id": "test_id"})),
+            ["band_id", "band_val"],
+        )
+        .select(F.col("vec_id").alias("train_id"), "test_id")
+        .distinct()
+    )
+    a = with_norm(train, vec_col).select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("_ea"), F.col("_norm2").alias("_na")
+    )
+    b = with_norm(test, vec_col).select(
+        F.col(id_col).alias("test_id"), F.col(vec_col).alias("_eb"), F.col("_norm2").alias("_nb")
+    )
+    pairs = cand.join(a, "train_id").join(F.broadcast(b), "test_id")
+    cos = _dot(F.col("_ea"), F.col("_eb")) / F.sqrt(F.col("_na") * F.col("_nb"))
+    return pairs.select("train_id", "test_id", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def _norm2_py(vec) -> float:
     """Driver-side ||v||² with the same sequential left-to-right accumulation
     as :func:`_dot` / DuckDB ``list_dot_product`` — bit-identical doubles."""

@@ -353,11 +353,12 @@ EXT_ORACLES: dict[str, str] = {
       SELECT j, list(w ORDER BY i) AS wv
       FROM (VALUES {{planes}}) p(j, i, w) GROUP BY j
     ),
-    base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM base),
-    q AS (SELECT vec_id AS q_id, e AS qe, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+    n AS (SELECT vec_id, e, label, list_dot_product(e, e) AS n2 FROM base),
+    q AS (SELECT vec_id AS q_id, e AS qe, label AS qlabel, n2 AS qn2
+          FROM n WHERE vec_id % 100 = 0),
     brute_scored AS (
-      SELECT q.q_id, c.vec_id AS neighbor_id,
+      SELECT q.q_id, c.vec_id AS neighbor_id, c.label, q.qlabel,
              list_dot_product(c.e, q.qe) / sqrt(c.n2 * q.qn2) AS cos
       FROM n c, q WHERE c.vec_id <> q.q_id
     ),
@@ -365,6 +366,17 @@ EXT_ORACLES: dict[str, str] = {
       SELECT q_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
       FROM brute_scored
+    ),
+    con_scored AS (
+      SELECT q_id, neighbor_id, cos,
+             CASE WHEN label = qlabel THEN 'hardpos' ELSE 'hardneg' END AS method
+      FROM brute_scored WHERE label IS NOT NULL AND qlabel IS NOT NULL
+    ),
+    con_ranked AS (
+      SELECT method, q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id, method
+                                ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM con_scored
     ),
     sig AS (
       SELECT b.vec_id, CAST(p.j // 4 AS INT) AS band_id,
@@ -396,6 +408,9 @@ EXT_ORACLES: dict[str, str] = {
     UNION ALL
     SELECT 'lsh' AS method, q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
     FROM lsh_ranked WHERE rn <= 10
+    UNION ALL
+    SELECT method, q_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+    FROM con_ranked WHERE rn <= 10
     """.format(planes=_planes_values()),
     "x26_ann_ivf_topk": _EMB_NORM
     + """
@@ -456,10 +471,23 @@ EXT_ORACLES: dict[str, str] = {
       SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
       FROM sig a JOIN sig b
         ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    ),
+    xcand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.vec_id % 3 <> 0 AND b.vec_id % 3 = 0
     )
-    SELECT c.doc_a, c.doc_b,
+    SELECT 'neardup' AS method, c.doc_a, c.doc_b,
            round(list_dot_product(na.e, nb.e) / sqrt(na.n2 * nb.n2), 6) AS cosine
     FROM cand c
+    JOIN n na ON na.vec_id = c.doc_a
+    JOIN n nb ON nb.vec_id = c.doc_b
+    WHERE round(list_dot_product(na.e, nb.e) / sqrt(na.n2 * nb.n2), 6) >= 0.35
+    UNION ALL
+    SELECT 'xcorpus' AS method, c.doc_a, c.doc_b,
+           round(list_dot_product(na.e, nb.e) / sqrt(na.n2 * nb.n2), 6) AS cosine
+    FROM xcand c
     JOIN n na ON na.vec_id = c.doc_a
     JOIN n nb ON nb.vec_id = c.doc_b
     WHERE round(list_dot_product(na.e, nb.e) / sqrt(na.n2 * nb.n2), 6) >= 0.35

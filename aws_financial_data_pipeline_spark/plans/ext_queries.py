@@ -100,32 +100,63 @@ def _queryset(emb: DataFrame) -> DataFrame:
 
 
 def x07_knn_topk(spark, sf_dir):
-    """Exact cosine top-k AND its LSH ANN scale path in ONE checked slot
-    (round-3 merge of x07_cosine_topk + x08_ann_lsh_topk — freed the slot
-    x42_dup_spans occupies), discriminated by ``method``: 'brute' is the
-    exact baseline every ANN variant is judged against (broadcast query
-    side, one corpus scan); 'lsh' restricts the same exact cosine to
-    band-sharing candidates (equi-join on band keys — the near-linear form).
-    Both rank with the same deterministic tie-break; the oracle replicates
-    the hyperplane bands bit-for-bit."""
+    """Exact cosine top-k, its LSH ANN scale path, AND contrastive-pair
+    mining in ONE checked slot (round-3 merged x07_cosine_topk +
+    x08_ann_lsh_topk; round-4 adds the 'hardneg'/'hardpos' legs),
+    discriminated by ``method``: 'brute' is the exact baseline every ANN
+    variant is judged against (broadcast query side, one corpus scan);
+    'lsh' restricts the same exact cosine to band-sharing candidates
+    (equi-join on band keys — the near-linear form); 'hardneg'/'hardpos'
+    are contrastive_topk's per-anchor nearest cross-label / same-label
+    rankings (one extra window over the same scored pairs). All rank with
+    the same deterministic tie-break; the oracle replicates the hyperplane
+    bands bit-for-bit."""
     emb = _emb(spark, sf_dir)
     qs = _queryset(emb)
     brute = similarity.cosine_topk(emb, qs, k=10).withColumn("method", F.lit("brute"))
     lsh = similarity.ann_topk_lsh(spark, emb, qs, k=10).withColumn("method", F.lit("lsh"))
-    return brute.unionByName(lsh)
+    con = similarity.contrastive_topk(emb, qs, k=10).select(
+        "q_id", "neighbor_id", "cosine", "rn",
+        F.concat(F.lit("hard"), F.col("role")).alias("method"),
+    )
+    return brute.unionByName(lsh).unionByName(con)
 
 
 def x09_embedding_neardup(spark, sf_dir):
-    """Embedding near-dup pairs via the SCALE path: LSH-band candidates →
-    exact cosine on candidates only (round 1 shipped the exact all-pairs
-    O(N²) form here; that form is now the guarded pytest recall oracle).
+    """Embedding near-dup pairs via the SCALE path, plus the embedding-space
+    decontamination built on the same machinery, discriminated by ``method``:
+
+    - 'neardup': LSH-band candidates → exact cosine on candidates only
+      (round 1 shipped the exact all-pairs O(N²) form here; that form is now
+      the guarded pytest recall oracle).
+    - 'xcorpus' (round 4): embedding_contamination over a train/test split
+      of the corpus (vec_id % 3 — deterministic, SQL-replicable) — the
+      semantic member of the decontamination trio next to x40's MinHash and
+      n-gram legs; candidates come from a train-sigs × broadcast
+      test-sigs band join, so the id spaces never mix.
+
     The SQL oracle replicates the hyperplane bands, so the approximation is
     itself hash-gated, not just rows-counted. Knobs are PINNED (16 planes,
     4-bit bands) to match the oracle's VALUES list; production callers leave
     them None and get corpus-derived settings (scale_lsh_params)."""
-    return similarity.embedding_near_duplicates_lsh(
-        spark, _emb(spark, sf_dir), threshold=0.35, num_planes=16, band_size=4
+    emb = _emb(spark, sf_dir)
+    near = similarity.embedding_near_duplicates_lsh(
+        spark, emb, threshold=0.35, num_planes=16, band_size=4
+    ).withColumn("method", F.lit("neardup"))
+    xcon = similarity.embedding_contamination(
+        spark,
+        emb.filter(F.col("vec_id") % 3 != 0),
+        emb.filter(F.col("vec_id") % 3 == 0),
+        threshold=0.35,
+        num_planes=16,
+        band_size=4,
+    ).select(
+        F.col("train_id").alias("doc_a"),
+        F.col("test_id").alias("doc_b"),
+        "cosine",
+        F.lit("xcorpus").alias("method"),
     )
+    return near.unionByName(xcon)
 
 
 def x26_ann_ivf_topk(spark, sf_dir):

@@ -361,3 +361,169 @@ def test_semantic_dedup_marks_within_cluster_near_copies(spark):
     assert {k for k, v in auto.items() if v["is_duplicate"]} == {
         k for k, v in got.items() if v["is_duplicate"]
     }
+
+
+# -- contrastive mining / kNN label propagation / semantic decontamination --
+
+LABELED_COLS = "vec_id long, embedding array<double>, label long"
+
+
+def _labeled_clusters(spark, per_label=6, dim=8, noise=0.05, seed=3):
+    """Two well-separated label clusters hugging orthogonal axes — label IS
+    recoverable from geometry here (the real embeddings table has random
+    labels by design, so classifier-quality tests need this fixture)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for lab, axis in ((0, 0), (1, 1)):
+        for _ in range(per_label):
+            v = np.zeros(dim)
+            v[axis] = 1.0
+            v = v + noise * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v], lab))
+            vid += 1
+    return spark.createDataFrame(rows, LABELED_COLS)
+
+
+def test_contrastive_roles_partition_by_label(spark):
+    emb = _labeled_clusters(spark)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    anchors = emb.filter(F.col("vec_id") == 0)
+    got = sim.contrastive_topk(emb, anchors, k=4).collect()
+    assert got, "mining returned nothing"
+    by_role = {"pos": [], "neg": []}
+    for r in got:
+        assert r["neighbor_id"] != 0  # self excluded
+        if r["role"] == "pos":
+            assert labels[r["neighbor_id"]] == labels[0]
+        else:
+            assert labels[r["neighbor_id"]] != labels[0]
+        by_role[r["role"]].append(r["rn"])
+    # rn is dense 1..k WITHIN each role, both roles mined in one pass
+    assert sorted(by_role["pos"]) == [1, 2, 3, 4]
+    assert sorted(by_role["neg"]) == [1, 2, 3, 4]
+    # positives (same cluster) score far above negatives (orthogonal cluster)
+    pos_min = min(r["cosine"] for r in got if r["role"] == "pos")
+    neg_max = max(r["cosine"] for r in got if r["role"] == "neg")
+    assert pos_min > 0.8 > 0.5 > neg_max
+
+
+def test_contrastive_hard_negative_is_nearest_cross_label(spark):
+    # plant a cross-label vector almost on top of the anchor: THE hard negative
+    emb = _labeled_clusters(spark)
+    anchor = emb.filter(F.col("vec_id") == 0).collect()[0]
+    planted = [float(x) for x in anchor["embedding"]]
+    planted[1] += 0.01
+    emb = emb.unionByName(
+        spark.createDataFrame([(99, planted, 1)], LABELED_COLS)
+    )
+    got = rows_by_key(
+        sim.contrastive_topk(emb, emb.filter(F.col("vec_id") == 0), k=3),
+        "role", "rn",
+    )
+    assert got[("neg", 1)]["neighbor_id"] == 99
+    assert got[("neg", 1)]["cosine"] > 0.99
+
+
+def test_contrastive_excludes_null_labels(spark):
+    emb = _labeled_clusters(spark, per_label=3)
+    unlabeled = spark.createDataFrame(
+        [(50, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], None)], LABELED_COLS
+    )
+    emb = emb.unionByName(unlabeled)
+    got = sim.contrastive_topk(emb, emb.filter(F.col("vec_id").isin(0, 50)), k=10)
+    rows = got.collect()
+    # the unlabeled vector is neither an anchor nor a candidate
+    assert all(r["q_id"] != 50 for r in rows)
+    assert all(r["neighbor_id"] != 50 for r in rows)
+
+
+def test_contrastive_lsh_subset_and_finds_planted_negative(spark):
+    emb = _labeled_clusters(spark)
+    anchor = emb.filter(F.col("vec_id") == 0).collect()[0]
+    emb = emb.unionByName(
+        spark.createDataFrame([(99, list(anchor["embedding"]), 1)], LABELED_COLS)
+    )
+    anchors = emb.filter(F.col("vec_id") == 0)
+    exact = {
+        (r["q_id"], r["neighbor_id"], r["role"])
+        for r in sim.contrastive_topk(emb, anchors, k=10).collect()
+    }
+    approx = sim.contrastive_topk_lsh(spark, emb, anchors, k=10).collect()
+    # ANN never invents pairs or flips a role
+    assert {(r["q_id"], r["neighbor_id"], r["role"]) for r in approx} <= exact
+    # an identical cross-label vector shares every band → found, neg rn 1
+    neg1 = [r for r in approx if r["role"] == "neg" and r["rn"] == 1]
+    assert neg1 and neg1[0]["neighbor_id"] == 99
+
+
+def test_knn_classify_recovers_separated_labels(spark):
+    import numpy as np
+
+    emb = _labeled_clusters(spark, per_label=8)
+    rng = np.random.default_rng(17)
+    probes = []
+    for qid, axis in ((100, 0), (101, 1)):
+        v = np.zeros(8)
+        v[axis] = 1.0
+        probes.append((qid, [float(x) for x in v + 0.05 * rng.standard_normal(8)], None))
+    queries = spark.createDataFrame(probes, LABELED_COLS)
+    got = rows_by_key(sim.knn_classify(emb, queries, k=5), "q_id")
+    assert got[(100,)]["predicted_label"] == 0
+    assert got[(101,)]["predicted_label"] == 1
+    # clean separation: unanimous vote, all k neighbors scored
+    assert got[(100,)]["votes"] == 5 and got[(100,)]["total"] == 5
+
+
+def test_knn_classify_tie_breaks_to_smallest_label(spark):
+    # two neighbors, one per label, equidistant from the probe → 1-1 tie
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.0, 1.0], 3)], LABELED_COLS
+    )
+    probe = spark.createDataFrame(
+        [(10, [1.0, 1.0], None)], LABELED_COLS
+    )
+    got = rows_by_key(sim.knn_classify(emb, probe, k=2), "q_id")
+    assert got[(10,)]["predicted_label"] == 3  # min label wins the tie
+    assert got[(10,)]["votes"] == 1 and got[(10,)]["total"] == 2
+
+
+def test_embedding_contamination_cross_pairs_only(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((6, 16))
+    # train: 6 vectors, 0 and 1 made near-identical (an INTERNAL train dup)
+    train_rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    train_rows[1] = (1, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)])
+    # test: one near-copy of train 3 (the leak) + one fresh vector
+    test_rows = [
+        (100, [float(x) for x in base[3] + 0.01 * rng.standard_normal(16)]),
+        (101, [float(x) for x in rng.standard_normal(16)]),
+    ]
+    train = spark.createDataFrame(train_rows, EMB_COLS)
+    test = spark.createDataFrame(test_rows, EMB_COLS)
+    got = sim.embedding_contamination(
+        spark, train, test, threshold=0.9, num_planes=16, band_size=4
+    ).collect()
+    # exactly the planted leak; the internal train dup is x09's job, not ours
+    assert {(r["train_id"], r["test_id"]) for r in got} == {(3, 100)}
+    assert got[0]["cosine"] > 0.99
+
+
+def test_embedding_contamination_auto_knobs_recall(spark):
+    # leaks planted across a 200-vector train / 20-vector test split; knobs
+    # left None derive from the train count (scale_lsh_params)
+    emb, planted = _planted_corpus(spark, 200, n_pairs=20)
+    train = emb.filter(F.col("vec_id") < 200)
+    test = (
+        emb.filter(F.col("vec_id") >= 200)
+        .withColumn("vec_id", F.col("vec_id") - 200)
+    )
+    got = sim.embedding_contamination(spark, train, test, threshold=0.9).collect()
+    pairs = {(r["train_id"], r["test_id"]) for r in got}
+    expected = {(a, b - 200) for a, b in planted}
+    recall = len(pairs & expected) / len(expected)
+    assert recall >= 0.7, f"auto-knob contamination recall: {recall:.2f}"
