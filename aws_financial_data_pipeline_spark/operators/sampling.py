@@ -100,6 +100,91 @@ def global_shuffle(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    num_bins: int = 10,
+    seed: int = 0,
+    num_shards: int = 32,
+    ascending: bool = True,
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009): rows are binned by a
+    difficulty/quality score and SHUFFLED WITHIN each bin, yielding a unique
+    global ``curriculum_pos`` in [0, N) that reads easy→hard
+    (``ascending=False`` for hard→easy / anti-curriculum) with randomized
+    order inside each difficulty band — deterministic, partition-invariant,
+    re-seedable, like :func:`global_shuffle` (which is the degenerate
+    ``num_bins=1`` case of this).
+
+    Bins: ``boundaries`` (ascending score cut points; bin = #boundaries ≤
+    score) pins them exactly — pass these when reproducibility across runs
+    matters. Default derives ``num_bins`` equi-depth cut points with ONE
+    ``percentile_approx`` aggregate (driver-side scalar list — approximate
+    and cheap at any N; the bin WIDTHS wobble, the ordering contract never
+    does). NULL scores raise: a difficulty curriculum over unscored rows is
+    a caller bug, not a default (same loud-NULL policy as packing).
+
+    Scale shape: identical two-pass form as :func:`global_shuffle`, with the
+    shard key extended to (bin, hash-shard) — per-(bin, shard) parallel rank
+    windows, then one tiny offsets window over ``num_bins × num_shards``
+    rows. ``curriculum_shard`` is monotone with ``curriculum_pos``: write
+    bucketed by it + ``sortWithinPartitions(curriculum_pos)`` and read
+    shards in order."""
+    if num_shards <= 0 or num_bins <= 0:
+        raise ValueError(f"num_bins/num_shards must be positive: {num_bins}/{num_shards}")
+    if df.filter(F.col(score_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"curriculum_order: NULL {score_col!r} rows have no difficulty bin; "
+            "score or filter them first"
+        )
+    if boundaries is None:
+        qs = [i / num_bins for i in range(1, num_bins)]
+        row = df.select(
+            F.percentile_approx(F.col(score_col).cast("double"), qs).alias("b")
+        ).first()
+        boundaries = [float(x) for x in (row["b"] or [])]
+    # bin = number of cut points at or below the score — a map-only fold over
+    # a tiny literal array (≤ num_bins-1 elements)
+    cuts = F.array(*[F.lit(float(b)) for b in sorted(boundaries)])
+    s = F.col(score_col).cast("double")
+    bin_col = F.aggregate(
+        cuts, F.lit(0), lambda acc, c: acc + F.when(s >= c, 1).otherwise(0)
+    )
+    key = F.xxhash64(F.lit(int(seed)), F.col(id_col))
+    shard = F.least(
+        F.lit(num_shards - 1),
+        F.floor((key.cast("double") / F.lit(2.0**64) + 0.5) * num_shards),
+    ).cast("int")
+    from pyspark.sql import Window
+
+    n_bins_actual = len(boundaries) + 1
+    border = (
+        F.col("curriculum_bin")
+        if ascending
+        else F.lit(n_bins_actual - 1) - F.col("curriculum_bin")
+    )
+    keyed = (
+        df.withColumn("curriculum_bin", bin_col)
+        .withColumn("_skey", key)
+        .withColumn("_shard", shard)
+        .withColumn("curriculum_shard", border * num_shards + F.col("_shard"))
+    )
+    w_in = Window.partitionBy("curriculum_shard").orderBy("_skey", id_col)
+    counts = keyed.groupBy("curriculum_shard").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("curriculum_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "curriculum_shard", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w_in) - 1)
+        .join(F.broadcast(offsets), "curriculum_shard")
+        .withColumn("curriculum_pos", F.col("_off") + F.col("_rn"))
+        .drop("_skey", "_shard", "_rn", "_off")
+    )
+
+
 def quota_sample_flag(
     df: DataFrame,
     id_col: str,
