@@ -560,6 +560,53 @@ def ngram_contamination(
     )
 
 
+def contamination_report(
+    pairs: DataFrame,
+    test: DataFrame,
+    benchmark_col: str = "benchmark",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Roll contamination PAIRS up to the per-benchmark audit every
+    pretraining run reports before touching the data.
+
+    ``pairs`` is :func:`cross_corpus_contamination` /
+    :func:`ngram_contamination` output (train_id, test_id, …); ``test`` maps
+    each test doc to its benchmark/split under ``benchmark_col``. Output, one
+    row per benchmark:
+
+    - ``n_test_docs`` — benchmark size,
+    - ``n_contaminated`` — distinct test docs hit by ≥1 train doc,
+    - ``contamination_rate`` — the fraction (4dp, exact integer ratio),
+    - ``n_train_implicated`` — distinct train docs to drop/flag for it.
+
+    Shape: the benchmark map is test-suite-size (broadcast onto the pair
+    table), the distinct counts are exact (approx is wrong for an audit),
+    and the output is B rows — driver-size. A benchmark with zero hits still
+    appears, with zeros (left join from the size table).
+    """
+    bmap = test.select(
+        F.col(id_col).alias("test_id"), F.col(benchmark_col).alias("benchmark")
+    )
+    sizes = bmap.groupBy("benchmark").agg(F.count("*").alias("n_test_docs"))
+    hits = (
+        pairs.join(F.broadcast(bmap), "test_id")
+        .groupBy("benchmark")
+        .agg(
+            F.count_distinct("test_id").alias("n_contaminated"),
+            F.count_distinct("train_id").alias("n_train_implicated"),
+        )
+    )
+    return sizes.join(hits, "benchmark", "left").select(
+        "benchmark",
+        "n_test_docs",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_test_docs"), 4
+        ).alias("contamination_rate"),
+        F.coalesce("n_train_implicated", F.lit(0)).alias("n_train_implicated"),
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over distinct whitespace tokens — SMALL-SF DEMO ONLY;
     use :func:`simhash64` at scale (this form's 8-bit bands are

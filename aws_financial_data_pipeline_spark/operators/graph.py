@@ -115,3 +115,53 @@ def dedup_clusters(
         "cluster_size",
         (F.col(id_col) == F.col("component")).alias("is_canonical"),
     )
+
+
+def cluster_representatives(
+    clustered: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-elect each dedup cluster's keeper by QUALITY instead of min-id.
+
+    ``dedup_clusters`` keeps the minimum doc_id per component — deterministic
+    and join-free, but blind to document quality. Production pipelines
+    (FineWeb, RefinedWeb) keep the *best* member of a duplicate cluster:
+    join your quality signal (``score_quality``'s quality_prob, a perplexity
+    bucket, text_profile stats …) onto the cluster table and call this.
+
+    Input: ``dedup_clusters`` output (id, component, cluster_size, …) with
+    ``score_col`` joined on. Output: the same rows plus ``is_representative``
+    — true for exactly one doc per component: the max score, ties broken by
+    ascending id, NULL scores sorting last. Plain aggregation argmax
+    (``min(struct(-score, id))`` — the NOTES mode/argmax pattern), no window:
+    one groupBy keyed by component, one broadcast-size join back.
+    """
+    neg = -F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
+    reps = clustered.groupBy("component").agg(
+        F.min(F.struct(neg.alias("_ns"), F.col(id_col).alias("_i"))).alias("_best")
+    ).select("component", F.col("_best._i").alias("_rep_id"))
+    return clustered.join(reps, "component").select(
+        *clustered.columns,
+        (F.col(id_col) == F.col("_rep_id")).alias("is_representative"),
+    )
+
+
+def soft_dedup_weights(clustered: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Down-weight duplicates instead of dropping them (soft dedup).
+
+    Hard dedup throws away the repetition signal entirely; the soft
+    alternative (SoftDeDup, arXiv:2401.00396 — and the D4 observation that
+    mild duplication can help) keeps every doc but scales its training
+    weight by ``cluster_size**-alpha``: alpha=1 makes each duplicate
+    CLUSTER contribute total weight 1 regardless of its size (sum of member
+    weights = size·size⁻¹), alpha=0 is no-op, intermediate values
+    interpolate. Pure projection over ``dedup_clusters`` output — no
+    shuffle, composes with ``dsir_weights``/mixture sampling by
+    multiplication.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be ≥ 0: {alpha}")
+    return clustered.withColumn(
+        "dedup_weight", F.pow(F.col("cluster_size").cast("double"), F.lit(-float(alpha)))
+    )

@@ -9,8 +9,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aws_financial_data_pipeline_spark.operators.graph import (
+    cluster_representatives,
     connected_components,
     dedup_clusters,
+    soft_dedup_weights,
 )
 
 
@@ -80,3 +82,57 @@ def test_dedup_clusters_labels_singletons_and_canonicals(spark):
         0: 3, 3: 3, 4: 3, 1: 1, 2: 1, 5: 1,
     }
     assert [d for d, r in sorted(rows.items()) if r["is_canonical"]] == [0, 1, 2, 5]
+
+
+def _clustered_with_scores(spark):
+    """Cluster {0,3,4} + singletons {1,2,5}, quality joined on: doc 3 is the
+    best of its cluster; doc 4 ties doc 0's score (id break); doc 5's score
+    is NULL (must still be its singleton's representative)."""
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 4)], "doc_a long, doc_b long")
+    scores = spark.createDataFrame(
+        [(0, 0.4), (1, 0.9), (2, 0.1), (3, 0.8), (4, 0.4), (5, None)],
+        "doc_id long, quality_prob double",
+    )
+    return dedup_clusters(docs, pairs).join(scores, "doc_id")
+
+
+def test_cluster_representatives_pick_best_quality(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in cluster_representatives(
+            _clustered_with_scores(spark), "quality_prob"
+        ).collect()
+    }
+    # min-id canonical would keep 0; quality keeps 3
+    assert [d for d, r in sorted(rows.items()) if r["is_representative"]] == [1, 2, 3, 5]
+    # exactly one rep per component, all original columns preserved
+    assert not rows[0]["is_representative"] and not rows[4]["is_representative"]
+    assert rows[3]["cluster_size"] == 3 and rows[3]["component"] == 0
+
+
+def test_cluster_representatives_tie_breaks_by_min_id(spark):
+    # make 0 and 4 tie at the cluster max: lower id wins deterministically
+    clustered = _clustered_with_scores(spark).withColumn(
+        "quality_prob",
+        F.when(F.col("doc_id") == 3, 0.4).otherwise(F.col("quality_prob")),
+    )
+    reps = {
+        r["doc_id"]
+        for r in cluster_representatives(clustered, "quality_prob").collect()
+        if r["is_representative"]
+    }
+    assert reps == {0, 1, 2, 5}
+
+
+def test_soft_dedup_weights_cluster_mass_is_one(spark):
+    out = soft_dedup_weights(_clustered_with_scores(spark)).collect()
+    w = {r["doc_id"]: r["dedup_weight"] for r in out}
+    # alpha=1: each member of the size-3 cluster weighs 1/3, singletons 1
+    assert w[0] == w[3] == w[4] == 1 / 3
+    assert w[1] == w[2] == w[5] == 1.0
+    # alpha=0 is a no-op
+    assert all(
+        r["dedup_weight"] == 1.0
+        for r in soft_dedup_weights(_clustered_with_scores(spark), alpha=0.0).collect()
+    )

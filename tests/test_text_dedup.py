@@ -323,6 +323,30 @@ def test_ngram_contamination_catches_verbatim_quote(spark):
         dedup.ngram_contamination(train, test, n=0)
 
 
+def test_contamination_report_per_benchmark(spark):
+    """Pair rollup → per-benchmark audit: rates are exact fractions, distinct
+    counts don't double-count a train doc hitting two test docs, and a
+    benchmark with zero hits still appears with zeros."""
+    pairs = spark.createDataFrame(
+        # train 1 hits two gsm docs; train 2 hits one of the same ones
+        [(1, 10, 0.9), (1, 11, 0.8), (2, 10, 0.7)],
+        "train_id long, test_id long, jaccard double",
+    )
+    test = spark.createDataFrame(
+        [(10, "gsm8k"), (11, "gsm8k"), (12, "gsm8k"), (13, "mmlu"), (14, "mmlu")],
+        "doc_id long, benchmark string",
+    )
+    got = rows_by_key(dedup.contamination_report(pairs, test), "benchmark")
+    assert got[("gsm8k",)]["n_test_docs"] == 3
+    assert got[("gsm8k",)]["n_contaminated"] == 2
+    assert got[("gsm8k",)]["contamination_rate"] == 0.6667
+    assert got[("gsm8k",)]["n_train_implicated"] == 2
+    assert got[("mmlu",)]["n_test_docs"] == 2
+    assert got[("mmlu",)]["n_contaminated"] == 0
+    assert got[("mmlu",)]["contamination_rate"] == 0.0
+    assert got[("mmlu",)]["n_train_implicated"] == 0
+
+
 def test_text_profile_repetition_ratio(spark):
     """dup_shingle_ratio: a doc that is one phrase repeated has mostly
     duplicate 3-gram shingles; a non-repetitive doc has ratio 0."""
