@@ -52,6 +52,7 @@ def curation_funnel(
     materialize: bool = True,
     rule_mode: str = "all",
     normalize: bool = False,
+    dedup_keep: str = "min_id",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard curation pipeline; returns ``(corpus, audit)``.
 
@@ -81,9 +82,25 @@ def curation_funnel(
     a recall-biased gate for corpora where one family is known to be
     miscalibrated (round-3 shipped this as the silent default; it is now
     opt-in and audited under the same ``rule_filters`` stage name).
+
+    ``dedup_keep`` picks the fuzzy-dedup survivor policy:
+
+    - ``"min_id"`` (default): drop every pair's higher id — keeps a doc
+      unless it is directly similar to a kept lower-id doc (pairwise, no
+      clustering pass; the cheapest correct form).
+    - ``"best"`` (requires ``quality_model``): cluster the pair graph
+      (:func:`..graph.dedup_clusters`) and keep each component's
+      HIGHEST-``quality_prob`` member (:func:`..graph.cluster_representatives`)
+      — the FineWeb/RefinedWeb policy. Transitive: exactly one survivor per
+      connected component, so a chain A~B~C keeps one doc even when A and C
+      are not directly similar (min_id would keep two).
     """
     if rule_mode not in ("all", "any"):
         raise ValueError(f"rule_mode must be 'all' or 'any': {rule_mode!r}")
+    if dedup_keep not in ("min_id", "best"):
+        raise ValueError(f"dedup_keep must be 'min_id' or 'best': {dedup_keep!r}")
+    if dedup_keep == "best" and quality_model is None:
+        raise ValueError("dedup_keep='best' requires quality_model (it keeps by quality_prob)")
     def _stage(frame: DataFrame) -> DataFrame:
         return frame.localCheckpoint(eager=False) if materialize else frame
 
@@ -145,8 +162,21 @@ def curation_funnel(
     pairs = dd.minhash_dedup(
         cur.select(id_col, text_col), text_col, id_col, minhash_threshold
     )
-    dup_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    cur = cur.join(dup_ids, id_col, "left_anti")
+    if dedup_keep == "best":
+        from .graph import cluster_representatives, dedup_clusters
+
+        clustered = dedup_clusters(cur.select(id_col), pairs, id_col=id_col).join(
+            cur.select(id_col, "quality_prob"), id_col
+        )
+        keep = (
+            cluster_representatives(clustered, "quality_prob", id_col=id_col)
+            .filter(F.col("is_representative"))
+            .select(id_col)
+        )
+        cur = cur.join(keep, id_col, "left_semi")
+    else:
+        dup_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        cur = cur.join(dup_ids, id_col, "left_anti")
     cur = _stage(cur)
     stages.append(("minhash_dedup", cur))
 

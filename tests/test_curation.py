@@ -117,6 +117,51 @@ def test_rule_gate_is_conjunctive_by_default(spark):
         curation.curation_funnel(docs, rule_mode="both")
 
 
+def test_funnel_dedup_keep_best_elects_highest_quality(spark):
+    """dedup_keep='best': the fuzzy-dedup survivor of the {1, 6} near-dup
+    cluster must be its highest-quality_prob member (ties → min id) — the
+    FineWeb keep-by-quality policy — rather than min_id unconditionally.
+    Self-consistent assertion (the classifier decides which doc is better;
+    the funnel must agree with an external score_quality call)."""
+    import pytest
+
+    docs = _corpus(spark)
+    seed_rows = [
+        (100 + i,
+         "the of and research method analysis evidence theory result chapter " * 4
+         if i % 2 == 0 else "click here buy now free casino winner jackpot prize " * 4,
+         1.0 if i % 2 == 0 else 0.0)
+        for i in range(20)
+    ]
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string, label double")
+    model = quality.train_quality_classifier(seed, num_features=1 << 12, max_iter=15)
+
+    corpus, audit = curation.curation_funnel(
+        docs, quality_model=model, minhash_threshold=0.5, dedup_keep="best"
+    )
+    out = {r["doc_id"]: r for r in corpus.collect()}
+    funnel = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert funnel["minhash_dedup"] == 2 and sorted(out) != []
+    assert 3 in out
+    survivor = (set(out) - {3}).pop()
+    assert survivor in (1, 6)
+    # the survivor must be the argmax quality_prob of the cluster (tie → min id)
+    probs = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality.score_quality(
+            docs.filter(F.col("doc_id").isin(1, 6)), model
+        ).collect()
+    }
+    expected = min(sorted((1, 6)), key=lambda d: (-probs[d], d))
+    assert survivor == expected
+    assert out[survivor]["quality_prob"] == probs[survivor]
+
+    with pytest.raises(ValueError, match="dedup_keep"):
+        curation.curation_funnel(docs, quality_model=model, dedup_keep="first")
+    with pytest.raises(ValueError, match="quality_model"):
+        curation.curation_funnel(docs, dedup_keep="best")
+
+
 TPL = [
     "The {a} chapter presents the {b} analysis and the supporting evidence in clear detail.",
     "Researchers in {a} often compare the {b} records against older published material.",
