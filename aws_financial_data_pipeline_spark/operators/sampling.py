@@ -44,6 +44,42 @@ def split_assign(
     return out.withColumn("split", expr)
 
 
+def leakage_free_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle.
+
+    Per-doc hash splitting (:func:`split_assign`) puts each member of a
+    near-dup pair in an independent bucket, so ~2·p(train)·p(test) of dup
+    pairs land across the train/test boundary — the evaluation-leakage
+    failure mode the dedup literature (Lee et al. 2021) warns about even
+    AFTER dedup, because fuzzy dedup keeps one member per cluster only if
+    you drop the rest; pipelines that keep duplicates (soft dedup, or
+    dedup thresholds above the leak threshold) still need leak-free splits.
+
+    Fix: split by dedup CLUSTER — hash the component id, every member
+    inherits its component's split. Singleton docs have component == their
+    own id, so their assignment is IDENTICAL to :func:`split_assign`'s
+    (pinned by test): adding pairs only ever merges docs onto the split of
+    their cluster's minimum id.
+
+    ``pairs`` is any near-dup pair frame (``minhash_dedup``,
+    ``phash_near_duplicates``, …). Cost: one connected-components pass on
+    the pair graph (tiny — pairs only), one equi-join back to the corpus.
+    Output: docs + (component, bucket, split).
+    """
+    from .graph import dedup_clusters
+
+    clustered = dedup_clusters(docs, pairs, id_col=id_col)
+    assigned = split_assign(clustered, id_col="component", splits=splits)
+    return docs.join(
+        assigned.select(id_col, "component", "bucket", "split"), id_col
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

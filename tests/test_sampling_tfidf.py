@@ -63,6 +63,30 @@ def test_split_assign_rejects_bad_percentages(spark):
         sampling.split_assign(df, splits={"train": 50, "test": 40})
 
 
+def test_leakage_free_split_clusters_never_straddle(spark):
+    """Every near-dup cluster lands in exactly ONE split; singletons keep
+    the split that plain per-doc split_assign gives them (adding pairs only
+    merges docs onto their cluster's assignment)."""
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    # 50 planted pairs + a chain {400,401,402}: per-doc splitting would
+    # straddle some of these with probability ~1 - (0.8²+0.1²+0.1²)⁵¹ ≈ 1
+    pairs = [(2 * i, 2 * i + 1) for i in range(0, 100, 2)] + [(400, 401), (401, 402)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in sampling.leakage_free_split(docs, pdf).collect()}
+    assert len(out) == 500
+    # no cluster straddles
+    for a, b in pairs:
+        assert out[a]["split"] == out[b]["split"]
+        assert out[a]["component"] == out[b]["component"]
+    # per-doc splitting DOES straddle this fixture (the failure mode exists)
+    plain = {r["doc_id"]: r["split"] for r in sampling.split_assign(docs).collect()}
+    assert any(plain[a] != plain[b] for a, b in pairs)
+    # singletons (docs in no pair) match split_assign exactly
+    paired = {d for p in pairs for d in p}
+    for d in set(out) - paired:
+        assert out[d]["split"] == plain[d] and out[d]["component"] == d
+
+
 def test_stratified_rates_respected(spark):
     rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(1000)]
     df = spark.createDataFrame(rows, "doc_id long, lang string")
