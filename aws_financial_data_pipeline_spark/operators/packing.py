@@ -179,6 +179,45 @@ def pack_chunks(
     )
 
 
+def packing_efficiency(
+    packed: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """One-row audit of how well :func:`pack_chunks` filled its bins — the
+    number a training-data team actually watches (padding waste is paid in
+    GPU-hours at every step).
+
+    Columns: ``n_bins``, ``n_items``, ``total_tokens``, ``fill_rate``
+    (total / (n_bins·budget) — the fraction of the padded batch that is
+    real tokens, 4dp), ``min_fill``/``p50_fill``/``max_fill`` (per-bin
+    fill fractions; straddling last items push max above 1.0 — that is the
+    documented pack_chunks bound, not an error), and ``n_over_budget``
+    (bins whose total exceeds the budget).
+
+    Shape: per-bin partial-aggregated sum (one shuffle keyed by bin — the
+    same key pack_chunks just wrote, so AQE coalesces it small), then one
+    global aggregate over n_bins rows.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    per_bin = packed.groupBy(bin_col).agg(
+        F.sum(size_col).alias("_tok"), F.count("*").alias("_items")
+    )
+    fill = F.col("_tok") / F.lit(float(budget))
+    return per_bin.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("_items").alias("n_items"),
+        F.sum("_tok").alias("total_tokens"),
+        F.round(F.sum("_tok") / (F.count("*") * F.lit(float(budget))), 4).alias("fill_rate"),
+        F.round(F.min(fill), 4).alias("min_fill"),
+        F.round(F.percentile_approx(fill, 0.5), 4).alias("p50_fill"),
+        F.round(F.max(fill), 4).alias("max_fill"),
+        F.sum((F.col("_tok") > budget).cast("long")).alias("n_over_budget"),
+    )
+
+
 def _with_range_shard(
     chunks: DataFrame, order_cols: tuple[str, ...], num_shards: int
 ) -> DataFrame:

@@ -136,6 +136,46 @@ def global_shuffle(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shuffle_shard",
+    pos_col: str = "shuffle_pos",
+    mode: str = "error",
+) -> str:
+    """Materialize a computed training order (:func:`global_shuffle` or
+    :func:`curriculum_order` output) as parquet shard directories a trainer
+    streams IN ORDER — the last-mile sink the order columns exist for.
+
+    Layout: one ``<shard_col>=k/`` directory per shard, rows inside written
+    in ascending ``pos_col``. Both order operators make the shard monotone
+    with the position (shard k's positions form a contiguous range before
+    shard k+1's — pytest pins this), so reading the directories in shard
+    order replays the exact global permutation with NO sort at read time;
+    a resumable trainer seeks by directory + row offset.
+
+    Shape: one hash repartition keyed by the shard value (each shard lands
+    in exactly one task → one file per directory), a within-task sort of
+    N/num_shards rows, zero global sorts. ``mode`` passes through to the
+    writer (default errors on an existing path rather than clobbering a
+    materialized epoch).
+    """
+    for c in (shard_col, pos_col):
+        if c not in df.columns:
+            raise ValueError(
+                f"write_training_shards: missing {c!r} — run global_shuffle/"
+                f"curriculum_order first (have: {df.columns})"
+            )
+    (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, pos_col)
+        .write.mode(mode)
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    return path
+
+
 def curriculum_order(
     df: DataFrame,
     score_col: str,

@@ -789,3 +789,37 @@ def embedding_near_duplicates_lsh(
     return embedding_near_duplicates(
         emb, threshold, vec_col, id_col, candidates=cand
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "q_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact one
+    — the acceptance gate for every ANN knob change (band count, nprobe,
+    PQ bits): ship the index only when recall@k holds on a query sample.
+
+    ``exact`` defines the ground-truth set per query (usually
+    :func:`cosine_topk` on a held-out query sample); ``approx`` is any of
+    the ANN variants' output. Returns (query, k, hits, recall) — recall =
+    |approx ∩ exact| / |exact| per query; aggregate further for the macro
+    average. A query missing entirely from ``approx`` still appears, with
+    recall 0. Shape: one semi-join + two k-bounded aggregates — cost is
+    O(|queries|·k), nothing touches the corpus.
+    """
+    a = approx.select(query_col, neighbor_col)
+    e = exact.select(query_col, neighbor_col)
+    hits = (
+        e.join(a, [query_col, neighbor_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count("*").alias("_hits"))
+    )
+    totals = e.groupBy(query_col).agg(F.count("*").alias("_k"))
+    return totals.join(hits, query_col, "left").select(
+        query_col,
+        F.col("_k").alias("k"),
+        F.coalesce("_hits", F.lit(0)).alias("hits"),
+        F.round(F.coalesce("_hits", F.lit(0)) / F.col("_k"), 4).alias("recall"),
+    )

@@ -235,3 +235,29 @@ def test_pack_chunks_low_cardinality_lead_still_parallel(spark):
             ).collect()
         }
         assert got == ref, f"num_shards={n} changed bins"
+
+
+def test_packing_efficiency_exact_and_straddle(spark):
+    """Hand-computed audit: [3,3,3]@6 packs to bins {0: 6 tok, 1: 3 tok}
+    (fill 1.0 / 0.5); [4,4]@6 straddles (one bin, 8 tok, fill > 1)."""
+    import pytest
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 3), (1, 1, 3), (2, 0, 3)], "doc_id long, chunk_id long, n_tokens long"
+    )
+    packed = pk.pack_chunks(chunks, budget=6)
+    a = pk.packing_efficiency(packed, budget=6).collect()[0]
+    assert a["n_bins"] == 2 and a["n_items"] == 3 and a["total_tokens"] == 9
+    assert a["fill_rate"] == 0.75  # 9 / (2 bins × 6)
+    assert a["min_fill"] == 0.5 and a["max_fill"] == 1.0
+    assert a["n_over_budget"] == 0
+
+    straddle = spark.createDataFrame(
+        [(1, 0, 4), (1, 1, 4)], "doc_id long, chunk_id long, n_tokens long"
+    )
+    b = pk.packing_efficiency(pk.pack_chunks(straddle, budget=6), budget=6).collect()[0]
+    assert b["n_bins"] == 1 and b["total_tokens"] == 8
+    assert b["max_fill"] == round(8 / 6, 4) and b["n_over_budget"] == 1
+
+    with pytest.raises(ValueError):
+        pk.packing_efficiency(packed, budget=0)

@@ -172,3 +172,36 @@ def test_global_shuffle_no_single_partition_data_window(spark):
     assert rank_windows and all("shuffle_shard" in ln for ln in rank_windows)
     with pytest.raises(ValueError, match="num_shards"):
         sampling.global_shuffle(_ids(spark, 10), num_shards=0)
+
+
+def test_write_training_shards_replays_global_order(spark, tmp_path):
+    """The sink's read contract: shard directories read in shard order replay
+    the exact permutation — positions inside each directory's file are
+    already sorted, and shard k's range ends where shard k+1's begins."""
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = str(tmp_path / "shards")
+    sampling.write_training_shards(
+        sampling.global_shuffle(df, num_shards=8), out
+    )
+    shard_dirs = sorted(
+        (p for p in (tmp_path / "shards").iterdir() if p.name.startswith("shuffle_shard=")),
+        key=lambda p: int(p.name.split("=")[1]),
+    )
+    assert len(shard_dirs) >= 2
+    stream, files_per_dir = [], []
+    for d in shard_dirs:
+        files = [f for f in d.iterdir() if f.suffix == ".parquet"]
+        files_per_dir.append(len(files))
+        tbl = pq.read_table(files[0])
+        pos = tbl.column("shuffle_pos").to_pylist()
+        assert pos == sorted(pos), f"{d.name} not written in position order"
+        stream.extend(pos)
+    # one task per shard value → exactly one file per directory
+    assert files_per_dir == [1] * len(shard_dirs)
+    # concatenating directories in shard order IS the global permutation
+    assert stream == list(range(300))
+
+    with pytest.raises(ValueError, match="shuffle_shard"):
+        sampling.write_training_shards(df, str(tmp_path / "x"))

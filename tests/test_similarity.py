@@ -527,3 +527,35 @@ def test_embedding_contamination_auto_knobs_recall(spark):
     expected = {(a, b - 200) for a, b in planted}
     recall = len(pairs & expected) / len(expected)
     assert recall >= 0.7, f"auto-knob contamination recall: {recall:.2f}"
+
+
+def test_ann_recall_per_query_and_missing_query(spark):
+    """Hand values: q1 finds 2 of its 3 true neighbors; q2 is absent from the
+    approx result entirely → recall 0 (the query must still appear).
+    Self-consistency: any result scored against itself is recall 1."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "q_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99)], "q_id long, neighbor_id long"
+    )
+    got = rows_by_key(sim.ann_recall(approx, exact), "q_id")
+    assert got[(1,)]["k"] == 3 and got[(1,)]["hits"] == 2
+    assert got[(1,)]["recall"] == 0.6667
+    assert got[(2,)]["k"] == 2 and got[(2,)]["hits"] == 0 and got[(2,)]["recall"] == 0.0
+    perfect = sim.ann_recall(exact, exact).collect()
+    assert all(r["recall"] == 1.0 for r in perfect)
+
+
+def test_ann_recall_gates_lsh_on_testdata(spark):
+    """End-to-end: LSH top-k recall vs brute-force on the real embeddings
+    table clears the same floor the dedicated recall tests use."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(emb, q, k=10)
+    approx = sim.ann_topk_lsh(spark, emb, q, k=10)
+    rec = sim.ann_recall(approx, exact).agg(F.avg("recall")).collect()[0][0]
+    # same floor as test_ann_recall_floor_on_testdata: the 16/4 config halves
+    # recall on this near-random corpus by design (SCALING.md)
+    assert rec >= 0.3, f"macro recall {rec}"
