@@ -241,11 +241,16 @@ def pretraining_pipeline(
     with split), ``tokenized`` (doc_id, bpe_tokens, bpe_ids, n_bpe_tokens,
     split), ``packed`` (train rows + bin_id, plus ``epoch`` under mixture),
     ``merges``/``vocab`` (the tokenizer model), ``mixture_plan`` (the D-row
-    plan, [] when disabled), ``datasheet``, and ``audit`` — the funnel audit
+    plan, [] when disabled), ``datasheet``, ``audit`` — the funnel audit
     extended with ``decontamination`` / ``mixture`` rows, so the drop (and
-    expansion) accounting covers the full path. Laziness: everything except
-    the tokenizer model and the mixture plan (driver-side artifacts by
-    nature) stays a DataFrame."""
+    expansion) accounting covers the full path — plus two shipped-quality
+    audits: ``contamination`` (per-benchmark rates via
+    :func:`..dedup.contamination_report`; a test corpus without a
+    ``benchmark`` column reports as one "all" bucket; None when no
+    ``test_corpus``) and ``packing_report``
+    (:func:`..packing.packing_efficiency` over the shipped bins). Laziness:
+    everything except the tokenizer model and the mixture plan (driver-side
+    artifacts by nature) stays a DataFrame."""
     from . import bpe
     from . import mixture as mx
     from .packing import pack_chunks
@@ -255,10 +260,19 @@ def pretraining_pipeline(
         docs, quality_model=quality_model, text_col=text_col, id_col=id_col,
         **funnel_kwargs,
     )
+    contamination = None
     if test_corpus is not None:
         hits = dd.ngram_contamination(
             corpus, test_corpus, n=contamination_n, text_col=text_col, id_col=id_col
         )
+        # per-benchmark audit of what was dropped and why — a test corpus
+        # without a benchmark column reports as one "all" bucket
+        tagged_test = (
+            test_corpus
+            if "benchmark" in test_corpus.columns
+            else test_corpus.withColumn("benchmark", F.lit("all"))
+        )
+        contamination = dd.contamination_report(hits, tagged_test, id_col=id_col)
         corpus = corpus.join(
             hits.select(F.col("train_id").alias(id_col)).distinct(), id_col, "left_anti"
         )
@@ -292,6 +306,8 @@ def pretraining_pipeline(
         size_col="n_bpe_tokens",
         order_cols=("epoch", "doc_id") if mixture_budget is not None else ("doc_id",),
     )
+    from .packing import packing_efficiency
+
     return {
         "corpus": corpus,
         "tokenized": tokenized,
@@ -301,4 +317,10 @@ def pretraining_pipeline(
         "mixture_plan": plan,
         "datasheet": corpus_datasheet(corpus, text_col=text_col, id_col=id_col),
         "audit": audit,
+        # per-benchmark decontamination rates (None without a test_corpus)
+        "contamination": contamination,
+        # bin fill-rate audit of what actually ships to the trainer
+        "packing_report": packing_efficiency(
+            packed, pack_budget, size_col="n_bpe_tokens"
+        ),
     }

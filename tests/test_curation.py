@@ -261,6 +261,17 @@ def test_pretraining_pipeline_end_to_end(spark):
 
     ds = {(r["section"], r["metric"]): r["value"] for r in out["datasheet"].collect()}
     assert ds[("volume", "n_docs")] == float(len(corpus_ids))
+    # shipped-quality audits: the planted leak shows up as the single "all"
+    # benchmark's contamination (no benchmark column on the suite), and the
+    # packing report agrees with the packed frame it describes
+    cont = out["contamination"].collect()
+    assert [r["benchmark"] for r in cont] == ["all"]
+    assert cont[0]["n_test_docs"] == 1 and cont[0]["n_contaminated"] == 1
+    assert cont[0]["contamination_rate"] == 1.0 and cont[0]["n_train_implicated"] >= 1
+    assert base["contamination"] is None  # no suite → no report
+    rep = out["packing_report"].collect()[0]
+    assert rep["n_bins"] == len(by_bin) and rep["n_items"] == len(packed)
+    assert 0 < rep["fill_rate"] <= rep["max_fill"]
     # tokenizer trained AFTER decontamination: deterministic for the run
     assert out["merges"] == curation.pretraining_pipeline(
         docs, test_corpus=bench_suite, num_merges=30, pack_budget=1024,
