@@ -135,7 +135,10 @@ def cluster_representatives(
     — true for exactly one doc per component: the max score, ties broken by
     ascending id, NULL scores sorting last. Plain aggregation argmax
     (``min(struct(-score, id))`` — the NOTES mode/argmax pattern), no window:
-    one groupBy keyed by component, one broadcast-size join back.
+    one groupBy keyed by component and one equi-join back on the SAME key
+    (reps is one row per component — corpus-sized when most docs are
+    singletons, so it is a co-partitioned shuffle join, not a broadcast; the
+    groupBy's exchange is reusable for it).
     """
     neg = -F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
     reps = clustered.groupBy("component").agg(

@@ -206,15 +206,19 @@ def packing_efficiency(
         F.sum(size_col).alias("_tok"), F.count("*").alias("_items")
     )
     fill = F.col("_tok") / F.lit(float(budget))
+    # counters coalesce to 0 on an empty frame (sum-over-empty is NULL);
+    # the fill quantiles stay NULL there — no bins, no fill to report
     return per_bin.agg(
         F.count("*").alias("n_bins"),
-        F.sum("_items").alias("n_items"),
-        F.sum("_tok").alias("total_tokens"),
+        F.coalesce(F.sum("_items"), F.lit(0)).alias("n_items"),
+        F.coalesce(F.sum("_tok"), F.lit(0)).alias("total_tokens"),
         F.round(F.sum("_tok") / (F.count("*") * F.lit(float(budget))), 4).alias("fill_rate"),
         F.round(F.min(fill), 4).alias("min_fill"),
         F.round(F.percentile_approx(fill, 0.5), 4).alias("p50_fill"),
         F.round(F.max(fill), 4).alias("max_fill"),
-        F.sum((F.col("_tok") > budget).cast("long")).alias("n_over_budget"),
+        F.coalesce(
+            F.sum((F.col("_tok") > budget).cast("long")), F.lit(0)
+        ).alias("n_over_budget"),
     )
 
 

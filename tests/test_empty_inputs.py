@@ -162,3 +162,49 @@ def test_session3_ops_on_empty_and_edge(spark):
         [(1, None, 1.0), (2, None, 0.0)], "doc_id long, quality_prob double, label double"
     )
     assert ql.threshold_sweep(nulls).count() == 0
+
+
+def test_session4_ops_on_empty_and_edge(spark):
+    """Dedup decisions / audits / recall / packing report on empty frames:
+    well-defined, never throw."""
+    from aws_financial_data_pipeline_spark.operators import graph as gr
+    from aws_financial_data_pipeline_spark.operators import packing as pk
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    no_docs = spark.createDataFrame([], "doc_id long")
+    no_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+
+    # empty pair graph: every doc is its own singleton representative
+    clustered = gr.dedup_clusters(docs, no_pairs).withColumn("q", F.lit(0.5))
+    reps = gr.cluster_representatives(clustered, "q").collect()
+    assert len(reps) == 2 and all(r["is_representative"] for r in reps)
+    assert all(r["dedup_weight"] == 1.0 for r in gr.soft_dedup_weights(clustered).collect())
+    # empty docs altogether
+    e = gr.dedup_clusters(no_docs, no_pairs).withColumn("q", F.lit(0.5))
+    assert gr.cluster_representatives(e, "q").count() == 0
+    assert sp.leakage_free_split(no_docs, no_pairs).count() == 0
+    out = sp.leakage_free_split(docs, no_pairs).collect()
+    assert len(out) == 2 and all(r["component"] == r["doc_id"] for r in out)
+
+    # contamination report: empty pairs → all-zero rows per benchmark
+    no_hits = spark.createDataFrame([], "train_id long, test_id long, jaccard double")
+    bench = spark.createDataFrame([(1, "b1")], "doc_id long, benchmark string")
+    row = dedup.contamination_report(no_hits, bench).collect()[0]
+    assert (row["n_contaminated"], row["contamination_rate"], row["n_train_implicated"]) == (0, 0.0, 0)
+    # ... and empty test suite → empty report
+    no_bench = spark.createDataFrame([], "doc_id long, benchmark string")
+    assert dedup.contamination_report(no_hits, no_bench).count() == 0
+
+    # ann_recall: empty ground truth → empty; empty approx → recall 0
+    pairs = spark.createDataFrame([(1, 10)], "q_id long, neighbor_id long")
+    no_nn = spark.createDataFrame([], "q_id long, neighbor_id long")
+    assert sim.ann_recall(pairs, no_nn).count() == 0
+    r = sim.ann_recall(no_nn, pairs).collect()[0]
+    assert r["recall"] == 0.0 and r["k"] == 1
+
+    # packing_efficiency on an empty packed frame: one all-zero/NULL row,
+    # pinned so a caller can branch on n_bins == 0
+    no_chunks = spark.createDataFrame([], "doc_id long, chunk_id long, n_tokens long, bin_id long")
+    rep = pk.packing_efficiency(no_chunks, budget=64).collect()[0]
+    assert rep["n_bins"] == 0 and rep["n_over_budget"] == 0
