@@ -53,7 +53,8 @@ def curation_funnel(
     rule_mode: str = "all",
     normalize: bool = False,
     dedup_keep: str = "min_id",
-) -> tuple[DataFrame, DataFrame]:
+    with_ledger: bool = False,
+) -> tuple[DataFrame, ...]:
     """Run the standard curation pipeline; returns ``(corpus, audit)``.
 
     ``corpus``: the surviving documents — the original columns with
@@ -94,6 +95,19 @@ def curation_funnel(
       — the FineWeb/RefinedWeb policy. Transitive: exactly one survivor per
       connected component, so a chain A~B~C keeps one doc even when A and C
       are not directly similar (min_id would keep two).
+
+    ``with_ledger=True`` returns ``(corpus, audit, ledger)`` instead:
+    ``ledger`` is the per-document rejection table (``doc_id``, ``stage``,
+    ``reason``) — exactly one row for every input doc that did NOT survive,
+    naming the stage that dropped it and why (the rule stage distinguishes
+    which family failed: ``rules:c4`` / ``rules:gopher`` / ``rules:c4+gopher``).
+    The audit answers "how many"; the ledger answers the question a data
+    team actually gets — "why was THIS doc dropped" — and is the frame a
+    re-curation run diffs against after a threshold change. Cost: one
+    anti-join per dropping stage between consecutive (checkpointed) stage
+    frames, keyed by ``id_col`` — no text or token columns move, and
+    count-preserving stages (normalize, split) contribute nothing. The
+    invariant tests pin: survivors ∪ ledger ids == input ids, disjointly.
     """
     if rule_mode not in ("all", "any"):
         raise ValueError(f"rule_mode must be 'all' or 'any': {rule_mode!r}")
@@ -105,6 +119,19 @@ def curation_funnel(
         return frame.localCheckpoint(eager=False) if materialize else frame
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    ledger_parts: list[DataFrame] = []
+
+    def _gone(prev: DataFrame, new: DataFrame, stage: str, reason) -> None:
+        # ids present before the stage but not after it, tagged with why —
+        # an id-only anti-join between two checkpointed frames
+        if not with_ledger:
+            return
+        reason_col = F.lit(reason) if isinstance(reason, str) else reason
+        ledger_parts.append(
+            prev.select(id_col)
+            .join(new.select(id_col), id_col, "left_anti")
+            .select(id_col, F.lit(stage).alias("stage"), reason_col.alias("reason"))
+        )
 
     if normalize:
         # stage 0 (opt-in): NFKC + control/whitespace normalization BEFORE
@@ -123,7 +150,9 @@ def curation_funnel(
     cur = docs.join(canon, id_col, "left_semi")
     cur = _stage(cur)
     stages.append(("exact_dedup", cur))
+    _gone(docs, cur, "exact_dedup", "exact_duplicate")
 
+    prev = cur
     para = sps.paragraph_dedup(cur, text_col=text_col, id_col=id_col).select(
         id_col, "clean_text"
     )
@@ -132,6 +161,7 @@ def curation_funnel(
     )
     cur = _stage(cur)
     stages.append(("paragraph_dedup", cur))
+    _gone(prev, cur, "paragraph_dedup", "no_paragraphs_survived")
 
     # both rule families come from the ONE-pass profile (c4_keep + gopher
     # keep ride the same projection) — a single join instead of two
@@ -143,6 +173,26 @@ def curation_funnel(
         if rule_mode == "all"
         else (F.col("_c4_keep") | F.col("_gopher_keep"))
     )
+    if with_ledger:
+        # the rule stage can name WHICH family failed — read the flags on
+        # the dropped rows instead of a blind anti-join
+        ledger_parts.append(
+            cur.select(id_col)
+            .join(rules, id_col)
+            .filter(~gate)
+            .select(
+                id_col,
+                F.lit("rule_filters").alias("stage"),
+                F.concat(
+                    F.lit("rules:"),
+                    F.concat_ws(
+                        "+",
+                        F.when(~F.col("_c4_keep"), F.lit("c4")),
+                        F.when(~F.col("_gopher_keep"), F.lit("gopher")),
+                    ),
+                ).alias("reason"),
+            )
+        )
     cur = cur.join(rules, id_col).filter(gate).drop("_c4_keep", "_gopher_keep")
     cur = _stage(cur)
     stages.append(("rule_filters", cur))
@@ -153,12 +203,15 @@ def curation_funnel(
         scored = score_quality(
             cur, quality_model, text_col=text_col, id_col=id_col
         )
+        prev = cur
         cur = cur.join(scored, id_col).filter(
             F.col("quality_prob") >= quality_threshold
         )
         cur = _stage(cur)
         stages.append(("quality_model", cur))
+        _gone(prev, cur, "quality_model", f"quality_prob<{quality_threshold}")
 
+    prev = cur
     pairs = dd.minhash_dedup(
         cur.select(id_col, text_col), text_col, id_col, minhash_threshold
     )
@@ -179,6 +232,12 @@ def curation_funnel(
         cur = cur.join(dup_ids, id_col, "left_anti")
     cur = _stage(cur)
     stages.append(("minhash_dedup", cur))
+    _gone(
+        prev,
+        cur,
+        "minhash_dedup",
+        "fuzzy_duplicate" if dedup_keep == "min_id" else "not_cluster_representative",
+    )
 
     cur = sp.split_assign(cur, id_col=id_col)
     cur = _stage(cur)
@@ -190,6 +249,11 @@ def curation_funnel(
             F.lit(name).alias("stage"), F.count("*").alias("docs_kept")
         )
         audit = row if audit is None else audit.unionByName(row)
+    if with_ledger:
+        ledger = ledger_parts[0]
+        for part in ledger_parts[1:]:
+            ledger = ledger.unionByName(part)
+        return cur, audit, ledger
     return cur, audit
 
 
@@ -250,16 +314,27 @@ def pretraining_pipeline(
     ``test_corpus``) and ``packing_report``
     (:func:`..packing.packing_efficiency` over the shipped bins). Laziness:
     everything except the tokenizer model and the mixture plan (driver-side
-    artifacts by nature) stays a DataFrame."""
+    artifacts by nature) stays a DataFrame.
+
+    ``with_ledger=True`` (forwarded to the funnel) adds ``ledger``: the
+    per-document rejection table — funnel drops plus a
+    ``decontamination``-stage row for every benchmark-overlapping train doc
+    — so every input id is accounted for as shipped-or-why-not."""
     from . import bpe
     from . import mixture as mx
     from .packing import pack_chunks
     from .quality import corpus_datasheet
 
-    corpus, audit = curation_funnel(
+    with_ledger = bool(funnel_kwargs.pop("with_ledger", False))
+    funneled = curation_funnel(
         docs, quality_model=quality_model, text_col=text_col, id_col=id_col,
-        **funnel_kwargs,
+        with_ledger=with_ledger, **funnel_kwargs,
     )
+    if with_ledger:
+        corpus, audit, ledger = funneled
+    else:
+        corpus, audit = funneled
+        ledger = None
     contamination = None
     if test_corpus is not None:
         hits = dd.ngram_contamination(
@@ -273,9 +348,18 @@ def pretraining_pipeline(
             else test_corpus.withColumn("benchmark", F.lit("all"))
         )
         contamination = dd.contamination_report(hits, tagged_test, id_col=id_col)
-        corpus = corpus.join(
-            hits.select(F.col("train_id").alias(id_col)).distinct(), id_col, "left_anti"
-        )
+        implicated = hits.select(F.col("train_id").alias(id_col)).distinct()
+        if with_ledger:
+            ledger = ledger.unionByName(
+                corpus.select(id_col)
+                .join(implicated, id_col, "left_semi")
+                .select(
+                    id_col,
+                    F.lit("decontamination").alias("stage"),
+                    F.lit(f"benchmark_{contamination_n}gram_overlap").alias("reason"),
+                )
+            )
+        corpus = corpus.join(implicated, id_col, "left_anti")
         corpus = corpus.localCheckpoint(eager=False)
         audit = audit.unionByName(
             corpus.agg(F.lit("decontamination").alias("stage"), F.count("*").alias("docs_kept"))
@@ -323,4 +407,7 @@ def pretraining_pipeline(
         "packing_report": packing_efficiency(
             packed, pack_budget, size_col="n_bpe_tokens"
         ),
+        # per-doc rejection ledger (funnel + decontamination rows) when the
+        # caller asked for one; None otherwise
+        "ledger": ledger,
     }

@@ -116,6 +116,55 @@ def test_rule_gate_is_conjunctive_by_default(spark):
     with pytest.raises(ValueError, match="rule_mode"):
         curation.curation_funnel(docs, rule_mode="both")
 
+    # the ledger names the FAILING family: SHORT_GOOD passes C4, fails only
+    # Gopher's 50-word floor → reason is exactly "rules:gopher"
+    _, _, ledger = curation.curation_funnel(docs, with_ledger=True)
+    rows = [(r["doc_id"], r["stage"], r["reason"]) for r in ledger.collect()]
+    assert rows == [(7, "rule_filters", "rules:gopher")]
+
+
+def test_funnel_rejection_ledger_accounts_for_every_drop(spark):
+    """with_ledger=True: one (doc_id, stage, reason) row per dropped doc —
+    the fixture drops exactly one doc per stage, so the ledger is fully
+    pinned; survivors ∪ ledger ids == input ids, disjointly."""
+    docs = _corpus(spark)
+    seed_rows = [
+        (100 + i,
+         "the of and research method analysis evidence theory result chapter " * 4
+         if i % 2 == 0 else "click here buy now free casino winner jackpot prize " * 4,
+         1.0 if i % 2 == 0 else 0.0)
+        for i in range(20)
+    ]
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string, label double")
+    model = quality.train_quality_classifier(seed, num_features=1 << 12, max_iter=15)
+
+    corpus, audit, ledger = curation.curation_funnel(
+        docs, quality_model=model, minhash_threshold=0.5, with_ledger=True
+    )
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+    assert led[2] == ("exact_dedup", "exact_duplicate")
+    # doc 4 is a post-strip stub: fails both families under the conjunctive
+    # gate, and the reason says so
+    assert led[4] == ("rule_filters", "rules:c4+gopher")
+    assert led[5] == ("quality_model", "quality_prob<0.5")
+    assert led[6] == ("minhash_dedup", "fuzzy_duplicate")
+    survivors = {r["doc_id"] for r in corpus.collect()}
+    assert survivors == {1, 3}
+    assert survivors | set(led) == {1, 2, 3, 4, 5, 6}
+    assert survivors.isdisjoint(led)
+    # exactly one ledger row per dropped doc (no stage double-counts a doc)
+    assert len(led) == 4
+
+    # 'best' dedup mode labels its fuzzy drops with the representative policy
+    _, _, led_best = curation.curation_funnel(
+        docs, quality_model=model, minhash_threshold=0.5, with_ledger=True,
+        dedup_keep="best",
+    )
+    best = {r["doc_id"]: r["reason"] for r in led_best.collect()}
+    dropped_of_16 = {d for d in (1, 6) if d in best}
+    assert len(dropped_of_16) == 1
+    assert best[dropped_of_16.pop()] == "not_cluster_representative"
+
 
 def test_funnel_dedup_keep_best_elects_highest_quality(spark):
     """dedup_keep='best': the fuzzy-dedup survivor of the {1, 6} near-dup
@@ -224,7 +273,7 @@ def test_pretraining_pipeline_end_to_end(spark):
 
     out = curation.pretraining_pipeline(
         docs, test_corpus=bench_suite, num_merges=30, pack_budget=1024,
-        minhash_threshold=0.8,
+        minhash_threshold=0.8, with_ledger=True,
     )
     audit = {r["stage"]: r["docs_kept"] for r in out["audit"].collect()}
     order = ["input", "exact_dedup", "paragraph_dedup", "rule_filters",
@@ -240,6 +289,15 @@ def test_pretraining_pipeline_end_to_end(spark):
     assert survivor["doc_id"] not in corpus_ids
     assert len(corpus_ids) == audit["decontamination"]
     assert len(corpus_ids) >= 20  # rules did NOT nuke the corpus
+    # the ledger covers the WHOLE path: funnel drops + the decontamination
+    # row for the planted carrier; every input id is shipped-or-explained
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in out["ledger"].collect()}
+    assert led[survivor["doc_id"]] == (
+        "decontamination", "benchmark_13gram_overlap"
+    )
+    assert corpus_ids | set(led) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert corpus_ids.isdisjoint(led)
+    assert base["ledger"] is None  # not asked for → not built
 
     tokenized = out["tokenized"].collect()
     assert {r["doc_id"] for r in tokenized} == corpus_ids
