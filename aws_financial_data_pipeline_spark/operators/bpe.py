@@ -242,3 +242,47 @@ def bpe_encode(
     if tok2id is not None:
         schema += ", bpe_ids array<int>"
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def bpe_decode(
+    encoded: DataFrame,
+    vocab: list[str] | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "text",
+) -> DataFrame:
+    """Inverse of :func:`bpe_encode` → (``id_col``, ``out_col``).
+
+    BPE merges only ever concatenate characters, so decoding needs no model:
+    concatenate the subword tokens and read the ``</w>`` markers back as word
+    boundaries. Pure Catalyst expressions (array_join + regexp_replace +
+    trim) — map-only, zero shuffle, no Python; unlike encode, decode is NOT
+    an iterative loop, so it stays JVM-side.
+
+    With ``vocab`` the input's ``bpe_ids`` column is decoded instead of
+    ``bpe_tokens`` — the id→token table rides as a ONE-ROW broadcast frame
+    (the PQ-codebook lesson: a 50k-string literal in the plan melts the
+    optimizer; a broadcast join is free) and ids map through ``element_at``
+    inside a ``transform`` lambda. ``<unk>`` ids decode to the literal
+    ``<unk>`` token — lossy exactly where encoding was.
+
+    Round-trip contract (pinned in tests): for any input text,
+    ``decode(encode(text)) == " ".join(BPE_REGEX findall of text.lower())``
+    — the pre-tokenizer's normalized form (lowercased, words/digits/symbols
+    space-separated), NOT the original bytes. Sennrich-style BPE is
+    normalization-lossy by design; byte-level BPE would be the lossless
+    variant."""
+    if vocab is not None:
+        spark = encoded.sparkSession
+        vdf = spark.createDataFrame([(list(vocab),)], "_vocab array<string>")
+        toks = F.transform(
+            F.col("bpe_ids"),
+            lambda i: F.element_at(F.col("_vocab"), i + F.lit(1)),
+        )
+        src = encoded.join(F.broadcast(vdf))
+    else:
+        toks = F.col("bpe_tokens")
+        src = encoded
+    text = F.trim(
+        F.regexp_replace(F.array_join(toks, ""), re.escape(END), " ")
+    )
+    return src.select(F.col(id_col), text.alias(out_col))

@@ -216,3 +216,64 @@ def test_property_merges_never_shrink_symbol_mass(table):
         total = sum(f * len(bpe.encode_word(w, ranks)) for w, f in table)
         assert prev is None or total < prev  # strictly: each merge fired somewhere
         prev = total
+
+
+def test_bpe_decode_round_trip(spark):
+    """decode(encode(text)) == the pre-tokenizer's normalized form — for the
+    token path AND the id path (via vocab broadcast), including an OOV digit
+    that decodes to the literal <unk>."""
+    import re
+
+    from aws_financial_data_pipeline_spark.operators.text import BPE_REGEX
+
+    texts = ["The cat sat on the mat.", "the hat", "cats CATS cats!"]
+    docs = _corpus(spark, texts)
+    merges = bpe.train_bpe(docs, num_merges=30)
+    vocab = bpe.bpe_vocab(docs, merges)
+    enc = bpe.bpe_encode(docs, merges, vocab=vocab)
+
+    rx = re.compile(BPE_REGEX)
+    want = {i: " ".join(rx.findall(t.lower())) for i, t in enumerate(texts)}
+    from_tokens = {r["doc_id"]: r["text"] for r in bpe.bpe_decode(enc).collect()}
+    assert from_tokens == want
+    from_ids = {
+        r["doc_id"]: r["text"] for r in bpe.bpe_decode(enc, vocab=vocab).collect()
+    }
+    assert from_ids == want
+
+    # OOV: '7' was never in training → id 0 → decodes to the literal <unk>
+    oov = bpe.bpe_encode(
+        spark.createDataFrame([(9, "cat 7 hat")], "doc_id long, text string"),
+        merges,
+        vocab=vocab,
+    )
+    tok_text = bpe.bpe_decode(oov).collect()[0]["text"]
+    id_text = bpe.bpe_decode(oov, vocab=vocab).collect()[0]["text"]
+    assert tok_text == "cat 7 hat"          # token path keeps the raw symbol
+    assert "<unk>" in id_text               # id path is lossy exactly at OOV
+    assert id_text.split()[0] == "cat"
+
+
+def test_bpe_decode_round_trip_on_testdata(spark):
+    """Corpus-scale round-trip: every sf0.001 document decodes back to its
+    normalized form through the full train→encode→decode path."""
+    import re
+
+    from aws_financial_data_pipeline_spark.operators.text import BPE_REGEX
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    merges = bpe.train_bpe(docs, num_merges=40)
+    dec = bpe.bpe_decode(bpe.bpe_encode(docs, merges))
+    got = {r["doc_id"]: r["text"] for r in dec.collect()}
+    rx = re.compile(BPE_REGEX)
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == " ".join(rx.findall(r["text"].lower()))
+
+
+def test_bpe_decode_is_map_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    enc = bpe.bpe_encode(docs, [("t", "h")])
+    plan = (
+        bpe.bpe_decode(enc)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # decode adds no shuffle to the encode stage
