@@ -324,6 +324,63 @@ def threshold_sweep(
     ).orderBy(F.desc("threshold"))
 
 
+def calibration_bins(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "quality_prob",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic scorer: per equal-width score
+    bin, the mean predicted probability vs the observed positive rate, plus
+    the bin's weight — the frame a calibration plot / expected-calibration-
+    error (ECE) computation reads. A scorer whose ``mean_score`` tracks
+    ``pos_rate`` per bin is calibrated; a quality classifier that is NOT
+    calibrated makes ``quality_prob >= t`` thresholds mean different things
+    on different corpora, which is why data teams check this before reusing
+    a FineWeb-Edu-style scorer off-distribution.
+
+    Output: (bin, lo, hi, n, mean_score, pos_rate, abs_gap) ordered by bin;
+    ``sum(n * abs_gap) / sum(n)`` over the rows IS the ECE (computed by the
+    caller or :func:`expected_calibration_error`). Scale shape: ONE
+    map-side-combined groupBy with ≤ ``bins`` keys — B-bounded like
+    :func:`threshold_sweep`, no window at all. NULL scores/labels excluded.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    b = F.least(F.floor(F.col(score_col) * bins), F.lit(bins - 1)).cast("int")
+    lab = F.col(label_col).cast("double")
+    out = (
+        scored.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(F.col(score_col)).alias("mean_score"),
+            F.avg(lab).alias("pos_rate"),
+        )
+    )
+    return out.select(
+        "bin",
+        F.round(F.col("bin") / bins, 6).alias("lo"),
+        F.round((F.col("bin") + 1) / bins, 6).alias("hi"),
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+        F.round(F.abs(F.col("mean_score") - F.col("pos_rate")), 6).alias("abs_gap"),
+    ).orderBy("bin")
+
+
+def expected_calibration_error(calib: DataFrame) -> float:
+    """ECE over a :func:`calibration_bins` frame: the bin-weighted mean of
+    |mean_score − pos_rate|. One aggregate over ≤ bins rows (driver scalar —
+    this is a model-acceptance number, like ann_recall's recall@k)."""
+    row = calib.agg(
+        F.try_divide(
+            F.sum(F.col("n") * F.col("abs_gap")), F.sum("n")
+        ).alias("ece")
+    ).collect()[0]
+    return row["ece"]
+
+
 def score_quality(
     docs: DataFrame,
     model,

@@ -66,3 +66,49 @@ def gap_fill_months(
         F.round(F.coalesce(dec, F.lit(0)).cast("double"), 2).alias("total"),
         dec.isNull().alias("is_gap"),
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier scoring: the Iglewicz–Hoaglin modified
+    z-score ``0.6745 · (x − median) / MAD`` per ``key_cols`` group, with
+    ``is_anomaly`` at the paper's recommended |score| > 3.5 default.
+
+    Median/MAD instead of mean/std (the x24 pandas-UDF demonstrator)
+    because anomaly detection with moment statistics is circular — the
+    outliers being hunted inflate the std that is supposed to flag them,
+    masking exactly the heavy-tail events (a 10⁶× amount spike) a
+    financial or telemetry stream cares about. Breakdown point 50% vs 0%.
+
+    Shape at scale: two exact-``percentile`` aggregations on the SAME group
+    key (median of x, then median of |x − median|) with co-partitioned
+    joins back — AQE reuses the hash partitioning, so it is one logical
+    shuffle of the events keyed by group, twice aggregated; no window, no
+    driver collect. A group whose MAD is 0 (over half the values identical)
+    yields NULL scores rather than ±∞ — those groups need a rule, not a
+    statistic, and the flag is NULL-safe false for them.
+    """
+    keys = [F.col(k) for k in key_cols]
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = df.join(med, list(key_cols))
+    mad = with_med.groupBy(*keys).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    score = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad"),
+    )
+    return (
+        with_med.join(mad, list(key_cols))
+        .select(
+            *df.columns,
+            F.round(score, 6).alias("robust_z"),
+            F.coalesce(F.abs(score) > threshold, F.lit(False)).alias("is_anomaly"),
+        )
+    )

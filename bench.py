@@ -313,6 +313,28 @@ def _bench_global_shuffle(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _bench_snapshot_diff(spark, sf_dir: str) -> float:
+    """Snapshot refresh audit: diff the documents table against a perturbed
+    re-crawl (10% removed, 1/7 changed), summarize churn, and materialize
+    the incremental work list — the O(churn) refresh path."""
+    from aws_financial_data_pipeline_spark.operators import snapshot
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.perf_counter()
+    snapshot.diff_summary(snapshot.corpus_diff(docs, new)).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    snapshot.ingest_batch(docs, new).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _bench_event_funnel(spark, sf_dir: str) -> float:
     """view→click→purchase funnel over the events table (1h window): one
     groupBy + one fold, no per-step self-joins."""
@@ -384,6 +406,7 @@ def main() -> None:
     times["event_funnel"] = _bench_event_funnel(spark, sf_dir)
     times["mixture_plan_apply"] = _bench_mixture_plan_apply(spark, sf_dir)
     times["global_shuffle"] = _bench_global_shuffle(spark, sf_dir)
+    times["snapshot_diff"] = _bench_snapshot_diff(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(

@@ -281,3 +281,54 @@ def test_threshold_sweep_matches_python_reference(spark):
         assert got[t]["recall"] == round(tp / total_pos, 6)
         assert got[t]["kept"] == tp + fp
     assert len(got) == len(bins)
+
+
+def test_calibration_bins_hand_computed(spark):
+    """Two occupied bins with hand-computed means/rates; perfectly and
+    anti-calibrated rows land where expected and ECE is the weighted gap."""
+    rows = [
+        # bin 0 ([0, .1)): scores .02/.08, labels 0/0 → mean .05, rate 0
+        (0.02, 0), (0.08, 0),
+        # bin 9 ([.9, 1]): scores .95/.85→ no, .85 is bin 8 — use .95/.91/1.0
+        (0.95, 1), (0.91, 1), (1.0, 0),
+    ]
+    scored = spark.createDataFrame(rows, "quality_prob double, label int")
+    calib = {r["bin"]: r.asDict() for r in ql.calibration_bins(scored, bins=10).collect()}
+    assert sorted(calib) == [0, 9]
+    b0, b9 = calib[0], calib[9]
+    assert (b0["n"], b0["mean_score"], b0["pos_rate"]) == (2, 0.05, 0.0)
+    assert b0["abs_gap"] == 0.05
+    assert (b9["lo"], b9["hi"]) == (0.9, 1.0)  # score 1.0 clamps into the top bin
+    assert b9["n"] == 3
+    assert abs(b9["mean_score"] - round((0.95 + 0.91 + 1.0) / 3, 6)) < 1e-9
+    assert abs(b9["pos_rate"] - round(2 / 3, 6)) < 1e-9
+    ece = ql.expected_calibration_error(ql.calibration_bins(scored, bins=10))
+    want = (2 * b0["abs_gap"] + 3 * b9["abs_gap"]) / 5
+    assert abs(ece - want) < 1e-6
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bins"):
+        ql.calibration_bins(scored, bins=1)
+
+
+def test_calibration_bins_null_exclusion_and_bound(spark):
+    rows = [(None, 1), (0.5, None), (0.55, 1), (0.52, 0)]
+    scored = spark.createDataFrame(rows, "quality_prob double, label int")
+    calib = ql.calibration_bins(scored, bins=10).collect()
+    assert len(calib) == 1 and calib[0]["n"] == 2  # NULL score/label excluded
+    # a perfectly calibrated scorer has ECE ~ its sampling noise; a constant
+    # 0.5 scorer on an all-positive corpus has ECE 0.5 exactly
+    const = spark.createDataFrame([(0.5, 1)] * 8, "quality_prob double, label int")
+    assert abs(ql.expected_calibration_error(ql.calibration_bins(const)) - 0.5) < 1e-9
+
+
+def test_calibration_bins_is_single_aggregate(spark):
+    scored = spark.createDataFrame(
+        [(0.1 * i % 1.0, i % 2) for i in range(50)], "quality_prob double, label int"
+    )
+    plan = (
+        ql.calibration_bins(scored)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # B-bounded groupBy only, unlike the sweep

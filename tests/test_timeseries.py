@@ -33,3 +33,46 @@ def test_gap_fill_sums_within_month(spark):
     )
     [r] = gap_fill_months(txns).collect()
     assert (r["ym"], r["total"], r["is_gap"]) == ("202410", 3.33, False)
+
+
+def test_robust_anomalies_median_mad_semantics(spark):
+    """Hand-computed modified z-scores; the planted spike flags, the rest
+    don't, and moment circularity is avoided (the spike doesn't mask
+    itself)."""
+    from aws_financial_data_pipeline_spark.operators.timeseries import robust_anomalies
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5, 6, 7)] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["value"]: r for r in robust_anomalies(df, ("event_type",)).collect()}
+    # median of {1..7,1000} = 4.5; |x-4.5| = {3.5,2.5,1.5,.5,.5,1.5,2.5,995.5} → MAD 2.0
+    spike = out[1000.0]
+    assert spike["is_anomaly"] and abs(spike["robust_z"] - round(0.6745 * 995.5 / 2.0, 6)) < 1e-9
+    assert not any(r["is_anomaly"] for v, r in out.items() if v != 1000.0)
+    assert out[4.0]["robust_z"] == round(0.6745 * -0.5 / 2.0, 6)
+
+    # MAD-0 group (constant majority): NULL score, flag false — never ±inf
+    const = spark.createDataFrame(
+        [("b", 5.0)] * 6 + [("b", 9.0)], "event_type string, value double"
+    )
+    rows_b = robust_anomalies(const, ("event_type",)).collect()
+    assert all(r["robust_z"] is None and r["is_anomaly"] is False for r in rows_b)
+
+
+def test_robust_anomalies_is_per_group_on_testdata(spark):
+    """Groups are scored independently: per-type flag rate is bounded and a
+    value anomalous for one type need not be for another."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators.timeseries import robust_anomalies
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = robust_anomalies(ev, ("event_type",))
+    assert out.count() == ev.count()  # scoring never drops rows
+    rates = {
+        r["event_type"]: r["rate"]
+        for r in out.groupBy("event_type")
+        .agg(F.avg(F.col("is_anomaly").cast("double")).alias("rate"))
+        .collect()
+    }
+    # a robust scorer on mostly-clean synthetic data flags a small tail
+    assert all(rate < 0.2 for rate in rates.values())
