@@ -41,3 +41,63 @@ def bucketed_join(
     """Equi-join of two co-bucketed tables. With matching bucket specs the
     plan has no Exchange; callers can assert via ``.explain``."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    num_files: int | None = None,
+) -> None:
+    """Range-clustered parquet layout — the data-SKIPPING write path.
+
+    ``repartitionByRange`` on the cluster key(s) + ``sortWithinPartitions``
+    gives every output file (and every row group inside it) a TIGHT,
+    non-overlapping min/max range on those columns. Parquet footers carry
+    those stats, so any engine's scan — Spark's parquet filter pushdown,
+    DuckDB zone maps, pyarrow dataset filters — skips whole files/row-groups
+    for selective predicates on the cluster key. Unsorted writes leave every
+    file spanning the full key domain and stats prune nothing; at 100 TB the
+    difference between the two layouts on a point/range query is the
+    difference between reading one file and reading the table.
+
+    ``num_files`` bounds output-file count (range shards); default lets the
+    session's shuffle parallelism decide. Single-dimension clustering —
+    multi-dimension locality (Z-order/Hilbert) trades per-key tightness for
+    multi-key pruning and belongs to a lakehouse table format's OPTIMIZE.
+    """
+    cols = [c for c in sort_cols]
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def layout_stats(path: str, column: str) -> list[dict]:
+    """Per-row-group (file, row_group, min, max, rows) for ``column`` from
+    the parquet footers — the audit that a clustered layout actually has
+    prunable stats. Driver-side pyarrow metadata read (footers only, never
+    data pages); row counts bounded by file count × row groups."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[column]
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            rows.append(
+                {
+                    "file": os.path.basename(f),
+                    "row_group": g,
+                    "min": st.min if st is not None else None,
+                    "max": st.max if st is not None else None,
+                    "rows": md.row_group(g).num_rows,
+                }
+            )
+    return rows

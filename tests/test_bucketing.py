@@ -42,3 +42,41 @@ def test_mismatched_bucket_counts_still_correct(spark, no_broadcast):
     write_bucketed(left, "t_left_16", "k", 16)
     write_bucketed(right, "t_right_4", "k", 4)
     assert bucketed_join(spark, "t_left_16", "t_right_4", "k").count() == 100
+
+
+def test_write_clustered_yields_prunable_stats(spark, tmp_path):
+    """Range-clustered layout: per-row-group min/max on the cluster key are
+    non-overlapping across row groups (tight → prunable), while the same
+    data written unsorted has every file spanning the full key domain; the
+    point-filter read still pushes the predicate to the scan."""
+    from aws_financial_data_pipeline_spark.sources.bucketing import (
+        layout_stats,
+        write_clustered,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
+
+    clustered = str(tmp_path / "clustered")
+    write_clustered(ev, clustered, ("user_id",), num_files=4)
+    stats = [s for s in layout_stats(clustered, "user_id") if s["rows"] > 0]
+    assert len(stats) >= 2
+    # tight: sorted by min, each group's max ≤ the next group's min domain-
+    # wise they may share a boundary key but never interleave
+    stats.sort(key=lambda s: (s["min"], s["max"]))
+    for a, b in zip(stats, stats[1:]):
+        assert a["max"] <= b["min"]
+    # no single range spans the whole domain (that's the unsorted failure)
+    assert all(not (s["min"] == lo and s["max"] == hi) for s in stats)
+
+    unsorted = str(tmp_path / "unsorted")
+    ev.repartition(4).write.mode("overwrite").parquet(unsorted)
+    ustats = [s for s in layout_stats(unsorted, "user_id") if s["rows"] > 0]
+    # round-robin files all span ~the full domain — nothing prunable
+    assert any(s["min"] == lo and s["max"] == hi for s in ustats)
+
+    # correctness + pushdown: the clustered read filters at the scan
+    filt = spark.read.parquet(clustered).filter(F.col("user_id") == lo)
+    assert filt.count() == ev.filter(F.col("user_id") == lo).count()
+    scan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id," in scan
