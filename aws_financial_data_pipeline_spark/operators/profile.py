@@ -1,0 +1,102 @@
+"""One-pass column profiler — the table-level "describe" a data team runs
+before trusting any new ingest (schema drift, null explosions, cardinality
+surprises, range sanity). The reference has no profiling surface at all
+(it trusts its CSV blindly; docker/lambda_function.py:62-99 drops malformed
+rows silently) — this is extension surface, and the per-COLUMN complement to
+:func:`..quality.corpus_datasheet`'s per-corpus card.
+
+Scale design: ALL statistics for ALL profiled columns ride ONE global
+aggregate — a single corpus scan with map-side partial aggregation and a
+one-row result; no per-column jobs, no shuffle keyed by data. NDV is
+HyperLogLog (``approx_count_distinct``) because an exact distinct per column
+is a corpus-wide shuffle each — the profiler is an audit, not an oracle, and
+the rsd knob is exposed. Quantiles are ``percentile_approx`` (bounded-memory
+t-digest-style sketch) for the same reason. The reshape to long form happens
+driver-side on the ONE collected row — bounded by column count, never data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+# orderable scalar types: min/max/ndv are meaningful and cheap
+_ATOMIC = _NUMERIC + (T.StringType, T.DateType, T.TimestampType,
+                      T.TimestampNTZType, T.BooleanType)
+
+PROFILE_SCHEMA = (
+    "column string, dtype string, n long, n_null long, null_rate double, "
+    "ndv_approx long, min string, max string, mean double, stddev double, "
+    "quantiles array<double>"
+)
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    ndv_rsd: float = 0.05,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) → one row per column:
+
+    (column, dtype, n, n_null, null_rate, ndv_approx, min, max, mean,
+    stddev, quantiles) — min/max stringified for a uniform schema; mean/
+    stddev/quantiles populated for numeric columns only; complex types
+    (array/map/struct/binary) report counts and nulls only. ``n`` is the
+    TABLE row count (identical on every row — it rides the same aggregate).
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    names = list(fields) if columns is None else list(columns)
+    missing = [c for c in names if c not in fields]
+    if missing:
+        raise ValueError(f"profile_columns: no such column(s): {missing}")
+
+    aggs = [F.count("*").alias("_n")]
+    for i, name in enumerate(names):
+        c = F.col(name)
+        dt = fields[name]
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"_null_{i}"))
+        if isinstance(dt, _ATOMIC):
+            aggs.append(F.approx_count_distinct(c, ndv_rsd).alias(f"_ndv_{i}"))
+            aggs.append(F.min(c).cast("string").alias(f"_min_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{i}"))
+        if isinstance(dt, _NUMERIC):
+            d = c.cast("double")
+            aggs.append(F.avg(d).alias(f"_mean_{i}"))
+            aggs.append(F.stddev(d).alias(f"_std_{i}"))
+            aggs.append(
+                F.percentile_approx(d, list(quantiles)).alias(f"_q_{i}")
+            )
+    row = df.agg(*aggs).collect()[0]
+
+    out = []
+    for i, name in enumerate(names):
+        dt = fields[name]
+        n = row["_n"]
+        n_null = row[f"_null_{i}"] or 0
+        atomic = isinstance(dt, _ATOMIC)
+        numeric = isinstance(dt, _NUMERIC)
+        mean = row[f"_mean_{i}"] if numeric else None
+        std = row[f"_std_{i}"] if numeric else None
+        qs = row[f"_q_{i}"] if numeric else None
+        out.append(
+            (
+                name,
+                dt.simpleString(),
+                n,
+                n_null,
+                (n_null / n) if n else None,
+                row[f"_ndv_{i}"] if atomic else None,
+                row[f"_min_{i}"] if atomic else None,
+                row[f"_max_{i}"] if atomic else None,
+                float(mean) if mean is not None else None,
+                float(std) if std is not None else None,
+                [float(q) for q in qs] if qs is not None else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(out, PROFILE_SCHEMA)

@@ -329,6 +329,88 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: the top-``k`` documents for a bag-of-terms
+    query — the lexical-search operator a retrieval corpus (RAG ingestion,
+    eval-set mining) runs next to the ANN embedding path. Okapi BM25 with
+    Lucene's non-negative idf: ``ln(1 + (N − df + 0.5)/(df + 0.5))``,
+    ``tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``.
+
+    Returns (``id_col``, ``bm25``, ``n_terms_hit``) ordered by (score desc,
+    id asc) — ranked on the ROUNDED score (6dp, the x28 lesson: raw-double
+    ranking makes the cut engine/partition-dependent).
+
+    Scale shape: the corpus-sized work is ONE projection computing doc
+    length + per-query-term counts (an ``aggregate`` lambda per term over
+    the token array — the query is ≤ tens of terms, so this is a fixed
+    small multiple of one scan, with NO explode and NO (doc, term)
+    shuffle); df per term and (N, avgdl) are two tiny aggregates joined
+    back broadcast. The only ordering cost is TakeOrderedAndProject's
+    bounded per-partition heap — no window, no full sort. Matching is
+    exact-token (lowercased whitespace/punct tokens, same tokenizer as
+    every text operator here); stemming/analyzers are a caller-side
+    text-normalization concern."""
+    if not query:
+        raise ValueError("bm25_topk: query must contain at least one term")
+    terms = sorted({t.lower() for t in query})
+    toked = with_tokens(docs, text_col)
+    tf_cols = [
+        F.size(F.filter("_tok", lambda t: t == F.lit(term))).alias(f"_tf_{i}")
+        for i, term in enumerate(terms)
+    ]
+    per_doc = toked.select(
+        F.col(id_col), F.size("_tok").alias("_dl"), *tf_cols
+    ).localCheckpoint(eager=False)
+
+    stats = per_doc.agg(
+        F.count("*").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    idf = [
+        F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5)
+        )
+        for i in range(len(terms))
+    ]
+    part = [
+        idf[i]
+        * (F.col(f"_tf_{i}") * (k1 + 1))
+        / (
+            F.col(f"_tf_{i}")
+            + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+        for i in range(len(terms))
+    ]
+    score = sum(part[1:], part[0])
+    hits = sum(
+        (F.col(f"_tf_{i}") > 0).cast("int") for i in range(len(terms))
+    )
+    return (
+        per_doc.join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(score, 6).alias("bm25"),
+            hits.alias("n_terms_hit"),
+        )
+        .filter(F.col("n_terms_hit") > 0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _gopher_exprs(text_col: str, tok: Column) -> tuple[dict[str, Column], dict[str, Column]]:
     """Raw (unrounded) Gopher rule measurements and flags, shared by
     :func:`gopher_quality_flags` and :func:`text_profile` so the driver-gated
