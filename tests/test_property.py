@@ -137,3 +137,67 @@ def test_two_pass_packing_equals_global_prefix_sum(spark, sizes, budget, shards)
         expect[i] = prefix // budget
         prefix += s
     assert got == expect
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=3, max_size=25
+    ),
+    a=st.floats(min_value=0.5, max_value=10, allow_nan=False),
+    b=st.floats(min_value=-50, max_value=50, allow_nan=False),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_robust_z_is_affine_invariant(spark, vals, a, b):
+    """The modified z-score is invariant under x → a·x + b (a > 0): median
+    and MAD are equivariant, so the score — and every anomaly flag —
+    survives unit changes (cents vs dollars) untouched. Moment z-scores
+    share this; the property pins that OUR median/MAD plumbing does too."""
+    rows = [("g", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    from aws_financial_data_pipeline_spark.operators.timeseries import robust_anomalies
+
+    base = robust_anomalies(df, ("event_type",)).orderBy("value").collect()
+    scaled_df = df.select("event_type", (F.col("value") * a + b).alias("value"))
+    scaled = robust_anomalies(scaled_df, ("event_type",)).orderBy("value").collect()
+    for r1, r2 in zip(base, scaled):
+        if r1["robust_z"] is None:
+            assert r2["robust_z"] is None
+        else:
+            assert abs(r1["robust_z"] - r2["robust_z"]) < 1e-4
+        assert r1["is_anomaly"] == r2["is_anomaly"]
+
+
+@given(
+    old_ids=st.sets(st.integers(0, 30), max_size=15),
+    new_ids=st.sets(st.integers(0, 30), max_size=15),
+    changed=st.sets(st.integers(0, 30), max_size=10),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_corpus_diff_statuses_partition_the_id_union(spark, old_ids, new_ids, changed):
+    """For arbitrary old/new id sets with arbitrary content changes: the
+    diff covers old ∪ new exactly once, statuses match the set algebra, and
+    ingest_batch is exactly added ∪ changed."""
+    from aws_financial_data_pipeline_spark.operators import snapshot
+
+    old = spark.createDataFrame(
+        [(i, f"text-{i}") for i in sorted(old_ids)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"text-{i}-v2" if i in changed else f"text-{i}") for i in sorted(new_ids)],
+        "doc_id long, text string",
+    )
+    diff = {r["doc_id"]: r["status"] for r in snapshot.corpus_diff(old, new).collect()}
+    assert set(diff) == old_ids | new_ids
+    for i, status in diff.items():
+        if i not in old_ids:
+            assert status == "added"
+        elif i not in new_ids:
+            assert status == "removed"
+        elif i in changed:
+            assert status == "changed"
+        else:
+            assert status == "unchanged"
+    got_batch = {r["doc_id"] for r in snapshot.ingest_batch(old, new).collect()}
+    assert got_batch == (new_ids - old_ids) | (changed & new_ids & old_ids)
