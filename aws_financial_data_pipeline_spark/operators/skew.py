@@ -78,3 +78,55 @@ def salted_join(
     p = probe.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     b = build.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return p.join(b, [on, "_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    k: int = 10,
+) -> DataFrame:
+    """Hot-key audit BEFORE committing to a join/agg key: the top-``k``
+    heaviest keys with their share of the table, plus the global skew
+    numbers that decide whether salting / AQE skew-join is worth wiring —
+    ``skew_factor`` (max key count / mean key count; ~1 is uniform,
+    hundreds means one reducer owns the stage) and ``p99_factor`` (p99/mean
+    — whether the tail is broadly heavy or one key is pathological).
+
+    Output: k rows (key..., count, share, rank, n_keys, mean_count,
+    skew_factor, p99_factor), rank 1 = heaviest, ties by key ascending.
+
+    Shape: ONE groupBy over the key (the same shuffle the audited join/agg
+    would pay — map-side combined), then a TakeOrderedAndProject for the
+    top-k and a one-row global aggregate broadcast back. Nothing is
+    collected; keys-space-sized frames only.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(F.count("*").alias("count"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("count").alias("_total"),
+        F.avg("count").alias("mean_count"),
+        F.max("count").alias("_max"),
+        F.expr("percentile_approx(count, 0.99)").alias("_p99"),
+    )
+    top = counts.orderBy(F.desc("count"), *[F.asc(c) for c in key_cols]).limit(k)
+    # rank window runs over the k SURVIVING rows only (post-limit), like
+    # build_vocab's cumulative window — bounded, not corpus-sized
+    w = F.row_number().over(
+        Window.orderBy(F.desc("count"), *[F.asc(c) for c in key_cols])
+    )
+    return (
+        top.join(F.broadcast(stats))
+        .select(
+            *key_cols,
+            "count",
+            F.round(F.col("count") / F.col("_total"), 6).alias("share"),
+            w.alias("rank"),
+            "n_keys",
+            F.round("mean_count", 3).alias("mean_count"),
+            F.round(F.col("_max") / F.col("mean_count"), 3).alias("skew_factor"),
+            F.round(F.col("_p99") / F.col("mean_count"), 3).alias("p99_factor"),
+        )
+    )

@@ -239,3 +239,43 @@ def remove_duplicated_spans(
         )
         .drop("_tok", "_spans")
     )
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal: keep each line's first
+    occurrence, drop later exact repeats (trim-insensitive match, original
+    whitespace preserved on the kept line). The removal companion to the
+    Gopher duplicate-line-fraction FLAG — templated pages repeat their own
+    nav/footer lines inside one document, which cross-doc
+    :func:`paragraph_dedup` (≥ min_docs DISTINCT docs) deliberately ignores.
+
+    Returns (id, clean_text, n_lines, n_removed). Map-only: one projected
+    line-array column, a first-occurrence filter via index lambdas, and a
+    re-join — NO shuffle, no explode (plan-asserted in tests). Per-doc cost
+    is O(lines²) array scans in the worst case — lines-per-doc is a
+    bounded per-row quantity (the Gopher length rules upstream cap it), so
+    this stays a cheap scan stage, unlike anything keyed by corpus size.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    with_lines = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        lines.alias("_lines"),
+        F.transform(lines, lambda s: F.trim(s)).alias("_keys"),
+    )
+    keep = F.filter(
+        F.col("_lines"),
+        lambda x, i: ~F.array_contains(
+            F.slice(F.col("_keys"), 1, i), F.trim(x)
+        ),
+    )
+    return with_lines.select(
+        F.col(id_col),
+        F.array_join(keep, "\n").alias("clean_text"),
+        F.size("_lines").alias("n_lines"),
+        (F.size("_lines") - F.size(keep)).alias("n_removed"),
+    )

@@ -51,3 +51,27 @@ def test_salted_join_preserves_multiplicity_with_dup_build_keys(spark):
     build = spark.createDataFrame([("a", "x"), ("a", "y")], "k string, label string")
     got = skew.salted_join(probe, build, "k")
     assert got.count() == 4  # 2 probe × 2 build-key rows, exactly as direct join
+
+
+def test_skew_report_hand_computed(spark):
+    """Planted hot key: counts/shares/rank exact, skew_factor = max/mean."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    rep = skew_report(df, ("k",), k=3).orderBy("rank").collect()
+    assert [(r["k"], r["count"], r["rank"]) for r in rep] == [
+        ("hot", 60, 1), ("warm", 30, 2), ("a", 5, 3)  # tie a<b → a
+    ]
+    assert rep[0]["share"] == 0.6
+    assert all(r["n_keys"] == 4 for r in rep)
+    assert rep[0]["mean_count"] == 25.0
+    assert rep[0]["skew_factor"] == round(60 / 25.0, 3)
+    assert rep[0]["p99_factor"] >= rep[0]["skew_factor"] * 0.9  # p99 ~ max at 4 keys
+
+    # uniform key space reads as ~1 on both factors
+    uni = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    u = skew_report(uni, ("k",), k=1).collect()[0]
+    assert u["skew_factor"] == 1.0 and u["p99_factor"] == 1.0 and u["n_keys"] == 100

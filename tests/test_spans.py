@@ -143,3 +143,30 @@ def test_paragraph_dedup_keep_first(spark):
     again = {r["doc_id"]: r["clean_text"]
              for r in spans.paragraph_dedup(docs.repartition(7)).collect()}
     assert again == {k: v["clean_text"] for k, v in got.items()}
+
+
+def test_dedup_lines_within_doc(spark):
+    """First occurrence kept (original whitespace), later trim-equal repeats
+    dropped; cross-doc occurrences untouched; NULL text stays NULL-ish."""
+    from aws_financial_data_pipeline_spark.operators.spans import dedup_lines_within_doc
+
+    rows = [
+        (1, "nav\nbody one\nnav\nbody two\n  nav  \nend"),
+        (2, "nav\nunique"),          # repeat across docs is NOT this op's job
+        (3, "a\nb\nc"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines_within_doc(docs).collect()}
+    # doc 1: 'nav' repeats at pos 2 and (trimmed) pos 4 → both dropped
+    assert out[1]["clean_text"] == "nav\nbody one\nbody two\nend"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (6, 2)
+    assert out[2]["clean_text"] == "nav\nunique" and out[2]["n_removed"] == 0
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] is None
+
+    # map-only: no Exchange in the executed plan
+    plan = (
+        dedup_lines_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
