@@ -77,3 +77,46 @@ def test_diff_partitions_testdata_ids(spark):
     batch = snapshot.ingest_batch(docs, new)
     assert batch.count() == by.get("changed", 0)
     assert batch.filter(~F.col("text").endswith(" v2")).count() == 0
+
+
+def test_ingest_batch_composes_in_foreach_batch(spark, tmp_path):
+    """Streaming refresh: micro-batches of a re-crawl diff against the
+    STANDING corpus inside foreachBatch; the accumulated work list equals
+    the batch ingest_batch of the whole re-crawl (replay == batch)."""
+    from aws_financial_data_pipeline_spark.operators import snapshot
+
+    standing = _snap(
+        spark, [(1, "alpha", "s"), (2, "beta", "s"), (3, "gamma", "s")]
+    )
+    recrawl = [(2, "beta", "s"), (3, "gamma v2", "s"), (4, "delta", "s"), (5, "eps", "s")]
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    _snap(spark, recrawl[:2]).coalesce(1).write.mode("overwrite").parquet(src)
+    _snap(spark, recrawl[2:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def refresh(batch, bid):
+        snapshot.ingest_batch(standing, batch).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["doc_id"]: r["text"]
+        for r in snapshot.ingest_batch(standing, _snap(spark, recrawl)).collect()
+    }
+    assert got == want == {3: "gamma v2", 4: "delta", 5: "eps"}
