@@ -273,3 +273,44 @@ def retention_cohorts(
             F.round(F.col("n_users") / F.col("_n0"), 6).alias("retention"),
         )
     )
+
+
+START = "<start>"
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table over per-user event sequences:
+    (from_type, to_type, n, prob) where ``prob`` is the row-normalized
+    P(next = to | current = from). Each user's FIRST event transitions from
+    the synthetic ``<start>`` state, so entry behavior is analyzable and
+    every event contributes exactly one transition (Σn == Σevents).
+
+    Shape: one lag window per (user, (ts, id)) ordering — the same single
+    shuffle sessionize pays, deterministic under ts ties via the id
+    tiebreak — then a groupBy on the (from, to) pair whose key space is
+    |types|² (tiny), and the per-from totals join back BROADCAST. Output is
+    type-space-sized, never user- or event-sized.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.coalesce(F.lag(type_col).over(w), F.lit(START)).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -112,3 +112,59 @@ def robust_anomalies(
             F.coalesce(F.abs(score) > threshold, F.lit(False)).alias("is_anomaly"),
         )
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line in ONE aggregation:
+    (key..., n, slope, intercept, r2) from the closed-form moment sums —
+    the distributed version of the reference's driver-side slope loop
+    (docker/lambda_function.py:154-173 walks months in Python per user).
+
+    Everything derives from five map-side-combinable sums (Σx, Σy, Σx²,
+    Σy², Σxy) in a single groupBy — no window, no second scan, no driver
+    math per key. Degenerate keys (n < 2, or zero x-variance — all points
+    at one x) get NULL slope/intercept/r2 rather than a division blow-up;
+    a zero y-variance key is a perfect flat fit (slope 0, r2 NULL since
+    r² is undefined when Syy = 0). NULL x or y rows are excluded per key.
+
+    Coefficients are returned UNROUNDED: a slope's magnitude is set by the
+    caller's units (value-per-epoch-microsecond is ~1e-12), so any fixed
+    decimal rounding silently zeroes it — the x28 round-before-rank rule is
+    for hash-gated top-k cuts, not for returned statistics. Double sums are
+    accumulation-order dependent in the last ulps; callers needing
+    cross-run bit-equality should round at their own precision.
+    """
+    keys = [F.col(k) for k in key_cols]
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(y * y).alias("_syy"),
+            F.sum(x * y).alias("_sxy"),
+        )
+    )
+    n = F.col("n")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when((n >= 2) & (vx > 0), cov / vx)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.when((n >= 2) & (vx > 0) & (vy > 0), (cov * cov) / (vx * vy))
+    return agg.select(
+        *key_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -150,3 +150,36 @@ def test_retention_cohorts_invariants_on_testdata(spark):
     assert sum(r["n_users"] for r in zero) == n_users
     with pytest.raises(ValueError, match="day|week|month"):
         ev.retention_cohorts(events, "year")
+
+
+def test_transition_matrix_hand_computed(spark):
+    """Two users' sequences → exact pair counts, row-normalized probs, the
+    <start> state, and conservation (Σn == number of events)."""
+    from aws_financial_data_pipeline_spark.operators.events import transition_matrix
+
+    rows = [
+        # u1: a → b → a   u2: a → a
+        (1, 1, 100, "a"), (2, 1, 200, "b"), (3, 1, 300, "a"),
+        (4, 2, 100, "a"), (5, 2, 200, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {(r["from_type"], r["to_type"]): r for r in transition_matrix(ev).collect()}
+    assert got[("<start>", "a")]["n"] == 2 and got[("<start>", "a")]["prob"] == 1.0
+    assert got[("a", "b")]["n"] == 1 and got[("a", "a")]["n"] == 1
+    assert got[("a", "b")]["prob"] == 0.5 and got[("a", "a")]["prob"] == 0.5
+    assert got[("b", "a")]["prob"] == 1.0
+    assert sum(r["n"] for r in got.values()) == len(rows)
+
+
+def test_transition_matrix_rows_normalize_on_testdata(spark):
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators.events import transition_matrix
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tm = transition_matrix(ev)
+    sums = tm.groupBy("from_type").agg(F.sum("prob").alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-3 for r in sums)  # rows normalize
+    assert tm.agg(F.sum("n")).first()[0] == ev.count()  # conservation

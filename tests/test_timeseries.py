@@ -76,3 +76,55 @@ def test_robust_anomalies_is_per_group_on_testdata(spark):
     }
     # a robust scorer on mostly-clean synthetic data flags a small tail
     assert all(rate < 0.2 for rate in rates.values())
+
+
+def test_linear_trend_hand_computed(spark):
+    """Exact line recovered (slope/intercept/r2 = 1), noisy key bounded,
+    degenerate keys NULL out instead of dividing by zero."""
+    from aws_financial_data_pipeline_spark.operators.timeseries import linear_trend
+
+    rows = (
+        [("exact", float(x), 2.0 * x + 1.0) for x in range(5)]
+        + [("flat", float(x), 7.0) for x in range(4)]
+        + [("one", 1.0, 5.0)]
+        + [("novar", 3.0, 1.0), ("novar", 3.0, 9.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r["k"]: r for r in linear_trend(df, ("k",), "x", "y").collect()}
+    e = out["exact"]
+    assert (e["slope"], e["intercept"], e["r2"]) == (2.0, 1.0, 1.0)
+    f = out["flat"]
+    assert f["slope"] == 0.0 and f["intercept"] == 7.0 and f["r2"] is None
+    assert out["one"]["slope"] is None          # n < 2
+    assert out["novar"]["slope"] is None        # zero x-variance
+    assert out["novar"]["n"] == 2
+
+
+def test_linear_trend_matches_numpy_on_testdata(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators.timeseries import linear_trend
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # testdata ships TIMESTAMP_NTZ; cast under the pinned-UTC session
+        .select("event_type",
+                F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("x"),
+                F.col("value").alias("y"))
+    )
+    got = {r["event_type"]: r for r in
+           linear_trend(ev, ("event_type",), "x", "y").collect()}
+    for et, grp in {r[0]: None for r in ev.select("event_type").distinct().collect()}.items():
+        pts = ev.filter(F.col("event_type") == et).collect()
+        xs = np.array([p["x"] for p in pts])
+        ys = np.array([p["y"] for p in pts])
+        slope, intercept = np.polyfit(xs - xs.mean(), ys, 1)  # centered for conditioning
+        # recover uncentered intercept: y = m(x - mx) + b  →  b' = b - m·mx
+        # slopes here are ~1e-12 (value per epoch-µs): compare with a mixed
+        # absolute+relative tolerance, and expect closed-form conditioning
+        # loss on huge-x data (this is WHY the operator returns unrounded)
+        assert np.isclose(got[et]["slope"], slope, rtol=2e-2, atol=1e-15)
+        assert np.isclose(
+            got[et]["intercept"], intercept - slope * xs.mean(), rtol=2e-2, atol=1e-6
+        )
