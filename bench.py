@@ -335,6 +335,31 @@ def _bench_snapshot_diff(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _bench_table_audits(spark, sf_dir: str) -> float:
+    """The pre-flight audit stack a data team runs on a fresh ingest: column
+    profile of the events table, hot-key report on its join key, per-type
+    robust anomaly scoring, and the corpus BM25 probe — four one-pass
+    audits whose combined cost should stay trivial next to the pipelines
+    they de-risk."""
+    from aws_financial_data_pipeline_spark.operators import snapshot  # noqa: F401
+    from aws_financial_data_pipeline_spark.operators.profile import profile_columns
+    from aws_financial_data_pipeline_spark.operators.skew import skew_report
+    from aws_financial_data_pipeline_spark.operators.text import bm25_topk
+    from aws_financial_data_pipeline_spark.operators.timeseries import robust_anomalies
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = _docs(spark, sf_dir)
+    t0 = time.perf_counter()
+    profile_columns(ev).write.mode("overwrite").format("noop").save()
+    skew_report(ev, ("user_id",), k=10).write.mode("overwrite").format("noop").save()
+    robust_anomalies(ev, ("event_type",)).write.mode("overwrite").format("noop").save()
+    bm25_topk(docs, ["table", "join", "window"], k=20).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _bench_event_funnel(spark, sf_dir: str) -> float:
     """view→click→purchase funnel over the events table (1h window): one
     groupBy + one fold, no per-step self-joins."""
@@ -407,6 +432,7 @@ def main() -> None:
     times["mixture_plan_apply"] = _bench_mixture_plan_apply(spark, sf_dir)
     times["global_shuffle"] = _bench_global_shuffle(spark, sf_dir)
     times["snapshot_diff"] = _bench_snapshot_diff(spark, sf_dir)
+    times["table_audits"] = _bench_table_audits(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(
