@@ -52,13 +52,24 @@ def corpus_diff(
     callers with unkeyed corpora should assign ids first
     (``sources.textdir`` / ``to_parquet_corpus``).
     """
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("old_hash"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("new_hash"))
+    # presence is tracked explicitly (not via hash nullity): a NULL-text doc
+    # hashes to NULL on a side it IS present in, and must not read as
+    # added/removed — eqNullSafe makes NULL text == NULL text "unchanged"
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("old_hash"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("new_hash"),
+        F.lit(True).alias("_in_new"),
+    )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(id_col, status.alias("status"), "old_hash", "new_hash")

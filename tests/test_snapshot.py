@@ -24,6 +24,15 @@ def test_corpus_diff_statuses(spark):
     assert diff[2]["old_hash"] == diff[2]["new_hash"]
 
 
+def test_corpus_diff_null_text_presence(spark):
+    """A NULL-text doc present on both sides is 'unchanged' (not 'added' —
+    presence is row existence, not hash nullity); NULL→text is 'changed'."""
+    old = _snap(spark, [(1, None, "s"), (2, None, "s"), (3, "x", "s")])
+    new = _snap(spark, [(1, None, "s"), (2, "filled", "s"), (3, None, "s")])
+    diff = {r["doc_id"]: r["status"] for r in snapshot.corpus_diff(old, new).collect()}
+    assert diff == {1: "unchanged", 2: "changed", 3: "changed"}
+
+
 def test_diff_summary_counts_and_churn(spark):
     old = _snap(spark, [(1, "alpha", "s"), (2, "beta", "s"), (3, "gamma", "s")])
     new = _snap(spark, [(2, "beta", "s"), (3, "gamma v2", "s"), (4, "delta", "s")])
