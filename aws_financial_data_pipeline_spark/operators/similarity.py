@@ -823,3 +823,50 @@ def ann_recall(
         F.coalesce("_hits", F.lit(0)).alias("hits"),
         F.round(F.coalesce("_hits", F.lit(0)) / F.col("_k"), 4).alias("recall"),
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack, Clarke &
+    Büttcher, SIGIR 2009): ``score(d) = Σ_lists 1/(c + rank_d)``, the
+    standard hybrid-retrieval combiner for a lexical list
+    (:func:`..text.bm25_topk`) and a semantic list (:func:`ann_topk_lsh` /
+    :func:`..pq.ann_topk_ivfpq`) — score scales never need calibrating
+    because only RANKS enter. ``c=60`` per the paper.
+
+    Each input needs (``id_col``, ``rank_col``) with rank 1 = best; a doc
+    missing from a list simply contributes nothing for it (the paper's
+    convention). Returns the top-``k`` (id, rrf_score, n_lists) by
+    (score desc, id asc) — ranked on the ROUNDED score (x28 rule).
+
+    Shape: inputs are ALREADY top-k-sized (k rows each — their own
+    operators did the corpus-sized work), so this is a union of tiny
+    frames + one groupBy + TakeOrderedAndProject: driver-scale cost, no
+    corpus access at all.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col).cast("double"))).alias("_rr"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum("_rr"), 6).alias("rrf_score"),
+            F.count("*").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

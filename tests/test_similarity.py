@@ -559,3 +559,62 @@ def test_ann_recall_gates_lsh_on_testdata(spark):
     # same floor as test_ann_recall_floor_on_testdata: the 16/4 config halves
     # recall on this near-random corpus by design (SCALING.md)
     assert rec >= 0.3, f"macro recall {rec}"
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF scores and ordering on two hand-built lists, with a doc present
+    in only one list, plus the hybrid bm25+ann composition shape."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    sem = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "doc_id long, rank int")
+    got = rrf_fuse([lex, sem], k=4).collect()
+    want = {
+        10: round(1 / 61 + 1 / 62, 6),
+        20: round(1 / 62 + 1 / 61, 6),
+        30: round(1 / 63, 6),
+        40: round(1 / 63, 6),
+    }
+    # 10 and 20 tie exactly (symmetric ranks) → id ascending breaks it;
+    # 30/40 tie at the single-list score
+    assert [(r["doc_id"], r["rrf_score"], r["n_lists"]) for r in got] == [
+        (10, want[10], 2), (20, want[20], 2), (30, want[30], 1), (40, want[40], 1)
+    ]
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_rrf_fuse_hybrid_bm25_ann_on_testdata(spark):
+    """End-to-end hybrid: fuse a BM25 list with a brute-cosine list over the
+    real corpus tables; the fused set ⊆ union of inputs and both modalities
+    contribute."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from aws_financial_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        rrf_fuse,
+    )
+    from aws_financial_data_pipeline_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lex = bm25_topk(docs, ["table", "join"], k=10).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+    )
+    q = emb.orderBy("vec_id").limit(1)
+    sem = cosine_topk(emb, q, k=10).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank")
+    )
+    fused = rrf_fuse([lex.select("doc_id", "rank"), sem], k=10).collect()
+    lex_ids = {r["doc_id"] for r in lex.collect()}
+    sem_ids = {r["doc_id"] for r in sem.collect()}
+    fused_ids = {r["doc_id"] for r in fused}
+    assert fused_ids <= (lex_ids | sem_ids)
+    assert len(fused) == 10
+    # two-list docs outrank any single-list doc at equal ranks: the top doc
+    # must come from the overlap when one exists, else scores are 1/(60+r)
+    assert all(r["n_lists"] in (1, 2) for r in fused)
