@@ -140,8 +140,15 @@ def test_two_pass_packing_equals_global_prefix_sum(spark, sizes, budget, shards)
 
 
 @given(
+    # 2dp-grid values (money-like): keeps hypothesis away from denormals
+    # (2.2e-308), where an affine shift flushes real differences out of the
+    # float and MAD legitimately collapses to 0 — not the property's domain
     vals=st.lists(
-        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=3, max_size=25
+        st.floats(min_value=-100, max_value=100, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+        min_size=3,
+        max_size=25,
     ),
     a=st.floats(min_value=0.5, max_value=10, allow_nan=False),
     b=st.floats(min_value=-50, max_value=50, allow_nan=False),
@@ -153,6 +160,8 @@ def test_robust_z_is_affine_invariant(spark, vals, a, b):
     and MAD are equivariant, so the score — and every anomaly flag —
     survives unit changes (cents vs dollars) untouched. Moment z-scores
     share this; the property pins that OUR median/MAD plumbing does too."""
+    import math
+
     rows = [("g", float(v)) for v in vals]
     df = spark.createDataFrame(rows, "event_type string, value double")
     from aws_financial_data_pipeline_spark.operators.timeseries import robust_anomalies
@@ -164,7 +173,9 @@ def test_robust_z_is_affine_invariant(spark, vals, a, b):
         if r1["robust_z"] is None:
             assert r2["robust_z"] is None
         else:
-            assert abs(r1["robust_z"] - r2["robust_z"]) < 1e-4
+            assert math.isclose(
+                r1["robust_z"], r2["robust_z"], rel_tol=1e-6, abs_tol=1e-6
+            )
         assert r1["is_anomaly"] == r2["is_anomaly"]
 
 
