@@ -114,3 +114,24 @@ def ingest_batch(
         .select(id_col)
     )
     return new.join(work, id_col, "left_semi")
+
+
+def apply_delta(
+    old: DataFrame,
+    diff: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reconstruct the NEW snapshot from the old one plus a stored delta —
+    the read path of delta-based snapshot storage, where a refresh persists
+    only :func:`corpus_diff` (ids + statuses, 40-ish bytes/row) and
+    :func:`ingest_batch` (the added/changed payloads) instead of a full
+    corpus copy: O(churn) storage per version, full-fidelity replay.
+
+    ``new = (old ∖ (removed ∪ changed ids)) ∪ batch``: one id-only
+    anti-join against the (churn-sized, broadcastable) drop list, one
+    union — the reconstruction never shuffles the surviving corpus rows.
+    Pinned in tests: apply_delta(old, corpus_diff(old,new),
+    ingest_batch(old,new)) ≡ new, row for row."""
+    gone = diff.filter(F.col("status").isin("removed", "changed")).select(id_col)
+    return old.join(gone, id_col, "left_anti").unionByName(batch)

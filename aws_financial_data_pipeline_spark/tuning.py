@@ -66,3 +66,31 @@ def runtime_bloom_filter(spark, *, force_shuffle_join: bool = True):
         settings["spark.sql.autoBroadcastJoinThreshold"] = "-1"
     with _scoped_conf(spark, settings):
         yield
+
+
+def plan_counts(df) -> dict[str, int]:
+    """Physical-plan audit: counts of the operators that decide whether a
+    plan scales — scans, exchanges (shuffles), broadcasts, windows,
+    sort-merge joins, Python/Arrow stages. The programmatic form of
+    eyeballing ``.explain("formatted")``; the plan-shape regression tests
+    (tests/test_plans.py and per-operator no-Exchange assertions) are built
+    on exactly these greps, and a production job can log it next to its
+    metrics to catch a layout/broadcast regression at submit time.
+
+    Driver-only string scan of the EXECUTED plan — triggers planning (the
+    AQE initial plan, ``isFinalPlan=false``), never execution. Codegen
+    spans are deliberately NOT counted: under AQE they only exist in the
+    post-execution final plan, and a pre-execution count would read 0.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    markers = {
+        "scans": "Scan parquet",
+        "exchanges": "Exchange",
+        "broadcast_joins": "BroadcastHashJoin",
+        "sort_merge_joins": "SortMergeJoin",
+        "windows": "Window",
+        "generates": "Generate",
+        "python_stages": "ArrowEvalPython",
+        "map_in_pandas": "MapInPandas",
+    }
+    return {name: plan.count(tok) for name, tok in markers.items()}

@@ -205,3 +205,21 @@ def test_summary_read_path_is_fused_and_scan_bounded(spark):
         assert not re.search(r"Window .*user_id", plan), "pivot planned a window"
     finally:
         shutil.rmtree(sumdir, ignore_errors=True)
+
+
+def test_plan_counts_matches_known_shapes(spark):
+    """tuning.plan_counts agrees with the hand-grepped assertions the plan
+    tests are built on: a map-only operator has zero exchanges, a groupBy
+    has at least one, and parquet scans are counted."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators.spans import dedup_lines_within_doc
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mapped = plan_counts(dedup_lines_within_doc(docs))
+    assert mapped["exchanges"] == 0 and mapped["scans"] == 1
+    assert mapped["windows"] == 0 and mapped["python_stages"] == 0
+
+    agged = plan_counts(docs.groupBy("lang").count())
+    assert agged["exchanges"] >= 1 and agged["scans"] == 1

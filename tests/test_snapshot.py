@@ -129,3 +129,17 @@ def test_ingest_batch_composes_in_foreach_batch(spark, tmp_path):
         for r in snapshot.ingest_batch(standing, _snap(spark, recrawl)).collect()
     }
     assert got == want == {3: "gamma v2", 4: "delta", 5: "eps"}
+
+
+def test_apply_delta_reconstructs_the_new_snapshot(spark):
+    """Delta storage round-trip: old + (diff, ingest_batch) == new exactly,
+    including a changed doc, a removed doc, an added doc, and NULL text."""
+    old = _snap(spark, [(1, "alpha", "s"), (2, "beta", "s"), (3, "gamma", "s"), (5, None, "s")])
+    new = _snap(spark, [(2, "beta", "s"), (3, "gamma v2", "s"), (4, "delta", "s"), (5, None, "s")])
+    diff = snapshot.corpus_diff(old, new)
+    batch = snapshot.ingest_batch(old, new)
+    rebuilt = snapshot.apply_delta(old, diff, batch)
+    want = {(r["doc_id"], r["text"]) for r in new.collect()}
+    got = {(r["doc_id"], r["text"]) for r in rebuilt.collect()}
+    assert got == want
+    assert rebuilt.count() == new.count()  # no dupes from the union
