@@ -81,8 +81,12 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     size (NULL when the old snapshot was empty — a first ingest has no
     meaningful churn). Single conditional aggregation, no re-scan per
     status."""
+    # zero (not NULL) counters on an empty diff — callers branch on them
+    # (the packing_efficiency convention)
     cnt = [
-        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(f"n_{s}")
+        F.coalesce(
+            F.sum(F.when(F.col("status") == s, 1).otherwise(0)), F.lit(0)
+        ).alias(f"n_{s}")
         for s in _STATUSES
     ]
     return diff.agg(*cnt).select(

@@ -208,3 +208,52 @@ def test_session4_ops_on_empty_and_edge(spark):
     no_chunks = spark.createDataFrame([], "doc_id long, chunk_id long, n_tokens long, bin_id long")
     rep = pk.packing_efficiency(no_chunks, budget=64).collect()[0]
     assert rep["n_bins"] == 0 and rep["n_over_budget"] == 0
+
+
+def test_session5_ops_on_empty_and_edge(spark):
+    """Session-5 operators on empty frames: well-defined, never throw."""
+    from aws_financial_data_pipeline_spark.operators import snapshot as sn
+    from aws_financial_data_pipeline_spark.operators.profile import profile_columns
+    from aws_financial_data_pipeline_spark.operators.quality import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+    from aws_financial_data_pipeline_spark.operators.similarity import rrf_fuse
+    from aws_financial_data_pipeline_spark.operators.skew import skew_report
+    from aws_financial_data_pipeline_spark.operators.spans import dedup_lines_within_doc
+    from aws_financial_data_pipeline_spark.operators.text import bm25_topk
+    from aws_financial_data_pipeline_spark.operators.timeseries import (
+        linear_trend,
+        robust_anomalies,
+    )
+    from aws_financial_data_pipeline_spark.operators.events import transition_matrix
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    no_ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts long, event_type string, value double"
+    )
+
+    # diff of two empty snapshots: empty diff, all-zero summary, NULL churn
+    d = sn.corpus_diff(no_docs, no_docs)
+    assert d.count() == 0
+    s = sn.diff_summary(d).collect()[0]
+    assert s["n_added"] == 0 and s["churn_rate"] is None
+    assert sn.ingest_batch(no_docs, no_docs).count() == 0
+    assert sn.apply_delta(no_docs, d, no_docs).count() == 0
+
+    assert bm25_topk(no_docs, ["term"]).count() == 0
+    assert dedup_lines_within_doc(no_docs).count() == 0
+    assert robust_anomalies(no_ev, ("event_type",)).count() == 0
+    assert linear_trend(no_ev, ("event_type",), "ts", "value").count() == 0
+    assert transition_matrix(no_ev).count() == 0
+    assert skew_report(no_ev, ("user_id",)).count() == 0
+
+    # calibration on an empty scored frame: no bins, NULL (not NaN/crash) ECE
+    no_scored = spark.createDataFrame([], "quality_prob double, label double")
+    calib = calibration_bins(no_scored)
+    assert calib.count() == 0
+    assert expected_calibration_error(calib) is None
+
+    # profiler: empty-TABLE handled in test_profile; zero-ROW ranking list
+    no_rank = spark.createDataFrame([], "doc_id long, rank int")
+    assert rrf_fuse([no_rank]).count() == 0
