@@ -61,3 +61,57 @@ def running_user_totals(txns: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITIONS_OUTPUT = "from_type string, to_type string, n bigint"
+TRANSITIONS_STATE = "last_type string"
+_START = "<start>"
+
+
+def _update_transitions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch into per-(from, to) transition counts,
+    carrying the last seen event type across batches in the state store."""
+    (last,) = state.get if state.exists else (None,)
+    counts: dict[tuple[str, str], int] = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t in pdf["event_type"]:
+            frm = last if last is not None else _START
+            counts[(frm, t)] = counts.get((frm, t), 0) + 1
+            last = t
+    if last is not None:
+        state.update((last,))
+    if counts:
+        ft, tt = zip(*counts.keys())
+        yield pd.DataFrame(
+            {"from_type": list(ft), "to_type": list(tt), "n": list(counts.values())}
+        )
+
+
+def transition_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of :func:`..operators.events.transition_matrix`'s
+    counting stage: per-user last-event-type state (a single string per
+    user — O(users) state, the smallest possible) turns each micro-batch
+    into PARTIAL (from_type, to_type, n) counts; sum ``n`` by (from, to)
+    downstream (foreachBatch into a store, or a batch agg after draining)
+    and row-normalize for probabilities.
+
+    Ordering contract: within a batch rows sort by (ts, event_id) — the
+    batch operator's exact ordering — and across batches correctness
+    requires the source to deliver each user's events in event-time order
+    (true for ordered-file replay and per-key-ordered buses like
+    partitioned Kafka). Late cross-batch events would need a watermark +
+    sort stage first; this operator deliberately does not hide that.
+
+    Replay == batch is pinned in tests: drained partial counts sum to
+    exactly ``transition_matrix``'s ``n`` column on the same events.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANSITIONS_OUTPUT,
+        stateStructType=TRANSITIONS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -50,3 +50,58 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     assert got2["1"]["avg_amount"] == 23.33
     assert got2["3"]["n_txns"] == 1
     assert "2" not in got2  # untouched user not re-emitted in update mode
+
+
+EV = "event_id long, user_id long, ts long, event_type string"
+
+
+def test_transition_counts_stream_equals_batch(spark, tmp_path):
+    """Drained partial transition counts sum to exactly the batch
+    transition_matrix n column — including the cross-batch hop (u1's last
+    event in batch 1 feeds its first transition in batch 2) and the
+    <start> state."""
+    from collections import Counter
+
+    from aws_financial_data_pipeline_spark.operators.events import transition_matrix
+    from aws_financial_data_pipeline_spark.streaming.stateful import (
+        transition_counts_stream,
+    )
+
+    b1 = [(1, 1, 100, "a"), (2, 1, 200, "b"), (3, 2, 100, "a")]
+    b2 = [(4, 1, 300, "a"), (5, 2, 200, "a"), (6, 3, 100, "c")]
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    totals: Counter = Counter()
+
+    def capture(batch, _bid):
+        for r in batch.collect():
+            totals[(r["from_type"], r["to_type"])] += r["n"]
+
+    def drain():
+        stream = spark.readStream.schema(EV).parquet(src)
+        q = (
+            transition_counts_stream(stream)
+            .writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, EV).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(b2, EV).coalesce(1).write.mode("append").parquet(src)
+    drain()  # state (last type per user) restored from the checkpoint
+
+    batch_counts = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in transition_matrix(
+            spark.createDataFrame(b1 + b2, EV)
+        ).collect()
+    }
+    assert dict(totals) == batch_counts
+    # the cross-batch hop specifically: u1 ended batch 1 on 'b', so 'b'→'a'
+    assert totals[("b", "a")] == 1
+    assert totals[("<start>", "a")] == 2 and totals[("<start>", "c")] == 1
