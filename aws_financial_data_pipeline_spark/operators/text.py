@@ -713,3 +713,97 @@ def oov_rate(
             F.count("_t"),
         ).alias("oov_rate"),
     )
+
+
+_URL_RX = r"https?://[^\s/]+[^\s]*"
+_DOMAIN_RX = r"https?://(?:www\.)?([^\s/:]+)"
+
+
+def extract_domains(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document URL provenance: (id, urls, domains, n_urls) with
+    ``domains`` deduplicated (first-occurrence order, ``www.`` stripped,
+    lowercased). Map-only regexp extraction — the input to domain-mix
+    audits and the URL-level filtering every web pipeline (C4, RefinedWeb
+    §3.1) applies before any content rule runs."""
+    # NULL text → empty arrays (not NULL): a doc without URLs must read as
+    # unblocked downstream, and NULL propagates through filter/size into a
+    # row-dropping NULL predicate otherwise
+    urls = F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(_URL_RX), F.lit(0)),
+        F.array().cast("array<string>"),
+    )
+    doms = F.array_distinct(
+        F.transform(
+            urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_RX, 1))
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        urls.alias("urls"),
+        doms.alias("domains"),
+        F.size(urls).alias("n_urls"),
+    )
+
+
+def domain_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus domain mix: (domain, n_docs, n_mentions) — docs counted once
+    per domain, mentions once per URL. One explode of the (deduplicated)
+    per-doc domain arrays + one groupBy; domain-key cardinality is
+    web-host-sized, orders below the corpus, and heavy hitters here are the
+    audit's point, not a skew problem (combine map-side)."""
+    per_doc = extract_domains(docs, text_col, id_col)
+    mentions = per_doc.select(
+        F.explode(
+            F.transform(
+                F.col("urls"),
+                lambda u: F.lower(F.regexp_extract(u, _DOMAIN_RX, 1)),
+            )
+        ).alias("domain")
+    )
+    m = mentions.groupBy("domain").agg(F.count("*").alias("n_mentions"))
+    d = (
+        per_doc.select(F.explode("domains").alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return d.join(m, "domain").select("domain", "n_docs", "n_mentions").orderBy(
+        F.desc("n_docs"), F.asc("domain")
+    )
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents citing any blocklisted domain (exact or subdomain
+    match) — the URL-level precision gate (RefinedWeb applies a
+    4.6M-domain blocklist before content rules; at that size ship the
+    blocklist as a broadcast frame and semi-join the exploded domains
+    instead of this literal form, which is right for the ≤10³ in-expression
+    case). Terms are regex-escaped like the C4 word blocklist. Map-only."""
+    import re as _re
+
+    doms = F.col("_domains")
+    blocked = sorted({b.lower() for b in blocklist})
+    hit = F.lit(False)
+    for b in blocked:
+        pat = f"(^|\\.){_re.escape(b)}$"
+        hit = hit | (F.size(F.filter(doms, lambda d: d.rlike(pat))) > 0)
+    per_doc = extract_domains(docs, text_col, id_col).select(
+        id_col, F.col("domains").alias("_domains")
+    )
+    return (
+        docs.join(per_doc, id_col)
+        .filter(~hit)
+        .drop("_domains")
+    )

@@ -699,3 +699,43 @@ def test_normalize_text_jvm_only_when_no_unicode_stage(spark):
     # and the unicode form does use the Arrow batch path
     plan2 = normalize_text(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan2 or "Python" in plan2
+
+
+def test_domain_extraction_and_blocklist(spark):
+    """URL provenance + the RefinedWeb-style URL gate: extraction dedupes
+    domains (www stripped, lowercased), histogram counts docs-vs-mentions,
+    and the blocklist drops exact + subdomain matches while NULL-text and
+    URL-free docs pass untouched."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        domain_histogram,
+        extract_domains,
+        filter_blocked_domains,
+    )
+
+    rows = [
+        (1, "see https://Example.com/a and https://www.example.com/b twice"),
+        (2, "refs http://sub.spam.net/x only"),
+        (3, "no links here"),
+        (4, None),
+        (5, "mixed https://ok.org/1 plus http://spam.net/2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ext = {r["doc_id"]: r for r in extract_domains(docs).collect()}
+    assert list(ext[1]["domains"]) == ["example.com"]  # deduped, www-stripped
+    assert ext[1]["n_urls"] == 2
+    assert list(ext[2]["domains"]) == ["sub.spam.net"]
+    assert ext[3]["n_urls"] == 0 and list(ext[3]["domains"]) == []
+    assert ext[4]["n_urls"] == 0  # NULL text → empty, not NULL
+
+    hist = {r["domain"]: r for r in domain_histogram(docs).collect()}
+    assert hist["example.com"]["n_docs"] == 1 and hist["example.com"]["n_mentions"] == 2
+    assert hist["spam.net"]["n_docs"] == 1 and hist["sub.spam.net"]["n_docs"] == 1
+
+    kept = {r["doc_id"] for r in filter_blocked_domains(docs, ["spam.net"]).collect()}
+    # doc 2 cites a SUBDOMAIN of the blocked domain, doc 5 the domain itself
+    assert kept == {1, 3, 4}
+    # exact-only terms don't over-match ("ok.org" doesn't block "example.com")
+    kept2 = {r["doc_id"] for r in filter_blocked_domains(docs, ["ok.org"]).collect()}
+    assert kept2 == {1, 2, 3, 4}
+    assert set(filter_blocked_domains(docs, ["spam.net"]).columns) == {"doc_id", "text"}
