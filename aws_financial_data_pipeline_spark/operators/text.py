@@ -715,8 +715,10 @@ def oov_rate(
     )
 
 
-_URL_RX = r"https?://[^\s/]+[^\s]*"
-_DOMAIN_RX = r"https?://(?:www\.)?([^\s/:]+)"
+# (?i): scheme and www. match case-insensitively — HTTP://EVIL.COM must not
+# slip past the blocklist just because it is upper-cased
+_URL_RX = r"(?i)https?://[^\s/]+[^\s]*"
+_DOMAIN_RX = r"(?i)https?://(?:www\.)?([^\s/:]+)"
 
 
 def extract_domains(

@@ -91,21 +91,35 @@ def robust_anomalies(
     driver collect. A group whose MAD is 0 (over half the values identical)
     yields NULL scores rather than ±∞ — those groups need a rule, not a
     statistic, and the flag is NULL-safe false for them.
+
+    Joins back are NULL-SAFE on the keys (``<=>``): a NULL key is a group
+    like any other, and a plain equi-join would silently drop its rows,
+    breaking the row-preserving contract.
     """
-    keys = [F.col(k) for k in key_cols]
+    keys = list(key_cols)
+    aliased = [F.col(k).alias(f"_k_{k}") for k in keys]
     med = df.groupBy(*keys).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("_med")
-    )
-    with_med = df.join(med, list(key_cols))
+    ).select(*aliased, "_med")
+    cond_m = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+        cond_m = c if cond_m is None else (cond_m & c)
+    with_med = df.join(med, cond_m).drop(*[f"_k_{k}" for k in keys])
     mad = with_med.groupBy(*keys).agg(
         F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
-    )
+    ).select(*aliased, "_mad")
+    cond_d = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+        cond_d = c if cond_d is None else (cond_d & c)
     score = F.when(
         F.col("_mad") > 0,
         F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad"),
     )
     return (
-        with_med.join(mad, list(key_cols))
+        with_med.join(mad, cond_d)
+        .drop(*[f"_k_{k}" for k in keys])
         .select(
             *df.columns,
             F.round(score, 6).alias("robust_z"),

@@ -75,8 +75,12 @@ def _update_transitions(
     carrying the last seen event type across batches in the state store."""
     (last,) = state.get if state.exists else (None,)
     counts: dict[tuple[str, str], int] = {}
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # A group's micro-batch can span several Arrow chunks in arbitrary
+    # post-shuffle order; the (ts, event_id) ordering contract only holds if
+    # the WHOLE batch is sorted once. Memory is bounded by the group's batch.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for t in pdf["event_type"]:
             frm = last if last is not None else _START
             counts[(frm, t)] = counts.get((frm, t), 0) + 1

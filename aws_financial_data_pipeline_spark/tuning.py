@@ -85,7 +85,6 @@ def plan_counts(df) -> dict[str, int]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     markers = {
         "scans": "Scan parquet",
-        "exchanges": "Exchange",
         "broadcast_joins": "BroadcastHashJoin",
         "sort_merge_joins": "SortMergeJoin",
         "windows": "Window",
@@ -93,4 +92,14 @@ def plan_counts(df) -> dict[str, int]:
         "python_stages": "ArrowEvalPython",
         "map_in_pandas": "MapInPandas",
     }
-    return {name: plan.count(tok) for name, tok in markers.items()}
+    counts = {name: plan.count(tok) for name, tok in markers.items()}
+    # "exchanges" must isolate SHUFFLES: the bare substring "Exchange" also
+    # matches BroadcastExchange / ReusedExchange, so a shuffle-free plan with
+    # a broadcast join would read exchanges > 0 and defeat the
+    # plan-regression use. Count them separately and subtract.
+    broadcast_ex = plan.count("BroadcastExchange")
+    reused_ex = plan.count("ReusedExchange")
+    counts["broadcast_exchanges"] = broadcast_ex
+    counts["reused_exchanges"] = reused_ex
+    counts["exchanges"] = plan.count("Exchange") - broadcast_ex - reused_ex
+    return counts

@@ -380,6 +380,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("afdp-bench")
+    # keep the one-line JSON contract readable: the bounded post-limit
+    # windows (vocab rank, hot-key top-k — single partition of ≤k rows BY
+    # CONSTRUCTION, see SCALING.md) emit WindowExec partition warnings that
+    # would otherwise drown the output line
+    spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
     # warmup: JVM JIT + codegen + parquet footer caches across the main

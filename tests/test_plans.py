@@ -223,3 +223,10 @@ def test_plan_counts_matches_known_shapes(spark):
 
     agged = plan_counts(docs.groupBy("lang").count())
     assert agged["exchanges"] >= 1 and agged["scans"] == 1
+
+    # a shuffle-free broadcast join must report ZERO exchanges: the
+    # BroadcastExchange is not a shuffle and must not count as one
+    dim = spark.createDataFrame([("en", 1)], "lang string, x int")
+    bj = plan_counts(docs.join(F.broadcast(dim), "lang"))
+    assert bj["exchanges"] == 0, "broadcast exchange miscounted as a shuffle"
+    assert bj["broadcast_exchanges"] >= 1 and bj["broadcast_joins"] == 1

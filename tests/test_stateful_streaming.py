@@ -105,3 +105,56 @@ def test_transition_counts_stream_equals_batch(spark, tmp_path):
     # the cross-batch hop specifically: u1 ended batch 1 on 'b', so 'b'→'a'
     assert totals[("b", "a")] == 1
     assert totals[("<start>", "a")] == 2 and totals[("<start>", "c")] == 1
+
+
+def test_transition_counts_multi_chunk_batch(spark, tmp_path):
+    """A group's micro-batch spanning MULTIPLE Arrow chunks (r4 ADVICE):
+    with maxRecordsPerBatch=3 a 30-event user arrives as ~10 chunks in
+    arbitrary post-shuffle order, and the counts must still equal the batch
+    operator's — i.e. the update fn sorts the WHOLE batch once, not each
+    chunk independently."""
+    from collections import Counter
+
+    from aws_financial_data_pipeline_spark.operators.events import transition_matrix
+    from aws_financial_data_pipeline_spark.streaming.stateful import (
+        transition_counts_stream,
+    )
+
+    # alternating types so any chunk-local ordering error changes counts;
+    # rows written in REVERSE ts order so source order != event-time order
+    evs = [(i, 1, 100 * i, "ab"[i % 2]) for i in range(1, 31)]
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    totals: Counter = Counter()
+
+    def capture(batch, _bid):
+        for r in batch.collect():
+            totals[(r["from_type"], r["to_type"])] += r["n"]
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        spark.createDataFrame(list(reversed(evs)), EV).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            transition_counts_stream(spark.readStream.schema(EV).parquet(src))
+            .writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    batch_counts = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in transition_matrix(spark.createDataFrame(evs, EV)).collect()
+    }
+    assert dict(totals) == batch_counts
+    # the exact alternation: types run b,a,b,a,… (i=1 → "b"), so
+    # <start>→b once, b→a 15× (odd→even), a→b 14× (even→odd)
+    assert totals[("<start>", "b")] == 1
+    assert totals[("b", "a")] == 15 and totals[("a", "b")] == 14

@@ -739,3 +739,26 @@ def test_domain_extraction_and_blocklist(spark):
     kept2 = {r["doc_id"] for r in filter_blocked_domains(docs, ["ok.org"]).collect()}
     assert kept2 == {1, 2, 3, 4}
     assert set(filter_blocked_domains(docs, ["spam.net"]).columns) == {"doc_id", "text"}
+
+
+def test_url_extraction_case_insensitive(spark):
+    """Scheme/www casing is not a blocklist bypass (r4 ADVICE): HTTP://,
+    hTTps:// and WWW. variants extract and normalize to the same lowercase
+    domain, and the blocklist catches them."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        extract_domains,
+        filter_blocked_domains,
+    )
+
+    rows = [
+        (1, "shout HTTP://EVIL.COM/CAPS"),
+        (2, "mixed hTTps://Www.Evil.Com/path"),
+        (3, "plain https://evil.com/x"),
+        (4, "fine https://good.org/y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ext = {r["doc_id"]: r for r in extract_domains(docs).collect()}
+    assert list(ext[1]["domains"]) == ["evil.com"]
+    assert list(ext[2]["domains"]) == ["evil.com"]  # www. stripped despite casing
+    assert list(ext[3]["domains"]) == ["evil.com"]
+    assert {r["doc_id"] for r in filter_blocked_domains(docs, ["evil.com"]).collect()} == {4}

@@ -78,6 +78,28 @@ def test_robust_anomalies_is_per_group_on_testdata(spark):
     assert all(rate < 0.2 for rate in rates.values())
 
 
+def test_robust_anomalies_null_keys_survive(spark):
+    """NULL is a group key like any other (r4 ADVICE): rows with a NULL key
+    must keep the row-preserving contract (plain equi-joins drop them,
+    null != null) and score against the NULL group's own median/MAD."""
+    from aws_financial_data_pipeline_spark.operators.timeseries import robust_anomalies
+
+    rows = (
+        [(None, float(v)) for v in (1, 2, 3, 4, 5, 6, 7)]
+        + [(None, 1000.0)]
+        + [("a", 10.0), ("a", 11.0), ("a", 12.0), ("a", 13.0), ("a", 14.0)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = robust_anomalies(df, ("event_type",))
+    assert out.count() == len(rows)  # NULL-key rows not dropped
+    nulls = {r["value"]: r for r in out.filter("event_type IS NULL").collect()}
+    assert len(nulls) == 8
+    # the NULL group scores on ITS statistics (median 4.5, MAD 2.0)
+    assert nulls[1000.0]["is_anomaly"]
+    assert abs(nulls[1000.0]["robust_z"] - round(0.6745 * 995.5 / 2.0, 6)) < 1e-9
+    assert not any(r["is_anomaly"] for r in out.filter("event_type = 'a'").collect())
+
+
 def test_linear_trend_hand_computed(spark):
     """Exact line recovered (slope/intercept/r2 = 1), noisy key bounded,
     degenerate keys NULL out instead of dividing by zero."""
