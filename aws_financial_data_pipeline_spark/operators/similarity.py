@@ -142,16 +142,20 @@ def lsh_bands(
     OR-amplification: two vectors are candidates if ANY band matches — the
     standard recall/cost dial (more+smaller bands = higher recall).
 
-    MAP-ONLY (round-3 verdict): the planes are deterministic CONSTANTS, so
-    they are inlined as literal arrays and every band value is a pure
-    projection — bit_j from the same sequential :func:`_dot`, packed with
-    shift-adds, the bands unpivoted with one ``explode`` (a Generate, not an
-    Exchange). The previous form crossJoined the corpus with the planes frame
-    and re-grouped N×num_planes rows each carrying the full embedding — a
-    10²–10³× shuffle amplification at corpus-derived knob sizes, the one plan
-    in the engine that was not the 100×-scale plan. Bit values are unchanged
-    (identical double accumulation order), so the oracle replicas still
-    hash-match. Zero-Exchange is plan-asserted in tests/test_plans.py.
+    SHUFFLE-FREE, planes as DATA (round-3 verdict + round-5 refinement): the
+    planes are deterministic constants, carried in a 1-ROW broadcast frame
+    ``(_pl: array<array<double>>)`` — the PQ codebook recipe
+    (operators/pq.py:_codebook_frame, with the measured rationale): planes
+    IN the plan (num_planes × dim literal doubles) cost O(planes·dim) py4j
+    round-trips to even construct and seconds of codegen compile per stage,
+    both billed again for every signature build in a query. As broadcast
+    data the plan holds one tiny BroadcastNestedLoopJoin (1 row, ~40 KB at
+    corpus-derived knob sizes) and each bit_j is the same sequential
+    :func:`_dot` against ``_pl[j]`` — identical double accumulation order,
+    so the oracle replicas still hash-match. The corpus itself is scanned
+    ONCE and never shuffled (the round-3 crossJoin+groupBy form amplified it
+    ×num_planes through an Exchange); no-shuffle is plan-asserted in
+    tests/test_plans.py.
     """
     if dim is None:
         # one metadata-sized driver lookup; a mismatched hard-coded dim would
@@ -160,28 +164,45 @@ def lsh_bands(
         dim = first["d"] if first else DIM
     import math
 
-    def bit(j: int):
-        w = F.array(*[F.lit(_plane_weight(j, i)) for i in range(dim)])
-        return (_dot(F.col("_e"), w) > 0).cast("long")
+    planes = [[_plane_weight(j, i) for i in range(dim)] for j in range(num_planes)]
+    pl_df = spark.createDataFrame([(planes,)], "_pl array<array<double>>")
 
+    # ONE transform computes all num_planes bits (constant-size expression
+    # tree — the per-plane-tree form cost O(planes·dim) py4j calls to build
+    # and seconds of first-exec compile), PROJECTED into _bits so band
+    # packing reads it instead of re-evaluating 78 dots per band (the
+    # NOTES.md project-before-higher-order-lambda rule; CollapseProject
+    # keeps the two projections apart because _bits is referenced n_bands
+    # times). Bit j is the same sequential _dot against plane j.
+    bits = F.transform(
+        F.col("_pl"), lambda w: (_dot(F.col("_e"), w) > 0).cast("long")
+    )
     n_bands = math.ceil(num_planes / band_size)
+
+    def band_val(b: int):
+        blen = min(band_size, num_planes - b * band_size)
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_bits"), b * band_size + 1, blen),
+                F.array(*[F.lit(1 << jb).cast("long") for jb in range(blen)]),
+                lambda x, p: x * p,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
     bands = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band_id"),
-                sum(
-                    (
-                        bit(b * band_size + jb) * F.lit(1 << jb).cast("long")
-                        for jb in range(min(band_size, num_planes - b * band_size))
-                    ),
-                    F.lit(0).cast("long"),
-                ).alias("band_val"),
+                F.lit(b).alias("band_id"), band_val(b).alias("band_val")
             )
             for b in range(n_bands)
         ]
     )
     return (
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e"))
+        .join(F.broadcast(pl_df))
+        .select("vec_id", bits.alias("_bits"))
         .select("vec_id", F.explode(bands).alias("_bb"))
         .select(
             "vec_id",

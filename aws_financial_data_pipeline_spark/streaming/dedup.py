@@ -25,8 +25,9 @@ Structured Streaming guide prescribes for exactly-once file sinks from
 ``foreachBatch``. A crash between a batch's three writes leaves partial
 ``batch=N`` directories; the replay of batch N overwrites exactly those
 directories, so the recovered state carries each row ONCE
-(tests/test_streaming.py fault-injection test kills a batch mid-write and
-replays it). Plain appends would double-append on that replay.
+(tests/test_text_dedup.py::test_streaming_incremental_dedup_crash_replay_is_exactly_once
+kills a batch mid-write and replays it). Plain appends would double-append
+on that replay.
 """
 
 from __future__ import annotations

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from pyspark.sql import functions as F
 
-from aws_financial_data_pipeline_spark.session import get_spark
+from aws_financial_data_pipeline_spark.session import get_spark, read_parquet_scaled
 
 # Representative headline set: scan→multi-join→agg spine, scalar-subquery
 # joins, window functions, LSH dedup end-to-end (the scale path, NOT the
@@ -189,7 +189,7 @@ def _bench_semantic_dedup(spark, sf_dir: str) -> float:
     within-cluster pairs only — the near-linear semantic dedup path)."""
     from aws_financial_data_pipeline_spark.operators import similarity as sim
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_scaled(spark, f"{sf_dir}/embeddings.parquet")
     t0 = time.perf_counter()
     sim.semantic_dedup(emb).write.mode("overwrite").format("noop").save()
     elapsed = round(time.perf_counter() - t0, 3)
@@ -237,7 +237,7 @@ def _bench_pq_ann(spark, sf_dir: str) -> float:
     exact-reranks the shortlist."""
     from aws_financial_data_pipeline_spark.operators import pq
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_scaled(spark, f"{sf_dir}/embeddings.parquet")
     books = pq.train_pq_codebooks(emb, sample_fraction=0.2)
     queries = emb.filter(F.col("vec_id") < 10)
 
@@ -304,7 +304,7 @@ def _bench_global_shuffle(spark, sf_dir: str) -> float:
     lineitem rows at sf0.1): two-pass positions, no global sort."""
     from aws_financial_data_pipeline_spark.operators import sampling as sp
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = read_parquet_scaled(spark, f"{sf_dir}/lineitem.parquet").select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("doc_id"),
         "l_partkey",
     )
@@ -348,7 +348,7 @@ def _bench_table_audits(spark, sf_dir: str) -> float:
     from aws_financial_data_pipeline_spark.operators.timeseries import robust_anomalies
     from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet_scaled(spark, f"{sf_dir}/events.parquet")
     docs = _docs(spark, sf_dir)
     t0 = time.perf_counter()
     profile_columns(ev).write.mode("overwrite").format("noop").save()
@@ -365,7 +365,7 @@ def _bench_event_funnel(spark, sf_dir: str) -> float:
     groupBy + one fold, no per-step self-joins."""
     from aws_financial_data_pipeline_spark.operators import events as ev
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = read_parquet_scaled(spark, f"{sf_dir}/events.parquet")
     steps = ["view", "click", "purchase"]
     t0 = time.perf_counter()
     ev.funnel_summary(

@@ -120,21 +120,25 @@ def test_paragraph_dedup_plan_is_window_free_and_jvm_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_lsh_bands_signature_is_map_only(spark):
-    """The random-hyperplane LSH signature must be a pure projection: literal
-    plane arrays + explode (Generate), ZERO Exchange and zero joins. The
-    round-3 form crossJoined the corpus with a planes frame and re-grouped
-    N×num_planes rows — the engine's only shuffle-amplifying plan (r3
-    verdict #1). Pin the fixed shape."""
+def test_lsh_bands_signature_never_shuffles_corpus(spark):
+    """The random-hyperplane LSH signature must never shuffle (or amplify)
+    the corpus: ZERO shuffle Exchange — the planes ride in as a 1-row
+    BROADCAST frame (data, not plan; the PQ codebook recipe), so the only
+    join allowed is that single BroadcastNestedLoopJoin. The round-3 form
+    crossJoined the corpus with a planes frame and re-grouped N×num_planes
+    rows — the engine's only shuffle-amplifying plan (r3 verdict #1)."""
     from aws_financial_data_pipeline_spark.operators import similarity
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    plan = (
-        similarity.lsh_bands(spark, emb)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "Exchange" not in plan
-    assert "Join" not in plan and "CartesianProduct" not in plan
+    sig = similarity.lsh_bands(spark, emb)
+    counts = plan_counts(sig)
+    assert counts["exchanges"] == 0, "signature build shuffles the corpus"
+    assert counts["scans"] == 1  # corpus read once, not joined against itself
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    # the single 1-row planes broadcast is the ONLY join
+    assert plan.count("Join") == plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
