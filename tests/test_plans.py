@@ -161,6 +161,82 @@ def test_ngram_contamination_broadcasts_small_test_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ngram_contamination_big_test_side_does_not_broadcast(spark):
+    """Round-5 verdict #1: the test-side broadcast hint must be guarded by a
+    size probe. When the test side exceeds the broadcast budget (forced here
+    with broadcast_max_test_docs=0) the plan must fall back to a plain
+    shuffle equi-join — no broadcast of the test grams — and the shuffle
+    keys must be 8-byte xxhash64 hashes, not 13-token gram strings."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    # at testdata size the optimizer's own stats-based broadcast would mask
+    # the hint; disable it so the plan shows what a 100 TB optimizer (whose
+    # stats exceed any broadcast threshold) would commit to
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            dedup.ngram_contamination(train, test, n=13, broadcast_max_test_docs=0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "xxhash64" in plan  # hashed shuffle keys on the fallback path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_blocked_domains_is_map_only(spark):
+    """The in-expression URL gate must be genuinely map-only: one scan of
+    docs, zero exchanges, zero joins (round-5 verdict #2: the old form
+    self-joined extract_domains back onto docs and shuffled the corpus
+    including text bodies on doc_id)."""
+    from aws_financial_data_pipeline_spark.operators.text import filter_blocked_domains
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    gated = filter_blocked_domains(docs, ["spam.net", "evil.com"])
+    counts = plan_counts(gated)
+    assert counts["exchanges"] == 0, "URL gate shuffles the corpus"
+    assert counts["scans"] == 1
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_blocked_domains_frame_plan_broadcasts_blocklist(spark):
+    """The million-domain frame path: the blocklist must reach the suffix
+    match as a BROADCAST semi-join and the blocked-id set must reach the
+    final anti-join broadcast too — the corpus (text bodies) never
+    shuffles. Only (id, suffix) rows pass through the one distinct
+    aggregate."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        filter_blocked_domains_frame,
+    )
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bl = spark.createDataFrame([("spam.net",), ("evil.com",)], "domain string")
+    gated = filter_blocked_domains_frame(docs, bl)
+    counts = plan_counts(gated)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    # both joins broadcast: blocklist → semi, blocked ids → anti
+    assert counts["broadcast_joins"] == 2
+    assert counts["sort_merge_joins"] == 0
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # the only shuffles are the blocked-id distinct (id rows) and the
+    # blocklist's own dedup (blocklist-sized) — the corpus never shuffles:
+    # the docs scan feeding the anti-join sits directly under it
+    assert counts["exchanges"] <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_summary_read_path_is_fused_and_scan_bounded(spark):
     """The pre-aggregated read path (assemble_report_from_summary) runs the
     SAME tagged-leg pivot as the fused recompute: statement rows scan twice

@@ -762,3 +762,73 @@ def test_url_extraction_case_insensitive(spark):
     assert list(ext[2]["domains"]) == ["evil.com"]  # www. stripped despite casing
     assert list(ext[3]["domains"]) == ["evil.com"]
     assert {r["doc_id"] for r in filter_blocked_domains(docs, ["evil.com"]).collect()} == {4}
+
+
+def test_filter_blocked_domains_frame_parity(spark):
+    """The broadcast-frame blocklist path (the 4.6M-domain RefinedWeb shape)
+    must agree row-for-row with the in-expression form on every matching
+    rule: exact domain, subdomain, no over-match, NULL/URL-free passthrough.
+    Blocklist entries arrive messy (case, whitespace, duplicates) and are
+    normalized inside the operator."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        filter_blocked_domains,
+        filter_blocked_domains_frame,
+    )
+
+    rows = [
+        (1, "see https://Example.com/a and https://www.example.com/b twice"),
+        (2, "refs http://sub.spam.net/x only"),
+        (3, "no links here"),
+        (4, None),
+        (5, "mixed https://ok.org/1 plus http://spam.net/2"),
+        (6, "deep https://a.b.spam.net/y nesting"),
+        (7, "lookalike https://notspam.net/z must NOT match spam.net"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spam.net"]
+    bl = spark.createDataFrame(
+        [("  SPAM.NET ",), ("spam.net",), ("dead.example",)], "domain string"
+    )
+
+    expr_kept = {r["doc_id"] for r in filter_blocked_domains(docs, terms).collect()}
+    frame_kept = {
+        r["doc_id"] for r in filter_blocked_domains_frame(docs, bl).collect()
+    }
+    assert frame_kept == expr_kept == {1, 3, 4, 7}
+    # schema passthrough: the gate returns docs' own columns
+    assert set(filter_blocked_domains_frame(docs, bl).columns) == {"doc_id", "text"}
+    # non-broadcast blocked-id variant is result-identical
+    shuffled = {
+        r["doc_id"]
+        for r in filter_blocked_domains_frame(
+            docs, bl, broadcast_blocked_ids=False
+        ).collect()
+    }
+    assert shuffled == expr_kept
+
+
+def test_ngram_contamination_size_guard_parity(spark):
+    """The size probe must not change results: forcing the non-broadcast
+    fallback (broadcast_max_test_docs=0 → plain hashed-key equi-join) yields
+    the same (train_id, test_id, n_shared_grams) set as the broadcast path
+    (round-5 verdict #1: the hint was unconditional and corpus-scale test
+    sides would OOM the driver at 100x)."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+
+    def key_set(df):
+        return {
+            (r["train_id"], r["test_id"], r["n_shared_grams"])
+            for r in df.collect()
+        }
+
+    small = key_set(dedup.ngram_contamination(train, test, n=13))
+    big = key_set(
+        dedup.ngram_contamination(train, test, n=13, broadcast_max_test_docs=0)
+    )
+    assert small == big and len(small) > 0
