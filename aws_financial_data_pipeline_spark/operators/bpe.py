@@ -70,13 +70,20 @@ def word_frequencies(
     )
 
 
-def learn_merges(word_freqs: list[tuple[str, int]], num_merges: int) -> list[tuple[str, str]]:
+def learn_merges(
+    word_freqs: list[tuple[str, int]],
+    num_merges: int,
+    end: str | None = END,
+) -> list[tuple[str, str]]:
     """Classic BPE merge learning over a (word, freq) table — pure driver
     code. Incremental pair bookkeeping: each merge touches only the words
     containing the merged pair, so the whole loop is O(total symbols), not
     O(num_merges × table). Deterministic: best pair = highest total freq,
-    ties to the lexicographically smallest pair."""
-    symbols: list[list[str]] = [list(w) + [END] for w, _ in word_freqs]
+    ties to the lexicographically smallest pair. ``end=None`` learns without
+    the end-of-word marker (the byte-level convention: word boundaries live
+    in the leading-space pre-tokens, not a sentinel symbol)."""
+    tail = [end] if end is not None else []
+    symbols: list[list[str]] = [list(w) + tail for w, _ in word_freqs]
     freqs = [f for _, f in word_freqs]
     pair_counts: Counter = Counter()
     pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
@@ -142,11 +149,13 @@ def train_bpe(
     return learn_merges(table, num_merges)
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def encode_word(
+    word: str, ranks: dict[tuple[str, str], int], end: str | None = END
+) -> list[str]:
     """Greedy BPE encode of one word: repeatedly merge the lowest-rank
     (earliest-learned) adjacent pair — the standard GPT-2-style application
     of an ordered merge list."""
-    syms = list(word) + [END]
+    syms = list(word) + ([end] if end is not None else [])
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -285,4 +294,220 @@ def bpe_decode(
     text = F.trim(
         F.regexp_replace(F.array_join(toks, ""), re.escape(END), " ")
     )
+    return src.select(F.col(id_col), text.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 style: Radford et al. 2019 §2.2) — the LOSSLESS
+# variant. Word-level Sennrich BPE above round-trips only to the
+# pre-tokenizer's normalized form (lowercased, whitespace collapsed); modern
+# LM pipelines tokenize raw bytes so decode(encode(x)) == x for ANY unicode
+# string. Three public pieces mirror the word-level API:
+# train_bpe_bytelevel / bpe_encode_bytelevel / bpe_decode_bytelevel.
+# ---------------------------------------------------------------------------
+
+# GPT-2's pre-tokenizer, Java-regex form (Spark regexp_extract_all uses Java
+# regex, where \p{L}/\p{N} are the real unicode classes): contractions,
+# optionally-space-prefixed letter runs / digit runs / symbol runs, then
+# whitespace. Case is PRESERVED (byte-level BPE never normalizes).
+BYTELEVEL_PRETOKEN_RX_JAVA = (
+    r"'s|'t|'re|'ve|'m|'ll|'d|"
+    r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+# Python-regex twin for the Arrow encode path (stdlib re has no \p{L}:
+# [^\W\d_] ≈ letters, (?:[^\s\w]|_) ≈ neither-letter-nor-digit-nor-space —
+# exact on ASCII, off only in exotic unicode categories, where the mismatch
+# shifts which merges fire, never fidelity: the byte alphabet covers
+# everything). Concatenating findall(x) reproduces x exactly — pinned by a
+# hypothesis property test.
+BYTELEVEL_PRETOKEN_RX_PY = (
+    r"'s|'t|'re|'ve|'m|'ll|'d|"
+    r" ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte→printable-unicode table: the 188 visible
+    latin-1 bytes map to themselves; the 68 others (controls, space, DEL,
+    0x80 gaps) map to U+0100.. so every token is a printable string and no
+    byte is ever unrepresentable. Public-domain algorithm (GPT-2 encoder.py
+    is MIT; reimplemented from the paper's description)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_ENCODER = bytes_to_unicode()
+_BYTE_DECODER = {c: b for b, c in _BYTE_ENCODER.items()}
+# the alphabets F.translate maps between at decode time — bytes 1..255
+# only: Spark's StringTranslate uses U+0000 as its internal DELETE
+# sentinel, so translating TO chr(0) silently drops the char (measured);
+# byte 0 is restored by a separate F.replace of its mapped symbol
+_MAPPED_ALPHABET_1 = "".join(_BYTE_ENCODER[b] for b in range(1, 256))
+_LATIN1_ALPHABET_1 = "".join(chr(b) for b in range(1, 256))
+_NUL_SYMBOL = _BYTE_ENCODER[0]
+
+
+def _to_byte_symbols(pretoken: str) -> str:
+    """UTF-8 bytes of a pre-token, each mapped through the byte table —
+    the symbol string byte-level merges operate on."""
+    return "".join(_BYTE_ENCODER[b] for b in pretoken.encode("utf-8"))
+
+
+def word_frequencies_bytelevel(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> DataFrame:
+    """Distributed pre-token frequency table for byte-level training:
+    (word, freq) in RAW form (case + leading-space preserved — ' the' and
+    'The' are distinct types, the GPT-2 convention), top ``max_words`` by
+    (freq desc, word asc). Same one-pass JVM shape as the word-level
+    :func:`word_frequencies`; the byte mapping happens driver-side on the
+    bounded table, never on the corpus."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BYTELEVEL_PRETOKEN_RX_JAVA), F.lit(0)
+            )
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_words)
+    )
+
+
+def train_bpe_bytelevel(
+    docs: DataFrame,
+    num_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn byte-level merges: distributed pre-token counts → driver-side
+    byte mapping of the bounded word table → :func:`learn_merges` with NO
+    end-of-word marker (boundaries live in the leading-space pre-tokens).
+    Returned pairs are strings over the mapped byte alphabet."""
+    table = [
+        (_to_byte_symbols(r["word"]), r["freq"])
+        for r in word_frequencies_bytelevel(docs, text_col, max_words).collect()
+    ]
+    table.sort(key=lambda t: (-t[1], t[0]))
+    return learn_merges(table, num_merges, end=None)
+
+
+def bytelevel_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The byte-level vocabulary: 256 base byte symbols (byte order) then
+    one entry per merge in learned order — GPT-2's id layout. Every
+    encodable string is covered by construction (any symbol decomposes to
+    base bytes), so there is NO <unk> and ids are total."""
+    return [_BYTE_ENCODER[b] for b in range(256)] + [a + b for a, b in merges]
+
+
+def bpe_encode_bytelevel(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_ids: bool = True,
+) -> DataFrame:
+    """Distributed byte-level encode → (doc_id, bpe_tokens array<string>,
+    n_bpe_tokens[, bpe_ids array<int>]). Same Arrow-batched map-only shape
+    as :func:`bpe_encode` (mapInPandas, ranks in the closure, per-worker
+    word cache); tokens are mapped-byte strings, ids index
+    :func:`bytelevel_vocab` (total — no <unk>). NULL text encodes to the
+    empty token list, mirroring the word-level form."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab = bytelevel_vocab(merges)
+    tok2id = {t: i for i, t in enumerate(vocab)}
+    pattern = BYTELEVEL_PRETOKEN_RX_PY
+    byte_enc = dict(_BYTE_ENCODER)
+
+    def run(batches):
+        import pandas as pd
+
+        rx = re.compile(pattern)
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            toks: list[str] = []
+            for w in rx.findall(text or ""):
+                got = cache.get(w)
+                if got is None:
+                    mapped = "".join(byte_enc[b] for b in w.encode("utf-8"))
+                    got = encode_word(mapped, ranks, end=None)
+                    cache[w] = got
+                toks.extend(got)
+            return toks
+
+        for pdf in batches:
+            toks = pdf[text_col].map(enc)
+            cols = {
+                "doc_id": pdf[id_col],
+                "bpe_tokens": toks,
+                "n_bpe_tokens": toks.map(len),
+            }
+            if with_ids:
+                cols["bpe_ids"] = toks.map(lambda ts: [tok2id[t] for t in ts])
+            yield pd.DataFrame(cols)
+
+    schema = "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
+    if with_ids:
+        schema += ", bpe_ids array<int>"
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def bpe_decode_bytelevel(
+    encoded: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "text",
+) -> DataFrame:
+    """LOSSLESS inverse of :func:`bpe_encode_bytelevel` — pure Catalyst,
+    map-only, zero shuffle, no Python (like the word-level decode, and
+    unlike most byte-level implementations, which drop to a Python loop):
+
+    1. concatenate the tokens (``array_join``),
+    2. ``translate`` the 256-char mapped alphabet back to latin-1 chars
+       (both alphabets are single-char, exactly what translate does),
+    3. ``encode(..., 'ISO-8859-1')`` — latin-1 chars ARE the original UTF-8
+       bytes — then ``decode(..., 'UTF-8')`` reads them back as text.
+
+    With ``merges`` the input's ``bpe_ids`` decode instead of
+    ``bpe_tokens``: the id→token table rides as a ONE-ROW broadcast frame
+    (the PQ-codebook recipe — never a 50k-entry plan literal).
+    decode(encode(x)) == x for any unicode string — hypothesis-pinned."""
+    if merges is not None:
+        spark = encoded.sparkSession
+        vdf = spark.createDataFrame(
+            [(bytelevel_vocab(merges),)], "_blvocab array<string>"
+        )
+        toks = F.transform(
+            F.col("bpe_ids"),
+            lambda i: F.element_at(F.col("_blvocab"), i + F.lit(1)),
+        )
+        src = encoded.join(F.broadcast(vdf))
+    else:
+        toks = F.col("bpe_tokens")
+        src = encoded
+    latin = F.translate(
+        F.array_join(toks, ""), _MAPPED_ALPHABET_1, _LATIN1_ALPHABET_1
+    )
+    # byte 0 separately: translate's delete-sentinel quirk (see alphabet
+    # defs). The NUL symbol is U+0100+, never produced by the translate
+    # above, so the replace is unambiguous.
+    latin = F.replace(latin, F.lit(_NUL_SYMBOL), F.lit("\x00"))
+    text = F.decode(F.encode(latin, "ISO-8859-1"), "UTF-8")
     return src.select(F.col(id_col), text.alias(out_col))

