@@ -5,14 +5,15 @@ struct; decode/feature-extraction runs as Arrow-batched pandas stages via
 ``mapInPandas`` (never row-at-a-time Python). All three media decoders are
 REAL, pure-numpy parsers of the public container formats (no external libs):
 
-- :func:`decode_image` — uncompressed 24/32-bit BI_RGB BMP → HxWx3 uint8 RGB
+- :func:`decode_image` — BMP (uncompressed 24/32-bit BI_RGB) or PNG
+  (8-bit, stdlib zlib + the five scanline filters) → HxWx3 uint8 RGB
 - :func:`decode_audio` — PCM RIFF/WAVE (8/16-bit) → (rate, float samples)
 - :func:`sample_video_frames` — uncompressed RIFF/AVI ('00db' raw-DIB
   frames) → every-n-th frame as HxWx3 uint8 RGB
 
 plus :func:`resize_image` (nearest-neighbor) and round-trip encoders for
-fixtures. Compressed formats (JPEG/PNG/MP3/MJPEG/H.264) raise
-``NotImplementedError`` — those codecs aren't in this container.
+fixtures. Formats needing codecs absent from this container
+(JPEG/GIF/WebP/MP3/MJPEG/H.264) raise ``NotImplementedError``.
 
 At scale: payload columns are large → keep them out of shuffles. The pattern
 here extracts features in a map-only stage and drops the payload before any
@@ -49,15 +50,26 @@ def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed 24/32-bit BI_RGB BMP payload to an HxWx3 uint8
-    RGB array — a REAL pure-numpy parser of the public BMP format (file
-    header + BITMAPINFOHEADER + padded bottom-up pixel rows), no external
-    libs. Compressed formats (JPEG/PNG) raise: those codecs aren't in this
-    container."""
+    """Decode an image payload to an HxWx3 uint8 RGB array — REAL pure
+    parsers of the two public formats this container can handle without
+    external libs, dispatched on magic bytes:
+
+    - ``BM`` → uncompressed 24/32-bit BI_RGB BMP (file header +
+      BITMAPINFOHEADER + padded bottom-up pixel rows),
+    - PNG signature → 8-bit non-interlaced PNG via :func:`decode_png`
+      (stdlib ``zlib`` inflate + the five scanline filters — the most
+      common web-image format, so the pHash / image-dedup path covers it).
+
+    JPEG/GIF/WebP raise: those codecs aren't in this container."""
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError(
-            "only uncompressed BMP decodes in-container (pillow/opencv absent)"
+            "only BMP and PNG decode in-container (pillow/opencv absent)"
         )
     (off,) = struct.unpack_from("<I", payload, 10)
     w, h = struct.unpack_from("<ii", payload, 18)
@@ -73,6 +85,129 @@ def decode_image(payload: bytes) -> np.ndarray:
     rows = data.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
     rgb = rows[..., 2::-1]  # stored BGR(A) → RGB, alpha dropped
     return rgb[::-1] if bottom_up else rgb
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder on stdlib ``zlib`` + numpy (no pillow): chunk walk
+    (IHDR/PLTE/IDAT*/IEND), one inflate of the concatenated IDAT stream,
+    then per-scanline reconstruction of the five PNG filters (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6). Supports the dominant web shapes — 8-bit
+    depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), non-interlaced — and returns HxWx3 uint8 RGB (gray
+    replicated, alpha dropped) to match :func:`decode_image`'s contract.
+    16-bit, sub-byte depths, and Adam7 interlacing raise loudly.
+
+    The filter loop is per-scanline numpy (Up/None vectorize fully; Sub/
+    Average/Paeth are sequential by definition — each byte depends on the
+    reconstructed left neighbor — so they loop per byte within the line).
+    Fine for the payload sizes a feature extractor sees per row; the
+    parallelism axis at 100 TB is rows-per-partition, not bytes-per-image.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise NotImplementedError("not a PNG payload")
+    pos = 8
+    ihdr = b""
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if len(ihdr) != 13:
+        raise NotImplementedError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or w == 0 or h == 0:
+        raise NotImplementedError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("truncated PNG pixel data")
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels  # bytes per pixel at depth 8
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).astype(
+            np.int32
+        )
+        p += stride + 1
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth — left-dependent
+            cur = line
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth predictor (RFC 2083 §6.6)
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = out.reshape(h, w, channels)
+    if color == 3:  # palette indices → RGB triples
+        if not plte:
+            raise NotImplementedError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[px[..., 0]]
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray + alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # RGB / RGBA
+
+
+def encode_png(pixels: np.ndarray, color: int = 2) -> bytes:
+    """Round-trip PNG encoder for fixtures/sinks: 8-bit RGB (color=2) or
+    RGBA (6), filter type 0 on every scanline, one zlib deflate. Standard
+    chunk layout with CRCs — decodes in any viewer, not just here."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    channels = {2: 3, 6: 4, 0: 1}[color]
+    body = px.reshape(h, w * channels)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -253,7 +388,7 @@ def _feature(media_type: str, payload: bytes) -> float:
     for BMP images, mean absolute amplitude for PCM WAV, mean byte value for
     anything else (the deterministic stand-in for formats whose codecs are
     not in this container)."""
-    if media_type == "image/bmp":
+    if media_type in ("image/bmp", "image/png"):
         return float(decode_image(payload).mean())
     if media_type == "audio/wav":
         return float(np.abs(decode_audio(payload)[1]).mean())
