@@ -411,3 +411,103 @@ def pretraining_pipeline(
         # caller asked for one; None otherwise
         "ledger": ledger,
     }
+
+
+def diversity_sample(
+    docs: DataFrame,
+    emb: DataFrame,
+    stratum_col: str = "source",
+    quota: int = 1_000_000,
+    quotas: dict[str, int] | None = None,
+    semantic_threshold: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    emb_id_col: str = "vec_id",
+    with_ledger: bool = False,
+    materialize: bool = True,
+    **semdedup_kwargs,
+) -> tuple[DataFrame, ...]:
+    """Diversity stage for a curated corpus: SemDeDup semantic dedup →
+    per-stratum quota sampling, as one audited funnel tail — the
+    composition a balanced-pretraining-mix pipeline runs AFTER
+    :func:`curation_funnel` (whose survivors are this function's ``docs``).
+    Semantic dedup removes redundancy WITHIN a domain (near-identical
+    meaning under different surface forms — invisible to MinHash); the
+    quota then balances ACROSS domains without re-admitting the redundancy
+    it just removed (quota-before-dedup would fill a stratum's budget with
+    semantic copies).
+
+    ``emb`` maps ``emb_id_col`` → ``vec_col`` embeddings for (a superset
+    of) the docs; docs WITHOUT an embedding pass the semantic stage
+    untouched (they can't be compared — dropping them silently would turn
+    a missing upstream embedding job into data loss). Returns
+    ``(corpus, audit)`` — audit rows (stage, docs_kept) in pipeline order
+    (input / semantic_dedup / quota_sample), unionByName-compatible with
+    :func:`curation_funnel`'s audit — or ``(corpus, audit, ledger)`` with
+    ``with_ledger=True``: (doc_id, stage, reason) per dropped doc, reasons
+    ``semantic_duplicate_of=<keeper id>`` and ``over_quota:<stratum>``.
+
+    Scale shape: SemDeDup is the near-linear clustered form
+    (:func:`..similarity.semantic_dedup` — k grows with the corpus); the
+    dropped-id set joins back as an id-only anti-join (text never
+    shuffles there); the quota pays one window shuffle keyed by the
+    stratum (heavy-stratum caveat per :func:`..sampling.quota_sample_flag`).
+    """
+    from .similarity import semantic_dedup
+
+    def _stage(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=False) if materialize else frame
+
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    ledger_parts: list[DataFrame] = []
+
+    sem = semantic_dedup(
+        emb,
+        threshold=semantic_threshold,
+        vec_col=vec_col,
+        id_col=emb_id_col,
+        **semdedup_kwargs,
+    )
+    dups = sem.filter(F.col("is_duplicate")).select(
+        F.col(emb_id_col).alias(id_col), "dup_of"
+    )
+    if with_ledger:
+        ledger_parts.append(
+            docs.select(id_col)
+            .join(dups, id_col)
+            .select(
+                id_col,
+                F.lit("semantic_dedup").alias("stage"),
+                F.concat(
+                    F.lit("semantic_duplicate_of="), F.col("dup_of").cast("string")
+                ).alias("reason"),
+            )
+        )
+    cur = docs.join(dups.select(id_col), id_col, "left_anti")
+    cur = _stage(cur)
+    stages.append(("semantic_dedup", cur))
+
+    flagged = sp.quota_sample_flag(cur, id_col, stratum_col, quota, quotas)
+    if with_ledger:
+        ledger_parts.append(
+            flagged.filter(~F.col("in_quota")).select(
+                id_col,
+                F.lit("quota_sample").alias("stage"),
+                F.concat(F.lit("over_quota:"), F.col(stratum_col)).alias("reason"),
+            )
+        )
+    cur = flagged.filter(F.col("in_quota")).drop("in_quota")
+    cur = _stage(cur)
+    stages.append(("quota_sample", cur))
+
+    audit = None
+    for name, frame in stages:
+        row = frame.agg(F.lit(name).alias("stage"), F.count("*").alias("docs_kept"))
+        audit = row if audit is None else audit.unionByName(row)
+    if with_ledger:
+        ledger = ledger_parts[0]
+        for part in ledger_parts[1:]:
+            ledger = ledger.unionByName(part)
+        return cur, audit, ledger
+    return cur, audit

@@ -412,3 +412,85 @@ def test_funnel_normalize_stage_collides_unicode_variants(spark):
     assert "normalize" not in off
     # with normalization the unicode variant collapses into doc 0 at exact dedup
     assert on["exact_dedup"] == off["exact_dedup"] - 1
+
+
+def test_diversity_sample_composition(spark):
+    """SemDeDup survivors → quota sampling as one audited funnel tail
+    (round-5 verdict next-step #8): semantic near-copies collapse to the
+    lowest-id keeper BEFORE the quota fills, strata are capped at the
+    quota, docs without embeddings pass the semantic stage, and with
+    with_ledger=True every dropped doc gets exactly one (stage, reason)
+    row — survivors ∪ ledger == input, disjointly."""
+    import random
+
+    from aws_financial_data_pipeline_spark.operators.curation import diversity_sample
+
+    rng = random.Random(5)
+    doc_rows, emb_rows = [], []
+    # stratum A: 8 docs — ids 0..3 semantic near-copies (one survivor),
+    # ids 4..7 distinct directions
+    distinct = {4: [20.0, 5.0, 0.0], 5: [5.0, 20.0, 0.0], 6: [0.0, 5.0, 20.0], 7: [10.0, 10.0, 10.0]}
+    for m in range(8):
+        doc_rows.append((m, f"doc a{m}", "A"))
+        if m < 4:
+            emb_rows.append((m, [30.0 + rng.uniform(-0.1, 0.1), 0.0, 0.0]))
+        else:  # pairwise cosine ≤ 0.97 — below the 0.99 dedup threshold
+            emb_rows.append((m, distinct[m]))
+    # stratum B: 3 docs, all distinct; doc 102 has NO embedding row
+    doc_rows += [(100, "doc b0", "B"), (101, "doc b1", "B"), (102, "doc b2", "B")]
+    emb_rows += [(100, [0.0, 25.0, 0.0]), (101, [0.0, 0.0, 25.0])]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string, source string")
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+
+    corpus, audit, ledger = diversity_sample(
+        docs, emb, quota=3, semantic_threshold=0.99, k=3, with_ledger=True
+    )
+    kept = {r["doc_id"] for r in corpus.collect()}
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+
+    # near-copies 1..3 dropped as semantic dups of 0
+    for d in (1, 2, 3):
+        assert led[d][0] == "semantic_dedup" and led[d][1] == "semantic_duplicate_of=0"
+    # stratum A: 5 semantic survivors (0,4,5,6,7) capped to quota=3
+    kept_a = {d for d in kept if d < 100}
+    assert len(kept_a) == 3
+    over = {d for d, (s, _) in led.items() if s == "quota_sample" and d < 100}
+    assert len(over) == 2 and all(led[d][1] == "over_quota:A" for d in over)
+    # stratum B under quota: all three kept — including 102 (no embedding)
+    assert {100, 101, 102} <= kept
+    # accounting: survivors + ledger partition the input
+    assert kept | set(led) == {r[0] for r in doc_rows}
+    assert kept & set(led) == set()
+
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a == {"input": 11, "semantic_dedup": 8, "quota_sample": 6}
+
+
+def test_diversity_sample_chains_after_curation_funnel(spark):
+    """The intended composition: curation_funnel survivors feed
+    diversity_sample, and the two audits union into one funnel report."""
+    from aws_financial_data_pipeline_spark.operators.curation import (
+        curation_funnel,
+        diversity_sample,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus, funnel_audit = curation_funnel(docs)
+    final, div_audit = diversity_sample(
+        corpus, emb, quota=50, semantic_threshold=0.95
+    )
+    combined = funnel_audit.unionByName(div_audit).collect()
+    stages = [r["stage"] for r in combined]
+    assert stages.index("minhash_dedup") < stages.index("semantic_dedup")
+    counts = {r["stage"]: r["docs_kept"] for r in combined}
+    # the tail can only shrink the corpus, and quota=50 × |strata| bounds it
+    assert counts["semantic_dedup"] <= counts["split_assign"]
+    n_strata = docs.select("source").distinct().count()
+    assert final.count() == counts["quota_sample"] <= 50 * n_strata
+    # quota respected per stratum on the final corpus
+    per = final.groupBy("source").count().collect()
+    assert all(r["count"] <= 50 for r in per)
