@@ -511,3 +511,62 @@ def bpe_decode_bytelevel(
     latin = F.replace(latin, F.lit(_NUL_SYMBOL), F.lit("\x00"))
     text = F.decode(F.encode(latin, "ISO-8859-1"), "UTF-8")
     return src.select(F.col(id_col), text.alias(out_col))
+
+
+def tokenizer_stats(
+    docs: DataFrame,
+    encoded: DataFrame,
+    group_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer acceptance audit: fertility + compression per group (or one
+    ``overall`` row) — the numbers a tokenizer swap is judged by before
+    retraining anything (byte-level vs word-level, more vs fewer merges).
+
+    Joins ``docs`` (for byte/word denominators) with ``encoded`` (either
+    :func:`bpe_encode` or :func:`bpe_encode_bytelevel` output) on
+    ``id_col`` and emits per group:
+
+    - ``n_docs``, ``total_tokens``,
+    - ``fertility`` — tokens per whitespace word (≈1.1–1.4 for a
+      well-fitted English tokenizer; high fertility on a language = that
+      language pays more sequence length per sentence),
+    - ``bytes_per_token`` — UTF-8 bytes per token (compression; higher is
+      better for a fixed vocab),
+    - ``p50_doc_tokens`` / ``p95_doc_tokens`` — sequence-length shape for
+      packing/context-window planning.
+
+    Shape: one inner join on the id (the encoded frame is token COUNTS by
+    then — ``bpe_tokens``/``bpe_ids`` are dropped before the join so token
+    arrays never shuffle) + one groupBy over group-cardinality keys.
+    Ratios are exact integer sums divided once, 4dp."""
+    n_words = F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    n_bytes = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+    group = F.col(group_col) if group_col else F.lit("overall")
+    base = docs.select(
+        F.col(id_col),
+        group.alias("group"),
+        F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", 0)
+        .otherwise(n_words)
+        .alias("_words"),
+        n_bytes.alias("_bytes"),
+    )
+    counts = encoded.select(id_col, "n_bpe_tokens")
+    return (
+        base.join(counts, id_col)
+        .groupBy("group")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("total_tokens"),
+            F.round(
+                F.try_divide(F.sum("n_bpe_tokens"), F.sum("_words")), 4
+            ).alias("fertility"),
+            F.round(
+                F.try_divide(F.sum("_bytes"), F.sum("n_bpe_tokens")), 4
+            ).alias("bytes_per_token"),
+            F.expr("percentile(n_bpe_tokens, 0.5)").alias("p50_doc_tokens"),
+            F.expr("percentile(n_bpe_tokens, 0.95)").alias("p95_doc_tokens"),
+        )
+        .orderBy("group")
+    )

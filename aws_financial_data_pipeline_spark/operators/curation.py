@@ -54,6 +54,7 @@ def curation_funnel(
     normalize: bool = False,
     dedup_keep: str = "min_id",
     with_ledger: bool = False,
+    blocklist: "list[str] | DataFrame | None" = None,
 ) -> tuple[DataFrame, ...]:
     """Run the standard curation pipeline; returns ``(corpus, audit)``.
 
@@ -68,6 +69,15 @@ def curation_funnel(
 
     ``quality_model`` is a fitted :mod:`.quality` PipelineModel; omit it to
     skip the model stage (rules-only curation).
+
+    ``blocklist`` prepends the URL-domain gate as the FIRST stage
+    (RefinedWeb §3.1 runs the URL rule before any content rule; it is also
+    the cheapest stage — map-only — so it belongs ahead of every shuffle):
+    a ``list[str]`` uses the in-expression form
+    (:func:`..text.filter_blocked_domains`, right for ≤10³ domains), a
+    DataFrame with a ``domain`` column uses the broadcast semi-join
+    million-domain form (:func:`..text.filter_blocked_domains_frame`).
+    Audited as stage ``url_gate``; ledger reason ``blocked_domain``.
 
     ``normalize=True`` prepends a count-preserving NFKC + control/whitespace
     normalization stage (:func:`..text.normalize_text`) so trivially-variant
@@ -120,6 +130,35 @@ def curation_funnel(
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     ledger_parts: list[DataFrame] = []
+
+    if blocklist is not None:
+        # URL-domain gate FIRST (RefinedWeb §3.1 order: the URL rule runs
+        # before any content rule — and it is the cheapest stage, map-only
+        # for a list blocklist, so it belongs ahead of every shuffle). List
+        # → in-expression form; DataFrame → the broadcast semi-join
+        # million-domain form.
+        prev = docs
+        if isinstance(blocklist, DataFrame):
+            cur = tx.filter_blocked_domains_frame(
+                docs, blocklist, text_col=text_col, id_col=id_col
+            )
+        else:
+            cur = tx.filter_blocked_domains(
+                docs, blocklist, text_col=text_col, id_col=id_col
+            )
+        cur = _stage(cur)
+        stages.append(("url_gate", cur))
+        if with_ledger:
+            ledger_parts.append(
+                prev.select(id_col)
+                .join(cur.select(id_col), id_col, "left_anti")
+                .select(
+                    id_col,
+                    F.lit("url_gate").alias("stage"),
+                    F.lit("blocked_domain").alias("reason"),
+                )
+            )
+        docs = cur
 
     def _gone(prev: DataFrame, new: DataFrame, stage: str, reason) -> None:
         # ids present before the stage but not after it, tagged with why —

@@ -149,8 +149,10 @@ def lsh_bands(
     IN the plan (num_planes × dim literal doubles) cost O(planes·dim) py4j
     round-trips to even construct and seconds of codegen compile per stage,
     both billed again for every signature build in a query. As broadcast
-    data the plan holds one tiny BroadcastNestedLoopJoin (1 row, ~40 KB at
-    corpus-derived knob sizes) and each bit_j is the same sequential
+    data the plan holds one tiny BroadcastNestedLoopJoin (1 row of
+    num_planes × dim × 8 bytes — e.g. 2 KB at num_planes=16, dim=16;
+    ~256 KB even at 64 planes over 512-d vectors; always driver-trivial)
+    and each bit_j is the same sequential
     :func:`_dot` against ``_pl[j]`` — identical double accumulation order,
     so the oracle replicas still hash-match. The corpus itself is scanned
     ONCE and never shuffled (the round-3 crossJoin+groupBy form amplified it

@@ -850,9 +850,11 @@ def filter_blocked_domains_frame(
     blocks half the crawl). Blocklist entries are trimmed + lowercased and
     deduplicated; result parity with the in-expression form is pinned in
     tests/test_text_dedup.py."""
-    bl = blocklist.select(
-        F.lower(F.trim(F.col(domain_col))).alias("_b")
-    ).distinct()
+    bl = (
+        blocklist.select(F.lower(F.trim(F.col(domain_col))).alias("_b"))
+        .filter(F.col("_b") != "")  # an empty entry must not match the ""
+        .distinct()                 # domain artifact of an unparseable URL
+    )
     _, doms_expr = _url_domain_exprs(text_col)
     dom = F.col("_d")
     parts = F.split(dom, r"\.")

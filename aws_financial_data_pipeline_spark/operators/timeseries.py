@@ -26,6 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _null_safe_key_cond(keys: list[str]):
+    """Null-safe (``<=>``) conjunction matching each key ``k`` to its
+    ``_k_{k}`` alias — the join-back condition for aggregate frames whose
+    keys may be NULL (a NULL key is a group like any other; a plain
+    equi-join would silently drop its rows). Shared by both join-backs in
+    :func:`robust_anomalies` so key handling can't drift between them."""
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 def gap_fill_months(
     txns: DataFrame,
     key_col: str = "user_id",
@@ -101,24 +114,18 @@ def robust_anomalies(
     med = df.groupBy(*keys).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("_med")
     ).select(*aliased, "_med")
-    cond_m = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
-        cond_m = c if cond_m is None else (cond_m & c)
-    with_med = df.join(med, cond_m).drop(*[f"_k_{k}" for k in keys])
+    with_med = df.join(med, _null_safe_key_cond(keys)).drop(
+        *[f"_k_{k}" for k in keys]
+    )
     mad = with_med.groupBy(*keys).agg(
         F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
     ).select(*aliased, "_mad")
-    cond_d = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
-        cond_d = c if cond_d is None else (cond_d & c)
     score = F.when(
         F.col("_mad") > 0,
         F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad"),
     )
     return (
-        with_med.join(mad, cond_d)
+        with_med.join(mad, _null_safe_key_cond(keys))
         .drop(*[f"_k_{k}" for k in keys])
         .select(
             *df.columns,

@@ -93,13 +93,30 @@ def plan_counts(df) -> dict[str, int]:
         "map_in_pandas": "MapInPandas",
     }
     counts = {name: plan.count(tok) for name, tok in markers.items()}
-    # "exchanges" must isolate SHUFFLES: the bare substring "Exchange" also
-    # matches BroadcastExchange / ReusedExchange, so a shuffle-free plan with
-    # a broadcast join would read exchanges > 0 and defeat the
-    # plan-regression use. Count them separately and subtract.
-    broadcast_ex = plan.count("BroadcastExchange")
-    reused_ex = plan.count("ReusedExchange")
+    # "exchanges" must isolate SHUFFLES, counted as DISTINCT shuffle
+    # MATERIALIZATIONS (r5 ADVICE contract): a shuffle consumed twice via
+    # ReusedExchange still counts once — the data moved once, which is what
+    # a scale audit cares about. Classification is PER LINE because the
+    # node names nest as substrings ("BroadcastExchange" and
+    # "ReusedExchange" both contain "Exchange") and a ReusedExchange line
+    # repeats its child's name ("ReusedExchange [...], BroadcastExchange
+    # ..." — measured), so substring arithmetic double-counts. Reuse is
+    # split by the KIND of exchange being reused so a regression that
+    # converts a broadcast-reuse into a shuffle-reuse shows up.
+    shuffle_ex = broadcast_ex = reused_b = reused_s = 0
+    for ln in plan.splitlines():
+        if "ReusedExchange" in ln:
+            if "BroadcastExchange" in ln:
+                reused_b += 1
+            else:
+                reused_s += 1
+        elif "BroadcastExchange" in ln:
+            broadcast_ex += 1
+        elif "Exchange" in ln:
+            shuffle_ex += 1
     counts["broadcast_exchanges"] = broadcast_ex
-    counts["reused_exchanges"] = reused_ex
-    counts["exchanges"] = plan.count("Exchange") - broadcast_ex - reused_ex
+    counts["reused_exchanges"] = reused_b + reused_s
+    counts["reused_broadcast_exchanges"] = reused_b
+    counts["reused_shuffle_exchanges"] = reused_s
+    counts["exchanges"] = shuffle_ex
     return counts

@@ -281,6 +281,23 @@ def _bench_bpe_encode(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _bench_bytelevel_bpe(spark, sf_dir: str) -> float:
+    """Byte-level (GPT-2, lossless) BPE over the documents table: merges
+    train untimed (per-corpus model), the timed pass encodes every document
+    to ids AND decodes back — the full lossless round trip, since decode is
+    part of this variant's contract."""
+    from aws_financial_data_pipeline_spark.operators import bpe
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe_bytelevel(docs, num_merges=200)
+
+    t0 = time.perf_counter()
+    enc = bpe.bpe_encode_bytelevel(docs, merges)
+    bpe.bpe_decode_bytelevel(enc).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _bench_corpus_divergence(spark, sf_dir: str) -> float:
     """KL/JS drift between the two doc-id halves of the documents table —
     two B-bounded count passes + one small join."""
@@ -456,6 +473,7 @@ def main() -> None:
     times["dsir_weights"] = _bench_dsir_weights(spark, sf_dir)
     times["pq_ann_topk"] = _bench_pq_ann(spark, sf_dir)
     times["bpe_encode"] = _bench_bpe_encode(spark, sf_dir)
+    times["bpe_bytelevel_roundtrip"] = _bench_bytelevel_bpe(spark, sf_dir)
     times["corpus_divergence"] = _bench_corpus_divergence(spark, sf_dir)
     times["event_funnel"] = _bench_event_funnel(spark, sf_dir)
     times["mixture_plan_apply"] = _bench_mixture_plan_apply(spark, sf_dir)

@@ -417,3 +417,72 @@ def test_bytelevel_corpus_round_trip_on_testdata(spark):
         ~F.col("rt").eqNullSafe(F.coalesce(F.col("text"), F.lit("")))
     ).count()
     assert bad == 0
+
+
+def test_bytelevel_model_persists_through_artifacts(tmp_path):
+    """Byte-level merges (high-codepoint mapped symbols included) survive
+    the save_bpe_model/load_bpe_model JSON round trip bit-identically."""
+    from aws_financial_data_pipeline_spark.operators import artifacts
+
+    merges = [("Ġ", "t"), ("Ġt", "he"), ("ā", "Ă"), ("e", "r")]
+    vocab = bpe.bytelevel_vocab(merges)
+    path = str(tmp_path / "bl_bpe.json")
+    artifacts.save_bpe_model(path, merges, vocab)
+    m2, v2 = artifacts.load_bpe_model(path)
+    assert m2 == merges and v2 == vocab
+
+
+def test_bytelevel_encode_streams_identically(spark, tmp_path):
+    """mapInPandas operators stream for free: byte-level encode over a
+    streaming frame replays exactly the batch result."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = bpe.train_bpe_bytelevel(docs, num_merges=40)
+    batch = {
+        r["doc_id"]: (r["n_bpe_tokens"], list(r["bpe_ids"]))
+        for r in bpe.bpe_encode_bytelevel(docs, merges).collect()
+    }
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        bpe.bpe_encode_bytelevel(stream, merges)
+        .writeStream.format("memory")
+        .queryName("bl_bpe_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], list(r["bpe_ids"]))
+        for r in spark.sql("select * from bl_bpe_stream").collect()
+    }
+    assert got == batch and len(got) == 500
+
+
+def test_tokenizer_stats_audit(spark):
+    """Fertility/compression audit: exact on a hand-computable corpus, and
+    more merges => lower fertility on the training corpus (the merge count
+    is doing its job)."""
+    from aws_financial_data_pipeline_spark.operators.bpe import tokenizer_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", "x"), (2, "aa aa aa bb", "x"), (3, "cc", "y"), (4, None, "y")],
+        "doc_id long, text string, source string",
+    )
+    merges = []  # no merges: every char + </w> is a token
+    enc = bpe.bpe_encode(docs, merges)
+    got = {r["group"]: r for r in tokenizer_stats(docs, enc, "source").collect()}
+    # doc1: 'aa'->3 sym, 'bb'->3 → 6 tokens / 2 words; doc2: 12/4
+    assert got["x"]["total_tokens"] == 18 and got["x"]["fertility"] == 3.0
+    # doc3: 'cc' -> c,c,</w> = 3 tokens / 1 word; doc4 NULL -> 0 tokens, 0 words
+    assert got["y"]["total_tokens"] == 3
+    assert got["y"]["n_docs"] == 2
+    # byte-level on testdata: more merges compress better
+    real = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    m40 = bpe.train_bpe_bytelevel(real, num_merges=40)
+    m200 = bpe.train_bpe_bytelevel(real, num_merges=200)
+    s40 = tokenizer_stats(real, bpe.bpe_encode_bytelevel(real, m40)).collect()[0]
+    s200 = tokenizer_stats(real, bpe.bpe_encode_bytelevel(real, m200)).collect()[0]
+    assert s200["fertility"] < s40["fertility"]
+    assert s200["bytes_per_token"] > s40["bytes_per_token"]
+    assert s40["group"] == "overall" and s40["n_docs"] == 500

@@ -494,3 +494,40 @@ def test_diversity_sample_chains_after_curation_funnel(spark):
     # quota respected per stratum on the final corpus
     per = final.groupBy("source").count().collect()
     assert all(r["count"] <= 50 for r in per)
+
+
+def test_funnel_url_gate_stage(spark):
+    """blocklist= prepends the URL gate as the FIRST funnel stage (RefinedWeb
+    §3.1 order), audited as url_gate with ledger reason blocked_domain —
+    list and DataFrame blocklists produce identical funnels."""
+    from aws_financial_data_pipeline_spark.operators.curation import curation_funnel
+
+    rows = [
+        (1, "clean words " * 60),
+        (2, ("spam cited " * 60) + "see http://bad.example/x"),
+        (3, ("subdomain " * 60) + "via https://deep.bad.example/y"),
+        (4, ("fine link " * 60) + "at https://good.org/z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus, audit, ledger = curation_funnel(
+        docs, blocklist=["bad.example"], with_ledger=True
+    )
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["input"] == 4 and a["url_gate"] == 2
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+    assert led[2] == ("url_gate", "blocked_domain")
+    assert led[3] == ("url_gate", "blocked_domain")
+    kept = {r["doc_id"] for r in corpus.collect()}
+    assert kept | set(led) == {1, 2, 3, 4} and kept & set(led) == set()
+    # the gate ran before exact dedup: the two blocked docs never reached
+    # later stages (every later count ≤ url_gate's)
+    assert all(
+        n <= a["url_gate"] for s, n in a.items() if s not in ("input", "url_gate")
+    )
+
+    # DataFrame blocklist → same funnel through the broadcast semi-join form
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    corpus2, audit2 = curation_funnel(docs, blocklist=bl)
+    assert {r["doc_id"] for r in corpus2.collect()} == kept
+    assert {r["stage"]: r["docs_kept"] for r in audit2.collect()} == a
