@@ -872,3 +872,104 @@ def filter_blocked_domains_frame(
     if broadcast_blocked_ids:
         blocked = F.broadcast(blocked)
     return docs.join(blocked, id_col, "left_anti")
+
+
+# tracking params every crawl pipeline strips before URL-level dedup: the
+# UTM family by prefix, plus the ad-click ids (Google/Facebook/Microsoft/
+# Yandex/Instagram/Mailchimp) by exact name
+_TRACKING_EXACT = (
+    "gclid", "fbclid", "msclkid", "yclid", "igshid", "mc_cid", "mc_eid",
+    "ref", "ref_src", "ref_url",
+)
+
+
+def canonical_url_expr(url):
+    """Canonical form of a URL as a pure-Catalyst Column — the
+    normalization every crawl pipeline applies before URL-level dedup
+    (CCNet/RefinedWeb keep one fetch per canonical URL):
+
+    - scheme + host lowercased, leading ``www.`` stripped,
+    - default ports dropped (``:80`` http / ``:443`` https), non-default
+      ports preserved (a different port IS a different service),
+    - fragment dropped (never sent to the server),
+    - tracking params removed (``utm_*`` by prefix; click-ids by name),
+    - surviving query params sorted (param order is not page identity),
+    - trailing slashes stripped from the path.
+
+    Unparseable/null input → NULL (``try_parse_url`` — plain parse_url THROWS on invalid URLs in Spark 4, and a crawl always contains junk). Map-only;
+    feed it any url column or ``extract_domains``' ``urls`` entries."""
+    url = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+    # parse_url HOST drops the port; recover a NON-default one from AUTHORITY
+    port = F.regexp_extract(F.try_parse_url(url, F.lit("AUTHORITY")), r":(\d+)$", 1)
+    is_default = (
+        (port == "")
+        | ((proto == F.lit("http")) & (port == "80"))
+        | ((proto == F.lit("https")) & (port == "443"))
+    )
+    port_part = F.when(is_default, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
+    )
+    raw_q = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    name = lambda p: F.lower(F.split(p, "=", 2).getItem(0))  # noqa: E731
+    kept = F.array_sort(
+        F.filter(
+            F.split(raw_q, "&"),
+            lambda p: (p != "")
+            & ~name(p).startswith("utm_")
+            & ~name(p).isin(*_TRACKING_EXACT),
+        )
+    )
+    q_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        host.isNull() | (host == "") | proto.isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(F.concat(proto, F.lit("://"), host, port_part, path, q_part))
+
+
+def canonicalize_urls(
+    pages: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """``pages`` + a ``canonical_url`` column (:func:`canonical_url_expr`).
+    Map-only, zero shuffle — plan-asserted."""
+    return pages.withColumn(out_col, canonical_url_expr(url_col))
+
+
+def url_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-level URL dedup: keep ONE page per canonical URL (lowest id —
+    deterministic, partition-invariant), BEFORE any content stage touches
+    the text (the same fetch under ``?utm_source=`` variants and
+    ``#fragments`` is the cheapest duplication to remove, and content
+    dedup's md5 would miss it whenever the page embeds its own URL or a
+    timestamp). Pages whose URL fails to parse (NULL canonical) are all
+    KEPT — unparseable provenance is a reason for a rules gate, not silent
+    dedup.
+
+    Output: surviving pages + their ``canonical_url``. Shape at scale: the
+    keeper election groups (md5(canonical), id) — 24-byte rows, text never
+    shuffles — and survivors re-attach by an id-only semi-join, the
+    exact_duplicates recipe."""
+    canon = canonicalize_urls(pages, url_col)
+    keyed = canon.select(
+        F.col(id_col), F.md5(F.col("canonical_url")).alias("_ck")
+    )
+    keepers = (
+        keyed.filter(F.col("_ck").isNotNull())
+        .groupBy("_ck")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    nulls = keyed.filter(F.col("_ck").isNull()).select(id_col)
+    return canon.join(keepers.unionByName(nulls), id_col, "left_semi")

@@ -832,3 +832,63 @@ def test_ngram_contamination_size_guard_parity(spark):
         dedup.ngram_contamination(train, test, n=13, broadcast_max_test_docs=0)
     )
     assert small == big and len(small) > 0
+
+
+def test_canonical_url_normalization(spark):
+    """Crawl-URL canonicalization: case/www/default-port/fragment/tracking
+    params/param order/trailing slash all collapse; non-default ports and
+    real params survive; unparseable input → NULL."""
+    from aws_financial_data_pipeline_spark.operators.text import canonicalize_urls
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/Path?a=1&b=2"),
+        (3, "http://example.com:8080/p"),        # non-default port preserved
+        (4, "http://example.com:80/p"),          # default port dropped
+        (5, "https://site.org/?gclid=abc&fbclid=z"),  # only tracking → no query
+        (6, "not a url"),
+        (7, None),
+        (8, "https://example.com/path?ref=tw&real=1"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in canonicalize_urls(pages).collect()}
+    assert got[1] == "https://example.com/Path?a=1&b=2"
+    assert got[2] == "https://example.com/Path?a=1&b=2"
+    assert got[1] == got[2]
+    assert got[3] == "http://example.com:8080/p"
+    assert got[4] == "http://example.com/p"
+    assert got[5] == "https://site.org"
+    assert got[6] is None and got[7] is None
+    assert got[8] == "https://example.com/path?real=1"
+
+
+def test_url_dedup_keeps_one_page_per_canonical(spark):
+    """URL-level dedup: one survivor (lowest id) per canonical URL; pages
+    with unparseable URLs all pass; plan stays JVM-side with text out of
+    the shuffle (the keyed election projects id + md5 only)."""
+    from aws_financial_data_pipeline_spark.operators.text import url_dedup
+
+    rows = [
+        (1, "https://a.com/x?utm_source=tw", "body one"),
+        (2, "https://WWW.A.com/x", "body two"),         # same canonical as 1
+        (3, "https://a.com/x?page=2", "body three"),    # real param → distinct
+        (4, "junk", "body four"),
+        (5, "garbage", "body five"),
+        (6, "https://b.org/", "body six"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = url_dedup(pages)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 3, 4, 5, 6}
+    assert "canonical_url" in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_canonicalize_urls_plan_is_map_only(spark):
+    from aws_financial_data_pipeline_spark.operators.text import canonicalize_urls
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    pages = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    counts = plan_counts(canonicalize_urls(pages))
+    assert counts["exchanges"] == 0 and counts["python_stages"] == 0
