@@ -302,3 +302,80 @@ def stratified_sample_flag(
         expr = F.when(F.col(stratum_col) == value, F.lit(rate)).otherwise(expr)
     b = F.col("bucket") if "bucket" in df.columns else hash_bucket(id_col)
     return df.withColumn("in_sample", b < expr * 100)
+
+
+def shard_manifest(
+    spark,
+    path: str,
+    df: DataFrame | None = None,
+    shard_col: str = "shuffle_shard",
+    pos_col: str = "shuffle_pos",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible-read manifest for a :func:`write_training_shards`
+    directory — the contract a data loader checks BEFORE streaming an
+    epoch, and the artifact that makes "did every row land, exactly once,
+    in order?" a table instead of a hope. One row per shard:
+
+    - ``n_rows``, ``min_pos`` / ``max_pos`` — contiguity check: an epoch is
+      well-formed iff every shard has ``max_pos - min_pos + 1 == n_rows``
+      and shard k+1's ``min_pos`` follows shard k's ``max_pos``
+      (``is_contiguous`` pre-computes the within-shard half),
+    - ``ids_hash`` — order-insensitive content fingerprint
+      (exact decimal sum of ``xxhash64(id)`` — a long sum would overflow
+      under ANSI); compare against the same aggregate over the SOURCE frame
+      (pass ``df``) to certify no row was lost or duplicated in the write,
+    - ``files`` — file count per shard directory (1 by construction; >1
+      means the one-task-per-shard invariant broke and read order is no
+      longer the written order).
+
+    Shape: one scan of the shard parquet (ids + positions only — parquet
+    column pruning skips text/payload), one groupBy on the shard value;
+    ``input_file_name()`` is evaluated map-side. With ``df`` given, the
+    result adds a ``source_match`` boolean per shard from an id-only
+    aggregate of the source — the write is certified iff every row is
+    ``is_contiguous AND source_match AND files == 1``."""
+    read = spark.read.parquet(path)
+    m = (
+        read.select(
+            F.col(shard_col),
+            F.col(pos_col),
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.input_file_name().alias("_f"),
+        )
+        .groupBy(shard_col)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(pos_col).alias("min_pos"),
+            F.max(pos_col).alias("max_pos"),
+            # decimal(38,0) accumulator: a long sum of 2^63-scale hashes
+            # overflows (ANSI mode throws); decimal is exact to 10^38
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("ids_hash"),
+            F.count_distinct("_f").alias("files"),
+        )
+        .withColumn(
+            "is_contiguous",
+            F.col("max_pos") - F.col("min_pos") + 1 == F.col("n_rows"),
+        )
+    )
+    if df is not None:
+        src = (
+            df.select(
+                F.col(shard_col), F.xxhash64(F.col(id_col)).alias("_h")
+            )
+            .groupBy(shard_col)
+            .agg(
+                F.count("*").alias("_src_rows"),
+                F.sum(F.col("_h").cast("decimal(38,0)")).alias("_src_hash"),
+            )
+        )
+        m = (
+            m.join(src, shard_col, "full_outer")
+            .withColumn(
+                "source_match",
+                F.col("n_rows").eqNullSafe(F.col("_src_rows"))
+                & F.col("ids_hash").eqNullSafe(F.col("_src_hash")),
+            )
+            .drop("_src_rows", "_src_hash")
+        )
+    return m.orderBy(shard_col)

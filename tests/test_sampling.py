@@ -1,0 +1,50 @@
+"""Training-shard manifest: reproducible-read certification for
+write_training_shards epochs (round 6). Other sampling/split coverage
+lives in test_sampling_tfidf.py and test_mixture.py."""
+
+from __future__ import annotations
+
+def test_shard_manifest_certifies_write(spark, tmp_path):
+    """Manifest over a real write_training_shards epoch: every shard
+    contiguous, one file each, content hash matching the source — and a
+    tampered copy (a dropped row) is caught by source_match."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    ordered = sp.global_shuffle(docs, num_shards=4)
+    path = str(tmp_path / "epoch0")
+    sp.write_training_shards(ordered, path)
+
+    man = sp.shard_manifest(spark, path, df=ordered).collect()
+    assert len(man) == 4
+    assert all(r["is_contiguous"] and r["files"] == 1 and r["source_match"] for r in man)
+    # cross-shard contiguity: shard k+1 starts right after shard k ends
+    rows = sorted(man, key=lambda r: r["shuffle_shard"])
+    for a, b in zip(rows, rows[1:]):
+        assert b["min_pos"] == a["max_pos"] + 1
+    assert sum(r["n_rows"] for r in rows) == 500
+
+    # tamper: rewrite shard 0 with one row missing → source_match flips
+    import shutil
+
+    tampered = str(tmp_path / "tampered")
+    shutil.copytree(path, tampered)
+    s0 = spark.read.parquet(f"{tampered}/shuffle_shard=0").withColumn(
+        "shuffle_shard", F.lit(0)
+    )
+    # materialize BEFORE deleting the files the lazy plan reads
+    dropped = s0.orderBy("shuffle_pos").limit(s0.count() - 1).localCheckpoint()
+    shutil.rmtree(f"{tampered}/shuffle_shard=0")
+    dropped.repartition(1).sortWithinPartitions("shuffle_pos").write.partitionBy(
+        "shuffle_shard"
+    ).parquet(f"{tampered}/_new")
+    shutil.move(f"{tampered}/_new/shuffle_shard=0", f"{tampered}/shuffle_shard=0")
+    shutil.rmtree(f"{tampered}/_new")
+    man2 = {r["shuffle_shard"]: r for r in sp.shard_manifest(spark, tampered, df=ordered).collect()}
+    assert not man2[0]["source_match"]
+    assert all(man2[k]["source_match"] for k in (1, 2, 3))
