@@ -309,6 +309,10 @@ def pretraining_pipeline(
     domain_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    embeddings: DataFrame | None = None,
+    diversity_quota: int = 1_000_000,
+    diversity_quotas: dict[str, int] | None = None,
+    semantic_threshold: float = 0.95,
     **funnel_kwargs,
 ) -> dict:
     """The whole raw-corpus → training-samples path as ONE audited call — the
@@ -319,6 +323,11 @@ def pretraining_pipeline(
     2. decontamination against ``test_corpus`` when given (exact
        ``contamination_n``-gram join, the GPT-3 appendix-C check — drops the
        implicated TRAIN docs),
+    2b. optional diversity tail when ``embeddings`` is given
+       (:func:`diversity_sample`: SemDeDup at ``semantic_threshold`` →
+       per-``domain_col`` quota ``diversity_quota``/``diversity_quotas``;
+       runs AFTER decontamination and BEFORE tokenization so the tokenizer
+       trains on exactly what ships; audit + ledger rows merge in),
     3. tokenizer training on the surviving corpus (:func:`..bpe.train_bpe`
        — training AFTER cleaning, so boilerplate and benchmark text never
        shape the vocabulary),
@@ -403,6 +412,28 @@ def pretraining_pipeline(
         audit = audit.unionByName(
             corpus.agg(F.lit("decontamination").alias("stage"), F.count("*").alias("docs_kept"))
         )
+    if embeddings is not None:
+        # diversity tail (round 6): SemDeDup + per-domain quota AFTER
+        # decontamination, BEFORE tokenization — the tokenizer must train
+        # on exactly what ships. diversity_sample's own audit/ledger merge
+        # in (its "input" row is the previous stage's count — dropped).
+        dived = diversity_sample(
+            corpus,
+            embeddings,
+            stratum_col=domain_col,
+            quota=diversity_quota,
+            quotas=diversity_quotas,
+            semantic_threshold=semantic_threshold,
+            text_col=text_col,
+            id_col=id_col,
+            with_ledger=with_ledger,
+        )
+        if with_ledger:
+            corpus, div_audit, div_ledger = dived
+            ledger = div_ledger if ledger is None else ledger.unionByName(div_ledger)
+        else:
+            corpus, div_audit = dived
+        audit = audit.unionByName(div_audit.filter(F.col("stage") != "input"))
     merges = bpe.train_bpe(corpus, num_merges=num_merges, text_col=text_col)
     vocab = bpe.bpe_vocab(corpus, merges, text_col=text_col)
     tokenized = bpe.bpe_encode(corpus, merges, text_col, id_col, vocab=vocab).join(

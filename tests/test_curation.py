@@ -531,3 +531,37 @@ def test_funnel_url_gate_stage(spark):
     corpus2, audit2 = curation_funnel(docs, blocklist=bl)
     assert {r["doc_id"] for r in corpus2.collect()} == kept
     assert {r["stage"]: r["docs_kept"] for r in audit2.collect()} == a
+
+
+def test_pretraining_pipeline_diversity_stage(spark):
+    """embeddings= adds the diversity tail to the capstone: semantic_dedup +
+    quota_sample audit rows merge into the pipeline audit (no duplicate
+    'input' row), the ledger covers the new drops, and the tokenizer's
+    vocabulary is induced AFTER the diversity cut."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = curation.pretraining_pipeline(
+        docs,
+        num_merges=30,
+        embeddings=emb,
+        diversity_quota=40,
+        semantic_threshold=0.95,
+        with_ledger=True,
+    )
+    a = {r["stage"]: r["docs_kept"] for r in out["audit"].collect()}
+    assert "semantic_dedup" in a and "quota_sample" in a
+    assert a["quota_sample"] <= a["semantic_dedup"] <= a["split_assign"]
+    n_strata = docs.select("source").distinct().count()
+    assert a["quota_sample"] <= 40 * n_strata
+    assert out["corpus"].count() == a["quota_sample"]
+    # accounting: survivors ∪ ledger == input ids, disjointly
+    kept = {r["doc_id"] for r in out["corpus"].select("doc_id").collect()}
+    led = {r["doc_id"] for r in out["ledger"].select("doc_id").collect()}
+    assert kept | led == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept.isdisjoint(led)
+    # audit has exactly ONE input row (diversity's own was dropped)
+    stages = [r["stage"] for r in out["audit"].collect()]
+    assert stages.count("input") == 1
