@@ -133,3 +133,29 @@ def run_incremental_dedup(
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return _read_store(spark, pairs_out)
+
+
+def url_dedup_stream(pages, url_col: str = "url", id_col: str = "doc_id"):
+    """Streaming twin of :func:`..operators.text.url_dedup`: keep the FIRST
+    page seen per canonical URL across micro-batches. Canonicalization is a
+    map-only Catalyst expression (streams for free); the keep-first is
+    Structured Streaming's own keyed-state ``dropDuplicates`` on the
+    canonical key, so state is one entry per DISTINCT canonical URL —
+    bounded by the crawl frontier, and the engine-managed form (RocksDB
+    state store on a real cluster) rather than a hand-rolled store.
+
+    Difference from the batch form, by design: batch elects the LOWEST id
+    per group (order-independent — re-runnable over a static corpus);
+    a stream has an arrival order, so first-seen IS the deterministic
+    choice (replaying the same ordered stream keeps the same pages — the
+    test pins batch-vs-stream equality when ids arrive in order).
+    Unparseable URLs (NULL canonical) all pass, as in batch: NULL is its
+    own dropDuplicates key, so only the first NULL-URL page would survive
+    a naive dedup — they are split out and unioned back instead."""
+    from ..operators.text import canonicalize_urls
+
+    canon = canonicalize_urls(pages, url_col)
+    parseable = canon.filter(F.col("canonical_url").isNotNull()).dropDuplicates(
+        ["canonical_url"]
+    )
+    return parseable.unionByName(canon.filter(F.col("canonical_url").isNull()))

@@ -266,3 +266,47 @@ def test_mixture_apply_runs_unchanged_on_streams(spark, tmp_path):
     assert streamed == batch
     # the plan really acted: every web doc exactly twice, books hash-sampled
     assert sum(1 for d, e in streamed if d % 2 == 0) == 20
+
+
+def test_url_dedup_stream_keeps_first_per_canonical(spark, tmp_path):
+    """Streaming URL dedup: two micro-batches where batch 2 re-crawls a
+    batch-1 URL under tracking params — the re-crawl is dropped by the
+    cross-batch keyed state; unparseable URLs all pass. With ids arriving
+    in id order, the result equals the batch form's lowest-id election."""
+    import json
+    import os
+
+    from aws_financial_data_pipeline_spark.operators.text import url_dedup
+    from aws_financial_data_pipeline_spark.streaming.dedup import url_dedup_stream
+
+    b1 = [
+        (1, "https://a.com/x", "first fetch"),
+        (2, "https://b.org/y?utm_source=t", "b first"),
+        (3, "junk-url", "unparseable one"),
+    ]
+    b2 = [
+        (4, "https://WWW.A.com/x?fbclid=z", "recrawl of 1 - drop"),
+        (5, "https://b.org/y?page=2", "real param - keep"),
+        (6, "garbage", "unparseable two"),
+    ]
+    src = str(tmp_path / "crawl")
+    os.makedirs(src)
+    schema = "doc_id long, url string, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").json(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").json(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        url_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("url_dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select * from url_dedup_stream_t").collect()}
+    assert got == {1, 2, 3, 5, 6}
+
+    batch = url_dedup(spark.createDataFrame(b1 + b2, schema))
+    assert {r["doc_id"] for r in batch.collect()} == got

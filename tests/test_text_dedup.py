@@ -892,3 +892,24 @@ def test_canonicalize_urls_plan_is_map_only(spark):
     pages = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
     counts = plan_counts(canonicalize_urls(pages))
     assert counts["exchanges"] == 0 and counts["python_stages"] == 0
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — a dedup key that moves on
+    re-application would split groups across incremental runs."""
+    from aws_financial_data_pipeline_spark.operators.text import canonical_url_expr
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com:8080/p?z=1&y=2"),
+        (3, "https://site.org/?gclid=abc"),
+        (4, "http://a.b.c/x/y/z///"),
+        (5, "https://host.net/p?a=1&a=0"),  # duplicate param names sort
+        (6, "ftp://files.example.org/pub/file.txt"),
+        (7, None),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    once = pages.select("doc_id", canonical_url_expr("url").alias("c1"))
+    twice = once.select("doc_id", "c1", canonical_url_expr("c1").alias("c2"))
+    for r in twice.collect():
+        assert r["c2"] == r["c1"], f"not idempotent: {r['c1']!r} -> {r['c2']!r}"
