@@ -470,6 +470,16 @@ def pretraining_pipeline(
         "vocab": vocab,
         "mixture_plan": plan,
         "datasheet": corpus_datasheet(corpus, text_col=text_col, id_col=id_col),
+        # tokenizer acceptance numbers (fertility, bytes/token, length
+        # quantiles per domain — or one overall row when the corpus has no
+        # domain column) for the merges that will ship with the data
+        # (bpe_encode emits a literal "doc_id" column, so align corpus's id)
+        "tokenizer_report": bpe.tokenizer_stats(
+            corpus if id_col == "doc_id" else corpus.withColumnRenamed(id_col, "doc_id"),
+            tokenized,
+            group_col=domain_col if domain_col in corpus.columns else None,
+            text_col=text_col,
+        ),
         "audit": audit,
         # per-benchmark decontamination rates (None without a test_corpus)
         "contamination": contamination,

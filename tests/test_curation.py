@@ -565,3 +565,9 @@ def test_pretraining_pipeline_diversity_stage(spark):
     # audit has exactly ONE input row (diversity's own was dropped)
     stages = [r["stage"] for r in out["audit"].collect()]
     assert stages.count("input") == 1
+    # tokenizer report: one row per domain of the SHIPPED corpus
+    rep = {r["group"]: r for r in out["tokenizer_report"].collect()}
+    shipped_domains = {r["source"] for r in out["corpus"].select("source").distinct().collect()}
+    assert set(rep) == shipped_domains
+    assert sum(r["n_docs"] for r in rep.values()) == a["quota_sample"]
+    assert all(r["fertility"] > 0 for r in rep.values())
