@@ -135,7 +135,13 @@ def run_incremental_dedup(
     return _read_store(spark, pairs_out)
 
 
-def url_dedup_stream(pages, url_col: str = "url", id_col: str = "doc_id"):
+def url_dedup_stream(
+    pages,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+):
     """Streaming twin of :func:`..operators.text.url_dedup`: keep the FIRST
     page seen per canonical URL across micro-batches. Canonicalization is a
     map-only Catalyst expression (streams for free); the keep-first is
@@ -151,11 +157,23 @@ def url_dedup_stream(pages, url_col: str = "url", id_col: str = "doc_id"):
     test pins batch-vs-stream equality when ids arrive in order).
     Unparseable URLs (NULL canonical) all pass, as in batch: NULL is its
     own dropDuplicates key, so only the first NULL-URL page would survive
-    a naive dedup — they are split out and unioned back instead."""
+    a naive dedup — they are split out and unioned back instead.
+
+    State lifetime: the bare form keeps state FOREVER — right for a
+    drain-and-stop backfill (availableNow), wrong for an unbounded crawl
+    feed. Pass ``ts_col`` (event-time) to switch to
+    ``dropDuplicatesWithinWatermark`` under ``watermark``: a re-crawl of
+    the same canonical URL inside the watermark window is dropped, state
+    for older keys is evicted — re-crawls separated by more than the
+    window are DELIBERATELY re-admitted (they feed snapshot_diff /
+    incremental ingest as fresh observations)."""
     from ..operators.text import canonicalize_urls
 
     canon = canonicalize_urls(pages, url_col)
-    parseable = canon.filter(F.col("canonical_url").isNotNull()).dropDuplicates(
-        ["canonical_url"]
-    )
+    parseable = canon.filter(F.col("canonical_url").isNotNull())
+    if ts_col is not None:
+        parseable = parseable.withWatermark(ts_col, watermark)
+        parseable = parseable.dropDuplicatesWithinWatermark(["canonical_url"])
+    else:
+        parseable = parseable.dropDuplicates(["canonical_url"])
     return parseable.unionByName(canon.filter(F.col("canonical_url").isNull()))

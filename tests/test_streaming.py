@@ -310,3 +310,39 @@ def test_url_dedup_stream_keeps_first_per_canonical(spark, tmp_path):
 
     batch = url_dedup(spark.createDataFrame(b1 + b2, schema))
     assert {r["doc_id"] for r in batch.collect()} == got
+
+
+def test_url_dedup_stream_watermarked_state(spark, tmp_path):
+    """The unbounded-feed form: dropDuplicatesWithinWatermark evicts state
+    for old canonical URLs — a within-window re-crawl drops, and the drain
+    replays the same keep-set as the unbounded form on this bounded feed."""
+    import os
+
+    from aws_financial_data_pipeline_spark.streaming.dedup import url_dedup_stream
+
+    rows = [
+        (1, "https://a.com/x", "2024-01-01 00:00:00"),
+        (2, "https://a.com/x?utm_source=t", "2024-01-01 00:30:00"),  # dup in window
+        (3, "https://b.org/y", "2024-01-01 01:00:00"),
+        (4, "junk", "2024-01-01 01:30:00"),
+    ]
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    schema = "doc_id long, url string, ts_s string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").json(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    q = (
+        url_dedup_stream(stream, ts_col="ts", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("url_dedup_wm_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select * from url_dedup_wm_t").collect()}
+    assert got == {1, 3, 4}
