@@ -138,6 +138,7 @@ def pack_chunks(
     size_col: str = "n_tokens",
     order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
     num_shards: int = 32,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Assign each chunk a ``bin_id`` by contiguous greedy packing in
     ``order_cols`` order: bin = floor(exclusive_prefix_sum(size) / budget).
@@ -156,6 +157,14 @@ def pack_chunks(
     deterministic range bucket of ``order_cols[0]``, per-shard window prefix
     sums, then a broadcast join of the exclusive per-shard offsets. Identical
     output to a single global window at any ``num_shards``.
+
+    ``with_offsets=True`` additionally emits ``seq_offset`` — each chunk's
+    token start position WITHIN its bin, in ``order_cols`` order — the
+    boundary table a sequence-assembling data loader consumes to build
+    attention masks (tokens of doc k must not attend to doc k−1 packed
+    into the same sequence). First chunk of every bin has ``seq_offset``
+    0; a straddling last chunk starts below budget and runs past it,
+    matching the documented size bound.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
@@ -171,11 +180,25 @@ def pack_chunks(
         "_shard",
         F.coalesce(F.sum("_stotal").over(w_off), F.lit(0)).alias("_offset"),
     )
-    return (
+    packed = (
         sharded.withColumn("_within", within)
         .join(F.broadcast(offsets), "_shard")
-        .withColumn("bin_id", F.floor((F.col("_offset") + F.col("_within")) / budget))
+        .withColumn("_goff", F.col("_offset") + F.col("_within"))
+        .withColumn("bin_id", F.floor(F.col("_goff") / budget))
         .drop("_shard", "_within", "_offset")
+    )
+    if not with_offsets:
+        return packed.drop("_goff")
+    # with_offsets (round 6): the columns a sequence-assembling data loader
+    # needs — seq_offset = this chunk's token start WITHIN its bin (the
+    # attention-mask boundary table), derived as global_prefix − the bin's
+    # first global_prefix. One extra bin-keyed aggregate + equi-join; the
+    # bins table is corpus/≈budget rows, a plain shuffle join at scale.
+    starts = packed.groupBy("bin_id").agg(F.min("_goff").alias("_bstart"))
+    return (
+        packed.join(starts, "bin_id")
+        .withColumn("seq_offset", F.col("_goff") - F.col("_bstart"))
+        .drop("_goff", "_bstart")
     )
 
 

@@ -261,3 +261,36 @@ def test_packing_efficiency_exact_and_straddle(spark):
 
     with pytest.raises(ValueError):
         pk.packing_efficiency(packed, budget=0)
+
+
+def test_pack_chunks_with_offsets(spark):
+    """with_offsets=True: seq_offset is the running token start within each
+    bin — 0 for every bin's first chunk, cumulative in order, straddling
+    last chunks start below budget; flag-off output is unchanged."""
+    from aws_financial_data_pipeline_spark.operators.packing import pack_chunks
+
+    rows = [(i, 0, 300) for i in range(10)]  # 10 chunks of 300 into budget 1000
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_id int, n_tokens int")
+    out = pack_chunks(chunks, budget=1000, with_offsets=True).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # prefix 0..2700 step 300; bin = floor(prefix/1000): docs 0-3 bin0
+    # (offsets 0,300,600,900 — 900 straddles), docs 4-6 bin1 (1200-1800 →
+    # offsets 200,500,800), ...
+    assert by_doc[0]["bin_id"] == 0 and by_doc[0]["seq_offset"] == 0
+    assert by_doc[3]["bin_id"] == 0 and by_doc[3]["seq_offset"] == 900
+    assert by_doc[4]["bin_id"] == 1 and by_doc[4]["seq_offset"] == 0
+    assert by_doc[6]["seq_offset"] == 600
+    # every bin's first chunk (min order) has offset 0, offsets increase
+    import collections
+
+    bins = collections.defaultdict(list)
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        bins[r["bin_id"]].append(r["seq_offset"])
+    for offs in bins.values():
+        assert offs[0] == 0 and offs == sorted(offs)
+    # flag off: same bin assignment, no extra columns
+    plain = pack_chunks(chunks, budget=1000)
+    assert "seq_offset" not in plain.columns and "_goff" not in plain.columns
+    assert {r["doc_id"]: r["bin_id"] for r in plain.collect()} == {
+        r["doc_id"]: r["bin_id"] for r in out
+    }
