@@ -506,6 +506,7 @@ def diversity_sample(
     emb_id_col: str = "vec_id",
     with_ledger: bool = False,
     materialize: bool = True,
+    quota_prefilter_factor: float | None = None,
     **semdedup_kwargs,
 ) -> tuple[DataFrame, ...]:
     """Diversity stage for a curated corpus: SemDeDup semantic dedup →
@@ -568,7 +569,10 @@ def diversity_sample(
     cur = _stage(cur)
     stages.append(("semantic_dedup", cur))
 
-    flagged = sp.quota_sample_flag(cur, id_col, stratum_col, quota, quotas)
+    flagged = sp.quota_sample_flag(
+        cur, id_col, stratum_col, quota, quotas,
+        prefilter_factor=quota_prefilter_factor,
+    )
     if with_ledger:
         ledger_parts.append(
             flagged.filter(~F.col("in_quota")).select(

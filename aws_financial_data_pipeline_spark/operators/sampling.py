@@ -267,23 +267,88 @@ def quota_sample_flag(
     stratum_col: str,
     quota: int,
     quotas: dict[str, int] | None = None,
+    prefilter_factor: float | None = None,
 ) -> DataFrame:
     """Deterministic per-stratum QUOTA sampling (domain/language balancing):
     flag at most ``quota`` rows per stratum (``quotas`` overrides per value),
     chosen by md5(id) order — reproducible, partition-independent, and stable
     under re-runs (a kept row stays kept when new rows arrive only if it
     still wins the hash order; for append-only stability, pin quotas per
-    ingest window). One window per stratum partition; heavy strata cost a
-    shuffle keyed by the stratum — salt upstream if one stratum dominates."""
+    ingest window).
+
+    Default path: one window per stratum partition — heavy strata cost a
+    shuffle keyed by the stratum. ``prefilter_factor`` (e.g. 4.0) turns on
+    the heavy-stratum path: because the ranking key is a uniform hash, the
+    quota winners are almost surely inside the hash-smallest
+    ``factor × quota`` rows, so a MAP-SIDE hash-threshold filter (per-
+    stratum thresholds ride in a broadcast join of a strata-sized table)
+    shrinks the window's input from |stratum| to ≈factor×quota rows before
+    the shuffle; non-candidates bypass the window entirely (map-only
+    ``in_quota = false``, unioned back — no corpus join). EXACTNESS is
+    preserved, not approximated: candidates with hash ≤ threshold form a
+    PREFIX of the (md5, id) order, so the result equals the window form
+    whenever a stratum keeps ≥ min(quota, n) candidates — and any stratum
+    where the cut lands too low (astronomically unlikely at factor ≥ 2 and
+    quota ≥ ~50, but checked, not assumed) is detected by a cheap count
+    and re-routed through the exact window over ALL its rows. Equality to
+    the default path is pytest-pinned, including a forced-fallback case."""
     from pyspark.sql import Window
 
     order = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
-    rn = F.row_number().over(w)
     limit = F.lit(quota)
     for value, q in (quotas or {}).items():
         limit = F.when(F.col(stratum_col) == value, F.lit(q)).otherwise(limit)
-    return df.withColumn("in_quota", rn <= limit)
+
+    if prefilter_factor is None:
+        w = Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
+        return df.withColumn("in_quota", F.row_number().over(w) <= limit)
+
+    if prefilter_factor <= 0:
+        raise ValueError(f"prefilter_factor must be positive: {prefilter_factor}")
+    # 32-bit numeric prefix of the md5: ordering by (hval, rest-of-md5, id)
+    # == ordering by (md5, id), so {hval <= t} is an order-prefix
+    hval = F.conv(F.substring(order, 1, 8), 16, 10).cast("long")
+    sizes = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    frac = F.least(F.lit(1.0), F.lit(float(prefilter_factor)) * limit / F.col("_n"))
+    thresholds = sizes.select(
+        stratum_col,
+        "_n",
+        F.ceil(frac * F.lit(float(2**32))).cast("long").alias("_t"),
+    )
+    marked = df.join(F.broadcast(thresholds), stratum_col).withColumn(
+        "_cand", hval <= F.col("_t")
+    )
+    # safety: a stratum whose candidate count fell below min(quota, n)
+    # re-routes ALL its rows through the window (threshold -> infinity)
+    cand_counts = (
+        marked.filter(F.col("_cand"))
+        .groupBy(stratum_col)
+        .agg(F.count("*").alias("_nc"))
+    )
+    bad = (
+        thresholds.join(cand_counts, stratum_col, "left")
+        .filter(
+            F.coalesce(F.col("_nc"), F.lit(0)) < F.least(limit, F.col("_n"))
+        )
+        .select(stratum_col)
+    )
+    marked = marked.join(
+        F.broadcast(bad.withColumn("_force", F.lit(True))), stratum_col, "left"
+    ).withColumn("_cand", F.col("_cand") | F.coalesce(F.col("_force"), F.lit(False)))
+
+    keep_cols = df.columns
+    w = Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
+    ranked = (
+        marked.filter(F.col("_cand"))
+        .withColumn("in_quota", F.row_number().over(w) <= limit)
+        .select(*keep_cols, "in_quota")
+    )
+    rest = (
+        marked.filter(~F.col("_cand"))
+        .withColumn("in_quota", F.lit(False))
+        .select(*keep_cols, "in_quota")
+    )
+    return ranked.unionByName(rest)
 
 
 def stratified_sample_flag(

@@ -48,3 +48,56 @@ def test_shard_manifest_certifies_write(spark, tmp_path):
     man2 = {r["shuffle_shard"]: r for r in sp.shard_manifest(spark, tampered, df=ordered).collect()}
     assert not man2[0]["source_match"]
     assert all(man2[k]["source_match"] for k in (1, 2, 3))
+
+
+def test_quota_prefilter_equals_exact_window(spark):
+    """prefilter_factor path == default window path exactly: the hash
+    threshold keeps an order-PREFIX, so winners are identical — including
+    under per-stratum quota overrides, and when a deliberately starved
+    factor forces the per-stratum fallback re-route."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+
+    from pyspark.sql import Window
+
+    # the synthetic lineitem duplicates (orderkey, linenumber) pairs — rank
+    # to a genuinely unique deterministic id (6000 rows; test-only window)
+    raw = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+        F.col("l_returnflag").alias("stratum"),
+        F.col("l_partkey").alias("pk"),
+    )
+    li = raw.withColumn(
+        "doc_id", F.row_number().over(Window.orderBy("k", "pk", "stratum"))
+    ).select("doc_id", "stratum")
+
+    def flags(df):
+        return {(r["doc_id"], r["in_quota"]) for r in df.collect()}
+
+    exact = flags(sp.quota_sample_flag(li, "doc_id", "stratum", 100))
+    pre = flags(
+        sp.quota_sample_flag(li, "doc_id", "stratum", 100, prefilter_factor=4.0)
+    )
+    assert pre == exact
+    # per-stratum overrides survive the prefilter
+    exact_q = flags(
+        sp.quota_sample_flag(li, "doc_id", "stratum", 100, quotas={"R": 7})
+    )
+    pre_q = flags(
+        sp.quota_sample_flag(
+            li, "doc_id", "stratum", 100, quotas={"R": 7}, prefilter_factor=4.0
+        )
+    )
+    assert pre_q == exact_q
+    # starved factor: candidates < quota in every stratum → fallback path
+    # must still be exact (this pins the safety re-route, not luck)
+    pre_starved = flags(
+        sp.quota_sample_flag(li, "doc_id", "stratum", 100, prefilter_factor=0.05)
+    )
+    assert pre_starved == exact
+    # sanity: quota binds per stratum — kept == Σ min(quota, |stratum|)
+    kept = sum(1 for _, q in exact if q)
+    sizes = [r["n"] for r in li.groupBy("stratum").agg(F.count("*").alias("n")).collect()]
+    assert kept == sum(min(100, n) for n in sizes)
+    assert any(n > 100 for n in sizes)  # the prefilter path was actually exercised
