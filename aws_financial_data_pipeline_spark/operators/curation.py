@@ -595,3 +595,105 @@ def diversity_sample(
             ledger = ledger.unionByName(part)
         return cur, audit, ledger
     return cur, audit
+
+
+def incremental_curation(
+    standing_raw: DataFrame,
+    new_snapshot: DataFrame,
+    curated_standing: DataFrame,
+    signature_store: DataFrame,
+    quality_model=None,
+    minhash_threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **funnel_kwargs,
+) -> dict:
+    """ONE refresh turn of the production curation loop — the O(churn)
+    composition the standing pieces (snapshot diff, funnel, incremental
+    dedup, additive signature store) exist for. A re-crawl arrives; instead
+    of re-curating the standing corpus:
+
+    1. :func:`..snapshot.corpus_diff` reduces both snapshots to (id, md5)
+       and classifies added/removed/changed/unchanged,
+    2. removed+changed docs RETIRE from the curated corpus and the
+       signature store (id-only anti-joins),
+    3. :func:`..snapshot.ingest_batch` (added+changed rows, O(churn)) runs
+       through the full :func:`curation_funnel` — rules, classifier,
+       within-batch dedup, split assignment,
+    4. funnel survivors dedup AGAINST the retained standing corpus via
+       :func:`..dedup.incremental_minhash_dedup` — O(|batch|) signing, a
+       band-key equi-join into the store, exact verification on implicated
+       docs only. **Standing-corpus-wins policy**: a batch doc similar to a
+       retained doc is dropped (stable ids across refreshes — a full
+       recuration could instead elect the newer doc; that asymmetry is the
+       deliberate price of incrementality and is pinned in tests),
+    5. the next store = retained signatures + signatures of accepted batch
+       docs (additive, like every maintained table here).
+
+    Returns ``corpus`` (retained ∪ accepted batch), ``signature_store``
+    (the next store — equal to signing the new corpus from scratch, pinned),
+    ``diff_summary``, ``batch_audit`` (the funnel audit of the churn batch),
+    ``cross_pairs`` (batch↔standing near-dup pairs, the drop evidence), and
+    ``audit`` — refresh-level (stage, docs_kept) rows: standing_retained →
+    batch_curated → batch_after_cross_dedup → corpus.
+
+    Cost shape: nothing here scans the standing corpus's TEXT except the
+    exact-verify semi-join on implicated ids (partition-pruned point reads
+    in a real store); everything else is id/hash joins and O(churn) work.
+    ``curated_standing`` must carry the funnel's output columns (it is the
+    previous turn's ``corpus``) so the union is schema-aligned."""
+    from . import snapshot as sn
+
+    diff = sn.corpus_diff(standing_raw, new_snapshot, text_col=text_col, id_col=id_col)
+    summary = sn.diff_summary(diff)
+    retired = diff.filter(F.col("status").isin("removed", "changed")).select(id_col)
+    retained = curated_standing.join(retired, id_col, "left_anti")
+    retained = retained.localCheckpoint(eager=False)
+    store_retained = signature_store.join(retired, id_col, "left_anti")
+
+    batch = sn.ingest_batch(standing_raw, new_snapshot, text_col=text_col, id_col=id_col)
+    funneled = curation_funnel(
+        batch,
+        quality_model=quality_model,
+        minhash_threshold=minhash_threshold,
+        text_col=text_col,
+        id_col=id_col,
+        **funnel_kwargs,
+    )
+    batch_curated, batch_audit = funneled[0], funneled[1]
+
+    cross = dd.incremental_minhash_dedup(
+        batch_curated.select(id_col, text_col),
+        retained.select(id_col, text_col),
+        store_retained,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=minhash_threshold,
+    )
+    dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
+    accepted = batch_curated.join(dup_ids, id_col, "left_anti")
+    accepted = accepted.localCheckpoint(eager=False)
+
+    corpus = retained.unionByName(accepted, allowMissingColumns=True)
+    new_sigs = dd.minhash_signatures(
+        accepted.select(id_col, text_col), text_col, id_col
+    )
+    store_next = store_retained.unionByName(new_sigs)
+
+    audit = None
+    for name, frame in (
+        ("standing_retained", retained),
+        ("batch_curated", batch_curated),
+        ("batch_after_cross_dedup", accepted),
+        ("corpus", corpus),
+    ):
+        row = frame.agg(F.lit(name).alias("stage"), F.count("*").alias("docs_kept"))
+        audit = row if audit is None else audit.unionByName(row)
+    return {
+        "corpus": corpus,
+        "signature_store": store_next,
+        "diff_summary": summary,
+        "batch_audit": batch_audit,
+        "cross_pairs": cross,
+        "audit": audit,
+    }

@@ -479,7 +479,9 @@ def test_diversity_sample_chains_after_curation_funnel(spark):
         .select("doc_id", "text", "source")
     )
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    corpus, funnel_audit = curation_funnel(docs)
+    # rule_mode="any": the conjunctive gate keeps ZERO synthetic docs (no
+    # terminal punctuation → C4 fails all) and the chain would be vacuous
+    corpus, funnel_audit = curation_funnel(docs, rule_mode="any")
     final, div_audit = diversity_sample(
         corpus, emb, quota=50, semantic_threshold=0.95
     )
@@ -490,7 +492,8 @@ def test_diversity_sample_chains_after_curation_funnel(spark):
     # the tail can only shrink the corpus, and quota=50 × |strata| bounds it
     assert counts["semantic_dedup"] <= counts["split_assign"]
     n_strata = docs.select("source").distinct().count()
-    assert final.count() == counts["quota_sample"] <= 50 * n_strata
+    assert 0 < counts["quota_sample"] <= 50 * n_strata  # NOT vacuous
+    assert final.count() == counts["quota_sample"]
     # quota respected per stratum on the final corpus
     per = final.groupBy("source").count().collect()
     assert all(r["count"] <= 50 for r in per)
@@ -550,9 +553,11 @@ def test_pretraining_pipeline_diversity_stage(spark):
         diversity_quota=40,
         semantic_threshold=0.95,
         with_ledger=True,
+        rule_mode="any",  # conjunctive gate keeps 0 synthetic docs → vacuous
     )
     a = {r["stage"]: r["docs_kept"] for r in out["audit"].collect()}
     assert "semantic_dedup" in a and "quota_sample" in a
+    assert a["quota_sample"] > 0  # NOT vacuous
     assert a["quota_sample"] <= a["semantic_dedup"] <= a["split_assign"]
     n_strata = docs.select("source").distinct().count()
     assert a["quota_sample"] <= 40 * n_strata

@@ -143,3 +143,95 @@ def test_apply_delta_reconstructs_the_new_snapshot(spark):
     got = {(r["doc_id"], r["text"]) for r in rebuilt.collect()}
     assert got == want
     assert rebuilt.count() == new.count()  # no dupes from the union
+
+
+def test_incremental_curation_refresh_turn(spark):
+    """One full refresh turn of the production loop: removed docs retire,
+    changed docs re-curate under their ids, an added near-copy of a
+    RETAINED doc is dropped by cross-dedup (standing-corpus-wins policy),
+    an added copy of a REMOVED doc is admitted (its standing twin retired),
+    and the returned signature store equals signing the new corpus from
+    scratch."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import dedup as dd
+    from aws_financial_data_pipeline_spark.operators.curation import (
+        curation_funnel,
+        incremental_curation,
+    )
+
+    standing_raw = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    # rule_mode="any": the synthetic corpus has no terminal punctuation, so
+    # the conjunctive C4∧Gopher gate keeps nothing (C4 fails every doc);
+    # the lenient union keeps ~230 — a real corpus for the refresh test
+    curated, _ = curation_funnel(standing_raw, rule_mode="any")
+    curated = curated.localCheckpoint()
+    assert curated.count() > 100
+    store = dd.minhash_signatures(curated.select("doc_id", "text")).localCheckpoint()
+    kept_ids = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+
+    # pick fixture ids from the KEPT set: one to remove, one to change,
+    # and sources for the two added docs
+    rm_id, ch_id, retained_src = kept_ids[0], kept_ids[1], kept_ids[2]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in standing_raw.filter(
+            F.col("doc_id").isin(rm_id, retained_src)
+        ).collect()
+    }
+    new_snapshot = (
+        standing_raw.filter(F.col("doc_id") != rm_id)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == ch_id, F.concat(F.col("text"), F.lit(" v2 refresh"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (90001, texts[retained_src]),  # copy of a RETAINED doc → drop
+                    (90002, texts[rm_id]),         # copy of a REMOVED doc → admit
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+
+    out = incremental_curation(
+        standing_raw, new_snapshot, curated, store, rule_mode="any"
+    )
+    corpus_ids = {r["doc_id"] for r in out["corpus"].select("doc_id").collect()}
+
+    assert rm_id not in corpus_ids                      # removed → retired
+    assert ch_id in corpus_ids                          # changed → re-curated
+    ch_text = out["corpus"].filter(F.col("doc_id") == ch_id).collect()[0]["text"]
+    assert "v2 refresh" in ch_text                      # ...with the NEW text
+    assert 90001 not in corpus_ids                      # near-copy of retained → dropped
+    assert 90002 in corpus_ids                          # twin retired → admitted
+    # the drop has evidence: a cross pair against the retained source doc
+    pairs = {(r["corpus_id"], r["new_id"]) for r in out["cross_pairs"].collect()}
+    assert (retained_src, 90001) in pairs
+    # unchanged kept docs all still present
+    unchanged_kept = set(kept_ids) - {rm_id, ch_id}
+    assert unchanged_kept <= corpus_ids
+
+    # store invariant: next store == signing the new corpus from scratch
+    want = {
+        tuple(r)
+        for r in dd.minhash_signatures(
+            out["corpus"].select("doc_id", "text")
+        ).collect()
+    }
+    got = {tuple(r) for r in out["signature_store"].collect()}
+    assert got == want
+
+    # audit + diff summary are coherent
+    a = {r["stage"]: r["docs_kept"] for r in out["audit"].collect()}
+    assert a["corpus"] == len(corpus_ids)
+    assert a["standing_retained"] + a["batch_after_cross_dedup"] == a["corpus"]
+    s = out["diff_summary"].collect()[0]
+    assert s["n_removed"] == 1 and s["n_added"] == 2 and s["n_changed"] == 1
