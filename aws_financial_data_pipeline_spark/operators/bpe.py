@@ -531,7 +531,11 @@ def tokenizer_stats(
     - ``n_docs``, ``total_tokens``,
     - ``fertility`` — tokens per whitespace word (≈1.1–1.4 for a
       well-fitted English tokenizer; high fertility on a language = that
-      language pays more sequence length per sentence),
+      language pays more sequence length per sentence). CAVEAT: the
+      denominator is whitespace words, which unscripted languages (CJK —
+      whole sentences are one "word") inflate; compare fertility only
+      WITHIN a script family, and use ``bytes_per_token`` (denominator:
+      UTF-8 bytes) for cross-script comparisons,
     - ``bytes_per_token`` — UTF-8 bytes per token (compression; higher is
       better for a fixed vocab),
     - ``p50_doc_tokens`` / ``p95_doc_tokens`` — sequence-length shape for

@@ -101,3 +101,25 @@ def test_quota_prefilter_equals_exact_window(spark):
     sizes = [r["n"] for r in li.groupBy("stratum").agg(F.count("*").alias("n")).collect()]
     assert kept == sum(min(100, n) for n in sizes)
     assert any(n > 100 for n in sizes)  # the prefilter path was actually exercised
+
+
+def test_quota_prefilter_plan_shape(spark):
+    """The heavy-stratum path's plan: exactly ONE window (over candidates
+    only), the per-stratum thresholds ride as broadcast joins, and the
+    non-candidate branch reaches the union without a Window — so the
+    stratum-keyed shuffle moves ~factor×quota rows, not the stratum."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_orderkey").alias("doc_id"), F.col("l_returnflag").alias("stratum")
+    )
+    pre = sp.quota_sample_flag(li, "doc_id", "stratum", 50, prefilter_factor=4.0)
+    counts = plan_counts(pre)
+    assert counts["windows"] == 1
+    assert counts["broadcast_joins"] >= 2  # thresholds + fallback marker
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    assert "Python" not in plan and "Arrow" not in plan
