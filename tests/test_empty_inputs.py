@@ -257,3 +257,85 @@ def test_session5_ops_on_empty_and_edge(spark):
     # profiler: empty-TABLE handled in test_profile; zero-ROW ranking list
     no_rank = spark.createDataFrame([], "doc_id long, rank int")
     assert rrf_fuse([no_rank]).count() == 0
+
+
+def test_round6_ops_on_empty_and_edge(spark):
+    """Round-6 operators on empty/degenerate frames: URL family, byte-level
+    BPE, blocklist frame gate, quota prefilter, diversity stage, pack
+    offsets, tokenizer stats — empty in, empty (or well-defined) out."""
+    from aws_financial_data_pipeline_spark.operators import bpe, sampling as sp
+    from aws_financial_data_pipeline_spark.operators.curation import diversity_sample
+    from aws_financial_data_pipeline_spark.operators.packing import pack_chunks
+    from aws_financial_data_pipeline_spark.operators.text import (
+        canonicalize_urls,
+        filter_blocked_domains_frame,
+        url_dedup,
+    )
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    no_pages = spark.createDataFrame([], "doc_id long, url string, text string")
+    no_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    no_bl = spark.createDataFrame([], "domain string")
+
+    # URL family
+    assert canonicalize_urls(no_pages).count() == 0
+    assert url_dedup(no_pages).count() == 0
+    # empty blocklist frame: nothing blocked, all docs pass
+    some = spark.createDataFrame(
+        [(1, "see https://a.com/x")], "doc_id long, text string"
+    )
+    assert filter_blocked_domains_frame(some, no_bl).count() == 1
+    assert filter_blocked_domains_frame(no_docs, no_bl).count() == 0
+
+    # byte-level BPE: empty corpus trains zero merges; encode/decode of the
+    # empty frame round-trips to empty
+    merges = bpe.train_bpe_bytelevel(no_docs, num_merges=10)
+    assert merges == []
+    assert len(bpe.bytelevel_vocab(merges)) == 256
+    enc = bpe.bpe_encode_bytelevel(no_docs, merges)
+    assert enc.count() == 0
+    assert bpe.bpe_decode_bytelevel(enc).count() == 0
+    # tokenizer stats over nothing: zero rows, not a division error
+    assert bpe.tokenizer_stats(no_docs, enc).count() == 0
+
+    # quota prefilter on empty / single-row strata
+    no_strat = spark.createDataFrame([], "doc_id long, stratum string")
+    assert sp.quota_sample_flag(
+        no_strat, "doc_id", "stratum", 5, prefilter_factor=4.0
+    ).count() == 0
+    one = spark.createDataFrame([(1, "a")], "doc_id long, stratum string")
+    got = sp.quota_sample_flag(one, "doc_id", "stratum", 5, prefilter_factor=4.0)
+    assert [r["in_quota"] for r in got.collect()] == [True]
+
+    # diversity stage: empty docs + empty embeddings → empty corpus, audit
+    # rows all zero; ledger empty
+    no_src = spark.createDataFrame([], "doc_id long, text string, source string")
+    corpus, audit, ledger = diversity_sample(
+        no_src, no_emb, quota=5, with_ledger=True
+    )
+    assert corpus.count() == 0 and ledger.count() == 0
+    assert all(r["docs_kept"] == 0 for r in audit.collect())
+
+    # pack offsets on empty chunk table
+    no_chunks = spark.createDataFrame([], "doc_id long, chunk_id int, n_tokens int")
+    assert pack_chunks(no_chunks, budget=10, with_offsets=True).count() == 0
+
+
+def test_round6_shard_manifest_empty_source_mismatch(spark, tmp_path):
+    """shard_manifest with a source frame that lost a shard entirely: the
+    full-outer join surfaces the orphan row instead of dropping it."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id long, text string"
+    )
+    ordered = sp.global_shuffle(docs, num_shards=2)
+    path = str(tmp_path / "ep")
+    sp.write_training_shards(ordered, path)
+    # source missing shard 1 entirely → its manifest row must say mismatch
+    partial = ordered.filter(F.col("shuffle_shard") == 0)
+    man = {r["shuffle_shard"]: r for r in sp.shard_manifest(spark, path, df=partial).collect()}
+    assert man[0]["source_match"]
+    assert not man[1]["source_match"]
