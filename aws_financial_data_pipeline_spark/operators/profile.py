@@ -100,3 +100,119 @@ def profile_columns(
             )
         )
     return df.sparkSession.createDataFrame(out, PROFILE_SCHEMA)
+
+
+def check_constraints(
+    df: DataFrame,
+    not_null: tuple = (),
+    unique: tuple = (),
+    ranges: dict | None = None,
+    accepted: dict | None = None,
+    fks: tuple = (),
+) -> DataFrame:
+    """Declarative data-quality gate (the deequ / great-expectations staple
+    `profile_columns` describes but doesn't ENFORCE): evaluate a set of
+    constraints and return one row per constraint —
+    (check, column, n_violations, n_checked, passed) — the table a
+    pipeline asserts on before expensive stages run.
+
+    - ``not_null``: column names (0 NULLs allowed) or ``(col, max_frac)``
+      pairs (violation only if the NULL fraction exceeds ``max_frac``),
+    - ``unique``: column names or tuples of names — violations = non-null
+      key rows minus distinct keys (rows with a NULL in the key are not
+      checked, per SQL UNIQUE semantics),
+    - ``ranges``: ``{col: (lo, hi)}`` inclusive bounds (NULLs not checked
+      — pair with ``not_null`` to forbid them),
+    - ``accepted``: ``{col: [values]}`` allowed-domain checks,
+    - ``fks``: ``(name, child_cols, parent_df, parent_cols)`` referential
+      checks — violations = child rows (NULL-free keys only, SQL FK
+      semantics) with no parent match.
+
+    Shape at scale: every row-level family (not_null/ranges/accepted) AND
+    the unique counts evaluate in ONE global aggregate over ``df``
+    (conditional sums + exact count_distinct — one pass, one scalar
+    shuffle, the `profile_columns` recipe); each FK adds one left-anti
+    aggregate against its parent (a join is irreducible there). The
+    result is constraint-count rows — driver-trivial."""
+    ranges = ranges or {}
+    accepted = accepted or {}
+    nn = [(c, 0.0) if isinstance(c, str) else (c[0], float(c[1])) for c in not_null]
+    uq = [(c,) if isinstance(c, str) else tuple(c) for c in unique]
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    # coalesce: sum() over an EMPTY frame is NULL, which would poison the
+    # passed booleans — zero violations is the correct empty-frame reading
+    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
+    for i, (c, _) in enumerate(nn):
+        aggs.append(zsum(F.col(c).isNull().cast("long")).alias(f"_nn{i}"))
+    for i, (c, (lo, hi)) in enumerate(ranges.items()):
+        bad = F.col(c).isNotNull() & ~F.col(c).between(F.lit(lo), F.lit(hi))
+        aggs.append(zsum(bad.cast("long")).alias(f"_rg{i}"))
+    for i, (c, vals) in enumerate(accepted.items()):
+        bad = F.col(c).isNotNull() & ~F.col(c).isin(list(vals))
+        aggs.append(zsum(bad.cast("long")).alias(f"_av{i}"))
+    for i, cols in enumerate(uq):
+        nonnull = None
+        for c in cols:
+            p = F.col(c).isNotNull()
+            nonnull = p if nonnull is None else (nonnull & p)
+        aggs.append(zsum(nonnull.cast("long")).alias(f"_uqn{i}"))
+        aggs.append(F.count_distinct(*[F.col(c) for c in cols]).alias(f"_uqd{i}"))
+    stats = df.agg(*aggs).localCheckpoint(eager=False)
+
+    def row(check, column, viol, checked, passed):
+        return stats.select(
+            F.lit(check).alias("check"),
+            F.lit(column).alias("column"),
+            viol.cast("long").alias("n_violations"),
+            checked.cast("long").alias("n_checked"),
+            passed.alias("passed"),
+        )
+
+    parts = []
+    n = F.col("_n")
+    for i, (c, max_frac) in enumerate(nn):
+        v = F.col(f"_nn{i}")
+        ok = F.try_divide(v, n).isNull() | (F.try_divide(v, n) <= F.lit(max_frac))
+        parts.append(row("not_null", c, v, n, ok))
+    for i, (c, (lo, hi)) in enumerate(ranges.items()):
+        v = F.col(f"_rg{i}")
+        parts.append(row(f"in_range[{lo},{hi}]", c, v, n, v == 0))
+    for i, (c, vals) in enumerate(accepted.items()):
+        v = F.col(f"_av{i}")
+        parts.append(row("accepted_values", c, v, n, v == 0))
+    for i, cols in enumerate(uq):
+        v = F.col(f"_uqn{i}") - F.col(f"_uqd{i}")
+        parts.append(row("unique", ",".join(cols), v, F.col(f"_uqn{i}"), v == 0))
+
+    for name, child_cols, parent_df, parent_cols in fks:
+        child_cols = [child_cols] if isinstance(child_cols, str) else list(child_cols)
+        parent_cols = [parent_cols] if isinstance(parent_cols, str) else list(parent_cols)
+        nonnull = None
+        for c in child_cols:
+            p = F.col(c).isNotNull()
+            nonnull = p if nonnull is None else (nonnull & p)
+        child_keys = df.filter(nonnull).select(
+            *[F.col(c).alias(f"_k{j}") for j, c in enumerate(child_cols)]
+        )
+        parent_keys = parent_df.select(
+            *[F.col(c).alias(f"_k{j}") for j, c in enumerate(parent_cols)]
+        ).distinct()
+        orphans = child_keys.join(parent_keys, [f"_k{j}" for j in range(len(child_cols))], "left_anti")
+        fk_stats = child_keys.agg(F.count(F.lit(1)).alias("_nc")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("_no"))
+        )
+        parts.append(
+            fk_stats.select(
+                F.lit("foreign_key").alias("check"),
+                F.lit(name).alias("column"),
+                F.col("_no").cast("long").alias("n_violations"),
+                F.col("_nc").cast("long").alias("n_checked"),
+                (F.col("_no") == 0).alias("passed"),
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

