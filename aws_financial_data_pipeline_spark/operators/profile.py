@@ -216,3 +216,91 @@ def check_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def population_stability(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift gate (PSI < 0.1 stable / 0.1–0.25 shifting
+    / > 0.25 drifted) a re-crawl or re-ingest runs before trusting joined
+    models, and the NUMERIC twin of :func:`..dsir.corpus_divergence`'s
+    n-gram drift.
+
+    Bin edges come from the OLD snapshot's exact percentiles (equal-mass
+    bins — PSI's standard construction; degenerate edges from a
+    near-constant column are deduplicated), both sides bucket through the
+    same edges map-side, and PSI = Σ (p_new − p_old)·ln(p_new/p_old) over
+    the bins with ±∞ edge bins catching outliers. Empty-side bins get the
+    standard 1/(2n) floor so a vanished bin contributes finite drift.
+
+    Output: one row per bin (bin, lo, hi, n_old, n_new, p_old, p_new,
+    psi_term) plus the roll-up is one ``F.sum`` away — kept per-bin
+    because the AUDIT question is "which region moved". Shape: one
+    percentile aggregate over old (exact, B-bounded result), two map-side
+    bucket counts, one B-row join — nothing corpus-sized shuffles."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    qs = [i / bins for i in range(1, bins)]
+    row = old.agg(
+        F.expr(f"percentile({col}, array({','.join(str(q) for q in qs)}))").alias("_e")
+    ).collect()[0]
+    edges = sorted(set(row["_e"] or []))
+    # degenerate (near-constant) columns may collapse edges; 0 edges = 1 bin
+
+    def bucket(df):
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(F.col(col) > F.lit(e), F.lit(i + 1)).otherwise(b)
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    o = bucket(old).withColumnsRenamed({"n": "n_old"})
+    nw = bucket(new).withColumnsRenamed({"n": "n_new"})
+    n_bins = len(edges) + 1
+    spark = old.sparkSession
+    lo = [float("-inf")] + [float(e) for e in edges]
+    hi = [float(e) for e in edges] + [float("inf")]
+    spine = spark.createDataFrame(
+        [(i, lo[i], hi[i]) for i in range(n_bins)], "bin int, lo double, hi double"
+    )
+    joined = (
+        spine.join(o, "bin", "left")
+        .join(nw, "bin", "left")
+        .withColumn("n_old", F.coalesce("n_old", F.lit(0)))
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+    )
+    # totals ride along as a broadcast 1-row frame (no driver collect —
+    # the whole result stays ONE lazy plan; only the percentile edges are
+    # driver-side, by the same design as IVF centroids)
+    totals = joined.agg(
+        F.greatest(F.sum("n_old"), F.lit(1)).alias("_to"),
+        F.greatest(F.sum("n_new"), F.lit(1)).alias("_tn"),
+    )
+    joined = joined.crossJoin(F.broadcast(totals))
+    # standard PSI zero-floor: an empty bin reads as 1/(2·bins) of one row
+    # so a vanished bin contributes finite (large) drift, never ±inf
+    floor = 1.0 / (2 * n_bins)
+    p_old = F.when(
+        F.col("n_old") == 0, F.lit(floor) / F.col("_to")
+    ).otherwise(F.col("n_old") / F.col("_to"))
+    p_new = F.when(
+        F.col("n_new") == 0, F.lit(floor) / F.col("_tn")
+    ).otherwise(F.col("n_new") / F.col("_tn"))
+    return joined.select(
+        "bin",
+        "lo",
+        "hi",
+        "n_old",
+        "n_new",
+        F.round(p_old, 6).alias("p_old"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    ).orderBy("bin")

@@ -405,6 +405,38 @@ def _bench_table_audits(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_data_quality(spark, sf_dir: str) -> float:
+    """The declarative pre-ingest gate: constraint checks (null/unique/
+    range/domain/FK) over lineitem→orders plus a PSI drift read between
+    the two date-halves of the events table — one global aggregate + one
+    FK anti-join + two B-bounded bucket counts."""
+    from aws_financial_data_pipeline_spark.operators.profile import (
+        check_constraints,
+        population_stability,
+    )
+
+    li = _scaled_input(spark, f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ev = _scaled_input(spark, f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    t0 = time.perf_counter()
+    check_constraints(
+        li,
+        not_null=["l_orderkey", "l_partkey"],
+        ranges={"l_quantity": (0, 100)},
+        fks=(("lineitem->orders", "l_orderkey", orders, "o_orderkey"),),
+    ).write.mode("overwrite").format("noop").save()
+    population_stability(
+        ev.filter(F.col("ts") < F.lit(mid)),
+        ev.filter(F.col("ts") >= F.lit(mid)),
+        "value",
+    ).write.mode("overwrite").format("noop").save()
+    elapsed = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def _bench_event_funnel(spark, sf_dir: str) -> float:
     """view→click→purchase funnel over the events table (1h window): one
     groupBy + one fold, no per-step self-joins."""
@@ -486,6 +518,7 @@ def main() -> None:
     times["global_shuffle"] = _bench_global_shuffle(spark, sf_dir)
     times["snapshot_diff"] = _bench_snapshot_diff(spark, sf_dir)
     times["table_audits"] = _bench_table_audits(spark, sf_dir)
+    times["data_quality_checks"] = _bench_data_quality(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(

@@ -143,3 +143,41 @@ def test_check_constraints_on_testdata_referential_integrity(spark):
     empty = spark.createDataFrame([], "id long, amt double")
     out3 = check_constraints(empty, not_null=["id"], ranges={"amt": (0, 1)})
     assert all(r["passed"] and r["n_checked"] == 0 for r in out3.collect())
+
+
+def test_population_stability_drift_gate(spark):
+    """PSI: identical distributions read ~0; a shifted distribution reads
+    past the 0.25 'drifted' line; a vanished bin contributes finite drift
+    (the zero-floor); per-bin counts conserve the inputs."""
+    import random
+
+    from aws_financial_data_pipeline_spark.operators.profile import population_stability
+
+    rng = random.Random(3)
+    base = [(i, rng.gauss(50.0, 10.0)) for i in range(2000)]
+    old = spark.createDataFrame(base, "id long, v double")
+    same = spark.createDataFrame(
+        [(i, rng.gauss(50.0, 10.0)) for i in range(2000)], "id long, v double"
+    )
+    shifted = spark.createDataFrame(
+        [(i, rng.gauss(80.0, 10.0)) for i in range(2000)], "id long, v double"
+    )
+
+    stable = population_stability(old, same, "v").collect()
+    psi_stable = sum(r["psi_term"] for r in stable)
+    assert psi_stable < 0.1
+    assert sum(r["n_old"] for r in stable) == 2000
+    assert sum(r["n_new"] for r in stable) == 2000
+    # equal-mass bins from OLD percentiles: each old bin ~200 rows
+    assert all(150 <= r["n_old"] <= 260 for r in stable)
+
+    drifted = population_stability(old, shifted, "v").collect()
+    psi_drift = sum(r["psi_term"] for r in drifted)
+    assert psi_drift > 0.25
+    # the low bins vanished in `shifted` — finite terms, no inf/nan
+    assert all(abs(r["psi_term"]) < 100 for r in drifted)
+    # near-constant column: edges collapse, still well-defined
+    const_old = spark.createDataFrame([(i, 1.0) for i in range(50)], "id long, v double")
+    const_new = spark.createDataFrame([(i, 1.0) for i in range(50)], "id long, v double")
+    c = population_stability(const_old, const_new, "v").collect()
+    assert sum(r["psi_term"] for r in c) < 1e-6
