@@ -310,3 +310,55 @@ def test_plan_counts_matches_known_shapes(spark):
     bj = plan_counts(docs.join(F.broadcast(dim), "lang"))
     assert bj["exchanges"] == 0, "broadcast exchange miscounted as a shuffle"
     assert bj["broadcast_exchanges"] >= 1 and bj["broadcast_joins"] == 1
+
+
+def test_round6_operator_plans_are_clean(spark):
+    """Plan sweep over the round-6 operator family (none are registry
+    slots, so the registry sweep doesn't cover them): no CartesianProduct,
+    no row-wise Python anywhere; Python only as Arrow batches."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+    from aws_financial_data_pipeline_spark.operators.profile import (
+        check_constraints,
+        population_stability,
+    )
+    from aws_financial_data_pipeline_spark.operators.text import (
+        canonicalize_urls,
+        filter_blocked_domains_frame,
+        url_dedup,
+    )
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/x", "t")], "doc_id long, url string, text string"
+    )
+    bl = spark.createDataFrame([("spam.net",)], "domain string")
+    strat = spark.createDataFrame(
+        [(i, "s" + str(i % 3), float(i)) for i in range(40)],
+        "doc_id long, stratum string, v double",
+    )
+    frames = {
+        "canonicalize_urls": canonicalize_urls(pages),
+        "url_dedup": url_dedup(pages),
+        "blocklist_frame": filter_blocked_domains_frame(pages, bl),
+        "quota_prefilter": sp.quota_sample_flag(
+            strat, "doc_id", "stratum", 5, prefilter_factor=4.0
+        ),
+        "check_constraints": check_constraints(
+            strat,
+            not_null=["doc_id"],
+            unique=["doc_id"],
+            ranges={"v": (0.0, 100.0)},
+            fks=(("fk", "stratum", bl.withColumnRenamed("domain", "stratum"), "stratum"),),
+        ),
+        "population_stability": population_stability(
+            strat.filter(F.col("doc_id") % 2 == 0),
+            strat.filter(F.col("doc_id") % 2 == 1),
+            "v",
+            bins=4,
+        ),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # row-wise Python banned
