@@ -117,3 +117,19 @@ def unicode_normalize_pandas(form: str | None = "NFKC", strip_accents: bool = Fa
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(_unicode_normalize_kernel(form, strip_accents), "string")
+
+
+def _html_unescape_kernel(s: pd.Series) -> pd.Series:
+    """Full HTML entity decode (numeric &#x...; + the whole named table) —
+    needs Python's html5 entity dictionary, hence the Arrow boundary; the
+    frequent entities are already decoded JVM-side by text.html_to_text."""
+    import html
+
+    return s.map(lambda t: t if t is None else html.unescape(t))
+
+
+@lru_cache(maxsize=None)
+def html_unescape_pandas():
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_html_unescape_kernel, "string")

@@ -973,3 +973,72 @@ def url_dedup(
     )
     nulls = keyed.filter(F.col("_ck").isNull()).select(id_col)
     return canon.join(keepers.unionByName(nulls), id_col, "left_semi")
+
+
+# the named entities worth decoding JVM-side (the frequent ones; the long
+# tail needs a unicode table → the optional Arrow pass). &amp; must decode
+# LAST or "&amp;lt;" would double-decode into "<".
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    full_unescape: bool = False,
+) -> DataFrame:
+    """Crawl-HTML → text extraction, the stage BEFORE everything else in a
+    web pipeline (C4/CCNet/RefinedWeb all start from extracted text; this
+    engine's documents table assumes it already happened). Staged like
+    :func:`normalize_text` — JVM regexp for everything structural, Python
+    only when a unicode table is genuinely required:
+
+    1. drop ``<script>``/``<style>``/``<template>`` blocks and
+       ``<!-- comments -->`` wholesale (content is never prose),
+    2. block-level closers/breaks (``<br>``, ``</p>``, ``</div>``,
+       ``</li>``, ``</h1..6>``, ``</tr>``, ``</blockquote>``) → newline,
+       so DOM structure survives as LINE structure — exactly what
+       ``c4_line_filters`` and ``paragraph_dedup`` consume downstream,
+    3. strip every remaining tag,
+    4. decode the frequent named entities (``&amp;`` LAST — double-decode
+       guard), collapse intra-line whitespace, cap blank runs at one empty
+       line, trim.
+
+    ``full_unescape=True`` appends an Arrow-batched ``html.unescape`` pass
+    for the long entity tail (numeric ``&#x...;``, exotic named) — same
+    boundary rule as ``normalize_text``'s NFKC stage. NULL stays NULL.
+    Map-only either way; zero shuffle (plan-asserted)."""
+    c = F.col(text_col)
+    # (?is): case-insensitive, dot-matches-newline — blocks span lines.
+    # <head> drops wholesale: titles/meta are chrome, not prose.
+    c = F.regexp_replace(
+        c, r"(?is)<(script|style|template|head)\b[^>]*>.*?</\1\s*>", " "
+    )
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    block = r"p|div|li|h[1-6]|tr|ul|ol|table|blockquote|section|article|header|footer|nav"
+    c = F.regexp_replace(
+        c, rf"(?i)<br\s*/?>|<({block})\b[^>]*>|</({block})\s*>", "\n"
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    if full_unescape:
+        from ..functions.vectorized import html_unescape_pandas
+
+        c = html_unescape_pandas()(c)
+    c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")   # intra-line runs
+    # inline-tag stripping leaves " ." / " ," artifacts — rejoin punctuation
+    c = F.regexp_replace(c, r" +([.,;:!?)\]])", "$1")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")          # trim around breaks
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")        # cap blank runs
+    # F.trim strips spaces only — boundary NEWLINES need the regexp form
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return docs.withColumn(out_col or text_col, c)

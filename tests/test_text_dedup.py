@@ -913,3 +913,71 @@ def test_canonical_url_is_idempotent(spark):
     twice = once.select("doc_id", "c1", canonical_url_expr("c1").alias("c2"))
     for r in twice.collect():
         assert r["c2"] == r["c1"], f"not idempotent: {r['c1']!r} -> {r['c2']!r}"
+
+
+def test_html_to_text_extraction(spark):
+    """HTML → text: script/style/comments vanish, block structure becomes
+    line structure (feeding c4/paragraph stages), entities decode with the
+    &amp;-last double-decode guard, NULL passes through, and the plan is
+    map-only JVM (full_unescape=False)."""
+    from aws_financial_data_pipeline_spark.operators.text import html_to_text
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    html_doc = (
+        "<html><head><title>T</title><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- nav comment --><h1>Header One</h1>"
+        "<p>First paragraph with <b>bold</b> &amp; <i>italic</i>.</p>"
+        "<div>Second   block&nbsp;here &lt;tag&gt; &quot;quoted&quot;</div>"
+        "<ul><li>item one</li><li>item two</li></ul>"
+        "<p>&amp;lt; stays as literal entity text</p></body></html>"
+    )
+    docs = spark.createDataFrame(
+        [(1, html_doc), (2, None), (3, "plain text, no markup")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in html_to_text(docs).collect()}
+    t = got[1]
+    assert "color:red" not in t and "var x" not in t and "nav comment" not in t
+    assert "Header One" in t and "First paragraph with bold & italic." in t
+    assert 'Second block here <tag> "quoted"' in t
+    # block closers became line boundaries
+    lines = t.split("\n")
+    assert "item one" in lines and "item two" in lines
+    assert lines.index("Header One") < lines.index("item one")
+    # &amp;lt; decodes ONCE to the literal string "&lt;" — never to "<"
+    assert "&lt; stays as literal entity text" in t
+    assert got[2] is None
+    assert got[3] == "plain text, no markup"
+    counts = plan_counts(html_to_text(docs))
+    assert counts["exchanges"] == 0 and counts["python_stages"] == 0
+
+    # full_unescape: numeric + exotic entities via the Arrow pass
+    fancy = spark.createDataFrame(
+        [(1, "<p>caf&#233; &hellip; &#x1F680;</p>")], "doc_id long, text string"
+    )
+    out = html_to_text(fancy, full_unescape=True).collect()[0]["text"]
+    assert out == "café … 🚀"
+
+
+def test_html_to_text_feeds_line_stages(spark):
+    """The composition the operator exists for: extracted text carries REAL
+    newlines, so paragraph_dedup finally sees multi-paragraph docs (the
+    synthetic corpus never has them — NOTES.md) and c4 line rules act per
+    line."""
+    from aws_financial_data_pipeline_spark.operators import spans
+    from aws_financial_data_pipeline_spark.operators.text import html_to_text
+
+    shared = "<p>Shared boilerplate navigation text here.</p>"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared}<p>Unique content of the first document.</p>"),
+            (2, f"{shared}<p>Entirely different second document body.</p>"),
+        ],
+        "doc_id long, text string",
+    )
+    txt = html_to_text(docs)
+    out = {r["doc_id"]: r["clean_text"] for r in spans.paragraph_dedup(txt).collect()}
+    # CCNet keep-first: doc 1 keeps the boilerplate, doc 2 loses it
+    assert "Shared boilerplate" in out[1] and "Unique content" in out[1]
+    assert "Shared boilerplate" not in out[2] and "different second" in out[2]
