@@ -55,6 +55,7 @@ def curation_funnel(
     dedup_keep: str = "min_id",
     with_ledger: bool = False,
     blocklist: "list[str] | DataFrame | None" = None,
+    extract_html: bool = False,
 ) -> tuple[DataFrame, ...]:
     """Run the standard curation pipeline; returns ``(corpus, audit)``.
 
@@ -78,6 +79,12 @@ def curation_funnel(
     DataFrame with a ``domain`` column uses the broadcast semi-join
     million-domain form (:func:`..text.filter_blocked_domains_frame`).
     Audited as stage ``url_gate``; ledger reason ``blocked_domain``.
+
+    ``extract_html=True`` inserts :func:`..text.html_to_text` AFTER the URL
+    gate (the gate's regexp reads URLs anywhere in raw markup, including
+    ``href`` attributes that tag-stripping deletes) and BEFORE every
+    content stage — the raw-crawl entry point. Count-preserving, audited
+    as ``html_extract``.
 
     ``normalize=True`` prepends a count-preserving NFKC + control/whitespace
     normalization stage (:func:`..text.normalize_text`) so trivially-variant
@@ -171,6 +178,16 @@ def curation_funnel(
             .join(new.select(id_col), id_col, "left_anti")
             .select(id_col, F.lit(stage).alias("stage"), reason_col.alias("reason"))
         )
+
+    if extract_html:
+        # raw-crawl entry point: HTML → text. Runs AFTER the URL gate —
+        # the gate's regexp reads URLs anywhere in raw markup including
+        # href attributes, which tag-stripping would delete — and BEFORE
+        # every content stage (they need prose with line structure).
+        # Count-preserving map, audited for lineage like normalize.
+        docs = tx.html_to_text(docs, text_col=text_col)
+        docs = _stage(docs)
+        stages.append(("html_extract", docs))
 
     if normalize:
         # stage 0 (opt-in): NFKC + control/whitespace normalization BEFORE

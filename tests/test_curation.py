@@ -576,3 +576,41 @@ def test_pretraining_pipeline_diversity_stage(spark):
     assert set(rep) == shipped_domains
     assert sum(r["n_docs"] for r in rep.values()) == a["quota_sample"]
     assert all(r["fertility"] > 0 for r in rep.values())
+
+
+def test_funnel_raw_html_entry_point(spark):
+    """extract_html=True: the funnel ingests raw crawl HTML — the URL gate
+    runs FIRST on raw markup (an href-only blocked URL must be caught even
+    though tag-stripping would delete it), then extraction yields the
+    prose the content stages consume."""
+    page = (
+        "<html><head><title>x</title></head><body>"
+        "<p>{body}</p><p>Second paragraph of the page body text.</p>"
+        "</body></html>"
+    )
+    bad = (
+        "<html><body><p>Looks clean but links to "
+        '<a href="https://bad.example/x">here</a>.</p>'
+        "<p>" + ("filler words " * 30) + "</p></body></html>"
+    )
+    rows = [
+        (1, page.format(body="First page unique content words. " * 12)),
+        (2, page.format(body="Second page distinct body words here. " * 12)),
+        (3, bad),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, audit, ledger = curation.curation_funnel(
+        docs,
+        blocklist=["bad.example"],
+        extract_html=True,
+        rule_mode="any",
+        with_ledger=True,
+    )
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["url_gate"] == 2 and a["html_extract"] == 2
+    led = {r["doc_id"]: r["stage"] for r in ledger.collect()}
+    assert led[3] == "url_gate"  # href-only URL caught on RAW markup
+    out = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for t in out.values():
+        assert "<" not in t and "</p>" not in t  # markup gone
+    assert {1, 2} <= set(out)
