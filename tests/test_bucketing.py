@@ -80,3 +80,61 @@ def test_write_clustered_yields_prunable_stats(spark, tmp_path):
     assert filt.count() == ev.filter(F.col("user_id") == lo).count()
     scan = filt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id," in scan
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column range clustering on 2-D uniform data: the
+    range layout leaves dimension y spanning the FULL domain in every file
+    (stats prune nothing on y); the z-ordered layout bounds BOTH dimensions
+    to a fraction of the domain per file (~1/√F plus boundary effects)."""
+    import random
+
+    from aws_financial_data_pipeline_spark.sources import bucketing as bk
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 10000), rng.randrange(0, 10000)) for i in range(8192)]
+    df = spark.createDataFrame(rows, "id long, x long, y long").repartition(8)
+
+    p_range = str(tmp_path / "rangeclustered")
+    p_z = str(tmp_path / "zordered")
+    bk.write_clustered(df, p_range, ("x",), num_files=16)
+    bk.write_zordered(df, p_z, ("x", "y"), num_files=16)
+
+    def mean_span(path, col):
+        st = bk.layout_stats(path, col)
+        return sum((r["max"] - r["min"]) for r in st) / len(st) / 10000.0
+
+    # range clustering: tight on x, useless on y
+    assert mean_span(p_range, "x") < 0.15
+    assert mean_span(p_range, "y") > 0.9
+    # z-order: BOTH dimensions bounded well below the domain
+    assert mean_span(p_z, "x") < 0.6
+    assert mean_span(p_z, "y") < 0.6
+    # and the data itself round-trips
+    back = spark.read.parquet(p_z)
+    assert back.count() == 8192
+    assert {r["id"] for r in back.select("id").collect()} == set(range(8192))
+
+
+def test_zorder_expr_properties(spark):
+    """Morton-key sanity: monotone in each dimension along axis-aligned
+    moves from the origin, NULLs rank first, constant columns degenerate
+    safely."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.sources.bucketing import zorder_expr
+
+    df = spark.createDataFrame(
+        [(0, 0), (0, 100), (100, 0), (100, 100), (None, 50)],
+        "x int, y int",
+    )
+    out = df.withColumn("z", zorder_expr(df, ("x", "y"), bits=8)).collect()
+    z = {(r["x"], r["y"]): r["z"] for r in out}
+    assert z[(0, 0)] == 0
+    assert z[(0, 0)] < z[(100, 0)] and z[(0, 0)] < z[(0, 100)]
+    assert z[(100, 100)] == max(v for v in z.values())
+    assert z[(None, 50)] < z[(100, 100)]  # NULL x ranks 0 in that dimension
+    # constant column: span 0 → all ranks 0, no division blow-up
+    cdf = spark.createDataFrame([(5, 1), (5, 2)], "x int, y int")
+    cz = cdf.withColumn("z", zorder_expr(cdf, ("x", "y"), bits=8)).collect()
+    assert all(r["z"] is not None for r in cz)
