@@ -346,3 +346,34 @@ def test_url_dedup_stream_watermarked_state(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("select * from url_dedup_wm_t").collect()}
     assert got == {1, 3, 4}
+
+
+def test_html_extraction_runs_unchanged_on_streams(spark, tmp_path):
+    """html_to_text is map-only Catalyst → streams for free: the streaming
+    replay equals the batch extraction byte-for-byte."""
+    import os
+
+    from aws_financial_data_pipeline_spark.operators.text import html_to_text
+
+    rows = [
+        (1, "<p>First <b>doc</b> body.</p><p>Second para.</p>"),
+        (2, "<div>Other &amp; more</div>"),
+        (3, None),
+    ]
+    src = str(tmp_path / "html")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").json(src)
+    batch = {r["doc_id"]: r["text"] for r in html_to_text(
+        spark.createDataFrame(rows, schema)).collect()}
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        html_to_text(stream)
+        .writeStream.format("memory")
+        .queryName("html_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["text"] for r in spark.sql("select * from html_stream_t").collect()}
+    assert got == batch
