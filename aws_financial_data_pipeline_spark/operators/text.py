@@ -1042,3 +1042,123 @@ def html_to_text(
     # F.trim strips spaces only — boundary NEWLINES need the regexp form
     c = F.regexp_replace(c, r"^\s+|\s+$", "")
     return docs.withColumn(out_col or text_col, c)
+
+
+# unicode script classes (Java regex \p{Is...} syntax — regexp_* compile
+# Java patterns). CJK groups Han + kana + Hangul: the "needs
+# character-level tokenization" bucket the fertility caveat points at.
+_SCRIPT_CLASSES = (
+    ("latin", r"\p{IsLatin}"),
+    ("cjk", r"\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("devanagari", r"\p{IsDevanagari}"),
+)
+
+
+def script_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unicode-SCRIPT mix: the writing-system complement to
+    the stopword language-ID (a fastText-free container can still tell
+    Latin from CJK from Cyrillic — and script decides tokenizer/fertility
+    policy, per the ``tokenizer_stats`` caveat). One map-only projection:
+    per script, the character count is ``length(text) − length(text with
+    that script's chars removed)`` (two JVM regexp ops, no explode);
+    ratios are over NON-WHITESPACE chars; ``main_script`` is the
+    deterministic argmax (chain order as listed, ``other`` when nothing
+    scores). NULL text → zero counts, main_script ``other``."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    non_ws = F.length(F.regexp_replace(c, r"\s", ""))
+    counts = {
+        name: F.length(c) - F.length(F.regexp_replace(c, f"[{cls}]", ""))
+        for name, cls in _SCRIPT_CLASSES
+    }
+    names = [n for n, _ in _SCRIPT_CLASSES]
+    pred = None
+    for name in names:
+        cond = counts[name] > 0
+        for other in names:
+            if other != name:
+                cond = cond & (counts[name] >= counts[other])
+        pred = (
+            F.when(cond, F.lit(name)) if pred is None else pred.when(cond, F.lit(name))
+        )
+    pred = pred.otherwise(F.lit("other"))
+    out = [F.col(id_col), non_ws.alias("n_chars")]
+    for name in names:
+        out.append(counts[name].alias(f"n_{name}"))
+        out.append(
+            F.round(F.try_divide(counts[name], non_ws), 4).alias(f"{name}_ratio")
+        )
+    out.append(pred.alias("main_script"))
+    return docs.select(*out)
+
+
+def collocations(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by PMI (Church & Hanks 1990) — the
+    corpus-analysis staple for multiword expressions ("new york", "machine
+    learning") and a tokenizer-merge sanity probe (high-PMI pairs are what
+    BPE should learn early). PMI = log(c₁₂·N / (c₁·c₂)) over adjacent
+    token pairs, with ``min_count`` filtering the unstable low-frequency
+    tail (PMI's classic failure mode — hapax pairs score highest).
+
+    Shape: ONE explode of per-doc adjacent-pair structs (projected token
+    array — no self-join of token positions), one pair groupBy, one
+    unigram groupBy joined twice onto the (already aggregated,
+    vocabulary-sized) pair table, and a ``TakeOrderedAndProject`` top-k
+    cut on the 6dp-rounded score (raw-double ranking makes the k-cut
+    engine-dependent — the x28 rule). Output: (w1, w2, n_pair, n_w1,
+    n_w2, pmi)."""
+    toked = with_tokens(docs, text_col)
+    tok = F.col("_tok")
+    idx = F.when(F.size(tok) >= 2, F.sequence(F.lit(0), F.size(tok) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs_arr = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(tok, i + 1).alias("w1"),
+            F.element_at(tok, i + 2).alias("w2"),
+        ),
+    )
+    pairs = (
+        toked.select(F.explode(pairs_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    words = (
+        toked.select(F.explode(tok).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    total = words.agg(F.sum("n_w").alias("_N"))
+    scored = (
+        pairs.join(words.withColumnsRenamed({"w": "w1", "n_w": "n_w1"}), "w1")
+        .join(words.withColumnsRenamed({"w": "w2", "n_w": "n_w2"}), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_pair") * F.col("_N")
+                    / (F.col("n_w1") * F.col("n_w2"))
+                ),
+                6,
+            ),
+        )
+        .drop("_N")
+    )
+    return scored.select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi").orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(k)

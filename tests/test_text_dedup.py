@@ -981,3 +981,71 @@ def test_html_to_text_feeds_line_stages(spark):
     # CCNet keep-first: doc 1 keeps the boilerplate, doc 2 loses it
     assert "Shared boilerplate" in out[1] and "Unique content" in out[1]
     assert "Shared boilerplate" not in out[2] and "different second" in out[2]
+
+
+def test_script_profile_mix_and_argmax(spark):
+    """Unicode-script mix: pure-script docs classify exactly; a mixed doc
+    carries the right ratios; NULL/whitespace-only docs read as 'other'
+    with zero counts; plan map-only."""
+    from aws_financial_data_pipeline_spark.operators.text import script_profile
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    rows = [
+        (1, "plain latin words here"),
+        (2, "Привет мир как дела"),
+        (3, "日本語のテキストです"),
+        (4, "مرحبا بالعالم"),
+        (5, "mixed 日本語 and latin text"),
+        (6, None),
+        (7, "   "),
+        (8, "12345 67890"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    assert got[1]["main_script"] == "latin" and got[1]["latin_ratio"] > 0.9
+    assert got[2]["main_script"] == "cyrillic"
+    assert got[3]["main_script"] == "cjk" and got[3]["cjk_ratio"] == 1.0
+    assert got[4]["main_script"] == "arabic"
+    assert got[5]["main_script"] == "latin" and got[5]["n_cjk"] == 3
+    assert got[6]["main_script"] == "other" and got[6]["n_chars"] == 0
+    assert got[7]["main_script"] == "other"
+    assert got[8]["main_script"] == "other"  # digits belong to no script class
+    counts = plan_counts(script_profile(docs))
+    assert counts["exchanges"] == 0 and counts["python_stages"] == 0
+
+
+def test_collocations_pmi_ranking(spark):
+    """PMI: an exclusive pair ('new york' — the words never appear apart)
+    outranks a frequent-but-promiscuous pair; min_count drops hapax pairs
+    (PMI's classic failure mode); counts are exact."""
+    import math
+
+    from aws_financial_data_pipeline_spark.operators.text import collocations
+
+    # 'new york' x10 exclusive; 'the cat/dog/car...' frequent but spread
+    rows = []
+    for i in range(10):
+        rows.append((i, "new york is busy today"))
+    for i in range(10, 30):
+        rows.append((i, f"the thing{i % 7} sat on the mat{i % 5}"))
+    rows.append((99, "hapax pairing once only"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = collocations(docs, k=20, min_count=5).collect()
+    ranked = [(r["w1"], r["w2"]) for r in out]
+    # the sentence yields 4 equally-exclusive adjacent pairs — all tie at
+    # max PMI (ties break by w1 asc); "new york" is in that top group and
+    # every top-group pair outranks the promiscuous "the …" pairs
+    max_pmi = out[0]["pmi"]
+    top_group = [(r["w1"], r["w2"]) for r in out if r["pmi"] == max_pmi]
+    assert ("new", "york") in top_group
+    assert all(w1 != "the" for w1, _ in top_group)
+    top = next(r for r in out if (r["w1"], r["w2"]) == ("new", "york"))
+    assert top["n_pair"] == 10 and top["n_w1"] == 10 and top["n_w2"] == 10
+    # exact PMI: N = total tokens
+    N = sum(len(t.split()) for _, t in rows)
+    assert abs(top["pmi"] - round(math.log(10 * N / (10 * 10)), 6)) < 1e-6
+    # hapax pair filtered
+    assert ("hapax", "pairing") not in ranked
+    # every returned pair meets the floor
+    assert all(r["n_pair"] >= 5 for r in out)
