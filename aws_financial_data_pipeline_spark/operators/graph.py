@@ -168,3 +168,33 @@ def soft_dedup_weights(clustered: DataFrame, alpha: float = 1.0) -> DataFrame:
     return clustered.withColumn(
         "dedup_weight", F.pow(F.col("cluster_size").cast("double"), F.lit(-float(alpha)))
     )
+
+
+def dedup_cluster_stats(clustered: DataFrame) -> DataFrame:
+    """Duplication-structure audit over :func:`dedup_clusters` output — the
+    numbers a dedup run reports before committing drops: one row per
+    distinct cluster SIZE with (cluster_size, n_clusters, n_docs,
+    docs_to_drop, frac_of_corpus). ``docs_to_drop`` = (size−1)·clusters —
+    what keep-one-per-cluster would remove; singletons appear as size 1
+    with zero drops, so the rows sum to the corpus and the dup-rate roll-up
+    is one further aggregate away. Shape: the per-component sizes already
+    exist on the input (``cluster_size``), so this is one size-keyed
+    groupBy over a distinct-component projection + a broadcast total —
+    histogram-bounded output."""
+    comp = clustered.select("component", "cluster_size").distinct()
+    hist = comp.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+    total = clustered.agg(F.count("*").alias("_total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("docs_to_drop"),
+            F.round(
+                F.try_divide(F.col("cluster_size") * F.col("n_clusters"), F.col("_total")),
+                6,
+            ).alias("frac_of_corpus"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -136,3 +136,22 @@ def test_soft_dedup_weights_cluster_mass_is_one(spark):
         r["dedup_weight"] == 1.0
         for r in soft_dedup_weights(_clustered_with_scores(spark), alpha=0.0).collect()
     )
+
+
+def test_dedup_cluster_stats_histogram(spark):
+    """Size histogram over dedup_clusters: a pair cluster, a chained triple,
+    and singletons — rows conserve the corpus, docs_to_drop matches
+    keep-one-per-cluster arithmetic."""
+    from aws_financial_data_pipeline_spark.operators import graph
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    clustered = graph.dedup_clusters(docs, pairs)
+    stats = {r["cluster_size"]: r for r in graph.dedup_cluster_stats(clustered).collect()}
+    assert stats[1]["n_clusters"] == 2 and stats[1]["docs_to_drop"] == 0
+    assert stats[2]["n_clusters"] == 1 and stats[2]["docs_to_drop"] == 1
+    assert stats[3]["n_clusters"] == 1 and stats[3]["docs_to_drop"] == 2
+    assert sum(r["n_docs"] for r in stats.values()) == 7
+    assert abs(sum(r["frac_of_corpus"] for r in stats.values()) - 1.0) < 1e-5
