@@ -339,3 +339,41 @@ def test_round6_shard_manifest_empty_source_mismatch(spark, tmp_path):
     man = {r["shuffle_shard"]: r for r in sp.shard_manifest(spark, path, df=partial).collect()}
     assert man[0]["source_match"]
     assert not man[1]["source_match"]
+
+
+def test_round6_tail_ops_on_empty(spark):
+    """Session-3 tail operators on empty/degenerate frames."""
+    from aws_financial_data_pipeline_spark.operators import graph
+    from aws_financial_data_pipeline_spark.operators.profile import (
+        check_constraints,
+        population_stability,
+    )
+    from aws_financial_data_pipeline_spark.operators.text import (
+        collocations,
+        html_to_text,
+        script_profile,
+    )
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert html_to_text(no_docs).count() == 0
+    assert script_profile(no_docs).count() == 0
+    assert collocations(no_docs, k=5, min_count=1).count() == 0
+    # single-token docs yield no bigrams
+    singles = spark.createDataFrame([(1, "word"), (2, "w")], "doc_id long, text string")
+    assert collocations(singles, k=5, min_count=1).count() == 0
+
+    no_clustered = spark.createDataFrame(
+        [], "doc_id long, component long, cluster_size int, is_canonical boolean"
+    )
+    assert graph.dedup_cluster_stats(no_clustered).count() == 0
+
+    empty_v = spark.createDataFrame([], "id long, v double")
+    # PSI with an EMPTY old side: degenerate single bin, finite terms
+    some_v = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, v double")
+    out = population_stability(empty_v, some_v, "v").collect()
+    assert all(r["psi_term"] is not None for r in out)
+    # constraints over zero constraints-with-fk on empty child
+    res = check_constraints(
+        empty_v, fks=(("fk", "id", some_v.select(F.col("id")), "id"),)
+    ).collect()
+    assert len(res) == 1 and res[0]["passed"] and res[0]["n_checked"] == 0
