@@ -401,3 +401,40 @@ def score_quality(
     if keep_threshold is not None:
         out = out.withColumn("keep", F.col("quality_prob") >= keep_threshold)
     return out
+
+
+def signal_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    signals: tuple[str, ...] = ("n_tokens", "stopword_ratio", "quality_score"),
+    bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-signal drift between two corpus snapshots: the
+    :func:`..profile.population_stability` PSI gate applied per signal of
+    the ONE-pass :func:`quality_signal_table` — the audit a re-crawl runs
+    before trusting thresholds tuned on the previous snapshot (a rule
+    threshold is only as stable as the signal distribution under it).
+    Output: one row per signal — (signal, psi, verdict) with the standard
+    reading (<0.1 stable / <0.25 shifting / else drifted). Cost: two
+    signal passes (map-only) + per signal two B-row bucket counts; the
+    roll-up is driver-side over |signals| scalars."""
+    from .profile import population_stability
+
+    old_t = quality_signal_table(old_docs, text_col=text_col, id_col=id_col)
+    new_t = quality_signal_table(new_docs, text_col=text_col, id_col=id_col)
+    old_t = old_t.localCheckpoint(eager=False)
+    new_t = new_t.localCheckpoint(eager=False)
+    rows = []
+    for sig in signals:
+        psi = (
+            population_stability(old_t, new_t, sig, bins=bins)
+            .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+            .collect()[0]["psi"]
+        )
+        verdict = "stable" if psi < 0.1 else ("shifting" if psi < 0.25 else "drifted")
+        rows.append((sig, float(psi), verdict))
+    return old_docs.sparkSession.createDataFrame(
+        rows, "signal string, psi double, verdict string"
+    )

@@ -332,3 +332,31 @@ def test_calibration_bins_is_single_aggregate(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan  # B-bounded groupBy only, unlike the sweep
+
+
+def test_signal_drift_between_snapshots(spark):
+    """Per-signal PSI: same-distribution snapshots read stable on every
+    signal; a snapshot whose docs shrink drastically drifts on n_tokens
+    while (length-invariant) stopword_ratio stays comparatively calm."""
+    from aws_financial_data_pipeline_spark.operators.quality import signal_drift
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    halves = (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    same = {r["signal"]: r for r in signal_drift(*halves).collect()}
+    # 250-doc halves: PSI's standard thresholds assume large n, so allow
+    # small-sample noise around the 0.1 line — but nothing should read
+    # full-on drifted between iid halves
+    assert all(r["psi"] < 0.2 for r in same.values()), same
+    assert all(r["verdict"] != "drifted" for r in same.values()), same
+
+    truncated = docs.withColumn(
+        "text", F.array_join(F.slice(F.split("text", r"\s+"), 1, 8), " ")
+    )
+    moved = {r["signal"]: r for r in signal_drift(docs, truncated).collect()}
+    assert moved["n_tokens"]["verdict"] == "drifted"
+    assert moved["n_tokens"]["psi"] > same["n_tokens"]["psi"]
