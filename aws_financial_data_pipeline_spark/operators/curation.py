@@ -560,8 +560,17 @@ def diversity_sample(
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     ledger_parts: list[DataFrame] = []
 
+    # ``emb`` may be a SUPERSET of docs (a corpus-wide embedding job feeding
+    # a per-source curation run). Keeper election must happen over the docs
+    # that can actually survive: electing a keeper that is not in ``docs``
+    # would flag every in-corpus member of its cluster as a duplicate and
+    # drop the whole cluster with no surviving representative. Semi-join
+    # first — id-only, the vectors never shuffle for rows we won't score.
+    emb_in_corpus = emb.join(
+        docs.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
+    )
     sem = semantic_dedup(
-        emb,
+        emb_in_corpus,
         threshold=semantic_threshold,
         vec_col=vec_col,
         id_col=emb_id_col,
@@ -621,6 +630,9 @@ def incremental_curation(
     signature_store: DataFrame,
     quality_model=None,
     minhash_threshold: float = 0.7,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     **funnel_kwargs,
@@ -658,7 +670,14 @@ def incremental_curation(
     exact-verify semi-join on implicated ids (partition-pruned point reads
     in a real store); everything else is id/hash joins and O(churn) work.
     ``curated_standing`` must carry the funnel's output columns (it is the
-    previous turn's ``corpus``) so the union is schema-aligned."""
+    previous turn's ``corpus``) so the union is schema-aligned.
+
+    ``num_hashes``/``band_size``/``n`` MUST match the parameters the
+    ``signature_store`` was built with — they are threaded to both the
+    cross-dedup signing and the accepted-batch re-signing, so the
+    store-equals-fresh-signing invariant holds for non-default LSH shapes
+    too (band keys from mismatched parameters never collide, which would
+    silently disable cross-corpus dedup)."""
     from . import snapshot as sn
 
     diff = sn.corpus_diff(standing_raw, new_snapshot, text_col=text_col, id_col=id_col)
@@ -686,6 +705,9 @@ def incremental_curation(
         text_col=text_col,
         id_col=id_col,
         threshold=minhash_threshold,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        n=n,
     )
     dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
     accepted = batch_curated.join(dup_ids, id_col, "left_anti")
@@ -693,7 +715,8 @@ def incremental_curation(
 
     corpus = retained.unionByName(accepted, allowMissingColumns=True)
     new_sigs = dd.minhash_signatures(
-        accepted.select(id_col, text_col), text_col, id_col
+        accepted.select(id_col, text_col), text_col, id_col,
+        num_hashes, band_size, n,
     )
     store_next = store_retained.unionByName(new_sigs)
 

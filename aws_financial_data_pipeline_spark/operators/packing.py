@@ -194,6 +194,10 @@ def pack_chunks(
     # attention-mask boundary table), derived as global_prefix − the bin's
     # first global_prefix. One extra bin-keyed aggregate + equi-join; the
     # bins table is corpus/≈budget rows, a plain shuffle join at scale.
+    # localCheckpoint the packed frame first: it feeds BOTH the bin-start
+    # aggregate and the join, and without the cut the sharded prefix-sum
+    # machinery (windows + shuffles) would execute twice.
+    packed = packed.localCheckpoint(eager=False)
     starts = packed.groupBy("bin_id").agg(F.min("_goff").alias("_bstart"))
     return (
         packed.join(starts, "bin_id")

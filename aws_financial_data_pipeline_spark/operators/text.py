@@ -1012,10 +1012,12 @@ def html_to_text(
        guard), collapse intra-line whitespace, cap blank runs at one empty
        line, trim.
 
-    ``full_unescape=True`` appends an Arrow-batched ``html.unescape`` pass
-    for the long entity tail (numeric ``&#x...;``, exotic named) — same
-    boundary rule as ``normalize_text``'s NFKC stage. NULL stays NULL.
-    Map-only either way; zero shuffle (plan-asserted)."""
+    ``full_unescape=True`` REPLACES step 4's entity loop with one
+    Arrow-batched ``html.unescape`` pass (full named+numeric table).
+    Running both would double-decode: the JVM loop turns ``&amp;lt;``
+    into ``&lt;`` and a second pass would decode that to ``<``, breaking
+    the single-decode guarantee the default path pins in tests. NULL
+    stays NULL. Map-only either way; zero shuffle (plan-asserted)."""
     c = F.col(text_col)
     # (?is): case-insensitive, dot-matches-newline — blocks span lines.
     # <head> drops wholesale: titles/meta are chrome, not prose.
@@ -1028,12 +1030,15 @@ def html_to_text(
         c, rf"(?i)<br\s*/?>|<({block})\b[^>]*>|</({block})\s*>", "\n"
     )
     c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
-    for ent, rep in _HTML_ENTITIES:
-        c = F.regexp_replace(c, ent, rep)
     if full_unescape:
+        # html.unescape alone — layering it on the JVM loop would decode
+        # "&amp;lt;" twice ("&lt;" → "<"), violating single-decode.
         from ..functions.vectorized import html_unescape_pandas
 
         c = html_unescape_pandas()(c)
+    else:
+        for ent, rep in _HTML_ENTITIES:
+            c = F.regexp_replace(c, ent, rep)
     c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")   # intra-line runs
     # inline-tag stripping leaves " ." / " ," artifacts — rejoin punctuation
     c = F.regexp_replace(c, r" +([.,;:!?)\]])", "$1")

@@ -118,9 +118,21 @@ def zorder_expr(
     F files in 2-D), so footer stats prune selective predicates on any of
     them. Expression size is bits × |cols| OR-shift terms — trivial for
     the 2–4 column cases Z-ordering is for. Numeric columns only; NULLs
-    rank 0 (sort first, one cold region — the standard choice)."""
+    rank 0 (sort first, one cold region — the standard choice).
+
+    ``bits * len(cols)`` must fit the 63 value bits of a signed long: the
+    top interleaved plane landing in bit 63 would flip the key's sign for
+    the upper half of the last column's domain (negative keys sort first),
+    and shifts ≥64 wrap mod 64 on the JVM, corrupting low bits. Lower
+    ``bits`` when clustering more columns (e.g. 4 cols → bits ≤ 15)."""
     if not (1 <= bits <= 20):
         raise ValueError(f"bits must be in [1,20]: {bits}")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) must be <= 63 to stay out of the long sign "
+            f"bit: {bits}*{len(cols)}={bits * len(cols)}; lower bits to "
+            f"{63 // len(cols)} for {len(cols)} columns"
+        )
     row = df.agg(
         *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(cols)],
@@ -157,7 +169,11 @@ def write_zordered(
     write — the footers then carry tight min/max on EVERY ``cols`` member
     per file, where single-column clustering leaves the other dimensions
     spanning the full domain in every file (contrast pinned via
-    :func:`layout_stats` in tests)."""
+    :func:`layout_stats` in tests). ``bits`` is clamped to
+    ``63 // len(cols)`` so the default 16 stays sign-safe at any column
+    count (see :func:`zorder_expr`); precision beyond the clamp is
+    worthless anyway once planes would collide with the sign bit."""
+    bits = min(bits, 63 // len(cols))
     keyed = df.withColumn("_zorder", zorder_expr(df, cols, bits))
     out = (
         keyed.repartitionByRange(num_files, "_zorder")

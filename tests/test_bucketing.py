@@ -138,3 +138,56 @@ def test_zorder_expr_properties(spark):
     cdf = spark.createDataFrame([(5, 1), (5, 2)], "x int, y int")
     cz = cdf.withColumn("z", zorder_expr(cdf, ("x", "y"), bits=8)).collect()
     assert all(r["z"] is not None for r in cz)
+
+
+def test_zorder_sign_bit_guard(spark, tmp_path):
+    """bits*len(cols) > 63 would push the top interleaved plane into the
+    long sign bit (upper half of the last column's domain → NEGATIVE keys
+    that sort FIRST, inverting the clustering). zorder_expr must refuse;
+    write_zordered clamps bits instead so the documented 4-column default
+    works; and the clamped 4-column layout yields non-negative keys plus a
+    measurable contrast on ALL FOUR dimensions."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.sources import bucketing as bk
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            rng.randrange(0, 10000),
+            rng.randrange(0, 10000),
+            rng.randrange(0, 10000),
+            rng.randrange(0, 10000),
+        )
+        for i in range(8192)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a long, b long, c long, d long"
+    ).repartition(8)
+
+    # the raw expression refuses the sign-bit configuration loudly
+    with pytest.raises(ValueError, match="sign"):
+        bk.zorder_expr(df, ("a", "b", "c", "d"), bits=16)
+
+    # at the clamp boundary (15*4=60 ≤ 63) every key is non-negative
+    keyed = df.withColumn("z", bk.zorder_expr(df, ("a", "b", "c", "d"), bits=15))
+    assert keyed.filter(F.col("z") < 0).count() == 0
+
+    # write path: default bits=16 silently clamps and the 4-D layout holds.
+    # 256 files → the top 8 Morton planes split EVERY dimension twice
+    # (ideal span 0.25 + range-boundary straddle; measured ≤0.43/dim)
+    p_z = str(tmp_path / "z4")
+    bk.write_zordered(df, p_z, ("a", "b", "c", "d"), num_files=256)
+
+    def mean_span(col):
+        st = bk.layout_stats(p_z, col)
+        return sum((r["max"] - r["min"]) for r in st) / len(st) / 10000.0
+
+    for col in ("a", "b", "c", "d"):
+        assert mean_span(col) < 0.6, col
+    back = spark.read.parquet(p_z)
+    assert back.count() == 8192

@@ -466,6 +466,42 @@ def test_diversity_sample_composition(spark):
     assert a == {"input": 11, "semantic_dedup": 8, "quota_sample": 6}
 
 
+def test_diversity_sample_emb_superset_keeps_cluster_representative(spark):
+    """emb may be a SUPERSET of docs (corpus-wide embedding job, per-source
+    curation run). Keeper election must happen over in-corpus docs only:
+    before the fix, a cluster whose lowest-id keeper lived OUTSIDE docs
+    flagged every in-corpus member as a duplicate and dropped the whole
+    cluster — content loss with no surviving representative."""
+    from aws_financial_data_pipeline_spark.operators.curation import diversity_sample
+
+    # ids 1..3 are semantic near-copies; id 1 (the would-be keeper) is NOT
+    # in docs. id 9 is a distinct direction, in docs.
+    docs = spark.createDataFrame(
+        [(2, "copy b", "A"), (3, "copy c", "A"), (9, "distinct", "A")],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [30.0, 0.0, 0.0]),       # out-of-corpus would-be keeper
+            (2, [30.01, 0.0, 0.0]),
+            (3, [29.99, 0.01, 0.0]),
+            (9, [0.0, 30.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus, audit, ledger = diversity_sample(
+        docs, emb, quota=10, semantic_threshold=0.99, k=2, with_ledger=True
+    )
+    kept = {r["doc_id"] for r in corpus.collect()}
+    # the cluster keeps its smallest IN-CORPUS member (2); 3 drops AS A
+    # DUPLICATE OF 2 (not of the absent 1); 9 is untouched
+    assert kept == {2, 9}
+    led = {r["doc_id"]: r["reason"] for r in ledger.collect()}
+    assert led == {3: "semantic_duplicate_of=2"}
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a == {"input": 3, "semantic_dedup": 2, "quota_sample": 2}
+
+
 def test_diversity_sample_chains_after_curation_funnel(spark):
     """The intended composition: curation_funnel survivors feed
     diversity_sample, and the two audits union into one funnel report."""

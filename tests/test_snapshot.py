@@ -235,3 +235,53 @@ def test_incremental_curation_refresh_turn(spark):
     assert a["standing_retained"] + a["batch_after_cross_dedup"] == a["corpus"]
     s = out["diff_summary"].collect()[0]
     assert s["n_removed"] == 1 and s["n_added"] == 2 and s["n_changed"] == 1
+
+
+def test_incremental_curation_nondefault_lsh_params(spark):
+    """LSH knobs thread through the refresh turn: a signature store built
+    with non-default (num_hashes, band_size, n) must still drive
+    cross-corpus dedup (mismatched params yield band keys that NEVER
+    collide — silently disabling dedup) and the returned store must equal
+    fresh signing under the SAME params."""
+    from aws_financial_data_pipeline_spark.operators import dedup as dd
+    from aws_financial_data_pipeline_spark.operators.curation import (
+        curation_funnel,
+        incremental_curation,
+    )
+
+    params = dict(num_hashes=24, band_size=6, n=2)
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    standing_raw = spark.createDataFrame(
+        [(i, f"{base} variant {i} " + " ".join(f"w{i}{j}" for j in range(10)))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    curated, _ = curation_funnel(standing_raw, rule_mode="any")
+    curated = curated.localCheckpoint()
+    store = dd.minhash_signatures(
+        curated.select("doc_id", "text"), "text", "doc_id", **params
+    ).localCheckpoint()
+    retained_text = standing_raw.filter("doc_id = 2").collect()[0]["text"]
+
+    new_snapshot = standing_raw.unionByName(
+        spark.createDataFrame(
+            [(900, retained_text)], "doc_id long, text string"
+        )
+    )
+    out = incremental_curation(
+        standing_raw, new_snapshot, curated, store, rule_mode="any", **params
+    )
+    corpus_ids = {r["doc_id"] for r in out["corpus"].select("doc_id").collect()}
+    # the exact copy of a retained doc is caught (standing-corpus-wins)
+    assert 900 not in corpus_ids
+    pairs = {(r["corpus_id"], r["new_id"]) for r in out["cross_pairs"].collect()}
+    assert (2, 900) in pairs
+    # store invariant holds at the custom shape
+    want = {
+        tuple(r)
+        for r in dd.minhash_signatures(
+            out["corpus"].select("doc_id", "text"), "text", "doc_id", **params
+        ).collect()
+    }
+    got = {tuple(r) for r in out["signature_store"].collect()}
+    assert got == want

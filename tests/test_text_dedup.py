@@ -959,6 +959,16 @@ def test_html_to_text_extraction(spark):
     out = html_to_text(fancy, full_unescape=True).collect()[0]["text"]
     assert out == "café … 🚀"
 
+    # single-decode guarantee holds on the full_unescape path too: the
+    # Arrow pass REPLACES the JVM entity loop (layering both would turn
+    # "&amp;lt;" into "<" via the intermediate "&lt;")
+    guarded = spark.createDataFrame(
+        [(1, "<p>&amp;lt; stays literal; &amp;amp; too</p>")],
+        "doc_id long, text string",
+    )
+    g = html_to_text(guarded, full_unescape=True).collect()[0]["text"]
+    assert g == "&lt; stays literal; &amp; too"
+
 
 def test_html_to_text_feeds_line_stages(spark):
     """The composition the operator exists for: extracted text carries REAL
