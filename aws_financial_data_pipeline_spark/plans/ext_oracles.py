@@ -316,13 +316,50 @@ EXT_ORACLES: dict[str, str] = {
       SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS rt,
              count(*) AS kept_n
       FROM kept GROUP BY doc_id
+    ),
+    -- paragraph leg: multi-paragraph docs constructed IN the query
+    -- (doc_id%50 groups, texts joined by newline under a shared literal
+    -- boilerplate header), then CCNet-style cross-doc paragraph dedup:
+    -- a trimmed paragraph in >=2 distinct docs keeps only its minimal
+    -- (doc_id,pos) occurrence
+    multi AS (
+      SELECT doc_id % 50 AS doc_id,
+             'Shared boilerplate navigation paragraph.' || chr(10) ||
+             string_agg(text, chr(10) ORDER BY doc_id) AS text
+      FROM documents GROUP BY doc_id % 50
+    ),
+    mp AS (SELECT doc_id, text, string_split(text, chr(10)) AS p FROM multi),
+    paras AS (
+      SELECT doc_id, i - 1 AS pos, p[i] AS para, trim(p[i]) AS k
+      FROM mp, UNNEST(generate_series(1, len(p))) AS u(i)
+    ),
+    pstats AS (
+      SELECT k, count(DISTINCT doc_id) AS nd,
+             min(doc_id * 1000000000 + pos) AS keeper
+      FROM paras GROUP BY k
+    ),
+    pkept AS (
+      SELECT p.doc_id, p.pos, p.para
+      FROM paras p JOIN pstats s USING (k)
+      WHERE s.nd < 2 OR p.doc_id * 1000000000 + p.pos = s.keeper
+    ),
+    prebuilt AS (
+      SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS ct,
+             count(*) AS n_kept
+      FROM pkept GROUP BY doc_id
     )
-    SELECT c.doc_id,
-           CAST(len(c.t) - coalesce(r.kept_n, 0) AS BIGINT) AS removed_tokens,
+    SELECT 'ngram_spans' AS method, c.doc_id,
+           CAST(len(c.t) - coalesce(r.kept_n, 0) AS BIGINT) AS removed_units,
            CASE WHEN sp.doc_id IS NULL THEN c.text ELSE coalesce(r.rt, '') END AS clean_text
     FROM toks c
     LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
     LEFT JOIN rebuilt r USING (doc_id)
+    UNION ALL
+    SELECT 'paragraph' AS method, b.doc_id,
+           CAST(len(b.p) - coalesce(r.n_kept, 0) AS BIGINT) AS removed_units,
+           CASE WHEN coalesce(r.n_kept, 0) = len(b.p) THEN b.text
+                ELSE coalesce(r.ct, '') END AS clean_text
+    FROM mp b LEFT JOIN prebuilt r USING (doc_id)
     """,
     "x06_simhash_candidates": _SIMHASH64
     + """
@@ -565,9 +602,38 @@ EXT_ORACLES: dict[str, str] = {
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
       FROM scored
+    ),
+    -- collocations leg: adjacent-bigram PMI (Church & Hanks), min_count=5,
+    -- top-50 on the 6dp-ROUNDED score with (w1,w2) tiebreak
+    tarr AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+    prs AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM tarr, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    pc AS (
+      SELECT w1, w2, count(*) AS n_pair FROM prs GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    wc AS (SELECT term AS w, count(*) AS n_w FROM tok GROUP BY 1),
+    tot AS (SELECT sum(n_w) AS nn FROM wc),
+    coll AS (
+      SELECT pc.w1, pc.w2, pc.n_pair, a.n_w AS n_w1, b.n_w AS n_w2,
+             round(ln(pc.n_pair * tot.nn / (a.n_w * b.n_w)), 6) AS pmi
+      FROM pc JOIN wc a ON a.w = pc.w1 JOIN wc b ON b.w = pc.w2, tot
+      ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
     )
-    SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn
+    SELECT 'tfidf' AS method, doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn,
+           NULL AS w1, NULL AS w2,
+           CAST(NULL AS BIGINT) AS n_pair, CAST(NULL AS BIGINT) AS n_w1,
+           CAST(NULL AS BIGINT) AS n_w2, CAST(NULL AS DOUBLE) AS pmi
     FROM ranked WHERE rn <= 5
+    UNION ALL
+    SELECT 'pmi' AS method, CAST(NULL AS BIGINT) AS doc_id, NULL AS term,
+           CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
+           CAST(NULL AS DOUBLE) AS tfidf, CAST(NULL AS INT) AS rn,
+           w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2, pmi
+    FROM coll
     """,
     # densify + rolling frames consolidated (round-1 x33+x36): the dense
     # series columns (total, is_gap) ride through, so the gap fill itself
@@ -601,9 +667,55 @@ EXT_ORACLES: dict[str, str] = {
     # salting is value-invisible: the oracle is the plain group-by sum
     "x31_salted_agg": _P
     + """
-    SELECT country,
-           round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    , cstats AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_ok,
+        sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_qty,
+        sum(CASE WHEN l_quantity IS NOT NULL
+                  AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS rg_qty,
+        sum(CASE WHEN l_discount IS NOT NULL
+                  AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS rg_disc,
+        sum(CASE WHEN l_returnflag IS NOT NULL
+                  AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS av_rf,
+        sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS uq_n,
+        count(DISTINCT l_orderkey) AS uq_d
+      FROM lineitem
+    ),
+    orph AS (
+      SELECT count(*) AS n_o FROM lineitem l
+      WHERE l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    fkn AS (SELECT count(*) AS n_c FROM lineitem WHERE l_orderkey IS NOT NULL),
+    cons AS (
+      SELECT 'not_null' AS chk, 'l_orderkey' AS col_name,
+             nn_ok AS v, n AS c, (n = 0 OR nn_ok = 0) AS p FROM cstats
+      UNION ALL
+      SELECT 'not_null', 'l_quantity', nn_qty, n, (n = 0 OR nn_qty = 0) FROM cstats
+      UNION ALL
+      SELECT 'in_range[1,50]', 'l_quantity', rg_qty, n, rg_qty = 0 FROM cstats
+      UNION ALL
+      SELECT 'in_range[0.0,0.05]', 'l_discount', rg_disc, n, rg_disc = 0 FROM cstats
+      UNION ALL
+      SELECT 'accepted_values', 'l_returnflag', av_rf, n, av_rf = 0 FROM cstats
+      UNION ALL
+      SELECT 'unique', 'l_orderkey', uq_n - uq_d, uq_n, uq_n - uq_d = 0 FROM cstats
+      UNION ALL
+      SELECT 'foreign_key', 'lineitem_orders', orph.n_o, fkn.n_c, orph.n_o = 0
+      FROM orph, fkn
+    )
+    SELECT 'salted_sum' AS method, country,
+           round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+           NULL AS "check", NULL AS col_name,
+           CAST(NULL AS BIGINT) AS n_violations, CAST(NULL AS BIGINT) AS n_checked,
+           CAST(NULL AS BOOLEAN) AS passed
     FROM txns GROUP BY country
+    UNION ALL
+    SELECT 'constraint' AS method, NULL AS country, CAST(NULL AS DOUBLE) AS total,
+           chk AS "check", col_name,
+           CAST(v AS BIGINT) AS n_violations, CAST(c AS BIGINT) AS n_checked,
+           p AS passed
+    FROM cons
     """,
     "x32_corpus_curation": r"""
     WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS tok FROM documents),

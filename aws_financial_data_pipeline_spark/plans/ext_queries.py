@@ -189,7 +189,44 @@ def x10_text_profile(spark, sf_dir):
 
 
 def x28_tfidf_topk(spark, sf_dir):
-    return _long(text.tfidf_top_terms(_docs(spark, sf_dir), k=5), "tf", "df")
+    """Term ranking, both corpus statistics in one checked slot (method
+    discriminator over a superset schema, NULLs where a column doesn't
+    apply): per-document TF-IDF top-5 terms, and corpus-level top-50 bigram
+    collocations by 6dp-rounded PMI (``text.collocations`` — Church & Hanks;
+    rounded-score ranking is the x28 rule: raw-double k-cuts are
+    engine-dependent)."""
+    docs = _docs(spark, sf_dir)
+    tf_leg = _long(text.tfidf_top_terms(docs, k=5), "tf", "df").select(
+        F.lit("tfidf").alias("method"),
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        "tfidf",
+        "rn",
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        F.lit(None).cast("long").alias("n_pair"),
+        F.lit(None).cast("long").alias("n_w1"),
+        F.lit(None).cast("long").alias("n_w2"),
+        F.lit(None).cast("double").alias("pmi"),
+    )
+    pmi_leg = text.collocations(docs, k=50, min_count=5).select(
+        F.lit("pmi").alias("method"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.lit(None).cast("double").alias("tfidf"),
+        F.lit(None).cast("int").alias("rn"),
+        "w1",
+        "w2",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.col("n_w1").cast("long").alias("n_w1"),
+        F.col("n_w2").cast("long").alias("n_w2"),
+        "pmi",
+    )
+    return tf_leg.unionByName(pmi_leg)
 
 
 # -- events -----------------------------------------------------------------
@@ -549,21 +586,58 @@ def x34_sketch_profile(spark, sf_dir):
 
 
 def x31_salted_agg(spark, sf_dir):
-    """Two-phase salted aggregation (operators/skew.py) on a genuinely hot
-    key: country has ~25 values over the whole fact table, so a direct groupBy
-    puts each country on one reducer. Salting must be value-invisible — the
-    oracle is the PLAIN group-by sum. Decimal partials keep the merge exact
-    (double partials would be accumulation-order dependent)."""
-    from ..operators import skew
+    """Aggregation-correctness slot, two legs (method discriminator over a
+    superset schema):
+
+    - ``salted_sum``: two-phase salted aggregation (operators/skew.py) on a
+      genuinely hot key — country has ~25 values over the whole fact table,
+      so a direct groupBy puts each country on one reducer. Salting must be
+      value-invisible — the oracle is the PLAIN group-by sum. Decimal
+      partials keep the merge exact (double partials would be
+      accumulation-order dependent).
+    - ``constraint``: the declarative data-quality gate
+      (``profile.check_constraints``) over lineitem — not_null, in_range
+      (one passing, one deliberately failing bound so BOTH verdict
+      polarities are hash-gated), accepted_values, a single-column unique
+      check (fails by design: lineitem has many lines per order, gating the
+      exact count_distinct), and the lineitem→orders FK anti-join."""
+    from ..operators import profile, skew
     from . import transactions_view as tv
 
     txns = tv.transactions(spark, sf_dir, ("country", "amount"))
     out = skew.salted_sum(
         txns, ["country"], F.col("amount").cast("decimal(18,2)"), out_col="total_dec"
     )
-    return out.select(
-        "country", F.round(F.col("total_dec").cast("double"), 2).alias("total")
+    salted = out.select(
+        F.lit("salted_sum").alias("method"),
+        "country",
+        F.round(F.col("total_dec").cast("double"), 2).alias("total"),
+        F.lit(None).cast("string").alias("check"),
+        F.lit(None).cast("string").alias("col_name"),
+        F.lit(None).cast("long").alias("n_violations"),
+        F.lit(None).cast("long").alias("n_checked"),
+        F.lit(None).cast("boolean").alias("passed"),
     )
+    li = read_parquet_scaled(spark, f"{sf_dir}/lineitem.parquet")
+    orders = read_parquet_scaled(spark, f"{sf_dir}/orders.parquet")
+    cons = profile.check_constraints(
+        li,
+        not_null=("l_orderkey", "l_quantity"),
+        unique=("l_orderkey",),
+        ranges={"l_quantity": (1, 50), "l_discount": (0.0, 0.05)},
+        accepted={"l_returnflag": ("A", "N", "R")},
+        fks=(("lineitem_orders", "l_orderkey", orders, "o_orderkey"),),
+    ).select(
+        F.lit("constraint").alias("method"),
+        F.lit(None).cast("string").alias("country"),
+        F.lit(None).cast("double").alias("total"),
+        "check",
+        F.col("column").alias("col_name"),
+        "n_violations",
+        "n_checked",
+        "passed",
+    )
+    return salted.unionByName(cons)
 
 
 def x32_corpus_curation(spark, sf_dir):
@@ -679,22 +753,59 @@ def x41_chunk_pack(spark, sf_dir):
 
 
 def x42_dup_spans(spark, sf_dir):
-    """Cross-document duplicated n-gram SPAN removal (operators/spans.py):
-    token 8-grams occurring in ≥2 distinct docs are merged into maximal
-    per-doc spans and cut out of the text — the n-gram approximation of
-    suffix-array exact-substring dedup (Lee et al. 2021), i.e. the
-    boilerplate-stripping step that whole-doc dedup (x39) cannot express.
-    Output is (doc_id, removed_tokens, clean_text) for EVERY doc, so the
-    hash transitively gates the gram table, the duplicate-gram filter, the
-    interval merge AND the token-level removal: an off-by-one span boundary
-    changes clean_text."""
+    """Sub-document dedup, BOTH granularities in one checked slot (method
+    discriminator, the x07/x40 convention):
+
+    - ``ngram_spans``: cross-document duplicated token-8-gram SPAN removal
+      (operators/spans.py) — the n-gram approximation of suffix-array
+      exact-substring dedup (Lee et al. 2021). removed_units = tokens cut.
+    - ``paragraph``: cross-document PARAGRAPH dedup (CCNet/RefinedWeb line
+      rule, ``spans.paragraph_dedup``). The synthetic corpus has no
+      newlines (NOTES.md), so the leg builds multi-paragraph documents
+      INSIDE the query — deterministically in both engines: docs group by
+      ``doc_id % 50``, each group's texts concatenate in doc_id order with
+      newline separators under a shared literal boilerplate header (a
+      guaranteed ≥2-doc duplicate paragraph on top of any natural exact-dup
+      texts landing in different groups). removed_units = paragraphs cut.
+
+    clean_text rides in both legs, so the hash transitively gates the gram
+    table, duplicate filters, interval merge, keeper election ((doc_id,pos)
+    min-struct) and the reassembly: an off-by-one boundary changes it."""
     from ..operators import spans as spans_mod
 
     docs = _docs(spark, sf_dir)
     sp = spans_mod.duplicated_ngram_spans(docs, n=8, min_docs=2)
-    return spans_mod.remove_duplicated_spans(docs, sp).select(
-        "doc_id", "removed_tokens", "clean_text"
+    ngram = spans_mod.remove_duplicated_spans(docs, sp).select(
+        F.lit("ngram_spans").alias("method"),
+        "doc_id",
+        F.col("removed_tokens").cast("long").alias("removed_units"),
+        "clean_text",
     )
+
+    multi = (
+        docs.groupBy((F.col("doc_id") % 50).alias("gid"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.lit("Shared boilerplate navigation paragraph."),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                ),
+            ).alias("text")
+        )
+        .select(F.col("gid").alias("doc_id"), "text")
+    )
+    para = spans_mod.paragraph_dedup(multi, min_docs=2).select(
+        F.lit("paragraph").alias("method"),
+        "doc_id",
+        F.col("n_removed").cast("long").alias("removed_units"),
+        "clean_text",
+    )
+    return ngram.unionByName(para)
 
 
 # -- multimodal -------------------------------------------------------------
@@ -723,6 +834,10 @@ def x18_multimodal_features(spark, sf_dir):
 #     x23_stream_dedup + x35_stream_static_join → x23_stream_dedup_enrich
 #   round-3 ANN merge (freed the slot for x42_dup_spans):
 #     x07_cosine_topk + x08_ann_lsh_topk → x07_knn_topk (method discriminator)
+#   round-7 method-leg promotions (slots carry multiple legs, the x40 model):
+#     paragraph_dedup → x42 'paragraph' leg (multi-paragraph docs built
+#       IN-QUERY — the corpus has no newlines);  collocations (PMI) → x28
+#       'pmi' leg;  check_constraints → x31 'constraint' leg
 #   x34 (no SQL oracle) and x38 (plan-shape gate) → pytest-only, see docstrings
 # Total: 24 q + 26 x = 50 entries, every one oracle-checked.
 EXT_QUERIES = {
