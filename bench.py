@@ -37,6 +37,16 @@ def _scaled_input(spark, path):
     df.count()
     return df
 
+
+def _best2(run) -> float:
+    """Best-of-2 for the composite rows — the HEADLINE convention applied
+    everywhere (round-6 verdict: single-shot composite rows left BENCH
+    totals swinging 81-83s across identical runs; the minimum of two
+    executions reports the plan's cost, not the box's background load).
+    Setup (model training, store materialization, input synthesis) stays
+    OUTSIDE run(): it is untimed by design."""
+    return round(min(run(), run()), 3)
+
 # Representative headline set: scan→multi-join→agg spine, scalar-subquery
 # joins, window functions, LSH dedup end-to-end (the scale path, NOT the
 # all-pairs oracle form — round-1 verdict), vector search, sessionization,
@@ -94,14 +104,19 @@ def _bench_q15_from_summary(spark, sf_dir: str) -> float:
             c, _ = tv.current_and_historical(t)
             return c
 
-        t0 = time.perf_counter()
-        hist_summary = spark.read.parquet(sumdir)
-        year = tv.statement_scalars(txns)["statement_year"]
-        report = rpt.canonical_report(
-            rpt.assemble_report_from_summary(cur, hist_summary, year, pruned=pruned_cur)
-        )
-        report.write.mode("overwrite").format("noop").save()
-        return round(time.perf_counter() - t0, 3)
+        def run():
+            t0 = time.perf_counter()
+            hist_summary = spark.read.parquet(sumdir)
+            year = tv.statement_scalars(txns)["statement_year"]
+            report = rpt.canonical_report(
+                rpt.assemble_report_from_summary(
+                    cur, hist_summary, year, pruned=pruned_cur
+                )
+            )
+            report.write.mode("overwrite").format("noop").save()
+            return time.perf_counter() - t0
+
+        return _best2(run)
     finally:
         shutil.rmtree(sumdir, ignore_errors=True)
 
@@ -126,13 +141,16 @@ def _bench_incremental_dedup(spark, sf_dir: str) -> float:
         batch = docs.filter(F.col("doc_id") % 5 == 0)
         dedup.minhash_signatures(corpus).write.mode("overwrite").parquet(sigdir)
 
-        t0 = time.perf_counter()
-        store = spark.read.parquet(sigdir)
-        pairs = dedup.incremental_minhash_dedup(batch, corpus, store, threshold=0.7)
-        pairs.write.mode("overwrite").format("noop").save()
-        elapsed = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        return elapsed
+        def run():
+            t0 = time.perf_counter()
+            store = spark.read.parquet(sigdir)
+            pairs = dedup.incremental_minhash_dedup(batch, corpus, store, threshold=0.7)
+            pairs.write.mode("overwrite").format("noop").save()
+            elapsed = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            return elapsed
+
+        return _best2(run)
     finally:
         shutil.rmtree(sigdir, ignore_errors=True)
 
@@ -143,11 +161,14 @@ def _bench_paragraph_dedup(spark, sf_dir: str) -> float:
     from aws_financial_data_pipeline_spark.operators import spans
     from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
 
-    t0 = time.perf_counter()
-    spans.paragraph_dedup(_docs(spark, sf_dir)).write.mode("overwrite").format(
-        "noop"
-    ).save()
-    return round(time.perf_counter() - t0, 3)
+    def run():
+        t0 = time.perf_counter()
+        spans.paragraph_dedup(_docs(spark, sf_dir)).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
 
 
 def _bench_lm_perplexity(spark, sf_dir: str) -> float:
@@ -163,10 +184,13 @@ def _bench_lm_perplexity(spark, sf_dir: str) -> float:
     model = {k: v.localCheckpoint() for k, v in
              lm.train_ngram_lm(docs.filter(F.col("doc_id") % 5 == 0)).items()}
 
-    t0 = time.perf_counter()
-    scored = lm.ngram_perplexity(docs.filter(F.col("doc_id") % 5 != 0), model)
-    lm.perplexity_buckets(scored).write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+    def run():
+        t0 = time.perf_counter()
+        scored = lm.ngram_perplexity(docs.filter(F.col("doc_id") % 5 != 0), model)
+        lm.perplexity_buckets(scored).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
 
 
 def _bench_curation_funnel(spark, sf_dir: str, with_model: bool) -> float:
@@ -188,19 +212,23 @@ def _bench_curation_funnel(spark, sf_dir: str, with_model: bool) -> float:
         )
         model = quality.train_quality_classifier(seed, num_features=1 << 15, max_iter=10)
 
-    t0 = time.perf_counter()
-    # rule_mode="any": the synthetic docs carry no terminal punctuation, so
-    # the conjunctive gate keeps ZERO docs and the default-form bench timed
-    # an emptying pipeline (minhash over 0 rows — r4/r5 rows undercount the
-    # funnel's true cost; r6+ numbers are honest and NOT comparable back)
-    corpus, audit = curation.curation_funnel(
-        docs, quality_model=model, rule_mode="any"
-    )
-    corpus.write.mode("overwrite").format("noop").save()
-    audit.write.mode("overwrite").format("noop").save()
-    elapsed = round(time.perf_counter() - t0, 3)
-    spark.catalog.clearCache()
-    return elapsed
+    def run():
+        t0 = time.perf_counter()
+        # rule_mode="any": the synthetic docs carry no terminal punctuation,
+        # so the conjunctive gate keeps ZERO docs and the default-form bench
+        # timed an emptying pipeline (minhash over 0 rows — r4/r5 rows
+        # undercount the funnel's true cost; r6+ numbers are honest and NOT
+        # comparable back)
+        corpus, audit = curation.curation_funnel(
+            docs, quality_model=model, rule_mode="any"
+        )
+        corpus.write.mode("overwrite").format("noop").save()
+        audit.write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return elapsed
+
+    return _best2(run)
 
 
 def _bench_semantic_dedup(spark, sf_dir: str) -> float:
@@ -209,9 +237,15 @@ def _bench_semantic_dedup(spark, sf_dir: str) -> float:
     from aws_financial_data_pipeline_spark.operators import similarity as sim
 
     emb = _scaled_input(spark, f"{sf_dir}/embeddings.parquet")
-    t0 = time.perf_counter()
-    sim.semantic_dedup(emb).write.mode("overwrite").format("noop").save()
-    elapsed = round(time.perf_counter() - t0, 3)
+
+    def run():
+        t0 = time.perf_counter()
+        sim.semantic_dedup(emb).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # the input cache must survive between runs; internal caches don't exist
+    # here, so nothing to clear inside run()
+    elapsed = _best2(run)
     spark.catalog.clearCache()
     return elapsed
 
@@ -230,9 +264,12 @@ def _bench_score_quality(spark, sf_dir: str) -> float:
     )
     model = quality.train_quality_classifier(seed, num_features=1 << 15, max_iter=10)
 
-    t0 = time.perf_counter()
-    quality.score_quality(docs, model).write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+    def run():
+        t0 = time.perf_counter()
+        quality.score_quality(docs, model).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
 
 
 def _bench_dsir_weights(spark, sf_dir: str) -> float:
@@ -242,11 +279,15 @@ def _bench_dsir_weights(spark, sf_dir: str) -> float:
     from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
 
     docs = _docs(spark, sf_dir)
-    t0 = time.perf_counter()
-    dsir.dsir_weights(
-        docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
-    ).write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+
+    def run():
+        t0 = time.perf_counter()
+        dsir.dsir_weights(
+            docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
 
 
 def _bench_pq_ann(spark, sf_dir: str) -> float:
@@ -260,11 +301,14 @@ def _bench_pq_ann(spark, sf_dir: str) -> float:
     books = pq.train_pq_codebooks(emb, sample_fraction=0.2)
     queries = emb.filter(F.col("vec_id") < 10)
 
-    t0 = time.perf_counter()
-    pq.ann_topk_pq(emb, queries, k=10, codebooks=books).write.mode("overwrite").format(
-        "noop"
-    ).save()
-    elapsed = round(time.perf_counter() - t0, 3)
+    def run():
+        t0 = time.perf_counter()
+        pq.ann_topk_pq(emb, queries, k=10, codebooks=books).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
     spark.catalog.clearCache()
     return elapsed
 
@@ -280,11 +324,14 @@ def _bench_bpe_encode(spark, sf_dir: str) -> float:
     merges = bpe.train_bpe(docs, num_merges=200)
     vocab = bpe.bpe_vocab(docs, merges)
 
-    t0 = time.perf_counter()
-    bpe.bpe_encode(docs, merges, vocab=vocab).write.mode("overwrite").format(
-        "noop"
-    ).save()
-    return round(time.perf_counter() - t0, 3)
+    def run():
+        t0 = time.perf_counter()
+        bpe.bpe_encode(docs, merges, vocab=vocab).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
 
 
 def _bench_bytelevel_bpe(spark, sf_dir: str) -> float:
@@ -298,10 +345,13 @@ def _bench_bytelevel_bpe(spark, sf_dir: str) -> float:
     docs = _docs(spark, sf_dir)
     merges = bpe.train_bpe_bytelevel(docs, num_merges=200)
 
-    t0 = time.perf_counter()
-    enc = bpe.bpe_encode_bytelevel(docs, merges)
-    bpe.bpe_decode_bytelevel(enc).write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+    def run():
+        t0 = time.perf_counter()
+        enc = bpe.bpe_encode_bytelevel(docs, merges)
+        bpe.bpe_decode_bytelevel(enc).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
 
 
 def _bench_corpus_divergence(spark, sf_dir: str) -> float:
@@ -311,11 +361,15 @@ def _bench_corpus_divergence(spark, sf_dir: str) -> float:
     from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
 
     docs = _docs(spark, sf_dir)
-    t0 = time.perf_counter()
-    corpus_divergence(
-        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
-    ).write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+
+    def run():
+        t0 = time.perf_counter()
+        corpus_divergence(
+            docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
 
 
 def _bench_mixture_plan_apply(spark, sf_dir: str) -> float:
@@ -329,10 +383,13 @@ def _bench_mixture_plan_apply(spark, sf_dir: str) -> float:
     docs = _docs(spark, sf_dir)
     budget = 2 * docs.select(F.sum(F.size(F.split("text", r"\s+")))).collect()[0][0]
 
-    t0 = time.perf_counter()
-    plan = mx.plan_token_budget(mx.domain_stats(docs), budget=budget, alpha=0.5)
-    mx.apply_mixture(docs, plan).write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+    def run():
+        t0 = time.perf_counter()
+        plan = mx.plan_token_budget(mx.domain_stats(docs), budget=budget, alpha=0.5)
+        mx.apply_mixture(docs, plan).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
 
 
 def _bench_global_shuffle(spark, sf_dir: str) -> float:
@@ -349,9 +406,13 @@ def _bench_global_shuffle(spark, sf_dir: str) -> float:
         .cache()
     )
     li.count()
-    t0 = time.perf_counter()
-    sp.global_shuffle(li).write.mode("overwrite").format("noop").save()
-    elapsed = round(time.perf_counter() - t0, 3)
+
+    def run():
+        t0 = time.perf_counter()
+        sp.global_shuffle(li).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
     spark.catalog.clearCache()
     return elapsed
 
@@ -370,12 +431,15 @@ def _bench_snapshot_diff(spark, sf_dir: str) -> float:
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
         ).otherwise(F.col("text")),
     )
-    t0 = time.perf_counter()
-    snapshot.diff_summary(snapshot.corpus_diff(docs, new)).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    snapshot.ingest_batch(docs, new).write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+    def run():
+        t0 = time.perf_counter()
+        snapshot.diff_summary(snapshot.corpus_diff(docs, new)).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        snapshot.ingest_batch(docs, new).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
 
 
 def _bench_table_audits(spark, sf_dir: str) -> float:
@@ -393,14 +457,18 @@ def _bench_table_audits(spark, sf_dir: str) -> float:
 
     ev = _scaled_input(spark, f"{sf_dir}/events.parquet")
     docs = _docs(spark, sf_dir)
-    t0 = time.perf_counter()
-    profile_columns(ev).write.mode("overwrite").format("noop").save()
-    skew_report(ev, ("user_id",), k=10).write.mode("overwrite").format("noop").save()
-    robust_anomalies(ev, ("event_type",)).write.mode("overwrite").format("noop").save()
-    bm25_topk(docs, ["table", "join", "window"], k=20).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    elapsed = round(time.perf_counter() - t0, 3)
+
+    def run():
+        t0 = time.perf_counter()
+        profile_columns(ev).write.mode("overwrite").format("noop").save()
+        skew_report(ev, ("user_id",), k=10).write.mode("overwrite").format("noop").save()
+        robust_anomalies(ev, ("event_type",)).write.mode("overwrite").format("noop").save()
+        bm25_topk(docs, ["table", "join", "window"], k=20).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
     spark.catalog.clearCache()
     return elapsed
 
@@ -420,19 +488,106 @@ def _bench_data_quality(spark, sf_dir: str) -> float:
     ev = _scaled_input(spark, f"{sf_dir}/events.parquet")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     mid = lo + (hi - lo) / 2
-    t0 = time.perf_counter()
-    check_constraints(
-        li,
-        not_null=["l_orderkey", "l_partkey"],
-        ranges={"l_quantity": (0, 100)},
-        fks=(("lineitem->orders", "l_orderkey", orders, "o_orderkey"),),
-    ).write.mode("overwrite").format("noop").save()
-    population_stability(
-        ev.filter(F.col("ts") < F.lit(mid)),
-        ev.filter(F.col("ts") >= F.lit(mid)),
-        "value",
-    ).write.mode("overwrite").format("noop").save()
-    elapsed = round(time.perf_counter() - t0, 3)
+
+    def run():
+        t0 = time.perf_counter()
+        check_constraints(
+            li,
+            not_null=["l_orderkey", "l_partkey"],
+            ranges={"l_quantity": (0, 100)},
+            fks=(("lineitem->orders", "l_orderkey", orders, "o_orderkey"),),
+        ).write.mode("overwrite").format("noop").save()
+        population_stability(
+            ev.filter(F.col("ts") < F.lit(mid)),
+            ev.filter(F.col("ts") >= F.lit(mid)),
+            "value",
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
+    spark.catalog.clearCache()
+    return elapsed
+
+
+def _bench_crawl_front_door(spark, sf_dir: str) -> float:
+    """The full crawl front door as ONE timed chain (round-6 verdict
+    next-step #8): synthetic markup pages → URL dedup (utm-variants and
+    shared-canonical-path re-fetches collapse to one page per canonical
+    URL) → curation funnel with the million-domain blocklist gate first,
+    in-funnel html_to_text extraction, then the lenient content rules +
+    minhash dedup + split. Pages and the blocklist frame are synthesized
+    and materialized PRE-t0 (harness convention): the timed region is
+    exactly what a web-crawl ingest runs before any content pipeline sees
+    clean text."""
+    from aws_financial_data_pipeline_spark.operators import curation
+    from aws_financial_data_pipeline_spark.operators import text as tx
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    # one page per doc: domains cycle over 97 sites (~1/4 blocked below);
+    # consecutive groups of 5 share a canonical path (re-fetches) and every
+    # third URL carries utm noise the canonicalizer must strip. The page's
+    # own URL rides inside the markup as a canonical link so the blocklist
+    # gate (which reads URLs from RAW markup) sees it.
+    url = F.concat(
+        F.lit("https://site-"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") - F.col("doc_id") % 5).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&utm_campaign="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.concat(
+            F.lit(
+                '<html><head><title>t</title><style>p{color:red}</style>'
+                '<link rel="canonical" href="'
+            ),
+            url,
+            F.lit(
+                '"></head><body><ul><li><a href="https://nav.example.com/home">'
+                "Home</a></li></ul><h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><div>footer &amp; nav</div></body></html>"),
+        ).alias("text"),
+    ).cache()
+    pages.count()
+    blocked = (
+        spark.range(0, 10_000)
+        .select(
+            F.concat(
+                F.lit("site-"), (F.col("id") * 4).cast("string"), F.lit(".example.com")
+            ).alias("domain")
+        )
+        .cache()
+    )
+    blocked.count()
+
+    def run():
+        t0 = time.perf_counter()
+        kept = tx.url_dedup(pages)
+        corpus, audit = curation.curation_funnel(
+            kept, blocklist=blocked, extract_html=True, rule_mode="any"
+        )
+        corpus.write.mode("overwrite").format("noop").save()
+        audit.write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        # the funnel's dedup stage caches shingle frames that a fresh but
+        # plan-identical run 2 would reuse (CacheManager matches canonical
+        # plans); clear everything, then re-pin the inputs UNTIMED
+        spark.catalog.clearCache()
+        pages.cache().count()
+        blocked.cache().count()
+        return elapsed
+
+    elapsed = _best2(run)
     spark.catalog.clearCache()
     return elapsed
 
@@ -444,11 +599,15 @@ def _bench_event_funnel(spark, sf_dir: str) -> float:
 
     events = _scaled_input(spark, f"{sf_dir}/events.parquet")
     steps = ["view", "click", "purchase"]
-    t0 = time.perf_counter()
-    ev.funnel_summary(
-        ev.funnel(events, steps, within_seconds=3600), steps
-    ).write.mode("overwrite").format("noop").save()
-    elapsed = round(time.perf_counter() - t0, 3)
+
+    def run():
+        t0 = time.perf_counter()
+        ev.funnel_summary(
+            ev.funnel(events, steps, within_seconds=3600), steps
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
     spark.catalog.clearCache()
     return elapsed
 
@@ -514,6 +673,7 @@ def main() -> None:
     times["bpe_bytelevel_roundtrip"] = _bench_bytelevel_bpe(spark, sf_dir)
     times["corpus_divergence"] = _bench_corpus_divergence(spark, sf_dir)
     times["event_funnel"] = _bench_event_funnel(spark, sf_dir)
+    times["crawl_front_door"] = _bench_crawl_front_door(spark, sf_dir)
     times["mixture_plan_apply"] = _bench_mixture_plan_apply(spark, sf_dir)
     times["global_shuffle"] = _bench_global_shuffle(spark, sf_dir)
     times["snapshot_diff"] = _bench_snapshot_diff(spark, sf_dir)
@@ -529,13 +689,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                # harness methodology marker: r5 timed the local-mode
+                # harness methodology markers: r5 timed the local-mode
                 # repartition of read_parquet_scaled inside 5 entries
                 # (semantic_dedup, pq_ann_topk, global_shuffle,
                 # table_audits, event_funnel); r6+ materializes scaled
                 # inputs before t0 — those rows are comparable to r4 and
-                # r6+, NOT to r5.
-                "harness": "scaled-inputs-materialized-pre-t0",
+                # r6+, NOT to r5. r7+ additionally reports best-of-2 for
+                # the composite rows (they were single-shot through r6,
+                # the source of the 81-83s total swing NOTES records), so
+                # composite rows can only read equal-or-lower than a
+                # same-plan r6 run — a drop there is damping, not a
+                # speedup claim.
+                "harness": "scaled-inputs-pre-t0;best-of-2-all-rows",
             }
         )
     )
