@@ -502,15 +502,22 @@ def bpe_decode_bytelevel(
     else:
         toks = F.col("bpe_tokens")
         src = encoded
+    return src.select(
+        F.col(id_col), _mapped_tokens_to_text(toks).alias(out_col)
+    )
+
+
+def _mapped_tokens_to_text(toks):
+    """Pure-Catalyst lossless decode of mapped-byte tokens (shared by the
+    byte-level BPE and unigram decoders): concatenate, ``translate`` the
+    256-char mapped alphabet back to latin-1 (byte 0 via a separate
+    ``replace`` — translate's U+0000 delete-sentinel quirk, see alphabet
+    defs), then latin-1 bytes re-read as UTF-8."""
     latin = F.translate(
         F.array_join(toks, ""), _MAPPED_ALPHABET_1, _LATIN1_ALPHABET_1
     )
-    # byte 0 separately: translate's delete-sentinel quirk (see alphabet
-    # defs). The NUL symbol is U+0100+, never produced by the translate
-    # above, so the replace is unambiguous.
     latin = F.replace(latin, F.lit(_NUL_SYMBOL), F.lit("\x00"))
-    text = F.decode(F.encode(latin, "ISO-8859-1"), "UTF-8")
-    return src.select(F.col(id_col), text.alias(out_col))
+    return F.decode(F.encode(latin, "ISO-8859-1"), "UTF-8")
 
 
 def tokenizer_stats(
@@ -573,4 +580,288 @@ def tokenizer_stats(
             F.expr("percentile(n_bpe_tokens, 0.95)").alias("p95_doc_tokens"),
         )
         .orderBy("group")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, arXiv:1804.10959 — SentencePiece's
+# 'unigram' model): the OTHER production-standard subword family next to
+# BPE. Same Spark shape as the byte-level BPE above: the corpus-sized work
+# is ONE distributed pre-token count (word_frequencies_bytelevel); EM +
+# pruning run driver-side over that bounded table (a per-iteration
+# distributed E-step would be dozens of Spark jobs for work that fits in
+# memory by construction); encoding is Arrow-batched Viterbi with a
+# per-worker word cache; decoding shares the byte-level pure-Catalyst
+# lossless path. Byte-level symbols make the model TOTAL: any string
+# decomposes to base bytes, no <unk>, ids always defined.
+# ---------------------------------------------------------------------------
+
+_LOG_FLOOR = -27.631021115928547  # ln(1e-12): keep-alive floor for base bytes
+
+
+def _logadd(a: float, b: float) -> float:
+    import math
+
+    if a == float("-inf"):
+        return b
+    if b == float("-inf"):
+        return a
+    m = a if a > b else b
+    return m + math.log1p(math.exp(-abs(a - b)))
+
+
+def _unigram_forward_backward(s: str, logp: dict, L: int):
+    """Expected piece counts + log-likelihood of one word under the current
+    unigram model (lattice forward-backward, Kudo §3.2's E-step). Returns
+    (counts, logZ); pieces are substrings of ``s`` up to length ``L``."""
+    import math
+
+    neg = float("-inf")
+    n = len(s)
+    alpha = [neg] * (n + 1)
+    alpha[0] = 0.0
+    for j in range(1, n + 1):
+        acc = neg
+        for i in range(max(0, j - L), j):
+            lp = logp.get(s[i:j])
+            if lp is not None and alpha[i] != neg:
+                acc = _logadd(acc, alpha[i] + lp)
+        alpha[j] = acc
+    if alpha[n] == neg:
+        return None, neg
+    beta = [neg] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        acc = neg
+        for j in range(i + 1, min(n, i + L) + 1):
+            lp = logp.get(s[i:j])
+            if lp is not None and beta[j] != neg:
+                acc = _logadd(acc, lp + beta[j])
+        beta[i] = acc
+    z = alpha[n]
+    counts: dict[str, float] = {}
+    for i in range(n):
+        if alpha[i] == neg:
+            continue
+        for j in range(i + 1, min(n, i + L) + 1):
+            lp = logp.get(s[i:j])
+            if lp is not None and beta[j] != neg:
+                p = s[i:j]
+                counts[p] = counts.get(p, 0.0) + math.exp(alpha[i] + lp + beta[j] - z)
+    return counts, z
+
+
+def _unigram_viterbi(s: str, logp: dict, L: int) -> list[str]:
+    """Most-likely segmentation of one word (Viterbi over the piece
+    lattice). Deterministic tie-break: the LONGEST last piece wins (the i
+    loop ascends from j-L, strict > keeps the first/longest candidate)."""
+    neg = float("-inf")
+    n = len(s)
+    best = [neg] * (n + 1)
+    best[0] = 0.0
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - L), j):
+            lp = logp.get(s[i:j])
+            if lp is None or best[i] == neg:
+                continue
+            cand = best[i] + lp
+            if cand > best[j]:
+                best[j] = cand
+                back[j] = i
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(s[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    max_words: int = 50_000,
+    seed_size: int | None = None,
+    em_iters: int = 2,
+    prune_rounds: int = 3,
+    max_piece_len: int = 10,
+) -> list[tuple[str, float]]:
+    """Learn a unigram-LM vocabulary (Kudo 2018): distributed byte-level
+    pre-token counts → driver-side seed (all substrings ≤ ``max_piece_len``
+    scored by count×length, SentencePiece's heuristic) → ``prune_rounds``
+    of [``em_iters`` EM sweeps → keep the top pieces by probability] until
+    ``vocab_size`` — probability pruning is the standard simplification of
+    SentencePiece's leave-one-out loss ranking. All 256 base byte symbols
+    are always retained (totality — no <unk>, the byte-level convention).
+
+    Returns the model in ID ORDER: 256 base byte symbols (byte order, the
+    bytelevel_vocab layout) then learned multi-symbol pieces by
+    (probability desc, piece asc), each as (piece, logprob). Deterministic
+    by construction (sorted seed, deterministic float sweeps, ordered
+    ties)."""
+    import math
+
+    if vocab_size < 256:
+        raise ValueError(f"vocab_size must be >= 256 (the byte base): {vocab_size}")
+    rows = word_frequencies_bytelevel(docs, text_col, max_words).collect()
+    table = sorted(
+        ((_to_byte_symbols(r["word"]), r["freq"]) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )
+    base_syms = [_BYTE_ENCODER[b] for b in range(256)]
+
+    sub_counts: dict[str, int] = defaultdict(int)
+    for s, f in table:
+        n = len(s)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                sub_counts[s[i:j]] += f
+    multi = [p for p in sub_counts if len(p) > 1]
+    multi.sort(key=lambda p: (-sub_counts[p] * len(p), p))
+    seed_size = seed_size or max(4 * vocab_size, 1024)
+    pieces = multi[:seed_size]
+
+    # initial probabilities ∝ seed counts (plus the keep-alive byte base)
+    total0 = float(sum(sub_counts[p] for p in pieces)) + float(
+        sum(sub_counts.get(c, 1) for c in base_syms)
+    )
+    logp = {p: math.log(sub_counts[p] / total0) for p in pieces}
+    for c in base_syms:
+        logp[c] = math.log(sub_counts.get(c, 1) / total0)
+
+    def em_sweep(logp: dict) -> dict:
+        expected: dict[str, float] = defaultdict(float)
+        for s, f in table:
+            counts, _ = _unigram_forward_backward(s, logp, max_piece_len)
+            if counts is None:
+                continue
+            for p, c in counts.items():
+                expected[p] += c * f
+        tot = sum(expected.values()) or 1.0
+        out = {
+            p: math.log(c / tot) for p, c in expected.items() if c / tot > 1e-12
+        }
+        for c in base_syms:  # totality floor
+            if c not in out:
+                out[c] = _LOG_FLOOR
+        return out
+
+    n_multi_target = vocab_size - 256
+    for r in range(prune_rounds):
+        for _ in range(em_iters):
+            logp = em_sweep(logp)
+        cur_multi = sorted(
+            ((p, lp) for p, lp in logp.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )
+        if len(cur_multi) <= n_multi_target:
+            break
+        # geometric schedule down to the target (SentencePiece's 25%/round)
+        keep = max(n_multi_target, int(len(cur_multi) * 0.75))
+        if r == prune_rounds - 1:
+            keep = n_multi_target
+        logp = {p: lp for p, lp in cur_multi[:keep]}
+        for c in base_syms:
+            logp[c] = logp.get(c, _LOG_FLOOR)
+        # restore byte probs from the pre-prune model
+        # (they were overwritten by the floor default above only if absent)
+    for _ in range(em_iters):  # final re-fit at the target size
+        logp = em_sweep(logp)
+    cur_multi = sorted(
+        ((p, lp) for p, lp in logp.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:n_multi_target]
+    return [(c, logp[c]) for c in base_syms] + cur_multi
+
+
+def unigram_vocab(model: list[tuple[str, float]]) -> list[str]:
+    """Piece list in id order (256 base bytes first — total, no <unk>)."""
+    return [p for p, _ in model]
+
+
+def unigram_encode(
+    docs: DataFrame,
+    model: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_ids: bool = True,
+) -> DataFrame:
+    """Distributed Viterbi encode under a :func:`train_unigram` model →
+    (doc_id, bpe_tokens, n_bpe_tokens[, bpe_ids]) — the column contract of
+    :func:`bpe_encode_bytelevel`, so :func:`tokenizer_stats`,
+    :func:`bpe_decode_bytelevel`-style decoding (:func:`unigram_decode`)
+    and every downstream packing/budget stage work unchanged. Same Arrow
+    shape: mapInPandas, model in the task closure, per-worker word cache
+    (Zipf: a partition's distinct words are a sliver of its tokens).
+    NULL text → empty token list."""
+    logp = dict(model)
+    tok2id = {p: i for i, (p, _) in enumerate(model)}
+    max_len = max((len(p) for p in tok2id), default=1)
+    pattern = BYTELEVEL_PRETOKEN_RX_PY
+    byte_enc = dict(_BYTE_ENCODER)
+
+    def run(batches):
+        import pandas as pd
+
+        rx = re.compile(pattern)
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            toks: list[str] = []
+            for w in rx.findall(text or ""):
+                got = cache.get(w)
+                if got is None:
+                    mapped = "".join(byte_enc[b] for b in w.encode("utf-8"))
+                    got = _unigram_viterbi(mapped, logp, max_len)
+                    cache[w] = got
+                toks.extend(got)
+            return toks
+
+        for pdf in batches:
+            toks = pdf[text_col].map(enc)
+            cols = {
+                "doc_id": pdf[id_col],
+                "bpe_tokens": toks,
+                "n_bpe_tokens": toks.map(len),
+            }
+            if with_ids:
+                cols["bpe_ids"] = toks.map(lambda ts: [tok2id[t] for t in ts])
+            yield pd.DataFrame(cols)
+
+    schema = "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
+    if with_ids:
+        schema += ", bpe_ids array<int>"
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def unigram_decode(
+    encoded: DataFrame,
+    model: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "text",
+) -> DataFrame:
+    """LOSSLESS inverse of :func:`unigram_encode` — the same pure-Catalyst
+    zero-shuffle path as :func:`bpe_decode_bytelevel` (pieces are
+    mapped-byte strings, so decode is container-independent: concatenate,
+    translate, re-read as UTF-8). With ``model`` the ``bpe_ids`` decode via
+    a one-row broadcast vocab frame; otherwise ``bpe_tokens`` decode
+    directly. decode(encode(x)) == x for any unicode string."""
+    if model is not None:
+        spark = encoded.sparkSession
+        vdf = spark.createDataFrame(
+            [(unigram_vocab(model),)], "_ugvocab array<string>"
+        )
+        toks = F.transform(
+            F.col("bpe_ids"),
+            lambda i: F.element_at(F.col("_ugvocab"), i + F.lit(1)),
+        )
+        src = encoded.join(F.broadcast(vdf))
+    else:
+        toks = F.col("bpe_tokens")
+        src = encoded
+    return src.select(
+        F.col(id_col), _mapped_tokens_to_text(toks).alias(out_col)
     )

@@ -486,3 +486,117 @@ def test_tokenizer_stats_audit(spark):
     assert s200["fertility"] < s40["fertility"]
     assert s200["bytes_per_token"] > s40["bytes_per_token"]
     assert s40["group"] == "overall" and s40["n_docs"] == 500
+
+
+# Unigram-LM tokenizer (Kudo 2018 / SentencePiece 'unigram') — round-7
+# verdict next-step #6; mirrors the byte-level BPE gates above
+
+
+def test_unigram_round_trip_is_lossless(spark):
+    """decode(encode(x)) == x under a unigram model for the same hostile
+    unicode rows the byte-level suite pins — totality comes from the
+    always-retained 256-byte base, exactly like byte-level BPE."""
+    rows = [
+        "Hello  WORLD!  Mixed Case",
+        "emoji 🚀🎉 and ZWJ 👩‍🚀 sequences",
+        "日本語のテキスト and 中文混排",
+        "tabs\tnewlines\nand\r\ncarriage returns",
+        "control\x07chars\x00embedded",
+        "accents: naïve café résumé",
+        "   leading and trailing   ",
+        "",
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    model = bpe.train_unigram(docs, vocab_size=300, prune_rounds=2, em_iters=1)
+    enc = bpe.unigram_encode(docs, model)
+    dec = {r["doc_id"]: r["text"] for r in bpe.unigram_decode(enc).collect()}
+    for i, t in enumerate(rows):
+        assert dec[i] == (t or ""), f"doc {i}: {dec[i]!r} != {t!r}"
+    # id path through the broadcast vocab frame
+    dec_ids = {
+        r["doc_id"]: r["text"]
+        for r in bpe.unigram_decode(enc.drop("bpe_tokens"), model=model).collect()
+    }
+    assert dec_ids == dec
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=50, deadline=None)
+def test_property_unigram_driver_round_trip(text):
+    """Driver-side property twin: Viterbi under the BASE-BYTES-ONLY model
+    (uniform logprob) segments any unicode string into pieces whose bytes
+    reassemble to the input exactly — no <unk> can exist."""
+    import re as _re
+
+    base = {bpe._BYTE_ENCODER[b]: -5.0 for b in range(256)}
+    rx = _re.compile(bpe.BYTELEVEL_PRETOKEN_RX_PY)
+    toks = []
+    for w in rx.findall(text):
+        toks.extend(bpe._unigram_viterbi(bpe._to_byte_symbols(w), base, 1))
+    raw = bytes(bpe._BYTE_DECODER[c] for c in "".join(toks))
+    assert raw.decode("utf-8") == text
+
+
+def test_unigram_learns_frequent_pieces_and_beats_bytes(spark):
+    """A corpus dominated by a repeated word must yield multi-symbol pieces
+    covering it (EM concentrates probability there), Viterbi must USE them
+    (token count well below byte count), and training must be
+    deterministic across runs."""
+    docs = _corpus(
+        spark,
+        ["the transformer architecture", "the transformer model",
+         "a transformer layer", "the the transformer"],
+    )
+    model = bpe.train_unigram(docs, vocab_size=280, prune_rounds=2, em_iters=2)
+    assert [p for p, _ in model[:256]] == [bpe._BYTE_ENCODER[b] for b in range(256)]
+    multi = [p for p, _ in model[256:]]
+    assert len(multi) <= 280 - 256
+    # some learned piece covers a chunk of 'transformer'
+    assert any(len(p) >= 4 and p in "transformer" for p in multi), multi
+    enc = bpe.unigram_encode(docs, model)
+    row = enc.filter(F.col("doc_id") == 0).collect()[0]
+    n_bytes = len("the transformer architecture".encode("utf-8"))
+    assert row["n_bpe_tokens"] < n_bytes * 0.6
+    assert all(0 <= i < len(model) for i in row["bpe_ids"])
+    # determinism: retraining gives the identical model
+    model2 = bpe.train_unigram(docs, vocab_size=280, prune_rounds=2, em_iters=2)
+    assert model2 == model
+
+
+def test_unigram_fertility_vs_bpe_via_tokenizer_stats(spark):
+    """The two tokenizer families plug into the SAME stats audit (shared
+    column contract): fertility/bytes_per_token computed side by side —
+    the comparison a tokenizer choice is made on."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    model = bpe.train_unigram(
+        docs, vocab_size=400, max_words=2000, prune_rounds=2, em_iters=1
+    )
+    merges = bpe.train_bpe_bytelevel(docs, num_merges=144)
+    st_u = bpe.tokenizer_stats(docs, bpe.unigram_encode(docs, model, with_ids=False)).collect()[0]
+    st_b = bpe.tokenizer_stats(docs, bpe.bpe_encode_bytelevel(docs, merges, with_ids=False)).collect()[0]
+    # both learned SOMETHING: better than 1 byte per token
+    assert st_u["bytes_per_token"] > 1.0 and st_b["bytes_per_token"] > 1.0
+    assert st_u["n_docs"] == st_b["n_docs"] == docs.count()
+
+
+def test_unigram_encode_plan_is_map_only_and_decode_jvm_only(spark):
+    """Encode: one Arrow mapInPandas stage, zero shuffle. Decode: pure
+    Catalyst, no Python — the byte-level plan gates applied to unigram."""
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = bpe.train_unigram(
+        docs, vocab_size=300, max_words=500, prune_rounds=1, em_iters=1
+    )
+    enc = bpe.unigram_encode(docs, model)
+    counts = plan_counts(enc)
+    assert counts["exchanges"] == 0 and counts["map_in_pandas"] == 1
+    dec_plan = (
+        bpe.unigram_decode(enc.localCheckpoint())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in dec_plan and "Pandas" not in dec_plan
+    assert "Exchange" not in dec_plan
