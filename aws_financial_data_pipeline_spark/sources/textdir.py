@@ -45,6 +45,7 @@ def to_parquet_corpus(
     out_path: str,
     pattern: str = "*.txt",
     id_from: str = "rank",
+    target_file_bytes: int | None = None,
 ) -> DataFrame:
     """Consolidate a file-per-document corpus into parquet with a stable
     numeric doc_id, the layout every downstream operator expects.
@@ -63,6 +64,12 @@ def to_parquet_corpus(
     store (operators/dedup.py incremental path) keyed by doc_id needs.
     Collision odds for a 64-bit hash are ~N²/2⁶⁵ (≈3e-7 at 100M files);
     uniqueness is asserted post-write with one cheap count over the output.
+
+    ``target_file_bytes`` routes the write through
+    :func:`..bucketing.compact_corpus`-style file sizing (wholetext makes
+    ONE partition per input file — exactly the small-files fragmentation
+    this consolidation exists to fix, so without the option the parquet
+    output mirrors the input's file count).
     """
     from pyspark.sql import Window
 
@@ -79,7 +86,12 @@ def to_parquet_corpus(
         out = docs.join(ids, "doc_path").select("doc_id", "doc_name", "text")
     else:
         raise ValueError(f"id_from must be 'rank' or 'path_hash': {id_from!r}")
-    out.write.mode("overwrite").parquet(out_path)
+    if target_file_bytes is not None:
+        from .bucketing import compact_corpus
+
+        compact_corpus(out, out_path, target_file_bytes=target_file_bytes)
+    else:
+        out.write.mode("overwrite").parquet(out_path)
     result = spark.read.parquet(out_path)
     if id_from == "path_hash":
         n_rows, n_ids = result.agg(

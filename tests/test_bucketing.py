@@ -191,3 +191,67 @@ def test_zorder_sign_bit_guard(spark, tmp_path):
         assert mean_span(col) < 0.6, col
     back = spark.read.parquet(p_z)
     assert back.count() == 8192
+
+
+def test_compact_corpus_file_sizing_and_identity(spark, tmp_path):
+    """Target-file-size compaction (round-6 verdict next-step #7): the
+    writer lands ceil(estimate/target) files — several small files for a
+    tiny target, ONE for a huge target — and the data round-trips
+    IDENTICALLY (the HistoryStore.compact gate applied to the corpus
+    sink). The size estimate must sit within an order of magnitude of the
+    real raw bytes."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.sources import bucketing as bk
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+        # fragment the input on purpose: the failure mode compaction fixes
+        .repartition(64)
+    )
+    raw_bytes = docs.agg(
+        F.sum(F.octet_length("text") + F.octet_length("source") + 16)
+    ).collect()[0][0]
+    est = bk.estimate_bytes(docs, compression_ratio=1.0)
+    assert raw_bytes / 4 <= est <= raw_bytes * 4
+
+    import glob
+
+    # tiny target → multiple files, count matches the formula
+    p_multi = str(tmp_path / "multi")
+    target = max(1, est // 7)
+    n = bk.compact_corpus(docs, p_multi, target_file_bytes=target,
+                          compression_ratio=1.0)
+    files = glob.glob(f"{p_multi}/part-*.parquet")
+    assert n == -(-est // target) and len(files) == n and n >= 5
+
+    # huge target → exactly one file, regardless of 64 input partitions
+    p_one = str(tmp_path / "one")
+    n1 = bk.compact_corpus(docs, p_one, target_file_bytes=1 << 40)
+    assert n1 == 1 and len(glob.glob(f"{p_one}/part-*.parquet")) == 1
+
+    # read-back identity on both layouts
+    want = {tuple(r) for r in docs.collect()}
+    assert {tuple(r) for r in spark.read.parquet(p_multi).collect()} == want
+    assert {tuple(r) for r in spark.read.parquet(p_one).collect()} == want
+
+
+def test_to_parquet_corpus_target_file_bytes(spark, tmp_path):
+    """The consolidation entry point honors target sizing: wholetext makes
+    one partition per input file (100 tiny files here), and the sized
+    write collapses them instead of mirroring the fragmentation."""
+    import glob
+
+    from aws_financial_data_pipeline_spark.sources.textdir import to_parquet_corpus
+
+    src = tmp_path / "txt"
+    src.mkdir()
+    for i in range(100):
+        (src / f"doc{i:03d}.txt").write_text(f"document number {i} body text")
+    out = str(tmp_path / "corpus")
+    result = to_parquet_corpus(
+        spark, str(src), out, target_file_bytes=1 << 30
+    )
+    assert result.count() == 100
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 1
