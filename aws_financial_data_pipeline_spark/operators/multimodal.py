@@ -471,15 +471,23 @@ def phash64(img: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def image_phash(with_payload: DataFrame, media_type: str = "image/bmp") -> DataFrame:
+def image_phash(
+    with_payload: DataFrame,
+    media_type: "str | tuple[str, ...]" = "image/bmp",
+) -> DataFrame:
     """(doc_id, payload, media_type, …) → (doc_id, phash long) for rows of
-    the given media type. Arrow-batched mapInPandas over the real BMP
-    decoder — map-only, payload dropped on output (at 100 TB the hash table
-    is what persists; the bytes are read once)."""
+    the given media type(s) — pass a tuple to hash a MIXED-container corpus
+    in one pass (decode_image dispatches on magic bytes, and pHash sees
+    pixels, not containers, so the same image as BMP/PNG/JPEG lands on one
+    hash — exactly what crawl-image dedup needs). Arrow-batched
+    mapInPandas over the real decoders — map-only, payload dropped on
+    output (at 100 TB the hash table is what persists; the bytes are read
+    once)."""
+    types = (media_type,) if isinstance(media_type, str) else tuple(media_type)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sel = pdf[pdf["media_type"] == media_type]
+            sel = pdf[pdf["media_type"].isin(types)]
             yield pd.DataFrame(
                 {
                     "doc_id": sel["doc_id"],
@@ -490,6 +498,34 @@ def image_phash(with_payload: DataFrame, media_type: str = "image/bmp") -> DataF
             )
 
     return with_payload.mapInPandas(run, "doc_id bigint, phash bigint")
+
+
+IMAGE_TYPES = ("image/bmp", "image/png", "image/jpeg")
+
+
+def image_dedup(
+    with_payload: DataFrame,
+    media_type: "str | tuple[str, ...]" = IMAGE_TYPES,
+    max_distance: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end perceptual image dedup: pHash every image row
+    (container-independent — the same picture re-encoded BMP/PNG/JPEG
+    collides), band-join near-dup pairs within ``max_distance`` hamming,
+    connect the pair graph (pointer-doubling CC, ``graph.dedup_clusters``),
+    and label every image with (component, cluster_size, is_canonical) —
+    canonical = minimum id, the corpus-wide dedup convention. Keep
+    ``is_canonical`` rows to dedup; keep the rest of the columns for audit.
+
+    Shape at 100 TB: one Arrow map over the payload bytes (read once,
+    dropped immediately — the hash table is 16 bytes/row), the banded
+    equi-join of :func:`phash_near_duplicates` (recall 1.0 ≤ hamming 7 by
+    pigeonhole), and id-only CC iterations. Payload bytes never shuffle."""
+    from .graph import dedup_clusters
+
+    hashes = image_phash(with_payload, media_type)
+    pairs = phash_near_duplicates(hashes, max_distance=max_distance, id_col=id_col)
+    return dedup_clusters(hashes.select(id_col), pairs, id_col=id_col)
 
 
 def phash_near_duplicates(

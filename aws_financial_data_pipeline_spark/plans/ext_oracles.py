@@ -948,9 +948,25 @@ EXT_ORACLES: dict[str, str] = {
     """,
     # pandas std(ddof=1) == stddev_samp; singleton/zero-variance users → NULL
     "x24_zscore_grouped_pandas": """
-    SELECT user_id, id, amount,
+    WITH evn AS (SELECT event_id, user_id, event_type, value FROM events),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM evn GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM evn e JOIN med m USING (event_type) GROUP BY 1
+    ),
+    rob AS (
+      SELECT e.event_id, e.user_id, e.event_type, e.value,
+             CASE WHEN d.mad > 0
+                  THEN 0.6745 * (e.value - m.med) / d.mad END AS raw_z
+      FROM evn e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    )
+    SELECT 'zscore' AS method, user_id, id, amount,
            round((amount - avg(amount) OVER w) / nullif(stddev_samp(amount) OVER w, 0), 4)
-             AS zscore
+             AS zscore,
+           NULL AS grp, CAST(NULL AS DOUBLE) AS robust_z,
+           CAST(NULL AS BOOLEAN) AS is_anomaly
     FROM (
       SELECT l_suppkey AS user_id,
              l_orderkey * 10 + l_linenumber AS id,
@@ -958,5 +974,11 @@ EXT_ORACLES: dict[str, str] = {
       FROM lineitem
     )
     WINDOW w AS (PARTITION BY user_id)
+    UNION ALL
+    SELECT 'robust' AS method, user_id, event_id AS id, value AS amount,
+           CAST(NULL AS DOUBLE) AS zscore, event_type AS grp,
+           round(raw_z, 6) AS robust_z,
+           coalesce(abs(raw_z) > 3.5, FALSE) AS is_anomaly
+    FROM rob
     """,
 }

@@ -354,11 +354,20 @@ def x20_asof_join(spark, sf_dir):
 
 
 def x24_zscore_grouped_pandas(spark, sf_dir):
-    """Grouped-map applyInPandas (per-user z-score) with a full SQL oracle —
-    proof the Arrow grouped path computes exactly what the window SQL says.
-    Uses the lineitem-only columns (id derivable without joins)."""
+    """Anomaly scoring, both statistics in one checked slot (method
+    discriminator over a superset schema):
+
+    - ``zscore``: grouped-map applyInPandas per-user z-score — proof the
+      Arrow grouped path computes exactly what the window SQL says (uses
+      the lineitem-only columns; id derivable without joins).
+    - ``robust``: the Iglewicz–Hoaglin modified z-score per event_type over
+      the events table (``timeseries.robust_anomalies`` — exact median/MAD
+      aggregations, no window), with ``is_anomaly`` decided on the
+      UNROUNDED score like the operator does. Moment vs robust statistics
+      side by side is the telemetry-anomaly comparison the operator exists
+      for."""
     from ..operators.normalize import zscore_per_user
-    from ..session import read_parquet_scaled
+    from ..operators.timeseries import robust_anomalies
 
     li = read_parquet_scaled(spark, f"{sf_dir}/lineitem.parquet")
     txns = li.select(
@@ -366,7 +375,28 @@ def x24_zscore_grouped_pandas(spark, sf_dir):
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
         F.col("l_extendedprice").alias("amount"),
     )
-    return zscore_per_user(txns)
+    z_leg = zscore_per_user(txns).select(
+        F.lit("zscore").alias("method"),
+        "user_id",
+        "id",
+        "amount",
+        "zscore",
+        F.lit(None).cast("string").alias("grp"),
+        F.lit(None).cast("double").alias("robust_z"),
+        F.lit(None).cast("boolean").alias("is_anomaly"),
+    )
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    r_leg = robust_anomalies(ev, ("event_type",), "value").select(
+        F.lit("robust").alias("method"),
+        "user_id",
+        F.col("event_id").alias("id"),
+        F.col("value").alias("amount"),
+        F.lit(None).cast("double").alias("zscore"),
+        F.col("event_type").alias("grp"),
+        "robust_z",
+        "is_anomaly",
+    )
+    return z_leg.unionByName(r_leg)
 
 
 def x22_interval_join(spark, sf_dir):
@@ -837,7 +867,8 @@ def x18_multimodal_features(spark, sf_dir):
 #   round-7 method-leg promotions (slots carry multiple legs, the x40 model):
 #     paragraph_dedup → x42 'paragraph' leg (multi-paragraph docs built
 #       IN-QUERY — the corpus has no newlines);  collocations (PMI) → x28
-#       'pmi' leg;  check_constraints → x31 'constraint' leg
+#       'pmi' leg;  check_constraints → x31 'constraint' leg;
+#       robust_anomalies (median/MAD) → x24 'robust' leg
 #   x34 (no SQL oracle) and x38 (plan-shape gate) → pytest-only, see docstrings
 # Total: 24 q + 26 x = 50 entries, every one oracle-checked.
 EXT_QUERIES = {

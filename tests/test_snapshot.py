@@ -250,9 +250,12 @@ def test_incremental_curation_nondefault_lsh_params(spark):
     )
 
     params = dict(num_hashes=24, band_size=6, n=2)
+    # docs must be long enough to clear the Gopher word-count floor (the
+    # lenient rule_mode="any" still needs ONE family to pass) or the funnel
+    # drops the batch doc before cross-dedup ever sees it
     base = "the quick brown fox jumps over the lazy dog near the river bank"
     standing_raw = spark.createDataFrame(
-        [(i, f"{base} variant {i} " + " ".join(f"w{i}{j}" for j in range(10)))
+        [(i, f"{base} variant {i} " + " ".join(f"word{i}x{j} and" for j in range(30)))
          for i in range(6)],
         "doc_id long, text string",
     )
