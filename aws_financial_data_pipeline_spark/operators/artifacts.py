@@ -72,6 +72,20 @@ def load_bpe_model(path: str) -> tuple[list[tuple[str, str]], list[str] | None]:
     return [tuple(m) for m in obj["merges"]], obj["vocab"]
 
 
+def save_unigram_model(path: str, model: list[tuple[str, float]]) -> None:
+    """Persist a :func:`..bpe.train_unigram` model — (piece, logprob) in ID
+    ORDER (order IS the id assignment, like BPE merges). JSON is
+    unicode-safe for the mapped-byte piece alphabet."""
+    _write_json(
+        path, "unigram_model", {"pieces": [[p, lp] for p, lp in model]}
+    )
+
+
+def load_unigram_model(path: str) -> list[tuple[str, float]]:
+    obj = _read_json(path, "unigram_model")
+    return [(p, float(lp)) for p, lp in obj["pieces"]]
+
+
 def save_mixture_plan(path: str, plan: list[dict]) -> None:
     """Persist a ``plan_token_budget`` output — the auditable record of what
     the training run was budgeted to consume per domain."""

@@ -600,3 +600,17 @@ def test_unigram_encode_plan_is_map_only_and_decode_jvm_only(spark):
     )
     assert "Python" not in dec_plan and "Pandas" not in dec_plan
     assert "Exchange" not in dec_plan
+
+
+def test_unigram_model_persists_through_artifacts(tmp_path):
+    """(piece, logprob) pairs — mapped high-codepoint symbols and float
+    logprobs — survive the JSON round trip bit-identically, preserving the
+    id order (order IS the id assignment)."""
+    from aws_financial_data_pipeline_spark.operators import artifacts
+
+    model = [(bpe._BYTE_ENCODER[b], -5.5) for b in range(256)] + [
+        ("Ġthe", -2.25), ("ing", -3.125), ("āĂ", -9.75),
+    ]
+    path = str(tmp_path / "unigram.json")
+    artifacts.save_unigram_model(path, model)
+    assert artifacts.load_unigram_model(path) == model

@@ -377,3 +377,35 @@ def test_round6_tail_ops_on_empty(spark):
         empty_v, fks=(("fk", "id", some_v.select(F.col("id")), "id"),)
     ).collect()
     assert len(res) == 1 and res[0]["passed"] and res[0]["n_checked"] == 0
+
+
+def test_round7_operators_on_empty(spark, tmp_path):
+    """Round-7 additions survive empty frames: unigram train falls back to
+    the byte base (still total — encodes/decodes anything), image_dedup of
+    no images is empty, compact_corpus writes a valid empty parquet, and
+    check_constraints passes vacuously (coalesce-guarded sums)."""
+    from aws_financial_data_pipeline_spark.operators import bpe, multimodal as mm
+    from aws_financial_data_pipeline_spark.operators.profile import check_constraints
+    from aws_financial_data_pipeline_spark.sources import bucketing as bk
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    model = bpe.train_unigram(no_docs, vocab_size=256, prune_rounds=1, em_iters=1)
+    assert len(model) == 256  # byte base survives an empty corpus
+    probe = spark.createDataFrame([(1, "hiya 🚀")], "doc_id long, text string")
+    enc = bpe.unigram_encode(probe, model)
+    assert bpe.unigram_decode(enc).collect()[0]["text"] == "hiya 🚀"
+
+    no_media = spark.createDataFrame(
+        [], "doc_id long, payload binary, media_type string, byte_len long"
+    )
+    assert mm.image_dedup(no_media).count() == 0
+
+    p = str(tmp_path / "empty_corpus")
+    assert bk.compact_corpus(no_docs, p) == 1
+    assert spark.read.parquet(p).count() == 0
+
+    cons = check_constraints(
+        no_docs, not_null=("doc_id",), unique=("doc_id",),
+        ranges={"doc_id": (0, 10)},
+    ).collect()
+    assert len(cons) == 3 and all(r["passed"] for r in cons)
