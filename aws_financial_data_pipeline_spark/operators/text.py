@@ -1075,7 +1075,17 @@ def script_profile(
     ratios are over NON-WHITESPACE chars; ``main_script`` is the
     deterministic argmax (chain order as listed, ``other`` when nothing
     scores). NULL text → zero counts, main_script ``other``."""
-    c = F.coalesce(F.col(text_col), F.lit(""))
+    return docs.select(
+        F.col(id_col), *_script_output_cols(F.col(text_col))
+    )
+
+
+def _script_output_cols(c, prefix: str = "", include_nchars: bool = True) -> list:
+    """Column list for the per-script profile over Column ``c`` — the
+    shared-expression builder (the ``_gopher_output_cols`` convention) so
+    :func:`script_profile` and :func:`text_profile` extra columns (the x10
+    oracle gate) cannot drift."""
+    c = F.coalesce(c, F.lit(""))
     non_ws = F.length(F.regexp_replace(c, r"\s", ""))
     counts = {
         name: F.length(c) - F.length(F.regexp_replace(c, f"[{cls}]", ""))
@@ -1092,14 +1102,14 @@ def script_profile(
             F.when(cond, F.lit(name)) if pred is None else pred.when(cond, F.lit(name))
         )
     pred = pred.otherwise(F.lit("other"))
-    out = [F.col(id_col), non_ws.alias("n_chars")]
+    out = [non_ws.alias(f"{prefix}n_chars")] if include_nchars else []
     for name in names:
-        out.append(counts[name].alias(f"n_{name}"))
+        out.append(counts[name].alias(f"{prefix}n_{name}"))
         out.append(
-            F.round(F.try_divide(counts[name], non_ws), 4).alias(f"{name}_ratio")
+            F.round(F.try_divide(counts[name], non_ws), 4).alias(f"{prefix}{name}_ratio")
         )
-    out.append(pred.alias("main_script"))
-    return docs.select(*out)
+    out.append(pred.alias(f"{prefix}main_script"))
+    return out
 
 
 def collocations(

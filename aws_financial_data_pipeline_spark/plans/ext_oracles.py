@@ -156,6 +156,40 @@ def _lang_pred_sql() -> str:
     return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
 
 
+# RE2 spells unicode script classes \p{Latin} where Java says \p{IsLatin};
+# counts verified identical on mixed-script probes (round 7)
+_SCRIPT_SQL_CLASSES = (
+    ("latin", r"\p{Latin}"),
+    ("cjk", r"\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("arabic", r"\p{Arabic}"),
+    ("devanagari", r"\p{Devanagari}"),
+)
+
+
+def _script_sql(col: str) -> str:
+    """Per-script count/ratio/main_script fragments over ``col`` — the SQL
+    twin of text._script_output_cols(prefix='script_')."""
+    cnt = {
+        n: f"(length({col}) - length(regexp_replace({col}, '[{cls}]', '', 'g')))"
+        for n, cls in _SCRIPT_SQL_CLASSES
+    }
+    nonws = f"length(regexp_replace({col}, '\\s', '', 'g'))"
+    names = [n for n, _ in _SCRIPT_SQL_CLASSES]
+    parts = []
+    for n in names:
+        parts.append(f"CAST({cnt[n]} AS BIGINT) AS script_n_{n}")
+        parts.append(f"round({cnt[n]} / nullif({nonws}, 0), 4) AS script_{n}_ratio")
+    clauses = []
+    for n in names:
+        conds = " AND ".join(
+            [f"{cnt[n]} > 0"] + [f"{cnt[n]} >= {cnt[o]}" for o in names if o != n]
+        )
+        clauses.append(f"WHEN {conds} THEN '{n}'")
+    parts.append("CASE " + " ".join(clauses) + " ELSE 'other' END AS script_main_script")
+    return ",\n           ".join(parts)
+
+
 EXT_ORACLES: dict[str, str] = {
     "x01_dedup_exact": """
     SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -543,6 +577,9 @@ EXT_ORACLES: dict[str, str] = {
           FROM documents),
     sc AS (
       SELECT doc_id, lang AS lang_actual, text, tok,
+             text || CASE WHEN doc_id % 3 = 0 THEN ' Привет мир'
+                          WHEN doc_id % 3 = 1 THEN ' 日本語テキスト'
+                          ELSE '' END AS augx,
        """
     + _lang_scores_sql()
     + r"""
@@ -581,6 +618,8 @@ EXT_ORACLES: dict[str, str] = {
     + _pii_sql("text")[0]
     + " AS text_redacted,\n           "
     + ",\n           ".join(_pii_sql("text")[1])
+    + ",\n           "
+    + _script_sql("augx")
     + r"""
     FROM sc LEFT JOIN fp USING (doc_id) JOIN gp USING (doc_id)
     """,

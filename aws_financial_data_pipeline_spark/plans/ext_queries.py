@@ -176,15 +176,31 @@ def _long(df: DataFrame, *cols: str) -> DataFrame:
 def x10_text_profile(spark, sf_dir):
     """All per-document text analysis in one map-only pass (round-1
     x10+x11+x12+x13 consolidated; round-3 folds in the Gopher quality-rule
-    flags and PII redaction so both are driver-oracle-gated): stats/quality,
-    stopword language-ID, ws/BPE token counts, min-hash fingerprint, the
-    seven Gopher rule measurements + flags + keep, and the redacted text +
-    per-kind PII counts. One checked slot, zero shuffle."""
-    out = text.text_profile(_docs(spark, sf_dir), gopher=True, pii=True)
+    flags and PII redaction so both are driver-oracle-gated; round-7 folds
+    in the unicode-SCRIPT profile): stats/quality, stopword language-ID,
+    ws/BPE token counts, min-hash fingerprint, the seven Gopher rule
+    measurements + flags + keep, the redacted text + per-kind PII counts,
+    and per-script char counts/ratios + main_script over an AUGMENTED text
+    (the ASCII-only corpus gets deterministic Cyrillic/CJK tails by
+    doc_id % 3 — built identically in both engines — so the script argmax
+    is non-vacuous). One checked slot, zero shuffle."""
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" Привет мир"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" 日本語テキスト"))
+        .otherwise(F.lit("")),
+    )
+    out = text.text_profile(
+        _docs(spark, sf_dir),
+        gopher=True,
+        pii=True,
+        extra_cols=text._script_output_cols(aug, prefix="script_", include_nchars=False),
+    )
     longs = ["n_chars", "n_tokens", "n_distinct_tokens", "ws_tokens", "bpe_tokens",
              "n_shingles", "n_shingles_total", "n_words", "n_distinct_stopwords",
              "n_email", "n_ssn", "n_ipv4", "n_phone",
-             *[c for c in out.columns if c.startswith("score_")]]
+             *[c for c in out.columns if c.startswith("score_")],
+             *[c for c in out.columns if c.startswith("script_n_")]]
     return _long(out, *longs)
 
 
