@@ -359,7 +359,8 @@ EXT_ORACLES: dict[str, str] = {
     multi AS (
       SELECT doc_id % 50 AS doc_id,
              'Shared boilerplate navigation paragraph.' || chr(10) ||
-             string_agg(text, chr(10) ORDER BY doc_id) AS text
+             string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+             'Shared boilerplate navigation paragraph.' AS text
       FROM documents GROUP BY doc_id % 50
     ),
     mp AS (SELECT doc_id, text, string_split(text, chr(10)) AS p FROM multi),
@@ -394,6 +395,17 @@ EXT_ORACLES: dict[str, str] = {
            CASE WHEN coalesce(r.n_kept, 0) = len(b.p) THEN b.text
                 ELSE coalesce(r.ct, '') END AS clean_text
     FROM mp b LEFT JOIN prebuilt r USING (doc_id)
+    UNION ALL
+    SELECT 'within_doc_lines' AS method, doc_id,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS removed_units,
+           string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE rn = 1)
+             AS clean_text
+    FROM (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY doc_id, trim(para)
+                                ORDER BY pos) AS rn
+      FROM paras
+    ) GROUP BY doc_id
     """,
     "x06_simhash_candidates": _SIMHASH64
     + """

@@ -810,13 +810,21 @@ def x42_dup_spans(spark, sf_dir):
       newlines (NOTES.md), so the leg builds multi-paragraph documents
       INSIDE the query — deterministically in both engines: docs group by
       ``doc_id % 50``, each group's texts concatenate in doc_id order with
-      newline separators under a shared literal boilerplate header (a
-      guaranteed ≥2-doc duplicate paragraph on top of any natural exact-dup
-      texts landing in different groups). removed_units = paragraphs cut.
+      newline separators BETWEEN a shared literal boilerplate header AND
+      the same line repeated as a footer (guaranteed ≥2-doc duplicate
+      paragraphs AND a guaranteed within-doc repeat, on top of any natural
+      exact-dup texts landing in other groups). removed_units =
+      paragraphs cut.
+    - ``within_doc_lines``: WITHIN-document repeated-line removal
+      (``spans.dedup_lines_within_doc`` — the Gopher duplicate-line rule's
+      removal companion; keeps each trimmed line's first occurrence) over
+      the same constructed docs — the footer boilerplate is its guaranteed
+      catch. removed_units = lines cut.
 
-    clean_text rides in both legs, so the hash transitively gates the gram
+    clean_text rides in all legs, so the hash transitively gates the gram
     table, duplicate filters, interval merge, keeper election ((doc_id,pos)
-    min-struct) and the reassembly: an off-by-one boundary changes it."""
+    min-struct), the first-occurrence index lambdas AND the reassembly: an
+    off-by-one boundary changes it."""
     from ..operators import spans as spans_mod
 
     docs = _docs(spark, sf_dir)
@@ -828,12 +836,13 @@ def x42_dup_spans(spark, sf_dir):
         "clean_text",
     )
 
+    boiler = "Shared boilerplate navigation paragraph."
     multi = (
         docs.groupBy((F.col("doc_id") % 50).alias("gid"))
         .agg(
             F.concat_ws(
                 "\n",
-                F.lit("Shared boilerplate navigation paragraph."),
+                F.lit(boiler),
                 F.array_join(
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
@@ -841,6 +850,7 @@ def x42_dup_spans(spark, sf_dir):
                     ),
                     "\n",
                 ),
+                F.lit(boiler),
             ).alias("text")
         )
         .select(F.col("gid").alias("doc_id"), "text")
@@ -851,7 +861,13 @@ def x42_dup_spans(spark, sf_dir):
         F.col("n_removed").cast("long").alias("removed_units"),
         "clean_text",
     )
-    return ngram.unionByName(para)
+    lines = spans_mod.dedup_lines_within_doc(multi).select(
+        F.lit("within_doc_lines").alias("method"),
+        "doc_id",
+        F.col("n_removed").cast("long").alias("removed_units"),
+        "clean_text",
+    )
+    return ngram.unionByName(para).unionByName(lines)
 
 
 # -- multimodal -------------------------------------------------------------
