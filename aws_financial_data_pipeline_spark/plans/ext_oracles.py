@@ -360,7 +360,10 @@ EXT_ORACLES: dict[str, str] = {
       SELECT doc_id % 50 AS doc_id,
              'Shared boilerplate navigation paragraph.' || chr(10) ||
              string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
-             'Shared boilerplate navigation paragraph.' AS text
+             'Shared boilerplate navigation paragraph.' || chr(10) ||
+             'Too short line.' || chr(10) ||
+             'This line mentions javascript and is long enough to pass.' || chr(10) ||
+             'This perfectly fine sentence has more than five words.' AS text
       FROM documents GROUP BY doc_id % 50
     ),
     mp AS (SELECT doc_id, text, string_split(text, chr(10)) AS p FROM multi),
@@ -406,6 +409,19 @@ EXT_ORACLES: dict[str, str] = {
                                 ORDER BY pos) AS rn
       FROM paras
     ) GROUP BY doc_id
+    UNION ALL
+    SELECT 'c4_lines' AS method, b.doc_id,
+           CAST(len(b.p) - coalesce(r.kept_n, 0) AS BIGINT) AS removed_units,
+           coalesce(r.ct, '') AS clean_text
+    FROM mp b LEFT JOIN (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(para, chr(10) ORDER BY pos) AS ct
+      FROM paras
+      WHERE regexp_matches(rtrim(para), '[.!?"'']$')
+        AND len(string_split_regex(trim(para), '\s+')) >= 5
+        AND NOT contains(lower(para), 'javascript')
+      GROUP BY doc_id
+    ) r USING (doc_id)
     """,
     "x06_simhash_candidates": _SIMHASH64
     + """

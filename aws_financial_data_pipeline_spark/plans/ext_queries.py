@@ -820,6 +820,11 @@ def x42_dup_spans(spark, sf_dir):
       removal companion; keeps each trimmed line's first occurrence) over
       the same constructed docs — the footer boilerplate is its guaranteed
       catch. removed_units = lines cut.
+    - ``c4_lines``: the C4 LINE rules (``text.c4_line_filters`` — terminal
+      punctuation, ≥5 words, no 'javascript') over the same docs; three
+      crafted literal tail lines make each rule individually decisive (one
+      fails word count, one fails the javascript rule, one passes), while
+      every punctuation-free corpus line drops. removed_units = lines cut.
 
     clean_text rides in all legs, so the hash transitively gates the gram
     table, duplicate filters, interval merge, keeper election ((doc_id,pos)
@@ -851,6 +856,9 @@ def x42_dup_spans(spark, sf_dir):
                     "\n",
                 ),
                 F.lit(boiler),
+                F.lit("Too short line."),
+                F.lit("This line mentions javascript and is long enough to pass."),
+                F.lit("This perfectly fine sentence has more than five words."),
             ).alias("text")
         )
         .select(F.col("gid").alias("doc_id"), "text")
@@ -867,7 +875,13 @@ def x42_dup_spans(spark, sf_dir):
         F.col("n_removed").cast("long").alias("removed_units"),
         "clean_text",
     )
-    return ngram.unionByName(para).unionByName(lines)
+    c4 = text.c4_line_filters(multi).select(
+        F.lit("c4_lines").alias("method"),
+        "doc_id",
+        (F.col("n_lines") - F.col("n_lines_kept")).cast("long").alias("removed_units"),
+        "clean_text",
+    )
+    return ngram.unionByName(para).unionByName(lines).unionByName(c4)
 
 
 # -- multimodal -------------------------------------------------------------
