@@ -1,0 +1,216 @@
+"""WARC crawl-archive source: the format web corpora actually arrive in.
+
+Common Crawl (and every Heritrix-lineage crawler) ships WARC/1.0 files
+(ISO 28500, public spec): a sequence of records — ``WARC/1.0`` header
+block, blank line, body of ``Content-Length`` bytes — usually compressed
+as PER-RECORD GZIP MEMBERS concatenated into one ``.warc.gz`` file. The
+pipeline front door this repo builds (html_to_text → url gate → url dedup
+→ curation funnel) starts from exactly these files; this module is the
+missing first hop.
+
+Shape at 100 TB: ``.warc.gz`` member-concatenation is NOT splittable by
+offset (gzip members carry no sync markers Spark can seek), so the
+parallelism axis is FILES — Common Crawl segments are ~1 GB each and a
+crawl snapshot has ~64k of them, far more than any cluster's task slots.
+``spark.read.format("binaryFile")`` gives one task per file; parsing is
+one Arrow ``mapInPandas`` stage that streams members → records → rows and
+DROPS the raw bytes immediately (only parsed payloads leave the stage).
+Payload columns stay out of shuffles downstream, the multimodal-column
+convention. No counterpart in the reference engine (no crawl surface);
+built for the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_COLS = (
+    "path string, record_id string, warc_type string, warc_date string, "
+    "url string, http_status int, content_type string, payload binary"
+)
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members one member at a time
+    (stdlib zlib, wbits=31 = gzip framing). A plain (uncompressed) buffer
+    yields itself — .warc and .warc.gz read through one path."""
+    if data[:2] != b"\x1f\x8b":
+        yield data
+        return
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        out = d.decompress(data[pos:]) + d.flush()
+        yield out
+        consumed = (len(data) - pos) - len(d.unused_data)
+        if consumed <= 0:  # corrupt trailer: stop rather than spin
+            break
+        pos += consumed
+
+
+def _parse_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
+    """(headers, body) per WARC record in a decompressed buffer. Header
+    names are lowercased; bodies are exactly Content-Length bytes (the
+    record-terminating CRLFCRLF is outside the body per ISO 28500)."""
+    pos = 0
+    while True:
+        idx = buf.find(b"WARC/", pos)
+        if idx < 0:
+            return
+        hdr_end = buf.find(b"\r\n\r\n", idx)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in buf[idx:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return  # unrecoverable: cannot find the next record boundary
+        body = buf[hdr_end + 4 : hdr_end + 4 + length]
+        yield headers, body
+        pos = hdr_end + 4 + length
+
+
+def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content_type, payload) from an HTTP response block —
+    response-record bodies are the raw HTTP message per the spec."""
+    hdr_end = body.find(b"\r\n\r\n")
+    if hdr_end < 0 or not body.startswith(b"HTTP/"):
+        return None, None, body
+    lines = body[:hdr_end].split(b"\r\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("utf-8", "replace")
+            break
+    return status, ctype, body[hdr_end + 4 :]
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC files under ``path`` → one row per record of the requested
+    types: (path, record_id, warc_type, warc_date, url, http_status,
+    content_type, payload). ``payload`` is the HTTP body for response
+    records (headers parsed off), the raw record body otherwise. One
+    binaryFile task per file, one Arrow parse stage, no shuffle."""
+    types = {t.lower() for t in record_types}
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for member in _gzip_members(bytes(content)):
+                    for headers, body in _parse_records(member):
+                        wtype = headers.get("warc-type", "").lower()
+                        if types and wtype not in types:
+                            continue
+                        if wtype == "response":
+                            status, ctype, payload = _split_http(body)
+                        else:
+                            status, ctype, payload = None, headers.get("content-type"), body
+                        rows.append(
+                            (
+                                fpath,
+                                headers.get("warc-record-id"),
+                                wtype,
+                                headers.get("warc-date"),
+                                headers.get("warc-target-uri"),
+                                status,
+                                ctype,
+                                payload,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "record_id", "warc_type", "warc_date",
+                    "url", "http_status", "content_type", "payload",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(run, WARC_COLS)
+
+
+def warc_to_documents(
+    records: DataFrame,
+    id_from: str = "url_hash",
+) -> DataFrame:
+    """Response records → the (doc_id, url, text) frame the crawl front
+    door consumes (``html_to_text`` → ``curation_funnel(blocklist=,
+    extract_html=True)`` / ``url_dedup``): HTML/text payloads decode as
+    UTF-8 (lossy replace — crawls carry every encoding ever shipped; a
+    production pipeline sniffs charsets, which needs tables this container
+    lacks), non-text payloads are dropped. doc_id = xxhash64(url ‖ ':' ‖
+    record_id) — stable under re-ingest and collision-safe across
+    re-crawls of one URL (the to_parquet_corpus 'path_hash' convention)."""
+    if id_from != "url_hash":
+        raise ValueError(f"id_from must be 'url_hash': {id_from!r}")
+    is_text = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).rlike(
+        r"^(text/|application/(xhtml|xml|json))"
+    )
+    return (
+        records.filter((F.col("warc_type") == "response") & is_text)
+        .select(
+            F.xxhash64(
+                F.concat_ws(":", F.col("url"), F.col("record_id"))
+            ).alias("doc_id"),
+            "url",
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        )
+    )
+
+
+def encode_warc(
+    records: list[dict],
+    gzip_members: bool = True,
+) -> bytes:
+    """Round-trip WARC writer for fixtures/sinks (the encode_png/encode_bmp
+    convention — output reads in any WARC tool, not just here). Each input
+    dict: ``warc_type``, ``url``, ``record_id``, ``date``, and either
+    ``html`` (wrapped as an HTTP 200 response) or ``body`` bytes."""
+    out = []
+    for i, rec in enumerate(records):
+        wtype = rec.get("warc_type", "response")
+        if "html" in rec:
+            payload = rec["html"].encode("utf-8")
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+                + b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+                + payload
+            )
+        else:
+            body = rec.get("body", b"")
+        headers = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: {rec.get('record_id', f'<urn:uuid:rec-{i}>')}\r\n"
+            f"WARC-Date: {rec.get('date', '2026-01-01T00:00:00Z')}\r\n"
+            + (f"WARC-Target-URI: {rec['url']}\r\n" if rec.get("url") else "")
+            + f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("utf-8")
+        member = headers + body + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            member = co.compress(member) + co.flush()
+        out.append(member)
+    return b"".join(out)

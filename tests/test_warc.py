@@ -1,0 +1,110 @@
+"""WARC crawl-archive source: gzip-member parsing, record filtering, HTTP
+splitting, and the composition into the crawl front door."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.sources import warc
+
+
+def _fixture_records():
+    return [
+        {
+            "warc_type": "warcinfo",
+            "record_id": "<urn:uuid:info>",
+            "body": b"software: test-crawler/1.0\r\n",
+        },
+        {
+            "warc_type": "request",
+            "url": "https://site-a.example.com/page",
+            "body": b"GET /page HTTP/1.1\r\nHost: site-a.example.com\r\n\r\n",
+        },
+        {
+            "warc_type": "response",
+            "url": "https://site-a.example.com/page?utm_source=feed",
+            "record_id": "<urn:uuid:r1>",
+            "html": "<html><body><h1>Title A</h1><p>First page body &amp; text.</p></body></html>",
+        },
+        {
+            "warc_type": "response",
+            "url": "https://site-b.example.com/other",
+            "record_id": "<urn:uuid:r2>",
+            "html": "<html><body><p>Second page, different body.</p></body></html>",
+        },
+        {
+            # binary response: must be dropped by warc_to_documents
+            "warc_type": "response",
+            "url": "https://site-c.example.com/img",
+            "record_id": "<urn:uuid:r3>",
+            "body": (
+                b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+                b"Content-Length: 4\r\n\r\n\x89PNG"
+            ),
+        },
+    ]
+
+
+def test_read_warc_gzip_members_and_plain(spark, tmp_path):
+    """The same records read identically from per-record-gzip .warc.gz and
+    plain .warc (one parse path); non-requested record types filter out;
+    response records split HTTP headers off the payload."""
+    recs = _fixture_records()
+    (tmp_path / "a.warc.gz").write_bytes(warc.encode_warc(recs, gzip_members=True))
+    plain_dir = tmp_path / "plain"
+    plain_dir.mkdir()
+    (plain_dir / "a.warc").write_bytes(warc.encode_warc(recs, gzip_members=False))
+
+    gz = warc.read_warc(spark, str(tmp_path / "a.warc.gz")).collect()
+    pl = warc.read_warc(spark, str(plain_dir / "a.warc")).collect()
+    for rows in (gz, pl):
+        assert [r["warc_type"] for r in rows] == ["response"] * 3
+        by_url = {r["url"]: r for r in rows}
+        a = by_url["https://site-a.example.com/page?utm_source=feed"]
+        assert a["http_status"] == 200
+        assert a["content_type"].startswith("text/html")
+        assert bytes(a["payload"]).startswith(b"<html><body><h1>Title A</h1>")
+        assert b"HTTP/1.1" not in bytes(a["payload"])  # headers split off
+    # all record types on request
+    allrecs = warc.read_warc(
+        spark, str(tmp_path / "a.warc.gz"),
+        record_types=("response", "request", "warcinfo"),
+    ).collect()
+    assert sorted({r["warc_type"] for r in allrecs}) == ["request", "response", "warcinfo"]
+
+
+def test_warc_front_door_composition(spark, tmp_path):
+    """WARC → warc_to_documents → url_dedup + html_to_text: the crawl entry
+    chain end-to-end. Binary responses drop; text decodes; the utm variant
+    canonicalizes; extracted text carries line structure."""
+    from aws_financial_data_pipeline_spark.operators.text import html_to_text, url_dedup
+
+    (tmp_path / "b.warc.gz").write_bytes(warc.encode_warc(_fixture_records()))
+    docs = warc.warc_to_documents(warc.read_warc(spark, str(tmp_path / "b.warc.gz")))
+    rows = {r["url"]: r for r in docs.collect()}
+    # binary response dropped, two text docs, distinct stable ids
+    assert len(rows) == 2
+    assert len({r["doc_id"] for r in rows.values()}) == 2
+
+    kept = url_dedup(docs)  # no collisions here; canonical_url attached
+    canon = {r["canonical_url"] for r in kept.collect()}
+    assert "https://site-a.example.com/page" in canon  # utm stripped
+
+    text = {
+        r["url"]: r["text"]
+        for r in html_to_text(kept.select("doc_id", "url", "text")).collect()
+    }
+    a = text["https://site-a.example.com/page?utm_source=feed"]
+    assert "Title A" in a and "First page body & text." in a
+    assert a.index("Title A") < a.index("First page")
+
+
+def test_warc_parse_is_single_arrow_stage(spark, tmp_path):
+    """One binaryFile scan + one mapInPandas, zero shuffle — the 100 TB
+    shape (parallelism axis = files; gz members are not seekable)."""
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    (tmp_path / "c.warc.gz").write_bytes(warc.encode_warc(_fixture_records()))
+    df = warc.read_warc(spark, str(tmp_path / "c.warc.gz"))
+    counts = plan_counts(df)
+    assert counts["exchanges"] == 0 and counts["map_in_pandas"] == 1
