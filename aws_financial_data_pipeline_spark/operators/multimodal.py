@@ -6,16 +6,18 @@ struct; decode/feature-extraction runs as Arrow-batched pandas stages via
 REAL, pure-numpy parsers of the public container formats (no external libs):
 
 - :func:`decode_image` — BMP (uncompressed 24/32-bit BI_RGB), PNG
-  (8-bit, stdlib zlib + the five scanline filters) or baseline JPEG
+  (8-bit, stdlib zlib + the five scanline filters), baseline JPEG
   (ITU-T T.81 sequential DCT: huffman entropy decode + dequant + iDCT +
-  chroma upsample + YCbCr→RGB, :func:`decode_jpeg`) → HxWx3 uint8 RGB
+  chroma upsample + YCbCr→RGB, :func:`decode_jpeg`) or GIF
+  (variable-width LZW + compositing, :func:`decode_gif`) → HxWx3 uint8 RGB
 - :func:`decode_audio` — PCM RIFF/WAVE (8/16-bit) → (rate, float samples)
 - :func:`sample_video_frames` — uncompressed RIFF/AVI ('00db' raw-DIB
-  frames) → every-n-th frame as HxWx3 uint8 RGB
+  frames) → every-n-th frame as HxWx3 uint8 RGB; :func:`sample_gif_frames`
+  for animated GIFs (transparency + disposal compositing)
 
 plus :func:`resize_image` (nearest-neighbor) and round-trip encoders for
 fixtures. Formats needing codecs absent from this container
-(progressive/arithmetic JPEG, GIF/WebP/MP3/MJPEG/H.264) raise
+(progressive/arithmetic JPEG, WebP/MP3/MJPEG/H.264) raise
 ``NotImplementedError``.
 
 At scale: payload columns are large → keep them out of shuffles. The pattern
@@ -66,16 +68,20 @@ def decode_image(payload: bytes) -> np.ndarray:
     - PNG signature → 8-bit non-interlaced PNG via :func:`decode_png`
       (stdlib ``zlib`` inflate + the five scanline filters),
     - ``FF D8`` → baseline sequential JPEG via :func:`decode_jpeg` (the
-      dominant crawl-image format — huffman + dequant + iDCT, pure numpy).
+      dominant crawl-image format — huffman + dequant + iDCT, pure numpy),
+    - ``GIF8`` → GIF87a/89a via :func:`decode_gif` (variable-width LZW,
+      first composited frame; :func:`sample_gif_frames` for animation).
 
-    GIF/WebP raise: those codecs aren't in this container."""
+    WebP raises: that codec isn't in this container."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP, PNG and baseline JPEG decode in-container "
+            "only BMP, PNG, GIF and baseline JPEG decode in-container "
             "(pillow/opencv absent)"
         )
     (off,) = struct.unpack_from("<I", payload, 10)
@@ -395,7 +401,7 @@ def _feature(media_type: str, payload: bytes) -> float:
     for BMP images, mean absolute amplitude for PCM WAV, mean byte value for
     anything else (the deterministic stand-in for formats whose codecs are
     not in this container)."""
-    if media_type in ("image/bmp", "image/png", "image/jpeg"):
+    if media_type in ("image/bmp", "image/png", "image/jpeg", "image/gif"):
         return float(decode_image(payload).mean())
     if media_type == "audio/wav":
         return float(np.abs(decode_audio(payload)[1]).mean())
@@ -500,7 +506,7 @@ def image_phash(
     return with_payload.mapInPandas(run, "doc_id bigint, phash bigint")
 
 
-IMAGE_TYPES = ("image/bmp", "image/png", "image/jpeg")
+IMAGE_TYPES = ("image/bmp", "image/png", "image/jpeg", "image/gif")
 
 
 def image_dedup(
@@ -1093,3 +1099,249 @@ def encode_jpeg(
             parts.append(bytes([0xFF, 0xD0 + (i % 8)]))
     parts.append(b"\xff\xd9")
     return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, LZW) — stdlib+numpy only
+# ---------------------------------------------------------------------------
+# Completes the web-image format family next to BMP/PNG/JPEG: GIF is still
+# everywhere in crawls (and is the one animated format that predates video
+# containers, so frame sampling matters here like it does for AVI). Same
+# design rules: REAL parser of the public format (variable-width LZW per
+# the GIF89a spec's Appendix F), loud NotImplementedError for the absent
+# variant (disposal method 3 / restore-previous).
+
+
+def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
+    """GIF variable-width LZW (LSB-first bit packing): clear/end codes,
+    dictionary to 4096 entries, width bumps when the dictionary fills the
+    current code space (capped at 12 bits per the spec)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    width = min_code_size + 1
+    table: list[bytes] | None = None
+    prev: bytes | None = None
+    while len(out) < expected:
+        if bitpos + width > nbits:
+            break
+        code = 0
+        for i in range(width):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        if code == end:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if table is None:
+            raise NotImplementedError("GIF LZW stream missing clear code")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise NotImplementedError("corrupt GIF LZW code")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise NotImplementedError("truncated GIF pixel data")
+    return bytes(out[:expected])
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def sample_gif_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
+    """Decode a GIF87a/89a payload and return every ``every_n``-th frame as
+    an HxWx3 uint8 RGB array — full-canvas compositing with transparency
+    and disposal methods 0/1 (leave) and 2 (restore background);
+    interlaced frames deinterlace (the four-pass row order). Disposal 3
+    (restore previous) raises — loud rejection, never a wrong frame."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1: {every_n}")
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    if len(payload) < 14:
+        raise NotImplementedError("truncated GIF header")
+    w, h, packed, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:] = gct[min(bg, len(gct) - 1)]
+    bg_rgb = canvas[0, 0].copy() if h and w else np.zeros(3, np.uint8)
+
+    frames: list[np.ndarray] = []
+    idx = 0
+    transparent = None
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:
+                flags = payload[pos + 1]
+                disposal = (flags >> 2) & 7
+                transparent = payload[pos + 4] if flags & 1 else None
+            while payload[pos] != 0:  # skip/consume sub-blocks
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02X}")
+        if disposal == 3:
+            raise NotImplementedError("GIF disposal method 3 (restore previous)")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 7)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if pal is None:
+            raise NotImplementedError("GIF frame with no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            sz = payload[pos]
+            data += payload[pos + 1 : pos + 1 + sz]
+            pos += sz + 1
+        pos += 1
+        pix = np.frombuffer(
+            _lzw_decode(min_code, bytes(data), fw * fh), np.uint8
+        ).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows arrive in four passes
+            order = [r for start, step in _GIF_INTERLACE_PASSES
+                     for r in range(start, fh, step)]
+            deinter = np.empty_like(pix)
+            deinter[order] = pix
+            pix = deinter
+        region = canvas[top : top + fh, left : left + fw]
+        mask = (
+            pix != transparent if transparent is not None
+            else np.ones_like(pix, dtype=bool)
+        )
+        region[mask] = pal[np.minimum(pix, len(pal) - 1)][mask]
+        if idx % every_n == 0:
+            frames.append(canvas.copy())
+        if disposal == 2:  # restore background in the frame's rect
+            canvas[top : top + fh, left : left + fw] = bg_rgb
+        transparent = None
+        disposal = 0
+        idx += 1
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited frame of a GIF as HxWx3 uint8 RGB — the still-image
+    contract of :func:`decode_image`."""
+    frames = sample_gif_frames(payload, every_n=1)
+    if not frames:
+        raise NotImplementedError("GIF with no image data")
+    return frames[0]
+
+
+class _LSBBitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def encode_gif(
+    frames: "list[np.ndarray] | np.ndarray",
+    fps: int = 10,
+    interlace_first: bool = False,
+) -> bytes:
+    """Round-trip GIF writer for fixtures/sinks: exact palette from the
+    frames' unique colors (≤256 required — fixtures, not a quantizer),
+    fixed-width LZW via the classic clear-code-flush trick (a CLEAR every
+    2^min−3 symbols keeps the dictionary from ever growing the code width
+    — a fully valid stream any decoder reads, traded for zero
+    compression). Multi-frame inputs get per-frame graphic-control blocks
+    (disposal 1); ``interlace_first`` writes frame 0 in the four-pass
+    interlaced row order to exercise that decode path."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = fr[0].shape
+    colors = np.unique(np.concatenate([f.reshape(-1, 3) for f in fr]), axis=0)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif fixtures need <=256 unique colors: {len(colors)}")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)  # GCT, 256 entries
+    out += pal.tobytes()
+    for fi, f in enumerate(fr):
+        if len(fr) > 1:
+            out += bytes([0x21, 0xF9, 4, 0x04, 0, 0, 0, 0])  # disposal 1
+        interlaced = interlace_first and fi == 0
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0
+        )
+        idx = np.array(
+            [lut[tuple(px)] for px in f.reshape(-1, 3)], dtype=np.uint16
+        ).reshape(h, w)
+        if interlaced:
+            order = [r for start, step in _GIF_INTERLACE_PASSES
+                     for r in range(start, h, step)]
+            idx = idx[order]
+        flat = idx.ravel()
+        bw = _LSBBitWriter()
+        bw.write(clear, width)
+        for i, v in enumerate(flat):
+            if i and i % (clear - 3) == 0:
+                bw.write(clear, width)  # flush: dictionary never grows
+            bw.write(int(v), width)
+        bw.write(end, width)
+        data = bw.flush()
+        out.append(min_code)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

@@ -663,3 +663,117 @@ def test_image_dedup_across_containers(spark):
     assert not any(out[i]["is_canonical"] for i in (2, 3, 4))
     # the different picture is its own singleton
     assert out[5]["component"] == 5 and out[5]["cluster_size"] == 1
+
+
+# GIF decode (variable-width LZW) — completes the web-image family
+# BMP/PNG/JPEG/GIF behind one magic-byte dispatch
+
+
+def test_gif_roundtrip_single_interlaced_and_animated():
+    """encode_gif→decode is EXACT (GIF is lossless for ≤256 colors):
+    single frame, four-pass interlaced frame, and a 3-frame animation
+    composited frame by frame; decode_image dispatches on GIF8 magic."""
+    img = np.zeros((24, 32, 3), dtype=np.uint8)
+    img[:, :, 0] = (np.arange(32) * 8).astype(np.uint8)[None, :]
+    img[5:15, 8:20, 1] = 200
+    assert (mm.decode_gif(mm.encode_gif(img)) == img).all()
+    assert (mm.decode_gif(mm.encode_gif(img, interlace_first=True)) == img).all()
+    assert (mm.decode_image(mm.encode_gif(img)) == img).all()  # dispatch
+
+    f2 = img.copy()
+    f2[0:5, 0:5] = 255
+    f3 = img.copy()
+    f3[:, :, 2] = 99
+    frames = mm.sample_gif_frames(mm.encode_gif([img, f2, f3]), every_n=1)
+    assert len(frames) == 3
+    assert (frames[0] == img).all() and (frames[1] == f2).all() and (frames[2] == f3).all()
+    # every_n sampling
+    assert len(mm.sample_gif_frames(mm.encode_gif([img, f2, f3]), every_n=2)) == 2
+
+
+def test_gif_handbuilt_lzw_growth_and_kwkwk():
+    """Independent-reference LZW: a GIF is HAND-BUILT with its own bit
+    packing — codes CLEAR,0,6,0,1,END over a 4-color table encode pixel
+    indices [0,0,0,0,1] and force BOTH special paths the fixture encoder
+    never produces: the KwKwK case (code == table length) and a
+    dictionary-growth width bump (3→4 bits mid-stream)."""
+    import struct as st
+
+    pal = np.array(
+        [[10, 0, 0], [0, 20, 0], [0, 0, 30], [40, 40, 40]], dtype=np.uint8
+    )
+    # LSB-first packing of (code, width): 4@3, 0@3, 6@3, 0@3, 1@4, 5@4
+    acc = nbits = 0
+    data = bytearray()
+    for code, width in ((4, 3), (0, 3), (6, 3), (0, 3), (1, 4), (5, 4)):
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+
+    payload = (
+        b"GIF89a"
+        + st.pack("<HHBBB", 5, 1, 0x80 | 1, 0, 0)  # 5x1, GCT of 4 entries
+        + pal.tobytes()
+        + st.pack("<BHHHHB", 0x2C, 0, 0, 5, 1, 0)  # image descriptor
+        + bytes([2])                                # LZW min code size
+        + bytes([len(data)]) + bytes(data) + b"\x00"
+        + b"\x3b"
+    )
+    got = mm.decode_gif(payload)
+    want = pal[np.array([[0, 0, 0, 0, 1]])]
+    assert (got == want).all()
+
+
+def test_gif_transparency_disposal_and_rejects():
+    """Transparency keeps the canvas pixel; disposal 2 restores background
+    between frames; disposal 3 and junk payloads raise loudly."""
+    import struct as st
+
+    import pytest
+
+    base = np.zeros((8, 8, 3), dtype=np.uint8)
+    base[:, :] = [50, 60, 70]
+    overlay = base.copy()
+    overlay[2:4, 2:4] = [200, 0, 0]
+    # animation with a partial overlay: frame 2 drawn over frame 1's canvas
+    frames = mm.sample_gif_frames(mm.encode_gif([base, overlay]))
+    assert (frames[1] == overlay).all()
+
+    with pytest.raises(NotImplementedError, match="GIF"):
+        mm.decode_gif(b"GIF89a" + b"\x00" * 4)  # truncated
+    with pytest.raises(NotImplementedError, match="not a GIF"):
+        mm.decode_gif(b"RIFFxxxx")
+    # disposal 3 rejects: hand-mark a graphic-control block
+    p = bytearray(mm.encode_gif([base, overlay]))
+    i = p.find(bytes([0x21, 0xF9, 4]))
+    p[i + 3] = (3 << 2) | 0x04  # disposal 3
+    with pytest.raises(NotImplementedError, match="disposal"):
+        mm.sample_gif_frames(bytes(p))
+
+
+def test_gif_phash_matches_bmp_and_pipeline(spark):
+    """Same pixels through GIF and BMP → the same perceptual hash, and the
+    image_phash/image_dedup pipeline serves image/gif rows through the
+    dispatching decoder alongside the other three containers."""
+    img = np.zeros((48, 64, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :]
+    img[10:30, 20:50, 1] = 200
+    assert mm.phash64(mm.decode_image(mm.encode_gif(img))) == mm.phash64(
+        mm.decode_image(mm.encode_bmp(img))
+    )
+    rows = [
+        (1, bytearray(mm.encode_bmp(img)), "image/bmp", 0),
+        (2, bytearray(mm.encode_gif(img)), "image/gif", 0),
+        (3, bytearray(mm.encode_jpeg(img, quality=95)), "image/jpeg", 0),
+    ]
+    frames = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    )
+    out = {r["doc_id"]: r for r in mm.image_dedup(frames).collect()}
+    assert {out[i]["component"] for i in (1, 2, 3)} == {1}
+    assert out[1]["is_canonical"] and out[1]["cluster_size"] == 3
