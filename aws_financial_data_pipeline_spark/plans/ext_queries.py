@@ -862,6 +862,9 @@ def x42_dup_spans(spark, sf_dir):
             ).alias("text")
         )
         .select(F.col("gid").alias("doc_id"), "text")
+        # three legs read this 50-row constructed frame — stage it so the
+        # groupBy+concat runs once, not once per leg (the _stage convention)
+        .localCheckpoint(eager=False)
     )
     para = spans_mod.paragraph_dedup(multi, min_docs=2).select(
         F.lit("paragraph").alias("method"),

@@ -354,6 +354,30 @@ def _bench_bytelevel_bpe(spark, sf_dir: str) -> float:
     return _best2(run)
 
 
+def _bench_unigram_encode(spark, sf_dir: str) -> float:
+    """Unigram-LM (SentencePiece-style) Viterbi tokenization of the
+    documents table — the other production tokenizer family next to the
+    two BPE rows. The model trains untimed (per-corpus, like merges/
+    codebooks: one distributed pre-token count + driver-side EM over the
+    bounded table); the timed pass is the Arrow Viterbi encode."""
+    from aws_financial_data_pipeline_spark.operators import bpe
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    model = bpe.train_unigram(
+        docs, vocab_size=512, max_words=5000, prune_rounds=2, em_iters=1
+    )
+
+    def run():
+        t0 = time.perf_counter()
+        bpe.unigram_encode(docs, model, with_ids=False).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
+
+
 def _bench_corpus_divergence(spark, sf_dir: str) -> float:
     """KL/JS drift between the two doc-id halves of the documents table —
     two B-bounded count passes + one small join."""
@@ -671,6 +695,7 @@ def main() -> None:
     times["pq_ann_topk"] = _bench_pq_ann(spark, sf_dir)
     times["bpe_encode"] = _bench_bpe_encode(spark, sf_dir)
     times["bpe_bytelevel_roundtrip"] = _bench_bytelevel_bpe(spark, sf_dir)
+    times["unigram_encode"] = _bench_unigram_encode(spark, sf_dir)
     times["corpus_divergence"] = _bench_corpus_divergence(spark, sf_dir)
     times["event_funnel"] = _bench_event_funnel(spark, sf_dir)
     times["crawl_front_door"] = _bench_crawl_front_door(spark, sf_dir)
