@@ -444,3 +444,53 @@ def shard_manifest(
             .drop("_src_rows", "_src_hash")
         )
     return m.orderBy(shard_col)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES reservoir algorithm (Inf. Proc. Letters 2006,
+    public): each row draws u ∈ (0,1) from md5(id ‖ ':' ‖ seed) and ranks
+    by key = ln(u)/w; the n LARGEST keys are exactly a w-weighted sample
+    without replacement. The quality-weighted downsample a curation
+    pipeline runs when the token budget is smaller than the cleaned corpus
+    (weights from quality_prob / DSIR / perplexity — any positive score).
+
+    Same guarantees as every sampler here: reproducible (content-hashed
+    u, never RNG-per-partition), partition/order-invariant, and stable
+    under incremental reruns (a doc's key never changes for a given
+    seed). Rows with NULL or non-positive weight cannot be drawn and are
+    excluded. Ranking uses the 10dp-ROUNDED key with an id tiebreak (the
+    x28 rule: raw-double cuts are engine/ulp-dependent).
+
+    Shape at 100 TB: one map-side key projection, then orderBy+limit —
+    physically TakeOrderedAndProject (per-partition bounded heaps merged
+    at the driver), never a global sort."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0: {n}")
+    u_bits = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (u_bits + F.lit(1.0)) / F.lit(float((1 << 52) + 1))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 10)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_es_key", key)
+        .orderBy(F.desc("_es_key"), F.col(id_col).asc())
+        .limit(n)
+        .drop("_es_key")
+    )

@@ -139,3 +139,30 @@ def apply_delta(
     ingest_batch(old,new)) ≡ new, row for row."""
     gone = diff.filter(F.col("status").isin("removed", "changed")).select(id_col)
     return old.join(gone, id_col, "left_anti").unionByName(batch)
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level schema drift between two snapshots of a table —
+    (column, status, old_type, new_type) with status added / removed /
+    type_changed / unchanged — the contract check a pipeline runs BEFORE
+    corpus_diff touches rows (a type change makes row md5s incomparable,
+    and a silently dropped column is a provenance bug, not churn).
+
+    Driver-side over schema METADATA only (no data scan, no job); emitted
+    as a frame so it unions into the same audit sinks as diff_summary."""
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    nw = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(o.keys() | nw.keys()):
+        if c not in nw:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, nw[c]))
+        elif o[c] != nw[c]:
+            rows.append((c, "type_changed", o[c], nw[c]))
+        else:
+            rows.append((c, "unchanged", o[c], nw[c]))
+    return spark.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

@@ -123,3 +123,42 @@ def test_quota_prefilter_plan_shape(spark):
     plan = pre._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_weighted_sample_es_properties(spark):
+    """Efraimidis–Spirakis weighted sampling: deterministic, partition-
+    invariant, excludes non-positive weights, returns everything when n
+    covers the population, overrepresents heavy weights across seeds, and
+    runs as TakeOrderedAndProject (bounded heaps, no global sort)."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 100 else 1.0) for i in range(1000)]
+    rows += [(2000, 0.0), (2001, -3.0), (2002, None)]  # never drawn
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    got = {r["doc_id"] for r in weighted_sample(df, 100, "w", seed=1).collect()}
+    assert len(got) == 100 and not ({2000, 2001, 2002} & got)
+    # deterministic + partition invariant
+    again = {r["doc_id"] for r in weighted_sample(df, 100, "w", seed=1).collect()}
+    repart = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), 100, "w", seed=1).collect()
+    }
+    assert got == again == repart
+    # heavy rows (10% of population at 10x weight ≈ 53% of total mass) must
+    # be strongly overrepresented in every seed's sample
+    for seed in range(4):
+        s = {r["doc_id"] for r in weighted_sample(df, 100, "w", seed=seed).collect()}
+        heavy = sum(1 for d in s if d < 100)
+        assert heavy >= 30, (seed, heavy)
+    # n >= population: all positively-weighted rows, none of the excluded
+    full = {r["doc_id"] for r in weighted_sample(df, 5000, "w").collect()}
+    assert full == set(range(1000))
+    # bounded-heap plan, not a global sort
+    plan = (
+        weighted_sample(df, 10, "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -288,3 +288,18 @@ def test_incremental_curation_nondefault_lsh_params(spark):
     }
     got = {tuple(r) for r in out["signature_store"].collect()}
     assert got == want
+
+
+def test_schema_diff_statuses(spark):
+    """added/removed/type_changed/unchanged per column, no data scan."""
+    from aws_financial_data_pipeline_spark.operators.snapshot import schema_diff
+
+    old = spark.createDataFrame([], "doc_id long, text string, lang string")
+    new = spark.createDataFrame([], "doc_id long, text string, source string, n int")
+    new = new.withColumn("doc_id", new["doc_id"].cast("int"))
+    out = {r["column"]: r for r in schema_diff(old, new).collect()}
+    assert out["text"]["status"] == "unchanged"
+    assert out["lang"]["status"] == "removed" and out["lang"]["new_type"] is None
+    assert out["source"]["status"] == "added" and out["source"]["old_type"] is None
+    assert out["doc_id"]["status"] == "type_changed"
+    assert (out["doc_id"]["old_type"], out["doc_id"]["new_type"]) == ("bigint", "int")
