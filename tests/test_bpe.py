@@ -614,3 +614,65 @@ def test_unigram_model_persists_through_artifacts(tmp_path):
     path = str(tmp_path / "unigram.json")
     artifacts.save_unigram_model(path, model)
     assert artifacts.load_unigram_model(path) == model
+
+
+def test_unigram_encode_streams_identically(spark, tmp_path):
+    """Arrow Viterbi encode streams for free: the streaming replay equals
+    the batch result (the byte-level BPE gate applied to unigram)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    model = bpe.train_unigram(
+        docs, vocab_size=300, max_words=500, prune_rounds=1, em_iters=1
+    )
+    batch = {
+        r["doc_id"]: (r["n_bpe_tokens"], list(r["bpe_ids"]))
+        for r in bpe.unigram_encode(docs, model).collect()
+    }
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        bpe.unigram_encode(stream, model)
+        .writeStream.format("memory")
+        .queryName("ug_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], list(r["bpe_ids"]))
+        for r in spark.sql("select * from ug_stream").collect()
+    }
+    assert got == batch and len(got) == 500
+
+
+def test_tokenizer_stats_grouped_by_script(spark):
+    """The composition the script profile exists for: per-script fertility
+    via tokenizer_stats(group_col='main_script') — CJK text tokenizes at a
+    far higher byte cost per token than Latin under a Latin-trained
+    vocabulary, which is exactly the policy signal the docstrings cite."""
+    from aws_financial_data_pipeline_spark.operators.text import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a plain latin sentence with common english words in it"),
+            (3, "日本語のテキストは全然違う形で分割される"),
+            (4, "もう一つの日本語の文書もここにある"),
+        ],
+        "doc_id long, text string",
+    )
+    model = bpe.train_unigram(
+        docs, vocab_size=300, prune_rounds=1, em_iters=1
+    )
+    enc = bpe.unigram_encode(docs, model, with_ids=False)
+    scripts = script_profile(docs).select("doc_id", "main_script")
+    stats = {
+        r["group"]: r
+        for r in bpe.tokenizer_stats(
+            docs.join(scripts, "doc_id"), enc, group_col="main_script"
+        ).collect()
+    }
+    assert set(stats) == {"latin", "cjk"}
+    assert stats["latin"]["n_docs"] == 2 and stats["cjk"]["n_docs"] == 2
+    # CJK under this (mostly Latin-fed) vocab costs more tokens per word
+    assert stats["cjk"]["fertility"] > stats["latin"]["fertility"]
