@@ -1177,3 +1177,57 @@ def collocations(
     return scored.select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi").orderBy(
         F.desc("pmi"), F.asc("w1"), F.asc("w2")
     ).limit(k)
+
+
+def extract_links(
+    pages: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """(src_domain, dst_domain) link edges from RAW markup: every absolute
+    ``href`` target's host, keyed by the page's own canonical host — the
+    input :func:`..graph.pagerank` ranks for crawl-frontier
+    prioritization. One regexp_extract_all + explode, hosts via the same
+    try_parse_url machinery as the URL gate (lowercased, ``www.``
+    stripped); relative links and unparseable pages drop; self-loops
+    (intra-site navigation) are excluded — they carry no cross-site
+    endorsement."""
+    href = F.explode(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r'href="(https?://[^"#]+)"'), F.lit(1)
+        )
+    )
+    src_host = F.regexp_replace(
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
+    out = (
+        pages.select(src_host.alias("src"), href.alias("_t"))
+        .select(
+            "src",
+            F.regexp_replace(
+                F.lower(F.try_parse_url(F.col("_t"), F.lit("HOST"))), r"^www\.", ""
+            ).alias("dst"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+    )
+    return out
+
+
+def domain_graph(
+    pages: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Weighted domain-level link graph: (src, dst, n_links) with duplicate
+    edges collapsed — the aggregation :func:`..graph.pagerank` consumes
+    (it treats the edge LIST as unweighted; pass the distinct edges). One
+    extra groupBy over :func:`extract_links`."""
+    return (
+        extract_links(pages, text_col, url_col)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_links"))
+    )

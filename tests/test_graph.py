@@ -155,3 +155,97 @@ def test_dedup_cluster_stats_histogram(spark):
     assert stats[3]["n_clusters"] == 1 and stats[3]["docs_to_drop"] == 2
     assert sum(r["n_docs"] for r in stats.values()) == 7
     assert abs(sum(r["frac_of_corpus"] for r in stats.values()) - 1.0) < 1e-5
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Independent reference: the same damping-form power iteration run in
+    numpy over the dense transition matrix (dangling mass spread
+    uniformly) must match the distributed result to ~1e-9 — same formula,
+    different machinery. Graph includes a dangling node (D) and a cycle."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("B", "D")]
+    nodes = ["A", "B", "C", "D"]
+    n = len(nodes)
+    idx = {x: i for i, x in enumerate(nodes)}
+    d = 0.85
+    iters = 12
+
+    r = np.full(n, 1.0 / n)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    for _ in range(iters):
+        incoming = np.zeros(n)
+        for s, t in edges:
+            incoming[idx[t]] += r[idx[s]] / out_deg[idx[s]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - d) / n + d * (incoming + dangling / n)
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {row["node"]: row["rank"] for row in pagerank(df, iterations=iters).collect()}
+    for x in nodes:
+        assert abs(got[x] - r[idx[x]]) < 1e-8, (x, got[x], r[idx[x]])
+    # probability mass conserved (the dangling redistribution's invariant)
+    assert abs(sum(got.values()) - 1.0) < 1e-8
+    # A receives ALL of C's rank (C's only out-edge): top rank; the
+    # dangling D (one inbound half-edge, no endorsement to give) is lowest
+    assert got["A"] == max(got.values()) and got["D"] == min(got.values())
+
+
+def test_pagerank_determinism_and_empty(spark):
+    from aws_financial_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(20) if i % 7 != (i * 3) % 7],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, pagerank(edges, iterations=8).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(9), iterations=8).collect()))
+    assert a == b
+    none = pagerank(
+        spark.createDataFrame([], "src string, dst string"), iterations=3
+    )
+    assert none.count() == 0
+
+
+def test_extract_links_and_domain_pagerank(spark):
+    """The crawl composition: raw markup pages → domain link graph →
+    PageRank. hrefs parse from attributes, hosts canonicalize (lowercase,
+    www-stripped), self-loops drop, and the most-linked-to domain wins."""
+    from aws_financial_data_pipeline_spark.operators.graph import pagerank
+    from aws_financial_data_pipeline_spark.operators.text import (
+        domain_graph,
+        extract_links,
+    )
+
+    def page(url, *targets):
+        links = "".join(f'<a href="{t}">x</a>' for t in targets)
+        return (url, f"<html><body>{links}</body></html>")
+
+    pages = spark.createDataFrame(
+        [
+            page("https://a.example.com/p1",
+                 "https://HUB.example.com/x", "https://b.example.com/y",
+                 "https://a.example.com/self"),        # self-loop dropped
+            page("https://b.example.com/p2",
+                 "https://www.hub.example.com/z",      # www + case collapse
+                 "/relative/ignored", "https://hub.example.com/again#frag"),
+            page("https://hub.example.com/p3", "https://a.example.com/back"),
+        ],
+        "url string, text string",
+    )
+    edges = extract_links(pages)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert ("a.example.com", "a.example.com") not in got
+    assert ("b.example.com", "hub.example.com") in got
+    g = {(r["src"], r["dst"]): r["n_links"] for r in domain_graph(pages).collect()}
+    assert g[("b.example.com", "hub.example.com")] == 2  # www+case collapsed in
+
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.select("src", "dst").distinct(), iterations=10).collect()
+    }
+    assert ranks["hub.example.com"] == max(ranks.values())
