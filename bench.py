@@ -616,6 +616,46 @@ def _bench_crawl_front_door(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_warc_ingest(spark, sf_dir: str) -> float:
+    """The crawl entry hop BEFORE crawl_front_door: .warc.gz files →
+    read_warc (gzip members → records → HTTP split) → warc_to_documents.
+    The fixture crawl is written pre-t0 as 32 files because FILES are the
+    parallelism axis (gz members aren't seekable — SCALING.md); the timed
+    region is exactly the binaryFile scan + one Arrow parse stage."""
+    import shutil
+    import tempfile
+
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+    from aws_financial_data_pipeline_spark.sources import warc
+
+    warcdir = tempfile.mkdtemp(prefix="afdp_bench_warc_")
+    try:
+        rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+        shard = max(1, len(rows) // 32)
+        for i in range(0, len(rows), shard):
+            recs = [
+                {
+                    "warc_type": "response",
+                    "url": f"https://site-{r['doc_id'] % 97}.example.com/p/{r['doc_id']}",
+                    "record_id": f"<urn:uuid:r{r['doc_id']}>",
+                    "html": f"<html><body><p>{r['text']}</p></body></html>",
+                }
+                for r in rows[i : i + shard]
+            ]
+            with open(f"{warcdir}/part-{i // shard:04d}.warc.gz", "wb") as f:
+                f.write(warc.encode_warc(recs))
+
+        def run():
+            t0 = time.perf_counter()
+            docs = warc.warc_to_documents(warc.read_warc(spark, warcdir))
+            docs.write.mode("overwrite").format("noop").save()
+            return time.perf_counter() - t0
+
+        return _best2(run)
+    finally:
+        shutil.rmtree(warcdir, ignore_errors=True)
+
+
 def _bench_event_funnel(spark, sf_dir: str) -> float:
     """view→click→purchase funnel over the events table (1h window): one
     groupBy + one fold, no per-step self-joins."""
@@ -699,6 +739,7 @@ def main() -> None:
     times["corpus_divergence"] = _bench_corpus_divergence(spark, sf_dir)
     times["event_funnel"] = _bench_event_funnel(spark, sf_dir)
     times["crawl_front_door"] = _bench_crawl_front_door(spark, sf_dir)
+    times["warc_ingest"] = _bench_warc_ingest(spark, sf_dir)
     times["mixture_plan_apply"] = _bench_mixture_plan_apply(spark, sf_dir)
     times["global_shuffle"] = _bench_global_shuffle(spark, sf_dir)
     times["snapshot_diff"] = _bench_snapshot_diff(spark, sf_dir)

@@ -108,3 +108,47 @@ def test_warc_parse_is_single_arrow_stage(spark, tmp_path):
     df = warc.read_warc(spark, str(tmp_path / "c.warc.gz"))
     counts = plan_counts(df)
     assert counts["exchanges"] == 0 and counts["map_in_pandas"] == 1
+
+
+def test_warc_hostile_record_bodies(spark, tmp_path):
+    """Parser edge cases: binary bodies containing CRLFCRLF and the literal
+    'WARC/' marker must not derail record framing (bodies are
+    Content-Length-delimited, never scanned); a record with a corrupt
+    Content-Length stops parsing instead of mis-framing; empty bodies and
+    empty files survive."""
+    recs = [
+        {
+            "warc_type": "response",
+            "url": "https://x.example.com/a",
+            "record_id": "<urn:uuid:h1>",
+            # body embeds both the record separator AND the magic marker
+            "body": (
+                b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n"
+                b'{"k": "\r\n\r\nWARC/1.0 fake"}'
+            ),
+        },
+        {
+            "warc_type": "response",
+            "url": "https://x.example.com/b",
+            "record_id": "<urn:uuid:h2>",
+            "html": "<p>after the hostile record.</p>",
+        },
+        {
+            "warc_type": "response",
+            "url": "https://x.example.com/empty",
+            "record_id": "<urn:uuid:h3>",
+            "body": b"HTTP/1.1 204 No Content\r\nContent-Type: text/plain\r\n\r\n",
+        },
+    ]
+    (tmp_path / "h.warc.gz").write_bytes(warc.encode_warc(recs))
+    rows = {r["record_id"]: r for r in warc.read_warc(spark, str(tmp_path / "h.warc.gz")).collect()}
+    assert len(rows) == 3
+    assert b"WARC/1.0 fake" in bytes(rows["<urn:uuid:h1>"]["payload"])
+    assert rows["<urn:uuid:h3>"]["http_status"] == 204
+    assert bytes(rows["<urn:uuid:h3>"]["payload"]) == b""
+
+    # empty file: zero rows, no error
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    (empty_dir / "z.warc").write_bytes(b"")
+    assert warc.read_warc(spark, str(empty_dir / "z.warc")).count() == 0
