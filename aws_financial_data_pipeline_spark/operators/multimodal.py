@@ -672,30 +672,53 @@ _DCT8 = _dct_matrix(8)  # orthonormal 8x8 DCT-II == JPEG's C(u)C(v)/4 form
 
 
 class _BitReader:
-    """MSB-first bit reader over de-stuffed entropy bytes."""
+    """MSB-first bit reader over de-stuffed entropy bytes — buffered (an
+    int accumulator refilled a byte at a time) so multi-bit reads are one
+    shift+mask, not a per-bit loop: the huffman/magnitude hot path of
+    :func:`decode_jpeg`."""
 
-    __slots__ = ("data", "pos", "bit")
+    __slots__ = ("data", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise NotImplementedError("truncated JPEG entropy data")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
+    def _fill(self, need: int) -> None:
+        while self.nbits < need and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
             self.pos += 1
-        return b
+            self.nbits += 8
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._fill(n)
+        if self.nbits < n:
+            raise NotImplementedError("truncated JPEG entropy data")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def peek_window(self, width: int) -> int:
+        """The next ``width`` bits left-aligned (1-padded past the end —
+        padding bits per T.81 are 1s, so short tails still resolve)."""
+        self._fill(width)
+        if self.nbits >= width:
+            return (self.acc >> (self.nbits - width)) & ((1 << width) - 1)
+        pad = width - self.nbits
+        return ((self.acc << pad) | ((1 << pad) - 1)) & ((1 << width) - 1)
+
+    def skip_bits(self, n: int) -> None:
+        if self.nbits < n:
+            raise NotImplementedError("truncated JPEG entropy data")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
 
 def _huff_canonical(counts: list[int], symbols: bytes) -> dict:
@@ -715,14 +738,42 @@ def _huff_canonical(counts: list[int], symbols: bytes) -> dict:
     return table
 
 
-def _huff_read(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise NotImplementedError("invalid JPEG huffman code")
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_lut(table: dict) -> tuple[int, list, list]:
+    """(maxlen, symbol[], length[]) window LUT for a canonical table: the
+    next ``maxlen`` bits index straight to (symbol, code length) — one
+    array lookup per symbol instead of a per-bit tree walk. Cached by the
+    table's content (the standard/fixture tables repeat across images)."""
+    key = tuple(sorted(table.items()))
+    got = _HUFF_LUT_CACHE.get(key)
+    if got is not None:
+        return got
+    maxlen = max(l for l, _ in table)
+    size = 1 << maxlen
+    sym = [0] * size
+    ln = [0] * size
+    for (l, code), s in table.items():
+        shift = maxlen - l
+        start = code << shift
+        for i in range(start, start + (1 << shift)):
+            sym[i] = s
+            ln[i] = l
+    got = (maxlen, sym, ln)
+    if len(_HUFF_LUT_CACHE) < 64:  # images carry ≤4 tables; bound anyway
+        _HUFF_LUT_CACHE[key] = got
+    return got
+
+
+def _huff_read(reader: _BitReader, lut: tuple[int, list, list]) -> int:
+    maxlen, sym, ln = lut
+    window = reader.peek_window(maxlen)
+    length = ln[window]
+    if length == 0:
+        raise NotImplementedError("invalid JPEG huffman code")
+    reader.skip_bits(length)
+    return sym[window]
 
 
 def _extend(v: int, t: int) -> int:
@@ -847,6 +898,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     seg_i = 0
     reader = _BitReader(bytes(scan[0]))
     mcu = 0
+    luts = {k: _huff_lut(v) for k, v in huff.items()}
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and mcu and mcu % dri == 0:
@@ -857,7 +909,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pred = {cid: 0 for cid, *_ in comps}
             for (cid, h, v, tq_id), (td, ta) in zip(comps, scan_tables):
                 q = qt[tq_id]
-                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                dc_tab, ac_tab = luts[(0, td)], luts[(1, ta)]
                 for by in range(v):
                     for bx in range(h):
                         t = _huff_read(reader, dc_tab)
