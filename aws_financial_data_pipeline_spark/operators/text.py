@@ -1217,6 +1217,32 @@ def extract_links(
     return out
 
 
+def attach_domain_rank(
+    docs: DataFrame,
+    ranks: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain_rank",
+) -> DataFrame:
+    """Join a :func:`..graph.pagerank` domain table onto documents as a
+    per-doc quality signal (the URL-level quality axis next to the content
+    signals in ``quality_signal_table`` — a page on a well-endorsed domain
+    earns trust its own text can't prove). Docs whose host is missing from
+    the rank table (or unparseable) get NULL — absence of evidence, not a
+    zero score. The rank table is |domains| rows — broadcast-joined, so
+    the corpus never shuffles."""
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
+    r = ranks.select(
+        F.col("node").alias("_dr_host"), F.col("rank").alias(out_col)
+    )
+    return (
+        docs.withColumn("_dr_host", host)
+        .join(F.broadcast(r), "_dr_host", "left")
+        .drop("_dr_host")
+    )
+
+
 def domain_graph(
     pages: DataFrame,
     text_col: str = "text",

@@ -249,3 +249,43 @@ def test_extract_links_and_domain_pagerank(spark):
         for r in pagerank(edges.select("src", "dst").distinct(), iterations=10).collect()
     }
     assert ranks["hub.example.com"] == max(ranks.values())
+
+
+def test_attach_domain_rank_signal(spark):
+    """The URL-quality composition: pages → link graph → PageRank →
+    per-doc domain_rank signal (broadcast join, corpus never shuffles;
+    unknown/unparseable hosts get NULL, not zero)."""
+    from aws_financial_data_pipeline_spark.operators.graph import pagerank
+    from aws_financial_data_pipeline_spark.operators.text import (
+        attach_domain_rank,
+        extract_links,
+    )
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example.com/p", '<a href="https://hub.example.com/x">x</a>'),
+            ("https://b.example.com/p", '<a href="https://hub.example.com/y">y</a>'),
+            ("https://hub.example.com/p", '<a href="https://a.example.com/z">z</a>'),
+        ],
+        "url string, text string",
+    )
+    ranks = pagerank(extract_links(pages).distinct(), iterations=8)
+    docs = spark.createDataFrame(
+        [
+            (1, "https://WWW.hub.example.com/page"),   # www+case → hub rank
+            (2, "https://a.example.com/other"),
+            (3, "https://unknown.example.org/x"),      # not in the graph
+            (4, "not a url"),                          # unparseable
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["domain_rank"] for r in attach_domain_rank(docs, ranks).collect()}
+    by_node = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert out[1] == by_node["hub.example.com"]
+    assert out[2] == by_node["a.example.com"]
+    assert out[3] is None and out[4] is None
+    # hub (endorsed by two domains) outranks b (endorsed by none)
+    assert out[1] > by_node["b.example.com"]
+    counts = plan_counts(attach_domain_rank(docs, ranks.localCheckpoint()))
+    assert counts["broadcast_joins"] == 1 and counts["exchanges"] == 0
