@@ -166,15 +166,20 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif ft == 2:  # Up — fully vectorized
             cur = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth — left-dependent
+        elif ft == 1:  # Sub — a per-channel prefix sum mod 256: cur[i] =
+            # line[i] + cur[i-bpp], so each residue class mod bpp is a
+            # cumsum (mod distributes over addition; int32 headroom is
+            # 255·width ≪ 2^31). The common photographic filter, so the
+            # vectorization matters.
+            cur = (np.cumsum(line.reshape(-1, bpp), axis=0).ravel()) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth — left-dependent via a floor
+            # division / 3-way predicate, genuinely sequential per byte
             cur = line
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
                 b = prev[i]
                 c = prev[i - bpp] if i >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) >> 1
                 else:  # Paeth predictor (RFC 2083 §6.6)
                     pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
