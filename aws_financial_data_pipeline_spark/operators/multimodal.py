@@ -6,10 +6,11 @@ struct; decode/feature-extraction runs as Arrow-batched pandas stages via
 REAL, pure-numpy parsers of the public container formats (no external libs):
 
 - :func:`decode_image` — BMP (uncompressed 24/32-bit BI_RGB), PNG
-  (8-bit, stdlib zlib + the five scanline filters), baseline JPEG
-  (ITU-T T.81 sequential DCT: huffman entropy decode + dequant + iDCT +
-  chroma upsample + YCbCr→RGB, :func:`decode_jpeg`) or GIF
-  (variable-width LZW + compositing, :func:`decode_gif`) → HxWx3 uint8 RGB
+  (8-bit, stdlib zlib + the five scanline filters), JPEG — baseline AND
+  progressive (ITU-T T.81: huffman entropy decode with spectral selection
+  + successive approximation, dequant, iDCT, chroma upsample, YCbCr→RGB;
+  :func:`decode_jpeg`) — or GIF (variable-width LZW + compositing,
+  :func:`decode_gif`) → HxWx3 uint8 RGB
 - :func:`decode_audio` — PCM RIFF/WAVE (8/16-bit) → (rate, float samples)
 - :func:`sample_video_frames` — uncompressed RIFF/AVI ('00db' raw-DIB
   frames) → every-n-th frame as HxWx3 uint8 RGB; :func:`sample_gif_frames`
@@ -17,7 +18,7 @@ REAL, pure-numpy parsers of the public container formats (no external libs):
 
 plus :func:`resize_image` (nearest-neighbor) and round-trip encoders for
 fixtures. Formats needing codecs absent from this container
-(progressive/arithmetic JPEG, WebP/MP3/MJPEG/H.264) raise
+(arithmetic-coded JPEG, WebP/MP3/MJPEG/H.264) raise
 ``NotImplementedError``.
 
 At scale: payload columns are large → keep them out of shuffles. The pattern
@@ -67,8 +68,9 @@ def decode_image(payload: bytes) -> np.ndarray:
       BITMAPINFOHEADER + padded bottom-up pixel rows),
     - PNG signature → 8-bit non-interlaced PNG via :func:`decode_png`
       (stdlib ``zlib`` inflate + the five scanline filters),
-    - ``FF D8`` → baseline sequential JPEG via :func:`decode_jpeg` (the
-      dominant crawl-image format — huffman + dequant + iDCT, pure numpy),
+    - ``FF D8`` → JPEG (baseline sequential AND progressive) via
+      :func:`decode_jpeg` (the dominant crawl-image format — huffman +
+      dequant + iDCT, pure numpy),
     - ``GIF8`` → GIF87a/89a via :func:`decode_gif` (variable-width LZW,
       first composited frame; :func:`sample_gif_frames` for animation).
 
@@ -786,29 +788,127 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _jpeg_block_sequential(reader, blk, dc_lut, ac_lut, pred, cid) -> None:
+    """One baseline block: DC prediction + EXTEND, then the AC run-length
+    loop (EOB ends the block, ZRL skips 16). Coefficients land by ZIGZAG
+    index, unquantized."""
+    t = _huff_read(reader, dc_lut)
+    pred[cid] += _extend(reader.read_bits(t), t) if t else 0
+    blk[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = _huff_read(reader, ac_lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise NotImplementedError("JPEG AC run overflow")
+        blk[k] = _extend(reader.read_bits(s), s)
+        k += 1
+
+
+def _jpeg_ac_first(reader, blk, ac_lut, ss, se, al, eobrun) -> int:
+    """Progressive AC first pass (T.81 G.1.2.2): band Ss..Se at point
+    transform Al, with EOBRUN spanning blocks. Returns the new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_read(reader, ac_lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)-1+bits MORE all-zero bands
+                return (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise NotImplementedError("JPEG AC run overflow")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(reader, blk, ac_lut, ss, se, al, eobrun) -> int:
+    """Progressive AC successive-approximation refinement (T.81 G.1.2.3 /
+    the libjpeg decode_mcu_AC_refine shape): already-nonzero coefficients
+    absorb one correction bit as they are passed over; new ±1<<Al
+    coefficients land after their zero-run. Returns the new EOBRUN."""
+    p1 = 1 << al
+
+    def correct(k: int, stop: int) -> None:
+        while k <= stop:
+            v = int(blk[k])
+            if v != 0 and reader.read_bit() and (abs(v) & p1) == 0:
+                blk[k] = v + p1 if v > 0 else v - p1
+            k += 1
+
+    if eobrun > 0:
+        correct(ss, se)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_read(reader, ac_lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: correction bits finish this band
+                eobrun = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                correct(k, se)
+                return eobrun
+            val = 0  # ZRL: 16 zero-HISTORY coefficients pass
+        else:
+            if s != 1:
+                raise NotImplementedError("invalid JPEG refinement magnitude")
+            val = p1 if reader.read_bit() else -p1
+        while k <= se:  # advance r zero-history slots, correcting nonzeros
+            v = int(blk[k])
+            if v != 0:
+                if reader.read_bit() and (abs(v) & p1) == 0:
+                    blk[k] = v + p1 if v > 0 else v - p1
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val and k <= se:
+            blk[k] = val
+        k += 1
+    return 0
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """REAL baseline-JPEG decoder on numpy (no pillow/libjpeg): marker walk
-    (DQT/DHT/SOF0/DRI/SOS), canonical huffman entropy decode with byte
+    """REAL JPEG decoder on numpy (no pillow/libjpeg): marker walk
+    (DQT/DHT/SOF/DRI/SOS), canonical huffman entropy decode with byte
     de-stuffing and restart-marker handling, DC prediction + EXTEND,
     zigzag dequantization, 8×8 iDCT via the orthonormal DCT basis (the
-    ``A.T @ F @ A`` form — identical to T.81's ``¼·C(u)C(v)`` sum),
-    per-component nearest-neighbor chroma upsampling and JFIF YCbCr→RGB.
-    Returns HxWx3 uint8 RGB (grayscale replicated) to match
-    :func:`decode_image`'s contract.
+    ``A.T @ F @ A`` form — identical to T.81's ``¼·C(u)C(v)`` sum, batched
+    with one einsum per component), per-component nearest-neighbor chroma
+    upsampling and JFIF YCbCr→RGB. Returns HxWx3 uint8 RGB (grayscale
+    replicated) to match :func:`decode_image`'s contract.
 
-    Supported: baseline sequential (SOF0/SOF1), 8-bit, 1 or 3 components,
-    any sampling factors, restart intervals, multiple DQT/DHT segments.
-    Progressive (SOF2), arithmetic coding, hierarchical, 12/16-bit and
-    CMYK raise loudly — absent codecs are rejected, never faked."""
+    Supported: baseline sequential (SOF0/SOF1) AND progressive (SOF2 —
+    spectral selection + successive approximation: interleaved or single-
+    component DC scans, per-component AC band scans with EOBRUN, DC/AC
+    refinement passes; Annex G), 8-bit, 1 or 3 components, any sampling
+    factors, restart intervals, multiple DQT/DHT segments. All scans
+    accumulate into per-component zigzag coefficient buffers; dequant +
+    iDCT run once after the last scan (which is also what makes
+    progressive possible at all). Arithmetic coding, hierarchical,
+    lossless, 12/16-bit and CMYK raise loudly — absent codecs are
+    rejected, never faked."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (H, W, [(cid, h, v, tq), ...])
+    progressive = False
     dri = 0
-    scan = None
-    scan_tables: list[tuple[int, int]] = []
+    scans: list[tuple] = []  # (scomps, ss, se, ah, al, segments, dri)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise NotImplementedError("bad JPEG marker stream")
@@ -838,7 +938,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 n = sum(counts)
                 huff[(tc, th)] = _huff_canonical(counts, body[p + 17 : p + 17 + n])
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            progressive = marker == 0xC2
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported")
@@ -851,19 +952,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq_id = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq_id))
             frame = (h_, w_, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG decodes in-container "
-                f"(SOF marker 0xFF{marker:02X}: progressive/arithmetic/hierarchical)"
+                "only baseline and progressive huffman JPEG decode "
+                f"in-container (SOF marker 0xFF{marker:02X}: "
+                "arithmetic/hierarchical/lossless)"
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = body[0]
-            scan_tables = []
+            scomps = []
             for i in range(ns):
+                cs = body[1 + 2 * i]
                 td_ta = body[2 + 2 * i]
-                scan_tables.append((td_ta >> 4, td_ta & 15))
+                scomps.append((cs, td_ta >> 4, td_ta & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             p = pos + 2 + seglen
             segments: list[bytearray] = [bytearray()]
             while p < len(payload):
@@ -881,12 +986,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     break  # a real marker ends the scan
                 segments[-1].append(byte)
                 p += 1
-            scan = segments
+            scans.append((scomps, ss, se, ahal >> 4, ahal & 15, segments, dri))
             pos = p
-            break  # baseline = single scan
+            continue  # progressive files carry many scans — keep walking
         pos += 2 + seglen
 
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise NotImplementedError("JPEG missing SOF/SOS")
     height, width, comps = frame
     if height == 0 or width == 0:
@@ -895,51 +1000,103 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+    comp_by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    luts = {k: _huff_lut(v) for k, v in huff.items()}
+    # zigzag-indexed, unquantized coefficient buffers, padded to the MCU
+    # grid (interleaved scans code the padding blocks; single-component
+    # scans raster the component's real block dims only)
+    coef = {
+        cid: np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
         for cid, h, v, _ in comps
     }
-    pred = {cid: 0 for cid, *_ in comps}
-    seg_i = 0
-    reader = _BitReader(bytes(scan[0]))
-    mcu = 0
-    luts = {k: _huff_lut(v) for k, v in huff.items()}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu and mcu % dri == 0:
+
+    for scomps, ss, se, ah, al, segments, sdri in scans:
+        reader = _BitReader(bytes(segments[0]))
+        seg_i = 0
+        eobrun = 0
+        pred = {cid: 0 for cid, *_ in comps}
+        interleaved = len(scomps) > 1
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            cid0, _, _ = scomps[0]
+            ch, cv, _ = comp_by_id[cid0]
+            bw = -(-(-(-width * ch // hmax)) // 8)
+            bh = -(-(-(-height * cv // vmax)) // 8)
+            units = bw * bh
+        for u in range(units):
+            if sdri and u and u % sdri == 0:
                 seg_i += 1
-                if seg_i >= len(scan):
+                if seg_i >= len(segments):
                     raise NotImplementedError("JPEG missing restart segment")
-                reader = _BitReader(bytes(scan[seg_i]))
+                reader = _BitReader(bytes(segments[seg_i]))
+                eobrun = 0
                 pred = {cid: 0 for cid, *_ in comps}
-            for (cid, h, v, tq_id), (td, ta) in zip(comps, scan_tables):
-                q = qt[tq_id]
-                dc_tab, ac_tab = luts[(0, td)], luts[(1, ta)]
-                for by in range(v):
-                    for bx in range(h):
-                        t = _huff_read(reader, dc_tab)
-                        pred[cid] += _extend(reader.read_bits(t), t) if t else 0
-                        coeffs = np.zeros(64)
-                        coeffs[0] = pred[cid] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_read(reader, ac_tab)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise NotImplementedError("JPEG AC run overflow")
-                            coeffs[_ZIGZAG[k]] = _extend(reader.read_bits(s), s) * q[k]
-                            k += 1
-                        pix = _DCT8.T @ coeffs.reshape(8, 8) @ _DCT8 + 128.0
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
-            mcu += 1
+            if not progressive:
+                if interleaved:
+                    my, mx = divmod(u, mcux)
+                    for cs, td, ta in scomps:
+                        h, v, _ = comp_by_id[cs]
+                        for by in range(v):
+                            for bx in range(h):
+                                _jpeg_block_sequential(
+                                    reader,
+                                    coef[cs][my * v + by, mx * h + bx],
+                                    luts[(0, td)],
+                                    luts[(1, ta)],
+                                    pred,
+                                    cs,
+                                )
+                else:  # non-interleaved scan: one block per unit, raster
+                    cs, td, ta = scomps[0]
+                    _jpeg_block_sequential(
+                        reader, coef[cs][u // bw, u % bw],
+                        luts[(0, td)], luts[(1, ta)], pred, cs,
+                    )
+            elif ss == 0:  # progressive DC scan (may be interleaved)
+                targets = []
+                if interleaved:
+                    my, mx = divmod(u, mcux)
+                    for cs, td, _ in scomps:
+                        h, v, _ = comp_by_id[cs]
+                        for by in range(v):
+                            for bx in range(h):
+                                targets.append(
+                                    (cs, td, coef[cs][my * v + by, mx * h + bx])
+                                )
+                else:
+                    cs, td, _ = scomps[0]
+                    targets.append((cs, td, coef[cs][u // bw, u % bw]))
+                for cs, td, blk in targets:
+                    if ah == 0:  # first DC pass
+                        t = _huff_read(reader, luts[(0, td)])
+                        pred[cs] += _extend(reader.read_bits(t), t) if t else 0
+                        blk[0] = pred[cs] << al
+                    else:  # DC refinement: one bit per block
+                        if reader.read_bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+            else:  # progressive AC scan — single component by spec
+                cs, _, ta = scomps[0]
+                blk = coef[cs][u // bw, u % bw]
+                if ah == 0:
+                    eobrun = _jpeg_ac_first(
+                        reader, blk, luts[(1, ta)], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _jpeg_ac_refine(
+                        reader, blk, luts[(1, ta)], ss, se, al, eobrun
+                    )
+
+    planes = {}
+    for cid, h, v, tq_id in comps:
+        q = qt[tq_id]
+        cb = coef[cid].astype(np.float64) * q  # dequant in zigzag space
+        bv, bhh = cb.shape[:2]
+        natural = np.zeros((bv, bhh, 64))
+        natural[..., _ZIGZAG] = cb
+        blocks = natural.reshape(bv, bhh, 8, 8)
+        pix = np.einsum("ij,abjk,kl->abil", _DCT8.T, blocks, _DCT8) + 128.0
+        planes[cid] = pix.transpose(0, 2, 1, 3).reshape(bv * 8, bhh * 8)
 
     full = []
     for cid, h, v, _ in comps:
@@ -987,7 +1144,13 @@ def _encoder_huffman() -> tuple[dict, dict, bytes, bytes]:
     ac_map, dc_dht_body, ac_dht_body) where the maps go symbol →
     (code, length)."""
     dc_syms = bytes(range(12))
-    ac_syms = bytes([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    # 0x00=EOB0, 0xF0=ZRL, r0-padded EOBn symbols (progressive EOBRUN,
+    # r=1..14), and every (run, size) pair
+    ac_syms = bytes(
+        [0x00, 0xF0]
+        + [r << 4 for r in range(1, 15)]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
     def build(length: int, syms: bytes):
         counts = [0] * 16
         counts[length - 1] = len(syms)
@@ -1032,16 +1195,26 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
 
 def encode_jpeg(
     pixels: np.ndarray, quality: int = 90, subsample: bool = False,
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
-    """Round-trip baseline-JPEG encoder for fixtures/sinks: RGB→YCbCr,
-    optional 4:2:0 chroma subsampling (2×2 box average), forward DCT via
-    the same orthonormal basis the decoder inverts, Annex-K quantization
-    tables scaled by libjpeg's public quality formula, generated
-    fixed-length huffman tables (valid per T.81 — the tables ride in the
-    DHT, so ANY conforming decoder reads the output), byte stuffing and
-    optional restart intervals. Pairs with :func:`decode_jpeg` exactly as
-    encode_png/encode_bmp pair with their decoders."""
+    """Round-trip JPEG encoder for fixtures/sinks: RGB→YCbCr, optional
+    4:2:0 chroma subsampling (2×2 box average), forward DCT via the same
+    orthonormal basis the decoder inverts, Annex-K quantization tables
+    scaled by libjpeg's public quality formula, generated fixed-length
+    huffman tables (valid per T.81 — the tables ride in the DHT, so ANY
+    conforming decoder reads the output), byte stuffing and optional
+    restart intervals. Pairs with :func:`decode_jpeg` exactly as
+    encode_png/encode_bmp pair with their decoders.
+
+    ``progressive=True`` writes the spectral-selection progressive layout
+    (SOF2): one interleaved DC scan, then one full-band AC scan per
+    component with EOBRUN accumulation across all-zero bands — the SAME
+    quantized coefficients as the baseline layout, so
+    decode(progressive) == decode(baseline) EXACTLY (pinned in tests).
+    Successive approximation is a decoder-side feature here (hand-built
+    fixture test); the fixture encoder doesn't need the extra scans."""
+    if progressive and restart_interval:
+        raise ValueError("progressive fixtures don't support restart intervals")
     px = np.asarray(pixels, dtype=np.float64)
     h, w = px.shape[:2]
     y = px @ np.array([0.299, 0.587, 0.114])
@@ -1116,22 +1289,23 @@ def encode_jpeg(
             code, length = ac_enc[0x00]
             writer.write(code, length)
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                writer.flush()
-                out_segments.append(bytes(writer.out))
-                writer.out = bytearray()
-                pred[:] = [0, 0, 0]
-            for ci, (grid, (sh, sv), qtab) in enumerate(zip(grids, samp, qts)):
-                for by in range(sv):
-                    for bx in range(sh):
-                        emit_block(
-                            grid, (my * sv + by) * 8, (mx * sh + bx) * 8, qtab, ci
-                        )
-            mcu += 1
-    writer.flush()
-    out_segments.append(bytes(writer.out))
+    if not progressive:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    writer.flush()
+                    out_segments.append(bytes(writer.out))
+                    writer.out = bytearray()
+                    pred[:] = [0, 0, 0]
+                for ci, (grid, (sh, sv), qtab) in enumerate(zip(grids, samp, qts)):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            emit_block(
+                                grid, (my * sv + by) * 8, (mx * sh + bx) * 8, qtab, ci
+                            )
+                mcu += 1
+        writer.flush()
+        out_segments.append(bytes(writer.out))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -1143,10 +1317,23 @@ def encode_jpeg(
         bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
         for i, (sh, sv) in enumerate(samp)
     )
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    sof = seg(
+        0xC2 if progressive else 0xC0,
+        struct.pack(">BHHB", 8, h, w, 3) + sof_comps,
+    )
     dht = seg(0xC4, bytes([0x00]) + dc_body) + seg(0xC4, bytes([0x10]) + ac_body)
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     parts = [b"\xff\xd8", dqt(0, q_l), dqt(1, q_c), sof, dht]
+
+    if progressive:
+        parts.extend(
+            _encode_progressive_scans(
+                grids, samp, qts, dc_enc, ac_enc, mcux, mcuy, hmax, vmax, h, w, seg
+            )
+        )
+        parts.append(b"\xff\xd9")
+        return b"".join(parts)
+
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     if restart_interval:
         parts.append(seg(0xDD, struct.pack(">H", restart_interval)))
     parts.append(sos)
@@ -1156,6 +1343,99 @@ def encode_jpeg(
             parts.append(bytes([0xFF, 0xD0 + (i % 8)]))
     parts.append(b"\xff\xd9")
     return b"".join(parts)
+
+
+def _encode_progressive_scans(
+    grids, samp, qts, dc_enc, ac_enc, mcux, mcuy, hmax, vmax, h, w, seg
+) -> list[bytes]:
+    """SOS segments for the spectral-selection progressive layout: an
+    interleaved DC scan over the padded MCU grid, then one Ss=1..Se=63 AC
+    scan per component rastering the component's REAL block dims with
+    EOBRUN accumulation (the decoder's bw×bh contract)."""
+    quant_arrays = []
+    for grid, qtab in zip(grids, qts):
+        gv, gw = grid.shape
+        bv, bh2 = gv // 8, gw // 8
+        qa = np.zeros((bv, bh2, 64), dtype=int)
+        qzz = qtab.ravel()[_ZIGZAG]
+        for byi in range(bv):
+            for bxi in range(bh2):
+                blk = grid[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] - 128.0
+                zz = (_DCT8 @ blk @ _DCT8.T).ravel()[_ZIGZAG]
+                qa[byi, bxi] = np.round(zz / qzz).astype(int)
+        quant_arrays.append(qa)
+
+    parts: list[bytes] = []
+    # scan 1: DC, interleaved, Ss=Se=0, Ah=Al=0
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(quant_arrays[ci][my * sv + by, mx * sh + bx, 0])
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t = abs(diff).bit_length()
+                        code, length = dc_enc[t]
+                        writer.write(code, length)
+                        if t:
+                            writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    writer.flush()
+    parts.append(seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])))
+    parts.append(bytes(writer.out))
+
+    # scans 2..4: per-component AC band Ss=1..Se=63, EOBRUN across blocks
+    for ci, (sh, sv) in enumerate(samp):
+        bw = -(-(-(-w * sh // hmax)) // 8)
+        bh_r = -(-(-(-h * sv // vmax)) // 8)
+        qa = quant_arrays[ci]
+        writer = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(14, eobrun.bit_length() - 1)
+                take = min(eobrun, (1 << (r + 1)) - 1)
+                extra = take - (1 << r)
+                code, length = ac_enc[r << 4]
+                writer.write(code, length)
+                if r:
+                    writer.write(extra, r)
+                eobrun -= take
+
+        for byi in range(bh_r):
+            for bxi in range(bw):
+                band = qa[byi, bxi]
+                last = max((k for k in range(1, 64) if band[k]), default=0)
+                if last == 0:
+                    eobrun += 1
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(band[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_enc[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    code, length = ac_enc[(run << 4) | s]
+                    writer.write(code, length)
+                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    eobrun += 1  # this band's EOB joins the run
+        flush_eob()
+        writer.flush()
+        parts.append(seg(0xDA, bytes([1, ci + 1, 0x00, 1, 63, 0])))
+        parts.append(bytes(writer.out))
+    return parts
 
 
 # ---------------------------------------------------------------------------

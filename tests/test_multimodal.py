@@ -606,16 +606,16 @@ def test_jpeg_phash_matches_bmp_phash_and_pipeline(spark):
 
 
 def test_jpeg_rejects_unsupported_variants():
-    """Progressive (SOF2), 12-bit precision, 16-bit quant tables, CMYK and
-    non-JPEG payloads raise loudly — absent codecs are rejected, not
-    faked (the decode_png convention)."""
+    """Arithmetic coding (SOF9), 12-bit precision, 16-bit quant tables,
+    CMYK and non-JPEG payloads raise loudly — absent codecs are rejected,
+    not faked (the decode_png convention)."""
     import struct as st
 
     import pytest
 
-    sof2 = b"\xff\xd8" + _jpeg_seg(0xC2, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="progressive|baseline"):
-        mm.decode_jpeg(sof2)
+    sof9 = b"\xff\xd8" + _jpeg_seg(0xC9, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        mm.decode_jpeg(sof9)
     deep = b"\xff\xd8" + _jpeg_seg(0xC0, st.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError, match="precision"):
         mm.decode_jpeg(deep)
@@ -800,3 +800,83 @@ def test_property_gif_and_jpeg_roundtrip_random():
         dec = mm.decode_jpeg(mm.encode_jpeg(noise, quality=95))
         err = np.abs(dec.astype(int) - noise.astype(int))
         assert err.max() <= 32 and err.mean() <= 6.0, (seed, err.max(), err.mean())
+
+
+def test_jpeg_progressive_equals_baseline_pixels():
+    """The spectral-selection progressive layout (SOF2: interleaved DC
+    scan + per-component AC band scans with EOBRUN) carries the SAME
+    quantized coefficients as the baseline layout — decoded pixels must be
+    IDENTICAL, not merely close, across shapes and 4:2:0."""
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for sub in (False, True):
+            base = mm.decode_jpeg(mm.encode_jpeg(img, quality=85, subsample=sub))
+            prog = mm.decode_jpeg(
+                mm.encode_jpeg(img, quality=85, subsample=sub, progressive=True)
+            )
+            assert (base == prog).all(), (seed, sub)
+    # dispatch still works (SOF2 payload through decode_image)
+    img = np.full((10, 10, 3), 77, dtype=np.uint8)
+    assert mm.decode_image(mm.encode_jpeg(img, progressive=True)).shape == img.shape
+
+
+def test_jpeg_progressive_successive_approximation_handbuilt():
+    """Successive approximation, decoder-side (T.81 Annex G), pinned by a
+    HAND-BUILT four-scan fixture the fixture encoder cannot produce:
+    DC-first at Al=1, AC-first at Al=1 (coefficient 3 → coded 1, -1 →
+    deferred), DC refinement (low bit), AC refinement (correction bit
+    lifts 2→3, newly-significant -1 lands after its zero-history run).
+    Final coefficients must be exactly dc=5, zz1=3, zz2=-1; expected
+    pixels from the explicit T.81 cosine double sum evaluated HERE."""
+    import math
+    import struct as st
+
+    dc_body = bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    ac_syms = bytes([0x00, 0x01, 0x02, 0x11, 0x21])
+    ac_body = bytes([0, 0, len(ac_syms)] + [0] * 13) + ac_syms
+    # canonical codes: DC sym t -> t @4 bits; AC 0x00->000, 0x01->001, ...
+
+    payload = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + _jpeg_seg(0xC2, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + _jpeg_seg(0xC4, bytes([0x00]) + dc_body)
+        + _jpeg_seg(0xC4, bytes([0x10]) + ac_body)
+        # scan 1: DC first, Al=1 — code category 2 ('0010'), bits '10' of
+        # diff=+2 (dc>>1), 1-padded → 0x2B
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + bytes([0x2B])
+        # scan 2: AC first, Ss=1..63, Al=1 — (r0,s1)='001' val '+1', EOB0
+        # '000', 1-padded → 0x31  (3>>1=1 coded; -1 truncates to 0, deferred)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + bytes([0x31])
+        # scan 3: DC refinement (Ah=1) — one bit '1', 1-padded → 0xFF
+        # (stuffed)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + bytes([0xFF, 0x00])
+        # scan 4: AC refinement — (r0,s1)='001' sign '0' (=-1), correction
+        # '1' for the existing k=1 (2→3), new -1 lands at k=2, then EOB0
+        # '000' → exactly 0x28
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + bytes([0x28])
+        + b"\xff\xd9"
+    )
+    got = mm.decode_jpeg(payload)
+
+    want = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for (u, v, coefv) in ((0, 0, 5.0), (0, 1, 3.0), (1, 0, -1.0)):
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                s += (
+                    cu * cv * coefv
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                )
+            want[x, y] = s / 4 + 128
+    want = np.clip(np.round(want), 0, 255).astype(int)
+    assert np.abs(got[:, :, 0].astype(int) - want).max() <= 1
