@@ -1016,6 +1016,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         eobrun = 0
         pred = {cid: 0 for cid, *_ in comps}
         interleaved = len(scomps) > 1
+        if progressive and ss > 0 and interleaved:
+            # T.81 G.1: progressive AC scans are single-component by spec
+            raise NotImplementedError("interleaved progressive AC scan (malformed)")
         if interleaved:
             units = mcux * mcuy
         else:
