@@ -1194,7 +1194,9 @@ def extract_links(
     endorsement."""
     href = F.explode(
         F.regexp_extract_all(
-            F.col(text_col), F.lit(r'href="(https?://[^"]+)"'), F.lit(1)
+            F.col(text_col),
+            F.lit(r"""href=["'](https?://[^"']+)["']"""),
+            F.lit(1),
         )
     )
     src_host = F.regexp_replace(
