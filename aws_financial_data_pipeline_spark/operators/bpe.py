@@ -763,11 +763,12 @@ def train_unigram(
         keep = max(n_multi_target, int(len(cur_multi) * 0.75))
         if r == prune_rounds - 1:
             keep = n_multi_target
+        # pruning drops MULTI pieces only; the EM-learned byte
+        # probabilities must survive (flooring them would bias the next
+        # sweep's segmentation against single-byte pieces)
+        byte_probs = {c: logp.get(c, _LOG_FLOOR) for c in base_syms}
         logp = {p: lp for p, lp in cur_multi[:keep]}
-        for c in base_syms:
-            logp[c] = logp.get(c, _LOG_FLOOR)
-        # restore byte probs from the pre-prune model
-        # (they were overwritten by the floor default above only if absent)
+        logp.update(byte_probs)
     for _ in range(em_iters):  # final re-fit at the target size
         logp = em_sweep(logp)
     cur_multi = sorted(
