@@ -152,3 +152,88 @@ def test_warc_hostile_record_bodies(spark, tmp_path):
     empty_dir.mkdir()
     (empty_dir / "z.warc").write_bytes(b"")
     assert warc.read_warc(spark, str(empty_dir / "z.warc")).count() == 0
+
+
+def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
+    """The WHOLE engine as one chain, from crawl bytes to trainer input:
+    .warc.gz → read_warc → warc_to_documents → url_dedup → curation funnel
+    (blocklist gate + in-funnel HTML extraction, lenient rules) → byte-level
+    BPE encode → token-window chunking → sequence packing →
+    write_training_shards. Every hop is an operator this repo ships; the
+    test pins that they COMPOSE — schemas line up, ids survive, the shard
+    sink replays the full permutation."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import bpe, packing
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+    from aws_financial_data_pipeline_spark.operators.curation import curation_funnel
+    from aws_financial_data_pipeline_spark.operators.text import url_dedup
+
+    rng = np.random.default_rng(11)
+    words = [f"word{i}" for i in range(50)]
+    recs = []
+    for i in range(30):
+        # three stopword-bearing sentences: clears the C4 sentence floor
+        # AND Gopher's stopword rule, so the lenient gate keeps real docs
+        body = " ".join(
+            "the " + " ".join(rng.choice(words, size=24)) + " of it and more."
+            for _ in range(3)
+        )
+        page = i // 2  # consecutive pairs share one canonical URL
+        domain = (
+            "blocked.example.com" if page % 5 == 0 else f"site-{page % 5}.example.com"
+        )
+        url = f"https://{domain}/p/{page}"
+        recs.append(
+            {
+                "warc_type": "response",
+                "url": url + ("?utm_source=feed" if i % 2 else ""),
+                "record_id": f"<urn:uuid:e2e-{i}>",
+                "html": f'<html><body><a href="{url}">self</a><p>{body}.</p></body></html>',
+            }
+        )
+    (tmp_path / "crawl.warc.gz").write_bytes(warc.encode_warc(recs))
+
+    docs = warc.warc_to_documents(warc.read_warc(spark, str(tmp_path / "crawl.warc.gz")))
+    assert docs.count() == 30
+    kept = url_dedup(docs).drop("canonical_url")
+    n_kept = kept.count()
+    assert n_kept == 15  # one per canonical URL
+
+    corpus, audit = curation_funnel(
+        kept, blocklist=["blocked.example.com"], extract_html=True, rule_mode="any"
+    )
+    corpus = corpus.localCheckpoint()
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["input"] == 15 and a["url_gate"] < 15  # the blocklist bit
+    n_docs = corpus.count()
+    assert 0 < n_docs <= a["url_gate"]
+    # HTML really was extracted before the content stages
+    assert corpus.filter(F.col("text").contains("<p>")).count() == 0
+
+    merges = bpe.train_bpe_bytelevel(corpus, num_merges=50)
+    enc = bpe.bpe_encode_bytelevel(corpus, merges, with_ids=False)
+    chunks = packing.chunk_tokens(
+        corpus.join(enc.select("doc_id"), "doc_id"), window=32, stride=32
+    )
+    packed = packing.pack_chunks(chunks, budget=128)
+    assert packed.count() >= n_docs  # every doc yields ≥1 chunk
+
+    ordered = sp.global_shuffle(
+        packed.select(
+            # doc_id is a full-range xxhash64: arithmetic combining overflows,
+            # hash-combining doesn't
+            F.xxhash64("doc_id", "chunk_id").alias("doc_id"),
+            "chunk_text",
+            "bin_id",
+        ),
+        num_shards=4,
+    )
+    out = str(tmp_path / "shards")
+    sp.write_training_shards(ordered, out)
+    back = spark.read.parquet(out)
+    assert back.count() == packed.count()
+    # the shard directories replay the exact global permutation
+    import glob
+
+    assert len(glob.glob(f"{out}/shuffle_shard=*")) >= 2
