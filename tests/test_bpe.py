@@ -676,3 +676,17 @@ def test_tokenizer_stats_grouped_by_script(spark):
     assert stats["latin"]["n_docs"] == 2 and stats["cjk"]["n_docs"] == 2
     # CJK under this (mostly Latin-fed) vocab costs more tokens per word
     assert stats["cjk"]["fertility"] > stats["latin"]["fertility"]
+
+
+def test_unigram_byte_probs_survive_pruning(spark):
+    """Regression pin: pruning drops MULTI pieces only — the EM-learned
+    byte probabilities must carry across prune rounds (flooring them
+    biased the next sweep's segmentation against single-byte pieces). A
+    byte that dominates the corpus must end far above the keep-alive
+    floor."""
+    docs = _corpus(spark, ["x y z q " * 30, "x q y x z x " * 20])
+    model = bpe.train_unigram(docs, vocab_size=300, prune_rounds=3, em_iters=1)
+    probs = dict(model)
+    assert probs["x"] > bpe._LOG_FLOOR + 1.0  # learned, not floored
+    # an impossible byte keeps the floor (totality without false mass)
+    assert probs[bpe._BYTE_ENCODER[0]] == bpe._LOG_FLOOR

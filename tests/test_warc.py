@@ -237,3 +237,38 @@ def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{out}/shuffle_shard=*")) >= 2
+
+
+def test_property_warc_roundtrip_arbitrary_bodies(spark, tmp_path):
+    """Seeded-random property sweep: arbitrary binary record bodies of
+    arbitrary sizes (including empty and separator-laden) survive
+    encode_warc → read_warc byte-for-byte, in both gzip-member and plain
+    framing."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    recs = []
+    for i in range(25):
+        size = int(rng.integers(0, 400))
+        body = bytes(rng.integers(0, 256, size, dtype=np.uint8).tolist())
+        recs.append(
+            {
+                "warc_type": "metadata",
+                "url": f"https://r.example.com/{i}",
+                "record_id": f"<urn:uuid:p{i}>",
+                "body": body,
+            }
+        )
+    for gz, name in ((True, "p.warc.gz"), (False, "p.warc")):
+        d = tmp_path / ("gz" if gz else "plain")
+        d.mkdir()
+        (d / name).write_bytes(warc.encode_warc(recs, gzip_members=gz))
+        rows = {
+            r["record_id"]: bytes(r["payload"])
+            for r in warc.read_warc(
+                spark, str(d / name), record_types=("metadata",)
+            ).collect()
+        }
+        assert len(rows) == 25
+        for i, rec in enumerate(recs):
+            assert rows[f"<urn:uuid:p{i}>"] == rec["body"], i
