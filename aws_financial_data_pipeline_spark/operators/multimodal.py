@@ -1214,10 +1214,11 @@ def encode_jpeg(
     component with EOBRUN accumulation across all-zero bands — the SAME
     quantized coefficients as the baseline layout, so
     decode(progressive) == decode(baseline) EXACTLY (pinned in tests).
-    Successive approximation is a decoder-side feature here (hand-built
-    fixture test); the fixture encoder doesn't need the extra scans."""
-    if progressive and restart_interval:
-        raise ValueError("progressive fixtures don't support restart intervals")
+    ``restart_interval`` applies per scan (MCUs in the DC scan, blocks in
+    AC scans; EOBRUN flushes before every restart boundary, as the
+    decoder's reset demands). Successive approximation is a decoder-side
+    feature here (hand-built fixture test); the fixture encoder doesn't
+    need the extra scans."""
     px = np.asarray(pixels, dtype=np.float64)
     h, w = px.shape[:2]
     y = px @ np.array([0.299, 0.587, 0.114])
@@ -1328,9 +1329,12 @@ def encode_jpeg(
     parts = [b"\xff\xd8", dqt(0, q_l), dqt(1, q_c), sof, dht]
 
     if progressive:
+        if restart_interval:
+            parts.append(seg(0xDD, struct.pack(">H", restart_interval)))
         parts.extend(
             _encode_progressive_scans(
-                grids, samp, qts, dc_enc, ac_enc, mcux, mcuy, hmax, vmax, h, w, seg
+                grids, samp, qts, dc_enc, ac_enc, mcux, mcuy, hmax, vmax,
+                h, w, seg, restart_interval,
             )
         )
         parts.append(b"\xff\xd9")
@@ -1349,12 +1353,15 @@ def encode_jpeg(
 
 
 def _encode_progressive_scans(
-    grids, samp, qts, dc_enc, ac_enc, mcux, mcuy, hmax, vmax, h, w, seg
+    grids, samp, qts, dc_enc, ac_enc, mcux, mcuy, hmax, vmax, h, w, seg,
+    restart_interval: int = 0,
 ) -> list[bytes]:
     """SOS segments for the spectral-selection progressive layout: an
     interleaved DC scan over the padded MCU grid, then one Ss=1..Se=63 AC
     scan per component rastering the component's REAL block dims with
-    EOBRUN accumulation (the decoder's bw×bh contract)."""
+    EOBRUN accumulation (the decoder's bw×bh contract). With
+    ``restart_interval``, RSTn markers split each scan every N units
+    (EOBRUN flushed before every boundary — a run may not cross one)."""
     quant_arrays = []
     for grid, qtab in zip(grids, qts):
         gv, gw = grid.shape
@@ -1368,12 +1375,26 @@ def _encode_progressive_scans(
                 qa[byi, bxi] = np.round(zz / qzz).astype(int)
         quant_arrays.append(qa)
 
+    def emit_segments(sos_body: bytes, segments: list[bytes], parts: list):
+        parts.append(seg(0xDA, sos_body))
+        for i, data in enumerate(segments):
+            parts.append(data)
+            if i < len(segments) - 1:
+                parts.append(bytes([0xFF, 0xD0 + (i % 8)]))
+
     parts: list[bytes] = []
     # scan 1: DC, interleaved, Ss=Se=0, Ah=Al=0
     writer = _BitWriter()
+    segments: list[bytes] = []
     pred = [0, 0, 0]
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                segments.append(bytes(writer.out))
+                writer.out = bytearray()
+                pred[:] = [0, 0, 0]
             for ci, (sh, sv) in enumerate(samp):
                 for by in range(sv):
                     for bx in range(sh):
@@ -1385,9 +1406,10 @@ def _encode_progressive_scans(
                         writer.write(code, length)
                         if t:
                             writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            mcu += 1
     writer.flush()
-    parts.append(seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])))
-    parts.append(bytes(writer.out))
+    segments.append(bytes(writer.out))
+    emit_segments(bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0]), segments, parts)
 
     # scans 2..4: per-component AC band Ss=1..Se=63, EOBRUN across blocks
     for ci, (sh, sv) in enumerate(samp):
@@ -1395,6 +1417,7 @@ def _encode_progressive_scans(
         bh_r = -(-(-(-h * sv // vmax)) // 8)
         qa = quant_arrays[ci]
         writer = _BitWriter()
+        segments = []
         eobrun = 0
 
         def flush_eob():
@@ -1409,8 +1432,15 @@ def _encode_progressive_scans(
                     writer.write(extra, r)
                 eobrun -= take
 
+        unit = 0
         for byi in range(bh_r):
             for bxi in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush_eob()  # an EOB run may not cross a restart
+                    writer.flush()
+                    segments.append(bytes(writer.out))
+                    writer.out = bytearray()
+                unit += 1
                 band = qa[byi, bxi]
                 last = max((k for k in range(1, 64) if band[k]), default=0)
                 if last == 0:
@@ -1436,8 +1466,8 @@ def _encode_progressive_scans(
                     eobrun += 1  # this band's EOB joins the run
         flush_eob()
         writer.flush()
-        parts.append(seg(0xDA, bytes([1, ci + 1, 0x00, 1, 63, 0])))
-        parts.append(bytes(writer.out))
+        segments.append(bytes(writer.out))
+        emit_segments(bytes([1, ci + 1, 0x00, 1, 63, 0]), segments, parts)
     return parts
 
 

@@ -813,10 +813,14 @@ def test_jpeg_progressive_equals_baseline_pixels():
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         for sub in (False, True):
             base = mm.decode_jpeg(mm.encode_jpeg(img, quality=85, subsample=sub))
-            prog = mm.decode_jpeg(
-                mm.encode_jpeg(img, quality=85, subsample=sub, progressive=True)
-            )
-            assert (base == prog).all(), (seed, sub)
+            for ri in (0, 3):  # restart intervals reset EOBRUN + DC pred
+                prog = mm.decode_jpeg(
+                    mm.encode_jpeg(
+                        img, quality=85, subsample=sub, progressive=True,
+                        restart_interval=ri,
+                    )
+                )
+                assert (base == prog).all(), (seed, sub, ri)
     # dispatch still works (SOF2 payload through decode_image)
     img = np.full((10, 10, 3), 77, dtype=np.uint8)
     assert mm.decode_image(mm.encode_jpeg(img, progressive=True)).shape == img.shape
