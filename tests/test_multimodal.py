@@ -884,3 +884,45 @@ def test_jpeg_progressive_successive_approximation_handbuilt():
             want[x, y] = s / 4 + 128
     want = np.clip(np.round(want), 0, 255).astype(int)
     assert np.abs(got[:, :, 0].astype(int) - want).max() <= 1
+
+
+def test_image_phash_streams_identically(spark, tmp_path):
+    """mapInPandas image hashing streams for free: the streaming replay of
+    a mixed-container image batch equals the batch pHash table — the same
+    gate the tokenizer encoders carry, applied to the multimodal path."""
+    imgs = []
+    for i in range(4):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, :, i % 3] = np.linspace(0, 255, 16, dtype=np.uint8)[None, :]
+        img[i : i + 4, i : i + 4, :] = 255
+        imgs.append(img)
+    rows = [
+        (0, bytearray(mm.encode_bmp(imgs[0])), "image/bmp", 0),
+        (1, bytearray(mm.encode_png(imgs[1])), "image/png", 0),
+        (2, bytearray(mm.encode_jpeg(imgs[2], quality=95)), "image/jpeg", 0),
+        (3, bytearray(mm.encode_gif(imgs[3])), "image/gif", 0),
+    ]
+    frames = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    )
+    batch = {r["doc_id"]: r["phash"] for r in mm.image_phash(frames, mm.IMAGE_TYPES).collect()}
+    assert len(batch) == 4
+
+    src = str(tmp_path / "imgs")
+    frames.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, payload binary, media_type string, byte_len long"
+    ).parquet(src)
+    q = (
+        mm.image_phash(stream, mm.IMAGE_TYPES)
+        .writeStream.format("memory")
+        .queryName("img_phash_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in spark.sql("select * from img_phash_stream").collect()
+    }
+    assert got == batch
