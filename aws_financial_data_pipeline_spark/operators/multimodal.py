@@ -880,6 +880,55 @@ def _jpeg_ac_refine(reader, blk, ac_lut, ss, se, al, eobrun) -> int:
     return 0
 
 
+def _exif_orientation(app1: bytes) -> int:
+    """EXIF Orientation (tag 0x0112) from an APP1 body, or 1 (normal) when
+    absent/unparseable. Minimal TIFF walk: byte order, IFD0 offset, 12-byte
+    entries — the one tag a decoder must honor (cameras store sensor-native
+    pixels and record the rotation here; ignoring it breaks cross-upload
+    pHash matching)."""
+    if app1[:6] != b"Exif\x00\x00" or len(app1) < 14:
+        return 1
+    t = app1[6:]
+    if t[:2] == b"II":
+        end = "<"
+    elif t[:2] == b"MM":
+        end = ">"
+    else:
+        return 1
+    try:
+        (ifd0,) = struct.unpack_from(end + "I", t, 4)
+        (n,) = struct.unpack_from(end + "H", t, ifd0)
+        for i in range(n):
+            off = ifd0 + 2 + 12 * i
+            tag, typ = struct.unpack_from(end + "HH", t, off)
+            if tag == 0x0112 and typ == 3:  # SHORT
+                (val,) = struct.unpack_from(end + "H", t, off + 8)
+                return val if 1 <= val <= 8 else 1
+    except struct.error:
+        return 1
+    return 1
+
+
+def _apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """The eight EXIF orientations → display orientation (TIFF 6.0 values;
+    public table). 1 = as stored."""
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    if orientation == 5:
+        return img.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(img, k=-1)  # stored 90° CCW → rotate CW to display
+    if orientation == 7:
+        return np.rot90(img, k=-1)[:, ::-1]
+    if orientation == 8:
+        return np.rot90(img, k=1)
+    return img
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """REAL JPEG decoder on numpy (no pillow/libjpeg): marker walk
     (DQT/DHT/SOF/DRI/SOS), canonical huffman entropy decode with byte
@@ -908,6 +957,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (H, W, [(cid, h, v, tq), ...])
     progressive = False
     dri = 0
+    orientation = 1
     scans: list[tuple] = []  # (scomps, ss, se, ah, al, segments, dri)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -960,6 +1010,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xE1:  # APP1 — EXIF orientation if present
+            orientation = _exif_orientation(body)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = body[0]
             scomps = []
@@ -1109,12 +1161,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         full.append(p[ri][:, ci])
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(g[..., None], 3, axis=2)
+        return _apply_orientation(np.repeat(g[..., None], 3, axis=2), orientation)
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return _apply_orientation(rgb, orientation)
 
 
 # Annex K luminance/chrominance base quantization tables (natural order).

@@ -926,3 +926,56 @@ def test_image_phash_streams_identically(spark, tmp_path):
         for r in spark.sql("select * from img_phash_stream").collect()
     }
     assert got == batch
+
+
+def test_jpeg_exif_orientation_applied():
+    """All eight EXIF orientations (APP1/TIFF tag 0x0112, both byte
+    orders) rotate/flip the decoded pixels to display orientation —
+    spliced into an encoded payload by hand, verified against numpy
+    transforms of the no-EXIF decode. Camera uploads store sensor-native
+    pixels; ignoring the tag breaks cross-upload pHash matching."""
+    import struct as st
+
+    img = np.zeros((16, 24, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 24, dtype=np.uint8)[None, :]
+    img[2:6, 3:9, 1] = 220
+    payload = mm.encode_jpeg(img, quality=95)
+    base = mm.decode_jpeg(payload)
+
+    def with_exif(orientation, little=True):
+        if little:
+            tiff = (
+                b"II" + st.pack("<H", 42) + st.pack("<I", 8)
+                + st.pack("<H", 1)
+                + st.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+                + st.pack("<I", 0)
+            )
+        else:
+            tiff = (
+                b"MM" + st.pack(">H", 42) + st.pack(">I", 8)
+                + st.pack(">H", 1)
+                + st.pack(">HHIHH", 0x0112, 3, 1, orientation, 0)
+                + st.pack(">I", 0)
+            )
+        app1 = b"Exif\x00\x00" + tiff
+        seg = st.pack(">BBH", 0xFF, 0xE1, len(app1) + 2) + app1
+        return payload[:2] + seg + payload[2:]
+
+    expect = {
+        1: base,
+        2: base[:, ::-1],
+        3: base[::-1, ::-1],
+        4: base[::-1],
+        5: base.transpose(1, 0, 2),
+        6: np.rot90(base, k=-1),
+        7: np.rot90(base, k=-1)[:, ::-1],
+        8: np.rot90(base, k=1),
+    }
+    for o, want in expect.items():
+        got = mm.decode_jpeg(with_exif(o, little=True))
+        assert got.shape == want.shape and (got == want).all(), o
+    # big-endian TIFF too
+    assert (mm.decode_jpeg(with_exif(6, little=False)) == expect[6]).all()
+    # junk APP1 (non-EXIF) is ignored, not fatal
+    junk = payload[:2] + st.pack(">BBH", 0xFF, 0xE1, 6) + b"JUNK" + payload[2:]
+    assert (mm.decode_jpeg(junk) == base).all()
