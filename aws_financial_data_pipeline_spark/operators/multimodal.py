@@ -487,15 +487,17 @@ def phash64(img: np.ndarray) -> int:
 def image_phash(
     with_payload: DataFrame,
     media_type: "str | tuple[str, ...]" = "image/bmp",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, payload, media_type, …) → (doc_id, phash long) for rows of
+    """(id_col, payload, media_type, …) → (id_col, phash long) for rows of
     the given media type(s) — pass a tuple to hash a MIXED-container corpus
     in one pass (decode_image dispatches on magic bytes, and pHash sees
     pixels, not containers, so the same image as BMP/PNG/JPEG lands on one
     hash — exactly what crawl-image dedup needs). Arrow-batched
     mapInPandas over the real decoders — map-only, payload dropped on
     output (at 100 TB the hash table is what persists; the bytes are read
-    once)."""
+    once). The id column name is preserved on output so downstream joins
+    (:func:`image_dedup`) resolve against the caller's key."""
     types = (media_type,) if isinstance(media_type, str) else tuple(media_type)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -503,14 +505,14 @@ def image_phash(
             sel = pdf[pdf["media_type"].isin(types)]
             yield pd.DataFrame(
                 {
-                    "doc_id": sel["doc_id"],
+                    id_col: sel[id_col],
                     "phash": [
                         phash64(decode_image(bytes(b))) for b in sel["payload"]
                     ],
                 }
             )
 
-    return with_payload.mapInPandas(run, "doc_id bigint, phash bigint")
+    return with_payload.mapInPandas(run, f"{id_col} bigint, phash bigint")
 
 
 IMAGE_TYPES = ("image/bmp", "image/png", "image/jpeg", "image/gif")
@@ -536,7 +538,7 @@ def image_dedup(
     pigeonhole), and id-only CC iterations. Payload bytes never shuffle."""
     from .graph import dedup_clusters
 
-    hashes = image_phash(with_payload, media_type)
+    hashes = image_phash(with_payload, media_type, id_col=id_col)
     pairs = phash_near_duplicates(hashes, max_distance=max_distance, id_col=id_col)
     return dedup_clusters(hashes.select(id_col), pairs, id_col=id_col)
 
@@ -923,7 +925,9 @@ def _apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
     if orientation == 6:
         return np.rot90(img, k=-1)  # stored 90° CCW → rotate CW to display
     if orientation == 7:
-        return np.rot90(img, k=-1)[:, ::-1]
+        # transverse = anti-diagonal flip (rotate 90° CW then mirror),
+        # NOT a plain transpose (that's orientation 5)
+        return np.rot90(img, k=1)[:, ::-1]
     if orientation == 8:
         return np.rot90(img, k=1)
     return img
@@ -962,7 +966,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise NotImplementedError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any run of 0xFF fill bytes may pad before a marker
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0xFF:  # trailing fill at end of buffer
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -1011,7 +1020,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xE1:  # APP1 — EXIF orientation if present
-            orientation = _exif_orientation(body)
+            # APP1 also carries XMP in real camera/web files; only an
+            # actual EXIF body may set orientation (first EXIF wins)
+            if body[:6] == b"Exif\x00\x00" and orientation == 1:
+                orientation = _exif_orientation(body)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = body[0]
             scomps = []
@@ -1664,7 +1676,11 @@ def sample_gif_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
         region[mask] = pal[np.minimum(pix, len(pal) - 1)][mask]
         if idx % every_n == 0:
             frames.append(canvas.copy())
-        if disposal == 2:  # restore background in the frame's rect
+        if disposal == 2 and not (transparent is not None and transparent == bg):
+            # restore background in the frame's rect — unless the GCE marks
+            # the background index transparent, in which case mainstream
+            # decoders leave the prior canvas content (RGB canvas has no
+            # alpha to clear to)
             canvas[top : top + fh, left : left + fw] = bg_rgb
         transparent = None
         disposal = 0

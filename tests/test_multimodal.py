@@ -756,6 +756,78 @@ def test_gif_transparency_disposal_and_rejects():
         mm.sample_gif_frames(bytes(p))
 
 
+def test_gif_disposal2_transparent_background_leaves_canvas():
+    """Disposal 2 restores the frame rect to the background color — UNLESS
+    the active graphic-control block marks the background index transparent,
+    in which case mainstream decoders leave the prior canvas content (an
+    RGB canvas has no alpha to clear to). Both polarities pinned on a
+    hand-built two-frame GIF."""
+    import struct as st
+
+    def lzw(pixvals):
+        bw = mm._LSBBitWriter()
+        bw.write(256, 9)  # clear (min_code=8)
+        for v in pixvals:
+            bw.write(int(v), 9)
+        bw.write(257, 9)  # end
+        return bw.flush()
+
+    def build(frame1_gce_flags, transparent_idx):
+        p = bytearray()
+        p += b"GIF89a"
+        p += st.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)  # 4-entry GCT, bg=0
+        p += bytes([255, 255, 255, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+        # frame 1: full-canvas red, GCE under test
+        p += bytes([0x21, 0xF9, 4, frame1_gce_flags, 0, 0, transparent_idx, 0])
+        p += st.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0)
+        d = lzw([1] * 16)
+        p += bytes([8, len(d)]) + d + b"\x00"
+        # frame 2: 1x1 green at (0,0), plain GCE
+        p += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+        p += st.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+        d = lzw([2])
+        p += bytes([8, len(d)]) + d + b"\x00"
+        p += b"\x3B"
+        return bytes(p)
+
+    red, white, green = [255, 0, 0], [255, 255, 255], [0, 255, 0]
+    # disposal 2 + transparent index == bg (0): rect is LEFT as-is
+    f = mm.sample_gif_frames(build((2 << 2) | 1, 0))
+    assert (f[0] == red).all()
+    want = np.tile(np.array(red, np.uint8), (4, 4, 1))
+    want[0, 0] = green
+    assert (f[1] == want).all()
+    # disposal 2, no transparency: rect restores to background (white)
+    f = mm.sample_gif_frames(build(2 << 2, 0))
+    want = np.tile(np.array(white, np.uint8), (4, 4, 1))
+    want[0, 0] = green
+    assert (f[1] == want).all()
+    # disposal 2 + transparency on a NON-background index: restore still runs
+    f = mm.sample_gif_frames(build((2 << 2) | 1, 3))
+    assert (f[1] == want).all()
+
+
+def test_image_dedup_custom_id_col(spark):
+    """image_dedup(id_col=...) threads the id column through image_phash,
+    the banded pair join, and the CC labeling — a non-default id column
+    must not fail or mis-resolve (it used to: image_phash hardcoded
+    doc_id)."""
+    img = np.zeros((48, 64, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :]
+    img[10:30, 20:50, 1] = 200
+    rows = [
+        (11, bytearray(mm.encode_bmp(img)), "image/bmp", 0),
+        (12, bytearray(mm.encode_gif(img)), "image/gif", 0),
+    ]
+    frames = spark.createDataFrame(
+        rows, "img_id long, payload binary, media_type string, byte_len long"
+    )
+    out = {r["img_id"]: r for r in mm.image_dedup(frames, id_col="img_id").collect()}
+    assert set(out) == {11, 12}
+    assert out[11]["component"] == out[12]["component"]
+    assert out[11]["is_canonical"] and not out[12]["is_canonical"]
+
+
 def test_gif_phash_matches_bmp_and_pipeline(spark):
     """Same pixels through GIF and BMP → the same perceptual hash, and the
     image_phash/image_dedup pipeline serves image/gif rows through the
@@ -968,9 +1040,12 @@ def test_jpeg_exif_orientation_applied():
         4: base[::-1],
         5: base.transpose(1, 0, 2),
         6: np.rot90(base, k=-1),
-        7: np.rot90(base, k=-1)[:, ::-1],
+        7: base.transpose(1, 0, 2)[::-1, ::-1],  # transverse (anti-diagonal)
         8: np.rot90(base, k=1),
     }
+    # the EXIF/TIFF table: 5 (transpose) and 7 (transverse) are DISTINCT
+    assert expect[5].shape == expect[7].shape
+    assert not (expect[5] == expect[7]).all()
     for o, want in expect.items():
         got = mm.decode_jpeg(with_exif(o, little=True))
         assert got.shape == want.shape and (got == want).all(), o
@@ -979,3 +1054,43 @@ def test_jpeg_exif_orientation_applied():
     # junk APP1 (non-EXIF) is ignored, not fatal
     junk = payload[:2] + st.pack(">BBH", 0xFF, 0xE1, 6) + b"JUNK" + payload[2:]
     assert (mm.decode_jpeg(junk) == base).all()
+
+
+def test_jpeg_xmp_app1_does_not_clobber_exif_orientation():
+    """A JPEG carrying EXIF APP1 followed by an XMP APP1 (the common
+    camera/web layout) keeps its EXIF orientation — a non-EXIF APP1 must
+    never reset it."""
+    import struct as st
+
+    img = np.zeros((16, 24, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 24, dtype=np.uint8)[None, :]
+    img[2:6, 3:9, 1] = 220
+    payload = mm.encode_jpeg(img, quality=95)
+    base = mm.decode_jpeg(payload)
+
+    tiff = (
+        b"II" + st.pack("<H", 42) + st.pack("<I", 8)
+        + st.pack("<H", 1)
+        + st.pack("<HHIHH", 0x0112, 3, 1, 6, 0)
+        + st.pack("<I", 0)
+    )
+    exif = b"Exif\x00\x00" + tiff
+    exif_seg = st.pack(">BBH", 0xFF, 0xE1, len(exif) + 2) + exif
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>"
+    xmp_seg = st.pack(">BBH", 0xFF, 0xE1, len(xmp) + 2) + xmp
+    # EXIF first, XMP second (the layout the advice flagged)
+    got = mm.decode_jpeg(payload[:2] + exif_seg + xmp_seg + payload[2:])
+    assert (got == np.rot90(base, k=-1)).all()
+    # XMP first, EXIF second still honors the EXIF value
+    got2 = mm.decode_jpeg(payload[:2] + xmp_seg + exif_seg + payload[2:])
+    assert (got2 == np.rot90(base, k=-1)).all()
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 allows runs of 0xFF fill bytes before a marker — the walk must
+    skip them instead of misreading the segment length."""
+    payload = mm.encode_jpeg(np.full((8, 8, 3), 120, dtype=np.uint8), quality=90)
+    base = mm.decode_jpeg(payload)
+    # splice fill bytes before the first post-SOI marker
+    padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
+    assert (mm.decode_jpeg(padded) == base).all()
