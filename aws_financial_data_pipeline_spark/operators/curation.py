@@ -56,6 +56,9 @@ def curation_funnel(
     with_ledger: bool = False,
     blocklist: "list[str] | DataFrame | None" = None,
     extract_html: bool = False,
+    domain_ranks: "DataFrame | None" = None,
+    domain_rank_threshold: float = 0.0,
+    url_col: str = "url",
 ) -> tuple[DataFrame, ...]:
     """Run the standard curation pipeline; returns ``(corpus, audit)``.
 
@@ -79,6 +82,17 @@ def curation_funnel(
     DataFrame with a ``domain`` column uses the broadcast semi-join
     million-domain form (:func:`..text.filter_blocked_domains_frame`).
     Audited as stage ``url_gate``; ledger reason ``blocked_domain``.
+
+    ``domain_ranks`` (a :func:`..graph.pagerank` table over the domain link
+    graph, e.g. from :func:`..text.domain_graph`) adds the URL-trust gate
+    right after the blocklist — docs on domains ranking BELOW
+    ``domain_rank_threshold`` drop (FineWeb-style URL-level filtering; the
+    rank table is broadcast via :func:`..text.attach_domain_rank`, so the
+    corpus never shuffles). Docs whose host is missing from the table or
+    unparseable PASS — absence of evidence is not a low score, and a
+    crawl's long tail is mostly unranked. Audited as stage
+    ``domain_rank_gate``; ledger reason ``domain_rank<τ``. Requires
+    ``url_col`` on ``docs``.
 
     ``extract_html=True`` inserts :func:`..text.html_to_text` AFTER the URL
     gate (the gate's regexp reads URLs anywhere in raw markup, including
@@ -178,6 +192,32 @@ def curation_funnel(
             .join(new.select(id_col), id_col, "left_anti")
             .select(id_col, F.lit(stage).alias("stage"), reason_col.alias("reason"))
         )
+
+    if domain_ranks is not None:
+        # URL-trust gate right after the blocklist (both are URL-level
+        # rules — RefinedWeb order — and both are broadcast-side, so they
+        # run before any content shuffle). Unranked/unparseable hosts pass.
+        if url_col not in docs.columns:
+            raise ValueError(
+                f"domain_ranks needs a {url_col!r} column on docs "
+                "(pass url_col= to name it)"
+            )
+        prev = docs
+        cur = (
+            tx.attach_domain_rank(docs, domain_ranks, url_col=url_col)
+            .filter(
+                F.col("domain_rank").isNull()
+                | (F.col("domain_rank") >= domain_rank_threshold)
+            )
+            .drop("domain_rank")
+        )
+        cur = _stage(cur)
+        stages.append(("domain_rank_gate", cur))
+        _gone(
+            prev, cur, "domain_rank_gate",
+            f"domain_rank<{domain_rank_threshold}",
+        )
+        docs = cur
 
     if extract_html:
         # raw-crawl entry point: HTML → text. Runs AFTER the URL gate —

@@ -75,6 +75,8 @@ def quality_signal_table(
     compression: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
+    domain_ranks: "DataFrame | None" = None,
+    url_col: str = "url",
 ) -> DataFrame:
     """EVERY quality signal side by side in one table — the score table a
     curation team filters, weights and ablates against:
@@ -89,7 +91,15 @@ def quality_signal_table(
       ``quality_prob`` via a broadcast map-only transform;
     - ``lm_model`` (a :mod:`.lm` ``train_ngram_lm`` dict) appends
       ``nll``/``ppl`` — the one genuinely non-map signal (explode + model
-      join + per-doc aggregate), joined back on the id.
+      join + per-doc aggregate), joined back on the id;
+    - ``domain_ranks`` (a :func:`..graph.pagerank` table over the domain
+      link graph) appends ``domain_rank`` — the URL-level trust axis
+      (FineWeb-style pipelines filter on it next to the content signals).
+      Attached via :func:`..text.attach_domain_rank` BEFORE the profile
+      projection, so it rides the same single pass: the rank table is
+      broadcast, the corpus never shuffles, and docs whose host is absent
+      from the table (or unparseable) carry NULL — absence of evidence,
+      not a zero score. Requires ``url_col`` on ``docs``.
 
     Everything stays one pass over the corpus except the LM branch, whose
     cost is documented in SCALING.md §Text.
@@ -97,6 +107,14 @@ def quality_signal_table(
     from ..operators import text as tx
 
     extra = []
+    if domain_ranks is not None:
+        if url_col not in docs.columns:
+            raise ValueError(
+                f"domain_ranks needs a {url_col!r} column on docs "
+                "(pass url_col= to name it)"
+            )
+        docs = tx.attach_domain_rank(docs, domain_ranks, url_col=url_col)
+        extra.append(F.col("domain_rank"))
     if compression:
         from ..functions.vectorized import compression_ratio_pandas
 
@@ -130,6 +148,8 @@ def corpus_datasheet(
     compression: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
+    domain_ranks: "DataFrame | None" = None,
+    url_col: str = "url",
 ) -> DataFrame:
     """The corpus "datasheet": one small (section, metric, value) frame with
     the numbers a dataset card reports — volume, token-length distribution,
@@ -145,9 +165,17 @@ def corpus_datasheet(
     language-ID domain, so even that needs no shuffle key). The duplication
     estimate is approx_count_distinct over the minhash fingerprint (HLL —
     mergeable, one pass); exact-dup accounting at full precision is
-    dedup.exact_duplicates' job."""
+    dedup.exact_duplicates' job.
+
+    ``domain_ranks`` (a :func:`..graph.pagerank` domain table) adds a
+    ``provenance`` section: rank coverage (share of docs whose host the
+    rank table knows — the card number that says how much of the corpus
+    the URL-trust signal can even see) and the mean rank over covered
+    docs. Same single pass — the rank rides the signal projection via a
+    broadcast join."""
     sig = quality_signal_table(
-        docs, compression=compression, text_col=text_col, id_col=id_col
+        docs, compression=compression, text_col=text_col, id_col=id_col,
+        domain_ranks=domain_ranks, url_col=url_col,
     )
     rate = lambda c: F.round(F.avg(F.col(c).cast("double")), 6)  # noqa: E731
     pii_any = (
@@ -177,6 +205,15 @@ def corpus_datasheet(
     }
     if compression:
         aggs[("quality", "mean_compression_ratio")] = rate("compression_ratio")
+    if domain_ranks is not None:
+        aggs[("provenance", "domain_rank_coverage")] = F.round(
+            F.avg(F.col("domain_rank").isNotNull().cast("double")), 6
+        )
+        # avg skips NULLs → mean over COVERED docs only (coalesce to 0.0:
+        # an all-uncovered corpus reads 0, not a NULL hole in the card)
+        aggs[("provenance", "mean_domain_rank")] = F.coalesce(
+            F.round(F.avg("domain_rank"), 6), F.lit(0.0)
+        )
     for lang in DATASHEET_LANGS:
         aggs[("language", f"share_{lang}")] = F.round(
             F.avg((F.col("lang_pred") == lang).cast("double")), 6

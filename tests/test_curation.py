@@ -650,3 +650,52 @@ def test_funnel_raw_html_entry_point(spark):
     for t in out.values():
         assert "<" not in t and "</p>" not in t  # markup gone
     assert {1, 2} <= set(out)
+
+
+def test_funnel_domain_rank_gate(spark):
+    """domain_ranks= adds the URL-trust gate right after the blocklist:
+    docs on domains ranking below the threshold drop with a
+    ``domain_rank<τ`` ledger row; unranked hosts PASS (absence of evidence);
+    the stage is audited as domain_rank_gate; a missing url column raises."""
+    import pytest
+
+    ranks = spark.createDataFrame(
+        [("good.example", 0.4), ("low.example", 0.01)],
+        "node string, rank double",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, GOOD1, "https://good.example/a"),
+            (2, GOOD3, "https://low.example/b"),        # below τ → dropped
+            (3, SPAM, "https://unknown.example/c"),     # unranked → passes
+            # the blocklist gate reads URLs in the TEXT (raw markup), so the
+            # blocked domain rides in the body
+            (4, GOOD1 + " See https://bad.example/d now.", "https://bad.example/d"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    corpus, audit, ledger = curation.curation_funnel(
+        docs,
+        blocklist=["bad.example"],
+        domain_ranks=ranks,
+        domain_rank_threshold=0.1,
+        with_ledger=True,
+    )
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["input"] == 4
+    assert a["url_gate"] == 3           # doc 4 blocked first
+    assert a["domain_rank_gate"] == 2   # doc 2 below τ; unranked doc 3 passes
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+    assert led[2] == ("domain_rank_gate", "domain_rank<0.1")
+    assert led[4] == ("url_gate", "blocked_domain")
+    out = {r["doc_id"] for r in corpus.collect()}
+    assert 2 not in out and 4 not in out and 1 in out
+    # stage order: the URL-level gates precede every content stage
+    order = [r["stage"] for r in audit.collect()]
+    assert order.index("url_gate") < order.index("domain_rank_gate") < order.index("exact_dedup")
+    # survivors ∪ ledger ids == input ids, disjointly (the ledger invariant)
+    assert out | set(led) == {1, 2, 3, 4} and not (out & set(led))
+    with pytest.raises(ValueError, match="url"):
+        curation.curation_funnel(
+            docs.drop("url"), domain_ranks=ranks, domain_rank_threshold=0.1
+        )

@@ -360,3 +360,70 @@ def test_signal_drift_between_snapshots(spark):
     moved = {r["signal"]: r for r in signal_drift(docs, truncated).collect()}
     assert moved["n_tokens"]["verdict"] == "drifted"
     assert moved["n_tokens"]["psi"] > same["n_tokens"]["psi"]
+
+
+def test_quality_signal_table_domain_rank_signal(spark):
+    """domain_ranks= rides the URL-trust axis into the one-pass signal
+    table: values match standalone attach_domain_rank exactly, unknown or
+    unparseable hosts read NULL (absence of evidence), the rank table joins
+    broadcast-only (zero shuffle exchanges over the corpus), and a missing
+    url column raises loudly."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators.text import attach_domain_rank
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    ranks = spark.createDataFrame(
+        [("hub.example.com", 0.5), ("a.example.com", 0.3)],
+        "node string, rank double",
+    ).localCheckpoint()
+    docs = spark.createDataFrame(
+        [
+            (1, "the method and the result of the analysis", "https://WWW.hub.example.com/p"),
+            (2, "the evidence supports the theory in context", "https://a.example.com/q"),
+            (3, "history and culture of the field in detail", "https://unknown.example.org/r"),
+            (4, "science is the method of the chapter here", "not a url"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    sig = ql.quality_signal_table(docs, domain_ranks=ranks)
+    got = {r["doc_id"]: r["domain_rank"] for r in sig.collect()}
+    want = {
+        r["doc_id"]: r["domain_rank"]
+        for r in attach_domain_rank(docs, ranks).collect()
+    }
+    assert got == want
+    assert got[1] == 0.5 and got[2] == 0.3
+    assert got[3] is None and got[4] is None
+    counts = plan_counts(ql.quality_signal_table(docs, domain_ranks=ranks))
+    assert counts["broadcast_joins"] == 1 and counts["exchanges"] == 0
+    with pytest.raises(ValueError, match="url"):
+        ql.quality_signal_table(docs.drop("url"), domain_ranks=ranks)
+
+
+def test_corpus_datasheet_domain_rank_coverage(spark):
+    """With domain_ranks= the datasheet gains a provenance section: rank
+    coverage (share of docs the trust signal can see) and the mean rank
+    over covered docs — here 2 of 4 docs covered at ranks 0.5/0.25."""
+    ranks = spark.createDataFrame(
+        [("hub.example.com", 0.5), ("a.example.com", 0.25)],
+        "node string, rank double",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the method and the result of the analysis", "https://hub.example.com/p"),
+            (2, "the evidence supports the theory in context", "https://a.example.com/q"),
+            (3, "history and culture of the field in detail", "https://unknown.example.org/r"),
+            (4, "science is the method of the chapter here", "not a url"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    ds = {(r["section"], r["metric"]): r["value"]
+          for r in ql.corpus_datasheet(docs, compression=False,
+                                       domain_ranks=ranks).collect()}
+    assert ds[("provenance", "domain_rank_coverage")] == 0.5
+    assert ds[("provenance", "mean_domain_rank")] == 0.375
+    # without domain_ranks the section is absent (no NULL placeholder rows)
+    base = {(r["section"], r["metric"])
+            for r in ql.corpus_datasheet(docs, compression=False).collect()}
+    assert not any(sec == "provenance" for sec, _ in base)
