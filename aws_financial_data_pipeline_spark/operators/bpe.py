@@ -679,6 +679,45 @@ def _unigram_viterbi(s: str, logp: dict, L: int) -> list[str]:
     return out
 
 
+def _loo_losses(logp: dict, table, L: int) -> dict:
+    """Leave-one-out loss per multi-symbol piece (SentencePiece's Prune step,
+    unigram_model_trainer.cc shape): Viterbi-segment the corpus under the
+    current model to get per-piece path frequencies, then for each piece x
+    compute the likelihood the corpus LOSES if x were removed and its
+    occurrences re-segmented as x's own best alternative segmentation
+    (Viterbi over x's string with x itself excluded — always exists, the
+    byte base is total). Pieces no Viterbi path uses cost nothing to drop
+    (-inf). Higher loss = more valuable."""
+    import math
+
+    vfreq: dict[str, float] = defaultdict(float)
+    for s, f in table:
+        for p in _unigram_viterbi(s, logp, L):
+            vfreq[p] += f
+    vsum = sum(vfreq.values()) or 1.0
+    losses: dict[str, float] = {}
+    for p in logp:
+        if len(p) <= 1:
+            continue  # base bytes never prune
+        fp = vfreq.get(p, 0.0)
+        if fp == 0.0:
+            losses[p] = float("-inf")
+            continue
+        sub = dict(logp)
+        del sub[p]
+        alt = _unigram_viterbi(p, sub, L)
+        # removing x re-routes its fp occurrences through len(alt) pieces:
+        # the alternative pieces each gain fp count and the normalizer grows
+        # by fp*(len(alt)-1) — the renormalized likelihood delta per Kudo
+        logprob_sp = math.log(fp) - math.log(vsum)
+        logsum_alt = math.log(vsum + fp * (len(alt) - 1))
+        logprob_alt = sum(
+            math.log(vfreq.get(a, 0.0) + fp) - logsum_alt for a in alt
+        )
+        losses[p] = fp / vsum * (logprob_sp - logprob_alt)
+    return losses
+
+
 def train_unigram(
     docs: DataFrame,
     vocab_size: int = 1000,
@@ -688,13 +727,19 @@ def train_unigram(
     em_iters: int = 2,
     prune_rounds: int = 3,
     max_piece_len: int = 10,
+    prune_by: str = "loo",
 ) -> list[tuple[str, float]]:
     """Learn a unigram-LM vocabulary (Kudo 2018): distributed byte-level
     pre-token counts → driver-side seed (all substrings ≤ ``max_piece_len``
     scored by count×length, SentencePiece's heuristic) → ``prune_rounds``
-    of [``em_iters`` EM sweeps → keep the top pieces by probability] until
-    ``vocab_size`` — probability pruning is the standard simplification of
-    SentencePiece's leave-one-out loss ranking. All 256 base byte symbols
+    of [``em_iters`` EM sweeps → prune] until ``vocab_size``. The prune
+    ranking is SentencePiece's leave-one-out loss (``prune_by="loo"``,
+    the default): a piece's value is the corpus likelihood LOST if it were
+    removed and its Viterbi occurrences re-segmented — which keeps a
+    modest-count piece whose only alternative is a spray of single bytes
+    over a frequent piece whose alternative is nearly as good.
+    ``prune_by="prob"`` is the cruder probability ranking (the r7 form,
+    kept for comparison). All 256 base byte symbols
     are always retained (totality — no <unk>, the byte-level convention).
 
     Returns the model in ID ORDER: 256 base byte symbols (byte order, the
@@ -706,6 +751,8 @@ def train_unigram(
 
     if vocab_size < 256:
         raise ValueError(f"vocab_size must be >= 256 (the byte base): {vocab_size}")
+    if prune_by not in ("loo", "prob"):
+        raise ValueError(f"prune_by must be 'loo' or 'prob': {prune_by!r}")
     rows = word_frequencies_bytelevel(docs, text_col, max_words).collect()
     table = sorted(
         ((_to_byte_symbols(r["word"]), r["freq"]) for r in rows),
@@ -753,10 +800,17 @@ def train_unigram(
     for r in range(prune_rounds):
         for _ in range(em_iters):
             logp = em_sweep(logp)
-        cur_multi = sorted(
-            ((p, lp) for p, lp in logp.items() if len(p) > 1),
-            key=lambda t: (-t[1], t[0]),
-        )
+        if prune_by == "loo":
+            losses = _loo_losses(logp, table, max_piece_len)
+            cur_multi = sorted(
+                ((p, logp[p]) for p in losses),
+                key=lambda t: (-losses[t[0]], t[0]),
+            )
+        else:
+            cur_multi = sorted(
+                ((p, lp) for p, lp in logp.items() if len(p) > 1),
+                key=lambda t: (-t[1], t[0]),
+            )
         if len(cur_multi) <= n_multi_target:
             break
         # geometric schedule down to the target (SentencePiece's 25%/round)

@@ -446,12 +446,21 @@ def shard_manifest(
     return m.orderBy(shard_col)
 
 
+def _es_prefilter_threshold(eligible: DataFrame, q: float):
+    """Approximate q-quantile of the A-ES key — split out so the fallback
+    branch (threshold lands too high → candidate set smaller than n) is
+    unit-testable by substitution; percentile_approx returns an OBSERVED
+    key value, one mergeable sketch pass."""
+    return eligible.agg(F.percentile_approx("_es_key", q)).first()[0]
+
+
 def weighted_sample(
     df: DataFrame,
     n: int,
     weight_col: str,
     id_col: str = "doc_id",
     seed: int = 0,
+    prefilter_factor: float | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement — the
     Efraimidis–Spirakis A-ES reservoir algorithm (Inf. Proc. Letters 2006,
@@ -470,9 +479,22 @@ def weighted_sample(
 
     Shape at 100 TB: one map-side key projection, then orderBy+limit —
     physically TakeOrderedAndProject (per-partition bounded heaps merged
-    at the driver), never a global sort."""
+    at the driver). Right as-is for token-budget-sized n; the DRIVER
+    merges n rows, so corpus-sized n (sampling 10% of 100 TB) needs
+    ``prefilter_factor`` (e.g. 4.0): one count + one quantile-sketch pass
+    put an approximate key threshold at rank ≈ factor×n, a map-side
+    filter shrinks TakeOrdered's input from |corpus| to ≈factor×n rows,
+    and — because every row with key ≥ the true nth key also clears any
+    threshold the candidate set of size ≥ n admits — the result is EXACT,
+    checked by a candidate count (quota_sample_flag's convention: a
+    threshold that lands too high re-routes through the full path, never
+    silently undersamples)."""
     if n < 0:
         raise ValueError(f"n must be >= 0: {n}")
+    if prefilter_factor is not None and prefilter_factor <= 1:
+        raise ValueError(
+            f"prefilter_factor must be > 1 (headroom over n): {prefilter_factor}"
+        )
     u_bits = F.conv(
         F.substring(
             F.md5(
@@ -487,10 +509,22 @@ def weighted_sample(
     u = (u_bits + F.lit(1.0)) / F.lit(float((1 << 52) + 1))
     w = F.col(weight_col).cast("double")
     key = F.round(F.log(u) / w, 10)
+    eligible = df.filter(w.isNotNull() & (w > 0)).withColumn("_es_key", key)
+    if prefilter_factor is not None and n > 0:
+        total = eligible.count()
+        if total > prefilter_factor * n:
+            q = 1.0 - (prefilter_factor * n) / total
+            t = _es_prefilter_threshold(eligible, q)
+            if t is not None:
+                cand = eligible.filter(F.col("_es_key") >= t)
+                # exactness gate: the top-n rows are all in {key >= t} iff
+                # that set holds >= n rows (then the nth-largest key >= t);
+                # a sketch miss re-routes through the full input — checked,
+                # never assumed
+                if cand.count() >= n:
+                    eligible = cand
     return (
-        df.filter(w.isNotNull() & (w > 0))
-        .withColumn("_es_key", key)
-        .orderBy(F.desc("_es_key"), F.col(id_col).asc())
+        eligible.orderBy(F.desc("_es_key"), F.col(id_col).asc())
         .limit(n)
         .drop("_es_key")
     )

@@ -80,9 +80,45 @@ def _parse_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = hdr_end + 4 + length
 
 
+def _dechunk(payload: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoding body (RFC 9112 §7.1):
+    hex chunk-size line (extensions after ';' ignored) CRLF, chunk data,
+    CRLF, … terminated by a zero-size chunk (trailer fields ignored).
+    Truncated or malformed framing raises LOUDLY — length-prefixed garbage
+    must never reach html_to_text looking plausible (self-crawled WARCs
+    hit chunked bodies immediately; Common Crawl pre-normalizes them
+    away)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated chunked body: missing chunk-size line")
+        size_tok = payload[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"bad chunk-size line: {size_tok[:32]!r}") from None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        chunk = payload[pos : pos + size]
+        if len(chunk) < size:
+            raise ValueError("truncated chunked body: chunk shorter than declared")
+        out += chunk
+        pos += size
+        if payload[pos : pos + 2] != b"\r\n":
+            raise ValueError("chunked body missing CRLF after chunk data")
+        pos += 2
+
+
 def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
     """(status, content_type, payload) from an HTTP response block —
-    response-record bodies are the raw HTTP message per the spec."""
+    response-record bodies are the raw HTTP message per the spec. Bodies
+    marked ``Transfer-Encoding: chunked`` are de-chunked (the wire framing
+    is transport detail, not content); any OTHER transfer-coding (gzip,
+    deflate stacked under chunked) raises loudly rather than shipping a
+    still-encoded body as text."""
     hdr_end = body.find(b"\r\n\r\n")
     if hdr_end < 0 or not body.startswith(b"HTTP/"):
         return None, None, body
@@ -92,12 +128,23 @@ def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
     except (IndexError, ValueError):
         status = None
     ctype = None
+    tenc = None
     for line in lines[1:]:
         k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-type":
+        key = k.strip().lower()
+        if key == b"content-type" and ctype is None:
             ctype = v.strip().decode("utf-8", "replace")
-            break
-    return status, ctype, body[hdr_end + 4 :]
+        elif key == b"transfer-encoding":
+            tenc = v.strip().lower().decode("ascii", "replace")
+    payload = body[hdr_end + 4 :]
+    if tenc is not None and tenc not in ("", "identity"):
+        codings = [t.strip() for t in tenc.split(",") if t.strip()]
+        if codings[-1:] != ["chunked"] or len(codings) > 1:
+            raise NotImplementedError(
+                f"transfer-coding {tenc!r} unsupported (only plain 'chunked')"
+            )
+        payload = _dechunk(payload)
+    return status, ctype, payload
 
 
 def read_warc(

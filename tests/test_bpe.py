@@ -690,3 +690,43 @@ def test_unigram_byte_probs_survive_pruning(spark):
     assert probs["x"] > bpe._LOG_FLOOR + 1.0  # learned, not floored
     # an impossible byte keeps the floor (totality without false mass)
     assert probs[bpe._BYTE_ENCODER[0]] == bpe._LOG_FLOOR
+
+
+def test_unigram_loo_pruning_keeps_high_utility_piece(spark):
+    """SentencePiece's leave-one-out pruning (the default) vs probability
+    pruning (prune_by='prob', the r7 simplification): probability ranking
+    keeps the SHADOWED piece 'ab' — high EM expected count because the
+    lattice routes posterior mass through it, yet the Viterbi path never
+    uses it ('Ġabab' always wins), so removing it costs the corpus nothing
+    — and drops the rare 'Ġzq', whose only alternative is a spray of
+    single bytes. LOO ranks by likelihood-lost-if-removed and makes the
+    opposite (correct) call, so the zq word encodes as ONE piece under the
+    LOO vocab and falls apart to bytes under the prob vocab."""
+    from aws_financial_data_pipeline_spark.operators import bpe
+
+    text = " ".join(["abab"] * 1000 + ["zq"] * 2)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    models = {}
+    for mode in ("prob", "loo"):
+        models[mode] = bpe.train_unigram(
+            docs, vocab_size=258, prune_rounds=2, em_iters=1, prune_by=mode
+        )
+    multi = {m: [p for p, _ in models[m] if len(p) > 1] for m in models}
+    assert any("zq" in p for p in multi["loo"])
+    assert not any("zq" in p for p in multi["prob"])
+    assert "ab" in multi["prob"]  # the shadowed piece prob wrongly keeps
+    # both keep the workhorse full-word piece
+    assert any("abab" in p for p in multi["loo"])
+    # utility, measured: the zq word is 1 piece under LOO, 3 bytes under prob
+    probe = spark.createDataFrame([(1, " zq")], "doc_id long, text string")
+    n = {
+        m: bpe.unigram_encode(probe, models[m], with_ids=False)
+        .collect()[0]["n_bpe_tokens"]
+        for m in models
+    }
+    assert n["loo"] == 1 and n["prob"] == 3
+    # invalid mode raises
+    import pytest
+
+    with pytest.raises(ValueError, match="prune_by"):
+        bpe.train_unigram(docs, vocab_size=258, prune_by="nope")

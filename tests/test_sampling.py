@@ -162,3 +162,56 @@ def test_weighted_sample_es_properties(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_prefilter_equals_full_path(spark):
+    """The corpus-sized-n path: prefilter_factor puts a quantile threshold
+    at rank ≈ factor×n so TakeOrdered's input is ≈factor×n rows, result
+    EXACTLY equal to the full path across n/factor/seed combos; a
+    threshold that lands too high (sketch miss, injected) re-routes
+    through the full input and still returns the exact sample; factor ≤ 1
+    rejects."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+
+    rows = [(i, 10.0 if i % 10 == 0 else 1.0) for i in range(2000)]
+    rows += [(9000, 0.0), (9001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    for n in (50, 400):
+        for factor in (2.0, 4.0):
+            for seed in (0, 3):
+                full = [r["doc_id"] for r in
+                        sp.weighted_sample(df, n, "w", seed=seed).collect()]
+                pre = [r["doc_id"] for r in
+                       sp.weighted_sample(df, n, "w", seed=seed,
+                                          prefilter_factor=factor).collect()]
+                assert sorted(pre) == sorted(full), (n, factor, seed)
+    # the candidate cut is real: the threshold admits ≈factor×n rows, far
+    # fewer than the corpus (re-derive the internal frame the same way)
+    u_bits = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.lit("0"))), 1, 13), 16, 10
+    ).cast("double")
+    u = (u_bits + F.lit(1.0)) / F.lit(float((1 << 52) + 1))
+    eligible = df.filter(F.col("w").isNotNull() & (F.col("w") > 0)).withColumn(
+        "_es_key", F.round(F.log(u) / F.col("w"), 10)
+    )
+    t = sp._es_prefilter_threshold(eligible, 1.0 - (4.0 * 50) / 2000)
+    n_cand = eligible.filter(F.col("_es_key") >= t).count()
+    assert 50 <= n_cand <= 2 * 4 * 50  # ≈factor×n, nowhere near 2000
+    # injected sketch miss: a threshold above the nth key must fall back
+    # to the exact full path, never undersample
+    real = sp._es_prefilter_threshold
+    try:
+        sp._es_prefilter_threshold = lambda el, q: 0.0  # keys are all < 0
+        forced = [r["doc_id"] for r in
+                  sp.weighted_sample(df, 50, "w", seed=1,
+                                     prefilter_factor=2.0).collect()]
+    finally:
+        sp._es_prefilter_threshold = real
+    base = [r["doc_id"] for r in sp.weighted_sample(df, 50, "w", seed=1).collect()]
+    assert sorted(forced) == sorted(base)
+    with pytest.raises(ValueError, match="prefilter_factor"):
+        sp.weighted_sample(df, 50, "w", prefilter_factor=1.0)

@@ -272,3 +272,103 @@ def test_property_warc_roundtrip_arbitrary_bodies(spark, tmp_path):
         assert len(rows) == 25
         for i, rec in enumerate(recs):
             assert rows[f"<urn:uuid:p{i}>"] == rec["body"], i
+
+
+def _chunked_http(html: str, sizes=(7, 11, 5)) -> bytes:
+    """An HTTP/1.1 response whose body is chunked transfer-encoding (RFC
+    9112 §7.1 wire format, with a chunk extension and a trailer field —
+    the hostile-but-legal shape a self-crawled WARC records verbatim)."""
+    payload = html.encode("utf-8")
+    chunks, pos, i = [], 0, 0
+    while pos < len(payload):
+        n = min(sizes[i % len(sizes)], len(payload) - pos)
+        ext = b";ext=1" if i == 0 else b""
+        chunks.append(b"%x" % n + ext + b"\r\n" + payload[pos : pos + n] + b"\r\n")
+        pos += n
+        i += 1
+    chunks.append(b"0\r\nX-Trailer: t\r\n\r\n")
+    body = b"".join(chunks)
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + body
+    )
+
+
+def test_warc_chunked_transfer_encoding_roundtrip(spark, tmp_path):
+    """A chunked response body de-chunks to the exact original HTML and
+    rides warc_to_documents → html_to_text like any plain body — the r7
+    gap where chunk-size lines leaked into the text as length-prefixed
+    garbage."""
+    from aws_financial_data_pipeline_spark.operators.text import html_to_text
+
+    html = "<html><body><h1>T</h1><p>Chunked body &amp; framing test.</p></body></html>"
+    recs = [
+        {
+            "warc_type": "response",
+            "url": "https://site-a.example.com/chunked",
+            "record_id": "<urn:uuid:c1>",
+            "body": _chunked_http(html),
+        },
+        {
+            "warc_type": "response",
+            "url": "https://site-b.example.com/plain",
+            "record_id": "<urn:uuid:c2>",
+            "html": html,
+        },
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(warc.encode_warc(recs))
+    docs = warc.warc_to_documents(warc.read_warc(spark, str(tmp_path / "c.warc.gz")))
+    texts = {r["url"]: r["text"] for r in docs.collect()}
+    assert texts["https://site-a.example.com/chunked"] == html  # exact de-chunk
+    extracted = {
+        r["url"]: r["text"] for r in html_to_text(docs).collect()
+    }
+    # the chunked and plain paths extract IDENTICAL prose — no 'b' / '7;ext'
+    # size lines survive
+    assert extracted["https://site-a.example.com/chunked"] == extracted[
+        "https://site-b.example.com/plain"
+    ]
+    assert "Chunked body & framing test." in extracted["https://site-a.example.com/chunked"]
+
+
+def test_warc_chunked_hostile_framing_stays_loud(spark, tmp_path):
+    """Truncated chunks, bad size lines, and stacked transfer-codings raise
+    instead of shipping plausible-looking garbage downstream."""
+    import pytest
+
+    # truncated: declared 0x20 bytes, only 4 present
+    trunc = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n20\r\nabcd"
+    )
+    with pytest.raises(ValueError, match="truncated chunked"):
+        warc._split_http(trunc)
+    # non-hex size line
+    bad = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nab\r\n0\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="chunk-size"):
+        warc._split_http(bad)
+    # missing CRLF after chunk data
+    nocrlf = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n2\r\nabXX0\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="CRLF"):
+        warc._split_http(nocrlf)
+    # stacked coding (gzip under chunked) rejects loudly, never fakes
+    stacked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n0\r\n\r\n"
+    )
+    with pytest.raises(NotImplementedError, match="transfer-coding"):
+        warc._split_http(stacked)
+    # and the loudness survives the distributed path: one hostile record
+    # fails the read, it does not silently pass as garbage text
+    recs = [{
+        "warc_type": "response",
+        "url": "https://x.example.com/t",
+        "record_id": "<urn:uuid:t1>",
+        "body": trunc,
+    }]
+    (tmp_path / "t.warc.gz").write_bytes(warc.encode_warc(recs))
+    with pytest.raises(Exception, match="truncated chunked"):
+        warc.read_warc(spark, str(tmp_path / "t.warc.gz")).collect()
