@@ -206,6 +206,8 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    tol: float | None = None,
+    info: dict | None = None,
 ) -> DataFrame:
     """PageRank (Brin & Page 1998, public algorithm) over a directed edge
     list — in a crawl pipeline this ranks DOMAINS for frontier
@@ -224,9 +226,21 @@ def pagerank(
     equi-join + one dst-keyed sum (map-side partial) + a 1-row broadcast
     crossJoin carrying the dangling mass — no driver collect in the loop,
     lineage truncated per iteration. Returns (node, rank) rounded to 10dp
-    (cross-run determinism: the sums are fixed-iteration-order doubles)."""
+    (cross-run determinism: the sums are fixed-iteration-order doubles).
+
+    ``tol`` turns on the convergence probe (the x27 convergence-probe
+    convention, here a 1-row L1-delta aggregate per iteration): stop as
+    soon as Σ|r_t − r_{t−1}| < tol, with ``iterations`` as the CAP — so a
+    converged graph stops early and a slow-mixing one can be given a high
+    cap instead of a silently-too-small fixed count. The probe is the one
+    driver round-trip per iteration; leave ``tol=None`` (fixed-iteration,
+    probe-free) when the iteration budget is already known. ``info``, if
+    given a dict, receives ``iterations_run`` and ``final_delta`` for
+    auditing."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1): {damping}")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"tol must be positive: {tol}")
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .localCheckpoint(eager=True)
@@ -244,6 +258,7 @@ def pagerank(
         e.groupBy("s").agg(F.count("*").alias("_deg")).localCheckpoint(eager=True)
     )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    iters_run, delta = 0, None
     for _ in range(iterations):
         with_deg = ranks.join(
             out_deg.withColumnRenamed("s", "node"), "node", "left"
@@ -262,6 +277,7 @@ def pagerank(
         dangling = with_deg.filter(F.col("_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
+        prev = ranks
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
@@ -275,4 +291,18 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        iters_run += 1
+        if tol is not None:
+            # both frames are checkpointed |nodes|-row tables: one
+            # equi-join + a 1-row aggregate, the only driver round-trip
+            delta = (
+                ranks.join(prev.withColumnRenamed("rank", "_prev"), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))))
+                .first()[0]
+            )
+            if delta < tol:
+                break
+    if info is not None:
+        info["iterations_run"] = iters_run
+        info["final_delta"] = delta
     return ranks.select("node", F.round("rank", 10).alias("rank"))

@@ -112,9 +112,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     replicated, alpha dropped) to match :func:`decode_image`'s contract.
     16-bit, sub-byte depths, and Adam7 interlacing raise loudly.
 
-    The filter loop is per-scanline numpy (Up/None vectorize fully; Sub/
-    Average/Paeth are sequential by definition — each byte depends on the
-    reconstructed left neighbor — so they loop per byte within the line).
+    The filter loop is per-scanline (Up/None vectorize fully; Sub is a
+    per-channel cumsum; Average/Paeth are sequential by definition — each
+    byte depends on the reconstructed left neighbor — and run as plain
+    Python-list loops, measured 11-13× faster than numpy scalar indexing).
     Fine for the payload sizes a feature extractor sees per row; the
     parallelism axis at 100 TB is rows-per-partition, not bytes-per-image.
     """
@@ -176,17 +177,31 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = (np.cumsum(line.reshape(-1, bpp), axis=0).ravel()) & 0xFF
         elif ft in (3, 4):  # Average / Paeth — left-dependent via a floor
             # division / 3-way predicate, genuinely sequential per byte
-            cur = line
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                if ft == 3:
-                    pred = (a + b) >> 1
-                else:  # Paeth predictor (RFC 2083 §6.6)
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            # (no closed form like Sub's cumsum). The loop runs on PYTHON
+            # LISTS, not the numpy array: per-element numpy indexing costs
+            # ~100 ns a touch and dominated the decode; plain list ops
+            # measure 11-13× faster on a 512-wide RGB line (0.25 vs 3.2
+            # ms Average, 0.47 vs 5.3 ms Paeth — NOTES r8).
+            vals = line.tolist()
+            pv = prev.tolist()
+            if ft == 3:
+                for i in range(stride):
+                    a = vals[i - bpp] if i >= bpp else 0
+                    vals[i] = (vals[i] + ((a + pv[i]) >> 1)) & 0xFF
+            else:  # Paeth predictor (RFC 2083 §6.6)
+                for i in range(stride):
+                    a = vals[i - bpp] if i >= bpp else 0
+                    b = pv[i]
+                    c = pv[i - bpp] if i >= bpp else 0
+                    pa = b - c
+                    pa = -pa if pa < 0 else pa
+                    pb = a - c
+                    pb = -pb if pb < 0 else pb
+                    pc = a + b - 2 * c
+                    pc = -pc if pc < 0 else pc
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+                    vals[i] = (vals[i] + pred) & 0xFF
+            cur = np.array(vals, dtype=np.int32)
         else:
             raise NotImplementedError(f"unknown PNG filter type {ft}")
         out[y] = cur.astype(np.uint8)

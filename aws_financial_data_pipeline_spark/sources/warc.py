@@ -147,18 +147,16 @@ def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, payload
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
+def parse_warc_files(
+    files: DataFrame,
     record_types: tuple[str, ...] = ("response",),
 ) -> DataFrame:
-    """WARC files under ``path`` → one row per record of the requested
-    types: (path, record_id, warc_type, warc_date, url, http_status,
-    content_type, payload). ``payload`` is the HTTP body for response
-    records (headers parsed off), the raw record body otherwise. One
-    binaryFile task per file, one Arrow parse stage, no shuffle."""
+    """The parse stage of :func:`read_warc`, factored over any
+    (path, content) frame — a binaryFile batch read, OR one micro-batch of
+    a binaryFile STREAM inside ``foreachBatch`` (:func:`warc_ingest_stream`):
+    gzip members → records → HTTP split, one Arrow stage, raw bytes dropped
+    in-stage."""
     types = {t.lower() for t in record_types}
-    files = spark.read.format("binaryFile").load(path)
 
     def run(batches):
         import pandas as pd
@@ -196,6 +194,76 @@ def read_warc(
             )
 
     return files.select("path", "content").mapInPandas(run, WARC_COLS)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC files under ``path`` → one row per record of the requested
+    types: (path, record_id, warc_type, warc_date, url, http_status,
+    content_type, payload). ``payload`` is the HTTP body for response
+    records (headers parsed off), the raw record body otherwise. One
+    binaryFile task per file, one Arrow parse stage, no shuffle."""
+    return parse_warc_files(
+        spark.read.format("binaryFile").load(path), record_types
+    )
+
+
+# the fixed schema of Spark's binaryFile source — a streaming file source
+# requires the schema up front
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def warc_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    docs_out: str,
+    checkpoint: str | None = None,
+    record_types: tuple[str, ...] = ("response",),
+    transform=None,
+    max_files_per_trigger: int = 1,
+    path_glob: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming twin of the batch crawl entry hop (``read_warc`` →
+    ``warc_to_documents``): ``readStream.format("binaryFile")`` over a
+    landing directory of ``.warc.gz`` files → per micro-batch the SAME
+    Arrow parse stage (:func:`parse_warc_files` — a foreachBatch frame is
+    a plain DataFrame, so the batch operators apply verbatim) →
+    ``warc_to_documents`` (or a caller ``transform(docs_df)`` tail, e.g.
+    the crawl front door) → idempotent ``batch=<id>``-keyed overwrite
+    parquet (the streaming/dedup.py exactly-once file-sink recipe: a
+    crashed batch's replay overwrites its own partial directory, never
+    double-appends). Files remain the parallelism axis — one binaryFile
+    row per .warc.gz, the batch contract.
+
+    ``available_now=True`` drains the directory and stops (backfill/test
+    mode); ``False`` tails it. Returns after the drain when
+    ``available_now``; the started query otherwise."""
+
+    def process(batch: DataFrame, bid: int) -> None:
+        docs = warc_to_documents(parse_warc_files(batch, record_types))
+        if transform is not None:
+            docs = transform(docs)
+        docs.write.mode("overwrite").parquet(f"{docs_out}/batch={bid}")
+
+    stream = spark.readStream.format("binaryFile").schema(BINARYFILE_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if path_glob:
+        stream = stream.option("pathGlobFilter", path_glob)
+    writer = stream.load(src_dir).writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return spark.read.parquet(docs_out).drop("batch")
+    return writer.start()
 
 
 def warc_to_documents(

@@ -289,3 +289,43 @@ def test_attach_domain_rank_signal(spark):
     assert out[1] > by_node["b.example.com"]
     counts = plan_counts(attach_domain_rank(docs, ranks.localCheckpoint()))
     assert counts["broadcast_joins"] == 1 and counts["exchanges"] == 0
+
+
+def test_pagerank_early_stop_convergence_probe(spark):
+    """tol= turns on the L1-delta probe: on a fast-mixing graph the loop
+    stops well before the cap (early-stop FIRES), the early-stopped ranks
+    agree with the fixed-iteration form to the convergence tolerance, a
+    high cap lets slow-mixing graphs run past 10, and invalid tol
+    rejects."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators.graph import pagerank
+
+    # fast-mixing: a 4-clique (every node links every other) converges in
+    # a handful of sweeps
+    nodes = list("abcd")
+    edges = spark.createDataFrame(
+        [(s, d) for s in nodes for d in nodes if s != d], "src string, dst string"
+    )
+    info: dict = {}
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iterations=50, tol=1e-9, info=info).collect()}
+    assert info["iterations_run"] < 10          # the probe fired early
+    assert info["final_delta"] < 1e-9
+    fixed = {r["node"]: r["rank"] for r in pagerank(edges, iterations=50).collect()}
+    for k in got:
+        assert abs(got[k] - fixed[k]) < 1e-8, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved at the stop
+    # slow-mixing: a directed 20-chain (rank creeps down hop by hop, delta
+    # decays ~0.85^t — ~170 sweeps to 1e-12); with tol set the cap is a
+    # CAP, so iterations=40 runs past the old fixed default of 10. NB a
+    # symmetric ring would NOT do: its uniform start is already stationary
+    # and the probe stops at sweep 1.
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(20)], "src string, dst string"
+    )
+    info2: dict = {}
+    pagerank(chain, iterations=40, tol=1e-12, info=info2)
+    assert info2["iterations_run"] > 10
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(edges, tol=0.0)

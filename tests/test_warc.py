@@ -372,3 +372,52 @@ def test_warc_chunked_hostile_framing_stays_loud(spark, tmp_path):
     (tmp_path / "t.warc.gz").write_bytes(warc.encode_warc(recs))
     with pytest.raises(Exception, match="truncated chunked"):
         warc.read_warc(spark, str(tmp_path / "t.warc.gz")).collect()
+
+
+def test_warc_ingest_stream_replay_equals_batch(spark, tmp_path):
+    """The streaming crawl entry hop: binaryFile readStream over .warc.gz
+    files → foreachBatch(parse → warc_to_documents) → batch-keyed
+    idempotent sink. An availableNow drain over N files (one file per
+    trigger → N micro-batches) produces EXACTLY the batch path's rows,
+    and a composed transform (the front-door seam) applies per batch."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    # three files, two response records each, ids disjoint
+    for fi in range(3):
+        recs = [
+            {
+                "warc_type": "response",
+                "url": f"https://site-{fi}.example.com/p/{i}",
+                "record_id": f"<urn:uuid:f{fi}r{i}>",
+                "html": f"<html><body><p>File {fi} record {i} body text.</p></body></html>",
+            }
+            for i in range(2)
+        ]
+        (src / f"part-{fi}.warc.gz").write_bytes(warc.encode_warc(recs))
+
+    batch_docs = sorted(
+        (r["doc_id"], r["url"], r["text"])
+        for r in warc.warc_to_documents(warc.read_warc(spark, str(src))).collect()
+    )
+    out = tmp_path / "docs"
+    streamed = warc.warc_ingest_stream(
+        spark, str(src), str(out), checkpoint=str(tmp_path / "ckpt")
+    )
+    stream_docs = sorted(
+        (r["doc_id"], r["url"], r["text"]) for r in streamed.collect()
+    )
+    assert stream_docs == batch_docs and len(stream_docs) == 6
+    # one batch=<id> dir per file (maxFilesPerTrigger=1) — the idempotent
+    # overwrite layout
+    batches = {p.name for p in out.iterdir() if p.name.startswith("batch=")}
+    assert len(batches) == 3
+    # a transform tail composes per batch (front-door seam)
+    out2 = tmp_path / "docs2"
+    streamed2 = warc.warc_ingest_stream(
+        spark, str(src), str(out2), checkpoint=str(tmp_path / "ckpt2"),
+        transform=lambda d: d.filter(F.col("url").contains("site-1")),
+    )
+    assert sorted(r["url"] for r in streamed2.collect()) == [
+        "https://site-1.example.com/p/0",
+        "https://site-1.example.com/p/1",
+    ]
