@@ -72,18 +72,24 @@ def decode_image(payload: bytes) -> np.ndarray:
       :func:`decode_jpeg` (the dominant crawl-image format — huffman +
       dequant + iDCT, pure numpy),
     - ``GIF8`` → GIF87a/89a via :func:`decode_gif` (variable-width LZW,
-      first composited frame; :func:`sample_gif_frames` for animation).
-
-    WebP raises: that codec isn't in this container."""
+      first composited frame; :func:`sample_gif_frames` for animation),
+    - ``RIFF…WEBP`` → lossless WebP (VP8L) via :func:`.webp.decode_webp`
+      (canonical Huffman + LZ77 + color cache + all four transforms,
+      validated against a real libwebp stream); lossy VP8 raises loudly —
+      its normative probability tables can't be verified in-container."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP, PNG, GIF and baseline JPEG decode in-container "
+            "only BMP, PNG, GIF, JPEG and lossless WebP decode in-container "
             "(pillow/opencv absent)"
         )
     (off,) = struct.unpack_from("<I", payload, 10)
@@ -530,7 +536,7 @@ def image_phash(
     return with_payload.mapInPandas(run, f"{id_col} bigint, phash bigint")
 
 
-IMAGE_TYPES = ("image/bmp", "image/png", "image/jpeg", "image/gif")
+IMAGE_TYPES = ("image/bmp", "image/png", "image/jpeg", "image/gif", "image/webp")
 
 
 def image_dedup(

@@ -1,0 +1,802 @@
+"""WebP lossless (VP8L) codec on stdlib + numpy — the web-graphics member
+of the image family behind :func:`multimodal.decode_image` (BMP/PNG/JPEG/
+GIF/WebP). Written against the public container spec (RIFF/WebP) and the
+public "WebP Lossless Bitstream Specification" (the VP8L format): LSB-first
+bit reader, DEFLATE-style code-length-coded canonical Huffman (plus the
+simple 1/2-symbol codes), meta-Huffman groups via the entropy image, LZ77
+backward references with the 120-entry pixel-neighborhood distance map,
+color cache, and all four transforms (predictor, color/cross-color,
+subtract-green, color-indexing incl. sub-byte pixel bundling).
+
+Lossy WebP (the VP8 key-frame codec) is NOT implemented: its entropy
+decode depends on ~3k normative constant probabilities
+(default_coeff_probs, kf_bmode_prob, quant lookups) that cannot be
+verified in this container (no libwebp/ffmpeg to cross-check, and a
+transcription error decodes to silent garbage rather than an error) — so
+it raises loudly instead, the repo's absent-codec rule. VP8L carries no
+such tables: every Huffman code rides in the stream, which is why a
+spec-faithful decoder can be built AND verified here (round-trip exactness
+against the fixture encoder, plus decoding a real libwebp-produced VP8L
+alpha stream — an independent encoder — in tests).
+
+No counterpart in the reference engine (docker/lambda_function.py has no
+media surface); built for the LLM-pipeline brief's multimodal columns.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- bit io
+
+
+class _LSBBitReader:
+    """LSB-first bit reader (the DEFLATE/VP8L convention: bit 0 of byte 0
+    is the first bit of the stream)."""
+
+    __slots__ = ("buf", "pos", "acc", "nbits")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.buf):
+                raise NotImplementedError("truncated VP8L bitstream")
+            self.acc |= self.buf[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+class _LSBBitWriterW:
+    """LSB-first bit writer (fixture-encoder twin of the reader)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Huffman codes transmit MSB-of-code first, one bit at a time."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# ------------------------------------------------------------- huffman
+
+# VP8L's code-length-code transmission order (spec §"Decoding the Code
+# Lengths"; differs from DEFLATE's order)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) canonical assignment (DEFLATE/VP8L rule:
+    codes sorted by (length, symbol))."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out: dict[int, tuple[int, int]] = {}
+    for sym in range(len(lengths)):
+        ln = lengths[sym]
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _Huffman:
+    """Bit-at-a-time canonical Huffman decoder. A single-symbol code
+    (the VP8L simple-code degenerate case) consumes ZERO bits per read."""
+
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, lengths: list[int]):
+        nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
+        if not nz:
+            raise NotImplementedError("VP8L huffman code with no symbols")
+        if len(nz) == 1:
+            self.single = nz[0][0]
+            self.table = None
+            self.max_len = 0
+            return
+        kraft = sum(1 / (1 << l) for _, l in nz)
+        if abs(kraft - 1.0) > 1e-9:
+            raise NotImplementedError(
+                f"invalid (incomplete/oversubscribed) VP8L huffman code: kraft={kraft}"
+            )
+        self.single = None
+        codes = _canonical_codes(lengths)
+        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
+        self.max_len = max(l for _, l in nz)
+
+    @classmethod
+    def single_symbol(cls, sym: int) -> "_Huffman":
+        h = cls.__new__(cls)
+        h.single = sym
+        h.table = None
+        h.max_len = 0
+        return h
+
+    def read(self, br: _LSBBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("corrupt VP8L huffman stream")
+
+
+def _read_huffman_code(br: _LSBBitReader, alphabet_size: int) -> _Huffman:
+    """One Huffman code: the 'simple' 1/2-symbol form, or the DEFLATE-style
+    code-length-coded normal form (symbols 0-15 literal lengths, 16 repeat
+    previous non-zero 3-6×, 17 zero-run 3-10, 18 zero-run 11-138)."""
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first_8bits = br.read(1)
+        sym0 = br.read(8 if first_8bits else 1)
+        if sym0 >= alphabet_size:
+            raise NotImplementedError("VP8L simple-code symbol out of range")
+        if num_symbols == 1:
+            return _Huffman.single_symbol(sym0)
+        sym1 = br.read(8)
+        if sym1 >= alphabet_size:
+            raise NotImplementedError("VP8L simple-code symbol out of range")
+        lengths = [0] * alphabet_size
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _Huffman(lengths)
+    num_clc = 4 + br.read(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _Huffman(clc_lengths)
+    if br.read(1):  # explicit max-symbol budget
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    sym = 0
+    while sym < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        cl = clc.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            for _ in range(3 + br.read(2)):
+                if sym < alphabet_size:
+                    lengths[sym] = prev_len
+                    sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+    return _Huffman(lengths)
+
+
+# -------------------------------------------------- lz77 prefix + distmap
+
+
+def _prefix_decode(code: int, br: _LSBBitReader) -> int:
+    """LZ77 length/distance prefix coding: code<4 → code+1, else
+    (2+(code&1)) << ((code-2)>>1) + extra_bits + 1."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """(code, extra_bits_value, extra_bits_count) — encoder twin."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    extra = v.bit_length() - 2
+    offset = (2 + ((v >> extra) & 1)) << extra
+    code = 2 * extra + ((v >> extra) & 1) + 2  # invert (2+(code&1))<<extra
+    return code, v - offset, extra
+
+# the 120 special distance codes map to pixel-neighborhood offsets (dx, dy)
+# scanning the 8 rows above by closeness (spec's fixed table)
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (7, 1), (-7, 1), (2, 7), (-2, 7),
+    (7, 2), (-7, 2), (4, 6), (-4, 6), (6, 4), (-6, 4), (5, 5), (-5, 5),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def _map_distance(dist_code: int, xsize: int) -> int:
+    if dist_code > 120:
+        return dist_code - 120
+    dx, dy = _DIST_MAP[dist_code - 1]
+    return max(1, dy * xsize + dx)
+
+
+# ----------------------------------------------------------- image stream
+
+_CACHE_MULT = 0x1E35A7BD
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((_CACHE_MULT * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _decode_entropy_coded_image(
+    br: _LSBBitReader, w: int, h: int, is_level0: bool
+) -> "np.ndarray":
+    """One VP8L 'spatially-coded image': optional meta-Huffman (level 0
+    only), optional color cache, then Huffman-coded ARGB with LZ77 and
+    cache references. Returns an (h, w) uint32 ARGB array."""
+    # stream order (libwebp DecodeImageStream/ReadHuffmanCodes): color-cache
+    # info FIRST (the green alphabet depends on it), then the meta-Huffman
+    # bit (level 0 only), then the code groups
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise NotImplementedError(f"bad VP8L color-cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+
+    use_meta = br.read(1) if is_level0 else 0
+    if use_meta:
+        hbits = br.read(3) + 2
+        ew = (w + (1 << hbits) - 1) >> hbits
+        eh = (h + (1 << hbits) - 1) >> hbits
+        entropy_img = _decode_image_stream(br, ew, eh, False)
+        meta_idx = (((entropy_img >> 8) & 0xFFFF)).astype(np.int64)
+        num_groups = int(meta_idx.max()) + 1
+    else:
+        hbits = 0
+        meta_idx = None
+        num_groups = 1
+
+    groups = []
+    for _ in range(num_groups):
+        green = _read_huffman_code(br, 256 + 24 + cache_size)
+        red = _read_huffman_code(br, 256)
+        blue = _read_huffman_code(br, 256)
+        alpha = _read_huffman_code(br, 256)
+        dist = _read_huffman_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+
+    n = w * h
+    out = np.zeros(n, dtype=np.uint32)
+    pos = 0
+    while pos < n:
+        if meta_idx is not None:
+            x, y = pos % w, pos // w
+            g = groups[int(meta_idx[y >> hbits, x >> hbits])]
+        else:
+            g = groups[0]
+        green_t, red_t, blue_t, alpha_t, dist_t = g
+        s = green_t.read(br)
+        if s < 256:  # literal ARGB
+            r = red_t.read(br)
+            b = blue_t.read(br)
+            a = alpha_t.read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            if cache_bits:
+                cache[_cache_key(px, cache_bits)] = px
+            pos += 1
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _prefix_decode(s - 256, br)
+            dcode = _prefix_decode(dist_t.read(br), br)
+            dist = _map_distance(dcode, w)
+            if dist > pos or pos + length > n:
+                raise NotImplementedError("VP8L backward reference out of range")
+            for i in range(length):
+                px = int(out[pos - dist + i])
+                out[pos + i] = px
+                if cache_bits:
+                    cache[_cache_key(px, cache_bits)] = px
+            pos += length
+        else:  # color-cache reference
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise NotImplementedError("VP8L cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out.reshape(h, w)
+
+
+# -------------------------------------------------------------- transforms
+
+
+def _sub_green_inverse(img: np.ndarray) -> np.ndarray:
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) + g) & 0xFF
+    b = ((img & 0xFF) + g) & 0xFF
+    return (img & np.uint32(0xFF00FF00)) | (r << 16) | b
+
+
+def _avg2(a: int, b: int) -> int:
+    # per-channel byte average of two packed ARGB pixels
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _select(left: int, top: int, topleft: int) -> int:
+    p_alpha = ((left >> 24) & 0xFF) + ((top >> 24) & 0xFF) - ((topleft >> 24) & 0xFF)
+    p_red = ((left >> 16) & 0xFF) + ((top >> 16) & 0xFF) - ((topleft >> 16) & 0xFF)
+    p_green = ((left >> 8) & 0xFF) + ((top >> 8) & 0xFF) - ((topleft >> 8) & 0xFF)
+    p_blue = (left & 0xFF) + (top & 0xFF) - (topleft & 0xFF)
+    pl = (
+        abs(p_alpha - ((left >> 24) & 0xFF))
+        + abs(p_red - ((left >> 16) & 0xFF))
+        + abs(p_green - ((left >> 8) & 0xFF))
+        + abs(p_blue - (left & 0xFF))
+    )
+    pt = (
+        abs(p_alpha - ((top >> 24) & 0xFF))
+        + abs(p_red - ((top >> 16) & 0xFF))
+        + abs(p_green - ((top >> 8) & 0xFF))
+        + abs(p_blue - (top & 0xFF))
+    )
+    return left if pl < pt else top
+
+
+def _clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << sh
+    return out
+
+
+def _clamp_add_sub_half(ab: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        x = (ab >> sh) & 0xFF
+        cc = (c >> sh) & 0xFF
+        d = x - cc
+        # C's /2 truncates toward zero (libwebp AddSubtractComponentHalf);
+        # >>1 would floor and diverge on odd negative deltas
+        v = x + (d // 2 if d >= 0 else -((-d) // 2))
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << sh
+    return out
+
+
+def _predictor_inverse(img: np.ndarray, pred_img: np.ndarray, bits: int) -> np.ndarray:
+    """Inverse predictor transform: residuals (in img) + prediction from
+    already-reconstructed neighbors, per-channel mod-256. Edge rule (spec):
+    (0,0) predicts black 0xff000000; rest of row 0 predicts L; column 0
+    predicts T; top-right at the right border reads the leftmost pixel of
+    the row above (libwebp's upper-row convention)."""
+    h, w = img.shape
+    out = img.copy()
+
+    def addp(px: int, pred: int) -> int:
+        return (
+            (((px >> 24) + (pred >> 24)) & 0xFF) << 24
+            | ((((px >> 16) & 0xFF) + ((pred >> 16) & 0xFF)) & 0xFF) << 16
+            | ((((px >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF) << 8
+            | (((px & 0xFF) + (pred & 0xFF)) & 0xFF)
+        )
+
+    for y in range(h):
+        for x in range(w):
+            px = int(out[y, x])
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[0, x - 1])  # L
+            elif x == 0:
+                pred = int(out[y - 1, 0])  # T
+            else:
+                mode = (int(pred_img[y >> bits, x >> bits]) >> 8) & 0xFF
+                left = int(out[y, x - 1])
+                top = int(out[y - 1, x])
+                topleft = int(out[y - 1, x - 1])
+                # at the right border TR reads one past the row above — in
+                # the contiguous ARGB buffer that is the CURRENT row's
+                # first pixel (the libwebp upper-row convention)
+                topright = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = left
+                elif mode == 2:
+                    pred = top
+                elif mode == 3:
+                    pred = topright
+                elif mode == 4:
+                    pred = topleft
+                elif mode == 5:
+                    pred = _avg2(_avg2(left, topright), top)
+                elif mode == 6:
+                    pred = _avg2(left, topleft)
+                elif mode == 7:
+                    pred = _avg2(left, top)
+                elif mode == 8:
+                    pred = _avg2(topleft, top)
+                elif mode == 9:
+                    pred = _avg2(top, topright)
+                elif mode == 10:
+                    pred = _avg2(_avg2(left, topleft), _avg2(top, topright))
+                elif mode == 11:
+                    pred = _select(left, top, topleft)
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(left, top, topleft)
+                elif mode == 13:
+                    pred = _clamp_add_sub_half(_avg2(left, top), topleft)
+                else:
+                    raise NotImplementedError(f"VP8L predictor mode {mode}")
+            out[y, x] = addp(px, pred)
+    return out
+
+
+def _color_delta(t: int, c: int) -> int:
+    """(int8(t) * int8(c)) >> 5 — the cross-color multiplier step."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _color_inverse(img: np.ndarray, t_img: np.ndarray, bits: int) -> np.ndarray:
+    """Inverse cross-color transform: the transform pixel's channels hold
+    the multipliers (blue byte = green_to_red, green byte = green_to_blue,
+    red byte = red_to_blue); red restores first, blue uses the restored
+    red (spec order)."""
+    h, w = img.shape
+    out = img.copy()
+    for y in range(h):
+        for x in range(w):
+            te = int(t_img[y >> bits, x >> bits])
+            g2r = te & 0xFF
+            g2b = (te >> 8) & 0xFF
+            r2b = (te >> 16) & 0xFF
+            px = int(out[y, x])
+            g = (px >> 8) & 0xFF
+            r = ((px >> 16) & 0xFF) + _color_delta(g2r, g)
+            r &= 0xFF
+            b = (px & 0xFF) + _color_delta(g2b, g) + _color_delta(r2b, r)
+            b &= 0xFF
+            out[y, x] = (px & 0xFF00FF00) | (r << 16) | b
+    return out
+
+
+def _palette_inverse(
+    img: np.ndarray, palette: np.ndarray, orig_w: int, pack_bits: int
+) -> np.ndarray:
+    """Inverse color-indexing: unbundle sub-byte indices from the green
+    channel (pack_bits of 1/2/3 → 2/4/8 pixels per coded byte, LSB-first),
+    then map through the delta-reconstructed palette. Out-of-range indices
+    resolve to black per libwebp (clamped here: index ≥ size → 0)."""
+    h, packed_w = img.shape
+    if pack_bits:
+        per = 1 << pack_bits
+        ibits = 8 >> pack_bits
+        idx = np.zeros((h, packed_w * per), dtype=np.int64)
+        g = (img >> 8) & 0xFF
+        for k in range(per):
+            idx[:, k::per] = (g >> (k * ibits)) & ((1 << ibits) - 1)
+        idx = idx[:, :orig_w]
+    else:
+        idx = ((img >> 8) & 0xFF).astype(np.int64)
+    idx = np.where(idx < len(palette), idx, 0)
+    return palette[idx]
+
+
+def _decode_image_stream(
+    br: _LSBBitReader, w: int, h: int, is_level0: bool
+) -> "np.ndarray":
+    """Full image-stream grammar: (level 0 only) transform list, then the
+    entropy-coded image, then inverse transforms in reverse read order."""
+    transforms = []  # (type, payload...)
+    seen = set()
+    cur_w = w
+    pack_bits = 0
+    if is_level0:
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise NotImplementedError(f"duplicate VP8L transform {ttype}")
+            seen.add(ttype)
+            if ttype == 0:  # predictor
+                bits = br.read(3) + 2
+                tw = (cur_w + (1 << bits) - 1) >> bits
+                th = (h + (1 << bits) - 1) >> bits
+                transforms.append((0, _decode_image_stream(br, tw, th, False), bits))
+            elif ttype == 1:  # cross-color
+                bits = br.read(3) + 2
+                tw = (cur_w + (1 << bits) - 1) >> bits
+                th = (h + (1 << bits) - 1) >> bits
+                transforms.append((1, _decode_image_stream(br, tw, th, False), bits))
+            elif ttype == 2:  # subtract green
+                transforms.append((2,))
+            else:  # color indexing
+                psize = br.read(8) + 1
+                praw = _decode_image_stream(br, psize, 1, False)[0]
+                # palette entries are per-channel delta-coded
+                pal = np.zeros(psize, dtype=np.uint32)
+                prev = 0
+                for i in range(psize):
+                    cur = int(praw[i])
+                    px = (
+                        (((prev >> 24) + (cur >> 24)) & 0xFF) << 24
+                        | ((((prev >> 16) & 0xFF) + ((cur >> 16) & 0xFF)) & 0xFF) << 16
+                        | ((((prev >> 8) & 0xFF) + ((cur >> 8) & 0xFF)) & 0xFF) << 8
+                        | (((prev & 0xFF) + (cur & 0xFF)) & 0xFF)
+                    )
+                    pal[i] = px
+                    prev = px
+                if psize <= 2:
+                    pack_bits = 3
+                elif psize <= 4:
+                    pack_bits = 2
+                elif psize <= 16:
+                    pack_bits = 1
+                else:
+                    pack_bits = 0
+                orig = cur_w
+                if pack_bits:
+                    per = 1 << pack_bits
+                    cur_w = (cur_w + per - 1) // per
+                transforms.append((3, pal, orig, pack_bits))
+    img = _decode_entropy_coded_image(br, cur_w, h, is_level0)
+    for t in reversed(transforms):
+        if t[0] == 0:
+            img = _predictor_inverse(img, t[1], t[2])
+        elif t[0] == 1:
+            img = _color_inverse(img, t[1], t[2])
+        elif t[0] == 2:
+            img = _sub_green_inverse(img)
+        else:
+            img = _palette_inverse(img, t[1], t[2], t[3])
+    return img
+
+
+def _argb_to_rgb(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[..., 0] = (img >> 16) & 0xFF
+    out[..., 1] = (img >> 8) & 0xFF
+    out[..., 2] = img & 0xFF
+    return out
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """A raw VP8L chunk body (the bytes after the 'VP8L' RIFF header) →
+    HxWx3 uint8 RGB (alpha dropped, the decode_image contract)."""
+    br = _LSBBitReader(payload)
+    if br.read(8) != 0x2F:
+        raise NotImplementedError("bad VP8L signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-used hint
+    if br.read(3) != 0:
+        raise NotImplementedError("unknown VP8L version")
+    return _argb_to_rgb(_decode_image_stream(br, w, h, True))
+
+
+def decode_vp8l_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
+    """A VP8L-compressed ALPH plane (extended-WebP alpha, compression
+    method 1): a HEADERLESS image stream whose green channel carries the
+    alpha values. Returns (h, w) uint8."""
+    br = _LSBBitReader(payload)
+    img = _decode_image_stream(br, w, h, True)
+    return ((img >> 8) & 0xFF).astype(np.uint8)
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF/WebP container → HxWx3 uint8 RGB. Lossless (VP8L) decodes
+    fully, in the simple AND the extended (VP8X) container; lossy VP8 and
+    animation raise loudly (module docstring: its normative probability
+    tables cannot be verified in-container — absent codecs are rejected,
+    never faked)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise NotImplementedError("not a WebP payload")
+    pos = 12
+    chunks: dict[bytes, bytes] = {}
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        chunks.setdefault(tag, payload[pos + 8 : pos + 8 + sz])
+        pos += 8 + sz + (sz & 1)
+    if b"VP8L" in chunks:
+        return decode_vp8l(chunks[b"VP8L"])
+    if b"ANIM" in chunks or b"ANMF" in chunks:
+        raise NotImplementedError("animated WebP unsupported")
+    if b"VP8 " in chunks:
+        raise NotImplementedError(
+            "lossy WebP (VP8) unsupported in-container: its normative "
+            "probability tables cannot be verified here; lossless (VP8L) "
+            "decodes fully"
+        )
+    raise NotImplementedError("WebP container with no image chunk")
+
+
+# ------------------------------------------------------------- encoder
+
+
+def _emit_lengths(bw: _LSBBitWriterW, lengths: list[int]) -> None:
+    """Transmit a code-length array in the normal (non-simple) form,
+    literally — one code-length symbol per alphabet symbol, no run codes.
+    The code-length code covers the distinct lengths present, padded with
+    unused symbols to a power of two so the CL code is complete."""
+    distinct = sorted(set(lengths))
+    # pad to at least TWO CL symbols: a one-symbol CL code reads 0 bits on
+    # the decoder side while the encoder would write 1 — desync
+    pad = 2
+    while pad < len(distinct):
+        pad <<= 1
+    extras = [v for v in range(16) if v not in distinct]
+    clset = sorted(distinct + extras[: pad - len(distinct)])
+    clen = max(1, (len(clset) - 1).bit_length())
+    cl_lengths = [0] * 19
+    for v in clset:
+        cl_lengths[v] = clen
+    codes = _canonical_codes(cl_lengths)
+    bw.write(0, 1)  # not simple
+    # transmit all 19 CL lengths (num_clc = 19 → 4 + 15)
+    bw.write(15, 4)
+    for i in range(19):
+        bw.write(cl_lengths[_CLC_ORDER[i]], 3)
+    bw.write(0, 1)  # no explicit max-symbol budget
+    for ln in lengths:
+        code, cl = codes[ln]
+        bw.write_code(code, cl)
+
+
+def _fixed_lengths(alphabet: int, used: "set[int] | None" = None) -> list[int]:
+    """A complete canonical code over ``alphabet`` symbols: all-8-bit when
+    the alphabet is exactly 256, else a two-level split (k symbols at L,
+    rest at L+1 satisfying Kraft equality). Fixture-encoder convenience —
+    legal, complete, and independent of symbol statistics."""
+    if alphabet == 1:
+        return [1]
+    L = (alphabet - 1).bit_length()  # ceil(log2)
+    if alphabet == (1 << L):
+        return [L] * alphabet
+    # two-level split: y symbols at L-1 and x at L with Kraft equality —
+    # x + y = alphabet, x·2^-L + y·2^-(L-1) = 1 → y = 2^L − alphabet
+    y = (1 << L) - alphabet
+    x = alphabet - y
+    return [L - 1] * y + [L] * x
+
+
+def encode_webp_lossless(
+    pixels: np.ndarray,
+    color_cache_bits: int = 0,
+    lz77: bool = False,
+) -> bytes:
+    """Round-trip lossless WebP writer for fixtures/sinks (the encode_png/
+    encode_gif convention — a legal stream any WebP decoder reads, traded
+    for zero compression): no transforms, one Huffman group, fixed-length
+    complete codes transmitted literally. ``color_cache_bits`` exercises
+    the cache path (repeated colors emit cache references);
+    ``lz77=True`` additionally emits a backward reference for immediate
+    row repeats (distance = width, the (0,1) neighbor-map code)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    bw = _LSBBitWriterW()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    if color_cache_bits:
+        bw.write(1, 1)
+        bw.write(color_cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    bw.write(0, 1)  # no meta-Huffman (single group)
+    cache_size = (1 << color_cache_bits) if color_cache_bits else 0
+    green_alpha = 256 + 24 + cache_size
+    glens = _fixed_lengths(green_alpha)
+    clens = _fixed_lengths(256)
+    dlens = _fixed_lengths(40)
+    _emit_lengths(bw, glens)  # green+len+cache
+    for _ in range(3):  # red, blue, alpha
+        _emit_lengths(bw, clens)
+    _emit_lengths(bw, dlens)  # distance
+    gcodes = _canonical_codes(glens)
+    ccodes = _canonical_codes(clens)
+    dcodes = _canonical_codes(dlens)
+    cache = [0] * cache_size
+
+    argb = (
+        (np.uint32(0xFF) << 24)
+        | (px[..., 0].astype(np.uint32) << 16)
+        | (px[..., 1].astype(np.uint32) << 8)
+        | px[..., 2].astype(np.uint32)
+    ).ravel()
+    n = len(argb)
+    pos = 0
+    while pos < n:
+        if lz77 and pos >= w and pos + w <= n and np.array_equal(
+            argb[pos : pos + w], argb[pos - w : pos]
+        ):
+            # whole-row repeat: length=w copy at distance=w via the (0,1)
+            # neighbor-map distance code 1
+            lcode, lx, lb = _prefix_encode(w)
+            c, cl = gcodes[256 + lcode]
+            bw.write_code(c, cl)
+            if lb:
+                bw.write(lx, lb)
+            dc, dl = dcodes[0]  # prefix code 0 → value 1 → map code 1 = (0,1)
+            bw.write_code(dc, dl)
+            if cache_size:
+                for i in range(w):
+                    v = int(argb[pos + i])
+                    cache[_cache_key(v, color_cache_bits)] = v
+            pos += w
+            continue
+        v = int(argb[pos])
+        if cache_size:
+            key = _cache_key(v, color_cache_bits)
+            if cache[key] == v:
+                c, cl = gcodes[256 + 24 + key]
+                bw.write_code(c, cl)
+                pos += 1
+                continue
+            cache[key] = v
+        g = (v >> 8) & 0xFF
+        c, cl = gcodes[g]
+        bw.write_code(c, cl)
+        for ch in ((v >> 16) & 0xFF, v & 0xFF, (v >> 24) & 0xFF):
+            c, cl = ccodes[ch]
+            bw.write_code(c, cl)
+        pos += 1
+    body = bw.flush()
+    riff = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        riff += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WEBP" + riff

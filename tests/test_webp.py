@@ -1,0 +1,396 @@
+"""WebP lossless (VP8L) codec: exact round trips through the fixture
+encoder, hand-built streams for the feature paths the encoder doesn't
+emit (simple codes, meta-Huffman, all four transforms), an INDEPENDENT-
+encoder gate (a real libwebp-produced VP8L alpha stream from CPython's
+public test data decodes to the Python-logo mask), loud rejection of
+lossy VP8/animation, and the image_phash/image_dedup pipeline serving
+image/webp rows."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from aws_financial_data_pipeline_spark.operators import multimodal as mm
+from aws_financial_data_pipeline_spark.operators import webp
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_vp8l_roundtrip_exact_plain_cache_lz77():
+    """Lossless means EXACT: random pixels, color-cache streams, and
+    LZ77 row-repeat streams all round-trip byte-identically; LZ77
+    actually compresses the repeated rows."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (13, 17, 3)).astype(np.uint8)
+    assert (webp.decode_webp(webp.encode_webp_lossless(img)) == img).all()
+    # repeated colors through the color cache
+    img2 = np.tile(
+        np.array([[10, 20, 30], [200, 100, 50]], np.uint8)[None], (9, 4, 1)
+    ).reshape(9, 8, 3)
+    assert (
+        webp.decode_webp(webp.encode_webp_lossless(img2, color_cache_bits=4)) == img2
+    ).all()
+    # row repeats through LZ77 (distance = width → the (0,1) map code)
+    img3 = np.repeat(rng.integers(0, 256, (1, 24, 3)), 16, axis=0).astype(np.uint8)
+    e_plain = webp.encode_webp_lossless(img3)
+    e_lz = webp.encode_webp_lossless(img3, lz77=True)
+    assert (webp.decode_webp(e_lz) == img3).all()
+    assert len(e_lz) < len(e_plain) / 2
+    assert (
+        webp.decode_webp(webp.encode_webp_lossless(img3, lz77=True, color_cache_bits=6))
+        == img3
+    ).all()
+
+
+def test_vp8l_roundtrip_random_shapes():
+    """Property-style sweep (the GIF/JPEG convention): any small shape,
+    any pixels, exact round trip — including 1x1 and single-column."""
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        h, w = int(r.integers(1, 40)), int(r.integers(1, 40))
+        im = r.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (webp.decode_webp(webp.encode_webp_lossless(im)) == im).all(), seed
+    one = np.array([[[7, 8, 9]]], dtype=np.uint8)
+    assert (webp.decode_webp(webp.encode_webp_lossless(one)) == one).all()
+    col = np.arange(30, dtype=np.uint8).reshape(10, 1, 3)
+    assert (webp.decode_webp(webp.encode_webp_lossless(col)) == col).all()
+
+
+def test_vp8l_decodes_real_libwebp_alpha_stream():
+    """THE independent-encoder gate: tests/data/python_logo.webp is
+    CPython's public test asset (Lib/test/test_email/data/python.webp,
+    PSF-licensed), produced by libwebp — an extended container whose ALPH
+    chunk is VP8L-compressed (compression method 1). Our decoder must
+    parse a stream WE did not write: the 16x16 alpha plane comes out as
+    the Python-logo mask. Pinned by exact corner/interior values and the
+    plane sum (regression-stable: the file is checked in)."""
+    d = open(os.path.join(DATA, "python_logo.webp"), "rb").read()
+    pos, chunks = 12, {}
+    while pos + 8 <= len(d):
+        tag = d[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", d, pos + 4)
+        chunks[tag] = d[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    alph = chunks[b"ALPH"]
+    b0 = alph[0]
+    assert (b0 & 3) == 1 and ((b0 >> 2) & 3) == 0  # VP8L-coded, no filter
+    alpha = webp.decode_vp8l_alpha(alph[1:], 16, 16)
+    assert alpha.shape == (16, 16) and alpha.dtype == np.uint8
+    # the logo mask: transparent corners, opaque snake bodies
+    assert alpha[0, 0] == 0 and alpha[15, 0] == 0 and alpha[0, 15] == 0
+    assert (alpha[1, 4:11] == 255).all()
+    assert alpha.max() == 255 and int((alpha == 255).sum()) > 100
+    assert int(alpha.sum()) == 38971  # exact-regression pin
+    # and the container dispatch rejects the LOSSY rgb plane loudly
+    with pytest.raises(NotImplementedError, match="lossy WebP"):
+        webp.decode_webp(d)
+    with pytest.raises(NotImplementedError, match="lossy WebP"):
+        mm.decode_image(d)
+
+
+def _stream_writer(w, h):
+    bw = webp._LSBBitWriterW()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    return bw
+
+
+def _write_literal_image(bw, argb_pixels, level0=True):
+    """Helper: no cache, no meta, fixed-length complete codes, literal
+    pixels only — the minimal legal entropy-coded image."""
+    bw.write(0, 1)  # no cache
+    if level0:
+        bw.write(0, 1)  # no meta
+    glens = webp._fixed_lengths(280)
+    clens = webp._fixed_lengths(256)
+    dlens = webp._fixed_lengths(40)
+    webp._emit_lengths(bw, glens)
+    for _ in range(3):
+        webp._emit_lengths(bw, clens)
+    webp._emit_lengths(bw, dlens)
+    g = webp._canonical_codes(glens)
+    c = webp._canonical_codes(clens)
+    for px in argb_pixels:
+        a, r, gg, b = (px >> 24) & 255, (px >> 16) & 255, (px >> 8) & 255, px & 255
+        bw.write_code(*g[gg])
+        bw.write_code(*c[r])
+        bw.write_code(*c[b])
+        bw.write_code(*c[a])
+
+
+def _pack_argb(img):
+    return [
+        (255 << 24) | (int(p[0]) << 16) | (int(p[1]) << 8) | int(p[2])
+        for p in img.reshape(-1, 3)
+    ]
+
+
+def _wrap_riff(body: bytes) -> bytes:
+    riff = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        riff += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WEBP" + riff
+
+
+def test_vp8l_subtract_green_transform_handbuilt():
+    """Hand-built subtract-green stream: the test applies the FORWARD
+    transform (r-=g, b-=g mod 256) and the decoder must invert it."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (6, 7, 3)).astype(np.uint8)
+    fwd = img.astype(np.int32).copy()
+    fwd[..., 0] = (fwd[..., 0] - fwd[..., 1]) % 256
+    fwd[..., 2] = (fwd[..., 2] - fwd[..., 1]) % 256
+    bw = _stream_writer(7, 6)
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)  # subtract green
+    bw.write(0, 1)  # no more transforms
+    _write_literal_image(bw, _pack_argb(fwd.astype(np.uint8)))
+    assert (webp.decode_webp(_wrap_riff(bw.flush())) == img).all()
+
+
+def _forward_predict(img, modes, bits):
+    """Independent FORWARD predictor transform (test-side reference): the
+    residual stream whose inverse must reproduce img. Mirrors the spec's
+    edge rules: (0,0)→black, row 0→L, col 0→T, right-border TR = current
+    row's first pixel."""
+    h, w, _ = img.shape
+    px = np.zeros((h, w), dtype=np.uint32)
+    px |= 0xFF000000
+    px |= img[..., 0].astype(np.uint32) << 16
+    px |= img[..., 1].astype(np.uint32) << 8
+    px |= img[..., 2].astype(np.uint32)
+    res = np.zeros_like(px)
+
+    def sub(a, p):
+        return (
+            ((((a >> 24) & 255) - ((p >> 24) & 255)) % 256) << 24
+            | ((((a >> 16) & 255) - ((p >> 16) & 255)) % 256) << 16
+            | ((((a >> 8) & 255) - ((p >> 8) & 255)) % 256) << 8
+            | (((a & 255) - (p & 255)) % 256)
+        )
+
+    for y in range(h):
+        for x in range(w):
+            cur = int(px[y, x])
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(px[0, x - 1])
+            elif x == 0:
+                pred = int(px[y - 1, 0])
+            else:
+                m = modes[y >> bits][x >> bits]
+                L = int(px[y, x - 1])
+                T = int(px[y - 1, x])
+                TL = int(px[y - 1, x - 1])
+                TR = int(px[y - 1, x + 1]) if x + 1 < w else int(px[y, 0])
+                pred = {
+                    0: 0xFF000000,
+                    1: L,
+                    2: T,
+                    3: TR,
+                    4: TL,
+                    5: webp._avg2(webp._avg2(L, TR), T),
+                    6: webp._avg2(L, TL),
+                    7: webp._avg2(L, T),
+                    8: webp._avg2(TL, T),
+                    9: webp._avg2(T, TR),
+                    10: webp._avg2(webp._avg2(L, TL), webp._avg2(T, TR)),
+                    11: webp._select(L, T, TL),
+                    12: webp._clamp_add_sub_full(L, T, TL),
+                    13: webp._clamp_add_sub_half(webp._avg2(L, T), TL),
+                }[m]
+            res[y, x] = sub(cur, pred)
+    return res
+
+
+def test_vp8l_predictor_transform_handbuilt_all_modes():
+    """Hand-built predictor-transform stream covering EVERY mode 0..13
+    across tiles (bits=2 → 4x4 tiles over a 16x8 image): forward residuals
+    computed by an independent test-side pass, decode must reproduce the
+    original exactly — including the right-border TR convention."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (8, 16, 3)).astype(np.uint8)
+    bits = 2
+    modes = [[0, 1, 3, 5], [7, 11, 12, 13]]  # one per 4x4 tile
+    res = _forward_predict(img, modes, bits)
+    bw = _stream_writer(16, 8)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(bits - 2, 3)
+    # the 4x2 predictor image: mode rides the GREEN channel (non-level0
+    # stream: no transforms, no meta bit)
+    _write_literal_image(
+        bw,
+        [(255 << 24) | (m << 8) for row in modes for m in row],
+        level0=False,
+    )
+    bw.write(0, 1)  # no more transforms
+    _write_literal_image(bw, [int(v) for v in res.ravel()])
+    assert (webp.decode_webp(_wrap_riff(bw.flush())) == img).all()
+    # the remaining modes on a second layout
+    modes2 = [[2, 4, 6, 8], [9, 10, 11, 2]]
+    res2 = _forward_predict(img, modes2, bits)
+    bw = _stream_writer(16, 8)
+    bw.write(1, 1)
+    bw.write(0, 2)
+    bw.write(bits - 2, 3)
+    _write_literal_image(
+        bw, [(255 << 24) | (m << 8) for row in modes2 for m in row], level0=False
+    )
+    bw.write(0, 1)
+    _write_literal_image(bw, [int(v) for v in res2.ravel()])
+    assert (webp.decode_webp(_wrap_riff(bw.flush())) == img).all()
+
+
+def test_vp8l_color_transform_handbuilt():
+    """Hand-built cross-color stream: forward transform (subtract the
+    green_to_red/green_to_blue/red_to_blue deltas, spec order) applied by
+    the test, decoder inverts to the exact original."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (4, 8, 3)).astype(np.uint8)
+    bits, g2r, g2b, r2b = 2, 0x85, 0x11, 0xF3  # signed 8-bit multipliers
+    fwd = []
+    for p in img.reshape(-1, 3):
+        r, g, b = int(p[0]), int(p[1]), int(p[2])
+        rt = (r - webp._color_delta(g2r, g)) % 256
+        # the red_to_blue delta reads the ORIGINAL red (the inverse restores
+        # red before applying it — libwebp TransformColor/Inverse pairing)
+        bt = (b - webp._color_delta(g2b, g) - webp._color_delta(r2b, r)) % 256
+        fwd.append((255 << 24) | (rt << 16) | (g << 8) | bt)
+    bw = _stream_writer(8, 4)
+    bw.write(1, 1)
+    bw.write(1, 2)  # cross-color transform
+    bw.write(bits - 2, 3)
+    # 2x1 transform image, both tiles the same element: red byte = r2b,
+    # green byte = g2b, blue byte = g2r
+    te = (255 << 24) | (r2b << 16) | (g2b << 8) | g2r
+    _write_literal_image(bw, [te, te], level0=False)
+    bw.write(0, 1)
+    _write_literal_image(bw, fwd)
+    assert (webp.decode_webp(_wrap_riff(bw.flush())) == img).all()
+
+
+def test_vp8l_palette_transform_handbuilt_bundled():
+    """Hand-built color-indexing stream with sub-byte bundling: a 4-color
+    palette (2-bit indices, 4 pixels per coded byte) over a 9-wide image —
+    delta-coded palette entries, packed green-channel indices, and the
+    width reduction all exercised."""
+    palette = np.array(
+        [[250, 10, 30], [0, 128, 255], [40, 40, 40], [200, 200, 0]], np.uint8
+    )
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 4, (5, 9))
+    img = palette[idx]
+    bw = _stream_writer(9, 5)
+    bw.write(1, 1)
+    bw.write(3, 2)  # color indexing
+    bw.write(3, 8)  # palette size - 1
+    # palette image (psize x 1), entries DELTA-coded per channel
+    pal_px = []
+    prev = 0
+    for p in palette:
+        cur = (255 << 24) | (int(p[0]) << 16) | (int(p[1]) << 8) | int(p[2])
+        delta = (
+            (((cur >> 24) - (prev >> 24)) % 256) << 24
+            | ((((cur >> 16) & 255) - ((prev >> 16) & 255)) % 256) << 16
+            | ((((cur >> 8) & 255) - ((prev >> 8) & 255)) % 256) << 8
+            | (((cur & 255) - (prev & 255)) % 256)
+        )
+        pal_px.append(delta)
+        prev = cur
+    _write_literal_image(bw, pal_px, level0=False)
+    bw.write(0, 1)  # no more transforms
+    # bundled main image: packed width ceil(9/4) = 3, 2-bit indices LSB-first
+    packed = []
+    for y in range(5):
+        row = list(idx[y]) + [0] * (12 - 9)
+        for x0 in range(0, 12, 4):
+            byte = sum(int(row[x0 + k]) << (2 * k) for k in range(4))
+            packed.append((255 << 24) | (byte << 8))
+    _write_literal_image(bw, packed)
+    assert (webp.decode_webp(_wrap_riff(bw.flush())) == img).all()
+
+
+def test_vp8l_meta_huffman_and_simple_codes_handbuilt():
+    """Hand-built meta-Huffman stream: an 8x4 image split into two 4x4
+    tiles whose entropy-image pixels select two different code groups —
+    each group built from SIMPLE codes (1- and 2-symbol forms), so whole
+    tiles decode with zero data bits. Exercises the entropy image, the
+    (r<<8)|g group index, and the 0-bit single-symbol path."""
+    bw = _stream_writer(8, 4)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta huffman present
+    bw.write(0, 3)  # hbits = 2 → 4x4 tiles → entropy image 2x1
+    # entropy image (non-level0): 2 pixels, green = group id 0 / 1
+    ebw_green_two = True
+    bw.write(0, 1)  # entropy image: no cache
+    # green tree: simple, 2 symbols {0, 1}
+    bw.write(1, 1)
+    bw.write(1, 1)  # two symbols
+    bw.write(0, 1)  # first symbol in 1 bit
+    bw.write(0, 1)  # symbol0 = 0
+    bw.write(1, 8)  # symbol1 = 1
+    # red, blue, alpha, dist: simple single-symbol 0
+    for _ in range(4):
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        bw.write(0, 1)  # 1-bit first symbol
+        bw.write(0, 1)  # symbol 0
+    # entropy pixels: green=0 then green=1 (1 bit each, canonical 0/1)
+    bw.write(0, 1)
+    bw.write(1, 1)
+    # two groups, all five codes single-symbol → pixels cost 0 bits
+    colors = [(10, 200, 30), (250, 5, 125)]
+    for r, g, b in colors:
+        for sym in (g, r, b, 255, 0):  # green, red, blue, alpha, dist trees
+            bw.write(1, 1)  # simple
+            bw.write(0, 1)  # one symbol
+            bw.write(1, 1)  # 8-bit first symbol
+            bw.write(sym, 8)
+    # 32 pixels follow — zero bits each
+    out = webp.decode_webp(_wrap_riff(bw.flush()))
+    assert (out[:, :4] == colors[0]).all()
+    assert (out[:, 4:] == colors[1]).all()
+    assert ebw_green_two
+
+
+def test_webp_rejects_and_dispatch(spark):
+    """Loud rejects (bad magic, truncation, animation) + the pipeline:
+    image/webp rows hash through the dispatching decoder and collapse with
+    the same picture as BMP in image_dedup."""
+    with pytest.raises(NotImplementedError, match="not a WebP"):
+        webp.decode_webp(b"RIFFxxxxWAVE")
+    with pytest.raises(NotImplementedError, match="VP8L signature"):
+        webp.decode_webp(_wrap_riff(b"\x00\x00\x00"))
+    anim = b"RIFF" + struct.pack("<I", 16) + b"WEBPANIM" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="animated"):
+        webp.decode_webp(anim)
+    with pytest.raises(NotImplementedError, match="truncated"):
+        webp.decode_webp(
+            _wrap_riff(bytes([0x2F, 0xFF, 0xFF, 0xFF]))
+        )
+    img = np.zeros((48, 64, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :]
+    img[10:30, 20:50, 1] = 200
+    assert mm.phash64(mm.decode_image(webp.encode_webp_lossless(img))) == mm.phash64(
+        mm.decode_image(mm.encode_bmp(img))
+    )
+    rows = [
+        (1, bytearray(mm.encode_bmp(img)), "image/bmp", 0),
+        (2, bytearray(webp.encode_webp_lossless(img)), "image/webp", 0),
+    ]
+    frames = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    )
+    out = {r["doc_id"]: r for r in mm.image_dedup(frames).collect()}
+    assert out[1]["component"] == out[2]["component"]
+    assert out[1]["is_canonical"] and out[1]["cluster_size"] == 2
