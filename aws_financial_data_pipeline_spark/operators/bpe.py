@@ -920,3 +920,225 @@ def unigram_decode(
     return src.select(
         F.col(id_col), _mapped_tokens_to_text(toks).alias(out_col)
     )
+
+
+# ------------------------------------------------------------- WordPiece
+
+WP_UNK = "[UNK]"
+
+
+def learn_wordpiece_merges(
+    word_freqs: "list[tuple[str, int]]",
+    vocab_size: int,
+) -> "tuple[list[str], list[str]]":
+    """Driver-side WordPiece vocabulary induction (Schuster & Nakajima
+    2012; the BERT tokenizer — public algorithm): words split into a bare
+    first character plus ``##``-prefixed continuations, then repeatedly
+    merge the adjacent pair maximizing the LIKELIHOOD score
+    ``count(ab) / (count(a)·count(b))`` — BPE's criterion is the raw pair
+    count; WordPiece's normalization prefers joining symbols that rarely
+    occur apart, even when an absolutely-more-frequent pair exists (pinned
+    in tests). Same O(total symbols) wholesale-rebuild bookkeeping as
+    :func:`learn_merges`; score comparison is EXACT (cross-multiplied
+    integers, no float ties), ties → higher pair count, then the
+    lexicographically smaller pair.
+
+    Returns ``(base, merged)``: the base alphabet (bare + ``##`` forms,
+    sorted) and the learned pieces in merge order."""
+    symbols: list[list[str]] = []
+    freqs: list[int] = []
+    for w, f in word_freqs:
+        if not w:
+            continue
+        symbols.append([w[0]] + ["##" + ch for ch in w[1:]])
+        freqs.append(f)
+    sym_counts: Counter = Counter()
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(symbols):
+        f = freqs[wi]
+        for s in syms:
+            sym_counts[s] += f
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            pair_words[p].add(wi)
+    base = sorted({s for syms in symbols for s in syms})
+    budget = vocab_size - 1 - len(base)  # [UNK] + base alphabet first
+
+    def joined(a: str, b: str) -> str:
+        return a + (b[2:] if b.startswith("##") else b)
+
+    merged: list[str] = []
+    while budget > 0:
+        best = None  # (c_ab, c_a*c_b, pair) with exact fraction compare
+        for pair, c_ab in pair_counts.items():
+            if c_ab <= 0:
+                continue
+            denom = sym_counts[pair[0]] * sym_counts[pair[1]]
+            if best is None:
+                best = (c_ab, denom, pair)
+                continue
+            b_ab, b_den, b_pair = best
+            lhs = c_ab * b_den
+            rhs = b_ab * denom
+            if lhs > rhs or (
+                lhs == rhs and (c_ab > b_ab or (c_ab == b_ab and pair < b_pair))
+            ):
+                best = (c_ab, denom, pair)
+        if best is None:
+            break
+        a, b = best[2]
+        new_sym = joined(a, b)
+        merged.append(new_sym)
+        budget -= 1
+        for wi in list(pair_words[(a, b)]):
+            syms = symbols[wi]
+            f = freqs[wi]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= f
+            for s in syms:
+                sym_counts[s] -= f
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symbols[wi] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] += f
+                pair_words[p].add(wi)
+            for s in out:
+                sym_counts[s] += f
+        pair_counts[(a, b)] = 0
+        pair_words.pop((a, b), None)
+    return base, merged
+
+
+def train_wordpiece(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> list[str]:
+    """Learn a WordPiece vocabulary: the SAME distributed word-count pass
+    as BPE (one explode + map-side-combined groupBy, bounded table), then
+    :func:`learn_wordpiece_merges` driver-side. Returns the vocab in id
+    order — ``[UNK]`` at 0, the base alphabet (sorted), then merged pieces
+    in merge order — the list :func:`wordpiece_encode` consumes."""
+    table = [
+        (r["word"], r["freq"])
+        for r in word_frequencies(docs, text_col, max_words).collect()
+    ]
+    table.sort(key=lambda t: (-t[1], t[0]))
+    base, merged = learn_wordpiece_merges(table, vocab_size)
+    return [WP_UNK] + base + merged
+
+
+def wordpiece_pieces(word: str, vocab: "set[str]", max_chars: int = 200) -> list[str]:
+    """BERT's WordpieceTokenizer application: greedy LONGEST-match-first
+    left to right, continuations carry ``##``; a word with any unmatchable
+    remainder becomes one ``[UNK]`` (whole-word, the BERT rule — partial
+    matches are discarded), as does any word over ``max_chars``."""
+    if len(word) > max_chars:
+        return [WP_UNK]
+    pieces: list[str] = []
+    start = 0
+    n = len(word)
+    while start < n:
+        end = n
+        cur = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [WP_UNK]
+        pieces.append(cur)
+        start = end
+    return pieces
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_ids: bool = True,
+) -> DataFrame:
+    """Distributed WordPiece encode → the shared tokenizer column contract
+    (doc_id, bpe_tokens, n_bpe_tokens[, bpe_ids]) so tokenizer_stats,
+    packing and budget stages serve all four tokenizer families unchanged.
+    Arrow mapInPandas, vocab in the task closure, per-worker word cache
+    (Zipf), map-only."""
+    vset = set(vocab)
+    tok2id = {t: i for i, t in enumerate(vocab)}
+    pattern = BPE_REGEX
+
+    def run(batches):
+        import pandas as pd
+
+        rx = re.compile(pattern)
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            toks: list[str] = []
+            for w in rx.findall((text or "").lower()):
+                got = cache.get(w)
+                if got is None:
+                    got = wordpiece_pieces(w, vset)
+                    cache[w] = got
+                toks.extend(got)
+            return toks
+
+        for pdf in batches:
+            toks = pdf[text_col].map(enc)
+            cols = {
+                "doc_id": pdf[id_col],
+                "bpe_tokens": toks,
+                "n_bpe_tokens": toks.map(len),
+            }
+            if with_ids:
+                cols["bpe_ids"] = toks.map(lambda ts: [tok2id[t] for t in ts])
+            yield pd.DataFrame(cols)
+
+    schema = "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
+    if with_ids:
+        schema += ", bpe_ids array<int>"
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def wordpiece_decode(
+    encoded: DataFrame,
+    vocab: list[str] | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "text",
+) -> DataFrame:
+    """Pure-Catalyst WordPiece decode (zero shuffle): space-join the
+    pieces, then fuse ``##`` continuations onto their word. Same
+    normalization-lossy contract as Sennrich :func:`bpe_decode` —
+    decode(encode(x)) equals the pre-tokenizer's lowercased
+    space-normalized form when nothing hit ``[UNK]``. With ``vocab`` the
+    ids decode via a one-row broadcast vocab frame."""
+    if vocab is not None:
+        spark = encoded.sparkSession
+        vdf = spark.createDataFrame([(vocab,)], "_wpvocab array<string>")
+        toks = F.transform(
+            F.col("bpe_ids"),
+            lambda i: F.element_at(F.col("_wpvocab"), i + F.lit(1)),
+        )
+        src = encoded.join(F.broadcast(vdf))
+    else:
+        toks = F.col("bpe_tokens")
+        src = encoded
+    text = F.replace(
+        F.array_join(toks, " "), F.lit(" ##"), F.lit("")
+    )
+    return src.select(F.col(id_col), text.alias(out_col))

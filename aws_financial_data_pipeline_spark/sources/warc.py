@@ -262,7 +262,14 @@ def warc_ingest_stream(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-        return spark.read.parquet(docs_out).drop("batch")
+        try:
+            return spark.read.parquet(docs_out).drop("batch")
+        except Exception as e:  # empty landing dir: no batch ever wrote
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            return spark.createDataFrame(
+                [], "doc_id long, url string, text string"
+            )
     return writer.start()
 
 

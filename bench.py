@@ -380,6 +380,28 @@ def _bench_bytelevel_bpe(spark, sf_dir: str) -> float:
     return _best2(run)
 
 
+def _bench_wordpiece_encode(spark, sf_dir: str) -> float:
+    """WordPiece greedy longest-match tokenization of the documents table
+    — the fourth tokenizer family (BERT's) next to BPE/byte-BPE/unigram.
+    The vocabulary trains untimed (per-corpus model: one distributed word
+    count + the driver likelihood-merge loop); the timed pass is the Arrow
+    encode."""
+    from aws_financial_data_pipeline_spark.operators import bpe
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    vocab = bpe.train_wordpiece(docs, vocab_size=512, max_words=5000)
+
+    def run():
+        t0 = time.perf_counter()
+        bpe.wordpiece_encode(docs, vocab).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
+
+
 def _bench_unigram_encode(spark, sf_dir: str) -> float:
     """Unigram-LM (SentencePiece-style) Viterbi tokenization of the
     documents table — the other production tokenizer family next to the
@@ -763,6 +785,7 @@ def main() -> None:
         ("bpe_encode", _bench_bpe_encode, {}),
         ("bpe_bytelevel_roundtrip", _bench_bytelevel_bpe, {}),
         ("unigram_encode", _bench_unigram_encode, {}),
+        ("wordpiece_encode", _bench_wordpiece_encode, {}),
         ("corpus_divergence", _bench_corpus_divergence, {}),
         ("event_funnel", _bench_event_funnel, {}),
         ("crawl_front_door", _bench_crawl_front_door, {}),

@@ -730,3 +730,76 @@ def test_unigram_loo_pruning_keeps_high_utility_piece(spark):
 
     with pytest.raises(ValueError, match="prune_by"):
         bpe.train_unigram(docs, vocab_size=258, prune_by="nope")
+
+
+def test_wordpiece_likelihood_score_beats_raw_count():
+    """WordPiece's merge criterion is count(ab)/(count(a)·count(b)) — the
+    pair that ONLY occurs together ('j'+'##w', count 10, score 0.1) must
+    merge before the absolutely-more-frequent pairs whose symbols are
+    common apart ('x'+'##a' at count 100 but score ~0.008). BPE's raw-count
+    rule would pick the opposite; pinned with budget for exactly ONE
+    merge."""
+    from aws_financial_data_pipeline_spark.operators.bpe import (
+        learn_merges,
+        learn_wordpiece_merges,
+    )
+
+    table = [("xa", 100), ("qy", 100), ("xy", 30), ("jw", 10)]
+    base, merged = learn_wordpiece_merges(table, vocab_size=1 + 6 + 1)
+    assert sorted(base) == ["##a", "##w", "##y", "j", "q", "x"]
+    assert merged == ["jw"]
+    # BPE on the same table merges a count-100 pair first — the contrast
+    bpe_first = learn_merges(table, 1, end=None)[0]
+    assert bpe_first in (("x", "a"), ("q", "y"))
+
+
+def test_wordpiece_greedy_longest_match_and_unk():
+    """BERT's application rule: greedy longest-match-first with ##
+    continuations; any unmatchable remainder turns the WHOLE word into one
+    [UNK]; oversized words short-circuit to [UNK]."""
+    from aws_financial_data_pipeline_spark.operators.bpe import (
+        WP_UNK,
+        wordpiece_pieces,
+    )
+
+    vocab = {"un", "##aff", "##able", "##a", "a"}
+    assert wordpiece_pieces("unaffable", vocab) == ["un", "##aff", "##able"]
+    # longest match wins over shorter prefixes: '##aff' not '##a' twice
+    assert wordpiece_pieces("una", vocab) == ["un", "##a"]
+    assert wordpiece_pieces("unafz", vocab) == [WP_UNK]  # whole-word UNK
+    assert wordpiece_pieces("x" * 300, vocab | {"x", "##x"}) == [WP_UNK]
+
+
+def test_wordpiece_end_to_end_train_encode_decode(spark):
+    """Train → encode → decode on a corpus: ids are total over the trained
+    vocab, decode equals the pre-tokenizer's lowercased space-normalized
+    form when nothing hit [UNK], the column contract matches the other
+    three tokenizer families (tokenizer_stats serves it unchanged), and
+    training is deterministic under repartition."""
+    from aws_financial_data_pipeline_spark.operators import bpe
+
+    text = "the method chapter presents the analysis and the evidence " * 5
+    docs = spark.createDataFrame(
+        [(1, text), (2, "The Method presents EVIDENCE again")],
+        "doc_id long, text string",
+    )
+    vocab = bpe.train_wordpiece(docs, vocab_size=80)
+    assert vocab[0] == "[UNK]" and len(vocab) <= 80
+    assert vocab == bpe.train_wordpiece(docs.repartition(7), vocab_size=80)
+    enc = bpe.wordpiece_encode(docs, vocab)
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    assert rows[1]["n_bpe_tokens"] == len(rows[1]["bpe_tokens"])
+    assert all(i < len(vocab) for i in rows[1]["bpe_ids"])
+    # decode contract (no [UNK] on in-distribution text)
+    assert "[UNK]" not in rows[2]["bpe_tokens"]
+    dec = {r["doc_id"]: r["text"] for r in bpe.wordpiece_decode(enc).collect()}
+    assert dec[2] == "the method presents evidence again"
+    # ids round-trip through the broadcast-vocab decode path too
+    dec_ids = {
+        r["doc_id"]: r["text"]
+        for r in bpe.wordpiece_decode(enc.drop("bpe_tokens"), vocab=vocab).collect()
+    }
+    assert dec_ids == dec
+    # the shared column contract serves tokenizer_stats unchanged
+    stats = bpe.tokenizer_stats(docs, enc).collect()
+    assert len(stats) == 1 and stats[0]["n_docs"] == 2

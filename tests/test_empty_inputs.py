@@ -409,3 +409,75 @@ def test_round7_operators_on_empty(spark, tmp_path):
         ranges={"doc_id": (0, 10)},
     ).collect()
     assert len(cons) == 3 and all(r["passed"] for r in cons)
+
+
+def test_round8_operators_on_empty(spark, tmp_path):
+    """Round-8 surface on empty/degenerate inputs: weighted_sample with
+    prefilter on empty/0-n frames, pagerank tol on an empty edge list,
+    domain-rank signal/datasheet/funnel gate with empty docs or empty rank
+    tables, chunked-WARC with an empty chunked body, VP8L with a 1x1
+    image, and the streaming WARC ingest over an empty landing dir."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import curation, quality as ql
+    from aws_financial_data_pipeline_spark.operators import sampling as sp
+    from aws_financial_data_pipeline_spark.operators import webp
+    from aws_financial_data_pipeline_spark.operators.graph import pagerank
+    from aws_financial_data_pipeline_spark.sources import warc
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, url string")
+    ranks = spark.createDataFrame([("d.example", 0.5)], "node string, rank double")
+    empty_ranks = spark.createDataFrame([], "node string, rank double")
+
+    # weighted_sample: empty frame, n=0, and prefilter on a tiny frame
+    wdf = spark.createDataFrame([], "doc_id long, w double")
+    assert sp.weighted_sample(wdf, 5, "w", prefilter_factor=2.0).count() == 0
+    tiny = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+    assert sp.weighted_sample(tiny, 0, "w", prefilter_factor=2.0).count() == 0
+    assert sp.weighted_sample(tiny, 5, "w", prefilter_factor=2.0).count() == 1
+
+    # pagerank: empty edges with the convergence probe on
+    info: dict = {}
+    assert pagerank(
+        spark.createDataFrame([], "src string, dst string"), tol=1e-6, info=info
+    ).count() == 0
+
+    # domain-rank signal over empty docs / empty rank table
+    assert ql.quality_signal_table(empty_docs, domain_ranks=ranks).count() == 0
+    one = spark.createDataFrame(
+        [(1, "the method and result of the analysis", "https://x.example/p")],
+        "doc_id long, text string, url string",
+    )
+    sig = ql.quality_signal_table(one, domain_ranks=empty_ranks).collect()
+    assert len(sig) == 1 and sig[0]["domain_rank"] is None
+    ds = {(r["section"], r["metric"]): r["value"]
+          for r in ql.corpus_datasheet(one, compression=False,
+                                       domain_ranks=empty_ranks).collect()}
+    assert ds[("provenance", "domain_rank_coverage")] == 0.0
+    assert ds[("provenance", "mean_domain_rank")] == 0.0  # coalesced, not NULL
+
+    # funnel domain gate: empty docs in → empty out, audit still rows
+    corpus, audit = curation.curation_funnel(
+        empty_docs, domain_ranks=ranks, domain_rank_threshold=0.1
+    )
+    assert corpus.count() == 0
+    stages = {r["stage"] for r in audit.collect()}
+    assert "domain_rank_gate" in stages
+
+    # chunked WARC: zero-length chunked body de-chunks to empty payload
+    empty_chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n0\r\n\r\n"
+    )
+    status, ctype, payload = warc._split_http(empty_chunked)
+    assert status == 200 and payload == b""
+
+    # VP8L: 1x1 image and empty landing dir for the stream
+    one_px = np.array([[[1, 2, 3]]], dtype=np.uint8)
+    assert (webp.decode_webp(webp.encode_webp_lossless(one_px)) == one_px).all()
+    land = tmp_path / "empty_landing"
+    land.mkdir()
+    out = warc.warc_ingest_stream(
+        spark, str(land), str(tmp_path / "docs_e"), checkpoint=str(tmp_path / "ck_e")
+    )
+    assert out.count() == 0
