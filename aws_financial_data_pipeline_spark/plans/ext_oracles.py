@@ -819,7 +819,16 @@ EXT_ORACLES: dict[str, str] = {
                   ELSE 'test' END AS split,
              bucket < (CASE WHEN lang_pred = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample,
              row_number() OVER (PARTITION BY lang_pred
-                                ORDER BY md5(doc_id::VARCHAR), doc_id) <= 50 AS in_quota
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) <= 50 AS in_quota,
+             -- Efraimidis-Spirakis weighted sample (round-8): u from the
+             -- 52-bit md5(id:seed) prefix, key = round(ln(u)/w, 10) (the
+             -- x28 rounded-rank rule), top-50 by (key desc, id)
+             row_number() OVER (
+               ORDER BY round(
+                 ln((CAST(('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 13)) AS UBIGINT)::DOUBLE + 1.0)
+                    / 4503599627370497.0) / quality_score, 10) DESC,
+               doc_id
+             ) <= 50 AS in_weighted
       FROM sel
     ),
     -- mixture materialization, fixed rate-1.5 plan: one guaranteed epoch
@@ -832,7 +841,7 @@ EXT_ORACLES: dict[str, str] = {
       FROM flags f JOIN documents d USING (doc_id)
     )
     SELECT doc_id, source, u.k AS epoch, lang_pred, quality_score, bucket,
-           split, in_sample, in_quota
+           split, in_sample, in_quota, in_weighted
     FROM exp, LATERAL UNNEST(range(_n)) AS u(k)
     """,
     # tumbling + sliding consolidated (round-1 x14+x15); decimal value sums

@@ -725,6 +725,22 @@ def x32_corpus_curation(spark, sf_dir):
         out, "doc_id", "lang_pred", {"en": 0.2}, default_rate=0.5
     )
     out = sampling.quota_sample_flag(out, "doc_id", "lang_pred", quota=50)
+    # round-8: Efraimidis–Spirakis weighted sampling gates here too —
+    # in_weighted flags the top-50 docs by key ln(u)/w (w = quality_score,
+    # u from md5(id:seed)); the oracle replicates the key, the 10dp round
+    # (the x28 rounded-rank rule) and the (key desc, id) cut exactly
+    picked = sampling.weighted_sample(
+        out.select("doc_id", "quality_score"), 50, "quality_score"
+    )
+    out = (
+        out.join(
+            picked.select("doc_id").withColumn("_inw", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .withColumn("in_weighted", F.coalesce(F.col("_inw"), F.lit(False)))
+        .drop("_inw")
+    )
     sources = [r["source"] for r in _docs(spark, sf_dir).select("source").distinct().collect()]
     out = mixture.apply_mixture(
         out.join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id"),
@@ -734,7 +750,7 @@ def x32_corpus_curation(spark, sf_dir):
     )
     return out.select(
         "doc_id", "source", "epoch", "lang_pred", "quality_score", "bucket",
-        "split", "in_sample", "in_quota",
+        "split", "in_sample", "in_quota", "in_weighted",
     )
 
 
