@@ -302,6 +302,34 @@ def warc_to_documents(
     )
 
 
+def wet_to_documents(
+    records: DataFrame,
+    id_from: str = "url_hash",
+) -> DataFrame:
+    """WET-archive records → (doc_id, url, text): Common Crawl's WET files
+    are WARC files whose ``conversion`` records carry PRE-EXTRACTED plain
+    text (``Content-Type: text/plain`` in the WARC header, no HTTP
+    envelope) — the entry point for pipelines that skip ``html_to_text``
+    and start at the content rules. Read them with
+    ``read_warc(path, record_types=("conversion",))``; same id and
+    decoding conventions as :func:`warc_to_documents`."""
+    if id_from != "url_hash":
+        raise ValueError(f"id_from must be 'url_hash': {id_from!r}")
+    is_text = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith(
+        "text/plain"
+    )
+    return (
+        records.filter((F.col("warc_type") == "conversion") & is_text)
+        .select(
+            F.xxhash64(
+                F.concat_ws(":", F.col("url"), F.col("record_id"))
+            ).alias("doc_id"),
+            "url",
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        )
+    )
+
+
 def encode_warc(
     records: list[dict],
     gzip_members: bool = True,
@@ -309,10 +337,14 @@ def encode_warc(
     """Round-trip WARC writer for fixtures/sinks (the encode_png/encode_bmp
     convention — output reads in any WARC tool, not just here). Each input
     dict: ``warc_type``, ``url``, ``record_id``, ``date``, and either
-    ``html`` (wrapped as an HTTP 200 response) or ``body`` bytes."""
+    ``html`` (wrapped as an HTTP 200 response), ``text`` (a WET-style
+    plain-text conversion body with ``Content-Type: text/plain``), or raw
+    ``body`` bytes (optionally with ``content_type`` for the WARC
+    header)."""
     out = []
     for i, rec in enumerate(records):
         wtype = rec.get("warc_type", "response")
+        ctype = rec.get("content_type")
         if "html" in rec:
             payload = rec["html"].encode("utf-8")
             body = (
@@ -320,6 +352,9 @@ def encode_warc(
                 + b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
                 + payload
             )
+        elif "text" in rec:
+            body = rec["text"].encode("utf-8")
+            ctype = ctype or "text/plain"
         else:
             body = rec.get("body", b"")
         headers = (
@@ -328,6 +363,7 @@ def encode_warc(
             f"WARC-Record-ID: {rec.get('record_id', f'<urn:uuid:rec-{i}>')}\r\n"
             f"WARC-Date: {rec.get('date', '2026-01-01T00:00:00Z')}\r\n"
             + (f"WARC-Target-URI: {rec['url']}\r\n" if rec.get("url") else "")
+            + (f"Content-Type: {ctype}\r\n" if ctype else "")
             + f"Content-Length: {len(body)}\r\n\r\n"
         ).encode("utf-8")
         member = headers + body + b"\r\n\r\n"

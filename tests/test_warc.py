@@ -421,3 +421,59 @@ def test_warc_ingest_stream_replay_equals_batch(spark, tmp_path):
         "https://site-1.example.com/p/0",
         "https://site-1.example.com/p/1",
     ]
+
+
+def test_wet_conversion_records_to_documents(spark, tmp_path):
+    """Common Crawl WET path: conversion records (pre-extracted plain text,
+    text/plain WARC Content-Type, no HTTP envelope) → wet_to_documents →
+    the same (doc_id, url, text) frame warc_to_documents produces — the
+    entry point that skips html_to_text. Non-plain conversion records and
+    response records filter out; ids follow the url:record_id convention."""
+    recs = [
+        {
+            "warc_type": "conversion",
+            "url": "https://site-a.example.com/p1",
+            "record_id": "<urn:uuid:w1>",
+            "text": "First page extracted text. Plain prose only.",
+        },
+        {
+            "warc_type": "conversion",
+            "url": "https://site-b.example.com/p2",
+            "record_id": "<urn:uuid:w2>",
+            "text": "Second page extracted text.",
+        },
+        {  # a response record in the same file must NOT surface here
+            "warc_type": "response",
+            "url": "https://site-c.example.com/p3",
+            "record_id": "<urn:uuid:w3>",
+            "html": "<html><body>markup</body></html>",
+        },
+        {  # conversion with a non-plain type filters out
+            "warc_type": "conversion",
+            "url": "https://site-d.example.com/p4",
+            "record_id": "<urn:uuid:w4>",
+            "body": b"\x00\x01",
+            "content_type": "application/octet-stream",
+        },
+    ]
+    (tmp_path / "x.wet.gz").write_bytes(warc.encode_warc(recs))
+    rows = warc.read_warc(
+        spark, str(tmp_path / "x.wet.gz"), record_types=("conversion",)
+    )
+    docs = {r["url"]: r["text"] for r in warc.wet_to_documents(rows).collect()}
+    assert docs == {
+        "https://site-a.example.com/p1": "First page extracted text. Plain prose only.",
+        "https://site-b.example.com/p2": "Second page extracted text.",
+    }
+    # ids are the url:record_id hash (stable under re-ingest)
+    ids = {r["url"]: r["doc_id"] for r in warc.wet_to_documents(rows).collect()}
+    again = {r["url"]: r["doc_id"] for r in warc.wet_to_documents(
+        warc.read_warc(spark, str(tmp_path / "x.wet.gz"), record_types=("conversion",))
+    ).collect()}
+    assert ids == again and len(set(ids.values())) == 2
+    # mixed-type read: both record families surface under their own adapter
+    both = warc.read_warc(
+        spark, str(tmp_path / "x.wet.gz"), record_types=("conversion", "response")
+    )
+    assert warc.warc_to_documents(both).count() == 1
+    assert warc.wet_to_documents(both).count() == 2
