@@ -56,6 +56,22 @@ class _LSBBitReader:
         self.nbits -= n
         return v
 
+    def peek(self, n: int) -> int:
+        """Next n stream bits WITHOUT consuming, zero-padded past the end
+        of buffer (``skip`` still raises if a consume would overrun — the
+        padding can never silently satisfy a truncated code)."""
+        while self.nbits < n and self.pos < len(self.buf):
+            self.acc |= self.buf[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.acc & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if n > self.nbits:
+            raise NotImplementedError("truncated VP8L bitstream")
+        self.acc >>= n
+        self.nbits -= n
+
 
 class _LSBBitWriterW:
     """LSB-first bit writer (fixture-encoder twin of the reader)."""
@@ -118,10 +134,15 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _Huffman:
-    """Bit-at-a-time canonical Huffman decoder. A single-symbol code
-    (the VP8L simple-code degenerate case) consumes ZERO bits per read."""
+    """Windowed-LUT canonical Huffman decoder (the JPEG decoder's trick):
+    peek ``max_len`` stream bits, one table lookup → (symbol, length),
+    consume length. Codes transmit MSB-first into the LSB-first stream, so
+    a length-L code occupies the window's LOW L bits bit-reversed; every
+    window value maps (the code is complete), and ``skip`` still raises on
+    true truncation. A single-symbol code (the VP8L simple-code degenerate
+    case) consumes ZERO bits per read."""
 
-    __slots__ = ("single", "table", "max_len")
+    __slots__ = ("single", "lut", "max_len")
 
     def __init__(self, lengths: list[int]):
         nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
@@ -129,7 +150,7 @@ class _Huffman:
             raise NotImplementedError("VP8L huffman code with no symbols")
         if len(nz) == 1:
             self.single = nz[0][0]
-            self.table = None
+            self.lut = None
             self.max_len = 0
             return
         kraft = sum(1 / (1 << l) for _, l in nz)
@@ -138,28 +159,32 @@ class _Huffman:
                 f"invalid (incomplete/oversubscribed) VP8L huffman code: kraft={kraft}"
             )
         self.single = None
-        codes = _canonical_codes(lengths)
-        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
         self.max_len = max(l for _, l in nz)
+        lut: list = [None] * (1 << self.max_len)
+        for sym, (code, ln) in _canonical_codes(lengths).items():
+            rev = 0
+            c = code
+            for _ in range(ln):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            for v in range(rev, 1 << self.max_len, 1 << ln):
+                lut[v] = (sym, ln)
+        self.lut = lut
 
     @classmethod
     def single_symbol(cls, sym: int) -> "_Huffman":
         h = cls.__new__(cls)
         h.single = sym
-        h.table = None
+        h.lut = None
         h.max_len = 0
         return h
 
     def read(self, br: _LSBBitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for ln in range(1, self.max_len + 1):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise NotImplementedError("corrupt VP8L huffman stream")
+        sym, ln = self.lut[br.peek(self.max_len)]
+        br.skip(ln)
+        return sym
 
 
 def _read_huffman_code(br: _LSBBitReader, alphabet_size: int) -> _Huffman:

@@ -218,6 +218,25 @@ BINARYFILE_SCHEMA = (
 )
 
 
+def process_warc_batch(
+    batch: DataFrame,
+    batch_id: int,
+    docs_out: str,
+    record_types: tuple[str, ...] = ("response",),
+    transform=None,
+) -> None:
+    """One micro-batch of the streaming crawl ingest: parse → adapt →
+    ``batch=<id>``-keyed OVERWRITE parquet. IDEMPOTENT per ``batch_id``
+    (the streaming/dedup.py exactly-once file-sink recipe): a crashed
+    batch's replay replaces its own partial directory instead of
+    double-appending. Module-level (not a closure) so fault-injection
+    tests can drive single batches directly."""
+    docs = warc_to_documents(parse_warc_files(batch, record_types))
+    if transform is not None:
+        docs = transform(docs)
+    docs.write.mode("overwrite").parquet(f"{docs_out}/batch={batch_id}")
+
+
 def warc_ingest_stream(
     spark: SparkSession,
     src_dir: str,
@@ -246,10 +265,7 @@ def warc_ingest_stream(
     ``available_now``; the started query otherwise."""
 
     def process(batch: DataFrame, bid: int) -> None:
-        docs = warc_to_documents(parse_warc_files(batch, record_types))
-        if transform is not None:
-            docs = transform(docs)
-        docs.write.mode("overwrite").parquet(f"{docs_out}/batch={bid}")
+        process_warc_batch(batch, bid, docs_out, record_types, transform)
 
     stream = spark.readStream.format("binaryFile").schema(BINARYFILE_SCHEMA).option(
         "maxFilesPerTrigger", max_files_per_trigger

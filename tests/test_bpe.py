@@ -803,3 +803,13 @@ def test_wordpiece_end_to_end_train_encode_decode(spark):
     # the shared column contract serves tokenizer_stats unchanged
     stats = bpe.tokenizer_stats(docs, enc).collect()
     assert len(stats) == 1 and stats[0]["n_docs"] == 2
+
+
+def test_wordpiece_encode_plan_is_map_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = ["[UNK]", "t", "##h", "##e", "th", "the"]
+    plan = (
+        bpe.wordpiece_encode(docs, vocab)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # one Arrow stage, no shuffle

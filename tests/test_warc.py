@@ -477,3 +477,36 @@ def test_wet_conversion_records_to_documents(spark, tmp_path):
     )
     assert warc.warc_to_documents(both).count() == 1
     assert warc.wet_to_documents(both).count() == 2
+
+
+def test_warc_ingest_stream_crash_replay_is_exactly_once(spark, tmp_path):
+    """Fault injection on the streaming ingest's idempotence claim: batch 0
+    'crashes' after writing a PARTIAL batch=0 directory (half the rows);
+    the replay of batch 0 overwrites exactly that directory, so the
+    recovered store carries each row ONCE — a plain append sink would
+    double the surviving partial rows."""
+    recs = [
+        {
+            "warc_type": "response",
+            "url": f"https://site.example.com/p/{i}",
+            "record_id": f"<urn:uuid:c{i}>",
+            "html": f"<html><body><p>Record {i} body.</p></body></html>",
+        }
+        for i in range(4)
+    ]
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "f.warc.gz").write_bytes(warc.encode_warc(recs))
+    files = spark.read.format("binaryFile").load(str(src))
+    out = str(tmp_path / "docs")
+    # the "crash": a partial batch 0 — only half the docs landed
+    partial = warc.warc_to_documents(warc.parse_warc_files(files)).limit(2)
+    partial.write.mode("overwrite").parquet(f"{out}/batch=0")
+    assert spark.read.parquet(out).count() == 2
+    # replay of batch 0 through the real per-batch entry point
+    warc.process_warc_batch(files, 0, out)
+    got = spark.read.parquet(out).drop("batch")
+    assert got.count() == 4  # not 6: the partial directory was replaced
+    assert {r["url"] for r in got.collect()} == {
+        f"https://site.example.com/p/{i}" for i in range(4)
+    }
