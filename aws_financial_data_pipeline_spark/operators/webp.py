@@ -659,6 +659,49 @@ def decode_vp8l_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
     return ((img >> 8) & 0xFF).astype(np.uint8)
 
 
+def decode_alpha_chunk(alph: bytes, w: int, h: int) -> np.ndarray:
+    """An extended-WebP ALPH chunk body → the (h, w) uint8 alpha plane:
+    1-byte header (2 bits reserved/preprocessing, 2 bits FILTER, 2 bits
+    compression), then either raw bytes (compression 0) or a VP8L-coded
+    plane (compression 1, :func:`decode_vp8l_alpha`). Filters 1-3
+    (horizontal/vertical/gradient) invert per the spec: prediction from
+    the already-reconstructed left/top neighbor (row 0 / col 0 fall back
+    to the other; (0,0) predicts 0), gradient clamps the L+T−TL estimate.
+    Level-reduction preprocessing is lossy by design — nothing to invert."""
+    if not alph:
+        raise NotImplementedError("empty ALPH chunk")
+    b0 = alph[0]
+    filt = (b0 >> 2) & 3
+    comp = b0 & 3
+    if comp == 0:
+        data = np.frombuffer(alph, np.uint8, count=w * h, offset=1)
+        plane = data.reshape(h, w).astype(np.int32)
+    elif comp == 1:
+        plane = decode_vp8l_alpha(alph[1:], w, h).astype(np.int32)
+    else:
+        raise NotImplementedError(f"ALPH compression method {comp}")
+    if filt == 0:
+        return plane.astype(np.uint8)
+    out = plane
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            elif filt == 1:  # horizontal
+                pred = int(out[y, x - 1])
+            elif filt == 2:  # vertical
+                pred = int(out[y - 1, x])
+            else:  # gradient
+                g = int(out[y, x - 1]) + int(out[y - 1, x]) - int(out[y - 1, x - 1])
+                pred = 0 if g < 0 else (255 if g > 255 else g)
+            out[y, x] = (int(out[y, x]) + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
     """RIFF/WebP container → HxWx3 uint8 RGB. Lossless (VP8L) decodes
     fully, in the simple AND the extended (VP8X) container; lossy VP8 and

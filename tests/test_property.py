@@ -173,8 +173,12 @@ def test_robust_z_is_affine_invariant(spark, vals, a, b):
         if r1["robust_z"] is None:
             assert r2["robust_z"] is None
         else:
+            # robust_z is reported on the 6dp grid: two affine-equal scores
+            # can legitimately round to ADJACENT grid points, whose float
+            # difference is marginally above 1e-6 (hypothesis found
+            # -0.927437 vs -0.927438) — the tolerance must admit one step
             assert math.isclose(
-                r1["robust_z"], r2["robust_z"], rel_tol=1e-6, abs_tol=1e-6
+                r1["robust_z"], r2["robust_z"], rel_tol=1e-6, abs_tol=2e-6
             )
         assert r1["is_anomaly"] == r2["is_anomaly"]
 

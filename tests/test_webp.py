@@ -394,3 +394,57 @@ def test_webp_rejects_and_dispatch(spark):
     out = {r["doc_id"]: r for r in mm.image_dedup(frames).collect()}
     assert out[1]["component"] == out[2]["component"]
     assert out[1]["is_canonical"] and out[1]["cluster_size"] == 2
+
+
+def test_alpha_chunk_filters_and_raw():
+    """ALPH chunk decoding beyond the real-file case: raw (compression 0)
+    planes and the three prediction filters (horizontal/vertical/gradient)
+    invert exactly — forward filtering applied by the test with libwebp's
+    edge rules (row 0 left-chains; column 0 predicts from the row above's
+    FIRST pixel; gradient clamps L+T−TL)."""
+    rng = np.random.default_rng(9)
+    h, w = 7, 11
+    plane = rng.integers(0, 256, (h, w)).astype(np.int32)
+
+    def fwd(filt):
+        res = np.zeros_like(plane)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = int(plane[0, x - 1])
+                elif x == 0:
+                    pred = int(plane[y - 1, 0])
+                elif filt == 1:
+                    pred = int(plane[y, x - 1])
+                elif filt == 2:
+                    pred = int(plane[y - 1, x])
+                else:
+                    g = (int(plane[y, x - 1]) + int(plane[y - 1, x])
+                         - int(plane[y - 1, x - 1]))
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+                res[y, x] = (int(plane[y, x]) - pred) % 256
+        return res.astype(np.uint8)
+
+    # raw, unfiltered
+    raw = bytes([0]) + plane.astype(np.uint8).tobytes()
+    assert (webp.decode_alpha_chunk(raw, w, h) == plane).all()
+    # each filter round-trips through the inverse
+    for filt in (1, 2, 3):
+        body = bytes([filt << 2]) + fwd(filt).tobytes()
+        got = webp.decode_alpha_chunk(body, w, h)
+        assert (got == plane).all(), filt
+    # unknown compression rejects
+    with pytest.raises(NotImplementedError, match="compression"):
+        webp.decode_alpha_chunk(bytes([2]), w, h)
+    # and the real libwebp ALPH plane decodes through this front door too
+    d = open(os.path.join(DATA, "python_logo.webp"), "rb").read()
+    pos, chunks = 12, {}
+    while pos + 8 <= len(d):
+        tag = d[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", d, pos + 4)
+        chunks[tag] = d[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    alpha = webp.decode_alpha_chunk(chunks[b"ALPH"], 16, 16)
+    assert int(alpha.sum()) == 38971
