@@ -636,9 +636,9 @@ def _argb_to_rgb(img: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_vp8l(payload: bytes) -> np.ndarray:
-    """A raw VP8L chunk body (the bytes after the 'VP8L' RIFF header) →
-    HxWx3 uint8 RGB (alpha dropped, the decode_image contract)."""
+def _decode_vp8l_argb(payload: bytes) -> np.ndarray:
+    """A raw VP8L chunk body → (h, w) uint32 ARGB (alpha kept — the
+    animation compositor needs it)."""
     br = _LSBBitReader(payload)
     if br.read(8) != 0x2F:
         raise NotImplementedError("bad VP8L signature byte")
@@ -647,7 +647,13 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha-used hint
     if br.read(3) != 0:
         raise NotImplementedError("unknown VP8L version")
-    return _argb_to_rgb(_decode_image_stream(br, w, h, True))
+    return _decode_image_stream(br, w, h, True)
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """A raw VP8L chunk body (the bytes after the 'VP8L' RIFF header) →
+    HxWx3 uint8 RGB (alpha dropped, the decode_image contract)."""
+    return _argb_to_rgb(_decode_vp8l_argb(payload))
 
 
 def decode_vp8l_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
@@ -702,32 +708,110 @@ def decode_alpha_chunk(alph: bytes, w: int, h: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_webp(payload: bytes) -> np.ndarray:
-    """RIFF/WebP container → HxWx3 uint8 RGB. Lossless (VP8L) decodes
-    fully, in the simple AND the extended (VP8X) container; lossy VP8 and
-    animation raise loudly (module docstring: its normative probability
-    tables cannot be verified in-container — absent codecs are rejected,
-    never faked)."""
+def _riff_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
+    """(tag, body) list in container order — a LIST, not a dict: ANMF
+    repeats once per animation frame."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise NotImplementedError("not a WebP payload")
+    out = []
     pos = 12
-    chunks: dict[bytes, bytes] = {}
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (sz,) = struct.unpack_from("<I", payload, pos + 4)
-        chunks.setdefault(tag, payload[pos + 8 : pos + 8 + sz])
+        out.append((tag, payload[pos + 8 : pos + 8 + sz]))
         pos += 8 + sz + (sz & 1)
-    if b"VP8L" in chunks:
-        return decode_vp8l(chunks[b"VP8L"])
-    if b"ANIM" in chunks or b"ANMF" in chunks:
-        raise NotImplementedError("animated WebP unsupported")
-    if b"VP8 " in chunks:
+    return out
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF/WebP container → HxWx3 uint8 RGB. Lossless (VP8L) decodes
+    fully — simple container, extended (VP8X), and ANIMATED with lossless
+    frames (first composited frame, the GIF convention;
+    :func:`sample_webp_frames` for the rest). Lossy VP8 raises loudly
+    (module docstring: its normative probability tables cannot be
+    verified in-container — absent codecs are rejected, never faked)."""
+    chunks = _riff_chunks(payload)
+    tags = {t for t, _ in chunks}
+    if b"ANMF" in tags:
+        frames = sample_webp_frames(payload, every_n=1)
+        if not frames:
+            raise NotImplementedError("animated WebP with no frames")
+        return frames[0]
+    first = {t: b for t, b in reversed(chunks)}
+    if b"VP8L" in first:
+        return decode_vp8l(first[b"VP8L"])
+    if b"VP8 " in first:
         raise NotImplementedError(
             "lossy WebP (VP8) unsupported in-container: its normative "
             "probability tables cannot be verified here; lossless (VP8L) "
             "decodes fully"
         )
     raise NotImplementedError("WebP container with no image chunk")
+
+
+def sample_webp_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
+    """Animated-WebP frame sampling (the :func:`multimodal.sample_gif_frames`
+    contract): every ``every_n``-th composited canvas as HxWx3 uint8 RGB.
+    Canvas from VP8X; ANIM carries the background color (BGRA bytes);
+    each ANMF frame is (x·2, y·2, w-1, h-1, duration, flags) + a VP8L
+    payload — alpha-blend (flag bit 0x02 clear) or overwrite onto the
+    canvas, then optional dispose-to-background (bit 0x01) of the frame
+    rect. Lossy (VP8) frames raise loudly."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1: {every_n}")
+    chunks = _riff_chunks(payload)
+    vp8x = next((b for t, b in chunks if t == b"VP8X"), None)
+    if vp8x is None:
+        raise NotImplementedError("animated WebP without VP8X header")
+    w = 1 + (vp8x[4] | vp8x[5] << 8 | vp8x[6] << 16)
+    h = 1 + (vp8x[7] | vp8x[8] << 8 | vp8x[9] << 16)
+    anim = next((b for t, b in chunks if t == b"ANIM"), b"\x00" * 6)
+    bg_b, bg_g, bg_r, bg_a = anim[0], anim[1], anim[2], anim[3]
+    del bg_a  # the RGB contract composites over an OPAQUE background
+    bg = np.array([bg_r, bg_g, bg_b], dtype=np.int32)
+
+    # opaque RGB int canvas: with dst alpha pinned 255, non-premultiplied
+    # alpha-over reduces to the exact integer (a·src + (255−a)·dst)/255 —
+    # what a viewer shows over the declared ANIM background
+    canvas = np.empty((h, w, 3), dtype=np.int32)
+    canvas[:] = bg
+    frames_out: list[np.ndarray] = []
+    idx = 0
+    for tag, body in chunks:
+        if tag != b"ANMF":
+            continue
+        fx = 2 * (body[0] | body[1] << 8 | body[2] << 16)
+        fy = 2 * (body[3] | body[4] << 8 | body[5] << 16)
+        fw = 1 + (body[6] | body[7] << 8 | body[8] << 16)
+        fh = 1 + (body[9] | body[10] << 8 | body[11] << 16)
+        flags = body[15]
+        sub = _riff_chunks(b"RIFF" + struct.pack("<I", 4 + len(body) - 16) + b"WEBP" + body[16:])
+        vp8l = next((b for t, b in sub if t == b"VP8L"), None)
+        if vp8l is None:
+            if any(t == b"VP8 " for t, _ in sub):
+                raise NotImplementedError(
+                    "animated WebP with lossy (VP8) frames unsupported"
+                )
+            raise NotImplementedError("ANMF frame with no image chunk")
+        argb = _decode_vp8l_argb(vp8l)
+        if argb.shape != (fh, fw):
+            raise NotImplementedError("ANMF frame dims disagree with payload")
+        a = ((argb >> 24) & 0xFF).astype(np.int32)[..., None]
+        src = np.empty((fh, fw, 3), dtype=np.int32)
+        src[..., 0] = (argb >> 16) & 0xFF
+        src[..., 1] = (argb >> 8) & 0xFF
+        src[..., 2] = argb & 0xFF
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if flags & 0x02:  # do-not-blend: overwrite the rect
+            region[:] = src
+        else:  # alpha-over the opaque canvas, integer rounding
+            region[:] = (a * src + (255 - a) * region + 127) // 255
+        if idx % every_n == 0:
+            frames_out.append(canvas.astype(np.uint8).copy())
+        if flags & 0x01:  # dispose to background color
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+        idx += 1
+    return frames_out
 
 
 # ------------------------------------------------------------- encoder
@@ -790,14 +874,16 @@ def encode_webp_lossless(
     complete codes transmitted literally. ``color_cache_bits`` exercises
     the cache path (repeated colors emit cache references);
     ``lz77=True`` additionally emits a backward reference for immediate
-    row repeats (distance = width, the (0,1) neighbor-map code)."""
+    row repeats (distance = width, the (0,1) neighbor-map code). Pass an
+    (h, w, 4) array to carry an ALPHA channel (the animation compositor's
+    input; plain decode_webp drops it per the RGB contract)."""
     px = np.asarray(pixels, dtype=np.uint8)
-    h, w, _ = px.shape
+    h, w, nch = px.shape
     bw = _LSBBitWriterW()
     bw.write(0x2F, 8)
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
-    bw.write(0, 1)  # no alpha
+    bw.write(1 if nch == 4 else 0, 1)  # alpha-used hint
     bw.write(0, 3)  # version
     bw.write(0, 1)  # no transforms
     if color_cache_bits:
@@ -820,8 +906,13 @@ def encode_webp_lossless(
     dcodes = _canonical_codes(dlens)
     cache = [0] * cache_size
 
+    a_chan = (
+        px[..., 3].astype(np.uint32)
+        if nch == 4
+        else np.full((h, w), 255, dtype=np.uint32)
+    )
     argb = (
-        (np.uint32(0xFF) << 24)
+        (a_chan << 24)
         | (px[..., 0].astype(np.uint32) << 16)
         | (px[..., 1].astype(np.uint32) << 8)
         | px[..., 2].astype(np.uint32)
@@ -868,3 +959,61 @@ def encode_webp_lossless(
     if len(body) & 1:
         riff += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WEBP" + riff
+
+
+def encode_webp_animation(
+    frames: "list[dict]",
+    canvas: "tuple[int, int]",
+    bg: "tuple[int, int, int]" = (255, 255, 255),
+    loop: int = 0,
+) -> bytes:
+    """Animated-WebP fixture writer: VP8X (animation flag, canvas dims) +
+    ANIM (background BGRA, loop count) + one ANMF per frame dict —
+    ``img`` (h, w, 3 or 4 — alpha rides a 4th channel), even ``x``/``y``
+    offsets (the wire stores them ÷2), ``blend`` (default True →
+    alpha-over; False sets the do-not-blend flag), ``dispose`` (default
+    False; True restores the rect to background after display),
+    ``duration`` ms. Frames are lossless VP8L payloads, so
+    decode(sample_webp_frames) is exact."""
+    cw, ch = canvas
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    out = bytearray()
+    flags = 0x02  # animation
+    if any(np.asarray(f["img"]).shape[2] == 4 for f in frames):
+        flags |= 0x10  # alpha
+    out += chunk(
+        b"VP8X",
+        bytes([flags, 0, 0, 0])
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little"),
+    )
+    out += chunk(
+        b"ANIM",
+        bytes([bg[2], bg[1], bg[0], 255]) + struct.pack("<H", loop),
+    )
+    for f in frames:
+        img = np.asarray(f["img"], dtype=np.uint8)
+        fh, fw = img.shape[:2]
+        x, y = f.get("x", 0), f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError(f"ANMF offsets must be even: ({x}, {y})")
+        vp8l_body = next(
+            b for t, b in _riff_chunks(encode_webp_lossless(img)) if t == b"VP8L"
+        )
+        fflags = (0 if f.get("blend", True) else 0x02) | (
+            0x01 if f.get("dispose", False) else 0
+        )
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(f.get("duration", 40)).to_bytes(3, "little")
+            + bytes([fflags])
+        )
+        out += chunk(b"ANMF", hdr + chunk(b"VP8L", vp8l_body))
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + bytes(out)

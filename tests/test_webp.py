@@ -371,9 +371,14 @@ def test_webp_rejects_and_dispatch(spark):
         webp.decode_webp(b"RIFFxxxxWAVE")
     with pytest.raises(NotImplementedError, match="VP8L signature"):
         webp.decode_webp(_wrap_riff(b"\x00\x00\x00"))
+    # ANIM with no ANMF frames = a container with no image
     anim = b"RIFF" + struct.pack("<I", 16) + b"WEBPANIM" + struct.pack("<I", 0)
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(NotImplementedError, match="no image chunk"):
         webp.decode_webp(anim)
+    # ANMF frames without the mandatory VP8X canvas header reject
+    anmf_only = b"RIFF" + struct.pack("<I", 16) + b"WEBPANMF" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="VP8X"):
+        webp.decode_webp(anmf_only)
     with pytest.raises(NotImplementedError, match="truncated"):
         webp.decode_webp(
             _wrap_riff(bytes([0x2F, 0xFF, 0xFF, 0xFF]))
@@ -448,3 +453,72 @@ def test_alpha_chunk_filters_and_raw():
         pos += 8 + sz + (sz & 1)
     alpha = webp.decode_alpha_chunk(chunks[b"ALPH"], 16, 16)
     assert int(alpha.sum()) == 38971
+
+
+def test_webp_animation_compositing_and_sampling():
+    """Animated WebP with lossless frames: full-canvas frames round-trip
+    exactly; a partial rect composites over the prior canvas (do-not-blend
+    overwrites, alpha-blend keeps transparent pixels and mixes 50%-alpha
+    ones with exact integer rounding); dispose-to-background restores the
+    rect; every_n sampling and the decode_image first-frame dispatch both
+    follow the GIF conventions."""
+    rng = np.random.default_rng(11)
+    f0 = rng.integers(0, 256, (8, 10, 3)).astype(np.uint8)
+    # frame 1: 4x4 rect at (2, 2) — opaque red, transparent, and 50% green
+    rect = np.zeros((4, 4, 4), dtype=np.uint8)
+    rect[..., :3] = [200, 0, 0]
+    rect[..., 3] = 255
+    rect[0, 0] = [0, 0, 0, 0]          # transparent: canvas shows through
+    rect[1, 1] = [0, 200, 0, 128]      # half-alpha green
+    payload = webp.encode_webp_animation(
+        [
+            {"img": f0},
+            {"img": rect, "x": 2, "y": 2, "blend": True},
+        ],
+        canvas=(10, 8),
+        bg=(9, 9, 9),
+    )
+    frames = webp.sample_webp_frames(payload)
+    assert len(frames) == 2
+    assert (frames[0] == f0).all()
+    want = f0.astype(np.int32).copy()
+    want[2:6, 2:6] = [200, 0, 0]
+    want[2, 2] = f0[2, 2]  # transparent pixel kept the canvas
+    a = 128
+    want[3, 3] = (a * np.array([0, 200, 0]) + (255 - a) * f0[3, 3].astype(int) + 127) // 255
+    assert (frames[1] == want).all()
+    # decode_image/decode_webp serve the FIRST composited frame
+    assert (webp.decode_webp(payload) == f0).all()
+    assert (mm.decode_image(payload) == f0).all()
+    # every_n=2 keeps frames 0, 2, ...
+    assert len(webp.sample_webp_frames(payload, every_n=2)) == 1
+
+    # dispose-to-background: after frame 0 (full canvas, dispose=True) the
+    # canvas reverts to bg, so frame 1's partial overwrite sits on bg
+    payload2 = webp.encode_webp_animation(
+        [
+            {"img": f0, "dispose": True},
+            {"img": rect[..., :3], "x": 2, "y": 2, "blend": False},
+        ],
+        canvas=(10, 8),
+        bg=(9, 9, 9),
+    )
+    frames2 = webp.sample_webp_frames(payload2)
+    want2 = np.full((8, 10, 3), 9, dtype=np.int32)
+    want2[2:6, 2:6] = rect[..., :3]
+    assert (frames2[1] == want2).all()
+    # lossy animation frames reject loudly
+    lossy_anmf = (
+        (0).to_bytes(3, "little") * 2
+        + (9).to_bytes(3, "little") + (7).to_bytes(3, "little")
+        + (40).to_bytes(3, "little") + bytes([0])
+        + b"VP8 " + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 18 + 8 + len(lossy_anmf)) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0])
+        + (9).to_bytes(3, "little") + (7).to_bytes(3, "little")
+        + b"ANMF" + struct.pack("<I", len(lossy_anmf)) + lossy_anmf
+    )
+    with pytest.raises(NotImplementedError, match="lossy"):
+        webp.sample_webp_frames(bad)
