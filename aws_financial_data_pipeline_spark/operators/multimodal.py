@@ -559,7 +559,15 @@ def image_dedup(
     pigeonhole), and id-only CC iterations. Payload bytes never shuffle."""
     from .graph import dedup_clusters
 
-    hashes = image_phash(with_payload, media_type, id_col=id_col)
+    # the hash frame fans out THREE ways (both sides of the banded
+    # self-join + the CC docs side) and its parent is the Arrow DECODE
+    # stage — without a lineage cut every consumer re-decodes the corpus
+    # (measured on the 600-image bench fixture: 0.55s hash pass, 7.3s
+    # composition before the checkpoint, 3.9s after — the rest is the
+    # band join + CC iterations themselves)
+    hashes = image_phash(with_payload, media_type, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     pairs = phash_near_duplicates(hashes, max_distance=max_distance, id_col=id_col)
     return dedup_clusters(hashes.select(id_col), pairs, id_col=id_col)
 

@@ -739,7 +739,19 @@ def decode_webp(payload: bytes) -> np.ndarray:
         return frames[0]
     first = {t: b for t, b in reversed(chunks)}
     if b"VP8L" in first:
-        return decode_vp8l(first[b"VP8L"])
+        rgb = decode_vp8l(first[b"VP8L"])
+        if b"EXIF" in first:
+            # extended containers may carry EXIF; honor Orientation like
+            # the JPEG path does — camera/exported uploads store
+            # sensor-native pixels, and ignoring the tag breaks
+            # cross-upload pHash matching (multimodal EXIF rationale)
+            from .multimodal import _apply_orientation, _exif_orientation
+
+            body = first[b"EXIF"]
+            if body[:6] != b"Exif\x00\x00":
+                body = b"Exif\x00\x00" + body
+            rgb = _apply_orientation(rgb, _exif_orientation(body))
+        return rgb
     if b"VP8 " in first:
         raise NotImplementedError(
             "lossy WebP (VP8) unsupported in-container: its normative "

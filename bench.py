@@ -704,6 +704,48 @@ def _bench_warc_ingest(spark, sf_dir: str) -> float:
         shutil.rmtree(warcdir, ignore_errors=True)
 
 
+def _bench_image_dedup(spark, sf_dir: str) -> float:
+    """Perceptual image dedup end-to-end over a MIXED-container corpus:
+    200 base images re-encoded as BMP + JPEG(q95) + lossless WebP (600
+    payload rows, synthesized and cached PRE-t0 — encoding is fixture
+    work); the timed region is the product: one Arrow decode+pHash pass
+    across three codecs, the banded hamming join, and CC canonical
+    labeling."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mmod
+    from aws_financial_data_pipeline_spark.operators import webp as wp
+
+    rows = []
+    for i in range(200):
+        rng = np.random.default_rng(i)
+        img = np.zeros((48, 64, 3), dtype=np.uint8)
+        img[:, :, 0] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :]
+        y, x = int(rng.integers(0, 24)), int(rng.integers(0, 32))
+        img[y : y + 20, x : x + 28, 1] = int(rng.integers(120, 255))
+        img[:, :, 2] = (np.cumsum(rng.integers(-2, 3, 64)) % 200)[None, :]
+        rows.append((3 * i, bytearray(mmod.encode_bmp(img)), "image/bmp", 0))
+        rows.append(
+            (3 * i + 1, bytearray(mmod.encode_jpeg(img, quality=95)), "image/jpeg", 0)
+        )
+        rows.append(
+            (3 * i + 2, bytearray(wp.encode_webp_lossless(img)), "image/webp", 0)
+        )
+    frames = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    ).repartition(32).cache()
+    frames.count()
+
+    def run():
+        t0 = time.perf_counter()
+        mmod.image_dedup(frames).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def _bench_event_funnel(spark, sf_dir: str) -> float:
     """view→click→purchase funnel over the events table (1h window): one
     groupBy + one fold, no per-step self-joins."""
@@ -788,6 +830,7 @@ def main() -> None:
         ("wordpiece_encode", _bench_wordpiece_encode, {}),
         ("corpus_divergence", _bench_corpus_divergence, {}),
         ("event_funnel", _bench_event_funnel, {}),
+        ("image_dedup_mixed", _bench_image_dedup, {}),
         ("crawl_front_door", _bench_crawl_front_door, {}),
         ("warc_ingest", _bench_warc_ingest, {}),
         ("mixture_plan_apply", _bench_mixture_plan_apply, {}),

@@ -699,3 +699,34 @@ def test_funnel_domain_rank_gate(spark):
         curation.curation_funnel(
             docs.drop("url"), domain_ranks=ranks, domain_rank_threshold=0.1
         )
+
+
+def test_pretraining_pipeline_forwards_domain_ranks(spark):
+    """The capstone composition forwards domain_ranks/domain_rank_threshold
+    through **funnel_kwargs: a low-rank domain's doc drops at the
+    domain_rank_gate stage inside pretraining_pipeline, with the ledger
+    reason intact."""
+    ranks = spark.createDataFrame(
+        [("good.example", 0.4), ("low.example", 0.01)],
+        "node string, rank double",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, GOOD1, "https://good.example/a", "web"),
+            (2, GOOD3, "https://low.example/b", "web"),
+            (3, SPAM, "https://unknown.example/c", "web"),
+        ],
+        "doc_id long, text string, url string, source string",
+    )
+    out = curation.pretraining_pipeline(
+        docs,
+        num_merges=20,
+        domain_ranks=ranks,
+        domain_rank_threshold=0.1,
+        with_ledger=True,
+    )
+    a = {r["stage"]: r["docs_kept"] for r in out["audit"].collect()}
+    assert a["domain_rank_gate"] == 2
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in out["ledger"].collect()}
+    assert led[2] == ("domain_rank_gate", "domain_rank<0.1")
+    assert 2 not in {r["doc_id"] for r in out["corpus"].collect()}

@@ -522,3 +522,43 @@ def test_webp_animation_compositing_and_sampling():
     )
     with pytest.raises(NotImplementedError, match="lossy"):
         webp.sample_webp_frames(bad)
+
+
+def test_webp_exif_orientation_honored():
+    """An extended container's EXIF chunk rotates the decoded lossless
+    pixels to display orientation — same table as the JPEG path (the
+    cross-upload pHash rationale); raw-TIFF EXIF bodies (no Exif\\0\\0
+    prefix, as the WebP spec ships them) parse too."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (6, 9, 3)).astype(np.uint8)
+    vp8l_body = next(
+        b for t, b in webp._riff_chunks(webp.encode_webp_lossless(img))
+        if t == b"VP8L"
+    )
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def container(exif_body):
+        inner = (
+            chunk(b"VP8X", bytes([0x08, 0, 0, 0])   # EXIF flag
+                  + (8).to_bytes(3, "little") + (5).to_bytes(3, "little"))
+            + chunk(b"VP8L", vp8l_body)
+            + chunk(b"EXIF", exif_body)
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+
+    tiff = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHIHH", 0x0112, 3, 1, 6, 0)
+        + struct.pack("<I", 0)
+    )
+    # raw-TIFF body (the WebP chunk convention) and Exif\0\0-prefixed both
+    got = webp.decode_webp(container(tiff))
+    assert (got == np.rot90(img, k=-1)).all()
+    got2 = webp.decode_webp(container(b"Exif\x00\x00" + tiff))
+    assert (got2 == np.rot90(img, k=-1)).all()
+    # junk EXIF is ignored, not fatal
+    assert (webp.decode_webp(container(b"JUNK")) == img).all()
