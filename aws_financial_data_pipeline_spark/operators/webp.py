@@ -808,6 +808,8 @@ def sample_webp_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
         argb = _decode_vp8l_argb(vp8l)
         if argb.shape != (fh, fw):
             raise NotImplementedError("ANMF frame dims disagree with payload")
+        if fx + fw > w or fy + fh > h:
+            raise NotImplementedError("ANMF frame rect exceeds the canvas")
         a = ((argb >> 24) & 0xFF).astype(np.int32)[..., None]
         src = np.empty((fh, fw, 3), dtype=np.int32)
         src[..., 0] = (argb >> 16) & 0xFF
