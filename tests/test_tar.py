@@ -1,0 +1,87 @@
+"""Tar-archive corpus source: plain/gzip framing, member filtering, stable
+ids, loud size guard, no-shuffle plan, and composition into the corpus
+operators."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from aws_financial_data_pipeline_spark.sources import tar as tarsrc
+
+
+def _make_tar(entries, gz=False):
+    buf = io.BytesIO()
+    mode = "w:gz" if gz else "w"
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
+        for name, body in entries:
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+        # a directory member: must be skipped (not a document)
+        d = tarfile.TarInfo("docs/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+    return buf.getvalue()
+
+
+def test_read_tar_corpus_plain_and_gz(spark, tmp_path):
+    entries = [
+        ("docs/a.txt", "First document body text.".encode()),
+        ("docs/b.txt", "Second document, different text.".encode()),
+        ("docs/skip.json", b'{"not": "selected"}'),
+        ("docs/utf8.txt", "héllo wörld é".encode()),
+    ]
+    (tmp_path / "one.tar").write_bytes(_make_tar(entries))
+    (tmp_path / "two.tar.gz").write_bytes(
+        _make_tar([("more/c.txt", b"Third doc from the gzipped archive.")], gz=True)
+    )
+    docs = tarsrc.read_tar_corpus(spark, str(tmp_path))
+    rows = {r["member"]: r for r in docs.collect()}
+    # .txt members from BOTH framings; the .json and the dir member skipped
+    assert set(rows) == {"docs/a.txt", "docs/b.txt", "docs/utf8.txt", "more/c.txt"}
+    assert rows["docs/a.txt"]["text"] == "First document body text."
+    assert rows["docs/utf8.txt"]["text"] == "héllo wörld é"
+    # ids: stable under re-read, distinct across members
+    again = {r["member"]: r["doc_id"] for r in
+             tarsrc.read_tar_corpus(spark, str(tmp_path)).collect()}
+    assert again == {m: r["doc_id"] for m, r in rows.items()}
+    assert len(set(again.values())) == 4
+    # pattern=None surfaces every regular member
+    allm = tarsrc.read_tar_corpus(spark, str(tmp_path), pattern=None)
+    assert allm.count() == 5
+    # one Arrow stage, zero shuffle (the WARC plan contract)
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # oversized member raises loudly instead of ballooning a batch
+    (tmp_path / "big" ).mkdir()
+    (tmp_path / "big" / "big.tar").write_bytes(
+        _make_tar([("huge.txt", b"x" * 2048)])
+    )
+    with pytest.raises(Exception, match="max_member_bytes"):
+        tarsrc.read_tar_corpus(
+            spark, str(tmp_path / "big"), max_member_bytes=1024
+        ).collect()
+
+
+def test_tar_corpus_feeds_text_operators(spark, tmp_path):
+    """Composition: tar members run the standard corpus path (profile +
+    exact dedup) unchanged — the source's contract is the (doc_id, text)
+    frame every operator consumes."""
+    from aws_financial_data_pipeline_spark.operators import dedup, text
+
+    body = ("The research method chapter presents the analysis. " * 3).encode()
+    entries = [("a.txt", body), ("b.txt", body), ("c.txt", b"Unique closing text here.")]
+    (tmp_path / "c.tar").write_bytes(_make_tar(entries))
+    docs = tarsrc.read_tar_corpus(spark, str(tmp_path))
+    prof = text.text_profile(docs)
+    assert prof.count() == 3
+    dups = dedup.exact_duplicates(docs)  # one row per distinct text
+    rows = {r["canonical_id"]: r["n_copies"] for r in dups.collect()}
+    by_member = {r["member"]: r["doc_id"] for r in docs.collect()}
+    shared_canon = min(by_member["a.txt"], by_member["b.txt"])
+    assert rows[shared_canon] == 2  # a.txt + b.txt collapse
+    assert rows[by_member["c.txt"]] == 1
