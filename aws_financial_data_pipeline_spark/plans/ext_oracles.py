@@ -688,19 +688,61 @@ EXT_ORACLES: dict[str, str] = {
              round(ln(pc.n_pair * tot.nn / (a.n_w * b.n_w)), 6) AS pmi
       FROM pc JOIN wc a ON a.w = pc.w1 JOIN wc b ON b.w = pc.w2, tot
       ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
-    )
+    ),
+    -- BM25 leg (round 8): Okapi with Lucene idf for the fixed query
+    -- (join, table, window) — terms SORTED, score terms added in that
+    -- order (float sums are order-dependent), constants and association
+    -- mirror the Spark expression exactly; k-cut on the 6dp-rounded score
+    bm AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'join'))   AS tf0,
+             len(list_filter(t, x -> x = 'table'))  AS tf1,
+             len(list_filter(t, x -> x = 'window')) AS tf2
+      FROM tarr
+    ),
+    bstat AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum((tf0 > 0)::BIGINT) AS df0,
+             sum((tf1 > 0)::BIGINT) AS df1,
+             sum((tf2 > 0)::BIGINT) AS df2
+      FROM bm
+    ),
+    bscore AS (
+      SELECT doc_id,
+             round(
+               ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+                 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+                 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+                 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25,
+             (tf0 > 0)::INT + (tf1 > 0)::INT + (tf2 > 0)::INT AS n_terms_hit
+      FROM bm, bstat
+    ),
+    btop AS (SELECT * FROM bscore ORDER BY bm25 DESC, doc_id ASC LIMIT 20)
     SELECT 'tfidf' AS method, doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn,
            NULL AS w1, NULL AS w2,
            CAST(NULL AS BIGINT) AS n_pair, CAST(NULL AS BIGINT) AS n_w1,
-           CAST(NULL AS BIGINT) AS n_w2, CAST(NULL AS DOUBLE) AS pmi
+           CAST(NULL AS BIGINT) AS n_w2, CAST(NULL AS DOUBLE) AS pmi,
+           CAST(NULL AS DOUBLE) AS bm25, CAST(NULL AS INT) AS n_terms_hit
     FROM ranked WHERE rn <= 5
     UNION ALL
     SELECT 'pmi' AS method, CAST(NULL AS BIGINT) AS doc_id, NULL AS term,
            CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
            CAST(NULL AS DOUBLE) AS tfidf, CAST(NULL AS INT) AS rn,
            w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
-           CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2, pmi
+           CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2, pmi,
+           CAST(NULL AS DOUBLE) AS bm25, CAST(NULL AS INT) AS n_terms_hit
     FROM coll
+    UNION ALL
+    SELECT 'bm25' AS method, doc_id, NULL AS term,
+           CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
+           CAST(NULL AS DOUBLE) AS tfidf, CAST(NULL AS INT) AS rn,
+           NULL AS w1, NULL AS w2,
+           CAST(NULL AS BIGINT) AS n_pair, CAST(NULL AS BIGINT) AS n_w1,
+           CAST(NULL AS BIGINT) AS n_w2, CAST(NULL AS DOUBLE) AS pmi,
+           bm25, n_terms_hit
+    FROM btop
     """,
     # densify + rolling frames consolidated (round-1 x33+x36): the dense
     # series columns (total, is_gap) ride through, so the gap fill itself

@@ -205,13 +205,20 @@ def x10_text_profile(spark, sf_dir):
 
 
 def x28_tfidf_topk(spark, sf_dir):
-    """Term ranking, both corpus statistics in one checked slot (method
+    """Term ranking, THREE corpus statistics in one checked slot (method
     discriminator over a superset schema, NULLs where a column doesn't
-    apply): per-document TF-IDF top-5 terms, and corpus-level top-50 bigram
-    collocations by 6dp-rounded PMI (``text.collocations`` — Church & Hanks;
-    rounded-score ranking is the x28 rule: raw-double k-cuts are
-    engine-dependent)."""
+    apply): per-document TF-IDF top-5 terms; corpus-level top-50 bigram
+    collocations by 6dp-rounded PMI (``text.collocations`` — Church &
+    Hanks); and round-8's BM25 leg — ``text.bm25_topk`` top-20 docs for a
+    fixed 3-term query (Okapi with Lucene idf; the oracle replicates the
+    per-term tf columns, (N, avgdl, df) stats, and the exact
+    left-associated score arithmetic). Rounded-score ranking throughout —
+    the x28 rule: raw-double k-cuts are engine-dependent."""
     docs = _docs(spark, sf_dir)
+    null_bm = [
+        F.lit(None).cast("double").alias("bm25"),
+        F.lit(None).cast("int").alias("n_terms_hit"),
+    ]
     tf_leg = _long(text.tfidf_top_terms(docs, k=5), "tf", "df").select(
         F.lit("tfidf").alias("method"),
         "doc_id",
@@ -226,6 +233,7 @@ def x28_tfidf_topk(spark, sf_dir):
         F.lit(None).cast("long").alias("n_w1"),
         F.lit(None).cast("long").alias("n_w2"),
         F.lit(None).cast("double").alias("pmi"),
+        *null_bm,
     )
     pmi_leg = text.collocations(docs, k=50, min_count=5).select(
         F.lit("pmi").alias("method"),
@@ -241,8 +249,26 @@ def x28_tfidf_topk(spark, sf_dir):
         F.col("n_w1").cast("long").alias("n_w1"),
         F.col("n_w2").cast("long").alias("n_w2"),
         "pmi",
+        *null_bm,
     )
-    return tf_leg.unionByName(pmi_leg)
+    bm_leg = text.bm25_topk(docs, ["table", "join", "window"], k=20).select(
+        F.lit("bm25").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.lit(None).cast("double").alias("tfidf"),
+        F.lit(None).cast("int").alias("rn"),
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        F.lit(None).cast("long").alias("n_pair"),
+        F.lit(None).cast("long").alias("n_w1"),
+        F.lit(None).cast("long").alias("n_w2"),
+        F.lit(None).cast("double").alias("pmi"),
+        "bm25",
+        F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+    )
+    return tf_leg.unionByName(pmi_leg).unionByName(bm_leg)
 
 
 # -- events -----------------------------------------------------------------
