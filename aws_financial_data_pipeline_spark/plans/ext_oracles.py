@@ -719,12 +719,57 @@ EXT_ORACLES: dict[str, str] = {
              (tf0 > 0)::INT + (tf1 > 0)::INT + (tf2 > 0)::INT AS n_terms_hit
       FROM bm, bstat
     ),
-    btop AS (SELECT * FROM bscore ORDER BY bm25 DESC, doc_id ASC LIMIT 20)
+    btop AS (SELECT * FROM bscore ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+    -- rrf leg (round 8): reciprocal-rank fusion of TWO bm25 lists
+    -- (Cormack/Clarke/Buettcher c=60); ranks from the 6dp-rounded scores,
+    -- exactly two contributions per doc so the float sum is
+    -- order-independent; k-cut on the 6dp-rounded fused score
+    bm_b AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'filter')) AS tf0,
+             len(list_filter(t, x -> x = 'group'))  AS tf1,
+             len(list_filter(t, x -> x = 'query'))  AS tf2
+      FROM tarr
+    ),
+    bstat_b AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum((tf0 > 0)::BIGINT) AS df0,
+             sum((tf1 > 0)::BIGINT) AS df1,
+             sum((tf2 > 0)::BIGINT) AS df2
+      FROM bm_b
+    ),
+    bscore_b AS (
+      SELECT doc_id,
+             round(
+               ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+                 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+                 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+                 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+      FROM bm_b, bstat_b
+    ),
+    btop_b AS (SELECT * FROM bscore_b ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+    rr AS (
+      SELECT doc_id,
+             1.0 / (60.0 + row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)) AS _rr
+      FROM btop
+      UNION ALL
+      SELECT doc_id,
+             1.0 / (60.0 + row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)) AS _rr
+      FROM btop_b
+    ),
+    rtop AS (
+      SELECT doc_id, round(sum(_rr), 6) AS rrf_score, count(*) AS n_lists
+      FROM rr GROUP BY doc_id
+      ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    )
     SELECT 'tfidf' AS method, doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn,
            NULL AS w1, NULL AS w2,
            CAST(NULL AS BIGINT) AS n_pair, CAST(NULL AS BIGINT) AS n_w1,
            CAST(NULL AS BIGINT) AS n_w2, CAST(NULL AS DOUBLE) AS pmi,
-           CAST(NULL AS DOUBLE) AS bm25, CAST(NULL AS INT) AS n_terms_hit
+           CAST(NULL AS DOUBLE) AS bm25, CAST(NULL AS INT) AS n_terms_hit,
+           CAST(NULL AS DOUBLE) AS rrf_score, CAST(NULL AS BIGINT) AS n_lists
     FROM ranked WHERE rn <= 5
     UNION ALL
     SELECT 'pmi' AS method, CAST(NULL AS BIGINT) AS doc_id, NULL AS term,
@@ -732,7 +777,8 @@ EXT_ORACLES: dict[str, str] = {
            CAST(NULL AS DOUBLE) AS tfidf, CAST(NULL AS INT) AS rn,
            w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
            CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2, pmi,
-           CAST(NULL AS DOUBLE) AS bm25, CAST(NULL AS INT) AS n_terms_hit
+           CAST(NULL AS DOUBLE) AS bm25, CAST(NULL AS INT) AS n_terms_hit,
+           CAST(NULL AS DOUBLE) AS rrf_score, CAST(NULL AS BIGINT) AS n_lists
     FROM coll
     UNION ALL
     SELECT 'bm25' AS method, doc_id, NULL AS term,
@@ -741,8 +787,19 @@ EXT_ORACLES: dict[str, str] = {
            NULL AS w1, NULL AS w2,
            CAST(NULL AS BIGINT) AS n_pair, CAST(NULL AS BIGINT) AS n_w1,
            CAST(NULL AS BIGINT) AS n_w2, CAST(NULL AS DOUBLE) AS pmi,
-           bm25, n_terms_hit
+           bm25, n_terms_hit,
+           CAST(NULL AS DOUBLE) AS rrf_score, CAST(NULL AS BIGINT) AS n_lists
     FROM btop
+    UNION ALL
+    SELECT 'rrf' AS method, doc_id, NULL AS term,
+           CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
+           CAST(NULL AS DOUBLE) AS tfidf, CAST(NULL AS INT) AS rn,
+           NULL AS w1, NULL AS w2,
+           CAST(NULL AS BIGINT) AS n_pair, CAST(NULL AS BIGINT) AS n_w1,
+           CAST(NULL AS BIGINT) AS n_w2, CAST(NULL AS DOUBLE) AS pmi,
+           CAST(NULL AS DOUBLE) AS bm25, CAST(NULL AS INT) AS n_terms_hit,
+           rrf_score, CAST(n_lists AS BIGINT) AS n_lists
+    FROM rtop
     """,
     # densify + rolling frames consolidated (round-1 x33+x36): the dense
     # series columns (total, is_gap) ride through, so the gap fill itself

@@ -213,11 +213,22 @@ def x28_tfidf_topk(spark, sf_dir):
     fixed 3-term query (Okapi with Lucene idf; the oracle replicates the
     per-term tf columns, (N, avgdl, df) stats, and the exact
     left-associated score arithmetic). Rounded-score ranking throughout —
-    the x28 rule: raw-double k-cuts are engine-dependent."""
+    the x28 rule: raw-double k-cuts are engine-dependent.
+
+    Round-8 adds the 'rrf' leg too: ``similarity.rrf_fuse`` (SIGIR'09
+    reciprocal-rank fusion) over TWO bm25 lists for different queries —
+    the hybrid-retrieval combiner oracle-gated end to end (rank-only
+    math; exactly two lists, so the float sum is commutative-safe)."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     null_bm = [
         F.lit(None).cast("double").alias("bm25"),
         F.lit(None).cast("int").alias("n_terms_hit"),
+    ]
+    null_rrf = [
+        F.lit(None).cast("double").alias("rrf_score"),
+        F.lit(None).cast("long").alias("n_lists"),
     ]
     tf_leg = _long(text.tfidf_top_terms(docs, k=5), "tf", "df").select(
         F.lit("tfidf").alias("method"),
@@ -234,6 +245,7 @@ def x28_tfidf_topk(spark, sf_dir):
         F.lit(None).cast("long").alias("n_w2"),
         F.lit(None).cast("double").alias("pmi"),
         *null_bm,
+        *null_rrf,
     )
     pmi_leg = text.collocations(docs, k=50, min_count=5).select(
         F.lit("pmi").alias("method"),
@@ -250,6 +262,7 @@ def x28_tfidf_topk(spark, sf_dir):
         F.col("n_w2").cast("long").alias("n_w2"),
         "pmi",
         *null_bm,
+        *null_rrf,
     )
     bm_leg = text.bm25_topk(docs, ["table", "join", "window"], k=20).select(
         F.lit("bm25").alias("method"),
@@ -267,8 +280,36 @@ def x28_tfidf_topk(spark, sf_dir):
         F.lit(None).cast("double").alias("pmi"),
         "bm25",
         F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+        *null_rrf,
     )
-    return tf_leg.unionByName(pmi_leg).unionByName(bm_leg)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lists = [
+        text.bm25_topk(docs, q, k=20).select(
+            "doc_id", F.row_number().over(w).alias("rank")
+        )
+        for q in (["table", "join", "window"], ["filter", "group", "query"])
+    ]
+    rrf_leg = similarity.rrf_fuse(lists, k=10).select(
+        F.lit("rrf").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.lit(None).cast("double").alias("tfidf"),
+        F.lit(None).cast("int").alias("rn"),
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        F.lit(None).cast("long").alias("n_pair"),
+        F.lit(None).cast("long").alias("n_w1"),
+        F.lit(None).cast("long").alias("n_w2"),
+        F.lit(None).cast("double").alias("pmi"),
+        *null_bm,
+        "rrf_score",
+        "n_lists",
+    )
+    return (
+        tf_leg.unionByName(pmi_leg).unionByName(bm_leg).unionByName(rrf_leg)
+    )
 
 
 # -- events -----------------------------------------------------------------
