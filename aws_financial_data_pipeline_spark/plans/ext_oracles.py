@@ -1008,11 +1008,32 @@ EXT_ORACLES: dict[str, str] = {
              round(quantile_cont(value, 0.9), 6) AS p90
       FROM k GROUP BY event_type
     )
-    SELECT event_type, n_events, sum_k,
+    , tr AS (
+      SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      '<start>') AS from_type,
+             event_type AS to_type
+      FROM events
+    ),
+    trc AS (SELECT from_type, to_type, count(*) AS n FROM tr GROUP BY 1, 2),
+    trt AS (SELECT from_type, sum(n) AS tot FROM trc GROUP BY 1)
+    SELECT 'profile' AS method, event_type, n_events, sum_k,
            (CASE WHEN kc >= 0 THEN (2 * kc + kn) // (2 * kn)
                  ELSE -((-2 * kc + kn) // (2 * kn)) END) / 100.0 AS avg_k,
-           p25, p50, p90
+           p25, p50, p90,
+           NULL AS from_type, NULL AS to_type,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS prob
     FROM a
+    UNION ALL
+    -- transition leg (round 8): first-order Markov over per-user
+    -- sequences; the lag orders by (ts, event_id) like the Spark window,
+    -- n integral, prob = 6dp round of an integer ratio
+    SELECT 'transition' AS method, NULL AS event_type,
+           CAST(NULL AS BIGINT) AS n_events, CAST(NULL AS BIGINT) AS sum_k,
+           CAST(NULL AS DOUBLE) AS avg_k, CAST(NULL AS DOUBLE) AS p25,
+           CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90,
+           trc.from_type, trc.to_type, CAST(trc.n AS BIGINT) AS n,
+           round(trc.n / trt.tot, 6) AS prob
+    FROM trc JOIN trt USING (from_type)
     """,
     "x18_multimodal_features": """
     SELECT doc_id, 'text/plain' AS media_type,

@@ -333,8 +333,38 @@ def x16_events_sessions(spark, sf_dir):
 def x17_events_profile(spark, sf_dir):
     """JSON-props extraction + exact percentiles per event_type in ONE
     aggregation (round-1 x17 + x21 consolidated — both grouped by
-    event_type, so the merge costs nothing)."""
-    return events.event_type_profile(_events(spark, sf_dir))
+    event_type, so the merge costs nothing). Round-8 adds the 'transition'
+    method leg: ``events.transition_matrix`` — the first-order Markov
+    table over per-user sequences ((ts, event_id)-ordered lag, so ts ties
+    break deterministically; counts integral, prob 6dp-rounded from an
+    integer ratio) — the superset-union pattern (x28/x42 convention)."""
+    ev = _events(spark, sf_dir)
+    null_tr = [
+        F.lit(None).cast("string").alias("from_type"),
+        F.lit(None).cast("string").alias("to_type"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("prob"),
+    ]
+    prof = events.event_type_profile(ev).select(
+        F.lit("profile").alias("method"),
+        "event_type", "n_events", "sum_k", "avg_k", "p25", "p50", "p90",
+        *null_tr,
+    )
+    trans = events.transition_matrix(ev).select(
+        F.lit("transition").alias("method"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("sum_k"),
+        F.lit(None).cast("double").alias("avg_k"),
+        F.lit(None).cast("double").alias("p25"),
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p90"),
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        "prob",
+    )
+    return prof.unionByName(trans)
 
 
 def _events_stream(spark, sf_dir):
