@@ -214,11 +214,27 @@ EXT_ORACLES: dict[str, str] = {
       UNION
       SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.node
     ),
-    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
-    SELECT d.doc_id, c.component,
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1),
+    chist AS (SELECT cluster_size, count(*) AS n_clusters FROM csize GROUP BY 1),
+    ctot AS (SELECT count(*) AS total FROM documents)
+    SELECT 'cluster' AS method, d.doc_id, c.component,
            count(*) OVER (PARTITION BY c.component) AS cluster_size,
-           d.doc_id = c.component AS is_canonical
+           d.doc_id = c.component AS is_canonical,
+           CAST(NULL AS BIGINT) AS n_clusters, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS docs_to_drop,
+           CAST(NULL AS DOUBLE) AS frac_of_corpus
     FROM documents d JOIN comp c ON c.node = d.doc_id
+    UNION ALL
+    -- histogram leg (round 8): duplication-structure audit from the SAME
+    -- transitive closure — counts integral, frac 6dp of an integer ratio
+    SELECT 'histogram' AS method, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS component, h.cluster_size,
+           CAST(NULL AS BOOLEAN) AS is_canonical,
+           h.n_clusters, h.cluster_size * h.n_clusters AS n_docs,
+           (h.cluster_size - 1) * h.n_clusters AS docs_to_drop,
+           round((h.cluster_size * h.n_clusters) / ctot.total, 6) AS frac_of_corpus
+    FROM chist h, ctot
     """,
     # LSH candidates verified with exact Jaccard over their shingle sets
     "x39_minhash_dedup": _MINHASH_SIG

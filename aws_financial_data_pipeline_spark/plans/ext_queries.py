@@ -66,10 +66,39 @@ def x27_dedup_clusters(spark, sf_dir):
     """The full dedup DECISION over the LSH candidate graph: MinHash bands →
     candidate pairs → connected components (min-label propagation with pointer
     doubling, operators/graph.py) → one canonical doc per cluster. The oracle
-    recomputes the transitive closure with a recursive CTE."""
+    recomputes the transitive closure with a recursive CTE. Round-8 adds
+    the 'histogram' leg (superset-union): ``graph.dedup_cluster_stats`` —
+    the duplication-structure audit (one row per cluster SIZE with
+    n_clusters / n_docs / docs_to_drop / 6dp frac_of_corpus), replicated
+    in SQL from the same closure."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_candidates(dedup.minhash_signatures(docs))
-    return graph.dedup_clusters(docs, pairs)
+    # both legs read the CC labeling — cut lineage so the iterative CC
+    # joins don't replay for the histogram
+    clustered = graph.dedup_clusters(docs, pairs).localCheckpoint(eager=False)
+    base = clustered.select(
+        F.lit("cluster").alias("method"),
+        "doc_id",
+        "component",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+        F.lit(None).cast("long").alias("n_clusters"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("docs_to_drop"),
+        F.lit(None).cast("double").alias("frac_of_corpus"),
+    )
+    hist = graph.dedup_cluster_stats(clustered).select(
+        F.lit("histogram").alias("method"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.lit(None).cast("boolean").alias("is_canonical"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("docs_to_drop").cast("long").alias("docs_to_drop"),
+        "frac_of_corpus",
+    )
+    return base.unionByName(hist)
 
 
 def x39_minhash_dedup(spark, sf_dir):
