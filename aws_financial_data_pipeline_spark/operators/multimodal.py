@@ -333,6 +333,27 @@ def _avi_chunks(payload: bytes, pos: int, end: int):
         pos = body + size + (size & 1)  # chunks are word-aligned
 
 
+def sample_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
+    """ONE frame-sampling entry point across every container this repo
+    decodes — the multimodal twin of :func:`decode_image`'s magic-byte
+    dispatch: animated GIF → :func:`sample_gif_frames`, RIFF/AVI →
+    :func:`sample_video_frames`, animated WebP →
+    :func:`.webp.sample_webp_frames`; still images (BMP/PNG/JPEG/still
+    WebP) return their single decoded frame, so a frame-features pipeline
+    is total over mixed media without per-type branching. Unsupported
+    codecs raise loudly through the underlying decoders."""
+    if payload[:4] == b"GIF8":
+        return sample_gif_frames(payload, every_n)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return sample_video_frames(payload, every_n)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import _riff_chunks, sample_webp_frames
+
+        if any(t == b"ANMF" for t, _ in _riff_chunks(payload)):
+            return sample_webp_frames(payload, every_n)
+    return [decode_image(payload)]
+
+
 def sample_video_frames(payload: bytes, every_n: int = 30) -> list[np.ndarray]:
     """Decode an uncompressed (BI_RGB 24-bit 'DIB ') RIFF/AVI payload and
     return every ``every_n``-th frame as an HxWx3 uint8 RGB array — a REAL

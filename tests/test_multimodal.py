@@ -1094,3 +1094,41 @@ def test_jpeg_fill_bytes_before_marker():
     # splice fill bytes before the first post-SOI marker
     padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
     assert (mm.decode_jpeg(padded) == base).all()
+
+
+def test_sample_frames_unified_dispatch():
+    """sample_frames is total over every decodable container: animated GIF
+    and animated WebP sample their composited frames, AVI samples video
+    frames, and still images (BMP/PNG/JPEG/still-WebP) come back as a
+    one-frame list — no per-type branching for a frame-features caller."""
+    from aws_financial_data_pipeline_spark.operators import webp as wp
+
+    img = np.zeros((8, 10, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 10, dtype=np.uint8)[None, :]
+    f2 = img.copy()
+    f2[2:4, 2:4] = [0, 200, 0]
+    # animated GIF: two frames
+    frames = mm.sample_frames(mm.encode_gif([img, f2]))
+    assert len(frames) == 2 and (frames[1] == f2).all()
+    # animated WebP: two frames
+    anim = wp.encode_webp_animation(
+        [{"img": img}, {"img": f2}], canvas=(10, 8)
+    )
+    frames = mm.sample_frames(anim)
+    assert len(frames) == 2 and (frames[0] == img).all() and (frames[1] == f2).all()
+    # AVI: two raw-DIB frames, every_n=1
+    avi = mm.encode_avi([img, f2])
+    frames = mm.sample_frames(avi, every_n=1)
+    assert len(frames) == 2 and (frames[1] == f2).all()
+    # stills: single-frame lists across containers
+    for payload in (
+        mm.encode_bmp(img),
+        mm.encode_png(img),
+        mm.encode_gif(img),
+        wp.encode_webp_lossless(img),
+    ):
+        got = mm.sample_frames(payload)
+        assert len(got) == 1 and (got[0] == img).all()
+    # JPEG still: lossy, shape + closeness only
+    got = mm.sample_frames(mm.encode_jpeg(img, quality=95))
+    assert len(got) == 1 and got[0].shape == img.shape
