@@ -86,3 +86,64 @@ def read_tar_corpus(
         "member",
         "text",
     )
+
+
+def parse_zip_files(
+    files: DataFrame,
+    pattern: str | None = ".txt",
+    max_member_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Zip twin of :func:`parse_tar_files` (stdlib ``zipfile`` over the
+    in-memory bytes — same Arrow stage shape, same size guard). Zip's
+    central directory is technically seekable, but at corpus scale the
+    practical unit is still one archive per task (archives are sized for
+    distribution, not for splitting), so the files-axis convention holds."""
+    import zipfile
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        if pattern is not None and not info.filename.endswith(pattern):
+                            continue
+                        if info.file_size > max_member_bytes:
+                            raise ValueError(
+                                f"zip member {info.filename!r} is {info.file_size} "
+                                f"bytes (> {max_member_bytes}); raise "
+                                "max_member_bytes if this corpus really ships "
+                                "documents that big"
+                            )
+                        body = zf.read(info)
+                        rows.append(
+                            (fpath, info.filename, body.decode("utf-8", "replace"))
+                        )
+            yield pd.DataFrame(rows, columns=["archive", "member", "text"])
+
+    return files.select("path", "content").mapInPandas(run, TAR_COLS)
+
+
+def read_zip_corpus(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = ".txt",
+    max_member_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Zip archives under ``path`` → (doc_id, archive, member, text) — the
+    :func:`read_tar_corpus` contract over .zip bundles (deflate/stored
+    members via stdlib zipfile)."""
+    files = spark.read.format("binaryFile").load(path)
+    parsed = parse_zip_files(files, pattern, max_member_bytes)
+    return parsed.select(
+        F.xxhash64(F.concat_ws(":", F.col("archive"), F.col("member"))).alias(
+            "doc_id"
+        ),
+        "archive",
+        "member",
+        "text",
+    )

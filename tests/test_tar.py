@@ -85,3 +85,28 @@ def test_tar_corpus_feeds_text_operators(spark, tmp_path):
     shared_canon = min(by_member["a.txt"], by_member["b.txt"])
     assert rows[shared_canon] == 2  # a.txt + b.txt collapse
     assert rows[by_member["c.txt"]] == 1
+
+
+def test_read_zip_corpus(spark, tmp_path):
+    """Zip twin: deflate members, filtering, stable ids, size guard, and
+    identical (doc_id, archive, member, text) contract as the tar source."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("docs/a.txt", "Zip document one body text.")
+        zf.writestr("docs/b.txt", "Zip document two, different.")
+        zf.writestr("docs/meta.json", '{"skip": true}')
+        zf.writestr("docs/sub/", "")  # dir entry: skipped
+    (tmp_path / "c.zip").write_bytes(buf.getvalue())
+    docs = tarsrc.read_zip_corpus(spark, str(tmp_path / "c.zip"))
+    rows = {r["member"]: r["text"] for r in docs.collect()}
+    assert rows == {
+        "docs/a.txt": "Zip document one body text.",
+        "docs/b.txt": "Zip document two, different.",
+    }
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(Exception, match="max_member_bytes"):
+        tarsrc.read_zip_corpus(spark, str(tmp_path / "c.zip"), max_member_bytes=4).collect()
