@@ -1012,6 +1012,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     progressive = False
     dri = 0
     orientation = 1
+    seen_exif = False
     scans: list[tuple] = []  # (scomps, ss, se, ah, al, segments, dri)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1071,8 +1072,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xE1:  # APP1 — EXIF orientation if present
             # APP1 also carries XMP in real camera/web files; only an
-            # actual EXIF body may set orientation (first EXIF wins)
-            if body[:6] == b"Exif\x00\x00" and orientation == 1:
+            # actual EXIF body may set orientation (first EXIF wins —
+            # including an explicit orientation-1 EXIF, which must not be
+            # overridden by a later EXIF segment)
+            if body[:6] == b"Exif\x00\x00" and not seen_exif:
+                seen_exif = True
                 orientation = _exif_orientation(body)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = body[0]

@@ -542,7 +542,8 @@ def _palette_inverse(
     """Inverse color-indexing: unbundle sub-byte indices from the green
     channel (pack_bits of 1/2/3 → 2/4/8 pixels per coded byte, LSB-first),
     then map through the delta-reconstructed palette. Out-of-range indices
-    resolve to black per libwebp (clamped here: index ≥ size → 0)."""
+    resolve to 0x00000000 (transparent black), matching libwebp's output
+    on such invalid-but-decodable streams."""
     h, packed_w = img.shape
     if pack_bits:
         per = 1 << pack_bits
@@ -554,8 +555,8 @@ def _palette_inverse(
         idx = idx[:, :orig_w]
     else:
         idx = ((img >> 8) & 0xFF).astype(np.int64)
-    idx = np.where(idx < len(palette), idx, 0)
-    return palette[idx]
+    in_range = idx < len(palette)
+    return np.where(in_range, palette[np.where(in_range, idx, 0)], np.uint32(0))
 
 
 def _decode_image_stream(
@@ -938,14 +939,21 @@ def encode_webp_lossless(
             argb[pos : pos + w], argb[pos - w : pos]
         ):
             # whole-row repeat: length=w copy at distance=w via the (0,1)
-            # neighbor-map distance code 1
-            lcode, lx, lb = _prefix_encode(w)
-            c, cl = gcodes[256 + lcode]
-            bw.write_code(c, cl)
-            if lb:
-                bw.write(lx, lb)
-            dc, dl = dcodes[0]  # prefix code 0 → value 1 → map code 1 = (0,1)
-            bw.write_code(dc, dl)
+            # neighbor-map distance code 1. VP8L's length alphabet tops out
+            # at prefix code 23 = length 4096, so a wider row is split into
+            # <=4096-pixel copies (each still at distance w — chunk k reads
+            # pixels chunk k-1 just wrote, standard overlapping-LZ77).
+            rem = w
+            while rem:
+                chunk = min(rem, 4096)
+                lcode, lx, lb = _prefix_encode(chunk)
+                c, cl = gcodes[256 + lcode]
+                bw.write_code(c, cl)
+                if lb:
+                    bw.write(lx, lb)
+                dc, dl = dcodes[0]  # prefix code 0 → value 1 → map code 1 = (0,1)
+                bw.write_code(dc, dl)
+                rem -= chunk
             if cache_size:
                 for i in range(w):
                     v = int(argb[pos + i])

@@ -262,10 +262,27 @@ def warc_ingest_stream(
 
     ``available_now=True`` drains the directory and stops (backfill/test
     mode); ``False`` tails it. Returns after the drain when
-    ``available_now``; the started query otherwise."""
+    ``available_now``; the started query otherwise.
+
+    ``docs_out`` is bound to ONE checkpoint lineage: the per-batch
+    overwrite only protects same-batch-id replays, so ``batch=*`` dirs
+    left by a run with a different (or deleted) checkpoint would
+    double-count in the drain-mode read. With ``checkpoint=None`` (no
+    lineage to resume) any pre-existing ``docs_out`` is therefore cleared
+    before the stream starts; callers supplying a checkpoint must keep
+    ``docs_out`` dedicated to it."""
 
     def process(batch: DataFrame, bid: int) -> None:
         process_warc_batch(batch, bid, docs_out, record_types, transform)
+
+    if checkpoint is None:
+        # no checkpoint = fresh lineage: stale batch=* dirs from an earlier
+        # run would survive their own batch-id overwrite and double-count
+        jvm = spark._jvm
+        out_path = jvm.org.apache.hadoop.fs.Path(docs_out)
+        fs = out_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(out_path):
+            fs.delete(out_path, True)
 
     stream = spark.readStream.format("binaryFile").schema(BINARYFILE_SCHEMA).option(
         "maxFilesPerTrigger", max_files_per_trigger

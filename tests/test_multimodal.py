@@ -1086,6 +1086,37 @@ def test_jpeg_xmp_app1_does_not_clobber_exif_orientation():
     assert (got2 == np.rot90(base, k=-1)).all()
 
 
+def test_jpeg_first_exif_wins_even_when_orientation_1():
+    """An EXIF segment that explicitly stores orientation 1 must not be
+    overridden by a later EXIF segment (first EXIF wins unconditionally —
+    the guard tracks 'seen an EXIF body', not 'orientation still 1')."""
+    import struct as st
+
+    img = np.zeros((16, 24, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 24, dtype=np.uint8)[None, :]
+    img[2:6, 3:9, 1] = 220
+    payload = mm.encode_jpeg(img, quality=95)
+    base = mm.decode_jpeg(payload)
+
+    def exif_seg(orientation):
+        tiff = (
+            b"II" + st.pack("<H", 42) + st.pack("<I", 8)
+            + st.pack("<H", 1)
+            + st.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+            + st.pack("<I", 0)
+        )
+        body = b"Exif\x00\x00" + tiff
+        return st.pack(">BBH", 0xFF, 0xE1, len(body) + 2) + body
+
+    # explicit orientation-1 EXIF first, orientation-6 EXIF second:
+    # the image must stay un-rotated
+    got = mm.decode_jpeg(payload[:2] + exif_seg(1) + exif_seg(6) + payload[2:])
+    assert (got == base).all()
+    # sanity: the reverse order rotates (first EXIF is the 6)
+    got2 = mm.decode_jpeg(payload[:2] + exif_seg(6) + exif_seg(1) + payload[2:])
+    assert (got2 == np.rot90(base, k=-1)).all()
+
+
 def test_jpeg_fill_bytes_before_marker():
     """T.81 allows runs of 0xFF fill bytes before a marker — the walk must
     skip them instead of misreading the segment length."""

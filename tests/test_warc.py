@@ -479,6 +479,39 @@ def test_wet_conversion_records_to_documents(spark, tmp_path):
     assert warc.wet_to_documents(both).count() == 2
 
 
+def test_warc_ingest_stream_no_checkpoint_clears_stale_batches(spark, tmp_path):
+    """A checkpoint-less run has no lineage to resume, so stale batch=*
+    dirs from a PRIOR run (different/deleted checkpoint) must be cleared,
+    not double-counted: per-batch overwrite only protects same-batch-id
+    replays (ADVICE r8). Two back-to-back checkpoint-less drains over the
+    same landing dir yield the corpus once, not twice."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    recs = [
+        {
+            "warc_type": "response",
+            "url": f"https://site.example.com/s/{i}",
+            "record_id": f"<urn:uuid:s{i}>",
+            "html": f"<html><body><p>Stale-check record {i}.</p></body></html>",
+        }
+        for i in range(3)
+    ]
+    (src / "f.warc.gz").write_bytes(warc.encode_warc(recs))
+    out = tmp_path / "docs"
+    first = warc.warc_ingest_stream(spark, str(src), str(out)).collect()
+    assert len(first) == 3
+    # second checkpoint-less run: a fresh lineage restarts batch ids at 0,
+    # but a prior run's dirs could differ (e.g. it had drained more files).
+    # Simulate that: plant an extra stale batch dir the new lineage won't
+    # overwrite, then re-run without a checkpoint.
+    stale = spark.createDataFrame([(999, "https://stale", "stale text")],
+                                  "doc_id long, url string, text string")
+    stale.write.parquet(str(out / "batch=7"))
+    second = warc.warc_ingest_stream(spark, str(src), str(out)).collect()
+    assert sorted(r["url"] for r in second) == sorted(r["url"] for r in first)
+    assert not any(r["doc_id"] == 999 for r in second)
+
+
 def test_warc_ingest_stream_crash_replay_is_exactly_once(spark, tmp_path):
     """Fault injection on the streaming ingest's idempotence claim: batch 0
     'crashes' after writing a PARTIAL batch=0 directory (half the rows);

@@ -46,6 +46,40 @@ def test_vp8l_roundtrip_exact_plain_cache_lz77():
     ).all()
 
 
+def test_vp8l_lz77_row_repeat_wider_than_4096():
+    """VP8L's length alphabet caps at prefix code 23 = length 4096; a
+    row-repeat on an image wider than that must be split into <=4096-pixel
+    copies, not emit an out-of-alphabet symbol that silently desyncs the
+    stream (ADVICE r8). 5000-wide repeated rows round-trip exactly and the
+    LZ77 stream still compresses vs the literal encoding."""
+    rng = np.random.default_rng(3)
+    row = rng.integers(0, 256, (1, 5000, 3)).astype(np.uint8)
+    img = np.repeat(row, 4, axis=0)
+    e_lz = webp.encode_webp_lossless(img, lz77=True)
+    assert (webp.decode_webp(e_lz) == img).all()
+    assert len(e_lz) < len(webp.encode_webp_lossless(img)) / 2
+    # exactly 4096: the single-copy boundary case (prefix code 23)
+    row2 = rng.integers(0, 256, (1, 4096, 3)).astype(np.uint8)
+    img2 = np.repeat(row2, 3, axis=0)
+    assert (webp.decode_webp(webp.encode_webp_lossless(img2, lz77=True)) == img2).all()
+
+
+def test_vp8l_palette_out_of_range_index_is_transparent_black():
+    """Out-of-range palette indices decode to 0x00000000 (transparent
+    black), matching libwebp on invalid-but-decodable streams (ADVICE r8):
+    the inverse map must not clamp to palette entry 0."""
+    palette = np.array([0xFF112233, 0xFF445566], dtype=np.uint32)
+    img = np.zeros((1, 3), dtype=np.uint32)
+    # green channel carries the index; 9 is out of range for a 2-entry palette
+    img[0, 0] = 0 << 8
+    img[0, 1] = 1 << 8
+    img[0, 2] = 9 << 8
+    out = webp._palette_inverse(img, palette, orig_w=3, pack_bits=0)
+    assert out[0, 0] == 0xFF112233
+    assert out[0, 1] == 0xFF445566
+    assert out[0, 2] == 0
+
+
 def test_vp8l_roundtrip_random_shapes():
     """Property-style sweep (the GIF/JPEG convention): any small shape,
     any pixels, exact round trip — including 1x1 and single-column."""
