@@ -1597,8 +1597,7 @@ def _encode_progressive_scans(
 # everywhere in crawls (and is the one animated format that predates video
 # containers, so frame sampling matters here like it does for AVI). Same
 # design rules: REAL parser of the public format (variable-width LZW per
-# the GIF89a spec's Appendix F), loud NotImplementedError for the absent
-# variant (disposal method 3 / restore-previous).
+# the GIF89a spec's Appendix F); all three disposal methods composited.
 
 
 def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
@@ -1652,9 +1651,10 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 def sample_gif_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
     """Decode a GIF87a/89a payload and return every ``every_n``-th frame as
     an HxWx3 uint8 RGB array — full-canvas compositing with transparency
-    and disposal methods 0/1 (leave) and 2 (restore background);
-    interlaced frames deinterlace (the four-pass row order). Disposal 3
-    (restore previous) raises — loud rejection, never a wrong frame."""
+    and all three disposal methods: 0/1 (leave), 2 (restore background),
+    3 (restore previous — the pre-frame canvas is saved and put back after
+    the frame is emitted); interlaced frames deinterlace (the four-pass
+    row order)."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1: {every_n}")
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1694,10 +1694,14 @@ def sample_gif_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
             continue
         if block != 0x2C:
             raise NotImplementedError(f"unknown GIF block 0x{block:02X}")
-        if disposal == 3:
-            raise NotImplementedError("GIF disposal method 3 (restore previous)")
         left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
+        # disposal 3 restores the pre-frame canvas after the frame shows;
+        # only the frame rect can change, so saving the rect suffices
+        saved_rect = (
+            canvas[top : top + fh, left : left + fw].copy()
+            if disposal == 3 else None
+        )
         pal = gct
         if fpacked & 0x80:
             n = 2 << (fpacked & 7)
@@ -1736,6 +1740,8 @@ def sample_gif_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
             # decoders leave the prior canvas content (RGB canvas has no
             # alpha to clear to)
             canvas[top : top + fh, left : left + fw] = bg_rgb
+        elif disposal == 3:
+            canvas[top : top + fh, left : left + fw] = saved_rect
         transparent = None
         disposal = 0
         idx += 1

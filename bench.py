@@ -843,14 +843,37 @@ def main() -> None:
         times[name] = _row(name, fn, spark, sf_dir, **kw)
 
     total = round(sum(times.values()), 3)
+    # the driver captures a bounded tail of stdout; BENCH_r08's line grew
+    # past it once the raw-run-pairs map landed and the artifact lost its
+    # parseable headline (parsed: null). Contract since r9: the PRINTED
+    # line is compact (summary fields first, no runs map) so it always
+    # parses, and the FULL payload — including the per-row run pairs —
+    # is written to bench_result.json next to this script.
+    payload = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": times,
+        # both raw measurements per row (r7 verdict): a wide [a, b]
+        # spread is box noise, a tight pair that moved is a plan
+        # change — decidable from this artifact alone
+        "runs": RUNS,
+        "harness": "scaled-inputs-pre-t0;best-of-2-all-rows;raw-run-pairs",
+    }
+    result_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_result.json")
+    with open(result_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
     print(
         json.dumps(
             {
                 "metric": "headline_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "queries": times,
+                "runs_file": "bench_result.json",
                 # harness methodology markers: r5 timed the local-mode
                 # repartition of read_parquet_scaled inside 5 entries
                 # (semantic_dedup, pq_ann_topk, global_shuffle,
@@ -863,10 +886,6 @@ def main() -> None:
                 # same-plan r6 run — a drop there is damping, not a
                 # speedup claim.
                 "harness": "scaled-inputs-pre-t0;best-of-2-all-rows;raw-run-pairs",
-                # both raw measurements per row (r7 verdict): a wide [a, b]
-                # spread is box noise, a tight pair that moved is a plan
-                # change — decidable from this artifact alone
-                "runs": RUNS,
             }
         )
     )

@@ -731,9 +731,7 @@ def test_gif_handbuilt_lzw_growth_and_kwkwk():
 
 def test_gif_transparency_disposal_and_rejects():
     """Transparency keeps the canvas pixel; disposal 2 restores background
-    between frames; disposal 3 and junk payloads raise loudly."""
-    import struct as st
-
+    between frames; junk payloads raise loudly."""
     import pytest
 
     base = np.zeros((8, 8, 3), dtype=np.uint8)
@@ -748,12 +746,55 @@ def test_gif_transparency_disposal_and_rejects():
         mm.decode_gif(b"GIF89a" + b"\x00" * 4)  # truncated
     with pytest.raises(NotImplementedError, match="not a GIF"):
         mm.decode_gif(b"RIFFxxxx")
-    # disposal 3 rejects: hand-mark a graphic-control block
-    p = bytearray(mm.encode_gif([base, overlay]))
-    i = p.find(bytes([0x21, 0xF9, 4]))
-    p[i + 3] = (3 << 2) | 0x04  # disposal 3
-    with pytest.raises(NotImplementedError, match="disposal"):
-        mm.sample_gif_frames(bytes(p))
+
+
+def test_gif_disposal3_restores_previous_canvas():
+    """Disposal method 3 (restore previous): after a frame shows, the
+    canvas reverts to its pre-frame content — so a frame FOLLOWING a
+    disposal-3 frame composites onto what was there BEFORE it, not onto
+    its pixels. Hand-built three-frame GIF, hand-composited expectation."""
+    import struct as st
+
+    def lzw(pixvals):
+        bw = mm._LSBBitWriter()
+        bw.write(256, 9)  # clear (min_code=8)
+        for v in pixvals:
+            bw.write(int(v), 9)
+        bw.write(257, 9)  # end
+        return bw.flush()
+
+    p = bytearray()
+    p += b"GIF89a"
+    p += st.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)  # 4-entry GCT, bg=0
+    p += bytes([255, 255, 255, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    # frame 1: full-canvas red, disposal 0
+    p += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    p += st.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0)
+    d = lzw([1] * 16)
+    p += bytes([8, len(d)]) + d + b"\x00"
+    # frame 2: 2x2 green patch at (1,1), DISPOSAL 3
+    p += bytes([0x21, 0xF9, 4, 3 << 2, 0, 0, 0, 0])
+    p += st.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0)
+    d = lzw([2] * 4)
+    p += bytes([8, len(d)]) + d + b"\x00"
+    # frame 3: 1x1 blue at (0,0), plain GCE
+    p += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    p += st.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+    d = lzw([3])
+    p += bytes([8, len(d)]) + d + b"\x00"
+    p += b"\x3B"
+
+    red, green, blue = [255, 0, 0], [0, 255, 0], [0, 0, 255]
+    f = mm.sample_gif_frames(bytes(p))
+    assert len(f) == 3
+    # frame 2 SHOWS the green patch over red...
+    want2 = np.tile(np.array(red, np.uint8), (4, 4, 1))
+    want2[1:3, 1:3] = green
+    assert (f[1] == want2).all()
+    # ...but frame 3 composites onto the RESTORED all-red canvas: no green
+    want3 = np.tile(np.array(red, np.uint8), (4, 4, 1))
+    want3[0, 0] = blue
+    assert (f[2] == want3).all()
 
 
 def test_gif_disposal2_transparent_background_leaves_canvas():
