@@ -55,6 +55,7 @@ def curation_funnel(
     dedup_keep: str = "min_id",
     with_ledger: bool = False,
     blocklist: "list[str] | DataFrame | None" = None,
+    blocklist_on: str = "citations",
     extract_html: bool = False,
     domain_ranks: "DataFrame | None" = None,
     domain_rank_threshold: float = 0.0,
@@ -82,6 +83,16 @@ def curation_funnel(
     DataFrame with a ``domain`` column uses the broadcast semi-join
     million-domain form (:func:`..text.filter_blocked_domains_frame`).
     Audited as stage ``url_gate``; ledger reason ``blocked_domain``.
+
+    ``blocklist_on`` picks what the gate judges: ``"citations"`` (default)
+    matches domains cited anywhere in ``text_col`` — the raw-markup entry
+    point, where the page's own URL rides in its ``<link rel=canonical>``;
+    ``"host"`` matches the HOST of ``url_col`` instead
+    (:func:`..text.filter_blocked_hosts`) — the right form for
+    already-extracted corpora (:func:`..sources.corpus.ingest_corpus`
+    output: WET records and archive bundles carry no markup), judging
+    where each doc CAME FROM. Host-less provenance (``archive://`` URLs,
+    unparseable) passes.
 
     ``domain_ranks`` (a :func:`..graph.pagerank` table over the domain link
     graph, e.g. from :func:`..text.domain_graph`) adds the URL-trust gate
@@ -152,6 +163,10 @@ def curation_funnel(
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     ledger_parts: list[DataFrame] = []
 
+    if blocklist_on not in ("citations", "host"):
+        raise ValueError(
+            f"blocklist_on must be 'citations' or 'host': {blocklist_on!r}"
+        )
     if blocklist is not None:
         # URL-domain gate FIRST (RefinedWeb §3.1 order: the URL rule runs
         # before any content rule — and it is the cheapest stage, map-only
@@ -159,7 +174,16 @@ def curation_funnel(
         # → in-expression form; DataFrame → the broadcast semi-join
         # million-domain form.
         prev = docs
-        if isinstance(blocklist, DataFrame):
+        if blocklist_on == "host":
+            if url_col not in docs.columns:
+                raise ValueError(
+                    f"blocklist_on='host' needs a {url_col!r} column on docs "
+                    "(pass url_col= to name it)"
+                )
+            cur = tx.filter_blocked_hosts(
+                docs, blocklist, url_col=url_col, id_col=id_col
+            )
+        elif isinstance(blocklist, DataFrame):
             cur = tx.filter_blocked_domains_frame(
                 docs, blocklist, text_col=text_col, id_col=id_col
             )

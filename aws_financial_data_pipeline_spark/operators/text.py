@@ -874,6 +874,65 @@ def filter_blocked_domains_frame(
     return docs.join(blocked, id_col, "left_anti")
 
 
+def filter_blocked_hosts(
+    docs: DataFrame,
+    blocklist: "list[str] | DataFrame",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """PROVENANCE form of the URL gate: drop documents whose OWN host
+    (parsed from ``url_col``) is blocklisted — exact-or-subdomain match,
+    the :func:`filter_blocked_domains` semantics applied to where the doc
+    CAME FROM instead of what it cites. This is the right gate once text
+    is already extracted (``html_to_text`` deletes the markup the
+    citation form reads URLs out of — WET records and archive bundles
+    never had it), and it is RefinedWeb §3.1's actual rule: judge the
+    fetch URL. Docs with NULL/unparseable URLs PASS (absence of evidence).
+
+    A ``list`` blocklist is one in-expression predicate — map-only, zero
+    shuffle. A DataFrame blocklist (the million-domain form) expands the
+    single per-doc host to its dot-boundary suffixes and broadcast
+    semi-joins, the :func:`filter_blocked_domains_frame` shape minus the
+    citations explode (one host per doc, so the narrow frame is exactly
+    |docs| rows before the suffix explode)."""
+    import re as _re
+
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
+    if isinstance(blocklist, DataFrame):
+        bl = (
+            blocklist.select(F.lower(F.trim(F.col(domain_col))).alias("_b"))
+            .filter(F.col("_b") != "")
+            .distinct()
+        )
+        parts = F.split(F.col("_h"), r"\.")
+        suffixes = F.transform(
+            F.sequence(F.lit(0), F.size(parts) - 1),
+            lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts)), "."),
+        )
+        blocked = (
+            docs.select(F.col(id_col), host.alias("_h"))
+            .filter(F.col("_h").isNotNull())
+            .select(id_col, F.explode(suffixes).alias("_s"))
+            .join(F.broadcast(bl), F.col("_s") == F.col("_b"), "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        return docs.join(F.broadcast(blocked), id_col, "left_anti")
+    hit = F.lit(False)
+    for b in sorted({b.lower() for b in blocklist}):
+        hit = hit | F.col("_h").rlike(f"(^|\\.){_re.escape(b)}$")
+    # NULL host → NULL predicate → coalesce to "not blocked", or the
+    # filter would silently drop every unparseable-URL doc
+    return (
+        docs.withColumn("_h", host)
+        .filter(~F.coalesce(hit, F.lit(False)))
+        .drop("_h")
+    )
+
+
 # tracking params every crawl pipeline strips before URL-level dedup: the
 # UTM family by prefix, plus the ad-click ids (Google/Facebook/Microsoft/
 # Yandex/Instagram/Mailchimp) by exact name

@@ -1,0 +1,112 @@
+"""Unified multi-archive corpus ingest: WARC crawls, WET extracts, and
+tar/zip document bundles → ONE (doc_id, url, text, source) frame feeding
+the crawl front door (``url_dedup`` → ``curation_funnel``).
+
+Real pretraining corpora arrive in several container shapes at once —
+raw ``.warc.gz`` crawls, Common Crawl's pre-extracted ``.wet.gz`` twins,
+and tar/zip bundles of loose documents from dataset releases. Each
+source module parses its own shape (files are the parallelism axis for
+all of them — none of these containers is offset-splittable); this
+module is the COMPOSITION seam: normalize every leg to the front-door
+document contract and union them, so one funnel run curates the lot
+with one audit trail.
+
+Per-leg semantics:
+
+- **warc**: ``response`` records; ``extract_html=True`` (default) runs
+  :func:`..operators.text.html_to_text` on THIS leg only — WET/tar/zip
+  text is already extracted, and re-running entity decoding on plain
+  text would violate the single-decode guarantee.
+- **wet**: ``conversion`` records (``text/plain``), straight through.
+- **tar** / **zip**: members become docs; the synthesized
+  ``archive://<archive>#<member>`` URL keeps provenance addressable and
+  deliberately has NO host, so URL-domain gates (blocklist, domain-rank)
+  PASS these docs — bundle releases carry no crawl provenance to judge.
+
+``doc_id`` spaces: warc/wet ids are ``xxhash64(url:record_id)``,
+tar/zip ids ``xxhash64(archive:member)`` — stable under re-ingest
+within a leg; the ``source`` column disambiguates lineage across legs.
+
+No counterpart in the reference engine (its only file source is the CSV
+upload, docker/lambda_function.py:58-95); built for the LLM-pipeline
+brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tar import read_tar_corpus, read_zip_corpus
+from .warc import read_warc, warc_to_documents, wet_to_documents
+
+#: the front-door document contract every leg normalizes to
+CORPUS_DOC_COLS = ("doc_id", "url", "text", "source")
+
+
+def _archive_docs(docs: DataFrame, source: str) -> DataFrame:
+    """(doc_id, archive, member, text) → the corpus contract with a
+    host-less provenance URL."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("archive://"), F.col("archive"), F.lit("#"), F.col("member")
+        ).alias("url"),
+        "text",
+        F.lit(source).alias("source"),
+    )
+
+
+def ingest_corpus(
+    spark: SparkSession,
+    warc_dir: str | None = None,
+    wet_dir: str | None = None,
+    tar_dir: str | None = None,
+    zip_dir: str | None = None,
+    extract_html: bool = True,
+    archive_pattern: str | None = ".txt",
+    max_member_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Union every supplied corpus shape into one front-door frame.
+
+    Each ``*_dir`` is read by its own source module (one binaryFile task
+    per archive file, one Arrow parse stage, no shuffle — the union is
+    plan-level, so the combined frame is still a shuffle-free scan+parse
+    whose partition count is the total file count). At least one source
+    directory is required.
+    """
+    legs: list[DataFrame] = []
+    if warc_dir is not None:
+        docs = warc_to_documents(read_warc(spark, warc_dir))
+        if extract_html:
+            from ..operators.text import html_to_text
+
+            docs = html_to_text(docs)
+        legs.append(docs.withColumn("source", F.lit("warc")))
+    if wet_dir is not None:
+        wet = wet_to_documents(
+            read_warc(spark, wet_dir, record_types=("conversion",))
+        )
+        legs.append(wet.withColumn("source", F.lit("wet")))
+    if tar_dir is not None:
+        legs.append(
+            _archive_docs(
+                read_tar_corpus(spark, tar_dir, archive_pattern, max_member_bytes),
+                "tar",
+            )
+        )
+    if zip_dir is not None:
+        legs.append(
+            _archive_docs(
+                read_zip_corpus(spark, zip_dir, archive_pattern, max_member_bytes),
+                "zip",
+            )
+        )
+    if not legs:
+        raise ValueError(
+            "ingest_corpus needs at least one of warc_dir/wet_dir/tar_dir/zip_dir"
+        )
+    out = legs[0].select(*CORPUS_DOC_COLS)
+    for leg in legs[1:]:
+        out = out.unionByName(leg.select(*CORPUS_DOC_COLS))
+    return out

@@ -147,3 +147,81 @@ def read_zip_corpus(
         "member",
         "text",
     )
+
+
+def process_archive_batch(
+    batch: DataFrame,
+    batch_id: int,
+    docs_out: str,
+    fmt: str = "tar",
+    pattern: str | None = ".txt",
+    max_member_bytes: int = 64 << 20,
+    transform=None,
+) -> None:
+    """One micro-batch of the streaming archive ingest: the SAME Arrow
+    parse stage as the batch path (a foreachBatch frame is a plain
+    DataFrame) → the :func:`read_tar_corpus` doc contract →
+    ``batch=<id>``-keyed OVERWRITE parquet (idempotent per batch_id — the
+    streaming/dedup.py exactly-once file-sink recipe). Module-level so
+    fault-injection tests can drive single batches directly."""
+    if fmt not in ("tar", "zip"):
+        raise ValueError(f"fmt must be 'tar' or 'zip': {fmt!r}")
+    parse = parse_tar_files if fmt == "tar" else parse_zip_files
+    parsed = parse(batch, pattern, max_member_bytes)
+    docs = parsed.select(
+        F.xxhash64(F.concat_ws(":", F.col("archive"), F.col("member"))).alias(
+            "doc_id"
+        ),
+        "archive",
+        "member",
+        "text",
+    )
+    if transform is not None:
+        docs = transform(docs)
+    docs.write.mode("overwrite").parquet(f"{docs_out}/batch={batch_id}")
+
+
+def archive_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    docs_out: str,
+    fmt: str = "tar",
+    checkpoint: str | None = None,
+    pattern: str | None = ".txt",
+    max_member_bytes: int = 64 << 20,
+    transform=None,
+    max_files_per_trigger: int = 1,
+    path_glob: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming twin of :func:`read_tar_corpus` / :func:`read_zip_corpus`
+    (the ``warc_ingest_stream`` recipe over archive bundles): binaryFile
+    readStream over a landing directory of tar/zip archives →
+    foreachBatch(:func:`process_archive_batch`) → idempotent
+    ``batch=<id>``-keyed overwrite parquet. Files remain the parallelism
+    axis — one binaryFile row per archive, the batch contract; replay
+    equals batch by construction (same parse stage, same id convention).
+    Checkpoint-less runs clear a pre-existing ``docs_out`` (fresh
+    lineage); ``available_now=True`` drains and returns the docs frame,
+    ``False`` tails and returns the started query."""
+    from .warc import binaryfile_ingest_stream
+
+    if fmt not in ("tar", "zip"):
+        raise ValueError(f"fmt must be 'tar' or 'zip': {fmt!r}")
+
+    def process(batch: DataFrame, bid: int) -> None:
+        process_archive_batch(
+            batch, bid, docs_out, fmt, pattern, max_member_bytes, transform
+        )
+
+    return binaryfile_ingest_stream(
+        spark,
+        src_dir,
+        docs_out,
+        process,
+        empty_schema="doc_id long, archive string, member string, text string",
+        checkpoint=checkpoint,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+        available_now=available_now,
+    )

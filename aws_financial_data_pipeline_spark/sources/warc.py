@@ -275,6 +275,41 @@ def warc_ingest_stream(
     def process(batch: DataFrame, bid: int) -> None:
         process_warc_batch(batch, bid, docs_out, record_types, transform)
 
+    return binaryfile_ingest_stream(
+        spark,
+        src_dir,
+        docs_out,
+        process,
+        empty_schema="doc_id long, url string, text string",
+        checkpoint=checkpoint,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+        available_now=available_now,
+    )
+
+
+def binaryfile_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    docs_out: str,
+    process,
+    empty_schema: str,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 1,
+    path_glob: str | None = None,
+    available_now: bool = True,
+):
+    """The shared streaming-file-ingest harness behind
+    :func:`warc_ingest_stream` and the tar/zip twins
+    (:func:`..tar.archive_ingest_stream`): ``readStream.format
+    ("binaryFile")`` over a landing directory → ``foreachBatch(process)``
+    where ``process(batch_df, batch_id)`` must write an idempotent
+    ``batch=<batch_id>`` parquet dir under ``docs_out``. Checkpoint-less
+    runs clear any pre-existing ``docs_out`` first (fresh lineage — stale
+    ``batch=*`` dirs from another lineage would double-count in the
+    drain-mode read); ``available_now=True`` drains and returns the
+    combined docs frame (``empty_schema`` when no file ever landed),
+    ``False`` tails and returns the started query."""
     if checkpoint is None:
         # no checkpoint = fresh lineage: stale batch=* dirs from an earlier
         # run would survive their own batch-id overwrite and double-count
@@ -300,9 +335,7 @@ def warc_ingest_stream(
         except Exception as e:  # empty landing dir: no batch ever wrote
             if "PATH_NOT_FOUND" not in str(e):
                 raise
-            return spark.createDataFrame(
-                [], "doc_id long, url string, text string"
-            )
+            return spark.createDataFrame([], empty_schema)
     return writer.start()
 
 

@@ -1,0 +1,174 @@
+"""End-to-end multi-archive ingest: WARC + WET + tar + zip fixtures →
+ingest_corpus → curation_funnel — archives in, audited survivors out
+(the round-8 verdict's composition gap: the sources existed as islands)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+
+import pytest
+
+from aws_financial_data_pipeline_spark.operators import curation
+from aws_financial_data_pipeline_spark.sources import corpus as corpussrc
+from aws_financial_data_pipeline_spark.sources import warc
+
+
+def _prose(seed: str) -> str:
+    """Distinct-per-doc natural prose: enough words and punctuation to
+    clear the lenient content rules, and lexically far enough apart that
+    the funnel's minhash stage does not collapse the fixture docs."""
+    words = {
+        "wa1": "harbor lanterns glowed while ferries crossed the winter strait",
+        "wa2": "market vendors stacked oranges beside crates of fresh basil",
+        "we1": "glaciers carved the valley long before surveyors mapped it",
+        "we2": "orchestras tune quietly before the conductor lifts the baton",
+        "t1": "desert caravans followed stars across the dunes at midnight",
+        "t2": "printing presses hummed as the morning edition rolled out",
+        "z1": "lighthouse keepers logged every storm that battered the coast",
+    }[seed]
+    return (
+        f"This {seed} document carries natural prose about how {words}. "
+        f"It continues with a second sentence, because {words} again and "
+        f"again. A third sentence closes the {seed} paragraph properly."
+    )
+
+
+
+
+def _write_fixtures(tmp_path):
+    warc_dir = tmp_path / "warc"
+    wet_dir = tmp_path / "wet"
+    tar_dir = tmp_path / "tar"
+    zip_dir = tmp_path / "zip"
+    for d in (warc_dir, wet_dir, tar_dir, zip_dir):
+        d.mkdir()
+    # WARC leg: two response records, one on the blocked domain; the kept
+    # page carries markup + an entity the html extraction must strip/decode
+    (warc_dir / "crawl.warc.gz").write_bytes(
+        warc.encode_warc(
+            [
+                {
+                    "warc_type": "response",
+                    "url": "https://good.example.com/page",
+                    "record_id": "<urn:uuid:wa1>",
+                    "html": f"<html><body><h1>Title</h1><p>{_prose('wa1')} Fish &amp; chips.</p></body></html>",
+                },
+                {
+                    "warc_type": "response",
+                    "url": "https://blocked.example.com/page",
+                    "record_id": "<urn:uuid:wa2>",
+                    "html": f"<html><body><p>{_prose('wa2')}</p></body></html>",
+                },
+            ]
+        )
+    )
+    # WET leg: two conversion records, one on the blocked domain
+    (wet_dir / "crawl.wet.gz").write_bytes(
+        warc.encode_warc(
+            [
+                {
+                    "warc_type": "conversion",
+                    "url": "https://wet.example.com/a",
+                    "record_id": "<urn:uuid:we1>",
+                    "text": _prose("we1"),
+                },
+                {
+                    "warc_type": "conversion",
+                    "url": "https://blocked.example.com/b",
+                    "record_id": "<urn:uuid:we2>",
+                    "text": _prose("we2"),
+                },
+            ]
+        )
+    )
+    # tar leg: two .txt members (+ one .bin that must filter out)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, body in [
+            ("docs/t1.txt", _prose("t1").encode()),
+            ("docs/t2.txt", _prose("t2").encode()),
+            ("docs/skip.bin", b"\x00\x01"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    (tar_dir / "bundle.tar.gz").write_bytes(buf.getvalue())
+    # zip leg: one .txt member
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("z1.txt", _prose("z1"))
+    (zip_dir / "bundle.zip").write_bytes(zbuf.getvalue())
+    return warc_dir, wet_dir, tar_dir, zip_dir
+
+
+def test_ingest_corpus_unions_all_legs(spark, tmp_path):
+    warc_dir, wet_dir, tar_dir, zip_dir = _write_fixtures(tmp_path)
+    docs = corpussrc.ingest_corpus(
+        spark,
+        warc_dir=str(warc_dir),
+        wet_dir=str(wet_dir),
+        tar_dir=str(tar_dir),
+        zip_dir=str(zip_dir),
+    )
+    rows = docs.collect()
+    assert docs.columns == list(corpussrc.CORPUS_DOC_COLS)
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert {k: len(v) for k, v in by_source.items()} == {
+        "warc": 2, "wet": 2, "tar": 2, "zip": 1,
+    }
+    # warc leg is html-extracted (tags gone, entity decoded) — wet/tar text
+    # is untouched plain prose
+    warc_texts = {r["url"]: r["text"] for r in by_source["warc"]}
+    good = warc_texts["https://good.example.com/page"]
+    assert "<p>" not in good and "Fish & chips." in good and "Title" in good
+    assert all(r["text"].startswith("This we") for r in by_source["wet"])
+    # archive legs carry host-less provenance URLs
+    assert all(r["url"].startswith("archive://") for r in by_source["tar"])
+    assert all("#z1.txt" in r["url"] for r in by_source["zip"])
+    # ids unique across the union
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    # extract_html=False leaves the warc markup raw
+    raw = corpussrc.ingest_corpus(
+        spark, warc_dir=str(warc_dir), extract_html=False
+    ).collect()
+    assert all("<html>" in r["text"] for r in raw)
+    with pytest.raises(ValueError, match="at least one"):
+        corpussrc.ingest_corpus(spark)
+
+
+def test_ingest_corpus_through_curation_funnel(spark, tmp_path):
+    """The full composition: archives in → unified ingest → blocklist-gated
+    curation funnel → audited survivors. The blocked domain drops its WARC
+    and WET docs at the url_gate; host-less archive docs PASS the gate
+    (no crawl provenance to judge); everything else survives the lenient
+    rules and dedup, and the audit ledger carries the stage trail."""
+    warc_dir, wet_dir, tar_dir, zip_dir = _write_fixtures(tmp_path)
+    docs = corpussrc.ingest_corpus(
+        spark,
+        warc_dir=str(warc_dir),
+        wet_dir=str(wet_dir),
+        tar_dir=str(tar_dir),
+        zip_dir=str(zip_dir),
+    )
+    kept, audit = curation.curation_funnel(
+        docs,
+        blocklist=["blocked.example.com"],
+        blocklist_on="host",
+        rule_mode="any",
+    )
+    survivors = kept.collect()
+    urls = {r["url"] for r in survivors}
+    assert not any("blocked.example.com" in u for u in urls)
+    # 7 in, 2 blocked → 5 out (distinct texts: no dedup loss)
+    assert len(survivors) == 5
+    # every leg is represented among survivors
+    assert {r["source"] for r in survivors} == {"warc", "wet", "tar", "zip"}
+    # survivors carry the funnel's split assignment
+    assert all(r["split"] in ("train", "holdout") for r in survivors)
+    stages = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert stages["input"] == 7
+    assert stages["url_gate"] == 5

@@ -110,3 +110,84 @@ def test_read_zip_corpus(spark, tmp_path):
     assert "Exchange" not in plan
     with pytest.raises(Exception, match="max_member_bytes"):
         tarsrc.read_zip_corpus(spark, str(tmp_path / "c.zip"), max_member_bytes=4).collect()
+
+
+def test_archive_ingest_stream_replay_equals_batch_tar_and_zip(spark, tmp_path):
+    """The streaming twins of the archive sources (round-8 verdict #4,
+    the warc_ingest_stream recipe): an availableNow drain over N archives
+    (one per trigger → N micro-batches) produces EXACTLY the batch path's
+    (doc_id, archive, member, text) rows for both tar and zip, a transform
+    tail composes per batch, and a second checkpoint-less drain does not
+    double-count."""
+    import io
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    tar_src = tmp_path / "tar_landing"
+    zip_src = tmp_path / "zip_landing"
+    tar_src.mkdir()
+    zip_src.mkdir()
+    for fi in range(3):
+        entries = [
+            (f"docs/f{fi}-{i}.txt", f"Tar stream doc {fi}-{i} body.".encode())
+            for i in range(2)
+        ]
+        (tar_src / f"bundle-{fi}.tar.gz").write_bytes(_make_tar(entries, gz=True))
+        zbuf = io.BytesIO()
+        with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for i in range(2):
+                zf.writestr(f"z{fi}-{i}.txt", f"Zip stream doc {fi}-{i} body.")
+        (zip_src / f"bundle-{fi}.zip").write_bytes(zbuf.getvalue())
+
+    def key(rows):
+        return sorted((r["doc_id"], r["member"], r["text"]) for r in rows)
+
+    # tar: replay == batch
+    batch_tar = key(tarsrc.read_tar_corpus(spark, str(tar_src)).collect())
+    streamed_tar = tarsrc.archive_ingest_stream(
+        spark, str(tar_src), str(tmp_path / "tar_docs"), fmt="tar",
+        checkpoint=str(tmp_path / "tar_ckpt"),
+    )
+    assert key(streamed_tar.collect()) == batch_tar and len(batch_tar) == 6
+    # one batch=<id> dir per archive (maxFilesPerTrigger=1)
+    out = tmp_path / "tar_docs"
+    assert sum(1 for p in out.iterdir() if p.name.startswith("batch=")) == 3
+
+    # zip: replay == batch
+    batch_zip = key(tarsrc.read_zip_corpus(spark, str(zip_src)).collect())
+    streamed_zip = tarsrc.archive_ingest_stream(
+        spark, str(zip_src), str(tmp_path / "zip_docs"), fmt="zip",
+        checkpoint=str(tmp_path / "zip_ckpt"),
+    )
+    assert key(streamed_zip.collect()) == batch_zip and len(batch_zip) == 6
+
+    # a transform tail composes per batch (front-door seam)
+    with_tail = tarsrc.archive_ingest_stream(
+        spark, str(tar_src), str(tmp_path / "tar_docs2"), fmt="tar",
+        checkpoint=str(tmp_path / "tar_ckpt2"),
+        transform=lambda d: d.withColumn("n_chars", F.length("text")),
+    )
+    rows = with_tail.collect()
+    assert len(rows) == 6 and all(r["n_chars"] > 0 for r in rows)
+
+    # checkpoint-less re-drain into the SAME docs_out: cleared, not doubled
+    again = tarsrc.archive_ingest_stream(
+        spark, str(tar_src), str(tmp_path / "tar_docs")
+    )
+    assert key(again.collect()) == batch_tar
+
+    # empty landing dir drains to an empty, correctly-typed frame
+    empty_dir = tmp_path / "empty_landing"
+    empty_dir.mkdir()
+    empty = tarsrc.archive_ingest_stream(
+        spark, str(empty_dir), str(tmp_path / "empty_docs")
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "archive", "member", "text"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fmt"):
+        tarsrc.archive_ingest_stream(
+            spark, str(tar_src), str(tmp_path / "x"), fmt="rar"
+        )

@@ -807,6 +807,46 @@ def test_filter_blocked_domains_frame_parity(spark):
     assert shuffled == expr_kept
 
 
+def test_filter_blocked_hosts_list_and_frame(spark):
+    """The provenance form of the URL gate: the doc's OWN host (url_col)
+    decides, exact-or-subdomain; list and frame paths agree; NULL,
+    unparseable, and host-less archive:// URLs all PASS; the list form's
+    plan is map-only (no Exchange)."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        filter_blocked_hosts,
+    )
+
+    rows = [
+        (1, "https://spam.net/a", "from the blocked host"),
+        (2, "https://a.b.spam.net/x", "deep subdomain of blocked"),
+        (3, "https://notspam.net/z", "lookalike must not match"),
+        (4, "https://www.SPAM.net/c", "www + case still matches"),
+        (5, "https://ok.org/1", "clean host; text cites spam.net itself"),
+        (6, None, "null url passes"),
+        (7, "archive://file:/bundles/b.tar#docs/t.txt", "host-less passes"),
+        (8, ":::not a url:::", "unparseable passes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    want = {3, 5, 6, 7, 8}
+    kept = {r["doc_id"] for r in filter_blocked_hosts(docs, ["spam.net"]).collect()}
+    assert kept == want
+    bl = spark.createDataFrame(
+        [("  SPAM.NET ",), ("spam.net",), ("",)], "domain string"
+    )
+    frame_kept = {r["doc_id"] for r in filter_blocked_hosts(docs, bl).collect()}
+    assert frame_kept == want
+    # schema passthrough
+    assert set(filter_blocked_hosts(docs, ["spam.net"]).columns) == {
+        "doc_id", "url", "text",
+    }
+    # list form: one scan, zero exchanges
+    plan = (
+        filter_blocked_hosts(docs, ["spam.net"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_ngram_contamination_size_guard_parity(spark):
     """The size probe must not change results: forcing the non-broadcast
     fallback (broadcast_max_test_docs=0 → plain hashed-key equi-join) yields
