@@ -58,6 +58,19 @@ def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 interlace grid (PNG spec §8.2): per pass (x_start, y_start,
+# x_step, y_step); passes stream in this order, each filtered
+# independently against its own rows
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 RGB array — REAL pure
@@ -112,11 +125,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decoder on stdlib ``zlib`` + numpy (no pillow): chunk walk
     (IHDR/PLTE/IDAT*/IEND), one inflate of the concatenated IDAT stream,
     then per-scanline reconstruction of the five PNG filters (None/Sub/Up/
-    Average/Paeth, RFC 2083 §6). Supports the dominant web shapes — 8-bit
-    depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA), non-interlaced — and returns HxWx3 uint8 RGB (gray
-    replicated, alpha dropped) to match :func:`decode_image`'s contract.
-    16-bit, sub-byte depths, and Adam7 interlacing raise loudly.
+    Average/Paeth, RFC 2083 §6). Supports the web shapes — 8- and 16-bit
+    depths, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), non-interlaced AND Adam7-interlaced (each of the seven
+    passes is its own filtered sub-image; reconstructed passes scatter
+    into the canvas by the standard (x0, y0, xstep, ystep) grid) — and
+    returns HxWx3 uint8 RGB (gray replicated, alpha dropped, 16-bit
+    samples reduced to their high byte — what libpng's 16→8 strip does)
+    to match :func:`decode_image`'s contract. Sub-byte depths raise
+    loudly.
 
     The filter loop is per-scanline (Up/None vectorize fully; Sub is a
     per-channel cumsum; Average/Paeth are sequential by definition — each
@@ -149,71 +166,96 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(ihdr) != 13:
         raise NotImplementedError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError(
             f"unsupported PNG variant (depth={depth}, interlace={interlace})"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None or w == 0 or h == 0:
         raise NotImplementedError(f"unsupported PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise NotImplementedError("palette PNG cannot be 16-bit (spec-illegal)")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise NotImplementedError("truncated PNG pixel data")
+    bpp = channels * (depth // 8)  # filter bpp is in BYTES (RFC 2083 §6.2)
 
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    bpp = channels  # bytes per pixel at depth 8
-    p = 0
-    for y in range(h):
-        ft = raw[p]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).astype(
-            np.int32
-        )
-        p += stride + 1
-        if ft == 0:
-            cur = line
-        elif ft == 2:  # Up — fully vectorized
-            cur = (line + prev) & 0xFF
-        elif ft == 1:  # Sub — a per-channel prefix sum mod 256: cur[i] =
-            # line[i] + cur[i-bpp], so each residue class mod bpp is a
-            # cumsum (mod distributes over addition; int32 headroom is
-            # 255·width ≪ 2^31). The common photographic filter, so the
-            # vectorization matters.
-            cur = (np.cumsum(line.reshape(-1, bpp), axis=0).ravel()) & 0xFF
-        elif ft in (3, 4):  # Average / Paeth — left-dependent via a floor
-            # division / 3-way predicate, genuinely sequential per byte
-            # (no closed form like Sub's cumsum). The loop runs on PYTHON
-            # LISTS, not the numpy array: per-element numpy indexing costs
-            # ~100 ns a touch and dominated the decode; plain list ops
-            # measure 11-13× faster on a 512-wide RGB line (0.25 vs 3.2
-            # ms Average, 0.47 vs 5.3 ms Paeth — NOTES r8).
-            vals = line.tolist()
-            pv = prev.tolist()
-            if ft == 3:
-                for i in range(stride):
-                    a = vals[i - bpp] if i >= bpp else 0
-                    vals[i] = (vals[i] + ((a + pv[i]) >> 1)) & 0xFF
-            else:  # Paeth predictor (RFC 2083 §6.6)
-                for i in range(stride):
-                    a = vals[i - bpp] if i >= bpp else 0
-                    b = pv[i]
-                    c = pv[i - bpp] if i >= bpp else 0
-                    pa = b - c
-                    pa = -pa if pa < 0 else pa
-                    pb = a - c
-                    pb = -pb if pb < 0 else pb
-                    pc = a + b - 2 * c
-                    pc = -pc if pc < 0 else pc
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    vals[i] = (vals[i] + pred) & 0xFF
-            cur = np.array(vals, dtype=np.int32)
-        else:
-            raise NotImplementedError(f"unknown PNG filter type {ft}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
+    def unfilter(pw: int, ph: int, p: int) -> tuple[np.ndarray, int]:
+        """Reconstruct one filtered sub-image ((ph, pw*bpp) bytes) starting
+        at offset ``p`` in the inflated stream; returns (rows, new offset).
+        The whole image is one 'pass' when non-interlaced; Adam7 calls this
+        seven times (each pass filters against ITS OWN rows only)."""
+        stride = pw * bpp
+        if len(raw) < p + ph * (stride + 1):
+            raise NotImplementedError("truncated PNG pixel data")
+        out = np.empty((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(ph):
+            ft = raw[p]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=p + 1
+            ).astype(np.int32)
+            p += stride + 1
+            if ft == 0:
+                cur = line
+            elif ft == 2:  # Up — fully vectorized
+                cur = (line + prev) & 0xFF
+            elif ft == 1:  # Sub — a per-channel prefix sum mod 256: cur[i] =
+                # line[i] + cur[i-bpp], so each residue class mod bpp is a
+                # cumsum (mod distributes over addition; int32 headroom is
+                # 255·width ≪ 2^31). The common photographic filter, so the
+                # vectorization matters.
+                cur = (np.cumsum(line.reshape(-1, bpp), axis=0).ravel()) & 0xFF
+            elif ft in (3, 4):  # Average / Paeth — left-dependent via a floor
+                # division / 3-way predicate, genuinely sequential by byte
+                # (no closed form like Sub's cumsum). The loop runs on PYTHON
+                # LISTS, not the numpy array: per-element numpy indexing costs
+                # ~100 ns a touch and dominated the decode; plain list ops
+                # measure 11-13× faster on a 512-wide RGB line (0.25 vs 3.2
+                # ms Average, 0.47 vs 5.3 ms Paeth — NOTES r8).
+                vals = line.tolist()
+                pv = prev.tolist()
+                if ft == 3:
+                    for i in range(stride):
+                        a = vals[i - bpp] if i >= bpp else 0
+                        vals[i] = (vals[i] + ((a + pv[i]) >> 1)) & 0xFF
+                else:  # Paeth predictor (RFC 2083 §6.6)
+                    for i in range(stride):
+                        a = vals[i - bpp] if i >= bpp else 0
+                        b = pv[i]
+                        c = pv[i - bpp] if i >= bpp else 0
+                        pa = b - c
+                        pa = -pa if pa < 0 else pa
+                        pb = a - c
+                        pb = -pb if pb < 0 else pb
+                        pc = a + b - 2 * c
+                        pc = -pc if pc < 0 else pc
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                        vals[i] = (vals[i] + pred) & 0xFF
+                cur = np.array(vals, dtype=np.int32)
+            else:
+                raise NotImplementedError(f"unknown PNG filter type {ft}")
+            out[y] = cur.astype(np.uint8)
+            prev = cur
+        return out, p
 
-    px = out.reshape(h, w, channels)
+    def to_px(rows: np.ndarray, pw: int, ph: int) -> np.ndarray:
+        if depth == 16:
+            # big-endian sample pairs; the HIGH byte is the 16→8 reduction
+            return rows.reshape(ph, pw, channels, 2)[..., 0]
+        return rows.reshape(ph, pw, channels)
+
+    if interlace == 0:
+        rows, _ = unfilter(w, h, 0)
+        px = to_px(rows, w, h)
+    else:  # Adam7: seven sub-images on the standard 8x8 grid, in order
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        p = 0
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:  # empty pass contributes NO bytes
+                continue
+            rows, p = unfilter(pw, ph, p)
+            px[y0::ys, x0::xs] = to_px(rows, pw, ph)
     if color == 3:  # palette indices → RGB triples
         if not plte:
             raise NotImplementedError("palette PNG missing PLTE")
@@ -226,23 +268,45 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px[..., :3]  # RGB / RGBA
 
 
-def encode_png(pixels: np.ndarray, color: int = 2) -> bytes:
-    """Round-trip PNG encoder for fixtures/sinks: 8-bit RGB (color=2) or
-    RGBA (6), filter type 0 on every scanline, one zlib deflate. Standard
-    chunk layout with CRCs — decodes in any viewer, not just here."""
+def encode_png(
+    pixels: np.ndarray, color: int = 2, depth: int = 8, interlace: int = 0
+) -> bytes:
+    """Round-trip PNG encoder for fixtures/sinks: RGB (color=2), RGBA (6)
+    or gray (0) at 8- or 16-bit depth, filter type 0 on every scanline,
+    one zlib deflate; ``interlace=1`` streams the seven Adam7 passes in
+    spec order (each pass its own filtered sub-image). Standard chunk
+    layout with CRCs — decodes in any viewer, not just here. 16-bit input
+    is uint16 per sample, written big-endian."""
     import zlib
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    if depth not in (8, 16):
+        raise ValueError(f"depth must be 8 or 16: {depth}")
+    dt = np.uint16 if depth == 16 else np.uint8
+    px = np.asarray(pixels, dtype=dt)
     h, w = px.shape[:2]
     channels = {2: 3, 6: 4, 0: 1}[color]
-    body = px.reshape(h, w * channels)
-    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    px3 = px.reshape(h, w, channels)
+
+    def scanlines(sub: np.ndarray) -> bytes:
+        body = (
+            sub.astype(">u2") if depth == 16 else sub
+        ).reshape(sub.shape[0], -1)
+        return b"".join(b"\x00" + body[y].tobytes() for y in range(sub.shape[0]))
+
+    if interlace:
+        raw = b"".join(
+            scanlines(px3[y0::ys, x0::xs])
+            for (x0, y0, xs, ys) in _ADAM7_PASSES
+            if px3[y0::ys, x0::xs].size
+        )
+    else:
+        raw = scanlines(px3)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
