@@ -125,15 +125,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decoder on stdlib ``zlib`` + numpy (no pillow): chunk walk
     (IHDR/PLTE/IDAT*/IEND), one inflate of the concatenated IDAT stream,
     then per-scanline reconstruction of the five PNG filters (None/Sub/Up/
-    Average/Paeth, RFC 2083 §6). Supports the web shapes — 8- and 16-bit
-    depths, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA), non-interlaced AND Adam7-interlaced (each of the seven
-    passes is its own filtered sub-image; reconstructed passes scatter
-    into the canvas by the standard (x0, y0, xstep, ystep) grid) — and
-    returns HxWx3 uint8 RGB (gray replicated, alpha dropped, 16-bit
-    samples reduced to their high byte — what libpng's 16→8 strip does)
-    to match :func:`decode_image`'s contract. Sub-byte depths raise
-    loudly.
+    Average/Paeth, RFC 2083 §6). Supports every legal depth/color-type
+    combination of the spec's §11.2.2 table — 1/2/4-bit gray and palette
+    (MSB-first packed samples, left-to-right within each byte; partial
+    trailing bytes zero-padded), 8- and 16-bit depths, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced
+    AND Adam7-interlaced (each of the seven passes is its own filtered
+    sub-image; reconstructed passes scatter into the canvas by the
+    standard (x0, y0, xstep, ystep) grid) — and returns HxWx3 uint8 RGB
+    (gray replicated with sub-byte samples scaled to full range via the
+    exact 255/(2^d-1) factor, alpha dropped, 16-bit samples reduced to
+    their high byte — what libpng's 16→8 strip does) to match
+    :func:`decode_image`'s contract.
 
     The filter loop is per-scanline (Up/None vectorize fully; Sub is a
     per-channel cumsum; Average/Paeth are sequential by definition — each
@@ -166,24 +169,37 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(ihdr) != 13:
         raise NotImplementedError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
             f"unsupported PNG variant (depth={depth}, interlace={interlace})"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None or w == 0 or h == 0:
         raise NotImplementedError(f"unsupported PNG color type {color}")
+    if depth < 8 and color not in (0, 3):
+        raise NotImplementedError(
+            f"sub-byte depth {depth} only legal for gray/palette (spec §11.2.2)"
+        )
     if color == 3 and depth == 16:
         raise NotImplementedError("palette PNG cannot be 16-bit (spec-illegal)")
     raw = zlib.decompress(bytes(idat))
-    bpp = channels * (depth // 8)  # filter bpp is in BYTES (RFC 2083 §6.2)
+    # filter bpp is in BYTES, floor(channels*depth/8) clamped to 1 for
+    # sub-byte depths (RFC 2083 §6.2)
+    bpp = max(1, (channels * depth) // 8)
 
     def unfilter(pw: int, ph: int, p: int) -> tuple[np.ndarray, int]:
-        """Reconstruct one filtered sub-image ((ph, pw*bpp) bytes) starting
-        at offset ``p`` in the inflated stream; returns (rows, new offset).
-        The whole image is one 'pass' when non-interlaced; Adam7 calls this
-        seven times (each pass filters against ITS OWN rows only)."""
-        stride = pw * bpp
+        """Reconstruct one filtered sub-image starting at offset ``p`` in
+        the inflated stream; returns (rows, new offset). The whole image is
+        one 'pass' when non-interlaced; Adam7 calls this seven times (each
+        pass filters against ITS OWN rows only). Scanline stride is
+        ceil(pw*channels*depth/8) bytes — sub-byte samples pack MSB-first,
+        partial trailing bytes padded."""
+        stride = (pw * channels * depth + 7) // 8
         if len(raw) < p + ph * (stride + 1):
             raise NotImplementedError("truncated PNG pixel data")
         out = np.empty((ph, stride), dtype=np.uint8)
@@ -241,7 +257,16 @@ def decode_png(payload: bytes) -> np.ndarray:
         if depth == 16:
             # big-endian sample pairs; the HIGH byte is the 16→8 reduction
             return rows.reshape(ph, pw, channels, 2)[..., 0]
-        return rows.reshape(ph, pw, channels)
+        if depth == 8:
+            return rows.reshape(ph, pw, channels)
+        # sub-byte (1/2/4-bit, channels == 1): samples pack MSB-first,
+        # left-to-right within each byte — exactly unpackbits' big-endian
+        # order; drop the padding bits past pw samples, regroup `depth`
+        # bits per sample
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+        return vals.astype(np.uint8)[..., None]
 
     if interlace == 0:
         rows, _ = unfilter(w, h, 0)
@@ -261,6 +286,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise NotImplementedError("palette PNG missing PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         return pal[px[..., 0]]
+    if depth < 8:  # gray: scale to full 8-bit range; 255/(2^d-1) is exact
+        # (1-bit ×255, 2-bit ×85, 4-bit ×17 — max lands on 255, no overflow)
+        px = px * np.uint8(255 // ((1 << depth) - 1))
     if channels == 1:
         return np.repeat(px, 3, axis=2)
     if channels == 2:  # gray + alpha
@@ -269,28 +297,47 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def encode_png(
-    pixels: np.ndarray, color: int = 2, depth: int = 8, interlace: int = 0
+    pixels: np.ndarray,
+    color: int = 2,
+    depth: int = 8,
+    interlace: int = 0,
+    palette: "np.ndarray | None" = None,
 ) -> bytes:
-    """Round-trip PNG encoder for fixtures/sinks: RGB (color=2), RGBA (6)
-    or gray (0) at 8- or 16-bit depth, filter type 0 on every scanline,
-    one zlib deflate; ``interlace=1`` streams the seven Adam7 passes in
-    spec order (each pass its own filtered sub-image). Standard chunk
-    layout with CRCs — decodes in any viewer, not just here. 16-bit input
-    is uint16 per sample, written big-endian."""
+    """Round-trip PNG encoder for fixtures/sinks: RGB (color=2), RGBA (6),
+    gray (0) at 1/2/4/8/16-bit depth, gray+alpha (4), or palette (3, pass
+    ``palette`` as an Nx3 uint8 array, indices at 1/2/4/8-bit depth) —
+    filter type 0 on
+    every scanline, one zlib deflate; ``interlace=1`` streams the seven
+    Adam7 passes in spec order (each pass its own filtered sub-image).
+    Standard chunk layout with CRCs — decodes in any viewer, not just
+    here. 16-bit input is uint16 per sample, written big-endian; sub-byte
+    samples pack MSB-first with zero padding to each scanline's byte
+    boundary (spec §7.2)."""
     import zlib
 
-    if depth not in (8, 16):
-        raise ValueError(f"depth must be 8 or 16: {depth}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"depth must be 1/2/4/8/16: {depth}")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"sub-byte depth only for gray/palette: color={color}")
+    if color == 3 and (palette is None or depth == 16):
+        raise ValueError("palette PNG needs an Nx3 palette and depth <= 8")
     dt = np.uint16 if depth == 16 else np.uint8
     px = np.asarray(pixels, dtype=dt)
     h, w = px.shape[:2]
-    channels = {2: 3, 6: 4, 0: 1}[color]
+    channels = {2: 3, 6: 4, 0: 1, 3: 1, 4: 2}[color]
     px3 = px.reshape(h, w, channels)
 
     def scanlines(sub: np.ndarray) -> bytes:
-        body = (
-            sub.astype(">u2") if depth == 16 else sub
-        ).reshape(sub.shape[0], -1)
+        if depth == 16:
+            body = sub.astype(">u2").reshape(sub.shape[0], -1)
+        elif depth == 8:
+            body = sub.reshape(sub.shape[0], -1)
+        else:  # sub-byte: explode each sample to `depth` MSB-first bits,
+            # packbits zero-pads partial trailing bytes (spec §7.2)
+            flat = sub.reshape(sub.shape[0], -1).astype(np.uint8)
+            shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+            bits = ((flat[..., None] >> shifts) & 1).reshape(sub.shape[0], -1)
+            body = np.packbits(bits, axis=1)
         return b"".join(b"\x00" + body[y].tobytes() for y in range(sub.shape[0]))
 
     if interlace:
@@ -307,9 +354,15 @@ def encode_png(
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
+    plte = (
+        chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+        if color == 3
+        else b""
+    )
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
