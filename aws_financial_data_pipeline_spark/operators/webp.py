@@ -8,12 +8,15 @@ backward references with the 120-entry pixel-neighborhood distance map,
 color cache, and all four transforms (predictor, color/cross-color,
 subtract-green, color-indexing incl. sub-byte pixel bundling).
 
-Lossy WebP (the VP8 key-frame codec) is NOT implemented: its entropy
-decode depends on ~3k normative constant probabilities
-(default_coeff_probs, kf_bmode_prob, quant lookups) that cannot be
-verified in this container (no libwebp/ffmpeg to cross-check, and a
-transcription error decodes to silent garbage rather than an error) — so
-it raises loudly instead, the repo's absent-codec rule. VP8L carries no
+Lossy WebP (the VP8 key-frame codec) is PERMANENTLY out of scope (round-10
+decision, recorded in SURVEY.md §2 and NOTES.md): its entropy decode
+depends on ~3k normative constant probabilities (default_coeff_probs,
+kf_bmode_prob, quant lookups) that cannot be verified in this container
+(no libwebp/ffmpeg to cross-check, and a transcription error decodes to
+silent garbage rather than an error) — so it raises loudly instead, the
+repo's absent-codec rule. Every shipped codec is gated on an independent
+reference; VP8 cannot meet that bar here. On a real cluster the fix is
+environmental (ship libwebp in the image), not code. VP8L carries no
 such tables: every Huffman code rides in the stream, which is why a
 spec-faithful decoder can be built AND verified here (round-trip exactness
 against the fixture encoder, plus decoding a real libwebp-produced VP8L

@@ -1,0 +1,61 @@
+"""Round-10 interleave protocol over the r9 drift cluster (VERDICT r9
+'What's wrong' #3): crawl_front_door, curation_funnel_model,
+corpus_divergence, snapshot_diff, mixture_plan_apply, global_shuffle moved
++21-33% on UNTOUCHED code with both runs elevated. Run the six rows
+ROUND-ROBIN x3 (each call itself best-of-2, same helpers the bench uses)
+in one session after the standard warmup, so box-load drift shows as
+spread across iterations while a real plan change shows as a consistent
+level shift. Prints one JSON blob; the verdict NOTES entry records it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+from aws_financial_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("interleave-r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    for w in (
+        "q04_spending_by_category",
+        "q09_trend",
+        "x14_events_windows",
+        "x17_events_profile",
+    ):
+        queries[w](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id bigint").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    rows = [
+        ("crawl_front_door", bench._bench_crawl_front_door, {}),
+        ("curation_funnel_model", bench._bench_curation_funnel, {"with_model": True}),
+        ("corpus_divergence", bench._bench_corpus_divergence, {}),
+        ("snapshot_diff", bench._bench_snapshot_diff, {}),
+        ("mixture_plan_apply", bench._bench_mixture_plan_apply, {}),
+        ("global_shuffle", bench._bench_global_shuffle, {}),
+    ]
+    results: dict[str, list] = {n: [] for n, _, _ in rows}
+    for _ in range(3):
+        for name, fn, kw in rows:
+            bench.RUNS.pop(name, None)
+            best = bench._row(name, fn, spark, sf_dir, **kw)
+            results[name].append({"best": best, "pair": bench.RUNS.get(name)})
+            spark.catalog.clearCache()
+    print(json.dumps(results, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
