@@ -805,11 +805,13 @@ def _bench_archive_front_door(spark, sf_dir: str) -> float:
 
 def _bench_image_dedup(spark, sf_dir: str) -> float:
     """Perceptual image dedup end-to-end over a MIXED-container corpus:
-    200 base images re-encoded as BMP + JPEG(q95) + lossless WebP (600
-    payload rows, synthesized and cached PRE-t0 — encoding is fixture
-    work); the timed region is the product: one Arrow decode+pHash pass
-    across three codecs, the banded hamming join, and CC canonical
-    labeling."""
+    200 base images re-encoded through ALL FIVE codec families — BMP +
+    JPEG(q95) + lossless WebP + PNG (alternating Adam7-interlaced / plain,
+    so the interlace scatter path runs under Arrow) + GIF (1000 payload
+    rows, synthesized and cached PRE-t0 — encoding is fixture work); the
+    timed region is the product: one Arrow decode+pHash pass across five
+    codecs, the banded hamming join, and CC canonical labeling. This row
+    exists to catch cross-codec dispatch/plan bugs (r8 VERDICT #6)."""
     import numpy as np
 
     from aws_financial_data_pipeline_spark.operators import multimodal as mmod
@@ -823,13 +825,22 @@ def _bench_image_dedup(spark, sf_dir: str) -> float:
         y, x = int(rng.integers(0, 24)), int(rng.integers(0, 32))
         img[y : y + 20, x : x + 28, 1] = int(rng.integers(120, 255))
         img[:, :, 2] = (np.cumsum(rng.integers(-2, 3, 64)) % 200)[None, :]
-        rows.append((3 * i, bytearray(mmod.encode_bmp(img)), "image/bmp", 0))
+        rows.append((5 * i, bytearray(mmod.encode_bmp(img)), "image/bmp", 0))
         rows.append(
-            (3 * i + 1, bytearray(mmod.encode_jpeg(img, quality=95)), "image/jpeg", 0)
+            (5 * i + 1, bytearray(mmod.encode_jpeg(img, quality=95)), "image/jpeg", 0)
         )
         rows.append(
-            (3 * i + 2, bytearray(wp.encode_webp_lossless(img)), "image/webp", 0)
+            (5 * i + 2, bytearray(wp.encode_webp_lossless(img)), "image/webp", 0)
         )
+        rows.append(
+            (
+                5 * i + 3,
+                bytearray(mmod.encode_png(img, interlace=i % 2)),
+                "image/png",
+                0,
+            )
+        )
+        rows.append((5 * i + 4, bytearray(mmod.encode_gif(img)), "image/gif", 0))
     frames = spark.createDataFrame(
         rows, "doc_id long, payload binary, media_type string, byte_len long"
     ).repartition(32).cache()

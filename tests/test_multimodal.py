@@ -966,14 +966,20 @@ def test_jpeg_rejects_unsupported_variants():
 
 
 def test_image_dedup_across_containers(spark):
-    """The composition image dedup exists for: the SAME picture shipped as
-    BMP, PNG and JPEG (plus a mildly resized JPEG) collapses into ONE
-    cluster with the minimum id canonical; a genuinely different picture
-    stays a singleton. Payloads never shuffle (hash table only)."""
+    """The composition image dedup exists for: the SAME picture shipped
+    through ALL FIVE codec families — BMP, PNG (plain AND Adam7-
+    interlaced), JPEG (plus a mildly resized JPEG), GIF, lossless WebP —
+    collapses into ONE cluster with the minimum id canonical; a genuinely
+    different picture stays a singleton. Payloads never shuffle (hash
+    table only)."""
+    from aws_financial_data_pipeline_spark.operators import webp as wp
+
     img = np.zeros((48, 64, 3), dtype=np.uint8)
     img[:, :, 0] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :]
     img[10:30, 20:50, 1] = 200
-    img[:, :, 2] = np.linspace(255, 0, 48, dtype=np.uint8)[:, None]
+    # B varies by COLUMN so unique colors stay ≤256 (encode_gif's exact
+    # palette is a fixture writer, not a quantizer)
+    img[:, :, 2] = np.linspace(255, 0, 64, dtype=np.uint8)[None, :]
     other = np.zeros((48, 64, 3), dtype=np.uint8)
     other[::2, :, :] = 255  # stripes — nothing like img
 
@@ -985,16 +991,20 @@ def test_image_dedup_across_containers(spark):
         (4, bytearray(mm.encode_jpeg(resized, quality=90)), "image/jpeg", 0),
         (5, bytearray(mm.encode_bmp(other)), "image/bmp", 0),
         (6, bytearray(b"not an image"), "text/plain", 0),  # ignored
+        (7, bytearray(mm.encode_png(img, interlace=1)), "image/png", 0),
+        (8, bytearray(mm.encode_gif(img)), "image/gif", 0),
+        (9, bytearray(wp.encode_webp_lossless(img)), "image/webp", 0),
     ]
     frames = spark.createDataFrame(
         rows, "doc_id long, payload binary, media_type string, byte_len long"
     )
     out = {r["doc_id"]: r for r in mm.image_dedup(frames).collect()}
-    assert set(out) == {1, 2, 3, 4, 5}  # text row never hashed
-    # the four re-encodings cluster together under the min id
-    assert {out[i]["component"] for i in (1, 2, 3, 4)} == {1}
-    assert out[1]["is_canonical"] and out[1]["cluster_size"] == 4
-    assert not any(out[i]["is_canonical"] for i in (2, 3, 4))
+    assert set(out) == {1, 2, 3, 4, 5, 7, 8, 9}  # text row never hashed
+    # the seven re-encodings cluster together under the min id
+    dup_ids = (1, 2, 3, 4, 7, 8, 9)
+    assert {out[i]["component"] for i in dup_ids} == {1}
+    assert out[1]["is_canonical"] and out[1]["cluster_size"] == len(dup_ids)
+    assert not any(out[i]["is_canonical"] for i in dup_ids[1:])
     # the different picture is its own singleton
     assert out[5]["component"] == 5 and out[5]["cluster_size"] == 1
 
