@@ -9,7 +9,11 @@ source module parses its own shape (files are the parallelism axis for
 all of them — none of these containers is offset-splittable); this
 module is the COMPOSITION seam: normalize every leg to the front-door
 document contract and union them, so one funnel run curates the lot
-with one audit trail.
+with one audit trail. :func:`ingest_corpus` is the batch form;
+:func:`ingest_corpus_stream` is its streaming twin over ONE landing
+zone where all four shapes arrive together (per micro-batch extension
+dispatch onto the same parse stages — replay equals batch by
+construction).
 
 Per-leg semantics:
 
@@ -37,8 +41,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tar import read_tar_corpus, read_zip_corpus
-from .warc import read_warc, warc_to_documents, wet_to_documents
+from .tar import parse_tar_files, parse_zip_files, read_tar_corpus, read_zip_corpus
+from .warc import (
+    parse_warc_files,
+    read_warc,
+    warc_to_documents,
+    wet_to_documents,
+)
 
 #: the front-door document contract every leg normalizes to
 CORPUS_DOC_COLS = ("doc_id", "url", "text", "source")
@@ -110,3 +119,140 @@ def ingest_corpus(
     for leg in legs[1:]:
         out = out.unionByName(leg.select(*CORPUS_DOC_COLS))
     return out
+
+
+# extension dispatch for the ONE-LANDING-ZONE streaming front door; the
+# patterns are mutually exclusive by construction (.wet never matches
+# .warc) so every file lands on at most one leg
+_LEG_PATTERNS = (
+    ("warc", r"\.warc(\.gz)?$"),
+    ("wet", r"\.wet(\.gz)?$"),
+    ("tar", r"\.(tar|tar\.gz|tgz)$"),
+    ("zip", r"\.zip$"),
+)
+
+
+def process_corpus_batch(
+    batch: DataFrame,
+    batch_id: int,
+    docs_out: str,
+    extract_html: bool = True,
+    archive_pattern: str | None = ".txt",
+    max_member_bytes: int = 64 << 20,
+    transform=None,
+    on_unknown: str = "error",
+) -> None:
+    """One micro-batch of the unified streaming front door: a binaryFile
+    (path, content) frame whose files may be ANY mix of the four container
+    shapes → per-extension dispatch onto the SAME per-leg parse stages the
+    batch :func:`ingest_corpus` composes (a foreachBatch frame is a plain
+    DataFrame, so the batch operators apply verbatim) → one unioned
+    corpus-contract frame → ``batch=<id>``-keyed OVERWRITE parquet
+    (idempotent per batch_id — the streaming/dedup.py exactly-once
+    file-sink recipe). Module-level so fault-injection tests can drive
+    single batches directly.
+
+    Files matching NO leg pattern raise loudly by default (a silently
+    ignored landing-zone file is a lost corpus shard); ``on_unknown=
+    "skip"`` opts into ignoring them (e.g. _SUCCESS markers)."""
+    if on_unknown not in ("error", "skip"):
+        raise ValueError(f"on_unknown must be 'error' or 'skip': {on_unknown!r}")
+    matched = None
+    legs: list[DataFrame] = []
+    for leg, pat in _LEG_PATTERNS:
+        hit = F.col("path").rlike(pat)
+        matched = hit if matched is None else (matched | hit)
+        sub = batch.filter(hit)
+        if leg == "warc":
+            docs = warc_to_documents(parse_warc_files(sub, ("response",)))
+            if extract_html:
+                from ..operators.text import html_to_text
+
+                docs = html_to_text(docs)
+        elif leg == "wet":
+            docs = wet_to_documents(parse_warc_files(sub, ("conversion",)))
+        else:
+            parse = parse_tar_files if leg == "tar" else parse_zip_files
+            parsed = parse(sub, archive_pattern, max_member_bytes)
+            docs = _archive_docs(
+                parsed.select(
+                    F.xxhash64(
+                        F.concat_ws(":", F.col("archive"), F.col("member"))
+                    ).alias("doc_id"),
+                    "archive",
+                    "member",
+                    "text",
+                ),
+                leg,
+            )
+        legs.append(docs.withColumn("source", F.lit(leg)).select(*CORPUS_DOC_COLS))
+    if on_unknown == "error":
+        # column pruning keeps this a path-only scan, never the bytes
+        strays = [r["path"] for r in batch.filter(~matched).select("path").collect()]
+        if strays:
+            raise ValueError(
+                f"landing-zone files match no corpus shape: {strays[:5]} "
+                "(pass on_unknown='skip' to ignore non-corpus files)"
+            )
+    out = legs[0]
+    for leg_df in legs[1:]:
+        out = out.unionByName(leg_df)
+    if transform is not None:
+        out = transform(out)
+    out.write.mode("overwrite").parquet(f"{docs_out}/batch={batch_id}")
+
+
+def ingest_corpus_stream(
+    spark: SparkSession,
+    src_dir: str,
+    docs_out: str,
+    checkpoint: str | None = None,
+    extract_html: bool = True,
+    archive_pattern: str | None = ".txt",
+    max_member_bytes: int = 64 << 20,
+    transform=None,
+    max_files_per_trigger: int = 1,
+    path_glob: str | None = None,
+    available_now: bool = True,
+    on_unknown: str = "error",
+):
+    """Streaming twin of :func:`ingest_corpus` over ONE landing zone: a
+    directory where ``.warc.gz`` + ``.wet.gz`` + ``.tar.gz`` + ``.zip``
+    files all arrive → binaryFile readStream on the shared
+    :func:`..warc.binaryfile_ingest_stream` harness → per micro-batch
+    :func:`process_corpus_batch` dispatches each file to its shape's parse
+    leg and writes the unioned (doc_id, url, text, source) contract as
+    idempotent ``batch=<id>`` parquet. Replay equals batch by construction
+    — same parse stages, same id conventions, same single-decode guarantee
+    (``html_to_text`` on the warc leg only).
+
+    Files stay the parallelism axis (none of the containers is
+    offset-splittable); at 100 TB the landing zone is how crawl dumps
+    actually arrive, and each micro-batch's partition count is its file
+    count. ``available_now=True`` drains and returns the combined docs
+    frame; ``False`` tails the directory and returns the started query."""
+    from .warc import binaryfile_ingest_stream
+
+    def process(batch: DataFrame, bid: int) -> None:
+        process_corpus_batch(
+            batch,
+            bid,
+            docs_out,
+            extract_html,
+            archive_pattern,
+            max_member_bytes,
+            transform,
+            on_unknown,
+        )
+
+    return binaryfile_ingest_stream(
+        spark,
+        src_dir,
+        docs_out,
+        process,
+        empty_schema="doc_id long, url string, text string, source string",
+        checkpoint=checkpoint,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+        available_now=available_now,
+    )

@@ -167,8 +167,95 @@ def test_ingest_corpus_through_curation_funnel(spark, tmp_path):
     assert len(survivors) == 5
     # every leg is represented among survivors
     assert {r["source"] for r in survivors} == {"warc", "wet", "tar", "zip"}
-    # survivors carry the funnel's split assignment
-    assert all(r["split"] in ("train", "holdout") for r in survivors)
+    # survivors carry the funnel's split assignment (split_assign default
+    # labels; archive doc_ids hash the tmp_path, so WHICH label each doc
+    # gets varies per run — asserting membership, not placement. The r9
+    # version asserted ("train", "holdout") and passed only because that
+    # run's tmp_path hashed every survivor into "train".)
+    assert all(r["split"] in ("train", "val", "test") for r in survivors)
     stages = {r["stage"]: r["docs_kept"] for r in audit.collect()}
     assert stages["input"] == 7
     assert stages["url_gate"] == 5
+
+
+def test_ingest_corpus_stream_replay_equals_batch(spark, tmp_path):
+    """The UNIFIED streaming front door (round-9 verdict #6): one landing
+    zone where .warc.gz + .wet.gz + .tar.gz + .zip all arrive → an
+    availableNow drain over ingest_corpus_stream produces EXACTLY the
+    batch ingest_corpus rows (same ids, urls, text, source tags — same
+    parse stages by construction), one batch=<id> dir per file, and a
+    stray non-corpus file raises loudly unless on_unknown='skip'."""
+    import shutil
+
+    warc_dir, wet_dir, tar_dir, zip_dir = _write_fixtures(tmp_path)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for d in (warc_dir, wet_dir, tar_dir, zip_dir):
+        for p in d.iterdir():
+            shutil.copy(p, landing / p.name)
+
+    # batch side reads the SAME landing files via per-shape globs, so
+    # path-derived ids/urls are byte-identical across the two paths
+    batch = corpussrc.ingest_corpus(
+        spark,
+        warc_dir=str(landing / "*.warc.gz"),
+        wet_dir=str(landing / "*.wet.gz"),
+        tar_dir=str(landing / "*.tar.gz"),
+        zip_dir=str(landing / "*.zip"),
+    )
+
+    def key(rows):
+        return sorted((r["doc_id"], r["url"], r["text"], r["source"]) for r in rows)
+
+    expected = key(batch.collect())
+    assert len(expected) == 7  # 2 warc + 2 wet + 2 tar + 1 zip
+
+    docs_out = tmp_path / "stream_docs"
+    streamed = corpussrc.ingest_corpus_stream(
+        spark,
+        str(landing),
+        str(docs_out),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert list(streamed.columns) == list(corpussrc.CORPUS_DOC_COLS)
+    assert key(streamed.collect()) == expected
+    # one micro-batch per landing file (maxFilesPerTrigger=1)
+    assert sum(1 for p in docs_out.iterdir() if p.name.startswith("batch=")) == 4
+
+    # a second drain with the SAME checkpoint does not double-count
+    again = corpussrc.ingest_corpus_stream(
+        spark, str(landing), str(docs_out), checkpoint=str(tmp_path / "ckpt")
+    )
+    assert key(again.collect()) == expected
+
+
+def test_ingest_corpus_stream_stray_file_and_skip(spark, tmp_path):
+    """Unknown landing-zone files are a LOST CORPUS SHARD by default
+    (loud error through the stream); on_unknown='skip' opts into
+    ignoring visible non-corpus files (sidecar manifests and the like;
+    _-prefixed markers such as _SUCCESS are already invisible to Spark's
+    file sources)."""
+    warc_dir, _, _, _ = _write_fixtures(tmp_path)
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    import shutil
+
+    for p in warc_dir.iterdir():
+        shutil.copy(p, landing / p.name)
+    # NOTE: Spark file sources silently skip "_"/"."-prefixed names
+    # (metadata convention), so _SUCCESS markers never even reach the
+    # batch — the stray here must be a visible file
+    (landing / "notes.json").write_bytes(b"{}")
+
+    with pytest.raises(Exception, match="match no corpus shape"):
+        corpussrc.ingest_corpus_stream(
+            spark, str(landing), str(tmp_path / "out_err")
+        )
+    skipped = corpussrc.ingest_corpus_stream(
+        spark,
+        str(landing),
+        str(tmp_path / "out_ok"),
+        on_unknown="skip",
+    )
+    rows = skipped.collect()
+    assert len(rows) == 2 and all(r["source"] == "warc" for r in rows)
