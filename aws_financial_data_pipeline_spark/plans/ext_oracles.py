@@ -954,10 +954,23 @@ EXT_ORACLES: dict[str, str] = {
              1 + CASE WHEN ('0x' || substr(md5(f.doc_id::VARCHAR || ':' || d.source), 1, 8))::BIGINT
                            % 1000000 < 500000 THEN 1 ELSE 0 END AS _n
       FROM flags f JOIN documents d USING (doc_id)
+    ),
+    -- host-provenance blocklist gate (round-10): host synthesized from
+    -- (doc_id, source) exactly as the Spark side builds its URL; kept iff
+    -- NO blocklist entry matches exact-or-at-a-dot-boundary (the
+    -- filter_blocked_hosts suffix semantics)
+    hk AS (
+      SELECT doc_id,
+             NOT EXISTS (
+               SELECT 1 FROM (VALUES ('src3.org'), ('h4.src11.org')) b(domain)
+               WHERE ('h' || CAST(d.doc_id % 7 AS VARCHAR) || '.' || d.source || '.org') = b.domain
+                  OR ('h' || CAST(d.doc_id % 7 AS VARCHAR) || '.' || d.source || '.org') LIKE '%.' || b.domain
+             ) AS host_kept
+      FROM documents d
     )
     SELECT doc_id, source, u.k AS epoch, lang_pred, quality_score, bucket,
-           split, in_sample, in_quota, in_weighted
-    FROM exp, LATERAL UNNEST(range(_n)) AS u(k)
+           split, in_sample, in_quota, in_weighted, host_kept
+    FROM exp JOIN hk USING (doc_id), LATERAL UNNEST(range(_n)) AS u(k)
     """,
     # tumbling + sliding consolidated (round-1 x14+x15); decimal value sums
     # (exact on the 2-decimal grid; round(sum(double),2) is order-dependent)

@@ -828,7 +828,13 @@ def x32_corpus_curation(spark, sf_dir):
     iff md5(id:source) lands under the 0.5 fraction. The PLANNING side
     (water-filling) is driver math gated by hypothesis in
     tests/test_mixture.py; this slot oracle-gates the distributed
-    materialization, which is the part that runs against the corpus)."""
+    materialization, which is the part that runs against the corpus).
+    Round-10 folds in the host-provenance blocklist gate as the
+    ``host_kept`` column (registry at the 50-slot cap — the x28 multi-leg
+    rule): filter_blocked_hosts in its DataFrame-blocklist form (suffix
+    explode → broadcast semi-join), hosts synthesized from (doc_id %% 7,
+    source), blocklist exercising BOTH match branches (``src3.org`` hits
+    at a dot boundary, ``h4.src11.org`` exactly)."""
     from ..operators import dedup, mixture, sampling, text
 
     docs = _docs(spark, sf_dir)
@@ -874,9 +880,39 @@ def x32_corpus_curation(spark, sf_dir):
         domain_col="source",
         id_col="doc_id",
     )
+    # round-10: the host-provenance blocklist gate joins the checked slot
+    # (the registry sits at the driver's 50-key cap, so r9's
+    # filter_blocked_hosts folds in here rather than taking a new slot —
+    # the x28 multi-leg pattern). DataFrame blocklist form on purpose:
+    # that's the scale path (per-doc host → dot-boundary suffix explode →
+    # broadcast semi-join). Hosts are synthesized deterministically from
+    # (doc_id, source) since the documents table carries no URL; the
+    # oracle recomputes the exact-or-subdomain semantics via EXISTS.
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("."),
+            F.col("source"),
+            F.lit(".org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame([("src3.org",), ("h4.src11.org",)], "domain string")
+    kept_hosts = (
+        text.filter_blocked_hosts(urls, bl)
+        .select("doc_id")
+        .withColumn("_hk", F.lit(True))
+    )
+    out = (
+        out.join(kept_hosts, "doc_id", "left")
+        .withColumn("host_kept", F.coalesce(F.col("_hk"), F.lit(False)))
+        .drop("_hk")
+    )
     return out.select(
         "doc_id", "source", "epoch", "lang_pred", "quality_score", "bucket",
-        "split", "in_sample", "in_quota", "in_weighted",
+        "split", "in_sample", "in_quota", "in_weighted", "host_kept",
     )
 
 
