@@ -132,37 +132,22 @@ _LEG_PATTERNS = (
 )
 
 
-def process_corpus_batch(
+def corpus_batch_frame(
     batch: DataFrame,
-    batch_id: int,
-    docs_out: str,
     extract_html: bool = True,
     archive_pattern: str | None = ".txt",
     max_member_bytes: int = 64 << 20,
-    transform=None,
-    on_unknown: str = "error",
-) -> None:
-    """One micro-batch of the unified streaming front door: a binaryFile
-    (path, content) frame whose files may be ANY mix of the four container
-    shapes → per-extension dispatch onto the SAME per-leg parse stages the
-    batch :func:`ingest_corpus` composes (a foreachBatch frame is a plain
-    DataFrame, so the batch operators apply verbatim) → one unioned
-    corpus-contract frame → ``batch=<id>``-keyed OVERWRITE parquet
-    (idempotent per batch_id — the streaming/dedup.py exactly-once
-    file-sink recipe). Module-level so fault-injection tests can drive
-    single batches directly.
-
-    Files matching NO leg pattern raise loudly by default (a silently
-    ignored landing-zone file is a lost corpus shard); ``on_unknown=
-    "skip"`` opts into ignoring them (e.g. _SUCCESS markers)."""
-    if on_unknown not in ("error", "skip"):
-        raise ValueError(f"on_unknown must be 'error' or 'skip': {on_unknown!r}")
-    matched = None
+) -> DataFrame:
+    """The dispatch+parse+union plan of one landing-zone micro-batch,
+    exposed as a plain frame so tests can assert its SHAPE (shuffle-free:
+    four filter → Arrow-parse legs over one binaryFile scan, plan-level
+    union, no Exchange anywhere): any (path, content) frame whose files
+    may be ANY mix of the four container shapes → per-extension dispatch
+    onto the SAME per-leg parse stages the batch :func:`ingest_corpus`
+    composes → the unioned corpus contract."""
     legs: list[DataFrame] = []
     for leg, pat in _LEG_PATTERNS:
-        hit = F.col("path").rlike(pat)
-        matched = hit if matched is None else (matched | hit)
-        sub = batch.filter(hit)
+        sub = batch.filter(F.col("path").rlike(pat))
         if leg == "warc":
             docs = warc_to_documents(parse_warc_files(sub, ("response",)))
             if extract_html:
@@ -186,7 +171,42 @@ def process_corpus_batch(
                 leg,
             )
         legs.append(docs.withColumn("source", F.lit(leg)).select(*CORPUS_DOC_COLS))
+    out = legs[0]
+    for leg_df in legs[1:]:
+        out = out.unionByName(leg_df)
+    return out
+
+
+def process_corpus_batch(
+    batch: DataFrame,
+    batch_id: int,
+    docs_out: str,
+    extract_html: bool = True,
+    archive_pattern: str | None = ".txt",
+    max_member_bytes: int = 64 << 20,
+    transform=None,
+    on_unknown: str = "error",
+) -> None:
+    """One micro-batch of the unified streaming front door: a binaryFile
+    (path, content) frame → :func:`corpus_batch_frame` (dispatch + parse +
+    union; a foreachBatch frame is a plain DataFrame, so the batch
+    operators apply verbatim) → ``batch=<id>``-keyed OVERWRITE parquet
+    (idempotent per batch_id — the streaming/dedup.py exactly-once
+    file-sink recipe). Module-level so fault-injection tests can drive
+    single batches directly.
+
+    Files matching NO leg pattern raise loudly by default (a silently
+    ignored landing-zone file is a lost corpus shard); ``on_unknown=
+    "skip"`` opts into ignoring them (sidecar manifests and the like —
+    ``_``/``.``-prefixed markers such as _SUCCESS are already invisible
+    to Spark's file sources)."""
+    if on_unknown not in ("error", "skip"):
+        raise ValueError(f"on_unknown must be 'error' or 'skip': {on_unknown!r}")
     if on_unknown == "error":
+        matched = None
+        for _, pat in _LEG_PATTERNS:
+            hit = F.col("path").rlike(pat)
+            matched = hit if matched is None else (matched | hit)
         # column pruning keeps this a path-only scan, never the bytes
         strays = [r["path"] for r in batch.filter(~matched).select("path").collect()]
         if strays:
@@ -194,9 +214,7 @@ def process_corpus_batch(
                 f"landing-zone files match no corpus shape: {strays[:5]} "
                 "(pass on_unknown='skip' to ignore non-corpus files)"
             )
-    out = legs[0]
-    for leg_df in legs[1:]:
-        out = out.unionByName(leg_df)
+    out = corpus_batch_frame(batch, extract_html, archive_pattern, max_member_bytes)
     if transform is not None:
         out = transform(out)
     out.write.mode("overwrite").parquet(f"{docs_out}/batch={batch_id}")

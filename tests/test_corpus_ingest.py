@@ -259,3 +259,60 @@ def test_ingest_corpus_stream_stray_file_and_skip(spark, tmp_path):
     )
     rows = skipped.collect()
     assert len(rows) == 2 and all(r["source"] == "warc" for r in rows)
+
+
+def test_ingest_corpus_stream_transform_tail_host_gate(spark, tmp_path):
+    """The streaming front door composes with the curation machinery per
+    micro-batch: filter_blocked_hosts as the transform tail drops the
+    blocked-domain docs INSIDE each batch (so the landing zone's parquet
+    already holds only survivors), and host-less archive:// docs pass —
+    the same provenance rule the batch funnel applies."""
+    import shutil
+
+    from aws_financial_data_pipeline_spark.operators import text as textops
+
+    warc_dir, wet_dir, tar_dir, zip_dir = _write_fixtures(tmp_path)
+    landing = tmp_path / "landing3"
+    landing.mkdir()
+    for d in (warc_dir, wet_dir, tar_dir, zip_dir):
+        for p in d.iterdir():
+            shutil.copy(p, landing / p.name)
+
+    streamed = corpussrc.ingest_corpus_stream(
+        spark,
+        str(landing),
+        str(tmp_path / "gated_docs"),
+        checkpoint=str(tmp_path / "gated_ckpt"),
+        transform=lambda docs: textops.filter_blocked_hosts(
+            docs, ["blocked.example.com"]
+        ),
+    )
+    rows = streamed.collect()
+    # 7 docs in, the 2 blocked-domain ones (1 warc + 1 wet) dropped in-batch
+    assert len(rows) == 5
+    assert not any("blocked.example.com" in r["url"] for r in rows)
+    # archive docs (host-less provenance) all survived the gate
+    assert sum(1 for r in rows if r["url"].startswith("archive://")) == 3
+    assert {r["source"] for r in rows} == {"warc", "wet", "tar", "zip"}
+
+
+def test_corpus_batch_frame_is_shuffle_free(spark, tmp_path):
+    """The streaming front door's per-batch plan is four filter→Arrow-parse
+    legs over ONE binaryFile scan with a plan-level union — NO Exchange
+    anywhere (the shuffle-free-scan+parse claim, pinned). At 100 TB the
+    partition count of each micro-batch is its file count; a shuffle here
+    would serialize archive bytes across the cluster for nothing."""
+    warc_dir, wet_dir, tar_dir, zip_dir = _write_fixtures(tmp_path)
+    landing = tmp_path / "landing_plan"
+    landing.mkdir()
+    import shutil
+
+    for d in (warc_dir, wet_dir, tar_dir, zip_dir):
+        for p in d.iterdir():
+            shutil.copy(p, landing / p.name)
+    batch = spark.read.format("binaryFile").load(str(landing))
+    frame = corpussrc.corpus_batch_frame(batch)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # and the frame itself carries all four legs
+    assert {r["source"] for r in frame.collect()} == {"warc", "wet", "tar", "zip"}
