@@ -26,10 +26,15 @@ Per-leg semantics:
   ``archive://<archive>#<member>`` URL keeps provenance addressable and
   deliberately has NO host, so URL-domain gates (blocklist, domain-rank)
   PASS these docs — bundle releases carry no crawl provenance to judge.
+- **jsonl** (r10): ``.jsonl``/``.ndjson``(.gz) shards — the dominant
+  released-corpus interchange (C4/Pile/RedPajama shape); rows carry
+  their own text (+ optional url/id fields); URL-less rows get the
+  host-less ``jsonl://`` provenance, same gate-passing rule.
 
 ``doc_id`` spaces: warc/wet ids are ``xxhash64(url:record_id)``,
-tar/zip ids ``xxhash64(archive:member)`` — stable under re-ingest
-within a leg; the ``source`` column disambiguates lineage across legs.
+tar/zip ids ``xxhash64(archive:member)``, jsonl ids
+``xxhash64(path:id-or-lineno)`` — stable under re-ingest within a leg;
+the ``source`` column disambiguates lineage across legs.
 
 No counterpart in the reference engine (its only file source is the CSV
 upload, docker/lambda_function.py:58-95); built for the LLM-pipeline
@@ -41,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .jsonl import jsonl_to_documents, parse_jsonl_files, read_jsonl_corpus
 from .tar import parse_tar_files, parse_zip_files, read_tar_corpus, read_zip_corpus
 from .warc import (
     parse_warc_files,
@@ -72,6 +78,7 @@ def ingest_corpus(
     wet_dir: str | None = None,
     tar_dir: str | None = None,
     zip_dir: str | None = None,
+    jsonl_dir: str | None = None,
     extract_html: bool = True,
     archive_pattern: str | None = ".txt",
     max_member_bytes: int = 64 << 20,
@@ -111,9 +118,16 @@ def ingest_corpus(
                 "zip",
             )
         )
+    if jsonl_dir is not None:
+        legs.append(
+            read_jsonl_corpus(spark, jsonl_dir).withColumn(
+                "source", F.lit("jsonl")
+            )
+        )
     if not legs:
         raise ValueError(
-            "ingest_corpus needs at least one of warc_dir/wet_dir/tar_dir/zip_dir"
+            "ingest_corpus needs at least one of "
+            "warc_dir/wet_dir/tar_dir/zip_dir/jsonl_dir"
         )
     out = legs[0].select(*CORPUS_DOC_COLS)
     for leg in legs[1:]:
@@ -129,6 +143,7 @@ _LEG_PATTERNS = (
     ("wet", r"\.wet(\.gz)?$"),
     ("tar", r"\.(tar|tar\.gz|tgz)$"),
     ("zip", r"\.zip$"),
+    ("jsonl", r"\.(jsonl|ndjson)(\.gz)?$"),
 )
 
 
@@ -156,6 +171,8 @@ def corpus_batch_frame(
                 docs = html_to_text(docs)
         elif leg == "wet":
             docs = wet_to_documents(parse_warc_files(sub, ("conversion",)))
+        elif leg == "jsonl":
+            docs = jsonl_to_documents(parse_jsonl_files(sub))
         else:
             parse = parse_tar_files if leg == "tar" else parse_zip_files
             parsed = parse(sub, archive_pattern, max_member_bytes)

@@ -1,72 +1,132 @@
-"""JSONL (newline-delimited JSON) document source/sink.
+"""JSONL corpus source: ``.jsonl`` / ``.ndjson`` (optionally ``.gz``)
+document shards → the front-door contract (doc_id, url, text).
 
-The reference ingests only CSV (SURVEY §2.1 S1); a training-data pipeline's
-dominant wire format is JSONL — one document object per line, append-friendly,
-splittable. Same ingestion discipline as the CSV path:
+The dominant interchange format for released LLM corpora (C4, The Pile,
+RedPajama, most HF text datasets ship newline-delimited JSON, usually
+gzipped). Like the other archive sources, a ``.jsonl.gz`` shard is NOT
+offset-splittable (one gzip stream), and releases shard into many files
+sized for distribution — so the parallelism axis is FILES, and both the
+batch reader and the streaming leg ride the same (path, content) →
+Arrow-parse shape as :mod:`.tar` / :mod:`.warc` (one binaryFile task per
+shard, one Arrow stage, raw bytes dropped in-stage). Using one parse
+stage for batch AND stream also keeps the id convention byte-identical
+between the two paths (replay == batch), which ``spark.read.json`` +
+``input_file_name()`` would not guarantee across gzip/codec quirks.
 
-- **explicit schema, never inferSchema** — inference is a second full pass of
-  the data at scale and silently widens types between runs;
-- **PERMISSIVE mode with a ``_corrupt_record`` column** — malformed lines are
-  surfaced as rows, not dropped (and not a job failure: one bad line in a
-  100 TB crawl must not kill the job);
-- ``multiLine`` stays False: single-line objects are what makes JSONL
-  splittable — a multiline file is one unsplittable task.
+Field mapping: ``text_field`` is required per row; ``url_field`` /
+``id_field`` are optional. doc_id = xxhash64(path ‖ ':' ‖ id) with the
+row's id when present, else the 0-based line number — line numbers are
+stable for a fixed shard (shards are immutable release artifacts), so
+re-ingest is idempotent either way. Rows without a URL get the host-less
+``jsonl://<path>#L<lineno>`` provenance, which URL-domain gates PASS (the
+archive:// rule — bundle releases carry no crawl provenance to judge).
 
-The writer exists for round-trips and hand-offs; parquet remains the at-rest
-format (columnar pruning — JSONL always reads whole lines).
+Malformed JSON lines and rows missing ``text_field`` raise LOUDLY (a
+silently dropped line is a lost document; blank lines are the one
+tolerated artifact — trailing newlines are ubiquitous in real shards).
+
+No counterpart in the reference engine (its only file source is the CSV
+upload, docker/lambda_function.py:58-95); built for the LLM-pipeline
+brief.
 """
 
 from __future__ import annotations
 
+import gzip
+import json
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql import functions as F
 
-from .statements import CORRUPT_COL
-
-# engine-canonical document schema (mirrors the testdata documents table)
-DOC_SCHEMA = (
-    StructType()
-    .add("doc_id", "long")
-    .add("text", "string")
-    .add("lang", "string")
-    .add("source", "string")
-    .add("n_chars", "long")
-)
+JSONL_COLS = "path string, lineno long, rid string, url string, text string"
 
 
-def read_jsonl(
-    spark: SparkSession, path: str, schema: StructType | None = None
+def parse_jsonl_files(
+    files: DataFrame,
+    text_field: str = "text",
+    url_field: str = "url",
+    id_field: str = "id",
 ) -> DataFrame:
-    """Typed JSONL scan with corrupt lines kept in ``_corrupt_record``.
+    """The parse stage over any (path, content) frame — a binaryFile batch
+    read or one micro-batch of a stream: every non-blank line becomes one
+    row. Gzip is sniffed from the magic bytes (mixed plain/gz landing
+    zones parse with one stage). Returns (path, lineno, rid, url, text);
+    :func:`read_jsonl_corpus` maps that to the corpus contract."""
 
-    Clean rows have a NULL corrupt column; ``corrupt_lines`` below isolates
-    the rest. Callers drop the column once they've routed the bad lines.
+    def run(batches) -> Iterator:
+        import pandas as pd
 
-    The scan is cached: Spark forbids any query over a raw JSON/CSV scan
-    whose only referenced column is the corrupt-record column — which is
-    exactly what ``clean_docs(...).count()`` prunes down to (same
-    load-bearing cache as sources/statements.py corrupt_records; see NOTES).
-    """
-    import copy
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                for lineno, line in enumerate(raw.split(b"\n")):
+                    if not line.strip():
+                        continue  # trailing/blank lines: ubiquitous, benign
+                    try:
+                        obj = json.loads(line)
+                    except ValueError as e:
+                        raise ValueError(
+                            f"malformed JSONL line {lineno} in {fpath!r}: {e}"
+                        ) from e
+                    if not isinstance(obj, dict) or text_field not in obj:
+                        raise ValueError(
+                            f"JSONL line {lineno} in {fpath!r} has no "
+                            f"{text_field!r} field (a silently dropped line "
+                            "is a lost document)"
+                        )
+                    rid = obj.get(id_field)
+                    url = obj.get(url_field)
+                    rows.append(
+                        (
+                            fpath,
+                            lineno,
+                            None if rid is None else str(rid),
+                            None if url is None else str(url),
+                            str(obj[text_field]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "lineno", "rid", "url", "text"]
+            )
 
-    s = copy.deepcopy(schema or DOC_SCHEMA).add(CORRUPT_COL, "string", True)
-    return (
-        spark.read.schema(s)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-        .cache()
+    return files.select("path", "content").mapInPandas(run, JSONL_COLS)
+
+
+def jsonl_to_documents(parsed: DataFrame) -> DataFrame:
+    """(path, lineno, rid, url, text) → (doc_id, url, text): the id is
+    xxhash64(path:rid) when the shard carries ids, else
+    xxhash64(path:lineno) — both stable under re-ingest of the immutable
+    shard; URL-less rows get host-less ``jsonl://`` provenance."""
+    key = F.concat_ws(
+        ":",
+        F.col("path"),
+        F.coalesce(F.col("rid"), F.col("lineno").cast("string")),
+    )
+    url = F.coalesce(
+        F.col("url"),
+        F.concat(
+            F.lit("jsonl://"), F.col("path"), F.lit("#L"), F.col("lineno")
+        ),
+    )
+    return parsed.select(
+        F.xxhash64(key).alias("doc_id"), url.alias("url"), "text"
     )
 
 
-def clean_docs(raw: DataFrame) -> DataFrame:
-    return raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
-
-
-def corrupt_lines(raw: DataFrame) -> DataFrame:
-    """The malformed raw lines (the scan is already cached in read_jsonl)."""
-    return raw.filter(raw[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
-
-
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).json(path)
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    url_field: str = "url",
+    id_field: str = "id",
+) -> DataFrame:
+    """JSONL shards under ``path`` → (doc_id, url, text): one binaryFile
+    task per shard, one Arrow parse stage, no shuffle."""
+    files = spark.read.format("binaryFile").load(path)
+    return jsonl_to_documents(
+        parse_jsonl_files(files, text_field, url_field, id_field)
+    )

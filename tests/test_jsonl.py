@@ -1,45 +1,117 @@
-"""JSONL source (sources/jsonl.py): typed scan, corrupt-line surfacing,
-round-trip fidelity against the parquet documents table."""
+"""JSONL corpus source (round-10): the released-corpus interchange shape
+(.jsonl/.ndjson, optionally gzipped) → the front-door document contract,
+batch + landing-zone streaming, loud on malformed shards."""
 
 from __future__ import annotations
 
-from aws_financial_data_pipeline_spark.sources import jsonl
+import gzip
+import json
+
+import pytest
+
+from aws_financial_data_pipeline_spark.sources import corpus as corpussrc
+from aws_financial_data_pipeline_spark.sources import jsonl as jsonlsrc
 
 
-def test_roundtrip_matches_parquet(spark, tmp_path):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    out = str(tmp_path / "docs_jsonl")
-    jsonl.write_jsonl(docs, out)
-    back = jsonl.clean_docs(jsonl.read_jsonl(spark, out))
-    assert back.count() == docs.count()
-    assert set(back.columns) == set(docs.columns)
-    # exact content equality both directions
-    assert back.exceptAll(docs.select(*back.columns)).count() == 0
-    assert docs.select(*back.columns).exceptAll(back).count() == 0
+def _shard(rows) -> bytes:
+    return ("\n".join(json.dumps(r) for r in rows) + "\n").encode()
 
 
-def test_corrupt_lines_surfaced_not_dropped(spark, tmp_path):
-    p = tmp_path / "mixed.jsonl"
-    p.write_text(
-        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
-        "{this is not json}\n"
-        '{"doc_id": 2, "text": "also ok", "lang": "fr", "source": "s", "n_chars": 7}\n'
+def test_read_jsonl_corpus_plain_gz_ids_and_provenance(spark, tmp_path):
+    """One plain + one gzipped shard in one read (gzip sniffed per file
+    from magic bytes): rows with an id field key on xxhash64(path:id),
+    id-less rows fall back to the line number; rows with a url keep it,
+    URL-less rows get host-less jsonl://<path>#L<lineno> provenance."""
+    (tmp_path / "a.jsonl").write_bytes(
+        _shard(
+            [
+                {"id": "d1", "url": "https://a.example.com/1", "text": "Alpha doc."},
+                {"text": "Beta doc, no id no url."},
+            ]
+        )
     )
-    raw = jsonl.read_jsonl(spark, str(p))
-    assert jsonl.clean_docs(raw).count() == 2
-    bad = jsonl.corrupt_lines(raw).collect()
-    assert len(bad) == 1
-    assert "not json" in bad[0][0]
+    (tmp_path / "b.jsonl.gz").write_bytes(
+        gzip.compress(_shard([{"id": 7, "text": "Gamma doc from gz."}]))
+    )
+    docs = jsonlsrc.read_jsonl_corpus(spark, str(tmp_path))
+    rows = sorted(docs.collect(), key=lambda r: r["text"])
+    assert [r["text"] for r in rows] == [
+        "Alpha doc.",
+        "Beta doc, no id no url.",
+        "Gamma doc from gz.",
+    ]
+    assert rows[0]["url"] == "https://a.example.com/1"
+    # URL-less: host-less provenance with the line number
+    assert rows[1]["url"].startswith("jsonl://") and rows[1]["url"].endswith("#L1")
+    assert rows[2]["url"].endswith("#L0")
+    # ids unique and stable: a second read produces the same ids
+    ids = {r["doc_id"] for r in rows}
+    assert len(ids) == 3
+    again = {r["doc_id"] for r in jsonlsrc.read_jsonl_corpus(spark, str(tmp_path)).collect()}
+    assert again == ids
+    # non-string id values stringify (int 7 above), never crash
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
-def test_schema_is_exact_no_inference(spark, tmp_path):
-    p = tmp_path / "d.jsonl"
-    p.write_text('{"doc_id": 7, "text": "t", "lang": "en", "source": "s", "n_chars": 1}\n')
-    got = jsonl.clean_docs(jsonl.read_jsonl(spark, str(p)))
-    assert dict(got.dtypes) == {
-        "doc_id": "bigint",
-        "text": "string",
-        "lang": "string",
-        "source": "string",
-        "n_chars": "bigint",
-    }
+def test_jsonl_malformed_and_missing_text_raise_loudly(spark, tmp_path):
+    (tmp_path / "bad.jsonl").write_bytes(b'{"text": "ok"}\nnot json at all\n')
+    with pytest.raises(Exception, match="malformed JSONL line 1"):
+        jsonlsrc.read_jsonl_corpus(spark, str(tmp_path / "bad.jsonl")).collect()
+    (tmp_path / "miss.jsonl").write_bytes(b'{"body": "wrong field"}\n')
+    with pytest.raises(Exception, match="no 'text' field"):
+        jsonlsrc.read_jsonl_corpus(spark, str(tmp_path / "miss.jsonl")).collect()
+    # blank/trailing lines are the tolerated artifact
+    (tmp_path / "blank.jsonl").write_bytes(b'\n{"text": "kept"}\n\n\n')
+    assert (
+        jsonlsrc.read_jsonl_corpus(spark, str(tmp_path / "blank.jsonl")).count() == 1
+    )
+    # custom field mapping
+    (tmp_path / "fields.jsonl").write_bytes(
+        _shard([{"content": "mapped", "source_url": "https://m.example.com"}])
+    )
+    row = (
+        jsonlsrc.read_jsonl_corpus(
+            spark,
+            str(tmp_path / "fields.jsonl"),
+            text_field="content",
+            url_field="source_url",
+        )
+        .collect()[0]
+    )
+    assert row["text"] == "mapped" and row["url"] == "https://m.example.com"
+
+
+def test_ingest_corpus_jsonl_leg_batch_and_stream(spark, tmp_path):
+    """The fifth front-door leg: batch ingest_corpus(jsonl_dir=) tags
+    source='jsonl'; the landing-zone stream dispatches .jsonl.gz files
+    onto the same parse stage and replays to the identical rows."""
+    jd = tmp_path / "jsonl"
+    jd.mkdir()
+    (jd / "shard-0.jsonl.gz").write_bytes(
+        gzip.compress(
+            _shard(
+                [
+                    {"id": "s0-0", "text": "Stream shard zero doc zero."},
+                    {"id": "s0-1", "text": "Stream shard zero doc one."},
+                ]
+            )
+        )
+    )
+    (jd / "shard-1.ndjson").write_bytes(
+        _shard([{"text": "Shard one, ndjson spelling."}])
+    )
+    batch = corpussrc.ingest_corpus(spark, jsonl_dir=str(jd))
+    rows = batch.collect()
+    assert {r["source"] for r in rows} == {"jsonl"} and len(rows) == 3
+
+    def key(rs):
+        return sorted((r["doc_id"], r["url"], r["text"], r["source"]) for r in rs)
+
+    streamed = corpussrc.ingest_corpus_stream(
+        spark,
+        str(jd),
+        str(tmp_path / "docs_out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert key(streamed.collect()) == key(rows)
