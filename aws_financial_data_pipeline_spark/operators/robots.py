@@ -1,0 +1,204 @@
+"""robots.txt compliance gate (RFC 9309): drop documents whose fetch URL
+a host's robots rules disallow for a given crawler agent — the post-hoc
+opt-out sweep an LLM training pipeline runs over an already-collected
+corpus when robots policies arrive or change after the crawl (the
+"GPTBot/CCBot opt-out" shape).
+
+Two pieces:
+
+- :func:`parse_robots` — (host, robots_txt) rows → the flat rule table
+  (host, pattern, allow, plen, like_pat). One Arrow stage (robots.txt is
+  a line format; the rule table is tiny next to the corpus — a few rules
+  per host). RFC 9309 group semantics: consecutive ``User-agent`` lines
+  open a group whose Allow/Disallow rules bind to all named agents; the
+  MOST SPECIFIC matching group wins per host (an exact agent match
+  ignores the ``*`` groups entirely); multiple groups for the same agent
+  merge. Empty ``Disallow:`` is the allow-all idiom and emits no rule.
+  ``*`` wildcards and the ``$`` end anchor are translated to SQL LIKE
+  patterns (``%``-free prefix match otherwise), so the gate's hot path
+  needs no per-row regex compilation.
+
+- :func:`filter_robots_disallowed` / :func:`robots_verdicts` — the gate:
+  per-doc host + path parse (pure Catalyst), ONE broadcast join against
+  the per-host rule arrays, then higher-order expressions evaluate RFC
+  9309 precedence entirely JVM-side: among matching rules the LONGEST
+  pattern wins, ties go to ``allow`` (struct ordering gives both for
+  free: ``array_max(struct(plen, allow))``). Docs with a NULL /
+  unparseable URL, a host with no rules, or no matching rule PASS —
+  absence of evidence, the house blocklist convention.
+
+Shape at 100 TB: the corpus never shuffles — rule arrays broadcast
+(robots tables are ~|hosts| rows, each a handful of rules), the verdict
+is map-only. Patterns are matched against the URL path only (query
+strings are out of scope; percent-decoding is not applied — both
+documented simplifications of RFC 9309 §2.2.2).
+
+No counterpart in the reference engine; built for the LLM-pipeline
+brief's curation surface next to the URL/host blocklist gates
+(text.py:filter_blocked_domains/filter_blocked_hosts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RULE_COLS = "host string, pattern string, allow boolean, plen int, like_pat string"
+
+
+def _like_pattern(pattern: str) -> str:
+    """robots.txt pattern → SQL LIKE pattern (ESCAPE '\\'): ``*`` → ``%``,
+    a trailing ``$`` anchors the end (no trailing ``%``), everything else
+    is literal (``%``/``_``/``\\`` escaped). Prefix semantics otherwise —
+    LIKE matches whole strings, so an unanchored pattern gets ``%``."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if not anchored:
+        out.append("%")
+    return "".join(out)
+
+
+def _parse_one(text: str, agent: str) -> "list[tuple[str, bool]]":
+    """RFC 9309 group selection for one robots.txt body: returns the
+    (pattern, allow) rules of the most specific group set matching
+    ``agent`` (exact match preferred, else ``*``; same-agent groups
+    merge). Lines are ``field: value`` with ``#`` comments; unknown
+    fields (Crawl-delay, Sitemap) are ignored."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_agent_run = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip().lstrip("﻿")
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:  # a new group starts
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_agent_run = True
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_agent_run = False
+            if not cur_agents:
+                continue  # rules before any user-agent line: undefined, skip
+            if value == "":
+                continue  # empty Disallow = allow-all idiom; no rule
+            cur_rules.append((value, field == "allow"))
+        else:
+            in_agent_run = False  # any other field ends an agent run
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    exact = [r for agents, rules in groups if agent in agents for r in rules]
+    if any(agent in agents for agents, _ in groups):
+        return exact
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+def parse_robots(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) rows → the flat rule table (host, pattern,
+    allow, plen, like_pat) for ``agent``. Hosts whose robots.txt yields
+    no rules for the agent emit nothing (the gate treats absent rules as
+    allow-all)."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for pattern, allow in _parse_one(str(text), agent):
+                    rows.append(
+                        (
+                            None if host is None else str(host).lower(),
+                            pattern,
+                            allow,
+                            len(pattern),
+                            _like_pattern(pattern),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["host", "pattern", "allow", "plen", "like_pat"]
+            )
+
+    return robots.select(host_col, text_col).mapInPandas(run, RULE_COLS)
+
+
+def robots_verdicts(
+    docs: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """The audit form: input docs plus ``robots_allowed`` (boolean) and
+    ``robots_rule`` (the winning pattern, NULL when no rule matched).
+    RFC 9309 precedence — longest matching pattern wins, tie → allow —
+    via one broadcast join and JVM-side higher-order expressions; the
+    corpus never shuffles."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("like_pat", "plen", "allow", "pattern")).alias(
+            "_rules"
+        )
+    )
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    joined = (
+        docs.withColumn("_h", host)
+        .withColumn("_p", F.coalesce(path, F.lit("/")))
+        .join(F.broadcast(per_host), F.col("_h") == per_host["host"], "left")
+        .drop(per_host["host"])
+    )
+    # matching rules → winner by (plen, allow): struct ordering compares
+    # plen first, then allow (true > false — exactly the RFC tie rule)
+    winner = F.expr(
+        "array_max(transform("
+        "  filter(_rules, r -> _p LIKE r.like_pat ESCAPE '\\\\'),"
+        "  r -> struct(r.plen AS plen, r.allow AS allow, r.pattern AS pattern)))"
+    )
+    return (
+        joined.withColumn("_w", winner)
+        .withColumn(
+            "robots_allowed",
+            F.when(F.col("_rules").isNull(), F.lit(True))  # no rules for host
+            .when(F.col("_w").isNull(), F.lit(True))  # no rule matched
+            .otherwise(F.col("_w.allow")),
+        )
+        .withColumn("robots_rule", F.col("_w.pattern"))
+        .drop("_h", "_p", "_rules", "_w")
+    )
+
+
+def filter_robots_disallowed(
+    docs: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep only documents the rule table allows (see
+    :func:`robots_verdicts`); schema-preserving."""
+    return (
+        robots_verdicts(docs, rules, url_col)
+        .filter(F.col("robots_allowed"))
+        .drop("robots_allowed", "robots_rule")
+    )

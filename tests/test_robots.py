@@ -1,0 +1,149 @@
+"""robots.txt compliance gate (RFC 9309): parser group semantics, the
+longest-match/tie-to-allow precedence, wildcard + $ anchor translation,
+and the broadcast-join gate over a corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import robots as rb
+
+
+ROBOTS_A = """
+# comments ignored
+User-agent: GPTBot
+Disallow: /private
+Allow: /private/ok
+
+User-agent: *
+Disallow: /secret
+Sitemap: https://a.example.com/sitemap.xml
+"""
+
+ROBOTS_B = """
+User-agent: *
+Disallow: /tmp*
+Disallow: /exact$
+"""
+
+ROBOTS_EMPTY_DISALLOW = """
+User-agent: *
+Disallow:
+"""
+
+ROBOTS_MERGED = """
+User-agent: gptbot
+Disallow: /one
+
+User-agent: GPTBot
+User-agent: otherbot
+Disallow: /two
+"""
+
+
+def _rules(spark, pairs, agent="*"):
+    return rb.parse_robots(
+        spark.createDataFrame(pairs, "host string, robots_txt string"), agent
+    )
+
+
+def test_parse_robots_group_selection_and_merging(spark):
+    # exact agent match IGNORES the * group entirely
+    got = {
+        (r["pattern"], r["allow"])
+        for r in _rules(spark, [("a.example.com", ROBOTS_A)], "GPTBot").collect()
+    }
+    assert got == {("/private", False), ("/private/ok", True)}
+    # an agent with no exact group falls back to *
+    got = {
+        (r["pattern"], r["allow"])
+        for r in _rules(spark, [("a.example.com", ROBOTS_A)], "CCBot").collect()
+    }
+    assert got == {("/secret", False)}
+    # same-agent groups merge (case-insensitive agent names); multi-agent
+    # runs bind the rules to every named agent
+    got = {
+        r["pattern"]
+        for r in _rules(spark, [("m.example.com", ROBOTS_MERGED)], "GPTBot").collect()
+    }
+    assert got == {"/one", "/two"}
+    assert {
+        r["pattern"]
+        for r in _rules(spark, [("m.example.com", ROBOTS_MERGED)], "OtherBot").collect()
+    } == {"/two"}
+    # empty Disallow = allow-all → zero rules
+    assert _rules(spark, [("e.example.com", ROBOTS_EMPTY_DISALLOW)]).count() == 0
+
+
+def test_like_pattern_translation():
+    assert rb._like_pattern("/private") == "/private%"
+    assert rb._like_pattern("/tmp*") == "/tmp%%"  # robots * → %, then prefix %
+    assert rb._like_pattern("/exact$") == "/exact"  # anchored: no trailing %
+    assert rb._like_pattern("/a_b%c") == "/a\\_b\\%c%"  # LIKE metachars escaped
+
+
+def test_robots_gate_precedence_and_pass_rules(spark):
+    rules = _rules(
+        spark,
+        [("a.example.com", ROBOTS_A), ("b.example.com", ROBOTS_B)],
+        agent="GPTBot",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/private/x"),  # disallowed (/private)
+            (2, "https://a.example.com/private/ok/page"),  # ALLOW wins (longer)
+            (3, "https://a.example.com/public"),  # no rule matches → pass
+            (4, "https://norobots.example.com/anything"),  # no rules host → pass
+            (5, None),  # NULL url → pass
+            (6, "https://a.example.com"),  # no path → "/" → pass
+        ],
+        "doc_id long, url string",
+    )
+    v = {r["doc_id"]: r for r in rb.robots_verdicts(docs, rules).collect()}
+    assert not v[1]["robots_allowed"] and v[1]["robots_rule"] == "/private"
+    assert v[2]["robots_allowed"] and v[2]["robots_rule"] == "/private/ok"
+    assert all(v[i]["robots_allowed"] for i in (3, 4, 5, 6))
+    assert v[3]["robots_rule"] is None
+    kept = rb.filter_robots_disallowed(docs, rules)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4, 5, 6]
+    assert kept.columns == docs.columns  # schema-preserving
+
+
+def test_robots_gate_wildcards_anchor_and_tie(spark):
+    rules = _rules(spark, [("b.example.com", ROBOTS_B)], agent="GPTBot")
+    docs = spark.createDataFrame(
+        [
+            (1, "https://b.example.com/tmp/file"),  # /tmp* blocks
+            (2, "https://b.example.com/tmpX"),  # /tmp* blocks (wildcard)
+            (3, "https://b.example.com/exact"),  # /exact$ blocks exactly
+            (4, "https://b.example.com/exactly"),  # $ anchor: NOT blocked
+        ],
+        "doc_id long, url string",
+    )
+    v = {r["doc_id"]: r["robots_allowed"] for r in rb.robots_verdicts(docs, rules).collect()}
+    assert v == {1: False, 2: False, 3: False, 4: True}
+    # tie at equal pattern length goes to ALLOW (RFC 9309 §2.2.2)
+    tie = spark.createDataFrame(
+        [("t.example.com", "/same", True, 5, "/same%"),
+         ("t.example.com", "/same", False, 5, "/same%")],
+        "host string, pattern string, allow boolean, plen int, like_pat string",
+    )
+    doc = spark.createDataFrame([(1, "https://t.example.com/same/x")], "doc_id long, url string")
+    assert rb.robots_verdicts(doc, tie).collect()[0]["robots_allowed"]
+
+
+def test_robots_gate_is_broadcast_and_map_only(spark):
+    """The corpus side never shuffles: per-host rule arrays broadcast in,
+    the verdict is higher-order-expression map work. The only Exchange in
+    the plan belongs to the tiny rules aggregation, never the docs."""
+    rules = _rules(spark, [("a.example.com", ROBOTS_A)], agent="GPTBot")
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://a.example.com/private/"), F.col("id")).alias("url"),
+    )
+    out = rb.filter_robots_disallowed(docs, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert out.count() == 0  # everything under /private without /ok
