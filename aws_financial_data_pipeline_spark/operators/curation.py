@@ -59,6 +59,7 @@ def curation_funnel(
     extract_html: bool = False,
     domain_ranks: "DataFrame | None" = None,
     domain_rank_threshold: float = 0.0,
+    robots_rules: "DataFrame | None" = None,
     url_col: str = "url",
 ) -> tuple[DataFrame, ...]:
     """Run the standard curation pipeline; returns ``(corpus, audit)``.
@@ -104,6 +105,14 @@ def curation_funnel(
     crawl's long tail is mostly unranked. Audited as stage
     ``domain_rank_gate``; ledger reason ``domain_rank<τ``. Requires
     ``url_col`` on ``docs``.
+
+    ``robots_rules`` (a :func:`..robots.parse_robots` rule table for the
+    pipeline's crawler agent) adds the RFC 9309 compliance gate between
+    the blocklist and the rank gate — docs whose fetch URL the host's
+    robots rules disallow drop (the post-hoc opt-out sweep). Broadcast +
+    map-only like the other URL gates; NULL-url / unknown-host / no-match
+    docs PASS. Audited as stage ``robots_gate``; ledger reason
+    ``robots_disallow``. Requires ``url_col`` on ``docs``.
 
     ``extract_html=True`` inserts :func:`..text.html_to_text` AFTER the URL
     gate (the gate's regexp reads URLs anywhere in raw markup, including
@@ -216,6 +225,23 @@ def curation_funnel(
             .join(new.select(id_col), id_col, "left_anti")
             .select(id_col, F.lit(stage).alias("stage"), reason_col.alias("reason"))
         )
+
+    if robots_rules is not None:
+        # RFC 9309 opt-out sweep: between the blocklist and the rank gate
+        # (all three are URL-level broadcast rules that belong before any
+        # content shuffle). NULL-url / unknown-host / no-match docs pass.
+        if url_col not in docs.columns:
+            raise ValueError(
+                f"robots_rules needs a {url_col!r} column on docs "
+                "(pass url_col= to name it)"
+            )
+        from .robots import filter_robots_disallowed
+
+        prev = docs
+        cur = _stage(filter_robots_disallowed(docs, robots_rules, url_col=url_col))
+        stages.append(("robots_gate", cur))
+        _gone(prev, cur, "robots_gate", "robots_disallow")
+        docs = cur
 
     if domain_ranks is not None:
         # URL-trust gate right after the blocklist (both are URL-level

@@ -730,3 +730,81 @@ def test_pretraining_pipeline_forwards_domain_ranks(spark):
     led = {r["doc_id"]: (r["stage"], r["reason"]) for r in out["ledger"].collect()}
     assert led[2] == ("domain_rank_gate", "domain_rank<0.1")
     assert 2 not in {r["doc_id"] for r in out["corpus"].collect()}
+
+
+def test_funnel_robots_gate(spark):
+    """robots_rules= adds the RFC 9309 opt-out sweep between the blocklist
+    and the rank gate: disallowed fetch URLs drop with a robots_disallow
+    ledger row; an Allow override and unknown hosts pass; stage order is
+    url_gate < robots_gate < domain_rank_gate < content stages; a missing
+    url column raises."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators import robots as rb
+
+    rules = rb.parse_robots(
+        spark.createDataFrame(
+            [
+                (
+                    "opted.example",
+                    "User-agent: trainbot\nDisallow: /private\nAllow: /private/ok\n",
+                )
+            ],
+            "host string, robots_txt string",
+        ),
+        agent="trainbot",
+    )
+    ranks = spark.createDataFrame(
+        [("opted.example", 0.4), ("good.example", 0.4)], "node string, rank double"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, GOOD1, "https://good.example/a"),
+            (2, GOOD3, "https://opted.example/private/x"),  # disallowed
+            # docs 3/4 need texts lexically FAR from 1/2 — the funnel's
+            # minhash stage would otherwise eat them as near-dups
+            (
+                3,
+                "Mountain weather changes quickly as the afternoon storm "
+                "builds over the high ridge line. Hikers check the forecast "
+                "and pack the extra layers before the long climb starts. "
+                "The trail report warns about late snow near the summit "
+                "pass this early season. Rangers update the notice board "
+                "with every significant overnight change in conditions.",
+                "https://opted.example/private/ok/y",
+            ),
+            (
+                4,
+                "The harbor market opens before sunrise when the fishing "
+                "boats return with the night catch. Vendors arrange crates "
+                "of ice and call the first prices across the quay. "
+                "Restaurant buyers sample the catch and negotiate the "
+                "morning rates quickly. By midday the stalls are washed "
+                "down and the auction hall stands quiet again.",
+                "https://unknown.example/z",
+            ),
+        ],
+        "doc_id long, text string, url string",
+    )
+    corpus, audit, ledger = curation.curation_funnel(
+        docs,
+        robots_rules=rules,
+        domain_ranks=ranks,
+        domain_rank_threshold=0.1,
+        rule_mode="any",
+        with_ledger=True,
+    )
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["input"] == 4 and a["robots_gate"] == 3
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+    assert led[2] == ("robots_gate", "robots_disallow")
+    out = {r["doc_id"] for r in corpus.collect()}
+    assert 2 not in out and {1, 3, 4} <= out  # allow-override + unknown pass
+    order = [r["stage"] for r in audit.collect()]
+    assert (
+        order.index("robots_gate")
+        < order.index("domain_rank_gate")
+        < order.index("exact_dedup")
+    )
+    with pytest.raises(ValueError, match="url"):
+        curation.curation_funnel(docs.drop("url"), robots_rules=rules)
