@@ -147,3 +147,77 @@ def test_robots_gate_is_broadcast_and_map_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert out.count() == 0  # everything under /private without /ok
+
+
+def test_robots_empty_inputs_and_forwarding(spark):
+    """Robustness sweep (the r8 empty-input convention) + capstone
+    forwarding: an empty rule table passes everything; parse_robots over
+    an empty / NULL-text robots frame yields zero rules; rules for an
+    agent with no groups yield zero rules; pretraining_pipeline forwards
+    robots_rules through **funnel_kwargs with the ledger reason intact."""
+    from aws_financial_data_pipeline_spark.operators import curation
+
+    empty_rules = rb.parse_robots(
+        spark.createDataFrame([], "host string, robots_txt string")
+    )
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/private/x")], "doc_id long, url string"
+    )
+    assert rb.filter_robots_disallowed(docs, empty_rules).count() == 1
+    # NULL robots_txt rows contribute nothing
+    assert (
+        rb.parse_robots(
+            spark.createDataFrame(
+                [("h.example", None)], "host string, robots_txt string"
+            )
+        ).count()
+        == 0
+    )
+    # agent with no matching group and no * group → zero rules
+    assert (
+        rb.parse_robots(
+            spark.createDataFrame(
+                [("h.example", "User-agent: otherbot\nDisallow: /x\n")],
+                "host string, robots_txt string",
+            ),
+            agent="trainbot",
+        ).count()
+        == 0
+    )
+    # capstone forwarding: the opted-out doc drops inside
+    # pretraining_pipeline with the robots_gate ledger row
+    rules = rb.parse_robots(
+        spark.createDataFrame(
+            [("opted.example", "User-agent: *\nDisallow: /no\n")],
+            "host string, robots_txt string",
+        )
+    )
+    body1 = (
+        "The research method chapter presents the analysis and the evidence "
+        "in detail. The result supports the theory with history and culture "
+        "in the context. Science is the method of the chapter and the "
+        "analysis of the result. The survey section reviews the evidence "
+        "and the standard literature again. The final chapter states the "
+        "conclusion and the broader theory clearly."
+    )
+    body2 = (
+        "Mountain weather changes quickly as the afternoon storm builds "
+        "over the high ridge line. Hikers check the forecast and pack the "
+        "extra layers before the long climb starts. The trail report warns "
+        "about late snow near the summit pass this early season. Rangers "
+        "update the notice board with every significant overnight change."
+    )
+    corpus_docs = spark.createDataFrame(
+        [
+            (1, body1, "https://ok.example/a", "web"),
+            (2, body2, "https://opted.example/no/page", "web"),
+        ],
+        "doc_id long, text string, url string, source string",
+    )
+    out = curation.pretraining_pipeline(
+        corpus_docs, num_merges=20, robots_rules=rules, with_ledger=True
+    )
+    a = {r["stage"]: r["docs_kept"] for r in out["audit"].collect()}
+    assert a["robots_gate"] == 1
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in out["ledger"].collect()}
+    assert led[2] == ("robots_gate", "robots_disallow")
