@@ -130,3 +130,65 @@ def read_jsonl_corpus(
     return jsonl_to_documents(
         parse_jsonl_files(files, text_field, url_field, id_field)
     )
+
+
+def write_jsonl_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    num_shards: int | None = None,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+    compress: bool = True,
+) -> None:
+    """The RELEASE direction: write a curated corpus as ``.jsonl(.gz)``
+    shards — the interchange shape downstream consumers (HF datasets,
+    other training stacks) actually load. Rows become ``{"id", "url",
+    "text"}`` objects via Spark's native JSON sink (whole-stage codegen
+    serialization, gzip codec in the writer — no Python in the path);
+    ``num_shards`` range-partitions by ``id_col`` first, so shard
+    membership AND within-shard order are deterministic functions of the
+    ids (re-running a release reproduces byte-identical shard contents,
+    modulo gzip mtime headers — the reproducible-release property
+    :func:`..operators.sampling.shard_manifest` certifies for parquet
+    shards).
+
+    Re-ingesting a release with :func:`read_jsonl_corpus` re-keys doc_ids
+    into the jsonl id space (``xxhash64(path:id)``) BY DESIGN — ids are
+    provenance-scoped per container, the front-door convention; the
+    round-trip invariant is (url, text) content equality plus id
+    STABILITY across re-reads, and the original key survives in the
+    ``id`` field.
+
+    Shards are renamed ``part-*.json(.gz)`` → ``part-*.jsonl(.gz)`` after
+    the write (one driver-side FS rename per shard — shard count, not
+    data), so a release directory drops straight into the streaming
+    landing zone's ``.jsonl(.gz)`` dispatch; bare ``.json`` stays
+    reserved for sidecar metadata there."""
+    out = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("text"),
+    )
+    if num_shards is not None:
+        out = out.repartitionByRange(num_shards, F.col("id")).sortWithinPartitions(
+            "id"
+        )
+    writer = out.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(out_dir)
+    spark = docs.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dir_path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = dir_path.getFileSystem(conf)
+    for status in fs.listStatus(dir_path):
+        name = status.getPath().getName()
+        if ".json" in name and ".jsonl" not in name:
+            fs.rename(
+                status.getPath(),
+                jvm.org.apache.hadoop.fs.Path(
+                    dir_path, name.replace(".json", ".jsonl", 1)
+                ),
+            )

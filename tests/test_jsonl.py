@@ -115,3 +115,60 @@ def test_ingest_corpus_jsonl_leg_batch_and_stream(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
     )
     assert key(streamed.collect()) == key(rows)
+
+
+def test_write_jsonl_corpus_release_roundtrip(spark, tmp_path):
+    """The release sink: curated docs → .jsonl.gz shards that re-ingest
+    through read_jsonl_corpus AND the streaming landing zone. Round-trip
+    invariant: (url, text) content equality + the original key preserved
+    in the id field + deterministic sharding (two writes produce the same
+    file->rows assignment); re-keyed doc_ids are stable across re-reads."""
+    docs = spark.createDataFrame(
+        [
+            (101, "https://a.example.com/1", "Release doc one."),
+            (202, "https://a.example.com/2", "Release doc two."),
+            (303, None, "Release doc three, no url."),
+            (404, "https://b.example.com/4", "Release doc four."),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = tmp_path / "release"
+    jsonlsrc.write_jsonl_corpus(docs, str(out), num_shards=2)
+    names = sorted(p.name for p in out.iterdir() if not p.name.startswith(("_", ".")))
+    assert len(names) == 2 and all(n.endswith(".jsonl.gz") for n in names)
+
+    back = jsonlsrc.read_jsonl_corpus(spark, str(out))
+    rows = back.collect()
+    # content round-trips; the original key rides in the id field and is
+    # recoverable from provenance-scoped re-keyed ids
+    assert {(r["url"], r["text"]) for r in rows if r["url"] and not r["url"].startswith("jsonl://")} == {
+        ("https://a.example.com/1", "Release doc one."),
+        ("https://a.example.com/2", "Release doc two."),
+        ("https://b.example.com/4", "Release doc four."),
+    }
+    assert sum(1 for r in rows if (r["url"] or "").startswith("jsonl://")) == 1
+    ids1 = {r["doc_id"] for r in rows}
+    assert len(ids1) == 4
+    # deterministic release: a second write is file-for-file identical
+    # in row assignment (gzip headers may differ; compare decompressed)
+    import gzip as _gz
+
+    def contents(d):
+        # shard names embed a per-write uuid (part-00000-<uuid>-c000);
+        # determinism is about the INDEX -> rows assignment
+        return {
+            p.name[:10]: _gz.decompress(p.read_bytes())
+            for p in d.iterdir()
+            if p.name.endswith(".jsonl.gz")
+        }
+    first = contents(out)
+    jsonlsrc.write_jsonl_corpus(docs, str(out), num_shards=2)
+    assert contents(out) == first
+    # and the release drops straight into the streaming landing zone
+    # (ids are path-scoped — the rewrite above changed the shard uuids, so
+    # compare against a fresh batch read of the CURRENT files)
+    current_ids = {r["doc_id"] for r in jsonlsrc.read_jsonl_corpus(spark, str(out)).collect()}
+    streamed = corpussrc.ingest_corpus_stream(
+        spark, str(out), str(tmp_path / "docs_out"), checkpoint=str(tmp_path / "ck")
+    )
+    assert {r["doc_id"] for r in streamed.collect()} == current_ids
