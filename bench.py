@@ -706,13 +706,19 @@ def _bench_warc_ingest(spark, sf_dir: str) -> float:
 
 def _bench_archive_front_door(spark, sf_dir: str) -> float:
     """The multi-container crawl composition (round-8 verdict #2): WET
-    extracts + tar bundles + zip bundles on disk → ingest_corpus (one
-    binaryFile task per archive, one Arrow parse per shape, plan-level
-    union) → host-gated curation funnel (blocklist frame → rules → minhash
-    dedup → split). Fixture archives are written pre-t0 (files are the
-    parallelism axis — none of these containers splits); the timed region
-    is exactly archive-in → audited-survivors-out."""
+    extracts + tar bundles + zip bundles + jsonl.gz shards (round-10: the
+    fifth leg — released-corpus shards WITH urls, so the host gate judges
+    this leg too, unlike the host-less archive:// legs) on disk →
+    ingest_corpus (one binaryFile task per archive, one Arrow parse per
+    shape, plan-level union) → host-gated curation funnel (blocklist frame
+    → rules → minhash dedup → split). Fixture archives are written pre-t0
+    (files are the parallelism axis — none of these containers splits);
+    the timed region is exactly archive-in → audited-survivors-out.
+    COMPOSITION CHANGE r10: four legs → five (leg shares 2/5 wet, 1/5 tar,
+    1/5 zip, 1/5 jsonl) — re-baselined in NOTES, not comparable to r9."""
+    import gzip as _gzip
     import io
+    import json as _json
     import shutil
     import tarfile
     import tempfile
@@ -725,13 +731,18 @@ def _bench_archive_front_door(spark, sf_dir: str) -> float:
 
     root = tempfile.mkdtemp(prefix="afdp_bench_archives_")
     try:
-        wet_dir, tar_dir, zip_dir = (f"{root}/wet", f"{root}/tar", f"{root}/zip")
-        for d in (wet_dir, tar_dir, zip_dir):
+        wet_dir, tar_dir, zip_dir, jsonl_dir = (
+            f"{root}/wet", f"{root}/tar", f"{root}/zip", f"{root}/jsonl"
+        )
+        for d in (wet_dir, tar_dir, zip_dir, jsonl_dir):
             os.makedirs(d)
         rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
         n = len(rows)
-        wet_rows, tar_rows, zip_rows = (
-            rows[: n * 2 // 5], rows[n * 2 // 5 : n * 4 // 5], rows[n * 4 // 5 :]
+        wet_rows, tar_rows, zip_rows, jsonl_rows = (
+            rows[: n * 2 // 5],
+            rows[n * 2 // 5 : n * 3 // 5],
+            rows[n * 3 // 5 : n * 4 // 5],
+            rows[n * 4 // 5 :],
         )
         # WET: 8 .wet.gz files of conversion records; domains cycle over 97
         # sites so the 25-domain blocklist below drops ~1/4 of this leg
@@ -769,6 +780,22 @@ def _bench_archive_front_door(spark, sf_dir: str) -> float:
                     zf.writestr(f"{r['doc_id']}.txt", r["text"])
             with open(f"{zip_dir}/bundle-{i // shard:03d}.zip", "wb") as f:
                 f.write(buf.getvalue())
+        # jsonl: 4 gzipped shards with real urls (the one archive leg the
+        # host gate can judge; same 97-site cycle as the WET leg)
+        shard = max(1, len(jsonl_rows) // 4)
+        for i in range(0, len(jsonl_rows), shard):
+            body = b"\n".join(
+                _json.dumps(
+                    {
+                        "id": r["doc_id"],
+                        "url": f"https://site-{r['doc_id'] % 97}.example.com/p/{r['doc_id']}",
+                        "text": r["text"],
+                    }
+                ).encode()
+                for r in jsonl_rows[i : i + shard]
+            )
+            with open(f"{jsonl_dir}/shard-{i // shard:03d}.jsonl.gz", "wb") as f:
+                f.write(_gzip.compress(body + b"\n"))
         blocked = (
             spark.range(0, 10_000)
             .select(
@@ -784,7 +811,11 @@ def _bench_archive_front_door(spark, sf_dir: str) -> float:
         def run():
             t0 = time.perf_counter()
             docs = corpussrc.ingest_corpus(
-                spark, wet_dir=wet_dir, tar_dir=tar_dir, zip_dir=zip_dir
+                spark,
+                wet_dir=wet_dir,
+                tar_dir=tar_dir,
+                zip_dir=zip_dir,
+                jsonl_dir=jsonl_dir,
             )
             kept, audit = curation.curation_funnel(
                 docs, blocklist=blocked, blocklist_on="host", rule_mode="any"
