@@ -192,3 +192,68 @@ def write_jsonl_corpus(
                     dir_path, name.replace(".json", ".jsonl", 1)
                 ),
             )
+
+
+# --------------------------------------------------------------------------
+# Typed JSONL table scan/sink (round-2): the OTHER jsonl role — not corpus
+# shards but the engine-canonical documents table on a JSONL wire format.
+# Same ingestion discipline as the CSV path: explicit schema (never
+# inferSchema — a second full pass at scale, silently widening types),
+# PERMISSIVE with a _corrupt_record column (malformed lines surface as
+# rows; one bad line in a 100 TB crawl must not kill the job), multiLine
+# False (single-line objects are what keeps plain JSONL offset-splittable
+# for Spark's native reader — which is why THIS path uses spark.read.json
+# while the corpus-shard path above rides binaryFile: release shards are
+# gzipped whole-file units with path-scoped ids).
+
+from pyspark.sql.types import StructType  # noqa: E402
+
+from .statements import CORRUPT_COL  # noqa: E402
+
+# engine-canonical document schema (mirrors the testdata documents table)
+DOC_SCHEMA = (
+    StructType()
+    .add("doc_id", "long")
+    .add("text", "string")
+    .add("lang", "string")
+    .add("source", "string")
+    .add("n_chars", "long")
+)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: "StructType | None" = None
+) -> DataFrame:
+    """Typed JSONL scan with corrupt lines kept in ``_corrupt_record``.
+
+    Clean rows have a NULL corrupt column; ``corrupt_lines`` below isolates
+    the rest. Callers drop the column once they've routed the bad lines.
+
+    The scan is cached: Spark forbids any query over a raw JSON/CSV scan
+    whose only referenced column is the corrupt-record column — which is
+    exactly what ``corrupt_lines(...).count()`` prunes down to (same
+    load-bearing cache as sources/statements.py corrupt_records; see NOTES).
+    """
+    import copy
+
+    s = copy.deepcopy(schema or DOC_SCHEMA).add(CORRUPT_COL, "string", True)
+    return (
+        spark.read.schema(s)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .cache()
+    )
+
+
+def clean_docs(raw: DataFrame) -> DataFrame:
+    return raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+
+
+def corrupt_lines(raw: DataFrame) -> DataFrame:
+    """The malformed raw lines (the scan is already cached in read_jsonl)."""
+    return raw.filter(raw[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

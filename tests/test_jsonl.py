@@ -172,3 +172,49 @@ def test_write_jsonl_corpus_release_roundtrip(spark, tmp_path):
         spark, str(out), str(tmp_path / "docs_out"), checkpoint=str(tmp_path / "ck")
     )
     assert {r["doc_id"] for r in streamed.collect()} == current_ids
+
+
+# --------------------------------------------------------------------------
+# Typed JSONL table scan/sink (round-2 API, restored in round 10 after the
+# corpus-shard rewrite accidentally replaced this module): explicit schema,
+# corrupt-line surfacing, round-trip fidelity vs the parquet documents table.
+
+
+def test_roundtrip_matches_parquet(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    jsonlsrc.write_jsonl(docs, out)
+    back = jsonlsrc.clean_docs(jsonlsrc.read_jsonl(spark, out))
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    # exact content equality both directions
+    assert back.exceptAll(docs.select(*back.columns)).count() == 0
+    assert docs.select(*back.columns).exceptAll(back).count() == 0
+
+
+def test_corrupt_lines_surfaced_not_dropped(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}\n'
+    )
+    raw = jsonlsrc.read_jsonl(spark, str(p))
+    assert jsonlsrc.clean_docs(raw).count() == 2
+    bad = jsonlsrc.corrupt_lines(raw).collect()
+    assert len(bad) == 1 and "not json" in bad[0][0]
+
+
+def test_schema_is_exact_no_inference(spark, tmp_path):
+    p = tmp_path / "typed.jsonl"
+    # doc_id arrives as a JSON string -> typed scan rejects it as corrupt
+    # rather than silently widening the column
+    p.write_text(
+        '{"doc_id": "not-a-number", "text": "x", "lang": "en", "source": "s", "n_chars": 1}\n'
+        '{"doc_id": 3, "text": "y", "lang": "en", "source": "s", "n_chars": 1}\n'
+    )
+    raw = jsonlsrc.read_jsonl(spark, str(p))
+    clean = jsonlsrc.clean_docs(raw)
+    assert [r["doc_id"] for r in clean.collect()] == [3]
+    assert dict(clean.dtypes)["doc_id"] == "bigint"
+    assert jsonlsrc.corrupt_lines(raw).count() == 1
