@@ -221,3 +221,86 @@ def test_robots_empty_inputs_and_forwarding(spark):
     assert a["robots_gate"] == 1
     led = {r["doc_id"]: (r["stage"], r["reason"]) for r in out["ledger"].collect()}
     assert led[2] == ("robots_gate", "robots_disallow")
+
+
+# --------------------------------------------------------------------------
+# Independent-oracle property test: the Spark verdict must equal a pure-
+# Python RFC 9309 evaluator (fnmatch-free, written directly from the spec)
+# on randomized rule tables and paths — the decode_png convention of
+# checking against an implementation that shares no code with the engine.
+
+
+def _py_rfc9309(path, rules):
+    """Reference evaluator: longest matching pattern wins, tie → allow.
+    Patterns are robots syntax (* wildcard, optional trailing $)."""
+    import re
+
+    best = None  # (plen, allow)
+    for pattern, allow in rules:
+        plen = len(pattern)
+        pat = pattern[:-1] if pattern.endswith("$") else pattern
+        rx = "".join(".*" if c == "*" else re.escape(c) for c in pat)
+        rx = "^" + rx + ("$" if pattern.endswith("$") else "")
+        if re.match(rx, path):
+            key = (plen, allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
+
+
+def test_robots_verdicts_match_independent_evaluator(spark):
+    """Randomized segments/wildcards/anchors: Spark's LIKE-translated
+    longest-match must agree with the regex-based reference on every
+    (path, ruleset) pair."""
+    import itertools
+    import random
+
+    rng = random.Random(20260815)
+    segs = ["a", "bb", "ccc", "private", "tmp", "ok", "x"]
+
+    def rand_pattern():
+        parts = ["/" + rng.choice(segs) for _ in range(rng.randint(1, 3))]
+        p = "".join(parts)
+        if rng.random() < 0.3:
+            i = rng.randrange(len(p))
+            p = p[:i] + "*" + p[i:]
+        if rng.random() < 0.3:
+            p += "$"
+        return p
+
+    cases = []
+    for case in range(40):
+        rules = [(rand_pattern(), rng.random() < 0.5) for _ in range(rng.randint(1, 5))]
+        paths = [
+            "/" + "/".join(rng.choice(segs) for _ in range(rng.randint(1, 4)))
+            for _ in range(5)
+        ]
+        cases.append((f"h{case}.example", rules, paths))
+
+    rule_rows = [
+        (host, pat, allow, len(pat), rb._like_pattern(pat))
+        for host, rules, _ in cases
+        for pat, allow in rules
+    ]
+    rules_df = spark.createDataFrame(
+        rule_rows,
+        "host string, pattern string, allow boolean, plen int, like_pat string",
+    )
+    doc_rows = [
+        (i, f"https://{host}{path}", host, path)
+        for i, (host, rules, paths) in enumerate(cases)
+        for path in paths
+    ]
+    docs = spark.createDataFrame(
+        [(i * 10 + j, url) for j, (i, url, _, _) in enumerate(doc_rows)],
+        "doc_id long, url string",
+    )
+    # map doc_id -> expected via the reference evaluator
+    expected = {}
+    for j, (i, url, host, path) in enumerate(doc_rows):
+        expected[i * 10 + j] = _py_rfc9309(path, cases[i][1])
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in rb.robots_verdicts(docs, rules_df).collect()
+    }
+    assert got == expected
