@@ -202,3 +202,34 @@ def filter_robots_disallowed(
         .filter(F.col("robots_allowed"))
         .drop("robots_allowed", "robots_rule")
     )
+
+
+def robots_from_warc(records: DataFrame, agent: str = "*") -> DataFrame:
+    """Close the crawl loop: WARC ``response`` records (the
+    :func:`..sources.warc.read_warc` frame — Common Crawl publishes a
+    robotstxt subset in exactly this shape) → the rule table
+    :func:`filter_robots_disallowed` consumes. Keeps 2xx responses whose
+    URL path is exactly ``/robots.txt``, parses host from the fetch URL
+    (lowered, ``www.`` kept — robots files are host-exact), decodes the
+    body as UTF-8 (lossy — the WARC convention), and runs
+    :func:`parse_robots` for ``agent``. Duplicate fetches of one host
+    keep the LATEST by ``warc_date`` (string max — WARC dates are ISO
+    8601, so lexicographic == chronological)."""
+    candidates = (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.try_parse_url(F.col("url"), F.lit("PATH")) == "/robots.txt")
+            & (F.col("http_status").cast("int") >= 200)
+            & (F.col("http_status").cast("int") < 300)
+        )
+        .select(
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+            F.col("warc_date"),
+            F.decode(F.col("payload"), "UTF-8").alias("robots_txt"),
+        )
+        .filter(F.col("host").isNotNull())
+    )
+    latest = candidates.groupBy("host").agg(
+        F.max_by("robots_txt", "warc_date").alias("robots_txt")
+    )
+    return parse_robots(latest, agent)

@@ -304,3 +304,71 @@ def test_robots_verdicts_match_independent_evaluator(spark):
         for r in rb.robots_verdicts(docs, rules_df).collect()
     }
     assert got == expected
+
+
+def test_robots_from_warc_end_to_end(spark, tmp_path):
+    """Crawl-loop closure: robots.txt bodies ride in the WARC itself
+    (Common Crawl's robotstxt subset) → robots_from_warc keeps 2xx
+    /robots.txt fetches, latest per host by WARC-Date, and feeds the
+    gate. 404 robots and ordinary pages contribute nothing."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    def http(body: bytes, status: str = "200 OK", ctype: str = "text/plain"):
+        return (
+            f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+
+    old_rules = b"User-agent: *\nDisallow: /old\n"
+    new_rules = b"User-agent: *\nDisallow: /new\n"
+    payload = warcsrc.encode_warc(
+        [
+            {
+                "warc_type": "response",
+                "url": "https://a.example.com/robots.txt",
+                "record_id": "<urn:uuid:r1>",
+                "date": "2026-01-01T00:00:00Z",
+                "body": http(old_rules),
+                "content_type": "application/http; msgtype=response",
+            },
+            {
+                "warc_type": "response",
+                "url": "https://a.example.com/robots.txt",
+                "record_id": "<urn:uuid:r2>",
+                "date": "2026-02-01T00:00:00Z",
+                "body": http(new_rules),
+                "content_type": "application/http; msgtype=response",
+            },
+            {  # 404 robots: contributes nothing
+                "warc_type": "response",
+                "url": "https://b.example.com/robots.txt",
+                "record_id": "<urn:uuid:r3>",
+                "date": "2026-02-01T00:00:00Z",
+                "body": http(b"gone", status="404 Not Found"),
+                "content_type": "application/http; msgtype=response",
+            },
+            {  # ordinary page: not a robots fetch
+                "warc_type": "response",
+                "url": "https://a.example.com/page",
+                "record_id": "<urn:uuid:r4>",
+                "html": "<html><body>hello</body></html>",
+            },
+        ]
+    )
+    (tmp_path / "robots.warc.gz").write_bytes(payload)
+    records = warcsrc.read_warc(spark, str(tmp_path))
+    rules = rb.robots_from_warc(records)
+    got = [(r["host"], r["pattern"], r["allow"]) for r in rules.collect()]
+    assert got == [("a.example.com", "/new", False)]  # latest fetch wins
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/new/x"),
+            (2, "https://a.example.com/old/x"),  # old rule superseded
+            (3, "https://b.example.com/new/x"),  # no surviving robots
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in rb.filter_robots_disallowed(docs, rules).collect()
+    )
+    assert kept == [2, 3]
