@@ -339,17 +339,56 @@ def binaryfile_ingest_stream(
     return writer.start()
 
 
+def decoded_text_expr(payload="payload", content_type="content_type"):
+    """The charset ladder for crawl payloads, pure Catalyst (round-10;
+    previously everything decoded as lossy UTF-8, which turns every
+    UTF-16 page into mojibake): (1) an explicit ``charset=`` in the HTTP
+    Content-Type wins — utf-8 / utf-16(le/be) / iso-8859-1 / us-ascii,
+    with windows-1252 mapped to its ISO-8859-1 subset (the web's usual
+    conflation; the 0x80-0x9F printables differ — documented
+    approximation, Spark's decode whitelist has no cp1252); (2) else a
+    BOM decides (UTF-8 BOM stripped after decode; UTF-16 BOMs ride
+    Java's BOM-consuming UTF-16 charset); (3) else UTF-8 with
+    replacement — the dominant web encoding and the correct lossy
+    default. Full charset detection (chardet-style statistical tables)
+    stays out of scope in this container; header+BOM covers the
+    declared-encoding cases that dominate real crawls."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    ct = F.lower(F.coalesce(F.col(content_type), F.lit("")))
+    declared = F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
+    utf8 = F.decode(p, "UTF-8")
+    return (
+        F.when(declared.isin("utf-8", "utf8"), utf8)
+        .when(declared.isin("utf-16", "utf16"), F.decode(p, "UTF-16"))
+        .when(declared.isin("utf-16le", "utf16le"), F.decode(p, "UTF-16LE"))
+        .when(declared.isin("utf-16be", "utf16be"), F.decode(p, "UTF-16BE"))
+        .when(
+            declared.isin(
+                "iso-8859-1", "iso8859-1", "latin-1", "latin1", "windows-1252", "cp1252"
+            ),
+            F.decode(p, "ISO-8859-1"),
+        )
+        .when(declared.isin("us-ascii", "ascii"), F.decode(p, "US-ASCII"))
+        .when(
+            F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf"),
+            F.regexp_replace(utf8, "^﻿", ""),
+        )
+        .when(F.substring(p, 1, 2) == F.lit(b"\xff\xfe"), F.decode(p, "UTF-16"))
+        .when(F.substring(p, 1, 2) == F.lit(b"\xfe\xff"), F.decode(p, "UTF-16"))
+        .otherwise(utf8)
+    )
+
+
 def warc_to_documents(
     records: DataFrame,
     id_from: str = "url_hash",
 ) -> DataFrame:
     """Response records → the (doc_id, url, text) frame the crawl front
     door consumes (``html_to_text`` → ``curation_funnel(blocklist=,
-    extract_html=True)`` / ``url_dedup``): HTML/text payloads decode as
-    UTF-8 (lossy replace — crawls carry every encoding ever shipped; a
-    production pipeline sniffs charsets, which needs tables this container
-    lacks), non-text payloads are dropped. doc_id = xxhash64(url ‖ ':' ‖
-    record_id) — stable under re-ingest and collision-safe across
+    extract_html=True)`` / ``url_dedup``): payloads decode through the
+    charset ladder (:func:`decoded_text_expr` — header charset → BOM →
+    lossy UTF-8), non-text payloads are dropped. doc_id = xxhash64(url ‖
+    ':' ‖ record_id) — stable under re-ingest and collision-safe across
     re-crawls of one URL (the to_parquet_corpus 'path_hash' convention)."""
     if id_from != "url_hash":
         raise ValueError(f"id_from must be 'url_hash': {id_from!r}")
@@ -363,7 +402,7 @@ def warc_to_documents(
                 F.concat_ws(":", F.col("url"), F.col("record_id"))
             ).alias("doc_id"),
             "url",
-            F.decode(F.col("payload"), "UTF-8").alias("text"),
+            decoded_text_expr().alias("text"),
         )
     )
 
@@ -391,7 +430,7 @@ def wet_to_documents(
                 F.concat_ws(":", F.col("url"), F.col("record_id"))
             ).alias("doc_id"),
             "url",
-            F.decode(F.col("payload"), "UTF-8").alias("text"),
+            decoded_text_expr().alias("text"),
         )
     )
 

@@ -543,3 +543,56 @@ def test_warc_ingest_stream_crash_replay_is_exactly_once(spark, tmp_path):
     assert {r["url"] for r in got.collect()} == {
         f"https://site.example.com/p/{i}" for i in range(4)
     }
+
+
+def test_charset_ladder_header_bom_and_default(spark, tmp_path):
+    """decoded_text_expr (round-10): an explicit charset in the HTTP
+    Content-Type wins (utf-16le page decodes to real text, latin-1 and
+    cp1252 map through ISO-8859-1); with no header charset a BOM decides
+    (UTF-8 BOM stripped, UTF-16 BOM consumed); plain UTF-8 is unchanged.
+    Before this, every non-UTF-8 page decoded to mojibake."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    def http(body: bytes, ctype: str):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+
+    recs = [
+        ("https://a.example/u16le", http("héllo wörld".encode("utf-16-le"),
+                                         "text/html; charset=utf-16le")),
+        ("https://a.example/latin1", http("café crème".encode("iso-8859-1"),
+                                          'text/html; charset="iso-8859-1"')),
+        ("https://a.example/cp1252", http("café".encode("cp1252"),
+                                          "text/plain; charset=windows-1252")),
+        ("https://a.example/bom8", http("﻿plain utf8 bom".encode("utf-8"),
+                                        "text/html")),
+        ("https://a.example/bom16", http("bom16 tëxt".encode("utf-16"),
+                                         "text/html")),
+        ("https://a.example/plain", http("just utf-8 ünicode".encode("utf-8"),
+                                         "text/html")),
+    ]
+    payload = warcsrc.encode_warc(
+        [
+            {
+                "warc_type": "response",
+                "url": url,
+                "record_id": f"<urn:uuid:c{i}>",
+                "body": body,
+                "content_type": "application/http; msgtype=response",
+            }
+            for i, (url, body) in enumerate(recs)
+        ]
+    )
+    (tmp_path / "charset.warc.gz").write_bytes(payload)
+    docs = warcsrc.warc_to_documents(warcsrc.read_warc(spark, str(tmp_path)))
+    got = {r["url"].rsplit("/", 1)[1]: r["text"] for r in docs.collect()}
+    assert got == {
+        "u16le": "héllo wörld",
+        "latin1": "café crème",
+        "cp1252": "café",
+        "bom8": "plain utf8 bom",  # BOM stripped
+        "bom16": "bom16 tëxt",
+        "plain": "just utf-8 ünicode",
+    }
