@@ -564,10 +564,13 @@ def _fake_feature(payload: bytes) -> float:
 
 def _feature(media_type: str, payload: bytes) -> float:
     """Per-payload decoded feature, dispatched on media type: mean RGB pixel
-    for BMP images, mean absolute amplitude for PCM WAV, mean byte value for
-    anything else (the deterministic stand-in for formats whose codecs are
-    not in this container)."""
-    if media_type in ("image/bmp", "image/png", "image/jpeg", "image/gif"):
+    for every image family :data:`IMAGE_TYPES` decodes (r10: webp joined —
+    it had been falling through to the byte-mean stand-in even though the
+    VP8L decoder serves the pHash path; lossy VP8 raises loudly here the
+    same as everywhere else), mean absolute amplitude for PCM WAV, mean
+    byte value for anything else (the deterministic stand-in for formats
+    whose codecs are not in this container)."""
+    if media_type in IMAGE_TYPES:
         return float(decode_image(payload).mean())
     if media_type == "audio/wav":
         return float(np.abs(decode_audio(payload)[1]).mean())

@@ -813,6 +813,24 @@ def test_extract_features_decodes_png(spark):
     feat = mm.extract_features(frames).collect()[0]
     assert feat["feature_mean"] == 200.0
 
+
+def test_extract_features_decodes_webp_and_gif(spark):
+    """'image/webp' and 'image/gif' rows decode for REAL in the feature
+    extractor (r10: webp had been falling through to the byte-mean
+    stand-in even though the VP8L decoder serves the pHash path)."""
+    from aws_financial_data_pipeline_spark.operators import webp as wp
+
+    img = np.full((6, 6, 3), 120, dtype=np.uint8)
+    rows = [
+        (1, bytearray(wp.encode_webp_lossless(img)), "image/webp", 0),
+        (2, bytearray(mm.encode_gif(img)), "image/gif", 0),
+    ]
+    frames = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    )
+    feats = {r["doc_id"]: r["feature_mean"] for r in mm.extract_features(frames).collect()}
+    assert feats == {1: 120.0, 2: 120.0}
+
 # baseline JPEG decode (round-6 verdict "What's missing" #2 — the dominant
 # crawl-image format; without it pHash dedup on a real crawl mostly raises)
 
