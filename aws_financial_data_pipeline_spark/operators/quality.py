@@ -106,7 +106,21 @@ def quality_signal_table(
     """
     from ..operators import text as tx
 
-    extra = []
+    # mojibake signal (r10, companion to the WARC charset ladder): fraction
+    # of U+FFFD replacement chars — a lossy decode leaves them behind, and
+    # a high ratio means the page's real encoding was neither declared nor
+    # BOM'd (filter or re-decode these, don't train on them). JVM-side,
+    # rides the same map-only pass.
+    extra = [
+        F.round(
+            (
+                F.length(F.col(text_col))
+                - F.length(F.replace(F.col(text_col), F.lit("�"), F.lit("")))
+            )
+            / F.greatest(F.length(F.col(text_col)), F.lit(1)),
+            6,
+        ).alias("replacement_char_ratio")
+    ]
     if domain_ranks is not None:
         if url_col not in docs.columns:
             raise ValueError(

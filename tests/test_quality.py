@@ -427,3 +427,24 @@ def test_corpus_datasheet_domain_rank_coverage(spark):
     base = {(r["section"], r["metric"])
             for r in ql.corpus_datasheet(docs, compression=False).collect()}
     assert not any(sec == "provenance" for sec, _ in base)
+
+
+def test_signal_table_replacement_char_ratio(spark):
+    """The mojibake signal (r10, companion to the WARC charset ladder):
+    U+FFFD fraction per doc, 0.0 for clean text, exact for seeded docs;
+    rides the same map-only pass (still no Exchange)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "clean prose with no decode damage at all here"),
+            (2, "bad�decode�"),  # 2 of 11 chars
+            (3, ""),  # empty: guarded denominator, 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = ql.quality_signal_table(docs)
+    got = {r["doc_id"]: r["replacement_char_ratio"] for r in out.collect()}
+    assert got[1] == 0.0
+    assert got[2] == round(2 / 11, 6)
+    assert got[3] == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
