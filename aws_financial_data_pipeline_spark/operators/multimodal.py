@@ -106,13 +106,26 @@ def decode_image(payload: bytes) -> np.ndarray:
             "(pillow/opencv absent)"
         )
     (off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
     w, h = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)
     (comp,) = struct.unpack_from("<I", payload, 30)
-    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
         raise NotImplementedError(f"unsupported BMP variant (bpp={bpp}, compression={comp})")
     bottom_up = h > 0  # negative height = top-down rows (per the BMP spec)
     h = abs(h)
+    if bpp == 8:  # palette BMP (r10): BGRA quads follow the info header;
+        # biClrUsed=0 means the full 256-entry table (spec default)
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_pal = clr_used or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_pal * 4, offset=14 + hdr_size
+        ).reshape(n_pal, 4)[:, 2::-1]  # BGRA → RGB
+        stride = (w + 3) & ~3
+        data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+        idx = data.reshape(h, stride)[:, :w]
+        rgb = pal[idx]
+        return rgb[::-1] if bottom_up else rgb
     nb = bpp // 8
     stride = (w * nb + 3) & ~3  # rows pad to 4-byte boundaries
     data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)

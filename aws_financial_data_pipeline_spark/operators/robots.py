@@ -71,10 +71,14 @@ def _like_pattern(pattern: str) -> str:
 
 def _parse_one(text: str, agent: str) -> "list[tuple[str, bool]]":
     """RFC 9309 group selection for one robots.txt body: returns the
-    (pattern, allow) rules of the most specific group set matching
-    ``agent`` (exact match preferred, else ``*``; same-agent groups
-    merge). Lines are ``field: value`` with ``#`` comments; unknown
-    fields (Crawl-delay, Sitemap) are ignored."""
+    (pattern, allow) rules of the MOST SPECIFIC group set matching
+    ``agent`` — per §2.2.1 a group token matches when it is a
+    case-insensitive prefix of the crawler's product token (so
+    ``agent="GPTBot/1.2"`` matches a ``User-agent: GPTBot`` group), the
+    longest matching token wins, all groups carrying that token merge,
+    and ``*`` applies only when no named group matches. Lines are
+    ``field: value`` with ``#`` comments; unknown fields (Crawl-delay,
+    Sitemap) are ignored."""
     agent = agent.lower()
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
@@ -105,9 +109,25 @@ def _parse_one(text: str, agent: str) -> "list[tuple[str, bool]]":
             in_agent_run = False  # any other field ends an agent run
     if cur_agents:
         groups.append((cur_agents, cur_rules))
-    exact = [r for agents, rules in groups if agent in agents for r in rules]
-    if any(agent in agents for agents, _ in groups):
-        return exact
+    # most-specific match: a group token matches when it is a prefix of
+    # the crawler's product token (or vice versa for bare tokens like
+    # "gptbot" vs agent "gptbot"); the LONGEST matching token wins and
+    # every group carrying a token of that length merges
+    best_len = -1
+    for agents, _ in groups:
+        for tok in agents:
+            if tok != "*" and agent.startswith(tok) and len(tok) > best_len:
+                best_len = len(tok)
+    if best_len >= 0:
+        return [
+            r
+            for agents, rules in groups
+            if any(
+                tok != "*" and len(tok) == best_len and agent.startswith(tok)
+                for tok in agents
+            )
+            for r in rules
+        ]
     return [r for agents, rules in groups if "*" in agents for r in rules]
 
 

@@ -1566,3 +1566,46 @@ def test_sample_frames_unified_dispatch():
     # JPEG still: lossy, shape + closeness only
     got = mm.sample_frames(mm.encode_jpeg(img, quality=95))
     assert len(got) == 1 and got[0].shape == img.shape
+
+
+def test_bmp_8bit_palette_hand_packed():
+    """8-bit palette BMP decode (r10): a hand-packed 2x3 bottom-up file —
+    BITMAPINFOHEADER, a 4-entry color table (biClrUsed=4, BGRA quads),
+    4-byte-padded index rows — maps indices through the palette; top-down
+    (negative height) and biClrUsed=0 (full 256 table) also covered; 4-bit
+    BMPs still reject loudly."""
+    import struct as st
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]  # RGB
+    # rows top-to-bottom as the IMAGE should look
+    img_idx = [[0, 1, 2], [3, 2, 1]]
+
+    def bmp8(idx_rows, height_sign=1, clr_used=4):
+        h, w = len(idx_rows), len(idx_rows[0])
+        stride = (w + 3) & ~3
+        pal_bytes = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal)
+        if clr_used == 0:
+            pal_bytes += bytes(4) * (256 - len(pal))
+        rows = idx_rows if height_sign < 0 else idx_rows[::-1]  # bottom-up storage
+        px = b"".join(bytes(row) + bytes(stride - w) for row in rows)
+        off = 14 + 40 + len(pal_bytes)
+        header = b"BM" + st.pack("<IHHI", off + len(px), 0, 0, off)
+        info = st.pack(
+            "<IiiHHIIiiII", 40, w, h * height_sign, 1, 8, 0, len(px), 2835, 2835,
+            clr_used, 0,
+        )
+        return header + info + pal_bytes + px
+
+    expect = [[pal[i] for i in row] for row in img_idx]
+    assert mm.decode_image(bmp8(img_idx)).tolist() == [list(map(list, r)) for r in expect]
+    assert mm.decode_image(bmp8(img_idx, height_sign=-1)).tolist() == [
+        list(map(list, r)) for r in expect
+    ]
+    assert mm.decode_image(bmp8(img_idx, clr_used=0)).tolist() == [
+        list(map(list, r)) for r in expect
+    ]
+    # 4-bit palette BMPs remain a loud reject
+    bad = bytearray(bmp8(img_idx))
+    st.pack_into("<H", bad, 28, 4)
+    with pytest.raises(NotImplementedError, match="bpp=4"):
+        mm.decode_image(bytes(bad))

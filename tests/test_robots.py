@@ -372,3 +372,24 @@ def test_robots_from_warc_end_to_end(spark, tmp_path):
         r["doc_id"] for r in rb.filter_robots_disallowed(docs, rules).collect()
     )
     assert kept == [2, 3]
+
+
+def test_parse_robots_most_specific_agent_prefix(spark):
+    """RFC 9309 §2.2.1: a group token matches as a case-insensitive
+    PREFIX of the crawler's product token; the longest match wins; * only
+    applies when no named group matches."""
+    body = (
+        "User-agent: bot\nDisallow: /generic\n\n"
+        "User-agent: botx\nDisallow: /specific\n\n"
+        "User-agent: *\nDisallow: /everything\n"
+    )
+    pairs = [("p.example", body)]
+    # full product token matches the LONGEST group prefix (botx, not bot)
+    got = {r["pattern"] for r in _rules(spark, pairs, agent="BotX/2.1").collect()}
+    assert got == {"/specific"}
+    # a shorter token matches only its own group
+    got = {r["pattern"] for r in _rules(spark, pairs, agent="bot").collect()}
+    assert got == {"/generic"}
+    # an unrelated agent falls to *
+    got = {r["pattern"] for r in _rules(spark, pairs, agent="otherbot").collect()}
+    assert got == {"/everything"}
