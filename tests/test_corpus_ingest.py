@@ -316,3 +316,16 @@ def test_corpus_batch_frame_is_shuffle_free(spark, tmp_path):
     assert "Exchange" not in plan
     # and the frame itself carries all four legs
     assert {r["source"] for r in frame.collect()} == {"warc", "wet", "tar", "zip"}
+
+
+def test_ingest_corpus_stream_empty_landing_zone(spark, tmp_path):
+    """An empty landing directory drains to an EMPTY frame with the exact
+    corpus contract schema (the binaryfile-harness empty_schema path) —
+    downstream funnels compose without special-casing."""
+    landing = tmp_path / "empty_landing"
+    landing.mkdir()
+    out = corpussrc.ingest_corpus_stream(
+        spark, str(landing), str(tmp_path / "docs_out")
+    )
+    assert out.columns == list(corpussrc.CORPUS_DOC_COLS)
+    assert out.count() == 0
