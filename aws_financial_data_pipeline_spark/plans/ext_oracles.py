@@ -967,10 +967,28 @@ EXT_ORACLES: dict[str, str] = {
                   OR ('h' || CAST(d.doc_id % 7 AS VARCHAR) || '.' || d.source || '.org') LIKE '%.' || b.domain
              ) AS host_kept
       FROM documents d
+    ),
+    -- robots compliance leg (round-10): RFC 9309 longest-match with
+    -- tie→allow, replicated as ORDER BY plen DESC, allow DESC LIMIT 1
+    -- over prefix-matching rules for the same synthesized host/path
+    rk AS (
+      SELECT d.doc_id,
+             COALESCE((
+               SELECT r.allow
+               FROM (VALUES ('h3.src11.org', '/p', false, 2),
+                            ('h3.src11.org', '/p/3', true, 4),
+                            ('h5.src2.org', '/p/', false, 3)) r(host, pattern, allow, plen)
+               WHERE r.host = ('h' || CAST(d.doc_id % 7 AS VARCHAR) || '.' || d.source || '.org')
+                 AND ('/p/' || CAST(d.doc_id AS VARCHAR)) LIKE r.pattern || '%'
+               ORDER BY r.plen DESC, r.allow DESC
+               LIMIT 1
+             ), true) AS robots_kept
+      FROM documents d
     )
     SELECT doc_id, source, u.k AS epoch, lang_pred, quality_score, bucket,
-           split, in_sample, in_quota, in_weighted, host_kept
-    FROM exp JOIN hk USING (doc_id), LATERAL UNNEST(range(_n)) AS u(k)
+           split, in_sample, in_quota, in_weighted, host_kept, robots_kept
+    FROM exp JOIN hk USING (doc_id) JOIN rk USING (doc_id),
+         LATERAL UNNEST(range(_n)) AS u(k)
     """,
     # tumbling + sliding consolidated (round-1 x14+x15); decimal value sums
     # (exact on the 2-decimal grid; round(sum(double),2) is order-dependent)

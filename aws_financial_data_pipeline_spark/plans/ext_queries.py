@@ -910,9 +910,30 @@ def x32_corpus_curation(spark, sf_dir):
         .withColumn("host_kept", F.coalesce(F.col("_hk"), F.lit(False)))
         .drop("_hk")
     )
+    # round-10 second URL-gate leg: the robots compliance verdict
+    # (operators/robots.py — broadcast rule arrays, RFC 9309 longest-match
+    # with tie→allow) over the same synthesized URLs. Rule constants are
+    # testdata-probed so BOTH branches fire: h3.src11.org docs are ids
+    # {31,171,311,451} → Allow "/p/3" (plen 4) overrides Disallow "/p" for
+    # 31/311, 171/451 stay disallowed; h5.src2.org's 3 docs all disallow.
+    from ..operators.robots import robots_verdicts
+
+    robot_rules = spark.createDataFrame(
+        [
+            ("h3.src11.org", "/p", False, 2, "/p%"),
+            ("h3.src11.org", "/p/3", True, 4, "/p/3%"),
+            ("h5.src2.org", "/p/", False, 3, "/p/%"),
+        ],
+        "host string, pattern string, allow boolean, plen int, like_pat string",
+    )
+    rv = robots_verdicts(urls, robot_rules).select(
+        "doc_id", F.col("robots_allowed").alias("robots_kept")
+    )
+    out = out.join(rv, "doc_id")
     return out.select(
         "doc_id", "source", "epoch", "lang_pred", "quality_score", "bucket",
         "split", "in_sample", "in_quota", "in_weighted", "host_kept",
+        "robots_kept",
     )
 
 
