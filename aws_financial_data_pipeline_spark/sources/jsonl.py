@@ -63,6 +63,10 @@ def parse_jsonl_files(
                 raw = bytes(content)
                 if raw[:2] == b"\x1f\x8b":
                     raw = gzip.decompress(raw)
+                if raw[:3] == b"\xef\xbb\xbf":
+                    # Windows-export tolerance: a UTF-8 BOM before line 0
+                    # would otherwise make the first line malformed JSON
+                    raw = raw[3:]
                 for lineno, line in enumerate(raw.split(b"\n")):
                     if not line.strip():
                         continue  # trailing/blank lines: ubiquitous, benign

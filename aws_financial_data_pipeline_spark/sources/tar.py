@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 TAR_COLS = "archive string, member string, text string"
 
 
+def sniff_decode(raw: bytes) -> str:
+    """BOM-sniffing member decode (r10, the Python-side twin of
+    warc.decoded_text_expr's ladder): UTF-8/UTF-16(LE/BE)/UTF-32(LE/BE)
+    BOMs pick the codec (and are stripped); everything else decodes as
+    lossy UTF-8 — text bundles are UTF-8 by convention, but Windows
+    exports routinely carry BOMs and UTF-16 .txt members exist in real
+    releases."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace")
+    if raw[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return raw.decode("utf-32", "replace")
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return raw.decode("utf-16", "replace")
+    return raw.decode("utf-8", "replace")
+
+
 def parse_tar_files(
     files: DataFrame,
     pattern: str | None = ".txt",
@@ -59,7 +75,7 @@ def parse_tar_files(
                             )
                         body = tf.extractfile(member).read()
                         rows.append(
-                            (fpath, member.name, body.decode("utf-8", "replace"))
+                            (fpath, member.name, sniff_decode(body))
                         )
             yield pd.DataFrame(rows, columns=["archive", "member", "text"])
 
@@ -121,7 +137,7 @@ def parse_zip_files(
                             )
                         body = zf.read(info)
                         rows.append(
-                            (fpath, info.filename, body.decode("utf-8", "replace"))
+                            (fpath, info.filename, sniff_decode(body))
                         )
             yield pd.DataFrame(rows, columns=["archive", "member", "text"])
 

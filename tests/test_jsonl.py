@@ -218,3 +218,13 @@ def test_schema_is_exact_no_inference(spark, tmp_path):
     assert [r["doc_id"] for r in clean.collect()] == [3]
     assert dict(clean.dtypes)["doc_id"] == "bigint"
     assert jsonlsrc.corrupt_lines(raw).count() == 1
+
+
+def test_jsonl_utf8_bom_tolerated(spark, tmp_path):
+    """A UTF-8 BOM at shard start (Windows exports) is stripped before
+    line parsing — line 0 parses instead of failing as malformed."""
+    (tmp_path / "bom.jsonl").write_bytes(
+        b"\xef\xbb\xbf" + _shard([{"text": "first line parses"}])
+    )
+    rows = jsonlsrc.read_jsonl_corpus(spark, str(tmp_path / "bom.jsonl")).collect()
+    assert [r["text"] for r in rows] == ["first line parses"]

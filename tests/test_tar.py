@@ -191,3 +191,21 @@ def test_archive_ingest_stream_replay_equals_batch_tar_and_zip(spark, tmp_path):
         tarsrc.archive_ingest_stream(
             spark, str(tar_src), str(tmp_path / "x"), fmt="rar"
         )
+
+
+def test_tar_members_bom_and_utf16_decode(spark, tmp_path):
+    """sniff_decode (r10): members with UTF-8/UTF-16 BOMs decode to real
+    text (BOM stripped) instead of mojibake; plain UTF-8 is unchanged."""
+    entries = [
+        ("docs/bom8.txt", "﻿BOM eight tëxt".encode("utf-8")),
+        ("docs/u16.txt", "ütf sixteen".encode("utf-16")),
+        ("docs/plain.txt", "plain ünicode".encode("utf-8")),
+    ]
+    (tmp_path / "b.tar.gz").write_bytes(_make_tar(entries, gz=True))
+    docs = tarsrc.read_tar_corpus(spark, str(tmp_path / "b.tar.gz"))
+    got = {r["member"].rsplit("/", 1)[1]: r["text"] for r in docs.collect()}
+    assert got == {
+        "bom8.txt": "BOM eight tëxt",
+        "u16.txt": "ütf sixteen",
+        "plain.txt": "plain ünicode",
+    }
