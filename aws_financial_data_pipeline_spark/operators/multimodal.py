@@ -817,6 +817,129 @@ def audio_hash64(payload: bytes) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def video_fingerprints(
+    with_payload: DataFrame,
+    media_type: "str | tuple[str, ...]" = ("video/avi", "image/gif"),
+    every_n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, payload, media_type, …) → (id, frame_idx, phash): one 64-bit
+    pHash PER SAMPLED FRAME through the :func:`sample_frames` magic-byte
+    dispatch (AVI, animated GIF, animated WebP — stills contribute their
+    single frame, so mixed corpora fingerprint without branching).
+    Arrow-batched mapInPandas, payload dropped in-stage — at 100 TB the
+    frame-hash table (24 bytes/frame) is what persists and shuffles, the
+    video bytes are read once. ``every_n`` subsamples frames (the
+    sample_frames contract) — at scale hash every k-th frame, not all."""
+    types = (media_type,) if isinstance(media_type, str) else tuple(media_type)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sel = pdf[pdf["media_type"].isin(types)]
+            ids, idxs, hashes = [], [], []
+            for i, payload in zip(sel[id_col], sel["payload"]):
+                for fi, frame in enumerate(sample_frames(bytes(payload), every_n)):
+                    ids.append(i)
+                    idxs.append(fi)
+                    hashes.append(phash64(frame))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "phash": hashes})
+
+    return with_payload.mapInPandas(
+        run, f"{id_col} bigint, frame_idx int, phash bigint"
+    )
+
+
+def video_near_duplicates(
+    frames: DataFrame,
+    max_distance: int = 6,
+    min_containment: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video pairs whose frame sets overlap: the image banding trick
+    (:func:`phash_near_duplicates` — 8×8-bit bands, recall exact to
+    hamming 7) applied at FRAME level across videos, then per video pair
+    the matched-frame CONTAINMENT ``max(|matched A|/|A|, |matched B|/|B|)``
+    — max, not Jaccard, so a clip cut out of a longer video still scores
+    1.0 (the re-upload/clipping case video dedup exists for). Returns
+    (doc_a, doc_b, n_a, n_b, matched_a, matched_b, containment ≥
+    ``min_containment``, 4dp). Never quadratic: candidates come from the
+    band equi-join; per-video frame counts are a tiny aggregate joined
+    back."""
+    if max_distance > 7:
+        raise ValueError(
+            "8x8-bit bands guarantee recall only to hamming 7; "
+            f"max_distance={max_distance} needs narrower bands"
+        )
+    h = F.col("phash")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(h, b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
+            )
+            for b in range(8)
+        ]
+    )
+    sig = frames.select(
+        F.col(id_col).alias("_id"),
+        F.col("frame_idx").alias("_f"),
+        h.alias("_h"),
+        F.explode(bands).alias("_b"),
+    ).select("_id", "_f", "_h", "_b.band_id", "_b.band_key")
+    a, b = sig.alias("a"), sig.alias("b")
+    dist = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._f").alias("frame_a"),
+            F.col("b._f").alias("frame_b"),
+            dist.alias("_d"),
+        )
+        .filter(F.col("_d") <= max_distance)
+        .distinct()
+    )
+    matched = pairs.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("frame_a").alias("matched_a"),
+        F.countDistinct("frame_b").alias("matched_b"),
+    )
+    counts = frames.groupBy(id_col).agg(F.countDistinct("frame_idx").alias("_n"))
+    out = (
+        matched.join(
+            F.broadcast(
+                counts.withColumnRenamed(id_col, "doc_a").withColumnRenamed("_n", "n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                counts.withColumnRenamed(id_col, "doc_b").withColumnRenamed("_n", "n_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.greatest(
+                    F.col("matched_a") / F.col("n_a"),
+                    F.col("matched_b") / F.col("n_b"),
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_a", "n_b", "matched_a", "matched_b", "containment"
+    )
+
+
 def audio_fingerprints(with_payload: DataFrame, media_type: str = "audio/wav") -> DataFrame:
     """(doc_id, payload, media_type, …) → (doc_id, ahash long) for rows of
     the given media type — the audio twin of :func:`image_phash` (one Arrow

@@ -1609,3 +1609,50 @@ def test_bmp_8bit_palette_hand_packed():
     st.pack_into("<H", bad, 28, 4)
     with pytest.raises(NotImplementedError, match="bpp=4"):
         mm.decode_image(bytes(bad))
+
+
+def test_video_dedup_cross_container_and_clipping(spark):
+    """Frame-level video dedup (r10): an AVI and a GIF of the SAME frames
+    collide (container-independent — the decode_image rule lifted to
+    video); a CLIP (first 2 of 4 frames re-encoded alone) scores
+    containment 1.0 against its source (the re-upload case — Jaccard
+    would halve it); an unrelated video pairs with nothing."""
+    rng = np.random.default_rng(61)
+    frames = []
+    for k in range(4):
+        f = np.zeros((32, 32, 3), dtype=np.uint8)
+        f[:, :, 0] = (np.arange(32) * (3 + 2 * k) % 256).astype(np.uint8)[None, :]
+        f[4 * k : 4 * k + 8, :, 1] = 200
+        # B varies by COLUMN like R so unique colors stay <=256 per set
+        # (encode_gif's exact palette is a fixture writer, not a quantizer)
+        f[:, :, 2] = (np.arange(32) * (11 + 5 * k) % 256).astype(np.uint8)[None, :]
+        frames.append(f)
+    other = [
+        np.full((32, 32, 3), v, dtype=np.uint8) for v in (10, 90, 170, 250)
+    ]
+    # GIF needs <=256 unique colors per frame set — these constructions are
+    # column/row gradients, fine
+    rows = [
+        (1, bytearray(mm.encode_avi(frames)), "video/avi", 0),
+        (2, bytearray(mm.encode_gif(frames)), "image/gif", 0),
+        (3, bytearray(mm.encode_avi(frames[:2])), "video/avi", 0),  # the clip
+        (4, bytearray(mm.encode_avi(other)), "video/avi", 0),
+    ]
+    payloads = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    )
+    fp = mm.video_fingerprints(payloads)
+    assert {(r["doc_id"], r["frame_idx"]) for r in fp.collect()} == {
+        (1, 0), (1, 1), (1, 2), (1, 3),
+        (2, 0), (2, 1), (2, 2), (2, 3),
+        (3, 0), (3, 1),
+        (4, 0), (4, 1), (4, 2), (4, 3),
+    }
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in mm.video_near_duplicates(fp, max_distance=2).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)]["containment"] == 1.0  # same frames, two containers
+    assert pairs[(1, 3)]["containment"] == 1.0  # clip fully contained
+    assert pairs[(1, 3)]["matched_a"] == 2 and pairs[(1, 3)]["n_b"] == 2
