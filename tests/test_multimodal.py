@@ -1632,27 +1632,43 @@ def test_video_dedup_cross_container_and_clipping(spark):
     ]
     # GIF needs <=256 unique colors per frame set — these constructions are
     # column/row gradients, fine
+    from aws_financial_data_pipeline_spark.operators import webp as wp
+
     rows = [
         (1, bytearray(mm.encode_avi(frames)), "video/avi", 0),
         (2, bytearray(mm.encode_gif(frames)), "image/gif", 0),
         (3, bytearray(mm.encode_avi(frames[:2])), "video/avi", 0),  # the clip
         (4, bytearray(mm.encode_avi(other)), "video/avi", 0),
+        (
+            5,
+            bytearray(
+                wp.encode_webp_animation(
+                    [{"img": f} for f in frames], canvas=(32, 32)
+                )
+            ),
+            "image/webp",
+            0,
+        ),
     ]
     payloads = spark.createDataFrame(
         rows, "doc_id long, payload binary, media_type string, byte_len long"
     )
-    fp = mm.video_fingerprints(payloads)
+    fp = mm.video_fingerprints(
+        payloads, media_type=("video/avi", "image/gif", "image/webp")
+    )
     assert {(r["doc_id"], r["frame_idx"]) for r in fp.collect()} == {
         (1, 0), (1, 1), (1, 2), (1, 3),
         (2, 0), (2, 1), (2, 2), (2, 3),
         (3, 0), (3, 1),
         (4, 0), (4, 1), (4, 2), (4, 3),
+        (5, 0), (5, 1), (5, 2), (5, 3),
     }
     pairs = {
         (r["doc_a"], r["doc_b"]): r
         for r in mm.video_near_duplicates(fp, max_distance=2).collect()
     }
-    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3), (1, 5), (2, 5), (3, 5)}
     assert pairs[(1, 2)]["containment"] == 1.0  # same frames, two containers
+    assert pairs[(1, 5)]["containment"] == 1.0  # and a third (animated webp)
     assert pairs[(1, 3)]["containment"] == 1.0  # clip fully contained
     assert pairs[(1, 3)]["matched_a"] == 2 and pairs[(1, 3)]["n_b"] == 2
