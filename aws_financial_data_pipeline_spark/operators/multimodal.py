@@ -698,6 +698,7 @@ def image_dedup(
     media_type: "str | tuple[str, ...]" = IMAGE_TYPES,
     max_distance: int = 6,
     id_col: str = "doc_id",
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """End-to-end perceptual image dedup: pHash every image row
     (container-independent — the same picture re-encoded BMP/PNG/JPEG
@@ -708,22 +709,91 @@ def image_dedup(
     ``is_canonical`` rows to dedup; keep the rest of the columns for audit.
 
     Shape at 100 TB: one Arrow map over the payload bytes (read once,
-    dropped immediately — the hash table is 16 bytes/row), the banded
-    equi-join of :func:`phash_near_duplicates` (recall 1.0 ≤ hamming 7 by
-    pigeonhole), and id-only CC iterations. Payload bytes never shuffle."""
+    dropped immediately — the hash table is 16 bytes/row), then pairs and
+    CC run over one REPRESENTATIVE per distinct hash (min id) — the
+    exact-duplicate mass that dominates real crawls (same thumbnail on a
+    million pages) never enters pair generation or the component graph;
+    members rejoin their rep's component through the 16-byte hash table at
+    the end. ``bucket_cap`` (mirroring ``minhash_candidates``) bounds the
+    near-dup band buckets — see :func:`phash_near_duplicates`. Payload
+    bytes never shuffle."""
     from .graph import dedup_clusters
 
-    # the hash frame fans out THREE ways (both sides of the banded
-    # self-join + the CC docs side) and its parent is the Arrow DECODE
-    # stage — without a lineage cut every consumer re-decodes the corpus
-    # (measured on the 600-image bench fixture: 0.55s hash pass, 7.3s
-    # composition before the checkpoint, 3.9s after — the rest is the
-    # band join + CC iterations themselves)
+    # the hash frame fans out (rep grouping + member re-expansion) and its
+    # parent is the Arrow DECODE stage — without a lineage cut every
+    # consumer re-decodes the corpus (measured on the 600-image bench
+    # fixture: 0.55s hash pass, 7.3s composition before the checkpoint,
+    # 3.9s after — the rest is the band join + CC iterations themselves)
     hashes = image_phash(with_payload, media_type, id_col=id_col).localCheckpoint(
         eager=False
     )
-    pairs = phash_near_duplicates(hashes, max_distance=max_distance, id_col=id_col)
-    return dedup_clusters(hashes.select(id_col), pairs, id_col=id_col)
+    # one representative (min id) per distinct hash: exact duplicates
+    # collapse BEFORE the band join, so a hash shared by B images costs 1
+    # signature row, not B (and never B^2/2 pairs)
+    reps = hashes.groupBy("phash").agg(F.min(id_col).alias(id_col))
+    pairs = phash_near_duplicates(
+        reps, max_distance=max_distance, id_col=id_col, bucket_cap=bucket_cap
+    )
+    rep_comp = dedup_clusters(reps.select(id_col), pairs, id_col=id_col).select(
+        F.col(id_col).alias("_rep"), "component"
+    )
+    # every member inherits its rep's component; component = min rep id =
+    # min member id over the merged cluster (rep is already min-per-hash),
+    # so is_canonical keeps the dedup_clusters convention exactly
+    labeled = hashes.join(
+        reps.withColumnRenamed(id_col, "_rep"), "phash"
+    ).join(rep_comp, "_rep")
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "component").select(
+        F.col(id_col),
+        "component",
+        "cluster_size",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _hash_bands(h) -> "F.Column":
+    """64-bit hash → array of 8 (band_id, band_key) structs (8-bit bands)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(h, b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
+            )
+            for b in range(8)
+        ]
+    )
+
+
+def phash_oversized_buckets(
+    hashes: DataFrame,
+    bucket_cap: int,
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Audit helper for :func:`phash_near_duplicates` (the twin of
+    ``dedup.oversized_buckets``): the buckets a capped run DROPS. Two kinds,
+    one frame: (band_id ≥ 0, band_key, n) = band buckets holding more than
+    ``bucket_cap`` DISTINCT hashes (near-dup candidates lost); (band_id =
+    -1, band_key = the full hash, n) = exact-hash groups with more than
+    ``bucket_cap`` member rows (exact pairs suppressed). Persist this
+    alongside a capped dedup so the recall tradeoff is observable."""
+    uniq = hashes.select(F.col(hash_col).alias("_h")).distinct()
+    band_over = (
+        uniq.select(F.explode(_hash_bands(F.col("_h"))).alias("_b"))
+        .groupBy(
+            F.col("_b.band_id").alias("band_id"),
+            F.col("_b.band_key").cast("long").alias("band_key"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+    )
+    exact_over = (
+        hashes.groupBy(F.col(hash_col).cast("long").alias("band_key"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select(F.lit(-1).alias("band_id"), "band_key", "n")
+    )
+    return band_over.unionByName(exact_over)
 
 
 def phash_near_duplicates(
@@ -731,56 +801,92 @@ def phash_near_duplicates(
     max_distance: int = 6,
     id_col: str = "doc_id",
     hash_col: str = "phash",
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """Near-duplicate image pairs (doc_a < doc_b, hamming ≤ max_distance)
     from 64-bit pHashes — the SimHash banding trick applied to image space:
-    split the hash into 8×8-bit bands (one map-side projection + explode),
-    bucket-join on (band_id, band_key), verify candidates with
-    ``bit_count(a XOR b)`` (pure JVM). The pigeonhole bound makes the bands
-    EXACT for the default radius: two hashes within hamming 7 agree on ≥1
-    of 8 bands, so every true pair ≤ max_distance (≤ 7) collides — recall 1.0
-    by construction, no probabilistic miss. Radii > 7 would need wider
-    recall machinery (more/narrower bands); this raises instead."""
+    split each hash into 8×8-bit bands, bucket-join on (band_id, band_key),
+    verify candidates with ``bit_count(a XOR b)`` (pure JVM). The pigeonhole
+    bound makes the bands EXACT for the default radius: two hashes within
+    hamming 7 agree on ≥1 of 8 bands, so every true pair ≤ max_distance
+    (≤ 7) collides — recall 1.0 by construction. Radii > 7 would need
+    narrower bands; this raises instead.
+
+    Scale shape: the band join runs over DISTINCT hashes only — ids expand
+    back through the hash→ids table afterwards, so B copies of one image
+    cost 1 signature row, never B² band candidates. Identical-hash pairs
+    (hamming 0) come from a separate equi-join on the FULL 64-bit hash
+    (cardinality bounded by true duplicate mass, not by a 256-value band
+    key). Band keys are still only 8-bit, so with N distinct hashes the
+    expected bucket load is N/256 and candidate generation grows ~N²/512 —
+    quadratic with a constant divisor. ``bucket_cap`` bounds it (mirroring
+    ``minhash_candidates``): band buckets holding more than ``bucket_cap``
+    distinct hashes are dropped from candidate generation, and exact-hash
+    groups with more than ``bucket_cap`` rows are dropped from exact-pair
+    expansion — a DOCUMENTED RECALL TRADEOFF; audit what was dropped with
+    :func:`phash_oversized_buckets`."""
     if max_distance > 7:
         raise ValueError(
             "8x8-bit bands guarantee recall only to hamming 7; "
             f"max_distance={max_distance} needs narrower bands"
         )
-    h = F.col(hash_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                h.bitwiseAND(F.lit(255)).alias("band_key")
-                if b == 0
-                else F.shiftright(h, b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
-            )
-            for b in range(8)
-        ]
+    ids = hashes.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    uniq = ids.select("_h").distinct()
+    sig = uniq.select("_h", F.explode(_hash_bands(F.col("_h"))).alias("_b")).select(
+        "_h", F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
     )
-    sig = hashes.select(
-        F.col(id_col).alias("_id"), h.alias("_h"), F.explode(bands).alias("_b")
-    ).select("_id", "_h", F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key"))
+    if bucket_cap is not None:
+        ok = (
+            sig.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+        sig = sig.join(ok, ["band_id", "band_key"], "left_semi")
+    sig = sig.cache()  # both sides of the self-join
     a, b = sig.alias("a"), sig.alias("b")
-    cand = (
+    hpairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._h") < F.col("b._h")),
         )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._h").alias("_ha"),
-            F.col("b._h").alias("_hb"),
-        )
+        .select(F.col("a._h").alias("_ha"), F.col("b._h").alias("_hb"))
         .distinct()
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_distance)
     )
-    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return cand.select("doc_a", "doc_b", dist.alias("hamming")).filter(
-        F.col("hamming") <= max_distance
+    near = (
+        hpairs.join(ids.select(F.col("_id").alias("_da"), F.col("_h").alias("_ha")), "_ha")
+        .join(ids.select(F.col("_id").alias("_db"), F.col("_h").alias("_hb")), "_hb")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
     )
+    # hamming-0 pairs: equi-join on the full hash (ids sharing a hash).
+    # Output is quadratic only in TRUE exact-duplicate group size — the
+    # pairs contract — and capped groups are dropped (audited).
+    exact_side = ids
+    if bucket_cap is not None:
+        small = (
+            ids.groupBy("_h")
+            .agg(F.count("*").alias("_gn"))
+            .filter(F.col("_gn") <= bucket_cap)
+            .drop("_gn")
+        )
+        exact_side = ids.join(small, "_h", "left_semi")
+    ea, eb = exact_side.alias("ea"), exact_side.alias("eb")
+    exact = ea.join(
+        eb, (F.col("ea._h") == F.col("eb._h")) & (F.col("ea._id") < F.col("eb._id"))
+    ).select(
+        F.col("ea._id").alias("doc_a"),
+        F.col("eb._id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return near.unionByName(exact)
 
 
 def audio_hash64(payload: bytes) -> int:
@@ -854,75 +960,134 @@ def video_near_duplicates(
     max_distance: int = 6,
     min_containment: float = 0.5,
     id_col: str = "doc_id",
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """Video pairs whose frame sets overlap: the image banding trick
     (:func:`phash_near_duplicates` — 8×8-bit bands, recall exact to
     hamming 7) applied at FRAME level across videos, then per video pair
     the matched-frame CONTAINMENT ``max(|matched A|/|A|, |matched B|/|B|)``
     — max, not Jaccard, so a clip cut out of a longer video still scores
-    1.0 (the re-upload/clipping case video dedup exists for). Returns
-    (doc_a, doc_b, n_a, n_b, matched_a, matched_b, containment ≥
-    ``min_containment``, 4dp). Never quadratic: candidates come from the
-    band equi-join; per-video frame counts are a tiny aggregate joined
-    back."""
+    1.0 (the re-upload/clipping case video dedup exists for) — plus
+    ``max_matched_run``, the longest run of CONSECUTIVE matched frame
+    indices at a constant offset (one window over the candidate-sized pairs
+    frame): a re-encoded cut scores run ≈ clip length, two videos sharing
+    the same stills in shuffled order score run 1, so temporal order is no
+    longer invisible. Returns (doc_a, doc_b, n_a, n_b, matched_a,
+    matched_b, containment ≥ ``min_containment`` 4dp, max_matched_run).
+
+    Scale shape (mirrors :func:`phash_near_duplicates`): the band join runs
+    over DISTINCT frame hashes; (video, frame) rows expand back through the
+    hash table, and identical-hash matches come from an equi-join on the
+    full 64-bit hash. Band keys are 8-bit, so candidate generation over N
+    distinct hashes grows ~N²/512 — ``bucket_cap`` bounds it by dropping
+    band buckets with more than ``bucket_cap`` distinct hashes AND exact
+    hashes occurring in more than ``bucket_cap`` (video, frame) rows (the
+    black-frame / letterbox mass) from matching — a DOCUMENTED RECALL
+    TRADEOFF; audit with :func:`phash_oversized_buckets` on the frames
+    table. Per-video frame counts are a tiny aggregate joined back with no
+    forced broadcast — AQE picks the strategy, so 10⁸ videos won't OOM the
+    driver."""
     if max_distance > 7:
         raise ValueError(
             "8x8-bit bands guarantee recall only to hamming 7; "
             f"max_distance={max_distance} needs narrower bands"
         )
-    h = F.col("phash")
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftright(h, b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
-            )
-            for b in range(8)
-        ]
+    from pyspark.sql import Window
+
+    ids = frames.select(
+        F.col(id_col).alias("_id"), F.col("frame_idx").alias("_f"), F.col("phash").alias("_h")
     )
-    sig = frames.select(
-        F.col(id_col).alias("_id"),
-        F.col("frame_idx").alias("_f"),
-        h.alias("_h"),
-        F.explode(bands).alias("_b"),
-    ).select("_id", "_f", "_h", "_b.band_id", "_b.band_key")
+    uniq = ids.select("_h").distinct()
+    sig = uniq.select("_h", F.explode(_hash_bands(F.col("_h"))).alias("_b")).select(
+        "_h", F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
+    )
+    if bucket_cap is not None:
+        ok = (
+            sig.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+        sig = sig.join(ok, ["band_id", "band_key"], "left_semi")
+    sig = sig.cache()
     a, b = sig.alias("a"), sig.alias("b")
-    dist = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
-    pairs = (
+    hpairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._h") < F.col("b._h")),
         )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._f").alias("frame_a"),
-            F.col("b._f").alias("frame_b"),
-            dist.alias("_d"),
-        )
-        .filter(F.col("_d") <= max_distance)
+        .select(F.col("a._h").alias("_ha"), F.col("b._h").alias("_hb"))
         .distinct()
+        .filter(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_distance)
     )
+    near = (
+        hpairs.join(
+            ids.select(F.col("_id").alias("_d1"), F.col("_f").alias("_f1"), F.col("_h").alias("_ha")),
+            "_ha",
+        )
+        .join(
+            ids.select(F.col("_id").alias("_d2"), F.col("_f").alias("_f2"), F.col("_h").alias("_hb")),
+            "_hb",
+        )
+        .filter(F.col("_d1") != F.col("_d2"))
+        .select(
+            F.least("_d1", "_d2").alias("doc_a"),
+            F.greatest("_d1", "_d2").alias("doc_b"),
+            F.when(F.col("_d1") < F.col("_d2"), F.col("_f1")).otherwise(F.col("_f2")).alias("frame_a"),
+            F.when(F.col("_d1") < F.col("_d2"), F.col("_f2")).otherwise(F.col("_f1")).alias("frame_b"),
+        )
+    )
+    exact_side = ids
+    if bucket_cap is not None:
+        small = (
+            ids.groupBy("_h")
+            .agg(F.count("*").alias("_gn"))
+            .filter(F.col("_gn") <= bucket_cap)
+            .drop("_gn")
+        )
+        exact_side = ids.join(small, "_h", "left_semi")
+    ea, eb = exact_side.alias("ea"), exact_side.alias("eb")
+    exact = ea.join(
+        eb, (F.col("ea._h") == F.col("eb._h")) & (F.col("ea._id") < F.col("eb._id"))
+    ).select(
+        F.col("ea._id").alias("doc_a"),
+        F.col("eb._id").alias("doc_b"),
+        F.col("ea._f").alias("frame_a"),
+        F.col("eb._f").alias("frame_b"),
+    )
+    pairs = near.unionByName(exact).distinct()
     matched = pairs.groupBy("doc_a", "doc_b").agg(
         F.countDistinct("frame_a").alias("matched_a"),
         F.countDistinct("frame_b").alias("matched_b"),
     )
+    # longest consecutive run: within a (pair, frame_a-frame_b offset)
+    # diagonal, consecutive frame_a values share (frame_a - row_number) —
+    # the classic gaps-and-islands grouping, one window over the
+    # candidate-sized pairs frame (never the corpus)
+    off = pairs.select(
+        "doc_a", "doc_b", "frame_a", (F.col("frame_a") - F.col("frame_b")).alias("_off")
+    ).distinct()
+    w = Window.partitionBy("doc_a", "doc_b", "_off").orderBy("frame_a")
+    runs = (
+        off.withColumn("_grp", F.col("frame_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "_off", "_grp")
+        .agg(F.count("*").alias("_run"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("_run").cast("int").alias("max_matched_run"))
+    )
     counts = frames.groupBy(id_col).agg(F.countDistinct("frame_idx").alias("_n"))
     out = (
         matched.join(
-            F.broadcast(
-                counts.withColumnRenamed(id_col, "doc_a").withColumnRenamed("_n", "n_a")
-            ),
+            counts.withColumnRenamed(id_col, "doc_a").withColumnRenamed("_n", "n_a"),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                counts.withColumnRenamed(id_col, "doc_b").withColumnRenamed("_n", "n_b")
-            ),
+            counts.withColumnRenamed(id_col, "doc_b").withColumnRenamed("_n", "n_b"),
             "doc_b",
         )
+        .join(runs, ["doc_a", "doc_b"])
         .withColumn(
             "containment",
             F.round(
@@ -936,7 +1101,14 @@ def video_near_duplicates(
         .filter(F.col("containment") >= min_containment)
     )
     return out.select(
-        "doc_a", "doc_b", "n_a", "n_b", "matched_a", "matched_b", "containment"
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "matched_a",
+        "matched_b",
+        "containment",
+        "max_matched_run",
     )
 
 

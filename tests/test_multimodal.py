@@ -1672,3 +1672,177 @@ def test_video_dedup_cross_container_and_clipping(spark):
     assert pairs[(1, 5)]["containment"] == 1.0  # and a third (animated webp)
     assert pairs[(1, 3)]["containment"] == 1.0  # clip fully contained
     assert pairs[(1, 3)]["matched_a"] == 2 and pairs[(1, 3)]["n_b"] == 2
+
+
+# ---------------------------------------------------------------------------
+# round 11: bucket_cap + distinct-hash candidates + temporal-run signal
+# ---------------------------------------------------------------------------
+
+
+def test_phash_bucket_cap_parity_without_hot_buckets(spark):
+    """On a corpus with NO hot bucket, bucket_cap changes nothing: capped ==
+    uncapped pair-for-pair (the VERDICT r10 done-criterion)."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(311)
+    base = _natural_image(7)
+    noisy = np.clip(base.astype(int) + rng.integers(-3, 4, base.shape), 0, 255).astype(np.uint8)
+    rows = [
+        (1, mm.phash64(base)),
+        (2, mm.phash64(noisy)),
+        (3, mm.phash64(_natural_image(57))),
+        (4, mm.phash64(_natural_image(91))),
+    ]
+    hashes = spark.createDataFrame(rows, "doc_id long, phash long")
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.phash_near_duplicates(hashes, max_distance=6).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.phash_near_duplicates(hashes, max_distance=6, bucket_cap=3).collect()
+    }
+    assert capped == uncapped and (1, 2) in capped
+    # audit frame is empty — nothing was dropped
+    assert mm.phash_oversized_buckets(hashes, bucket_cap=3).count() == 0
+
+
+def test_phash_bucket_cap_drops_planted_hot_bucket_and_audit_reports(spark):
+    """Planted hot bucket (200 identical black-frame hashes): uncapped emits
+    the full quadratic 200·199/2 exact pairs; capped drops the group and the
+    audit helper reports BOTH the exact group and its saturated band
+    buckets. A genuinely near (not equal) pair elsewhere survives the cap —
+    bucket_cap counts DISTINCT hashes per band, so duplicate mass alone
+    can't evict a band bucket."""
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    black = -4242424242  # stands in for pHash(solid black frame)
+    rows = [(i, black) for i in range(200)]
+    rows += [(1001, 7), (1002, 5)]  # hamming(7,5)=1 — a true near pair
+    hashes = spark.createDataFrame(rows, "doc_id long, phash long")
+
+    uncapped = mm.phash_near_duplicates(hashes, max_distance=6)
+    assert uncapped.count() == 200 * 199 // 2 + 1  # quadratic exact mass + the near pair
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.phash_near_duplicates(hashes, max_distance=6, bucket_cap=50).collect()
+    }
+    assert capped == {(1001, 1002): 1}  # black mass dropped, near pair kept
+
+    audit = {(r["band_id"], r["band_key"]): r["n"]
+             for r in mm.phash_oversized_buckets(hashes, bucket_cap=50).collect()}
+    assert (-1, black) in audit and audit[(-1, black)] == 200  # the exact group
+    # no BAND bucket is oversized: 3 distinct hashes total, cap 50
+    assert all(k[0] == -1 for k in audit)
+
+
+def test_phash_band_bucket_cap_counts_distinct_hashes(spark):
+    """A band bucket saturated by many DISTINCT hashes is dropped from
+    candidate generation (near pairs through it lost — the documented recall
+    tradeoff) and audited with band_id >= 0."""
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    # 60 distinct hashes all sharing band 0 key 0x11 (low byte), random in
+    # the high 56 bits so nothing is a true near-dup except one planted pair
+    import numpy as np
+
+    rng = np.random.default_rng(1311)
+    highs = rng.integers(0, 1 << 55, size=61, dtype=np.int64)
+    vals = [int(h << 8) | 0x11 for h in highs[:60]]
+    pair_hi = int(highs[60]) << 8
+    # sanity: fixture really has no accidental near pair (pairwise > 6)
+    allv = vals + [pair_hi | 0x22, pair_hi | 0x23]
+    for x in range(len(allv)):
+        for y in range(x + 1, len(allv)):
+            if (x, y) != (60, 61):
+                assert bin(allv[x] ^ allv[y]).count("1") > 6
+    rows = [(i, vals[i]) for i in range(60)]
+    rows += [(2001, pair_hi | 0x22), (2002, pair_hi | 0x23)]  # near pair, other bucket
+    hashes = spark.createDataFrame(rows, "doc_id long, phash long")
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.phash_near_duplicates(hashes, max_distance=6, bucket_cap=10).collect()
+    }
+    assert capped == {(2001, 2002)}
+    audit = mm.phash_oversized_buckets(hashes, bucket_cap=10).collect()
+    assert any(r["band_id"] == 0 and r["band_key"] == 0x11 and r["n"] == 60 for r in audit)
+
+
+def test_image_dedup_collapses_exact_mass_before_pair_generation(spark):
+    """image_dedup with many exact copies: reps (one per distinct hash)
+    carry the band join, members rejoin at the end — every copy lands in one
+    component with the right cluster_size/canonical, and bucket_cap passes
+    through without losing the cluster."""
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    base = _natural_image(7)
+    other = _natural_image(57)
+    rows = [(i, bytearray(mm.encode_bmp(base)), "image/bmp", 0) for i in range(1, 9)]
+    rows.append((9, bytearray(mm.encode_bmp(other)), "image/bmp", 0))
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    out = {r["doc_id"]: r for r in mm.image_dedup(frames, bucket_cap=4).collect()}
+    assert set(out) == set(range(1, 10))
+    assert all(out[i]["component"] == 1 and out[i]["cluster_size"] == 8 for i in range(1, 9))
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[9]["cluster_size"] == 1 and out[9]["is_canonical"]
+
+
+def test_video_near_duplicates_temporal_run_and_no_forced_broadcast(spark):
+    """max_matched_run separates 'same cut' from 'same stills shuffled':
+    a contiguous clip scores run == clip length; the same frames in
+    scrambled order score containment 1.0 but run 1. And the per-video
+    counts join carries NO forced broadcast hint (VERDICT r10 #2)."""
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    # distinct, far-apart frame hashes f0..f3
+    f = [(i << 40) | (0x5A5A + 257 * i) for i in range(4)]
+    rows = []
+    rows += [(1, k, f[k]) for k in range(4)]            # the original cut
+    rows += [(2, k, f[k]) for k in range(2)]            # contiguous clip f0,f1
+    perm = [2, 0, 3, 1]                                  # shuffled stills
+    rows += [(3, k, f[perm[k]]) for k in range(4)]
+    frames = spark.createDataFrame(rows, "doc_id long, frame_idx int, phash long")
+    df = mm.video_near_duplicates(frames, max_distance=2)
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in df.collect()}
+    assert pairs[(1, 2)]["containment"] == 1.0 and pairs[(1, 2)]["max_matched_run"] == 2
+    assert pairs[(1, 3)]["containment"] == 1.0 and pairs[(1, 3)]["max_matched_run"] == 1
+    # no ResolvedHint(broadcast) anywhere in the analyzed plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_video_near_duplicates_bucket_cap_drops_black_frames(spark):
+    """Planted black frame shared by many videos: uncapped matches every
+    video pair through it; capped drops the hash from matching, keeping only
+    genuinely-shared content."""
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    black = 0
+    clip = [(7 << 36) | i for i in range(3)]
+    rows = []
+    import numpy as np
+
+    rng = np.random.default_rng(4711)
+    content = [int(x) for x in rng.integers(1 << 30, 1 << 55, size=30, dtype=np.int64)]
+    # sanity: content frames are pairwise far apart (no accidental near-dups)
+    for x in range(30):
+        for y in range(x + 1, 30):
+            assert bin(content[x] ^ content[y]).count("1") > 1
+    for v in range(30):  # 30 unrelated videos, each with a black frame
+        rows.append((v, 0, black))
+        rows.append((v, 1, content[v]))  # unique content frame
+    rows += [(100, k, clip[k]) for k in range(3)]
+    rows += [(101, k, clip[k]) for k in range(3)]  # true duplicate of 100
+    frames = spark.createDataFrame(rows, "doc_id long, frame_idx int, phash long")
+    capped = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in mm.video_near_duplicates(frames, max_distance=1, bucket_cap=10).collect()
+    }
+    assert set(capped) == {(100, 101)}
+    assert capped[(100, 101)]["containment"] == 1.0
+    assert capped[(100, 101)]["max_matched_run"] == 3
+    uncapped = mm.video_near_duplicates(frames, max_distance=1, min_containment=0.4)
+    assert uncapped.count() == 30 * 29 // 2 + 1  # black frame links every video pair
