@@ -887,6 +887,76 @@ def _bench_image_dedup(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_video_dedup(spark, sf_dir: str) -> float:
+    """Video dedup end-to-end over a MIXED-container corpus (VERDICT r10
+    #3 — the new Arrow-heavy, join-heavy family gets a recorded cost):
+    120 base 6-frame clips re-encoded through all three animated
+    containers (AVI + animated GIF + animated WebP) plus a 3-frame AVI
+    clip cut from every fourth base (the containment case) — 390 payloads,
+    ~2.3k frames, synthesized and cached PRE-t0. The timed region is the
+    product: one Arrow decode+per-frame-pHash pass across three container
+    parsers (video_fingerprints), then the distinct-hash banded frame
+    join + containment/temporal-run scoring (video_near_duplicates)."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mmod
+    from aws_financial_data_pipeline_spark.operators import webp as wp
+
+    rows = []
+    did = 0
+    for i in range(120):
+        rng = np.random.default_rng(9000 + i)
+        shift = int(rng.integers(0, 200))
+        # per-video palette stays <=256: R/B column gradients shared by all
+        # frames of a video; each frame adds one G band value (32 cols x
+        # (1 + 6 G values) = 224 colors) — encode_gif is an exact-palette
+        # fixture writer, not a quantizer
+        r = ((np.arange(32) * 7 + shift) % 256).astype(np.uint8)
+        bl = ((np.arange(32) * 13 + 3 * shift) % 256).astype(np.uint8)
+        frames = []
+        for k in range(6):
+            f = np.zeros((32, 32, 3), dtype=np.uint8)
+            f[:, :, 0] = r[None, :]
+            f[:, :, 2] = bl[None, :]
+            f[4 * k : 4 * k + 8, :, 1] = int(rng.integers(80, 255))
+            frames.append(f)
+        rows.append((did, bytearray(mmod.encode_avi(frames)), "video/avi", 0))
+        rows.append((did + 1, bytearray(mmod.encode_gif(frames)), "image/gif", 0))
+        rows.append(
+            (
+                did + 2,
+                bytearray(
+                    wp.encode_webp_animation(
+                        [{"img": f} for f in frames], canvas=(32, 32)
+                    )
+                ),
+                "image/webp",
+                0,
+            )
+        )
+        did += 3
+        if i % 4 == 0:
+            rows.append((did, bytearray(mmod.encode_avi(frames[:3])), "video/avi", 0))
+            did += 1
+    payloads = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    ).repartition(32).cache()
+    payloads.count()
+    types = ("video/avi", "image/gif", "image/webp")
+
+    def run():
+        t0 = time.perf_counter()
+        fp = mmod.video_fingerprints(payloads, media_type=types).localCheckpoint(
+            eager=False
+        )
+        mmod.video_near_duplicates(fp).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def _bench_event_funnel(spark, sf_dir: str) -> float:
     """view→click→purchase funnel over the events table (1h window): one
     groupBy + one fold, no per-step self-joins."""
@@ -972,6 +1042,7 @@ def main() -> None:
         ("corpus_divergence", _bench_corpus_divergence, {}),
         ("event_funnel", _bench_event_funnel, {}),
         ("image_dedup_mixed", _bench_image_dedup, {}),
+        ("video_dedup", _bench_video_dedup, {}),
         ("crawl_front_door", _bench_crawl_front_door, {}),
         ("archive_front_door", _bench_archive_front_door, {}),
         ("warc_ingest", _bench_warc_ingest, {}),
