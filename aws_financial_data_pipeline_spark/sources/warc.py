@@ -339,44 +339,69 @@ def binaryfile_ingest_stream(
     return writer.start()
 
 
+# windows-1252 vs ISO-8859-1 differs ONLY in 0x80-0x9F: 27 printable
+# single-char mappings (smart quotes, em-dash, euro, ...) plus 5 bytes the
+# WHATWG encoding standard leaves as the C1 controls ISO-8859-1 already
+# yields. So decode ISO-8859-1 (a bijection byte->U+00XX) then translate
+# those 27 chars — an EXACT WHATWG windows-1252 decoder, pure Catalyst
+# (Spark's decode whitelist has no cp1252; this closes the round-10
+# "ISO-8859-1 subset" approximation that fed smart quotes into the
+# control-char quality signals).
+_CP1252_ONLY = [b for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)]
+_CP1252_SRC = "".join(chr(b) for b in _CP1252_ONLY)
+_CP1252_DST = bytes(_CP1252_ONLY).decode("cp1252")
+
+
 def decoded_text_expr(payload="payload", content_type="content_type"):
-    """The charset ladder for crawl payloads, pure Catalyst (round-10;
-    previously everything decoded as lossy UTF-8, which turns every
-    UTF-16 page into mojibake): (1) an explicit ``charset=`` in the HTTP
-    Content-Type wins — utf-8 / utf-16(le/be) / iso-8859-1 / us-ascii,
-    with windows-1252 mapped to its ISO-8859-1 subset (the web's usual
-    conflation; the 0x80-0x9F printables differ — documented
-    approximation, Spark's decode whitelist has no cp1252); (2) else a
-    BOM decides (UTF-8 BOM stripped after decode; UTF-16 BOMs ride
-    Java's BOM-consuming UTF-16 charset); (3) else UTF-8 with
-    replacement — the dominant web encoding and the correct lossy
-    default. Full charset detection (chardet-style statistical tables)
-    stays out of scope in this container; header+BOM covers the
-    declared-encoding cases that dominate real crawls."""
+    """The charset ladder for crawl payloads, pure Catalyst (round-10,
+    tightened round-11; previously everything decoded as lossy UTF-8,
+    which turns every UTF-16 page into mojibake): (1) an explicit
+    ``charset=`` in the HTTP Content-Type wins — utf-8 / utf-16(le/be) /
+    iso-8859-1 / us-ascii, with windows-1252/cp1252/x-cp1252 decoded
+    EXACTLY (ISO-8859-1 + a 27-char translate — see ``_CP1252_SRC``) and
+    a BOM-less declared utf-16 read as LE per the WHATWG encoding
+    standard (Java's bare UTF-16 defaults BE, garbling the LE pages that
+    dominate the web); (2) else a BOM decides (UTF-16 BOMs ride Java's
+    BOM-consuming UTF-16 charset); (3) else UTF-8 with replacement — the
+    dominant web encoding and the correct lossy default. A leading
+    U+FEFF is stripped ONCE from the final expression, whatever branch
+    produced it (declared-utf-8 + BOM, the BOM branch, utf-16le whose LE
+    decoder doesn't consume BOMs). Full charset detection (chardet-style
+    statistical tables) stays out of scope in this container; header+BOM
+    covers the declared-encoding cases that dominate real crawls."""
     p = F.col(payload) if isinstance(payload, str) else payload
     ct = F.lower(F.coalesce(F.col(content_type), F.lit("")))
     declared = F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
     utf8 = F.decode(p, "UTF-8")
-    return (
+    has_u16_bom = (F.substring(p, 1, 2) == F.lit(b"\xff\xfe")) | (
+        F.substring(p, 1, 2) == F.lit(b"\xfe\xff")
+    )
+    ladder = (
         F.when(declared.isin("utf-8", "utf8"), utf8)
-        .when(declared.isin("utf-16", "utf16"), F.decode(p, "UTF-16"))
+        .when(
+            declared.isin("utf-16", "utf16"),
+            F.when(has_u16_bom, F.decode(p, "UTF-16")).otherwise(
+                F.decode(p, "UTF-16LE")
+            ),
+        )
         .when(declared.isin("utf-16le", "utf16le"), F.decode(p, "UTF-16LE"))
         .when(declared.isin("utf-16be", "utf16be"), F.decode(p, "UTF-16BE"))
         .when(
-            declared.isin(
-                "iso-8859-1", "iso8859-1", "latin-1", "latin1", "windows-1252", "cp1252"
+            declared.isin("windows-1252", "cp1252", "x-cp1252"),
+            F.translate(
+                F.decode(p, "ISO-8859-1"), _CP1252_SRC, _CP1252_DST
             ),
+        )
+        .when(
+            declared.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
             F.decode(p, "ISO-8859-1"),
         )
         .when(declared.isin("us-ascii", "ascii"), F.decode(p, "US-ASCII"))
-        .when(
-            F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf"),
-            F.regexp_replace(utf8, "^﻿", ""),
-        )
-        .when(F.substring(p, 1, 2) == F.lit(b"\xff\xfe"), F.decode(p, "UTF-16"))
-        .when(F.substring(p, 1, 2) == F.lit(b"\xfe\xff"), F.decode(p, "UTF-16"))
+        .when(F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf"), utf8)
+        .when(has_u16_bom, F.decode(p, "UTF-16"))
         .otherwise(utf8)
     )
+    return F.regexp_replace(ladder, "^﻿", "")
 
 
 def warc_to_documents(

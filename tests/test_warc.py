@@ -564,7 +564,7 @@ def test_charset_ladder_header_bom_and_default(spark, tmp_path):
                                          "text/html; charset=utf-16le")),
         ("https://a.example/latin1", http("café crème".encode("iso-8859-1"),
                                           'text/html; charset="iso-8859-1"')),
-        ("https://a.example/cp1252", http("café".encode("cp1252"),
+        ("https://a.example/cp1252", http("“café” — a ‘quote’ for €5".encode("cp1252"),
                                           "text/plain; charset=windows-1252")),
         ("https://a.example/bom8", http("﻿plain utf8 bom".encode("utf-8"),
                                         "text/html")),
@@ -572,6 +572,14 @@ def test_charset_ladder_header_bom_and_default(spark, tmp_path):
                                          "text/html")),
         ("https://a.example/plain", http("just utf-8 ünicode".encode("utf-8"),
                                          "text/html")),
+        # round-11 ladder cases (ADVICE r10): declared utf-8 WITH a BOM
+        # (the strip must apply on the declared branch too), and a
+        # BOM-less declared utf-16 whose content is LE (WHATWG says the
+        # bare utf-16 label means LE; Java's default would garble it)
+        ("https://a.example/bom8decl", http("﻿declared+bom".encode("utf-8"),
+                                            "text/html; charset=utf-8")),
+        ("https://a.example/u16bare", http("bare utf-16 lë".encode("utf-16-le"),
+                                           "text/html; charset=utf-16")),
     ]
     payload = warcsrc.encode_warc(
         [
@@ -591,8 +599,17 @@ def test_charset_ladder_header_bom_and_default(spark, tmp_path):
     assert got == {
         "u16le": "héllo wörld",
         "latin1": "café crème",
-        "cp1252": "café",
+        # TRUE cp1252 (round 11): 0x93/0x94 smart quotes, 0x97 em-dash,
+        # 0x91/0x92 single quotes and 0x80 euro decode to their real
+        # codepoints, not C1 controls
+        "cp1252": "“café” — a ‘quote’ for €5",
         "bom8": "plain utf8 bom",  # BOM stripped
         "bom16": "bom16 tëxt",
         "plain": "just utf-8 ünicode",
+        "bom8decl": "declared+bom",  # BOM stripped on the DECLARED branch too
+        "u16bare": "bare utf-16 lë",  # bare utf-16 label read as LE (WHATWG)
     }
+    # the whole ladder (cp1252 translate included) is pure Catalyst — no
+    # Python eval node anywhere in the decode plan
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
