@@ -725,6 +725,8 @@ def incremental_curation(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    robots_rules: "DataFrame | None" = None,
+    url_col: str = "url",
     **funnel_kwargs,
 ) -> dict:
     """ONE refresh turn of the production curation loop — the O(churn)
@@ -762,6 +764,18 @@ def incremental_curation(
     ``curated_standing`` must carry the funnel's output columns (it is the
     previous turn's ``corpus``) so the union is schema-aligned.
 
+    ``robots_rules`` (round 11): a :func:`..robots.parse_robots` rule
+    table makes robots compliance part of the refresh turn — the rules
+    gate the churn batch INSIDE the funnel (a re-ingested doc a new
+    Disallow covers is dropped at ``robots_gate``) AND sweep the RETAINED
+    standing corpus (policy changes must retire previously-admitted docs,
+    not just block re-ingests — RFC 9309 opt-out is retroactive). The
+    sweep is the one step here that is O(standing) rather than O(churn),
+    but it is map-only broadcast LIKE matching over (id, url) — no text
+    scan, no shuffle; swept docs retire from the signature store too, and
+    the refresh audit gains a ``standing_after_robots`` stage. Requires
+    ``url_col`` on ``curated_standing`` (and on the batch).
+
     ``num_hashes``/``band_size``/``n`` MUST match the parameters the
     ``signature_store`` was built with — they are threaded to both the
     cross-dedup signing and the accepted-batch re-signing, so the
@@ -773,9 +787,26 @@ def incremental_curation(
     diff = sn.corpus_diff(standing_raw, new_snapshot, text_col=text_col, id_col=id_col)
     summary = sn.diff_summary(diff)
     retired = diff.filter(F.col("status").isin("removed", "changed")).select(id_col)
-    retained = curated_standing.join(retired, id_col, "left_anti")
+    retained_pre = curated_standing.join(retired, id_col, "left_anti")
+    retained = retained_pre
+    robots_audit_stage = []
+    if robots_rules is not None:
+        if url_col not in curated_standing.columns:
+            raise ValueError(
+                f"robots_rules needs a {url_col!r} column on curated_standing "
+                "(pass url_col= to name it)"
+            )
+        from .robots import filter_robots_disallowed
+
+        retained = filter_robots_disallowed(retained_pre, robots_rules, url_col=url_col)
+        funnel_kwargs.setdefault("robots_rules", robots_rules)
+        funnel_kwargs.setdefault("url_col", url_col)
     retained = retained.localCheckpoint(eager=False)
-    store_retained = signature_store.join(retired, id_col, "left_anti")
+    if robots_rules is not None:
+        robots_audit_stage = [("standing_after_robots", retained)]
+    store_retained = signature_store.join(
+        retained.select(id_col), id_col, "left_semi"
+    ) if robots_rules is not None else signature_store.join(retired, id_col, "left_anti")
 
     batch = sn.ingest_batch(standing_raw, new_snapshot, text_col=text_col, id_col=id_col)
     funneled = curation_funnel(
@@ -812,7 +843,8 @@ def incremental_curation(
 
     audit = None
     for name, frame in (
-        ("standing_retained", retained),
+        ("standing_retained", retained_pre),
+        *robots_audit_stage,
         ("batch_curated", batch_curated),
         ("batch_after_cross_dedup", accepted),
         ("corpus", corpus),

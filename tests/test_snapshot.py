@@ -303,3 +303,91 @@ def test_schema_diff_statuses(spark):
     assert out["source"]["status"] == "added" and out["source"]["old_type"] is None
     assert out["doc_id"]["status"] == "type_changed"
     assert (out["doc_id"]["old_type"], out["doc_id"]["new_type"]) == ("bigint", "int")
+
+
+def test_incremental_curation_robots_policy_change(spark):
+    """round 11 (VERDICT r10 #6): a robots rule table threaded through the
+    refresh turn enforces a NEW Disallow in both directions — the churn
+    batch's re-ingest of a now-disallowed doc is dropped at the funnel's
+    robots_gate, AND a previously-admitted UNCHANGED standing doc under the
+    new Disallow is retired by the standing sweep (opt-out is retroactive).
+    The store invariant (next store == fresh signing of the new corpus)
+    holds across both removals, and the refresh audit gains the
+    standing_after_robots stage."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import dedup as dd
+    from aws_financial_data_pipeline_spark.operators import robots as rb
+    from aws_financial_data_pipeline_spark.operators.curation import (
+        curation_funnel,
+        incremental_curation,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    mk = lambda i: f"{base} variant {i} " + " ".join(f"word{i}x{j} and" for j in range(30))
+    standing_raw = spark.createDataFrame(
+        [
+            (1, mk(1), "https://site.example/keep/1"),
+            (2, mk(2), "https://site.example/blog/2"),   # will be re-ingested (changed)
+            (3, mk(3), "https://site.example/blog/3"),   # unchanged, swept by new policy
+            (4, mk(4), "https://site.example/keep/4"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    curated, _ = curation_funnel(standing_raw, rule_mode="any")
+    curated = curated.localCheckpoint()
+    assert {r["doc_id"] for r in curated.select("doc_id").collect()} == {1, 2, 3, 4}
+    store = dd.minhash_signatures(curated.select("doc_id", "text")).localCheckpoint()
+
+    # the new crawl: doc 2 changed (re-ingested), others unchanged — and
+    # the site has PUBLISHED a new Disallow: /blog
+    new_snapshot = standing_raw.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 2, F.concat(F.col("text"), F.lit(" v2 refresh")))
+        .otherwise(F.col("text")),
+    )
+    rules = rb.parse_robots(
+        spark.createDataFrame(
+            [("site.example", "User-agent: *\nDisallow: /blog")],
+            "host string, robots_txt string",
+        )
+    )
+    out = incremental_curation(
+        standing_raw, new_snapshot, curated, store, rule_mode="any",
+        robots_rules=rules,
+    )
+    corpus_ids = {r["doc_id"] for r in out["corpus"].select("doc_id").collect()}
+    assert corpus_ids == {1, 4}  # 2 dropped at batch robots_gate, 3 swept
+
+    # the batch funnel audit shows the robots_gate stage doing the drop
+    batch_audit = {r["stage"]: r["docs_kept"] for r in out["batch_audit"].collect()}
+    assert "robots_gate" in batch_audit and batch_audit["robots_gate"] == 0
+
+    # the refresh audit shows the standing sweep: 3 retained pre-sweep
+    # (doc 2 retired as changed), 2 after the robots sweep
+    a = {r["stage"]: r["docs_kept"] for r in out["audit"].collect()}
+    assert a["standing_retained"] == 3
+    assert a["standing_after_robots"] == 2
+    assert a["standing_after_robots"] + a["batch_after_cross_dedup"] == a["corpus"]
+
+    # store invariant holds across both robots removals
+    want = {
+        tuple(r)
+        for r in dd.minhash_signatures(out["corpus"].select("doc_id", "text")).collect()
+    }
+    assert {tuple(r) for r in out["signature_store"].collect()} == want
+
+    # and without rules the same refresh keeps everything (2 re-curated)
+    out2 = incremental_curation(
+        standing_raw, new_snapshot, curated, store, rule_mode="any"
+    )
+    assert {r["doc_id"] for r in out2["corpus"].select("doc_id").collect()} == {1, 2, 3, 4}
+
+    # missing url column fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="url"):
+        incremental_curation(
+            standing_raw.drop("url"), new_snapshot.drop("url"),
+            curated.drop("url"), store, rule_mode="any", robots_rules=rules,
+        )
