@@ -1,0 +1,58 @@
+"""Round-11 interleave protocol over the r10 BPE trio (VERDICT r10
+'What's wrong' #3): bpe_encode, unigram_encode, bpe_bytelevel_roundtrip
+ran at 1.9-2.1x their r9 times on byte-identical bpe.py and bench rows,
+with the wide-spread raw-pair signature of box noise. Run the three rows
+ROUND-ROBIN x3 (each call itself best-of-2, same helpers the bench uses)
+in one session after the standard warmup, so box-load drift shows as
+spread across iterations while a real plan change shows as a consistent
+level shift. Prints one JSON blob; the verdict NOTES entry records it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+from aws_financial_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("interleave-r11")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    for w in (
+        "q04_spending_by_category",
+        "q09_trend",
+        "x14_events_windows",
+        "x17_events_profile",
+    ):
+        queries[w](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id bigint").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    rows = [
+        ("bpe_encode", bench._bench_bpe_encode, {}),
+        ("unigram_encode", bench._bench_unigram_encode, {}),
+        ("bpe_bytelevel_roundtrip", bench._bench_bytelevel_bpe, {}),
+    ]
+    results: dict[str, list] = {n: [] for n, _, _ in rows}
+    for _ in range(3):
+        for name, fn, kw in rows:
+            bench.RUNS.pop(name, None)
+            best = bench._row(name, fn, spark, sf_dir, **kw)
+            results[name].append({"best": best, "pair": bench.RUNS.get(name)})
+            spark.catalog.clearCache()
+    print(json.dumps(results, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
