@@ -40,7 +40,10 @@ from pyspark.sql import functions as F
 
 # Schema for binary-payload rows: the payload plus typed metadata.
 PAYLOAD_COLS = "doc_id bigint, payload binary, media_type string, byte_len bigint"
-FEATURE_COLS = "doc_id bigint, media_type string, byte_len bigint, digest string, feature_mean double"
+FEATURE_COLS = (
+    "doc_id bigint, media_type string, byte_len bigint, digest string, "
+    "feature_mean double, feature_error string"
+)
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -602,20 +605,33 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
     deterministic byte-mean fake. One pandas batch in, one out — the batch
     shape, schema, and partition behavior are exactly what any extractor
     uses.
-    """
+
+    Per-payload errors (round 11, ADVICE r10): a payload the dispatched
+    decoder rejects — an absent codec's ``NotImplementedError`` (lossy-VP8
+    WebP, compressed audio) or a corrupt container — must not kill a
+    100 TB job. The feature stage catches per payload and emits NULL
+    ``feature_mean`` plus ``feature_error`` ("ExcType: message"), keeping
+    the signal loud (countable, groupable, never silent) without being
+    job-fatal. Direct decoder calls still raise — only this batch stage
+    degrades per row."""
+
+    def feat(m, b) -> tuple:
+        try:
+            return round(_feature(m, bytes(b)), 4), None
+        except Exception as e:  # absent codec / corrupt payload: per-row, audited
+            return None, f"{type(e).__name__}: {e}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pairs = [feat(m, b) for m, b in zip(pdf["media_type"], pdf["payload"])]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["byte_len"],
                     "digest": pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "feature_mean": [
-                        round(_feature(m, bytes(b)), 4)
-                        for m, b in zip(pdf["media_type"], pdf["payload"])
-                    ],
+                    "feature_mean": [p[0] for p in pairs],
+                    "feature_error": [p[1] for p in pairs],
                 }
             )
             yield out

@@ -172,21 +172,47 @@ def robots_verdicts(
     rules: DataFrame,
     url_col: str = "url",
 ) -> DataFrame:
-    """The audit form: input docs plus ``robots_allowed`` (boolean) and
-    ``robots_rule`` (the winning pattern, NULL when no rule matched).
-    RFC 9309 precedence — longest matching pattern wins, tie → allow —
-    via one broadcast join and JVM-side higher-order expressions; the
-    corpus never shuffles."""
+    """The audit form: input docs plus ``robots_allowed`` (boolean),
+    ``robots_rule`` (the winning pattern, NULL when no rule matched) and
+    ``robots_url_unparsed`` (true when no host could be extracted from a
+    non-null URL — those docs bypass the gate fail-OPEN; surface the
+    count so the bypass is auditable, ADVICE r10). RFC 9309 precedence —
+    longest matching pattern wins, tie → allow — via one broadcast join
+    and JVM-side higher-order expressions; the corpus never shuffles.
+
+    URL parsing (round 11): ``try_parse_url`` returns NULL for URLs Java's
+    parser rejects — notably raw unencoded '%' in the path, common in real
+    crawls — so a regexp fallback extracts (host, path) from the authority
+    form before the gate gives up; only URLs BOTH parsers reject bypass
+    (flagged). An empty path compares as "/" per the RFC. Percent-encoded
+    paths are matched literally (no decode pass — Spark's url_decode is
+    form-decoding, which corrupts '+'); rule patterns arrive literal from
+    robots.txt, so this diverges from RFC 9309 §2.2.2 only when a rule and
+    a crawl disagree on encoding the SAME path — documented tradeoff."""
     per_host = rules.groupBy("host").agg(
         F.collect_list(F.struct("like_pat", "plen", "allow", "pattern")).alias(
             "_rules"
         )
     )
-    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
-    path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    scheme_auth = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?"
+    fb_host = F.nullif(
+        F.regexp_extract(F.col(url_col), scheme_auth + r"([^/?#:]+)", 1), F.lit("")
+    )
+    fb_path = F.nullif(
+        F.regexp_extract(F.col(url_col), scheme_auth + r"[^/?#]*(/[^?#]*)", 1),
+        F.lit(""),
+    )
+    host = F.lower(
+        F.coalesce(F.try_parse_url(F.col(url_col), F.lit("HOST")), fb_host)
+    )
+    path = F.nullif(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
     joined = (
         docs.withColumn("_h", host)
-        .withColumn("_p", F.coalesce(path, F.lit("/")))
+        .withColumn("_p", F.coalesce(path, fb_path, F.lit("/")))
+        .withColumn(
+            "robots_url_unparsed",
+            F.col(url_col).isNotNull() & F.col("_h").isNull(),
+        )
         .join(F.broadcast(per_host), F.col("_h") == per_host["host"], "left")
         .drop(per_host["host"])
     )
@@ -220,7 +246,7 @@ def filter_robots_disallowed(
     return (
         robots_verdicts(docs, rules, url_col)
         .filter(F.col("robots_allowed"))
-        .drop("robots_allowed", "robots_rule")
+        .drop("robots_allowed", "robots_rule", "robots_url_unparsed")
     )
 
 

@@ -141,10 +141,23 @@ def ingest_corpus(
 _LEG_PATTERNS = (
     ("warc", r"\.warc(\.gz)?$"),
     ("wet", r"\.wet(\.gz)?$"),
-    ("tar", r"\.(tar|tar\.gz|tgz)$"),
+    # the tar Arrow stage byte-sniffs plain/gzip/bz2/xz framing, so the
+    # dispatch accepts every spelling it parses (ADVICE r10: .tar.bz2/.xz
+    # previously matched no leg and were lost by direct callers)
+    ("tar", r"\.(tar|tar\.gz|tgz|tar\.bz2|tbz2|tar\.xz|txz)$"),
     ("zip", r"\.zip$"),
     ("jsonl", r"\.(jsonl|ndjson)(\.gz)?$"),
 )
+
+
+def unmatched_corpus_paths(batch: DataFrame) -> "list[str]":
+    """The landing-zone files matching NO leg pattern — column pruning
+    keeps this a path-only scan, never the bytes."""
+    matched = None
+    for _, pat in _LEG_PATTERNS:
+        hit = F.col("path").rlike(pat)
+        matched = hit if matched is None else (matched | hit)
+    return [r["path"] for r in batch.filter(~matched).select("path").collect()]
 
 
 def corpus_batch_frame(
@@ -152,14 +165,33 @@ def corpus_batch_frame(
     extract_html: bool = True,
     archive_pattern: str | None = ".txt",
     max_member_bytes: int = 64 << 20,
+    on_unknown: str = "error",
 ) -> DataFrame:
     """The dispatch+parse+union plan of one landing-zone micro-batch,
     exposed as a plain frame so tests can assert its SHAPE (shuffle-free:
-    four filter → Arrow-parse legs over one binaryFile scan, plan-level
+    five filter → Arrow-parse legs over one binaryFile scan, plan-level
     union, no Exchange anywhere): any (path, content) frame whose files
-    may be ANY mix of the four container shapes → per-extension dispatch
+    may be ANY mix of the container shapes → per-extension dispatch
     onto the SAME per-leg parse stages the batch :func:`ingest_corpus`
-    composes → the unioned corpus contract."""
+    composes → the unioned corpus contract.
+
+    Files matching NO leg pattern raise loudly by default — the guard
+    lives HERE (round 11, ADVICE r10) so every entry point inherits it,
+    not just the streaming sink: a silently ignored landing-zone file is
+    a lost corpus shard. ``on_unknown="skip"`` opts into ignoring them
+    (sidecar manifests and the like; ``_``/``.``-prefixed markers such
+    as _SUCCESS are already invisible to Spark's file sources). The
+    check is a path-only job (bytes pruned), the returned plan is
+    unchanged by it."""
+    if on_unknown not in ("error", "skip"):
+        raise ValueError(f"on_unknown must be 'error' or 'skip': {on_unknown!r}")
+    if on_unknown == "error":
+        strays = unmatched_corpus_paths(batch)
+        if strays:
+            raise ValueError(
+                f"landing-zone files match no corpus shape: {strays[:5]} "
+                "(pass on_unknown='skip' to ignore non-corpus files)"
+            )
     legs: list[DataFrame] = []
     for leg, pat in _LEG_PATTERNS:
         sub = batch.filter(F.col("path").rlike(pat))
@@ -212,26 +244,12 @@ def process_corpus_batch(
     file-sink recipe). Module-level so fault-injection tests can drive
     single batches directly.
 
-    Files matching NO leg pattern raise loudly by default (a silently
-    ignored landing-zone file is a lost corpus shard); ``on_unknown=
-    "skip"`` opts into ignoring them (sidecar manifests and the like —
-    ``_``/``.``-prefixed markers such as _SUCCESS are already invisible
-    to Spark's file sources)."""
-    if on_unknown not in ("error", "skip"):
-        raise ValueError(f"on_unknown must be 'error' or 'skip': {on_unknown!r}")
-    if on_unknown == "error":
-        matched = None
-        for _, pat in _LEG_PATTERNS:
-            hit = F.col("path").rlike(pat)
-            matched = hit if matched is None else (matched | hit)
-        # column pruning keeps this a path-only scan, never the bytes
-        strays = [r["path"] for r in batch.filter(~matched).select("path").collect()]
-        if strays:
-            raise ValueError(
-                f"landing-zone files match no corpus shape: {strays[:5]} "
-                "(pass on_unknown='skip' to ignore non-corpus files)"
-            )
-    out = corpus_batch_frame(batch, extract_html, archive_pattern, max_member_bytes)
+    Files matching NO leg pattern raise loudly by default; the guard now
+    lives in :func:`corpus_batch_frame` (every entry point inherits it)
+    and ``on_unknown`` passes through."""
+    out = corpus_batch_frame(
+        batch, extract_html, archive_pattern, max_member_bytes, on_unknown
+    )
     if transform is not None:
         out = transform(out)
     out.write.mode("overwrite").parquet(f"{docs_out}/batch={batch_id}")

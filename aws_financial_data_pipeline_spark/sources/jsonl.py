@@ -102,13 +102,18 @@ def parse_jsonl_files(
 
 def jsonl_to_documents(parsed: DataFrame) -> DataFrame:
     """(path, lineno, rid, url, text) → (doc_id, url, text): the id is
-    xxhash64(path:rid) when the shard carries ids, else
-    xxhash64(path:lineno) — both stable under re-ingest of the immutable
-    shard; URL-less rows get host-less ``jsonl://`` provenance."""
+    xxhash64(path:id:rid) when the shard carries ids, else
+    xxhash64(path:line:lineno) — both stable under re-ingest of the
+    immutable shard, and the two id spaces are prefix-disambiguated
+    (ADVICE r10: without the prefix, a row whose id field equals another
+    row's line number hashed to the SAME doc_id, silently merging
+    distinct documents in dedup/ledger); URL-less rows get host-less
+    ``jsonl://`` provenance."""
     key = F.concat_ws(
         ":",
         F.col("path"),
-        F.coalesce(F.col("rid"), F.col("lineno").cast("string")),
+        F.when(F.col("rid").isNotNull(), F.concat(F.lit("id:"), F.col("rid")))
+        .otherwise(F.concat(F.lit("line:"), F.col("lineno").cast("string"))),
     )
     url = F.coalesce(
         F.col("url"),

@@ -329,3 +329,44 @@ def test_ingest_corpus_stream_empty_landing_zone(spark, tmp_path):
     )
     assert out.columns == list(corpussrc.CORPUS_DOC_COLS)
     assert out.count() == 0
+
+
+def test_corpus_batch_frame_inherits_stray_guard_and_bz2_dispatch(spark, tmp_path):
+    """ADVICE r10: the lost-shard guard lives in corpus_batch_frame itself,
+    so DIRECT callers inherit it — a stray file raises loudly without going
+    through process_corpus_batch — and .tar.bz2/.tar.xz (which the tar
+    Arrow stage byte-sniffs) now match the tar leg instead of being
+    silently dropped."""
+    import bz2
+    import io
+    import lzma
+    import tarfile
+
+    import pytest
+
+    landing = tmp_path / "landing_guard"
+    landing.mkdir()
+
+    def tarball(compress):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            data = b"hello from a compressed tarball"
+            info = tarfile.TarInfo("docs/a.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+        return compress(buf.getvalue())
+
+    (landing / "shard1.tar.bz2").write_bytes(tarball(bz2.compress))
+    (landing / "shard2.tar.xz").write_bytes(tarball(lzma.compress))
+    batch = spark.read.format("binaryFile").load(str(landing))
+    docs = corpussrc.corpus_batch_frame(batch).collect()
+    assert len(docs) == 2 and all(r["source"] == "tar" for r in docs)
+    assert all(r["text"] == "hello from a compressed tarball" for r in docs)
+
+    (landing / "notes.csv").write_bytes(b"not,a,corpus,shape")
+    batch2 = spark.read.format("binaryFile").load(str(landing))
+    with pytest.raises(ValueError, match="notes.csv"):
+        corpussrc.corpus_batch_frame(batch2)
+    # skip opts out; the stray contributes nothing
+    docs2 = corpussrc.corpus_batch_frame(batch2, on_unknown="skip").collect()
+    assert len(docs2) == 2

@@ -228,3 +228,27 @@ def test_jsonl_utf8_bom_tolerated(spark, tmp_path):
     )
     rows = jsonlsrc.read_jsonl_corpus(spark, str(tmp_path / "bom.jsonl")).collect()
     assert [r["text"] for r in rows] == ["first line parses"]
+
+
+
+
+def test_jsonl_doc_id_spaces_never_collide(spark, tmp_path):
+    """ADVICE r10: a row whose id FIELD equals another row's line number
+    must not share a doc_id with it — the id-carrying and line-numbered
+    keyspaces are prefix-disambiguated inside the hash input."""
+    import json as js
+
+    from aws_financial_data_pipeline_spark.sources import jsonl as jl
+
+    # line 1 carries id "2"; line 2 carries NO id (keyed by lineno 2).
+    # Pre-fix both hashed xxhash64("<path>:2").
+    shard = tmp_path / "part-0.jsonl"
+    shard.write_text(
+        js.dumps({"id": "2", "text": "doc with id two"}) + "\n"
+        + js.dumps({"text": "doc on line two"}) + "\n"
+    )
+    docs = jl.read_jsonl_corpus(spark, str(tmp_path)).collect()
+    assert len(docs) == 2
+    assert len({r["doc_id"] for r in docs}) == 2
+    texts = {r["text"] for r in docs}
+    assert texts == {"doc with id two", "doc on line two"}

@@ -1846,3 +1846,33 @@ def test_video_near_duplicates_bucket_cap_drops_black_frames(spark):
     assert capped[(100, 101)]["max_matched_run"] == 3
     uncapped = mm.video_near_duplicates(frames, max_distance=1, min_containment=0.4)
     assert uncapped.count() == 30 * 29 // 2 + 1  # black frame links every video pair
+
+
+def test_extract_features_degrades_per_payload_not_per_job(spark):
+    """ADVICE r10: one lossy-VP8 WebP (absent codec, loud NotImplementedError
+    from the decoder) or one corrupt payload must not kill the whole feature
+    job — the stage emits NULL feature + a feature_error string for that ROW
+    and real features for the rest. Direct decoder calls still raise."""
+    import numpy as np
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    img = _natural_image(7)
+    # a minimal lossy-VP8 WebP container header (the decoder rejects it loudly)
+    vp8 = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 8
+    rows = [
+        (1, bytearray(mm.encode_bmp(img)), "image/bmp", 0),
+        (2, bytearray(vp8), "image/webp", 0),
+        (3, bytearray(b"\x89PNG\r\n\x1a\nGARBAGE"), "image/png", 0),  # corrupt
+    ]
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    got = {r["doc_id"]: r for r in mm.extract_features(frames).collect()}
+    assert got[1]["feature_mean"] == round(float(img.mean()), 4)
+    assert got[1]["feature_error"] is None
+    assert got[2]["feature_mean"] is None
+    assert "NotImplementedError" in got[2]["feature_error"]
+    assert got[3]["feature_mean"] is None and got[3]["feature_error"]
+    # the decoder itself stays loud
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(bytes(vp8))

@@ -393,3 +393,42 @@ def test_parse_robots_most_specific_agent_prefix(spark):
     # an unrelated agent falls to *
     got = {r["pattern"] for r in _rules(spark, pairs, agent="otherbot").collect()}
     assert got == {"/everything"}
+
+
+def test_robots_gate_fallback_for_java_rejected_urls(spark):
+    """ADVICE r10: try_parse_url rejects URLs with raw unencoded '%' (and
+    other malformed-but-fetchable forms), which used to bypass the gate
+    fail-open. The regexp fallback now extracts (host, path) for those, so
+    rules apply; only URLs BOTH parsers reject bypass — and they are
+    flagged in robots_url_unparsed so the bypass is auditable. Also: an
+    empty path compares as '/' per the RFC."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.operators import robots as rb
+
+    rules = rb.parse_robots(
+        spark.createDataFrame(
+            [("site.example", "User-agent: *\nDisallow: /100\nDisallow: /$")],
+            "host string, robots_txt string",
+        )
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://site.example/100%valid/page?q=1"),  # Java rejects; rule hits
+            (2, "https://site.example/ok%20page"),           # Java rejects; no rule
+            (3, "not a url at all"),                          # both reject: bypass, flagged
+            (4, "https://site.example"),                      # empty path == "/" → Disallow /$
+            (5, "https://u:p@site.example:8080/100x"),        # userinfo+port authority
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r for r in rb.robots_verdicts(docs, rules).collect()}
+    assert not got[1]["robots_allowed"] and got[1]["robots_rule"] == "/100"
+    assert got[2]["robots_allowed"] and not got[2]["robots_url_unparsed"]
+    assert got[3]["robots_allowed"] and got[3]["robots_url_unparsed"]
+    assert not got[4]["robots_allowed"]  # "" compares as "/" → the /$ rule
+    assert not got[5]["robots_allowed"] and not got[5]["robots_url_unparsed"]
+    # the filter form stays schema-preserving (audit column dropped)
+    kept = rb.filter_robots_disallowed(docs, rules)
+    assert kept.columns == docs.columns
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
