@@ -728,38 +728,130 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return d.select("doc_id", *[band(k) for k in range(4)])
 
 
-def simhash64_candidates(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash64_oversized_buckets(sigs: DataFrame, bucket_cap: int) -> DataFrame:
+    """Audit helper for :func:`simhash64_candidates` — the buckets a capped
+    run DROPS, one frame, two kinds: (band_id ≥ 0, band_val, n) = band
+    buckets holding more than ``bucket_cap`` DISTINCT signatures (near-dup
+    candidates lost); (band_id = -1, band_val = xxhash64(band0..band3) —
+    an opaque group key, the tuple doesn't fit one column, n) =
+    identical-signature groups with more than ``bucket_cap`` member docs
+    (exact pairs suppressed)."""
+    bcols = [f"band{k}" for k in range(4)]
+    uniq = sigs.select(*bcols).distinct()
+    stack = ", ".join(f"{k}, band{k}" for k in range(4))
+    band_over = (
+        uniq.selectExpr(f"stack(4, {stack}) AS (band_id, band_val)")
+        .groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+    )
+    exact_over = (
+        sigs.groupBy(*bcols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select(
+            F.lit(-1).alias("band_id"),
+            F.xxhash64(*bcols).alias("band_val"),
+            "n",
+        )
+    )
+    return band_over.unionByName(exact_over)
+
+
+def simhash64_candidates(
+    sigs: DataFrame,
+    max_hamming: int = 8,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Near-dup candidates from 64-bit SimHash signatures: band the 64 bits
     into 4×16-bit buckets; pigeonhole guarantees any pair within Hamming
     distance 3 shares ≥1 band (distances 4..max_hamming are found with high
     probability — the usual LSH recall dial). Exact Hamming distance over the
-    four bands verifies the candidates. Output: (doc_a, doc_b, hamming)."""
-    wide = sigs.cache()  # both sides of the self-join
+    four bands verifies the candidates. Output: (doc_a, doc_b, hamming).
+
+    Scale shape (round 11 — the pHash-family treatment applied here too):
+    the band join runs over DISTINCT signatures and expands ids through
+    the signature→ids table afterwards, so B exact copies of one doc cost
+    1 signature row, never B² band candidates; identical-signature pairs
+    (hamming 0) come from a separate equi-join on the FULL 4-band tuple.
+    With N distinct signatures the expected band-bucket load is N/65 536 —
+    roomier than pHash's 256 but still unbounded under skew (boilerplate
+    near-identical docs). ``bucket_cap`` drops band buckets with more than
+    ``bucket_cap`` distinct signatures and identical-signature groups
+    larger than ``bucket_cap`` docs — a documented recall tradeoff audited
+    by :func:`simhash64_oversized_buckets`."""
+    bcols = [f"band{k}" for k in range(4)]
+    ids = sigs.select("doc_id", *bcols)
+    uniq = ids.select(*bcols).distinct()
     stack = ", ".join(f"{k}, band{k}" for k in range(4))
-    bands = wide.selectExpr("doc_id", f"stack(4, {stack}) AS (band_id, band_val)")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
+    bands = uniq.selectExpr(
+        *bcols, f"stack(4, {stack}) AS (band_id, band_val)"
+    )
+    if bucket_cap is not None:
+        ok = (
+            bands.groupBy("band_id", "band_val")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+        bands = bands.join(ok, ["band_id", "band_val"], "left_semi")
+    bands = bands.cache()  # both sides of the self-join
+    a, b = bands.alias("a"), bands.alias("b")
+    sig_lt = F.struct(*[F.col(f"a.band{k}") for k in range(4)]) < F.struct(
+        *[F.col(f"b.band{k}") for k in range(4)]
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"_a{k}").bitwiseXOR(F.col(f"_b{k}"))) for k in range(4)
+    )
+    spairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & sig_lt,
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            *[F.col(f"a.band{k}").alias(f"_a{k}") for k in range(4)],
+            *[F.col(f"b.band{k}").alias(f"_b{k}") for k in range(4)],
+        )
         .distinct()
-    )
-    wa = wide.select(F.col("doc_id").alias("doc_a"), *[F.col(f"band{k}").alias(f"_a{k}") for k in range(4)])
-    wb = wide.select(F.col("doc_id").alias("doc_b"), *[F.col(f"band{k}").alias(f"_b{k}") for k in range(4)])
-    hamming = sum(
-        F.bit_count(F.col(f"_a{k}").bitwiseXOR(F.col(f"_b{k}"))) for k in range(4)
-    )
-    return (
-        cand.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    wa = ids.select(
+        F.col("doc_id").alias("_da"), *[F.col(f"band{k}").alias(f"_a{k}") for k in range(4)]
+    )
+    wb = ids.select(
+        F.col("doc_id").alias("_db"), *[F.col(f"band{k}").alias(f"_b{k}") for k in range(4)]
+    )
+    near = (
+        spairs.join(wa, [f"_a{k}" for k in range(4)])
+        .join(wb, [f"_b{k}" for k in range(4)])
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    exact_side = ids
+    if bucket_cap is not None:
+        small = (
+            ids.groupBy(*bcols)
+            .agg(F.count("*").alias("_gn"))
+            .filter(F.col("_gn") <= bucket_cap)
+            .drop("_gn")
+        )
+        exact_side = ids.join(small, bcols, "left_semi")
+    ea, eb = exact_side.alias("ea"), exact_side.alias("eb")
+    econd = F.col("ea.doc_id") < F.col("eb.doc_id")
+    for k in range(4):
+        econd = econd & (F.col(f"ea.band{k}") == F.col(f"eb.band{k}"))
+    exact = ea.join(eb, econd).select(
+        F.col("ea.doc_id").alias("doc_a"),
+        F.col("eb.doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return near.unionByName(exact)
 
 
 def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -1099,3 +1099,50 @@ def test_collocations_pmi_ranking(spark):
     assert ("hapax", "pairing") not in ranked
     # every returned pair meets the floor
     assert all(r["n_pair"] >= 5 for r in out)
+
+
+def test_simhash64_candidates_bucket_cap_and_distinct_signature_join(spark):
+    """round 11: simhash64_candidates gets the pHash-family treatment —
+    uncapped output is unchanged (parity on a clean corpus, including
+    identical-signature hamming-0 pairs), while bucket_cap drops a planted
+    identical-signature group (exact-dup mass) and the audit helper reports
+    it with the opaque band_id=-1 key."""
+    from aws_financial_data_pipeline_spark.operators import dedup
+
+    # three distinct signatures: two near (one bit apart in band0), one far
+    sig_rows = [
+        (1, 0x1234, 0x5678, 0x9ABC, 0x0DEF),
+        (2, 0x1235, 0x5678, 0x9ABC, 0x0DEF),   # hamming 1 from doc 1
+        (3, 0xFFFF, 0x0000, 0x1111, 0x2222),
+    ]
+    # plus 40 exact copies of one signature (the boilerplate mass)
+    sig_rows += [(100 + i, 0x7777, 0x8888, 0x9999, 0xAAAA) for i in range(40)]
+    sigs = spark.createDataFrame(
+        sig_rows, "doc_id long, band0 long, band1 long, band2 long, band3 long"
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash64_candidates(sigs, max_hamming=8).collect()
+    }
+    assert uncapped[(1, 2)] == 1
+    assert sum(1 for k, v in uncapped.items() if v == 0) == 40 * 39 // 2
+    assert (1, 3) not in uncapped
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash64_candidates(sigs, max_hamming=8, bucket_cap=10).collect()
+    }
+    assert capped == {(1, 2): 1}  # boilerplate group dropped, near pair kept
+
+    audit = dedup.simhash64_oversized_buckets(sigs, bucket_cap=10).collect()
+    assert len(audit) == 1 and audit[0]["band_id"] == -1 and audit[0]["n"] == 40
+
+    # parity without hot groups: cap changes nothing
+    clean = spark.createDataFrame(
+        sig_rows[:3], "doc_id long, band0 long, band1 long, band2 long, band3 long"
+    )
+    u = {(r["doc_a"], r["doc_b"]): r["hamming"]
+         for r in dedup.simhash64_candidates(clean, max_hamming=8).collect()}
+    c = {(r["doc_a"], r["doc_b"]): r["hamming"]
+         for r in dedup.simhash64_candidates(clean, max_hamming=8, bucket_cap=5).collect()}
+    assert u == c == {(1, 2): 1}
