@@ -747,8 +747,14 @@ def image_dedup(
     # collapse BEFORE the band join, so a hash shared by B images costs 1
     # signature row, not B (and never B^2/2 pairs)
     reps = hashes.groupBy("phash").agg(F.min(id_col).alias(id_col))
+    # reps carry one row per DISTINCT hash, so the exact (hamming-0) leg
+    # is provably empty — skip its self-join
     pairs = phash_near_duplicates(
-        reps, max_distance=max_distance, id_col=id_col, bucket_cap=bucket_cap
+        reps,
+        max_distance=max_distance,
+        id_col=id_col,
+        bucket_cap=bucket_cap,
+        include_exact=False,
     )
     rep_comp = dedup_clusters(reps.select(id_col), pairs, id_col=id_col).select(
         F.col(id_col).alias("_rep"), "component"
@@ -818,6 +824,7 @@ def phash_near_duplicates(
     id_col: str = "doc_id",
     hash_col: str = "phash",
     bucket_cap: "int | None" = None,
+    include_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs (doc_a < doc_b, hamming ≤ max_distance)
     from 64-bit pHashes — the SimHash banding trick applied to image space:
@@ -840,7 +847,10 @@ def phash_near_duplicates(
     distinct hashes are dropped from candidate generation, and exact-hash
     groups with more than ``bucket_cap`` rows are dropped from exact-pair
     expansion — a DOCUMENTED RECALL TRADEOFF; audit what was dropped with
-    :func:`phash_oversized_buckets`."""
+    :func:`phash_oversized_buckets`. ``include_exact=False`` skips the
+    hamming-0 leg entirely — for callers whose input is already one row
+    per DISTINCT hash (``image_dedup``'s representatives), where the leg
+    is provably empty but would still cost a self-join."""
     if max_distance > 7:
         raise ValueError(
             "8x8-bit bands guarantee recall only to hamming 7; "
@@ -882,6 +892,8 @@ def phash_near_duplicates(
             "hamming",
         )
     )
+    if not include_exact:
+        return near
     # hamming-0 pairs: equi-join on the full hash (ids sharing a hash).
     # Output is quadratic only in TRUE exact-duplicate group size — the
     # pairs contract — and capped groups are dropped (audited).

@@ -53,6 +53,13 @@ def get_spark(
         # (user_id, year_month) are STRINGS (DynamoDB key fidelity); inference
         # would silently read "202411" back as an int
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # decode()/encode() REPLACE malformed input (U+FFFD) instead of
+        # throwing (Spark 4 default): the crawl charset ladder's documented
+        # "lossy UTF-8 default" semantic. Without this, ONE page of invalid
+        # bytes — guaranteed in any real crawl — kills the whole ingest job
+        # (found round 11 via the sniff round-trip test; the U+FFFD mojibake
+        # quality signal depends on replacement happening, not throwing)
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

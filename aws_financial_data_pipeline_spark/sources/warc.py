@@ -404,9 +404,91 @@ def decoded_text_expr(payload="payload", content_type="content_type"):
     return F.regexp_replace(ladder, "^﻿", "")
 
 
+# ---------------------------------------------------------------------------
+# Statistical charset sniffing for the undeclared non-UTF-8 residue
+# ---------------------------------------------------------------------------
+
+# chardet-lite candidate set: one single-byte charset per script family the
+# pre-UTF-8 web actually used at volume. Each entry: (codec, script class,
+# top-byte set) — the top bytes are the encodings of the language family's
+# most frequent letters (a coarse unigram model; public letter-frequency
+# tables), used to break the tie that pure letter-likeness cannot: under
+# ANY of these codecs the 0xC0-0xFF range decodes to letters, so alpha
+# fraction alone scores near 1.0 for all of them.
+_SNIFF_CANDIDATES = (
+    # Western European (windows-1252): é è à ç ê ô ö ü
+    ("windows-1252", "latin", frozenset((0xE9, 0xE8, 0xE0, 0xE7, 0xEA, 0xF4, 0xF6, 0xFC))),
+    # Cyrillic (windows-1251): о е а и н т с в
+    ("windows-1251", "dense", frozenset((0xEE, 0xE5, 0xE0, 0xE8, 0xED, 0xF2, 0xF1, 0xE2))),
+    # Greek (ISO-8859-7): α τ ο ε ν η ι σ
+    ("iso-8859-7", "dense", frozenset((0xE1, 0xF4, 0xEF, 0xE5, 0xED, 0xE7, 0xE9, 0xF3))),
+)
+
+
+def sniff_decode(payload: bytes) -> "tuple[str, str]":
+    """(text, charset) for a payload with NO declaration, NO BOM and
+    invalid UTF-8 — the residue the pure-Catalyst ladder can only decode
+    lossily. chardet-lite, deterministic, stdlib-only:
+
+    1. BOM-less UTF-16: ASCII-heavy pages interleave NUL bytes — >30% NULs
+       in exactly one parity lane decides LE/BE.
+    2. Single-byte candidates score ``alpha + context + 0.5·top_bytes``
+       over the high (≥0x80) bytes: *alpha* = letter fraction after
+       decode (errors→U+FFFD, never alpha); *context* separates accented
+       Latin (high bytes EMBEDDED in ASCII words — "café") from full
+       non-Latin scripts (high bytes in RUNS — "привет") — the fraction
+       of high bytes with an ASCII-letter neighbor for the latin class,
+       with another high byte for the dense class; *top_bytes* = hit rate
+       on the language family's most-frequent-letter bytes, the coarse
+       unigram model that separates Cyrillic from Greek (both decode the
+       whole 0xE0–0xFF range to letters). Ties break on candidate order.
+    3. Nothing scores → ISO-8859-1 (total, byte-preserving).
+
+    The 100 TB shape lives in :func:`warc_to_documents` ``sniff=True``:
+    this Python kernel runs in an Arrow stage over ONLY the
+    undeclared-AND-invalid-UTF-8 slice — membership is decided by the
+    pure-Catalyst round-trip test ``encode(decode(p,'UTF-8'),'UTF-8')=p``,
+    so the dominant valid-UTF-8 mass never leaves the JVM."""
+    b = bytes(payload)
+    if not b:
+        return "", "empty"
+    if len(b) >= 4:
+        even, odd = b[0::2], b[1::2]
+        en = even.count(0) / len(even)
+        on = odd.count(0) / len(odd)
+        if on > 0.3 and en < 0.05:
+            return b.decode("utf-16-le", "replace"), "utf-16le"
+        if en > 0.3 and on < 0.05:
+            return b.decode("utf-16-be", "replace"), "utf-16be"
+    hi_pos = [i for i, byte in enumerate(b) if byte >= 0x80]
+    if not hi_pos:  # pure ASCII that still failed UTF-8? unreachable, but total
+        return b.decode("ascii", "replace"), "ascii"
+    best_text, best_cs, best_score = b.decode("iso-8859-1"), "iso-8859-1", 0.0
+    n = len(b)
+    for cs, klass, top in _SNIFF_CANDIDATES:
+        t = b.decode(cs, "replace")  # single-byte: len(t) == len(b), aligned
+        alpha = sum(t[i].isalpha() for i in hi_pos) / len(hi_pos)
+        if klass == "latin":
+            ctx = sum(
+                (i > 0 and b[i - 1] < 0x80 and chr(b[i - 1]).isalpha())
+                or (i + 1 < n and b[i + 1] < 0x80 and chr(b[i + 1]).isalpha())
+                for i in hi_pos
+            ) / len(hi_pos)
+        else:
+            ctx = sum(
+                (i > 0 and b[i - 1] >= 0x80) or (i + 1 < n and b[i + 1] >= 0x80)
+                for i in hi_pos
+            ) / len(hi_pos)
+        score = alpha + ctx + 0.5 * (sum(b[i] in top for i in hi_pos) / len(hi_pos))
+        if score > best_score + 1e-9:
+            best_text, best_cs, best_score = t, cs, score
+    return best_text, best_cs
+
+
 def warc_to_documents(
     records: DataFrame,
     id_from: str = "url_hash",
+    sniff: bool = False,
 ) -> DataFrame:
     """Response records → the (doc_id, url, text) frame the crawl front
     door consumes (``html_to_text`` → ``curation_funnel(blocklist=,
@@ -414,22 +496,62 @@ def warc_to_documents(
     charset ladder (:func:`decoded_text_expr` — header charset → BOM →
     lossy UTF-8), non-text payloads are dropped. doc_id = xxhash64(url ‖
     ':' ‖ record_id) — stable under re-ingest and collision-safe across
-    re-crawls of one URL (the to_parquet_corpus 'path_hash' convention)."""
+    re-crawls of one URL (the to_parquet_corpus 'path_hash' convention).
+
+    ``sniff=True`` (round 11) adds statistical charset detection for the
+    residue the ladder can only decode lossily — pages with NO declared
+    charset, NO BOM, and invalid UTF-8. Membership is decided pure-
+    Catalyst via the round-trip test ``encode(decode(p,'UTF-8'),'UTF-8')
+    = p`` (exact: replacement chars change the bytes), so the dominant
+    valid-UTF-8 mass stays JVM-side and only the tiny residue slice runs
+    the Arrow :func:`sniff_decode` kernel; the two legs union plan-level
+    to the same contract."""
     if id_from != "url_hash":
         raise ValueError(f"id_from must be 'url_hash': {id_from!r}")
     is_text = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).rlike(
         r"^(text/|application/(xhtml|xml|json))"
     )
-    return (
-        records.filter((F.col("warc_type") == "response") & is_text)
-        .select(
-            F.xxhash64(
-                F.concat_ws(":", F.col("url"), F.col("record_id"))
-            ).alias("doc_id"),
-            "url",
-            decoded_text_expr().alias("text"),
-        )
+    rec = records.filter((F.col("warc_type") == "response") & is_text)
+    doc_id = F.xxhash64(F.concat_ws(":", F.col("url"), F.col("record_id"))).alias(
+        "doc_id"
     )
+    ladder_docs = rec.select(doc_id, "url", decoded_text_expr().alias("text"))
+    if not sniff:
+        return ladder_docs
+    p = F.col("payload")
+    ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+    declared = F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
+    handled = (
+        declared.isin(
+            "utf-8", "utf8", "utf-16", "utf16", "utf-16le", "utf16le",
+            "utf-16be", "utf16be", "windows-1252", "cp1252", "x-cp1252",
+            "iso-8859-1", "iso8859-1", "latin-1", "latin1", "us-ascii", "ascii",
+        )
+        | (F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf"))
+        | (F.substring(p, 1, 2) == F.lit(b"\xff\xfe"))
+        | (F.substring(p, 1, 2) == F.lit(b"\xfe\xff"))
+    )
+    utf8_ok = F.encode(F.decode(p, "UTF-8"), "UTF-8") == p
+    residue = ~handled & ~utf8_ok
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            texts = [sniff_decode(bytes(b))[0] for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {"url": pdf["url"], "record_id": pdf["record_id"], "text": texts}
+            )
+
+    sniffed = (
+        rec.filter(residue)
+        .select("url", "record_id", "payload")
+        .mapInPandas(run, "url string, record_id string, text string")
+        .select(doc_id, "url", "text")
+    )
+    return rec.filter(~residue).select(
+        doc_id, "url", decoded_text_expr().alias("text")
+    ).unionByName(sniffed)
 
 
 def wet_to_documents(

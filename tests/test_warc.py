@@ -613,3 +613,80 @@ def test_charset_ladder_header_bom_and_default(spark, tmp_path):
     # Python eval node anywhere in the decode plan
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sniff_decode_kernel_discriminates_scripts():
+    """chardet-lite kernel: Western/Cyrillic/Greek single-byte pages sniff
+    to their true charset and decode losslessly; BOM-less UTF-16 both
+    endiannesses via the NUL-parity lane; empty payload is total."""
+    from aws_financial_data_pipeline_spark.sources.warc import sniff_decode
+
+    for text, cs in [
+        ("café crème où ça và l'été dernier", "windows-1252"),
+        ("привет мир как дела сегодня вечером", "windows-1251"),
+        ("καλημέρα κόσμε τι κάνεις σήμερα", "iso-8859-7"),
+    ]:
+        got_text, got_cs = sniff_decode(text.encode(cs))
+        assert (got_cs, got_text) == (cs, text)
+    for enc, label in [("utf-16-le", "utf-16le"), ("utf-16-be", "utf-16be")]:
+        t, got = sniff_decode("hello utf-16 world with ünïcödé".encode(enc))
+        assert got == label and t == "hello utf-16 world with ünïcödé"
+    assert sniff_decode(b"") == ("", "empty")
+    # valid-looking latin-1 junk that matches nothing still decodes totally
+    t, got = sniff_decode(bytes([0x80, 0x81, 0x90]))
+    assert len(t) == 3
+
+
+def test_warc_to_documents_sniff_residue_path(spark, tmp_path):
+    """warc_to_documents(sniff=True): an UNDECLARED cp1251 page decodes to
+    real Cyrillic through the Arrow residue leg (the ladder alone yields
+    mojibake), while undeclared valid-UTF-8 and declared pages keep their
+    ladder decode; sniff=False preserves the lossy round-10 behavior;
+    contract schema identical either way."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    def http(body: bytes, ctype: str):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+
+    ru = "привет мир как дела сегодня вечером"
+    recs = [
+        ("https://a.example/ru", http(ru.encode("cp1251"), "text/html")),
+        ("https://a.example/u8", http("plain ütf-8 ünicode".encode(), "text/html")),
+        ("https://a.example/decl", http("café".encode("cp1252"),
+                                        "text/plain; charset=windows-1252")),
+    ]
+    payload = warcsrc.encode_warc(
+        [
+            {
+                "warc_type": "response",
+                "url": url,
+                "record_id": f"<urn:uuid:s{i}>",
+                "body": body,
+                "content_type": "application/http; msgtype=response",
+            }
+            for i, (url, body) in enumerate(recs)
+        ]
+    )
+    (tmp_path / "sniff.warc.gz").write_bytes(payload)
+    records = warcsrc.read_warc(spark, str(tmp_path))
+    got = {
+        r["url"].rsplit("/", 1)[1]: r["text"]
+        for r in warcsrc.warc_to_documents(records, sniff=True).collect()
+    }
+    assert got == {
+        "ru": ru,                          # sniffed cp1251, real Cyrillic
+        "u8": "plain ütf-8 ünicode",       # valid UTF-8 stays on the ladder leg
+        "decl": "café",                    # declared page untouched by sniffing
+    }
+    # default stays the pure-ladder (lossy for the ru page) behavior
+    lossy = {
+        r["url"].rsplit("/", 1)[1]: r["text"]
+        for r in warcsrc.warc_to_documents(records).collect()
+    }
+    assert "�" in lossy["ru"] and lossy["u8"] == got["u8"]
+    # and the sniff=False plan has no Python stage at all
+    plan = warcsrc.warc_to_documents(records)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
