@@ -733,8 +733,6 @@ def image_dedup(
     the end. ``bucket_cap`` (mirroring ``minhash_candidates``) bounds the
     near-dup band buckets — see :func:`phash_near_duplicates`. Payload
     bytes never shuffle."""
-    from .graph import dedup_clusters
-
     # the hash frame fans out (rep grouping + member re-expansion) and its
     # parent is the Arrow DECODE stage — without a lineage cut every
     # consumer re-decodes the corpus (measured on the 600-image bench
@@ -743,27 +741,52 @@ def image_dedup(
     hashes = image_phash(with_payload, media_type, id_col=id_col).localCheckpoint(
         eager=False
     )
-    # one representative (min id) per distinct hash: exact duplicates
-    # collapse BEFORE the band join, so a hash shared by B images costs 1
-    # signature row, not B (and never B^2/2 pairs)
-    reps = hashes.groupBy("phash").agg(F.min(id_col).alias(id_col))
+    return hash_dedup(
+        hashes,
+        max_distance=max_distance,
+        id_col=id_col,
+        hash_col="phash",
+        bucket_cap=bucket_cap,
+    )
+
+
+def hash_dedup(
+    hashes: DataFrame,
+    max_distance: int = 6,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """Generic 64-bit perceptual-hash dedup: ANY (id, hash) table →
+    (id, component, cluster_size, is_canonical) — the labeling engine
+    behind :func:`image_dedup` and :func:`audio_dedup`, reusable for any
+    fingerprint sharing the 64-bit shape.
+
+    Scale shape: one representative (min id) per DISTINCT hash carries
+    the band join and the CC iterations — exact-duplicate mass (the bulk
+    of real corpora) collapses before pair generation and re-expands
+    through the 16-byte hash table at the end, so neither the pair output
+    nor the component graph is quadratic in it. component = min rep id =
+    min member id of the merged cluster, so ``is_canonical`` keeps the
+    ``dedup_clusters`` convention exactly."""
+    from .graph import dedup_clusters
+
+    reps = hashes.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
     # reps carry one row per DISTINCT hash, so the exact (hamming-0) leg
     # is provably empty — skip its self-join
     pairs = phash_near_duplicates(
         reps,
         max_distance=max_distance,
         id_col=id_col,
+        hash_col=hash_col,
         bucket_cap=bucket_cap,
         include_exact=False,
     )
     rep_comp = dedup_clusters(reps.select(id_col), pairs, id_col=id_col).select(
         F.col(id_col).alias("_rep"), "component"
     )
-    # every member inherits its rep's component; component = min rep id =
-    # min member id over the merged cluster (rep is already min-per-hash),
-    # so is_canonical keeps the dedup_clusters convention exactly
     labeled = hashes.join(
-        reps.withColumnRenamed(id_col, "_rep"), "phash"
+        reps.withColumnRenamed(id_col, "_rep"), hash_col
     ).join(rep_comp, "_rep")
     sizes = labeled.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return labeled.join(sizes, "component").select(
@@ -771,6 +794,66 @@ def image_dedup(
         "component",
         "cluster_size",
         (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )
+
+
+def audio_dedup(
+    with_payload: DataFrame,
+    media_type: str = "audio/wav",
+    max_distance: int = 6,
+    id_col: str = "doc_id",
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """End-to-end perceptual audio dedup — :func:`image_dedup`'s twin:
+    one Arrow fingerprint pass (:func:`audio_fingerprints`, the 8×8
+    time×frequency Haitsma–Kalker grid, amplitude-invariant), then the
+    shared :func:`hash_dedup` labeling (distinct-hash band join +
+    bucket_cap + rep-collapsed CC). Keep ``is_canonical`` rows to dedup;
+    audio bytes are read once and never shuffle."""
+    hashes = audio_fingerprints(with_payload, media_type).localCheckpoint(
+        eager=False
+    )
+    return hash_dedup(
+        hashes,
+        max_distance=max_distance,
+        id_col=id_col,
+        hash_col="ahash",
+        bucket_cap=bucket_cap,
+    )
+
+
+def video_dedup(
+    with_payload: DataFrame,
+    media_type: "str | tuple[str, ...]" = ("video/avi", "image/gif", "image/webp"),
+    every_n: int = 1,
+    max_distance: int = 6,
+    min_containment: float = 0.5,
+    id_col: str = "doc_id",
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """End-to-end video dedup: :func:`video_fingerprints` (per-frame
+    pHash, ``every_n`` subsampling) → :func:`video_near_duplicates`
+    (distinct-hash banded frame join, containment + temporal-run
+    scoring) → pairs with containment ≥ ``min_containment`` connect the
+    cluster graph → every video labeled (component, cluster_size,
+    is_canonical), the :func:`image_dedup` convention. A clip cut out of
+    a longer video lands in the original's cluster (containment uses the
+    max-side fraction). Video bytes are read once in the Arrow pass; the
+    24-byte frame table drives everything after."""
+    from .graph import dedup_clusters
+
+    frames = video_fingerprints(
+        with_payload, media_type=media_type, every_n=every_n, id_col=id_col
+    ).localCheckpoint(eager=False)
+    pairs = video_near_duplicates(
+        frames,
+        max_distance=max_distance,
+        min_containment=min_containment,
+        id_col=id_col,
+        bucket_cap=bucket_cap,
+    )
+    return dedup_clusters(
+        frames.select(id_col).distinct(), pairs.select("doc_a", "doc_b"), id_col=id_col
     )
 
 

@@ -1876,3 +1876,68 @@ def test_extract_features_degrades_per_payload_not_per_job(spark):
     # the decoder itself stays loud
     with pytest.raises(NotImplementedError):
         mm.decode_image(bytes(vp8))
+
+
+def test_audio_dedup_end_to_end(spark):
+    """audio_dedup — image_dedup's twin through the shared hash_dedup
+    engine: a re-encoded (amplitude-scaled) and a lightly-noised copy land
+    in the original's cluster; unrelated audio stays a singleton; exact
+    copies collapse through the rep table."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    x = _tone_mix(7)
+    rng = np.random.default_rng(23)
+    noisy = x + rng.normal(0, 0.004, x.shape)
+    rows = [
+        (1, bytearray(mm.encode_wav(x)), "audio/wav", 0),
+        (2, bytearray(mm.encode_wav(x * 0.5)), "audio/wav", 0),   # scaled → same hash
+        (3, bytearray(mm.encode_wav(noisy)), "audio/wav", 0),     # near
+        (4, bytearray(mm.encode_wav(_tone_mix(44))), "audio/wav", 0),
+        (5, bytearray(mm.encode_wav(x)), "audio/wav", 0),         # exact copy
+        (6, bytearray(b"not audio"), "text/plain", 0),            # filtered
+    ]
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    out = {r["doc_id"]: r for r in mm.audio_dedup(frames).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == out[5]["component"] == 1
+    assert out[1]["cluster_size"] == 4 and out[1]["is_canonical"]
+    assert not out[5]["is_canonical"]
+    assert out[4]["cluster_size"] == 1 and out[4]["is_canonical"]
+
+
+def test_video_dedup_end_to_end_cross_container(spark):
+    """video_dedup: the same clip as AVI + animated GIF + a cut clip all
+    land in one cluster (min id canonical); an unrelated video stays a
+    singleton; bucket_cap threads through."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    frames_px = []
+    for k in range(4):
+        f = np.zeros((32, 32, 3), dtype=np.uint8)
+        f[:, :, 0] = (np.arange(32) * (3 + 2 * k) % 256).astype(np.uint8)[None, :]
+        f[4 * k : 4 * k + 8, :, 1] = 200
+        f[:, :, 2] = (np.arange(32) * (11 + 5 * k) % 256).astype(np.uint8)[None, :]
+        frames_px.append(f)
+    other = [np.full((32, 32, 3), v, dtype=np.uint8) for v in (10, 90, 170, 250)]
+    rows = [
+        (1, bytearray(mm.encode_avi(frames_px)), "video/avi", 0),
+        (2, bytearray(mm.encode_gif(frames_px)), "image/gif", 0),
+        (3, bytearray(mm.encode_avi(frames_px[:2])), "video/avi", 0),  # the clip
+        (4, bytearray(mm.encode_avi(other)), "video/avi", 0),
+    ]
+    payloads = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    )
+    out = {r["doc_id"]: r for r in mm.video_dedup(payloads, max_distance=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    assert out[1]["cluster_size"] == 3 and out[1]["is_canonical"]
+    assert out[4]["cluster_size"] == 1 and out[4]["is_canonical"]
+    capped = {r["doc_id"]: r for r in mm.video_dedup(payloads, max_distance=2, bucket_cap=64).collect()}
+    assert {k: (v["component"], v["cluster_size"]) for k, v in out.items()} == {
+        k: (v["component"], v["cluster_size"]) for k, v in capped.items()
+    }
