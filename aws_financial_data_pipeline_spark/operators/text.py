@@ -880,6 +880,7 @@ def filter_blocked_hosts(
     url_col: str = "url",
     id_col: str = "doc_id",
     domain_col: str = "domain",
+    broadcast_blocked_ids: bool = True,
 ) -> DataFrame:
     """PROVENANCE form of the URL gate: drop documents whose OWN host
     (parsed from ``url_col``) is blocklisted — exact-or-subdomain match,
@@ -920,7 +921,13 @@ def filter_blocked_hosts(
             .select(id_col)
             .distinct()
         )
-        return docs.join(F.broadcast(blocked), id_col, "left_anti")
+        # same escape hatch as filter_blocked_domains_frame: the drop set
+        # is orders below the corpus for any sane gate (broadcast), but a
+        # misconfigured list blocking half the crawl must not OOM the
+        # driver — broadcast_blocked_ids=False lets the ids shuffle
+        if broadcast_blocked_ids:
+            blocked = F.broadcast(blocked)
+        return docs.join(blocked, id_col, "left_anti")
     hit = F.lit(False)
     for b in sorted({b.lower() for b in blocklist}):
         hit = hit | F.col("_h").rlike(f"(^|\\.){_re.escape(b)}$")
@@ -1283,23 +1290,30 @@ def attach_domain_rank(
     ranks: DataFrame,
     url_col: str = "url",
     out_col: str = "domain_rank",
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Join a :func:`..graph.pagerank` domain table onto documents as a
     per-doc quality signal (the URL-level quality axis next to the content
     signals in ``quality_signal_table`` — a page on a well-endorsed domain
     earns trust its own text can't prove). Docs whose host is missing from
     the rank table (or unparseable) get NULL — absence of evidence, not a
-    zero score. The rank table is |domains| rows — broadcast-joined, so
-    the corpus never shuffles."""
+    zero score. The rank table is |domains| rows — broadcast by default
+    (curated rank tables are ≤10⁶ hosts and the corpus must not shuffle
+    for them), with ``broadcast_ranks=False`` as the round-11 escape
+    hatch: a full-web pagerank table is 10⁸⁺ rows, beyond any broadcast
+    budget, and there a host-key shuffle is the correct plan, not a
+    forced-broadcast driver OOM."""
     host = F.regexp_replace(
         F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
     )
     r = ranks.select(
         F.col("node").alias("_dr_host"), F.col("rank").alias(out_col)
     )
+    if broadcast_ranks:
+        r = F.broadcast(r)
     return (
         docs.withColumn("_dr_host", host)
-        .join(F.broadcast(r), "_dr_host", "left")
+        .join(r, "_dr_host", "left")
         .drop("_dr_host")
     )
 

@@ -1146,3 +1146,43 @@ def test_simhash64_candidates_bucket_cap_and_distinct_signature_join(spark):
     c = {(r["doc_a"], r["doc_b"]): r["hamming"]
          for r in dedup.simhash64_candidates(clean, max_hamming=8, bucket_cap=5).collect()}
     assert u == c == {(1, 2): 1}
+
+
+def test_scale_escape_hatches_for_forced_broadcasts(spark):
+    """round 11 scale audit: the two remaining forced broadcasts of
+    potentially corpus-scaled frames gained escape hatches —
+    filter_blocked_hosts(broadcast_blocked_ids=False) and
+    attach_domain_rank(broadcast_ranks=False) produce identical results
+    with no broadcast hint in the analyzed plan."""
+    from aws_financial_data_pipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://bad.example/x", "t1"),
+            (2, "https://sub.bad.example/y", "t2"),
+            (3, "https://good.example/z", "t3"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    kept_b = {r["doc_id"] for r in tx.filter_blocked_hosts(docs, bl).collect()}
+    kept_s = {
+        r["doc_id"]
+        for r in tx.filter_blocked_hosts(docs, bl, broadcast_blocked_ids=False).collect()
+    }
+    assert kept_b == kept_s == {3}
+
+    ranks = spark.createDataFrame(
+        [("bad.example", 0.5), ("good.example", 0.9)], "node string, rank double"
+    )
+    wb = {r["doc_id"]: r["domain_rank"] for r in tx.attach_domain_rank(docs, ranks).collect()}
+    ws = {
+        r["doc_id"]: r["domain_rank"]
+        for r in tx.attach_domain_rank(docs, ranks, broadcast_ranks=False).collect()
+    }
+    assert wb == ws and ws[3] == 0.9
+    analyzed = (
+        tx.attach_domain_rank(docs, ranks, broadcast_ranks=False)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed
