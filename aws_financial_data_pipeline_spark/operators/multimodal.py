@@ -797,6 +797,89 @@ def hash_dedup(
     )
 
 
+def hash_signatures(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(id, hash) → the banded signature-store rows (id, hash, band_id,
+    band_key): 8 rows per doc, the maintained-store form for
+    :func:`incremental_hash_dedup` (the ``minhash_signatures`` analogue
+    for the 64-bit perceptual-hash family). At scale, partition/bucket
+    the store by ``band_key`` so each ingest batch's candidate join is
+    co-located and touches only colliding buckets."""
+    return hashes.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("hash"),
+        F.explode(_hash_bands(F.col(hash_col))).alias("_b"),
+    ).select(
+        "doc_id",
+        "hash",
+        F.col("_b.band_id").alias("band_id"),
+        F.col("_b.band_key").alias("band_key"),
+    )
+
+
+def incremental_hash_dedup(
+    new_hashes: DataFrame,
+    store: DataFrame,
+    max_distance: int = 6,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """Dedup an incoming media batch against an EXISTING corpus without
+    re-processing the corpus — ``incremental_minhash_dedup``'s twin for
+    the 64-bit perceptual-hash family (image pHash, audio fingerprints,
+    video frame hashes). The store is the :func:`hash_signatures` table
+    maintained additively across batches; each ingest batch
+
+    1. bands ITS OWN distinct hashes (O(|batch|) — exact-duplicate mass
+       inside the batch collapses before the join),
+    2. equi-joins the store on (band_id, band_key) — co-located when the
+       store is bucketed by band_key, touching only colliding buckets,
+    3. verifies candidates with ``bit_count`` hamming ≤ ``max_distance``
+       (hamming 0 covers exact matches — equal hashes share every band),
+    4. expands batch ids back through the batch's hash→ids table.
+
+    Returns (corpus_id, new_id, hamming) distinct pairs. Within-batch
+    duplicates are NOT reported — run :func:`hash_dedup` on the batch for
+    those. After acceptance, append ``hash_signatures(accepted)`` to the
+    store. ``bucket_cap`` drops (band_id, band_key) buckets holding more
+    than ``bucket_cap`` STORE rows from candidate generation (the
+    black-frame bucket a crawl store accretes forever) — at 100 TB
+    maintain the oversized-bucket list incrementally with the store
+    rather than re-aggregating per batch; audit what a cap drops with a
+    ``groupBy(band_id, band_key)`` count over the store."""
+    ids = new_hashes.select(
+        F.col(id_col).alias("new_id"), F.col(hash_col).alias("_hn")
+    )
+    uniq = ids.select("_hn").distinct()
+    sig = uniq.select(
+        "_hn", F.explode(_hash_bands(F.col("_hn"))).alias("_b")
+    ).select("_hn", F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key"))
+    st = store.select(
+        F.col("doc_id").alias("corpus_id"), F.col("hash").alias("_hc"),
+        "band_id", "band_key",
+    )
+    if bucket_cap is not None:
+        ok = (
+            st.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+        st = st.join(ok, ["band_id", "band_key"], "left_semi")
+    cand = (
+        st.join(sig, ["band_id", "band_key"])
+        .select("corpus_id", "_hc", "_hn")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("_hc").bitwiseXOR(F.col("_hn"))))
+        .filter(F.col("hamming") <= max_distance)
+    )
+    return cand.join(ids, "_hn").select("corpus_id", "new_id", "hamming").distinct()
+
+
 def audio_dedup(
     with_payload: DataFrame,
     media_type: str = "audio/wav",

@@ -1941,3 +1941,57 @@ def test_video_dedup_end_to_end_cross_container(spark):
     assert {k: (v["component"], v["cluster_size"]) for k, v in out.items()} == {
         k: (v["component"], v["cluster_size"]) for k, v in capped.items()
     }
+
+
+def test_incremental_hash_dedup_against_store(spark):
+    """incremental_minhash_dedup's twin for the 64-bit hash family: a batch
+    dedups against the maintained banded store in O(batch) — exact and near
+    matches surface with hamming, within-batch pairs are out of scope, the
+    store-side bucket_cap drops a planted black-frame bucket, and the
+    store-equals-fresh-signing convention holds additively."""
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    corpus = spark.createDataFrame(
+        [(1, 0x1111222233334444), (2, 0x7777000011112222), (3, -42)],
+        "doc_id long, phash long",
+    )
+    store = mm.hash_signatures(corpus).localCheckpoint()
+    assert store.count() == 3 * 8
+
+    batch = spark.createDataFrame(
+        [
+            (101, 0x1111222233334444),  # exact dup of 1 → hamming 0
+            (102, 0x1111222233334445),  # near dup of 1 → hamming 1
+            (103, 0x5A5A5A5A5A5A5A5A),  # unrelated
+            (104, 0x1111222233334444),  # second exact copy (distinct-hash collapse)
+        ],
+        "doc_id long, phash long",
+    )
+    got = {
+        (r["corpus_id"], r["new_id"]): r["hamming"]
+        for r in mm.incremental_hash_dedup(batch, store).collect()
+    }
+    assert got == {(1, 101): 0, (1, 102): 1, (1, 104): 0}
+
+    # accepted rows append; the grown store equals fresh signing
+    accepted = batch.filter("doc_id = 103")
+    grown = store.unionByName(mm.hash_signatures(accepted))
+    fresh = mm.hash_signatures(corpus.unionByName(accepted))
+    assert {tuple(r) for r in grown.collect()} == {tuple(r) for r in fresh.collect()}
+
+    # planted hot bucket in the STORE: 100 black frames; cap drops them,
+    # the genuinely-near corpus pair elsewhere survives
+    black = spark.createDataFrame(
+        [(1000 + i, 0) for i in range(100)], "doc_id long, phash long"
+    )
+    store2 = mm.hash_signatures(corpus.unionByName(black)).localCheckpoint()
+    batch2 = spark.createDataFrame(
+        [(201, 0), (202, 0x1111222233334445)], "doc_id long, phash long"
+    )
+    uncapped = mm.incremental_hash_dedup(batch2, store2).collect()
+    assert sum(1 for r in uncapped if r["new_id"] == 201) == 100
+    capped = {
+        (r["corpus_id"], r["new_id"]): r["hamming"]
+        for r in mm.incremental_hash_dedup(batch2, store2, bucket_cap=50).collect()
+    }
+    assert capped == {(1, 202): 1}
