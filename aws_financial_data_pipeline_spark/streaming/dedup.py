@@ -135,6 +135,96 @@ def run_incremental_dedup(
     return _read_store(spark, pairs_out)
 
 
+def process_media_dedup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    hash_store: str,
+    pairs_out: str,
+    fingerprint=None,
+    max_distance: int = 6,
+    id_col: str = "doc_id",
+    bucket_cap: "int | None" = None,
+) -> None:
+    """One micro-batch of incremental MEDIA dedup — the
+    :func:`process_dedup_batch` recipe lifted to the 64-bit
+    perceptual-hash family: fingerprint the batch's payloads once
+    (``fingerprint(batch) -> (id, phash)``, default
+    ``multimodal.image_phash``), emit within-batch near-dup pairs +
+    cross-store pairs against the maintained
+    ``multimodal.hash_signatures`` store, then grow the store. Same
+    idempotency contract: every write targets ``<store>/batch=<id>``
+    with overwrite and the cross join reads only ``batch < batch_id``,
+    so a crash-replay replaces its own partial output and never pairs
+    the batch against its pre-crash leftovers."""
+    from ..operators import multimodal as mm
+
+    if fingerprint is None:
+        fingerprint = mm.image_phash
+    hashes = fingerprint(batch).localCheckpoint(eager=True)  # reused 3×
+    within = mm.phash_near_duplicates(
+        hashes, max_distance=max_distance, id_col=id_col, bucket_cap=bucket_cap
+    )
+    try:
+        store = spark.read.parquet(hash_store).filter(
+            F.col("batch") < batch_id
+        ).drop("batch")
+        cross = mm.incremental_hash_dedup(
+            hashes, store, max_distance=max_distance, id_col=id_col,
+            bucket_cap=bucket_cap,
+        ).select(
+            F.least("corpus_id", "new_id").alias("doc_a"),
+            F.greatest("corpus_id", "new_id").alias("doc_b"),
+            "hamming",
+        )
+        pairs = within.unionByName(cross)
+    except AnalysisException as e:  # first batch: store doesn't exist yet
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        pairs = within
+    pairs.write.mode("overwrite").parquet(f"{pairs_out}/batch={batch_id}")
+    mm.hash_signatures(hashes, id_col=id_col).write.mode("overwrite").parquet(
+        f"{hash_store}/batch={batch_id}"
+    )
+
+
+def run_incremental_media_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    hash_store: str,
+    pairs_out: str,
+    fingerprint=None,
+    max_distance: int = 6,
+    id_col: str = "doc_id",
+    bucket_cap: "int | None" = None,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+):
+    """Drain a landing directory of payload parquet (the
+    ``multimodal.PAYLOAD_COLS`` shape) with an availableNow stream,
+    emitting near-dup pairs (doc_a < doc_b, hamming) and growing the
+    banded hash store — :func:`run_incremental_dedup`'s media twin.
+    Payload bytes are read once per batch inside the Arrow fingerprint
+    pass; only 16-byte hash rows persist. Returns the drained pairs."""
+    from ..operators.multimodal import PAYLOAD_COLS
+
+    def process(batch: DataFrame, bid: int) -> None:
+        process_media_dedup_batch(
+            spark, batch, bid, hash_store, pairs_out,
+            fingerprint, max_distance, id_col, bucket_cap,
+        )
+
+    stream = spark.readStream.schema(PAYLOAD_COLS).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    writer = stream.parquet(src_dir).writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return _read_store(spark, pairs_out)
+
+
 def url_dedup_stream(
     pages,
     url_col: str = "url",

@@ -1995,3 +1995,66 @@ def test_incremental_hash_dedup_against_store(spark):
         for r in mm.incremental_hash_dedup(batch2, store2, bucket_cap=50).collect()
     }
     assert capped == {(1, 202): 1}
+
+
+def test_streaming_media_dedup_replay_equals_batch(spark, tmp_path):
+    """run_incremental_media_dedup (the media twin of the text streaming
+    dedup): micro-batched fingerprint → store join → store growth reports
+    EXACTLY the pairs the one-shot phash_near_duplicates finds on the full
+    corpus, same hamming — batching must not change the dedup decision."""
+    import numpy as np
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+    from aws_financial_data_pipeline_spark.streaming.dedup import (
+        run_incremental_media_dedup,
+    )
+
+    rng = np.random.default_rng(171)
+    rows = []
+    for i in range(8):
+        base = _natural_image(i)
+        rows.append((10 * i, bytearray(mm.encode_bmp(base)), "image/bmp", 0))
+        if i % 2 == 0:  # a near copy of every second image
+            noisy = np.clip(
+                base.astype(int) + rng.integers(-3, 4, base.shape), 0, 255
+            ).astype(np.uint8)
+            rows.append((10 * i + 1, bytearray(mm.encode_bmp(noisy)), "image/bmp", 0))
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    src = str(tmp_path / "src")
+    frames.repartition(3).write.parquet(src)  # 3 files → 3 micro-batches
+
+    got = run_incremental_media_dedup(
+        spark, src,
+        hash_store=str(tmp_path / "hashes"),
+        pairs_out=str(tmp_path / "pairs"),
+    )
+    streamed = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got.collect()}
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.phash_near_duplicates(mm.image_phash(frames)).collect()
+    }
+    assert streamed == batch and len(batch) >= 4
+
+    # crash-replay is exactly-once: replay batch 1 over its partial state
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.streaming import dedup as sd
+
+    b0 = frames.filter(F.col("doc_id") % 20 == 0)
+    b1 = frames.join(b0.select("doc_id"), "doc_id", "left_anti")
+    stores = dict(
+        hash_store=str(tmp_path / "h2"), pairs_out=str(tmp_path / "p2")
+    )
+    sd.process_media_dedup_batch(spark, b0, 0, **stores)
+    # partial batch-1 state: store written, pairs half-written
+    mm.hash_signatures(mm.image_phash(b1)).write.mode("overwrite").parquet(
+        f"{stores['hash_store']}/batch=1"
+    )
+    sd.process_media_dedup_batch(spark, b1, 1, **stores)  # the replay
+    rows2 = spark.read.parquet(stores["hash_store"]).drop("batch")
+    assert rows2.count() == rows2.distinct().count() == len(rows) * 8
+    replayed = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in spark.read.parquet(stores["pairs_out"]).collect()
+    }
+    assert replayed == batch

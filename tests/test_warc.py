@@ -690,3 +690,23 @@ def test_warc_to_documents_sniff_residue_path(spark, tmp_path):
     # and the sniff=False plan has no Python stage at all
     plan = warcsrc.warc_to_documents(records)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sniff_decode_is_total_on_arbitrary_bytes():
+    """Totality fuzz: sniff_decode must return (str, str) for ANY byte
+    string — it runs inside the crawl ingest Arrow stage, where one raised
+    exception kills the job (the decode()-throws lesson, NOTES r11 #9)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_financial_data_pipeline_spark.sources.warc import sniff_decode
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(b):
+        text, charset = sniff_decode(b)
+        assert isinstance(text, str) and isinstance(charset, str)
+        if b:
+            assert charset != ""
+
+    run()
