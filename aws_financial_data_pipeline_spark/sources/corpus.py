@@ -82,8 +82,12 @@ def ingest_corpus(
     extract_html: bool = True,
     archive_pattern: str | None = ".txt",
     max_member_bytes: int = 64 << 20,
+    sniff: bool = False,
 ) -> DataFrame:
     """Union every supplied corpus shape into one front-door frame.
+    ``sniff=True`` enables statistical charset detection on the WARC
+    leg's undeclared-invalid-UTF-8 residue (``warc_to_documents`` —
+    pure-Catalyst membership test, Arrow kernel only on the residue).
 
     Each ``*_dir`` is read by its own source module (one binaryFile task
     per archive file, one Arrow parse stage, no shuffle — the union is
@@ -93,7 +97,7 @@ def ingest_corpus(
     """
     legs: list[DataFrame] = []
     if warc_dir is not None:
-        docs = warc_to_documents(read_warc(spark, warc_dir))
+        docs = warc_to_documents(read_warc(spark, warc_dir), sniff=sniff)
         if extract_html:
             from ..operators.text import html_to_text
 
@@ -166,6 +170,7 @@ def corpus_batch_frame(
     archive_pattern: str | None = ".txt",
     max_member_bytes: int = 64 << 20,
     on_unknown: str = "error",
+    sniff: bool = False,
 ) -> DataFrame:
     """The dispatch+parse+union plan of one landing-zone micro-batch,
     exposed as a plain frame so tests can assert its SHAPE (shuffle-free:
@@ -196,7 +201,7 @@ def corpus_batch_frame(
     for leg, pat in _LEG_PATTERNS:
         sub = batch.filter(F.col("path").rlike(pat))
         if leg == "warc":
-            docs = warc_to_documents(parse_warc_files(sub, ("response",)))
+            docs = warc_to_documents(parse_warc_files(sub, ("response",)), sniff=sniff)
             if extract_html:
                 from ..operators.text import html_to_text
 
@@ -235,6 +240,7 @@ def process_corpus_batch(
     max_member_bytes: int = 64 << 20,
     transform=None,
     on_unknown: str = "error",
+    sniff: bool = False,
 ) -> None:
     """One micro-batch of the unified streaming front door: a binaryFile
     (path, content) frame → :func:`corpus_batch_frame` (dispatch + parse +
@@ -248,7 +254,7 @@ def process_corpus_batch(
     lives in :func:`corpus_batch_frame` (every entry point inherits it)
     and ``on_unknown`` passes through."""
     out = corpus_batch_frame(
-        batch, extract_html, archive_pattern, max_member_bytes, on_unknown
+        batch, extract_html, archive_pattern, max_member_bytes, on_unknown, sniff
     )
     if transform is not None:
         out = transform(out)
@@ -268,6 +274,7 @@ def ingest_corpus_stream(
     path_glob: str | None = None,
     available_now: bool = True,
     on_unknown: str = "error",
+    sniff: bool = False,
 ):
     """Streaming twin of :func:`ingest_corpus` over ONE landing zone: a
     directory where ``.warc.gz`` + ``.wet.gz`` + ``.tar.gz`` + ``.zip``
@@ -296,6 +303,7 @@ def ingest_corpus_stream(
             max_member_bytes,
             transform,
             on_unknown,
+            sniff,
         )
 
     return binaryfile_ingest_stream(

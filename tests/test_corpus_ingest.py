@@ -370,3 +370,44 @@ def test_corpus_batch_frame_inherits_stray_guard_and_bz2_dispatch(spark, tmp_pat
     # skip opts out; the stray contributes nothing
     docs2 = corpussrc.corpus_batch_frame(batch2, on_unknown="skip").collect()
     assert len(docs2) == 2
+
+
+def test_corpus_front_doors_thread_sniff(spark, tmp_path):
+    """sniff=True threads through BOTH front doors to the WARC leg: an
+    undeclared cp1251 page decodes to real Cyrillic in batch ingest_corpus
+    AND in the streaming corpus_batch_frame path; default stays lossy."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    ru = "привет мир как дела"
+    body = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(ru.encode('cp1251'))}\r\n\r\n".encode()
+        + ru.encode("cp1251")
+    )
+    landing = tmp_path / "sniff_landing"
+    landing.mkdir()
+    (landing / "a.warc.gz").write_bytes(
+        warcsrc.encode_warc(
+            [{
+                "warc_type": "response",
+                "url": "https://ru.example/p",
+                "record_id": "<urn:uuid:sn1>",
+                "body": body,
+                "content_type": "application/http; msgtype=response",
+            }]
+        )
+    )
+    batch_docs = corpussrc.ingest_corpus(
+        spark, warc_dir=str(landing), extract_html=False, sniff=True
+    ).collect()
+    assert [r["text"] for r in batch_docs] == [ru]
+    lossy = corpussrc.ingest_corpus(
+        spark, warc_dir=str(landing), extract_html=False
+    ).collect()
+    assert "�" in lossy[0]["text"]
+
+    frame = spark.read.format("binaryFile").load(str(landing))
+    stream_docs = corpussrc.corpus_batch_frame(
+        frame, extract_html=False, sniff=True
+    ).collect()
+    assert [r["text"] for r in stream_docs] == [ru]
