@@ -1,0 +1,175 @@
+"""Media curation funnel: the production gate chain for BINARY payload
+corpora — :func:`..curation.curation_funnel`'s multimodal twin, composing
+the round-11 media dedup family into one audited pipeline.
+
+A crawl's media slice arrives as (id, payload, media_type, byte_len) rows
+(the ``multimodal.PAYLOAD_COLS`` contract, e.g. out of WARC response
+records whose Content-Type is image/audio/video). Curating it needs the
+same shape the text funnel has: ordered gates, a per-stage audit, a
+per-doc rejection ledger, and dedup that keeps one canonical copy per
+perceptual cluster. Stages, cheapest first:
+
+1. **type_gate** — keep rows whose ``media_type`` this engine decodes
+   (map-only; unknown types are the ledger's ``unsupported_type``).
+2. **size_gate** — ``byte_len`` bounds (map-only; truncated fetches and
+   decompression-bomb candidates leave here before any decode cost).
+3. **decode_gate** — one Arrow :func:`..multimodal.extract_features`
+   pass; rows whose decoder rejects the payload (``feature_error``
+   non-null: corrupt containers, absent codecs) drop — loudly countable,
+   never job-fatal (the round-11 per-payload error contract).
+4. **dedup** — per modality: :func:`..multimodal.image_dedup` /
+   :func:`..multimodal.audio_dedup` / :func:`..multimodal.video_dedup`
+   (all through the distinct-hash banded machinery with ``bucket_cap``);
+   only ``is_canonical`` rows survive, so every perceptual cluster keeps
+   its min-id representative.
+
+Returns ``(corpus, audit)`` — and with ``with_ledger=True`` a third
+per-doc (id, stage, reason) rejection ledger, the text funnel's audit
+convention exactly.
+
+Shape at 100 TB: payload bytes are read ONCE (the decode gate's Arrow
+stage; the dedup fingerprint passes read only surviving rows) and never
+shuffle — every join after the hash passes moves 16-byte rows. The gates
+before the decode are pure Catalyst, so the expensive stage sees only
+rows that can possibly survive.
+
+No counterpart in the reference engine; built for the LLM-pipeline
+brief's multimodal surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import multimodal as mm
+
+AUDIO_TYPES = ("audio/wav",)
+VIDEO_TYPES = ("video/avi",)
+#: animated containers that the VIDEO dedup path should own when asked to
+#: (image/gif and animated image/webp are stills to image_dedup but clips
+#: to video_dedup — the split is a caller decision, see media_curation_funnel)
+ANIMATED_IMAGE_TYPES = ("image/gif", "image/webp")
+
+
+def media_curation_funnel(
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    min_bytes: int = 1,
+    max_bytes: int = 64 << 20,
+    max_distance: int = 6,
+    bucket_cap: "int | None" = None,
+    video_min_containment: float = 0.5,
+    animated_as_video: bool = False,
+    with_ledger: bool = False,
+    materialize: bool = True,
+):
+    """Run the media gate chain; returns ``(corpus, audit)`` (+ ``ledger``
+    with ``with_ledger=True``).
+
+    ``corpus``: the surviving payload rows (original columns, order
+    preserved) — decodable, size-sane, one canonical copy per perceptual
+    cluster. ``audit``: (stage, docs_kept) counts in gate order —
+    ``input → type_gate → size_gate → decode_gate → dedup``. ``ledger``:
+    (id, stage, reason) for every dropped row, reasons
+    ``unsupported_type`` / ``size_out_of_bounds`` / decode error strings
+    (the actual ``feature_error``, groupable) / ``perceptual_duplicate``.
+
+    ``animated_as_video=True`` routes GIF/WebP through the VIDEO dedup
+    path (frame-level containment — catches a clip re-encoded as GIF)
+    instead of the still-image pHash path; stills still work there
+    (single-frame videos), at the cost of per-frame hashing.
+
+    ``materialize=True`` localCheckpoints the decode-gate output — the
+    frame fans out into three per-modality dedup passes, and without a
+    lineage cut each would re-run the Arrow decode."""
+    known: tuple = mm.IMAGE_TYPES + AUDIO_TYPES + VIDEO_TYPES
+    stages: list = []
+    ledgers: list = []
+
+    def _gone(prev: DataFrame, new: DataFrame, stage: str, reason: str) -> None:
+        if not with_ledger:
+            return
+        ledgers.append(
+            prev.select(id_col)
+            .join(new.select(id_col), id_col, "left_anti")
+            .select(
+                F.col(id_col),
+                F.lit(stage).alias("stage"),
+                F.lit(reason).alias("reason"),
+            )
+        )
+
+    cur = with_payload
+    stages.append(("input", cur))
+
+    typed = cur.filter(F.col("media_type").isin(*known))
+    _gone(cur, typed, "type_gate", "unsupported_type")
+    stages.append(("type_gate", typed))
+    cur = typed
+
+    # byte_len can be a metadata 0 in synthetic frames; trust the payload
+    sized = cur.filter(
+        (F.octet_length("payload") >= min_bytes)
+        & (F.octet_length("payload") <= max_bytes)
+    )
+    _gone(cur, sized, "size_gate", "size_out_of_bounds")
+    stages.append(("size_gate", sized))
+    cur = sized
+
+    feats = mm.extract_features(
+        cur.select(
+            F.col(id_col).alias("doc_id"), "payload", "media_type",
+            F.octet_length("payload").cast("long").alias("byte_len"),
+        )
+    ).select(F.col("doc_id").alias(id_col), "feature_error")
+    decoded_ids = feats.filter(F.col("feature_error").isNull()).select(id_col)
+    decoded = cur.join(decoded_ids, id_col, "left_semi")
+    if with_ledger:
+        ledgers.append(
+            feats.filter(F.col("feature_error").isNotNull()).select(
+                F.col(id_col),
+                F.lit("decode_gate").alias("stage"),
+                F.col("feature_error").alias("reason"),
+            )
+        )
+    stages.append(("decode_gate", decoded))
+    cur = decoded
+    if materialize:
+        # fans out into three per-modality dedup passes below
+        cur = cur.localCheckpoint(eager=False)
+
+    image_types = tuple(
+        t for t in mm.IMAGE_TYPES
+        if animated_as_video is False or t not in ANIMATED_IMAGE_TYPES
+    )
+    video_types = VIDEO_TYPES + (ANIMATED_IMAGE_TYPES if animated_as_video else ())
+    canon = None
+    for kinds, dedup_fn in (
+        (image_types, lambda d: mm.image_dedup(
+            d, media_type=image_types, max_distance=max_distance,
+            id_col=id_col, bucket_cap=bucket_cap)),
+        (AUDIO_TYPES, lambda d: mm.audio_dedup(
+            d, max_distance=max_distance, id_col=id_col, bucket_cap=bucket_cap)),
+        (video_types, lambda d: mm.video_dedup(
+            d, media_type=video_types, max_distance=max_distance,
+            min_containment=video_min_containment, id_col=id_col,
+            bucket_cap=bucket_cap)),
+    ):
+        slice_ = cur.filter(F.col("media_type").isin(*kinds))
+        labels = dedup_fn(slice_).filter(F.col("is_canonical")).select(id_col)
+        canon = labels if canon is None else canon.unionByName(labels)
+    deduped = cur.join(canon, id_col, "left_semi")
+    _gone(cur, deduped, "dedup", "perceptual_duplicate")
+    stages.append(("dedup", deduped))
+
+    audit = None
+    for name, frame in stages:
+        row = frame.agg(F.lit(name).alias("stage"), F.count("*").alias("docs_kept"))
+        audit = row if audit is None else audit.unionByName(row)
+    if not with_ledger:
+        return deduped, audit
+    ledger = ledgers[0]
+    for frame in ledgers[1:]:
+        ledger = ledger.unionByName(frame)
+    return deduped, audit, ledger

@@ -1,0 +1,96 @@
+"""Media curation funnel: gate order, audit coherence, per-doc ledger,
+per-modality dedup routing, animated_as_video split."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aws_financial_data_pipeline_spark.operators import media_curation as mc
+from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+
+def _img(seed, h=64, w=48):
+    rng = np.random.default_rng(seed)
+    f = np.zeros((h, w, 3), dtype=np.uint8)
+    base = np.cumsum(rng.standard_normal((h, w)), axis=1)
+    base = (255 * (base - base.min()) / (base.ptp() + 1e-9)).astype(np.uint8)
+    f[:, :, 0] = base
+    f[:, :, 1] = base[::-1]
+    f[:, :, 2] = (base // 2 + 64).astype(np.uint8)
+    return f
+
+
+def _tone(seed, secs=0.5, rate=8000):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * rate)) / rate
+    x = sum(np.sin(2 * np.pi * f * t) for f in rng.uniform(200, 2000, 4))
+    x = x + 0.05 * rng.standard_normal(len(t))
+    return (x / np.abs(x).max() * 0.7).reshape(-1, 1)
+
+
+def test_media_curation_funnel_end_to_end(spark):
+    """All four gates fire on a mixed corpus: unsupported type out at
+    type_gate, oversized payload at size_gate, corrupt + absent-codec
+    payloads at decode_gate (with their actual error strings in the
+    ledger), per-modality perceptual dups at dedup — audit counts cohere
+    and the survivors carry the original columns."""
+    img = _img(7)
+    vp8 = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 8
+    wav = mm.encode_wav(_tone(3))
+    rows = [
+        (1, bytearray(mm.encode_bmp(img)), "image/bmp", 0),
+        (2, bytearray(mm.encode_jpeg(img, quality=95)), "image/jpeg", 0),  # near-dup of 1
+        (3, bytearray(mm.encode_bmp(_img(99))), "image/bmp", 0),
+        (4, bytearray(wav), "audio/wav", 0),
+        (5, bytearray(mm.encode_wav(_tone(3) * 0.5)), "audio/wav", 0),  # scaled dup of 4
+        (6, bytearray(b"%PDF-1.4 not media"), "application/pdf", 0),    # type gate
+        (7, bytearray(b"x" * 200), "image/png", 0),                     # corrupt → decode gate
+        (8, bytearray(vp8), "image/webp", 0),                           # absent codec → decode gate
+        (9, bytearray(b"tiny"), "image/bmp", 0),                        # min_bytes → size gate
+    ]
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    corpus, audit, ledger = mc.media_curation_funnel(
+        frames, min_bytes=16, with_ledger=True
+    )
+    kept = {r["doc_id"] for r in corpus.collect()}
+    assert kept == {1, 3, 4}  # 2 dups into 1, 5 into 4; 6-9 gated
+    assert corpus.columns == frames.columns
+
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a == {
+        "input": 9, "type_gate": 8, "size_gate": 7, "decode_gate": 5, "dedup": 3,
+    }
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+    assert led[6] == ("type_gate", "unsupported_type")
+    assert led[9] == ("size_gate", "size_out_of_bounds")
+    assert led[7][0] == "decode_gate" and led[7][1]
+    assert led[8][0] == "decode_gate" and "NotImplementedError" in led[8][1]
+    assert led[2] == ("dedup", "perceptual_duplicate")
+    assert led[5] == ("dedup", "perceptual_duplicate")
+    assert set(led) == {2, 5, 6, 7, 8, 9}
+
+
+def test_media_curation_animated_as_video_routing(spark):
+    """animated_as_video=True: a GIF re-encode of an AVI clip dedups
+    against it through the VIDEO path (frame containment) — the still
+    pHash path treats an animated GIF as its composited first frame and
+    misses the pair when the AVI differs."""
+    frames_px = []
+    for k in range(4):
+        f = np.zeros((32, 32, 3), dtype=np.uint8)
+        f[:, :, 0] = (np.arange(32) * (3 + 2 * k) % 256).astype(np.uint8)[None, :]
+        f[4 * k : 4 * k + 8, :, 1] = 200
+        f[:, :, 2] = (np.arange(32) * (11 + 5 * k) % 256).astype(np.uint8)[None, :]
+        frames_px.append(f)
+    rows = [
+        (1, bytearray(mm.encode_avi(frames_px)), "video/avi", 0),
+        (2, bytearray(mm.encode_gif(frames_px)), "image/gif", 0),  # same clip as GIF
+        (3, bytearray(mm.encode_avi(frames_px[:2])), "video/avi", 0),  # contained clip
+    ]
+    payloads = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    corpus, audit = mc.media_curation_funnel(
+        payloads, animated_as_video=True, max_distance=2
+    )
+    assert {r["doc_id"] for r in corpus.collect()} == {1}
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["decode_gate"] == 3 and a["dedup"] == 1
