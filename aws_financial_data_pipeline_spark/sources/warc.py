@@ -554,6 +554,46 @@ def warc_to_documents(
     ).unionByName(sniffed)
 
 
+def warc_to_media(
+    records: DataFrame,
+    media_prefixes: "tuple[str, ...]" = ("image/", "audio/", "video/"),
+    id_from: str = "url_hash",
+) -> DataFrame:
+    """Response records → the (doc_id, url, payload, media_type,
+    byte_len) frame the MEDIA pipeline consumes
+    (:func:`..operators.media_curation.media_curation_funnel`,
+    ``image_dedup``/``extract_features``/…): the binary complement of
+    :func:`warc_to_documents`, which drops non-text responses. A crawl
+    yields both slices from ONE pass over the same records frame —
+    Catalyst shares the scan/parse subtree, and the payload column is
+    pruned out of whichever side doesn't read it.
+
+    ``media_type`` is the Content-Type with parameters stripped and
+    lowercased (``image/JPEG; name=x`` → ``image/jpeg``) — the dispatch
+    key every multimodal operator matches on. Ids share the
+    xxhash64(url:record_id) space with the text side, so a page and the
+    images it served never collide but remain join-able by url."""
+    if id_from != "url_hash":
+        raise ValueError(f"id_from must be 'url_hash': {id_from!r}")
+    ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+    mt = F.trim(F.split(ct, ";").getItem(0))
+    is_media = F.lit(False)
+    for p in media_prefixes:
+        is_media = is_media | mt.startswith(p)
+    return (
+        records.filter((F.col("warc_type") == "response") & is_media)
+        .select(
+            F.xxhash64(
+                F.concat_ws(":", F.col("url"), F.col("record_id"))
+            ).alias("doc_id"),
+            "url",
+            "payload",
+            mt.alias("media_type"),
+            F.octet_length("payload").cast("long").alias("byte_len"),
+        )
+    )
+
+
 def wet_to_documents(
     records: DataFrame,
     id_from: str = "url_hash",

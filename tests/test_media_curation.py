@@ -94,3 +94,68 @@ def test_media_curation_animated_as_video_routing(spark):
     assert {r["doc_id"] for r in corpus.collect()} == {1}
     a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
     assert a["decode_gate"] == 3 and a["dedup"] == 1
+
+
+def test_crawl_to_curated_media_end_to_end(spark, tmp_path):
+    """The crawl→media seam: one WARC carries an HTML page, two copies of
+    the same BMP under different URLs, a WAV, and a PDF. warc_to_media
+    extracts the binary slice (params stripped from Content-Type, ids in
+    the text side's hash space), and media_curation_funnel curates it —
+    the text side (warc_to_documents) sees ONLY the page."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    img = _img(7)
+    bmp = mm.encode_bmp(img)
+    wav = mm.encode_wav(_tone(5))
+
+    def http(body: bytes, ctype: str):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+
+    recs = [
+        {"warc_type": "response", "url": "https://a.example/page",
+         "record_id": "<urn:uuid:m0>",
+         "html": "<html><body><p>a page linking media</p></body></html>"},
+        {"warc_type": "response", "url": "https://a.example/x.bmp",
+         "record_id": "<urn:uuid:m1>",
+         "body": http(bmp, "image/BMP; name=x"),
+         "content_type": "application/http; msgtype=response"},
+        {"warc_type": "response", "url": "https://cdn.example/same.bmp",
+         "record_id": "<urn:uuid:m2>",
+         "body": http(bmp, "image/bmp"),
+         "content_type": "application/http; msgtype=response"},
+        {"warc_type": "response", "url": "https://a.example/s.wav",
+         "record_id": "<urn:uuid:m3>",
+         "body": http(wav, "audio/wav"),
+         "content_type": "application/http; msgtype=response"},
+        {"warc_type": "response", "url": "https://a.example/d.pdf",
+         "record_id": "<urn:uuid:m4>",
+         "body": http(b"%PDF-1.4", "application/pdf"),
+         "content_type": "application/http; msgtype=response"},
+    ]
+    (tmp_path / "m.warc.gz").write_bytes(warcsrc.encode_warc(recs))
+    records = warcsrc.read_warc(spark, str(tmp_path))
+
+    media = warcsrc.warc_to_media(records)
+    rows = {r["url"]: r for r in media.collect()}
+    assert set(rows) == {
+        "https://a.example/x.bmp", "https://cdn.example/same.bmp",
+        "https://a.example/s.wav",
+    }
+    assert rows["https://a.example/x.bmp"]["media_type"] == "image/bmp"
+    assert rows["https://a.example/x.bmp"]["byte_len"] == len(bmp)
+
+    corpus, audit = mc.media_curation_funnel(media.drop("url"))
+    kept = {r["doc_id"] for r in corpus.collect()}
+    assert len(kept) == 2  # one of the two identical BMPs + the WAV
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["input"] == 3 and a["dedup"] == 2
+
+    # the text side sees only the page
+    docs = warcsrc.warc_to_documents(records).collect()
+    assert [r["url"] for r in docs] == ["https://a.example/page"]
+    # id spaces shared: no collision between the page and its media
+    all_ids = kept | {r["doc_id"] for r in docs}
+    assert len(all_ids) == 3
