@@ -165,6 +165,132 @@ def read_zip_corpus(
     )
 
 
+MEDIA_COLS = "archive string, member string, payload binary, media_type string, byte_len long"
+
+# magic-byte → media_type dispatch for bundle members — the same container
+# signatures the multimodal decoders key on (member EXTENSIONS lie in real
+# releases; the first bytes don't)
+_MAGIC = (
+    (b"BM", "image/bmp"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+)
+
+
+def _magic_media_type(raw: bytes) -> "str | None":
+    """First-bytes container sniff: BMP/PNG/JPEG/GIF plus the RIFF family
+    (WAVE → audio/wav, AVI → video/avi, WEBP → image/webp); None for
+    anything else (text, PDFs, unknowns)."""
+    for magic, mt in _MAGIC:
+        if raw.startswith(magic):
+            return mt
+    if raw[:4] == b"RIFF" and len(raw) >= 12:
+        kind = raw[8:12]
+        if kind == b"WAVE":
+            return "audio/wav"
+        if kind == b"AVI ":
+            return "video/avi"
+        if kind == b"WEBP":
+            return "image/webp"
+    return None
+
+
+def _iter_tar_members(content: bytes, max_member_bytes: int):
+    with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            if member.size > max_member_bytes:
+                raise ValueError(
+                    f"tar member {member.name!r} is {member.size} bytes "
+                    f"(> {max_member_bytes}); raise max_member_bytes "
+                    "if this corpus really ships documents that big"
+                )
+            yield member.name, tf.extractfile(member).read()
+
+
+def _iter_zip_members(content: bytes, max_member_bytes: int):
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            if info.file_size > max_member_bytes:
+                raise ValueError(
+                    f"zip member {info.filename!r} is {info.file_size} "
+                    f"bytes (> {max_member_bytes}); raise "
+                    "max_member_bytes if this corpus really ships "
+                    "documents that big"
+                )
+            yield info.filename, zf.read(info)
+
+
+def parse_archive_media(
+    files: DataFrame,
+    max_member_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Media members of tar/zip bundles → (archive, member, payload,
+    media_type, byte_len): the BINARY complement of
+    :func:`parse_tar_files`/:func:`parse_zip_files` — dataset releases
+    ship images/audio in exactly these containers (the ImageNet shape).
+    Members are classified by MAGIC BYTES, not extension (release
+    extensions lie); non-media members are skipped. Container kind is
+    sniffed per file (tar of any compression vs zip), so one landing
+    directory of mixed bundles parses in one Arrow stage."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                it = (
+                    _iter_zip_members(raw, max_member_bytes)
+                    if raw[:2] == b"PK"
+                    else _iter_tar_members(raw, max_member_bytes)
+                )
+                for name, body in it:
+                    mt = _magic_media_type(body)
+                    if mt is None:
+                        continue
+                    rows.append((fpath, name, body, mt, len(body)))
+            yield pd.DataFrame(
+                rows,
+                columns=["archive", "member", "payload", "media_type", "byte_len"],
+            )
+
+    return files.select("path", "content").mapInPandas(run, MEDIA_COLS)
+
+
+def read_media_bundles(
+    spark: SparkSession,
+    path: str,
+    max_member_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Tar/zip bundles under ``path`` → the media payload contract
+    (doc_id, url, payload, media_type, byte_len) feeding
+    :func:`..operators.media_curation.media_curation_funnel` — ids in the
+    archive leg's xxhash64(archive:member) space, provenance as the
+    host-less ``archive://`` URL (the text-bundle convention)."""
+    files = spark.read.format("binaryFile").load(path)
+    parsed = parse_archive_media(files, max_member_bytes)
+    return parsed.select(
+        F.xxhash64(F.concat_ws(":", F.col("archive"), F.col("member"))).alias(
+            "doc_id"
+        ),
+        F.concat(
+            F.lit("archive://"), F.col("archive"), F.lit("#"), F.col("member")
+        ).alias("url"),
+        "payload",
+        "media_type",
+        "byte_len",
+    )
+
+
 def process_archive_batch(
     batch: DataFrame,
     batch_id: int,

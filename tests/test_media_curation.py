@@ -159,3 +159,47 @@ def test_crawl_to_curated_media_end_to_end(spark, tmp_path):
     # id spaces shared: no collision between the page and its media
     all_ids = kept | {r["doc_id"] for r in docs}
     assert len(all_ids) == 3
+
+
+def test_media_bundles_to_curated_corpus(spark, tmp_path):
+    """Release-bundle seam: a tar.gz and a zip of mixed members (images
+    under LYING extensions, a WAV, text files) → read_media_bundles
+    classifies by magic bytes, skips non-media, and the funnel curates —
+    a duplicate image shipped in BOTH bundles dedups to one copy."""
+    import io
+    import tarfile
+    import zipfile
+
+    from aws_financial_data_pipeline_spark.sources import tar as tarsrc
+
+    img = _img(7)
+    bmp = mm.encode_bmp(img)
+    png = mm.encode_png(img)  # same pixels, other container → perceptual dup
+    wav = mm.encode_wav(_tone(5))
+
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        for name, body in [("a/img.dat", bmp), ("a/readme.txt", b"hello text"),
+                           ("a/sound.wav", wav)]:
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    (tmp_path / "b1.tar.gz").write_bytes(tbuf.getvalue())
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("z/same_image.bin", bytes(png))
+        zf.writestr("z/notes.md", "not media")
+    (tmp_path / "b2.zip").write_bytes(zbuf.getvalue())
+
+    media = tarsrc.read_media_bundles(spark, str(tmp_path))
+    rows = {r["url"].rsplit("#", 1)[1]: r for r in media.collect()}
+    assert set(rows) == {"a/img.dat", "a/sound.wav", "z/same_image.bin"}
+    assert rows["a/img.dat"]["media_type"] == "image/bmp"  # magic, not ".dat"
+    assert rows["z/same_image.bin"]["media_type"] == "image/png"
+    assert rows["a/sound.wav"]["media_type"] == "audio/wav"
+    assert all(r["url"].startswith("archive://") for r in rows.values())
+
+    corpus, audit = mc.media_curation_funnel(media.drop("url"))
+    assert corpus.count() == 2  # bmp+png collapse, wav survives
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["input"] == 3 and a["dedup"] == 2
