@@ -13,11 +13,15 @@ perceptual cluster. Stages, cheapest first:
    (map-only; unknown types are the ledger's ``unsupported_type``).
 2. **size_gate** — ``byte_len`` bounds (map-only; truncated fetches and
    decompression-bomb candidates leave here before any decode cost).
-3. **decode_gate** — one Arrow :func:`..multimodal.extract_features`
-   pass; rows whose decoder rejects the payload (``feature_error``
-   non-null: corrupt containers, absent codecs) drop — loudly countable,
-   never job-fatal (the round-11 per-payload error contract).
-4. **dedup** — per modality: :func:`..multimodal.image_dedup` /
+3. **decode_gate** — one Arrow :func:`..multimodal.media_stats` pass;
+   rows whose decoder rejects the payload (``error`` non-null: corrupt
+   containers, absent codecs) drop — loudly countable, never job-fatal
+   (the round-11 per-payload error contract).
+4. **dimension_gate** (optional) — the SAME stats pass gates structure:
+   ``min_pixels`` (LAION-style resolution floor, visual rows only),
+   ``min_seconds``/``max_seconds`` (audio/video duration bounds) — no
+   second decode.
+5. **dedup** — per modality: :func:`..multimodal.image_dedup` /
    :func:`..multimodal.audio_dedup` / :func:`..multimodal.video_dedup`
    (all through the distinct-hash banded machinery with ``bucket_cap``);
    only ``is_canonical`` rows survive, so every perceptual cluster keeps
@@ -57,6 +61,9 @@ def media_curation_funnel(
     id_col: str = "doc_id",
     min_bytes: int = 1,
     max_bytes: int = 64 << 20,
+    min_pixels: "int | None" = None,
+    min_seconds: "float | None" = None,
+    max_seconds: "float | None" = None,
     max_distance: int = 6,
     bucket_cap: "int | None" = None,
     video_min_containment: float = 0.5,
@@ -117,24 +124,42 @@ def media_curation_funnel(
     stages.append(("size_gate", sized))
     cur = sized
 
-    feats = mm.extract_features(
-        cur.select(
-            F.col(id_col).alias("doc_id"), "payload", "media_type",
-            F.octet_length("payload").cast("long").alias("byte_len"),
-        )
-    ).select(F.col("doc_id").alias(id_col), "feature_error")
-    decoded_ids = feats.filter(F.col("feature_error").isNull()).select(id_col)
+    stats = mm.media_stats(cur, id_col=id_col)
+    if materialize:
+        # stats feed the decode gate AND the dimension gate; without a cut
+        # each consumer re-runs the Arrow decode pass
+        stats = stats.localCheckpoint(eager=False)
+    decoded_ids = stats.filter(F.col("error").isNull()).select(id_col)
     decoded = cur.join(decoded_ids, id_col, "left_semi")
     if with_ledger:
         ledgers.append(
-            feats.filter(F.col("feature_error").isNotNull()).select(
+            stats.filter(F.col("error").isNotNull()).select(
                 F.col(id_col),
                 F.lit("decode_gate").alias("stage"),
-                F.col("feature_error").alias("reason"),
+                F.col("error").alias("reason"),
             )
         )
     stages.append(("decode_gate", decoded))
     cur = decoded
+
+    if min_pixels is not None or min_seconds is not None or max_seconds is not None:
+        ok = F.lit(True)
+        if min_pixels is not None:
+            # visual rows below the resolution floor drop; rows with no
+            # dimensions (audio) pass this clause
+            ok = ok & (
+                F.col("width").isNull()
+                | ((F.col("width") * F.col("height")) >= min_pixels)
+            )
+        if min_seconds is not None:
+            ok = ok & (F.col("seconds").isNull() | (F.col("seconds") >= min_seconds))
+        if max_seconds is not None:
+            ok = ok & (F.col("seconds").isNull() | (F.col("seconds") <= max_seconds))
+        dim_ids = stats.filter(F.col("error").isNull() & ok).select(id_col)
+        dimensioned = cur.join(dim_ids, id_col, "left_semi")
+        _gone(cur, dimensioned, "dimension_gate", "dimension_out_of_bounds")
+        stages.append(("dimension_gate", dimensioned))
+        cur = dimensioned
     if materialize:
         # fans out into three per-modality dedup passes below
         cur = cur.localCheckpoint(eager=False)

@@ -797,6 +797,79 @@ def hash_dedup(
     )
 
 
+MEDIA_STATS_COLS = (
+    "doc_id bigint, media_type string, error string, width int, height int, "
+    "n_frames int, sample_rate int, seconds double"
+)
+
+
+def media_stats(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One Arrow pass → per-payload structural stats with type-appropriate
+    NULLs: images get (width, height, n_frames — animated GIF/WebP count
+    their real frames), audio gets (sample_rate, seconds), video gets
+    (width, height, n_frames, seconds @30fps nominal). ``error`` carries
+    the decoder's rejection for payloads that don't parse (absent codec /
+    corrupt container) — the :func:`extract_features` per-row contract,
+    so one bad payload can't kill a 100 TB job. These are the columns
+    real media curation gates on (LAION-style min-resolution, duration
+    bounds) — see ``media_curation_funnel(min_pixels=, min_seconds=)``."""
+
+    def one(mt: str, b: bytes):
+        w = h = nf = sr = None
+        secs = None
+        if mt in IMAGE_TYPES:
+            if mt in ("image/gif", "image/webp"):
+                frames = sample_frames(b, 1)
+                if not frames:
+                    raise ValueError("no frames decoded")
+                h, w = frames[0].shape[:2]
+                nf = len(frames)
+            else:
+                img = decode_image(b)
+                h, w = img.shape[:2]
+                nf = 1
+        elif mt == "audio/wav":
+            rate, x = decode_audio(b)
+            sr = rate
+            secs = float(len(x)) / rate if rate else None
+        elif mt == "video/avi":
+            frames = sample_video_frames(b, every_n=1)
+            if not frames:
+                raise ValueError("no frames decoded")
+            h, w = frames[0].shape[:2]
+            nf = len(frames)
+            secs = nf / 30.0  # container-nominal fps
+        else:
+            raise ValueError(f"unsupported media_type: {mt}")
+        return w, h, nf, sr, secs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "media_type", "error", "width", "height",
+                    "n_frames", "sample_rate", "seconds")}
+            for i, mt, b in zip(pdf[id_col], pdf["media_type"], pdf["payload"]):
+                out["doc_id"].append(i)
+                out["media_type"].append(mt)
+                try:
+                    w, h, nf, sr, secs = one(mt, bytes(b))
+                    err = None
+                except Exception as e:  # per-row, audited — never job-fatal
+                    w = h = nf = sr = secs = None
+                    err = f"{type(e).__name__}: {e}"
+                out["error"].append(err)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["sample_rate"].append(sr)
+                out["seconds"].append(secs)
+            yield pd.DataFrame(out)
+
+    return with_payload.select(
+        F.col(id_col), "media_type", "payload"
+    ).mapInPandas(run, MEDIA_STATS_COLS.replace("doc_id", id_col, 1))
+
+
 def hash_signatures(
     hashes: DataFrame,
     id_col: str = "doc_id",

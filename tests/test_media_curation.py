@@ -203,3 +203,50 @@ def test_media_bundles_to_curated_corpus(spark, tmp_path):
     assert corpus.count() == 2  # bmp+png collapse, wav survives
     a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
     assert a["input"] == 3 and a["dedup"] == 2
+
+
+def test_media_stats_and_dimension_gate(spark):
+    """media_stats: type-appropriate columns (animated GIF counts real
+    frames, WAV gets rate+seconds, AVI gets dims+frames), errors per row;
+    the funnel's dimension_gate drops a thumbnail below min_pixels and a
+    too-short clip below min_seconds in the SAME decode pass, audited."""
+    img = _img(7)
+    thumb = _img(9, h=8, w=8)
+    gif_frames = []
+    for k in range(3):
+        f = np.zeros((16, 16, 3), dtype=np.uint8)
+        f[:, :, 0] = (np.arange(16) * (5 + k) % 256).astype(np.uint8)[None, :]
+        gif_frames.append(f)
+    avi = [np.full((32, 32, 3), v, dtype=np.uint8) for v in (10, 90)]
+    rows = [
+        (1, bytearray(mm.encode_bmp(img)), "image/bmp", 0),
+        (2, bytearray(mm.encode_bmp(thumb)), "image/bmp", 0),     # 64 px thumb
+        (3, bytearray(mm.encode_gif(gif_frames)), "image/gif", 0),
+        (4, bytearray(mm.encode_wav(_tone(3, secs=2.0))), "audio/wav", 0),
+        (5, bytearray(mm.encode_wav(_tone(4, secs=0.1))), "audio/wav", 0),  # short
+        (6, bytearray(mm.encode_avi(avi)), "video/avi", 0),
+        (7, bytearray(b"x" * 64), "image/png", 0),                 # corrupt
+    ]
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+
+    st = {r["doc_id"]: r for r in mm.media_stats(frames).collect()}
+    assert (st[1]["width"], st[1]["height"], st[1]["n_frames"]) == (48, 64, 1)
+    assert st[3]["n_frames"] == 3 and st[3]["width"] == 16
+    assert st[4]["sample_rate"] == 16000 and abs(st[4]["seconds"] - 1.0) < 1e-6
+    assert st[5]["seconds"] < 0.2
+    assert (st[6]["width"], st[6]["n_frames"]) == (32, 2)
+    assert st[7]["error"] and st[7]["width"] is None
+
+    corpus, audit, ledger = mc.media_curation_funnel(
+        frames, min_pixels=200, min_seconds=0.5, with_ledger=True
+    )
+    kept = {r["doc_id"] for r in corpus.collect()}
+    # 2 (thumb) and 5 (short) gated on dimensions; 7 on decode;
+    # 6's seconds (2/30 s) is below min_seconds too
+    assert kept == {1, 3, 4}
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+    assert led[2] == ("dimension_gate", "dimension_out_of_bounds")
+    assert led[5] == ("dimension_gate", "dimension_out_of_bounds")
+    assert led[7][0] == "decode_gate"
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["decode_gate"] == 6 and a["dimension_gate"] == 3 and a["dedup"] == 3
