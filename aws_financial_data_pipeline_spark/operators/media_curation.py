@@ -49,6 +49,76 @@ from pyspark.sql import functions as F
 from . import multimodal as mm
 
 AUDIO_TYPES = ("audio/wav",)
+
+
+def image_text_pairs(
+    pages: DataFrame,
+    media: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Image–text alignment over a crawl — the LAION recipe's pairing
+    step: pull ``<img>`` tags out of RAW HTML pages (``pages`` must carry
+    markup, i.e. ``warc_to_documents(extract_html=False)`` output — the
+    tags are gone after ``html_to_text``), resolve each ``src`` against
+    the page URL (absolute / protocol-relative / root-relative /
+    path-relative, all pure Catalyst), and equi-join the crawl's media
+    slice (:func:`..sources.warc.warc_to_media`) on the fetched URL.
+
+    Returns (image_id, page_id, image_url, caption) — caption is the
+    tag's ``alt`` text (NULL when absent), the training-pair caption
+    source. One page referencing k fetched images yields k rows; images
+    no page references (or pages whose images weren't crawled) yield
+    none — inner join, the pairing semantics.
+
+    Shape at 100 TB: tag extraction is a map-only regexp over the page
+    text; the join is (resolved_url ↔ media url) — both sides are
+    id/url-width rows (payload pruned), shuffled on the url key. No
+    Python anywhere."""
+    tag_re = r"(?i)<img\b[^>]*>"
+    src_q = r"""(?i)src\s*=\s*["']([^"']+)["']"""
+    src_u = r"""(?i)src\s*=\s*([^\s"'>]+)"""
+    alt_q = r"""(?i)alt\s*=\s*["']([^"']*)["']"""
+    tags = pages.select(
+        F.col(id_col).alias("page_id"),
+        F.col(url_col).alias("_purl"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(tag_re), F.lit(0))
+        ).alias("_tag"),
+    )
+    src = F.coalesce(
+        F.nullif(F.regexp_extract(F.col("_tag"), src_q, 1), F.lit("")),
+        F.nullif(F.regexp_extract(F.col("_tag"), src_u, 1), F.lit("")),
+    )
+    alt = F.nullif(F.regexp_extract(F.col("_tag"), alt_q, 1), F.lit(""))
+    scheme = F.regexp_extract(F.col("_purl"), r"^([a-zA-Z][a-zA-Z0-9+.\-]*):", 1)
+    origin = F.regexp_extract(F.col("_purl"), r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+)", 1)
+    # the page's directory (origin + path up to the last '/'); a page at
+    # the origin root has path "/" implied
+    page_dir = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col("_purl"), r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^?#]*/)", 1),
+            F.lit(""),
+        ),
+        F.concat(origin, F.lit("/")),
+    )
+    s = src
+    resolved = (
+        F.when(s.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"), s)
+        .when(s.startswith("//"), F.concat(scheme, F.lit(":"), s))
+        .when(s.startswith("/"), F.concat(origin, s))
+        .otherwise(F.concat(page_dir, s))
+    )
+    refs = tags.filter(src.isNotNull()).select(
+        "page_id", resolved.alias("image_url"), alt.alias("caption")
+    )
+    imgs = media.select(
+        F.col(id_col).alias("image_id"), F.col(url_col).alias("image_url")
+    )
+    return refs.join(imgs, "image_url").select(
+        "image_id", "page_id", "image_url", "caption"
+    )
 VIDEO_TYPES = ("video/avi",)
 #: animated containers that the VIDEO dedup path should own when asked to
 #: (image/gif and animated image/webp are stills to image_dedup but clips

@@ -250,3 +250,44 @@ def test_media_stats_and_dimension_gate(spark):
     assert led[7][0] == "decode_gate"
     a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
     assert a["decode_gate"] == 6 and a["dimension_gate"] == 3 and a["dedup"] == 3
+
+
+def test_image_text_pairs_resolution_and_captions(spark):
+    """The LAION pairing step: <img> srcs in all four URL forms resolve
+    against the page URL and join the media slice; alt text rides as the
+    caption (NULL when absent); unreferenced images and unfetched srcs
+    yield no pair; the plan is pure Catalyst."""
+    html = (
+        '<html><body>'
+        '<img src="https://cdn.example/abs.bmp" alt="an absolute image">'
+        "<img src='//cdn.example/proto.bmp' alt='protocol relative'>"
+        '<img src="/root-rel.bmp">'
+        '<img src=sub/rel.bmp alt="subdir relative">'
+        '<img src="https://cdn.example/not-fetched.bmp" alt="missed">'
+        '</body></html>'
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://site.example/dir/page.html", html),
+         (2, "https://site.example/other.html", "<p>no images</p>")],
+        "doc_id long, url string, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            (101, "https://cdn.example/abs.bmp"),
+            (102, "https://cdn.example/proto.bmp"),
+            (103, "https://site.example/root-rel.bmp"),
+            (104, "https://site.example/dir/sub/rel.bmp"),
+            (105, "https://site.example/never-referenced.bmp"),
+        ],
+        "doc_id long, url string",
+    )
+    pairs = mc.image_text_pairs(pages, media)
+    got = {r["image_id"]: r for r in pairs.collect()}
+    assert set(got) == {101, 102, 103, 104}
+    assert all(r["page_id"] == 1 for r in got.values())
+    assert got[101]["caption"] == "an absolute image"
+    assert got[102]["caption"] == "protocol relative"
+    assert got[103]["caption"] is None
+    assert got[104]["caption"] == "subdir relative"
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
