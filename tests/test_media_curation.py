@@ -291,3 +291,45 @@ def test_image_text_pairs_resolution_and_captions(spark):
     assert got[104]["caption"] == "subdir relative"
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_media_funnel_empty_input_and_partition_invariance(spark):
+    """Empty-inputs convention + determinism: the funnel on an empty frame
+    returns an empty corpus with every audit stage at 0; on a real frame
+    the kept set and cluster labels are identical under different input
+    partitionings (no partition-order dependence anywhere in the chain)."""
+    empty = spark.createDataFrame([], mm.PAYLOAD_COLS)
+    corpus, audit = mc.media_curation_funnel(empty)
+    assert corpus.count() == 0
+    assert all(r["docs_kept"] == 0 for r in audit.collect())
+
+    img = _img(7)
+    rows = [
+        (1, bytearray(mm.encode_bmp(img)), "image/bmp", 0),
+        (2, bytearray(mm.encode_png(img)), "image/png", 0),
+        (3, bytearray(mm.encode_bmp(_img(99))), "image/bmp", 0),
+        (4, bytearray(mm.encode_wav(_tone(3))), "audio/wav", 0),
+    ]
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    kept1 = {r["doc_id"] for r in mc.media_curation_funnel(frames.repartition(1))[0].collect()}
+    kept8 = {r["doc_id"] for r in mc.media_curation_funnel(frames.repartition(8))[0].collect()}
+    assert kept1 == kept8 == {1, 3, 4}
+
+
+def test_hash_dedup_partition_invariant_labels(spark):
+    """hash_dedup labels (component, cluster_size, is_canonical) must not
+    depend on input partitioning — min-id reps and CC are order-free."""
+    rows = [(i, 0x1000 + (i % 3)) for i in range(30)]  # 3 exact groups
+    rows += [(100, 0x7777), (101, 0x7776)]             # one near pair
+    for parts in (1, 7):
+        hashes = spark.createDataFrame(rows, "doc_id long, phash long").repartition(parts)
+        out = {r["doc_id"]: (r["component"], r["cluster_size"], r["is_canonical"])
+               for r in mm.hash_dedup(hashes, max_distance=2).collect()}
+        if parts == 1:
+            want = out
+        else:
+            assert out == want
+    assert want[100] == (100, 2, True) and want[101] == (100, 2, False)
+    # the three exact groups (hashes 1-2 bits apart) merge into ONE
+    # 30-member component rooted at the min id
+    assert want[0] == (0, 30, True) and want[3] == (0, 30, False)
