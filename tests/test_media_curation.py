@@ -333,3 +333,36 @@ def test_hash_dedup_partition_invariant_labels(spark):
     # the three exact groups (hashes 1-2 bits apart) merge into ONE
     # 30-member component rooted at the min id
     assert want[0] == (0, 30, True) and want[3] == (0, 30, False)
+
+
+def test_caption_pairs_compose_with_text_quality_ops(spark):
+    """Cross-modal composition: image_text_pairs output feeds the TEXT
+    quality surface directly — C4/Gopher-style caption filtering is just
+    the existing rule ops over the caption column (the LAION recipe's
+    caption gate), no new machinery."""
+    from aws_financial_data_pipeline_spark.operators import text as tx
+
+    pages = spark.createDataFrame(
+        [(1, "https://s.example/p.html",
+          '<img src="/a.bmp" alt="A fluffy brown dog runs across the sunny park lawn.">'
+          '<img src="/b.bmp" alt="img_0231.jpg">'
+          '<img src="/c.bmp" alt="click here">')],
+        "doc_id long, url string, text string",
+    )
+    media = spark.createDataFrame(
+        [(11, "https://s.example/a.bmp"), (12, "https://s.example/b.bmp"),
+         (13, "https://s.example/c.bmp")],
+        "doc_id long, url string",
+    )
+    pairs = mc.image_text_pairs(pages, media)
+    # caption gate: ≥5 words and ends in punctuation — plain text ops
+    from pyspark.sql import functions as F
+
+    captions = pairs.select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+    stats = tx.text_stats(captions)
+    kept = stats.join(captions, "doc_id").filter(
+        (F.col("n_tokens") >= 5) & F.col("text").rlike(r"[.!?]$")
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {11}
