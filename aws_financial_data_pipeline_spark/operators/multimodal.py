@@ -1379,6 +1379,48 @@ def video_near_duplicates(
     )
 
 
+def video_scenes(
+    frames: DataFrame,
+    cut_distance: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shot-boundary segmentation over the :func:`video_fingerprints`
+    table: a scene cut is a consecutive-frame pHash jump above
+    ``cut_distance`` hamming (within-shot motion moves a few bits; a hard
+    cut rewrites the DCT signature — 16 of 64 bits is the conventional
+    threshold for this kind of signature). Output adds ``scene_id``
+    (0-based per video, a running sum of cuts) and ``is_scene_start`` to
+    every frame row — sample one frame per scene for training instead of
+    every-n-th (``filter(is_scene_start)``), or count shots per video.
+
+    Cost: ONE window over the 24-byte frame table (lag + running sum
+    share the same (video, frame_idx) ordering — a single Exchange on
+    the video key); the payload bytes were already gone after the
+    fingerprint pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    cut = (
+        prev.isNotNull()
+        & (F.bit_count(F.col("phash").bitwiseXOR(prev)) > cut_distance)
+    ).cast("int")
+    return (
+        frames.withColumn("_cut", cut)
+        .withColumn(
+            "scene_id",
+            F.sum("_cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "is_scene_start",
+            (F.col("_cut") == 1) | (F.col("frame_idx") == F.min("frame_idx").over(
+                Window.partitionBy(id_col)
+            )),
+        )
+        .drop("_cut")
+    )
+
+
 def audio_fingerprints(with_payload: DataFrame, media_type: str = "audio/wav") -> DataFrame:
     """(doc_id, payload, media_type, …) → (doc_id, ahash long) for rows of
     the given media type — the audio twin of :func:`image_phash` (one Arrow

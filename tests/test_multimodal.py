@@ -2058,3 +2058,42 @@ def test_streaming_media_dedup_replay_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(stores["pairs_out"]).collect()
     }
     assert replayed == batch
+
+
+def test_video_scenes_segments_on_hash_jumps(spark):
+    """video_scenes: within-shot wobble (few bits) stays in one scene, a
+    hard cut (big hamming jump) starts a new one; is_scene_start marks
+    frame 0 and every cut; sampling one frame per scene via the flag."""
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    base_a, base_b = 0x1111222233334444, -0x29A7B3C5D1E2F407
+    rows = []
+    # video 1: shot A (3 frames, 1-bit wobble), cut, shot B (2 frames)
+    for k, h in enumerate([base_a, base_a ^ 1, base_a ^ 2, base_b, base_b ^ 4]):
+        rows.append((1, k, h))
+    rows.append((2, 0, 0x5A5A))  # single-frame video: one scene
+    frames = spark.createDataFrame(rows, "doc_id long, frame_idx int, phash long")
+    out = {(r["doc_id"], r["frame_idx"]): r for r in mm.video_scenes(frames).collect()}
+    assert [out[(1, k)]["scene_id"] for k in range(5)] == [0, 0, 0, 1, 1]
+    assert out[(1, 0)]["is_scene_start"] and out[(1, 3)]["is_scene_start"]
+    assert not out[(1, 1)]["is_scene_start"] and not out[(1, 4)]["is_scene_start"]
+    assert out[(2, 0)]["scene_id"] == 0 and out[(2, 0)]["is_scene_start"]
+    starts = mm.video_scenes(frames).filter("is_scene_start")
+    assert starts.count() == 3  # two scenes of video 1 + video 2's single
+
+    # end-to-end over real containers: an AVI whose frames switch content
+    import numpy as np
+
+    shot1 = [np.full((32, 32, 3), 30, dtype=np.uint8)] * 2
+    grad = np.zeros((32, 32, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.linspace(0, 255, 32, dtype=np.uint8)[None, :]
+    grad[:, :, 1] = np.linspace(255, 0, 32, dtype=np.uint8)[:, None]
+    shot2 = [grad] * 2
+    payloads = spark.createDataFrame(
+        [(9, bytearray(mm.encode_avi(shot1 + shot2)), "video/avi", 0)],
+        mm.PAYLOAD_COLS,
+    )
+    fp = mm.video_fingerprints(payloads)
+    scenes = {r["frame_idx"]: r["scene_id"] for r in mm.video_scenes(fp).collect()}
+    assert scenes[0] == scenes[1] and scenes[2] == scenes[3]
+    assert scenes[0] != scenes[2]
