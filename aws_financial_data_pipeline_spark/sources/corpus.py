@@ -139,6 +139,51 @@ def ingest_corpus(
     return out
 
 
+#: the media front-door contract (the multimodal PAYLOAD shape + provenance)
+MEDIA_DOC_COLS = ("doc_id", "url", "payload", "media_type", "byte_len", "source")
+
+
+def ingest_media_corpus(
+    spark: SparkSession,
+    warc_dir: str | None = None,
+    bundle_dir: str | None = None,
+    max_member_bytes: int = 64 << 20,
+) -> DataFrame:
+    """The MEDIA front door — :func:`ingest_corpus`'s binary twin: union
+    the crawl's media slice (:func:`..warc.warc_to_media` over response
+    records) and release bundles (:func:`..tar.read_media_bundles`,
+    magic-byte member classification over tar/zip) into one
+    (doc_id, url, payload, media_type, byte_len, source) frame feeding
+    :func:`..operators.media_curation.media_curation_funnel`. Same
+    plan shape as the text door: one binaryFile task per archive, one
+    Arrow parse leg each, plan-level union, no shuffle; id spaces are
+    the legs' own (xxhash64(url:record_id) / xxhash64(archive:member)),
+    disambiguated by ``source``."""
+    from .warc import read_warc, warc_to_media
+
+    legs: list[DataFrame] = []
+    if warc_dir is not None:
+        legs.append(
+            warc_to_media(read_warc(spark, warc_dir)).withColumn(
+                "source", F.lit("warc")
+            )
+        )
+    if bundle_dir is not None:
+        from .tar import read_media_bundles
+
+        legs.append(
+            read_media_bundles(spark, bundle_dir, max_member_bytes).withColumn(
+                "source", F.lit("bundle")
+            )
+        )
+    if not legs:
+        raise ValueError("ingest_media_corpus needs warc_dir and/or bundle_dir")
+    out = legs[0].select(*MEDIA_DOC_COLS)
+    for leg in legs[1:]:
+        out = out.unionByName(leg.select(*MEDIA_DOC_COLS))
+    return out
+
+
 # extension dispatch for the ONE-LANDING-ZONE streaming front door; the
 # patterns are mutually exclusive by construction (.wet never matches
 # .warc) so every file lands on at most one leg

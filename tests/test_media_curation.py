@@ -366,3 +366,56 @@ def test_caption_pairs_compose_with_text_quality_ops(spark):
         (F.col("n_tokens") >= 5) & F.col("text").rlike(r"[.!?]$")
     )
     assert {r["doc_id"] for r in kept.collect()} == {11}
+
+
+def test_ingest_media_corpus_unions_crawl_and_bundles(spark, tmp_path):
+    """The media front door: a WARC's image responses and a zip bundle's
+    magic-classified members union into one payload contract (source
+    column disambiguates), shuffle-free, and feed the funnel — a
+    duplicate image ACROSS the two legs dedups."""
+    import io
+    import zipfile
+
+    from aws_financial_data_pipeline_spark.sources import corpus as corpussrc
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    img = _img(7)
+    bmp = mm.encode_bmp(img)
+
+    def http(body: bytes, ctype: str):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "c.warc.gz").write_bytes(
+        warcsrc.encode_warc(
+            [{"warc_type": "response", "url": "https://a.example/x.bmp",
+              "record_id": "<urn:uuid:f1>", "body": http(bmp, "image/bmp"),
+              "content_type": "application/http; msgtype=response"},
+             {"warc_type": "response", "url": "https://a.example/p.html",
+              "record_id": "<urn:uuid:f2>",
+              "html": "<p>text page, not media</p>"}]
+        )
+    )
+    bundles = tmp_path / "bundles"
+    bundles.mkdir()
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("rel/same.raw", bytes(mm.encode_png(img)))  # perceptual dup
+        zf.writestr("rel/other.raw", bytes(mm.encode_bmp(_img(42))))
+    (bundles / "r.zip").write_bytes(zbuf.getvalue())
+
+    media = corpussrc.ingest_media_corpus(
+        spark, warc_dir=str(crawl), bundle_dir=str(bundles)
+    )
+    rows = media.collect()
+    assert {r["source"] for r in rows} == {"warc", "bundle"}
+    assert len(rows) == 3  # the HTML page is NOT media
+    plan = media._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    corpus, audit = mc.media_curation_funnel(media.drop("url", "source"))
+    assert corpus.count() == 2  # crawl bmp + bundle png collapse to one
