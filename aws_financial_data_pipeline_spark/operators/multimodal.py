@@ -846,10 +846,10 @@ def media_stats(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in
-                   ("doc_id", "media_type", "error", "width", "height",
+                   (id_col, "media_type", "error", "width", "height",
                     "n_frames", "sample_rate", "seconds")}
             for i, mt, b in zip(pdf[id_col], pdf["media_type"], pdf["payload"]):
-                out["doc_id"].append(i)
+                out[id_col].append(i)
                 out["media_type"].append(mt)
                 try:
                     w, h, nf, sr, secs = one(mt, bytes(b))

@@ -419,3 +419,31 @@ def test_ingest_media_corpus_unions_crawl_and_bundles(spark, tmp_path):
 
     corpus, audit = mc.media_curation_funnel(media.drop("url", "source"))
     assert corpus.count() == 2  # crawl bmp + bundle png collapse to one
+
+
+def test_media_front_door_and_stats_edge_contracts(spark):
+    """Small contracts: ingest_media_corpus with no source dirs raises
+    loudly; media_stats threads a custom id column; video_scenes honors
+    subsampled (gapped) frame indices from every_n fingerprinting."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.sources import corpus as corpussrc
+
+    with pytest.raises(ValueError, match="warc_dir and/or bundle_dir"):
+        corpussrc.ingest_media_corpus(spark)
+
+    img = _img(7)
+    frames = spark.createDataFrame(
+        [(77, bytearray(mm.encode_bmp(img)), "image/bmp", 0)],
+        "img_id long, payload binary, media_type string, byte_len long",
+    )
+    st = mm.media_stats(frames, id_col="img_id").collect()
+    assert st[0]["img_id"] == 77 and st[0]["width"] == 48
+
+    # gapped frame_idx (every_n subsampling): scene ids still monotone
+    gapped = spark.createDataFrame(
+        [(1, 0, 0x10), (1, 30, 0x11), (1, 60, -0x7FFF00FF00FF00F1)],
+        "doc_id long, frame_idx int, phash long",
+    )
+    out = {r["frame_idx"]: r["scene_id"] for r in mm.video_scenes(gapped).collect()}
+    assert out[0] == out[30] == 0 and out[60] == 1
