@@ -77,9 +77,12 @@ def image_text_pairs(
     id/url-width rows (payload pruned), shuffled on the url key. No
     Python anywhere."""
     tag_re = r"(?i)<img\b[^>]*>"
-    src_q = r"""(?i)src\s*=\s*["']([^"']+)["']"""
-    src_u = r"""(?i)src\s*=\s*([^\s"'>]+)"""
-    alt_q = r"""(?i)alt\s*=\s*["']([^"']*)["']"""
+    # the (?<![\w-]) boundary keeps 'data-src='/'data-alt=' (lazy-loading
+    # markup, ubiquitous) from hijacking the match — regexp_extract returns
+    # the FIRST hit, and 'src="…"' is a substring of 'data-src="…"'
+    src_q = r"""(?i)(?<![\w-])src\s*=\s*["']([^"']+)["']"""
+    src_u = r"""(?i)(?<![\w-])src\s*=\s*([^\s"'>]+)"""
+    alt_q = r"""(?i)(?<![\w-])alt\s*=\s*["']([^"']*)["']"""
     tags = pages.select(
         F.col(id_col).alias("page_id"),
         F.col(url_col).alias("_purl"),
@@ -109,6 +112,21 @@ def image_text_pairs(
         .when(s.startswith("//"), F.concat(scheme, F.lit(":"), s))
         .when(s.startswith("/"), F.concat(origin, s))
         .otherwise(F.concat(page_dir, s))
+    )
+    # dot-segment normalization (RFC 3986 §5.2.4, bounded): the crawler's
+    # fetch URLs are normalized, so '../img.png' must resolve to the same
+    # string or the equi-join silently loses the pair. '/./' collapses
+    # first, then '/seg/../' pops (8 passes cover any real nesting depth;
+    # the lookbehind protects the '://host' boundary), and '..' left over
+    # at the root is dropped — the browser/crawler over-pop rule.
+    for _ in range(3):
+        resolved = F.regexp_replace(resolved, r"(?<![:/])/\./", "/")
+    for _ in range(8):
+        resolved = F.regexp_replace(
+            resolved, r"(?<![:/])/(?!\.\./)[^/]+/\.\./", "/"
+        )
+    resolved = F.regexp_replace(
+        resolved, r"(://[^/]+)/(?:\.\./)+", "$1/"
     )
     refs = tags.filter(src.isNotNull()).select(
         "page_id", resolved.alias("image_url"), alt.alias("caption")

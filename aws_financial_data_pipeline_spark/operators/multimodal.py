@@ -966,7 +966,7 @@ def audio_dedup(
     shared :func:`hash_dedup` labeling (distinct-hash band join +
     bucket_cap + rep-collapsed CC). Keep ``is_canonical`` rows to dedup;
     audio bytes are read once and never shuffle."""
-    hashes = audio_fingerprints(with_payload, media_type).localCheckpoint(
+    hashes = audio_fingerprints(with_payload, media_type, id_col=id_col).localCheckpoint(
         eager=False
     )
     return hash_dedup(
@@ -1421,23 +1421,28 @@ def video_scenes(
     )
 
 
-def audio_fingerprints(with_payload: DataFrame, media_type: str = "audio/wav") -> DataFrame:
-    """(doc_id, payload, media_type, …) → (doc_id, ahash long) for rows of
+def audio_fingerprints(
+    with_payload: DataFrame,
+    media_type: str = "audio/wav",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, payload, media_type, …) → (id_col, ahash long) for rows of
     the given media type — the audio twin of :func:`image_phash` (one Arrow
     pass, payload dropped; feed the result to :func:`phash_near_duplicates`
-    with ``hash_col='ahash'``)."""
+    with ``hash_col='ahash'``). The id column name is preserved on output,
+    matching :func:`image_phash`'s custom-key contract."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sel = pdf[pdf["media_type"] == media_type]
             yield pd.DataFrame(
                 {
-                    "doc_id": sel["doc_id"],
+                    id_col: sel[id_col],
                     "ahash": [audio_hash64(bytes(b)) for b in sel["payload"]],
                 }
             )
 
-    return with_payload.mapInPandas(run, "doc_id bigint, ahash bigint")
+    return with_payload.mapInPandas(run, f"{id_col} bigint, ahash bigint")
 
 
 # ---------------------------------------------------------------------------

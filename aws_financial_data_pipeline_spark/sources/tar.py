@@ -248,9 +248,12 @@ def parse_archive_media(
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
+                # full zip magics, not just b"PK": a plain tar whose first
+                # member is named e.g. "PKG-INFO" (sdist-style bundles)
+                # starts with those two bytes and must stay on the tar path
                 it = (
                     _iter_zip_members(raw, max_member_bytes)
-                    if raw[:2] == b"PK"
+                    if raw[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08")
                     else _iter_tar_members(raw, max_member_bytes)
                 )
                 for name, body in it:

@@ -351,6 +351,22 @@ _CP1252_ONLY = [b for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90
 _CP1252_SRC = "".join(chr(b) for b in _CP1252_ONLY)
 _CP1252_DST = bytes(_CP1252_ONLY).decode("cp1252")
 
+# The declared-charset label groups, shared by the ladder's when-branches
+# AND the sniff path's "handled" predicate (warc_to_documents) — one source
+# so the two can't drift: a label added to the ladder is automatically
+# excluded from the statistical-sniff residue.
+_UTF8_LABELS = ("utf-8", "utf8")
+_UTF16_LABELS = ("utf-16", "utf16")
+_UTF16LE_LABELS = ("utf-16le", "utf16le")
+_UTF16BE_LABELS = ("utf-16be", "utf16be")
+_CP1252_LABELS = ("windows-1252", "cp1252", "x-cp1252")
+_LATIN1_LABELS = ("iso-8859-1", "iso8859-1", "latin-1", "latin1")
+_ASCII_LABELS = ("us-ascii", "ascii")
+_DECLARED_CHARSETS = (
+    _UTF8_LABELS + _UTF16_LABELS + _UTF16LE_LABELS + _UTF16BE_LABELS
+    + _CP1252_LABELS + _LATIN1_LABELS + _ASCII_LABELS
+)
+
 
 def decoded_text_expr(payload="payload", content_type="content_type"):
     """The charset ladder for crawl payloads, pure Catalyst (round-10,
@@ -377,26 +393,26 @@ def decoded_text_expr(payload="payload", content_type="content_type"):
         F.substring(p, 1, 2) == F.lit(b"\xfe\xff")
     )
     ladder = (
-        F.when(declared.isin("utf-8", "utf8"), utf8)
+        F.when(declared.isin(*_UTF8_LABELS), utf8)
         .when(
-            declared.isin("utf-16", "utf16"),
+            declared.isin(*_UTF16_LABELS),
             F.when(has_u16_bom, F.decode(p, "UTF-16")).otherwise(
                 F.decode(p, "UTF-16LE")
             ),
         )
-        .when(declared.isin("utf-16le", "utf16le"), F.decode(p, "UTF-16LE"))
-        .when(declared.isin("utf-16be", "utf16be"), F.decode(p, "UTF-16BE"))
+        .when(declared.isin(*_UTF16LE_LABELS), F.decode(p, "UTF-16LE"))
+        .when(declared.isin(*_UTF16BE_LABELS), F.decode(p, "UTF-16BE"))
         .when(
-            declared.isin("windows-1252", "cp1252", "x-cp1252"),
+            declared.isin(*_CP1252_LABELS),
             F.translate(
                 F.decode(p, "ISO-8859-1"), _CP1252_SRC, _CP1252_DST
             ),
         )
         .when(
-            declared.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
+            declared.isin(*_LATIN1_LABELS),
             F.decode(p, "ISO-8859-1"),
         )
-        .when(declared.isin("us-ascii", "ascii"), F.decode(p, "US-ASCII"))
+        .when(declared.isin(*_ASCII_LABELS), F.decode(p, "US-ASCII"))
         .when(F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf"), utf8)
         .when(has_u16_bom, F.decode(p, "UTF-16"))
         .otherwise(utf8)
@@ -522,11 +538,7 @@ def warc_to_documents(
     ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
     declared = F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
     handled = (
-        declared.isin(
-            "utf-8", "utf8", "utf-16", "utf16", "utf-16le", "utf16le",
-            "utf-16be", "utf16be", "windows-1252", "cp1252", "x-cp1252",
-            "iso-8859-1", "iso8859-1", "latin-1", "latin1", "us-ascii", "ascii",
-        )
+        declared.isin(*_DECLARED_CHARSETS)
         | (F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf"))
         | (F.substring(p, 1, 2) == F.lit(b"\xff\xfe"))
         | (F.substring(p, 1, 2) == F.lit(b"\xfe\xff"))

@@ -77,7 +77,9 @@ def process_dedup_batch(
         ).drop("batch")
         cross = dedup.incremental_minhash_dedup(
             batch, corpus, sigs, text_col, id_col, threshold
-        ).select(
+            # a doc re-delivered under a NEW batch id appears on both
+            # sides; drop the self-edge (doc_a < doc_b pairs contract)
+        ).filter(F.col("corpus_id") != F.col("new_id")).select(
             # normalize side-keyed pairs to the (min, max) convention so
             # the replay compares 1:1 with the batch operator
             F.least("corpus_id", "new_id").alias("doc_a"),
@@ -160,7 +162,10 @@ def process_media_dedup_batch(
     from ..operators import multimodal as mm
 
     if fingerprint is None:
-        fingerprint = mm.image_phash
+        # thread the caller's id column through the default kernel — the
+        # pandas stage indexes the frame by name and would KeyError on a
+        # custom key otherwise
+        fingerprint = lambda b: mm.image_phash(b, id_col=id_col)
     hashes = fingerprint(batch).localCheckpoint(eager=True)  # reused 3×
     within = mm.phash_near_duplicates(
         hashes, max_distance=max_distance, id_col=id_col, bucket_cap=bucket_cap
@@ -172,7 +177,10 @@ def process_media_dedup_batch(
         cross = mm.incremental_hash_dedup(
             hashes, store, max_distance=max_distance, id_col=id_col,
             bucket_cap=bucket_cap,
-        ).select(
+            # a landing file re-delivered under a NEW batch id (replay
+            # guard doesn't apply) puts the same doc on both sides; a
+            # self-edge would violate the doc_a < doc_b pairs contract
+        ).filter(F.col("corpus_id") != F.col("new_id")).select(
             F.least("corpus_id", "new_id").alias("doc_a"),
             F.greatest("corpus_id", "new_id").alias("doc_b"),
             "hamming",

@@ -447,3 +447,93 @@ def test_media_front_door_and_stats_edge_contracts(spark):
     )
     out = {r["frame_idx"]: r["scene_id"] for r in mm.video_scenes(gapped).collect()}
     assert out[0] == out[30] == 0 and out[60] == 1
+
+
+def test_image_text_pairs_lazy_markup_and_dot_segments(spark):
+    """Round-11 review fixes pinned: (a) 'data-src='/'data-alt=' (lazy-
+    loading markup) must not hijack the extracted src/caption —
+    regexp_extract returns the FIRST match and 'src=' is a substring of
+    'data-src='; (b) '../'-relative srcs dot-segment-normalize to the
+    crawler's normalized fetch URL, or the equi-join silently loses the
+    pair; over-popped '..' at the root drops (the browser rule)."""
+    html = (
+        '<img data-src="https://cdn.example/placeholder.bmp" '
+        'src="https://cdn.example/real.bmp" data-alt="wrong" alt="right">'
+        '<img src="../up.bmp" alt="parent relative">'
+        '<img src="./here.bmp">'
+        '<img src="a/../b/../flat.bmp">'
+        '<img src="/../root-overpop.bmp">'
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://site.example/dir/sub/page.html", html)],
+        "doc_id long, url string, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            (201, "https://cdn.example/real.bmp"),
+            (202, "https://cdn.example/placeholder.bmp"),  # never fetched-for
+            (203, "https://site.example/dir/up.bmp"),
+            (204, "https://site.example/dir/sub/here.bmp"),
+            (205, "https://site.example/dir/sub/flat.bmp"),
+            (206, "https://site.example/root-overpop.bmp"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["image_id"]: r["caption"]
+        for r in mc.image_text_pairs(pages, media).collect()
+    }
+    assert got == {
+        201: "right",
+        203: "parent relative",
+        204: None,
+        205: None,
+        206: None,
+    }
+
+
+def test_media_funnel_custom_id_column_end_to_end(spark):
+    """media_curation_funnel(id_col=) threads the caller's key through
+    EVERY per-modality dedup path — audio_fingerprints hardcoding doc_id
+    made any custom-id funnel fail at plan time even with zero audio rows
+    (round-11 review finding)."""
+    img = _img(7)
+    rows = [
+        (1, bytearray(mm.encode_bmp(img)), "image/bmp", 0),
+        (2, bytearray(mm.encode_jpeg(img, quality=95)), "image/jpeg", 0),
+        (3, bytearray(mm.encode_wav(_tone(3))), "audio/wav", 0),
+        (4, bytearray(mm.encode_wav(_tone(3) * 0.5)), "audio/wav", 0),
+        (5, bytearray(mm.encode_avi([_img(11), _img(12)])), "video/avi", 0),
+    ]
+    frames = spark.createDataFrame(
+        rows, "img_id long, payload binary, media_type string, byte_len long"
+    )
+    corpus, audit = mc.media_curation_funnel(frames, id_col="img_id")
+    assert {r["img_id"] for r in corpus.collect()} == {1, 3, 5}
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["input"] == 5 and a["dedup"] == 3
+
+
+def test_media_bundle_tar_with_pk_prefixed_first_member(spark, tmp_path):
+    """A plain tar whose FIRST member is named 'PKG-INFO' (the sdist
+    shape) starts with the bytes 'PK' — container sniffing must check the
+    full zip local-header magic, not raw[:2], or the bundle routes into
+    zipfile and the whole ingest stage dies (round-11 review finding)."""
+    import io
+    import tarfile
+
+    from aws_financial_data_pipeline_spark.sources import tar as tarsrc
+
+    bmp = mm.encode_bmp(_img(7))
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:  # plain tar, no gzip
+        for name, body in [("PKG-INFO", b"Metadata-Version: 2.1"),
+                           ("img.bmp", bmp)]:
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    (tmp_path / "sdist.tar").write_bytes(tbuf.getvalue())
+
+    media = tarsrc.read_media_bundles(spark, str(tmp_path))
+    rows = media.collect()
+    assert len(rows) == 1 and rows[0]["media_type"] == "image/bmp"

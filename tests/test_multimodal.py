@@ -2097,3 +2097,42 @@ def test_video_scenes_segments_on_hash_jumps(spark):
     scenes = {r["frame_idx"]: r["scene_id"] for r in mm.video_scenes(fp).collect()}
     assert scenes[0] == scenes[1] and scenes[2] == scenes[3]
     assert scenes[0] != scenes[2]
+
+
+def test_media_dedup_batch_redelivery_and_custom_id(spark, tmp_path):
+    """Two round-11 review findings pinned: (a) process_media_dedup_batch
+    threads id_col into the DEFAULT fingerprint kernel (the pandas stage
+    indexes the frame by name — a custom key used to KeyError inside
+    mapInPandas); (b) a doc re-delivered under a NEW batch id (the replay
+    guard is keyed on batch_id, so it doesn't apply) must not emit a
+    doc_a == doc_b self-pair against its own store row."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.streaming import dedup as sd
+
+    base = _natural_image(31)
+    noisy = np.clip(
+        base.astype(int)
+        + np.random.default_rng(32).integers(-3, 4, base.shape),
+        0, 255,
+    ).astype(np.uint8)
+    frames = spark.createDataFrame(
+        [
+            (10, bytearray(mm.encode_bmp(base)), "image/bmp", 0),
+            (11, bytearray(mm.encode_bmp(noisy)), "image/bmp", 0),
+        ],
+        "img_id long, payload binary, media_type string, byte_len long",
+    )
+    stores = dict(
+        hash_store=str(tmp_path / "h"), pairs_out=str(tmp_path / "p")
+    )
+    sd.process_media_dedup_batch(spark, frames, 0, id_col="img_id", **stores)
+    # re-delivery: the same doc arrives again as batch 1
+    sd.process_media_dedup_batch(
+        spark, frames.filter(F.col("img_id") == 10), 1, id_col="img_id", **stores
+    )
+    pairs = spark.read.parquet(stores["pairs_out"]).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in pairs)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(10, 11)}

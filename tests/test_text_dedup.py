@@ -1186,3 +1186,26 @@ def test_scale_escape_hatches_for_forced_broadcasts(spark):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "ResolvedHint" not in analyzed
+
+
+def test_text_dedup_batch_redelivery_emits_no_self_pairs(spark, tmp_path):
+    """A doc re-delivered under a NEW batch id sits on both sides of the
+    cross-store join (the idempotent-replay guard is keyed on batch_id and
+    doesn't apply); the self-edge must be dropped, not persisted as a
+    doc_a == doc_b pair (round-11 review finding)."""
+    from aws_financial_data_pipeline_spark.streaming import dedup as sd
+
+    t = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = spark.createDataFrame(
+        [(1, t), (2, t + " tail change")], "doc_id long, text string"
+    )
+    stores = dict(
+        sig_store=str(tmp_path / "sigs"),
+        doc_store=str(tmp_path / "docs"),
+        pairs_out=str(tmp_path / "pairs"),
+    )
+    sd.process_dedup_batch(spark, docs, 0, **stores)
+    sd.process_dedup_batch(spark, docs.filter(F.col("doc_id") == 1), 1, **stores)
+    pairs = spark.read.parquet(stores["pairs_out"]).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in pairs)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
