@@ -1,0 +1,396 @@
+"""PDF text extraction — the crawl corpus's third document shape.
+
+A real crawl is ~1-3% ``application/pdf`` responses, and academic /
+government / book corpora (the peS2o shape) are *mostly* PDFs; without an
+extractor those payloads are dead weight. This module is a REAL parser of
+the public ISO 32000 format under the same design rules as the image
+codecs in :mod:`.multimodal` (stdlib-only, loud about what it can't do,
+per-payload errors never job-fatal):
+
+- **Containers**: classic xref or not — objects are recovered by scanning
+  ``obj … endobj`` / ``stream … endstream`` spans, which also survives the
+  mildly-corrupt PDFs a crawl actually serves (truncated xref tables are
+  the most common damage).
+- **Stream filters**: ``FlateDecode`` (zlib), ``ASCIIHexDecode``,
+  ``ASCII85Decode``, applied in declared order; image filters
+  (``DCTDecode``/``JPXDecode``/``CCITTFaxDecode``) mark the stream as
+  non-text and are skipped.
+- **Text operators**: ``BT … ET`` blocks with ``Tj``, ``'``, ``"`` and
+  ``TJ`` (array form, kerning gaps < -100/1000 em rendered as a space);
+  line structure from ``Td``/``TD`` (ty≠0), ``T*`` and ``Tm``. Literal
+  strings handle the full escape set (octal, specials, balanced nested
+  parens, line continuations); hex strings handle odd-length padding.
+- **String decoding**: without per-font /Encoding + ToUnicode CMaps
+  (glyph remapping is unbounded), bytes decode by heuristic — UTF-16BE
+  when BOM'd or when a 1-byte reading is mostly non-printable while the
+  2-byte reading is clean (the Type0/CID convention), else WinAnsi
+  (cp1252) falling back to Latin-1. Custom-encoded subset fonts therefore
+  extract APPROXIMATE text — acceptable for LLM-corpus usage, documented
+  here rather than silently wrong: gibberish ratios are exactly what the
+  downstream quality signals (:mod:`.quality`) are built to catch.
+- **Loud rejects**: encrypted PDFs (``/Encrypt``) raise — decrypting
+  RC4/AES without keys is out of scope and partial plaintext would be
+  silently wrong; non-PDF payloads raise ``ValueError``.
+
+Spark surface: :func:`pdf_to_documents`, an Arrow ``mapInPandas`` stage
+over the media payload contract (the :data:`..operators.multimodal
+.PAYLOAD_COLS` shape) returning ``(id, text, error)`` with the
+:func:`..operators.multimodal.media_stats` per-row error convention.
+Crawl wiring needs NO new source: ``warc_to_media(records,
+media_prefixes=("application/pdf",))`` already slices PDF responses, and
+release bundles classify ``%PDF-`` members via the tar/zip magic sniff.
+
+Shape at 100 TB: the kernel is per-payload Python under Arrow batching —
+the parallelism axis is rows-per-partition, payload bytes are read once
+and never shuffle (text out is the only thing that moves), identical to
+the image-decode stages.
+
+No counterpart in the reference engine (`docker/lambda_function.py`);
+built for the LLM-pipeline brief's document-extraction surface.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# filters we can undo, in the only compositions that occur in practice
+_TEXT_FILTERS = ("FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85")
+# filters that mark a stream as image/exotic payload — never text
+_BINARY_FILTERS = (
+    "DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "CCF", "JBIG2Decode",
+    "RunLengthDecode", "RL", "LZWDecode", "LZW", "Crypt",
+)
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _apply_filters(dict_bytes: bytes, data: bytes) -> "bytes | None":
+    """Undo the stream's declared filter chain; None = not a text-bearing
+    stream (image filters or an unknown filter we refuse to guess at)."""
+    names = re.findall(rb"/([A-Za-z0-9]+)", dict_bytes)
+    filters = [
+        n.decode("ascii") for n in names
+        if n.decode("ascii") in _TEXT_FILTERS + _BINARY_FILTERS
+    ]
+    for f in filters:
+        if f in _BINARY_FILTERS:
+            return None
+        if f in ("FlateDecode", "Fl"):
+            data = zlib.decompress(data)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            h = data.split(b">")[0]
+            h = bytes(c for c in h if c not in _WS)
+            if len(h) % 2:
+                h += b"0"
+            data = binascii.unhexlify(h)
+        elif f in ("ASCII85Decode", "A85"):
+            body = data.split(b"~>")[0]
+            data = base64.a85decode(bytes(c for c in body if c not in _WS))
+    return data
+
+
+def _literal_string(buf: bytes, i: int) -> "tuple[bytes, int]":
+    """Parse a ``(…)`` literal starting at buf[i] == '('; returns (raw
+    bytes, index past the closing paren). Handles the ISO 32000 §7.3.4.2
+    escape set, balanced unescaped parens, and \\-newline continuations."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(buf)
+    while i < n and depth:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = buf[i]
+            if e in b"nrtbf":
+                out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                        0x62: b"\b", 0x66: b"\f"}[e]
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                oct_digits = bytearray([e])
+                i += 1
+                while i < n and len(oct_digits) < 3 and 0x30 <= buf[i] <= 0x37:
+                    oct_digits.append(buf[i])
+                    i += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                i += 1
+                if e == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the backslash is dropped per spec
+                out.append(e)
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _hex_string(buf: bytes, i: int) -> "tuple[bytes, int]":
+    """Parse a ``<…>`` hex string starting at buf[i] == '<'."""
+    end = buf.find(b">", i + 1)
+    if end < 0:
+        end = len(buf)
+    h = bytes(c for c in buf[i + 1:end] if c not in _WS)
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return binascii.unhexlify(h), end + 1
+    except binascii.Error:
+        return b"", end + 1
+
+
+def _printable_fraction(s: str) -> float:
+    if not s:
+        return 1.0
+    ok = sum(1 for ch in s if ch.isprintable() or ch in "\n\r\t ")
+    return ok / len(s)
+
+
+def _decode_string(raw: bytes) -> str:
+    """Font-encoding-free byte→text heuristic (module docstring): BOM'd or
+    evidently-2-byte strings read UTF-16BE, everything else WinAnsi with a
+    Latin-1 fallback for cp1252's five undefined bytes."""
+    if not raw:
+        return ""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    try:
+        one = raw.decode("cp1252")
+    except UnicodeDecodeError:
+        one = raw.decode("latin-1")
+    if len(raw) % 2 == 0 and _printable_fraction(one) < 0.5:
+        two = raw.decode("utf-16-be", "replace")
+        if _printable_fraction(two) > _printable_fraction(one):
+            return two
+    return one
+
+
+_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
+_BT_RE = re.compile(rb"(?<![A-Za-z])BT[\x00\t\n\x0c\r ]")
+_ET_RE = re.compile(rb"(?<![A-Za-z])ET(?![A-Za-z])")
+
+
+def _extract_block(block: bytes, parts: list) -> None:
+    """Walk one BT…ET block, appending text fragments and layout breaks
+    ('\\n' / ' ') to ``parts`` in stream order."""
+    i, n = 0, len(block)
+    operands: list = []  # parsed (kind, value) in order
+
+    def flush_show(val) -> None:
+        if isinstance(val, bytes):
+            parts.append(_decode_string(val))
+
+    while i < n:
+        c = block[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x28:  # (
+            s, i = _literal_string(block, i)
+            operands.append(("str", s))
+        elif c == 0x3C:  # < or <<
+            if block[i:i + 2] == b"<<":
+                depth, j = 0, i
+                while j < n - 1:
+                    if block[j:j + 2] == b"<<":
+                        depth += 1
+                        j += 2
+                    elif block[j:j + 2] == b">>":
+                        depth -= 1
+                        j += 2
+                        if not depth:
+                            break
+                    else:
+                        j += 1
+                i = j
+                operands.append(("dict", None))
+            else:
+                s, i = _hex_string(block, i)
+                operands.append(("str", s))
+        elif c == 0x5B:  # [
+            i += 1
+            operands.append(("mark", None))
+        elif c == 0x5D:  # ] — fold the array elements back onto the stack
+            i += 1
+            arr = []
+            while operands and operands[-1][0] != "mark":
+                arr.append(operands.pop())
+            if operands:
+                operands.pop()
+            operands.append(("arr", list(reversed(arr))))
+        elif c == 0x2F:  # /Name
+            j = i + 1
+            while j < n and block[j] not in _WS and block[j] not in _DELIM:
+                j += 1
+            operands.append(("name", block[i:j]))
+            i = j
+        elif c == 0x25:  # % comment to EOL
+            j = i
+            while j < n and block[j] not in b"\r\n":
+                j += 1
+            i = j
+        elif _NUM_RE.match(block, i) and (
+            0x30 <= c <= 0x39 or c in b"+-."
+        ):
+            m = _NUM_RE.match(block, i)
+            operands.append(("num", float(m.group())))
+            i = m.end()
+        else:  # operator keyword
+            j = i
+            while j < n and block[j] not in _WS and block[j] not in _DELIM:
+                j += 1
+            op = block[i:j]
+            i = j if j > i else i + 1
+            if op == b"Tj":
+                if operands and operands[-1][0] == "str":
+                    flush_show(operands[-1][1])
+            elif op == b"'":
+                parts.append("\n")
+                if operands and operands[-1][0] == "str":
+                    flush_show(operands[-1][1])
+            elif op == b'"':
+                parts.append("\n")
+                if operands and operands[-1][0] == "str":
+                    flush_show(operands[-1][1])
+            elif op == b"TJ":
+                if operands and operands[-1][0] == "arr":
+                    for kind, val in operands[-1][1]:
+                        if kind == "str":
+                            flush_show(val)
+                        elif kind == "num" and val < -100:
+                            parts.append(" ")
+            elif op in (b"Td", b"TD"):
+                ty = operands[-1][1] if (
+                    operands and operands[-1][0] == "num"
+                ) else 0.0
+                parts.append("\n" if ty != 0 else " ")
+            elif op in (b"T*", b"Tm"):
+                parts.append("\n")
+            operands.clear()
+
+
+def pdf_text(raw: bytes) -> str:
+    """Extract the text of one PDF payload (module docstring for scope).
+
+    Raises ``ValueError`` for non-PDF bytes and ``NotImplementedError``
+    for encrypted documents; a PDF with no text operators (scanned pages)
+    returns ``""``. Individually corrupt streams inside an otherwise
+    readable document are skipped — per-stream damage must not void the
+    rest of a 400-page document."""
+    if b"%PDF-" not in raw[:1024]:
+        raise ValueError("not a PDF: missing %PDF- header")
+    if re.search(rb"/Encrypt[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+R", raw):
+        raise NotImplementedError(
+            "encrypted PDF: decryption is out of scope; route through an "
+            "environment with a real PDF stack"
+        )
+    parts: list = []
+    for m in re.finditer(rb"stream(?:\r\n|\n|\r)", raw):
+        # the stream dict immediately precedes the keyword: from its
+        # closing '>>', scan back to the balanced '<<'
+        dict_end = m.start()
+        start = -1
+        tail = raw.rfind(b">>", 0, dict_end)
+        if tail != -1:
+            depth, k = 1, tail - 1
+            while k >= 0 and depth:
+                pair = raw[k:k + 2]
+                if pair == b">>":
+                    depth += 1
+                    k -= 2
+                elif pair == b"<<":
+                    depth -= 1
+                    if depth == 0:
+                        start = k
+                        break
+                    k -= 2
+                else:
+                    k -= 1
+        dict_bytes = raw[start:dict_end] if start >= 0 else raw[
+            max(0, dict_end - 512):dict_end
+        ]
+        end = raw.find(b"endstream", m.end())
+        if end < 0:
+            continue
+        data = raw[m.end():end].rstrip(b"\r\n")
+        try:
+            data = _apply_filters(dict_bytes, data)
+        except Exception:
+            continue  # one bad stream must not void the document
+        if data is None:
+            continue
+        pos = 0
+        while True:
+            bt = _BT_RE.search(data, pos)
+            if not bt:
+                break
+            et = _ET_RE.search(data, bt.end())
+            block_end = et.start() if et else len(data)
+            _extract_block(data[bt.end():block_end], parts)
+            parts.append("\n")
+            pos = block_end + 2
+    text = "".join(parts)
+    text = re.sub(r"[ \t]+(\n)", r"\1", text)
+    text = re.sub(r"\n{3,}", "\n\n", text)
+    return text.strip()
+
+
+PDF_DOC_COLS = "doc_id bigint, text string, error string"
+
+
+def pdf_to_documents(
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    media_type: str = "application/pdf",
+) -> DataFrame:
+    """(id, payload, media_type, …) → (id, text, error) for the PDF slice
+    of a payload corpus — one Arrow ``mapInPandas`` pass over
+    :func:`pdf_text` with the :func:`..operators.multimodal.media_stats`
+    per-row error contract (corrupt/encrypted payloads land as error
+    strings, never kill the job). Feed ``error IS NULL`` rows into the
+    text funnel; group the error column for the rejection audit.
+
+    Crawl wiring: ``warc_to_media(records, media_prefixes=
+    ("application/pdf",))`` → this; bundle wiring: ``read_media_bundles``
+    (``%PDF-`` members classify by magic) → this."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            sel = pdf_batch[pdf_batch["media_type"] == media_type]
+            ids, texts, errs = [], [], []
+            for i, b in zip(sel[id_col], sel["payload"]):
+                ids.append(i)
+                try:
+                    texts.append(pdf_text(bytes(b)))
+                    errs.append(None)
+                except Exception as e:  # per-row, audited — never job-fatal
+                    texts.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({id_col: ids, "text": texts, "error": errs})
+
+    return with_payload.select(id_col, "media_type", "payload").mapInPandas(
+        run, PDF_DOC_COLS.replace("doc_id", id_col, 1)
+    )

@@ -176,13 +176,16 @@ _MAGIC = (
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
+    (b"%PDF-", "application/pdf"),
 )
 
 
 def _magic_media_type(raw: bytes) -> "str | None":
     """First-bytes container sniff: BMP/PNG/JPEG/GIF plus the RIFF family
-    (WAVE → audio/wav, AVI → video/avi, WEBP → image/webp); None for
-    anything else (text, PDFs, unknowns)."""
+    (WAVE → audio/wav, AVI → video/avi, WEBP → image/webp) and PDF
+    (``%PDF-`` → application/pdf, routed to
+    :func:`..operators.pdf.pdf_to_documents`, not the perceptual-media
+    funnel); None for anything else (text, unknowns)."""
     for magic, mt in _MAGIC:
         if raw.startswith(magic):
             return mt

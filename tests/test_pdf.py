@@ -1,0 +1,193 @@
+"""PDF text extraction: the kernel against independently hand-built
+fixtures (the test writer shares no code with the parser), the Arrow
+stage's per-payload error contract, and the crawl/bundle seams."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from aws_financial_data_pipeline_spark.operators import pdf as pdfop
+
+
+def _mk_pdf(
+    content_ops: bytes,
+    compress: bool = True,
+    encrypt: bool = False,
+    extra_stream: "bytes | None" = None,
+) -> bytes:
+    """Minimal but structurally valid one-page PDF: catalog → pages →
+    page → content stream (+ optional second raw stream object), classic
+    xref table and trailer. Built by hand against ISO 32000 §7 — no code
+    shared with the extractor."""
+    stream = zlib.compress(content_ops) if compress else content_ops
+    filt = b"/Filter /FlateDecode " if compress else b""
+    objs: list = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d %s>>\nstream\n%s\nendstream"
+        % (len(stream), filt, stream),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    if extra_stream is not None:
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(extra_stream), extra_stream)
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for idx, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % idx + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    enc = b"/Encrypt 9 0 R " if encrypt else b""
+    out += b"trailer\n<< /Size %d /Root 1 0 R %s>>\nstartxref\n%d\n%%%%EOF" % (
+        len(objs) + 1, enc, xref_pos,
+    )
+    return bytes(out)
+
+
+def test_pdf_text_show_operators_and_layout():
+    """Tj / ' / TJ and the layout operators: Td with ty!=0 and T* break
+    lines, TJ kerning gaps < -100 become spaces (and smaller gaps don't),
+    both compressed and raw content streams extract identically."""
+    ops = (
+        b"BT /F1 12 Tf 72 720 Td (Hello) Tj ( World) Tj T* "
+        b"[(A) -250 (B) -20 (C)] TJ 0 -14 Td (third) Tj ET"
+    )
+    for compress in (True, False):
+        text = pdfop.pdf_text(_mk_pdf(ops, compress=compress))
+        assert text == "Hello World\nA BC\nthird"
+
+
+def test_pdf_text_string_escapes_hex_and_utf16():
+    """Literal-string escape set (specials, octal, balanced nested parens,
+    escaped backslash), plain hex strings, and BOM'd UTF-16BE hex strings
+    (the Type0/ToUnicode convention)."""
+    ops = (
+        rb"BT (a\(b\)c\\d\051e) Tj "
+        rb"((nested (parens) survive)) Tj T* "
+        b"<48656C6C6F> Tj <FEFF004800690021> Tj ET"
+    )
+    text = pdfop.pdf_text(_mk_pdf(ops))
+    assert text == "a(b)c\\d)e(nested (parens) survive)\nHelloHi!"
+
+
+def test_pdf_text_loud_rejects_and_scanned_fallback():
+    """Non-PDF bytes raise ValueError; /Encrypt raises NotImplementedError
+    (decrypting without keys would be silently wrong); a PDF whose only
+    stream is an image filter (scanned page) returns empty text; a corrupt
+    flate stream is skipped without voiding the readable stream."""
+    with pytest.raises(ValueError, match="missing %PDF- header"):
+        pdfop.pdf_text(b"GIF89a not a pdf")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        pdfop.pdf_text(_mk_pdf(b"BT (secret) Tj ET", encrypt=True))
+
+    scanned = _mk_pdf(b"", compress=False).replace(
+        b"/Length 0 >>", b"/Length 0 /Filter /DCTDecode >>"
+    )
+    assert pdfop.pdf_text(scanned) == ""
+
+    # second stream object is garbage under /FlateDecode; first survives
+    ok = pdfop.pdf_text(
+        _mk_pdf(b"BT (kept) Tj ET", extra_stream=b"\x00\x01 not zlib")
+    )
+    assert ok == "kept"
+
+
+def test_pdf_text_ascii85_and_asciihex_filters():
+    """The ASCII armor filters decode, including chained
+    [/ASCII85Decode /FlateDecode] in declared order."""
+    import base64
+
+    ops = b"BT (armored) Tj ET"
+    hexed = zlib.compress(ops).hex().encode() + b">"
+    raw = _mk_pdf(b"", compress=False)
+    body = raw.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length %d /Filter [/ASCIIHexDecode /FlateDecode] >>\nstream\n%s\nendstream"
+        % (len(hexed), hexed),
+    )
+    assert pdfop.pdf_text(body) == "armored"
+
+    a85 = base64.a85encode(zlib.compress(ops)) + b"~>"
+    body = raw.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n%s\nendstream"
+        % (len(a85), a85),
+    )
+    assert pdfop.pdf_text(body) == "armored"
+
+
+def test_pdf_to_documents_error_contract_and_crawl_seam(spark):
+    """The Arrow stage: good PDFs extract, corrupt/encrypted payloads land
+    as per-row error strings (never job-fatal), non-PDF media types are
+    ignored; and the crawl seam — warc_to_media sliced on application/pdf
+    feeds this stage directly."""
+    from pyspark.sql import functions as F
+
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    good = _mk_pdf(b"BT (from the crawl) Tj ET")
+    rows = [
+        (1, bytearray(good), "application/pdf", 0),
+        (2, bytearray(b"%PDF-1.4 truncated"), "application/pdf", 0),
+        (3, bytearray(_mk_pdf(b"BT (x) Tj ET", encrypt=True)), "application/pdf", 0),
+        (4, bytearray(b"BM not a pdf"), "image/bmp", 0),
+    ]
+    frames = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    )
+    got = {r["doc_id"]: r for r in pdfop.pdf_to_documents(frames).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["text"] == "from the crawl" and got[1]["error"] is None
+    assert got[2]["text"] == "" and got[2]["error"] is None  # header, no streams
+    assert got[3]["text"] is None and got[3]["error"].startswith("NotImplementedError")
+
+    records = spark.createDataFrame(
+        [
+            ("response", "https://site.example/paper.pdf", bytearray(good),
+             "application/pdf", "r1"),
+            ("response", "https://site.example/", bytearray(b"<html></html>"),
+             "text/html", "r2"),
+        ],
+        "warc_type string, url string, payload binary, content_type string, "
+        "record_id string",
+    )
+    pdf_slice = warcsrc.warc_to_media(
+        records, media_prefixes=("application/pdf",)
+    )
+    docs = pdfop.pdf_to_documents(pdf_slice)
+    out = docs.collect()
+    assert len(out) == 1 and out[0]["text"] == "from the crawl"
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only from records to text
+
+
+def test_pdf_members_classify_in_bundles(spark, tmp_path):
+    """Release bundles: a %PDF- member classifies as application/pdf via
+    the magic sniff and extracts through pdf_to_documents."""
+    import io
+    import tarfile
+
+    from aws_financial_data_pipeline_spark.sources import tar as tarsrc
+
+    body = _mk_pdf(b"BT (bundled doc) Tj ET")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        info = tarfile.TarInfo("papers/p1.bin")  # lying extension
+        info.size = len(body)
+        tf.addfile(info, io.BytesIO(body))
+    (tmp_path / "papers.tar.gz").write_bytes(tbuf.getvalue())
+
+    media = tarsrc.read_media_bundles(spark, str(tmp_path))
+    rows = media.collect()
+    assert len(rows) == 1 and rows[0]["media_type"] == "application/pdf"
+    docs = pdfop.pdf_to_documents(media).collect()
+    assert docs[0]["text"] == "bundled doc" and docs[0]["error"] is None
