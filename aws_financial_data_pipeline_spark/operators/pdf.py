@@ -11,10 +11,15 @@ per-payload errors never job-fatal):
   ``obj … endobj`` / ``stream … endstream`` spans, which also survives the
   mildly-corrupt PDFs a crawl actually serves (truncated xref tables are
   the most common damage).
-- **Stream filters**: ``FlateDecode`` (zlib), ``ASCIIHexDecode``,
-  ``ASCII85Decode``, applied in declared order; image filters
+- **Stream filters**: ``FlateDecode`` (zlib), ``LZWDecode`` (full 9→12-bit
+  variable-code decoder incl. EarlyChange), ``RunLengthDecode``,
+  ``ASCIIHexDecode``, ``ASCII85Decode``, applied in declared ``/Filter``
+  order, with TIFF/PNG ``/DecodeParms`` predictor undo; image filters
   (``DCTDecode``/``JPXDecode``/``CCITTFaxDecode``) mark the stream as
-  non-text and are skipped.
+  non-text, as do unknown/indirect filters (refuse-to-guess) and
+  non-text dict shapes (image XObjects, embedded font programs, xref /
+  object / embedded-file streams) whose decoded binary must not reach
+  the BT…ET scan.
 - **Text operators**: ``BT … ET`` blocks with ``Tj``, ``'``, ``"`` and
   ``TJ`` (array form, kerning gaps < -100/1000 em rendered as a space);
   line structure from ``Td``/``TD`` (ty≠0), ``T*`` and ``Tm``. Literal
@@ -62,30 +67,179 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # filters we can undo, in the only compositions that occur in practice
-_TEXT_FILTERS = ("FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85")
+_TEXT_FILTERS = (
+    "FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85",
+    "LZWDecode", "LZW", "RunLengthDecode", "RL",
+)
 # filters that mark a stream as image/exotic payload — never text
 _BINARY_FILTERS = (
     "DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "CCF", "JBIG2Decode",
-    "RunLengthDecode", "RL", "LZWDecode", "LZW", "Crypt",
+    "Crypt",
 )
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
+# stream dicts that are never text-bearing even under a text-capable
+# filter: decoded image pixels / font programs / xref-stream binary would
+# otherwise be scanned for BT…ET and can inject garbage fragments
+_NON_TEXT_DICT_RE = re.compile(
+    rb"/Subtype[\x00\t\n\x0c\r ]*/(?:Image|Type1C|CIDFontType0C|OpenType)"
+    rb"(?![A-Za-z0-9])"
+    rb"|/FontFile\d?(?![A-Za-z0-9])"
+    rb"|/Length1(?![A-Za-z0-9])"
+    rb"|/Type[\x00\t\n\x0c\r ]*/(?:XRef|ObjStm|EmbeddedFile)(?![A-Za-z0-9])"
+)
+# /F is the inline-image-only abbreviation (§8.9.7); in stream dicts /F
+# means an external file, so only the full /Filter key is recognized here
+_FILTER_RE = re.compile(
+    rb"/Filter[\x00\t\n\x0c\r ]*(\[[^\]]*\]|/[A-Za-z0-9]*)"
+)
+_PARM_RE = {
+    key: re.compile(rb"/" + key.encode() + rb"[\x00\t\n\x0c\r ]+(\d+)")
+    for key in ("Predictor", "Columns", "Colors", "BitsPerComponent", "EarlyChange")
+}
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """ISO 32000 §7.4.4 LZW: MSB-first variable codes 9→12 bits, 256 =
+    clear table, 257 = EOD, EarlyChange (default 1) widens one code
+    early. Raises on malformed code sequences — callers skip the stream."""
+    out = bytearray()
+    table: "dict[int, bytes]" = {}
+    next_code, width = 258, 9
+    prev: "bytes | None" = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (bitbuf >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table.clear()
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW code %d" % code)
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code >= (1 << width) - early and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): L<128 → copy L+1 literal bytes,
+    L>128 → repeat next byte 257−L times, L=128 → EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = data[i]
+        if run == 128:
+            break
+        if run < 128:
+            out += data[i + 1:i + 2 + run]
+            i += 2 + run
+        else:
+            if i + 1 < n:
+                out += data[i + 1:i + 2] * (257 - run)
+            i += 2
+    return bytes(out)
+
+
+def _undo_predictor(data: bytes, dict_bytes: bytes) -> bytes:
+    """Undo a declared /DecodeParms predictor (TIFF 2 or PNG 10–15) so the
+    BT scan sees the true stream bytes. Predictors on text content streams are
+    vanishingly rare but legal; xref/ObjStm streams (the common users) are
+    already excluded by the non-text dict gate."""
+    parms = {
+        k: int(m.group(1))
+        for k, rx in _PARM_RE.items()
+        if (m := rx.search(dict_bytes)) is not None
+    }
+    pred = parms.get("Predictor", 1)
+    if pred <= 1:
+        return data
+    columns = parms.get("Columns", 1)
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (8-bit only here)
+        if bpc != 8:
+            raise ValueError("TIFF predictor with bpc != 8 unsupported")
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: filter byte per row, same reconstruction as §9 of
+    # the PNG spec (the multimodal codec implements the image-side twin)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    stride = rowlen + 1
+    for r in range(0, len(data) - rowlen, stride):
+        ftype = data[r]
+        row = bytearray(data[r + 1:r + 1 + rowlen])
+        for i in range(rowlen):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            if ftype == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ftype == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ftype == 3:
+                row[i] = (row[i] + ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
 
 def _apply_filters(dict_bytes: bytes, data: bytes) -> "bytes | None":
-    """Undo the stream's declared filter chain; None = not a text-bearing
-    stream (image filters or an unknown filter we refuse to guess at)."""
-    names = re.findall(rb"/([A-Za-z0-9]+)", dict_bytes)
-    filters = [
-        n.decode("ascii") for n in names
-        if n.decode("ascii") in _TEXT_FILTERS + _BINARY_FILTERS
-    ]
-    for f in filters:
+    """Undo the stream's declared /Filter chain; None = not a text-bearing
+    stream: image/exotic filters, an unknown or indirect filter we refuse
+    to guess at, or a dict shape (image XObject / font program / xref
+    stream) whose decoded bytes are binary that must not reach the text
+    scan."""
+    if _NON_TEXT_DICT_RE.search(dict_bytes):
+        return None
+    m = _FILTER_RE.search(dict_bytes)
+    if m is None:
+        return data
+    names = [n.decode("ascii") for n in re.findall(rb"/([A-Za-z0-9]+)", m.group(1))]
+    if any(n not in _TEXT_FILTERS and n not in _BINARY_FILTERS for n in names):
+        return None  # unknown or indirect /Filter: refuse to guess
+    for f in names:
         if f in _BINARY_FILTERS:
             return None
         if f in ("FlateDecode", "Fl"):
-            data = zlib.decompress(data)
+            data = _undo_predictor(zlib.decompress(data), dict_bytes)
+        elif f in ("LZWDecode", "LZW"):
+            early = 1
+            em = _PARM_RE["EarlyChange"].search(dict_bytes)
+            if em is not None:
+                early = int(em.group(1))
+            data = _undo_predictor(_lzw_decode(data, early=early), dict_bytes)
+        elif f in ("RunLengthDecode", "RL"):
+            data = _rle_decode(data)
         elif f in ("ASCIIHexDecode", "AHx"):
             h = data.split(b">")[0]
             h = bytes(c for c in h if c not in _WS)
@@ -189,9 +343,11 @@ def _decode_string(raw: bytes) -> str:
     return one
 
 
-_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
-_BT_RE = re.compile(rb"(?<![A-Za-z])BT[\x00\t\n\x0c\r ]")
-_ET_RE = re.compile(rb"(?<![A-Za-z])ET(?![A-Za-z])")
+# tokens may be delimited by whitespace OR a delimiter char (BT/F1 12 Tf
+# is legal PDF), so BT/ET match on token boundaries, not whitespace
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_BT_RE = re.compile(rb"(?<![A-Za-z0-9])BT(?![A-Za-z0-9])")
+_ET_RE = re.compile(rb"(?<![A-Za-z0-9])ET(?![A-Za-z0-9])")
 
 
 def _extract_block(block: bytes, parts: list) -> None:

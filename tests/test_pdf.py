@@ -16,6 +16,7 @@ def _mk_pdf(
     compress: bool = True,
     encrypt: bool = False,
     extra_stream: "bytes | None" = None,
+    extra_obj: "bytes | None" = None,
 ) -> bytes:
     """Minimal but structurally valid one-page PDF: catalog → pages →
     page → content stream (+ optional second raw stream object), classic
@@ -37,6 +38,8 @@ def _mk_pdf(
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
             % (len(extra_stream), extra_stream)
         )
+    if extra_obj is not None:
+        objs.append(extra_obj)
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for idx, body in enumerate(objs, start=1):
@@ -123,6 +126,149 @@ def test_pdf_text_ascii85_and_asciihex_filters():
         % (len(a85), a85),
     )
     assert pdfop.pdf_text(body) == "armored"
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Independent TIFF/PDF LZW encoder (shares no code with the decoder):
+    emits Clear, then variable-width codes bumping one entry AHEAD of the
+    decoder (spec early-change), then EOD."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emitted: list = [(256, 9)]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emitted.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code > (1 << width) - early and width < 12:
+            width += 1
+        w = c
+    if w:
+        emitted.append((table[w], width))
+    emitted.append((257, width))
+    buf = nbits = 0
+    out = bytearray()
+    for code, wd in emitted:
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_pdf_lzw_and_runlength_filters():
+    """LZWDecode (variable 9→12-bit codes, early change) and
+    RunLengthDecode round-trip against independent test-side encoders;
+    LZW input large enough to force a width bump past 9 bits."""
+    filler = " ".join(f"w{i}" for i in range(400)).encode()
+    ops = b"BT (lzw text) Tj ET % " + filler
+    lz = _lzw_encode(ops)
+    raw = _mk_pdf(b"", compress=False)
+    body = raw.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream"
+        % (len(lz), lz),
+    )
+    assert pdfop.pdf_text(body) == "lzw text"
+
+    ops2 = b"BT (run length) Tj ET"
+    rle = bytearray()
+    for i in range(0, len(ops2), 4):  # literal runs of <=4
+        chunk = ops2[i:i + 4]
+        rle += bytes([len(chunk) - 1]) + chunk
+    rle += bytes([257 - 3]) + b" "  # a 3-byte repeat run
+    rle += b"\x80"  # EOD
+    body = raw.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length %d /Filter /RunLengthDecode >>\nstream\n%s\nendstream"
+        % (len(rle), bytes(rle)),
+    )
+    assert pdfop.pdf_text(body) == "run length"
+
+
+def test_pdf_flate_predictors_undo():
+    """/DecodeParms predictors: PNG Up (12) and TIFF horizontal (2)
+    encoded by hand in the test, undone before the BT scan."""
+    cols = 12
+    ops = b"BT (predicted text here) Tj ET"
+    ops += b" " * (-len(ops) % cols)  # pad to a row multiple
+    rows = [ops[i:i + cols] for i in range(0, len(ops), cols)]
+    assert all(len(r) == cols for r in rows)
+
+    png = bytearray()
+    prev = bytes(cols)
+    for row in rows:  # filter type 2 = Up: raw[i] - prev[i]
+        png.append(2)
+        png += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = row
+    flz = zlib.compress(bytes(png))
+    raw = _mk_pdf(b"", compress=False)
+    body = raw.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns %d >> >>\nstream\n%s\nendstream"
+        % (len(flz), cols, flz),
+    )
+    assert pdfop.pdf_text(body) == "predicted text here"
+
+    tiff = bytearray()
+    for row in rows:  # horizontal differencing per row
+        tiff.append(row[0])
+        tiff += bytes((row[i] - row[i - 1]) & 0xFF for i in range(1, cols))
+    flz = zlib.compress(bytes(tiff))
+    body = raw.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 2 /Columns %d >> >>\nstream\n%s\nendstream"
+        % (len(flz), cols, flz),
+    )
+    assert pdfop.pdf_text(body) == "predicted text here"
+
+
+def test_pdf_binary_streams_never_inject_text():
+    """Decoded binary that happens to contain BT…(…)Tj…ET must not leak
+    into the text: Flate image XObjects, embedded font programs
+    (/Length1), and raw data under an unknown /Filter are all excluded."""
+    poison = b"\x00\x01 BT (injected garbage) Tj ET \xff\xfe"
+
+    img = zlib.compress(poison)
+    doc = _mk_pdf(
+        b"BT (real) Tj ET",
+        extra_obj=b"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+        b"/BitsPerComponent 8 /Filter /FlateDecode /Length %d >>\n"
+        b"stream\n%s\nendstream" % (len(img), img),
+    )
+    assert pdfop.pdf_text(doc) == "real"
+
+    font = zlib.compress(poison)
+    doc = _mk_pdf(
+        b"BT (real) Tj ET",
+        extra_obj=b"<< /Length1 %d /Filter /FlateDecode /Length %d >>\n"
+        b"stream\n%s\nendstream" % (len(poison), len(font), font),
+    )
+    assert pdfop.pdf_text(doc) == "real"
+
+    doc = _mk_pdf(
+        b"BT (real) Tj ET",
+        extra_obj=b"<< /Filter /SomeVendorFilter /Length %d >>\n"
+        b"stream\n%s\nendstream" % (len(poison), poison),
+    )
+    assert pdfop.pdf_text(doc) == "real"
+
+
+def test_pdf_token_boundaries_and_trailing_dot_numbers():
+    """BT followed by a delimiter (BT/F1 — legal, whitespace-free writers)
+    is still found, and trailing-dot reals (14. — legal PDF numbers)
+    tokenize so Td keeps its operands."""
+    ops = b"BT/F1 12 Tf(tight)Tj 0 -14. Td(x)Tj ET"
+    assert pdfop.pdf_text(_mk_pdf(ops)) == "tight\nx"
 
 
 def test_pdf_to_documents_error_contract_and_crawl_seam(spark):
