@@ -1,0 +1,344 @@
+"""Code-corpus curation — the source-file half of a pretraining pipeline.
+
+Code corpora (The Stack / StarCoder / CodeParrot lineage, all public) need
+four gates that prose corpora don't: **language identification** (route
+files to per-language buckets and filters), **license detection** (keep
+only permissively-licensed files — the public data-governance bar for
+code pretraining), **credential scanning** (committed secrets must be
+excluded or redacted before the corpus ships; the patterns below are the
+standard public detector shapes, used here defensively to *remove*
+leaked credentials from training data), and **structural quality
+signals** (minified/generated/data blobs masquerading as source).
+
+Everything is map-only Catalyst: regexps against the text (head-bounded
+where a header is the contract — license scans read the first
+``head_chars`` only, so a 2 GB data file costs the same as a 2 KB one),
+a literal lookup map for extensions, zero shuffles, zero Python. At
+100 TB the stage cost is one codegen'd projection over the corpus scan;
+dedup/near-dup for code reuse the generic :mod:`.dedup` operators
+unchanged (ids + text are all they need).
+
+No counterpart in the reference engine (`docker/lambda_function.py`);
+built for the LLM-pipeline brief's training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# language identification
+
+# extension → language, the high-traffic subset of the public linguist map
+EXT_LANGUAGES: tuple[tuple[str, str], ...] = (
+    ("py", "Python"), ("pyi", "Python"), ("ipynb", "Jupyter Notebook"),
+    ("js", "JavaScript"), ("mjs", "JavaScript"), ("cjs", "JavaScript"),
+    ("jsx", "JavaScript"), ("ts", "TypeScript"), ("tsx", "TypeScript"),
+    ("java", "Java"), ("kt", "Kotlin"), ("kts", "Kotlin"),
+    ("scala", "Scala"), ("sc", "Scala"), ("groovy", "Groovy"),
+    ("c", "C"), ("h", "C"), ("cc", "C++"), ("cpp", "C++"), ("cxx", "C++"),
+    ("hpp", "C++"), ("hh", "C++"), ("hxx", "C++"),
+    ("cs", "C#"), ("fs", "F#"), ("vb", "Visual Basic"),
+    ("go", "Go"), ("rs", "Rust"), ("rb", "Ruby"), ("php", "PHP"),
+    ("swift", "Swift"), ("m", "Objective-C"), ("mm", "Objective-C++"),
+    ("pl", "Perl"), ("pm", "Perl"), ("lua", "Lua"), ("r", "R"),
+    ("jl", "Julia"), ("ex", "Elixir"), ("exs", "Elixir"),
+    ("erl", "Erlang"), ("hrl", "Erlang"), ("hs", "Haskell"),
+    ("ml", "OCaml"), ("mli", "OCaml"), ("clj", "Clojure"),
+    ("cljs", "Clojure"), ("lisp", "Common Lisp"), ("el", "Emacs Lisp"),
+    ("sh", "Shell"), ("bash", "Shell"), ("zsh", "Shell"),
+    ("ps1", "PowerShell"), ("bat", "Batchfile"), ("cmd", "Batchfile"),
+    ("sql", "SQL"), ("html", "HTML"), ("htm", "HTML"), ("css", "CSS"),
+    ("scss", "SCSS"), ("less", "Less"), ("xml", "XML"), ("json", "JSON"),
+    ("yaml", "YAML"), ("yml", "YAML"), ("toml", "TOML"), ("ini", "INI"),
+    ("md", "Markdown"), ("rst", "reStructuredText"), ("tex", "TeX"),
+    ("proto", "Protocol Buffer"), ("thrift", "Thrift"),
+    ("cmake", "CMake"), ("mk", "Makefile"), ("gradle", "Gradle"),
+    ("tf", "HCL"), ("hcl", "HCL"), ("dart", "Dart"), ("zig", "Zig"),
+    ("nim", "Nim"), ("cr", "Crystal"), ("d", "D"), ("pas", "Pascal"),
+    ("f90", "Fortran"), ("f", "Fortran"), ("for", "Fortran"),
+    ("asm", "Assembly"), ("s", "Assembly"), ("v", "Verilog"),
+    ("sv", "SystemVerilog"), ("vhd", "VHDL"), ("cu", "CUDA"),
+    ("cuh", "CUDA"), ("graphql", "GraphQL"), ("sol", "Solidity"),
+)
+
+# basename specials: files identified by NAME, not extension
+NAME_LANGUAGES: tuple[tuple[str, str], ...] = (
+    ("makefile", "Makefile"), ("gnumakefile", "Makefile"),
+    ("dockerfile", "Dockerfile"), ("containerfile", "Dockerfile"),
+    ("cmakelists.txt", "CMake"), ("rakefile", "Ruby"),
+    ("gemfile", "Ruby"), ("build.gradle", "Gradle"), ("go.mod", "Go Module"),
+    ("cargo.toml", "TOML"), ("package.json", "JSON"), ("meson.build", "Meson"),
+    ("justfile", "Just"), ("bsdmakefile", "Makefile"),
+)
+
+# shebang interpreter → language (extensionless scripts)
+SHEBANG_LANGUAGES: tuple[tuple[str, str], ...] = (
+    ("python", "Python"), ("node", "JavaScript"), ("ruby", "Ruby"),
+    ("perl", "Perl"), ("bash", "Shell"), ("sh", "Shell"), ("zsh", "Shell"),
+    ("ksh", "Shell"), ("fish", "Shell"), ("lua", "Lua"), ("php", "PHP"),
+    ("Rscript", "R"), ("julia", "Julia"), ("awk", "Awk"),
+)
+
+# greedy prefix so the capture anchors to the LAST path segment
+# (lazy would capture "usr" out of #!/usr/bin/env)
+_SHEBANG_RE = r"\A#![^\n]*/(?:env[ \t]+)?([A-Za-z][A-Za-z0-9._-]*)"
+
+
+def code_language_id(
+    files: DataFrame,
+    path_col: str = "path",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Identify each file's programming language: basename specials
+    (Makefile, Dockerfile, CMakeLists.txt …), then the extension map, then
+    the shebang line for extensionless scripts. Adds ``language`` (NULL =
+    unidentified; route those to a quarantine bucket, don't guess) and
+    ``lang_source`` (``filename`` / ``extension`` / ``shebang``).
+
+    Pure-Catalyst: two literal lookup maps + one anchored regexp on the
+    first line — map-only at any corpus size."""
+    base = F.lower(F.element_at(F.split(F.col(path_col), "/"), -1))
+    ext = F.lower(F.regexp_extract(base, r"\.([a-z0-9_+#-]+)$", 1))
+    name_map = F.create_map(
+        *[F.lit(x) for pair in NAME_LANGUAGES for x in pair]
+    )
+    ext_map = F.create_map(
+        *[F.lit(x) for pair in EXT_LANGUAGES for x in pair]
+    )
+    # versioned interpreters (python3.11, php8) fold to their base name
+    interp = F.regexp_extract(
+        F.substring(F.col(text_col), 1, 256), _SHEBANG_RE, 1
+    )
+    interp_base = F.regexp_extract(interp, r"\A([A-Za-z]+)", 1)
+    shebang_map = F.create_map(
+        *[F.lit(x) for pair in SHEBANG_LANGUAGES for x in pair]
+    )
+    by_name = F.element_at(name_map, base)
+    by_ext = F.element_at(ext_map, ext)
+    by_shebang = F.coalesce(
+        F.element_at(shebang_map, interp), F.element_at(shebang_map, interp_base)
+    )
+    return files.withColumns(
+        {
+            "language": F.coalesce(by_name, by_ext, by_shebang),
+            "lang_source": F.when(by_name.isNotNull(), F.lit("filename"))
+            .when(by_ext.isNotNull(), F.lit("extension"))
+            .when(by_shebang.isNotNull(), F.lit("shebang")),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# license detection
+
+# fingerprint phrases of the common licenses, matched in order — each is a
+# distinctive sentence from the license's canonical text (public SPDX corpus)
+LICENSE_FINGERPRINTS: tuple[tuple[str, str], ...] = (
+    ("Apache-2.0", r"(?i)Apache License[,\s]*Version 2\.0"),
+    ("MIT", r"(?i)Permission is hereby granted, free of charge"),
+    ("AGPL-3.0", r"(?i)GNU Affero General Public License"),
+    ("LGPL-3.0", r"(?i)GNU Lesser General Public License(?:[\s\S]{0,120}?version 3)"),
+    ("LGPL-2.1", r"(?i)GNU Lesser General Public License"),
+    ("GPL-3.0", r"(?i)GNU General Public License[\s\S]{0,120}?version 3"),
+    ("GPL-2.0", r"(?i)GNU General Public License[\s\S]{0,120}?version 2"),
+    ("GPL", r"(?i)GNU General Public License"),
+    ("BSD-3-Clause",
+     r"(?i)Redistribution and use in source and binary forms"
+     r"[\s\S]{0,700}?[Nn]either the name"),
+    ("BSD-2-Clause", r"(?i)Redistribution and use in source and binary forms"),
+    ("MPL-2.0", r"(?i)Mozilla Public License[,\s]*(?:v\.?\s*|Version\s*)2\.0"),
+    ("ISC", r"(?i)Permission to use, copy, modify, and(?:/or)? distribute this software"),
+    ("Unlicense", r"(?i)This is free and unencumbered software"),
+    ("CC0-1.0", r"(?i)creativecommons\.org/publicdomain/zero|CC0 1\.0 Universal"),
+    ("WTFPL", r"(?i)DO WHAT THE FUCK YOU WANT TO PUBLIC LICENSE"),
+)
+
+PERMISSIVE_LICENSES: frozenset = frozenset(
+    {
+        "MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC",
+        "Unlicense", "CC0-1.0", "MPL-2.0", "WTFPL", "Zlib", "BSL-1.0",
+        "0BSD", "MIT-0", "Python-2.0", "PostgreSQL", "X11",
+    }
+)
+
+_SPDX_RE = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+
+
+def license_detect(
+    files: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_chars: int = 8192,
+) -> DataFrame:
+    """Detect the declared license of each file from its header: an
+    explicit ``SPDX-License-Identifier`` tag wins (exact id, any casing of
+    the id preserved), else the first matching fingerprint phrase from
+    :data:`LICENSE_FINGERPRINTS` (ordered most- to least-specific so
+    BSD-3's "neither the name" clause outranks the shared BSD preamble and
+    versioned GPLs outrank the family fallback). Adds ``license`` (NULL =
+    none found — at the corpus level, apply the repository's license to
+    its files before this per-file sweep), ``license_source``
+    (``spdx`` / ``fingerprint``) and ``is_permissive`` (NULL when no
+    license was found, so "unknown" never silently counts as permissive
+    OR copyleft).
+
+    Only ``head_chars`` leading characters are scanned: license headers
+    lead the file by convention, and the bound makes the stage cost
+    independent of file size."""
+    head = F.substring(F.col(text_col), 1, head_chars)
+    spdx = F.regexp_extract(head, _SPDX_RE, 1)
+    # first-match-wins over the ordered fingerprints: unmatched WHENs are
+    # NULL, so COALESCE is exactly "first matching license"
+    fp = F.coalesce(
+        *[F.when(head.rlike(pat), F.lit(lic)) for lic, pat in LICENSE_FINGERPRINTS]
+    )
+    lic_col = F.when(spdx != "", spdx).otherwise(fp)
+    permissive_map = F.create_map(
+        *[F.lit(x) for lic in sorted(PERMISSIVE_LICENSES) for x in (lic, "y")]
+    )
+    return files.withColumns(
+        {
+            "license": lic_col,
+            "license_source": F.when(spdx != "", F.lit("spdx")).when(
+                fp.isNotNull(), F.lit("fingerprint")
+            ),
+            "is_permissive": F.when(
+                lic_col.isNotNull(),
+                F.element_at(permissive_map, lic_col).isNotNull(),
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# credential scanning (defensive: find & strip committed secrets so they
+# never enter a training corpus)
+
+SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("private_key", r"-----(?:BEGIN|END) [A-Z ]*PRIVATE KEY(?: BLOCK)?-----"),
+    ("aws_access_key", r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b"),
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36,255}\b"),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b"),
+    ("gcp_api_key", r"\bAIza[0-9A-Za-z_-]{35}\b"),
+    ("jwt", r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}\b"),
+    (
+        "password_assignment",
+        r"(?i)\b(?:password|passwd|secret|api_?key|auth_?token|access_?token)"
+        r"\s*[=:]\s*[\"'][^\"'\s]{6,}[\"']",
+    ),
+)
+
+
+def _secret_output_cols(text_col: str) -> "list[Column]":
+    """Redacted text + per-kind counts, the :func:`.text.redact_pii`
+    convention: each pattern counted against the text AS THE PREVIOUS
+    PATTERN LEFT IT, then replaced — order is part of the contract
+    (private-key blocks first so their base64 body can't re-match as a
+    JWT-ish token)."""
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat in SECRET_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, f"<SECRET:{kind}>")
+    return [cur.alias("text_redacted"), *counts]
+
+
+def secrets_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-file counts of committed-credential shapes (the public
+    detect-secrets / gitleaks pattern families): key material, vendor
+    tokens, and quoted password assignments, plus ``n_secrets`` total.
+    Use the counts to EXCLUDE files (the usual call: a file that commits
+    one real key tends to commit more) or feed :func:`redact_secrets` to
+    strip in place. Map-only Catalyst regexps."""
+    out = docs.select(id_col, *_secret_output_cols(text_col)).drop("text_redacted")
+    total = None
+    for kind, _ in SECRET_PATTERNS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_secrets", total)
+
+
+def redact_secrets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Strip credential-shaped spans, each replaced by a typed placeholder
+    (``<SECRET:aws_access_key>`` …) with per-kind counts riding along —
+    the :func:`.text.redact_pii` twin for code corpora. A private-key
+    BLOCK's armor lines are replaced; its base64 body lines remain and
+    should be dropped by the caller when ``n_private_key > 0`` (the
+    conservative move is excluding the whole file)."""
+    return docs.select(id_col, *_secret_output_cols(text_col))
+
+
+# ---------------------------------------------------------------------------
+# structural quality signals
+
+AUTOGEN_RE = (
+    r"(?i)(?:auto[- ]?generated|generated by|do not edit|@generated|"
+    r"this file was automatically created)"
+)
+
+
+def code_quality_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One map-only pass of the StarCoder-style structural signals:
+    ``n_lines``, ``max_line_len`` / ``mean_line_len`` (minified JS and
+    data blobs have huge lines), ``frac_long_lines`` (> 120 chars),
+    ``frac_alnum`` (binary/data files sink), ``has_long_b64`` (embedded
+    base64 payloads ≥ 512 chars), ``is_autogenerated`` (header markers in
+    the first 1024 chars), and ``passes_code_gates`` — the public
+    StarCoder defaults (max line ≤ 1000, mean line ≤ 100, alnum ≥ 0.25,
+    not autogenerated, no long base64 run). The signals ride along so a
+    pipeline can re-threshold without re-scanning."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    lens = F.transform(lines, lambda x: F.length(x))
+    n_lines = F.size(lines)
+    max_len = F.coalesce(F.array_max(lens), F.lit(0))
+    mean_len = F.coalesce(
+        F.try_divide(
+            F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x),
+            n_lines.cast("long"),
+        ),
+        F.lit(0.0),
+    ).cast("double")
+    frac_long = F.coalesce(
+        F.try_divide(
+            F.size(F.filter(lens, lambda x: x > 120)).cast("double"),
+            n_lines.cast("double"),
+        ),
+        F.lit(0.0),
+    )
+    frac_alnum = F.coalesce(
+        F.try_divide(
+            F.regexp_count(t, F.lit(r"[A-Za-z0-9]")).cast("double"),
+            F.length(t).cast("double"),
+        ),
+        F.lit(0.0),
+    )
+    has_b64 = F.regexp_count(t, F.lit(r"[A-Za-z0-9+/=]{512,}")) > 0
+    autogen = F.substring(t, 1, 1024).rlike(AUTOGEN_RE)
+    gates = (
+        (max_len <= 1000)
+        & (mean_len <= 100)
+        & (frac_alnum >= 0.25)
+        & ~has_b64
+        & ~autogen
+    )
+    return docs.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        max_len.alias("max_line_len"),
+        mean_len.alias("mean_line_len"),
+        frac_long.alias("frac_long_lines"),
+        frac_alnum.alias("frac_alnum"),
+        has_b64.alias("has_long_b64"),
+        autogen.alias("is_autogenerated"),
+        gates.alias("passes_code_gates"),
+    )
