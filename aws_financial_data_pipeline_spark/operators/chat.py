@@ -1,0 +1,249 @@
+"""Conversation / SFT corpus operators — the instruction-tuning surface.
+
+Post-training corpora are conversations, not documents: a table of
+``(conv_id, turns array<struct<role string, content string>>)``. The
+pipeline needs to **validate** structure (role vocabulary, system-first,
+strict user/assistant alternation, trainable final turn), **render** to
+a training string under a chat template, compute the **loss-mask spans**
+(character offsets of assistant content inside the rendered string, so
+the tokenizer stage can mask everything else out of the loss), extract
+**(prompt, response) pairs** per assistant turn, **fingerprint** for
+exact dedup, and profile basic **stats**.
+
+Everything here is pure Catalyst over higher-order array functions
+(``transform`` / ``filter`` / ``exists`` / ``zip_with`` / ``aggregate``)
+— no explode-then-regroup (a conversation never shuffles to be
+re-assembled), no Python. At 100 TB each operator is a map-only
+projection; only :func:`turns_to_pairs` grows rows (one per assistant
+turn — that's its contract), and near-dup / decontamination reuse the
+generic text operators over the rendered string.
+
+Templates are public formats: ``chatml`` (``<|im_start|>role\\n…
+<|im_end|>\\n``) and ``plain`` (``Role: …`` lines). No counterpart in
+the reference engine; built for the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VALID_ROLES = ("system", "user", "assistant", "tool")
+
+_SPAN_ARR = "array<struct<start: bigint, end: bigint>>"
+
+
+def _tmpl(template: str) -> "tuple":
+    """(prefix(turn) Column fn, suffix literal) for a template name."""
+    if template == "chatml":
+        return (
+            lambda t: F.concat(F.lit("<|im_start|>"), t["role"], F.lit("\n")),
+            "<|im_end|>\n",
+        )
+    if template == "plain":
+        return (
+            lambda t: F.concat(
+                F.upper(F.substring(t["role"], 1, 1)),
+                F.substring(t["role"], 2, 2147483647),
+                F.lit(": "),
+            ),
+            "\n",
+        )
+    raise ValueError(f"unknown chat template {template!r}; use chatml|plain")
+
+
+def validate_conversations(
+    convs: DataFrame, turns_col: str = "turns", id_col: str = "conv_id"
+) -> DataFrame:
+    """Structural validation flags per conversation, riding alongside the
+    input columns:
+
+    - ``f_empty_conv`` — no turns at all
+    - ``f_bad_role`` — a role outside {system, user, assistant, tool}
+    - ``f_empty_content`` — a NULL/whitespace-only turn
+    - ``f_system_misplaced`` — a system turn anywhere but position 0
+    - ``f_role_repeat`` — two consecutive non-system turns with the same
+      role (strict alternation is the SFT-trainability contract; tool
+      turns count as their own role in the alternation)
+    - ``f_no_user_start`` / ``f_no_assistant_end`` — the non-system turns
+      must start with a user turn and end with an assistant turn (nothing
+      to train on otherwise)
+    - ``is_valid`` — none of the above
+
+    Filter on ``is_valid``, aggregate the flags for the rejection audit —
+    same posture as the text funnel's gate ledger."""
+    turns = F.col(turns_col)
+    roles = F.transform(turns, lambda t: t["role"])
+    core = F.filter(turns, lambda t: t["role"] != F.lit("system"))
+    f_empty_conv = F.size(turns) == 0
+    f_bad_role = F.exists(roles, lambda r: ~r.isin(*VALID_ROLES) | r.isNull())
+    f_empty_content = F.exists(
+        turns,
+        lambda t: t["content"].isNull() | (F.trim(t["content"]) == ""),
+    )
+    f_system_misplaced = (
+        F.size(
+            F.filter(turns, lambda t, i: (t["role"] == "system") & (i > 0))
+        )
+        > 0
+    )
+    shifted = F.slice(core, 2, F.greatest(F.size(core) - 1, F.lit(0)))
+    f_role_repeat = F.exists(
+        F.zip_with(core, shifted, lambda a, b: b.isNotNull() & (a["role"] == b["role"])),
+        lambda x: x,
+    )
+    # try_ variants: an empty conversation must flag, not throw (ANSI
+    # element_at raises on out-of-bounds array indexes)
+    first_core = F.try_element_at(core, F.lit(1))
+    last_core = F.try_element_at(core, F.lit(-1))
+    f_no_user_start = F.coalesce(first_core["role"] != "user", F.lit(True))
+    f_no_assistant_end = F.coalesce(last_core["role"] != "assistant", F.lit(True))
+    flags = {
+        "f_empty_conv": f_empty_conv,
+        "f_bad_role": f_bad_role,
+        "f_empty_content": f_empty_content,
+        "f_system_misplaced": f_system_misplaced,
+        "f_role_repeat": f_role_repeat,
+        "f_no_user_start": f_no_user_start,
+        "f_no_assistant_end": f_no_assistant_end,
+    }
+    valid = None
+    for c in flags.values():
+        c = F.coalesce(c, F.lit(True))  # NULL flag must fail closed
+        valid = ~c if valid is None else valid & ~c
+    return convs.withColumns({**flags, "is_valid": valid})
+
+
+def render_conversations(
+    convs: DataFrame,
+    template: str = "chatml",
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Render each conversation to its training string under ``template``
+    and compute ``assistant_spans`` — [start, end) character offsets of
+    each assistant turn's CONTENT inside the rendered string — in the
+    same single ``aggregate`` pass, so the spans can never drift from the
+    render. Downstream, the tokenizer stage maps the spans to token
+    positions and masks everything else out of the loss.
+
+    Returns (id, text, assistant_spans, n_train_chars)."""
+    prefix, suffix = _tmpl(template)
+    acc0 = F.struct(
+        F.lit("").alias("text"),
+        F.lit(None).cast(_SPAN_ARR).alias("spans"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        pre = prefix(t)
+        start = F.length(acc["text"]) + F.length(pre)
+        end = start + F.length(t["content"])
+        span = F.array(F.struct(start.alias("start"), end.alias("end")))
+        return F.struct(
+            F.concat(acc["text"], pre, t["content"], F.lit(suffix)).alias("text"),
+            F.when(
+                t["role"] == "assistant",
+                F.concat(F.coalesce(acc["spans"], F.array().cast(_SPAN_ARR)), span),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    rendered = F.aggregate(F.col(turns_col), acc0, step)
+    spans = F.coalesce(rendered["spans"], F.array().cast(_SPAN_ARR))
+    return convs.select(
+        id_col,
+        rendered["text"].alias("text"),
+        spans.alias("assistant_spans"),
+        F.aggregate(
+            spans, F.lit(0).cast("bigint"), lambda a, s: a + s["end"] - s["start"]
+        ).alias("n_train_chars"),
+    )
+
+
+def conversation_stats(
+    convs: DataFrame, turns_col: str = "turns", id_col: str = "conv_id"
+) -> DataFrame:
+    """Per-conversation shape profile: turn counts per role, total /
+    assistant character mass, and the mean assistant turn length — the
+    quota and length-filter inputs for SFT curation."""
+    turns = F.col(turns_col)
+
+    def n_role(role: str) -> Column:
+        return F.size(F.filter(turns, lambda t: t["role"] == role))
+
+    asst_chars = F.aggregate(
+        F.filter(turns, lambda t: t["role"] == "assistant"),
+        F.lit(0).cast("bigint"),
+        lambda a, t: a + F.coalesce(F.length(t["content"]), F.lit(0)),
+    )
+    total_chars = F.aggregate(
+        turns,
+        F.lit(0).cast("bigint"),
+        lambda a, t: a + F.coalesce(F.length(t["content"]), F.lit(0)),
+    )
+    return convs.select(
+        id_col,
+        F.size(turns).alias("n_turns"),
+        n_role("user").alias("n_user"),
+        n_role("assistant").alias("n_assistant"),
+        n_role("system").alias("n_system"),
+        n_role("tool").alias("n_tool"),
+        total_chars.alias("total_chars"),
+        asst_chars.alias("assistant_chars"),
+        F.try_divide(asst_chars.cast("double"), n_role("assistant").cast("double"))
+        .alias("mean_assistant_chars"),
+    )
+
+
+def conversation_fingerprint(
+    convs: DataFrame, turns_col: str = "turns", id_col: str = "conv_id"
+) -> DataFrame:
+    """Exact-dedup key: md5 over the role/content sequence joined with
+    unprintable separators (U+001F between fields, U+001E between turns)
+    so no legal content can collide two different conversations. Feed the
+    result into the generic :mod:`.dedup` exact/near-dup operators."""
+    canon = F.array_join(
+        F.transform(
+            F.col(turns_col),
+            lambda t: F.concat(
+                t["role"], F.lit("\x1f"), F.coalesce(t["content"], F.lit(""))
+            ),
+        ),
+        "\x1e",
+    )
+    return convs.select(id_col, F.md5(canon).alias("fingerprint"))
+
+
+def turns_to_pairs(
+    convs: DataFrame,
+    template: str = "plain",
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """One (prompt, response) row per assistant turn: the prompt is every
+    turn before it rendered under ``template``, the response is the turn's
+    raw content. This is the reward-model / best-of-n shape and the
+    single-turn-SFT projection of multi-turn data.
+
+    Row growth is exactly n_assistant_turns per conversation, and the
+    prompt re-renders per pair (quadratic characters in turn count for
+    one conversation — inherent to the shape, bounded by conversation
+    length, never by corpus size)."""
+    prefix, suffix = _tmpl(template)
+    indexed = convs.select(
+        F.col(id_col),
+        F.col(turns_col).alias("_turns"),
+        F.posexplode(F.col(turns_col)).alias("turn_idx", "_t"),
+    ).where((F.col("_t")["role"] == "assistant") & (F.col("turn_idx") > 0))
+    prompt = F.aggregate(
+        F.slice(F.col("_turns"), 1, F.col("turn_idx")),
+        F.lit(""),
+        lambda acc, t: F.concat(acc, prefix(t), t["content"], F.lit(suffix)),
+    )
+    return indexed.select(
+        id_col,
+        "turn_idx",
+        prompt.alias("prompt"),
+        F.col("_t")["content"].alias("response"),
+    )

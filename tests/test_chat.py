@@ -1,0 +1,120 @@
+"""Conversation/SFT operators: structural validation, template rendering
+with loss-mask spans, stats, fingerprints, pair extraction — and the
+map-only plan contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.operators import chat as chatop
+
+SCHEMA = "conv_id long, turns array<struct<role: string, content: string>>"
+
+
+def _convs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_validate_conversations_flags(spark):
+    rows = [
+        (1, [("system", "be nice"), ("user", "hi"), ("assistant", "hello")]),
+        (2, [("user", "a"), ("user", "b"), ("assistant", "c")]),  # repeat
+        (3, [("user", "a"), ("system", "late"), ("assistant", "c")]),  # misplaced
+        (4, [("user", "a"), ("assistant", "  ")]),  # empty content
+        (5, [("user", "a"), ("robot", "b")]),  # bad role
+        (6, []),  # empty conv
+        (7, [("assistant", "a")]),  # no user start (and is the end)
+        (8, [("user", "a"), ("assistant", "b"), ("user", "dangling")]),
+        (9, [("user", "q"), ("assistant", "a"), ("tool", "t"), ("assistant", "b")]),
+    ]
+    got = {
+        r["conv_id"]: r
+        for r in chatop.validate_conversations(_convs(spark, rows)).collect()
+    }
+    assert got[1]["is_valid"] is True
+    assert got[2]["is_valid"] is False and got[2]["f_role_repeat"]
+    assert got[3]["is_valid"] is False and got[3]["f_system_misplaced"]
+    assert got[4]["is_valid"] is False and got[4]["f_empty_content"]
+    assert got[5]["is_valid"] is False and got[5]["f_bad_role"]
+    assert got[6]["is_valid"] is False and got[6]["f_empty_conv"]
+    assert got[7]["is_valid"] is False and got[7]["f_no_user_start"]
+    assert got[8]["is_valid"] is False and got[8]["f_no_assistant_end"]
+    # tool turns are their own role in the alternation — 9 is legal
+    assert got[9]["is_valid"] is True
+
+
+def test_render_chatml_spans_point_at_assistant_content(spark):
+    rows = [
+        (1, [("system", "sys"), ("user", "hi"), ("assistant", "hello"),
+             ("user", "more?"), ("assistant", "yes")]),
+        (2, [("user", "q")]),  # no assistant turns: empty spans
+    ]
+    out = {r["conv_id"]: r for r in chatop.render_conversations(_convs(spark, rows)).collect()}
+    r1 = out[1]
+    assert r1["text"] == (
+        "<|im_start|>system\nsys<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>\n"
+        "<|im_start|>user\nmore?<|im_end|>\n"
+        "<|im_start|>assistant\nyes<|im_end|>\n"
+    )
+    spans = [(s["start"], s["end"]) for s in r1["assistant_spans"]]
+    assert [r1["text"][a:b] for a, b in spans] == ["hello", "yes"]
+    assert r1["n_train_chars"] == 8
+    assert out[2]["assistant_spans"] == [] and out[2]["n_train_chars"] == 0
+
+
+def test_render_plain_template(spark):
+    rows = [(1, [("user", "hi"), ("assistant", "hello")])]
+    r = chatop.render_conversations(_convs(spark, rows), template="plain").collect()[0]
+    assert r["text"] == "User: hi\nAssistant: hello\n"
+    s = r["assistant_spans"][0]
+    assert r["text"][s["start"]:s["end"]] == "hello"
+
+
+def test_conversation_stats(spark):
+    rows = [(1, [("system", "s"), ("user", "abcd"), ("assistant", "xy"),
+                 ("user", "e"), ("assistant", "wxyz")])]
+    r = chatop.conversation_stats(_convs(spark, rows)).collect()[0]
+    assert (r["n_turns"], r["n_user"], r["n_assistant"], r["n_system"], r["n_tool"]) == (5, 2, 2, 1, 0)
+    assert r["total_chars"] == 12 and r["assistant_chars"] == 6
+    assert r["mean_assistant_chars"] == 3.0
+
+
+def test_conversation_fingerprint_separators_prevent_collisions(spark):
+    rows = [
+        (1, [("user", "ab"), ("assistant", "c")]),
+        (2, [("user", "ab"), ("assistant", "c")]),  # exact dup of 1
+        (3, [("user", "a"), ("assistant", "bc")]),  # same concat, diff split
+        (4, [("user", "abassistantc")]),  # role/content boundary abuse
+    ]
+    fp = {r["conv_id"]: r["fingerprint"] for r in chatop.conversation_fingerprint(_convs(spark, rows)).collect()}
+    assert fp[1] == fp[2]
+    assert len({fp[1], fp[3], fp[4]}) == 3
+
+
+def test_turns_to_pairs(spark):
+    rows = [(1, [("system", "s"), ("user", "q1"), ("assistant", "a1"),
+                 ("user", "q2"), ("assistant", "a2")])]
+    out = chatop.turns_to_pairs(_convs(spark, rows)).orderBy("turn_idx").collect()
+    assert len(out) == 2
+    assert out[0]["response"] == "a1"
+    assert out[0]["prompt"] == "System: s\nUser: q1\n"
+    assert out[1]["response"] == "a2"
+    assert out[1]["prompt"] == "System: s\nUser: q1\nAssistant: a1\nUser: q2\n"
+
+
+def test_chat_stages_are_map_only(spark):
+    rows = [(1, [("user", "hi"), ("assistant", "hello")])]
+    convs = _convs(spark, rows)
+    for stage in (
+        chatop.validate_conversations(convs),
+        chatop.render_conversations(convs),
+        chatop.conversation_stats(convs),
+        chatop.conversation_fingerprint(convs),
+        chatop.turns_to_pairs(convs),
+    ):
+        plan = stage._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        for udf_marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert udf_marker not in plan
