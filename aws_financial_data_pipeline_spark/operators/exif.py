@@ -1,0 +1,382 @@
+"""Image metadata (EXIF) extraction and privacy scrubbing.
+
+Camera files carry a TIFF-structured EXIF block with device identity
+(Make/Model/Software), timestamps, and — the PII that matters — GPS
+coordinates. An image corpus shipped for training must be able to (a)
+AUDIT what metadata its payloads carry and (b) STRIP it before release
+(the ``exiftool -all=`` convention), without re-encoding pixels.
+
+- :func:`exif_metadata` — one Arrow pass extracting orientation, make,
+  model, software, original timestamp, and GPS decimal coordinates
+  (``has_gps`` is the privacy flag to gate on), with the
+  :func:`.multimodal.media_stats` per-row error contract.
+- :func:`strip_exif` — container-level metadata removal: JPEG APP1
+  (EXIF + XMP) and APP13 (Photoshop IRB/IPTC) segments, PNG ``eXIf`` +
+  text chunks (``tEXt``/``zTXt``/``iTXt`` — location leaks via text
+  too), WebP ``EXIF``/``XMP `` RIFF chunks (VP8X flag bits cleared,
+  RIFF size patched). Pixels are untouched — no decode, no re-encode,
+  byte-exact image data. ``keep_orientation=True`` (default) re-inserts
+  a minimal single-tag EXIF so stripped JPEGs still display (and
+  pHash) the way they did — dropping rotation silently would corrupt
+  the corpus's perceptual-dedup space.
+
+The TIFF walk shares the same public-spec ground as
+:func:`.multimodal._exif_orientation` (TIFF 6.0 + EXIF 2.3 + the GPS
+IFD layout) but reads the full tag set; the orientation-only reader
+stays in the JPEG decode hot path, this module serves the
+metadata/privacy pipeline. Both are cited against the public specs
+only.
+
+Shape at 100 TB: mapInPandas over the payload contract — payload bytes
+read once per partition, only (small) metadata rows or (same-size)
+scrubbed payloads move. No counterpart in the reference engine
+(`docker/lambda_function.py`).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# TIFF / EXIF walk
+
+_IFD0_TAGS = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0131: "software",
+    0x0132: "datetime",
+    0x0112: "orientation",
+}
+_EXIF_IFD_PTR = 0x8769
+_GPS_IFD_PTR = 0x8825
+_DT_ORIGINAL = 0x9003
+
+
+def _read_value(t: bytes, end: str, typ: int, count: int, raw_off: int):
+    """One IFD entry's value. ``raw_off`` is the offset of the 4-byte
+    value/offset field inside the TIFF buffer ``t``."""
+    if typ == 2:  # ASCII
+        if count <= 4:
+            data = t[raw_off:raw_off + count]
+        else:
+            (off,) = struct.unpack_from(end + "I", t, raw_off)
+            data = t[off:off + count]
+        return data.split(b"\x00")[0].decode("ascii", "replace").strip()
+    if typ == 3:  # SHORT
+        return struct.unpack_from(end + "H", t, raw_off)[0]
+    if typ == 4:  # LONG
+        return struct.unpack_from(end + "I", t, raw_off)[0]
+    if typ == 5:  # RATIONAL: count pairs of LONG at offset
+        (off,) = struct.unpack_from(end + "I", t, raw_off)
+        out = []
+        for i in range(count):
+            num, den = struct.unpack_from(end + "II", t, off + 8 * i)
+            out.append(num / den if den else 0.0)
+        return out
+    return None
+
+
+def _walk_ifd(t: bytes, end: str, ifd: int, wanted: "dict[int, str]", out: dict) -> dict:
+    """Collect ``wanted`` tags from one IFD into ``out``; returns pointer
+    tags found ({tag: offset})."""
+    pointers: dict = {}
+    (n,) = struct.unpack_from(end + "H", t, ifd)
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(end + "HHI", t, off)
+        if tag in (_EXIF_IFD_PTR, _GPS_IFD_PTR) and typ == 4:
+            (pointers[tag],) = struct.unpack_from(end + "I", t, off + 8)
+        elif tag in wanted:
+            val = _read_value(t, end, typ, count, off + 8)
+            if val is not None:
+                out[wanted[tag]] = val
+    return pointers
+
+
+def parse_exif(tiff: bytes) -> dict:
+    """Parse a TIFF-structured EXIF buffer (with or without the JPEG
+    ``Exif\\x00\\x00`` prefix) into a flat dict: the IFD0 identity tags,
+    ``datetime_original`` from the EXIF IFD, and signed decimal
+    ``gps_lat``/``gps_lon`` from the GPS IFD. Unparseable input raises —
+    callers own the per-row error contract."""
+    if tiff[:6] == b"Exif\x00\x00":
+        tiff = tiff[6:]
+    if tiff[:2] == b"II":
+        end = "<"
+    elif tiff[:2] == b"MM":
+        end = ">"
+    else:
+        raise ValueError("not a TIFF buffer: missing II/MM byte order")
+    (ifd0,) = struct.unpack_from(end + "I", tiff, 4)
+    out: dict = {}
+    pointers = _walk_ifd(tiff, end, ifd0, _IFD0_TAGS, out)
+    if _EXIF_IFD_PTR in pointers:
+        _walk_ifd(
+            tiff, end, pointers[_EXIF_IFD_PTR],
+            {_DT_ORIGINAL: "datetime_original"}, out,
+        )
+    if _GPS_IFD_PTR in pointers:
+        gps: dict = {}
+        _walk_ifd(
+            tiff, end, pointers[_GPS_IFD_PTR],
+            {1: "lat_ref", 2: "lat", 3: "lon_ref", 4: "lon"}, gps,
+        )
+        if isinstance(gps.get("lat"), list) and isinstance(gps.get("lon"), list):
+            def dms(v: list) -> float:
+                d, m, s = (v + [0.0, 0.0, 0.0])[:3]
+                return d + m / 60.0 + s / 3600.0
+
+            lat = dms(gps["lat"])
+            lon = dms(gps["lon"])
+            if gps.get("lat_ref", "N").upper().startswith("S"):
+                lat = -lat
+            if gps.get("lon_ref", "E").upper().startswith("W"):
+                lon = -lon
+            out["gps_lat"], out["gps_lon"] = lat, lon
+    return out
+
+
+# ---------------------------------------------------------------------------
+# container walks: find / strip
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_META_CHUNKS = (b"eXIf", b"tEXt", b"zTXt", b"iTXt")
+_WEBP_META_CHUNKS = (b"EXIF", b"XMP ")
+_XMP_NS = b"http://ns.adobe.com/xap/1.0/"
+
+
+def _jpeg_segments(p: bytes):
+    """Yield (marker, seg_start, seg_end) for each marker segment up to
+    and excluding SOS; entropy data after SOS is never metadata."""
+    pos = 2
+    n = len(p)
+    while pos + 4 <= n and p[pos] == 0xFF:
+        marker = p[pos + 1]
+        if marker == 0xDA:  # SOS — stop, remainder is entropy data
+            return
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", p, pos + 2)
+        yield marker, pos, pos + 2 + ln
+        pos += 2 + ln
+
+
+def _exif_from_jpeg(p: bytes) -> "bytes | None":
+    for marker, s, e in _jpeg_segments(p):
+        if marker == 0xE1 and p[s + 4:s + 10] == b"Exif\x00\x00":
+            return p[s + 4:e]
+    return None
+
+
+def _png_chunks(p: bytes):
+    pos = 8
+    n = len(p)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", p, pos)
+        ctype = p[pos + 4:pos + 8]
+        yield ctype, pos, pos + 12 + ln
+        pos += 12 + ln
+
+
+def _exif_from_png(p: bytes) -> "bytes | None":
+    for ctype, s, e in _png_chunks(p):
+        if ctype == b"eXIf":
+            return p[s + 8:e - 4]
+    return None
+
+
+def _webp_chunks(p: bytes):
+    pos = 12
+    n = len(p)
+    while pos + 8 <= n:
+        fourcc = p[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", p, pos + 4)
+        end = pos + 8 + ln + (ln & 1)  # chunks pad to even
+        yield fourcc, pos, end
+        pos = end
+
+
+def _exif_from_webp(p: bytes) -> "bytes | None":
+    for fourcc, s, e in _webp_chunks(p):
+        if fourcc == b"EXIF":
+            (ln,) = struct.unpack_from("<I", p, s + 4)
+            return p[s + 8:s + 8 + ln]
+    return None
+
+
+def find_exif(media_type: str, payload: bytes) -> "bytes | None":
+    """The raw EXIF/TIFF buffer of one payload, or None: JPEG APP1, PNG
+    ``eXIf`` chunk, WebP ``EXIF`` chunk."""
+    if payload[:2] == b"\xff\xd8":
+        return _exif_from_jpeg(payload)
+    if payload[:8] == _PNG_SIG:
+        return _exif_from_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _exif_from_webp(payload)
+    return None
+
+
+def _orientation_app1(orientation: int) -> bytes:
+    """A minimal valid APP1: one-entry IFD0 holding only tag 0x0112."""
+    tiff = (
+        b"II" + struct.pack("<HI", 42, 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+        + struct.pack("<I", 0)
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def strip_payload_metadata(payload: bytes, keep_orientation: bool = True) -> bytes:
+    """Scrub one payload's metadata containers (module docstring for the
+    per-format list). Unknown container formats return unchanged — the
+    scrub is additive-safe, never destructive to formats it doesn't
+    know."""
+    if payload[:2] == b"\xff\xd8":
+        drop: list = []
+        orientation = 1
+        insert_at = 2
+        for marker, s, e in _jpeg_segments(payload):
+            body = payload[s + 4:e]
+            if marker == 0xE1 and (
+                body[:6] == b"Exif\x00\x00" or body[: len(_XMP_NS)] == _XMP_NS
+            ):
+                if body[:6] == b"Exif\x00\x00":
+                    try:
+                        orientation = int(parse_exif(body).get("orientation", 1))
+                    except Exception:
+                        orientation = 1
+                drop.append((s, e))
+            elif marker == 0xED:  # APP13 Photoshop IRB / IPTC
+                drop.append((s, e))
+            elif marker == 0xE0 and not drop:
+                insert_at = e  # keep APP0 first if present (JFIF order)
+        out = bytearray()
+        pos = 0
+        for s, e in drop:
+            out += payload[pos:s]
+            pos = e
+        out += payload[pos:]
+        if keep_orientation and 1 < orientation <= 8:
+            # re-locate insert point in the rebuilt stream: after APP0 if
+            # it survived at the front, else right after SOI
+            at = insert_at
+            for s, e in drop:
+                if e <= insert_at:
+                    at -= e - s
+            out[at:at] = _orientation_app1(orientation)
+        return bytes(out)
+    if payload[:8] == _PNG_SIG:
+        out = bytearray(payload[:8])
+        for ctype, s, e in _png_chunks(payload):
+            if ctype not in _PNG_META_CHUNKS:
+                out += payload[s:e]
+        return bytes(out)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        out = bytearray(payload[:12])
+        for fourcc, s, e in _webp_chunks(payload):
+            if fourcc in _WEBP_META_CHUNKS:
+                continue
+            chunk = bytearray(payload[s:e])
+            if fourcc == b"VP8X" and len(chunk) >= 9:
+                chunk[8] &= ~0x0C  # clear EXIF (0x08) + XMP (0x04) flags
+            out += chunk
+        struct.pack_into("<I", out, 4, len(out) - 8)
+        return bytes(out)
+    return payload
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+
+EXIF_COLS = (
+    "doc_id bigint, orientation int, make string, model string, "
+    "software string, datetime_original string, gps_lat double, "
+    "gps_lon double, has_gps boolean, error string"
+)
+
+
+def exif_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload, media_type, …) → one metadata row per image payload:
+    orientation/make/model/software/datetime_original/gps, ``has_gps``
+    as the privacy gate, per-row ``error`` strings for unparseable EXIF
+    (the :func:`.multimodal.media_stats` contract — a corrupt blob is a
+    row, never a dead job). Payloads with no EXIF container yield NULLs
+    with ``has_gps = false``."""
+
+    cols = [
+        id_col, "orientation", "make", "model", "software",
+        "datetime_original", "gps_lat", "gps_lon", "has_gps", "error",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i, mt, pl in zip(b[id_col], b["media_type"], b["payload"]):
+                base = {
+                    id_col: i, "orientation": None, "make": None,
+                    "model": None, "software": None,
+                    "datetime_original": None, "gps_lat": None,
+                    "gps_lon": None, "has_gps": False, "error": None,
+                }
+                try:
+                    tiff = find_exif(mt or "", bytes(pl))
+                    if tiff is not None:
+                        meta = parse_exif(tiff)
+                        for k in (
+                            "orientation", "make", "model", "software",
+                            "datetime_original", "gps_lat", "gps_lon",
+                        ):
+                            if k in meta:
+                                base[k] = meta[k]
+                        base["has_gps"] = (
+                            meta.get("gps_lat") is not None
+                            and meta.get("gps_lon") is not None
+                        )
+                except Exception as e:  # per-row, audited
+                    base["error"] = f"{type(e).__name__}: {e}"
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return with_payload.select(id_col, "media_type", "payload").mapInPandas(
+        run, EXIF_COLS.replace("doc_id", id_col, 1)
+    )
+
+
+def strip_exif(
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    keep_orientation: bool = True,
+) -> DataFrame:
+    """(id, payload, media_type) → same rows with metadata-scrubbed
+    payloads (module docstring for what's removed per format). Pixels are
+    byte-identical — no decode, no re-encode — so perceptual hashes and
+    downstream decodes are unchanged except where EXIF rotation was the
+    only orientation record, which ``keep_orientation`` (default)
+    preserves via a minimal single-tag EXIF."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, types, payloads = [], [], []
+            for i, mt, pl in zip(b[id_col], b["media_type"], b["payload"]):
+                ids.append(i)
+                types.append(mt)
+                try:
+                    payloads.append(
+                        strip_payload_metadata(bytes(pl), keep_orientation)
+                    )
+                except Exception:
+                    payloads.append(bytes(pl))  # scrub is best-effort-safe
+            yield pd.DataFrame(
+                {id_col: ids, "media_type": types, "payload": payloads}
+            )
+
+    return with_payload.select(id_col, "media_type", "payload").mapInPandas(
+        run, f"{id_col} bigint, media_type string, payload binary"
+    )

@@ -1,0 +1,187 @@
+"""EXIF metadata extraction + privacy scrub: hand-laid-out TIFF fixtures
+(independent of the parser), GPS decimal conversion, per-format stripping
+with pixel identity and orientation preservation."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from aws_financial_data_pipeline_spark.operators import exif as exifop
+from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+
+def _entry(tag: int, typ: int, cnt: int, val: bytes) -> bytes:
+    assert len(val) == 4
+    return struct.pack("<HHI", tag, typ, cnt) + val
+
+
+def _mk_tiff() -> bytes:
+    """Little-endian TIFF with IFD0 (Make/Model/Orientation=6 + EXIF/GPS
+    pointers), EXIF IFD (DateTimeOriginal), GPS IFD (37°46'30"N,
+    122°25'6"W). Offsets laid out by hand: IFD0@8 (5 entries, ends 74),
+    EXIF@74 (ends 92), GPS@92 (ends 146), data@146."""
+    data = bytearray()
+
+    def add(b: bytes) -> int:
+        off = 146 + len(data)
+        data.extend(b)
+        return off
+
+    make_off = add(b"TestCam\x00")
+    model_off = add(b"X100\x00")
+    dt_off = add(b"2023:01:02 03:04:05\x00")
+
+    def rat3(d: int, m: int, s_num: int, s_den: int) -> bytes:
+        return struct.pack("<IIIIII", d, 1, m, 1, s_num, s_den)
+
+    lat_off = add(rat3(37, 46, 30, 1))
+    lon_off = add(rat3(122, 25, 6, 1))
+
+    ifd0 = (
+        struct.pack("<H", 5)
+        + _entry(0x010F, 2, 8, struct.pack("<I", make_off))
+        + _entry(0x0110, 2, 5, struct.pack("<I", model_off))
+        + _entry(0x0112, 3, 1, struct.pack("<HH", 6, 0))
+        + _entry(0x8769, 4, 1, struct.pack("<I", 74))
+        + _entry(0x8825, 4, 1, struct.pack("<I", 92))
+        + struct.pack("<I", 0)
+    )
+    exif_ifd = (
+        struct.pack("<H", 1)
+        + _entry(0x9003, 2, 20, struct.pack("<I", dt_off))
+        + struct.pack("<I", 0)
+    )
+    gps_ifd = (
+        struct.pack("<H", 4)
+        + _entry(1, 2, 2, b"N\x00\x00\x00")
+        + _entry(2, 5, 3, struct.pack("<I", lat_off))
+        + _entry(3, 2, 2, b"W\x00\x00\x00")
+        + _entry(4, 5, 3, struct.pack("<I", lon_off))
+        + struct.pack("<I", 0)
+    )
+    head = b"II" + struct.pack("<HI", 42, 8)
+    assert len(head + ifd0) == 74 and len(head + ifd0 + exif_ifd) == 92
+    assert len(head + ifd0 + exif_ifd + gps_ifd) == 146
+    return head + ifd0 + exif_ifd + gps_ifd + bytes(data)
+
+
+def _app1(body: bytes) -> bytes:
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def _mk_jpeg_with_metadata() -> bytes:
+    img = np.full((16, 24, 3), 120, dtype=np.uint8)
+    base = mm.encode_jpeg(img)
+    exif_seg = _app1(b"Exif\x00\x00" + _mk_tiff())
+    xmp_seg = _app1(b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>")
+    app13 = b"\xff\xed" + struct.pack(">H", 12) + b"Photoshop "
+    return base[:2] + exif_seg + xmp_seg + app13 + base[2:]
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _mk_png_with_metadata() -> bytes:
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    base = mm.encode_png(img)
+    iend = base.rindex(b"IEND") - 4
+    extra = _png_chunk(b"eXIf", _mk_tiff()) + _png_chunk(
+        b"tEXt", b"Comment\x00shot at my house"
+    )
+    return base[:iend] + extra + base[iend:]
+
+
+def _mk_webp_with_metadata() -> bytes:
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x0C]) + bytes(9)
+    tiff = _mk_tiff()
+    exif = b"EXIF" + struct.pack("<I", len(tiff)) + tiff + (b"\x00" if len(tiff) % 2 else b"")
+    fake = b"VP8L" + struct.pack("<I", 6) + b"\x2fJUNK\x00"
+    body = b"WEBP" + vp8x + exif + fake
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _meta_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+
+
+def test_exif_metadata_extraction(spark):
+    rows = [
+        (1, bytearray(_mk_jpeg_with_metadata()), "image/jpeg"),
+        (2, bytearray(_mk_png_with_metadata()), "image/png"),
+        (3, bytearray(_mk_webp_with_metadata()), "image/webp"),
+        (4, bytearray(mm.encode_bmp(np.zeros((4, 4, 3), np.uint8))), "image/bmp"),
+        # corrupt EXIF body: container found, TIFF walk fails per-row
+        (5, bytearray(b"\xff\xd8" + _app1(b"Exif\x00\x00II trunc") + b"\xff\xd9"),
+         "image/jpeg"),
+    ]
+    got = {r["doc_id"]: r for r in exifop.exif_metadata(_meta_df(spark, rows)).collect()}
+    for i in (1, 2, 3):
+        r = got[i]
+        assert r["make"] == "TestCam" and r["model"] == "X100"
+        assert r["orientation"] == 6
+        assert r["datetime_original"] == "2023:01:02 03:04:05"
+        assert abs(r["gps_lat"] - 37.775) < 1e-9
+        assert abs(r["gps_lon"] - (-(122 + 25 / 60 + 6 / 3600))) < 1e-9
+        assert r["has_gps"] is True and r["error"] is None
+    assert got[4]["make"] is None and got[4]["has_gps"] is False
+    assert got[4]["error"] is None
+    assert got[5]["error"] is not None and got[5]["has_gps"] is False
+
+
+def test_strip_exif_jpeg_pixels_identical_orientation_kept(spark):
+    jpg = _mk_jpeg_with_metadata()
+    rows = [(1, bytearray(jpg), "image/jpeg")]
+    stripped = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in exifop.strip_exif(_meta_df(spark, rows)).collect()
+    }[1]
+    meta = exifop.parse_exif(exifop.find_exif("image/jpeg", stripped))
+    assert meta.get("make") is None and "gps_lat" not in meta
+    assert meta["orientation"] == 6  # preserved via the minimal APP1
+    assert b"xmpmeta" not in stripped and b"Photoshop" not in stripped
+    # pixels identical: decode honors the same orientation both ways
+    np.testing.assert_array_equal(mm.decode_image(jpg), mm.decode_image(stripped))
+
+    # keep_orientation=False drops rotation entirely
+    bare = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in exifop.strip_exif(
+            _meta_df(spark, rows), keep_orientation=False
+        ).collect()
+    }[1]
+    assert exifop.find_exif("image/jpeg", bare) is None
+
+
+def test_strip_exif_png_and_webp(spark):
+    png, webp = _mk_png_with_metadata(), _mk_webp_with_metadata()
+    rows = [(1, bytearray(png), "image/png"), (2, bytearray(webp), "image/webp")]
+    out = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in exifop.strip_exif(_meta_df(spark, rows)).collect()
+    }
+    s_png, s_webp = out[1], out[2]
+    assert exifop.find_exif("image/png", s_png) is None
+    assert b"tEXt" not in s_png and b"my house" not in s_png
+    np.testing.assert_array_equal(mm.decode_image(png), mm.decode_image(s_png))
+
+    assert exifop.find_exif("image/webp", s_webp) is None
+    (riff_size,) = struct.unpack_from("<I", s_webp, 4)
+    assert riff_size == len(s_webp) - 8  # size header re-patched
+    vp8x_flags = s_webp[s_webp.index(b"VP8X") + 8]
+    assert vp8x_flags & 0x0C == 0  # EXIF+XMP flag bits cleared
+    assert b"VP8L" in s_webp  # image chunk untouched
+
+
+def test_strip_exif_unknown_format_passthrough(spark):
+    rows = [(1, bytearray(b"GIF89a notreally"), "image/gif")]
+    out = exifop.strip_exif(_meta_df(spark, rows)).collect()[0]
+    assert bytes(out["payload"]) == b"GIF89a notreally"
