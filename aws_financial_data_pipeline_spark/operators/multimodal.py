@@ -1445,6 +1445,95 @@ def audio_fingerprints(
     return with_payload.mapInPandas(run, f"{id_col} bigint, ahash bigint")
 
 
+def audio_energy(
+    with_payload: DataFrame,
+    window_ms: int = 25,
+    media_type: str = "audio/wav",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, payload, media_type, …) → one row per fixed energy window:
+    ``(id, win_idx, t0, window_s, rms_db)`` — the audio twin of
+    :func:`video_fingerprints` (one Arrow pass, payload bytes dropped;
+    channels mixed down, RMS in dBFS, silence floor clamped at -120).
+    Undecodable payloads are skipped the way the fingerprint stages skip
+    (route :func:`media_stats` errors first — same funnel contract)."""
+    window_s = window_ms / 1000.0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sel = pdf[pdf["media_type"] == media_type]
+            ids, idxs, t0s, dbs = [], [], [], []
+            for i, b in zip(sel[id_col], sel["payload"]):
+                try:
+                    rate, x = decode_audio(bytes(b))
+                except Exception:
+                    continue  # decode-gate rejects are media_stats' job
+                mono = x.mean(axis=1)
+                n = max(1, int(rate * window_s))
+                n_win = len(mono) // n
+                if n_win == 0:
+                    continue
+                w = mono[: n_win * n].reshape(n_win, n)
+                rms = np.sqrt((w * w).mean(axis=1))
+                db = 20.0 * np.log10(np.maximum(rms, 1e-6))  # floor -120 dB
+                ids.extend([i] * n_win)
+                idxs.extend(range(n_win))
+                t0s.extend((np.arange(n_win) * window_s).tolist())
+                dbs.extend(db.tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int64"),
+                    "t0": pd.Series(t0s, dtype="float64"),
+                    "window_s": pd.Series([window_s] * len(ids), dtype="float64"),
+                    "rms_db": pd.Series(dbs, dtype="float64"),
+                }
+            )
+
+    return with_payload.select(id_col, "media_type", "payload").mapInPandas(
+        run,
+        f"{id_col} bigint, win_idx bigint, t0 double, window_s double, rms_db double",
+    )
+
+
+def audio_segments(
+    energy: DataFrame,
+    silence_db: float = -40.0,
+    min_gap_windows: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Silence-based segmentation over the :func:`audio_energy` table —
+    the audio twin of :func:`video_scenes`: windows at or above
+    ``silence_db`` are speech/active; a silent run LONGER than
+    ``min_gap_windows`` splits segments (shorter pauses stay inside one
+    segment — the VAD-style hangover). Returns one row per segment:
+    ``(id, segment_id, start_s, end_s, n_windows, mean_db)`` where
+    ``end_s`` is exclusive (last active window's end).
+
+    Cost: one window function + one aggregate, both keyed on (id) —
+    a single Exchange over the 40-byte energy rows; audio bytes were
+    gone after the energy pass. All-silent audio yields zero rows."""
+    from pyspark.sql import Window
+
+    active = energy.where(F.col("rms_db") >= silence_db)
+    w = Window.partitionBy(id_col).orderBy("win_idx")
+    gap = F.col("win_idx") - F.lag("win_idx").over(w)
+    starts = active.withColumn(
+        "_new_seg",
+        (gap.isNull() | (gap > min_gap_windows + 1)).cast("int"),
+    )
+    segged = starts.withColumn(
+        "segment_id",
+        F.sum("_new_seg").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    return segged.groupBy(id_col, "segment_id").agg(
+        F.min("t0").alias("start_s"),
+        F.max(F.col("t0") + F.col("window_s")).alias("end_s"),
+        F.count("*").alias("n_windows"),
+        F.avg("rms_db").alias("mean_db"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81 sequential DCT, huffman) — stdlib+numpy only
 # ---------------------------------------------------------------------------

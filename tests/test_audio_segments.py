@@ -1,0 +1,86 @@
+"""Audio energy windows + silence-based segmentation (the video_scenes
+twin): boundaries on a constructed tone/silence layout, the short-pause
+hangover, stereo mixdown, all-silent audio, and the one-Exchange plan."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+RATE = 16000
+
+
+def _tone(seconds: float, amp: float = 0.5, hz: float = 440.0) -> np.ndarray:
+    t = np.arange(int(RATE * seconds)) / RATE
+    return amp * np.sin(2 * np.pi * hz * t)
+
+
+def _silence(seconds: float) -> np.ndarray:
+    return np.zeros(int(RATE * seconds))
+
+
+def _payloads(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+
+
+def test_audio_segments_split_on_long_silence(spark):
+    # 0.5s tone | 0.5s silence (20 windows > min_gap 8) | 0.3s tone
+    x = np.concatenate([_tone(0.5), _silence(0.5), _tone(0.3, amp=0.3)])
+    df = _payloads(spark, [(1, bytearray(mm.encode_wav(x, RATE)), "audio/wav")])
+    energy = mm.audio_energy(df, window_ms=25)
+    segs = {
+        r["segment_id"]: r
+        for r in mm.audio_segments(energy).collect()
+    }
+    assert set(segs) == {0, 1}
+    s0, s1 = segs[0], segs[1]
+    assert abs(s0["start_s"] - 0.0) < 1e-9 and abs(s0["end_s"] - 0.5) < 1e-9
+    assert s0["n_windows"] == 20
+    assert abs(s1["start_s"] - 1.0) < 1e-9 and abs(s1["end_s"] - 1.3) < 1e-9
+    assert s1["n_windows"] == 12
+    assert s0["mean_db"] > -15  # sin(0.5 amp) RMS ~= -9 dBFS
+
+
+def test_audio_segments_short_pause_stays_joined(spark):
+    # 0.2s tone | 0.1s silence (4 windows <= min_gap 8) | 0.2s tone
+    x = np.concatenate([_tone(0.2), _silence(0.1), _tone(0.2)])
+    df = _payloads(spark, [(1, bytearray(mm.encode_wav(x, RATE)), "audio/wav")])
+    segs = mm.audio_segments(mm.audio_energy(df, window_ms=25)).collect()
+    assert len(segs) == 1
+    s = segs[0]
+    assert abs(s["start_s"] - 0.0) < 1e-9 and abs(s["end_s"] - 0.5) < 1e-9
+    assert s["n_windows"] == 16  # active windows only — the pause is not counted
+
+
+def test_audio_segments_all_silent_and_stereo(spark):
+    stereo = np.stack([_tone(0.25), _tone(0.25)], axis=1)
+    rows = [
+        (1, bytearray(mm.encode_wav(_silence(1.0), RATE)), "audio/wav"),
+        (2, bytearray(mm.encode_wav(stereo, RATE)), "audio/wav"),
+        (3, bytearray(b"not a wav"), "audio/wav"),  # skipped, never fatal
+        (4, bytearray(b"\x89PNG junk"), "image/png"),  # wrong type ignored
+    ]
+    segs = mm.audio_segments(mm.audio_energy(_payloads(spark, rows))).collect()
+    by_id = {}
+    for r in segs:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_id  # all-silent: zero segments
+    assert len(by_id[2]) == 1 and by_id[2][0]["n_windows"] == 10
+    assert 3 not in by_id and 4 not in by_id
+
+
+def test_audio_segments_single_exchange_plan(spark):
+    df = _payloads(
+        spark, [(1, bytearray(mm.encode_wav(_tone(0.2), RATE)), "audio/wav")]
+    )
+    segs = mm.audio_segments(mm.audio_energy(df))
+    plan = segs._jdf.queryExecution().executedPlan().toString()
+    # window + aggregate co-key on doc_id: one shuffle for the window,
+    # the groupBy reuses (partial agg on the window's partitioning may
+    # add its own Exchange only on the id prefix) — pin to <= 2 and the
+    # absence of any join
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
