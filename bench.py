@@ -977,6 +977,135 @@ def _bench_event_funnel(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_pdf_extract(spark, sf_dir: str) -> float:
+    """PDF text extraction over a synthesized corpus: 300 multi-stream
+    PDFs (Flate + raw content streams, a Flate image XObject that must be
+    SKIPPED, ~1.5k words each), built and cached pre-t0. The timed region
+    is the Arrow pdf_to_documents pass — the crawl's application/pdf
+    slice cost."""
+    import zlib as _z
+
+    from aws_financial_data_pipeline_spark.operators import pdf as pdfop
+
+    def mk_pdf(i: int) -> bytes:
+        words = " ".join(f"word{(i * 37 + k) % 997}" for k in range(1500))
+        ops = ("BT /F1 12 Tf 72 720 Td (" + words + ") Tj T* (page one) Tj ET").encode()
+        flz = _z.compress(ops)
+        img = _z.compress(bytes((i + k) % 251 for k in range(4096)))
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(flz), flz),
+            b"<< /Length 24 >>\nstream\nBT (raw stream text) Tj ET\nendstream",
+            b"<< /Subtype /Image /Width 64 /Height 16 /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n%s\nendstream" % (len(img), img),
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        for idx, body in enumerate(objs, start=1):
+            out += b"%d 0 obj\n" % idx + body + b"\nendobj\n"
+        out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF"
+        return bytes(out)
+
+    rows = [(i, bytearray(mk_pdf(i)), "application/pdf", 0) for i in range(300)]
+    payloads = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    ).repartition(32).cache()
+    payloads.count()
+
+    def run():
+        t0 = time.perf_counter()
+        pdfop.pdf_to_documents(payloads).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
+    spark.catalog.clearCache()
+    return elapsed
+
+
+def _bench_code_curation(spark, sf_dir: str) -> float:
+    """The code-corpus gate chain over the documents table dressed as
+    source files (deterministic synthetic paths + license/secret tails on
+    a slice, attached pre-t0): language ID + license detection + secrets
+    scan + structural quality signals — four map-only Catalyst
+    projections, the per-file cost of a Stack-style sweep."""
+    from aws_financial_data_pipeline_spark.operators import code as code_mod
+
+    docs = _scaled_input(spark, f"{sf_dir}/documents.parquet")
+    exts = F.array(*[F.lit(e) for e in ("py", "js", "go", "rs", "java", "c", "rb", "sh")])
+    files = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("src/m"), (F.col("doc_id") % 97).cast("string"), F.lit("/f"),
+            F.col("doc_id").cast("string"), F.lit("."),
+            F.element_at(exts, (F.col("doc_id") % 8 + 1).cast("int")),
+        ).alias("path"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("# SPDX-License-Identifier: MIT\n"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit("\npassword = \"hunter2hunter2\"")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).cache()
+    files.count()
+
+    def run():
+        t0 = time.perf_counter()
+        staged = code_mod.license_detect(code_mod.code_language_id(files))
+        staged.write.mode("overwrite").format("noop").save()
+        code_mod.secrets_scan(files).write.mode("overwrite").format("noop").save()
+        code_mod.code_quality_signals(files).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
+    spark.catalog.clearCache()
+    return elapsed
+
+
+def _bench_chat_sft(spark, sf_dir: str) -> float:
+    """The SFT conversation pass: documents fold into multi-turn
+    conversations pre-t0 (doc_id % 512 groups, alternating user/assistant
+    roles in doc_id order); the timed region is validate + chatml render
+    with loss-mask spans + fingerprint + pair extraction — the four
+    map-side stages an instruction-data release runs."""
+    from aws_financial_data_pipeline_spark.operators import chat as chat_mod
+
+    docs = _scaled_input(spark, f"{sf_dir}/documents.parquet")
+    convs = (
+        docs.groupBy((F.col("doc_id") % 512).alias("conv_id"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s, i: F.struct(
+                    F.when(i % 2 == 0, F.lit("user"))
+                    .otherwise(F.lit("assistant"))
+                    .alias("role"),
+                    s["text"].alias("content"),
+                ),
+            ).alias("turns")
+        )
+        .cache()
+    )
+    convs.count()
+
+    def run():
+        t0 = time.perf_counter()
+        chat_mod.validate_conversations(convs).write.mode("overwrite").format("noop").save()
+        chat_mod.render_conversations(convs).write.mode("overwrite").format("noop").save()
+        chat_mod.conversation_fingerprint(convs).write.mode("overwrite").format("noop").save()
+        chat_mod.turns_to_pairs(convs).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -1043,6 +1172,9 @@ def main() -> None:
         ("event_funnel", _bench_event_funnel, {}),
         ("image_dedup_mixed", _bench_image_dedup, {}),
         ("video_dedup", _bench_video_dedup, {}),
+        ("pdf_extract", _bench_pdf_extract, {}),
+        ("code_curation", _bench_code_curation, {}),
+        ("chat_sft", _bench_chat_sft, {}),
         ("crawl_front_door", _bench_crawl_front_door, {}),
         ("archive_front_door", _bench_archive_front_door, {}),
         ("warc_ingest", _bench_warc_ingest, {}),
