@@ -284,18 +284,10 @@ AUTOGEN_RE = (
 )
 
 
-def code_quality_signals(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """One map-only pass of the StarCoder-style structural signals:
-    ``n_lines``, ``max_line_len`` / ``mean_line_len`` (minified JS and
-    data blobs have huge lines), ``frac_long_lines`` (> 120 chars),
-    ``frac_alnum`` (binary/data files sink), ``has_long_b64`` (embedded
-    base64 payloads ≥ 512 chars), ``is_autogenerated`` (header markers in
-    the first 1024 chars), and ``passes_code_gates`` — the public
-    StarCoder defaults (max line ≤ 1000, mean line ≤ 100, alnum ≥ 0.25,
-    not autogenerated, no long base64 run). The signals ride along so a
-    pipeline can re-threshold without re-scanning."""
+def _quality_exprs(text_col: str) -> "dict[str, Column]":
+    """The named signal expressions, shared by :func:`code_quality_signals`
+    and the funnel's inline quality gate (no semi-join needed — the gate
+    is a filter on these map-only expressions)."""
     t = F.col(text_col)
     lines = F.split(t, "\n")
     lens = F.transform(lines, lambda x: F.length(x))
@@ -331,14 +323,178 @@ def code_quality_signals(
         & ~has_b64
         & ~autogen
     )
+    return {
+        "n_lines": n_lines,
+        "max_line_len": max_len,
+        "mean_line_len": mean_len,
+        "frac_long_lines": frac_long,
+        "frac_alnum": frac_alnum,
+        "has_long_b64": has_b64,
+        "is_autogenerated": autogen,
+        "passes_code_gates": gates,
+    }
+
+
+def code_quality_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One map-only pass of the StarCoder-style structural signals:
+    ``n_lines``, ``max_line_len`` / ``mean_line_len`` (minified JS and
+    data blobs have huge lines), ``frac_long_lines`` (> 120 chars),
+    ``frac_alnum`` (binary/data files sink), ``has_long_b64`` (embedded
+    base64 payloads ≥ 512 chars), ``is_autogenerated`` (header markers in
+    the first 1024 chars), and ``passes_code_gates`` — the public
+    StarCoder defaults (max line ≤ 1000, mean line ≤ 100, alnum ≥ 0.25,
+    not autogenerated, no long base64 run). The signals ride along so a
+    pipeline can re-threshold without re-scanning."""
     return docs.select(
         id_col,
-        n_lines.alias("n_lines"),
-        max_len.alias("max_line_len"),
-        mean_len.alias("mean_line_len"),
-        frac_long.alias("frac_long_lines"),
-        frac_alnum.alias("frac_alnum"),
-        has_b64.alias("has_long_b64"),
-        autogen.alias("is_autogenerated"),
-        gates.alias("passes_code_gates"),
+        *[expr.alias(name) for name, expr in _quality_exprs(text_col).items()],
     )
+
+
+# ---------------------------------------------------------------------------
+# the audited funnel (text/media funnel symmetry)
+
+
+def code_curation_funnel(
+    files: DataFrame,
+    path_col: str = "path",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: "tuple | None" = None,
+    permissive_only: bool = True,
+    allow_unlicensed: bool = False,
+    secrets: str = "drop",
+    with_ledger: bool = False,
+):
+    """The code-corpus gate chain — :func:`..curation.curation_funnel`'s
+    source-file twin, The Stack's published shape. Returns ``(corpus,
+    audit)`` (+ ``ledger`` with ``with_ledger=True``).
+
+    Stages, cheapest-reject first:
+
+    1. **language_gate** — identified language required; ``languages=``
+       additionally restricts to an allowlist. Unidentified files are
+       QUARANTINED (dropped with reason), never guessed into a bucket.
+    2. **license_gate** — ``permissive_only`` keeps
+       :data:`PERMISSIVE_LICENSES` members; ``allow_unlicensed`` decides
+       whether license-less files pass (The Stack's default is no —
+       repo-level license attribution should happen upstream).
+    3. **secrets_gate** — ``secrets="drop"`` rejects any file with a
+       credential hit (a file that commits one real key tends to commit
+       more); ``secrets="redact"`` keeps every file with matches replaced
+       by typed placeholders (``text`` is rewritten).
+    4. **quality_gate** — :func:`code_quality_signals`'s
+       ``passes_code_gates`` (minified/generated/blob shapes out).
+    5. **dedup** — exact content dedup (md5 groupBy, min-id canonical);
+       near-dup belongs to the generic MinHash operators downstream.
+
+    ``corpus`` carries the input columns plus ``language`` and
+    ``license`` (the columns a Stack-style release ships). ``audit``:
+    (stage, docs_kept) in gate order. ``ledger``: (id, stage, reason)
+    per dropped file — reasons ``unidentified_language`` /
+    ``language_not_allowed`` / ``non_permissive_license`` /
+    ``no_license`` / ``committed_secrets`` / ``structural_quality`` /
+    ``exact_duplicate``.
+
+    Every gate is a map-only projection + filter; the only shuffles are
+    the 16-byte md5 groupBy of stage 5 and the ledger's anti-joins when
+    requested — the text funnel's cost story exactly."""
+    if secrets not in ("drop", "redact"):
+        raise ValueError(f"secrets must be 'drop' or 'redact', got {secrets!r}")
+    stages: list = []
+    ledgers: list = []
+
+    def _gone(prev: DataFrame, new: DataFrame, stage: str, reason) -> None:
+        if not with_ledger:
+            return
+        gone = prev.join(new.select(id_col), id_col, "left_anti")
+        ledgers.append(
+            gone.select(
+                F.col(id_col),
+                F.lit(stage).alias("stage"),
+                (F.lit(reason) if isinstance(reason, str) else reason).alias(
+                    "reason"
+                ),
+            )
+        )
+
+    cur = files
+    stages.append(("input", cur))
+
+    lang = code_language_id(cur, path_col=path_col, text_col=text_col, id_col=id_col)
+    keep = F.col("language").isNotNull()
+    if languages is not None:
+        keep = keep & F.col("language").isin(*languages)
+    langed = lang.filter(keep)
+    _gone(
+        lang,
+        langed,
+        "language_gate",
+        F.when(F.col("language").isNull(), F.lit("unidentified_language")).otherwise(
+            F.lit("language_not_allowed")
+        ),
+    )
+    stages.append(("language_gate", langed))
+    cur = langed.drop("lang_source")
+
+    lic = license_detect(cur, text_col=text_col, id_col=id_col)
+    if permissive_only:
+        keep = F.col("is_permissive") == True  # noqa: E712 — three-valued
+        if allow_unlicensed:
+            keep = keep | F.col("license").isNull()
+        licensed = lic.filter(keep)
+        _gone(
+            lic,
+            licensed,
+            "license_gate",
+            F.when(F.col("license").isNull(), F.lit("no_license")).otherwise(
+                F.lit("non_permissive_license")
+            ),
+        )
+    else:
+        licensed = lic
+    stages.append(("license_gate", licensed))
+    cur = licensed.drop("license_source", "is_permissive")
+
+    # inline expressions — unlike the media funnel (whose stats come out
+    # of an Arrow stage and must join back), every code gate is a Catalyst
+    # expression, so the gates are filters: zero joins, zero shuffles
+    sec_cols = _secret_output_cols(text_col)
+    n_total = None
+    for c in sec_cols[1:]:
+        n_total = c if n_total is None else n_total + c
+    if secrets == "drop":
+        cleaned = cur.filter(n_total == 0)
+        _gone(cur, cleaned, "secrets_gate", "committed_secrets")
+    else:  # redact: every row survives, matched spans rewritten in place
+        cleaned = cur.withColumn(text_col, sec_cols[0])
+    stages.append(("secrets_gate", cleaned))
+    cur = cleaned
+
+    qualified = cur.filter(_quality_exprs(text_col)["passes_code_gates"])
+    _gone(cur, qualified, "quality_gate", "structural_quality")
+    stages.append(("quality_gate", qualified))
+    cur = qualified
+
+    canon_ids = (
+        cur.select(F.col(id_col), F.md5(F.col(text_col)).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    deduped = cur.join(canon_ids, id_col, "left_semi")
+    _gone(cur, deduped, "dedup", "exact_duplicate")
+    stages.append(("dedup", deduped))
+
+    audit = None
+    for name, frame in stages:
+        row = frame.agg(F.lit(name).alias("stage"), F.count("*").alias("docs_kept"))
+        audit = row if audit is None else audit.unionByName(row)
+    if not with_ledger:
+        return deduped, audit
+    ledger = ledgers[0]
+    for frame in ledgers[1:]:
+        ledger = ledger.unionByName(frame)
+    return deduped, audit, ledger
