@@ -25,14 +25,20 @@ per-payload errors never job-fatal):
   line structure from ``Td``/``TD`` (ty≠0), ``T*`` and ``Tm``. Literal
   strings handle the full escape set (octal, specials, balanced nested
   parens, line continuations); hex strings handle odd-length padding.
-- **String decoding**: without per-font /Encoding + ToUnicode CMaps
-  (glyph remapping is unbounded), bytes decode by heuristic — UTF-16BE
-  when BOM'd or when a 1-byte reading is mostly non-printable while the
-  2-byte reading is clean (the Type0/CID convention), else WinAnsi
-  (cp1252) falling back to Latin-1. Custom-encoded subset fonts therefore
-  extract APPROXIMATE text — acceptable for LLM-corpus usage, documented
-  here rather than silently wrong: gibberish ratios are exactly what the
-  downstream quality signals (:mod:`.quality`) are built to catch.
+- **String decoding**: fonts carrying a ``/ToUnicode`` CMap — the
+  subset/CID convention, i.e. essentially every TeX-produced paper —
+  decode THROUGH the map: ``/Font`` resource names resolve to font
+  objects and their CMap streams (codespace + bfchar + bfrange, both
+  array and incrementing forms), and the scanner tracks the current
+  font via ``Tf`` so two fonts with clashing glyph codes can't garble
+  each other. Unmapped wide codes surface as U+FFFD (visible to quality
+  signals, never silently wrong). Fonts WITHOUT a CMap decode by
+  heuristic — UTF-16BE when BOM'd or when a 1-byte reading is mostly
+  non-printable while the 2-byte reading is clean, else WinAnsi
+  (cp1252) falling back to Latin-1 — approximate for custom-encoded
+  fonts that also omit ToUnicode, documented rather than silently
+  wrong: gibberish ratios are exactly what the downstream quality
+  signals (:mod:`.quality`) are built to catch.
 - **Loud rejects**: encrypted PDFs (``/Encrypt``) raise — decrypting
   RC4/AES without keys is out of scope and partial plaintext would be
   silently wrong; non-PDF payloads raise ``ValueError``.
@@ -345,19 +351,186 @@ def _decode_string(raw: bytes) -> str:
 
 # tokens may be delimited by whitespace OR a delimiter char (BT/F1 12 Tf
 # is legal PDF), so BT/ET match on token boundaries, not whitespace
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps (ISO 32000 §9.10.3): subset/CID fonts — the norm in
+# TeX-produced papers — show glyph CODES, not character codes; without the
+# font's ToUnicode map their text extracts as gibberish. The walk below
+# resolves /Font resource names → font objects → /ToUnicode CMap streams
+# and parses codespace/bfchar/bfrange into per-font code→text maps; the
+# BT…ET scanner tracks the current font via Tf and decodes through it.
+
+_OBJ_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+0[\x00\t\n\x0c\r ]+obj\b")
+_FONT_RES_RE = re.compile(rb"/Font[\x00\t\n\x0c\r ]*<<([^<>]*)>>")
+_FONT_REF_RE = re.compile(
+    rb"/([A-Za-z0-9.+_-]+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+0"
+    rb"[\x00\t\n\x0c\r ]+R"
+)
+_TOUNICODE_RE = re.compile(
+    rb"/ToUnicode[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+0[\x00\t\n\x0c\r ]+R"
+)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+_STREAM_KW_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
+
+
+def _hex_to_text(h: bytes) -> str:
+    """A CMap destination hex token → text (UTF-16BE code units)."""
+    raw = bytes.fromhex(h.decode("ascii"))
+    if len(raw) % 2:
+        raw = raw + b"\x00"
+    return raw.decode("utf-16-be", "replace")
+
+
+def _parse_cmap(data: bytes) -> "tuple[int, dict]":
+    """(code byte width, {code int → str}) from one ToUnicode CMap."""
+    width = 2
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        first = _HEXTOK_RE.search(m.group(1))
+        if first and first.group(1):
+            width = max(1, len(first.group(1)) // 2)
+    table: dict = {}
+    for seg in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = [t.group(1) for t in _HEXTOK_RE.finditer(seg) if t.group(1)]
+        for i in range(0, len(toks) - 1, 2):
+            table[int(toks[i], 16)] = _hex_to_text(toks[i + 1])
+    for seg in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = list(_HEXTOK_RE.finditer(seg))
+        i = 0
+        while i + 2 < len(toks):
+            if not (toks[i].group(1) and toks[i + 1].group(1)):
+                i += 1
+                continue
+            lo = int(toks[i].group(1), 16)
+            hi = int(toks[i + 1].group(1), 16)
+            nxt = toks[i + 2]
+            if nxt.group(2):  # '[' — explicit destination array
+                j = i + 3
+                c = lo
+                while j < len(toks) and not toks[j].group(3):
+                    if toks[j].group(1) and c <= hi:
+                        table[c] = _hex_to_text(toks[j].group(1))
+                        c += 1
+                    j += 1
+                i = j + 1
+            else:  # single destination, last code unit increments
+                base = _hex_to_text(nxt.group(1))
+                for k in range(hi - lo + 1):
+                    if base:
+                        table[lo + k] = base[:-1] + chr(ord(base[-1]) + k)
+                i += 3
+    return width, table
+
+
+def _object_spans(raw: bytes) -> "dict[int, tuple[int, int]]":
+    """{object number → (body_start, body_end)} via the obj/endobj scan
+    (same robustness posture as the stream scan: no xref required)."""
+    spans: dict = {}
+    for m in _OBJ_RE.finditer(raw):
+        end = raw.find(b"endobj", m.end())
+        spans[int(m.group(1))] = (m.end(), end if end >= 0 else len(raw))
+    return spans
+
+
+def _object_stream_data(raw: bytes, span: "tuple[int, int]") -> "bytes | None":
+    """Decode the stream inside one object body (for CMap objects — the
+    non-text dict gate doesn't apply, but the filter chain does)."""
+    s, e = span
+    m = _STREAM_KW_RE.search(raw, s, e)
+    if not m:
+        return None
+    endpos = raw.find(b"endstream", m.end())
+    if endpos < 0 or endpos > e:
+        endpos = e
+    dict_bytes = raw[s:m.start()]
+    data = raw[m.end():endpos].rstrip(b"\r\n")
+    fm = _FILTER_RE.search(dict_bytes)
+    if fm is not None:
+        names = [n.decode("ascii") for n in re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))]
+        if any(n not in _TEXT_FILTERS for n in names):
+            return None
+    try:
+        out = _apply_filters(dict_bytes, data)
+    except Exception:
+        return None
+    return out
+
+
+def _collect_fonts(raw: bytes) -> dict:
+    """{b"/Name": (code_width, {code → str})} for every font resource
+    with a parseable ToUnicode CMap. Resource names merge across pages
+    (the per-page scoping a full object-graph walk would give is lost in
+    the scan-based model; same-named fonts with DIFFERENT maps across
+    pages are rare enough that per-font Tf tracking still wins by far
+    over a global heuristic)."""
+    if b"/ToUnicode" not in raw:
+        return {}
+    spans = _object_spans(raw)
+    fonts: dict = {}
+    for res in _FONT_RES_RE.finditer(raw):
+        for name, num in _FONT_REF_RE.findall(res.group(1)):
+            span = spans.get(int(num))
+            if span is None:
+                continue
+            tm = _TOUNICODE_RE.search(raw[span[0]:span[1]])
+            if tm is None:
+                continue
+            cmap_span = spans.get(int(tm.group(1)))
+            if cmap_span is None:
+                continue
+            data = _object_stream_data(raw, cmap_span)
+            if data is None:
+                continue
+            try:
+                fonts[b"/" + name] = _parse_cmap(data)
+            except Exception:
+                continue  # a corrupt CMap falls back to the heuristic
+    return fonts
+
+
+def _decode_with_cmap(raw: bytes, width: int, table: dict) -> str:
+    """Map a shown string through a font's ToUnicode table: fixed-width
+    code chunks; unmapped 1-byte codes fall back to their Latin-1 char
+    (partial CMaps in the wild map only the subset glyphs), unmapped
+    wide codes surface as U+FFFD — visible to the quality signals, never
+    silently wrong."""
+    out = []
+    for k in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[k:k + width], "big")
+        if code in table:
+            out.append(table[code])
+        elif width == 1:
+            out.append(chr(code))
+        else:
+            out.append("\ufffd")
+    return "".join(out)
+
+
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _BT_RE = re.compile(rb"(?<![A-Za-z0-9])BT(?![A-Za-z0-9])")
 _ET_RE = re.compile(rb"(?<![A-Za-z0-9])ET(?![A-Za-z0-9])")
 
 
-def _extract_block(block: bytes, parts: list) -> None:
+def _extract_block(
+    block: bytes, parts: list, fonts: "dict | None" = None,
+    state: "dict | None" = None,
+) -> None:
     """Walk one BT…ET block, appending text fragments and layout breaks
-    ('\\n' / ' ') to ``parts`` in stream order."""
+    ('\\n' / ' ') to ``parts`` in stream order. ``fonts`` is the
+    :func:`_collect_fonts` map; ``state`` carries the current font across
+    blocks of one content stream (Tf is graphics state, it survives
+    BT/ET boundaries)."""
     i, n = 0, len(block)
     operands: list = []  # parsed (kind, value) in order
+    if state is None:
+        state = {}
 
     def flush_show(val) -> None:
-        if isinstance(val, bytes):
+        if not isinstance(val, bytes):
+            return
+        fm = fonts.get(state.get("font")) if fonts else None
+        if fm is not None:
+            parts.append(_decode_with_cmap(val, fm[0], fm[1]))
+        else:
             parts.append(_decode_string(val))
 
     while i < n:
@@ -445,6 +618,9 @@ def _extract_block(block: bytes, parts: list) -> None:
                 parts.append("\n" if ty != 0 else " ")
             elif op in (b"T*", b"Tm"):
                 parts.append("\n")
+            elif op == b"Tf":
+                if len(operands) >= 2 and operands[-2][0] == "name":
+                    state["font"] = operands[-2][1]
             operands.clear()
 
 
@@ -463,6 +639,10 @@ def pdf_text(raw: bytes) -> str:
             "encrypted PDF: decryption is out of scope; route through an "
             "environment with a real PDF stack"
         )
+    try:
+        fonts = _collect_fonts(raw)
+    except Exception:
+        fonts = {}  # a broken font graph falls back to the byte heuristic
     parts: list = []
     for m in re.finditer(rb"stream(?:\r\n|\n|\r)", raw):
         # the stream dict immediately precedes the keyword: from its
@@ -499,13 +679,14 @@ def pdf_text(raw: bytes) -> str:
         if data is None:
             continue
         pos = 0
+        state: dict = {}  # Tf font selection persists across a stream's blocks
         while True:
             bt = _BT_RE.search(data, pos)
             if not bt:
                 break
             et = _ET_RE.search(data, bt.end())
             block_end = et.start() if et else len(data)
-            _extract_block(data[bt.end():block_end], parts)
+            _extract_block(data[bt.end():block_end], parts, fonts, state)
             parts.append("\n")
             pos = block_end + 2
     text = "".join(parts)

@@ -263,6 +263,66 @@ def test_pdf_binary_streams_never_inject_text():
     assert pdfop.pdf_text(doc) == "real"
 
 
+def _mk_cmap(entries: bytes, codespace: bytes = b"<0000> <FFFF>") -> bytes:
+    """A minimal ToUnicode CMap stream body (independent of the parser)."""
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n1 begincodespacerange\n" + codespace
+        + b"\nendcodespacerange\n" + entries + b"\nendcmap\nend"
+    )
+
+
+def test_pdf_tounicode_cmap_bfchar_and_bfrange():
+    """Subset-font glyph codes decode through the font's ToUnicode CMap:
+    bfchar pairs, incrementing bfrange, and the array-form bfrange; an
+    unmapped wide code surfaces as U+FFFD."""
+    cmap = _mk_cmap(
+        b"1 beginbfchar\n<0001> <0048>\nendbfchar\n"          # 0001 -> H
+        b"1 beginbfrange\n<0002> <0003> <0065>\nendbfrange\n"  # 02->e 03->f
+        b"1 beginbfrange\n<0010> <0011> [<0058> <0059>]\nendbfrange"  # X Y
+    )
+    ops = b"BT /F1 12 Tf <000100020001000300100011> Tj <00FF> Tj ET"
+    doc = _mk_pdf(
+        ops,
+        extra_obj=b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ).replace(
+        b"/BaseFont /Helvetica", b"/BaseFont /Helvetica /ToUnicode 6 0 R"
+    )
+    assert pdfop.pdf_text(doc) == "HeHfXY�"
+
+
+def test_pdf_tounicode_per_font_tracking():
+    """Two fonts with CLASHING glyph codes decode independently — per-font
+    Tf tracking, not a merged global map; a font with no CMap still uses
+    the byte heuristic in the same document."""
+    import zlib as _z
+
+    cmap_a = _mk_cmap(b"1 beginbfchar\n<0001> <0041>\nendbfchar")  # 0001->A
+    cmap_b = _mk_cmap(b"1 beginbfchar\n<0001> <005A>\nendbfchar")  # 0001->Z
+    fz = _z.compress(cmap_b)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R /F2 6 0 R /F3 9 0 R >> >> >>",
+        b"<< /Length 0 >>\nstream\n"
+        b"BT /F1 10 Tf <0001> Tj /F2 10 Tf <0001> Tj /F3 10 Tf (plain) Tj ET"
+        b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 8 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap_a), cmap_a),
+        # the second CMap arrives Flate-compressed — the filter chain runs
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(fz), fz),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for idx, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % idx + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF"
+    assert pdfop.pdf_text(bytes(out)) == "AZplain"
+
+
 def test_pdf_token_boundaries_and_trailing_dot_numbers():
     """BT followed by a delimiter (BT/F1 — legal, whitespace-free writers)
     is still found, and trailing-dot reals (14. — legal PDF numbers)
