@@ -253,6 +253,106 @@ def bpe_encode(
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def bpe_encode_with_offsets(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: "list[str] | None" = None,
+    spans_col: "str | None" = None,
+) -> DataFrame:
+    """:func:`bpe_encode` that also emits per-token CHARACTER offsets —
+    ``token_starts``/``token_ends`` ([start, end) into ``text_col``) —
+    and, when ``spans_col`` names an ``array<struct<start,end>>`` column
+    (:func:`..chat.render_conversations`'s ``assistant_spans``), a
+    ``loss_mask array<boolean>``: a token is trainable iff its character
+    interval lies FULLY inside one span, so template/prompt tokens (and
+    any token straddling a span boundary) mask out of the loss. This is
+    the tokenizer half of the SFT loss-mask contract.
+
+    Offsets are exact because lowercasing here is CHARACTER-WISE (a char
+    whose lowercase expands — ``İ`` — stays as-is), trading those rare
+    chars' case-folding for offset integrity; pretokenization is the
+    same :data:`..text.BPE_REGEX`, and each word's subword tokens
+    partition its span, so ``text[start:end]`` reproduces every token's
+    SURFACE form (the ``</w>`` end-of-word marker is zero-width: a token
+    carrying it spans only its visible characters, and a bare marker
+    token spans [end, end)). Same Arrow/memoization shape as
+    :func:`bpe_encode`."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pattern = BPE_REGEX
+    tok2id = {t: i for i, t in enumerate(vocab)} if vocab is not None else None
+
+    def run(batches):
+        import pandas as pd
+
+        rx = re.compile(pattern)
+        cache: dict[str, list[str]] = {}
+
+        def enc(text, spans):
+            text = text or ""
+            lowered = "".join(
+                lc if len(lc := ch.lower()) == 1 else ch for ch in text
+            )
+            toks: list[str] = []
+            starts: list[int] = []
+            ends: list[int] = []
+            for m in rx.finditer(lowered):
+                w = m.group()
+                got = cache.get(w)
+                if got is None:
+                    got = encode_word(w, ranks)
+                    cache[w] = got
+                pos = m.start()
+                for t in got:
+                    toks.append(t)
+                    starts.append(pos)
+                    # the </w> end-of-word marker is zero-width in the
+                    # surface: strip its length so offsets stay exact
+                    pos += len(t) - (len(END) if t.endswith(END) else 0)
+                    ends.append(pos)
+            mask = None
+            if spans is not None:
+                ivals = [(int(s["start"]), int(s["end"])) for s in spans]
+                mask = [
+                    any(a <= s and e <= b for a, b in ivals)
+                    for s, e in zip(starts, ends)
+                ]
+            return toks, starts, ends, mask
+
+        for pdf in batches:
+            span_src = pdf[spans_col] if spans_col is not None else [None] * len(pdf)
+            encoded = [
+                enc(t, sp) for t, sp in zip(pdf[text_col], span_src)
+            ]
+            cols = {
+                id_col: pdf[id_col],
+                "bpe_tokens": [e[0] for e in encoded],
+                "token_starts": [e[1] for e in encoded],
+                "token_ends": [e[2] for e in encoded],
+                "n_bpe_tokens": [len(e[0]) for e in encoded],
+            }
+            if tok2id is not None:
+                cols["bpe_ids"] = [
+                    [tok2id.get(t, 0) for t in e[0]] for e in encoded
+                ]
+            if spans_col is not None:
+                cols["loss_mask"] = [e[3] for e in encoded]
+            yield pd.DataFrame(cols)
+
+    schema = (
+        f"{id_col} long, bpe_tokens array<string>, token_starts array<int>, "
+        "token_ends array<int>, n_bpe_tokens int"
+    )
+    if tok2id is not None:
+        schema += ", bpe_ids array<int>"
+    sel = [id_col, text_col]
+    if spans_col is not None:
+        schema += ", loss_mask array<boolean>"
+        sel.append(spans_col)
+    return docs.select(*sel).mapInPandas(run, schema)
+
+
 def bpe_decode(
     encoded: DataFrame,
     vocab: list[str] | None = None,

@@ -215,6 +215,36 @@ def conversation_fingerprint(
     return convs.select(id_col, F.md5(canon).alias("fingerprint"))
 
 
+def sft_tokenize(
+    convs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    vocab: "list[str] | None" = None,
+    template: str = "chatml",
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """The SFT trainer exit: render under ``template`` and BPE-encode with
+    per-token ``loss_mask`` — True exactly for tokens whose characters
+    lie inside an assistant turn's content (template, system and user
+    tokens mask out). One map-only render projection feeding one Arrow
+    encode pass; composition of :func:`render_conversations` and
+    :func:`..bpe.bpe_encode_with_offsets`, kept as one call so the span
+    convention between the two can't be miswired."""
+    from .bpe import bpe_encode_with_offsets
+
+    rendered = render_conversations(
+        convs, template=template, turns_col=turns_col, id_col=id_col
+    )
+    return bpe_encode_with_offsets(
+        rendered,
+        merges,
+        text_col="text",
+        id_col=id_col,
+        vocab=vocab,
+        spans_col="assistant_spans",
+    )
+
+
 def turns_to_pairs(
     convs: DataFrame,
     template: str = "plain",

@@ -104,6 +104,53 @@ def test_turns_to_pairs(spark):
     assert out[1]["prompt"] == "System: s\nUser: q1\nAssistant: a1\nUser: q2\n"
 
 
+def test_sft_tokenize_loss_mask(spark):
+    """End-to-end SFT exit: chatml render + BPE encode with offsets —
+    every token's surface form reproduces from its offsets, and the loss
+    mask is True exactly for assistant-content tokens."""
+    rows = [(1, [("user", "hi there"), ("assistant", "ok go")])]
+    out = chatop.sft_tokenize(_convs(spark, rows), merges=[]).collect()[0]
+    rendered = (
+        "<|im_start|>user\nhi there<|im_end|>\n"
+        "<|im_start|>assistant\nok go<|im_end|>\n"
+    )
+    toks = out["bpe_tokens"]
+    for t, s, e in zip(toks, out["token_starts"], out["token_ends"]):
+        surface = t[:-4] if t.endswith("</w>") else t  # marker is zero-width
+        assert rendered[s:e] == surface
+    masked = [t for t, m in zip(toks, out["loss_mask"]) if m]
+    assert masked == ["o", "k", "</w>", "g", "o", "</w>"]
+    assert out["n_bpe_tokens"] == len(toks) and any(
+        not m for m in out["loss_mask"]
+    )
+
+
+def test_bpe_offsets_straddling_token_masks_out(spark):
+    """A merged token that straddles a span boundary is NOT trainable —
+    the conservative rule (mask out) rather than leaking prompt chars
+    into the loss."""
+    from aws_financial_data_pipeline_spark.operators import bpe as bpeop
+
+    docs = spark.createDataFrame(
+        [(1, "abcd", [{"start": 0, "end": 2}])],
+        "doc_id long, text string, spans array<struct<start: bigint, end: bigint>>",
+    )
+    out = bpeop.bpe_encode_with_offsets(
+        docs, merges=[("a", "b"), ("ab", "c")], spans_col="spans"
+    ).collect()[0]
+    assert out["bpe_tokens"] == ["abc", "d", "</w>"]
+    assert out["loss_mask"] == [False, False, False]
+    # widen the span to cover the whole merged token: now trainable
+    docs2 = spark.createDataFrame(
+        [(1, "abcd", [{"start": 0, "end": 3}])],
+        "doc_id long, text string, spans array<struct<start: bigint, end: bigint>>",
+    )
+    out2 = bpeop.bpe_encode_with_offsets(
+        docs2, merges=[("a", "b"), ("ab", "c")], spans_col="spans"
+    ).collect()[0]
+    assert out2["loss_mask"] == [True, False, False]
+
+
 def test_chat_stages_are_map_only(spark):
     rows = [(1, [("user", "hi"), ("assistant", "hello")])]
     convs = _convs(spark, rows)
