@@ -329,15 +329,32 @@ def exif_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     tiff = find_exif(mt or "", bytes(pl))
                     if tiff is not None:
                         meta = parse_exif(tiff)
-                        for k in (
-                            "orientation", "make", "model", "software",
-                            "datetime_original", "gps_lat", "gps_lon",
+                        # coerce to the declared column types: a corrupt
+                        # EXIF that stores a tag under the WRONG TIFF type
+                        # (orientation as ASCII, …) must stay a per-row
+                        # anomaly, not an Arrow cast error killing the
+                        # batch
+                        for k, kind in (
+                            ("orientation", int), ("make", str),
+                            ("model", str), ("software", str),
+                            ("datetime_original", str),
+                            ("gps_lat", float), ("gps_lon", float),
                         ):
-                            if k in meta:
-                                base[k] = meta[k]
+                            v = meta.get(k)
+                            if v is None:
+                                continue
+                            if kind is str:
+                                if isinstance(v, str):
+                                    base[k] = v
+                            else:  # int/float: numeric or numeric-string
+                                try:
+                                    if isinstance(v, (int, float, str)):
+                                        base[k] = kind(v)
+                                except (TypeError, ValueError):
+                                    pass  # ill-typed tag: stays NULL
                         base["has_gps"] = (
-                            meta.get("gps_lat") is not None
-                            and meta.get("gps_lon") is not None
+                            base["gps_lat"] is not None
+                            and base["gps_lon"] is not None
                         )
                 except Exception as e:  # per-row, audited
                     base["error"] = f"{type(e).__name__}: {e}"

@@ -181,6 +181,39 @@ def test_strip_exif_png_and_webp(spark):
     assert b"VP8L" in s_webp  # image chunk untouched
 
 
+def test_exif_ill_typed_tags_stay_per_row(spark):
+    """A corrupt EXIF storing tags under the WRONG TIFF type (orientation
+    as ASCII, make as RATIONAL) must not become an Arrow cast error that
+    kills the batch: coercible values coerce, incoercible ones stay NULL,
+    and the well-formed neighbor row still extracts."""
+    data = bytearray()
+
+    def add(b: bytes) -> int:
+        off = 38 + len(data)
+        data.extend(b)
+        return off
+
+    rat_off = add(struct.pack("<II", 1, 2))
+    head = b"II" + struct.pack("<HI", 42, 8)
+    ifd0 = (
+        struct.pack("<H", 2)
+        + _entry(0x0112, 2, 2, b"6\x00\x00\x00")  # orientation as ASCII
+        + _entry(0x010F, 5, 1, struct.pack("<I", rat_off))  # make as RATIONAL
+        + struct.pack("<I", 0)
+    )
+    assert len(head + ifd0) == 38
+    bad = b"\xff\xd8" + _app1(b"Exif\x00\x00" + head + ifd0 + bytes(data)) + b"\xff\xd9"
+    rows = [
+        (1, bytearray(bad), "image/jpeg"),
+        (2, bytearray(_mk_jpeg_with_metadata()), "image/jpeg"),
+    ]
+    got = {r["doc_id"]: r for r in exifop.exif_metadata(_meta_df(spark, rows)).collect()}
+    assert got[1]["orientation"] == 6  # "6" coerces
+    assert got[1]["make"] is None  # a list can't — stays NULL, not fatal
+    assert got[1]["error"] is None
+    assert got[2]["make"] == "TestCam"  # neighbor row unaffected
+
+
 def test_strip_exif_unknown_format_passthrough(spark):
     rows = [(1, bytearray(b"GIF89a notreally"), "image/gif")]
     out = exifop.strip_exif(_meta_df(spark, rows)).collect()[0]
