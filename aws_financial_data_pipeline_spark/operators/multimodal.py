@@ -709,6 +709,77 @@ def image_phash(
 IMAGE_TYPES = ("image/bmp", "image/png", "image/jpeg", "image/gif", "image/webp")
 
 
+def image_quality_stats(
+    with_payload: DataFrame,
+    media_type: "str | tuple[str, ...]" = IMAGE_TYPES,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decoded-pixel quality signals per image — the deterministic
+    structural subset of LAION-style image filtering (no learned
+    aesthetic model in-container, and none needed for the dominant junk
+    classes): ``luma_mean`` / ``luma_std`` (solid-color placeholders and
+    tracking pixels sit at std ≈ 0), ``entropy_bits`` (256-bin luma
+    histogram entropy — banner gradients score low, photographs high),
+    ``edge_energy`` (mean absolute horizontal+vertical luma gradient —
+    blur/flat detection), plus width/height and the per-row ``error``
+    contract. Gate AFTER the funnel's decode gate and BEFORE
+    fingerprinting so flat junk never costs a pHash.
+
+    One Arrow pass over the real decoders, payload dropped on output —
+    the :func:`image_phash` cost story (bytes read once, 48-byte signal
+    rows are what persist)."""
+    types = (media_type,) if isinstance(media_type, str) else tuple(media_type)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "width", "height", "luma_mean", "luma_std",
+            "entropy_bits", "edge_energy", "error",
+        ]
+        for pdf in batches:
+            sel = pdf[pdf["media_type"].isin(types)]
+            rows = []
+            for i, b in zip(sel[id_col], sel["payload"]):
+                try:
+                    img = decode_image(bytes(b))
+                    luma = (
+                        0.299 * img[:, :, 0].astype(np.float64)
+                        + 0.587 * img[:, :, 1]
+                        + 0.114 * img[:, :, 2]
+                    )
+                    hist = np.bincount(
+                        np.clip(luma, 0, 255).astype(np.uint8).ravel(),
+                        minlength=256,
+                    )
+                    p = hist[hist > 0] / luma.size
+                    entropy = float(-(p * np.log2(p)).sum())
+                    gx = np.abs(np.diff(luma, axis=1)).mean() if luma.shape[1] > 1 else 0.0
+                    gy = np.abs(np.diff(luma, axis=0)).mean() if luma.shape[0] > 1 else 0.0
+                    rows.append({
+                        id_col: i,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "luma_mean": float(luma.mean()),
+                        "luma_std": float(luma.std()),
+                        "entropy_bits": entropy,
+                        "edge_energy": float((gx + gy) / 2.0),
+                        "error": None,
+                    })
+                except Exception as e:  # per-row, audited — never job-fatal
+                    rows.append({
+                        id_col: i, "width": None, "height": None,
+                        "luma_mean": None, "luma_std": None,
+                        "entropy_bits": None, "edge_energy": None,
+                        "error": f"{type(e).__name__}: {e}",
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return with_payload.select(id_col, "media_type", "payload").mapInPandas(
+        run,
+        f"{id_col} bigint, width int, height int, luma_mean double, "
+        "luma_std double, entropy_bits double, edge_energy double, error string",
+    )
+
+
 def image_dedup(
     with_payload: DataFrame,
     media_type: "str | tuple[str, ...]" = IMAGE_TYPES,

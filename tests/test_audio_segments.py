@@ -84,3 +84,34 @@ def test_audio_segments_single_exchange_plan(spark):
     # absence of any join
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_image_quality_stats_signals(spark):
+    """Quality signals separate junk classes: a solid placeholder (std 0,
+    entropy 0, edges 0), a smooth gradient (low edges, mid entropy), and
+    high-contrast noise (high std + entropy + edges); corrupt payloads
+    land as per-row errors."""
+    rng = np.random.default_rng(7)
+    solid = np.full((32, 32, 3), 140, dtype=np.uint8)
+    grad = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))
+    gradient = np.stack([grad, grad, grad], axis=2)
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    rows = [
+        (1, bytearray(mm.encode_bmp(solid)), "image/bmp", 0),
+        (2, bytearray(mm.encode_png(gradient)), "image/png", 0),
+        (3, bytearray(mm.encode_bmp(noise)), "image/bmp", 0),
+        (4, bytearray(b"BM corrupt"), "image/bmp", 0),
+        (5, bytearray(b"RIFF"), "audio/wav", 0),  # wrong type: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len long"
+    )
+    got = {r["doc_id"]: r for r in mm.image_quality_stats(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    s, g, n = got[1], got[2], got[3]
+    assert s["luma_std"] == 0.0 and s["entropy_bits"] == 0.0 and s["edge_energy"] == 0.0
+    assert g["edge_energy"] < n["edge_energy"]
+    assert g["entropy_bits"] < n["entropy_bits"]
+    assert n["luma_std"] > 40 and n["entropy_bits"] > 6
+    assert got[4]["error"] is not None and got[4]["luma_std"] is None
+    assert (s["width"], s["height"]) == (32, 32)
