@@ -21,6 +21,12 @@ perceptual cluster. Stages, cheapest first:
    ``min_pixels`` (LAION-style resolution floor, visual rows only),
    ``min_seconds``/``max_seconds`` (audio/video duration bounds) — no
    second decode.
+4b. **image_quality_gate** (optional, ``min_luma_std`` /
+   ``min_entropy_bits``) — decoded-pixel flatness/entropy floors via
+   :func:`..multimodal.image_quality_stats` over the surviving IMAGE
+   slice only (solid placeholders, tracking pixels, banner gradients);
+   costs that slice one extra decode, placed after the cheap drops so
+   it sees the smallest possible set.
 5. **dedup** — per modality: :func:`..multimodal.image_dedup` /
    :func:`..multimodal.audio_dedup` / :func:`..multimodal.video_dedup`
    (all through the distinct-hash banded machinery with ``bucket_cap``);
@@ -152,6 +158,8 @@ def media_curation_funnel(
     min_pixels: "int | None" = None,
     min_seconds: "float | None" = None,
     max_seconds: "float | None" = None,
+    min_luma_std: "float | None" = None,
+    min_entropy_bits: "float | None" = None,
     max_distance: int = 6,
     bucket_cap: "int | None" = None,
     video_min_containment: float = 0.5,
@@ -248,6 +256,25 @@ def media_curation_funnel(
         _gone(cur, dimensioned, "dimension_gate", "dimension_out_of_bounds")
         stages.append(("dimension_gate", dimensioned))
         cur = dimensioned
+    if min_luma_std is not None or min_entropy_bits is not None:
+        # image_quality_gate (optional): decoded-pixel flatness/entropy
+        # floors for IMAGE rows only (solid placeholders, tracking pixels,
+        # banner gradients); audio/video rows pass untouched. Costs one
+        # extra decode of the surviving image slice — gate it here, after
+        # the cheap drops, so the decode sees the smallest possible set.
+        ok = F.lit(True)
+        if min_luma_std is not None:
+            ok = ok & (F.col("luma_std") >= min_luma_std)
+        if min_entropy_bits is not None:
+            ok = ok & (F.col("entropy_bits") >= min_entropy_bits)
+        q = mm.image_quality_stats(
+            cur.filter(F.col("media_type").isin(*mm.IMAGE_TYPES)), id_col=id_col
+        )
+        flat_ids = q.filter(F.col("error").isNull() & ~ok).select(id_col)
+        quality_kept = cur.join(flat_ids, id_col, "left_anti")
+        _gone(cur, quality_kept, "image_quality_gate", "image_quality_out_of_bounds")
+        stages.append(("image_quality_gate", quality_kept))
+        cur = quality_kept
     if materialize:
         # fans out into three per-modality dedup passes below
         cur = cur.localCheckpoint(eager=False)

@@ -537,3 +537,24 @@ def test_media_bundle_tar_with_pk_prefixed_first_member(spark, tmp_path):
     media = tarsrc.read_media_bundles(spark, str(tmp_path))
     rows = media.collect()
     assert len(rows) == 1 and rows[0]["media_type"] == "image/bmp"
+
+
+def test_media_funnel_image_quality_gate(spark):
+    """Optional image_quality_gate: a solid-color placeholder drops at the
+    flatness floor, a real image survives, and audio rows pass untouched
+    (the gate sees image rows only)."""
+    solid = np.full((48, 48, 3), 200, dtype=np.uint8)
+    rows = [
+        (1, bytearray(mm.encode_bmp(_img(5))), "image/bmp", 0),
+        (2, bytearray(mm.encode_bmp(solid)), "image/bmp", 0),
+        (3, bytearray(mm.encode_wav(_tone(11))), "audio/wav", 0),
+    ]
+    frames = spark.createDataFrame(rows, mm.PAYLOAD_COLS)
+    corpus, audit, ledger = mc.media_curation_funnel(
+        frames, min_luma_std=1.0, with_ledger=True
+    )
+    assert {r["doc_id"] for r in corpus.collect()} == {1, 3}
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["image_quality_gate"] == 2 and a["decode_gate"] == 3
+    reasons = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+    assert reasons[2] == ("image_quality_gate", "image_quality_out_of_bounds")
