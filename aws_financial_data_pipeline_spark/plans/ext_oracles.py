@@ -457,6 +457,22 @@ EXT_ORACLES: dict[str, str] = {
              len(regexp_extract_all(t, '(?i)\b(?:password|passwd|secret|api_?key|auth_?token|access_?token)\s*[=:]\s*["''][^"''\s]{6,}["'']')) AS c7,
              regexp_replace(t, '(?i)\b(?:password|passwd|secret|api_?key|auth_?token|access_?token)\s*[=:]\s*["''][^"''\s]{6,}["'']', '<SECRET:password_assignment>', 'g') AS t
       FROM sr6
+    ),
+    -- chat_render leg: conversations constructed in-query (doc_id%50
+    -- groups, turns in doc_id order, roles alternating user/assistant),
+    -- rendered under the plain template; n_train = assistant char mass
+    chatc AS (
+      SELECT conv_id,
+             string_agg(
+               CASE WHEN rn % 2 = 1 THEN 'User: ' ELSE 'Assistant: ' END
+                 || text || chr(10), '' ORDER BY doc_id) AS rendered,
+             sum(CASE WHEN rn % 2 = 0 THEN length(text) ELSE 0 END) AS n_train
+      FROM (
+        SELECT doc_id, text, doc_id % 50 AS conv_id,
+               row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rn
+        FROM documents
+      )
+      GROUP BY conv_id
     )
     SELECT 'ngram_spans' AS method, c.doc_id,
            CAST(len(c.t) - coalesce(r.kept_n, 0) AS BIGINT) AS removed_units,
@@ -499,6 +515,11 @@ EXT_ORACLES: dict[str, str] = {
            CAST(c1 + c2 + c3 + c4 + c5 + c6 + c7 AS BIGINT) AS removed_units,
            t AS clean_text
     FROM sr7
+    UNION ALL
+    SELECT 'chat_render' AS method, conv_id AS doc_id,
+           CAST(n_train AS BIGINT) AS removed_units,
+           rendered AS clean_text
+    FROM chatc
     """,
     "x06_simhash_candidates": _SIMHASH64
     + """

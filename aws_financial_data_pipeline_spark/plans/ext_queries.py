@@ -1032,6 +1032,12 @@ def x42_dup_spans(spark, sf_dir):
       family. removed_units = total matches; clean_text = redacted text,
       so the hash gates every pattern AND the sequential
       count-then-replace order.
+    - ``chat_render``: the SFT render (``chat.render_conversations``,
+      plain template) over conversations constructed IN the query
+      (doc_id % 50 groups, texts as turns in doc_id order, roles
+      alternating user/assistant). removed_units = n_train_chars (the
+      sum of assistant-span widths — transitively hash-gates the
+      loss-mask span arithmetic); clean_text = the rendered string.
 
     clean_text rides in all legs, so the hash transitively gates the gram
     table, duplicate filters, interval merge, keeper election ((doc_id,pos)
@@ -1119,11 +1125,31 @@ def x42_dup_spans(spark, sf_dir):
         total.cast("long").alias("removed_units"),
         F.col("text_redacted").alias("clean_text"),
     )
+    from ..operators import chat as chat_mod
+
+    convs = docs.groupBy((F.col("doc_id") % 50).alias("conv_id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s, i: F.struct(
+                F.when(i % 2 == 0, F.lit("user"))
+                .otherwise(F.lit("assistant"))
+                .alias("role"),
+                s["text"].alias("content"),
+            ),
+        ).alias("turns")
+    )
+    chat = chat_mod.render_conversations(convs, template="plain").select(
+        F.lit("chat_render").alias("method"),
+        F.col("conv_id").alias("doc_id"),
+        F.col("n_train_chars").cast("long").alias("removed_units"),
+        F.col("text").alias("clean_text"),
+    )
     return (
         ngram.unionByName(para)
         .unionByName(lines)
         .unionByName(c4)
         .unionByName(secrets)
+        .unionByName(chat)
     )
 
 
