@@ -141,6 +141,129 @@ def read_jsonl_corpus(
     )
 
 
+# the ShareGPT speaker vocabulary → the engine's role contract
+_SHAREGPT_ROLES = {
+    "human": "user", "gpt": "assistant", "system": "system",
+    "tool": "tool", "observation": "tool",
+    "user": "user", "assistant": "assistant",
+}
+
+CONV_COLS = (
+    "path string, lineno long, rid string, "
+    "turns array<struct<role: string, content: string>>"
+)
+
+
+def parse_jsonl_conversations(
+    files: DataFrame,
+    turns_field: "str | None" = None,
+    id_field: str = "id",
+) -> DataFrame:
+    """The SFT front door's parse stage over any (path, content) frame:
+    one conversation per JSONL line, in either public interchange shape —
+    the OpenAI chat format (``{"messages": [{"role", "content"}, …]}``)
+    or ShareGPT (``{"conversations": [{"from", "value"}, …]}``, speakers
+    mapped human→user / gpt→assistant / observation→tool). The shape is
+    detected PER LINE unless ``turns_field`` pins it; a line with
+    neither field raises loudly (a silently dropped line is a lost
+    conversation — the corpus-parse convention). Unknown speaker tags
+    pass through verbatim so :func:`..operators.chat
+    .validate_conversations` can flag them downstream instead of this
+    stage guessing. Gzip sniffed per file; same Arrow harness as
+    :func:`parse_jsonl_files`."""
+
+    def to_turns(obj, fpath, lineno) -> list:
+        if turns_field is not None:
+            raw, role_key, content_key = obj.get(turns_field), "role", "content"
+        elif "messages" in obj:
+            raw, role_key, content_key = obj["messages"], "role", "content"
+        elif "conversations" in obj:
+            raw, role_key, content_key = obj["conversations"], "from", "value"
+        else:
+            raw = None
+        if not isinstance(raw, list):
+            raise ValueError(
+                f"JSONL line {lineno} in {fpath!r} has no conversation "
+                "field (messages/conversations) — a silently dropped line "
+                "is a lost conversation"
+            )
+        turns = []
+        for t in raw:
+            if not isinstance(t, dict):
+                raise ValueError(
+                    f"JSONL line {lineno} in {fpath!r}: turn is not an object"
+                )
+            role = t.get(role_key)
+            role = _SHAREGPT_ROLES.get(role, role) if role is not None else None
+            content = t.get(content_key)
+            turns.append(
+                {
+                    "role": None if role is None else str(role),
+                    "content": None if content is None else str(content),
+                }
+            )
+        return turns
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                if raw[:3] == b"\xef\xbb\xbf":
+                    raw = raw[3:]
+                for lineno, line in enumerate(raw.split(b"\n")):
+                    if not line.strip():
+                        continue
+                    try:
+                        obj = json.loads(line)
+                    except ValueError as e:
+                        raise ValueError(
+                            f"malformed JSONL line {lineno} in {fpath!r}: {e}"
+                        ) from e
+                    rid = obj.get(id_field) if isinstance(obj, dict) else None
+                    rows.append(
+                        (
+                            fpath,
+                            lineno,
+                            None if rid is None else str(rid),
+                            to_turns(obj, fpath, lineno),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "lineno", "rid", "turns"]
+            )
+
+    return files.select("path", "content").mapInPandas(run, CONV_COLS)
+
+
+def read_jsonl_conversations(
+    spark: SparkSession,
+    path: str,
+    turns_field: "str | None" = None,
+    id_field: str = "id",
+) -> DataFrame:
+    """Conversation JSONL shards under ``path`` → ``(conv_id, turns)``,
+    the :mod:`..operators.chat` contract: one binaryFile task per shard,
+    one Arrow parse stage, ids in the jsonl id space
+    (``xxhash64(path:id:rid)`` when the shard carries ids, else
+    ``xxhash64(path:line:lineno)`` — stable under re-ingest, the
+    :func:`jsonl_to_documents` convention exactly)."""
+    parsed = parse_jsonl_conversations(
+        spark.read.format("binaryFile").load(path), turns_field, id_field
+    )
+    key = F.when(
+        F.col("rid").isNotNull(),
+        F.concat_ws(":", F.col("path"), F.lit("id"), F.col("rid")),
+    ).otherwise(
+        F.concat_ws(":", F.col("path"), F.lit("line"), F.col("lineno"))
+    )
+    return parsed.select(F.xxhash64(key).alias("conv_id"), "turns")
+
+
 def write_jsonl_corpus(
     docs: DataFrame,
     out_dir: str,

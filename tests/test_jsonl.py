@@ -252,3 +252,86 @@ def test_jsonl_doc_id_spaces_never_collide(spark, tmp_path):
     assert len({r["doc_id"] for r in docs}) == 2
     texts = {r["text"] for r in docs}
     assert texts == {"doc with id two", "doc on line two"}
+
+
+def test_read_jsonl_conversations_both_formats(spark, tmp_path):
+    """The SFT front door: OpenAI messages + gzipped ShareGPT shards in
+    one landing dir parse to the (conv_id, turns) contract with speaker
+    mapping, id stability across re-reads, and a clean handoff into the
+    chat operators."""
+    import gzip as _gz
+    import json as _json
+
+    from aws_financial_data_pipeline_spark.operators import chat as chatop
+    from aws_financial_data_pipeline_spark.sources import jsonl as jsonlsrc
+
+    openai_lines = [
+        {"id": "a1", "messages": [
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"},
+        ]},
+        {"messages": [{"role": "user", "content": "solo"},
+                      {"role": "assistant", "content": "ok"}]},
+    ]
+    sharegpt_lines = [
+        {"id": "s1", "conversations": [
+            {"from": "system", "value": "be kind"},
+            {"from": "human", "value": "q"},
+            {"from": "gpt", "value": "a"},
+            {"from": "observation", "value": "tool out"},
+            {"from": "gpt", "value": "done"},
+        ]},
+    ]
+    (tmp_path / "openai.jsonl").write_text(
+        "\n".join(_json.dumps(x) for x in openai_lines)
+    )
+    (tmp_path / "share.jsonl.gz").write_bytes(
+        _gz.compress("\n".join(_json.dumps(x) for x in sharegpt_lines).encode())
+    )
+
+    convs = jsonlsrc.read_jsonl_conversations(spark, str(tmp_path))
+    rows = convs.collect()
+    assert len(rows) == 3
+    by_turns = {len(r["turns"]): r for r in rows}
+    sg = by_turns[5]
+    assert [t["role"] for t in sg["turns"]] == [
+        "system", "user", "assistant", "tool", "assistant"
+    ]
+    assert sg["turns"][1]["content"] == "q"
+
+    # id stability: a second read keys identically
+    again = {r["conv_id"] for r in
+             jsonlsrc.read_jsonl_conversations(spark, str(tmp_path)).collect()}
+    assert again == {r["conv_id"] for r in rows}
+
+    # clean handoff: every parsed conversation validates and renders
+    validated = chatop.validate_conversations(convs)
+    assert all(r["is_valid"] for r in validated.collect())
+    rendered = chatop.render_conversations(convs).collect()
+    assert all(r["n_train_chars"] > 0 for r in rendered)
+
+
+def test_read_jsonl_conversations_loud_failures(spark, tmp_path):
+    """A line with neither messages nor conversations raises (lost-line
+    convention); unknown speaker tags pass through for validate to flag."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from aws_financial_data_pipeline_spark.operators import chat as chatop
+    from aws_financial_data_pipeline_spark.sources import jsonl as jsonlsrc
+
+    (tmp_path / "bad.jsonl").write_text(_json.dumps({"text": "not a conv"}))
+    with _pytest.raises(Exception, match="no conversation field"):
+        jsonlsrc.read_jsonl_conversations(spark, str(tmp_path)).collect()
+
+    d2 = tmp_path / "odd"
+    d2.mkdir()
+    (d2 / "odd.jsonl").write_text(
+        _json.dumps({"conversations": [{"from": "robot9", "value": "x"}]})
+    )
+    convs = jsonlsrc.read_jsonl_conversations(spark, str(d2))
+    row = convs.collect()[0]
+    assert row["turns"][0]["role"] == "robot9"  # passed through verbatim
+    flags = chatop.validate_conversations(convs).collect()[0]
+    assert flags["f_bad_role"] and not flags["is_valid"]
