@@ -264,6 +264,58 @@ def read_jsonl_conversations(
     return parsed.select(F.xxhash64(key).alias("conv_id"), "turns")
 
 
+def write_jsonl_conversations(
+    convs: DataFrame,
+    out_dir: str,
+    num_shards: "int | None" = None,
+    id_col: str = "conv_id",
+    turns_col: str = "turns",
+    compress: bool = True,
+) -> None:
+    """The SFT RELEASE direction: conversations out as OpenAI-format
+    ``.jsonl(.gz)`` shards (``{"id", "messages": [{"role", "content"},
+    …]}``) via Spark's native JSON sink — no Python in the path; the
+    nested array<struct> serializes in whole-stage codegen.
+    ``num_shards`` range-partitions by id for deterministic shard
+    membership and order (:func:`write_jsonl_corpus`'s reproducibility
+    contract). A release re-ingests through
+    :func:`read_jsonl_conversations` with ids re-keyed into the jsonl id
+    space; the round-trip invariant is turns-content equality
+    (fingerprint-stable) plus id stability across re-reads."""
+    out = convs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(turns_col).alias("messages"),
+    )
+    if num_shards is not None:
+        out = out.repartitionByRange(num_shards, F.col("id")).sortWithinPartitions(
+            "id"
+        )
+    writer = out.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(out_dir)
+    _rename_json_shards(convs.sparkSession, out_dir)
+
+
+def _rename_json_shards(spark: SparkSession, out_dir: str) -> None:
+    """part-*.json(.gz) → part-*.jsonl(.gz): one driver-side FS rename per
+    shard (shard count, not data) so a release directory drops straight
+    into the streaming landing zone's ``.jsonl(.gz)`` dispatch."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dir_path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = dir_path.getFileSystem(conf)
+    for status in fs.listStatus(dir_path):
+        name = status.getPath().getName()
+        if ".json" in name and ".jsonl" not in name:
+            fs.rename(
+                status.getPath(),
+                jvm.org.apache.hadoop.fs.Path(
+                    dir_path, name.replace(".json", ".jsonl", 1)
+                ),
+            )
+
+
 def write_jsonl_corpus(
     docs: DataFrame,
     out_dir: str,
@@ -310,20 +362,7 @@ def write_jsonl_corpus(
     if compress:
         writer = writer.option("compression", "gzip")
     writer.json(out_dir)
-    spark = docs.sparkSession
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    dir_path = jvm.org.apache.hadoop.fs.Path(out_dir)
-    fs = dir_path.getFileSystem(conf)
-    for status in fs.listStatus(dir_path):
-        name = status.getPath().getName()
-        if ".json" in name and ".jsonl" not in name:
-            fs.rename(
-                status.getPath(),
-                jvm.org.apache.hadoop.fs.Path(
-                    dir_path, name.replace(".json", ".jsonl", 1)
-                ),
-            )
+    _rename_json_shards(docs.sparkSession, out_dir)
 
 
 # --------------------------------------------------------------------------

@@ -335,3 +335,34 @@ def test_read_jsonl_conversations_loud_failures(spark, tmp_path):
     assert row["turns"][0]["role"] == "robot9"  # passed through verbatim
     flags = chatop.validate_conversations(convs).collect()[0]
     assert flags["f_bad_role"] and not flags["is_valid"]
+
+
+def test_conversation_release_roundtrip(spark, tmp_path):
+    """write_jsonl_conversations -> read_jsonl_conversations: turns
+    content survives byte-identically (fingerprint equality), shards are
+    .jsonl.gz, and ids stay stable across re-reads of the release."""
+    from aws_financial_data_pipeline_spark.operators import chat as chatop
+    from aws_financial_data_pipeline_spark.sources import jsonl as jsonlsrc
+
+    rows = [
+        (10, [("system", "s"), ("user", "q1"), ("assistant", "a1")]),
+        (11, [("user", "hello there"), ("assistant", "hi!")]),
+    ]
+    convs = spark.createDataFrame(
+        rows, "conv_id long, turns array<struct<role: string, content: string>>"
+    )
+    out = str(tmp_path / "release")
+    jsonlsrc.write_jsonl_conversations(convs, out, num_shards=1)
+
+    import os
+
+    names = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert names and all(n.endswith(".jsonl.gz") for n in names)
+
+    back = jsonlsrc.read_jsonl_conversations(spark, out)
+    fp_in = {r["fingerprint"] for r in chatop.conversation_fingerprint(convs).collect()}
+    fp_out = {r["fingerprint"] for r in chatop.conversation_fingerprint(back).collect()}
+    assert fp_in == fp_out
+    ids1 = {r["conv_id"] for r in back.collect()}
+    ids2 = {r["conv_id"] for r in jsonlsrc.read_jsonl_conversations(spark, out).collect()}
+    assert ids1 == ids2
