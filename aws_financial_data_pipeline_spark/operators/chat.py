@@ -215,6 +215,74 @@ def conversation_fingerprint(
     return convs.select(id_col, F.md5(canon).alias("fingerprint"))
 
 
+def validate_preference_pairs(
+    pairs: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Structural validation for preference data (the RM/DPO shape —
+    one row per (prompt, chosen, rejected)): ``f_empty_field`` (any of
+    the three NULL/whitespace), ``f_identical`` (chosen == rejected —
+    carries no preference signal), ``f_degenerate_prompt`` (prompt
+    contained verbatim in either response — the common template-leak
+    artifact), and fail-closed ``is_valid``. Map-only; aggregate the
+    flags for the rejection audit, the funnel convention."""
+    p, c, r = F.col(prompt_col), F.col(chosen_col), F.col(rejected_col)
+    f_empty = (
+        p.isNull() | (F.trim(p) == "")
+        | c.isNull() | (F.trim(c) == "")
+        | r.isNull() | (F.trim(r) == "")
+    )
+    f_identical = F.trim(c) == F.trim(r)
+    f_degenerate = (F.length(p) > 0) & (
+        (F.instr(c, p) > 0) | (F.instr(r, p) > 0)
+    )
+    flags = {
+        "f_empty_field": f_empty,
+        "f_identical": f_identical,
+        "f_degenerate_prompt": f_degenerate,
+    }
+    valid = None
+    for col in flags.values():
+        col = F.coalesce(col, F.lit(True))  # NULL flag fails closed
+        valid = ~col if valid is None else valid & ~col
+    return pairs.withColumns({**flags, "is_valid": valid})
+
+
+def dedup_preference_pairs(
+    pairs: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "pair_id",
+    by: str = "prompt",
+) -> DataFrame:
+    """Exact dedup for preference data: ``by="prompt"`` keeps ONE pair
+    per distinct prompt (the RM-training convention — duplicated prompts
+    overweight their preference direction), ``by="pair"`` keeps one per
+    full (prompt, chosen, rejected) triple (pure exact dedup). Min-id
+    canonical, the house election rule; one 16-byte-key groupBy."""
+    if by == "prompt":
+        fp = F.md5(F.col(prompt_col))
+    elif by == "pair":
+        fp = F.md5(
+            F.concat_ws(
+                "\x1e", F.col(prompt_col), F.col(chosen_col), F.col(rejected_col)
+            )
+        )
+    else:
+        raise ValueError(f"by must be 'prompt' or 'pair', got {by!r}")
+    keep = (
+        pairs.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return pairs.join(keep, id_col, "left_semi")
+
+
 def sft_tokenize(
     convs: DataFrame,
     merges: "list[tuple[str, str]]",

@@ -165,3 +165,41 @@ def test_chat_stages_are_map_only(spark):
         assert "Exchange" not in plan
         for udf_marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert udf_marker not in plan
+
+
+def test_validate_preference_pairs(spark):
+    rows = [
+        (1, "what is 2+2?", "4", "5"),
+        (2, "q", "same answer", "same answer"),  # identical
+        (3, "q", "  ", "resp"),  # empty chosen
+        (4, "echo me", "sure: echo me", "no"),  # prompt leaked into chosen
+        (5, None, "a", "b"),  # null prompt
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pair_id long, prompt string, chosen string, rejected string"
+    )
+    got = {r["pair_id"]: r for r in chatop.validate_preference_pairs(pairs).collect()}
+    assert got[1]["is_valid"] is True
+    assert got[2]["is_valid"] is False and got[2]["f_identical"]
+    assert got[3]["is_valid"] is False and got[3]["f_empty_field"]
+    assert got[4]["is_valid"] is False and got[4]["f_degenerate_prompt"]
+    assert got[5]["is_valid"] is False and got[5]["f_empty_field"]
+
+
+def test_dedup_preference_pairs(spark):
+    rows = [
+        (1, "p1", "a", "b"),
+        (2, "p1", "c", "d"),  # same prompt, different responses
+        (3, "p2", "a", "b"),
+        (4, "p1", "a", "b"),  # full triple dup of 1
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pair_id long, prompt string, chosen string, rejected string"
+    )
+    by_prompt = {r["pair_id"] for r in chatop.dedup_preference_pairs(pairs).collect()}
+    assert by_prompt == {1, 3}  # one pair per prompt, min id wins
+    by_pair = {
+        r["pair_id"]
+        for r in chatop.dedup_preference_pairs(pairs, by="pair").collect()
+    }
+    assert by_pair == {1, 2, 3}  # only the exact triple dup drops
