@@ -1,0 +1,145 @@
+"""CDX(J) crawl-index source — selection BEFORE fetching.
+
+A web-scale pipeline doesn't read WARCs blind: it first queries the
+crawl's INDEX (the public CDXJ format Common Crawl serves: one line per
+capture, ``<urlkey> <timestamp> <json>``) to decide which records are
+worth fetching — status 200, wanted mime types, one capture per URL,
+one copy per content digest — and only then reads the named
+(filename, offset, length) WARC ranges. This module is that selection
+stage, pure Catalyst end-to-end:
+
+- :func:`read_cdx_index` — ``spark.read.text`` over ``.cdx(j)(.gz)``
+  shards (plain files split by line; gzip members are whole-file units,
+  the usual tradeoff), a 3-way split and one ``from_json`` — all
+  JVM-side, no Python. ``strict=True`` (default) raises on malformed
+  lines (a silently dropped index line is a lost capture — the corpus
+  parse convention); ``strict=False`` keeps a ``_corrupt`` flag column
+  instead.
+- :func:`cdx_latest` — one row per urlkey (max timestamp, max_by — no
+  window).
+- :func:`cdx_select` — the fetch plan: status/mime filters, optional
+  latest-per-urlkey, optional one-per-digest (crawl dedup BEFORE the
+  bytes move: identical content fetched once), returning the
+  (filename, offset, length, url …) list a WARC reader consumes.
+
+Shape at 100 TB: the index is ~1/1000 the crawl's size and this stage
+is a scan + one aggregate per dedup axis; every byte saved here is a
+WARC byte never fetched. No counterpart in the reference engine; built
+for the LLM-pipeline brief's crawl surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CDX_JSON_SCHEMA = (
+    "url string, mime string, `mime-detected` string, status string, "
+    "digest string, length string, offset string, filename string, "
+    "languages string, encoding string, redirect string"
+)
+
+
+def read_cdx_index(
+    spark: SparkSession,
+    path: str,
+    strict: bool = True,
+) -> DataFrame:
+    """CDXJ shards under ``path`` → one typed row per capture:
+    (urlkey, ts, url, mime, mime_detected, status, digest, length,
+    offset, filename, languages, encoding, redirect). ``length`` /
+    ``offset`` / ``status`` cast to numeric; ``ts`` stays the 14-digit
+    string (lexicographic == chronological, which is what max_by
+    needs)."""
+    lines = spark.read.text(path).where(F.trim("value") != "")
+    parts = F.split(F.col("value"), " ", 3)
+    parsed = lines.select(
+        F.element_at(parts, 1).alias("urlkey"),
+        F.element_at(parts, 2).alias("ts"),
+        F.from_json(F.element_at(parts, 3), CDX_JSON_SCHEMA).alias("j"),
+    )
+    bad = (
+        F.col("j").isNull()
+        | F.col("j.url").isNull()
+        | ~F.col("ts").rlike(r"^\d{14}$")
+    )
+    # the guard rides INSIDE the kept urlkey expression — a standalone
+    # guard column would be pruned by Catalyst and never evaluate
+    urlkey = F.col("urlkey")
+    if strict:
+        urlkey = F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed CDXJ line (lost capture): urlkey="),
+                    F.coalesce(F.col("urlkey"), F.lit("<null>")),
+                )
+            ),
+        ).otherwise(F.col("urlkey"))
+    cols = [
+        urlkey.alias("urlkey"),
+        F.col("ts"),
+        F.col("j.url").alias("url"),
+        F.col("j.mime").alias("mime"),
+        F.col("j.`mime-detected`").alias("mime_detected"),
+        F.col("j.status").cast("int").alias("status"),
+        F.col("j.digest").alias("digest"),
+        F.col("j.length").cast("long").alias("length"),
+        F.col("j.offset").cast("long").alias("offset"),
+        F.col("j.filename").alias("filename"),
+        F.col("j.languages").alias("languages"),
+        F.col("j.encoding").alias("encoding"),
+    ]
+    if not strict:
+        cols.append(bad.alias("_corrupt"))  # j is gone after this select
+    return parsed.select(*cols)
+
+
+def cdx_latest(cdx: DataFrame) -> DataFrame:
+    """One row per urlkey — the LATEST capture (max 14-digit timestamp;
+    ``max_by`` over the struct of all columns: one aggregate, no
+    window)."""
+    cols = [c for c in cdx.columns if c != "urlkey"]
+    packed = cdx.groupBy("urlkey").agg(
+        F.max_by(F.struct(*cols), F.col("ts")).alias("_s")
+    )
+    return packed.select("urlkey", *[F.col(f"_s.{c}").alias(c) for c in cols])
+
+
+def cdx_select(
+    cdx: DataFrame,
+    statuses: "tuple[int, ...]" = (200,),
+    mime_prefixes: "tuple[str, ...] | None" = ("text/html",),
+    latest_per_urlkey: bool = True,
+    one_per_digest: bool = True,
+) -> DataFrame:
+    """The fetch plan: filter to wanted statuses and mime prefixes
+    (matched against ``mime_detected`` falling back to ``mime`` — the
+    served Content-Type lies often enough that the index carries both),
+    optionally collapse to the latest capture per urlkey, then to ONE
+    capture per content digest (minimum (ts, urlkey) — deterministic;
+    identical bytes crawl-wide fetch once). Returns the capture rows to
+    hand to a ranged WARC reader, cheapest filters first so the
+    aggregates see the smallest set."""
+    mime = F.coalesce(F.col("mime_detected"), F.col("mime"))
+    out = cdx.where(F.col("status").isin(*statuses))
+    if mime_prefixes is not None:
+        cond = None
+        for p in mime_prefixes:
+            c = mime.startswith(p)
+            cond = c if cond is None else cond | c
+        out = out.where(cond)
+    if latest_per_urlkey:
+        out = cdx_latest(out)
+    if one_per_digest:
+        cols = [c for c in out.columns if c != "digest"]
+        out = (
+            out.groupBy("digest")
+            .agg(
+                F.min_by(
+                    F.struct(*cols), F.struct(F.col("ts"), F.col("urlkey"))
+                ).alias("_s")
+            )
+            .select(*[F.col(f"_s.{c}").alias(c) for c in cols], "digest")
+        )
+    return out

@@ -1,0 +1,101 @@
+"""CDX(J) crawl-index source: typed parse (plain + gz), strict lost-line
+guard, latest-per-urlkey, and the status/mime/digest fetch-plan — all
+pure Catalyst (no Python stage in any plan)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from aws_financial_data_pipeline_spark.sources import cdx as cdxsrc
+
+
+def _line(urlkey, ts, **j):
+    return f"{urlkey} {ts} {json.dumps(j)}"
+
+
+def _fixture_lines():
+    return [
+        _line("com,example)/", "20240101000000", url="https://example.com/",
+              mime="text/html", status="200", digest="AAA", length="100",
+              offset="0", filename="crawl/a.warc.gz"),
+        # later recrawl of the same urlkey, same content digest
+        _line("com,example)/", "20240301000000", url="https://example.com/",
+              mime="text/html", status="200", digest="AAA", length="101",
+              offset="900", filename="crawl/b.warc.gz"),
+        # different page, same digest as example.com (mirror)
+        _line("org,mirror)/copy", "20240201000000", url="https://mirror.org/copy",
+              mime="text/html", status="200", digest="AAA", length="100",
+              offset="50", filename="crawl/a.warc.gz"),
+        # unique content, detected mime differs from served
+        _line("org,mirror)/data", "20240102000000", url="https://mirror.org/data",
+              mime="application/octet-stream", status="200", digest="BBB",
+              length="70", offset="300", filename="crawl/a.warc.gz",
+              **{"mime-detected": "text/html"}),
+        # 404 and a redirect: filtered by the fetch plan
+        _line("org,gone)/", "20240101000000", url="https://gone.org/",
+              mime="text/html", status="404", digest="CCC", length="10",
+              offset="400", filename="crawl/a.warc.gz"),
+        _line("org,moved)/", "20240101000000", url="https://moved.org/",
+              mime="text/html", status="301", digest="DDD", length="10",
+              offset="500", filename="crawl/a.warc.gz",
+              redirect="https://moved.org/new"),
+        # pdf capture — excluded by the default text/html prefix
+        _line("org,papers)/p1", "20240101000000", url="https://papers.org/p1",
+              mime="application/pdf", status="200", digest="EEE", length="900",
+              offset="600", filename="crawl/a.warc.gz"),
+    ]
+
+
+def test_read_cdx_index_plain_and_gz(spark, tmp_path):
+    lines = _fixture_lines()
+    (tmp_path / "idx-00.cdxj").write_text("\n".join(lines[:4]) + "\n\n")
+    (tmp_path / "idx-01.cdxj.gz").write_bytes(
+        gzip.compress(("\n".join(lines[4:]) + "\n").encode())
+    )
+    cdx = cdxsrc.read_cdx_index(spark, str(tmp_path))
+    rows = {(r["urlkey"], r["ts"]): r for r in cdx.collect()}
+    assert len(rows) == 7
+    r = rows[("org,mirror)/data", "20240102000000")]
+    assert r["mime_detected"] == "text/html" and r["mime"].startswith("application")
+    assert r["status"] == 200 and r["length"] == 70 and r["offset"] == 300
+    assert rows[("org,moved)/", "20240101000000")]["status"] == 301
+    plan = cdx._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan  # selection is pure Catalyst
+
+
+def test_cdx_strict_raises_on_malformed(spark, tmp_path):
+    (tmp_path / "bad.cdxj").write_text("com,x)/ not-a-timestamp {}\n")
+    with pytest.raises(Exception, match="malformed CDXJ line"):
+        cdxsrc.read_cdx_index(spark, str(tmp_path)).collect()
+    lax = cdxsrc.read_cdx_index(spark, str(tmp_path), strict=False).collect()
+    assert len(lax) == 1 and lax[0]["_corrupt"] is True
+
+
+def test_cdx_latest_and_select(spark, tmp_path):
+    (tmp_path / "idx.cdxj").write_text("\n".join(_fixture_lines()))
+    cdx = cdxsrc.read_cdx_index(spark, str(tmp_path))
+
+    latest = {r["urlkey"]: r for r in cdxsrc.cdx_latest(cdx).collect()}
+    assert len(latest) == 6
+    assert latest["com,example)/"]["ts"] == "20240301000000"  # recrawl wins
+
+    plan_rows = cdxsrc.cdx_select(cdx).collect()
+    # statuses: drops 404+301+pdf; latest-per-urlkey: example.com once;
+    # one-per-digest: AAA fetched once — the MIRROR row (earliest ts wins
+    # deterministically: 20240201 < 20240301 after latest-per-urlkey)
+    by_digest = {r["digest"]: r for r in plan_rows}
+    assert set(by_digest) == {"AAA", "BBB"}
+    assert by_digest["AAA"]["urlkey"] == "org,mirror)/copy"
+    assert by_digest["BBB"]["mime_detected"] == "text/html"
+
+    # without digest dedup both AAA captures fetch
+    keep_all = cdxsrc.cdx_select(cdx, one_per_digest=False).collect()
+    assert len(keep_all) == 3
+
+    # pdf slice selects with a different prefix
+    pdfs = cdxsrc.cdx_select(cdx, mime_prefixes=("application/pdf",)).collect()
+    assert len(pdfs) == 1 and pdfs[0]["urlkey"] == "org,papers)/p1"
