@@ -1115,6 +1115,65 @@ def html_to_text(
     return docs.withColumn(out_col or text_col, c)
 
 
+def _clean_cell_expr(c: Column) -> Column:
+    """One table cell's inner HTML → text: strip inline tags, decode the
+    frequent entities (same table + &amp;-last order as html_to_text),
+    collapse whitespace, trim."""
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_tables(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Structured table extraction from raw crawl HTML — the data-to-text
+    / table-QA corpus shape that :func:`html_to_text` (which flattens
+    tables into lines) deliberately discards. One row per ``<tr>``:
+    ``(id, table_idx, row_idx, is_header, cells array<string>,
+    n_cells)`` — cells are the ``<td>``/``<th>`` contents cleaned by the
+    house entity/tag rules; ``is_header`` marks rows containing ``<th>``.
+
+    Pure-Catalyst: two regexp_extract_all + posexplode stages (row
+    growth is the contract — a page's tables become its rows; no
+    shuffle, no Python). REGEXP EXTRACTOR, NOT A DOM PARSER, scoped
+    accordingly: a nested ``<table>`` truncates its outer table at the
+    inner ``</table>`` (lazy match), and ``colspan``/``rowspan`` are not
+    expanded — acceptable for corpus mining, documented rather than
+    silently wrong. Docs with no tables produce no rows."""
+    tables = F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"(?is)<table\b[^>]*>(.*?)</table\s*>"),
+        F.lit(1),
+    )
+    t = docs.select(
+        F.col(id_col), F.posexplode(tables).alias("table_idx", "_tbl")
+    )
+    rows = F.regexp_extract_all(
+        F.col("_tbl"), F.lit(r"(?is)<tr\b[^>]*>(.*?)</tr\s*>"), F.lit(1)
+    )
+    r = t.select(
+        id_col, "table_idx", F.posexplode(rows).alias("row_idx", "_row")
+    )
+    cells = F.transform(
+        F.regexp_extract_all(
+            F.col("_row"),
+            F.lit(r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]\s*>"),
+            F.lit(1),
+        ),
+        _clean_cell_expr,
+    )
+    return r.select(
+        id_col,
+        "table_idx",
+        "row_idx",
+        F.col("_row").rlike(r"(?is)<th\b").alias("is_header"),
+        cells.alias("cells"),
+        F.size(cells).alias("n_cells"),
+    )
+
+
 # unicode script classes (Java regex \p{Is...} syntax — regexp_* compile
 # Java patterns). CJK groups Han + kana + Hangul: the "needs
 # character-level tokenization" bucket the fertility caveat points at.

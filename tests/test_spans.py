@@ -170,3 +170,38 @@ def test_dedup_lines_within_doc(spark):
         dedup_lines_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_html_tables_extraction(spark):
+    """html_tables: per-row cell arrays with tag/entity cleaning, header
+    flags, two tables in one page, no-table docs absent, and a generate-
+    only plan (no Exchange, no Python)."""
+    from aws_financial_data_pipeline_spark.operators import text as textop
+
+    page = (
+        "<html><body><h1>x</h1>"
+        "<table class='t'><tr><th>Name</th><th>Qty &amp; unit</th></tr>"
+        "<tr><td><b>bolts</b></td><td>7 &lt;kg&gt;</td></tr>"
+        "<tr><td>nuts</td><td>3</td></tr></table>"
+        "<p>prose</p>"
+        "<TABLE><TR><TD>solo</TD></TR></TABLE>"
+        "</body></html>"
+    )
+    docs = spark.createDataFrame(
+        [(1, page), (2, "<p>no tables here</p>")], "doc_id long, text string"
+    )
+    out = textop.html_tables(docs)
+    rows = {(r["table_idx"], r["row_idx"]): r for r in out.collect()}
+    assert {k[0] for k in rows} == {0, 1} and len(rows) == 4
+    hdr = rows[(0, 0)]
+    assert hdr["is_header"] and hdr["cells"] == ["Name", "Qty & unit"]
+    assert rows[(0, 1)]["cells"] == ["bolts", "7 <kg>"]
+    assert rows[(0, 1)]["is_header"] is False
+    assert rows[(0, 2)]["cells"] == ["nuts", "3"] and rows[(0, 2)]["n_cells"] == 2
+    assert rows[(1, 0)]["cells"] == ["solo"]  # case-insensitive tags
+    assert all(r["doc_id"] == 1 for r in rows.values())  # doc 2 absent
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
