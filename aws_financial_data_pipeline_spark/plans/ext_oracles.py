@@ -520,6 +520,31 @@ EXT_ORACLES: dict[str, str] = {
            CAST(n_train AS BIGINT) AS removed_units,
            rendered AS clean_text
     FROM chatc
+    UNION ALL
+    -- html_tables leg: literal table planted on doc_id%13 rows, one output
+    -- row per <tr>, cells tag-stripped + entity-decoded + ws-collapsed
+    SELECT 'html_tables' AS method, doc_id,
+           CAST(len(cells) AS BIGINT) AS removed_units,
+           array_to_string(cells, '|') AS clean_text
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               regexp_extract_all(tr, '(?is)<t[dh]\b[^>]*>(.*?)</t[dh]\s*>', 1),
+               c -> trim(regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(regexp_replace(c, '<[^>]+>', ' ', 'g'),
+                        '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                        '&amp;', '&', 'g'), '\s+', ' ', 'g'))
+             ) AS cells
+      FROM (
+        SELECT doc_id, UNNEST(regexp_extract_all(
+                 '<table><tr><th>Key</th><th>Val &amp; unit</th></tr>'
+                 || '<tr><td>id</td><td>' || doc_id
+                 || '</td></tr><tr><td><b>n</b></td><td>' || length(text)
+                 || ' &lt;ch&gt;</td></tr></table>',
+                 '(?is)<tr\b[^>]*>(.*?)</tr\s*>', 1)) AS tr
+        FROM documents WHERE doc_id % 13 = 0
+      )
+    )
     """,
     "x06_simhash_candidates": _SIMHASH64
     + """

@@ -1038,6 +1038,13 @@ def x42_dup_spans(spark, sf_dir):
       alternating user/assistant). removed_units = n_train_chars (the
       sum of assistant-span widths — transitively hash-gates the
       loss-mask span arithmetic); clean_text = the rendered string.
+    - ``html_tables``: structured table extraction (``text.html_tables``)
+      over a literal table planted on every ``doc_id % 13 == 0`` row —
+      a header row (``<th>``), a doc-id cell, and a cell mixing an
+      inline ``<b>`` tag with ``&amp;``/``&lt;``/``&gt;`` entities and
+      the doc's text length, so the hash gates row/cell splitting AND
+      the cell-cleaning rules. One output row per ``<tr>``:
+      removed_units = n_cells, clean_text = cells joined with '|'.
 
     clean_text rides in all legs, so the hash transitively gates the gram
     table, duplicate filters, interval merge, keeper election ((doc_id,pos)
@@ -1144,12 +1151,30 @@ def x42_dup_spans(spark, sf_dir):
         F.col("n_train_chars").cast("long").alias("removed_units"),
         F.col("text").alias("clean_text"),
     )
+    tabled = docs.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("<table><tr><th>Key</th><th>Val &amp; unit</th></tr>"
+                  "<tr><td>id</td><td>"),
+            F.col("doc_id").cast("string"),
+            F.lit("</td></tr><tr><td><b>n</b></td><td>"),
+            F.length("text").cast("string"),
+            F.lit(" &lt;ch&gt;</td></tr></table>"),
+        ).alias("text"),
+    )
+    tables = text.html_tables(tabled).select(
+        F.lit("html_tables").alias("method"),
+        "doc_id",
+        F.col("n_cells").cast("long").alias("removed_units"),
+        F.array_join("cells", "|").alias("clean_text"),
+    )
     return (
         ngram.unionByName(para)
         .unionByName(lines)
         .unionByName(c4)
         .unionByName(secrets)
         .unionByName(chat)
+        .unionByName(tables)
     )
 
 
