@@ -99,3 +99,46 @@ def test_cdx_latest_and_select(spark, tmp_path):
     # pdf slice selects with a different prefix
     pdfs = cdxsrc.cdx_select(cdx, mime_prefixes=("application/pdf",)).collect()
     assert len(pdfs) == 1 and pdfs[0]["urlkey"] == "org,papers)/p1"
+
+
+def test_cdx_to_ranged_warc_fetch_end_to_end(spark, tmp_path):
+    """The full index-driven loop: write per-record gzip members, index
+    them with real offsets/lengths, cdx_select a subset, fetch ONLY those
+    byte ranges, and get exactly the selected records' payloads."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    recs = [
+        {"warc_type": "response", "url": f"https://s{i}.example/",
+         "record_id": f"<urn:uuid:r{i}>", "html": f"<p>page {i}</p>"}
+        for i in range(5)
+    ]
+    members = [warcsrc.encode_warc([r]) for r in recs]
+    shard = b"".join(members)
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    (wdir / "seg-00.warc.gz").write_bytes(shard)
+
+    offsets, pos = [], 0
+    for m in members:
+        offsets.append((pos, len(m)))
+        pos += len(m)
+    idx_lines = []
+    for i, (off, ln) in enumerate(offsets):
+        idx_lines.append(
+            _line(f"example,s{i})/", "20240101000000",
+                  url=f"https://s{i}.example/", mime="text/html", status="200",
+                  digest=f"D{i}", length=str(ln), offset=str(off),
+                  filename="seg-00.warc.gz")
+        )
+    (tmp_path / "idx.cdxj").write_text("\n".join(idx_lines))
+
+    cdx = cdxsrc.read_cdx_index(spark, str(tmp_path / "idx.cdxj"))
+    plan = cdxsrc.cdx_select(cdx).where(
+        cdxsrc.F.col("urlkey").isin("example,s1)/", "example,s3)/")
+    )
+    got = warcsrc.fetch_warc_ranges(plan, str(wdir)).collect()
+    assert {r["url"] for r in got} == {"https://s1.example/", "https://s3.example/"}
+    by_url = {r["url"]: r for r in got}
+    assert bytes(by_url["https://s1.example/"]["payload"]) == b"<p>page 1</p>"
+    assert by_url["https://s3.example/"]["http_status"] == 200
+    assert all(r["warc_type"] == "response" for r in got)
