@@ -70,7 +70,6 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 # filters we can undo, in the only compositions that occur in practice
 _TEXT_FILTERS = (
