@@ -240,6 +240,20 @@ def parse_jsonl_conversations(
     return files.select("path", "content").mapInPandas(run, CONV_COLS)
 
 
+def _conversations_from_parsed(parsed: DataFrame) -> DataFrame:
+    """(path, lineno, rid, turns) → (conv_id, turns): ids in the jsonl id
+    space (``xxhash64(path:id:rid)`` when the shard carries ids, else
+    ``xxhash64(path:line:lineno)`` — stable under re-ingest, the
+    :func:`jsonl_to_documents` convention exactly)."""
+    key = F.when(
+        F.col("rid").isNotNull(),
+        F.concat_ws(":", F.col("path"), F.lit("id"), F.col("rid")),
+    ).otherwise(
+        F.concat_ws(":", F.col("path"), F.lit("line"), F.col("lineno"))
+    )
+    return parsed.select(F.xxhash64(key).alias("conv_id"), "turns")
+
+
 def read_jsonl_conversations(
     spark: SparkSession,
     path: str,
@@ -248,20 +262,79 @@ def read_jsonl_conversations(
 ) -> DataFrame:
     """Conversation JSONL shards under ``path`` → ``(conv_id, turns)``,
     the :mod:`..operators.chat` contract: one binaryFile task per shard,
-    one Arrow parse stage, ids in the jsonl id space
-    (``xxhash64(path:id:rid)`` when the shard carries ids, else
-    ``xxhash64(path:line:lineno)`` — stable under re-ingest, the
-    :func:`jsonl_to_documents` convention exactly)."""
-    parsed = parse_jsonl_conversations(
-        spark.read.format("binaryFile").load(path), turns_field, id_field
+    one Arrow parse stage (shape/id conventions in
+    :func:`parse_jsonl_conversations` / :func:`_conversations_from_parsed`)."""
+    return _conversations_from_parsed(
+        parse_jsonl_conversations(
+            spark.read.format("binaryFile").load(path), turns_field, id_field
+        )
     )
-    key = F.when(
-        F.col("rid").isNotNull(),
-        F.concat_ws(":", F.col("path"), F.lit("id"), F.col("rid")),
-    ).otherwise(
-        F.concat_ws(":", F.col("path"), F.lit("line"), F.col("lineno"))
+
+
+CONV_CONTRACT = "conv_id long, turns array<struct<role: string, content: string>>"
+
+
+def process_conversation_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    turns_field: "str | None" = None,
+    id_field: str = "id",
+    transform=None,
+) -> None:
+    """One micro-batch of the conversation landing zone: the SAME parse
+    stage as the batch path (a foreachBatch frame is a plain DataFrame)
+    → optional ``transform(convs)`` tail (validation gate, dedup) →
+    idempotent ``batch=<id>``-keyed overwrite parquet (the streaming
+    exactly-once file-sink recipe). Exposed so tests can drive single
+    batches directly."""
+    convs = _conversations_from_parsed(
+        parse_jsonl_conversations(batch, turns_field, id_field)
     )
-    return parsed.select(F.xxhash64(key).alias("conv_id"), "turns")
+    if transform is not None:
+        convs = transform(convs)
+    convs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+
+def conversation_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: "str | None" = None,
+    turns_field: "str | None" = None,
+    id_field: str = "id",
+    transform=None,
+    max_files_per_trigger: int = 1,
+    path_glob: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming twin of :func:`read_jsonl_conversations` on the shared
+    :func:`..warc.binaryfile_ingest_stream` harness — the SFT landing
+    zone gets the same production shape as the document and media paths:
+    ``.jsonl(.gz)`` shards land, each micro-batch parses through the SAME
+    Arrow stage and writes an idempotent ``batch=<id>`` partition, so a
+    crashed batch's replay overwrites its own partial output and replay
+    equals batch (pinned in tests). ``available_now=True`` drains and
+    returns the combined conversations frame; ``False`` tails and
+    returns the started query."""
+    from .warc import binaryfile_ingest_stream
+
+    def process(batch: DataFrame, bid: int) -> None:
+        process_conversation_batch(
+            batch, bid, out_dir, turns_field, id_field, transform
+        )
+
+    return binaryfile_ingest_stream(
+        spark,
+        src_dir,
+        out_dir,
+        process,
+        empty_schema=CONV_CONTRACT,
+        checkpoint=checkpoint,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+        available_now=available_now,
+    )
 
 
 def write_jsonl_conversations(

@@ -366,3 +366,64 @@ def test_conversation_release_roundtrip(spark, tmp_path):
     ids1 = {r["conv_id"] for r in back.collect()}
     ids2 = {r["conv_id"] for r in jsonlsrc.read_jsonl_conversations(spark, out).collect()}
     assert ids1 == ids2
+
+
+def test_conversation_ingest_stream_replay_equals_batch(spark, tmp_path):
+    """The SFT landing zone: stream-drain over mixed-format shards equals
+    the batch read (conv_id + fingerprint sets), a checkpointed re-drain
+    adds nothing, and a transform tail (validation gate) applies
+    per-batch."""
+    import gzip as _gz
+    import json as _json
+
+    from aws_financial_data_pipeline_spark.operators import chat as chatop
+    from aws_financial_data_pipeline_spark.sources import jsonl as jsonlsrc
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.jsonl").write_text(
+        "\n".join(
+            _json.dumps(x)
+            for x in [
+                {"id": "a1", "messages": [
+                    {"role": "user", "content": "hi"},
+                    {"role": "assistant", "content": "hello"}]},
+                {"messages": [{"role": "user", "content": "bad"},
+                              {"role": "user", "content": "repeat"}]},
+            ]
+        )
+    )
+    (land / "b.jsonl.gz").write_bytes(
+        _gz.compress(_json.dumps(
+            {"id": "s1", "conversations": [
+                {"from": "human", "value": "q"}, {"from": "gpt", "value": "a"}]}
+        ).encode())
+    )
+
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    streamed = jsonlsrc.conversation_ingest_stream(
+        spark, str(land), str(out), checkpoint=str(ckpt)
+    )
+    batch = jsonlsrc.read_jsonl_conversations(spark, str(land))
+    s_ids = {r["conv_id"] for r in streamed.collect()}
+    b_ids = {r["conv_id"] for r in batch.collect()}
+    assert s_ids == b_ids and len(s_ids) == 3
+    s_fp = {r["fingerprint"] for r in chatop.conversation_fingerprint(streamed).collect()}
+    b_fp = {r["fingerprint"] for r in chatop.conversation_fingerprint(batch).collect()}
+    assert s_fp == b_fp
+
+    # checkpointed re-drain: nothing new, no double count
+    again = jsonlsrc.conversation_ingest_stream(
+        spark, str(land), str(out), checkpoint=str(ckpt)
+    )
+    assert {r["conv_id"] for r in again.collect()} == s_ids
+
+    # transform tail: only valid conversations land
+    out2 = tmp_path / "out2"
+    gated = jsonlsrc.conversation_ingest_stream(
+        spark, str(land), str(out2),
+        transform=lambda c: chatop.validate_conversations(c)
+        .where("is_valid").select("conv_id", "turns"),
+    )
+    assert len(gated.collect()) == 2  # the user/user conversation gated out
