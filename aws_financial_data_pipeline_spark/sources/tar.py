@@ -373,3 +373,86 @@ def archive_ingest_stream(
         path_glob=path_glob,
         available_now=available_now,
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset release sink (the media RELEASE direction)
+
+_EXT_BY_TYPE = {
+    "image/jpeg": "jpg", "image/png": "png", "image/bmp": "bmp",
+    "image/gif": "gif", "image/webp": "webp", "audio/wav": "wav",
+    "video/avi": "avi", "application/pdf": "pdf", "text/plain": "txt",
+}
+
+
+def write_webdataset_shards(
+    with_payload: DataFrame,
+    out_dir: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    caption_col: "str | None" = None,
+) -> DataFrame:
+    """The media RELEASE direction: payload rows out as WebDataset tar
+    shards — the public multimodal-training interchange (a tar of
+    samples; members sharing a key prefix form one sample:
+    ``<key>.<ext>`` for the payload, ``<key>.txt`` for the caption when
+    ``caption_col`` is given). Shards are REPRODUCIBLE: range-partition
+    by id, sort within shard, zero mtime/uid/gid in every header — the
+    same corpus re-released is byte-identical, the
+    ``write_jsonl_corpus`` determinism contract for tar. Extensions come
+    from the media type (:data:`_EXT_BY_TYPE`; unknown types ship as
+    ``.bin`` — a lying extension is worse than a generic one, and
+    re-ingest classifies by magic anyway).
+
+    Writes one ``shard-NNNNN.tar`` per range partition via executor-side
+    ``tarfile`` (``out_dir`` must be a path every executor can reach — a
+    shared mount in cluster mode; the shard SINK pattern). Returns the
+    manifest frame (shard, n_samples, bytes) — certify it with
+    :func:`..operators.sampling.shard_manifest`'s conventions.
+
+    Round-trip: a release directory re-ingests through
+    :func:`read_media_bundles` (members classify by MAGIC, keys land in
+    the archive id space) — pinned byte-identical in tests."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [id_col, "payload", "media_type"]
+    if caption_col is not None:
+        cols.append(caption_col)
+    prepared = (
+        with_payload.select(*cols)
+        .repartitionByRange(num_shards, F.col(id_col))
+        .sortWithinPartitions(id_col)
+    )
+
+    def write_partition(idx: int, rows) -> Iterator[tuple]:
+        name = f"shard-{idx:05d}.tar"
+        path = os.path.join(out_dir, name)
+        n = 0
+        with tarfile.open(path, "w") as tf:
+            for row in rows:
+                key = f"{int(row[id_col]):020d}"
+                payload = bytes(row["payload"])
+                ext = _EXT_BY_TYPE.get(row["media_type"], "bin")
+                members = [(f"{key}.{ext}", payload)]
+                if caption_col is not None and row[caption_col] is not None:
+                    members.append(
+                        (f"{key}.txt", str(row[caption_col]).encode("utf-8"))
+                    )
+                for mname, data in members:
+                    info = tarfile.TarInfo(mname)
+                    info.size = len(data)
+                    info.mtime = 0  # reproducible bytes
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tf.addfile(info, io.BytesIO(data))
+                n += 1
+        if n == 0:
+            os.remove(path)  # empty range partitions leave no shard
+            return iter(())
+        return iter([(name, n, os.path.getsize(path))])
+
+    manifest_rows = prepared.rdd.mapPartitionsWithIndex(write_partition).collect()
+    return with_payload.sparkSession.createDataFrame(
+        manifest_rows or [], "shard string, n_samples long, bytes long"
+    )
