@@ -1,0 +1,165 @@
+"""TFRecord release sink — the token-sequence training interchange.
+
+The other public release format next to WebDataset tars and JSONL
+shards: TFRecord files (length-prefixed records with masked CRC-32C
+framing) of ``tf.train.Example`` protobufs, the shape TF/JAX input
+pipelines read natively. The container has no tensorflow/protobuf, and
+none is needed: both formats are small public specs implemented here
+directly —
+
+- **Framing** (TFRecord spec): ``uint64-LE length ‖ masked_crc32c(length)
+  ‖ data ‖ masked_crc32c(data)``, with CRC-32C (Castagnoli, reflected
+  0x82F63B78, check value 0xE3069283 for "123456789" — pinned in tests)
+  and the documented mask ``((crc >> 15) | (crc << 17)) + 0xa282ead8``.
+- **Payload** (protobuf wire format, proto3): ``Example → Features →
+  map<string, Feature>`` with ``Int64List`` (packed varints — token ids,
+  loss masks) and ``BytesList`` (text/payload) features, hand-encoded
+  with the standard varint/length-delimited rules. Only the message
+  shapes the Example schema uses are implemented; an independent
+  mini-decoder lives in the tests, and a tiny Example is byte-pinned
+  against hand-computed wire bytes.
+
+Shards are REPRODUCIBLE (range-partition by id, sort within shard —
+the ``write_jsonl_corpus`` determinism contract), written executor-side
+one file per range partition, manifest frame returned. Negative int64
+values encode as 10-byte two's-complement varints per spec.
+
+No counterpart in the reference engine; built for the LLM-pipeline
+brief's release surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# CRC-32C (Castagnoli), reflected polynomial — table-driven, public spec
+_CRC32C_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def frame_record(data: bytes) -> bytes:
+    """One TFRecord: length ‖ masked crc(length) ‖ data ‖ masked crc(data)."""
+    ln = struct.pack("<Q", len(data))
+    return (
+        ln
+        + struct.pack("<I", _masked_crc(ln))
+        + data
+        + struct.pack("<I", _masked_crc(data))
+    )
+
+
+def _varint(n: int) -> bytes:
+    """Protobuf base-128 varint; negative int64 → 10-byte two's complement."""
+    if n < 0:
+        n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(tag: int, payload: bytes) -> bytes:
+    """A length-delimited (wire type 2) field."""
+    return _varint(tag << 3 | 2) + _varint(len(payload)) + payload
+
+
+def encode_example(features: "dict[str, object]") -> bytes:
+    """A ``tf.train.Example`` from {name: list[int] | bytes | str |
+    list[bytes]} — int lists become packed Int64List features, the rest
+    BytesList. Feature order is the dict's (sort upstream for
+    byte-determinism across runs — the writer does)."""
+    entries = bytearray()
+    for name, value in features.items():
+        if isinstance(value, (list, tuple)) and (
+            not value or isinstance(value[0], int)
+        ):
+            packed = b"".join(_varint(int(v)) for v in value)
+            feature = _ld(3, _ld(1, packed))  # Feature.int64_list.value
+        else:
+            if isinstance(value, str):
+                value = [value.encode("utf-8")]
+            elif isinstance(value, (bytes, bytearray)):
+                value = [bytes(value)]
+            blist = b"".join(_ld(1, bytes(v)) for v in value)
+            feature = _ld(1, blist)  # Feature.bytes_list
+        entry = _ld(1, name.encode("utf-8")) + _ld(2, feature)  # map entry
+        entries += _ld(1, entry)  # Features.feature
+    return _ld(1, bytes(entries))  # Example.features
+
+
+def write_tfrecord_shards(
+    df: DataFrame,
+    out_dir: str,
+    num_shards: int,
+    features: "dict[str, str]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Release ``df`` as ``shard-NNNNN.tfrecord`` files: one Example per
+    row, ``features`` mapping feature name → source column (array<int>
+    columns → Int64List, string/binary → BytesList; the id rides as an
+    ``id`` Int64List feature automatically). Deterministic like the
+    other release sinks: range-partition by id, sort within shard,
+    feature names emitted in sorted order. ``out_dir`` must be reachable
+    by every executor (shared mount in cluster mode). Returns the
+    (shard, n_samples, bytes) manifest frame."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [id_col, *dict.fromkeys(features.values())]
+    prepared = (
+        df.select(*cols)
+        .repartitionByRange(num_shards, F.col(id_col))
+        .sortWithinPartitions(id_col)
+    )
+    names = sorted(features)
+
+    def write_partition(idx: int, rows):
+        name = f"shard-{idx:05d}.tfrecord"
+        path = os.path.join(out_dir, name)
+        n = 0
+        with open(path, "wb") as fh:
+            for row in rows:
+                feats: dict = {"id": [int(row[id_col])]}
+                for fname in names:
+                    v = row[features[fname]]
+                    feats[fname] = list(v) if isinstance(v, list) else v
+                # sorted emission for cross-run byte determinism
+                fh.write(
+                    frame_record(
+                        encode_example(dict(sorted(feats.items())))
+                    )
+                )
+                n += 1
+        if n == 0:
+            os.remove(path)
+            return iter(())
+        return iter([(name, n, os.path.getsize(path))])
+
+    manifest = prepared.rdd.mapPartitionsWithIndex(write_partition).collect()
+    return df.sparkSession.createDataFrame(
+        manifest or [], "shard string, n_samples long, bytes long"
+    )
