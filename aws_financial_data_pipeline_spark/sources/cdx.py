@@ -63,21 +63,24 @@ def read_cdx_index(
         | F.col("j.url").isNull()
         | ~F.col("ts").rlike(r"^\d{14}$")
     )
-    # the guard rides INSIDE the kept urlkey expression — a standalone
-    # guard column would be pruned by Catalyst and never evaluate
-    urlkey = F.col("urlkey")
+    # the guard rides in a FILTER, not a column: a guard embedded in one
+    # output column is pruned (and never evaluates) the moment a caller
+    # selects around it, but a filter decides row membership and runs for
+    # every row no matter which columns survive downstream pruning
     if strict:
-        urlkey = F.when(
-            bad,
-            F.raise_error(
-                F.concat(
-                    F.lit("malformed CDXJ line (lost capture): urlkey="),
-                    F.coalesce(F.col("urlkey"), F.lit("<null>")),
-                )
-            ),
-        ).otherwise(F.col("urlkey"))
+        parsed = parsed.where(
+            F.when(
+                bad,
+                F.raise_error(
+                    F.concat(
+                        F.lit("malformed CDXJ line (lost capture): urlkey="),
+                        F.coalesce(F.col("urlkey"), F.lit("<null>")),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
     cols = [
-        urlkey.alias("urlkey"),
+        F.col("urlkey"),
         F.col("ts"),
         F.col("j.url").alias("url"),
         F.col("j.mime").alias("mime"),
@@ -98,10 +101,16 @@ def read_cdx_index(
 def cdx_latest(cdx: DataFrame) -> DataFrame:
     """One row per urlkey — the LATEST capture (max 14-digit timestamp;
     ``max_by`` over the struct of all columns: one aggregate, no
-    window)."""
+    window). Timestamp ties (two captures in the same second) break
+    deterministically on (digest, filename, offset) — the same total
+    order both engines sort structs by — so re-runs elect the same
+    capture."""
     cols = [c for c in cdx.columns if c != "urlkey"]
+    order_cols = [F.col("ts")] + [
+        F.col(c) for c in ("digest", "filename", "offset") if c in cdx.columns
+    ]
     packed = cdx.groupBy("urlkey").agg(
-        F.max_by(F.struct(*cols), F.col("ts")).alias("_s")
+        F.max_by(F.struct(*cols), F.struct(*order_cols)).alias("_s")
     )
     return packed.select("urlkey", *[F.col(f"_s.{c}").alias(c) for c in cols])
 
@@ -121,6 +130,10 @@ def cdx_select(
     identical bytes crawl-wide fetch once). Returns the capture rows to
     hand to a ranged WARC reader, cheapest filters first so the
     aggregates see the smallest set."""
+    if mime_prefixes is not None and len(mime_prefixes) == 0:
+        raise ValueError(
+            "mime_prefixes=() selects nothing; pass None for no mime filter"
+        )
     mime = F.coalesce(F.col("mime_detected"), F.col("mime"))
     out = cdx.where(F.col("status").isin(*statuses))
     if mime_prefixes is not None:

@@ -79,6 +79,7 @@ def ingest_corpus(
     tar_dir: str | None = None,
     zip_dir: str | None = None,
     jsonl_dir: str | None = None,
+    tfrecord_dir: str | None = None,
     extract_html: bool = True,
     archive_pattern: str | None = ".txt",
     max_member_bytes: int = 64 << 20,
@@ -128,10 +129,20 @@ def ingest_corpus(
                 "source", F.lit("jsonl")
             )
         )
+    if tfrecord_dir is not None:
+        from .tfrecord import read_tfrecord, tfrecord_to_documents
+
+        legs.append(
+            tfrecord_to_documents(
+                read_tfrecord(
+                    spark, tfrecord_dir, {"id": "long", "text": "string"}
+                )
+            ).withColumn("source", F.lit("tfrecord"))
+        )
     if not legs:
         raise ValueError(
             "ingest_corpus needs at least one of "
-            "warc_dir/wet_dir/tar_dir/zip_dir/jsonl_dir"
+            "warc_dir/wet_dir/tar_dir/zip_dir/jsonl_dir/tfrecord_dir"
         )
     out = legs[0].select(*CORPUS_DOC_COLS)
     for leg in legs[1:]:
@@ -196,6 +207,9 @@ _LEG_PATTERNS = (
     ("tar", r"\.(tar|tar\.gz|tgz|tar\.bz2|tbz2|tar\.xz|txz)$"),
     ("zip", r"\.zip$"),
     ("jsonl", r"\.(jsonl|ndjson)(\.gz)?$"),
+    # released token-sequence shards (r12): Examples carrying id/text
+    # features re-enter the corpus through the same front door
+    ("tfrecord", r"\.tfrecord$"),
 )
 
 
@@ -255,6 +269,14 @@ def corpus_batch_frame(
             docs = wet_to_documents(parse_warc_files(sub, ("conversion",)))
         elif leg == "jsonl":
             docs = jsonl_to_documents(parse_jsonl_files(sub))
+        elif leg == "tfrecord":
+            from .tfrecord import parse_tfrecord_files, tfrecord_to_documents
+
+            docs = tfrecord_to_documents(
+                parse_tfrecord_files(
+                    sub, {"id": "long", "text": "string"}
+                )
+            )
         else:
             parse = parse_tar_files if leg == "tar" else parse_zip_files
             parsed = parse(sub, archive_pattern, max_member_bytes)

@@ -1,4 +1,4 @@
-"""TFRecord release sink — the token-sequence training interchange.
+"""TFRecord source + release sink — the token-sequence training interchange.
 
 The other public release format next to WebDataset tars and JSONL
 shards: TFRecord files (length-prefixed records with masked CRC-32C
@@ -88,12 +88,23 @@ def _ld(tag: int, payload: bytes) -> bytes:
 
 
 def encode_example(features: "dict[str, object]") -> bytes:
-    """A ``tf.train.Example`` from {name: list[int] | bytes | str |
-    list[bytes]} — int lists become packed Int64List features, the rest
-    BytesList. Feature order is the dict's (sort upstream for
-    byte-determinism across runs — the writer does)."""
+    """A ``tf.train.Example`` from {name: list[int] | int | bytes | str |
+    list[bytes]} — int lists (and scalar ints) become packed Int64List
+    features, the rest BytesList. ``None`` raises loudly naming the
+    feature (a silently empty feature is a corrupted sample). Feature
+    order is the dict's (sort upstream for byte-determinism across runs
+    — the writer does)."""
     entries = bytearray()
     for name, value in features.items():
+        if value is None:
+            raise ValueError(
+                f"NULL value for feature {name!r}: filter or fill NULLs "
+                "upstream (a silently empty feature is a corrupted sample)"
+            )
+        if isinstance(value, bool):
+            value = [int(value)]
+        elif isinstance(value, int):
+            value = [value]
         if isinstance(value, (list, tuple)) and (
             not value or isinstance(value[0], int)
         ):
@@ -146,6 +157,12 @@ def write_tfrecord_shards(
                 feats: dict = {"id": [int(row[id_col])]}
                 for fname in names:
                     v = row[features[fname]]
+                    if v is None:
+                        raise ValueError(
+                            f"NULL in feature column {features[fname]!r} "
+                            f"(feature {fname!r}, {id_col}="
+                            f"{row[id_col]}): filter or fill upstream"
+                        )
                     feats[fname] = list(v) if isinstance(v, list) else v
                 # sorted emission for cross-run byte determinism
                 fh.write(
@@ -162,4 +179,290 @@ def write_tfrecord_shards(
     manifest = prepared.rdd.mapPartitionsWithIndex(write_partition).collect()
     return df.sparkSession.createDataFrame(
         manifest or [], "shard string, n_samples long, bytes long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reader half: the same two public specs decoded — TFRecord framing with
+# CRC-32C verification (a silently corrupt shard is a poisoned training
+# run, so BOTH crcs are checked and a mismatch raises with file+offset),
+# and a protobuf wire-format reader for the Example message family
+# (Int64List packed+unpacked, BytesList, FloatList packed+unpacked;
+# unknown fields skipped by wire type per proto3 rules).
+# ---------------------------------------------------------------------------
+
+
+def iter_tfrecords(raw: bytes, origin: str = "<bytes>", verify_crc: bool = True):
+    """Yield each record's payload bytes from one TFRecord file's raw
+    bytes. ``verify_crc=True`` (default) checks the masked CRC-32C of
+    both the length word and the payload — a mismatch, a truncated tail,
+    or an absurd length raises ``ValueError`` naming ``origin`` and the
+    byte offset (the parse convention: lost records raise, never skip)."""
+    pos, total = 0, len(raw)
+    while pos < total:
+        if total - pos < 12:
+            raise ValueError(
+                f"truncated TFRecord header at {origin}:{pos} "
+                f"({total - pos} trailing bytes)"
+            )
+        (ln,) = struct.unpack_from("<Q", raw, pos)
+        (lcrc,) = struct.unpack_from("<I", raw, pos + 8)
+        if verify_crc and _masked_crc(raw[pos:pos + 8]) != lcrc:
+            raise ValueError(f"TFRecord length-CRC mismatch at {origin}:{pos}")
+        end = pos + 12 + ln
+        if end + 4 > total:
+            raise ValueError(
+                f"truncated TFRecord payload at {origin}:{pos} "
+                f"(length {ln} runs past end of file)"
+            )
+        data = raw[pos + 12:end]
+        (dcrc,) = struct.unpack_from("<I", raw, end)
+        if verify_crc and _masked_crc(data) != dcrc:
+            raise ValueError(f"TFRecord data-CRC mismatch at {origin}:{pos}")
+        yield data
+        pos = end + 4
+
+
+def _read_varint(buf: bytes, i: int) -> "tuple[int, int]":
+    shift = val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _skip_field(buf: bytes, i: int, wire: int) -> int:
+    """Skip an unknown field per proto3 wire rules."""
+    if wire == 0:
+        _, i = _read_varint(buf, i)
+        return i
+    if wire == 1:
+        return i + 8
+    if wire == 2:
+        ln, i = _read_varint(buf, i)
+        return i + ln
+    if wire == 5:
+        return i + 4
+    raise ValueError(f"unsupported protobuf wire type {wire}")
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _decode_int64_list(buf: bytes, end: int, i: int) -> "list[int]":
+    vals: list[int] = []
+    while i < end:
+        key, i = _read_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if field == 1 and wire == 2:  # packed
+            ln, i = _read_varint(buf, i)
+            stop = i + ln
+            while i < stop:
+                v, i = _read_varint(buf, i)
+                vals.append(_signed64(v))
+        elif field == 1 and wire == 0:  # unpacked
+            v, i = _read_varint(buf, i)
+            vals.append(_signed64(v))
+        else:
+            i = _skip_field(buf, i, wire)
+    return vals
+
+
+def _decode_bytes_list(buf: bytes, end: int, i: int) -> "list[bytes]":
+    vals: list[bytes] = []
+    while i < end:
+        key, i = _read_varint(buf, i)
+        if key >> 3 == 1 and key & 7 == 2:
+            ln, i = _read_varint(buf, i)
+            vals.append(buf[i:i + ln])
+            i += ln
+        else:
+            i = _skip_field(buf, i, key & 7)
+    return vals
+
+
+def _decode_float_list(buf: bytes, end: int, i: int) -> "list[float]":
+    vals: list[float] = []
+    while i < end:
+        key, i = _read_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if field == 1 and wire == 2:  # packed fixed32
+            ln, i = _read_varint(buf, i)
+            vals.extend(struct.unpack_from(f"<{ln // 4}f", buf, i))
+            i += ln
+        elif field == 1 and wire == 5:  # unpacked
+            vals.append(struct.unpack_from("<f", buf, i)[0])
+            i += 4
+        else:
+            i = _skip_field(buf, i, wire)
+    return vals
+
+
+def decode_example(data: bytes) -> "dict[str, object]":
+    """One ``tf.train.Example``'s wire bytes → {feature name:
+    list[int] | list[bytes] | list[float]}. Unknown fields anywhere in
+    the tree are skipped by wire type; a feature with none of the three
+    list kinds set decodes as an empty int64 list (the proto3 default)."""
+    out: "dict[str, object]" = {}
+    i = 0
+    while i < len(data):
+        key, i = _read_varint(data, i)
+        if key >> 3 != 1 or key & 7 != 2:  # not Example.features
+            i = _skip_field(data, i, key & 7)
+            continue
+        flen, i = _read_varint(data, i)
+        fend = i + flen
+        while i < fend:
+            ekey, i = _read_varint(data, i)
+            if ekey >> 3 != 1 or ekey & 7 != 2:  # not Features.feature
+                i = _skip_field(data, i, ekey & 7)
+                continue
+            elen, i = _read_varint(data, i)
+            eend = i + elen
+            name: "str | None" = None
+            vals: object = []
+            while i < eend:
+                mkey, i = _read_varint(data, i)
+                field, wire = mkey >> 3, mkey & 7
+                if field == 1 and wire == 2:  # map key
+                    ln, i = _read_varint(data, i)
+                    name = data[i:i + ln].decode("utf-8")
+                    i += ln
+                elif field == 2 and wire == 2:  # map value: Feature
+                    vlen, i = _read_varint(data, i)
+                    vend = i + vlen
+                    while i < vend:
+                        fkey, i = _read_varint(data, i)
+                        ff, fw = fkey >> 3, fkey & 7
+                        if fw == 2 and ff in (1, 2, 3):
+                            lln, i = _read_varint(data, i)
+                            lend = i + lln
+                            if ff == 3:
+                                vals = _decode_int64_list(data, lend, i)
+                            elif ff == 1:
+                                vals = _decode_bytes_list(data, lend, i)
+                            else:
+                                vals = _decode_float_list(data, lend, i)
+                            i = lend
+                        else:
+                            i = _skip_field(data, i, fw)
+                else:
+                    i = _skip_field(data, i, wire)
+            if name is not None:
+                out[name] = vals
+    return out
+
+
+#: feature type spellings ``read_tfrecord`` accepts → (spark type, kind)
+_FEATURE_TYPES = {
+    "array<long>": ("array<long>", "int64"),
+    "long": ("long", "int64_scalar"),
+    "string": ("string", "utf8"),
+    "binary": ("binary", "bytes"),
+    "array<float>": ("array<float>", "float"),
+    "array<double>": ("array<double>", "float"),
+}
+
+
+def parse_tfrecord_files(
+    files: DataFrame,
+    features: "dict[str, str]",
+    verify_crc: bool = True,
+) -> DataFrame:
+    """The parse stage over any (path, content) frame — a binaryFile
+    batch OR a streaming micro-batch: one Arrow stage, each file's
+    records framed-decoded (CRC-verified) and each Example's requested
+    ``features`` ({name: 'array<long>' | 'long' | 'string' | 'binary' |
+    'array<float>' | 'array<double>'}) pulled into typed columns, plus
+    (path, rec_no) provenance. A feature absent from an Example yields
+    NULL (sparse Examples are legal); a scalar type takes the list's
+    first element and raises if the list holds more than one."""
+    for name, t in features.items():
+        if t not in _FEATURE_TYPES:
+            raise ValueError(
+                f"unsupported feature type {t!r} for {name!r}; "
+                f"one of {sorted(_FEATURE_TYPES)}"
+            )
+    schema = "path string, rec_no long, " + ", ".join(
+        f"`{n}` {_FEATURE_TYPES[t][0]}" for n, t in features.items()
+    )
+    kinds = {n: _FEATURE_TYPES[t][1] for n, t in features.items()}
+
+    def run(batches):
+        import pandas as pd
+
+        cols = ["path", "rec_no", *kinds]
+        for pdf in batches:
+            rows: list = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for rec_no, data in enumerate(
+                    iter_tfrecords(bytes(content), path, verify_crc)
+                ):
+                    ex = decode_example(data)
+                    row: list = [path, rec_no]
+                    for name, kind in kinds.items():
+                        v = ex.get(name)
+                        if v is None:
+                            row.append(None)
+                        elif kind == "int64":
+                            row.append(list(v))
+                        elif kind == "int64_scalar":
+                            if len(v) != 1:
+                                raise ValueError(
+                                    f"feature {name!r} declared scalar but "
+                                    f"holds {len(v)} values at {path}#{rec_no}"
+                                )
+                            row.append(v[0])
+                        elif kind == "utf8":
+                            row.append(
+                                b"".join(v).decode("utf-8", "replace")
+                            )
+                        elif kind == "bytes":
+                            row.append(b"".join(v))
+                        else:  # float
+                            row.append([float(x) for x in v])
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(run, schema)
+
+
+def read_tfrecord(
+    spark,
+    path: str,
+    features: "dict[str, str]",
+    verify_crc: bool = True,
+) -> DataFrame:
+    """TFRecord shards under ``path`` → one typed row per Example:
+    (path, rec_no, <features...>). One binaryFile task per shard (the
+    framing is sequential — files are the parallelism axis, exactly like
+    the tar/warc sources), one Arrow parse stage, no shuffle. CRC-32C
+    verified per record by default; corruption raises with file+offset."""
+    return parse_tfrecord_files(
+        spark.read.format("binaryFile").load(path), features, verify_crc
+    )
+
+
+def tfrecord_to_documents(parsed: DataFrame) -> DataFrame:
+    """Adapt a parsed TFRecord frame carrying ``id``/``text`` features
+    (the :func:`write_tfrecord_shards` shape) to the corpus front-door
+    contract: doc_id from the ``id`` feature when present (falling back
+    to ``xxhash64(path:rec_no)``), host-less ``tfrecord://`` provenance
+    URL (the bundle-leg rule: no crawl provenance, URL gates pass)."""
+    return parsed.select(
+        F.coalesce(
+            F.col("id"),
+            F.xxhash64(F.concat_ws(":", F.col("path"), F.col("rec_no"))),
+        ).alias("doc_id"),
+        F.concat(
+            F.lit("tfrecord://"),
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1),
+            F.lit("#"),
+            F.col("rec_no").cast("string"),
+        ).alias("url"),
+        F.col("text"),
     )

@@ -221,10 +221,18 @@ def fetch_warc_ranges(
     first when locality matters). On a cluster against object storage
     this stage maps to one ranged GET per record — the bytes NOT fetched
     are the point: a 1% selection reads 1% of the crawl. A missing shard
-    raises loudly (a lost fetch is a lost record, the parse convention)."""
+    raises loudly (a lost fetch is a lost record, the parse convention).
+
+    The index is UNTRUSTED input: a ``filename`` that is absolute or
+    escapes ``base_dir`` via ``..`` (``os.path.join`` silently discards
+    ``base_dir`` for absolute paths) would let a hostile crawl index pull
+    arbitrary executor-readable files into the corpus — every resolved
+    path is checked to sit under ``base_dir`` and rejected loudly
+    otherwise."""
     import os
 
     types = {t.lower() for t in record_types}
+    root = os.path.realpath(base_dir)
 
     def run(batches):
         import pandas as pd
@@ -238,7 +246,12 @@ def fetch_warc_ranges(
                     for fname, off, ln in zip(
                         sdf["filename"], sdf["offset"], sdf["length"]
                     ):
-                        fpath = os.path.join(base_dir, fname)
+                        fpath = os.path.realpath(os.path.join(root, fname))
+                        if not fpath.startswith(root + os.sep):
+                            raise ValueError(
+                                "CDX filename escapes base_dir "
+                                f"(untrusted index): {fname!r}"
+                            )
                         if hpath != fpath:
                             if handle is not None:
                                 handle.close()

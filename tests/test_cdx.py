@@ -142,3 +142,63 @@ def test_cdx_to_ranged_warc_fetch_end_to_end(spark, tmp_path):
     assert bytes(by_url["https://s1.example/"]["payload"]) == b"<p>page 1</p>"
     assert by_url["https://s3.example/"]["http_status"] == 200
     assert all(r["warc_type"] == "response" for r in got)
+
+
+def test_cdx_strict_guard_survives_column_pruning(spark, tmp_path):
+    """r11 ADVICE: the guard must fire even when the caller prunes away
+    the column it used to ride in — it now lives in a filter, which
+    Catalyst cannot prune regardless of the projection."""
+    (tmp_path / "bad.cdxj").write_text(
+        _fixture_lines()[0] + "\ncom,x)/ not-a-timestamp {}\n"
+    )
+    pruned = cdxsrc.read_cdx_index(spark, str(tmp_path)).select(
+        "url", "filename", "offset", "length"
+    )
+    with pytest.raises(Exception, match="malformed CDXJ line"):
+        pruned.collect()
+
+
+def test_cdx_latest_breaks_timestamp_ties_deterministically(spark, tmp_path):
+    """Two captures of one urlkey in the same second: the (ts, digest,
+    filename, offset) total order elects the same winner on every run
+    (r11 ADVICE: ts-only max_by picked arbitrarily)."""
+    lines = [
+        _line("com,tie)/", "20240101000000", url="https://tie.com/",
+              mime="text/html", status="200", digest="AAA", length="10",
+              offset="0", filename="a.warc.gz"),
+        _line("com,tie)/", "20240101000000", url="https://tie.com/",
+              mime="text/html", status="200", digest="ZZZ", length="11",
+              offset="5", filename="a.warc.gz"),
+    ]
+    (tmp_path / "idx.cdxj").write_text("\n".join(lines))
+    cdx = cdxsrc.read_cdx_index(spark, str(tmp_path))
+    for _ in range(3):
+        rows = cdxsrc.cdx_latest(cdx).collect()
+        assert len(rows) == 1 and rows[0]["digest"] == "ZZZ"
+
+
+def test_cdx_select_rejects_empty_mime_tuple(spark, tmp_path):
+    (tmp_path / "idx.cdxj").write_text("\n".join(_fixture_lines()))
+    cdx = cdxsrc.read_cdx_index(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="mime_prefixes"):
+        cdxsrc.cdx_select(cdx, mime_prefixes=())
+    # None still means "no mime filter"
+    assert cdxsrc.cdx_select(cdx, mime_prefixes=None).count() > 0
+
+
+def test_fetch_warc_ranges_rejects_path_traversal(spark, tmp_path):
+    """r11 ADVICE: the index is untrusted — an absolute or ../ filename
+    must not escape base_dir (os.path.join discards base_dir for
+    absolute paths)."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    secret = tmp_path / "secret.txt"
+    secret.write_text("not-a-warc")
+    for hostile in ("../secret.txt", str(secret)):
+        plan = spark.createDataFrame(
+            [(hostile, 0, 10)], "filename string, offset long, length long"
+        )
+        with pytest.raises(Exception, match="escapes base_dir"):
+            warcsrc.fetch_warc_ranges(plan, str(wdir)).collect()

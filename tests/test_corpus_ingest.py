@@ -411,3 +411,45 @@ def test_corpus_front_doors_thread_sniff(spark, tmp_path):
         frame, extract_html=False, sniff=True
     ).collect()
     assert [r["text"] for r in stream_docs] == [ru]
+
+
+def test_tfrecord_leg_batch_and_landing_dispatch(spark, tmp_path):
+    """r12: released .tfrecord shards re-enter through the same front
+    door — batch (ingest_corpus tfrecord_dir=) and the landing-zone
+    dispatch both map id/text features onto the corpus contract with
+    host-less tfrecord:// provenance."""
+    from aws_financial_data_pipeline_spark.sources import tfrecord as tfr
+
+    tdir = tmp_path / "tfrec"
+    tdir.mkdir()
+    df = spark.createDataFrame(
+        [(11, _prose("t1")), (12, _prose("t2"))], "doc_id long, text string"
+    )
+    tfr.write_tfrecord_shards(df, str(tdir), 1, {"text": "text"}).collect()
+
+    batch_docs = corpussrc.ingest_corpus(
+        spark, tfrecord_dir=str(tdir)
+    ).collect()
+    assert {r["doc_id"] for r in batch_docs} == {11, 12}
+    assert all(r["url"].startswith("tfrecord://") for r in batch_docs)
+    assert all(r["source"] == "tfrecord" for r in batch_docs)
+
+    # landing-zone dispatch: the same shard beside a jsonl file
+    landing = tmp_path / "landing_tf"
+    landing.mkdir()
+    import shutil
+
+    for p in tdir.iterdir():
+        shutil.copy(p, landing / p.name)
+    (landing / "docs.jsonl").write_text(
+        '{"id": "j1", "text": "%s"}\n' % _prose("z1")
+    )
+    frame = corpussrc.corpus_batch_frame(
+        spark.read.format("binaryFile").load(str(landing))
+    )
+    rows = frame.collect()
+    assert {r["source"] for r in rows} == {"jsonl", "tfrecord"}
+    got = {r["doc_id"] for r in rows if r["source"] == "tfrecord"}
+    assert got == {11, 12}
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -132,3 +132,98 @@ def test_write_tfrecord_shards_roundtrip_and_determinism(spark, tmp_path):
     for a, b in zip(sorted(os.listdir(out1)), sorted(os.listdir(out2))):
         assert a == b
         assert (out1 / a).read_bytes() == (out2 / b).read_bytes()
+
+
+def test_encode_example_null_and_scalar(spark, tmp_path):
+    """r11 ADVICE: a NULL feature value raises a clear error naming the
+    column instead of an executor-side TypeError; scalar ints encode as
+    one-element Int64Lists."""
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL value for feature 'a'"):
+        tfr.encode_example({"a": None})
+    assert _decode_example(tfr.encode_example({"a": 5}))["a"] == [5]
+
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL in feature column 'text'"):
+        tfr.write_tfrecord_shards(
+            df, str(tmp_path / "rel"), 1, {"text": "text"}
+        ).collect()
+
+
+def test_read_tfrecord_roundtrip(spark, tmp_path):
+    """write_tfrecord_shards → read_tfrecord: ids, token sequences, loss
+    masks, and text all survive; provenance (path, rec_no) rides along."""
+    rows = [
+        (1, [5, 6, 700000], [1, 1, 0], "alpha"),
+        (2, [9], [1], "beta"),
+        (3, [], [], "gamma"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ids array<int>, mask array<int>, text string"
+    )
+    out = tmp_path / "rel"
+    tfr.write_tfrecord_shards(
+        df, str(out), num_shards=2,
+        features={"input_ids": "ids", "loss_mask": "mask", "text": "text"},
+    ).collect()
+
+    got = tfr.read_tfrecord(
+        spark, str(out),
+        {"id": "long", "input_ids": "array<long>",
+         "loss_mask": "array<long>", "text": "string"},
+    )
+    by_id = {r["id"]: r for r in got.collect()}
+    assert set(by_id) == {1, 2, 3}
+    assert by_id[1]["input_ids"] == [5, 6, 700000]
+    assert by_id[1]["loss_mask"] == [1, 1, 0]
+    assert by_id[2]["text"] == "beta"
+    assert by_id[3]["input_ids"] == []
+    assert by_id[1]["path"].endswith(".tfrecord") and by_id[1]["rec_no"] >= 0
+    # no shuffle: binaryFile scan + one Arrow stage
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_read_tfrecord_crc_corruption_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = tmp_path / "rel"
+    tfr.write_tfrecord_shards(df, str(out), 1, {"text": "text"}).collect()
+    import os
+
+    shard = os.path.join(str(out), sorted(os.listdir(out))[0])
+    raw = bytearray(open(shard, "rb").read())
+    raw[14] ^= 0xFF  # flip a payload byte
+    open(shard, "wb").write(bytes(raw))
+    import pytest
+
+    with pytest.raises(Exception, match="CRC mismatch"):
+        tfr.read_tfrecord(spark, str(out), {"text": "string"}).collect()
+    # verify_crc=False reads through (the documented escape hatch)
+    tfr.read_tfrecord(
+        spark, str(out), {"id": "long"}, verify_crc=False
+    ).collect()
+
+
+def test_read_tfrecord_missing_feature_is_null_and_scalar_guard(spark, tmp_path):
+    """Sparse Examples: absent features decode as NULL; a scalar-declared
+    feature with >1 values raises with file+record provenance."""
+    raw = tfr.frame_record(tfr.encode_example({"id": [1]})) + tfr.frame_record(
+        tfr.encode_example({"id": [2], "text": "there"})
+    )
+    (tmp_path / "s.tfrecord").write_bytes(raw)
+    rows = tfr.read_tfrecord(
+        spark, str(tmp_path), {"id": "long", "text": "string"}
+    ).collect()
+    by_id = {r["id"]: r["text"] for r in rows}
+    assert by_id == {1: None, 2: "there"}
+
+    import pytest
+
+    (tmp_path / "s.tfrecord").write_bytes(
+        tfr.frame_record(tfr.encode_example({"id": [1, 2]}))
+    )
+    with pytest.raises(Exception, match="declared scalar"):
+        tfr.read_tfrecord(spark, str(tmp_path), {"id": "long"}).collect()
