@@ -433,9 +433,72 @@ _UTF16BE_LABELS = ("utf-16be", "utf16be")
 _CP1252_LABELS = ("windows-1252", "cp1252", "x-cp1252")
 _LATIN1_LABELS = ("iso-8859-1", "iso8859-1", "latin-1", "latin1")
 _ASCII_LABELS = ("us-ascii", "ascii")
+
+# Every other SINGLE-BYTE charset the pre-UTF-8 web declared at volume
+# (r12): each is a bijection byte→char that keeps ASCII identical, so the
+# cp1252 trick generalizes — decode ISO-8859-1 (byte b → U+00b) then
+# translate the 128 high chars through the codec's own table, an EXACT
+# decoder that stays pure Catalyst. Label groups follow the WHATWG
+# encoding standard's label→encoding table (notably iso-8859-9 labels
+# mean windows-1254 on the web); tables are generated at import from
+# Python's public codec data (undefined bytes → U+FFFD via errors=
+# 'replace', matching WHATWG's replacement-on-error).
+_SINGLE_BYTE_CODECS = {
+    "koi8-r": ("koi8-r", "koi8", "koi8_r", "cskoi8r"),
+    "koi8-u": ("koi8-u", "koi8-ru"),
+    "windows-1250": ("windows-1250", "cp1250", "x-cp1250"),
+    "windows-1251": ("windows-1251", "cp1251", "x-cp1251"),
+    "windows-1253": ("windows-1253", "cp1253", "x-cp1253"),
+    "windows-1254": ("windows-1254", "cp1254", "x-cp1254",
+                     "iso-8859-9", "iso8859-9", "latin5", "l5"),
+    "windows-1255": ("windows-1255", "cp1255", "x-cp1255"),
+    "windows-1256": ("windows-1256", "cp1256", "x-cp1256"),
+    "windows-1257": ("windows-1257", "cp1257", "x-cp1257"),
+    "windows-1258": ("windows-1258", "cp1258", "x-cp1258"),
+    "iso-8859-2": ("iso-8859-2", "iso8859-2", "latin2", "l2", "csisolatin2"),
+    "iso-8859-4": ("iso-8859-4", "iso8859-4", "latin4", "l4"),
+    "iso-8859-5": ("iso-8859-5", "iso8859-5", "cyrillic"),
+    "iso-8859-6": ("iso-8859-6", "iso8859-6", "arabic"),
+    "iso-8859-7": ("iso-8859-7", "iso8859-7", "greek", "greek8",
+                   "ecma-118", "elot_928"),
+    "iso-8859-8": ("iso-8859-8", "iso8859-8", "hebrew"),
+    "iso-8859-13": ("iso-8859-13", "iso8859-13"),
+    "iso-8859-15": ("iso-8859-15", "iso8859-15", "latin-9", "l9", "latin9"),
+}
+_SB_HIGH_SRC = "".join(chr(b) for b in range(0x80, 0x100))
+_SB_TABLES = {
+    codec: bytes(range(0x80, 0x100)).decode(codec, "replace")
+    for codec in _SINGLE_BYTE_CODECS
+}
+
+# The MULTI-BYTE charsets (CJK) — outside Spark's decode whitelist and
+# not expressible as a translate, so declared pages route through an
+# Arrow kernel over ONLY the declared slice (membership decided pure
+# Catalyst; the UTF-8 mass never leaves the JVM). Label→Python-codec per
+# the WHATWG table: the web labels shift_jis/euc-kr/gb2312 mean the
+# vendor supersets windows-31j/windows-949/GBK, and big5 includes the
+# HKSCS extensions.
+_MULTIBYTE_CODECS = {
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "windows-31j": "cp932", "cp932": "cp932",
+    "ms_kanji": "cp932", "csshiftjis": "cp932",
+    "gbk": "gbk", "gb2312": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
+    "x-gbk": "gbk", "chinese": "gbk", "csgb2312": "gbk",
+    "csiso58gb231280": "gbk",
+    "gb18030": "gb18030",
+    "big5": "big5hkscs", "big5-hkscs": "big5hkscs", "cn-big5": "big5hkscs",
+    "x-x-big5": "big5hkscs", "csbig5": "big5hkscs",
+    "euc-jp": "euc_jp", "x-euc-jp": "euc_jp",
+    "cseucpkdfmtjapanese": "euc_jp",
+    "euc-kr": "cp949", "korean": "cp949", "ks_c_5601-1987": "cp949",
+    "csksc56011987": "cp949", "iso-ir-149": "cp949",
+    "windows-949": "cp949", "cp949": "cp949",
+}
+
 _DECLARED_CHARSETS = (
     _UTF8_LABELS + _UTF16_LABELS + _UTF16LE_LABELS + _UTF16BE_LABELS
     + _CP1252_LABELS + _LATIN1_LABELS + _ASCII_LABELS
+    + tuple(lbl for labels in _SINGLE_BYTE_CODECS.values() for lbl in labels)
 )
 
 
@@ -484,7 +547,18 @@ def decoded_text_expr(payload="payload", content_type="content_type"):
             F.decode(p, "ISO-8859-1"),
         )
         .when(declared.isin(*_ASCII_LABELS), F.decode(p, "US-ASCII"))
-        .when(F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf"), utf8)
+    )
+    # r12: the generic single-byte branches — same ISO-8859-1 + translate
+    # trick as cp1252, one branch per codec, still pure Catalyst
+    for codec, labels in _SINGLE_BYTE_CODECS.items():
+        ladder = ladder.when(
+            declared.isin(*labels),
+            F.translate(
+                F.decode(p, "ISO-8859-1"), _SB_HIGH_SRC, _SB_TABLES[codec]
+            ),
+        )
+    ladder = (
+        ladder.when(F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf"), utf8)
         .when(has_u16_bom, F.decode(p, "UTF-16"))
         .otherwise(utf8)
     )
@@ -510,6 +584,83 @@ _SNIFF_CANDIDATES = (
     # Greek (ISO-8859-7): α τ ο ε ν η ι σ
     ("iso-8859-7", "dense", frozenset((0xE1, 0xF4, 0xEF, 0xE5, 0xED, 0xE7, 0xE9, 0xF3))),
 )
+
+
+# The multibyte sniff candidates, tried in order (r12 — the undeclared
+# CJK case): each is (codec, web label, script witness ranges). A
+# candidate wins only if the bytes decode STRICTLY (no errors — multibyte
+# framing is self-checking: an odd-length high-byte run or an illegal
+# trail byte fails the decode, which is what keeps single-byte Cyrillic/
+# Greek pages from masquerading as CJK) AND at least half the decoded
+# non-ASCII chars land in the script's witness ranges with a minimum of
+# four witnesses. Japanese candidates precede GBK because kana is a
+# Japanese-only witness while ideographs are shared; Big5 last (its byte
+# space overlaps GBK's and GBK pages dominate).
+_MB_KANA = ((0x3040, 0x30FF), (0xFF66, 0xFF9F))  # incl. half-width katakana
+_MB_CJK = ((0x4E00, 0x9FFF), (0x3400, 0x4DBF))
+_MB_HANGUL = ((0xAC00, 0xD7A3),)
+# the union that confirms "this really is an East-Asian page": kana +
+# ideographs + hangul + CJK punctuation/fullwidth forms
+_MB_ANY = _MB_KANA + _MB_CJK + _MB_HANGUL + ((0x3000, 0x303F), (0xFF00, 0xFFEF))
+# per-language most-common-character witnesses (public letter-frequency
+# knowledge — the coarse unigram model, same idea as the single-byte
+# top-byte sets): a WRONG multibyte decode yields statistically random
+# kana/ideographs that all but never hit these ~dozen chars, while a
+# right decode hits them constantly (they cover ~20% of running text)
+_JA_COMMON = frozenset("のにはをたがでてとしるすまこい")
+_ZH_COMMON = frozenset("的一是不了人我在有他这這個们們中大來来上国國")
+_KO_COMMON = frozenset("이다에의는을하고지서가기를한")
+_MB_SNIFF = (
+    # kana witnesses are Japanese-ONLY, so a low fraction suffices (real
+    # Japanese prose runs 20-60% kana among its non-ASCII chars); hangul
+    # and ideograph witnesses must dominate
+    ("cp932", "shift_jis", _MB_KANA, 0.15, _JA_COMMON),
+    ("euc_jp", "euc-jp", _MB_KANA, 0.15, _JA_COMMON),
+    ("cp949", "euc-kr", _MB_HANGUL, 0.5, _KO_COMMON),
+    ("gbk", "gbk", _MB_CJK, 0.5, _ZH_COMMON),
+    ("big5hkscs", "big5", _MB_CJK, 0.5, _ZH_COMMON),
+)
+
+
+def _in_ranges(c: str, ranges) -> bool:
+    o = ord(c)
+    return any(lo <= o <= hi for lo, hi in ranges)
+
+
+def _sniff_multibyte(b: bytes, n_hi: int) -> "tuple[str, str] | None":
+    """The CJK half of the sniffer: (text, label) for the best multibyte
+    candidate, else None (fall through to the single-byte scorer).
+
+    A candidate QUALIFIES only if the bytes decode STRICTLY (multibyte
+    framing is self-checking: an odd-length high-byte run or illegal
+    trail byte fails, which keeps single-byte Cyrillic/Greek pages from
+    masquerading as CJK), its script witnesses clear the floor, and the
+    non-ASCII chars are majority East-Asian. Several candidates can
+    qualify on one page (Big5 bytes also strict-decode under cp932, into
+    mostly-kana noise) — the ELECTION is by common-character hit rate,
+    the unigram witness a wrong decode essentially never satisfies."""
+    qualified = []
+    for codec, label, ranges, frac, common in _MB_SNIFF:
+        try:
+            t = b.decode(codec)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        non_ascii = [c for c in t if ord(c) >= 0x80]
+        if not non_ascii:
+            continue
+        hits = sum(_in_ranges(c, ranges) for c in non_ascii)
+        overall = sum(_in_ranges(c, _MB_ANY) for c in non_ascii)
+        if (
+            hits >= 4
+            and hits / len(non_ascii) >= frac
+            and overall / len(non_ascii) >= 0.5
+        ):
+            chits = sum(c in common for c in non_ascii)
+            qualified.append((chits / len(non_ascii), t, label))
+    if not qualified:
+        return None
+    best = max(qualified, key=lambda q: q[0])
+    return best[1], best[2]
 
 
 def sniff_decode(payload: bytes) -> "tuple[str, str]":
@@ -550,6 +701,9 @@ def sniff_decode(payload: bytes) -> "tuple[str, str]":
     hi_pos = [i for i, byte in enumerate(b) if byte >= 0x80]
     if not hi_pos:  # pure ASCII that still failed UTF-8? unreachable, but total
         return b.decode("ascii", "replace"), "ascii"
+    mb = _sniff_multibyte(b, len(hi_pos))
+    if mb is not None:
+        return mb
     best_text, best_cs, best_score = b.decode("iso-8859-1"), "iso-8859-1", 0.0
     n = len(b)
     for cs, klass, top in _SNIFF_CANDIDATES:
@@ -572,10 +726,50 @@ def sniff_decode(payload: bytes) -> "tuple[str, str]":
     return best_text, best_cs
 
 
+def _declared_charset_expr(content_type="content_type"):
+    """The lowercased ``charset=`` label from an HTTP Content-Type — the
+    ONE extraction both the ladder and the leg-membership predicates
+    share, so they cannot drift."""
+    ct = F.lower(F.coalesce(F.col(content_type), F.lit("")))
+    return F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
+
+
+def decode_declared_multibyte(rec: DataFrame) -> DataFrame:
+    """The Arrow decode leg for records whose DECLARED charset is one of
+    the multi-byte CJK codecs (:data:`_MULTIBYTE_CODECS` — outside
+    Spark's ``decode`` whitelist): (url, record_id, payload,
+    content_type) rows → (url, record_id, text). Total — undecodable
+    sequences become U+FFFD (``errors='replace'``), never a raised
+    executor error (the decode()-throws lesson). Callers filter the
+    frame to the declared-multibyte slice FIRST (pure-Catalyst
+    membership), so at 100 TB only the CJK slice crosses into Python."""
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(r'charset=\s*"?([a-z0-9_\-]+)')
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            texts = []
+            for payload, ctype in zip(pdf["payload"], pdf["content_type"]):
+                m = pat.search((ctype or "").lower())
+                codec = _MULTIBYTE_CODECS.get(m.group(1)) if m else None
+                texts.append(bytes(payload).decode(codec or "utf-8", "replace"))
+            yield pd.DataFrame(
+                {"url": pdf["url"], "record_id": pdf["record_id"], "text": texts}
+            )
+
+    return rec.select("url", "record_id", "payload", "content_type").mapInPandas(
+        run, "url string, record_id string, text string"
+    )
+
+
 def warc_to_documents(
     records: DataFrame,
     id_from: str = "url_hash",
     sniff: bool = False,
+    multibyte: bool = True,
 ) -> DataFrame:
     """Response records → the (doc_id, url, text) frame the crawl front
     door consumes (``html_to_text`` → ``curation_funnel(blocklist=,
@@ -592,7 +786,16 @@ def warc_to_documents(
     = p`` (exact: replacement chars change the bytes), so the dominant
     valid-UTF-8 mass stays JVM-side and only the tiny residue slice runs
     the Arrow :func:`sniff_decode` kernel; the two legs union plan-level
-    to the same contract."""
+    to the same contract.
+
+    ``multibyte=True`` (round 12, default) splits off the slice whose
+    DECLARED charset is a multi-byte CJK codec (shift_jis/gbk/big5/
+    euc-jp/euc-kr label families — outside Spark's ``decode`` whitelist)
+    into :func:`decode_declared_multibyte`'s Arrow leg; membership is the
+    pure-Catalyst label test, so UTF-8 and every single-byte page still
+    decode entirely JVM-side. ``multibyte=False`` restores the pure-
+    Catalyst-only plan (those pages then decode lossily, or via
+    ``sniff=True``'s statistical leg)."""
     if id_from != "url_hash":
         raise ValueError(f"id_from must be 'url_hash': {id_from!r}")
     is_text = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).rlike(
@@ -602,12 +805,20 @@ def warc_to_documents(
     doc_id = F.xxhash64(F.concat_ws(":", F.col("url"), F.col("record_id"))).alias(
         "doc_id"
     )
+    mb_docs = None
+    if multibyte:
+        is_mb = _declared_charset_expr().isin(*_MULTIBYTE_CODECS)
+        mb_docs = decode_declared_multibyte(rec.filter(is_mb)).select(
+            doc_id, "url", "text"
+        )
+        rec = rec.filter(~is_mb)
     ladder_docs = rec.select(doc_id, "url", decoded_text_expr().alias("text"))
     if not sniff:
-        return ladder_docs
+        return (
+            ladder_docs.unionByName(mb_docs) if mb_docs is not None else ladder_docs
+        )
     p = F.col("payload")
-    ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
-    declared = F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
+    declared = _declared_charset_expr()
     handled = (
         declared.isin(*_DECLARED_CHARSETS)
         | (F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf"))
@@ -632,9 +843,10 @@ def warc_to_documents(
         .mapInPandas(run, "url string, record_id string, text string")
         .select(doc_id, "url", "text")
     )
-    return rec.filter(~residue).select(
+    out = rec.filter(~residue).select(
         doc_id, "url", decoded_text_expr().alias("text")
     ).unionByName(sniffed)
+    return out.unionByName(mb_docs) if mb_docs is not None else out
 
 
 def warc_to_media(
