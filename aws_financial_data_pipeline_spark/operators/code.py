@@ -354,6 +354,156 @@ def code_quality_signals(
 
 
 # ---------------------------------------------------------------------------
+# identifier-normalized near-dup preset (r12) — feeds the GENERIC MinHash
+# operators with a representation under which renamed-identifier copies
+# collapse, the public code-dedup recipe (The Stack v2 / CodeParrot
+# lineage): strip comments + string literals, then either SPLIT compound
+# identifiers (camelCase/snake_case → word tokens) or BLIND them entirely
+# (every non-keyword identifier → one placeholder token, so `총calcTotal`
+# and `computeSum` copies become byte-identical). All pure Catalyst.
+
+# language → comment family; languages absent from the map default to the
+# C family (the most common syntax among the unmapped tail)
+_COMMENT_FAMILIES: tuple[tuple[str, str], ...] = tuple(
+    [(lang, "hash") for lang in (
+        "Python", "Ruby", "Shell", "Perl", "R", "Julia", "Elixir", "YAML",
+        "TOML", "CMake", "Makefile", "Nim", "Crystal", "PowerShell", "HCL",
+        "Awk", "INI", "Just", "Meson", "Gradle", "Go Module",
+    )]
+    + [(lang, "dash") for lang in ("SQL", "Haskell", "Lua")]
+    + [(lang, "lisp") for lang in ("Clojure", "Common Lisp", "Emacs Lisp", "Scheme")]
+    + [(lang, "markup") for lang in ("HTML", "XML", "Markdown", "reStructuredText")]
+)
+
+# the multi-language keyword union (public language references): in blind
+# mode these survive as themselves — they carry the STRUCTURE the
+# similarity should see — while every other identifier becomes `id`
+_CODE_KEYWORDS = (
+    "abstract and as assert async await begin bool boolean break byte case "
+    "catch chan char class const continue def default defer del delete do "
+    "double elif else end enum except export extends extern false final "
+    "finally float fn for friend from func function global go goto if impl "
+    "implements import in inline instanceof int interface is lambda let "
+    "long loop match mod module mut namespace new nil none not null object "
+    "of operator or override package pass print private protected public "
+    "raise range register require return self short signed sizeof static "
+    "str string struct super switch template this throw throws trait true "
+    "try type typedef typeof union unsigned use using val var virtual void "
+    "volatile when where while with yield"
+).split()
+
+
+def code_normalized_text_expr(
+    text_col: str = "text",
+    language_col: str = "language",
+    identifiers: str = "blind",
+) -> Column:
+    """The identifier-normalized representation of a source file, as one
+    Catalyst expression: lowercase → string literals collapsed to ``str``
+    (triple-quoted first, then double/single/backtick, escape-aware,
+    single-line only — a similarity feature, not a parser) → comments
+    stripped per the language's comment family (C ``/* */``+``//`` by
+    default; ``#`` / ``--`` / ``;`` / ``<!-- -->`` families per
+    :data:`_COMMENT_FAMILIES`) → numeric literals collapsed to ``0`` →
+    identifier handling → whitespace-collapsed token stream.
+
+    ``identifiers="blind"`` (default, the near-dup preset): every word
+    that is not a language keyword becomes ``id``, so copies differing
+    only in naming (and literals) become identical token streams.
+    ``identifiers="split"`` keeps names but splits camelCase/snake_case
+    into their word parts — the softer form for similarity scoring that
+    should still see naming."""
+    if identifiers not in ("blind", "split"):
+        raise ValueError(f"identifiers must be 'blind' or 'split': {identifiers!r}")
+    # case is preserved through stripping — split mode needs the camel
+    # humps; the final lowercase lands after identifier handling
+    t = F.col(text_col)
+    # string literals first (comment markers inside strings would
+    # otherwise eat code); single-line only so an apostrophe in prose
+    # can't swallow lines
+    t = F.regexp_replace(t, r'"""[\s\S]*?"""', " str ")
+    t = F.regexp_replace(t, r"'''[\s\S]*?'''", " str ")
+    t = F.regexp_replace(t, r'"(?:\\.|[^"\\\n])*"', " str ")
+    t = F.regexp_replace(t, r"'(?:\\.|[^'\\\n])*'", " str ")
+    t = F.regexp_replace(t, r"`[^`\n]*`", " str ")
+    fam_map = F.create_map(*[F.lit(x) for pair in _COMMENT_FAMILIES for x in pair])
+    fam = F.coalesce(
+        F.element_at(fam_map, F.coalesce(F.col(language_col), F.lit(""))),
+        F.lit("c"),
+    )
+    stripped = (
+        F.when(
+            fam == "hash",
+            F.regexp_replace(t, r"#[^\n]*", " "),
+        )
+        .when(fam == "dash", F.regexp_replace(t, r"--[^\n]*", " "))
+        .when(fam == "lisp", F.regexp_replace(t, r";[^\n]*", " "))
+        .when(fam == "markup", F.regexp_replace(t, r"<!--[\s\S]*?-->", " "))
+        .otherwise(
+            F.regexp_replace(
+                F.regexp_replace(t, r"/\*[\s\S]*?\*/", " "), r"//[^\n]*", " "
+            )
+        )
+    )
+    out = F.regexp_replace(stripped, r"\b\d[\w.]*\b", " 0 ")
+    if identifiers == "blind":
+        kw = "|".join(_CODE_KEYWORDS)
+        out = F.regexp_replace(
+            F.lower(out), rf"\b(?!(?:{kw})\b)[a-z_][a-z0-9_$]*\b", "id"
+        )
+    else:
+        # camelCase/PascalCase humps → word breaks (HTTPServer → HTTP
+        # Server, calcSum → calc Sum), then snake_case, then lowercase
+        out = F.regexp_replace(out, r"([a-z0-9])([A-Z])", "$1 $2")
+        out = F.regexp_replace(out, r"([A-Z]+)([A-Z][a-z])", "$1 $2")
+        out = F.lower(F.regexp_replace(out, r"_+", " "))
+    # punctuation becomes its own token so operators/braces survive as
+    # structure under the whitespace tokenizer the shingle stage uses
+    out = F.regexp_replace(out, r"([^\w\s])", " $1 ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def code_near_dup_pairs(
+    files: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    language_col: str = "language",
+    identifiers: str = "blind",
+    threshold: float = 0.85,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """Near-duplicate pairs over the identifier-normalized representation:
+    :func:`code_normalized_text_expr` → the EXISTING generic
+    :func:`..dedup.minhash_dedup` (exact-dedup pre-pass → banded LSH →
+    Jaccard verify), unchanged. Renamed-identifier copies collapse in the
+    exact pre-pass (identical normalized streams, jaccard 1.0); lightly
+    edited renames surface through the LSH bands. The normalization is a
+    map-only projection — the only shuffles are minhash_dedup's own
+    (digest window + band join), the plan contract of the generic path."""
+    from .dedup import minhash_dedup
+
+    normed = files.select(
+        F.col(id_col),
+        code_normalized_text_expr(text_col, language_col, identifiers).alias(
+            "_norm"
+        ),
+    )
+    return minhash_dedup(
+        normed,
+        text_col="_norm",
+        id_col=id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        n=n,
+        bucket_cap=bucket_cap,
+    )
+
+
+# ---------------------------------------------------------------------------
 # the audited funnel (text/media funnel symmetry)
 
 
@@ -366,6 +516,8 @@ def code_curation_funnel(
     permissive_only: bool = True,
     allow_unlicensed: bool = False,
     secrets: str = "drop",
+    near_dup: bool = False,
+    near_dup_threshold: float = 0.85,
     with_ledger: bool = False,
 ):
     """The code-corpus gate chain — :func:`..curation.curation_funnel`'s
@@ -385,18 +537,21 @@ def code_curation_funnel(
        credential hit (a file that commits one real key tends to commit
        more); ``secrets="redact"`` keeps every file with matches replaced
        by typed placeholders (``text`` is rewritten).
-    4. **quality_gate** — :func:`code_quality_signals`'s
+    4. **near_dup_gate** (``near_dup=True``, r12) — identifier-normalized
+       MinHash near-dup (:func:`code_near_dup_pairs`): renamed-identifier
+       copies collapse, the larger id of each pair drops.
+    5. **quality_gate** — :func:`code_quality_signals`'s
        ``passes_code_gates`` (minified/generated/blob shapes out).
-    5. **dedup** — exact content dedup (md5 groupBy, min-id canonical);
-       near-dup belongs to the generic MinHash operators downstream.
+    6. **dedup** — exact content dedup (md5 groupBy, min-id canonical);
+       further near-dup belongs to the generic MinHash operators.
 
     ``corpus`` carries the input columns plus ``language`` and
     ``license`` (the columns a Stack-style release ships). ``audit``:
     (stage, docs_kept) in gate order. ``ledger``: (id, stage, reason)
     per dropped file — reasons ``unidentified_language`` /
     ``language_not_allowed`` / ``non_permissive_license`` /
-    ``no_license`` / ``committed_secrets`` / ``structural_quality`` /
-    ``exact_duplicate``.
+    ``no_license`` / ``committed_secrets`` / ``near_duplicate`` /
+    ``structural_quality`` / ``exact_duplicate``.
 
     Every gate is a map-only projection + filter; the only shuffles are
     the 16-byte md5 groupBy of stage 5 and the ledger's anti-joins when
@@ -472,6 +627,23 @@ def code_curation_funnel(
         cleaned = cur.withColumn(text_col, sec_cols[0])
     stages.append(("secrets_gate", cleaned))
     cur = cleaned
+
+    if near_dup:
+        # identifier-normalized near-dup (r12): renamed-identifier copies
+        # collapse; the larger id of each surviving pair drops (the text
+        # funnel's doc_b convention). The band join is the only shuffle
+        # this stage adds.
+        pairs = code_near_dup_pairs(
+            cur,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=near_dup_threshold,
+        )
+        dup_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        kept = cur.join(dup_ids, id_col, "left_anti")
+        _gone(cur, kept, "near_dup_gate", "near_duplicate")
+        stages.append(("near_dup_gate", kept))
+        cur = kept
 
     qualified = cur.filter(_quality_exprs(text_col)["passes_code_gates"])
     _gone(cur, qualified, "quality_gate", "structural_quality")

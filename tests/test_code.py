@@ -221,3 +221,97 @@ def test_code_stages_are_map_only(spark):
         assert "Exchange" not in plan
         for udf_marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert udf_marker not in plan  # pure Catalyst, no UDF fallback
+
+
+def _py_file(fn_name, var_a, var_b, comment, lit):
+    return (
+        f"# {comment}\n"
+        f"def {fn_name}(items):\n"
+        f"    \"\"\"{comment} docstring.\"\"\"\n"
+        f"    {var_a} = 0\n"
+        f"    for {var_b} in items:\n"
+        f"        if {var_b} > 0:\n"
+        f"            {var_a} += {var_b} * 2\n"
+        f"    print('{lit}')\n"
+        f"    return {var_a}\n"
+    )
+
+
+def test_code_normalized_text_expr_blind_and_split(spark):
+    """r12: renamed-identifier copies normalize to IDENTICAL token streams
+    in blind mode (comments, string literals, numbers, and names all
+    collapse); split mode keeps name parts (camelCase/snake_case split)."""
+    rows = [
+        (1, "a/total.py", _py_file("compute_total", "total", "item", "first version", "done")),
+        (2, "b/sum.py", _py_file("calcRunningSum", "acc", "entry", "renamed copy", "finished")),
+        (3, "c/other.py", "class Registry:\n    def register(self, name, obj):\n        self.entries[name] = obj\n        return obj\n"),
+    ]
+    files = codeop.code_language_id(_files(spark, rows))
+    normed = files.select(
+        "doc_id",
+        codeop.code_normalized_text_expr().alias("blind"),
+        codeop.code_normalized_text_expr(identifiers="split").alias("split"),
+    )
+    got = {r["doc_id"]: r for r in normed.collect()}
+    assert got[1]["blind"] == got[2]["blind"]          # renamed copies collapse
+    assert got[1]["blind"] != got[3]["blind"]          # different code doesn't
+    assert "#" not in got[1]["blind"]                  # comments gone
+    assert "done" not in got[1]["blind"]               # string literals gone
+    assert "id" in got[1]["blind"].split()
+    # split mode: names survive as their word parts
+    assert "calc" in got[2]["split"].split() and "running" in got[2]["split"].split()
+    assert got[1]["split"] != got[2]["split"]
+    # map-only projection: no Exchange in the normalization plan
+    plan = normed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_code_near_dup_pairs_renamed_copies(spark):
+    """r12 (VERDICT #3): two renamed-identifier copies of a file dedup
+    (pair at jaccard 1.0 through the exact pre-pass on the normalized
+    stream) while a genuinely different file pairs with neither; the
+    normalization adds NO shuffle beyond the generic minhash_dedup path."""
+    from aws_financial_data_pipeline_spark.operators import dedup as dd
+
+    rows = [
+        (1, "a/total.py", _py_file("compute_total", "total", "item", "v1", "done")),
+        (2, "b/sum.py", _py_file("calcRunningSum", "acc", "entry", "fork", "finished")),
+        (3, "c/other.py", "class Registry:\n    def register(self, name, obj):\n        self.entries[name] = obj\n        return obj\n" * 3),
+    ]
+    files = codeop.code_language_id(_files(spark, rows))
+    pairs = codeop.code_near_dup_pairs(files)
+    got = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs.collect()]
+    assert got == [(1, 2, 1.0)]
+
+    # shuffle parity with the generic path on a pre-normalized frame
+    normed = files.select(
+        "doc_id", codeop.code_normalized_text_expr().alias("_norm")
+    )
+    generic = dd.minhash_dedup(normed, text_col="_norm", threshold=0.85)
+    n_preset = codeop.code_near_dup_pairs(files)._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    n_generic = generic._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert n_preset == n_generic
+
+
+def test_code_curation_funnel_near_dup_gate(spark):
+    """r12: the optional near_dup stage between secrets and quality —
+    the renamed copy drops (doc_b convention), audit and ledger rows pin
+    the stage, and near_dup=False keeps the r11 funnel byte-identical."""
+    lic = "# SPDX-License-Identifier: MIT\n"
+    rows = [
+        (1, "a/total.py", lic + _py_file("compute_total", "total", "item", "v1", "done")),
+        (2, "b/sum.py", lic + _py_file("calcRunningSum", "acc", "entry", "fork", "finished")),
+        (3, "c/other.py", lic + "class Registry:\n    def register(self, name, obj):\n        self.entries[name] = obj\n        return obj\n" * 3),
+    ]
+    corpus, audit, ledger = codeop.code_curation_funnel(
+        _files(spark, rows), near_dup=True, with_ledger=True
+    )
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 3]
+    audit_rows = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert audit_rows["secrets_gate"] == 3 and audit_rows["near_dup_gate"] == 2
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+    assert led[2] == ("near_dup_gate", "near_duplicate")
+    # default near_dup=False: stage absent, all three survive
+    corpus0, audit0 = codeop.code_curation_funnel(_files(spark, rows))
+    assert sorted(r["doc_id"] for r in corpus0.collect()) == [1, 2, 3]
+    assert "near_dup_gate" not in {r["stage"] for r in audit0.collect()}
