@@ -71,6 +71,9 @@ def image_text_pairs(
     the page URL (absolute / protocol-relative / root-relative /
     path-relative, all pure Catalyst), and equi-join the crawl's media
     slice (:func:`..sources.warc.warc_to_media`) on the fetched URL.
+    Responsive markup (r12): a ``srcset`` attribute wins over ``src``,
+    binding the pair to the largest-descriptor candidate — the
+    best-resolution image a browser would fetch.
 
     Returns (image_id, page_id, image_url, caption) — caption is the
     tag's ``alt`` text (NULL when absent), the training-pair caption
@@ -89,6 +92,7 @@ def image_text_pairs(
     src_q = r"""(?i)(?<![\w-])src\s*=\s*["']([^"']+)["']"""
     src_u = r"""(?i)(?<![\w-])src\s*=\s*([^\s"'>]+)"""
     alt_q = r"""(?i)(?<![\w-])alt\s*=\s*["']([^"']*)["']"""
+    srcset_q = r"""(?i)(?<![\w-])srcset\s*=\s*["']([^"']+)["']"""
     tags = pages.select(
         F.col(id_col).alias("page_id"),
         F.col(url_col).alias("_purl"),
@@ -96,7 +100,30 @@ def image_text_pairs(
             F.regexp_extract_all(F.col(text_col), F.lit(tag_re), F.lit(0))
         ).alias("_tag"),
     )
+    # responsive markup (r12): when the tag carries a srcset, the pair
+    # binds to the LARGEST candidate — the width (`640w`) or density
+    # (`2x`) descriptor is the weight (descriptorless candidates weigh
+    # 1x; the spec forbids mixing w and x in one srcset, so comparing
+    # the raw numbers is sound) and array_max's struct ordering elects
+    # the winner deterministically (weight, then url). A srcset-less tag
+    # keeps its src exactly as before.
+    srcset_raw = F.nullif(
+        F.regexp_extract(F.col("_tag"), srcset_q, 1), F.lit("")
+    )
+    cand_weight = lambda c: F.coalesce(  # noqa: E731
+        F.regexp_extract(c, r"\s(\d+(?:\.\d+)?)[wx]\s*$", 1).try_cast("double"),
+        F.lit(1.0),
+    )
+    scored = F.transform(
+        F.split(srcset_raw, r"\s*,\s*"),
+        lambda c: F.struct(
+            cand_weight(F.trim(c)).alias("w"),
+            F.regexp_extract(F.trim(c), r"^(\S+)", 1).alias("u"),
+        ),
+    )
+    best_srcset = F.nullif(F.array_max(scored).getField("u"), F.lit(""))
     src = F.coalesce(
+        best_srcset,
         F.nullif(F.regexp_extract(F.col("_tag"), src_q, 1), F.lit("")),
         F.nullif(F.regexp_extract(F.col("_tag"), src_u, 1), F.lit("")),
     )

@@ -372,11 +372,16 @@ _STREAM_KW_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 
 
 def _hex_to_text(h: bytes) -> str:
-    """A CMap destination hex token → text (UTF-16BE code units)."""
+    """A CMap destination hex token → text (UTF-16BE code units).
+    Surrogate halves are KEPT (``surrogatepass``), not replaced: real
+    CMaps map astral glyphs as one code per UTF-16 code unit, and the
+    halves only pair up once adjacent codes join in
+    :func:`_decode_with_cmap` (which repairs or replaces whatever is
+    left before the text reaches the frame)."""
     raw = bytes.fromhex(h.decode("ascii"))
     if len(raw) % 2:
         raw = raw + b"\x00"
-    return raw.decode("utf-16-be", "replace")
+    return raw.decode("utf-16-be", "surrogatepass")
 
 
 def _parse_cmap(data: bytes) -> "tuple[int, dict]":
@@ -491,7 +496,11 @@ def _decode_with_cmap(raw: bytes, width: int, table: dict) -> str:
     code chunks; unmapped 1-byte codes fall back to their Latin-1 char
     (partial CMaps in the wild map only the subset glyphs), unmapped
     wide codes surface as U+FFFD — visible to the quality signals, never
-    silently wrong."""
+    silently wrong. A trailing PARTIAL code (odd byte under a 2-byte
+    CMap) also surfaces as U+FFFD instead of being dropped (r11 ADVICE),
+    and surrogate halves contributed by adjacent codes are re-paired
+    into their astral characters (lone leftovers → U+FFFD) so the
+    returned string is always well-formed."""
     out = []
     for k in range(0, len(raw) - width + 1, width):
         code = int.from_bytes(raw[k:k + width], "big")
@@ -501,7 +510,12 @@ def _decode_with_cmap(raw: bytes, width: int, table: dict) -> str:
             out.append(chr(code))
         else:
             out.append("\ufffd")
-    return "".join(out)
+    if len(raw) % width:
+        out.append("\ufffd")
+    s2 = "".join(out)
+    if any(0xD800 <= ord(c) <= 0xDFFF for c in s2):
+        s2 = s2.encode("utf-16-be", "surrogatepass").decode("utf-16-be", "replace")
+    return s2
 
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")

@@ -113,7 +113,11 @@ def parse_zip_files(
     in-memory bytes — same Arrow stage shape, same size guard). Zip's
     central directory is technically seekable, but at corpus scale the
     practical unit is still one archive per task (archives are sized for
-    distribution, not for splitting), so the files-axis convention holds."""
+    distribution, not for splitting), so the files-axis convention holds.
+    zip64 archives (sentinel EOCD + zip64 EOCD/locator records — the
+    >4 GB / >65k-member form big dataset releases actually use) parse
+    through the same path: ``zipfile`` follows the zip64 locator
+    natively (regression-pinned on a forced-zip64 fixture)."""
     import zipfile
 
     def run(batches):

@@ -558,3 +558,43 @@ def test_media_funnel_image_quality_gate(spark):
     assert a["image_quality_gate"] == 2 and a["decode_gate"] == 3
     reasons = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
     assert reasons[2] == ("image_quality_gate", "image_quality_out_of_bounds")
+
+
+def test_image_text_pairs_srcset_best_resolution(spark):
+    """r12 (VERDICT #7): responsive markup binds the pair to the
+    best-resolution srcset candidate — width descriptors pick the widest,
+    density descriptors pick the highest-x, descriptorless candidates
+    weigh 1x, relative srcset URLs resolve through the same RFC 3986
+    machinery — while plain-src tags pair exactly as before."""
+    html = (
+        '<html><body>'
+        '<img srcset="small.jpg 480w, large.jpg 1600w, mid.jpg 800w" '
+        'src="fallback.jpg" alt="widths">'
+        "<img srcset='lo.png 1x, hi.png 2x' src='lo.png' alt='density'>"
+        '<img srcset="bare.gif, big.gif 2x">'
+        '<img src="plain.bmp" alt="no srcset">'
+        '</body></html>'
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://site.example/dir/page.html", html)],
+        "doc_id long, url string, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            (201, "https://site.example/dir/large.jpg"),
+            (202, "https://site.example/dir/fallback.jpg"),
+            (203, "https://site.example/dir/hi.png"),
+            (204, "https://site.example/dir/big.gif"),
+            (205, "https://site.example/dir/plain.bmp"),
+            (206, "https://site.example/dir/small.jpg"),
+            (207, "https://site.example/dir/lo.png"),
+        ],
+        "doc_id long, url string",
+    )
+    pairs = mc.image_text_pairs(pages, media)
+    got = {r["image_id"]: r["caption"] for r in pairs.collect()}
+    # ONLY the elected candidates pair: 1600w, 2x, the 2x of the bare
+    # pair, and the srcset-less plain src
+    assert got == {201: "widths", 203: "density", 204: None, 205: "no srcset"}
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
