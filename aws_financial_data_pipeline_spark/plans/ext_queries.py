@@ -1052,6 +1052,12 @@ def x42_dup_spans(spark, sf_dir):
     off-by-one boundary changes it."""
     from ..operators import spans as spans_mod
 
+    # r12 slot-diet audit: the shared CONSTRUCTED frame (`multi`) has been
+    # staged since r11; staging the docs SCAN itself was measured a no-op
+    # (best-of-3 3.88s → 3.83s at sf0.1 — the five legs' repartitioned
+    # scans are already cheap relative to the ngram leg, see NOTES) and
+    # materializing a corpus-wide scan would be wrong at 100 TB, so the
+    # scan stays a plain re-read per leg.
     docs = _docs(spark, sf_dir)
     sp = spans_mod.duplicated_ngram_spans(docs, n=8, min_docs=2)
     ngram = spans_mod.remove_duplicated_spans(docs, sp).select(

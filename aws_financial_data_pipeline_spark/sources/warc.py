@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 WARC_COLS = (
     "path string, record_id string, warc_type string, warc_date string, "
-    "url string, http_status int, content_type string, payload binary"
+    "url string, http_status int, content_type string, payload binary, "
+    "text_mb string"
 )
 
 
@@ -172,14 +173,39 @@ def parse_warc_files(
 
 _WARC_ROW_COLS = [
     "path", "record_id", "warc_type", "warc_date",
-    "url", "http_status", "content_type", "payload",
+    "url", "http_status", "content_type", "payload", "text_mb",
 ]
+
+_MB_LABEL_RE = None  # compiled lazily; see _mb_decode
+
+
+def _mb_decode(ctype: "str | None", payload: bytes) -> "str | None":
+    """Declared-multibyte decode IN the parse stage (r12): when the HTTP
+    Content-Type declares one of the CJK codecs outside Spark's
+    ``decode`` whitelist (:data:`_MULTIBYTE_CODECS`), decode HERE —
+    where the payload bytes already sit in Python — instead of adding a
+    second Arrow leg that would re-parse every archive (the r12 first
+    cut did exactly that and cost the front doors ~15%). NULL for every
+    other record; total (``errors='replace'``, never a raised executor
+    error)."""
+    global _MB_LABEL_RE
+    if not ctype or "charset" not in ctype.lower():
+        return None
+    if _MB_LABEL_RE is None:
+        import re
+
+        _MB_LABEL_RE = re.compile(r'charset=\s*"?([a-z0-9_\-]+)')
+    m = _MB_LABEL_RE.search(ctype.lower())
+    codec = _MULTIBYTE_CODECS.get(m.group(1)) if m else None
+    if codec is None:
+        return None
+    return payload.decode(codec, "replace")
 
 
 def _record_rows(fpath: str, content: bytes, types: set, rows: list) -> None:
     """Append one WARC_COLS tuple per wanted record in ``content`` (gzip
-    members → records → HTTP split) — shared by the whole-file parse
-    stage and the CDX ranged-fetch stage."""
+    members → records → HTTP split, declared-CJK decode) — shared by the
+    whole-file parse stage and the CDX ranged-fetch stage."""
     for member in _gzip_members(content):
         for headers, body in _parse_records(member):
             wtype = headers.get("warc-type", "").lower()
@@ -199,6 +225,7 @@ def _record_rows(fpath: str, content: bytes, types: set, rows: list) -> None:
                     status,
                     ctype,
                     payload,
+                    _mb_decode(ctype, payload),
                 )
             )
 
@@ -734,37 +761,6 @@ def _declared_charset_expr(content_type="content_type"):
     return F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
 
 
-def decode_declared_multibyte(rec: DataFrame) -> DataFrame:
-    """The Arrow decode leg for records whose DECLARED charset is one of
-    the multi-byte CJK codecs (:data:`_MULTIBYTE_CODECS` — outside
-    Spark's ``decode`` whitelist): (url, record_id, payload,
-    content_type) rows → (url, record_id, text). Total — undecodable
-    sequences become U+FFFD (``errors='replace'``), never a raised
-    executor error (the decode()-throws lesson). Callers filter the
-    frame to the declared-multibyte slice FIRST (pure-Catalyst
-    membership), so at 100 TB only the CJK slice crosses into Python."""
-    import re
-
-    import pandas as pd
-
-    pat = re.compile(r'charset=\s*"?([a-z0-9_\-]+)')
-
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            texts = []
-            for payload, ctype in zip(pdf["payload"], pdf["content_type"]):
-                m = pat.search((ctype or "").lower())
-                codec = _MULTIBYTE_CODECS.get(m.group(1)) if m else None
-                texts.append(bytes(payload).decode(codec or "utf-8", "replace"))
-            yield pd.DataFrame(
-                {"url": pdf["url"], "record_id": pdf["record_id"], "text": texts}
-            )
-
-    return rec.select("url", "record_id", "payload", "content_type").mapInPandas(
-        run, "url string, record_id string, text string"
-    )
-
-
 def warc_to_documents(
     records: DataFrame,
     id_from: str = "url_hash",
@@ -788,14 +784,15 @@ def warc_to_documents(
     the Arrow :func:`sniff_decode` kernel; the two legs union plan-level
     to the same contract.
 
-    ``multibyte=True`` (round 12, default) splits off the slice whose
-    DECLARED charset is a multi-byte CJK codec (shift_jis/gbk/big5/
-    euc-jp/euc-kr label families — outside Spark's ``decode`` whitelist)
-    into :func:`decode_declared_multibyte`'s Arrow leg; membership is the
-    pure-Catalyst label test, so UTF-8 and every single-byte page still
-    decode entirely JVM-side. ``multibyte=False`` restores the pure-
-    Catalyst-only plan (those pages then decode lossily, or via
-    ``sniff=True``'s statistical leg)."""
+    ``multibyte=True`` (round 12, default) consumes the ``text_mb``
+    column the parse stage computes for records whose DECLARED charset
+    is a multi-byte CJK codec (shift_jis/gbk/big5/euc-jp/euc-kr label
+    families — outside Spark's ``decode`` whitelist, decoded inside the
+    parse kernel where the payload bytes already live, so the plan stays
+    ONE Arrow stage): ``text = coalesce(text_mb, ladder)``. UTF-8 and
+    every single-byte page still decode entirely JVM-side.
+    ``multibyte=False`` ignores the column (those pages then decode
+    lossily, or via ``sniff=True``'s statistical leg)."""
     if id_from != "url_hash":
         raise ValueError(f"id_from must be 'url_hash': {id_from!r}")
     is_text = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).rlike(
@@ -805,18 +802,13 @@ def warc_to_documents(
     doc_id = F.xxhash64(F.concat_ws(":", F.col("url"), F.col("record_id"))).alias(
         "doc_id"
     )
-    mb_docs = None
-    if multibyte:
-        is_mb = _declared_charset_expr().isin(*_MULTIBYTE_CODECS)
-        mb_docs = decode_declared_multibyte(rec.filter(is_mb)).select(
-            doc_id, "url", "text"
-        )
-        rec = rec.filter(~is_mb)
-    ladder_docs = rec.select(doc_id, "url", decoded_text_expr().alias("text"))
+    text_expr = decoded_text_expr()
+    use_mb = multibyte and "text_mb" in records.columns
+    if use_mb:
+        text_expr = F.coalesce(F.col("text_mb"), text_expr)
+    ladder_docs = rec.select(doc_id, "url", text_expr.alias("text"))
     if not sniff:
-        return (
-            ladder_docs.unionByName(mb_docs) if mb_docs is not None else ladder_docs
-        )
+        return ladder_docs
     p = F.col("payload")
     declared = _declared_charset_expr()
     handled = (
@@ -827,6 +819,9 @@ def warc_to_documents(
     )
     utf8_ok = F.encode(F.decode(p, "UTF-8"), "UTF-8") == p
     residue = ~handled & ~utf8_ok
+    if use_mb:
+        # declared-CJK pages were decoded in the parse stage — not residue
+        residue = residue & F.col("text_mb").isNull()
 
     import pandas as pd
 
@@ -843,10 +838,9 @@ def warc_to_documents(
         .mapInPandas(run, "url string, record_id string, text string")
         .select(doc_id, "url", "text")
     )
-    out = rec.filter(~residue).select(
-        doc_id, "url", decoded_text_expr().alias("text")
+    return rec.filter(~residue).select(
+        doc_id, "url", text_expr.alias("text")
     ).unionByName(sniffed)
-    return out.unionByName(mb_docs) if mb_docs is not None else out
 
 
 def warc_to_media(

@@ -620,8 +620,9 @@ def test_charset_ladder_header_bom_and_default(spark, tmp_path):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plan = docs._jdf.queryExecution().executedPlan().toString()
-    # parse stage once per union leg (2) + the declared-CJK decode leg (1)
-    assert plan.count("MapInPandas") == 3 and "BatchEvalPython" not in plan
+    # STILL exactly one Arrow stage: the declared-CJK decode happens
+    # inside the parse kernel (text_mb), not in a second leg
+    assert plan.count("MapInPandas") == 1 and "BatchEvalPython" not in plan
 
 
 def test_sniff_decode_kernel_discriminates_scripts():
@@ -790,9 +791,10 @@ def test_declared_cjk_charsets_roundtrip_losslessly(spark, tmp_path):
     # decodes on the pure-Catalyst ladder leg by construction (membership
     # filter precedes the Arrow stage)
     plan = docs._jdf.queryExecution().executedPlan().toString()
-    # parse stage once per union leg (2) + ONE decode Python node (the
-    # declared-CJK Arrow leg); no row-at-a-time eval anywhere
-    assert plan.count("MapInPandas") == 3
+    # exactly ONE Arrow stage: the declared-CJK decode rides INSIDE the
+    # parse kernel (text_mb column), so no archive is parsed twice and
+    # no second Python leg exists; no row-at-a-time eval anywhere
+    assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
