@@ -491,10 +491,20 @@ _SINGLE_BYTE_CODECS = {
     "iso-8859-8": ("iso-8859-8", "iso8859-8", "hebrew"),
     "iso-8859-13": ("iso-8859-13", "iso8859-13"),
     "iso-8859-15": ("iso-8859-15", "iso8859-15", "latin-9", "l9", "latin9"),
+    # WHATWG: every tis-620/iso-8859-11 label means windows-874 on the web
+    "windows-874": ("windows-874", "cp874", "x-cp874", "tis-620",
+                    "iso-8859-11", "iso8859-11", "dos-874"),
+    "mac-roman": ("macintosh", "mac", "x-mac-roman", "csmacintosh"),
+    "mac-cyrillic": ("x-mac-cyrillic", "x-mac-ukrainian"),
 }
+# python codec spellings where they differ from the table key
+_SB_CODEC_NAMES = {"windows-874": "cp874", "mac-roman": "mac_roman",
+                   "mac-cyrillic": "mac_cyrillic"}
 _SB_HIGH_SRC = "".join(chr(b) for b in range(0x80, 0x100))
 _SB_TABLES = {
-    codec: bytes(range(0x80, 0x100)).decode(codec, "replace")
+    codec: bytes(range(0x80, 0x100)).decode(
+        _SB_CODEC_NAMES.get(codec, codec), "replace"
+    )
     for codec in _SINGLE_BYTE_CODECS
 }
 

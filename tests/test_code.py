@@ -315,3 +315,81 @@ def test_code_curation_funnel_near_dup_gate(spark):
     corpus0, audit0 = codeop.code_curation_funnel(_files(spark, rows))
     assert sorted(r["doc_id"] for r in corpus0.collect()) == [1, 2, 3]
     assert "near_dup_gate" not in {r["stage"] for r in audit0.collect()}
+
+
+def test_code_normalization_rename_invariance_property(spark):
+    """Property gate for the r12 normalizer (independent of the regexp
+    chain): for randomly generated identifier/comment/literal choices,
+    blind normalization is INVARIANT under renaming across all three
+    comment families, and a structural change (one extra statement) is
+    always visible. Seeded generation, one Spark action."""
+    import random
+
+    rng = random.Random(12)
+    kw = set(codeop._CODE_KEYWORDS)
+
+    def ident():
+        while True:
+            name = "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(3, 9))
+            )
+            if name not in kw:
+                return name
+
+    def prose():
+        return " ".join(ident() for _ in range(rng.randint(2, 6)))
+
+    def py_tpl(a, b, c, comment, lit, extra=""):
+        return (
+            f"# {comment}\n"
+            f"def {a}({b}):\n"
+            f"    {c} = {rng.randint(0, 1)}\n"
+            f"    for {b} in [{b}]:\n"
+            f"        {c} += {b} * 3\n"
+            f"    print('{lit}')\n{extra}"
+            f"    return {c}\n"
+        )
+
+    def c_tpl(a, b, c, comment, lit, extra=""):
+        return (
+            f"/* {comment} */\n"
+            f"int {a}(int {b}) {{\n"
+            f"    int {c} = 0; // {comment}\n"
+            f"    {c} = {b} * 7;\n"
+            f'    puts("{lit}");\n{extra}'
+            f"    return {c};\n}}\n"
+        )
+
+    def sql_tpl(a, b, c, comment, lit, extra=""):
+        return (
+            f"-- {comment}\n"
+            f"select {a}, sum({b}) as {c}\nfrom {a}_table\n"
+            f"where {b} <> '{lit}'\n{extra}group by {a}\n"
+        )
+
+    rows = []
+    expected = []
+    rid = 0
+    for tpl, path in ((py_tpl, "f.py"), (c_tpl, "f.c"), (sql_tpl, "f.sql")):
+        for _ in range(15):
+            args1 = (ident(), ident(), ident(), prose(), prose())
+            args2 = (ident(), ident(), ident(), prose(), prose())
+            structural = tpl(*args1, extra="    x = x\n" if path != "f.sql" else "having sum(x) > 0\n")
+            rows += [
+                (rid, path, tpl(*args1)),
+                (rid + 1, path, tpl(*args2)),
+                (rid + 2, path, structural),
+            ]
+            expected.append((rid, rid + 1, rid + 2))
+            rid += 3
+    files = codeop.code_language_id(_files(spark, rows))
+    normed = {
+        r["doc_id"]: r["n"]
+        for r in files.select(
+            "doc_id", codeop.code_normalized_text_expr().alias("n")
+        ).collect()
+    }
+    for a, b, c in expected:
+        assert normed[a] == normed[b], (a, b, normed[a], normed[b])
+        assert normed[a] != normed[c], (a, c, normed[a])

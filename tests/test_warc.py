@@ -826,6 +826,11 @@ def test_declared_single_byte_charsets_decode_pure_catalyst(spark, tmp_path):
         # WHATWG: the iso-8859-9 label means windows-1254
         ("https://t.example/iso9", _http_page(tr.encode("cp1254"),
                                               "text/html; charset=iso-8859-9")),
+        # WHATWG: tis-620 means windows-874
+        ("https://th.example/thai", _http_page("สวัสดีชาวโลก".encode("cp874"),
+                                               "text/html; charset=tis-620")),
+        ("https://m.example/mac", _http_page("café — “mac” quote".encode("mac_roman"),
+                                             "text/html; charset=macintosh")),
     ]
     _charset_warc(tmp_path, pages)
     docs = warcsrc.warc_to_documents(
@@ -835,6 +840,7 @@ def test_declared_single_byte_charsets_decode_pure_catalyst(spark, tmp_path):
     assert got == {
         "koi8r": ru, "cp1251": ru, "iso5": ru, "iso7": gr,
         "iso2": pl, "iso15": eu, "iso9": tr,
+        "thai": "สวัสดีชาวโลก", "mac": "café — “mac” quote",
     }
     plan = docs._jdf.queryExecution().executedPlan().toString()
     # exactly the WARC parse stage — the whole DECODE is pure Catalyst
