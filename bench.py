@@ -1024,6 +1024,114 @@ def _bench_pdf_extract(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_code_near_dup(spark, sf_dir: str) -> float:
+    """The r12 identifier-normalized near-dup preset at corpus scale:
+    code-SHAPED fixture files built pre-t0 from doc_id arithmetic —
+    2,000 clusters of renamed-identifier copies whose STRUCTURE is a
+    per-cluster pseudo-random 24-keyword sequence (keywords survive
+    identifier blinding, and set-based Jaccard needs distinct CONTENT —
+    repetition counts vanish in distinct-shingle space, the trap this
+    fixture's first cut fell into). Within a cluster only identifiers
+    differ, so blind normalization collapses each cluster in
+    minhash_dedup's exact pre-pass; across clusters the keyword
+    trigram sets are (pseudo-randomly) disjoint, so pair expansion is
+    bounded by cluster size (2-3 members per cluster at sf0.1's 5,000
+    docs), never corpus size. Timed region = normalization projection + the generic
+    minhash path (band join the only shuffle)."""
+    from aws_financial_data_pipeline_spark.operators import code as code_mod
+
+    docs = _scaled_input(spark, f"{sf_dir}/documents.parquet")
+    gid = F.col("doc_id") % 2000
+    uid = F.col("doc_id").cast("string")
+    kws = F.array(*[F.lit(k) for k in code_mod._CODE_KEYWORDS[:48]])
+    fingerprint = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda i: F.element_at(
+                kws,
+                (
+                    F.pmod(
+                        F.xxhash64(
+                            F.concat(gid.cast("string"), F.lit(":"), i.cast("string"))
+                        ),
+                        F.lit(48),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+        " ",
+    )
+    text = F.concat(
+        F.lit("# helper module\ndef fn_"), uid, F.lit("(arg_"), uid,
+        F.lit("):\n    acc_"), uid, F.lit(" = 0\n    "),
+        fingerprint,
+        F.lit("\n    return acc_"), uid, F.lit("\n"),
+    )
+    files = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("src/c"), gid.cast("string"), F.lit("/f"), uid, F.lit(".py")
+        ).alias("path"),
+        text.alias("text"),
+    ).cache()
+    files.count()
+
+    def run():
+        t0 = time.perf_counter()
+        lang = code_mod.code_language_id(files)
+        code_mod.code_near_dup_pairs(lang).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
+    spark.catalog.clearCache()
+    return elapsed
+
+
+def _bench_tfrecord_roundtrip(spark, sf_dir: str) -> float:
+    """The r12 TFRecord loop: token-sequence shards written (range
+    partition + executor-side CRC-32C framing) then read back through
+    the CRC-verifying Arrow source with typed feature projection. The
+    fixture tokenization (split) happens pre-t0; timed region = write
+    32 shards + full verified read."""
+    import shutil
+    import tempfile
+
+    from aws_financial_data_pipeline_spark.sources import tfrecord as tfr
+
+    docs = _scaled_input(spark, f"{sf_dir}/documents.parquet")
+    seqs = docs.select(
+        "doc_id",
+        F.col("text").alias("text"),
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.abs(F.xxhash64(w)) % 50257
+        ).alias("ids"),
+    ).cache()
+    seqs.count()
+
+    def run():
+        out = tempfile.mkdtemp(prefix="afdp_bench_tfrec_")
+        try:
+            t0 = time.perf_counter()
+            tfr.write_tfrecord_shards(
+                seqs, out, num_shards=32,
+                features={"input_ids": "ids", "text": "text"},
+            ).collect()
+            tfr.read_tfrecord(
+                spark, out,
+                {"id": "long", "input_ids": "array<long>", "text": "string"},
+            ).write.mode("overwrite").format("noop").save()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    elapsed = _best2(run)
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def _bench_code_curation(spark, sf_dir: str) -> float:
     """The code-corpus gate chain over the documents table dressed as
     source files (deterministic synthetic paths + license/secret tails on
@@ -1174,6 +1282,8 @@ def main() -> None:
         ("video_dedup", _bench_video_dedup, {}),
         ("pdf_extract", _bench_pdf_extract, {}),
         ("code_curation", _bench_code_curation, {}),
+        ("code_near_dup", _bench_code_near_dup, {}),
+        ("tfrecord_roundtrip", _bench_tfrecord_roundtrip, {}),
         ("chat_sft", _bench_chat_sft, {}),
         ("crawl_front_door", _bench_crawl_front_door, {}),
         ("archive_front_door", _bench_archive_front_door, {}),
