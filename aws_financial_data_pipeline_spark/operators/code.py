@@ -447,19 +447,27 @@ def code_normalized_text_expr(
     )
     out = F.regexp_replace(stripped, r"\b\d[\w.]*\b", " 0 ")
     if identifiers == "blind":
+        # (?U) makes \b/\w and the letter classes Unicode-aware (Java
+        # UNICODE_CHARACTER_CLASS): non-ASCII identifiers (총계, naïve,
+        # переменная) blind exactly like ASCII ones — without it they
+        # survive verbatim and renamed CJK copies never collapse (r12
+        # review)
         kw = "|".join(_CODE_KEYWORDS)
         out = F.regexp_replace(
-            F.lower(out), rf"\b(?!(?:{kw})\b)[a-z_][a-z0-9_$]*\b", "id"
+            F.lower(out),
+            rf"(?U)\b(?!(?:{kw})\b)[\p{{L}}_][\p{{L}}\p{{N}}_$]*\b",
+            "id",
         )
     else:
         # camelCase/PascalCase humps → word breaks (HTTPServer → HTTP
         # Server, calcSum → calc Sum), then snake_case, then lowercase
-        out = F.regexp_replace(out, r"([a-z0-9])([A-Z])", "$1 $2")
-        out = F.regexp_replace(out, r"([A-Z]+)([A-Z][a-z])", "$1 $2")
+        out = F.regexp_replace(out, r"(?U)([\p{Ll}\p{N}])([\p{Lu}])", "$1 $2")
+        out = F.regexp_replace(out, r"(?U)([\p{Lu}]+)([\p{Lu}][\p{Ll}])", "$1 $2")
         out = F.lower(F.regexp_replace(out, r"_+", " "))
     # punctuation becomes its own token so operators/braces survive as
     # structure under the whitespace tokenizer the shingle stage uses
-    out = F.regexp_replace(out, r"([^\w\s])", " $1 ")
+    # ((?U): a non-ASCII letter is a word char, not punctuation)
+    out = F.regexp_replace(out, r"(?U)([^\w\s])", " $1 ")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
@@ -537,11 +545,14 @@ def code_curation_funnel(
        credential hit (a file that commits one real key tends to commit
        more); ``secrets="redact"`` keeps every file with matches replaced
        by typed placeholders (``text`` is rewritten).
-    4. **near_dup_gate** (``near_dup=True``, r12) — identifier-normalized
-       MinHash near-dup (:func:`code_near_dup_pairs`): renamed-identifier
-       copies collapse, the larger id of each pair drops.
-    5. **quality_gate** — :func:`code_quality_signals`'s
+    4. **quality_gate** — :func:`code_quality_signals`'s
        ``passes_code_gates`` (minified/generated/blob shapes out).
+    5. **near_dup_gate** (``near_dup=True``, r12) — identifier-normalized
+       MinHash near-dup (:func:`code_near_dup_pairs`): renamed-identifier
+       copies collapse, the larger id of each pair drops. After quality
+       (cheapest-reject first: quality is a free filter, near-dup is the
+       chain's only shuffle — and a quality-doomed canonical must not
+       drag its clean twin out with it).
     6. **dedup** — exact content dedup (md5 groupBy, min-id canonical);
        further near-dup belongs to the generic MinHash operators.
 
@@ -628,11 +639,21 @@ def code_curation_funnel(
     stages.append(("secrets_gate", cleaned))
     cur = cleaned
 
+    qualified = cur.filter(_quality_exprs(text_col)["passes_code_gates"])
+    _gone(cur, qualified, "quality_gate", "structural_quality")
+    stages.append(("quality_gate", qualified))
+    cur = qualified
+
     if near_dup:
         # identifier-normalized near-dup (r12): renamed-identifier copies
         # collapse; the larger id of each surviving pair drops (the text
         # funnel's doc_b convention). The band join is the only shuffle
-        # this stage adds.
+        # this stage adds. Runs AFTER the quality gate (r12 review; the
+        # r11 VERDICT sketched it between secrets and quality): quality
+        # is a free map-only filter while near-dup is the stage's only
+        # shuffle — cheapest-reject first — and pairing against a
+        # quality-doomed canonical (a minified bundle outranking its
+        # pretty-printed twin by id) would drop BOTH copies.
         pairs = code_near_dup_pairs(
             cur,
             text_col=text_col,
@@ -644,11 +665,6 @@ def code_curation_funnel(
         _gone(cur, kept, "near_dup_gate", "near_duplicate")
         stages.append(("near_dup_gate", kept))
         cur = kept
-
-    qualified = cur.filter(_quality_exprs(text_col)["passes_code_gates"])
-    _gone(cur, qualified, "quality_gate", "structural_quality")
-    stages.append(("quality_gate", qualified))
-    cur = qualified
 
     canon_ids = (
         cur.select(F.col(id_col), F.md5(F.col(text_col)).alias("_fp"))

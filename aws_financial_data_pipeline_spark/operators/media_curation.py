@@ -106,7 +106,11 @@ def image_text_pairs(
     # 1x; the spec forbids mixing w and x in one srcset, so comparing
     # the raw numbers is sound) and array_max's struct ordering elects
     # the winner deterministically (weight, then url). A srcset-less tag
-    # keeps its src exactly as before.
+    # keeps its src exactly as before. Candidates split ONLY at commas
+    # adjacent to whitespace or right after a descriptor — a bare comma
+    # is legal INSIDE a URL (CDN transform paths like
+    # `.../w_300,c_fill/img.jpg` are ubiquitous) and splitting there
+    # elected garbage fragments (r12 review).
     srcset_raw = F.nullif(
         F.regexp_extract(F.col("_tag"), srcset_q, 1), F.lit("")
     )
@@ -115,7 +119,7 @@ def image_text_pairs(
         F.lit(1.0),
     )
     scored = F.transform(
-        F.split(srcset_raw, r"\s*,\s*"),
+        F.split(srcset_raw, r"\s*,\s+|\s+,\s*|(?<=\d[wx]),"),
         lambda c: F.struct(
             cand_weight(F.trim(c)).alias("w"),
             F.regexp_extract(F.trim(c), r"^(\S+)", 1).alias("u"),

@@ -402,7 +402,16 @@ def parse_tfrecord_files(
                 for rec_no, data in enumerate(
                     iter_tfrecords(bytes(content), path, verify_crc)
                 ):
-                    ex = decode_example(data)
+                    try:
+                        ex = decode_example(data)
+                    except Exception as e:
+                        # malformed protobuf (truncated varint, wild
+                        # length) walks off the buffer — surface it WITH
+                        # provenance, the module's loud-raise contract
+                        raise ValueError(
+                            f"malformed Example protobuf at {path}#{rec_no}: "
+                            f"{type(e).__name__}: {e}"
+                        ) from e
                     row: list = [path, rec_no]
                     for name, kind in kinds.items():
                         v = ex.get(name)
@@ -450,13 +459,23 @@ def read_tfrecord(
 def tfrecord_to_documents(parsed: DataFrame) -> DataFrame:
     """Adapt a parsed TFRecord frame carrying ``id``/``text`` features
     (the :func:`write_tfrecord_shards` shape) to the corpus front-door
-    contract: doc_id from the ``id`` feature when present (falling back
-    to ``xxhash64(path:rec_no)``), host-less ``tfrecord://`` provenance
-    URL (the bundle-leg rule: no crawl provenance, URL gates pass)."""
+    contract: doc_id = ``xxhash64(path:id-or-rec_no)`` — the jsonl leg's
+    id-space rule (r12 review: raw ``id`` features collide across
+    independently released shard sets, silently conflating distinct
+    documents in every doc_id-keyed dedup/ledger downstream; file
+    provenance MUST be in the hash). Host-less ``tfrecord://``
+    provenance URL (the bundle-leg rule: no crawl provenance, URL gates
+    pass)."""
     return parsed.select(
-        F.coalesce(
-            F.col("id"),
-            F.xxhash64(F.concat_ws(":", F.col("path"), F.col("rec_no"))),
+        F.xxhash64(
+            F.concat_ws(
+                ":",
+                F.col("path"),
+                F.coalesce(
+                    F.col("id").cast("string"),
+                    F.col("rec_no").cast("string"),
+                ),
+            )
         ).alias("doc_id"),
         F.concat(
             F.lit("tfrecord://"),

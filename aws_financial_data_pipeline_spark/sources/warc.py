@@ -664,18 +664,25 @@ def _in_ranges(c: str, ranges) -> bool:
     return any(lo <= o <= hi for lo, hi in ranges)
 
 
-def _sniff_multibyte(b: bytes, n_hi: int) -> "tuple[str, str] | None":
+def _sniff_multibyte(b: bytes) -> "tuple[str, str] | None":
     """The CJK half of the sniffer: (text, label) for the best multibyte
     candidate, else None (fall through to the single-byte scorer).
 
     A candidate QUALIFIES only if the bytes decode STRICTLY (multibyte
     framing is self-checking: an odd-length high-byte run or illegal
-    trail byte fails, which keeps single-byte Cyrillic/Greek pages from
-    masquerading as CJK), its script witnesses clear the floor, and the
-    non-ASCII chars are majority East-Asian. Several candidates can
-    qualify on one page (Big5 bytes also strict-decode under cp932, into
-    mostly-kana noise) — the ELECTION is by common-character hit rate,
-    the unigram witness a wrong decode essentially never satisfies."""
+    trail byte fails, which keeps MOST single-byte Cyrillic/Greek pages
+    from masquerading as CJK), its script witnesses clear the floor, the
+    non-ASCII chars are majority East-Asian, AND it hits the language's
+    common characters at least twice — a wrong decode yields
+    statistically random kana/ideographs that essentially never hit
+    them, while right decodes hit constantly (they cover ~20% of running
+    text). The common-character gate is load-bearing, not just a ranker:
+    a Cyrillic page whose words happen to be even-length strict-decodes
+    under GBK with high ideograph fractions (r12 review, reproduced on
+    'привет пока тихо'), and only the frequency witness rejects it.
+    Among multiple qualifiers (Big5 bytes also strict-decode under
+    cp932, into mostly-kana noise), the ELECTION is by common-character
+    hit rate."""
     qualified = []
     for codec, label, ranges, frac, common in _MB_SNIFF:
         try:
@@ -687,12 +694,13 @@ def _sniff_multibyte(b: bytes, n_hi: int) -> "tuple[str, str] | None":
             continue
         hits = sum(_in_ranges(c, ranges) for c in non_ascii)
         overall = sum(_in_ranges(c, _MB_ANY) for c in non_ascii)
+        chits = sum(c in common for c in non_ascii)
         if (
             hits >= 4
             and hits / len(non_ascii) >= frac
             and overall / len(non_ascii) >= 0.5
+            and chits >= 2
         ):
-            chits = sum(c in common for c in non_ascii)
             qualified.append((chits / len(non_ascii), t, label))
     if not qualified:
         return None
@@ -738,7 +746,7 @@ def sniff_decode(payload: bytes) -> "tuple[str, str]":
     hi_pos = [i for i, byte in enumerate(b) if byte >= 0x80]
     if not hi_pos:  # pure ASCII that still failed UTF-8? unreachable, but total
         return b.decode("ascii", "replace"), "ascii"
-    mb = _sniff_multibyte(b, len(hi_pos))
+    mb = _sniff_multibyte(b)
     if mb is not None:
         return mb
     best_text, best_cs, best_score = b.decode("iso-8859-1"), "iso-8859-1", 0.0

@@ -430,9 +430,32 @@ def test_tfrecord_leg_batch_and_landing_dispatch(spark, tmp_path):
     batch_docs = corpussrc.ingest_corpus(
         spark, tfrecord_dir=str(tdir)
     ).collect()
-    assert {r["doc_id"] for r in batch_docs} == {11, 12}
+    # doc_id = xxhash64(path:id) — the jsonl id-space rule (r12 review:
+    # raw id features collide across independent releases)
+    assert len(batch_docs) == 2
+    assert len({r["doc_id"] for r in batch_docs}) == 2
+    assert {r["url"].rsplit("#", 1)[1] for r in batch_docs} == {"0", "1"}
     assert all(r["url"].startswith("tfrecord://") for r in batch_docs)
     assert all(r["source"] == "tfrecord" for r in batch_docs)
+
+    # two independent releases carrying the SAME id features must not
+    # collide in doc_id space
+    tdir2 = tmp_path / "tfrec2"
+    tdir2.mkdir()
+    df2 = spark.createDataFrame(
+        [(11, _prose("we1")), (12, _prose("we2"))], "doc_id long, text string"
+    )
+    tfr.write_tfrecord_shards(df2, str(tdir2), 1, {"text": "text"}).collect()
+    import shutil as _sh
+
+    both = tmp_path / "tfrec_both"
+    both.mkdir()
+    for i, d in enumerate((tdir, tdir2)):
+        for p in d.iterdir():
+            _sh.copy(p, both / f"rel{i}-{p.name}")
+    merged = corpussrc.ingest_corpus(spark, tfrecord_dir=str(both)).collect()
+    assert len(merged) == 4
+    assert len({r["doc_id"] for r in merged}) == 4
 
     # landing-zone dispatch: the same shard beside a jsonl file
     landing = tmp_path / "landing_tf"
@@ -449,7 +472,7 @@ def test_tfrecord_leg_batch_and_landing_dispatch(spark, tmp_path):
     )
     rows = frame.collect()
     assert {r["source"] for r in rows} == {"jsonl", "tfrecord"}
-    got = {r["doc_id"] for r in rows if r["source"] == "tfrecord"}
-    assert got == {11, 12}
+    got = [r for r in rows if r["source"] == "tfrecord"]
+    assert len(got) == 2 and len({r["doc_id"] for r in got}) == 2
     plan = frame._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

@@ -598,3 +598,33 @@ def test_image_text_pairs_srcset_best_resolution(spark):
     assert got == {201: "widths", 203: "density", 204: None, 205: "no srcset"}
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_image_text_pairs_srcset_comma_in_url(spark):
+    """r12 review: bare commas are legal INSIDE srcset URLs (CDN
+    transform paths) — the split must only break at commas adjacent to
+    whitespace or right after a descriptor, or a garbage fragment wins
+    and the pair is lost."""
+    html = (
+        '<img srcset="https://cdn.example/up/w_300,c_fill/img.jpg 300w" '
+        'src="fallback.jpg" alt="cdn commas">'
+        "<img srcset='tiny.png 1x,big.png 2x' alt='no-space list'>"
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://site.example/p.html", html)],
+        "doc_id long, url string, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            (301, "https://cdn.example/up/w_300,c_fill/img.jpg"),
+            (302, "https://site.example/big.png"),
+            (303, "https://site.example/fallback.jpg"),
+            (304, "https://site.example/tiny.png"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["image_id"]: r["caption"]
+        for r in mc.image_text_pairs(pages, media).collect()
+    }
+    assert got == {301: "cdn commas", 302: "no-space list"}

@@ -227,3 +227,17 @@ def test_read_tfrecord_missing_feature_is_null_and_scalar_guard(spark, tmp_path)
     )
     with pytest.raises(Exception, match="declared scalar"):
         tfr.read_tfrecord(spark, str(tmp_path), {"id": "long"}).collect()
+
+
+def test_read_tfrecord_malformed_protobuf_has_provenance(spark, tmp_path):
+    """r12 review: a payload that is not a well-formed Example (e.g. a
+    truncated varint of 0x80 continuation bytes) must raise with
+    file+record provenance, not a bare IndexError from inside the
+    decoder."""
+    import pytest
+
+    (tmp_path / "bad.tfrecord").write_bytes(
+        tfr.frame_record(b"\x0a\xff\xff\xff\xff\xff\xff")
+    )
+    with pytest.raises(Exception, match=r"malformed Example protobuf at .*#0"):
+        tfr.read_tfrecord(spark, str(tmp_path), {"id": "long"}).collect()

@@ -886,3 +886,15 @@ def test_undeclared_cjk_through_sniff_residue_leg(spark, tmp_path):
         warcsrc.read_warc(spark, str(tmp_path)), sniff=True
     )
     assert [r["text"] for r in docs.collect()] == [ja]
+
+
+def test_sniff_cyrillic_even_words_not_gbk():
+    """r12 review (confirmed repro): a Cyrillic page whose words are all
+    even-length strict-decodes under GBK with high ideograph fractions —
+    only the common-character qualification gate rejects it. Must come
+    back windows-1251, never CJK mojibake."""
+    from aws_financial_data_pipeline_spark.sources.warc import sniff_decode
+
+    text = "привет пока тихо"
+    got_text, got_cs = sniff_decode(text.encode("cp1251"))
+    assert (got_cs, got_text) == ("windows-1251", text)
