@@ -1,0 +1,43 @@
+"""Byte-sniffed stream decompression shared by the archive sources.
+
+Real corpus releases ship the same logical shapes under several outer
+codecs — ``.gz`` everywhere, ``.zst`` for the newer big releases
+(Dolma/RedPajama-v2 ship ``.jsonl.zst``), occasionally ``.lz4`` — and
+landing zones mix them freely. Every source sniffs MAGIC BYTES, not
+extensions (release extensions lie), through this one helper so the
+codec set can't drift between legs.
+
+gzip decodes via stdlib; zstd and lz4 (frame format) ride pyarrow's
+bundled codecs (``pyarrow.input_stream`` — streaming, no extra
+dependency). bz2/xz are NOT handled here: the only caller that meets
+them is the tar leg, where stdlib ``tarfile`` auto-detects them natively.
+
+Like every decompress-in-stage path, the whole decompressed buffer
+lives in executor memory — the per-file cost story of the binaryFile
+sources (files are the parallelism axis; shards are sized for
+distribution).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+#: (magic bytes, pyarrow codec name); gzip first — it is the common case
+_PA_MAGICS = (
+    (b"\x28\xb5\x2f\xfd", "zstd"),
+    (b"\x04\x22\x4d\x18", "lz4"),
+)
+
+
+def decompress_sniffed(raw: bytes) -> bytes:
+    """``raw`` decompressed if its magic says gzip/zstd/lz4, else
+    unchanged. Truncated or corrupt streams raise loudly (a lost shard
+    must never parse as an empty one)."""
+    if raw[:2] == b"\x1f\x8b":
+        return gzip.decompress(raw)
+    for magic, codec in _PA_MAGICS:
+        if raw[: len(magic)] == magic:
+            import pyarrow as pa
+
+            return pa.input_stream(pa.py_buffer(raw), compression=codec).read()
+    return raw

@@ -199,14 +199,15 @@ def ingest_media_corpus(
 # patterns are mutually exclusive by construction (.wet never matches
 # .warc) so every file lands on at most one leg
 _LEG_PATTERNS = (
-    ("warc", r"\.warc(\.gz)?$"),
-    ("wet", r"\.wet(\.gz)?$"),
-    # the tar Arrow stage byte-sniffs plain/gzip/bz2/xz framing, so the
-    # dispatch accepts every spelling it parses (ADVICE r10: .tar.bz2/.xz
-    # previously matched no leg and were lost by direct callers)
-    ("tar", r"\.(tar|tar\.gz|tgz|tar\.bz2|tbz2|tar\.xz|txz)$"),
+    ("warc", r"\.warc(\.gz|\.zst)?$"),
+    ("wet", r"\.wet(\.gz|\.zst)?$"),
+    # the tar Arrow stage byte-sniffs plain/gzip/bz2/xz framing (zstd/lz4
+    # pre-decompress via pyarrow, r12), so the dispatch accepts every
+    # spelling it parses (ADVICE r10: .tar.bz2/.xz previously matched no
+    # leg and were lost by direct callers)
+    ("tar", r"\.(tar|tar\.gz|tgz|tar\.bz2|tbz2|tar\.xz|txz|tar\.zst|tzst|tar\.lz4)$"),
     ("zip", r"\.zip$"),
-    ("jsonl", r"\.(jsonl|ndjson)(\.gz)?$"),
+    ("jsonl", r"\.(jsonl|ndjson)(\.gz|\.zst|\.lz4)?$"),
     # released token-sequence shards (r12): Examples carrying id/text
     # features re-enter the corpus through the same front door
     ("tfrecord", r"\.tfrecord$"),

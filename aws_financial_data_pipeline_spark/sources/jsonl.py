@@ -32,12 +32,13 @@ brief.
 
 from __future__ import annotations
 
-import gzip
 import json
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .codecs import decompress_sniffed
 
 JSONL_COLS = "path string, lineno long, rid string, url string, text string"
 
@@ -50,8 +51,9 @@ def parse_jsonl_files(
 ) -> DataFrame:
     """The parse stage over any (path, content) frame — a binaryFile batch
     read or one micro-batch of a stream: every non-blank line becomes one
-    row. Gzip is sniffed from the magic bytes (mixed plain/gz landing
-    zones parse with one stage). Returns (path, lineno, rid, url, text);
+    row. The outer codec (gzip/zstd/lz4) is sniffed from the magic
+    bytes (mixed landing zones parse with one stage — r12: Dolma-style
+    ``.jsonl.zst`` shards read through pyarrow's bundled codec). Returns (path, lineno, rid, url, text);
     :func:`read_jsonl_corpus` maps that to the corpus contract."""
 
     def run(batches) -> Iterator:
@@ -60,9 +62,7 @@ def parse_jsonl_files(
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if raw[:2] == b"\x1f\x8b":
-                    raw = gzip.decompress(raw)
+                raw = decompress_sniffed(bytes(content))
                 if raw[:3] == b"\xef\xbb\xbf":
                     # Windows-export tolerance: a UTF-8 BOM before line 0
                     # would otherwise make the first line malformed JSON
@@ -210,9 +210,7 @@ def parse_jsonl_conversations(
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if raw[:2] == b"\x1f\x8b":
-                    raw = gzip.decompress(raw)
+                raw = decompress_sniffed(bytes(content))
                 if raw[:3] == b"\xef\xbb\xbf":
                     raw = raw[3:]
                 for lineno, line in enumerate(raw.split(b"\n")):

@@ -24,6 +24,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .codecs import decompress_sniffed
+
 TAR_COLS = "archive string, member string, text string"
 
 
@@ -61,7 +63,11 @@ def parse_tar_files(
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                # zstd/lz4 outer codecs pre-decompress (tarfile sniffs
+                # plain/gz/bz2/xz natively; .tar.zst is the newer
+                # release spelling)
+                raw = decompress_sniffed(bytes(content))
+                with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
                     for member in tf:
                         if not member.isfile():
                             continue
@@ -205,7 +211,7 @@ def _magic_media_type(raw: bytes) -> "str | None":
 
 
 def _iter_tar_members(content: bytes, max_member_bytes: int):
-    with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+    with tarfile.open(fileobj=io.BytesIO(decompress_sniffed(content))) as tf:
         for member in tf:
             if not member.isfile():
                 continue

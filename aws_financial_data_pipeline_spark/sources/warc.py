@@ -38,7 +38,17 @@ WARC_COLS = (
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members one member at a time
     (stdlib zlib, wbits=31 = gzip framing). A plain (uncompressed) buffer
-    yields itself — .warc and .warc.gz read through one path."""
+    yields itself — .warc and .warc.gz read through one path. A
+    zstd-framed buffer (``.warc.zst``, r12) decompresses whole-file via
+    pyarrow's bundled codec and yields one member (the per-record
+    seekable variant with skippable dictionary frames is not implemented
+    — pyarrow raises on its dictionary-dependent frames rather than
+    mis-parsing)."""
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        from .codecs import decompress_sniffed
+
+        yield decompress_sniffed(data)
+        return
     if data[:2] != b"\x1f\x8b":
         yield data
         return

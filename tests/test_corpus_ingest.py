@@ -476,3 +476,40 @@ def test_tfrecord_leg_batch_and_landing_dispatch(spark, tmp_path):
     assert len(got) == 2 and len({r["doc_id"] for r in got}) == 2
     plan = frame._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_landing_zone_zst_shards_dispatch(spark, tmp_path):
+    """r12: .jsonl.zst and .tar.zst land in the one landing zone and
+    dispatch to their legs (patterns extended; stray guard still fires
+    for unknown names)."""
+    import io
+    import json
+    import tarfile
+
+    import pyarrow as pa
+
+    def zst(data: bytes) -> bytes:
+        out = pa.BufferOutputStream()
+        with pa.output_stream(out, compression="zstd") as s:
+            s.write(data)
+        return out.getvalue().to_pybytes()
+
+    landing = tmp_path / "landing_zst"
+    landing.mkdir()
+    (landing / "docs.jsonl.zst").write_bytes(
+        zst((json.dumps({"id": "z1", "text": _prose("we1")}) + "\n").encode())
+    )
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        body = _prose("t1").encode()
+        info = tarfile.TarInfo("docs/t.txt")
+        info.size = len(body)
+        tf.addfile(info, io.BytesIO(body))
+    (landing / "bundle.tar.zst").write_bytes(zst(buf.getvalue()))
+
+    frame = corpussrc.corpus_batch_frame(
+        spark.read.format("binaryFile").load(str(landing))
+    )
+    rows = frame.collect()
+    assert {r["source"] for r in rows} == {"jsonl", "tar"}
+    assert len(rows) == 2

@@ -427,3 +427,42 @@ def test_conversation_ingest_stream_replay_equals_batch(spark, tmp_path):
         .where("is_valid").select("conv_id", "turns"),
     )
     assert len(gated.collect()) == 2  # the user/user conversation gated out
+
+
+def _zst(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    buf = pa.BufferOutputStream()
+    with pa.output_stream(buf, compression="zstd") as s:
+        s.write(data)
+    return buf.getvalue().to_pybytes()
+
+
+def test_jsonl_zst_and_lz4_shards(spark, tmp_path):
+    """r12: Dolma/RedPajama-style .jsonl.zst (and .jsonl.lz4) shards parse
+    identically to their plain twins — outer codec sniffed from magic
+    bytes, same Arrow stage."""
+    import json
+
+    import pyarrow as pa
+
+    lines = "".join(
+        json.dumps({"id": f"d{i}", "text": f"document number {i} body"}) + "\n"
+        for i in range(20)
+    ).encode()
+    (tmp_path / "a.jsonl").write_bytes(lines)
+    (tmp_path / "b.jsonl.zst").write_bytes(_zst(lines))
+    lz = pa.BufferOutputStream()
+    with pa.output_stream(lz, compression="lz4") as s:
+        s.write(lines)
+    (tmp_path / "c.jsonl.lz4").write_bytes(lz.getvalue().to_pybytes())
+
+    from aws_financial_data_pipeline_spark.sources import jsonl as jsrc
+
+    docs = jsrc.read_jsonl_corpus(spark, str(tmp_path)).collect()
+    assert len(docs) == 60  # 20 docs × 3 codecs
+    texts = {}
+    for r in docs:
+        texts.setdefault(r["text"], 0)
+        texts[r["text"]] += 1
+    assert all(v == 3 for v in texts.values())  # same docs under each codec

@@ -341,3 +341,49 @@ def test_zip64_archives_parse(spark, tmp_path):
     media = tarsrc.read_media_bundles(spark, str(d64)).collect()
     assert len(media) == 1 and media[0]["media_type"] == "image/png"
     assert media[0]["url"].endswith("#img/pic.dat")
+
+
+def test_tar_zst_archives_parse(spark, tmp_path):
+    """r12: .tar.zst bundles (the newer release spelling) parse through
+    the same Arrow stage — outer zstd sniffed and pre-decompressed via
+    pyarrow's bundled codec; .warc.zst reads whole-file the same way."""
+    import io
+    import tarfile
+
+    import pyarrow as pa
+
+    from aws_financial_data_pipeline_spark.sources import tar as tarsrc
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, body in [("a.txt", b"zstd tar member"), ("b.txt", b"another one")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    out = pa.BufferOutputStream()
+    with pa.output_stream(out, compression="zstd") as s:
+        s.write(buf.getvalue())
+    d = tmp_path / "tzst"
+    d.mkdir()
+    (d / "bundle.tar.zst").write_bytes(out.getvalue().to_pybytes())
+    got = {
+        (r["member"], r["text"])
+        for r in tarsrc.read_tar_corpus(spark, str(d)).collect()
+    }
+    assert got == {("a.txt", "zstd tar member"), ("b.txt", "another one")}
+
+    wz = pa.BufferOutputStream()
+    with pa.output_stream(wz, compression="zstd") as s:
+        s.write(
+            warcsrc.encode_warc(
+                [{"warc_type": "response", "url": "https://z.example/",
+                  "record_id": "<urn:uuid:z1>", "html": "<p>zstd warc</p>"}],
+                gzip_members=False,
+            )
+        )
+    wd = tmp_path / "wzst"
+    wd.mkdir()
+    (wd / "crawl.warc.zst").write_bytes(wz.getvalue().to_pybytes())
+    rows = warcsrc.read_warc(spark, str(wd)).collect()
+    assert len(rows) == 1 and b"zstd warc" in bytes(rows[0]["payload"])
