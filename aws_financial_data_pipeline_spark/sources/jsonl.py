@@ -398,7 +398,13 @@ def write_jsonl_corpus(
 ) -> None:
     """The RELEASE direction: write a curated corpus as ``.jsonl(.gz)``
     shards — the interchange shape downstream consumers (HF datasets,
-    other training stacks) actually load. Rows become ``{"id", "url",
+    other training stacks) actually load. The writer codec is gzip ON
+    PURPOSE: this container's JVM has no native zstd codec, and Hadoop's
+    ``lz4`` is the non-interoperable block format (not the lz4 FRAME
+    other tools read) — gzip is the one codec that both stays JVM-side
+    and round-trips everywhere. READING ``.jsonl.zst``/``.lz4`` releases
+    works regardless (the source sniffs magic bytes through pyarrow's
+    bundled codecs). Rows become ``{"id", "url",
     "text"}`` objects via Spark's native JSON sink (whole-stage codegen
     serialization, gzip codec in the writer — no Python in the path);
     ``num_shards`` range-partitions by ``id_col`` first, so shard

@@ -466,3 +466,4 @@ def test_jsonl_zst_and_lz4_shards(spark, tmp_path):
         texts.setdefault(r["text"], 0)
         texts[r["text"]] += 1
     assert all(v == 3 for v in texts.values())  # same docs under each codec
+
