@@ -186,27 +186,39 @@ _WARC_ROW_COLS = [
     "url", "http_status", "content_type", "payload", "text_mb",
 ]
 
-_MB_LABEL_RE = None  # compiled lazily; see _mb_decode
+_MB_RES = None  # (header_re, meta_re) compiled lazily; see _mb_decode
 
 
 def _mb_decode(ctype: "str | None", payload: bytes) -> "str | None":
     """Declared-multibyte decode IN the parse stage (r12): when the HTTP
-    Content-Type declares one of the CJK codecs outside Spark's
-    ``decode`` whitelist (:data:`_MULTIBYTE_CODECS`), decode HERE —
-    where the payload bytes already sit in Python — instead of adding a
-    second Arrow leg that would re-parse every archive (the r12 first
-    cut did exactly that and cost the front doors ~15%). NULL for every
-    other record; total (``errors='replace'``, never a raised executor
-    error)."""
-    global _MB_LABEL_RE
-    if not ctype or "charset" not in ctype.lower():
-        return None
-    if _MB_LABEL_RE is None:
+    Content-Type — or, header silent, a ``<meta charset>`` in the first
+    1 KiB (the WHATWG prescan; must mirror
+    :func:`_declared_charset_expr`'s header-wins order exactly) —
+    declares one of the CJK codecs outside Spark's ``decode`` whitelist
+    (:data:`_MULTIBYTE_CODECS`), decode HERE — where the payload bytes
+    already sit in Python — instead of adding a second Arrow leg that
+    would re-parse every archive (the r12 first cut did exactly that and
+    cost the front doors ~15%). NULL for every other record; total
+    (``errors='replace'``, never a raised executor error)."""
+    global _MB_RES
+    if _MB_RES is None:
         import re
 
-        _MB_LABEL_RE = re.compile(r'charset=\s*"?([a-z0-9_\-]+)')
-    m = _MB_LABEL_RE.search(ctype.lower())
-    codec = _MULTIBYTE_CODECS.get(m.group(1)) if m else None
+        _MB_RES = (
+            re.compile(r'charset=\s*"?([a-z0-9_\-]+)'),
+            re.compile(
+                rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([a-z0-9_\-]+)"
+            ),
+        )
+    header_re, meta_re = _MB_RES
+    label = None
+    if ctype and "charset" in ctype.lower():
+        m = header_re.search(ctype.lower())
+        label = m.group(1) if m else None
+    if label is None:
+        mm = meta_re.search(payload[:_META_PRESCAN_BYTES].lower())
+        label = mm.group(1).decode("ascii", "replace") if mm else None
+    codec = _MULTIBYTE_CODECS.get(label) if label else None
     if codec is None:
         return None
     return payload.decode(codec, "replace")
@@ -567,8 +579,7 @@ def decoded_text_expr(payload="payload", content_type="content_type"):
     statistical tables) stays out of scope in this container; header+BOM
     covers the declared-encoding cases that dominate real crawls."""
     p = F.col(payload) if isinstance(payload, str) else payload
-    ct = F.lower(F.coalesce(F.col(content_type), F.lit("")))
-    declared = F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
+    declared = _declared_charset_expr(content_type, payload)
     utf8 = F.decode(p, "UTF-8")
     has_u16_bom = (F.substring(p, 1, 2) == F.lit(b"\xff\xfe")) | (
         F.substring(p, 1, 2) == F.lit(b"\xfe\xff")
@@ -781,12 +792,30 @@ def sniff_decode(payload: bytes) -> "tuple[str, str]":
     return best_text, best_cs
 
 
-def _declared_charset_expr(content_type="content_type"):
-    """The lowercased ``charset=`` label from an HTTP Content-Type — the
-    ONE extraction both the ladder and the leg-membership predicates
-    share, so they cannot drift."""
+#: the WHATWG prescan window: charset metas appear in the first bytes
+_META_PRESCAN_BYTES = 1024
+#: matches both `<meta charset=x>` and the http-equiv `content="...;
+#: charset=x"` spelling — run against the LOWERCASED prescan head
+_META_CHARSET_RE = r"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([a-z0-9_\-]+)"
+
+
+def _declared_charset_expr(content_type="content_type", payload="payload"):
+    """The lowercased declared charset label: the HTTP Content-Type's
+    ``charset=`` wins (the transport layer outranks the document per
+    WHATWG), else the ``<meta charset>`` / http-equiv declaration found
+    in the first 1 KiB of the payload (the WHATWG prescan — real pages
+    routinely declare their encoding ONLY in markup; the head decodes
+    ISO-8859-1, total and ASCII-transparent under every ASCII-compatible
+    encoding, which all the routable labels are). The ONE extraction the
+    ladder, the leg-membership predicates, and the sniff ``handled``
+    test all share, so they cannot drift. UTF-16 pages' metas are not
+    ASCII-visible — their BOM branch handles them."""
     ct = F.lower(F.coalesce(F.col(content_type), F.lit("")))
-    return F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
+    header = F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
+    p = F.col(payload) if isinstance(payload, str) else payload
+    head = F.lower(F.decode(F.substring(p, 1, _META_PRESCAN_BYTES), "ISO-8859-1"))
+    meta = F.regexp_extract(head, _META_CHARSET_RE, 1)
+    return F.coalesce(F.nullif(header, F.lit("")), F.nullif(meta, F.lit("")), F.lit(""))
 
 
 def warc_to_documents(

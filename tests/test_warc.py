@@ -898,3 +898,33 @@ def test_sniff_cyrillic_even_words_not_gbk():
     text = "привет пока тихо"
     got_text, got_cs = sniff_decode(text.encode("cp1251"))
     assert (got_cs, got_text) == ("windows-1251", text)
+
+
+def test_meta_charset_prescan_routes_ladder_and_cjk(spark, tmp_path):
+    """r12: pages that declare their encoding only in markup (the WHATWG
+    prescan case — ubiquitous on the real web) route exactly like
+    header-declared pages: meta shift_jis decodes through the in-parse
+    CJK path, meta windows-1251 through the pure-Catalyst translate
+    branch, and a header charset WINS over a conflicting meta."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    ja = "こんにちは世界、日本語のページです。"
+    ru = "привет мир как дела"
+    pages = [
+        ("https://jp.example/meta-sjis", _http_page(
+            f'<html><head><meta charset="shift_jis"></head><body>{ja}</body></html>'.encode("cp932"),
+            "text/html")),
+        ("https://ru.example/meta-1251", _http_page(
+            f'<html><head><meta http-equiv="Content-Type" content="text/html; charset=windows-1251"></head><body>{ru}</body></html>'.encode("cp1251"),
+            "text/html")),
+        # header utf-8 OUTRANKS the (lying) meta shift_jis
+        ("https://hdr.example/wins", _http_page(
+            '<html><head><meta charset="shift_jis"></head><body>höder wins</body></html>'.encode(),
+            "text/html; charset=utf-8")),
+    ]
+    _charset_warc(tmp_path, pages)
+    docs = warcsrc.warc_to_documents(warcsrc.read_warc(spark, str(tmp_path)))
+    got = {r["url"].rsplit("/", 1)[1]: r["text"] for r in docs.collect()}
+    assert ja in got["meta-sjis"]
+    assert ru in got["meta-1251"]
+    assert "höder wins" in got["wins"]
