@@ -641,6 +641,8 @@ _SNIFF_CANDIDATES = (
     ("windows-1251", "dense", frozenset((0xEE, 0xE5, 0xE0, 0xE8, 0xED, 0xF2, 0xF1, 0xE2))),
     # Greek (ISO-8859-7): α τ ο ε ν η ι σ
     ("iso-8859-7", "dense", frozenset((0xE1, 0xF4, 0xEF, 0xE5, 0xED, 0xE7, 0xE9, 0xF3))),
+    # Thai (windows-874, r12): า น ร อ ก เ ง ม
+    ("cp874", "dense", frozenset((0xD2, 0xB9, 0xC3, 0xCD, 0xA1, 0xE0, 0xA7, 0xC1))),
 )
 
 

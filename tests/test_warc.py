@@ -928,3 +928,13 @@ def test_meta_charset_prescan_routes_ladder_and_cjk(spark, tmp_path):
     assert ja in got["meta-sjis"]
     assert ru in got["meta-1251"]
     assert "höder wins" in got["wins"]
+
+
+def test_sniff_detects_undeclared_thai():
+    """r12: undeclared windows-874 pages sniff to Thai (the cp874 dense
+    candidate) instead of decoding as Latin-1 garbage."""
+    from aws_financial_data_pipeline_spark.sources.warc import sniff_decode
+
+    th = "สวัสดีชาวโลก นี่คือข้อความภาษาไทยสำหรับทดสอบ"
+    got_text, got_cs = sniff_decode(th.encode("cp874"))
+    assert (got_cs, got_text) == ("cp874", th)
