@@ -9,22 +9,26 @@ Spark-first implementation — NOT a range join (which explodes to
 O(|L|·|R| / key) candidate pairs) and NOT a per-key loop:
 
     union(right tagged 0, left tagged 1)
-      → window last(value, ignorenulls) over
+      → window last(packed right row, ignorenulls) over
           partitionBy(key).orderBy(ts, tag)
           rowsBetween(unboundedPreceding, current)
       → keep left rows
 
 One shuffle on the key (identical cost to the equi-join the data needs
-anyway); state per partition is one running value per right column. Right
-rows sort BEFORE left rows at equal ``ts``, so the match is inclusive
-(``r.ts <= l.ts``). Works unchanged at any |L|/|R| ratio — nothing is
-broadcast, nothing is exploded.
+anyway); state per partition is ONE running struct — the carried right
+columns ride in a single struct so the matched row arrives INTACT (r12
+review: per-column ``last(ignorenulls)`` backfilled a legitimately-NULL
+field of the newest right row from an older row, fabricating a row that
+never existed). Right rows sort BEFORE left rows at equal ``ts``, so the
+match is inclusive (``r.ts <= l.ts``). Works unchanged at any |L|/|R|
+ratio — nothing is broadcast, nothing is exploded.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def asof_join(
@@ -36,22 +40,42 @@ def asof_join(
     tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, with ``right_cols`` from the most
-    recent right row at or before its ``ts`` (NULLs when none exists).
+    recent right row at or before its ``ts`` (NULLs when none exists) —
+    the whole matched row, never a column-wise mix of several right rows.
 
-    ``right`` must carry ``on + [ts] + right_cols``. If several right rows can
-    share (key, ts), pass ``tiebreak`` (a right column) — the row with the
-    greatest tiebreak value wins deterministically.
+    ``right`` must carry ``on + [ts] + right_cols``; ``right_cols`` may
+    not collide with left's columns (raises — silently overwriting the
+    left side was the r12-review failure). If several right rows can
+    share (key, ts), pass ``tiebreak`` (a right column) — the row with
+    the greatest tiebreak value wins deterministically, and a
+    NULL-tiebreak row loses to any valued one.
     """
     lcols = left.columns
     carry = list(right_cols)
     if tiebreak is not None and tiebreak not in carry:
         carry.append(tiebreak)
-    l_tagged = left
-    for c in carry:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    l_tagged = l_tagged.withColumn("_tag", F.lit(1))
+    overlap = [c for c in carry if c in lcols]
+    if overlap:
+        raise ValueError(
+            f"right_cols/tiebreak collide with left columns: {overlap}; "
+            "rename one side before the as-of join"
+        )
+    stype = StructType([right.schema[c] for c in carry])
+    tb_type = right.schema[tiebreak].dataType if tiebreak is not None else "int"
 
-    r_tagged = right.select(*on, ts, *carry)
+    l_tagged = (
+        left.withColumn("_asof_s", F.lit(None).cast(stype))
+        .withColumn("_tb", F.lit(None).cast(tb_type))
+        .withColumn("_tag", F.lit(1))
+    )
+    r_tagged = right.select(
+        *on,
+        ts,
+        F.struct(*[F.col(c) for c in carry]).alias("_asof_s"),
+        (
+            F.col(tiebreak) if tiebreak is not None else F.lit(None).cast("int")
+        ).alias("_tb"),
+    )
     for c in lcols:
         if c not in (*on, ts):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -60,8 +84,10 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
     order = [F.col(ts), F.col("_tag")]
     if tiebreak is not None:
-        # right rows order by tiebreak at equal ts; left rows have NULL there
-        order.append(F.col(tiebreak).asc_nulls_last())
+        # right rows order by tiebreak at equal ts — nulls FIRST so a
+        # NULL-tiebreak right row loses to any valued one (left rows
+        # already sort last via _tag)
+        order.append(F.col("_tb").asc_nulls_first())
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
@@ -70,8 +96,8 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "_tag",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in right_cols],
+        F.last("_asof_s", ignorenulls=True).over(w).alias("_s"),
     )
     return filled.filter(F.col("_tag") == 1).select(
-        *lcols, *[F.col(f"_asof_{c}").alias(c) for c in right_cols]
+        *lcols, *[F.col(f"_s.{c}").alias(c) for c in right_cols]
     )

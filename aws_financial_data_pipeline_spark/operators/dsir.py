@@ -174,9 +174,11 @@ def corpus_divergence(
     DSIR's weights then act on), or "are these two shards the same
     distribution?" — JS is symmetric, bounded by ln 2, and measures
     PROPORTIONS, not volume: a corpus and its k-fold duplication measure
-    ≈0 (exactly 0 only at α=0 — smoothing weights the two totals
-    differently, so a small residual ~the smoothing fraction remains;
-    tested).
+    ≈0 (a small residual ~the smoothing fraction remains — smoothing
+    weights the two totals differently; tested). ``alpha`` must be > 0:
+    at α=0 any bucket present in one corpus and absent from the other
+    makes KL infinite (p·log(p/0)), which surfaces as a mid-job ANSI
+    divide-by-zero — rejected up front instead (r12 review).
 
     Cost shape: two hashed-count passes (map-side-combined groupBys bounded
     by ``num_buckets`` rows), one full-outer join of two ≤B-row tables, one
@@ -200,6 +202,12 @@ def corpus_divergence(
             .agg(F.sum("cnt").alias(out))
         )
 
+    if alpha is not None and alpha <= 0:
+        raise ValueError(
+            f"alpha must be > 0 (got {alpha}): at zero smoothing a bucket "
+            "present in one corpus and absent from the other makes KL "
+            "infinite (p*log(p/0))"
+        )
     ca, cb = bucket_counts(a, "_ca"), bucket_counts(b, "_cb")
     j = ca.join(cb, "bucket", "full_outer").select(
         F.coalesce("_ca", F.lit(0)).alias("_ca"),

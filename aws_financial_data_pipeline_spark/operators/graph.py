@@ -97,8 +97,13 @@ def dedup_clusters(
 ) -> DataFrame:
     """Full dedup decision: candidate pairs → connected components → every doc
     labeled with (component, cluster_size, is_canonical). Docs in no pair are
-    their own singleton component. Canonical = minimum doc_id per component
-    (deterministic, join-free to compute: it IS the component id)."""
+    their own singleton component. Canonical = minimum doc_id among the
+    component's MEMBERS PRESENT IN ``docs`` — not the raw component id,
+    which can name a pair node filtered out of docs upstream (pairs
+    computed before a quality gate; r12 review: the id-equals-component
+    shortcut then marked NO member canonical and a keep-canonical filter
+    silently dropped the whole cluster). The member-min rides the same
+    per-component aggregation as the size — no extra shuffle."""
     comp = connected_components(pairs, src=pair_a, dst=pair_b)
     labeled = (
         docs.select(id_col)
@@ -108,12 +113,15 @@ def dedup_clusters(
             F.coalesce("component", F.col(id_col)).alias("component"),
         )
     )
-    sizes = labeled.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min(id_col).alias("_member_min"),
+    )
     return labeled.join(sizes, "component").select(
         F.col(id_col),
         "component",
         "cluster_size",
-        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        (F.col(id_col) == F.col("_member_min")).alias("is_canonical"),
     )
 
 

@@ -65,10 +65,17 @@ def domain_stats(
     ``n_bpe_tokens`` after tokenization — plan in the units you train in).
     One map-side-combined groupBy whose key space is the domain values, so
     the shuffle carries D rows."""
+    # the shared tokenizer (text.tokens / TOKEN_SPLIT) so planning token
+    # counts can't drift from DSIR's feature counts; empty docs count 0
+    # (split('') yields [''] — size 1 — without the filter; r12 review)
+    from .text import tokens as _tokens
+
     size = (
         F.col(size_col).cast("long")
         if size_col is not None
-        else F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+        else F.size(
+            F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+        ).cast("long")
     )
     return (
         docs.select(F.col(domain_col).alias("domain"), size.alias("_t"))
@@ -90,7 +97,10 @@ def temperature_weights(stats: DataFrame, alpha: float = 0.7) -> DataFrame:
     tot = stats.agg(F.sum("tokens").alias("_tot"))
     powed = (
         stats.join(F.broadcast(tot))
-        .withColumn("natural_share", F.col("tokens") / F.col("_tot"))
+        # try_divide: an all-zero-token stats frame (stub domains before
+        # tokenization) must yield NULL shares, not an ANSI
+        # DIVIDE_BY_ZERO job kill (r12 review)
+        .withColumn("natural_share", F.try_divide(F.col("tokens"), F.col("_tot")))
         .withColumn("_pow", F.pow("natural_share", F.lit(alpha)))
     )
     ptot = powed.agg(F.sum("_pow").alias("_ptot"))

@@ -74,7 +74,17 @@ def salted_join(
     Cost model: build side grows ``n_salts``×, so this only pays when
     |build| × n_salts ≪ |probe's hot partition|. The salt/replica columns are
     dropped from the output.
+
+    Only probe-side-preserving joins are legal: a right/full outer join
+    would emit every unmatched build REPLICA (n_salts copies of each
+    unmatched build row — r12 review, reproduced), so those modes raise.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"salted_join supports probe-side-preserving joins only "
+            f"(inner/left/left_semi/left_anti), got {how!r}: the replicated "
+            "build side would multiply unmatched build rows n_salts times"
+        )
     p = probe.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     b = build.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return p.join(b, [on, "_salt"], how).drop("_salt")

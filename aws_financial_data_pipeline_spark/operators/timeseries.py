@@ -48,9 +48,15 @@ def gap_fill_months(
     """Dense per-key monthly totals from each key's first to last active
     month; months with no rows appear with total 0 and ``is_gap`` true.
 
-    Money sums are exact-decimal then rounded once (engine-portable)."""
+    Money sums are exact-decimal then rounded once (engine-portable).
+    A month whose rows all carry NULL amounts is an ACTIVE month totaling
+    0 — not a gap (r12 review: sum(NULL)=NULL made it indistinguishable
+    from a month with no rows; presence is map membership now)."""
     monthly = txns.groupBy(key_col, ym_col).agg(
-        F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("_dec")
+        F.coalesce(
+            F.sum(F.col(amount_col).cast("decimal(18,2)")),
+            F.lit(0).cast("decimal(18,2)"),
+        ).alias("_dec")
     )
     # bounds AND the month→total map come from the already-aggregated monthly
     # table (never a second fact scan), collapsed to one row per key
@@ -146,9 +152,14 @@ def linear_trend(
     the distributed version of the reference's driver-side slope loop
     (docker/lambda_function.py:154-173 walks months in Python per user).
 
-    Everything derives from five map-side-combinable sums (Σx, Σy, Σx²,
-    Σy², Σxy) in a single groupBy — no window, no second scan, no driver
-    math per key. Degenerate keys (n < 2, or zero x-variance — all points
+    Everything derives from Spark's numerically STABLE one-pass moment
+    aggregates (``covar_pop``/``var_pop``, co-moment updates) in a single
+    groupBy — no window, no second scan, no driver math per key. The
+    raw-sum form (n·Σx² − (Σx)²) is a trap for exactly this function's
+    headline use case: epoch-microsecond x values around 1.7e15 cancel
+    catastrophically and returned silently-garbage slopes 44× off with
+    r²≈0 (r12 review, reproduced; the numpy-oracle test now runs at
+    epoch magnitudes). Degenerate keys (n < 2, or zero x-variance — all points
     at one x) get NULL slope/intercept/r2 rather than a division blow-up;
     a zero y-variance key is a perfect flat fit (slope 0, r2 NULL since
     r² is undefined when Syy = 0). NULL x or y rows are excluded per key.
@@ -168,19 +179,17 @@ def linear_trend(
         .groupBy(*keys)
         .agg(
             F.count("*").alias("n"),
-            F.sum(x).alias("_sx"),
-            F.sum(y).alias("_sy"),
-            F.sum(x * x).alias("_sxx"),
-            F.sum(y * y).alias("_syy"),
-            F.sum(x * y).alias("_sxy"),
+            F.avg(x).alias("_mx"),
+            F.avg(y).alias("_my"),
+            F.var_pop(x).alias("_vx"),
+            F.var_pop(y).alias("_vy"),
+            F.covar_pop(x, y).alias("_cov"),
         )
     )
     n = F.col("n")
-    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
-    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx, vy, cov = F.col("_vx"), F.col("_vy"), F.col("_cov")
     slope = F.when((n >= 2) & (vx > 0), cov / vx)
-    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    intercept = F.col("_my") - slope * F.col("_mx")
     r2 = F.when((n >= 2) & (vx > 0) & (vy > 0), (cov * cov) / (vx * vy))
     return agg.select(
         *key_cols,

@@ -58,3 +58,35 @@ def test_asof_preserves_left_multiplicity(spark):
     right = spark.createDataFrame([("u", _t(5), 1.0)], R)
     out = asof_join(left, right, on=["k"], ts="ts", right_cols=["val"])
     assert out.count() == 2  # one output row per left row, always
+
+
+def test_asof_join_matched_row_arrives_intact(spark):
+    """r12 review: a legitimately-NULL field of the newest right row must
+    NOT be backfilled from an older right row — the match is a row, not a
+    per-column mix."""
+    from aws_financial_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 3)], "key string, ts int")
+    right = spark.createDataFrame(
+        [("k", 1, 10.0, 5.0), ("k", 2, None, 7.0)],
+        "key string, ts int, price double, qty double",
+    )
+    row = asof_join(left, right, ["key"], "ts", ["price", "qty"]).collect()[0]
+    assert row["price"] is None and row["qty"] == 7.0  # the ts=2 row, intact
+
+
+def test_asof_join_rejects_column_collision_and_null_tiebreak_loses(spark):
+    from aws_financial_data_pipeline_spark.operators.asof import asof_join
+    import pytest
+
+    left = spark.createDataFrame([("k", 5, 99.0)], "key string, ts int, price double")
+    right = spark.createDataFrame(
+        [("k", 5, 1.0, "hi"), ("k", 5, None, "lo-null-tb")],
+        "key string, ts int, tb double, val string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["key"], "ts", ["price"])
+    got = asof_join(
+        left, right, ["key"], "ts", ["val"], tiebreak="tb"
+    ).collect()[0]
+    assert got["val"] == "hi"  # valued tiebreak beats NULL tiebreak

@@ -145,3 +145,16 @@ def test_corpus_divergence_empty_and_determinism(spark):
     assert r1 == r2
     # two random halves of one corpus: same distribution family → small JS
     assert r1["js_divergence"] < 0.2
+
+
+def test_corpus_divergence_rejects_zero_alpha(spark):
+    """r12 review: alpha=0 makes KL infinite when supports differ (ANSI
+    divide-by-zero mid-job) — rejected up front with the math named."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators.dsir import corpus_divergence
+
+    a = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "gamma delta")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="alpha must be > 0"):
+        corpus_divergence(a, b, alpha=0.0)

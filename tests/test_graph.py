@@ -329,3 +329,17 @@ def test_pagerank_early_stop_convergence_probe(spark):
     assert info2["iterations_run"] > 10
     with pytest.raises(ValueError, match="tol"):
         pagerank(edges, tol=0.0)
+
+
+def test_dedup_clusters_canonical_when_component_head_missing(spark):
+    """r12 review: pairs may reference ids filtered OUT of docs upstream
+    (pairs computed before a quality gate); the canonical must be the min
+    MEMBER, or keep-canonical drops the whole cluster."""
+    from aws_financial_data_pipeline_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert rows[2]["is_canonical"] is True   # min member present in docs
+    assert rows[3]["is_canonical"] is False
+    assert rows[2]["cluster_size"] == 2

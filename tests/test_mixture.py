@@ -257,3 +257,22 @@ def test_water_fill_monotone_in_budget(rows, max_epochs, b1, b2):
     mx.water_fill(b, hi, max_epochs)
     for ra, rb in zip(a, b):
         assert rb["target_tokens"] >= ra["target_tokens"] - 1e-6 * max(1.0, hi)
+
+
+def test_temperature_weights_zero_token_stats_and_empty_doc_count(spark):
+    """r12 review: an all-zero-token stats frame yields NULL shares (not
+    an ANSI divide-by-zero job kill), and empty docs count 0 tokens."""
+    from aws_financial_data_pipeline_spark.operators import mixture as mx
+
+    stats = spark.createDataFrame(
+        [("a", 5, 0), ("b", 3, 0)], "domain string, n_docs long, tokens long"
+    )
+    rows = mx.temperature_weights(stats).collect()
+    assert all(r["natural_share"] is None for r in rows)
+
+    docs = spark.createDataFrame(
+        [(1, "a", "three word doc"), (2, "a", "")],
+        "doc_id long, source string, text string",
+    )
+    got = mx.domain_stats(docs).collect()[0]
+    assert got["n_docs"] == 2 and got["tokens"] == 3  # empty doc counts 0

@@ -75,3 +75,19 @@ def test_skew_report_hand_computed(spark):
     uni = spark.range(1000).select((F.col("id") % 100).alias("k"))
     u = skew_report(uni, ("k",), k=1).collect()[0]
     assert u["skew_factor"] == 1.0 and u["p99_factor"] == 1.0 and u["n_keys"] == 100
+
+
+def test_salted_join_rejects_build_preserving_modes(spark):
+    """r12 review: right/full outer would emit every unmatched build
+    REPLICA n_salts times — those modes raise."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame([("a", 1)], "k string, v int")
+    build = spark.createDataFrame([("a", 10), ("b", 20)], "k string, w int")
+    with pytest.raises(ValueError, match="probe-side-preserving"):
+        salted_join(probe, build, "k", n_salts=4, how="full")
+    with pytest.raises(ValueError, match="probe-side-preserving"):
+        salted_join(probe, build, "k", n_salts=4, how="right")
+    assert salted_join(probe, build, "k", n_salts=4, how="left").count() == 1

@@ -150,3 +150,33 @@ def test_linear_trend_matches_numpy_on_testdata(spark):
         assert np.isclose(
             got[et]["intercept"], intercept - slope * xs.mean(), rtol=2e-2, atol=1e-6
         )
+
+
+def test_linear_trend_stable_at_epoch_magnitudes(spark):
+    """r12 review (reproduced): the raw-moment form cancels
+    catastrophically at epoch-microsecond x. The stable covar/var form
+    must recover slope 1e-6 and r2 1.0 exactly where the old form
+    returned 2.3e-8 / r2 0.02."""
+    from aws_financial_data_pipeline_spark.operators.timeseries import linear_trend
+
+    base = 1.7e15
+    rows = [("k", base + i * 1e6, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = linear_trend(df, ("k",), "x", "y").collect()[0]
+    assert abs(out["slope"] - 1e-6) < 1e-12
+    assert abs(out["r2"] - 1.0) < 1e-9
+
+
+def test_gap_fill_null_amount_month_is_active_not_gap(spark):
+    """r12 review: a month whose rows all carry NULL amounts is ACTIVE
+    (total 0, is_gap false); only a month with no rows at all is a gap."""
+    from aws_financial_data_pipeline_spark.operators.timeseries import gap_fill_months
+
+    df = spark.createDataFrame(
+        [(1, "202401", None), (1, "202403", 5.0)],
+        "user_id long, ym string, amount double",
+    )
+    rows = {r["ym"]: r for r in gap_fill_months(df).collect()}
+    assert rows["202401"]["is_gap"] is False and rows["202401"]["total"] == 0.0
+    assert rows["202402"]["is_gap"] is True
+    assert rows["202403"]["total"] == 5.0
