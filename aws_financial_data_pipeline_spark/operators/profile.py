@@ -212,6 +212,11 @@ def check_constraints(
             )
         )
 
+    if not parts:
+        raise ValueError(
+            "check_constraints: no constraints supplied — pass at least one "
+            "of not_null/unique/ranges/accepted/fks"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -244,9 +249,18 @@ def population_stability(
     bucket counts, one B-row join — nothing corpus-sized shuffles."""
     if bins < 2:
         raise ValueError(f"bins must be >= 2: {bins}")
+    if "`" in col:
+        raise ValueError(f"column name may not contain backticks: {col!r}")
+    # signal_drift feeds arbitrary signal names here — resolve the LITERAL
+    # column (backtick-quoted), never dot-as-nested-field or SQL-string
+    # interpolation (r12 review)
+    col = f"`{col}`"
     qs = [i / bins for i in range(1, bins)]
+    # column expression, not SQL-string interpolation: names needing
+    # backticks (spaces/dots/hyphens — common in ingested signal tables)
+    # parse wrong or resolve nested fields under f-string interpolation
     row = old.agg(
-        F.expr(f"percentile({col}, array({','.join(str(q) for q in qs)}))").alias("_e")
+        F.percentile(F.col(col), F.array(*[F.lit(q) for q in qs])).alias("_e")
     ).collect()[0]
     edges = sorted(set(row["_e"] or []))
     # degenerate (near-constant) columns may collapse edges; 0 edges = 1 bin

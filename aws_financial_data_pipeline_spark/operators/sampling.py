@@ -15,12 +15,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+def hash_bucket(
+    id_col: Column | str, buckets: int = 100, salt: str | None = None
+) -> Column:
     """Uniform deterministic bucket in [0, buckets) from the first 32 bits of
-    md5(id). Uniformity is inherited from md5; 32 bits ≫ buckets keeps the
-    modulo bias negligible."""
+    md5(id ‖ salt). Uniformity is inherited from md5; 32 bits ≫ buckets keeps
+    the modulo bias negligible. ``salt`` namespaces INDEPENDENT uses — two
+    decisions salted differently are uncorrelated, while the unsalted space
+    stays the split_assign convention."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+    key = c.cast("string")
+    if salt is not None:
+        key = F.concat(key, F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
 
 
 def split_assign(
@@ -210,11 +217,6 @@ def curriculum_order(
     shards in order."""
     if num_shards <= 0 or num_bins <= 0:
         raise ValueError(f"num_bins/num_shards must be positive: {num_bins}/{num_shards}")
-    if df.filter(F.col(score_col).isNull()).limit(1).count() > 0:
-        raise ValueError(
-            f"curriculum_order: NULL {score_col!r} rows have no difficulty bin; "
-            "score or filter them first"
-        )
     if boundaries is None:
         qs = [i / num_bins for i in range(1, num_bins)]
         row = df.select(
@@ -225,9 +227,22 @@ def curriculum_order(
     # a tiny literal array (≤ num_bins-1 elements)
     cuts = F.array(*[F.lit(float(b)) for b in sorted(boundaries)])
     s = F.col(score_col).cast("double")
-    bin_col = F.aggregate(
+    # NULL scores raise IN-PLAN during the pass that needs the bin — the
+    # old pre-check was a separate full corpus scan that only
+    # short-circuited when a NULL existed (r12 review): the common
+    # all-scored case paid a whole extra pass for nothing
+    bin_expr = F.aggregate(
         cuts, F.lit(0), lambda acc, c: acc + F.when(s >= c, 1).otherwise(0)
     )
+    bin_col = F.when(
+        s.isNull(),
+        F.raise_error(
+            F.lit(
+                f"curriculum_order: NULL {score_col!r} row has no difficulty "
+                "bin; score or filter first"
+            )
+        ).cast("int"),
+    ).otherwise(bin_expr)
     key = F.xxhash64(F.lit(int(seed)), F.col(id_col))
     shard = F.least(
         F.lit(num_shards - 1),
@@ -315,9 +330,13 @@ def quota_sample_flag(
         "_n",
         F.ceil(frac * F.lit(float(2**32))).cast("long").alias("_t"),
     )
-    marked = df.join(F.broadcast(thresholds), stratum_col).withColumn(
-        "_cand", hval <= F.col("_t")
-    )
+    # null-safe joins throughout: a NULL stratum is a stratum like any
+    # other (the window path already treats it so); a plain equi-join
+    # silently DROPPED those rows from the prefilter path (r12 review)
+    t_b = thresholds.withColumnRenamed(stratum_col, "_strat")
+    marked = df.join(
+        F.broadcast(t_b), F.col(stratum_col).eqNullSafe(F.col("_strat"))
+    ).drop("_strat").withColumn("_cand", hval <= F.col("_t"))
     # safety: a stratum whose candidate count fell below min(quota, n)
     # re-routes ALL its rows through the window (threshold -> infinity)
     cand_counts = (
@@ -325,16 +344,24 @@ def quota_sample_flag(
         .groupBy(stratum_col)
         .agg(F.count("*").alias("_nc"))
     )
+    cc_b = cand_counts.withColumnRenamed(stratum_col, "_strat")
     bad = (
-        thresholds.join(cand_counts, stratum_col, "left")
+        thresholds.join(
+            cc_b, F.col(stratum_col).eqNullSafe(F.col("_strat")), "left"
+        )
         .filter(
             F.coalesce(F.col("_nc"), F.lit(0)) < F.least(limit, F.col("_n"))
         )
         .select(stratum_col)
     )
+    bad_b = bad.withColumnRenamed(stratum_col, "_strat").withColumn(
+        "_force", F.lit(True)
+    )
     marked = marked.join(
-        F.broadcast(bad.withColumn("_force", F.lit(True))), stratum_col, "left"
-    ).withColumn("_cand", F.col("_cand") | F.coalesce(F.col("_force"), F.lit(False)))
+        F.broadcast(bad_b), F.col(stratum_col).eqNullSafe(F.col("_strat")), "left"
+    ).drop("_strat").withColumn(
+        "_cand", F.col("_cand") | F.coalesce(F.col("_force"), F.lit(False))
+    )
 
     keep_cols = df.columns
     w = Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
@@ -358,14 +385,21 @@ def stratified_sample_flag(
     rates: dict[str, float],
     default_rate: float = 1.0,
 ) -> DataFrame:
-    """Deterministic stratified sampling: flag rows where bucket(id) falls
-    under the stratum's rate (percent of the 100-bucket space). ``rates`` maps
-    stratum value → sampling fraction in [0,1]. Flag (not filter) so callers
-    can audit what was dropped — filter on ``in_sample`` to materialize."""
+    """Deterministic stratified sampling: flag rows where a SAMPLING-salted
+    bucket of the id falls under the stratum's rate (percent of the
+    100-bucket space). ``rates`` maps stratum value → sampling fraction in
+    [0,1]. Flag (not filter) so callers can audit what was dropped — filter
+    on ``in_sample`` to materialize.
+
+    The bucket is md5(id ‖ ':sample') — NOT split_assign's unsalted bucket
+    (r12 review: reusing it made a rate-0.1 sample exactly buckets 0-9,
+    i.e. 100% train rows — a "random sample" fully confounded with the
+    split; a pre-existing ``bucket`` column was also silently trusted and
+    ``id_col`` ignored). Independent decisions, independent salts."""
     expr = F.lit(default_rate)
     for value, rate in rates.items():
         expr = F.when(F.col(stratum_col) == value, F.lit(rate)).otherwise(expr)
-    b = F.col("bucket") if "bucket" in df.columns else hash_bucket(id_col)
+    b = hash_bucket(id_col, salt=":sample")
     return df.withColumn("in_sample", b < expr * 100)
 
 

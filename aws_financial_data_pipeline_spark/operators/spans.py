@@ -157,7 +157,12 @@ def paragraph_dedup(
         F.min(F.struct("doc_id", "pos")).alias("_keeper"),
     )
     marked = paras.join(stats, "_k")
-    is_dup_key = F.col("_nd") >= min_docs
+    # blank-after-trim segments are SEPARATORS, not paragraphs: they occur
+    # in virtually every multi-paragraph document, so counting them as a
+    # shared paragraph deduplicated every blank line corpus-wide and
+    # silently restructured documents (r12 review) — they are never dup
+    # keys and never dropped
+    is_dup_key = (F.col("_nd") >= min_docs) & (F.trim("para") != "")
     is_keeper = (F.col("_keeper.doc_id") == F.col("doc_id")) & (
         F.col("_keeper.pos") == F.col("pos")
     )
@@ -213,7 +218,10 @@ def remove_duplicated_spans(
     (``exists`` over the span array per token index) — no Python in the row
     path, and docs without spans never join (left join, empty-array
     coalesce)."""
-    span_arr = spans.groupBy(F.col(id_col)).agg(
+    # the spans contract names its id column 'doc_id' regardless of the
+    # caller's id_col (duplicated_ngram_spans output) — group on THAT and
+    # alias back, or any non-default id_col crashed unresolved (r12 review)
+    span_arr = spans.groupBy(F.col("doc_id").alias(id_col)).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     toked = with_tokens(docs.join(span_arr, id_col, "left"), text_col)

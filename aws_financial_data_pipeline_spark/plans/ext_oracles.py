@@ -395,7 +395,8 @@ EXT_ORACLES: dict[str, str] = {
     pkept AS (
       SELECT p.doc_id, p.pos, p.para
       FROM paras p JOIN pstats s USING (k)
-      WHERE s.nd < 2 OR p.doc_id * 1000000000 + p.pos = s.keeper
+      -- blank-after-trim segments are separators, never dedup keys (r12)
+      WHERE s.nd < 2 OR p.k = '' OR p.doc_id * 1000000000 + p.pos = s.keeper
     ),
     prebuilt AS (
       SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS ct,
@@ -1039,7 +1040,8 @@ EXT_ORACLES: dict[str, str] = {
              CASE WHEN bucket < 80 THEN 'train'
                   WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split,
-             bucket < (CASE WHEN lang_pred = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))::BIGINT % 100
+               < (CASE WHEN lang_pred = 'en' THEN 0.2 ELSE 0.5 END) * 100 AS in_sample,
              row_number() OVER (PARTITION BY lang_pred
                                 ORDER BY md5(doc_id::VARCHAR), doc_id) <= 50 AS in_quota,
              -- Efraimidis-Spirakis weighted sample (round-8): u from the

@@ -97,14 +97,23 @@ def test_stratified_rates_respected(spark):
     fracs = {r["lang"]: r["frac"] for r in got.collect()}
     assert abs(fracs["en"] - 0.1) < 0.06
     assert abs(fracs["fr"] - 0.9) < 0.06
-    # the flag is exactly bucket < rate*100 on the SAME bucket as split_assign
+    # r12: the flag is the ':sample'-SALTED bucket under the rate —
+    # deliberately DECORRELATED from split_assign's bucket (the old
+    # same-bucket form made a rate-0.1 sample exactly buckets 0-9, i.e.
+    # 100% train rows). A low-rate sample must now hit val/test too.
     chk = sampling.split_assign(df)
     chk = sampling.stratified_sample_flag(chk, "doc_id", "lang", {"en": 0.1}, 0.9)
+    salted = sampling.hash_bucket("doc_id", salt=":sample")
     bad = chk.where(
         (F.col("in_sample").cast("int"))
-        != (F.col("bucket") < F.when(F.col("lang") == "en", 10).otherwise(90)).cast("int")
+        != (salted < F.when(F.col("lang") == "en", 10).otherwise(90)).cast("int")
     ).count()
     assert bad == 0
+    sampled_splits = {
+        r["split"]
+        for r in chk.where("in_sample").select("split").distinct().collect()
+    }
+    assert sampled_splits == {"train", "val", "test"}  # decorrelated
 
 
 def _ids(spark, n):
@@ -291,3 +300,48 @@ def test_bm25_matches_python_reference_on_testdata(spark):
     assert [(r["bm25"], r["n_terms_hit"], r["doc_id"]) for r in got] == [
         (s, h, d) for s, h, d in ref[:20]
     ]
+
+
+def test_quota_prefilter_keeps_null_strata(spark):
+    """r12 review: the prefilter path's stratum joins are null-safe — a
+    NULL stratum is a stratum like any other, and its rows must neither
+    vanish nor lose their quota flags (equality to the window path)."""
+    rows = [(i, None if i % 3 == 0 else f"s{i % 2}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    base = {
+        (r["doc_id"]): r["in_quota"]
+        for r in sampling.quota_sample_flag(df, "doc_id", "stratum", 20).collect()
+    }
+    fast = {
+        (r["doc_id"]): r["in_quota"]
+        for r in sampling.quota_sample_flag(
+            df, "doc_id", "stratum", 20, prefilter_factor=4.0
+        ).collect()
+    }
+    assert len(fast) == 300 and fast == base
+
+
+def test_curriculum_order_null_score_raises_in_plan(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, None)], "doc_id long, score double"
+    )
+    with pytest.raises(Exception, match="NULL 'score'"):
+        sampling.curriculum_order(df, "score").collect()
+
+
+def test_check_constraints_empty_and_percentile_weird_names(spark):
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators import profile as prof
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="no constraints supplied"):
+        prof.check_constraints(df)
+    # population_stability over a backtick-needing column name
+    old = spark.createDataFrame(
+        [(float(i),) for i in range(100)], ["my col.v2"]
+    )
+    rows = prof.population_stability(old, old, "my col.v2", bins=4).collect()
+    assert rows and abs(sum(r["psi_term"] for r in rows)) < 1e-9
