@@ -43,9 +43,24 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(doc_id, shingle) exploded distinct-shingle table. Tokens are projected
     before shingling (see shingles_expr: inline split would re-evaluate per
-    element)."""
+    element).
+
+    Docs SHORTER than ``n`` tokens contribute their whole (space-joined)
+    text as ONE degenerate shingle (r12 review): with no shingles at all
+    they had no signatures, so byte-identical short docs split across
+    batches were invisible to :func:`incremental_minhash_dedup` — breaking
+    the streaming replay==batch invariant that the batch path's
+    exact-dedup pre-pass upheld. Two short docs can only pair EXACTLY
+    (their single shingles either match or don't: jaccard 1 or 0), so
+    near-dup semantics for real documents are untouched. The DuckDB
+    oracle's shared shingle prelude does not model this leg — the oracle
+    corpus has no sub-``n`` documents; the unit suite pins it instead."""
+    tok = F.col("_tok")
+    arr = F.when(F.size(tok) >= n, shingles_expr(tok, n=n)).otherwise(
+        F.array(F.concat_ws(" ", tok))
+    )
     return with_tokens(docs, text_col).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles_expr(F.col("_tok"), n=n)).alias("s")
+        F.col(id_col).alias("doc_id"), F.explode(arr).alias("s")
     )
 
 
@@ -139,22 +154,27 @@ def minhash_signatures(
     over hex digests (portable across engines). band_key = md5 of the band's
     minhashes joined in hash-index order.
 
-    Docs with fewer than ``n`` tokens have no shingles and drop out (they can
-    only be exact-duplicates; handled by :func:`exact_duplicates`).
-    ``carry_cols`` ride through unchanged — e.g. a shard key for
-    :func:`sharded_minhash_dedup`.
+    Docs with fewer than ``n`` tokens sign over ONE degenerate shingle —
+    their whole space-joined text (r12 review; previously they dropped
+    out entirely, so byte-identical short docs split across streaming
+    batches had no signatures for :func:`incremental_minhash_dedup` to
+    collide, breaking replay==batch; within one batch the exact pre-pass
+    had hidden this). Identical short texts collide in every band and
+    verify at jaccard 1.0; different short texts share no shingle — short
+    docs can only pair EXACTLY. ``carry_cols`` ride through unchanged —
+    e.g. a shard key for :func:`sharded_minhash_dedup`.
     """
-    # Filter short docs on the TOKEN count, before shingling: a filter on
-    # size(_sh) after the projection makes Catalyst inline the shingle
-    # expression into every minhash column (measured 4.5× slower).
-    shingled = (
-        with_tokens(docs, text_col)
-        .filter(F.size("_tok") >= n)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            *carry_cols,
-            shingles_expr(F.col("_tok"), n=n).alias("_sh"),
-        )
+    # The short-doc branch lives in the projected array (a WHEN over the
+    # token count), not a post-projection filter: a filter on size(_sh)
+    # would make Catalyst inline the shingle expression into every
+    # minhash column (measured 4.5× slower).
+    tok = F.col("_tok")
+    shingled = with_tokens(docs, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        *carry_cols,
+        F.when(F.size(tok) >= n, shingles_expr(tok, n=n))
+        .otherwise(F.array(F.concat_ws(" ", tok)))
+        .alias("_sh"),
     )
 
     def mh(i: int):

@@ -51,13 +51,19 @@ def chunk_tokens(
     ``stride`` defaults to ``window`` (disjoint chunks that exactly tile the
     document); smaller stride overlaps windows (context-preserving chunking).
     The final partial window is kept (training pipelines pad or pack it).
+
+    NULL-text docs are DROPPED (the :func:`chunk_sentences` contract —
+    r12 review: they previously emitted a phantom chunk whose
+    n_tokens corrupted pack_chunks' running prefix sums); an empty-string
+    doc keeps its one empty chunk but counts 0 tokens (the [''] split
+    artifact counted 1).
     """
     if stride is None:
         stride = window
     if stride <= 0 or window <= 0:
         raise ValueError(f"window and stride must be positive: {window}, {stride}")
-    tok = F.split(F.col(text_col), r"\s+")
-    docs = docs.withColumn("_tok", tok)
+    tok = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    docs = docs.filter(F.col(text_col).isNotNull()).withColumn("_tok", tok)
     n = F.size("_tok")
     # chunk start offsets: 0, stride, 2·stride, … < n (empty doc → one empty chunk)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
@@ -300,7 +306,10 @@ def _with_range_shard(
             F.lit(0.0),  # NULL second → fraction 0, nulls-first within the lead
         )
         key = lead + frac
-        span = F.col("_hi") - F.col("_lo") + 1  # key space is [lo, hi+1)
+        # key space is [lo, hi+1): the shared divisor below adds the +1,
+        # adding it here too halved the usable shard range for
+        # low-cardinality integral leads (r12 review)
+        span = F.col("_hi") - F.col("_lo")
     else:
         key = lead
         span = F.col("_hi") - F.col("_lo")

@@ -213,6 +213,12 @@ def zorder_expr(
     scale = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
+        if row[f"_lo{i}"] is None or row[f"_hi{i}"] is None:
+            raise ValueError(
+                f"zorder column {cols[i]!r} has no values to bound (empty "
+                "frame or all-NULL column) — z-ordering needs a real range; "
+                "filter or fill the column, or drop it from cluster_cols"
+            )
         lo, hi = float(row[f"_lo{i}"]), float(row[f"_hi{i}"])
         span = (hi - lo) or 1.0
         rank = F.least(

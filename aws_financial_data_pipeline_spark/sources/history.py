@@ -25,6 +25,7 @@ upsert contract (replace whole key) is identical either way.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 
 from ..operators.nesting import flatten_statements, nest_statements
@@ -65,7 +66,16 @@ class HistoryStore:
         all other partitions untouched. Requires
         ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
         session.py). The summary partitions for the same keys are recomputed
-        from the incoming rows and overwritten alongside."""
+        from the incoming rows and overwritten alongside.
+
+        The two writes are SEPARATE jobs on plain parquet — atomic per key
+        only when both succeed (r12 review). A failure between them leaves
+        the summary stale for the batch's keys; the recovery contract is
+        replay-the-batch (both writes are idempotent per key) or
+        :meth:`repair_summary`, which rebuilds the summary FROM the main
+        table — the main table is the source of truth. True multi-table
+        atomicity is a lakehouse-catalog property (Delta/Iceberg
+        transactions), not a parquet-layout one."""
         txns.write.partitionBy(*self.partition_cols).mode("overwrite").parquet(self.path)
         cols = set(txns.columns)
         if {"category", "vendor", "recurring", "amount"} <= cols and (
@@ -81,6 +91,22 @@ class HistoryStore:
         # non-canonical schemas (e.g. generic keyed state) skip the summary;
         # read_summary then raises and callers fall back to raw rows
 
+    def repair_summary(self, user_id: str | None = None) -> None:
+        """Rebuild the summary from the MAIN table (all keys, or one
+        user's) — the recovery path for a crash between :meth:`upsert`'s
+        two writes, and the proof that the summary is derived state. Same
+        dynamic-overwrite semantics as upsert, so repairing a healthy
+        store is a no-op rewrite."""
+        from ..operators.financial import summarize_transactions
+        from .statements import with_country
+
+        txns = self.read(user_id)
+        cols = set(txns.columns)
+        with_ctry = txns if "country" in cols else with_country(txns, self.spark)
+        summarize_transactions(with_ctry).localCheckpoint(eager=True).write.partitionBy(
+            *self.partition_cols
+        ).mode("overwrite").parquet(self.summary_path)
+
     def read_summary(self, user_id: str | None = None) -> DataFrame:
         """The additive summary (same partition pruning as :meth:`read`)."""
         df = self.spark.read.option("mergeSchema", True).parquet(self.summary_path)
@@ -88,25 +114,47 @@ class HistoryStore:
             df = df.filter(F.col("user_id") == user_id)
         return df
 
-    def compact(self, target_files_per_partition: int = 1) -> None:
-        """Small-file compaction: rewrite every partition into
-        ``target_files_per_partition`` files.
+    def compact(self, max_records_per_file: int | None = None) -> None:
+        """Small-file compaction: rewrite every partition into one file,
+        or into ceil(rows / ``max_records_per_file``) files when a cap is
+        given.
 
         Micro-batch upserts (one small statement at a time) accumulate one
         tiny file per batch per key; at scale the file-listing and open()
-        overhead eventually dominates reads. Rewriting via repartition on the
-        partition keys makes each task own whole partitions, so the dynamic
-        overwrite replaces every partition with exactly the target file
-        count. Values are untouched (tested)."""
-        df = self.read().repartition(
-            max(self.spark.sparkContext.defaultParallelism, target_files_per_partition),
-            *[F.col(c) for c in self.partition_cols],
-        )
-        # localCheckpoint: the rewrite reads the same files the overwrite
-        # deletes — same hazard as pipeline.analyze_statement
-        df.localCheckpoint(eager=True).write.partitionBy(*self.partition_cols).mode(
-            "overwrite"
-        ).parquet(self.path)
+        overhead eventually dominates reads. Repartitioning on the
+        partition keys makes each task own whole partitions (one file per
+        key); ``max_records_per_file`` rides Spark's native writer option
+        to split oversized partitions deterministically — the r12 review
+        showed the previous ``target_files_per_partition`` salt scheme
+        was inert (keys-only repartition) and a salted repartition is
+        collision-defeatable, while the records cap is exact. The summary
+        table (which fragments under the same micro-batch upserts)
+        compacts alongside. Values are untouched (tested)."""
+        if max_records_per_file is not None and max_records_per_file <= 0:
+            raise ValueError(
+                f"max_records_per_file must be positive: {max_records_per_file}"
+            )
+
+        def rewrite(df: DataFrame, path: str) -> None:
+            out = df.repartition(
+                self.spark.sparkContext.defaultParallelism,
+                *[F.col(c) for c in self.partition_cols],
+            )
+            # localCheckpoint: the rewrite reads the same files the
+            # overwrite deletes — same hazard as pipeline.analyze_statement
+            writer = out.localCheckpoint(eager=True).write.partitionBy(
+                *self.partition_cols
+            ).mode("overwrite")
+            if max_records_per_file is not None:
+                writer = writer.option("maxRecordsPerFile", max_records_per_file)
+            writer.parquet(path)
+
+        rewrite(self.read(), self.path)
+        try:
+            summary = self.read_summary()
+        except AnalysisException:
+            return  # store without a canonical-schema summary
+        rewrite(summary, self.summary_path)
 
     # -- S4: keyed read (partition pruning = DynamoDB key query) ------------
     def read(self, user_id: str | None = None) -> DataFrame:

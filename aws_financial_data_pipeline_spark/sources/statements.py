@@ -33,25 +33,20 @@ from ..schema import CSV_SCHEMA, country_dim
 CORRUPT_COL = "_corrupt_record"
 
 
-def read_statement_csv(spark: SparkSession, path: str) -> DataFrame:
-    """S1: raw statement CSV → typed flat transactions frame.
-
-    One scan, explicit schema (no inferSchema — a second pass at scale),
-    PERMISSIVE mode. Returns the engine-canonical flat layout
-    (user_id, year_month, id, date, vendor, category, amount, currency,
-    recurring, type, location, description).
-    """
+def permissive_csv_schema():
+    """The explicit CSV schema + the corrupt-record column — ONE
+    construction site (r12 review: the deepcopy+add recipe existed in
+    three places and the copies had already diverged)."""
     import copy
 
-    schema = copy.deepcopy(CSV_SCHEMA).add(CORRUPT_COL, "string", True)
-    raw = (
-        spark.read.option("header", True)
-        .option("encoding", "UTF-8")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .schema(schema)
-        .csv(path)
-    )
+    return copy.deepcopy(CSV_SCHEMA).add(CORRUPT_COL, "string", True)
+
+
+def typed_statement_projection(raw: DataFrame) -> DataFrame:
+    """The engine-canonical typed projection over a PERMISSIVE statement
+    scan — shared verbatim by the batch reader and the streaming source
+    (r12 review: the streaming copy had silently diverged by dropping the
+    encoding option; one site means batch and stream can't drift)."""
     c = lambda n: F.col(f"`{n}`")  # noqa: E731  (dotted raw names need backticks)
     return raw.filter(F.col(CORRUPT_COL).isNull()).select(
         F.col("UserId").alias("user_id"),
@@ -69,16 +64,32 @@ def read_statement_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_statement_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: raw statement CSV → typed flat transactions frame.
+
+    One scan, explicit schema (no inferSchema — a second pass at scale),
+    PERMISSIVE mode. Returns the engine-canonical flat layout
+    (user_id, year_month, id, date, vendor, category, amount, currency,
+    recurring, type, location, description).
+    """
+    raw = (
+        spark.read.option("header", True)
+        .option("encoding", "UTF-8")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(permissive_csv_schema())
+        .csv(path)
+    )
+    return typed_statement_projection(raw)
+
+
 def corrupt_records(spark: SparkSession, path: str) -> DataFrame:
     """The rows the reference would silently drop (docker/lambda_function.py:84-85)."""
-    import copy
-
-    schema = copy.deepcopy(CSV_SCHEMA).add(CORRUPT_COL, "string", True)
     raw = (
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .schema(schema)
+        .schema(permissive_csv_schema())
         .csv(path)
         # Spark forbids queries touching ONLY the internal corrupt-record
         # column on a raw CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_

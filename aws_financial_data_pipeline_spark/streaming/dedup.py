@@ -45,6 +45,21 @@ def _read_store(spark: SparkSession, store: str) -> DataFrame:
     return spark.read.parquet(store).drop("batch")
 
 
+def _read_store_or_empty(
+    spark: SparkSession, store: str, empty_schema: str
+) -> DataFrame:
+    """:func:`_read_store`, but an EMPTY landing dir (zero batches ever
+    fired, so the store was never created) returns an empty frame with
+    the logical schema instead of PATH_NOT_FOUND (r12 review: a backfill
+    over a not-yet-populated directory must no-op, not crash)."""
+    try:
+        return _read_store(spark, store)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return spark.createDataFrame([], empty_schema)
+
+
 def process_dedup_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -134,7 +149,9 @@ def run_incremental_dedup(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    return _read_store(spark, pairs_out)
+    return _read_store_or_empty(
+        spark, pairs_out, "doc_a long, doc_b long, jaccard double"
+    )
 
 
 def process_media_dedup_batch(
@@ -164,8 +181,12 @@ def process_media_dedup_batch(
     if fingerprint is None:
         # thread the caller's id column through the default kernel — the
         # pandas stage indexes the frame by name and would KeyError on a
-        # custom key otherwise
-        fingerprint = lambda b: mm.image_phash(b, id_col=id_col)
+        # custom key otherwise. Hash EVERY decodable image container
+        # (r12 review: image_phash's bmp-only default silently produced
+        # zero hashes — and zero pairs — for PNG/JPEG landing dirs).
+        fingerprint = lambda b: mm.image_phash(
+            b, media_type=mm.IMAGE_TYPES, id_col=id_col
+        )
     hashes = fingerprint(batch).localCheckpoint(eager=True)  # reused 3×
     within = mm.phash_near_duplicates(
         hashes, max_distance=max_distance, id_col=id_col, bucket_cap=bucket_cap
@@ -230,7 +251,9 @@ def run_incremental_media_dedup(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    return _read_store(spark, pairs_out)
+    return _read_store_or_empty(
+        spark, pairs_out, "doc_a long, doc_b long, hamming int"
+    )
 
 
 def url_dedup_stream(
@@ -251,8 +274,15 @@ def url_dedup_stream(
     Difference from the batch form, by design: batch elects the LOWEST id
     per group (order-independent — re-runnable over a static corpus);
     a stream has an arrival order, so first-seen IS the deterministic
-    choice (replaying the same ordered stream keeps the same pages — the
-    test pins batch-vs-stream equality when ids arrive in order).
+    choice ACROSS batches (replaying the same ordered stream keeps the
+    same pages — the test pins batch-vs-stream equality when ids arrive
+    in order). WITHIN one micro-batch ``dropDuplicates`` keeps a
+    task-order-dependent row (r12 review): duplicate canonical URLs that
+    co-arrive in a single batch elect an arbitrary member. Feed the
+    stream with ``maxFilesPerTrigger=1`` (the module default elsewhere)
+    or pre-dedup each landing file if within-file ties must be stable —
+    engine-managed keyed state has no per-group ordered reduce in append
+    mode, and that tradeoff is this operator's reason to exist.
     Unparseable URLs (NULL canonical) all pass, as in batch: NULL is its
     own dropDuplicates key, so only the first NULL-URL page would survive
     a naive dedup — they are split out and unioned back instead.

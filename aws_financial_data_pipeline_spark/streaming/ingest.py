@@ -21,9 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..schema import CSV_SCHEMA
 from ..sources.history import HistoryStore
-from ..sources.statements import CORRUPT_COL
+from ..sources.statements import (
+    CORRUPT_COL,
+    permissive_csv_schema,
+    typed_statement_projection,
+)
 
 
 def statement_stream(spark: SparkSession, in_dir: str, clean_source: str = "delete") -> DataFrame:
@@ -34,38 +37,22 @@ def statement_stream(spark: SparkSession, in_dir: str, clean_source: str = "dele
     to keep originals. ``maxFilesPerTrigger=1`` mirrors the reference's
     one-file-per-invocation model.
     """
-    import copy
-
-    schema = copy.deepcopy(CSV_SCHEMA).add(CORRUPT_COL, "string", True)
     return (
         spark.readStream.option("header", True)
+        .option("encoding", "UTF-8")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("cleanSource", clean_source)
         .option("maxFilesPerTrigger", 1)
-        .schema(schema)
+        .schema(permissive_csv_schema())
         .csv(in_dir)
     )
 
 
-def _typed(raw: DataFrame) -> DataFrame:
-    """Same typed projection as sources.statements.read_statement_csv (kept as
-    an expression so it applies to the streaming frame unchanged)."""
-    c = lambda n: F.col(f"`{n}`")  # noqa: E731
-    return raw.filter(F.col(CORRUPT_COL).isNull()).select(
-        F.col("UserId").alias("user_id"),
-        F.col("YearMonth").alias("year_month"),
-        c("transactions.id").alias("id"),
-        F.to_date(c("transactions.date"), "yyyy-MM-dd").alias("date"),
-        c("transactions.vendor").alias("vendor"),
-        c("transactions.category").alias("category"),
-        c("transactions.amount").cast("decimal(12,2)").alias("amount"),
-        c("transactions.currency").alias("currency"),
-        (F.lower(c("transactions.recurring")) == "true").alias("recurring"),
-        c("transactions.type").alias("type"),
-        c("transactions.location").alias("location"),
-        c("transactions.description").alias("description"),
-    )
+# the typed projection is SHARED with the batch reader (r12 review:
+# a local copy had already diverged) — a plain expression, so it applies
+# to the streaming frame unchanged
+_typed = typed_statement_projection
 
 
 def run_statement_ingest(

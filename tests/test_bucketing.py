@@ -255,3 +255,18 @@ def test_to_parquet_corpus_target_file_bytes(spark, tmp_path):
     )
     assert result.count() == 100
     assert len(glob.glob(f"{out}/part-*.parquet")) == 1
+
+
+def test_zorder_empty_or_all_null_column_raises_clearly(spark, tmp_path):
+    """r12 review: an empty frame or all-NULL cluster column names the
+    offending column instead of TypeError: float(None)."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.sources import bucketing as bk
+
+    empty = spark.createDataFrame([], "lat double, lon double")
+    with pytest.raises(ValueError, match="zorder column 'lat'"):
+        bk.write_zordered(empty, str(tmp_path / "z1"), ("lat", "lon"))
+    nulls = spark.createDataFrame([(1.0, None), (2.0, None)], "lat double, lon double")
+    with pytest.raises(ValueError, match="zorder column 'lon'"):
+        bk.write_zordered(nulls, str(tmp_path / "z2"), ("lat", "lon"))

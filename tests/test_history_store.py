@@ -105,3 +105,70 @@ def test_schema_evolution_added_column_survives_reads(spark, tmp_path):
     assert "merchant_id" in store.read().columns
     assert got[("a",)]["merchant_id"] is None  # pre-evolution key → null
     assert got[("b",)]["merchant_id"] == "m-77"
+
+
+def test_compact_target_files_and_summary(spark, tmp_path):
+    """r12 review: compaction file counts are actually controllable —
+    max_records_per_file splits oversized partitions deterministically
+    (the old target_files_per_partition was inert), the
+    summary table compacts alongside, and values survive."""
+    import os
+
+    from aws_financial_data_pipeline_spark.sources.history import HistoryStore
+
+    store = HistoryStore(spark, str(tmp_path / "hist"))
+    rows = [
+        ("u1", "2024-01", f"t{i}", f"2024-01-{i % 27 + 1:02d}", "v", "cat",
+         float(i), "USD", False, "debit", "US-CA", "d")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id string, year_month string, id string, date string, "
+        "vendor string, category string, amount double, currency string, "
+        "recurring boolean, type string, location string, description string",
+    )
+    # a many-partition upsert fragments the key into 8 small files
+    # (upserts REPLACE partitions wholesale, so fragmentation comes from
+    # the writing frame's own partitioning)
+    store.upsert(df.repartition(8))
+    before = store.read().count()
+    assert before == 40
+    store.compact(max_records_per_file=16)
+
+    def files_in(base):
+        for root, dirs, files in os.walk(base):
+            if "year_month=2024-01" in root:
+                return [f for f in files if f.endswith(".parquet")]
+
+    # 40 rows / 16-per-file cap = 3 files, deterministically
+    assert len(files_in(tmp_path / "hist")) == 3
+    assert store.read().count() == before
+    # and the summary compacted alongside (1 file, no cap hit)
+    assert len(files_in(str(tmp_path / "hist") + "_summary")) == 1
+    # default: one file per partition
+    store.compact()
+    assert len(files_in(tmp_path / "hist")) == 1
+
+
+def test_repair_summary_rebuilds_from_main(spark, tmp_path):
+    """r12 review: the summary is derived state — after a (simulated)
+    failed summary write, repair_summary rebuilds it from the main
+    table."""
+    import shutil
+
+    from aws_financial_data_pipeline_spark.sources.history import HistoryStore
+
+    store = HistoryStore(spark, str(tmp_path / "hist2"))
+    df = spark.createDataFrame(
+        [("u1", "2024-01", "t1", "2024-01-05", "v", "cat", 10.0, "USD",
+          False, "debit", "US-CA", "d")],
+        "user_id string, year_month string, id string, date string, "
+        "vendor string, category string, amount double, currency string, "
+        "recurring boolean, type string, location string, description string",
+    )
+    store.upsert(df)
+    want = {tuple(r) for r in store.read_summary().collect()}
+    shutil.rmtree(store.summary_path)  # simulate the lost second write
+    store.repair_summary()
+    assert {tuple(r) for r in store.read_summary().collect()} == want

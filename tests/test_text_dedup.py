@@ -48,10 +48,17 @@ def test_minhash_identical_docs_collide_everywhere(spark):
         assert r["n"] == 3 and r["nk"] == 2  # 3 docs, but 1&2 share each key
 
 
-def test_minhash_short_docs_drop_out(spark):
-    docs = _docs(spark, [(1, "a b"), (2, "a b c d e")])  # doc 1: < 3 tokens
+def test_minhash_short_docs_sign_exactly(spark):
+    """r12: docs shorter than the shingle size sign over ONE degenerate
+    whole-text shingle — identical short texts collide in every band and
+    verify at jaccard 1.0, different short texts never pair (exact-only
+    semantics). Previously they dropped out entirely, which broke the
+    streaming replay==batch invariant for cross-batch short dupes."""
+    docs = _docs(spark, [(1, "a b"), (2, "a b c d e"), (3, "a b"), (4, "a c")])
     sigs = dedup.minhash_signatures(docs, n=3)
-    assert {r["doc_id"] for r in sigs.select("doc_id").distinct().collect()} == {2}
+    assert {r["doc_id"] for r in sigs.select("doc_id").distinct().collect()} == {1, 2, 3, 4}
+    got = rows_by_key(dedup.minhash_dedup(docs, threshold=0.7), "doc_a", "doc_b")
+    assert set(got) == {(1, 3)} and got[(1, 3)]["jaccard"] == 1.0
 
 
 def test_minhash_dedup_end_to_end(spark):
@@ -1209,3 +1216,44 @@ def test_text_dedup_batch_redelivery_emits_no_self_pairs(spark, tmp_path):
     pairs = spark.read.parquet(stores["pairs_out"]).collect()
     assert all(r["doc_a"] != r["doc_b"] for r in pairs)
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_streaming_short_doc_cross_batch_exact_dupe(spark, tmp_path):
+    """r12 review: byte-identical SHORT docs split across micro-batches
+    must still report as duplicates (replay==batch held only for docs
+    long enough to shingle before this)."""
+    from aws_financial_data_pipeline_spark.streaming import dedup as sd
+
+    import glob
+    import shutil
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    for i, rows in enumerate(([(1, "buy now")], [(2, "buy now")])):
+        staging = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(str(staging / "part-*.parquet"))[0], src / f"f{i}.parquet"
+        )
+    pairs = sd.run_incremental_dedup(
+        spark, str(src), "doc_id long, text string",
+        str(tmp_path / "sigs"), str(tmp_path / "docs"), str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_streaming_dedup_empty_landing_dir_no_ops(spark, tmp_path):
+    """r12 review: a drain over an empty landing dir returns an EMPTY
+    pairs frame with the logical schema, not PATH_NOT_FOUND."""
+    from aws_financial_data_pipeline_spark.streaming import dedup as sd
+
+    src = tmp_path / "empty"
+    src.mkdir()
+    out = sd.run_incremental_dedup(
+        spark, str(src), "doc_id long, text string",
+        str(tmp_path / "sigs"), str(tmp_path / "docs"), str(tmp_path / "pairs"),
+    )
+    assert out.columns == ["doc_a", "doc_b", "jaccard"] and out.count() == 0
