@@ -28,15 +28,34 @@ import pandas as pd
 def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     """Cosine similarity of two array<float|double> columns, one Arrow batch
     at a time. Rows are stacked into a 2-D ndarray so the dot products and
-    norms are single BLAS calls per batch — no per-row Python."""
-    # upcast BEFORE the reductions: float32 accumulation diverges from the
-    # JVM path (which casts each element to double) at ~1e-8
-    av = np.stack(a.to_numpy()).astype(np.float64)
-    bv = np.stack(b.to_numpy()).astype(np.float64)
-    dots = np.einsum("ij,ij->i", av, bv)
-    norms = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out = np.where(norms == 0, np.nan, dots / norms)  # NaN -> SQL NULL via Arrow
+    norms are single BLAS calls per batch — no per-row Python.
+
+    NULL-safe like the JVM twin (r12 review): a NULL or length-mismatched
+    vector yields SQL NULL for ITS row instead of an np.stack/einsum error
+    killing the whole task; an empty Arrow batch returns empty (np.stack
+    of zero arrays raises)."""
+    an, bn = a.to_numpy(), b.to_numpy()
+    out = np.full(len(an), np.nan)
+    if len(an) == 0:
+        return pd.Series(out)
+    lens = [
+        (len(x) if x is not None else -1, len(y) if y is not None else -2)
+        for x, y in zip(an, bn)
+    ]
+    # one BLAS pass per distinct dimension (normally exactly one): rows of
+    # different dims cannot np.stack together, but each is still valid
+    dims = {la for la, lb in lens if la == lb and la > 0}
+    for dim in dims:
+        valid = np.array([la == dim and lb == dim for la, lb in lens])
+        # upcast BEFORE the reductions: float32 accumulation diverges from
+        # the JVM path (which casts each element to double) at ~1e-8
+        av = np.stack(an[valid]).astype(np.float64)
+        bv = np.stack(bn[valid]).astype(np.float64)
+        dots = np.einsum("ij,ij->i", av, bv)
+        norms = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # NaN -> SQL NULL via Arrow
+            out[valid] = np.where(norms == 0, np.nan, dots / norms)
     return pd.Series(out)
 
 

@@ -25,11 +25,12 @@ def _value_sum() -> F.Column:
     return F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
 
 
-def tumbling(events: DataFrame, duration: str = "1 hour") -> DataFrame:
-    """Tumbling-window aggregate per event_type: count + sum(value).
-    ``F.window`` keeps the grouping fully Catalyst-side; one shuffle."""
+def _windowed_agg(events: DataFrame, window_col: F.Column) -> DataFrame:
+    """The shared window→(count, exact value sum) aggregate behind
+    :func:`tumbling` and :func:`sliding` — one site, so the output layout
+    cannot drift between the two (r12 review)."""
     return (
-        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        events.groupBy(window_col.alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), _value_sum().alias("total_value"))
         .select(
             F.date_format("w.start", TS_FMT).alias("window_start"),
@@ -38,21 +39,18 @@ def tumbling(events: DataFrame, duration: str = "1 hour") -> DataFrame:
             "total_value",
         )
     )
+
+
+def tumbling(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregate per event_type: count + sum(value).
+    ``F.window`` keeps the grouping fully Catalyst-side; one shuffle."""
+    return _windowed_agg(events, F.window("ts", duration))
 
 
 def sliding(events: DataFrame, duration: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
     """Sliding-window aggregate: each event lands in duration/slide windows
     (Spark expands them via the same ``window`` expression)."""
-    return (
-        events.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), _value_sum().alias("total_value"))
-        .select(
-            F.date_format("w.start", TS_FMT).alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    return _windowed_agg(events, F.window("ts", duration, slide))
 
 
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
@@ -70,7 +68,11 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     (µs) and value total. (Streaming twin: ``session_window`` in
     streaming/windows.py.)
     """
-    ts_us = F.unix_micros(F.col("ts"))
+    # cast('timestamp') first: the repo's own event parquet reads as
+    # TIMESTAMP_NTZ (isAdjustedToUTC=false) and unix_micros rejects it —
+    # funnel/retention_cohorts already defend this way (r12 review;
+    # session TZ pinned UTC, so the instant is unchanged)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap_us = F.lit(int(gap_seconds) * 1_000_000)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = events.withColumn(
@@ -87,19 +89,7 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.min(ts_us).alias("session_start_us"),
         F.count("*").alias("n_events"),
         (F.max(ts_us) - F.min(ts_us)).alias("duration_us"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
-    )
-
-
-def json_props_stats(events: DataFrame) -> DataFrame:
-    """Semi-structured path: extract ``$.k`` from the JSON props column and
-    aggregate per event_type. ``get_json_object`` is a Catalyst expression —
-    no Python in the loop."""
-    k = F.get_json_object("props", "$.k").cast("int")
-    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum("k").alias("sum_k"),
-        F.round(F.avg("k"), 2).alias("avg_k"),
+        _value_sum().alias("total_value"),
     )
 
 

@@ -19,6 +19,7 @@ matplotlib / fpdf are not installed in this container, so:
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -66,21 +67,38 @@ def chart_payloads(report_row: dict[str, Any], prediction: dict[str, float] | No
 
 
 def collect_report_payloads(report: DataFrame, prediction: DataFrame | None = None) -> dict[str, dict]:
-    """user_id → chart payloads, from the (small) assembled report frame.
-    The only driver-side collect in the reporting path — one row per user."""
+    """``user_id`` (single-month input) or ``user_id:year_month`` → chart
+    payloads, from the (small) assembled report frame — the only
+    driver-side collect in the reporting path, one row per (user, month).
+    A user with several statement months keeps EVERY month's payload
+    (r12 review: keying by user alone silently kept whichever month
+    collect() returned last); the bare-user key is preserved for the
+    dominant one-month-per-run flow so existing artifact consumers keep
+    their keys."""
     preds: dict[str, dict[str, float]] = {}
     if prediction is not None:
         for r in prediction.collect():
             preds.setdefault(r["user_id"], {})[r["vendor"]] = r["predicted_year_end"]
+    rows = [row.asDict(recursive=True) for row in report.collect()]
+    months_per_user: dict[str, int] = {}
+    for d in rows:
+        months_per_user[d["user_id"]] = months_per_user.get(d["user_id"], 0) + 1
     out = {}
-    for row in report.collect():
-        d = row.asDict(recursive=True)
-        out[d["user_id"]] = chart_payloads(d, preds.get(d["user_id"]))
+    for d in rows:
+        key = (
+            d["user_id"]
+            if months_per_user[d["user_id"]] == 1 or "year_month" not in d
+            else f"{d['user_id']}:{d['year_month']}"
+        )
+        out[key] = chart_payloads(d, preds.get(d["user_id"]))
     return out
 
 
 def write_payload_json(payloads: dict[str, dict], out_path: str) -> str:
     """Library-free artifact: the chart data as JSON (deterministic order)."""
+    parent = os.path.dirname(out_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(payloads, f, indent=2, sort_keys=True)
     return out_path

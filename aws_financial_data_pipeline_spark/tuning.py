@@ -87,12 +87,18 @@ def plan_counts(df) -> dict[str, int]:
         "scans": "Scan parquet",
         "broadcast_joins": "BroadcastHashJoin",
         "sort_merge_joins": "SortMergeJoin",
-        "windows": "Window",
+        # counted below per line: "Window" also substring-matches
+        # WindowGroupLimit (the rank-filter helper node, r12 review)
         "generates": "Generate",
         "python_stages": "ArrowEvalPython",
         "map_in_pandas": "MapInPandas",
     }
     counts = {name: plan.count(tok) for name, tok in markers.items()}
+    counts["windows"] = sum(
+        1
+        for ln in plan.splitlines()
+        if "Window" in ln and "WindowGroupLimit" not in ln
+    )
     # "exchanges" must isolate SHUFFLES, counted as DISTINCT shuffle
     # MATERIALIZATIONS (r5 ADVICE contract): a shuffle consumed twice via
     # ReusedExchange still counts once — the data moved once, which is what

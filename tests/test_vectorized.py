@@ -64,3 +64,27 @@ def test_plan_uses_arrow_eval(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cosine_kernel_null_ragged_and_empty_safe(spark):
+    """r12 review: a NULL or length-mismatched vector NULLs its own row —
+    it must not crash the task — and mixed-dimension batches compute each
+    dimension group correctly."""
+    from aws_financial_data_pipeline_spark.functions.vectorized import (
+        cosine_similarity_pandas,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),
+        (2, None, [1.0, 0.0]),
+        (3, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),  # different dim than row 1
+        (4, [1.0], None),
+        (5, [1.0, 2.0], [1.0]),  # ragged pair
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    fn = cosine_similarity_pandas()
+    got = {r["id"]: r["c"] for r in df.select("id", fn("a", "b").alias("c")).collect()}
+    assert got[1] == 1.0 and abs(got[3]) < 1e-12
+    assert got[2] is None and got[4] is None and got[5] is None
