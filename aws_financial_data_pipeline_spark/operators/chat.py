@@ -135,12 +135,18 @@ def render_conversations(
     )
 
     def step(acc: Column, t: Column) -> Column:
-        pre = prefix(t)
+        # a NULL role would null the prefix (and thus the whole concat)
+        # the same way — coalesce both legs
+        pre = F.coalesce(prefix(t), F.lit(""))
+        # NULL content coalesces to '' (the conversation_stats convention
+        # — r12 review: F.concat propagates NULL, so ONE null turn nulled
+        # the whole rendered text and corrupted every later span)
+        content = F.coalesce(t["content"], F.lit(""))
         start = F.length(acc["text"]) + F.length(pre)
-        end = start + F.length(t["content"])
+        end = start + F.length(content)
         span = F.array(F.struct(start.alias("start"), end.alias("end")))
         return F.struct(
-            F.concat(acc["text"], pre, t["content"], F.lit(suffix)).alias("text"),
+            F.concat(acc["text"], pre, content, F.lit(suffix)).alias("text"),
             F.when(
                 t["role"] == "assistant",
                 F.concat(F.coalesce(acc["spans"], F.array().cast(_SPAN_ARR)), span),
@@ -267,9 +273,16 @@ def dedup_preference_pairs(
     if by == "prompt":
         fp = F.md5(F.col(prompt_col))
     elif by == "pair":
+        # coalesce each field (the conversation_fingerprint convention):
+        # concat_ws SKIPS nulls, so (p, x, NULL) and (p, NULL, x) hashed
+        # identically and one direction was wrongly dropped (r12 review)
         fp = F.md5(
             F.concat_ws(
-                "\x1e", F.col(prompt_col), F.col(chosen_col), F.col(rejected_col)
+                "\x1e",
+                *[
+                    F.coalesce(F.col(c), F.lit("\x00"))
+                    for c in (prompt_col, chosen_col, rejected_col)
+                ],
             )
         )
     else:

@@ -151,10 +151,19 @@ _XMP_NS = b"http://ns.adobe.com/xap/1.0/"
 
 def _jpeg_segments(p: bytes):
     """Yield (marker, seg_start, seg_end) for each marker segment up to
-    and excluding SOS; entropy data after SOS is never metadata."""
+    and excluding SOS; entropy data after SOS is never metadata.
+    Optional 0xFF fill bytes before a marker (legal per ITU T.81
+    B.1.1.2) are skipped (r12 review: treating the fill byte as the
+    marker misread the segment length, silently missing EXIF that
+    followed — a privacy-scrub failure, not a loud error)."""
     pos = 2
     n = len(p)
     while pos + 4 <= n and p[pos] == 0xFF:
+        # skip fill bytes: the marker is the first non-0xFF after the 0xFF run
+        while pos + 1 < n and p[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            return
         marker = p[pos + 1]
         if marker == 0xDA:  # SOS — stop, remainder is entropy data
             return

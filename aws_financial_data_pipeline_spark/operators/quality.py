@@ -446,8 +446,20 @@ def score_quality(
     flags-not-filters convention of ``gopher_quality_flags``."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(docs.select(id_col, text_col))
-    prob = F.round(vector_to_array("probability").getItem(1), 6)
+    # MLlib's RegexTokenizer NPEs on NULL input, killing the whole job —
+    # score over coalesce('') and restore the family's 'NULL text stays
+    # NULL' contract on the way out (r12 review)
+    scored = model.transform(
+        docs.select(
+            id_col,
+            F.col(text_col).alias("_raw_text"),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )
+    prob = F.when(
+        F.col("_raw_text").isNotNull(),
+        F.round(vector_to_array("probability").getItem(1), 6),
+    )
     out = scored.select(id_col, prob.alias("quality_prob"))
     if keep_threshold is not None:
         out = out.withColumn("keep", F.col("quality_prob") >= keep_threshold)

@@ -168,9 +168,16 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
     pred = pred.otherwise(F.lit(langs[-1]))
+    # a frame without a 'lang' column (crawl docs) keeps NULL
+    # lang_actual — the text_profile convention (r12 review: the
+    # standalone operator crashed unresolved where the consolidated
+    # profile guarded)
+    lang_actual = (
+        F.col("lang") if "lang" in docs.columns else F.lit(None).cast("string")
+    )
     return docs.select(
         id_col,
-        F.col("lang").alias("lang_actual"),
+        lang_actual.alias("lang_actual"),
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
         pred.alias("lang_pred"),
     )
@@ -361,7 +368,12 @@ def bm25_topk(
     if not query:
         raise ValueError("bm25_topk: query must contain at least one term")
     terms = sorted({t.lower() for t in query})
-    toked = with_tokens(docs, text_col)
+    # lowercase the DOCUMENT side too (r12 review: the query was lowered
+    # but tokens were not, so any capitalized occurrence never matched —
+    # the docstring's 'lowercased tokens' contract now actually holds)
+    toked = with_tokens(
+        docs.withColumn(text_col, F.lower(F.col(text_col))), text_col
+    )
     tf_cols = [
         F.size(F.filter("_tok", lambda t: t == F.lit(term))).alias(f"_tf_{i}")
         for i, term in enumerate(terms)
@@ -519,8 +531,16 @@ def _c4_output_cols(
     # failing pattern compilation (re.escape output is valid Java regex too)
     import re as _re
 
+    # word-boundary matching (r12 review: bare substrings flag innocent
+    # pages — blocklist 'ass' matched 'classic glass passage', collapsing
+    # the keep-rate; the public C4 implementation wraps badwords in
+    # (?:\W|^)...(?:\W|$), mirrored here)
     has_blocked = (
-        low.rlike("|".join(_re.escape(w) for w in sorted({w.lower() for w in blocklist})))
+        low.rlike(
+            r"(?:\W|^)(?:"
+            + "|".join(_re.escape(w) for w in sorted({w.lower() for w in blocklist}))
+            + r")(?:\W|$)"
+        )
         if blocklist
         else F.lit(False)
     )
@@ -631,10 +651,14 @@ def redact_pii(
     return docs.select(id_col, *_pii_output_cols(text_col))
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Document fingerprint: minimum md5 over word n-gram shingles (a
     winnowing-style min-hash selection with the hash as the rolling window).
-    Stable across partitioning; identical docs → identical fingerprint."""
+    Stable across partitioning; identical docs → identical fingerprint.
+    Default ``n=3`` matches :func:`text_profile`'s ``shingle_n`` (r12
+    review: the old n=5 default made the standalone operator disagree
+    with the oracle-gated profile column under defaults, so fingerprints
+    built through the two paths never matched)."""
     shingled = with_tokens(docs, text_col).select(
         id_col, shingles_expr(F.col("_tok"), n=n).alias("_sh")
     )
@@ -1289,10 +1313,15 @@ def collocations(
         .crossJoin(F.broadcast(total))
         .withColumn(
             "pmi",
+            # double BEFORE the products: long*long overflows (ANSI
+            # throws) at corpus scale — 'the' at 1e13 tokens gives
+            # n_w1*n_w2 ~ 5e23 >> Long.Max (r12 review); doubles are
+            # exact for every count below 2^53, so small-SF values are
+            # bit-identical
             F.round(
                 F.log(
-                    F.col("n_pair") * F.col("_N")
-                    / (F.col("n_w1") * F.col("n_w2"))
+                    F.col("n_pair").cast("double") * F.col("_N").cast("double")
+                    / (F.col("n_w1").cast("double") * F.col("n_w2").cast("double"))
                 ),
                 6,
             ),

@@ -797,6 +797,10 @@ EXT_ORACLES: dict[str, str] = {
     -- collocations leg: adjacent-bigram PMI (Church & Hanks), min_count=5,
     -- top-50 on the 6dp-ROUNDED score with (w1,w2) tiebreak
     tarr AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+    -- bm25/rrf legs tokenize LOWERCASED text (r12: the Spark side now
+    -- honors its documented lowercased-token contract); the PMI leg
+    -- keeps raw-case tokens (both engines agree on that contract)
+    tarrl AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
     prs AS (
       SELECT t[i] AS w1, t[i+1] AS w2
       FROM tarr, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
@@ -822,7 +826,7 @@ EXT_ORACLES: dict[str, str] = {
              len(list_filter(t, x -> x = 'join'))   AS tf0,
              len(list_filter(t, x -> x = 'table'))  AS tf1,
              len(list_filter(t, x -> x = 'window')) AS tf2
-      FROM tarr
+      FROM tarrl
     ),
     bstat AS (
       SELECT count(*) AS n, avg(dl) AS avgdl,
@@ -853,7 +857,7 @@ EXT_ORACLES: dict[str, str] = {
              len(list_filter(t, x -> x = 'filter')) AS tf0,
              len(list_filter(t, x -> x = 'group'))  AS tf1,
              len(list_filter(t, x -> x = 'query'))  AS tf2
-      FROM tarr
+      FROM tarrl
     ),
     bstat_b AS (
       SELECT count(*) AS n, avg(dl) AS avgdl,

@@ -203,3 +203,35 @@ def test_dedup_preference_pairs(spark):
         for r in chatop.dedup_preference_pairs(pairs, by="pair").collect()
     }
     assert by_pair == {1, 2, 3}  # only the exact triple dup drops
+
+
+def test_render_null_turn_content_does_not_poison(spark):
+    """r12 review: one NULL-content turn must not null the whole render —
+    it renders as empty content with a zero-width span."""
+    from aws_financial_data_pipeline_spark.operators import chat as ch
+
+    convs = spark.createDataFrame(
+        [(1, [("user", "hi"), ("assistant", None), ("user", "more"),
+              ("assistant", "ok")])],
+        "conv_id long, turns array<struct<role string, content string>>",
+    )
+    row = ch.render_conversations(convs, template="plain").collect()[0]
+    assert row["text"] is not None and "more" in row["text"] and "ok" in row["text"]
+    spans = row["assistant_spans"]
+    assert len(spans) == 2
+    assert spans[0]["start"] == spans[0]["end"]  # null turn: zero-width
+    s, e = spans[1]["start"], spans[1]["end"]
+    assert row["text"][s:e] == "ok"
+
+
+def test_dedup_preference_pairs_null_fields_do_not_collide(spark):
+    """r12 review: (p, x, NULL) and (p, NULL, x) are DIFFERENT pairs —
+    concat_ws silently skipped nulls and collapsed them."""
+    from aws_financial_data_pipeline_spark.operators import chat as ch
+
+    pairs = spark.createDataFrame(
+        [(1, "p", "x", None), (2, "p", None, "x")],
+        "pair_id long, prompt string, chosen string, rejected string",
+    )
+    kept = ch.dedup_preference_pairs(pairs, by="pair").collect()
+    assert len(kept) == 2

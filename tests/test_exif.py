@@ -218,3 +218,31 @@ def test_strip_exif_unknown_format_passthrough(spark):
     rows = [(1, bytearray(b"GIF89a notreally"), "image/gif")]
     out = exifop.strip_exif(_meta_df(spark, rows)).collect()[0]
     assert bytes(out["payload"]) == b"GIF89a notreally"
+
+
+def test_jpeg_fill_bytes_before_marker(spark):
+    """r12 review: optional 0xFF fill bytes before a marker (ITU T.81
+    B.1.1.2) must not derail the segment walk — EXIF after padding is
+    still found and stripped."""
+    import struct
+
+    from aws_financial_data_pipeline_spark.operators import exif as ex
+
+    tiff = (
+        b"II*\x00\x08\x00\x00\x00"  # TIFF header, IFD at 8
+        + struct.pack("<H", 1)
+        + struct.pack("<HHII", 0x8825, 4, 1, 26)  # GPS IFD pointer tag
+        + struct.pack("<H", 0)
+        + b"\x00\x00\x00\x00"
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes (legal padding)
+        + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+        + b"\xff\xda" + b"\x00\x04\x00\x00"  # SOS
+        + b"entropy"
+    )
+    segs = list(ex._jpeg_segments(jpeg))
+    assert any(m == 0xE1 for m, s, e in segs)
+    assert ex._exif_from_jpeg(jpeg) is not None

@@ -216,3 +216,42 @@ def test_corpus_diff_statuses_partition_the_id_union(spark, old_ids, new_ids, ch
             assert status == "unchanged"
     got_batch = {r["doc_id"] for r in snapshot.ingest_batch(old, new).collect()}
     assert got_batch == (new_ids - old_ids) | (changed & new_ids & old_ids)
+
+
+def test_bm25_matches_capitalized_occurrences(spark):
+    """r12 review: the document side lowercases like the query side —
+    'Apple' in the corpus must match the query 'apple'."""
+    from aws_financial_data_pipeline_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "Apple announced new products today for everyone"),
+         (2, "bananas and oranges are fruit too obviously")],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, ["apple"]).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+def test_language_id_without_lang_column(spark):
+    from aws_financial_data_pipeline_spark.operators.text import language_id
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog are in the house")], "doc_id long, text string"
+    )
+    row = language_id(docs).collect()[0]
+    assert row["lang_actual"] is None and row["lang_pred"] == "en"
+
+
+def test_c4_blocklist_word_boundaries(spark):
+    """r12 review: 'ass' must not flag 'classic glass passage' (the tfds
+    c4_utils word-boundary semantics)."""
+    from aws_financial_data_pipeline_spark.operators.text import c4_line_filters
+
+    docs = spark.createDataFrame(
+        [(1, "A classic glass passage sentence here."),
+         (2, "This page mentions ass directly here.")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["has_blocklisted"]
+           for r in c4_line_filters(docs, blocklist=("ass",)).collect()}
+    assert got == {1: False, 2: True}

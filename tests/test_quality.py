@@ -448,3 +448,22 @@ def test_signal_table_replacement_char_ratio(spark):
     assert got[3] == 0.0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_score_quality_null_text_yields_null_prob(spark):
+    """r12 review: MLlib's tokenizer NPEs on NULL input — score over
+    coalesce('') and keep the 'NULL text stays NULL' contract."""
+    from aws_financial_data_pipeline_spark.operators import quality as q
+
+    train = spark.createDataFrame(
+        [(i, "good natural prose here with words", 1.0) for i in range(8)]
+        + [(100 + i, "x" * 5, 0.0) for i in range(8)],
+        "doc_id long, text string, label double",
+    )
+    model = q.train_quality_classifier(train)
+    docs = spark.createDataFrame(
+        [(1, "good natural prose here with words"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["quality_prob"] for r in q.score_quality(docs, model).collect()}
+    assert got[1] is not None and got[2] is None
