@@ -796,16 +796,21 @@ def _loo_losses(logp: dict, table, L: int) -> dict:
             vfreq[p] += f
     vsum = sum(vfreq.values()) or 1.0
     losses: dict[str, float] = {}
-    for p in logp:
+    for p in list(logp):  # pop/restore below mutates during iteration
         if len(p) <= 1:
             continue  # base bytes never prune
         fp = vfreq.get(p, 0.0)
         if fp == 0.0:
             losses[p] = float("-inf")
             continue
-        sub = dict(logp)
-        del sub[p]
-        alt = _unigram_viterbi(p, sub, L)
+        # pop/restore instead of copying the whole model dict per piece
+        # (r12 review: dict(logp) per candidate was O(V^2) driver work —
+        # ~1e9 entry copies per prune round at vocab 8k)
+        saved = logp.pop(p)
+        try:
+            alt = _unigram_viterbi(p, logp, L)
+        finally:
+            logp[p] = saved
         # removing x re-routes its fp occurrences through len(alt) pieces:
         # the alternative pieces each gain fp count and the normalizer grows
         # by fp*(len(alt)-1) — the renormalized likelihood delta per Kudo

@@ -137,15 +137,18 @@ def curation_funnel(
 
     ``dedup_keep`` picks the fuzzy-dedup survivor policy:
 
-    - ``"min_id"`` (default): drop every pair's higher id — keeps a doc
-      unless it is directly similar to a kept lower-id doc (pairwise, no
-      clustering pass; the cheapest correct form).
+    - ``"min_id"`` (default): drop every pair's HIGHER id — pairwise,
+      no clustering pass, the cheapest form. Note the exact semantics
+      (r12 review tightened this wording): a doc similar ONLY to an
+      already-dropped doc is still dropped (chain A~B~C with A<B<C loses
+      both B and C), and how many chain members survive depends on the
+      id order along the chain — for guaranteed one-survivor-per-
+      component semantics use ``"best"``.
     - ``"best"`` (requires ``quality_model``): cluster the pair graph
       (:func:`..graph.dedup_clusters`) and keep each component's
       HIGHEST-``quality_prob`` member (:func:`..graph.cluster_representatives`)
-      — the FineWeb/RefinedWeb policy. Transitive: exactly one survivor per
-      connected component, so a chain A~B~C keeps one doc even when A and C
-      are not directly similar (min_id would keep two).
+      — the FineWeb/RefinedWeb policy. Transitive: exactly one survivor
+      per connected component, however the chain is shaped.
 
     ``with_ledger=True`` returns ``(corpus, audit, ledger)`` instead:
     ``ledger`` is the per-document rejection table (``doc_id``, ``stage``,
@@ -176,6 +179,18 @@ def curation_funnel(
         raise ValueError(
             f"blocklist_on must be 'citations' or 'host': {blocklist_on!r}"
         )
+    def _gone(prev: DataFrame, new: DataFrame, stage: str, reason) -> None:
+        # ids present before the stage but not after it, tagged with why —
+        # an id-only anti-join between two checkpointed frames
+        if not with_ledger:
+            return
+        reason_col = F.lit(reason) if isinstance(reason, str) else reason
+        ledger_parts.append(
+            prev.select(id_col)
+            .join(new.select(id_col), id_col, "left_anti")
+            .select(id_col, F.lit(stage).alias("stage"), reason_col.alias("reason"))
+        )
+
     if blocklist is not None:
         # URL-domain gate FIRST (RefinedWeb §3.1 order: the URL rule runs
         # before any content rule — and it is the cheapest stage, map-only
@@ -202,29 +217,8 @@ def curation_funnel(
             )
         cur = _stage(cur)
         stages.append(("url_gate", cur))
-        if with_ledger:
-            ledger_parts.append(
-                prev.select(id_col)
-                .join(cur.select(id_col), id_col, "left_anti")
-                .select(
-                    id_col,
-                    F.lit("url_gate").alias("stage"),
-                    F.lit("blocked_domain").alias("reason"),
-                )
-            )
+        _gone(prev, cur, "url_gate", "blocked_domain")
         docs = cur
-
-    def _gone(prev: DataFrame, new: DataFrame, stage: str, reason) -> None:
-        # ids present before the stage but not after it, tagged with why —
-        # an id-only anti-join between two checkpointed frames
-        if not with_ledger:
-            return
-        reason_col = F.lit(reason) if isinstance(reason, str) else reason
-        ledger_parts.append(
-            prev.select(id_col)
-            .join(new.select(id_col), id_col, "left_anti")
-            .select(id_col, F.lit(stage).alias("stage"), reason_col.alias("reason"))
-        )
 
     if robots_rules is not None:
         # RFC 9309 opt-out sweep: between the blocklist and the rank gate
@@ -385,7 +379,10 @@ def curation_funnel(
         "fuzzy_duplicate" if dedup_keep == "min_id" else "not_cluster_representative",
     )
 
-    cur = sp.split_assign(cur, id_col=id_col)
+    # drop split_assign's intermediate bucket column: the documented
+    # corpus contract is original columns + quality_prob + split (r12
+    # review — a stray int column broke schema-pinned consumers)
+    cur = sp.split_assign(cur, id_col=id_col).drop("bucket")
     cur = _stage(cur)
     stages.append(("split_assign", cur))
 
@@ -804,9 +801,18 @@ def incremental_curation(
     retained = retained.localCheckpoint(eager=False)
     if robots_rules is not None:
         robots_audit_stage = [("standing_after_robots", retained)]
-    store_retained = signature_store.join(
-        retained.select(id_col), id_col, "left_semi"
-    ) if robots_rules is not None else signature_store.join(retired, id_col, "left_anti")
+    # the signature store's id column is pinned to 'doc_id' by
+    # minhash_signatures regardless of id_col (r12 review: joining on
+    # id_col crashed unresolved for any non-default id) — rename the
+    # probe side instead
+    if robots_rules is not None:
+        store_retained = signature_store.join(
+            retained.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        )
+    else:
+        store_retained = signature_store.join(
+            retired.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
+        )
 
     batch = sn.ingest_batch(standing_raw, new_snapshot, text_col=text_col, id_col=id_col)
     funneled = curation_funnel(

@@ -185,6 +185,12 @@ def minhash_signatures(
             F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
         ).alias(f"_mh{i}")
 
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of band_size "
+            f"({band_size}): the trailing hashes would be computed and "
+            "silently dropped (r12 review)"
+        )
     sigs = shingled.select("doc_id", *carry_cols, *[mh(i) for i in range(num_hashes)])
     n_bands = num_hashes // band_size
     band_cols = [

@@ -229,13 +229,17 @@ def ann_topk_lsh(
     Scale path: the corpus is scanned once for signatures, the candidate join
     is an equi-join on (band_id, band_val) — expected near-linear, vs the
     brute-force O(|Q|·N·d)."""
-    sig = lsh_bands(spark, emb, vec_col, id_col).cache()  # corpus + query sides
+    sig = lsh_bands(spark, emb, vec_col, id_col)
+    # the query side signs ITS OWN vectors (the embedding_contamination
+    # pattern — r12 review: an id-lookup into the corpus signature table
+    # silently dropped queries absent from emb; identical vectors produce
+    # identical band values, so in-corpus queries get the same candidates
+    # as before)
+    qsig = lsh_bands(spark, queries, vec_col, id_col).withColumnsRenamed(
+        {"vec_id": "q_id"}
+    )
     cand = (
-        sig.join(
-            F.broadcast(sig.withColumnsRenamed({"vec_id": "q_id"}).join(
-                queries.select(F.col(id_col).alias("q_id")), "q_id")),
-            ["band_id", "band_val"],
-        )
+        sig.join(F.broadcast(qsig), ["band_id", "band_val"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(F.col("q_id"), F.col("vec_id").alias("neighbor_id"))
         .distinct()
@@ -322,14 +326,16 @@ def contrastive_topk_lsh(
     them anyway)."""
     labeled = emb.filter(F.col(label_col).isNotNull())
     sig = lsh_bands(spark, labeled, vec_col, id_col, num_planes, band_size)
-    q_ids = queries.filter(F.col(label_col).isNotNull()).select(
-        F.col(id_col).alias("q_id")
-    )
+    labeled_q = queries.filter(F.col(label_col).isNotNull())
+    # query side signs and scores its OWN vectors/labels (r12 review:
+    # the id-lookup form dropped out-of-corpus queries and scored
+    # in-corpus ids with the CORPUS row's vector/label, ignoring the
+    # queries frame)
+    qsig = lsh_bands(
+        spark, labeled_q, vec_col, id_col, num_planes, band_size
+    ).withColumnsRenamed({"vec_id": "q_id"})
     cand = (
-        sig.join(
-            F.broadcast(sig.withColumnsRenamed({"vec_id": "q_id"}).join(q_ids, "q_id")),
-            ["band_id", "band_val"],
-        )
+        sig.join(F.broadcast(qsig), ["band_id", "band_val"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
@@ -340,8 +346,8 @@ def contrastive_topk_lsh(
         "_norm2",
         F.col(label_col).alias("_nl"),
     )
-    q = with_norm(labeled.join(q_ids, F.col(id_col) == F.col("q_id")), vec_col).select(
-        "q_id",
+    q = with_norm(labeled_q, vec_col).select(
+        F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qe"),
         F.col("_norm2").alias("_qnorm2"),
         F.col(label_col).alias("_ql"),
@@ -581,11 +587,25 @@ def seed_centroids(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Deterministic centroid choice: the ``num_cells`` lowest-id corpus
-    vectors. No k-means refinement — iterative float averaging is
-    accumulation-order dependent across engines, which would break oracle
-    reproducibility; seed quality is what the recall gate measures."""
-    return emb.filter(F.col(id_col) < num_cells).select(
-        F.col(id_col).cast("int").alias("cell_id"), F.col(vec_col).alias(vec_col)
+    vectors — by SORT + LIMIT, not a value filter (r12 review: filtering
+    ``id < num_cells`` silently yielded ZERO centroids — and empty ANN
+    results — on any id space not starting at 0). Cell ids are the dense
+    0-based rank, so they are stable labels for any id space; for the
+    0-based contiguous spaces the oracle corpus uses, rank == id, so
+    gated values are unchanged. No k-means refinement — iterative float
+    averaging is accumulation-order dependent across engines, which
+    would break oracle reproducibility; seed quality is what the recall
+    gate measures."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    return (
+        emb.orderBy(id_col)
+        .limit(num_cells)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell_id"),
+            F.col(vec_col).alias(vec_col),
+        )
     )
 
 
