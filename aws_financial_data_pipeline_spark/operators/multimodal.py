@@ -75,6 +75,24 @@ _ADAM7_PASSES = (
 )
 
 
+
+#: decompression-bomb guard (r12 review): header-declared dimensions are
+#: ATTACKER-CONTROLLED — a 1 MB payload can declare a 60000x60000 canvas
+#: and OOM-kill the Arrow worker (a task/job failure, not a per-row
+#: error). Any decode whose canvas would exceed this pixel count raises
+#: ValueError instead, which the per-payload error contract records as
+#: that row's error. 64 MP is far above any sane web image.
+MAX_DECODE_PIXELS = 64_000_000
+
+
+def _check_canvas(w: int, h: int, kind: str) -> None:
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{kind} declares a {w}x{h} canvas ({w * h} px > "
+            f"{MAX_DECODE_PIXELS}): decode refused (decompression-bomb guard)"
+        )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 RGB array — REAL pure
     parsers of the two public formats this container can handle without
@@ -117,6 +135,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"unsupported BMP variant (bpp={bpp}, compression={comp})")
     bottom_up = h > 0  # negative height = top-down rows (per the BMP spec)
     h = abs(h)
+    _check_canvas(w, h, "BMP")
     if bpp == 8:  # palette BMP (r10): BGRA quads follow the info header;
         # biClrUsed=0 means the full 256-entry table (spec default)
         (clr_used,) = struct.unpack_from("<I", payload, 46)
@@ -185,6 +204,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(ihdr) != 13:
         raise NotImplementedError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    _check_canvas(w, h, "PNG")
     if (
         depth not in (1, 2, 4, 8, 16)
         or comp != 0
@@ -995,6 +1015,13 @@ def incremental_hash_dedup(
     maintain the oversized-bucket list incrementally with the store
     rather than re-aggregating per batch; audit what a cap drops with a
     ``groupBy(band_id, band_key)`` count over the store."""
+    if max_distance > 7:
+        raise ValueError(
+            f"max_distance must be <= 7 (got {max_distance}): with 8 8-bit "
+            "bands, two hashes at hamming 8 can disagree in every band and "
+            "never collide — the store join would silently lose recall "
+            "(the phash_near_duplicates guard, r12 review)"
+        )
     ids = new_hashes.select(
         F.col(id_col).alias("new_id"), F.col(hash_col).alias("_hn")
     )
@@ -1963,6 +1990,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq_id = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq_id))
+            _check_canvas(w_, h_, "JPEG")
             frame = (h_, w_, comps)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -2006,7 +2034,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     break  # a real marker ends the scan
                 segments[-1].append(byte)
                 p += 1
-            scans.append((scomps, ss, se, ahal >> 4, ahal & 15, segments, dri))
+            # snapshot the huffman tables AS OF this scan (r12 review,
+            # confirmed by repro): T.81 lets files redefine a DHT slot
+            # between scans — libjpeg progressive output does it for
+            # every scan — and a last-definition-wins global table
+            # decoded earlier scans with later scans' codes
+            scans.append(
+                (scomps, ss, se, ahal >> 4, ahal & 15, segments, dri, dict(huff))
+            )
             pos = p
             continue  # progressive files carry many scans — keep walking
         pos += 2 + seglen
@@ -2021,7 +2056,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     comp_by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
-    luts = {k: _huff_lut(v) for k, v in huff.items()}
+    # per-scan luts, built once per DISTINCT table object (slots reused
+    # unchanged across scans share one lut)
+    _lut_cache: dict = {}
+
+    def _scan_luts(snapshot: dict) -> dict:
+        out = {}
+        for k, tbl in snapshot.items():
+            ck = id(tbl)
+            if ck not in _lut_cache:
+                _lut_cache[ck] = _huff_lut(tbl)
+            out[k] = _lut_cache[ck]
+        return out
     # zigzag-indexed, unquantized coefficient buffers, padded to the MCU
     # grid (interleaved scans code the padding blocks; single-component
     # scans raster the component's real block dims only)
@@ -2030,7 +2076,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for cid, h, v, _ in comps
     }
 
-    for scomps, ss, se, ah, al, segments, sdri in scans:
+    for scomps, ss, se, ah, al, segments, sdri, huff_snap in scans:
+        luts = _scan_luts(huff_snap)
         reader = _BitReader(bytes(segments[0]))
         seg_i = 0
         eobrun = 0
@@ -2564,6 +2611,7 @@ def sample_gif_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
     if len(payload) < 14:
         raise NotImplementedError("truncated GIF header")
     w, h, packed, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
+    _check_canvas(w, h, "GIF")
     pos = 13
     gct = None
     if packed & 0x80:

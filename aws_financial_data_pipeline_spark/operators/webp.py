@@ -651,6 +651,12 @@ def _decode_vp8l_argb(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha-used hint
     if br.read(3) != 0:
         raise NotImplementedError("unknown VP8L version")
+    # 14-bit dims reach 16384^2 = 268 MP — a genuinely compressed stream
+    # can declare that from a few hundred bytes (decompression bomb);
+    # same guard as the other compressed decoders
+    from .multimodal import _check_canvas
+
+    _check_canvas(w, h, "VP8L")
     return _decode_image_stream(br, w, h, True)
 
 
@@ -736,12 +742,23 @@ def decode_webp(payload: bytes) -> np.ndarray:
     verified in-container — absent codecs are rejected, never faked)."""
     chunks = _riff_chunks(payload)
     tags = {t for t, _ in chunks}
+    first = {t: b for t, b in reversed(chunks)}
     if b"ANMF" in tags:
         frames = sample_webp_frames(payload, every_n=1)
         if not frames:
             raise NotImplementedError("animated WebP with no frames")
-        return frames[0]
-    first = {t: b for t, b in reversed(chunks)}
+        rgb = frames[0]
+        # honor EXIF Orientation on the animated branch too (r12 review:
+        # it returned before the EXIF handling below, so rotated
+        # re-uploads of animations landed in different pHash clusters)
+        if b"EXIF" in first:
+            from .multimodal import _apply_orientation, _exif_orientation
+
+            body = first[b"EXIF"]
+            if body[:6] != b"Exif\x00\x00":
+                body = b"Exif\x00\x00" + body
+            rgb = _apply_orientation(rgb, _exif_orientation(body))
+        return rgb
     if b"VP8L" in first:
         rgb = decode_vp8l(first[b"VP8L"])
         if b"EXIF" in first:
@@ -781,6 +798,11 @@ def sample_webp_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
         raise NotImplementedError("animated WebP without VP8X header")
     w = 1 + (vp8x[4] | vp8x[5] << 8 | vp8x[6] << 16)
     h = 1 + (vp8x[7] | vp8x[8] << 8 | vp8x[9] << 16)
+    # VP8X canvas dims are 24-bit — a 16-byte header can declare a
+    # 16M x 16M canvas; refuse before the compositor allocates it
+    from .multimodal import _check_canvas
+
+    _check_canvas(w, h, "WebP canvas")
     anim = next((b for t, b in chunks if t == b"ANIM"), b"\x00" * 6)
     bg_b, bg_g, bg_r, bg_a = anim[0], anim[1], anim[2], anim[3]
     del bg_a  # the RGB contract composites over an OPAQUE background

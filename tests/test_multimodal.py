@@ -2136,3 +2136,114 @@ def test_media_dedup_batch_redelivery_and_custom_id(spark, tmp_path):
     pairs = spark.read.parquet(stores["pairs_out"]).collect()
     assert all(r["doc_a"] != r["doc_b"] for r in pairs)
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(10, 11)}
+
+
+def test_decoders_refuse_decompression_bomb_canvases():
+    """Header-declared dimensions are attacker-controlled: a tiny payload
+    declaring a 60000x60000 canvas must raise ValueError (the per-payload
+    error contract records it) instead of allocating ~10 GB and killing
+    the Arrow worker — across all four header-parsed formats."""
+    big = 60000
+
+    bmp = bytearray(mm.encode_bmp(_gradient(4, 4)))
+    struct.pack_into("<ii", bmp, 18, big, big)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        mm.decode_image(bytes(bmp))
+
+    png = bytearray(mm.encode_png(_gradient(4, 4)))
+    # IHDR body starts at offset 16 (8 magic + 4 len + 4 type)
+    struct.pack_into(">II", png, 16, big, big)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        mm.decode_png(bytes(png))
+
+    gif = bytearray(mm.encode_gif([_gradient(4, 4)]))
+    struct.pack_into("<HH", gif, 6, big, big)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        mm.sample_gif_frames(bytes(gif))
+
+    jpeg = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + _jpeg_seg(
+            0xC0, struct.pack(">BHHB", 8, big, big, 1) + bytes([1, 0x11, 0])
+        )
+    )
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        mm.decode_jpeg(jpeg)
+
+    # VP8L (14-bit dims, genuinely compressed) and the VP8X animation
+    # canvas (24-bit dims) take the same guard
+    from aws_financial_data_pipeline_spark.operators import webp
+
+    sig = bytearray(
+        next(
+            b for t, b in webp._riff_chunks(
+                webp.encode_webp_lossless(_gradient(4, 4))
+            )
+            if t == b"VP8L"
+        )
+    )
+    # header: 8-bit sig, then 14-bit (w-1) and 14-bit (h-1) LSB-first
+    dims = (16383) | (16383 << 14)
+    sig[1] = dims & 0xFF
+    sig[2] = (dims >> 8) & 0xFF
+    sig[3] = (dims >> 16) & 0xFF
+    sig[4] = (sig[4] & ~0x0F) | ((dims >> 24) & 0x0F)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        webp.decode_vp8l(bytes(sig))
+
+    anim = bytearray(
+        webp.encode_webp_animation([{"img": _gradient(4, 4)}], canvas=(4, 4))
+    )
+    vp8x_at = anim.index(b"VP8X") + 8  # body offset
+    anim[vp8x_at + 4 : vp8x_at + 10] = (big - 1).to_bytes(3, "little") * 2
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        webp.sample_webp_frames(bytes(anim))
+
+    # a large-but-sane canvas is untouched by the guard (just under 64 MP)
+    mm._check_canvas(8000, 7999, "PNG")
+
+
+def test_incremental_hash_dedup_rejects_unreachable_radius(spark):
+    """With 8 disjoint 8-bit bands, hamming-8 hashes can disagree in every
+    band and never share a bucket — max_distance > 7 would silently lose
+    recall, so the incremental twin raises like phash_near_duplicates."""
+    frame = spark.createDataFrame([(1, 42)], "doc_id long, phash long")
+    store = mm.hash_signatures(frame)
+    with pytest.raises(ValueError, match="max_distance must be <= 7"):
+        mm.incremental_hash_dedup(frame, store, max_distance=8)
+
+
+def test_jpeg_progressive_dht_redefined_between_scans():
+    """T.81 allows redefining a DHT slot BETWEEN scans (libjpeg's
+    progressive output does it for every scan); each scan must decode with
+    the tables as of ITS header, not a last-definition-wins global. The
+    fixture codes DC-first (Al=1, diff +2 under table A: symbols 0..11 at
+    4 bits), then REDEFINES slot 0x00 with reversed symbols, then a DC
+    refinement scan. A global-table decoder reads scan 1's '0010' as
+    category 9 and lands far from the true flat dc=5 canvas."""
+    import struct as st
+
+    dc_a = bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    dc_b = bytes([0, 0, 0, 12] + [0] * 12) + bytes(reversed(range(12)))
+    payload = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + _jpeg_seg(0xC2, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + _jpeg_seg(0xC4, bytes([0x00]) + dc_a)
+        # scan 1: DC first, Al=1 — table A: category 2 = '0010', bits '10'
+        # of diff +2, 1-padded -> 0x2B
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + bytes([0x2B])
+        # slot 0x00 REDEFINED between scans (reversed symbol order)
+        + _jpeg_seg(0xC4, bytes([0x00]) + dc_b)
+        # scan 2: DC refinement (Ah=1) — one raw bit '1', 1-padded, 0xFF
+        # stuffed
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + bytes([0xFF, 0x00])
+        + b"\xff\xd9"
+    )
+    got = mm.decode_jpeg(payload)
+    # dc = (+2 << 1) | 1 = 5; flat DC-only block = 128 + 5/8 -> 129
+    assert got.shape == (8, 8, 3)
+    assert (got == 129).all()

@@ -596,3 +596,30 @@ def test_webp_exif_orientation_honored():
     assert (got2 == np.rot90(img, k=-1)).all()
     # junk EXIF is ignored, not fatal
     assert (webp.decode_webp(container(b"JUNK")) == img).all()
+
+
+def test_webp_exif_orientation_on_animated_container():
+    """The animated branch returns the first composited frame — it must
+    honor an EXIF Orientation chunk exactly like the static branches
+    (r12 review: it returned before the EXIF handling, so a rotated
+    re-upload of an animation landed in a different pHash cluster)."""
+    rng = np.random.default_rng(13)
+    f0 = rng.integers(0, 256, (6, 9, 3)).astype(np.uint8)
+    payload = bytearray(
+        webp.encode_webp_animation([{"img": f0}], canvas=(9, 6))
+    )
+    tiff = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHIHH", 0x0112, 3, 1, 6, 0)
+        + struct.pack("<I", 0)
+    )
+    exif = b"EXIF" + struct.pack("<I", len(tiff)) + tiff
+    if len(tiff) & 1:
+        exif += b"\x00"
+    payload += exif
+    struct.pack_into("<I", payload, 4, len(payload) - 8)  # fix RIFF size
+    got = webp.decode_webp(bytes(payload))
+    assert (got == np.rot90(f0, k=-1)).all()
+    # frame sampling itself stays raw-orientation (per-frame contract)
+    assert (webp.sample_webp_frames(bytes(payload))[0] == f0).all()
