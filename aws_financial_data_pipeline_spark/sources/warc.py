@@ -123,13 +123,55 @@ def _dechunk(payload: bytes) -> bytes:
         pos += 2
 
 
+def _decode_content(payload: bytes, coding: str) -> bytes:
+    """Invert one ``Content-Encoding`` coding. gzip/x-gzip and deflate
+    (both the RFC 9110 zlib wrapping AND the bare-stream form common
+    servers actually send) decode here; ``br``/``zstd`` raise loudly (no
+    brotli lib in-container — a still-encoded body shipped as text would
+    poison every quality signal downstream). Two wild-crawl realities are
+    tolerated rather than fatal: a TRUNCATED stream (connection cut
+    mid-transfer — every crawler records these) yields the bytes that did
+    decompress, and a header that LIES (``gzip`` declared but no 1f8b
+    magic) keeps the raw payload — both match what warcio's
+    decode_content does."""
+    if coding in ("gzip", "x-gzip"):
+        if payload[:2] != b"\x1f\x8b":
+            return payload  # the header lies; bytes are not gzip
+        return _inflate_tolerant(payload, 31) or payload
+    if coding == "deflate":
+        for wbits in (15, -15):  # zlib-wrapped per RFC 9110, then the
+            out = _inflate_tolerant(payload, wbits)  # bare form IIS sends
+            if out:
+                return out
+        return payload
+    raise NotImplementedError(f"content-coding {coding!r} unsupported")
+
+
+def _inflate_tolerant(payload: bytes, wbits: int) -> bytes:
+    """Inflate, keeping the decoded prefix when the stream is truncated
+    or its tail is corrupt (chunk-wise feed: output decoded in earlier
+    chunks survives a zlib.error in a later one)."""
+    out = []
+    d = zlib.decompressobj(wbits)
+    try:
+        for i in range(0, len(payload), 65536):
+            out.append(d.decompress(payload[i : i + 65536]))
+        out.append(d.flush())
+    except zlib.error:
+        pass
+    return b"".join(out)
+
+
 def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
     """(status, content_type, payload) from an HTTP response block —
     response-record bodies are the raw HTTP message per the spec. Bodies
     marked ``Transfer-Encoding: chunked`` are de-chunked (the wire framing
     is transport detail, not content); any OTHER transfer-coding (gzip,
     deflate stacked under chunked) raises loudly rather than shipping a
-    still-encoded body as text."""
+    still-encoded body as text. ``Content-Encoding`` codings (what
+    Heritrix-lineage crawlers record as-sent; Common Crawl strips them,
+    archive.org and raw crawls do NOT) are then inverted innermost-last
+    via :func:`_decode_content`."""
     hdr_end = body.find(b"\r\n\r\n")
     if hdr_end < 0 or not body.startswith(b"HTTP/"):
         return None, None, body
@@ -140,6 +182,7 @@ def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
         status = None
     ctype = None
     tenc = None
+    cenc = None
     for line in lines[1:]:
         k, _, v = line.partition(b":")
         key = k.strip().lower()
@@ -147,6 +190,8 @@ def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
             ctype = v.strip().decode("utf-8", "replace")
         elif key == b"transfer-encoding":
             tenc = v.strip().lower().decode("ascii", "replace")
+        elif key == b"content-encoding":
+            cenc = v.strip().lower().decode("ascii", "replace")
     payload = body[hdr_end + 4 :]
     if tenc is not None and tenc not in ("", "identity"):
         codings = [t.strip() for t in tenc.split(",") if t.strip()]
@@ -155,6 +200,11 @@ def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
                 f"transfer-coding {tenc!r} unsupported (only plain 'chunked')"
             )
         payload = _dechunk(payload)
+    if cenc is not None:
+        # applied in list order on send → inverted in reverse
+        for coding in reversed([t.strip() for t in cenc.split(",") if t.strip()]):
+            if coding != "identity":
+                payload = _decode_content(payload, coding)
     return status, ctype, payload
 
 

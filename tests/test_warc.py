@@ -938,3 +938,77 @@ def test_sniff_detects_undeclared_thai():
     th = "สวัสดีชาวโลก นี่คือข้อความภาษาไทยสำหรับทดสอบ"
     got_text, got_cs = sniff_decode(th.encode("cp874"))
     assert (got_cs, got_text) == ("cp874", th)
+
+
+def _enc_http(html: str, coding: str, body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Encoding: " + coding.encode() + b"\r\n\r\n" + body
+    )
+
+
+def test_warc_content_encoding_gzip_and_deflate(spark, tmp_path):
+    """``Content-Encoding`` bodies decode to the original HTML — the
+    Heritrix-lineage reality (Common Crawl strips codings; archive.org
+    and raw crawls record them as-sent). gzip, zlib-wrapped deflate AND
+    the bare deflate form broken servers send all extract text identical
+    to the plain path; gzip-under-chunked inverts both layers."""
+    import zlib as _z
+
+    html = "<html><body><p>Content-coded body test.</p></body></html>"
+    raw = html.encode()
+    gz = _z.compress(raw)  # zlib-wrapped for the deflate leg
+    c = _z.compressobj(9, _z.DEFLATED, 31)
+    gzip_body = c.compress(raw) + c.flush()
+    c2 = _z.compressobj(9, _z.DEFLATED, -15)
+    bare_deflate = c2.compress(raw) + c2.flush()
+
+    chunked_gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + hex(len(gzip_body))[2:].encode() + b"\r\n" + gzip_body + b"\r\n0\r\n\r\n"
+    )
+    recs = [
+        {"warc_type": "response", "url": "https://x.example.com/gzip",
+         "record_id": "<urn:uuid:e1>", "body": _enc_http(html, "gzip", gzip_body)},
+        {"warc_type": "response", "url": "https://x.example.com/deflate",
+         "record_id": "<urn:uuid:e2>", "body": _enc_http(html, "deflate", gz)},
+        {"warc_type": "response", "url": "https://x.example.com/bare",
+         "record_id": "<urn:uuid:e3>", "body": _enc_http(html, "deflate", bare_deflate)},
+        {"warc_type": "response", "url": "https://x.example.com/chunkgz",
+         "record_id": "<urn:uuid:e4>", "body": chunked_gz},
+        {"warc_type": "response", "url": "https://x.example.com/plain",
+         "record_id": "<urn:uuid:e5>", "html": html},
+    ]
+    (tmp_path / "e.warc.gz").write_bytes(warc.encode_warc(recs))
+    docs = warc.warc_to_documents(warc.read_warc(spark, str(tmp_path / "e.warc.gz")))
+    texts = {r["url"].rsplit("/", 1)[1]: r["text"] for r in docs.collect()}
+    assert texts == {k: html for k in ("gzip", "deflate", "bare", "chunkgz", "plain")}
+
+
+def test_warc_content_encoding_wild_crawl_tolerance():
+    """The wild-crawl postures, unit level: a truncated gzip body keeps
+    its decoded prefix (connection-cut records are data, not poison), a
+    LYING gzip header (no 1f8b magic) keeps the raw bytes, identity and
+    x-gzip labels work, and brotli rejects loudly rather than shipping
+    still-encoded bytes as text."""
+    import zlib as _z
+
+    raw = b"A" * 5000 + b"tail that the cut connection lost"
+    c = _z.compressobj(9, _z.DEFLATED, 31)
+    full = c.compress(raw) + c.flush()
+    _, _, got = warc._split_http(_enc_http("", "gzip", full[: len(full) - 8]))
+    assert got and raw.startswith(got)  # decoded prefix, no raise
+
+    _, _, lied = warc._split_http(_enc_http("", "gzip", b"<html>not gzip</html>"))
+    assert lied == b"<html>not gzip</html>"
+
+    _, _, xg = warc._split_http(_enc_http("", "x-gzip", full))
+    assert xg == raw
+    _, _, ident = warc._split_http(_enc_http("", "identity", b"as-is"))
+    assert ident == b"as-is"
+
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="content-coding 'br'"):
+        warc._split_http(_enc_http("", "br", b"\x8b\x02\x80whatever"))
