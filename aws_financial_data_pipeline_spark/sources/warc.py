@@ -283,6 +283,18 @@ def _record_rows(fpath: str, content: bytes, types: set, rows: list) -> None:
             wtype = headers.get("warc-type", "").lower()
             if types and wtype not in types:
                 continue
+            if "warc-segment-number" in headers:
+                # a segmented record's body is ONE SEGMENT of the logical
+                # record (ISO 28500 §5.18) — parsing it as complete would
+                # ship silently truncated content; raise per the parse
+                # convention (Common Crawl never segments; Heritrix only
+                # for records over its 1 GB default)
+                raise NotImplementedError(
+                    "segmented WARC record (WARC-Segment-Number="
+                    f"{headers['warc-segment-number']}) at "
+                    f"{headers.get('warc-record-id')}: continuation "
+                    "reassembly unsupported"
+                )
             if wtype == "response":
                 status, ctype, payload = _split_http(body)
             else:
@@ -1020,6 +1032,82 @@ def wet_to_documents(
     )
 
 
+REVISIT_COLS = (
+    "path string, record_id string, url string, warc_date string, "
+    "profile string, refers_to string, refers_to_uri string, "
+    "refers_to_date string, payload_digest string"
+)
+
+
+def read_warc_revisits(spark: SparkSession, path: str) -> DataFrame:
+    """``revisit`` records — the crawler's own re-fetch dedup markers
+    (ISO 28500 §6.7.2): a re-crawl whose payload digest matched an earlier
+    capture writes a (near-)bodiless revisit record pointing at the
+    original via ``WARC-Refers-To`` / ``WARC-Payload-Digest`` instead of
+    storing the bytes again. They are header-only signal, so this reader
+    keeps HEADERS ONLY (no payload column ever leaves the stage) — same
+    harness as every archive source: one binaryFile task per file, one
+    Arrow stage, no shuffle. Join axis downstream: ``refers_to`` is the
+    original response's ``record_id``; ``payload_digest`` groups captures
+    with identical content across URLs."""
+    files = spark.read.format("binaryFile").load(path)
+    cols = [
+        "path", "record_id", "url", "warc_date", "profile", "refers_to",
+        "refers_to_uri", "refers_to_date", "payload_digest",
+    ]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for member in _gzip_members(bytes(content)):
+                    for headers, _body in _parse_records(member):
+                        if headers.get("warc-type", "").lower() != "revisit":
+                            continue
+                        rows.append(
+                            (
+                                fpath,
+                                headers.get("warc-record-id"),
+                                headers.get("warc-target-uri"),
+                                headers.get("warc-date"),
+                                headers.get("warc-profile"),
+                                headers.get("warc-refers-to"),
+                                headers.get("warc-refers-to-target-uri"),
+                                headers.get("warc-refers-to-date"),
+                                headers.get("warc-payload-digest"),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(run, REVISIT_COLS)
+
+
+def revisit_credit(revisits: DataFrame, key: str = "refers_to") -> DataFrame:
+    """Per-original revisit statistics: (key, n_revisits, first_revisit,
+    last_revisit) — how often the crawler re-fetched and found IDENTICAL
+    content. A page revisited unchanged across months is a stability
+    prior curation weighting can use (join on the original response's
+    ``record_id`` when ``key="refers_to"``, or on content identity with
+    ``key="payload_digest"``). One aggregate, no window; rows missing the
+    key (some crawlers omit WARC-Refers-To) are dropped rather than
+    conflated under NULL."""
+    if key not in ("refers_to", "payload_digest"):
+        raise ValueError(
+            f"key must be 'refers_to' or 'payload_digest': {key!r}"
+        )
+    return (
+        revisits.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_revisits"),
+            F.min("warc_date").alias("first_revisit"),
+            F.max("warc_date").alias("last_revisit"),
+        )
+    )
+
+
 def encode_warc(
     records: list[dict],
     gzip_members: bool = True,
@@ -1047,6 +1135,9 @@ def encode_warc(
             ctype = ctype or "text/plain"
         else:
             body = rec.get("body", b"")
+        extra = "".join(
+            f"{k}: {v}\r\n" for k, v in rec.get("extra_headers", {}).items()
+        )
         headers = (
             f"WARC/1.0\r\n"
             f"WARC-Type: {wtype}\r\n"
@@ -1054,6 +1145,7 @@ def encode_warc(
             f"WARC-Date: {rec.get('date', '2026-01-01T00:00:00Z')}\r\n"
             + (f"WARC-Target-URI: {rec['url']}\r\n" if rec.get("url") else "")
             + (f"Content-Type: {ctype}\r\n" if ctype else "")
+            + extra
             + f"Content-Length: {len(body)}\r\n\r\n"
         ).encode("utf-8")
         member = headers + body + b"\r\n\r\n"

@@ -3,6 +3,7 @@ splitting, and the composition into the crawl front door."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_financial_data_pipeline_spark.sources import warc
@@ -1008,7 +1009,102 @@ def test_warc_content_encoding_wild_crawl_tolerance():
     _, _, ident = warc._split_http(_enc_http("", "identity", b"as-is"))
     assert ident == b"as-is"
 
-    import pytest as _pt
-
-    with _pt.raises(NotImplementedError, match="content-coding 'br'"):
+    with pytest.raises(NotImplementedError, match="content-coding 'br'"):
         warc._split_http(_enc_http("", "br", b"\x8b\x02\x80whatever"))
+
+
+def test_warc_revisit_records_read_and_credit(spark, tmp_path):
+    """Revisit records (the crawler's own re-fetch dedup markers) read
+    header-only through their dedicated source; revisit_credit aggregates
+    per-original counts joinable on the response's record_id; response
+    parsing is untouched by interleaved revisits."""
+    html = "<html><body><p>Original capture.</p></body></html>"
+    digest = "sha1:AAAABBBBCCCCDDDDEEEEFFFFGGGGHHHHIIIIJJJJ"
+    recs = [
+        {"warc_type": "response", "url": "https://r.example.com/page",
+         "record_id": "<urn:uuid:orig>", "html": html,
+         "date": "2026-01-01T00:00:00Z"},
+        {"warc_type": "revisit", "url": "https://r.example.com/page",
+         "record_id": "<urn:uuid:rv1>", "date": "2026-02-01T00:00:00Z",
+         "extra_headers": {
+             "WARC-Profile": "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+             "WARC-Refers-To": "<urn:uuid:orig>",
+             "WARC-Refers-To-Target-URI": "https://r.example.com/page",
+             "WARC-Refers-To-Date": "2026-01-01T00:00:00Z",
+             "WARC-Payload-Digest": digest,
+         }},
+        {"warc_type": "revisit", "url": "https://r.example.com/page",
+         "record_id": "<urn:uuid:rv2>", "date": "2026-03-01T00:00:00Z",
+         "extra_headers": {
+             "WARC-Refers-To": "<urn:uuid:orig>",
+             "WARC-Payload-Digest": digest,
+         }},
+        # a revisit with no refers-to: dropped by credit, not conflated
+        {"warc_type": "revisit", "url": "https://r.example.com/other",
+         "record_id": "<urn:uuid:rv3>", "date": "2026-03-02T00:00:00Z",
+         "extra_headers": {"WARC-Payload-Digest": "sha1:ZZZZ"}},
+    ]
+    (tmp_path / "rv.warc.gz").write_bytes(warc.encode_warc(recs))
+    path = str(tmp_path / "rv.warc.gz")
+
+    rv = warc.read_warc_revisits(spark, path)
+    rows = {r["record_id"]: r for r in rv.collect()}
+    assert set(rows) == {"<urn:uuid:rv1>", "<urn:uuid:rv2>", "<urn:uuid:rv3>"}
+    assert rows["<urn:uuid:rv1>"]["refers_to"] == "<urn:uuid:orig>"
+    assert rows["<urn:uuid:rv1>"]["payload_digest"] == digest
+    assert rows["<urn:uuid:rv1>"]["profile"].endswith("identical-payload-digest")
+    assert rows["<urn:uuid:rv2>"]["profile"] is None
+
+    # same shape as every archive source: one Arrow stage, no shuffle
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    counts = plan_counts(rv)
+    assert counts["exchanges"] == 0 and counts["map_in_pandas"] == 1
+
+    credit = warc.revisit_credit(rv).collect()
+    assert len(credit) == 1  # the refers-to-less row dropped
+    c = credit[0]
+    assert (c["refers_to"], c["n_revisits"]) == ("<urn:uuid:orig>", 2)
+    assert c["first_revisit"] == "2026-02-01T00:00:00Z"
+    assert c["last_revisit"] == "2026-03-01T00:00:00Z"
+
+    by_digest = {
+        r["payload_digest"]: r["n_revisits"]
+        for r in warc.revisit_credit(rv, key="payload_digest").collect()
+    }
+    assert by_digest == {digest: 2, "sha1:ZZZZ": 1}
+
+    with pytest.raises(ValueError, match="key must be"):
+        warc.revisit_credit(rv, key="url")
+
+    # response parsing ignores the interleaved revisits entirely
+    docs = warc.warc_to_documents(warc.read_warc(spark, path))
+    assert [r["text"] for r in docs.collect()] == [html]
+
+
+def test_warc_segmented_records_raise_loudly(spark, tmp_path):
+    """A segmented record's body is one SEGMENT of the logical record —
+    parsing it as complete ships silently truncated content, so the parse
+    stage raises naming the record."""
+    recs = [
+        {"warc_type": "response", "url": "https://s.example.com/big",
+         "record_id": "<urn:uuid:seg>", "html": "<p>first segment only</p>",
+         "extra_headers": {"WARC-Segment-Number": "1"}},
+    ]
+    (tmp_path / "s.warc.gz").write_bytes(warc.encode_warc(recs))
+    with pytest.raises(Exception, match="segmented WARC record"):
+        warc.read_warc(spark, str(tmp_path / "s.warc.gz")).collect()
+    # an UNWANTED segmented record (e.g. continuation when reading
+    # responses) is filtered before the guard — it cannot kill the archive
+    recs2 = [
+        {"warc_type": "continuation", "url": "https://s.example.com/big",
+         "record_id": "<urn:uuid:seg2>", "body": b"tail bytes",
+         "extra_headers": {"WARC-Segment-Number": "2"}},
+        {"warc_type": "response", "url": "https://s.example.com/ok",
+         "record_id": "<urn:uuid:ok>", "html": "<p>fine</p>"},
+    ]
+    (tmp_path / "s2.warc.gz").write_bytes(warc.encode_warc(recs2))
+    docs = warc.warc_to_documents(
+        warc.read_warc(spark, str(tmp_path / "s2.warc.gz"))
+    )
+    assert [r["url"] for r in docs.collect()] == ["https://s.example.com/ok"]
