@@ -1108,3 +1108,38 @@ def test_warc_segmented_records_raise_loudly(spark, tmp_path):
         warc.read_warc(spark, str(tmp_path / "s2.warc.gz"))
     )
     assert [r["url"] for r in docs.collect()] == ["https://s.example.com/ok"]
+
+
+def test_content_decode_is_total_on_arbitrary_bytes():
+    """Totality fuzz for the content-coding inverter: for ANY byte string
+    declared gzip or deflate, _decode_content returns bytes (decoded
+    prefix / raw fallback) and never raises — it runs inside the crawl
+    parse Arrow stage where one raised exception kills the archive's
+    task. Prefix property: whatever comes back for a declared-gzip body
+    with real gzip magic is a prefix of the true decode when the input is
+    a truncation of a valid stream."""
+    import zlib as _z
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300), st.sampled_from(["gzip", "deflate"]))
+    def run_garbage(b, coding):
+        out = warc._decode_content(b, coding)
+        assert isinstance(out, bytes)
+
+    run_garbage()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(min_size=1, max_size=200), st.integers(0, 40))
+    def run_truncated(raw, cut):
+        c = _z.compressobj(6, _z.DEFLATED, 31)
+        full = c.compress(raw) + c.flush()
+        trunc = full[: max(2, len(full) - cut)]
+        out = warc._decode_content(trunc, "gzip")
+        # decoded prefix of the truth, or the raw fallback when nothing
+        # decoded — never an exception, never wrong bytes
+        assert raw.startswith(out) or out == trunc
+
+    run_truncated()
