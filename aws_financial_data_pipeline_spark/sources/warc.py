@@ -1032,6 +1032,66 @@ def wet_to_documents(
     )
 
 
+def wat_to_links(records: DataFrame, anchors_only: bool = True) -> DataFrame:
+    """Common Crawl WAT metadata records → (src, dst) domain link edges
+    WITHOUT parsing HTML. WAT files are WARC files whose ``metadata``
+    records carry one JSON envelope per original capture, including the
+    crawler's own extracted links
+    (``Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata
+    .Links`` — public WAT spec). Read them with
+    ``read_warc(path, record_types=("metadata",))`` and feed this output
+    to the same ``groupBy(src, dst)`` / :func:`..operators.graph.pagerank`
+    chain as :func:`..operators.text.extract_links` — identical host
+    normalization (lowercased, ``www.`` stripped), relative targets and
+    self-loops dropped, ``anchors_only`` keeps ``A@`` paths (scripts/
+    images/stylesheets carry no endorsement; rows with no path field are
+    kept — lenient to generator variants).
+
+    Pure Catalyst after the one-stage WARC parse: a JSON-path probe +
+    ``from_json`` + explode — no Python in this hop. At 100 TB this is
+    the cheap path to the link graph: WAT shards are ~⅓ the crawl's bytes
+    and ``html_to_text`` never runs."""
+    payload_str = F.col("payload").cast("string")
+    links_json = F.get_json_object(
+        payload_str,
+        "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']"
+        "['HTML-Metadata'].Links",
+    )
+    link = F.explode(
+        F.from_json(
+            links_json, "array<struct<path string, url string, text string>>"
+        )
+    )
+    src_url = F.coalesce(
+        F.col("url"),
+        F.get_json_object(
+            payload_str, "$.Envelope['WARC-Header-Metadata']['WARC-Target-URI']"
+        ),
+    )
+
+    def _host(c):
+        return F.regexp_replace(
+            F.lower(F.try_parse_url(c, F.lit("HOST"))), r"^www\.", ""
+        )
+
+    out = records.filter(F.col("warc_type") == "metadata").select(
+        _host(src_url).alias("src"), link.alias("_l")
+    )
+    if anchors_only:
+        out = out.filter(
+            F.col("_l.path").isNull() | F.col("_l.path").startswith("A@")
+        )
+    return (
+        out.filter(F.col("_l.url").startswith("http"))
+        .select("src", _host(F.col("_l.url")).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+    )
+
+
 REVISIT_COLS = (
     "path string, record_id string, url string, warc_date string, "
     "profile string, refers_to string, refers_to_uri string, "

@@ -1143,3 +1143,73 @@ def test_content_decode_is_total_on_arbitrary_bytes():
         assert raw.startswith(out) or out == trunc
 
     run_truncated()
+
+
+def test_wat_to_links_extracts_link_graph(spark, tmp_path):
+    """WAT metadata records (Common Crawl's pre-extracted per-capture JSON
+    envelopes) → domain link edges without parsing HTML: absolute anchor
+    targets keep, relative/self/script targets drop, hosts normalize like
+    extract_links, and the edges feed pagerank directly."""
+    import json
+
+    def envelope(links):
+        return json.dumps({
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": "https://www.alpha.example.com/page"
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {"Links": links}
+                    }
+                },
+            }
+        }).encode()
+
+    links = [
+        {"path": "A@/href", "url": "https://www.beta.example.com/x",
+         "text": "beta"},
+        {"path": "A@/href", "url": "/relative/only"},          # relative: drop
+        {"path": "A@/href", "url": "https://alpha.example.com/self"},  # self-loop
+        {"path": "IMG@/src", "url": "https://cdn.example.com/i.png"},  # not an anchor
+        {"url": "http://gamma.example.com/no-path"},           # lenient: keep
+    ]
+    recs = [
+        {"warc_type": "metadata", "url": "https://www.alpha.example.com/page",
+         "record_id": "<urn:uuid:wat1>", "body": envelope(links),
+         "content_type": "application/json"},
+        # an envelope with NO HTML-Metadata (non-HTML capture): zero rows
+        {"warc_type": "metadata", "url": "https://delta.example.com/bin",
+         "record_id": "<urn:uuid:wat2>",
+         "body": json.dumps({"Envelope": {"Payload-Metadata": {}}}).encode(),
+         "content_type": "application/json"},
+    ]
+    (tmp_path / "w.wat.gz").write_bytes(warc.encode_warc(recs))
+    rd = warc.read_warc(
+        spark, str(tmp_path / "w.wat.gz"), record_types=("metadata",)
+    )
+    edges = warc.wat_to_links(rd)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {
+        ("alpha.example.com", "beta.example.com"),
+        ("alpha.example.com", "gamma.example.com"),
+    }
+    # anchors_only=False admits the IMG edge too
+    all_edges = {
+        (r["src"], r["dst"])
+        for r in warc.wat_to_links(rd, anchors_only=False).collect()
+    }
+    assert ("alpha.example.com", "cdn.example.com") in all_edges
+
+    # the hop is pure Catalyst on top of the one-stage parse
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+
+    # composes with pagerank: beta/gamma earn rank from alpha
+    from aws_financial_data_pipeline_spark.operators.graph import pagerank
+
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert set(ranks) == {"alpha.example.com", "beta.example.com",
+                          "gamma.example.com"}
+    assert ranks["beta.example.com"] > ranks["alpha.example.com"]
