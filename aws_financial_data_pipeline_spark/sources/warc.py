@@ -147,15 +147,31 @@ def _decode_content(payload: bytes, coding: str) -> bytes:
     raise NotImplementedError(f"content-coding {coding!r} unsupported")
 
 
+#: per-response decoded-body cap for Content-Encoding inversion: the
+#: encoder here is an ARBITRARY WEB SERVER (gzip's ~1032:1 ceiling turns
+#: a 1 MB crafted body into ~1 GB, an executor-OOM task failure). 256 MB
+#: is far above any sane page; past it the decoded prefix is kept — the
+#: same posture as a truncated stream, visible to the length/quality
+#: signals rather than fatal.
+MAX_CONTENT_DECODE_BYTES = 256 << 20
+
+
 def _inflate_tolerant(payload: bytes, wbits: int) -> bytes:
-    """Inflate, keeping the decoded prefix when the stream is truncated
-    or its tail is corrupt (chunk-wise feed: output decoded in earlier
-    chunks survives a zlib.error in a later one)."""
-    out = []
+    """Inflate, keeping the decoded prefix when the stream is truncated,
+    its tail is corrupt (chunk-wise feed: output decoded in earlier
+    chunks survives a zlib.error in a later one), or the output exceeds
+    the decompression-bomb cap."""
+    out, n = [], 0
     d = zlib.decompressobj(wbits)
     try:
         for i in range(0, len(payload), 65536):
-            out.append(d.decompress(payload[i : i + 65536]))
+            chunk = d.decompress(
+                payload[i : i + 65536], MAX_CONTENT_DECODE_BYTES - n
+            )
+            out.append(chunk)
+            n += len(chunk)
+            if n >= MAX_CONTENT_DECODE_BYTES:
+                return b"".join(out)  # bomb cap: keep the prefix
         out.append(d.flush())
     except zlib.error:
         pass

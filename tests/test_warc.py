@@ -1213,3 +1213,23 @@ def test_wat_to_links_extracts_link_graph(spark, tmp_path):
     assert set(ranks) == {"alpha.example.com", "beta.example.com",
                           "gamma.example.com"}
     assert ranks["beta.example.com"] > ranks["alpha.example.com"]
+
+
+def test_content_decode_bomb_cap_keeps_prefix(monkeypatch):
+    """A gzip-bombed response body (arbitrary servers control the
+    encoder; gzip's ~1032:1 ratio turns 1 MB into ~1 GB) decodes to at
+    most MAX_CONTENT_DECODE_BYTES — the prefix is kept, nothing raises,
+    the task survives."""
+    import zlib as _z
+
+    monkeypatch.setattr(warc, "MAX_CONTENT_DECODE_BYTES", 1024)
+    raw = bytes(1_000_000)  # 1 MB of zeros -> ~1 KB compressed
+    c = _z.compressobj(9, _z.DEFLATED, 31)
+    bomb = c.compress(raw) + c.flush()
+    assert len(bomb) < 4096
+    _, _, got = warc._split_http(_enc_http("", "gzip", bomb))
+    assert got == raw[:1024]
+    # under the real cap a sane page decodes completely
+    monkeypatch.setattr(warc, "MAX_CONTENT_DECODE_BYTES", 256 << 20)
+    _, _, full = warc._split_http(_enc_http("", "gzip", bomb))
+    assert full == raw
