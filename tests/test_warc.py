@@ -1184,6 +1184,20 @@ def test_wat_to_links_extracts_link_graph(spark, tmp_path):
          "body": json.dumps({"Envelope": {"Payload-Metadata": {}}}).encode(),
          "content_type": "application/json"},
     ]
+    # a record with NO WARC-Target-URI header: src comes from the
+    # envelope's WARC-Header-Metadata fallback (bracket-quoted JSON path)
+    recs.append(
+        {"warc_type": "metadata", "record_id": "<urn:uuid:wat3>",
+         "body": json.dumps({"Envelope": {
+             "WARC-Header-Metadata":
+                 {"WARC-Target-URI": "https://www.epsilon.example.com/p"},
+             "Payload-Metadata": {"HTTP-Response-Metadata": {
+                 "HTML-Metadata": {"Links": [
+                     {"path": "A@/href",
+                      "url": "https://zeta.example.com/q"}]}}},
+         }}).encode(),
+         "content_type": "application/json"},
+    )
     (tmp_path / "w.wat.gz").write_bytes(warc.encode_warc(recs))
     rd = warc.read_warc(
         spark, str(tmp_path / "w.wat.gz"), record_types=("metadata",)
@@ -1193,6 +1207,7 @@ def test_wat_to_links_extracts_link_graph(spark, tmp_path):
     assert got == {
         ("alpha.example.com", "beta.example.com"),
         ("alpha.example.com", "gamma.example.com"),
+        ("epsilon.example.com", "zeta.example.com"),
     }
     # anchors_only=False admits the IMG edge too
     all_edges = {
@@ -1210,8 +1225,8 @@ def test_wat_to_links_extracts_link_graph(spark, tmp_path):
     from aws_financial_data_pipeline_spark.operators.graph import pagerank
 
     ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
-    assert set(ranks) == {"alpha.example.com", "beta.example.com",
-                          "gamma.example.com"}
+    assert {"alpha.example.com", "beta.example.com",
+            "gamma.example.com"} <= set(ranks)
     assert ranks["beta.example.com"] > ranks["alpha.example.com"]
 
 
