@@ -86,7 +86,19 @@ def _parse_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return  # unrecoverable: cannot find the next record boundary
+        if length < 0:
+            # int() accepts '-N'; a negative length would walk pos
+            # BACKWARD (bytes.find clamps negative starts to 0 —
+            # re-finding the same record forever, an executor-OOM loop;
+            # r12 review, reproduced)
+            return
         body = buf[hdr_end + 4 : hdr_end + 4 + length]
+        if len(body) < length:
+            # the buffer holds fewer bytes than Content-Length declares
+            # (cut-off .warc, or a CDX length field that under-covers the
+            # record): stop rather than yield silently truncated content
+            # — the corrupt-Content-Length convention
+            return
         yield headers, body
         pos = hdr_end + 4 + length
 
@@ -137,12 +149,13 @@ def _decode_content(payload: bytes, coding: str) -> bytes:
     if coding in ("gzip", "x-gzip"):
         if payload[:2] != b"\x1f\x8b":
             return payload  # the header lies; bytes are not gzip
-        return _inflate_tolerant(payload, 31) or payload
+        dec = _inflate_tolerant(payload, 31)
+        return payload if dec is None else dec
     if coding == "deflate":
         for wbits in (15, -15):  # zlib-wrapped per RFC 9110, then the
-            out = _inflate_tolerant(payload, wbits)  # bare form IIS sends
-            if out:
-                return out
+            dec = _inflate_tolerant(payload, wbits)  # bare form IIS sends
+            if dec is not None:
+                return dec
         return payload
     raise NotImplementedError(f"content-coding {coding!r} unsupported")
 
@@ -156,11 +169,14 @@ def _decode_content(payload: bytes, coding: str) -> bytes:
 MAX_CONTENT_DECODE_BYTES = 256 << 20
 
 
-def _inflate_tolerant(payload: bytes, wbits: int) -> bytes:
+def _inflate_tolerant(payload: bytes, wbits: int) -> "bytes | None":
     """Inflate, keeping the decoded prefix when the stream is truncated,
     its tail is corrupt (chunk-wise feed: output decoded in earlier
     chunks survives a zlib.error in a later one), or the output exceeds
-    the decompression-bomb cap."""
+    the decompression-bomb cap. Returns None — NOT ``b''`` — when the
+    stream fails before producing anything (r12 review: a gzip-encoded
+    EMPTY body legitimately decodes to ``b''``, and conflating that with
+    failure shipped the raw compressed bytes as the payload)."""
     out, n = [], 0
     d = zlib.decompressobj(wbits)
     try:
@@ -173,9 +189,9 @@ def _inflate_tolerant(payload: bytes, wbits: int) -> bytes:
             if n >= MAX_CONTENT_DECODE_BYTES:
                 return b"".join(out)  # bomb cap: keep the prefix
         out.append(d.flush())
+        return b"".join(out)  # success — possibly the legitimate b''
     except zlib.error:
-        pass
-    return b"".join(out)
+        return b"".join(out) if n else None
 
 
 def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
@@ -270,11 +286,13 @@ def _mb_decode(ctype: "str | None", payload: bytes) -> "str | None":
     if _MB_RES is None:
         import re
 
+        # compiled from the SAME pattern constants the Catalyst ladder
+        # uses (_declared_charset_expr) — one source, so an edit to
+        # either pattern cannot desynchronize the Python parse-stage
+        # decode from the ladder/residue predicates (r12 review)
         _MB_RES = (
-            re.compile(r'charset=\s*"?([a-z0-9_\-]+)'),
-            re.compile(
-                rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([a-z0-9_\-]+)"
-            ),
+            re.compile(_HEADER_CHARSET_RE),
+            re.compile(_META_CHARSET_RE.encode("ascii")),
         )
     header_re, meta_re = _MB_RES
     label = None
@@ -290,44 +308,52 @@ def _mb_decode(ctype: "str | None", payload: bytes) -> "str | None":
     return payload.decode(codec, "replace")
 
 
+def _iter_records(content: bytes) -> Iterator[tuple[dict, bytes]]:
+    """(headers, body) per record across all gzip members of one WARC
+    file — the ONE framing walk every reader shares (the full parse, the
+    CDX ranged fetch, the revisit reader), so a framing fix lands
+    everywhere at once."""
+    for member in _gzip_members(content):
+        yield from _parse_records(member)
+
+
 def _record_rows(fpath: str, content: bytes, types: set, rows: list) -> None:
     """Append one WARC_COLS tuple per wanted record in ``content`` (gzip
     members → records → HTTP split, declared-CJK decode) — shared by the
     whole-file parse stage and the CDX ranged-fetch stage."""
-    for member in _gzip_members(content):
-        for headers, body in _parse_records(member):
-            wtype = headers.get("warc-type", "").lower()
-            if types and wtype not in types:
-                continue
-            if "warc-segment-number" in headers:
-                # a segmented record's body is ONE SEGMENT of the logical
-                # record (ISO 28500 §5.18) — parsing it as complete would
-                # ship silently truncated content; raise per the parse
-                # convention (Common Crawl never segments; Heritrix only
-                # for records over its 1 GB default)
-                raise NotImplementedError(
-                    "segmented WARC record (WARC-Segment-Number="
-                    f"{headers['warc-segment-number']}) at "
-                    f"{headers.get('warc-record-id')}: continuation "
-                    "reassembly unsupported"
-                )
-            if wtype == "response":
-                status, ctype, payload = _split_http(body)
-            else:
-                status, ctype, payload = None, headers.get("content-type"), body
-            rows.append(
-                (
-                    fpath,
-                    headers.get("warc-record-id"),
-                    wtype,
-                    headers.get("warc-date"),
-                    headers.get("warc-target-uri"),
-                    status,
-                    ctype,
-                    payload,
-                    _mb_decode(ctype, payload),
-                )
+    for headers, body in _iter_records(content):
+        wtype = headers.get("warc-type", "").lower()
+        if types and wtype not in types:
+            continue
+        if "warc-segment-number" in headers:
+            # a segmented record's body is ONE SEGMENT of the logical
+            # record (ISO 28500 §5.18) — parsing it as complete would
+            # ship silently truncated content; raise per the parse
+            # convention (Common Crawl never segments; Heritrix only
+            # for records over its 1 GB default)
+            raise NotImplementedError(
+                "segmented WARC record (WARC-Segment-Number="
+                f"{headers['warc-segment-number']}) at "
+                f"{headers.get('warc-record-id')}: continuation "
+                "reassembly unsupported"
             )
+        if wtype == "response":
+            status, ctype, payload = _split_http(body)
+        else:
+            status, ctype, payload = None, headers.get("content-type"), body
+        rows.append(
+            (
+                fpath,
+                headers.get("warc-record-id"),
+                wtype,
+                headers.get("warc-date"),
+                headers.get("warc-target-uri"),
+                status,
+                ctype,
+                payload,
+                _mb_decode(ctype, payload),
+            )
+        )
 
 
 def fetch_warc_ranges(
@@ -877,6 +903,9 @@ _META_PRESCAN_BYTES = 1024
 #: matches both `<meta charset=x>` and the http-equiv `content="...;
 #: charset=x"` spelling — run against the LOWERCASED prescan head
 _META_CHARSET_RE = r"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([a-z0-9_\-]+)"
+#: the Content-Type header's charset label — run against the LOWERCASED
+#: header. Shared by the Catalyst ladder AND _mb_decode's Python compile.
+_HEADER_CHARSET_RE = r"charset=\s*\"?([a-z0-9_\-]+)"
 
 
 def _declared_charset_expr(content_type="content_type", payload="payload"):
@@ -891,7 +920,7 @@ def _declared_charset_expr(content_type="content_type", payload="payload"):
     test all share, so they cannot drift. UTF-16 pages' metas are not
     ASCII-visible — their BOM branch handles them."""
     ct = F.lower(F.coalesce(F.col(content_type), F.lit("")))
-    header = F.regexp_extract(ct, r"charset=\s*\"?([a-z0-9_\-]+)", 1)
+    header = F.regexp_extract(ct, _HEADER_CHARSET_RE, 1)
     p = F.col(payload) if isinstance(payload, str) else payload
     head = F.lower(F.decode(F.substring(p, 1, _META_PRESCAN_BYTES), "ISO-8859-1"))
     meta = F.regexp_extract(head, _META_CHARSET_RE, 1)
@@ -918,8 +947,9 @@ def warc_to_documents(
     Catalyst via the round-trip test ``encode(decode(p,'UTF-8'),'UTF-8')
     = p`` (exact: replacement chars change the bytes), so the dominant
     valid-UTF-8 mass stays JVM-side and only the tiny residue slice runs
-    the Arrow :func:`sniff_decode` kernel; the two legs union plan-level
-    to the same contract.
+    the Arrow :func:`sniff_decode` kernel — a conditional-input column
+    over the SINGLE parse pass (non-residue rows ship NULL bytes to
+    Python), never a union that would re-execute the parse per leg.
 
     ``multibyte=True`` (round 12, default) consumes the ``text_mb``
     column the parse stage computes for records whose DECLARED charset
@@ -960,24 +990,32 @@ def warc_to_documents(
         # declared-CJK pages were decoded in the parse stage — not residue
         residue = residue & F.col("text_mb").isNull()
 
+    # ONE pass (r12 review): the former two-filter UNION re-executed the
+    # binaryFile scan + Arrow parse once per leg — Catalyst does not
+    # dedupe identical non-exchange subtrees across union branches, and
+    # at 100 TB that doubles the dominant stage. Instead the sniff rides
+    # a conditional-INPUT Arrow-batched UDF over the single parse output:
+    # non-residue rows ship a NULL payload to Python (a per-row null
+    # check, no bytes moved) and keep their JVM ladder decode via
+    # coalesce; only the residue slice pays sniff_decode.
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            texts = [sniff_decode(bytes(b))[0] for b in pdf["payload"]]
+            texts = [
+                t if b is None else sniff_decode(bytes(b))[0]
+                for b, t in zip(pdf["_sniff_p"], pdf["_ladder"])
+            ]
             yield pd.DataFrame(
-                {"url": pdf["url"], "record_id": pdf["record_id"], "text": texts}
+                {"doc_id": pdf["doc_id"], "url": pdf["url"], "text": texts}
             )
 
-    sniffed = (
-        rec.filter(residue)
-        .select("url", "record_id", "payload")
-        .mapInPandas(run, "url string, record_id string, text string")
-        .select(doc_id, "url", "text")
-    )
-    return rec.filter(~residue).select(
-        doc_id, "url", text_expr.alias("text")
-    ).unionByName(sniffed)
+    return rec.select(
+        doc_id,
+        "url",
+        F.when(residue, p).alias("_sniff_p"),
+        text_expr.alias("_ladder"),
+    ).mapInPandas(run, "doc_id long, url string, text string")
 
 
 def warc_to_media(
@@ -1138,23 +1176,22 @@ def read_warc_revisits(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                for member in _gzip_members(bytes(content)):
-                    for headers, _body in _parse_records(member):
-                        if headers.get("warc-type", "").lower() != "revisit":
-                            continue
-                        rows.append(
-                            (
-                                fpath,
-                                headers.get("warc-record-id"),
-                                headers.get("warc-target-uri"),
-                                headers.get("warc-date"),
-                                headers.get("warc-profile"),
-                                headers.get("warc-refers-to"),
-                                headers.get("warc-refers-to-target-uri"),
-                                headers.get("warc-refers-to-date"),
-                                headers.get("warc-payload-digest"),
-                            )
+                for headers, _body in _iter_records(bytes(content)):
+                    if headers.get("warc-type", "").lower() != "revisit":
+                        continue
+                    rows.append(
+                        (
+                            fpath,
+                            headers.get("warc-record-id"),
+                            headers.get("warc-target-uri"),
+                            headers.get("warc-date"),
+                            headers.get("warc-profile"),
+                            headers.get("warc-refers-to"),
+                            headers.get("warc-refers-to-target-uri"),
+                            headers.get("warc-refers-to-date"),
+                            headers.get("warc-payload-digest"),
                         )
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select("path", "content").mapInPandas(run, REVISIT_COLS)

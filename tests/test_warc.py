@@ -1248,3 +1248,56 @@ def test_content_decode_bomb_cap_keeps_prefix(monkeypatch):
     monkeypatch.setattr(warc, "MAX_CONTENT_DECODE_BYTES", 256 << 20)
     _, _, full = warc._split_http(_enc_http("", "gzip", bomb))
     assert full == raw
+
+
+def test_parse_records_hostile_lengths_and_empty_gzip_body():
+    """r12 review findings, unit level: a NEGATIVE Content-Length must not
+    loop forever (bytes.find clamps negative starts to 0 — the old code
+    re-found the same record endlessly); a body shorter than its declared
+    Content-Length stops parsing instead of yielding silently truncated
+    content; and a gzip-encoded EMPTY response body decodes to b'', not
+    to the raw compressed bytes."""
+    import zlib as _z
+
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -999\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nbody"
+    )
+    assert list(warc._parse_records(neg)) == []  # returns, never spins
+
+    short = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 100\r\n\r\nHELLO"
+    )
+    assert list(warc._parse_records(short)) == []  # no truncated yield
+
+    # a full record FOLLOWED by a cut-off one: the good record survives
+    good_body = b"HTTP/1.1 200 OK\r\n\r\nok"
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + f"Content-Length: {len(good_body)}\r\n\r\n".encode()
+        + good_body + b"\r\n\r\n"
+    )
+    got = list(warc._parse_records(good + short))
+    assert len(got) == 1 and got[0][1] == good_body
+
+    c = _z.compressobj(9, _z.DEFLATED, 31)
+    empty_gz = c.compress(b"") + c.flush()
+    _, _, out = warc._split_http(_enc_http("", "gzip", empty_gz))
+    assert out == b""  # NOT the 20-byte compressed stream
+    _, _, out2 = warc._split_http(_enc_http("", "deflate", _z.compress(b"")))
+    assert out2 == b""
+
+
+def test_sniff_path_parses_archives_once(spark, tmp_path):
+    """warc_to_documents(sniff=True) must execute the WARC parse ONCE:
+    the r12 one-pass rewrite replaced the two-filter union (which
+    re-executed the binaryFile scan + Arrow parse per leg — a doubled
+    dominant stage at 100 TB) with a conditional sniff stage over the
+    single parse output. Two MapInPandas nodes total: parse + sniff."""
+    (tmp_path / "p.warc.gz").write_bytes(warc.encode_warc(_fixture_records()))
+    docs = warc.warc_to_documents(
+        warc.read_warc(spark, str(tmp_path / "p.warc.gz")), sniff=True
+    )
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2
+    assert "Union" not in plan
