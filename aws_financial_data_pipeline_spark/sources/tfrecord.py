@@ -44,10 +44,54 @@ for _i in range(256):
     _CRC32C_TABLE.append(_c)
 
 
+# slicing-by-8 (Intel's public technique): seven derived tables let the
+# loop consume 8 bytes per iteration. Table k maps a byte to its CRC
+# contribution k+1 positions earlier in the stream. In CPython the win
+# is modest (~1.3x measured — interpreter overhead dominates; the 4 MB
+# probe read 10.4 vs 8.1 MB/s) but exact; a C-speed crc32c package, when
+# one is installed on the cluster, is picked up automatically below (the
+# per-record double-CRC is the read path's main cost on GB-scale
+# releases — pinned against the bytewise reference and the public
+# b'123456789' -> 0xE3069283 vector either way).
+_CRC32C_TABLES = [_CRC32C_TABLE]
+for _k in range(7):
+    _prev = _CRC32C_TABLES[-1]
+    _CRC32C_TABLES.append(
+        [(_c >> 8) ^ _CRC32C_TABLE[_c & 0xFF] for _c in _prev]
+    )
+
+try:  # public C implementations, absent in this container
+    from crc32c import crc32c as _crc32c_native  # type: ignore
+except ImportError:
+    try:
+        from google_crc32c import value as _crc32c_native  # type: ignore
+    except ImportError:
+        _crc32c_native = None
+
+
 def crc32c(data: bytes) -> int:
+    if _crc32c_native is not None:
+        return _crc32c_native(bytes(data))
     crc = 0xFFFFFFFF
-    for b in data:
-        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    t0, t1, t2, t3, t4, t5, t6, t7 = _CRC32C_TABLES
+    n = len(data)
+    tail = n - (n % 8)
+    words = struct.unpack_from(f"<{tail // 4}I", data)
+    for k in range(0, len(words), 2):
+        crc ^= words[k]
+        w2 = words[k + 1]
+        crc = (
+            t7[crc & 0xFF]
+            ^ t6[(crc >> 8) & 0xFF]
+            ^ t5[(crc >> 16) & 0xFF]
+            ^ t4[crc >> 24]
+            ^ t3[w2 & 0xFF]
+            ^ t2[(w2 >> 8) & 0xFF]
+            ^ t1[(w2 >> 16) & 0xFF]
+            ^ t0[w2 >> 24]
+        )
+    for j in range(tail, n):
+        crc = (crc >> 8) ^ t0[(crc ^ data[j]) & 0xFF]
     return crc ^ 0xFFFFFFFF
 
 
@@ -135,12 +179,25 @@ def write_tfrecord_shards(
     ``id`` Int64List feature automatically). Deterministic like the
     other release sinks: range-partition by id, sort within shard,
     feature names emitted in sorted order. ``out_dir`` must be reachable
-    by every executor (shared mount in cluster mode). Returns the
-    (shard, n_samples, bytes) manifest frame."""
+    by every executor (shared mount in cluster mode); existing
+    ``shard-*.tfrecord`` files in it are removed first (overwrite
+    semantics, like the parquet/jsonl sinks — a re-release with fewer
+    shards must not leave stale ones for the reader to ingest). The
+    feature name ``id`` is reserved (it carries ``id_col``
+    automatically). Returns the (shard, n_samples, bytes) manifest
+    frame."""
+    import glob
     import os
 
+    if "id" in features:
+        raise ValueError(
+            "feature name 'id' is reserved: it carries id_col "
+            f"({id_col!r}) automatically — rename the feature"
+        )
     os.makedirs(out_dir, exist_ok=True)
-    cols = [id_col, *dict.fromkeys(features.values())]
+    for stale in glob.glob(os.path.join(out_dir, "shard-*.tfrecord")):
+        os.remove(stale)
+    cols = list(dict.fromkeys([id_col, *features.values()]))
     prepared = (
         df.select(*cols)
         .repartitionByRange(num_shards, F.col(id_col))
@@ -149,15 +206,27 @@ def write_tfrecord_shards(
     names = sorted(features)
 
     def write_partition(idx: int, rows):
+        from pyspark import TaskContext
+
         name = f"shard-{idx:05d}.tfrecord"
         path = os.path.join(out_dir, name)
+        # write to a per-attempt temp file and os.replace at the end:
+        # with speculative execution two attempts can write concurrently,
+        # and interleaved frames would corrupt the shard. The partition
+        # content is deterministic (range-partitioned, sorted), so
+        # whichever attempt's atomic rename lands last leaves identical
+        # bytes.
+        ctx = TaskContext.get()
+        tmp = f"{path}.tmp-{ctx.taskAttemptId() if ctx else 0}"
         n = 0
-        with open(path, "wb") as fh:
+        with open(tmp, "wb") as fh:
             for row in rows:
                 feats: dict = {"id": [int(row[id_col])]}
                 for fname in names:
                     v = row[features[fname]]
-                    if v is None:
+                    if v is None or (
+                        isinstance(v, list) and any(x is None for x in v)
+                    ):
                         raise ValueError(
                             f"NULL in feature column {features[fname]!r} "
                             f"(feature {fname!r}, {id_col}="
@@ -172,8 +241,9 @@ def write_tfrecord_shards(
                 )
                 n += 1
         if n == 0:
-            os.remove(path)
+            os.remove(tmp)
             return iter(())
+        os.replace(tmp, path)
         return iter([(name, n, os.path.getsize(path))])
 
     manifest = prepared.rdd.mapPartitionsWithIndex(write_partition).collect()
@@ -278,6 +348,13 @@ def _decode_bytes_list(buf: bytes, end: int, i: int) -> "list[bytes]":
         key, i = _read_varint(buf, i)
         if key >> 3 == 1 and key & 7 == 2:
             ln, i = _read_varint(buf, i)
+            if i + ln > end:
+                # an unchecked slice would silently truncate (r12 review:
+                # the int64/float paths raise here via IndexError/struct;
+                # this was the one silent hole under verify_crc=False)
+                raise ValueError(
+                    f"BytesList entry length {ln} overruns the record"
+                )
             vals.append(buf[i:i + ln])
             i += ln
         else:
@@ -330,6 +407,10 @@ def decode_example(data: bytes) -> "dict[str, object]":
                 field, wire = mkey >> 3, mkey & 7
                 if field == 1 and wire == 2:  # map key
                     ln, i = _read_varint(data, i)
+                    if i + ln > eend:
+                        raise ValueError(
+                            f"feature-name length {ln} overruns the entry"
+                        )
                     name = data[i:i + ln].decode("utf-8")
                     i += ln
                 elif field == 2 and wire == 2:  # map value: Feature
@@ -417,7 +498,30 @@ def parse_tfrecord_files(
                         v = ex.get(name)
                         if v is None:
                             row.append(None)
-                        elif kind == "int64":
+                            continue
+                        # validate the WIRE kind against the declared one
+                        # with provenance (r12 review: a type mismatch —
+                        # e.g. 'string' declared for an Int64List —
+                        # raised a bare TypeError, or worse deferred to a
+                        # pandas→Arrow error detached from any record)
+                        is_bytes = all(
+                            isinstance(x, (bytes, bytearray)) for x in v
+                        )
+                        if kind in ("utf8", "bytes") and not is_bytes:
+                            raise ValueError(
+                                f"feature {name!r} declared "
+                                f"{'string' if kind == 'utf8' else 'binary'}"
+                                f" but holds a non-BytesList at "
+                                f"{path}#{rec_no}"
+                            )
+                        if kind in ("int64", "int64_scalar", "float") and (
+                            v and is_bytes
+                        ):
+                            raise ValueError(
+                                f"feature {name!r} declared numeric but "
+                                f"holds a BytesList at {path}#{rec_no}"
+                            )
+                        if kind == "int64":
                             row.append(list(v))
                         elif kind == "int64_scalar":
                             if len(v) != 1:
@@ -459,27 +563,31 @@ def read_tfrecord(
 def tfrecord_to_documents(parsed: DataFrame) -> DataFrame:
     """Adapt a parsed TFRecord frame carrying ``id``/``text`` features
     (the :func:`write_tfrecord_shards` shape) to the corpus front-door
-    contract: doc_id = ``xxhash64(path:id-or-rec_no)`` — the jsonl leg's
-    id-space rule (r12 review: raw ``id`` features collide across
-    independently released shard sets, silently conflating distinct
-    documents in every doc_id-keyed dedup/ledger downstream; file
-    provenance MUST be in the hash). Host-less ``tfrecord://``
-    provenance URL (the bundle-leg rule: no crawl provenance, URL gates
-    pass)."""
+    contract: doc_id = ``xxhash64(path:id:N)`` or ``xxhash64(path:rec:N)``
+    — the jsonl leg's id-space rule, BOTH halves (r12 reviews: raw ``id``
+    features collide across independently released shard sets, so file
+    provenance must be in the hash; and without the ``id:``/``rec:``
+    prefix an Example whose id equals another Example's record number in
+    the same mixed shard hashed to the SAME doc_id). Host-less
+    ``tfrecord://`` provenance URL carrying the FULL path (the jsonl
+    convention — a basename-only URL conflates same-named shards from
+    independent releases in every url-keyed audit)."""
     return parsed.select(
         F.xxhash64(
             F.concat_ws(
                 ":",
                 F.col("path"),
-                F.coalesce(
-                    F.col("id").cast("string"),
-                    F.col("rec_no").cast("string"),
+                F.when(
+                    F.col("id").isNotNull(),
+                    F.concat(F.lit("id:"), F.col("id").cast("string")),
+                ).otherwise(
+                    F.concat(F.lit("rec:"), F.col("rec_no").cast("string"))
                 ),
             )
         ).alias("doc_id"),
         F.concat(
             F.lit("tfrecord://"),
-            F.regexp_extract(F.col("path"), r"([^/]+)$", 1),
+            F.col("path"),
             F.lit("#"),
             F.col("rec_no").cast("string"),
         ).alias("url"),

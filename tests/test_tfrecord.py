@@ -241,3 +241,119 @@ def test_read_tfrecord_malformed_protobuf_has_provenance(spark, tmp_path):
     )
     with pytest.raises(Exception, match=r"malformed Example protobuf at .*#0"):
         tfr.read_tfrecord(spark, str(tmp_path), {"id": "long"}).collect()
+
+
+def test_crc32c_sliced_equals_bytewise_reference():
+    """The slicing-by-8 word loop must equal the canonical bytewise
+    table recurrence on every length mod 8 and on multi-KB buffers."""
+    import random
+
+    def ref(data):
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = (crc >> 8) ^ tfr._CRC32C_TABLE[(crc ^ b) & 0xFF]
+        return crc ^ 0xFFFFFFFF
+
+    rng = random.Random(7)
+    for n in list(range(0, 33)) + [100, 1000, 65537]:
+        d = bytes(rng.randrange(256) for _ in range(n))
+        assert tfr.crc32c(d) == ref(d), n
+
+
+def test_write_tfrecord_shards_review_guards(spark, tmp_path):
+    """r12 review findings on the writer: (a) re-releasing with fewer
+    shards sweeps the previous run's stale shard files (overwrite
+    semantics); (b) the reserved 'id' feature name raises instead of
+    silently clobbering the automatic id feature; (c) a feature column
+    that IS id_col does not produce an ambiguous duplicate select; (d) a
+    NULL ELEMENT inside an array feature raises with provenance, not an
+    opaque executor TypeError."""
+    import os
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [5, 6], "a"), (2, [9], "b"), (3, [7], "c"), (4, [8], "d")],
+        "doc_id long, ids array<int>, text string",
+    )
+    out = str(tmp_path / "rel")
+    tfr.write_tfrecord_shards(df, out, 4, {"input_ids": "ids"})
+    assert len(os.listdir(out)) == 4
+    tfr.write_tfrecord_shards(df.limit(2), out, 1, {"input_ids": "ids"})
+    names = os.listdir(out)
+    assert names == ["shard-00000.tfrecord"]  # stale shards swept
+
+    with pytest.raises(ValueError, match="reserved"):
+        tfr.write_tfrecord_shards(df, out, 1, {"id": "ids"})
+
+    # feature sourced from id_col itself: no AMBIGUOUS_REFERENCE
+    m = tfr.write_tfrecord_shards(
+        df, str(tmp_path / "r2"), 1, {"doc": "doc_id"}
+    ).collect()
+    assert m[0]["n_samples"] == 4
+
+    holed = spark.createDataFrame(
+        [(1, [5, None, 3])], "doc_id long, ids array<int>"
+    )
+    with pytest.raises(Exception, match="NULL in feature column 'ids'"):
+        tfr.write_tfrecord_shards(holed, str(tmp_path / "r3"), 1, {"x": "ids"})
+
+
+def test_read_tfrecord_type_mismatch_has_provenance(spark, tmp_path):
+    """A declared type that contradicts the wire kind raises naming
+    path#rec_no (r12 review: it surfaced as a bare TypeError, or worse a
+    deferred Arrow conversion error detached from any record)."""
+    import pytest
+
+    (tmp_path / "a.tfrecord").write_bytes(
+        tfr.frame_record(tfr.encode_example({"ids": [1, 2], "text": "hi"}))
+    )
+    with pytest.raises(Exception, match=r"declared string .*#0"):
+        tfr.read_tfrecord(spark, str(tmp_path), {"ids": "string"}).collect()
+    with pytest.raises(Exception, match=r"declared numeric .*#0"):
+        tfr.read_tfrecord(spark, str(tmp_path), {"text": "array<long>"}).collect()
+
+
+def test_decode_example_bytes_overrun_raises():
+    """A BytesList entry whose declared length overruns the record raises
+    instead of yielding silently truncated bytes (the one silent hole
+    under verify_crc=False; r12 review)."""
+    import pytest
+
+    good = tfr.encode_example({"t": b"hello"})
+    # patch the BytesList entry's length byte (value 5 -> 200)
+    idx = good.index(b"\x05hello")
+    bad = good[:idx] + bytes([200]) + good[idx + 1:]
+    with pytest.raises(ValueError, match="overruns"):
+        tfr.decode_example(bad)
+
+
+def test_tfrecord_doc_ids_disambiguate_id_spaces(spark, tmp_path):
+    """The jsonl prefix rule applies to the tfrecord leg too (r12
+    review): in a MIXED shard, an Example carrying id=7 and an id-less
+    Example sitting at rec_no=7 must hash to DIFFERENT doc_ids; and the
+    provenance URL carries the full path so same-named shards from
+    independent releases stay distinct."""
+    recs = b"".join(
+        tfr.frame_record(tfr.encode_example(ex))
+        for ex in (
+            {"text": "zero"},            # rec_no 0
+            {"text": "one"},             # rec_no 1
+            {"id": [7], "text": "named"},  # id=7 at rec_no 2
+            {"text": "three"},           # rec_no 3
+            {"text": "four"},            # 4
+            {"text": "five"},            # 5
+            {"text": "six"},             # 6
+            {"text": "seven"},           # rec_no 7 — collides w/o prefix
+        )
+    )
+    (tmp_path / "m.tfrecord").write_bytes(recs)
+    docs = tfr.tfrecord_to_documents(
+        tfr.read_tfrecord(
+            spark, str(tmp_path), {"id": "long", "text": "string"}
+        )
+    ).collect()
+    assert len({r["doc_id"] for r in docs}) == 8
+    assert all("m.tfrecord#" in r["url"] for r in docs)
+    # full path, not just the basename
+    assert all(str(tmp_path).lstrip("/") in r["url"] for r in docs)
