@@ -82,15 +82,15 @@ SHEBANG_LANGUAGES: tuple[tuple[str, str], ...] = (
 )
 
 # greedy prefix so the capture anchors to the LAST path segment
-# (lazy would capture "usr" out of #!/usr/bin/env)
-_SHEBANG_RE = r"\A#![^\n]*/(?:env[ \t]+)?([A-Za-z][A-Za-z0-9._-]*)"
+# (lazy would capture "usr" out of #!/usr/bin/env); env may carry flags
+# ('#!/usr/bin/env -S python3 -u', the coreutils -S idiom — r12 review)
+_SHEBANG_RE = r"\A#![^\n]*/(?:env[ \t]+(?:-\S+[ \t]+)*)?([A-Za-z][A-Za-z0-9._-]*)"
 
 
 def code_language_id(
     files: DataFrame,
     path_col: str = "path",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Identify each file's programming language: basename specials
     (Makefile, Dockerfile, CMakeLists.txt …), then the extension map, then
@@ -164,13 +164,18 @@ PERMISSIVE_LICENSES: frozenset = frozenset(
     }
 )
 
-_SPDX_RE = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+# captures the FULL SPDX expression (ids, AND/OR/WITH, parens) up to the
+# first character outside the expression grammar — so a trailing comment
+# closer ('*/', '-->') self-delimits. Tag match case-insensitive like
+# real license scanners (r12 review: the old single-id capture read
+# 'MIT AND GPL-3.0-only' as MIT — a governance leak — and failed
+# entirely on '(MIT OR Apache-2.0)').
+_SPDX_RE = r"(?i)SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+\-() \t]+)"
 
 
 def license_detect(
     files: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     head_chars: int = 8192,
 ) -> DataFrame:
     """Detect the declared license of each file from its header: an
@@ -185,11 +190,20 @@ def license_detect(
     license was found, so "unknown" never silently counts as permissive
     OR copyleft).
 
+    SPDX tags carrying a compound EXPRESSION keep the whole expression in
+    ``license`` (never the misleading first id), and ``is_permissive``
+    uses the conservative rule: true iff EVERY license id referenced is
+    permissive (exact for single ids and for AND; for OR it under-
+    approximates — ``GPL-2.0 OR MIT`` reads non-permissive even though a
+    licensee may choose MIT — the safe direction for a governance gate).
+    ``WITH <exception>`` qualifiers are ignored for the permissiveness
+    test (the base license decides).
+
     Only ``head_chars`` leading characters are scanned: license headers
     lead the file by convention, and the bound makes the stage cost
     independent of file size."""
     head = F.substring(F.col(text_col), 1, head_chars)
-    spdx = F.regexp_extract(head, _SPDX_RE, 1)
+    spdx = F.trim(F.regexp_extract(head, _SPDX_RE, 1))
     # first-match-wins over the ordered fingerprints: unmatched WHENs are
     # NULL, so COALESCE is exactly "first matching license"
     fp = F.coalesce(
@@ -199,16 +213,26 @@ def license_detect(
     permissive_map = F.create_map(
         *[F.lit(x) for lic in sorted(PERMISSIVE_LICENSES) for x in (lic, "y")]
     )
+    # every id token of the (possibly compound) expression must be
+    # permissive: strip WITH-exception qualifiers, split on parens/space,
+    # drop the operator words, look each id up
+    ids = F.filter(
+        F.split(
+            F.regexp_replace(lic_col, r"(?i)\bWITH[ \t]+[A-Za-z0-9.+-]+", " "),
+            r"[()\s]+",
+        ),
+        lambda t: (t != "") & ~F.upper(t).isin("AND", "OR"),
+    )
+    all_permissive = F.forall(
+        ids, lambda t: F.element_at(permissive_map, t).isNotNull()
+    ) & (F.size(ids) > 0)
     return files.withColumns(
         {
             "license": lic_col,
             "license_source": F.when(spdx != "", F.lit("spdx")).when(
                 fp.isNotNull(), F.lit("fingerprint")
             ),
-            "is_permissive": F.when(
-                lic_col.isNotNull(),
-                F.element_at(permissive_map, lic_col).isNotNull(),
-            ),
+            "is_permissive": F.when(lic_col.isNotNull(), all_permissive),
         }
     )
 
@@ -482,6 +506,7 @@ def code_near_dup_pairs(
     band_size: int = 4,
     n: int = 3,
     bucket_cap: "int | None" = None,
+    min_norm_chars: int = 24,
 ) -> DataFrame:
     """Near-duplicate pairs over the identifier-normalized representation:
     :func:`code_normalized_text_expr` → the EXISTING generic
@@ -490,7 +515,15 @@ def code_near_dup_pairs(
     exact pre-pass (identical normalized streams, jaccard 1.0); lightly
     edited renames surface through the LSH bands. The normalization is a
     map-only projection — the only shuffles are minhash_dedup's own
-    (digest window + band join), the plan contract of the generic path."""
+    (digest window + band join), the plan contract of the generic path.
+
+    Files whose NORMALIZED stream is shorter than ``min_norm_chars``
+    sit out pair generation entirely (r12 review): blind normalization
+    maps every comment-only file — thousands of distinct ``__init__.py``
+    headers — to the same near-empty stream, and the exact pre-pass
+    would collapse them cross-package as jaccard-1.0 "duplicates" of
+    content that never matched. Too little surviving code to fingerprint
+    means no dedup evidence, not identity."""
     from .dedup import minhash_dedup
 
     normed = files.select(
@@ -498,7 +531,7 @@ def code_near_dup_pairs(
         code_normalized_text_expr(text_col, language_col, identifiers).alias(
             "_norm"
         ),
-    )
+    ).filter(F.length(F.trim(F.col("_norm"))) >= min_norm_chars)
     return minhash_dedup(
         normed,
         text_col="_norm",
@@ -527,6 +560,7 @@ def code_curation_funnel(
     near_dup: bool = False,
     near_dup_threshold: float = 0.85,
     with_ledger: bool = False,
+    materialize: bool = True,
 ):
     """The code-corpus gate chain — :func:`..curation.curation_funnel`'s
     source-file twin, The Stack's published shape. Returns ``(corpus,
@@ -565,10 +599,19 @@ def code_curation_funnel(
     ``structural_quality`` / ``exact_duplicate``.
 
     Every gate is a map-only projection + filter; the only shuffles are
-    the 16-byte md5 groupBy of stage 5 and the ledger's anti-joins when
-    requested — the text funnel's cost story exactly."""
+    the final 16-byte md5 groupBy, the near-dup stage's band join when
+    enabled, and the ledger's anti-joins when requested — the text
+    funnel's cost story exactly."""
     if secrets not in ("drop", "redact"):
         raise ValueError(f"secrets must be 'drop' or 'redact', got {secrets!r}")
+
+    def _stage(frame: DataFrame) -> DataFrame:
+        # the curation_funnel convention (r12 review): without the
+        # checkpoint every audit count and ledger anti-join re-executes
+        # the whole regex gate chain from the source scan — ~an order of
+        # magnitude of redundant full-corpus regex work at scale
+        return frame.localCheckpoint(eager=False) if materialize else frame
+
     stages: list = []
     ledgers: list = []
 
@@ -589,11 +632,11 @@ def code_curation_funnel(
     cur = files
     stages.append(("input", cur))
 
-    lang = code_language_id(cur, path_col=path_col, text_col=text_col, id_col=id_col)
+    lang = code_language_id(cur, path_col=path_col, text_col=text_col)
     keep = F.col("language").isNotNull()
     if languages is not None:
         keep = keep & F.col("language").isin(*languages)
-    langed = lang.filter(keep)
+    langed = _stage(lang.filter(keep))
     _gone(
         lang,
         langed,
@@ -605,12 +648,12 @@ def code_curation_funnel(
     stages.append(("language_gate", langed))
     cur = langed.drop("lang_source")
 
-    lic = license_detect(cur, text_col=text_col, id_col=id_col)
+    lic = license_detect(cur, text_col=text_col)
     if permissive_only:
         keep = F.col("is_permissive") == True  # noqa: E712 — three-valued
         if allow_unlicensed:
             keep = keep | F.col("license").isNull()
-        licensed = lic.filter(keep)
+        licensed = _stage(lic.filter(keep))
         _gone(
             lic,
             licensed,
@@ -628,18 +671,25 @@ def code_curation_funnel(
     # of an Arrow stage and must join back), every code gate is a Catalyst
     # expression, so the gates are filters: zero joins, zero shuffles
     sec_cols = _secret_output_cols(text_col)
-    n_total = None
-    for c in sec_cols[1:]:
-        n_total = c if n_total is None else n_total + c
     if secrets == "drop":
-        cleaned = cur.filter(n_total == 0)
+        # one non-rewriting rlike per pattern on the RAW text — exactly
+        # equivalent to n_total == 0 over the progressive-redaction
+        # cascade (the first pattern in order that matches the original
+        # sees unmodified text, so any original match implies a nonzero
+        # count) without materializing k rewritten copies of every file
+        # per row (r12 review)
+        has_secret = None
+        for _, pat in SECRET_PATTERNS:
+            c = F.col(text_col).rlike(pat)
+            has_secret = c if has_secret is None else has_secret | c
+        cleaned = _stage(cur.filter(~has_secret))
         _gone(cur, cleaned, "secrets_gate", "committed_secrets")
     else:  # redact: every row survives, matched spans rewritten in place
-        cleaned = cur.withColumn(text_col, sec_cols[0])
+        cleaned = _stage(cur.withColumn(text_col, sec_cols[0]))
     stages.append(("secrets_gate", cleaned))
     cur = cleaned
 
-    qualified = cur.filter(_quality_exprs(text_col)["passes_code_gates"])
+    qualified = _stage(cur.filter(_quality_exprs(text_col)["passes_code_gates"]))
     _gone(cur, qualified, "quality_gate", "structural_quality")
     stages.append(("quality_gate", qualified))
     cur = qualified
@@ -661,7 +711,7 @@ def code_curation_funnel(
             threshold=near_dup_threshold,
         )
         dup_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        kept = cur.join(dup_ids, id_col, "left_anti")
+        kept = _stage(cur.join(dup_ids, id_col, "left_anti"))
         _gone(cur, kept, "near_dup_gate", "near_duplicate")
         stages.append(("near_dup_gate", kept))
         cur = kept
@@ -672,7 +722,7 @@ def code_curation_funnel(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    deduped = cur.join(canon_ids, id_col, "left_semi")
+    deduped = _stage(cur.join(canon_ids, id_col, "left_semi"))
     _gone(cur, deduped, "dedup", "exact_duplicate")
     stages.append(("dedup", deduped))
 

@@ -284,9 +284,11 @@ def test_code_near_dup_pairs_renamed_copies(spark):
     assert got == [(1, 2, 1.0)]
 
     # shuffle parity with the generic path on a pre-normalized frame
+    # (same degenerate-stream guard applied — the r12 min_norm_chars
+    # filter is a map-only row filter, not a new shuffle)
     normed = files.select(
         "doc_id", codeop.code_normalized_text_expr().alias("_norm")
-    )
+    ).filter(F.length(F.trim("_norm")) >= 24)
     generic = dd.minhash_dedup(normed, text_col="_norm", threshold=0.85)
     n_preset = codeop.code_near_dup_pairs(files)._jdf.queryExecution().executedPlan().toString().count("Exchange")
     n_generic = generic._jdf.queryExecution().executedPlan().toString().count("Exchange")
@@ -294,9 +296,11 @@ def test_code_near_dup_pairs_renamed_copies(spark):
 
 
 def test_code_curation_funnel_near_dup_gate(spark):
-    """r12: the optional near_dup stage between secrets and quality —
-    the renamed copy drops (doc_b convention), audit and ledger rows pin
-    the stage, and near_dup=False keeps the r11 funnel byte-identical."""
+    """r12: the optional near_dup stage AFTER the quality gate (quality
+    is a free filter, near-dup is the chain's only shuffle, and a
+    quality-doomed canonical must not drag its clean twin out) — the
+    renamed copy drops (doc_b convention), audit and ledger rows pin the
+    stage, and near_dup=False keeps the r11 funnel byte-identical."""
     lic = "# SPDX-License-Identifier: MIT\n"
     rows = [
         (1, "a/total.py", lic + _py_file("compute_total", "total", "item", "v1", "done")),
@@ -393,3 +397,81 @@ def test_code_normalization_rename_invariance_property(spark):
     for a, b, c in expected:
         assert normed[a] == normed[b], (a, b, normed[a], normed[b])
         assert normed[a] != normed[c], (a, c, normed[a])
+
+
+def test_license_detect_spdx_expressions(spark):
+    """r12 review: compound SPDX expressions classify conservatively —
+    'MIT AND GPL-3.0-only' must NOT read as permissive MIT (a governance
+    leak), '(MIT OR Apache-2.0)' must not be dropped as license-less,
+    WITH-exception qualifiers ride the base license, the tag matches
+    case-insensitively, and comment closers self-delimit."""
+    rows = [
+        (1, "a.py", "# SPDX-License-Identifier: MIT AND GPL-3.0-only\nx=1\n"),
+        (2, "b.py", "# SPDX-License-Identifier: (MIT OR Apache-2.0)\nx=1\n"),
+        (3, "c.c", "/* SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception */\nint x;\n"),
+        (4, "d.py", "# spdx-license-identifier: MIT\nx=1\n"),
+        (5, "e.c", "/* SPDX-License-Identifier: MIT */\nint y;\n"),
+        (6, "f.py", "# SPDX-License-Identifier: GPL-2.0-only OR MIT\nx=1\n"),
+    ]
+    got = {
+        r["doc_id"]: (r["license"], r["is_permissive"], r["license_source"])
+        for r in codeop.license_detect(_files(spark, rows)).collect()
+    }
+    assert got[1] == ("MIT AND GPL-3.0-only", False, "spdx")
+    assert got[2] == ("(MIT OR Apache-2.0)", True, "spdx")
+    assert got[3] == ("Apache-2.0 WITH LLVM-exception", True, "spdx")
+    assert got[4] == ("MIT", True, "spdx")
+    assert got[5] == ("MIT", True, "spdx")  # '*/' self-delimits
+    # conservative OR: a licensee could pick MIT, but the gate under-
+    # approximates toward non-permissive (the safe direction)
+    assert got[6] == ("GPL-2.0-only OR MIT", False, "spdx")
+
+
+def test_language_id_env_S_shebang(spark):
+    """'#!/usr/bin/env -S python3 -u' (the coreutils -S idiom) must
+    identify as Python, not land on 'env' and quarantine."""
+    rows = [
+        (1, "bin/runner", "#!/usr/bin/env -S python3 -u\nprint(1)\n"),
+        (2, "bin/plain", "#!/usr/bin/env python3\nprint(1)\n"),
+    ]
+    got = {
+        r["doc_id"]: (r["language"], r["lang_source"])
+        for r in codeop.code_language_id(_files(spark, rows)).collect()
+    }
+    assert got[1] == ("Python", "shebang")
+    assert got[2] == ("Python", "shebang")
+
+
+def test_code_near_dup_skips_degenerate_normalized_streams(spark):
+    """Comment-only files normalize to (near-)empty streams — they must
+    sit out pair generation instead of collapsing cross-package as
+    jaccard-1.0 'duplicates' of content that never matched."""
+    rows = [
+        (1, "pkg_a/__init__.py", "# SPDX-License-Identifier: MIT\n# package alpha init\n"),
+        (2, "pkg_b/__init__.py", "# SPDX-License-Identifier: MIT\n# totally different beta\n"),
+        (3, "a/x.py", _py_file("compute_total", "total", "item", "v1", "done")),
+        (4, "b/y.py", _py_file("calcSum", "acc", "entry", "fork", "fin")),
+    ]
+    files = codeop.code_language_id(_files(spark, rows))
+    got = {(r["doc_a"], r["doc_b"]) for r in codeop.code_near_dup_pairs(files).collect()}
+    assert got == {(3, 4)}  # the real rename pair; no (1, 2)
+
+
+def test_funnel_drop_mode_equals_count_cascade(spark):
+    """The r12 rlike drop gate keeps exactly the files the progressive
+    redaction cascade counts as zero — any pattern matching the ORIGINAL
+    text implies a nonzero cascade count and vice versa."""
+    lic = "# SPDX-License-Identifier: MIT\n"
+    body = "def f(x):\n    return x + 1\n\n" * 4
+    rows = [
+        (1, "ok.py", lic + body),
+        (2, "bad.py", lic + body + 'pw = "hunter2secret"\npassword = "hunter2secret"\n'),
+        (3, "key.py", lic + body + "k = 'AKIA" + "B" * 16 + "'\n"),
+    ]
+    corpus, _audit = codeop.code_curation_funnel(_files(spark, rows))
+    kept = {r["doc_id"] for r in corpus.collect()}
+    scanned = codeop.secrets_scan(
+        codeop.code_language_id(_files(spark, rows)), id_col="doc_id"
+    )
+    zero = {r["doc_id"] for r in scanned.filter("n_secrets = 0").collect()}
+    assert kept == zero == {1}
