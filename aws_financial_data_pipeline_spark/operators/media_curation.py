@@ -11,8 +11,10 @@ perceptual cluster. Stages, cheapest first:
 
 1. **type_gate** — keep rows whose ``media_type`` this engine decodes
    (map-only; unknown types are the ledger's ``unsupported_type``).
-2. **size_gate** — ``byte_len`` bounds (map-only; truncated fetches and
-   decompression-bomb candidates leave here before any decode cost).
+2. **size_gate** — payload-byte bounds via ``octet_length(payload)``
+   (map-only; truncated fetches and decompression-bomb candidates leave
+   here before any decode cost — the PAYLOAD is measured, not the
+   ``byte_len`` metadata column, which upstream stages may leave stale).
 3. **decode_gate** — one Arrow :func:`..multimodal.media_stats` pass;
    rows whose decoder rejects the payload (``error`` non-null: corrupt
    containers, absent codecs) drop — loudly countable, never job-fatal
@@ -76,8 +78,10 @@ def image_text_pairs(
     best-resolution image a browser would fetch.
 
     Returns (image_id, page_id, image_url, caption) — caption is the
-    tag's ``alt`` text (NULL when absent), the training-pair caption
-    source. One page referencing k fetched images yields k rows; images
+    tag's ``alt`` text; NULL when the attribute is absent OR explicitly
+    empty (``alt=""`` is HTML's decorative-image marker, not a caption —
+    the two fold together deliberately, since neither yields a usable
+    caption). The training-pair caption source. One page referencing k fetched images yields k rows; images
     no page references (or pages whose images weren't crawled) yield
     none — inner join, the pairing semantics.
 
@@ -86,13 +90,15 @@ def image_text_pairs(
     id/url-width rows (payload pruned), shuffled on the url key. No
     Python anywhere."""
     tag_re = r"(?i)<img\b[^>]*>"
-    # the (?<![\w-]) boundary keeps 'data-src='/'data-alt=' (lazy-loading
-    # markup, ubiquitous) from hijacking the match — regexp_extract returns
-    # the FIRST hit, and 'src="…"' is a substring of 'data-src="…"'
-    src_q = r"""(?i)(?<![\w-])src\s*=\s*["']([^"']+)["']"""
-    src_u = r"""(?i)(?<![\w-])src\s*=\s*([^\s"'>]+)"""
-    alt_q = r"""(?i)(?<![\w-])alt\s*=\s*["']([^"']*)["']"""
-    srcset_q = r"""(?i)(?<![\w-])srcset\s*=\s*["']([^"']+)["']"""
+    # the (?<![\w.-]) boundary keeps 'data-src='/'data-alt=' (lazy-loading
+    # markup, ubiquitous) AND inline-handler 'this.src=' assignments
+    # (error-fallback markup; the '.' exclusion is the r12 review fix)
+    # from hijacking the match — regexp_extract returns the FIRST hit,
+    # and 'src="…"' is a substring of both
+    src_q = r"""(?i)(?<![\w.-])src\s*=\s*["']([^"']+)["']"""
+    src_u = r"""(?i)(?<![\w.-])src\s*=\s*([^\s"'>]+)"""
+    alt_q = r"""(?i)(?<![\w.-])alt\s*=\s*["']([^"']*)["']"""
+    srcset_q = r"""(?i)(?<![\w.-])srcset\s*=\s*["']([^"']+)["']"""
     tags = pages.select(
         F.col(id_col).alias("page_id"),
         F.col(url_col).alias("_purl"),
@@ -119,17 +125,25 @@ def image_text_pairs(
         F.lit(1.0),
     )
     scored = F.transform(
-        F.split(srcset_raw, r"\s*,\s+|\s+,\s*|(?<=\d[wx]),"),
+        F.split(srcset_raw, r"\s*,\s+|\s+,\s*|(?<=\s[\d.]{1,8}[wx]),"),
         lambda c: F.struct(
             cand_weight(F.trim(c)).alias("w"),
             F.regexp_extract(F.trim(c), r"^(\S+)", 1).alias("u"),
         ),
     )
     best_srcset = F.nullif(F.array_max(scored).getField("u"), F.lit(""))
-    src = F.coalesce(
-        best_srcset,
-        F.nullif(F.regexp_extract(F.col("_tag"), src_q, 1), F.lit("")),
-        F.nullif(F.regexp_extract(F.col("_tag"), src_u, 1), F.lit("")),
+    # HTML strips attribute-internal leading/trailing whitespace before
+    # resolving (r12 review: src=" /a.png" resolved to a space-embedded
+    # URL that could never equi-join the crawled media URL)
+    src = F.nullif(
+        F.trim(
+            F.coalesce(
+                best_srcset,
+                F.nullif(F.regexp_extract(F.col("_tag"), src_q, 1), F.lit("")),
+                F.nullif(F.regexp_extract(F.col("_tag"), src_u, 1), F.lit("")),
+            )
+        ),
+        F.lit(""),
     )
     alt = F.nullif(F.regexp_extract(F.col("_tag"), alt_q, 1), F.lit(""))
     scheme = F.regexp_extract(F.col("_purl"), r"^([a-zA-Z][a-zA-Z0-9+.\-]*):", 1)
@@ -152,19 +166,25 @@ def image_text_pairs(
     )
     # dot-segment normalization (RFC 3986 §5.2.4, bounded): the crawler's
     # fetch URLs are normalized, so '../img.png' must resolve to the same
-    # string or the equi-join silently loses the pair. '/./' collapses
-    # first, then '/seg/../' pops (8 passes cover any real nesting depth;
-    # the lookbehind protects the '://host' boundary), and '..' left over
-    # at the root is dropped — the browser/crawler over-pop rule.
+    # string or the equi-join silently loses the pair. §5.2.4 applies to
+    # the PATH only — the query/fragment is split off first and re-glued
+    # verbatim (r12 review: '?next=/a/../b' was being rewritten, changing
+    # the URL the crawler actually fetched). '/./' collapses first, then
+    # '/seg/../' pops (8 passes cover any real nesting depth; the
+    # lookbehind protects the '://host' boundary), and '..' left over at
+    # the root is dropped — the browser/crawler over-pop rule.
+    path_part = F.regexp_extract(resolved, r"^([^?#]*)", 1)
+    tail_part = F.regexp_extract(resolved, r"^[^?#]*([?#].*)$", 1)
     for _ in range(3):
-        resolved = F.regexp_replace(resolved, r"(?<![:/])/\./", "/")
+        path_part = F.regexp_replace(path_part, r"(?<![:/])/\./", "/")
     for _ in range(8):
-        resolved = F.regexp_replace(
-            resolved, r"(?<![:/])/(?!\.\./)[^/]+/\.\./", "/"
+        path_part = F.regexp_replace(
+            path_part, r"(?<![:/])/(?!\.\./)[^/]+/\.\./", "/"
         )
-    resolved = F.regexp_replace(
-        resolved, r"(://[^/]+)/(?:\.\./)+", "$1/"
+    path_part = F.regexp_replace(
+        path_part, r"(://[^/]+)/(?:\.\./)+", "$1/"
     )
+    resolved = F.concat(path_part, tail_part)
     refs = tags.filter(src.isNotNull()).select(
         "page_id", resolved.alias("image_url"), alt.alias("caption")
     )
@@ -303,11 +323,18 @@ def media_curation_funnel(
         )
         flat_ids = q.filter(F.col("error").isNull() & ~ok).select(id_col)
         quality_kept = cur.join(flat_ids, id_col, "left_anti")
+        if materialize:
+            # checkpoint BEFORE the frame enters stages/ledgers (r12
+            # review: appending the raw plan first meant the audit count
+            # and the ledger anti-join each re-ran the full
+            # image_quality_stats pixel decode)
+            quality_kept = quality_kept.localCheckpoint(eager=False)
         _gone(cur, quality_kept, "image_quality_gate", "image_quality_out_of_bounds")
         stages.append(("image_quality_gate", quality_kept))
         cur = quality_kept
-    if materialize:
-        # fans out into three per-modality dedup passes below
+    elif materialize:
+        # fans out into three per-modality dedup passes below (the
+        # quality-gate branch above already checkpointed)
         cur = cur.localCheckpoint(eager=False)
 
     image_types = tuple(
@@ -315,22 +342,28 @@ def media_curation_funnel(
         if animated_as_video is False or t not in ANIMATED_IMAGE_TYPES
     )
     video_types = VIDEO_TYPES + (ANIMATED_IMAGE_TYPES if animated_as_video else ())
-    canon = None
+    dupes = None
     for kinds, dedup_fn in (
         (image_types, lambda d: mm.image_dedup(
             d, media_type=image_types, max_distance=max_distance,
             id_col=id_col, bucket_cap=bucket_cap)),
         (AUDIO_TYPES, lambda d: mm.audio_dedup(
-            d, max_distance=max_distance, id_col=id_col, bucket_cap=bucket_cap)),
+            d, media_type=AUDIO_TYPES, max_distance=max_distance,
+            id_col=id_col, bucket_cap=bucket_cap)),
         (video_types, lambda d: mm.video_dedup(
             d, media_type=video_types, max_distance=max_distance,
             min_containment=video_min_containment, id_col=id_col,
             bucket_cap=bucket_cap)),
     ):
         slice_ = cur.filter(F.col("media_type").isin(*kinds))
-        labels = dedup_fn(slice_).filter(F.col("is_canonical")).select(id_col)
-        canon = labels if canon is None else canon.unionByName(labels)
-    deduped = cur.join(canon, id_col, "left_semi")
+        # drop rows LABELED non-canonical (the doc_b convention) rather
+        # than keeping canonical labels: a row the fingerprint stage
+        # skipped (mislabeled Content-Type whose bytes the slice's
+        # decoder rejects — r12 review) has no label and must be KEPT,
+        # not silently ledgered as a perceptual duplicate of nothing
+        labels = dedup_fn(slice_).filter(~F.col("is_canonical")).select(id_col)
+        dupes = labels if dupes is None else dupes.unionByName(labels)
+    deduped = cur.join(dupes, id_col, "left_anti")
     _gone(cur, deduped, "dedup", "perceptual_duplicate")
     stages.append(("dedup", deduped))
 

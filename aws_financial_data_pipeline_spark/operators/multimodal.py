@@ -708,20 +708,28 @@ def image_phash(
     mapInPandas over the real decoders — map-only, payload dropped on
     output (at 100 TB the hash table is what persists; the bytes are read
     once). The id column name is preserved on output so downstream joins
-    (:func:`image_dedup`) resolve against the caller's key."""
+    (:func:`image_dedup`) resolve against the caller's key.
+
+    Undecodable payloads are SKIPPED per row (the :func:`audio_energy`
+    posture: counting decode rejects is :func:`media_stats`' job) — a
+    Content-Type that lies about its bytes (e.g. an AVI labeled
+    image/gif, which the funnel's sample_frames-based decode gate passes
+    as video) must cost that ROW its fingerprint, never the task
+    (r12 review: one mislabeled payload killed the whole dedup job)."""
     types = (media_type,) if isinstance(media_type, str) else tuple(media_type)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sel = pdf[pdf["media_type"].isin(types)]
-            yield pd.DataFrame(
-                {
-                    id_col: sel[id_col],
-                    "phash": [
-                        phash64(decode_image(bytes(b))) for b in sel["payload"]
-                    ],
-                }
-            )
+            ids, hashes = [], []
+            for i, b in zip(sel[id_col], sel["payload"]):
+                try:
+                    h = phash64(decode_image(bytes(b)))
+                except Exception:
+                    continue  # decode-gate rejects are media_stats' job
+                ids.append(i)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
 
     return with_payload.mapInPandas(run, f"{id_col} bigint, phash bigint")
 
@@ -1309,7 +1317,11 @@ def video_fingerprints(
             sel = pdf[pdf["media_type"].isin(types)]
             ids, idxs, hashes = [], [], []
             for i, payload in zip(sel[id_col], sel["payload"]):
-                for fi, frame in enumerate(sample_frames(bytes(payload), every_n)):
+                try:
+                    frames = list(sample_frames(bytes(payload), every_n))
+                except Exception:
+                    continue  # decode-gate rejects are media_stats' job
+                for fi, frame in enumerate(frames):
                     ids.append(i)
                     idxs.append(fi)
                     hashes.append(phash64(frame))
@@ -1521,24 +1533,30 @@ def video_scenes(
 
 def audio_fingerprints(
     with_payload: DataFrame,
-    media_type: str = "audio/wav",
+    media_type: "str | tuple[str, ...]" = "audio/wav",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id_col, payload, media_type, …) → (id_col, ahash long) for rows of
-    the given media type — the audio twin of :func:`image_phash` (one Arrow
-    pass, payload dropped; feed the result to :func:`phash_near_duplicates`
-    with ``hash_col='ahash'``). The id column name is preserved on output,
-    matching :func:`image_phash`'s custom-key contract."""
+    the given media type(s) — the audio twin of :func:`image_phash` (one
+    Arrow pass, payload dropped; feed the result to
+    :func:`phash_near_duplicates` with ``hash_col='ahash'``). The id
+    column name is preserved on output, matching :func:`image_phash`'s
+    custom-key contract — including its per-row skip of undecodable
+    payloads and its tuple-of-types form."""
+    types = (media_type,) if isinstance(media_type, str) else tuple(media_type)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sel = pdf[pdf["media_type"] == media_type]
-            yield pd.DataFrame(
-                {
-                    id_col: sel[id_col],
-                    "ahash": [audio_hash64(bytes(b)) for b in sel["payload"]],
-                }
-            )
+            sel = pdf[pdf["media_type"].isin(types)]
+            ids, hashes = [], []
+            for i, b in zip(sel[id_col], sel["payload"]):
+                try:
+                    h = audio_hash64(bytes(b))
+                except Exception:
+                    continue  # decode-gate rejects are media_stats' job
+                ids.append(i)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
     return with_payload.mapInPandas(run, f"{id_col} bigint, ahash bigint")
 

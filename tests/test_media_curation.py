@@ -628,3 +628,57 @@ def test_image_text_pairs_srcset_comma_in_url(spark):
         for r in mc.image_text_pairs(pages, media).collect()
     }
     assert got == {301: "cdn commas", 302: "no-space list"}
+
+
+def test_image_text_pairs_review_edge_cases(spark):
+    """r12 review fixes: inline-handler 'this.src=' no longer hijacks the
+    extraction; dot-segment normalization leaves query strings verbatim;
+    a CDN path segment ending in digit+x before a comma does not
+    false-split the srcset; attribute-internal whitespace trims before
+    resolution."""
+    html = (
+        "<html><body>"
+        '<img onerror="this.src=\'fallback.png\'" src="https://cdn.example/real.jpg">'
+        '<img src="/login?next=/a/../b">'
+        '<img srcset="https://cdn.example/t_dpr_2x,w_640/hero.jpg 800w">'
+        '<img src=" /padded.bmp" alt="padded">'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://site.example/dir/page.html", html)],
+        "doc_id long, url string, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            (201, "https://cdn.example/real.jpg"),
+            (202, "https://site.example/login?next=/a/../b"),
+            (203, "https://cdn.example/t_dpr_2x,w_640/hero.jpg"),
+            (204, "https://site.example/padded.bmp"),
+            (299, "https://site.example/dir/fallback.png"),  # must NOT pair
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["image_id"] for r in mc.image_text_pairs(pages, media).collect()}
+    assert got == {201, 202, 203, 204}
+
+
+def test_media_funnel_survives_mislabeled_payload(spark):
+    """r12 review (the job-fatal finding): an AVI whose Content-Type lies
+    ('image/gif') passes the sample_frames-based decode gate as video but
+    the image slice's decode_image rejects it — the row must cost its
+    FINGERPRINT, never the task, and must be KEPT (no dedup evidence),
+    never ledgered as a perceptual duplicate of nothing."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    avi = mm.encode_avi([img, img])
+    frames = spark.createDataFrame(
+        [
+            (1, bytearray(mm.encode_bmp(img)), "image/bmp", 0),
+            (2, bytearray(avi), "image/gif", 0),  # lying Content-Type
+        ],
+        "doc_id long, payload binary, media_type string, byte_len long",
+    )
+    corpus, audit, ledger = mc.media_curation_funnel(frames, with_ledger=True)
+    kept = {r["doc_id"] for r in corpus.collect()}
+    assert kept == {1, 2}  # nothing crashed, nothing mislabeled as dup
+    assert ledger.count() == 0
