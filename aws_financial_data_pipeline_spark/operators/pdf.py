@@ -218,6 +218,18 @@ def _undo_predictor(data: bytes, dict_bytes: bytes) -> bytes:
     return bytes(out)
 
 
+def _strip_stream_eol(data: bytes) -> bytes:
+    """Remove the single EOL the spec places before ``endstream`` —
+    never more (r12 review: rstrip(b"\r\n") also ate trailing 0x0A/0x0D
+    bytes that legitimately end ~1/128 of Flate payloads, truncating the
+    stream and silently voiding the page)."""
+    if data.endswith(b"\r\n"):
+        return data[:-2]
+    if data.endswith((b"\n", b"\r")):
+        return data[:-1]
+    return data
+
+
 def _apply_filters(dict_bytes: bytes, data: bytes) -> "bytes | None":
     """Undo the stream's declared /Filter chain; None = not a text-bearing
     stream: image/exotic filters, an unknown or indirect filter we refuse
@@ -226,12 +238,30 @@ def _apply_filters(dict_bytes: bytes, data: bytes) -> "bytes | None":
     scan."""
     if _NON_TEXT_DICT_RE.search(dict_bytes):
         return None
+    return _decode_filter_chain(dict_bytes, data)
+
+
+def _decode_filter_chain(dict_bytes: bytes, data: bytes) -> "bytes | None":
+    """The filter-chain half of :func:`_apply_filters`, without the
+    non-text dict gate (the CMap path needs exactly that split — see
+    :func:`_object_stream_data`). None = refuse: an INDIRECT ``/Filter``
+    (``/Filter 5 0 R`` doesn't match the name/array shapes, and an array
+    of references yields no names — both previously passed the RAW bytes
+    through as if unfiltered, r12 review), an unknown name, or a binary
+    filter."""
     m = _FILTER_RE.search(dict_bytes)
     if m is None:
+        if re.search(rb"/Filter(?![A-Za-z0-9])", dict_bytes):
+            return None  # indirect /Filter reference: refuse to guess
         return data
     names = [n.decode("ascii") for n in re.findall(rb"/([A-Za-z0-9]+)", m.group(1))]
+    if not names:
+        inner = m.group(1)
+        if inner.startswith(b"[") and inner.strip(b"[]" + _WS):
+            return None  # array of indirect references: refuse to guess
+        return data  # '/Filter []' — explicitly unfiltered
     if any(n not in _TEXT_FILTERS and n not in _BINARY_FILTERS for n in names):
-        return None  # unknown or indirect /Filter: refuse to guess
+        return None  # unknown /Filter: refuse to guess
     for f in names:
         if f in _BINARY_FILTERS:
             return None
@@ -368,7 +398,10 @@ _TOUNICODE_RE = re.compile(
     rb"/ToUnicode[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+0[\x00\t\n\x0c\r ]+R"
 )
 _HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
-_STREAM_KW_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
+# the lookbehind keeps "endstream\n" from starting a SPURIOUS span
+# (r12 review: each endstream re-opened a bogus stream running to the
+# NEXT endstream, duplicating text / scanning raw Flate bytes)
+_STREAM_KW_RE = re.compile(rb"(?<![A-Za-z])stream(?:\r\n|\n|\r)")
 
 
 def _hex_to_text(h: bytes) -> str:
@@ -377,11 +410,23 @@ def _hex_to_text(h: bytes) -> str:
     CMaps map astral glyphs as one code per UTF-16 code unit, and the
     halves only pair up once adjacent codes join in
     :func:`_decode_with_cmap` (which repairs or replaces whatever is
-    left before the text reaches the frame)."""
-    raw = bytes.fromhex(h.decode("ascii"))
+    left before the text reaches the frame).
+
+    Odd DIGIT counts append a 0 (the §7.3.4.3 hex-string rule; r12
+    review: ``bytes.fromhex`` raised and the whole font's table was
+    discarded). An odd BYTE count decodes its aligned leading pairs
+    normally and treats the final lone byte as its own code unit —
+    ``<41>`` is U+0041, not U+4100, while the good leading units of a
+    sloppy ``<004200430>`` stay U+0042 U+0043 (a leading zero-pad would
+    shift and corrupt ALL of them)."""
+    s = h.decode("ascii")
+    if len(s) % 2:
+        s += "0"
+    raw = bytes.fromhex(s)
+    tail = ""
     if len(raw) % 2:
-        raw = raw + b"\x00"
-    return raw.decode("utf-16-be", "surrogatepass")
+        raw, tail = raw[:-1], chr(raw[-1])
+    return raw.decode("utf-16-be", "surrogatepass") + tail
 
 
 def _parse_cmap(data: bytes) -> "tuple[int, dict]":
@@ -437,7 +482,10 @@ def _object_spans(raw: bytes) -> "dict[int, tuple[int, int]]":
 
 def _object_stream_data(raw: bytes, span: "tuple[int, int]") -> "bytes | None":
     """Decode the stream inside one object body (for CMap objects — the
-    non-text dict gate doesn't apply, but the filter chain does)."""
+    non-text dict gate doesn't apply, but the filter chain does; r12
+    review: this previously called the gated :func:`_apply_filters`, so
+    the comment's promise was false, and it duplicated the filter
+    whitelist in a pre-check that could drift)."""
     s, e = span
     m = _STREAM_KW_RE.search(raw, s, e)
     if not m:
@@ -446,16 +494,61 @@ def _object_stream_data(raw: bytes, span: "tuple[int, int]") -> "bytes | None":
     if endpos < 0 or endpos > e:
         endpos = e
     dict_bytes = raw[s:m.start()]
-    data = raw[m.end():endpos].rstrip(b"\r\n")
-    fm = _FILTER_RE.search(dict_bytes)
-    if fm is not None:
-        names = [n.decode("ascii") for n in re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))]
-        if any(n not in _TEXT_FILTERS for n in names):
-            return None
+    data = _strip_stream_eol(raw[m.end():endpos])
     try:
-        out = _apply_filters(dict_bytes, data)
+        return _decode_filter_chain(dict_bytes, data)
     except Exception:
         return None
+
+
+_INLINE_IMG_RE = re.compile(
+    rb"(?<![A-Za-z0-9])BI(?![A-Za-z0-9]).*?(?<![A-Za-z0-9])EI(?![A-Za-z0-9])",
+    re.S,
+)
+_OBJSTM_TYPE_RE = re.compile(rb"/Type[\x00\t\n\x0c\r ]*/ObjStm(?![A-Za-z0-9])")
+_FONT_RES_REF_RE = re.compile(
+    rb"/Font[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+0[\x00\t\n\x0c\r ]+R"
+)
+
+
+def _objstm_objects(raw: bytes, span: "tuple[int, int]") -> "dict[int, bytes]":
+    """{objnum: body bytes} for the objects embedded in one PDF 1.5
+    object stream (§7.5.7: /N pairs of (objnum, offset) lead the decoded
+    data, bodies start at /First). Malformed object streams yield {} —
+    the font walk falls back to the heuristic, never raises."""
+    s, e = span
+    m = _STREAM_KW_RE.search(raw, s, e)
+    if not m:
+        return {}
+    endpos = raw.find(b"endstream", m.end())
+    if endpos < 0 or endpos > e:
+        endpos = e
+    dict_bytes = raw[s:m.start()]
+    try:
+        data = _decode_filter_chain(
+            dict_bytes, _strip_stream_eol(raw[m.end():endpos])
+        )
+    except Exception:
+        return {}
+    if data is None:
+        return {}
+    nm = re.search(rb"/N[\x00\t\n\x0c\r ]+(\d+)", dict_bytes)
+    fm = re.search(rb"/First[\x00\t\n\x0c\r ]+(\d+)", dict_bytes)
+    if nm is None or fm is None:
+        return {}
+    n, first = int(nm.group(1)), int(fm.group(1))
+    try:
+        nums = [int(x) for x in data[:first].split()]
+    except ValueError:
+        return {}
+    body = data[first:]
+    out: dict = {}
+    for i in range(n):
+        if 2 * i + 1 >= len(nums):
+            break
+        objnum, off = nums[2 * i], nums[2 * i + 1]
+        end_off = nums[2 * i + 3] if 2 * i + 3 < len(nums) else len(body)
+        out[objnum] = body[off:end_off]
     return out
 
 
@@ -465,29 +558,51 @@ def _collect_fonts(raw: bytes) -> dict:
     (the per-page scoping a full object-graph walk would give is lost in
     the scan-based model; same-named fonts with DIFFERENT maps across
     pages are rare enough that per-font Tf tracking still wins by far
-    over a global heuristic)."""
-    if b"/ToUnicode" not in raw:
+    over a global heuristic).
+
+    PDF 1.5 object streams are walked too (r12 review: modern pdfTeX
+    compresses font and resource DICTS into /ObjStm by default, so the
+    top-level scan found nothing and every CID string fell to the byte
+    heuristic; the ToUnicode STREAMS stay top-level — streams cannot
+    nest inside an ObjStm). The indirect resource form ``/Font 7 0 R``
+    resolves one level."""
+    if b"/ToUnicode" not in raw and b"/ObjStm" not in raw:
+        # the cheap pre-check only holds when no object stream could be
+        # hiding the /ToUnicode reference in compressed bytes
         return {}
     spans = _object_spans(raw)
+    bodies = {num: raw[s:e] for num, (s, e) in spans.items()}
+    search_bufs: list = [raw]
+    for num, (s, e) in spans.items():
+        if _OBJSTM_TYPE_RE.search(raw[s:min(e, s + 512)]):
+            embedded = _objstm_objects(raw, (s, e))
+            bodies.update(embedded)
+            search_bufs.extend(embedded.values())
     fonts: dict = {}
-    for res in _FONT_RES_RE.finditer(raw):
-        for name, num in _FONT_REF_RE.findall(res.group(1)):
-            span = spans.get(int(num))
-            if span is None:
-                continue
-            tm = _TOUNICODE_RE.search(raw[span[0]:span[1]])
-            if tm is None:
-                continue
-            cmap_span = spans.get(int(tm.group(1)))
-            if cmap_span is None:
-                continue
-            data = _object_stream_data(raw, cmap_span)
-            if data is None:
-                continue
-            try:
-                fonts[b"/" + name] = _parse_cmap(data)
-            except Exception:
-                continue  # a corrupt CMap falls back to the heuristic
+    for buf in search_bufs:
+        groups = [m.group(1) for m in _FONT_RES_RE.finditer(buf)]
+        for rm in _FONT_RES_REF_RE.finditer(buf):
+            ref_body = bodies.get(int(rm.group(1)))
+            if ref_body is not None:
+                groups.append(ref_body)  # the object IS the font dict
+        for group in groups:
+            for name, num in _FONT_REF_RE.findall(group):
+                body = bodies.get(int(num))
+                if body is None:
+                    continue
+                tm = _TOUNICODE_RE.search(body)
+                if tm is None:
+                    continue
+                cmap_span = spans.get(int(tm.group(1)))
+                if cmap_span is None:
+                    continue
+                data = _object_stream_data(raw, cmap_span)
+                if data is None:
+                    continue
+                try:
+                    fonts[b"/" + name] = _parse_cmap(data)
+                except Exception:
+                    continue  # a corrupt CMap falls back to the heuristic
     return fonts
 
 
@@ -647,7 +762,21 @@ def pdf_text(raw: bytes) -> str:
     rest of a 400-page document."""
     if b"%PDF-" not in raw[:1024]:
         raise ValueError("not a PDF: missing %PDF- header")
-    if re.search(rb"/Encrypt[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+R", raw):
+    # encryption is declared in the trailer; check the LAST trailer dict
+    # (incremental updates: a decrypted-and-saved document retains the
+    # old /Encrypt-bearing trailer in its prefix, and the literal can
+    # also appear inside uncompressed content — a whole-file grep falsely
+    # rejected both, r12 review). Documents with no 'trailer' keyword
+    # (pure xref-stream PDFs) keep the conservative whole-file check.
+    enc_re = (
+        rb"/Encrypt[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+\d+"
+        rb"[\x00\t\n\x0c\r ]+R"
+    )
+    t = raw.rfind(b"trailer")
+    encrypted = (
+        re.search(enc_re, raw[t:t + 2048]) if t >= 0 else re.search(enc_re, raw)
+    )
+    if encrypted:
         raise NotImplementedError(
             "encrypted PDF: decryption is out of scope; route through an "
             "environment with a real PDF stack"
@@ -657,7 +786,7 @@ def pdf_text(raw: bytes) -> str:
     except Exception:
         fonts = {}  # a broken font graph falls back to the byte heuristic
     parts: list = []
-    for m in re.finditer(rb"stream(?:\r\n|\n|\r)", raw):
+    for m in _STREAM_KW_RE.finditer(raw):
         # the stream dict immediately precedes the keyword: from its
         # closing '>>', scan back to the balanced '<<'
         dict_end = m.start()
@@ -684,13 +813,19 @@ def pdf_text(raw: bytes) -> str:
         end = raw.find(b"endstream", m.end())
         if end < 0:
             continue
-        data = raw[m.end():end].rstrip(b"\r\n")
+        data = _strip_stream_eol(raw[m.end():end])
         try:
             data = _apply_filters(dict_bytes, data)
         except Exception:
             continue  # one bad stream must not void the document
         if data is None:
             continue
+        # inline-image binary (BI…ID…EI, §8.9.7) is raw pixel data INSIDE
+        # the content stream — blank it before the BT…ET scan so pixel
+        # bytes that happen to spell text operators can't inject garbage
+        # (r12 review; the XObject gate only covers external images)
+        if b"BI" in data:
+            data = _INLINE_IMG_RE.sub(b" ", data)
         pos = 0
         state: dict = {}  # Tf font selection persists across a stream's blocks
         while True:

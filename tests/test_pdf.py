@@ -426,3 +426,136 @@ def test_pdf_tounicode_astral_surrogates_and_trailing_partial():
     # the extracted text is always well-formed (no lone surrogates leak
     # into the frame — Arrow/parquet would reject them)
     got.encode("utf-8")
+
+
+def test_pdf_review_stream_framing_fixes():
+    """r12 review: 'endstream' must not start a spurious stream span
+    (text duplicated per stream); exactly ONE EOL strips before
+    endstream (a Flate payload ending in 0x0A kept losing its last byte
+    and the page vanished); an indirect /Filter refuses instead of
+    passing raw compressed bytes to the text scan."""
+    # two consecutive content streams: each text exactly once
+    import zlib as _z
+
+    s2 = _z.compress(b"BT (second) Tj ET")
+    doc = _mk_pdf(
+        b"BT (first) Tj ET",
+        extra_stream=s2,
+    ).replace(b"/Contents 4 0 R", b"/Contents [4 0 R 6 0 R]")
+    text = pdfop.pdf_text(doc)
+    assert text.count("first") == 1 and text.count("second") == 1
+
+    # craft an uncompressed stream whose payload legitimately ENDS in \n
+    ops = b"BT (trailing) Tj ET\n"
+    doc2 = _mk_pdf(ops, compress=False)
+    assert "trailing" in pdfop.pdf_text(doc2)
+    # and a Flate stream whose compressed bytes end in 0x0A (brute-forced
+    # over padding so the adler32 trailer's last byte is \n): the old
+    # rstrip ate that byte and the page silently vanished
+    found = None
+    for a in range(64):
+        for b in range(64):
+            body = b"BT (newline tail " + b"x" * a + b"y" * b + b") Tj ET"
+            if _z.compress(body, 9).endswith(b"\n"):
+                found = body
+                break
+        if found:
+            break
+    assert found is not None
+    stream = _z.compress(found, 9)
+    doc_f = _mk_pdf(b"", compress=False)
+    # swap object 4's stream for the hand-compressed one
+    import re as _re
+
+    doc_f = _re.sub(
+        rb"<< /Length \d+ >>\nstream\n.*?\nendstream",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(stream), stream),
+        doc_f, count=1, flags=_re.S,
+    )
+    assert "newline tail" in pdfop.pdf_text(doc_f)
+
+    # indirect /Filter: raw zlib bytes must NOT reach the BT...ET scan
+    payload = _z.compress(b"BT (leak) Tj ET")
+    doc3 = _mk_pdf(
+        b"BT (kept) Tj ET",
+        extra_obj=b"<< /Length %d /Filter 9 0 R >>\nstream\n%s\nendstream"
+        % (len(payload), payload),
+    )
+    t3 = pdfop.pdf_text(doc3)
+    assert "kept" in t3 and "leak" not in t3
+
+
+def test_pdf_review_cmap_hex_padding():
+    """Odd hex-DIGIT destinations append a trailing 0 (§7.3.4.3) instead
+    of voiding the whole font; odd-BYTE destinations pad on the LEFT so
+    <41> is U+0041, not U+4100."""
+    cmap = _mk_cmap(
+        b"2 beginbfchar\n<0001> <41>\n<0002> <004200430> \nendbfchar"
+    )
+    ops = b"BT /F1 12 Tf <00010002> Tj ET"
+    doc = _mk_pdf(
+        ops,
+        extra_obj=b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ).replace(
+        b"/BaseFont /Helvetica", b"/BaseFont /Helvetica /ToUnicode 6 0 R"
+    )
+    text = pdfop.pdf_text(doc)
+    assert text.startswith("A")   # lone byte decodes as its own unit
+    assert "BC" in text           # aligned leading units survive
+
+
+def test_pdf_review_inline_images_and_trailer_encrypt():
+    """Inline-image binary (BI..ID..EI) is blanked before the text scan;
+    /Encrypt is read from the LAST trailer only — a decrypted-and-saved
+    incremental update (stale /Encrypt in the retained prefix) and an
+    /Encrypt literal inside page content no longer falsely reject."""
+    fake = b"BT (ghost) Tj ET"
+    ops = b"BT (real) Tj ET BI /W 2 /H 2 ID " + fake + b" EI BT (more) Tj ET"
+    text = pdfop.pdf_text(_mk_pdf(ops))
+    assert "real" in text and "more" in text and "ghost" not in text
+
+    # stale trailer with /Encrypt followed by a clean final trailer
+    doc = _mk_pdf(b"BT (ok) Tj ET", encrypt=True)
+    doc2 = doc + b"\ntrailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    assert "ok" in pdfop.pdf_text(doc2)
+    # the single-trailer encrypted form still rejects loudly
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="encrypted"):
+        pdfop.pdf_text(doc)
+    # /Encrypt-looking text inside the content stream is not a trailer
+    doc3 = _mk_pdf(b"BT (/Encrypt 5 0 R in prose) Tj ET")
+    assert "Encrypt 5 0 R in prose" in pdfop.pdf_text(doc3)
+
+
+def test_pdf_review_objstm_fonts_and_indirect_font_res():
+    """PDF 1.5 object streams: font and resource dicts compressed into an
+    /ObjStm still resolve their top-level ToUnicode CMaps (the modern
+    pdfTeX default shape); the indirect '/Font 7 0 R' resource form
+    resolves one level."""
+    import zlib as _z
+
+    cmap = _mk_cmap(b"1 beginbfchar\n<0001> <0057>\nendbfchar")  # 0001->W
+    # embedded objects: 7 = the font resource dict, 8 = the font dict
+    obj7 = b"<< /F9 8 0 R >>"
+    obj8 = b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"
+    header = b"7 0 8 %d" % len(obj7)
+    first = len(header) + 1
+    objstm_data = header + b" " + obj7 + obj8
+    packed = _z.compress(objstm_data)
+    objstm = (
+        b"<< /Type /ObjStm /N 2 /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n%s\nendstream" % (first, len(packed), packed)
+    )
+    ops = b"BT /F9 12 Tf <0001> Tj ET"
+    doc = _mk_pdf(
+        ops,
+        extra_obj=b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    )
+    # page resources point at the INDIRECT font dict in the ObjStm
+    doc = doc.replace(
+        b"/Resources << /Font << /F1 5 0 R >> >>", b"/Resources << /Font 7 0 R >>"
+    )
+    doc += b"\n7 0 obj\n" + objstm + b"\nendobj\n"
+    assert pdfop.pdf_text(doc).strip() == "W"
