@@ -2701,6 +2701,17 @@ def sample_gif_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
         )
         region[mask] = pal[np.minimum(pix, len(pal) - 1)][mask]
         if idx % every_n == 0:
+            # emitted-pixels budget: frame count x canvas is attacker-
+            # controlled (a small payload declaring thousands of frames
+            # on a large canvas OOMs the worker one canvas.copy() at a
+            # time — the animated-WebP guard's twin, r12 review)
+            if (len(frames) + 1) * w * h > 4 * MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"animated GIF emits more than {4 * MAX_DECODE_PIXELS}"
+                    " total frame pixels: decode refused "
+                    "(decompression-bomb guard); sample with a larger "
+                    "every_n"
+                )
             frames.append(canvas.copy())
         if disposal == 2 and not (transparent is not None and transparent == bg):
             # restore background in the frame's rect — unless the GCE marks

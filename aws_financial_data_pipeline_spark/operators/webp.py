@@ -744,35 +744,19 @@ def decode_webp(payload: bytes) -> np.ndarray:
     tags = {t for t, _ in chunks}
     first = {t: b for t, b in reversed(chunks)}
     if b"ANMF" in tags:
-        frames = sample_webp_frames(payload, every_n=1)
+        # max_frames=1: the first composited frame needs only the first
+        # ANMF (r12 review: every_n=1 decoded and buffered the WHOLE
+        # animation to read frames[0]). Orientation is applied inside
+        # sample_webp_frames, so both consumers agree on the pixels.
+        frames = sample_webp_frames(payload, every_n=1, max_frames=1)
         if not frames:
             raise NotImplementedError("animated WebP with no frames")
-        rgb = frames[0]
-        # honor EXIF Orientation on the animated branch too (r12 review:
-        # it returned before the EXIF handling below, so rotated
-        # re-uploads of animations landed in different pHash clusters)
-        if b"EXIF" in first:
-            from .multimodal import _apply_orientation, _exif_orientation
-
-            body = first[b"EXIF"]
-            if body[:6] != b"Exif\x00\x00":
-                body = b"Exif\x00\x00" + body
-            rgb = _apply_orientation(rgb, _exif_orientation(body))
-        return rgb
+        return frames[0]
     if b"VP8L" in first:
-        rgb = decode_vp8l(first[b"VP8L"])
-        if b"EXIF" in first:
-            # extended containers may carry EXIF; honor Orientation like
-            # the JPEG path does — camera/exported uploads store
-            # sensor-native pixels, and ignoring the tag breaks
-            # cross-upload pHash matching (multimodal EXIF rationale)
-            from .multimodal import _apply_orientation, _exif_orientation
-
-            body = first[b"EXIF"]
-            if body[:6] != b"Exif\x00\x00":
-                body = b"Exif\x00\x00" + body
-            rgb = _apply_orientation(rgb, _exif_orientation(body))
-        return rgb
+        # honor EXIF Orientation like the JPEG path does — camera/
+        # exported uploads store sensor-native pixels, and ignoring the
+        # tag breaks cross-upload pHash matching (multimodal rationale)
+        return _exif_oriented(decode_vp8l(first[b"VP8L"]), first)
     if b"VP8 " in first:
         raise NotImplementedError(
             "lossy WebP (VP8) unsupported in-container: its normative "
@@ -782,17 +766,46 @@ def decode_webp(payload: bytes) -> np.ndarray:
     raise NotImplementedError("WebP container with no image chunk")
 
 
-def sample_webp_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
+def _exif_oriented(rgb: "np.ndarray", first: dict) -> "np.ndarray":
+    """Apply the container's EXIF Orientation (if any) to decoded pixels
+    — the one shared block both decode_webp branches and the frame
+    sampler route through (r12 review: it was copy-pasted per branch).
+    Raw-TIFF EXIF bodies (no Exif\\0\\0 prefix, the WebP chunk
+    convention) are normalized first."""
+    if b"EXIF" not in first:
+        return rgb
+    from .multimodal import _apply_orientation, _exif_orientation
+
+    body = first[b"EXIF"]
+    if body[:6] != b"Exif\x00\x00":
+        body = b"Exif\x00\x00" + body
+    return _apply_orientation(rgb, _exif_orientation(body))
+
+
+def sample_webp_frames(
+    payload: bytes, every_n: int = 1, max_frames: "int | None" = None
+) -> "list[np.ndarray]":
     """Animated-WebP frame sampling (the :func:`multimodal.sample_gif_frames`
     contract): every ``every_n``-th composited canvas as HxWx3 uint8 RGB.
     Canvas from VP8X; ANIM carries the background color (BGRA bytes);
     each ANMF frame is (x·2, y·2, w-1, h-1, duration, flags) + a VP8L
     payload — alpha-blend (flag bit 0x02 clear) or overwrite onto the
     canvas, then optional dispose-to-background (bit 0x01) of the frame
-    rect. Lossy (VP8) frames raise loudly."""
+    rect. Lossy (VP8) frames raise loudly.
+
+    An EXIF Orientation chunk rotates EVERY emitted frame (r12 review:
+    decode_webp oriented its first frame while this sampler did not, so
+    frame-feature pHash pipelines and first-frame pipelines disagreed on
+    the same payload). ``max_frames`` stops compositing after that many
+    EMITTED frames — the first-frame path costs one frame, not the whole
+    animation — and the total emitted pixels are capped (frame count ×
+    canvas is attacker-controlled: a 100 KB payload declaring thousands
+    of frames on a large canvas would otherwise OOM the worker one
+    ``canvas.copy()`` at a time)."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1: {every_n}")
     chunks = _riff_chunks(payload)
+    first = {t: b for t, b in reversed(chunks)}
     vp8x = next((b for t, b in chunks if t == b"VP8X"), None)
     if vp8x is None:
         raise NotImplementedError("animated WebP without VP8X header")
@@ -847,7 +860,18 @@ def sample_webp_frames(payload: bytes, every_n: int = 1) -> "list[np.ndarray]":
         else:  # alpha-over the opaque canvas, integer rounding
             region[:] = (a * src + (255 - a) * region + 127) // 255
         if idx % every_n == 0:
-            frames_out.append(canvas.astype(np.uint8).copy())
+            from .multimodal import MAX_DECODE_PIXELS
+
+            if (len(frames_out) + 1) * w * h > 4 * MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"animated WebP emits more than {4 * MAX_DECODE_PIXELS} "
+                    "total frame pixels: decode refused "
+                    "(decompression-bomb guard); sample with a larger "
+                    "every_n or cap with max_frames"
+                )
+            frames_out.append(_exif_oriented(canvas.astype(np.uint8), first))
+            if max_frames is not None and len(frames_out) >= max_frames:
+                return frames_out
         if flags & 0x01:  # dispose to background color
             canvas[fy : fy + fh, fx : fx + fw] = bg
         idx += 1

@@ -2247,3 +2247,17 @@ def test_jpeg_progressive_dht_redefined_between_scans():
     # dc = (+2 << 1) | 1 = 5; flat DC-only block = 128 + 5/8 -> 129
     assert got.shape == (8, 8, 3)
     assert (got == 129).all()
+
+
+def test_gif_emitted_pixels_budget(monkeypatch):
+    """The animated-GIF twin of the WebP frame-pixel budget: a payload
+    whose canvas x emitted-frame count crosses the budget refuses
+    instead of OOMing one canvas.copy() at a time (budget shrunk via
+    monkeypatch so the test never allocates real GBs)."""
+    monkeypatch.setattr(mm, "MAX_DECODE_PIXELS", 1000)
+    frames = [np.zeros((20, 20, 3), dtype=np.uint8)] * 12
+    gif = mm.encode_gif(frames)  # 12 x 400 px > 4 x 1000 budget
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        mm.sample_gif_frames(gif)
+    # a larger every_n stays under budget for the same payload
+    assert len(mm.sample_gif_frames(gif, every_n=2)) == 6

@@ -621,5 +621,41 @@ def test_webp_exif_orientation_on_animated_container():
     struct.pack_into("<I", payload, 4, len(payload) - 8)  # fix RIFF size
     got = webp.decode_webp(bytes(payload))
     assert (got == np.rot90(f0, k=-1)).all()
-    # frame sampling itself stays raw-orientation (per-frame contract)
-    assert (webp.sample_webp_frames(bytes(payload))[0] == f0).all()
+    # the frame sampler orients EVERY emitted frame the same way (r12
+    # review: first-frame and frame-feature paths must agree on pixels)
+    assert (webp.sample_webp_frames(bytes(payload))[0] == got).all()
+
+
+def test_webp_animated_first_frame_cost_and_pixel_budget():
+    """r12 review: decode_webp reads the FIRST composited frame without
+    decoding the whole animation (max_frames), and the emitted-pixels
+    budget refuses frame-count x canvas bombs (both are attacker-
+    controlled; the per-canvas cap alone left ~GBs reachable)."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(21)
+    f0 = rng.integers(0, 256, (4, 6, 3)).astype(np.uint8)
+    f1 = rng.integers(0, 256, (4, 6, 3)).astype(np.uint8)
+    payload = webp.encode_webp_animation(
+        [{"img": f0}, {"img": f1}], canvas=(6, 4)
+    )
+    assert len(webp.sample_webp_frames(payload, max_frames=1)) == 1
+    assert (webp.decode_webp(payload) == f0).all()
+
+    # emitted-pixels budget: shrink it via monkeypatch so the test never
+    # allocates real GBs; 12 20x20 frames cross a 4x1000-pixel budget
+    import pytest as _pt
+
+    monkey = _pt.MonkeyPatch()
+    try:
+        monkey.setattr(mm, "MAX_DECODE_PIXELS", 1000)
+        frame = {"img": np.zeros((20, 20, 3), dtype=np.uint8)}
+        bomb = webp.encode_webp_animation([frame] * 12, canvas=(20, 20))
+        with pytest.raises(ValueError, match="decompression-bomb"):
+            webp.sample_webp_frames(bomb)
+        # max_frames keeps the same payload readable (first frame only)
+        assert len(webp.sample_webp_frames(bomb, max_frames=1)) == 1
+    finally:
+        monkey.undo()
