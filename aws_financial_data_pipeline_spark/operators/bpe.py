@@ -92,12 +92,30 @@ def learn_merges(
             pair_counts[(a, b)] += freqs[wi]
             pair_words[(a, b)].add(wi)
 
+    # lazy-deletion max-heap over (-count, pair): highest count first,
+    # ties to the lexicographically smallest pair — the SAME total order
+    # as a full min() scan, without rescanning every live pair per merge
+    # (r12 review: the scan made the loop O(num_merges x distinct_pairs),
+    # contradicting the O(total symbols) claim above). Entries go stale
+    # when counts change; a popped entry is validated against the current
+    # count and re-pushed fresh on mismatch — safe here because every
+    # count CHANGE also pushes a fresh entry below.
+    import heapq
+
+    heap = [(-c, p) for p, c in pair_counts.items() if c > 0]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        # min over (-count, pair): highest count first, ties to the
-        # lexicographically smallest pair — deterministic at every step
-        live = ((-cnt, pair) for pair, cnt in pair_counts.items() if cnt > 0)
-        best = min(live, default=None)
+        best = None
+        while heap:
+            negc, pair = heapq.heappop(heap)
+            cur = pair_counts.get(pair, 0)
+            if cur == -negc and cur > 0:
+                best = (negc, pair)
+                break
+            if cur > 0:
+                heapq.heappush(heap, (-cur, pair))
         if best is None:
             break
         a, b = best[1]
@@ -125,6 +143,11 @@ def learn_merges(
             for p in zip(out, out[1:]):
                 pair_counts[p] += f
                 pair_words[p].add(wi)
+                # a RISEN count must enter the heap now — the lazy
+                # revalidation only heals stale-HIGH entries; without
+                # this push a risen pair would surface too late and the
+                # selection order would diverge from the full scan
+                heapq.heappush(heap, (-pair_counts[p], p))
         pair_counts[(a, b)] = 0
         pair_words.pop((a, b), None)
     return merges
@@ -177,6 +200,7 @@ def bpe_vocab(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     max_words: int = 50_000,
+    table: "list[tuple[str, int]] | None" = None,
 ) -> list[str]:
     """The token vocabulary the merges induce on this corpus: encode the
     (bounded) word-frequency table and collect every emitted symbol, ordered
@@ -185,11 +209,15 @@ def bpe_vocab(
     on in-distribution text (a character never seen in training has no
     symbol and maps to ``<unk>`` at encode time). Same distributed/driver
     split as training: one word-count pass, driver work bounded by the word
-    table."""
-    table = [
-        (r["word"], r["freq"])
-        for r in word_frequencies(docs, text_col, max_words).collect()
-    ]
+    table. Pass ``table`` (the collected (word, freq) list a train step
+    already paid for) to skip the corpus pass entirely — the standard
+    train-then-vocab flow otherwise runs the only corpus-sized job TWICE
+    (r12 review)."""
+    if table is None:
+        table = [
+            (r["word"], r["freq"])
+            for r in word_frequencies(docs, text_col, max_words).collect()
+        ]
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     counts: Counter = Counter()
     for w, f in table:
@@ -221,7 +249,9 @@ def bpe_encode(
     def run(batches):
         import pandas as pd
 
-        rx = re.compile(pattern)
+        # re.ASCII: \s must match Java's ASCII-only \s — the word
+        # table is built JVM-side and the two must agree (r12 review)
+        rx = re.compile(pattern, re.ASCII)
         cache: dict[str, list[str]] = {}
 
         def enc(text):
@@ -237,7 +267,7 @@ def bpe_encode(
         for pdf in batches:
             toks = pdf[text_col].map(enc)
             cols = {
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "bpe_tokens": toks,
                 "n_bpe_tokens": toks.map(len),
             }
@@ -247,7 +277,14 @@ def bpe_encode(
                 )
             yield pd.DataFrame(cols)
 
-    schema = "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
+    # the id keeps ITS name and type (r12 review: hardcoding
+    # 'doc_id long' silently renamed custom ids and crashed string
+    # ids at Arrow conversion)
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"`{id_col}` {id_type}, bpe_tokens array<string>, "
+        "n_bpe_tokens int"
+    )
     if tok2id is not None:
         schema += ", bpe_ids array<int>"
     return docs.select(id_col, text_col).mapInPandas(run, schema)
@@ -286,7 +323,9 @@ def bpe_encode_with_offsets(
     def run(batches):
         import pandas as pd
 
-        rx = re.compile(pattern)
+        # re.ASCII: \s must match Java's ASCII-only \s — the word
+        # table is built JVM-side and the two must agree (r12 review)
+        rx = re.compile(pattern, re.ASCII)
         cache: dict[str, list[str]] = {}
 
         def enc(text, spans):
@@ -314,8 +353,15 @@ def bpe_encode_with_offsets(
             mask = None
             if spans is not None:
                 ivals = [(int(s["start"]), int(s["end"])) for s in spans]
+                # a zero-width </w> marker sitting exactly ON a span
+                # start belongs to the PREVIOUS (untrainable) word — it
+                # must not leak into the loss (r12 review); zero-width at
+                # the span end belongs to the last word inside and stays
                 mask = [
-                    any(a <= s and e <= b for a, b in ivals)
+                    any(
+                        a <= s and e <= b and (e > s or s > a)
+                        for a, b in ivals
+                    )
                     for s, e in zip(starts, ends)
                 ]
             return toks, starts, ends, mask
@@ -340,8 +386,9 @@ def bpe_encode_with_offsets(
                 cols["loss_mask"] = [e[3] for e in encoded]
             yield pd.DataFrame(cols)
 
+    id_type = dict(docs.dtypes)[id_col]
     schema = (
-        f"{id_col} long, bpe_tokens array<string>, token_starts array<int>, "
+        f"`{id_col}` {id_type}, bpe_tokens array<string>, token_starts array<int>, "
         "token_ends array<int>, n_bpe_tokens int"
     )
     if tok2id is not None:
@@ -420,9 +467,16 @@ BYTELEVEL_PRETOKEN_RX_JAVA = (
 # shifts which merges fire, never fidelity: the byte alphabet covers
 # everything). Concatenating findall(x) reproduces x exactly — pinned by a
 # hypothesis property test.
+# \s is spelled as an explicit ASCII class below: Python's \s is
+# Unicode (NBSP and friends) while Java's default \s is ASCII-only, and
+# the two sides MUST agree or training learns merges the encoder can
+# never emit (r12 review: NBSP-bearing pages wasted merge slots and
+# skewed token counts between the JVM table and the Arrow encoder)
+_WS = " \\t\\n\\r\\f\\x0b"
 BYTELEVEL_PRETOKEN_RX_PY = (
     r"'s|'t|'re|'ve|'m|'ll|'d|"
-    r" ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+    r" ?[^\W\d_]+| ?\d+| ?(?:[^" + _WS + r"\w]|_)+|"
+    r"[" + _WS + r"]+(?![^" + _WS + r"])|[" + _WS + r"]+"
 )
 
 
@@ -555,7 +609,7 @@ def bpe_encode_bytelevel(
         for pdf in batches:
             toks = pdf[text_col].map(enc)
             cols = {
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "bpe_tokens": toks,
                 "n_bpe_tokens": toks.map(len),
             }
@@ -563,7 +617,14 @@ def bpe_encode_bytelevel(
                 cols["bpe_ids"] = toks.map(lambda ts: [tok2id[t] for t in ts])
             yield pd.DataFrame(cols)
 
-    schema = "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
+    # the id keeps ITS name and type (r12 review: hardcoding
+    # 'doc_id long' silently renamed custom ids and crashed string
+    # ids at Arrow conversion)
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"`{id_col}` {id_type}, bpe_tokens array<string>, "
+        "n_bpe_tokens int"
+    )
     if with_ids:
         schema += ", bpe_ids array<int>"
     return docs.select(id_col, text_col).mapInPandas(run, schema)
@@ -652,15 +713,21 @@ def tokenizer_stats(
     then — ``bpe_tokens``/``bpe_ids`` are dropped before the join so token
     arrays never shuffle) + one groupBy over group-cardinality keys.
     Ratios are exact integer sums divided once, 4dp."""
-    n_words = F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    # split keeps leading/trailing empty strings (trim only strips
+    # SPACES, so a newline-terminated doc — the scraped-text common case
+    # — inflated the denominator; r12 review): filter the empties out
+    n_words = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != "",
+        )
+    )
     n_bytes = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
     group = F.col(group_col) if group_col else F.lit("overall")
     base = docs.select(
         F.col(id_col),
         group.alias("group"),
-        F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", 0)
-        .otherwise(n_words)
-        .alias("_words"),
+        n_words.alias("_words"),
         n_bytes.alias("_bytes"),
     )
     counts = encoded.select(id_col, "n_bpe_tokens")
@@ -966,7 +1033,9 @@ def unigram_encode(
     def run(batches):
         import pandas as pd
 
-        rx = re.compile(pattern)
+        # re.ASCII: \s must match Java's ASCII-only \s — the word
+        # table is built JVM-side and the two must agree (r12 review)
+        rx = re.compile(pattern, re.ASCII)
         cache: dict[str, list[str]] = {}
 
         def enc(text):
@@ -983,7 +1052,7 @@ def unigram_encode(
         for pdf in batches:
             toks = pdf[text_col].map(enc)
             cols = {
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "bpe_tokens": toks,
                 "n_bpe_tokens": toks.map(len),
             }
@@ -991,7 +1060,14 @@ def unigram_encode(
                 cols["bpe_ids"] = toks.map(lambda ts: [tok2id[t] for t in ts])
             yield pd.DataFrame(cols)
 
-    schema = "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
+    # the id keeps ITS name and type (r12 review: hardcoding
+    # 'doc_id long' silently renamed custom ids and crashed string
+    # ids at Arrow conversion)
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"`{id_col}` {id_type}, bpe_tokens array<string>, "
+        "n_bpe_tokens int"
+    )
     if with_ids:
         schema += ", bpe_ids array<int>"
     return docs.select(id_col, text_col).mapInPandas(run, schema)
@@ -1069,11 +1145,24 @@ def learn_wordpiece_merges(
             pair_words[p].add(wi)
     base = sorted({s for syms in symbols for s in syms})
     budget = vocab_size - 1 - len(base)  # [UNK] + base alphabet first
+    if budget < 0:
+        raise ValueError(
+            f"vocab_size={vocab_size} is smaller than [UNK] + the corpus "
+            f"base alphabet ({1 + len(base)}): a consumer sizing an "
+            "embedding table to vocab_size would see out-of-range ids"
+        )
 
     def joined(a: str, b: str) -> str:
         return a + (b[2:] if b.startswith("##") else b)
 
     merged: list[str] = []
+    # NOTE the cost shape: this loop rescans every live pair per merge —
+    # O(num_merges x distinct_pairs) driver time, bounded by the
+    # max_words table. The BPE trainer's lazy heap is UNSOUND here:
+    # wordpiece scores are c_ab/(c_a*c_b) and RISE when a denominator
+    # symbol count shrinks, so stale heap entries can under-prioritize
+    # the true best; an exact fix needs a symbol->pairs invalidation
+    # index, which costs what the scan costs on real tables.
     while budget > 0:
         best = None  # (c_ab, c_a*c_b, pair) with exact fraction compare
         for pair, c_ab in pair_counts.items():
@@ -1190,7 +1279,9 @@ def wordpiece_encode(
     def run(batches):
         import pandas as pd
 
-        rx = re.compile(pattern)
+        # re.ASCII: \s must match Java's ASCII-only \s — the word
+        # table is built JVM-side and the two must agree (r12 review)
+        rx = re.compile(pattern, re.ASCII)
         cache: dict[str, list[str]] = {}
 
         def enc(text):
@@ -1206,7 +1297,7 @@ def wordpiece_encode(
         for pdf in batches:
             toks = pdf[text_col].map(enc)
             cols = {
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "bpe_tokens": toks,
                 "n_bpe_tokens": toks.map(len),
             }
@@ -1214,7 +1305,14 @@ def wordpiece_encode(
                 cols["bpe_ids"] = toks.map(lambda ts: [tok2id[t] for t in ts])
             yield pd.DataFrame(cols)
 
-    schema = "doc_id long, bpe_tokens array<string>, n_bpe_tokens int"
+    # the id keeps ITS name and type (r12 review: hardcoding
+    # 'doc_id long' silently renamed custom ids and crashed string
+    # ids at Arrow conversion)
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"`{id_col}` {id_type}, bpe_tokens array<string>, "
+        "n_bpe_tokens int"
+    )
     if with_ids:
         schema += ", bpe_ids array<int>"
     return docs.select(id_col, text_col).mapInPandas(run, schema)

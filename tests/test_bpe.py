@@ -813,3 +813,147 @@ def test_wordpiece_encode_plan_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # one Arrow stage, no shuffle
+
+
+def test_learn_merges_heap_matches_full_scan():
+    """r12 review: the lazy-heap best-pair selection must replicate the
+    full min()-scan's total order exactly — property-checked over random
+    word tables (the heap is only a faster argmax, never a different
+    one)."""
+    import random
+
+    from collections import Counter, defaultdict
+
+    def learn_scan(word_freqs, num_merges, end="</w>"):
+        tail = [end] if end is not None else []
+        symbols = [list(w) + tail for w, _ in word_freqs]
+        freqs = [f for _, f in word_freqs]
+        pair_counts = Counter()
+        pair_words = defaultdict(set)
+        for wi, syms in enumerate(symbols):
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += freqs[wi]
+                pair_words[(a, b)].add(wi)
+        merges = []
+        for _ in range(num_merges):
+            live = ((-c, p) for p, c in pair_counts.items() if c > 0)
+            best = min(live, default=None)
+            if best is None:
+                break
+            a, b = best[1]
+            merged = a + b
+            merges.append((a, b))
+            for wi in list(pair_words[(a, b)]):
+                syms = symbols[wi]
+                f = freqs[wi]
+                for p in zip(syms, syms[1:]):
+                    pair_counts[p] -= f
+                out = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                symbols[wi] = out
+                for p in zip(out, out[1:]):
+                    pair_counts[p] += f
+                    pair_words[p].add(wi)
+            pair_counts[(a, b)] = 0
+            pair_words.pop((a, b), None)
+        return merges
+
+    rng = random.Random(42)
+    alphabet = "abcde"
+    for trial in range(25):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(3, 30))
+        ]
+        table = [(w, rng.randint(1, 50)) for w in sorted(set(words))]
+        n = rng.randint(1, 40)
+        for end in ("</w>", None):
+            assert bpe.learn_merges(table, n, end=end) == learn_scan(
+                table, n, end=end
+            ), (trial, table, n, end)
+
+
+def test_encoders_preserve_id_column_name_and_type(spark):
+    """r12 review: the four encoders hardcoded 'doc_id long' — a custom
+    id name was silently renamed (breaking the documented
+    tokenizer_stats follow-up) and a string id crashed at Arrow
+    conversion."""
+    docs = spark.createDataFrame(
+        [("conv-a", "hello world hello"), ("conv-b", "world")],
+        "conv_id string, text string",
+    )
+    merges = bpe.train_bpe(docs, num_merges=5)
+    enc = bpe.bpe_encode(docs, merges, id_col="conv_id")
+    assert enc.columns[0] == "conv_id"
+    assert dict(enc.dtypes)["conv_id"] == "string"
+    stats = bpe.tokenizer_stats(docs, enc, id_col="conv_id").collect()
+    assert stats[0]["n_docs"] == 2
+
+
+def test_tokenizer_stats_word_denominator_ignores_edge_whitespace(spark):
+    """r12 review: a newline-terminated doc (the scraped-text common
+    case) must count its real words — split's leading/trailing empties
+    inflated fertility denominators."""
+    docs = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\tlead and trail\t"), (3, "\t")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(docs, num_merges=2)
+    enc = bpe.bpe_encode(docs, merges)
+    row = bpe.tokenizer_stats(docs, enc).collect()[0]
+    # words: 2 + 3 + 0 = 5; fertility = total_tokens / 5 exactly
+    assert row["n_docs"] == 3
+    assert row["fertility"] == round(row["total_tokens"] / 5, 4)
+
+
+def test_pretokenizers_agree_on_nbsp(spark):
+    """r12 review: Java \\s is ASCII-only while Python's is Unicode — an
+    NBSP page must pre-tokenize identically on the JVM (training) and
+    Arrow (encode) sides, or training learns merges the encoder can
+    never emit."""
+    text = "price 100"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    jvm_words = [
+        r["word"] for r in bpe.word_frequencies(docs, max_words=10).collect()
+    ]
+    import re as _re
+
+    py_words = _re.compile(bpe.BPE_REGEX, _re.ASCII).findall(text.lower())
+    assert sorted(jvm_words) == sorted(set(py_words))
+    assert " " in py_words  # the symbol branch, both sides
+    # byte-level twin: the Python pattern is total and routes NBSP to the
+    # symbol run exactly like the Java one
+    toks = _re.compile(bpe.BYTELEVEL_PRETOKEN_RX_PY).findall(text)
+    assert "".join(toks) == text and " " in toks
+
+
+def test_offsets_mask_zero_width_marker_at_span_start(spark):
+    """r12 review: the zero-width </w> marker of a word ENDING exactly at
+    a span start belongs to the untrainable word before the span — it
+    must not leak into the loss mask."""
+    docs = spark.createDataFrame(
+        [(1, "ab cd", [{"start": 2, "end": 5}])],
+        "doc_id long, text string, spans array<struct<start:int,end:int>>",
+    )
+    enc = bpe.bpe_encode_with_offsets(docs, [], spans_col="spans").collect()[0]
+    toks, mask = enc["bpe_tokens"], enc["loss_mask"]
+    by_tok = list(zip(toks, mask, enc["token_starts"], enc["token_ends"]))
+    # the marker at offset [2,2) (end of 'ab') is NOT trainable
+    assert (bpe.END, False, 2, 2) in by_tok
+    # 'c', 'd' and the final marker at [5,5) ARE trainable
+    assert all(m for t, m, s, e in by_tok if s >= 3)
+
+
+def test_wordpiece_vocab_size_smaller_than_alphabet_raises(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="base alphabet"):
+        bpe.train_wordpiece(docs, vocab_size=10)
