@@ -62,20 +62,38 @@ def chunk_tokens(
         stride = window
     if stride <= 0 or window <= 0:
         raise ValueError(f"window and stride must be positive: {window}, {stride}")
+    if stride > window:
+        # tokens between window ends and the next start would appear in
+        # NO chunk — silent corpus loss (r12 review: the plausible
+        # argument transposition dropped half of every document)
+        raise ValueError(
+            f"stride ({stride}) > window ({window}) would silently drop "
+            "the tokens between windows"
+        )
     tok = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     docs = docs.filter(F.col(text_col).isNotNull()).withColumn("_tok", tok)
     n = F.size("_tok")
-    # chunk start offsets: 0, stride, 2·stride, … < n (empty doc → one empty chunk)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
-    exploded = docs.select(
-        F.col(id_col), "_tok", F.posexplode(starts).alias("chunk_id", "_start")
+    # chunk start offsets: 0, stride, 2·stride, … < n (empty doc → one
+    # empty chunk). With stride < window, a final start whose PREVIOUS
+    # window already reached the end would emit a fully-contained
+    # duplicate tail (r12 review: trained twice, duplicate RAG hits) —
+    # keep s only when the previous window stopped short of n.
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s - stride + window < n),
     )
-    piece = F.slice(F.col("_tok"), F.col("_start") + 1, window)
+    # pre-slice per start so each exploded row carries ONLY its window —
+    # posexplode over the starts kept the full _tok array on every row,
+    # O(chunks x tokens) per document (r12 review)
+    pieces = F.transform(starts, lambda s: F.slice(F.col("_tok"), s + 1, window))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(pieces).alias("chunk_id", "_piece")
+    )
     return exploded.select(
         id_col,
         "chunk_id",
-        F.size(piece).alias("n_tokens"),
-        F.array_join(piece, " ").alias("chunk_text"),
+        F.size("_piece").alias("n_tokens"),
+        F.array_join("_piece", " ").alias("chunk_text"),
     )
 
 
@@ -103,9 +121,18 @@ def chunk_sentences(
     embarrassingly parallel."""
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
-    sentences = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    # filter split artifacts BOTH at the sentence level (a trailing
+    # newline after terminal punctuation — nearly every real document —
+    # produced a phantom '' sentence) and inside the token count (the
+    # same [''] artifact chunk_tokens already filters; r12 review: the
+    # inflated counts fed pack_chunks' prefix sums)
+    sentences = F.filter(
+        F.split(F.col(text_col), r"(?<=[.!?])\s+"), lambda s: F.trim(s) != ""
+    )
     acc0 = F.array().cast("array<struct<used:int,txt:string>>")
-    ntok = lambda s: F.size(F.split(s, r"\s+"))  # noqa: E731
+    ntok = lambda s: F.size(  # noqa: E731
+        F.filter(F.split(s, r"\s+"), lambda t: t != "")
+    )
 
     def fold(acc, s):
         last = F.element_at(acc, -1)
@@ -126,7 +153,13 @@ def chunk_sentences(
             opened,
         ).otherwise(extended)
 
-    chunks = F.aggregate(sentences, acc0, fold)
+    folded = F.aggregate(sentences, acc0, fold)
+    # an empty-string doc keeps its one empty chunk at ZERO tokens (the
+    # chunk_tokens convention; it used to count the [''] artifact as 1)
+    chunks = F.when(
+        F.size(folded) == 0,
+        F.array(F.struct(F.lit(0).alias("used"), F.lit("").alias("txt"))),
+    ).otherwise(folded)
     exploded = docs.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
     )
@@ -156,8 +189,12 @@ def pack_chunks(
     < budget + the size of its last item (the only guaranteed bound — a
     bin's last item may straddle the boundary), and exactly ≤ budget in the
     special case where ALL sizes equal w and budget = k·w (no partial tail
-    chunks — every prefix is a multiple of w). Items larger than the budget
-    get a bin of their own (they should have been chunked first).
+    chunks — every prefix is a multiple of w). An item larger than the
+    budget spans its own bin range but SHARES its first bin with whatever
+    preceded it at that boundary (contiguous packing never reorders;
+    chunk oversized items first if isolation matters — r12 review: the
+    old "bin of their own" claim only held when the item started exactly
+    on a bin boundary).
 
     The prefix sum is two-pass distributed (see module docstring): shard on a
     deterministic range bucket of ``order_cols[0]``, per-shard window prefix
@@ -299,32 +336,47 @@ def _with_range_shard(
     if second is not None:
         aggs += [F.min(second).alias("_lo2"), F.max(second).alias("_hi2")]
     bounds = chunks.agg(*aggs)
+    span = F.col("_hi") - F.col("_lo")
     if second is not None:
         span2 = F.col("_hi2") - F.col("_lo2")
         frac = F.coalesce(
             F.when(span2 > 0, (second - F.col("_lo2")) / (span2 + 2)).otherwise(F.lit(0.0)),
             F.lit(0.0),  # NULL second → fraction 0, nulls-first within the lead
         )
+        # the fractional refinement is only MONOTONE while distinct leads
+        # stay distinct as doubles — hash/snowflake-scale ids (spans past
+        # 2^52) collapse adjacent leads to one double, and adding frac
+        # would then invert the lexicographic order across a shard
+        # boundary (r12 review); such leads have all the cardinality the
+        # range shard needs, so the refinement simply switches off
+        frac = F.when(span <= F.lit(float(2**52)), frac).otherwise(F.lit(0.0))
         key = lead + frac
         # key space is [lo, hi+1): the shared divisor below adds the +1,
         # adding it here too halved the usable shard range for
         # low-cardinality integral leads (r12 review)
-        span = F.col("_hi") - F.col("_lo")
     else:
         key = lead
-        span = F.col("_hi") - F.col("_lo")
     # NULL leading values shard to 0 explicitly: the per-shard window orders
     # nulls first within shard 0 and the bounds aggregate ignores nulls, so
     # the output matches the single-global-window (nulls-first) semantics.
     # Left implicit, a NULL lead poisons the arithmetic and either drops the
     # row at the offsets equi-join or lands it in the LAST shard (F.least
     # skips nulls) — num_shards must stay parallelism, never semantics.
+    #
+    # The divisor span+1 is never zero, so no span>0 guard: with a single
+    # distinct lead (one-epoch mixture, the COMMON case) span==0 and the
+    # fractional key alone spreads the rows — the old otherwise(0.0)
+    # branch forced every row into shard 0 there, collapsing the packing
+    # prefix sum to one global window task (r12 review). coalesce covers
+    # the empty-frame NULL bounds.
     shard = F.when(lead.isNull(), F.lit(0)).otherwise(
         F.least(
             F.lit(num_shards - 1),
             F.floor(
-                F.when(span > 0, (key - F.col("_lo")) * num_shards / (span + 1))
-                .otherwise(F.lit(0.0))
+                F.coalesce(
+                    (key - F.col("_lo")) * num_shards / (span + 1),
+                    F.lit(0.0),
+                )
             ),
         )
     ).alias("_shard")

@@ -313,10 +313,14 @@ EXT_ORACLES: dict[str, str] = {
     # (bin = exclusive-prefix-sum // 256 over (doc_id, chunk_id) order)
     "x41_chunk_pack": r"""
     WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+    -- r12: a start whose PREVIOUS window already reached the document
+    -- end would emit a fully-contained duplicate tail — dropped, exactly
+    -- like the Spark operator (s - stride + window < n, s > 0)
     ch AS (
       SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
              list_slice(t, s + 1, s + 32) AS piece
       FROM toks, LATERAL UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS u(s)
+      WHERE s = 0 OR s - 24 + 32 < len(t)
     ),
     c2 AS (
       SELECT doc_id, chunk_id, CAST(len(piece) AS BIGINT) AS n_tokens,

@@ -23,8 +23,18 @@ def test_chunk_disjoint_tiles_reconstruct_document(spark):
 def test_chunk_overlapping_stride(spark):
     text = " ".join(f"t{i}" for i in range(6))
     chunks = pk.chunk_tokens(_docs(spark, [(1, text)]), window=4, stride=2).orderBy("chunk_id").collect()
-    # starts 0,2,4 → windows [0:4],[2:6],[4:6]
-    assert [c["chunk_text"] for c in chunks] == ["t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5"]
+    # starts 0,2 → windows [0:4],[2:6]; start 4's window [4:6] is fully
+    # contained in [2:6] and is no longer emitted (r12 review: duplicated
+    # training content / duplicate RAG hits)
+    assert [c["chunk_text"] for c in chunks] == ["t0 t1 t2 t3", "t2 t3 t4 t5"]
+    # a genuinely partial tail that ADDS tokens is still kept
+    text7 = " ".join(f"t{i}" for i in range(7))
+    chunks7 = pk.chunk_tokens(_docs(spark, [(1, text7)]), window=4, stride=2).orderBy("chunk_id").collect()
+    assert [c["chunk_text"] for c in chunks7] == ["t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="stride"):
+        pk.chunk_tokens(_docs(spark, [(1, text)]), window=4, stride=8)
 
 
 def test_chunk_short_doc_single_window(spark):
@@ -196,6 +206,7 @@ def test_chunk_sentences_empty_and_null(spark):
     )
     rows = {r["doc_id"]: r for r in chunk_sentences(docs, budget=8).collect()}
     assert rows[1]["chunk_text"] == ""  # empty doc → one empty chunk (chunk_tokens convention)
+    assert rows[1]["n_tokens"] == 0  # the [''] artifact no longer counts 1
     assert 2 not in rows  # null text drops, like chunk_tokens
     assert rows[3]["chunk_text"] == "Only one."
 
@@ -294,3 +305,47 @@ def test_pack_chunks_with_offsets(spark):
     assert {r["doc_id"]: r["bin_id"] for r in plain.collect()} == {
         r["doc_id"]: r["bin_id"] for r in out
     }
+
+
+def test_single_distinct_lead_still_spreads_shards(spark):
+    """r12 review: with ONE distinct lead value (a one-epoch mixture, the
+    common case) the old span>0 guard forced every row into shard 0 —
+    the exact collapse the composite key exists to prevent. The
+    fractional key alone must spread the rows, and bins must equal the
+    single-window spec."""
+    from aws_financial_data_pipeline_spark.operators.packing import (
+        _with_range_shard, pack_chunks,
+    )
+
+    rows = [(0, i, 10) for i in range(200)]  # epoch 0 only
+    df = spark.createDataFrame(rows, "epoch long, doc_id long, n_tokens int")
+    sharded = _with_range_shard(df, ("epoch", "doc_id"), 16)
+    n_shards = sharded.select("_shard").distinct().count()
+    assert n_shards >= 8  # spread, not collapsed to 1
+
+    packed = pack_chunks(
+        df, budget=35, order_cols=("epoch", "doc_id"), num_shards=16
+    )
+    got = {(r["doc_id"], r["bin_id"]) for r in packed.collect()}
+    want = {(i, (i * 10) // 35) for i in range(200)}  # single-window spec
+    assert got == want
+
+
+def test_chunk_sentences_trailing_whitespace_counts(spark):
+    """r12 review: 'One. Two.\\n' (nearly every real document) must count
+    2 sentences' real tokens — the trailing '' split artifact inflated
+    n_tokens and could open phantom chunks at exact-budget boundaries."""
+    from aws_financial_data_pipeline_spark.operators.packing import chunk_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "One two. Three four. "), (2, "  Lead. ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_sentences(docs, budget=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert len(by_id[1]) == 1
+    assert by_id[1][0]["n_tokens"] == 4  # not 5
+    assert by_id[1][0]["chunk_text"] == "One two. Three four."
+    assert len(by_id[2]) == 1 and by_id[2][0]["n_tokens"] == 1
