@@ -40,7 +40,15 @@ def hashed_ngram_counts(
     weight-neutral)."""
     if num_buckets < 2:
         raise ValueError(f"num_buckets must be >= 2: {num_buckets}")
-    toked = with_tokens(docs, text_col)
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")  # n=0 hashed '' everywhere
+    # filter split artifacts: edge whitespace minted phantom n-grams
+    # (' x' produced the bogus bigram ' x' despite one real token) and
+    # broke the documented shorter-than-n contract; mixture.py cites
+    # parity with exactly this count (r12 review)
+    toked = with_tokens(docs, text_col).withColumn(
+        "_tok", F.filter(F.col("_tok"), lambda t: t != "")
+    )
     tok = F.col("_tok")
     idx = F.when(F.size(tok) >= n, F.sequence(F.lit(0), F.size(tok) - n)).otherwise(
         F.array().cast("array<int>")
@@ -85,6 +93,11 @@ def dsir_weights(
     The ratio table is ``num_buckets`` rows — broadcast — so weighting is one
     map-side join + one per-doc sum; featureless docs (< n tokens) come back
     with log_weight 0 (no evidence either way)."""
+    if alpha <= 0:
+        # the corpus_divergence guard, shared rationale: log(0/...) is
+        # NULL in Spark, F.sum SKIPS nulls, and the weights silently
+        # degrade to whatever buckets the target happens to contain
+        raise ValueError(f"alpha must be > 0: {alpha}")
     raw_feats = hashed_ngram_counts(raw, num_buckets, n, text_col, id_col)
     tgt_feats = hashed_ngram_counts(target, num_buckets, n, text_col, id_col)
     lp_t = _bucket_log_probs(tgt_feats, num_buckets, alpha, "_lpt")
@@ -93,8 +106,12 @@ def dsir_weights(
     # that corpus's smoothing floor (α / (α·B) cancels totals only partly —
     # compute the floor from the OTHER side's total, carried via a literal-
     # free cross of the two totals)
-    t_tot = tgt_feats.agg(F.sum("cnt").alias("_tt"))
-    r_tot = raw_feats.agg(F.sum("cnt").alias("_rt"))
+    # empty-corpus totals coalesce to 0 (the corpus_divergence rule):
+    # a NULL total would NULL the floor, NULL every ratio, and silently
+    # zero all weights — an EMPTY/featureless target instead yields the
+    # defined uniform floor log(1/B) for every bucket (r12 review)
+    t_tot = tgt_feats.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tt"))
+    r_tot = raw_feats.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_rt"))
     ratio = (
         lp_t.join(lp_r, "bucket", "full")
         .join(F.broadcast(t_tot)).join(F.broadcast(r_tot))
@@ -111,8 +128,13 @@ def dsir_weights(
         .groupBy("doc_id")
         .agg(F.sum(F.col("cnt") * F.col("_llr")).alias("log_weight"))
     )
+    # distinct: one weight row per doc ID even when raw is a union of
+    # overlapping shards — duplicate rows re-entered dsir_sample with
+    # identical deterministic gumbel keys and occupied multiple of the
+    # k without-replacement slots (r12 review)
     return (
         raw.select(F.col(id_col).alias("doc_id"))
+        .distinct()
         .join(per_doc, "doc_id", "left")
         .select("doc_id", F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"))
     )

@@ -42,8 +42,17 @@ _SEED = 41
 
 def _bigram_table(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, prev_h, big_h) per token position ≥ 1 (lowercased tokens)."""
+    # filter split artifacts: edge whitespace (newline-terminated docs —
+    # the scraped-text common case) produced '' tokens that trained as
+    # real vocab/contexts and minted phantom bigrams, and a whitespace-
+    # only doc scored a numeric ppl instead of the documented NULL
+    # (r12 review)
     toked = with_tokens(docs, text_col).withColumn(
-        "_tok", F.transform(F.col("_tok"), lambda t: F.lower(t))
+        "_tok",
+        F.filter(
+            F.transform(F.col("_tok"), lambda t: F.lower(t)),
+            lambda t: t != "",
+        ),
     )
     tok = F.col("_tok")
     pairs = F.when(
@@ -74,12 +83,17 @@ def train_ngram_lm(
     frames — ``{'bigrams': (big_h, c_big), 'contexts': (prev_h, c_prev),
     'vocab': 1-row (v)}`` — persist them with ``.write.parquet`` like the
     dedup signature store; they are the entire model."""
-    big = _bigram_table(reference, text_col, id_col)
+    # the exploded bigram frame feeds BOTH groupBys; the lineage cut
+    # keeps persisting the model from re-tokenizing the reference per
+    # table (r12 review: three separate write actions re-ran the scan
+    # three times; ReusedExchange cannot help across actions)
+    big = _bigram_table(reference, text_col, id_col).localCheckpoint(eager=False)
     return {
         "bigrams": big.groupBy("big_h").agg(F.count("*").alias("c_big")),
         "contexts": big.groupBy("prev_h").agg(F.count("*").alias("c_prev")),
         "vocab": with_tokens(reference, text_col)
         .select(F.explode("_tok").alias("t"))
+        .filter(F.col("t") != "")
         .agg(F.count_distinct(F.lower("t")).alias("v")),
     }
 
@@ -94,6 +108,11 @@ def ngram_perplexity(
     """(id, n_bigrams, nll, ppl) per document under the fitted LM:
     nll = −mean log P(cur|prev) with add-k smoothing, ppl = exp(nll).
     Documents with < 2 tokens score NULL (no bigram evidence)."""
+    if add_k <= 0:
+        # log(0/c_prev) is NULL in Spark and F.avg SKIPS nulls — with
+        # k=0 every unseen bigram would silently vanish from the mean
+        # and OOV gibberish would score as fluent (r12 review)
+        raise ValueError(f"add_k must be positive: {add_k}")
     big = _bigram_table(docs, text_col, id_col)
     v = F.col("v").cast("double")
     scored = (
@@ -124,7 +143,6 @@ def perplexity_buckets(
     scored: DataFrame,
     head: float = 1 / 3,
     middle: float = 2 / 3,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """CCNet's head/middle/tail assignment: one approx_percentile aggregate
     over ``ppl`` (null ppl → 'tail'), thresholds broadcast back — no sort,

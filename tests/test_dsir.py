@@ -158,3 +158,41 @@ def test_corpus_divergence_rejects_zero_alpha(spark):
     b = spark.createDataFrame([(2, "gamma delta")], "doc_id long, text string")
     with pytest.raises(ValueError, match="alpha must be > 0"):
         corpus_divergence(a, b, alpha=0.0)
+
+
+def test_dsir_review_guards_and_edge_whitespace(spark):
+    """r12 review: edge whitespace must not mint phantom n-grams (' x'
+    has ONE real token -> no bigram features); duplicate raw ids get one
+    weight row (without-replacement sampling stays k distinct docs);
+    alpha<=0 and n<1 raise; an empty target yields the defined uniform
+    floor, not silent zeros."""
+    import pytest
+
+    raw = spark.createDataFrame(
+        [(1, " x"), (2, "the cat sat\n"), (2, "the cat sat\n")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    feats = dsir.hashed_ngram_counts(raw)
+    assert feats.filter("doc_id = 1").count() == 0  # no phantom ' x' gram
+
+    w = dsir.dsir_weights(raw, target).collect()
+    assert sorted(r["doc_id"] for r in w) == [1, 2]  # distinct ids
+    by = {r["doc_id"]: r["log_weight"] for r in w}
+    assert by[1] == 0.0 and by[2] != 0.0  # featured doc gets evidence
+
+    picked = dsir.dsir_sample(raw, target, k=2).collect()
+    assert sorted(r["doc_id"] for r in picked) == [1, 2]  # no repeats
+
+    with pytest.raises(ValueError, match="alpha"):
+        dsir.dsir_weights(raw, target, alpha=0.0)
+    with pytest.raises(ValueError, match="n must be"):
+        dsir.hashed_ngram_counts(raw, n=0)
+
+    empty_target = target.filter("doc_id < 0")
+    ew = {r["doc_id"]: r["log_weight"]
+          for r in dsir.dsir_weights(raw, empty_target).collect()}
+    # defined uniform-floor behavior: finite numbers, featureless doc 0
+    assert ew[1] == 0.0 and ew[2] is not None

@@ -70,3 +70,29 @@ def test_perplexity_buckets_head_middle_tail(spark):
     assert {got[200 + i] for i in range(10)} == {"middle"}
     assert all(got[100 + i] == "tail" for i in range(10))
     assert got[300] == "tail"
+
+
+def test_lm_edge_whitespace_and_add_k_guard(spark):
+    """r12 review: newline-terminated docs must not mint '' tokens
+    (phantom bigrams, inflated vocab), a whitespace-only doc has NO
+    bigram evidence (NULL ppl, not a number), and add_k<=0 raises
+    instead of silently skipping every unseen bigram."""
+    ref = spark.createDataFrame(
+        [(1, "the cat sat\n"), (2, "the cat ran ")],
+        "doc_id long, text string",
+    )
+    model = lm.train_ngram_lm(ref)
+    assert model["vocab"].collect()[0]["v"] == 4  # no '' in the vocab
+    docs = spark.createDataFrame(
+        [(10, "the cat sat\n"), (11, "   "), (12, "the cat")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm.ngram_perplexity(docs, model).collect()}
+    assert rows[10]["n_bigrams"] == 2  # not 3 (no ('sat','') bigram)
+    assert rows[11]["ppl"] is None and rows[11]["n_bigrams"] == 0
+    assert rows[12]["n_bigrams"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="add_k"):
+        lm.ngram_perplexity(docs, model, add_k=0.0)
