@@ -97,7 +97,9 @@ def _parse_one(text: str, agent: str) -> "list[tuple[str, bool]]":
                     groups.append((cur_agents, cur_rules))
                 cur_agents, cur_rules = [], []
                 in_agent_run = True
-            cur_agents.append(value.lower())
+            if value:  # an empty token prefix-matches EVERY agent
+                # and would shadow the '*' group (r12 review)
+                cur_agents.append(value.lower())
         elif field in ("allow", "disallow"):
             in_agent_run = False
             if not cur_agents:
@@ -171,6 +173,7 @@ def robots_verdicts(
     docs: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """The audit form: input docs plus ``robots_allowed`` (boolean),
     ``robots_rule`` (the winning pattern, NULL when no rule matched) and
@@ -191,7 +194,7 @@ def robots_verdicts(
     a crawl disagree on encoding the SAME path — documented tradeoff."""
     per_host = rules.groupBy("host").agg(
         F.collect_list(F.struct("like_pat", "plen", "allow", "pattern")).alias(
-            "_rules"
+            "_rb_rules"
         )
     )
     scheme_auth = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?"
@@ -207,32 +210,36 @@ def robots_verdicts(
     )
     path = F.nullif(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
     joined = (
-        docs.withColumn("_h", host)
-        .withColumn("_p", F.coalesce(path, fb_path, F.lit("/")))
+        docs.withColumn("_rb_h", host)
+        .withColumn("_rb_p", F.coalesce(path, fb_path, F.lit("/")))
         .withColumn(
             "robots_url_unparsed",
-            F.col(url_col).isNotNull() & F.col("_h").isNull(),
+            F.col(url_col).isNotNull() & F.col("_rb_h").isNull(),
         )
-        .join(F.broadcast(per_host), F.col("_h") == per_host["host"], "left")
+        .join(
+            F.broadcast(per_host) if broadcast_rules else per_host,
+            F.col("_rb_h") == per_host["host"],
+            "left",
+        )
         .drop(per_host["host"])
     )
     # matching rules → winner by (plen, allow): struct ordering compares
     # plen first, then allow (true > false — exactly the RFC tie rule)
     winner = F.expr(
         "array_max(transform("
-        "  filter(_rules, r -> _p LIKE r.like_pat ESCAPE '\\\\'),"
+        "  filter(_rb_rules, r -> _rb_p LIKE r.like_pat ESCAPE '\\\\'),"
         "  r -> struct(r.plen AS plen, r.allow AS allow, r.pattern AS pattern)))"
     )
     return (
-        joined.withColumn("_w", winner)
+        joined.withColumn("_rb_w", winner)
         .withColumn(
             "robots_allowed",
-            F.when(F.col("_rules").isNull(), F.lit(True))  # no rules for host
-            .when(F.col("_w").isNull(), F.lit(True))  # no rule matched
-            .otherwise(F.col("_w.allow")),
+            F.when(F.col("_rb_rules").isNull(), F.lit(True))  # no rules for host
+            .when(F.col("_rb_w").isNull(), F.lit(True))  # no rule matched
+            .otherwise(F.col("_rb_w.allow")),
         )
-        .withColumn("robots_rule", F.col("_w.pattern"))
-        .drop("_h", "_p", "_rules", "_w")
+        .withColumn("robots_rule", F.col("_rb_w.pattern"))
+        .drop("_rb_h", "_rb_p", "_rb_rules", "_rb_w")
     )
 
 
@@ -240,11 +247,16 @@ def filter_robots_disallowed(
     docs: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """Keep only documents the rule table allows (see
-    :func:`robots_verdicts`); schema-preserving."""
+    :func:`robots_verdicts`); schema-preserving for frames without the
+    robots_* output columns. ``broadcast_rules=False`` is the escape
+    hatch for FULL-CRAWL rule tables (tens of millions of hosts — far
+    past any broadcast budget; a host-keyed shuffle join is the right
+    plan there, the filter_blocked_domains_frame convention)."""
     return (
-        robots_verdicts(docs, rules, url_col)
+        robots_verdicts(docs, rules, url_col, broadcast_rules)
         .filter(F.col("robots_allowed"))
         .drop("robots_allowed", "robots_rule", "robots_url_unparsed")
     )
@@ -254,24 +266,50 @@ def robots_from_warc(records: DataFrame, agent: str = "*") -> DataFrame:
     """Close the crawl loop: WARC ``response`` records (the
     :func:`..sources.warc.read_warc` frame — Common Crawl publishes a
     robotstxt subset in exactly this shape) → the rule table
-    :func:`filter_robots_disallowed` consumes. Keeps 2xx responses whose
-    URL path is exactly ``/robots.txt``, parses host from the fetch URL
-    (lowered, ``www.`` kept — robots files are host-exact), decodes the
-    body as UTF-8 (lossy — the WARC convention), and runs
+    :func:`filter_robots_disallowed` consumes. Keeps responses whose URL
+    path is exactly ``/robots.txt``: 2xx bodies parse normally; 5xx
+    responses synthesize a blanket ``Disallow: /`` (RFC 9309 §2.3.1.4 —
+    an UNREACHABLE robots.txt means complete disallow; treating it as
+    allow-all was the r12-review gap); 4xx responses contribute no rules
+    (allow-all per the RFC); 3xx redirects are NOT followed (redirect
+    targets need fetch semantics this table doesn't model — the target's
+    own capture, when crawled, carries the rules; documented scope).
+    Host parses from the fetch URL (lowered, ``www.`` kept — robots
+    files are host-exact) with the same regexp fallback
+    :func:`robots_verdicts` applies to the DOCS side (r12 review:
+    asymmetry silently dropped rules for underscore/raw-%% hosts while
+    their documents still joined), decodes the body as UTF-8 (lossy —
+    the session pins ``codingErrorAction``), and runs
     :func:`parse_robots` for ``agent``. Duplicate fetches of one host
     keep the LATEST by ``warc_date`` (string max — WARC dates are ISO
     8601, so lexicographic == chronological)."""
+    scheme_auth = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?"
+    fb_host = F.nullif(
+        F.regexp_extract(F.col("url"), scheme_auth + r"([^/?#:]+)", 1), F.lit("")
+    )
+    fb_path = F.nullif(
+        F.regexp_extract(F.col("url"), scheme_auth + r"[^/?#]*(/[^?#]*)", 1),
+        F.lit(""),
+    )
+    path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), fb_path)
+    status = F.col("http_status").cast("int")
     candidates = (
         records.filter(
             (F.col("warc_type") == "response")
-            & (F.try_parse_url(F.col("url"), F.lit("PATH")) == "/robots.txt")
-            & (F.col("http_status").cast("int") >= 200)
-            & (F.col("http_status").cast("int") < 300)
+            & (path == "/robots.txt")
+            & (
+                ((status >= 200) & (status < 300))
+                | ((status >= 500) & (status < 600))
+            )
         )
         .select(
-            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+            F.lower(
+                F.coalesce(F.try_parse_url(F.col("url"), F.lit("HOST")), fb_host)
+            ).alias("host"),
             F.col("warc_date"),
-            F.decode(F.col("payload"), "UTF-8").alias("robots_txt"),
+            F.when(
+                status >= 500, F.lit("User-agent: *\nDisallow: /")
+            ).otherwise(F.decode(F.col("payload"), "UTF-8")).alias("robots_txt"),
         )
         .filter(F.col("host").isNotNull())
     )

@@ -432,3 +432,47 @@ def test_robots_gate_fallback_for_java_rejected_urls(spark):
     kept = rb.filter_robots_disallowed(docs, rules)
     assert kept.columns == docs.columns
     assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+
+
+def test_robots_review_fixes(spark):
+    """r12 review: an EMPTY User-agent token must not shadow the '*'
+    group (it prefix-matches every agent); 5xx robots fetches mean
+    complete disallow (RFC 9309 §2.3.1.4), not allow-all; underscore
+    hosts (Java-unparseable) harvest through the same regexp fallback
+    the docs side uses; caller columns named like internals survive."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    # empty UA token shadowing
+    txt = "User-agent:\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n"
+    got = rb._parse_one(txt, "gptbot")
+    assert got == [("/private", False)]
+
+    recs = [
+        {"warc_type": "response", "url": "https://five.example.com/robots.txt",
+         "record_id": "<urn:uuid:rb1>",
+         "body": b"HTTP/1.1 503 Unavailable\r\nContent-Type: text/plain\r\n\r\n"},
+        {"warc_type": "response", "url": "http://foo_bar.example.com/robots.txt",
+         "record_id": "<urn:uuid:rb2>",
+         "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                 b"User-agent: *\nDisallow: /secret\n"},
+    ]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "r.warc.gz"), "wb") as fh:
+        fh.write(warcsrc.encode_warc(recs))
+    rules = rb.robots_from_warc(warcsrc.read_warc(spark, d))
+    by_host = {}
+    for r in rules.collect():
+        by_host.setdefault(r["host"], []).append(r["pattern"])
+    assert by_host["five.example.com"] == ["/"]       # 5xx -> disallow all
+    assert by_host["foo_bar.example.com"] == ["/secret"]  # fallback host
+
+    docs = spark.createDataFrame(
+        [(1, "https://five.example.com/page", "x"),
+         (2, "http://foo_bar.example.com/secret/a", "y"),
+         (3, "http://foo_bar.example.com/open", "z")],
+        "doc_id long, url string, _rules string",  # hostile column name
+    )
+    kept = rb.filter_robots_disallowed(docs, rules)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+    assert "_rules" in kept.columns  # caller's column survives
