@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import with_tokens
 
 
 def hashed_ngram_counts(
@@ -42,13 +41,13 @@ def hashed_ngram_counts(
         raise ValueError(f"num_buckets must be >= 2: {num_buckets}")
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")  # n=0 hashed '' everywhere
-    # filter split artifacts: edge whitespace minted phantom n-grams
-    # (' x' produced the bogus bigram ' x' despite one real token) and
-    # broke the documented shorter-than-n contract; mixture.py cites
-    # parity with exactly this count (r12 review)
-    toked = with_tokens(docs, text_col).withColumn(
-        "_tok", F.filter(F.col("_tok"), lambda t: t != "")
-    )
+    # nonempty_tokens: edge whitespace minted phantom n-grams (' x'
+    # produced the bogus bigram ' x' despite one real token) and broke
+    # the documented shorter-than-n contract; mixture planning shares
+    # the same helper so the counts cannot drift (r12 review)
+    from .text import nonempty_tokens
+
+    toked = docs.withColumn("_tok", nonempty_tokens(F.col(text_col)))
     tok = F.col("_tok")
     idx = F.when(F.size(tok) >= n, F.sequence(F.lit(0), F.size(tok) - n)).otherwise(
         F.array().cast("array<int>")

@@ -56,7 +56,6 @@ def domain_stats(
     docs: DataFrame,
     domain_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
     size_col: str | None = None,
 ) -> DataFrame:
     """(domain, n_docs, tokens): token volume per domain — the input every
@@ -65,22 +64,24 @@ def domain_stats(
     ``n_bpe_tokens`` after tokenization — plan in the units you train in).
     One map-side-combined groupBy whose key space is the domain values, so
     the shuffle carries D rows."""
-    # the shared tokenizer (text.tokens / TOKEN_SPLIT) so planning token
+    # the shared tokenizer (text.nonempty_tokens) so planning token
     # counts can't drift from DSIR's feature counts; empty docs count 0
-    # (split('') yields [''] — size 1 — without the filter; r12 review)
-    from .text import tokens as _tokens
+    from .text import nonempty_tokens
 
     size = (
         F.col(size_col).cast("long")
         if size_col is not None
-        else F.size(
-            F.filter(_tokens(F.col(text_col)), lambda t: t != "")
-        ).cast("long")
+        else F.size(nonempty_tokens(F.col(text_col))).cast("long")
     )
     return (
         docs.select(F.col(domain_col).alias("domain"), size.alias("_t"))
         .groupBy("domain")
-        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("tokens"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            # a domain whose docs are all NULL-text must plan as 0
+            # tokens, not NULL (water_fill multiplied None; r12 review)
+            F.coalesce(F.sum("_t"), F.lit(0)).alias("tokens"),
+        )
     )
 
 
@@ -138,7 +139,10 @@ def water_fill(rows: list[dict], budget: float, max_epochs: float = MAX_EPOCHS) 
             break
         newly_capped = []
         for r in live:
-            want = r["target_tokens"] + remaining * r["sampled_share"] / share_tot
+            # live rows always carry target_tokens == 0 (capped rows
+            # leave the live set immediately), so want is just the
+            # proportional slice of the remaining budget
+            want = remaining * r["sampled_share"] / share_tot
             if want >= r["cap"]:
                 r["target_tokens"] = r["cap"]
                 r["capped"] = True
@@ -174,8 +178,23 @@ def plan_token_budget(
         raise ValueError(f"budget must be >= 0: {budget}")
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0: {max_epochs}")
-    rows = [r.asDict() for r in temperature_weights(stats, alpha).collect()]
-    rows.sort(key=lambda r: r["domain"])
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    # shares computed UNROUNDED here (driver-side over D rows):
+    # temperature_weights' 6dp display rounding zeroed domains whose
+    # share sits below 5e-7 — at a 100T budget that silently excluded
+    # small per-language shards from the mix entirely (r12 review)
+    rows = [r.asDict() for r in stats.collect()]
+    rows.sort(key=lambda r: (r["domain"] is None, r["domain"] or ""))
+    tot = float(sum(r["tokens"] or 0 for r in rows))
+    pows = [
+        ((r["tokens"] or 0) / tot) ** alpha if tot > 0 and r["tokens"] else 0.0
+        for r in rows
+    ]
+    ptot = sum(pows) or 1.0
+    for r, pw in zip(rows, pows):
+        r["tokens"] = r["tokens"] or 0
+        r["sampled_share"] = pw / ptot
     water_fill(rows, budget, max_epochs)
     return [
         {
@@ -214,24 +233,34 @@ def apply_mixture(
     # empty plan (nothing budgeted) → empty frame → zero rows ship; the
     # explicit schema covers the case inference can't (non-string domains
     # still infer from the rows when present)
-    plan_df = (
-        spark.createDataFrame(rows, ["domain", "_rate"])
-        if rows
-        else spark.createDataFrame(rows, "domain string, _rate double")
-    )
-    full = F.floor("_rate").cast("int")
-    frac = F.col("_rate") - full
+    # plan columns carry collision-proof names: a docs frame that itself
+    # has a 'domain' column (or domain_col='domain') previously hit
+    # AMBIGUOUS_REFERENCE, and drop('domain') destroyed the caller's
+    # column (r12 review)
+    try:
+        plan_df = spark.createDataFrame(rows, ["_mx_domain", "_mx_rate"])
+    except Exception:  # all-NULL domains defeat inference
+        plan_df = spark.createDataFrame(rows, "_mx_domain string, _mx_rate double")
+    full = F.floor("_mx_rate").cast("int")
+    frac = F.col("_mx_rate") - full
     res = 1_000_000
     extra = (
-        hash_bucket(F.concat_ws(":", F.col(id_col).cast("string"), F.col("domain")), res)
+        hash_bucket(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col(domain_col)), res
+        )
         < frac * res
     ).cast("int")
     return (
         docs.join(
-            F.broadcast(plan_df), docs[domain_col] == plan_df["domain"], "inner"
+            F.broadcast(plan_df),
+            # null-safe: a plan entry for the NULL domain must match the
+            # NULL-domain docs instead of silently dropping them all
+            # (NULL == NULL is NULL under an inner join; r12 review)
+            docs[domain_col].eqNullSafe(plan_df["_mx_domain"]),
+            "inner",
         )
         .withColumn("_n", full + extra)
         .filter(F.col("_n") > 0)
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
-        .drop("_rate", "_n", "domain")
+        .drop("_mx_rate", "_n", "_mx_domain")
     )

@@ -36,6 +36,14 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.col(text) if isinstance(text, str) else text, TOKEN_SPLIT)
 
 
+def nonempty_tokens(text: Column | str) -> Column:
+    """:func:`tokens` with the boundary-empty split artifacts removed —
+    ``split('a b ')`` keeps a trailing ``''`` — for counts/features where
+    a phantom token skews the result (DSIR n-grams, mixture planning;
+    r12 reviews). The ONE definition both share, so they cannot drift."""
+    return F.filter(tokens(text), lambda t: t != "")
+
+
 def _isin(words) -> "callable":
     """Single-arg lambda factory for higher-order filters (a two-arg lambda
     with a default would be called with two Columns by PySpark)."""

@@ -276,3 +276,46 @@ def test_temperature_weights_zero_token_stats_and_empty_doc_count(spark):
     )
     got = mx.domain_stats(docs).collect()[0]
     assert got["n_docs"] == 2 and got["tokens"] == 3  # empty doc counts 0
+
+
+def test_mixture_review_fixes(spark):
+    """r12 review: NULL domains plan (None-safe sort) and match through
+    the null-safe join instead of being silently dropped; an all-NULL-
+    text domain plans 0 tokens instead of crashing water_fill; a docs
+    frame with a 'domain' column survives apply_mixture; tiny shares are
+    not quantized to zero by display rounding."""
+    docs = spark.createDataFrame(
+        [(1, None, "a b c"), (2, "web", "d e f g"), (3, "imgs", None)],
+        "doc_id long, source string, text string",
+    )
+    stats = mx.domain_stats(docs)
+    rows = {r["domain"]: r for r in stats.collect()}
+    assert rows["imgs"]["tokens"] == 0  # NULL text -> 0, not NULL
+    plan = mx.plan_token_budget(stats, budget=100)  # None domain sorts fine
+    assert {p["domain"] for p in plan} == {None, "web", "imgs"}
+    by = {p["domain"]: p for p in plan}
+    assert by[None]["rate"] > 0  # the NULL domain is budgeted
+
+    out = mx.apply_mixture(docs, plan)
+    got = {r["doc_id"] for r in out.collect()}
+    assert 1 in got  # NULL-domain doc matched through the null-safe join
+
+    # hostile caller column named 'domain' + domain_col='domain'
+    docs2 = spark.createDataFrame(
+        [(1, "web", "keep-me")], "doc_id long, domain string, payload_note string"
+    )
+    out2 = mx.apply_mixture(docs2, [{"domain": "web", "rate": 2.0}],
+                            domain_col="domain")
+    r = out2.collect()
+    assert len(r) == 2 and all(x["payload_note"] == "keep-me" for x in r)
+    assert "domain" in out2.columns  # caller's column survives
+
+    # tiny-share domain: 1 token vs 10M tokens at alpha=1 — share 1e-7
+    # rounds to 0 at 6dp but must still receive budget
+    big = spark.createDataFrame(
+        [("big", 2, 10_000_000), ("tiny", 1, 1)],
+        "domain string, n_docs long, tokens long",
+    )
+    plan2 = mx.plan_token_budget(big, budget=1_000_000, alpha=1.0)
+    tiny = next(p for p in plan2 if p["domain"] == "tiny")
+    assert tiny["target_tokens"] > 0
