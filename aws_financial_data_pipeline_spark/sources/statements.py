@@ -64,6 +64,21 @@ def typed_statement_projection(raw: DataFrame) -> DataFrame:
     )
 
 
+def statement_csv_options(reader):
+    """Apply the ONE statement-CSV option recipe to a (batch or stream)
+    reader — header, UTF-8, PERMISSIVE with the corrupt-record column,
+    explicit schema. Shared by read_statement_csv, corrupt_records, and
+    streaming.statement_stream (r12 review: three hand-copied blocks had
+    already drifted — corrupt_records lacked the encoding option)."""
+    return (
+        reader.option("header", True)
+        .option("encoding", "UTF-8")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(permissive_csv_schema())
+    )
+
+
 def read_statement_csv(spark: SparkSession, path: str) -> DataFrame:
     """S1: raw statement CSV → typed flat transactions frame.
 
@@ -72,24 +87,14 @@ def read_statement_csv(spark: SparkSession, path: str) -> DataFrame:
     (user_id, year_month, id, date, vendor, category, amount, currency,
     recurring, type, location, description).
     """
-    raw = (
-        spark.read.option("header", True)
-        .option("encoding", "UTF-8")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .schema(permissive_csv_schema())
-        .csv(path)
-    )
+    raw = statement_csv_options(spark.read).csv(path)
     return typed_statement_projection(raw)
 
 
 def corrupt_records(spark: SparkSession, path: str) -> DataFrame:
     """The rows the reference would silently drop (docker/lambda_function.py:84-85)."""
     raw = (
-        spark.read.option("header", True)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .schema(permissive_csv_schema())
+        statement_csv_options(spark.read)
         .csv(path)
         # Spark forbids queries touching ONLY the internal corrupt-record
         # column on a raw CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_

@@ -18,35 +18,43 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.history import HistoryStore
 from ..sources.statements import (
-    CORRUPT_COL,
-    permissive_csv_schema,
+    statement_csv_options,
     typed_statement_projection,
 )
 
 
-def statement_stream(spark: SparkSession, in_dir: str, clean_source: str = "delete") -> DataFrame:
+def statement_stream(
+    spark: SparkSession,
+    in_dir: str,
+    clean_source: str = "delete",
+    source_archive_dir: "str | None" = None,
+) -> DataFrame:
     """S3: unbounded frame of statement rows from CSVs landing in ``in_dir``.
 
     ``cleanSource=delete`` is S8 (the reference's ``delete_object``,
-    docker/lambda_function.py:548); use ``"archive"`` + ``sourceArchiveDir``
-    to keep originals. ``maxFilesPerTrigger=1`` mirrors the reference's
-    one-file-per-invocation model.
+    docker/lambda_function.py:548); ``clean_source="archive"`` keeps the
+    originals and REQUIRES ``source_archive_dir`` (r12 review: the
+    documented archive mode was unreachable — Spark demands the option at
+    query start and the API had no way to pass it). ``maxFilesPerTrigger=1``
+    mirrors the reference's one-file-per-invocation model. CSV options come
+    from the one shared recipe, so batch and stream cannot drift.
     """
-    return (
-        spark.readStream.option("header", True)
-        .option("encoding", "UTF-8")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    if clean_source == "archive" and source_archive_dir is None:
+        raise ValueError(
+            "clean_source='archive' requires source_archive_dir"
+        )
+    reader = (
+        statement_csv_options(spark.readStream)
         .option("cleanSource", clean_source)
         .option("maxFilesPerTrigger", 1)
-        .schema(permissive_csv_schema())
-        .csv(in_dir)
     )
+    if source_archive_dir is not None:
+        reader = reader.option("sourceArchiveDir", source_archive_dir)
+    return reader.csv(in_dir)
 
 
 # the typed projection is SHARED with the batch reader (r12 review:
@@ -80,7 +88,16 @@ def run_statement_ingest(
     store = HistoryStore(spark, history_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        typed = _typed(batch)
+        # one parse per batch: report analysis, the history upsert, the
+        # summary recompute and the hook each fire their own actions and
+        # would otherwise re-read the CSV per action (r12 review)
+        typed = _typed(batch).localCheckpoint(eager=True)
+        if typed.isEmpty():
+            # an empty/corrupt-only first batch would otherwise write
+            # zero-row parquet dirs that poison every later batch's
+            # summary read (UNABLE_TO_INFER_SCHEMA, not PATH_NOT_FOUND —
+            # the fallback re-raises; r12 review)
+            return
         if reports_dir is not None:
             from ..pipeline import analyze_statement
             from ..plans.report import report_json

@@ -377,3 +377,37 @@ def test_html_extraction_runs_unchanged_on_streams(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"]: r["text"] for r in spark.sql("select * from html_stream_t").collect()}
     assert got == batch
+
+
+def test_ingest_empty_first_batch_does_not_poison_store(spark, tmp_path):
+    """r12 review: a header-only (or corrupt-only) FIRST batch must not
+    write zero-row parquet dirs that kill every later batch's summary
+    read with UNABLE_TO_INFER_SCHEMA; and clean_source='archive' without
+    source_archive_dir raises up front instead of at query start."""
+    import pytest
+
+    from aws_financial_data_pipeline_spark.streaming import ingest as ing
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    hdr = "user_id,year_month,id,date,vendor,category,amount,currency,recurring,type,location,description\n"
+    (in_dir / "empty.csv").write_text(hdr)  # header-only
+    q = ing.run_statement_ingest(
+        spark, str(in_dir), str(tmp_path / "hist"), str(tmp_path / "ck"),
+        reports_dir=str(tmp_path / "rep"),
+    )
+    q.awaitTermination(120)
+    # now a REAL statement lands and must process cleanly
+    (in_dir / "real.csv").write_text(
+        hdr + "u1,2026-01,t1,2026-01-03,Cafe,Dining,12.50,USD,false,debit,US-NY,coffee\n"
+    )
+    q2 = ing.run_statement_ingest(
+        spark, str(in_dir), str(tmp_path / "hist"), str(tmp_path / "ck"),
+        reports_dir=str(tmp_path / "rep"),
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "hist")).collect()
+    assert len(got) == 1 and got[0]["vendor"] == "Cafe"
+
+    with pytest.raises(ValueError, match="source_archive_dir"):
+        ing.statement_stream(spark, str(in_dir), clean_source="archive")
