@@ -14,8 +14,9 @@ reload, exactly as FAISS serializes an index or a tokenizer ships its
   plain ``spark.read.parquet`` by anything else.
 - **Driver-value artifacts** (codebooks, merges, vocab, mixture plans —
   a few KB to a few MB of plain lists) persist as a single JSON file with a
-  ``kind`` tag and the knobs that must match at load time (m/nbits, the
-  text column's tokenizer regime is the caller's contract). JSON, not
+  ``kind`` tag; shape-derived knobs (m/nbits from the codebook nesting)
+  are NOT duplicated as fields, and the text column's tokenizer regime
+  remains the caller's contract. JSON, not
   pickle: auditable, diffable, language-neutral, and immune to class-path
   drift. Written with local file I/O — at cluster scale these files live
   on the artifact store next to the parquet (the reference uploads its
@@ -35,8 +36,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _write_json(path: str, kind: str, payload: dict) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "w", encoding="utf-8") as f:
-        json.dump({"kind": kind, **payload}, f, separators=(",", ":"))
+    # temp + atomic rename (the tfrecord-writer convention): open('w')
+    # truncates the previous GOOD artifact before the dump, so a crash
+    # mid-write destroyed it and forced a full re-train (r12 review).
+    # allow_nan=False: a NaN codebook center would otherwise serialize
+    # as the non-standard 'NaN' token — not valid JSON (breaking the
+    # module's language-neutral contract) and silently poisoning every
+    # downstream distance — fail loudly at save time instead.
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {"kind": kind, **payload}, f, separators=(",", ":"),
+            allow_nan=False,
+        )
+    os.replace(tmp, path)
 
 
 def _read_json(path: str, kind: str) -> dict:
@@ -96,21 +109,65 @@ def load_mixture_plan(path: str) -> list[dict]:
     return _read_json(path, "mixture_plan")["plan"]
 
 
+def _require_columns(df: DataFrame, path: str, cols: tuple[str, ...]) -> DataFrame:
+    """Identity check for parquet artifacts (the JSON side's kind tag has
+    no parquet equivalent; a transposed path previously loaded ANY
+    parquet dir and failed later with an unrelated unresolved-column
+    error, or not at all — r12 review)."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{path}: not the expected artifact — missing columns "
+            f"{missing} (found {df.columns})"
+        )
+    return df
+
+
 def save_ivf_centroids(centroids: DataFrame, path: str) -> None:
     """Persist an IVF coarse quantizer (cell_id, embedding) as parquet."""
+    _require_columns(centroids, "<input>", ("cell_id", "embedding"))
     centroids.write.mode("overwrite").parquet(path)
 
 
 def load_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return _require_columns(
+        spark.read.parquet(path), path, ("cell_id", "embedding")
+    )
+
+
+#: expected columns per LM table — doubles as the load-time identity check
+_LM_TABLE_COLS = {
+    "bigrams": ("big_h", "c_big"),
+    "contexts": ("prev_h", "c_prev"),
+    "vocab": ("v",),
+}
 
 
 def save_lm(model: dict[str, DataFrame], path: str) -> None:
     """Persist a ``train_ngram_lm`` model: one parquet dir per table under
-    ``path`` (bigrams/contexts/vocab)."""
+    ``path`` (bigrams/contexts/vocab), then a ``_manifest.json`` written
+    LAST and atomically — the commit marker. The tables are separate
+    Spark actions, so a crash between writes leaves new bigrams next to
+    old contexts; without the marker load_lm read that mix without error
+    and scored silently wrong (r12 review)."""
     for name, df in model.items():
         df.write.mode("overwrite").parquet(os.path.join(path, name))
+    _write_json(
+        os.path.join(path, "_manifest.json"), "lm",
+        {"tables": sorted(model)},
+    )
 
 
 def load_lm(spark: SparkSession, path: str, tables: tuple[str, ...] = ("bigrams", "contexts", "vocab")) -> dict[str, DataFrame]:
-    return {name: spark.read.parquet(os.path.join(path, name)) for name in tables}
+    manifest = _read_json(os.path.join(path, "_manifest.json"), "lm")
+    missing = [t for t in tables if t not in manifest["tables"]]
+    if missing:
+        raise ValueError(f"{path}: manifest lacks tables {missing}")
+    return {
+        name: _require_columns(
+            spark.read.parquet(os.path.join(path, name)),
+            os.path.join(path, name),
+            _LM_TABLE_COLS.get(name, ()),
+        )
+        for name in tables
+    }
