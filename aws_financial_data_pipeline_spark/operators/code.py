@@ -165,11 +165,15 @@ PERMISSIVE_LICENSES: frozenset = frozenset(
 )
 
 # captures the FULL SPDX expression (ids, AND/OR/WITH, parens) up to the
-# first character outside the expression grammar — so a trailing comment
-# closer ('*/', '-->') self-delimits. Tag match case-insensitive like
-# real license scanners (r12 review: the old single-id capture read
-# 'MIT AND GPL-3.0-only' as MIT — a governance leak — and failed
-# entirely on '(MIT OR Apache-2.0)').
+# first character outside the expression grammar — a C-style '*/' closer
+# self-delimits ('*' and '/' are outside the class), but the HTML/XML/
+# Markdown closer '-->' does NOT ('-' is a legal id char), so trailing
+# dashes/whitespace are stripped AFTER extraction (r13 advice: the old
+# capture read '<!-- SPDX-License-Identifier: MIT -->' as 'MIT --' and
+# wrongly rejected markup-language MIT/Apache files from the permissive
+# gate). Tag match case-insensitive like real license scanners (r12
+# review: the old single-id capture read 'MIT AND GPL-3.0-only' as MIT —
+# a governance leak — and failed entirely on '(MIT OR Apache-2.0)').
 _SPDX_RE = r"(?i)SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+\-() \t]+)"
 
 
@@ -203,15 +207,28 @@ def license_detect(
     lead the file by convention, and the bound makes the stage cost
     independent of file size."""
     head = F.substring(F.col(text_col), 1, head_chars)
-    spdx = F.trim(F.regexp_extract(head, _SPDX_RE, 1))
+    # strip the markup comment closer's leading dashes ('-->') plus any
+    # trailing whitespace the capture class admitted — no SPDX id or
+    # expression legally ends in '-'
+    spdx = F.trim(
+        F.regexp_replace(F.regexp_extract(head, _SPDX_RE, 1), r"[\s-]+$", "")
+    )
     # first-match-wins over the ordered fingerprints: unmatched WHENs are
     # NULL, so COALESCE is exactly "first matching license"
     fp = F.coalesce(
         *[F.when(head.rlike(pat), F.lit(lic)) for lic, pat in LICENSE_FINGERPRINTS]
     )
     lic_col = F.when(spdx != "", spdx).otherwise(fp)
+    # SPDX ids are case-insensitive per spec, so the map is keyed on the
+    # UPPER-cased id and looked up through F.upper — 'mit' in a
+    # lowercased tag is permissive; the DISPLAYED license keeps the
+    # captured casing (r13 advice)
     permissive_map = F.create_map(
-        *[F.lit(x) for lic in sorted(PERMISSIVE_LICENSES) for x in (lic, "y")]
+        *[
+            F.lit(x)
+            for lic in sorted(PERMISSIVE_LICENSES)
+            for x in (lic.upper(), "y")
+        ]
     )
     # every id token of the (possibly compound) expression must be
     # permissive: strip WITH-exception qualifiers, split on parens/space,
@@ -224,7 +241,7 @@ def license_detect(
         lambda t: (t != "") & ~F.upper(t).isin("AND", "OR"),
     )
     all_permissive = F.forall(
-        ids, lambda t: F.element_at(permissive_map, t).isNotNull()
+        ids, lambda t: F.element_at(permissive_map, F.upper(t)).isNotNull()
     ) & (F.size(ids) > 0)
     return files.withColumns(
         {

@@ -766,13 +766,22 @@ def pdf_text(raw: bytes) -> str:
     # (incremental updates: a decrypted-and-saved document retains the
     # old /Encrypt-bearing trailer in its prefix, and the literal can
     # also appear inside uncompressed content — a whole-file grep falsely
-    # rejected both, r12 review). Documents with no 'trailer' keyword
-    # (pure xref-stream PDFs) keep the conservative whole-file check.
+    # rejected both, r12 review). "Last trailer" means the last SYNTACTIC
+    # trailer keyword — one followed by whitespace and a '<<' dict opener
+    # — because the seven raw bytes b'trailer' routinely occur inside
+    # binary Flate stream data AFTER the real trailer, where a bare
+    # rfind() would land in a window with no /Encrypt and silently pass
+    # an encrypted document (r13 advice). Documents with no syntactic
+    # 'trailer' (pure xref-stream PDFs) keep the conservative whole-file
+    # check.
     enc_re = (
         rb"/Encrypt[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+\d+"
         rb"[\x00\t\n\x0c\r ]+R"
     )
-    t = raw.rfind(b"trailer")
+    t = -1
+    for m in re.finditer(rb"trailer", raw):
+        if re.match(rb"[\x00\t\n\x0c\r ]*<<", raw[m.end():m.end() + 32]):
+            t = m.start()
     encrypted = (
         re.search(enc_re, raw[t:t + 2048]) if t >= 0 else re.search(enc_re, raw)
     )

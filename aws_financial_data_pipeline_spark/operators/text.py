@@ -666,7 +666,13 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Default ``n=3`` matches :func:`text_profile`'s ``shingle_n`` (r12
     review: the old n=5 default made the standalone operator disagree
     with the oracle-gated profile column under defaults, so fingerprints
-    built through the two paths never matched)."""
+    built through the two paths never matched).
+
+    .. warning:: INCOMPATIBLE DEFAULT CHANGE (r12): the default was
+       ``n=5`` through round 11. Fingerprints persisted under the old
+       default will NOT match newly computed ones for the same text —
+       when comparing against a stored fingerprint table, pin ``n``
+       explicitly to whatever the table was built with."""
     shingled = with_tokens(docs, text_col).select(
         id_col, shingles_expr(F.col("_tok"), n=n).alias("_sh")
     )

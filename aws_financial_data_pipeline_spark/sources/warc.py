@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 WARC_COLS = (
     "path string, record_id string, warc_type string, warc_date string, "
     "url string, http_status int, content_type string, payload binary, "
-    "text_mb string"
+    "text_mb string, parse_error string"
 )
 
 
@@ -138,14 +138,19 @@ def _dechunk(payload: bytes) -> bytes:
 def _decode_content(payload: bytes, coding: str) -> bytes:
     """Invert one ``Content-Encoding`` coding. gzip/x-gzip and deflate
     (both the RFC 9110 zlib wrapping AND the bare-stream form common
-    servers actually send) decode here; ``br``/``zstd`` raise loudly (no
-    brotli lib in-container — a still-encoded body shipped as text would
-    poison every quality signal downstream). Two wild-crawl realities are
-    tolerated rather than fatal: a TRUNCATED stream (connection cut
-    mid-transfer — every crawler records these) yields the bytes that did
-    decompress, and a header that LIES (``gzip`` declared but no 1f8b
-    magic) keeps the raw payload — both match what warcio's
-    decode_content does."""
+    servers actually send) decode via stdlib zlib; ``br`` and ``zstd``
+    (r13 — ``br`` is the default behind Cloudflare/nginx for any crawler
+    that advertises it, so wild non-Common-Crawl WARCs hit it constantly)
+    decode via pyarrow's bundled brotli/zstd codecs, chunk-read under the
+    same decompression-bomb cap. Any OTHER coding raises
+    ``NotImplementedError`` — contained per-record into the
+    ``parse_error`` ledger column by :func:`_record_rows`, never
+    job-fatal. Two wild-crawl realities are tolerated rather than fatal:
+    a TRUNCATED stream (connection cut mid-transfer — every crawler
+    records these) yields the bytes that did decompress, and a header
+    that LIES (``gzip`` declared but no 1f8b magic; a ``br`` body that
+    fails brotli framing — brotli has no magic to pre-check) keeps the
+    raw payload — both match what warcio's decode_content does."""
     if coding in ("gzip", "x-gzip"):
         if payload[:2] != b"\x1f\x8b":
             return payload  # the header lies; bytes are not gzip
@@ -157,6 +162,9 @@ def _decode_content(payload: bytes, coding: str) -> bytes:
             if dec is not None:
                 return dec
         return payload
+    if coding in ("br", "zstd"):
+        dec = _pa_decompress_tolerant(payload, "brotli" if coding == "br" else "zstd")
+        return payload if dec is None else dec
     raise NotImplementedError(f"content-coding {coding!r} unsupported")
 
 
@@ -191,6 +199,30 @@ def _inflate_tolerant(payload: bytes, wbits: int) -> "bytes | None":
         out.append(d.flush())
         return b"".join(out)  # success — possibly the legitimate b''
     except zlib.error:
+        return b"".join(out) if n else None
+
+
+def _pa_decompress_tolerant(payload: bytes, codec: str) -> "bytes | None":
+    """The pyarrow twin of :func:`_inflate_tolerant` for brotli/zstd
+    ``Content-Encoding`` bodies: streaming chunk reads under the
+    decompression-bomb cap, keeping the decoded prefix when the stream is
+    truncated or its tail is corrupt, ``None`` when it fails before
+    producing anything (the caller then keeps the raw bytes — the
+    lying-header posture; brotli carries no magic to pre-check)."""
+    import pyarrow as pa
+
+    out: list[bytes] = []
+    n = 0
+    try:
+        stream = pa.input_stream(pa.py_buffer(payload), compression=codec)
+        while n < MAX_CONTENT_DECODE_BYTES:
+            chunk = stream.read(min(1 << 20, MAX_CONTENT_DECODE_BYTES - n))
+            if not chunk:
+                return b"".join(out)  # clean EOF — possibly legitimate b''
+            out.append(chunk)
+            n += len(chunk)
+        return b"".join(out)  # bomb cap: keep the prefix
+    except Exception:
         return b"".join(out) if n else None
 
 
@@ -266,6 +298,7 @@ def parse_warc_files(
 _WARC_ROW_COLS = [
     "path", "record_id", "warc_type", "warc_date",
     "url", "http_status", "content_type", "payload", "text_mb",
+    "parse_error",
 ]
 
 _MB_RES = None  # (header_re, meta_re) compiled lazily; see _mb_decode
@@ -320,25 +353,41 @@ def _iter_records(content: bytes) -> Iterator[tuple[dict, bytes]]:
 def _record_rows(fpath: str, content: bytes, types: set, rows: list) -> None:
     """Append one WARC_COLS tuple per wanted record in ``content`` (gzip
     members → records → HTTP split, declared-CJK decode) — shared by the
-    whole-file parse stage and the CDX ranged-fetch stage."""
+    whole-file parse stage and the CDX ranged-fetch stage.
+
+    Per-record error contract (r13, the media path's ``feature_error``
+    convention brought to the text parse): a record whose HTTP envelope
+    cannot be inverted (unsupported transfer/content coding, malformed
+    chunked framing) or that is one SEGMENT of a logical record
+    (ISO 28500 §5.18 — parsing it as complete would ship silently
+    truncated content) lands as a LEDGER ROW — ``parse_error`` names the
+    failure (``"ExcType: message"`` / ``"warc_segment_unsupported: …"``),
+    the raw body rides along for forensics, and the file's OTHER records
+    still parse. At 100 TB of wild crawl, "loud" must mean a ledger row
+    naming the record, not a dead job 60 TB in: a raise here would kill
+    the whole file's task and, after Spark's retries, the job. Downstream
+    adapters (:func:`warc_to_documents` et al.) exclude error rows; the
+    ``parse_error`` column IS the audit surface."""
     for headers, body in _iter_records(content):
         wtype = headers.get("warc-type", "").lower()
         if types and wtype not in types:
             continue
+        err = None
         if "warc-segment-number" in headers:
-            # a segmented record's body is ONE SEGMENT of the logical
-            # record (ISO 28500 §5.18) — parsing it as complete would
-            # ship silently truncated content; raise per the parse
-            # convention (Common Crawl never segments; Heritrix only
-            # for records over its 1 GB default)
-            raise NotImplementedError(
-                "segmented WARC record (WARC-Segment-Number="
-                f"{headers['warc-segment-number']}) at "
-                f"{headers.get('warc-record-id')}: continuation "
+            # Common Crawl never segments; Heritrix only for records
+            # over its 1 GB default — a ledger row, not a dead job
+            status, ctype, payload = None, None, body
+            err = (
+                "warc_segment_unsupported: WARC-Segment-Number="
+                f"{headers['warc-segment-number']} continuation "
                 "reassembly unsupported"
             )
-        if wtype == "response":
-            status, ctype, payload = _split_http(body)
+        elif wtype == "response":
+            try:
+                status, ctype, payload = _split_http(body)
+            except Exception as e:
+                status, ctype, payload = None, None, body
+                err = f"{type(e).__name__}: {e}"
         else:
             status, ctype, payload = None, headers.get("content-type"), body
         rows.append(
@@ -351,7 +400,8 @@ def _record_rows(fpath: str, content: bytes, types: set, rows: list) -> None:
                 status,
                 ctype,
                 payload,
-                _mb_decode(ctype, payload),
+                None if err is not None else _mb_decode(ctype, payload),
+                err,
             )
         )
 
@@ -427,9 +477,11 @@ def read_warc(
 ) -> DataFrame:
     """WARC files under ``path`` → one row per record of the requested
     types: (path, record_id, warc_type, warc_date, url, http_status,
-    content_type, payload). ``payload`` is the HTTP body for response
-    records (headers parsed off), the raw record body otherwise. One
-    binaryFile task per file, one Arrow parse stage, no shuffle."""
+    content_type, payload, text_mb, parse_error). ``payload`` is the HTTP
+    body for response records (headers parsed off), the raw record body
+    otherwise; ``parse_error`` is the per-record error ledger (NULL for
+    clean records — see :func:`warc_parse_errors`). One binaryFile task
+    per file, one Arrow parse stage, no shuffle."""
     return parse_warc_files(
         spark.read.format("binaryFile").load(path), record_types
     )
@@ -927,6 +979,28 @@ def _declared_charset_expr(content_type="content_type", payload="payload"):
     return F.coalesce(F.nullif(header, F.lit("")), F.nullif(meta, F.lit("")), F.lit(""))
 
 
+def _no_parse_error(records: DataFrame):
+    """Predicate excluding per-record parse-error ledger rows from a
+    content adapter — total over frames that predate the ``parse_error``
+    column (persisted parquet from earlier rounds)."""
+    if "parse_error" in records.columns:
+        return F.col("parse_error").isNull()
+    return F.lit(True)
+
+
+def warc_parse_errors(records: DataFrame) -> DataFrame:
+    """The per-record error LEDGER of a parse (r13): rows whose HTTP
+    envelope could not be inverted (unsupported transfer/content coding,
+    malformed chunked framing) or that are unreassembled WARC segments —
+    (path, record_id, warc_type, url, parse_error), the audit surface
+    operators should count/inspect instead of the job dying. The raw
+    body is intentionally NOT carried here (it stays on the full frame's
+    ``payload`` for forensics) so the ledger aggregates cheaply."""
+    return records.filter(F.col("parse_error").isNotNull()).select(
+        "path", "record_id", "warc_type", "url", "parse_error"
+    )
+
+
 def warc_to_documents(
     records: DataFrame,
     id_from: str = "url_hash",
@@ -965,7 +1039,9 @@ def warc_to_documents(
     is_text = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).rlike(
         r"^(text/|application/(xhtml|xml|json))"
     )
-    rec = records.filter((F.col("warc_type") == "response") & is_text)
+    rec = records.filter(
+        (F.col("warc_type") == "response") & is_text & _no_parse_error(records)
+    )
     doc_id = F.xxhash64(F.concat_ws(":", F.col("url"), F.col("record_id"))).alias(
         "doc_id"
     )
@@ -1045,7 +1121,11 @@ def warc_to_media(
     for p in media_prefixes:
         is_media = is_media | mt.startswith(p)
     return (
-        records.filter((F.col("warc_type") == "response") & is_media)
+        records.filter(
+            (F.col("warc_type") == "response")
+            & is_media
+            & _no_parse_error(records)
+        )
         .select(
             F.xxhash64(
                 F.concat_ws(":", F.col("url"), F.col("record_id"))
@@ -1075,7 +1155,11 @@ def wet_to_documents(
         "text/plain"
     )
     return (
-        records.filter((F.col("warc_type") == "conversion") & is_text)
+        records.filter(
+            (F.col("warc_type") == "conversion")
+            & is_text
+            & _no_parse_error(records)
+        )
         .select(
             F.xxhash64(
                 F.concat_ws(":", F.col("url"), F.col("record_id"))
@@ -1128,9 +1212,9 @@ def wat_to_links(records: DataFrame, anchors_only: bool = True) -> DataFrame:
             F.lower(F.try_parse_url(c, F.lit("HOST"))), r"^www\.", ""
         )
 
-    out = records.filter(F.col("warc_type") == "metadata").select(
-        _host(src_url).alias("src"), link.alias("_l")
-    )
+    out = records.filter(
+        (F.col("warc_type") == "metadata") & _no_parse_error(records)
+    ).select(_host(src_url).alias("src"), link.alias("_l"))
     if anchors_only:
         out = out.filter(
             F.col("_l.path").isNull() | F.col("_l.path").startswith("A@")

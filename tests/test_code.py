@@ -412,6 +412,14 @@ def test_license_detect_spdx_expressions(spark):
         (4, "d.py", "# spdx-license-identifier: MIT\nx=1\n"),
         (5, "e.c", "/* SPDX-License-Identifier: MIT */\nint y;\n"),
         (6, "f.py", "# SPDX-License-Identifier: GPL-2.0-only OR MIT\nx=1\n"),
+        # r13 advice: the HTML/XML/Markdown closer '-->' must NOT leak
+        # into the expression ('-' is a legal id char, so it can't
+        # self-delimit like '*/') …
+        (7, "g.html", "<!-- SPDX-License-Identifier: MIT -->\n<html></html>\n"),
+        (8, "h.md", "<!-- SPDX-License-Identifier: Apache-2.0 -->\n# Title\n"),
+        # … and a fully lowercased id is still permissive (SPDX ids are
+        # case-insensitive per spec; displayed license keeps the casing)
+        (9, "i.py", "# spdx-license-identifier: mit\nx=1\n"),
     ]
     got = {
         r["doc_id"]: (r["license"], r["is_permissive"], r["license_source"])
@@ -425,6 +433,9 @@ def test_license_detect_spdx_expressions(spark):
     # conservative OR: a licensee could pick MIT, but the gate under-
     # approximates toward non-permissive (the safe direction)
     assert got[6] == ("GPL-2.0-only OR MIT", False, "spdx")
+    assert got[7] == ("MIT", True, "spdx")
+    assert got[8] == ("Apache-2.0", True, "spdx")
+    assert got[9] == ("mit", True, "spdx")
 
 
 def test_language_id_env_S_shebang(spark):

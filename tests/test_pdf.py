@@ -527,6 +527,13 @@ def test_pdf_review_inline_images_and_trailer_encrypt():
     # /Encrypt-looking text inside the content stream is not a trailer
     doc3 = _mk_pdf(b"BT (/Encrypt 5 0 R in prose) Tj ET")
     assert "Encrypt 5 0 R in prose" in pdfop.pdf_text(doc3)
+    # r13 advice: the raw bytes b'trailer' inside binary stream data
+    # AFTER the real trailer (common in Flate output of incremental
+    # updates) must not shadow the governing /Encrypt-bearing trailer —
+    # only a SYNTACTIC trailer (whitespace + '<<') counts
+    doc4 = doc + b"\n9 1 obj\n<< /Length 24 >>\nstream\n\x00\x8atrailer\x91\xfe binary\nendstream\nendobj\n"
+    with _pt.raises(NotImplementedError, match="encrypted"):
+        pdfop.pdf_text(doc4)
 
 
 def test_pdf_review_objstm_fonts_and_indirect_font_res():

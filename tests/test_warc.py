@@ -362,17 +362,24 @@ def test_warc_chunked_hostile_framing_stays_loud(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="transfer-coding"):
         warc._split_http(stacked)
-    # and the loudness survives the distributed path: one hostile record
-    # fails the read, it does not silently pass as garbage text
-    recs = [{
-        "warc_type": "response",
-        "url": "https://x.example.com/t",
-        "record_id": "<urn:uuid:t1>",
-        "body": trunc,
-    }]
+    # on the distributed path the hostile record is CONTAINED, not fatal:
+    # it lands in the parse_error ledger with its real error string while
+    # the file's other records still parse (r13 — a raise here would kill
+    # the whole file's task and, after Spark's retries, the job)
+    recs = [
+        {"warc_type": "response", "url": "https://x.example.com/t",
+         "record_id": "<urn:uuid:t1>", "body": trunc},
+        {"warc_type": "response", "url": "https://x.example.com/ok",
+         "record_id": "<urn:uuid:t2>", "html": "<p>fine</p>"},
+    ]
     (tmp_path / "t.warc.gz").write_bytes(warc.encode_warc(recs))
-    with pytest.raises(Exception, match="truncated chunked"):
-        warc.read_warc(spark, str(tmp_path / "t.warc.gz")).collect()
+    rd = warc.read_warc(spark, str(tmp_path / "t.warc.gz"))
+    ledger = {r["record_id"]: r["parse_error"]
+              for r in warc.warc_parse_errors(rd).collect()}
+    assert set(ledger) == {"<urn:uuid:t1>"}
+    assert "truncated chunked" in ledger["<urn:uuid:t1>"]
+    docs = warc.warc_to_documents(rd)
+    assert [r["url"] for r in docs.collect()] == ["https://x.example.com/ok"]
 
 
 def test_warc_ingest_stream_replay_equals_batch(spark, tmp_path):
@@ -991,8 +998,12 @@ def test_warc_content_encoding_wild_crawl_tolerance():
     """The wild-crawl postures, unit level: a truncated gzip body keeps
     its decoded prefix (connection-cut records are data, not poison), a
     LYING gzip header (no 1f8b magic) keeps the raw bytes, identity and
-    x-gzip labels work, and brotli rejects loudly rather than shipping
-    still-encoded bytes as text."""
+    x-gzip labels work, brotli and zstd decode via pyarrow's bundled
+    codecs (r13 — ``br`` is the Cloudflare/nginx default for any crawler
+    that advertises it), a body that fails brotli framing keeps its raw
+    bytes, and a genuinely unknown coding raises ``NotImplementedError``
+    (contained per-record by the ledger contract, tested separately)."""
+    import pyarrow as pa
     import zlib as _z
 
     raw = b"A" * 5000 + b"tail that the cut connection lost"
@@ -1009,8 +1020,59 @@ def test_warc_content_encoding_wild_crawl_tolerance():
     _, _, ident = warc._split_http(_enc_http("", "identity", b"as-is"))
     assert ident == b"as-is"
 
-    with pytest.raises(NotImplementedError, match="content-coding 'br'"):
-        warc._split_http(_enc_http("", "br", b"\x8b\x02\x80whatever"))
+    # br/zstd round-trip: compress test-side with pyarrow (independent of
+    # the decoder's own stream path), invert through _split_http
+    br_body = pa.Codec("brotli").compress(raw, asbytes=True)
+    _, _, br = warc._split_http(_enc_http("", "br", br_body))
+    assert br == raw
+    zs_body = pa.Codec("zstd").compress(raw, asbytes=True)
+    _, _, zs = warc._split_http(_enc_http("", "zstd", zs_body))
+    assert zs == raw
+    # a body that fails brotli framing keeps its raw bytes (brotli has
+    # no magic to pre-check — the lying-header posture)
+    junk = b"<html>definitely not brotli</html>"
+    _, _, kept = warc._split_http(_enc_http("", "br", junk))
+    assert kept == junk
+
+    with pytest.raises(NotImplementedError, match="content-coding 'compress'"):
+        warc._split_http(_enc_http("", "compress", b"\x1f\x9d\x90whatever"))
+
+
+def test_warc_brotli_zstd_end_to_end_and_error_ledger(spark, tmp_path):
+    """br/zstd ``Content-Encoding`` bodies extract text identical to the
+    plain path through the full distributed read (fixtures compressed
+    test-side with pyarrow's codec API, independent of the decoder's own
+    stream path), while a record with a genuinely UNKNOWN coding lands in
+    the parse_error ledger with its real error string and its
+    file-siblings still parse — one poisoned record costs one row, never
+    the job."""
+    import pyarrow as pa
+
+    html = "<html><body><p>Brotli-coded body — café ✓.</p></body></html>"
+    raw = html.encode()
+    recs = [
+        {"warc_type": "response", "url": "https://x.example.com/br",
+         "record_id": "<urn:uuid:b1>",
+         "body": _enc_http(html, "br", pa.Codec("brotli").compress(raw, asbytes=True))},
+        {"warc_type": "response", "url": "https://x.example.com/zstd",
+         "record_id": "<urn:uuid:b2>",
+         "body": _enc_http(html, "zstd", pa.Codec("zstd").compress(raw, asbytes=True))},
+        {"warc_type": "response", "url": "https://x.example.com/unknown",
+         "record_id": "<urn:uuid:b3>",
+         "body": _enc_http(html, "compress", b"\x1f\x9d\x90junk")},
+        {"warc_type": "response", "url": "https://x.example.com/plain",
+         "record_id": "<urn:uuid:b4>", "html": html},
+    ]
+    (tmp_path / "br.warc.gz").write_bytes(warc.encode_warc(recs))
+    rd = warc.read_warc(spark, str(tmp_path / "br.warc.gz"))
+    texts = {
+        r["url"].rsplit("/", 1)[1]: r["text"]
+        for r in warc.warc_to_documents(rd).collect()
+    }
+    assert texts == {k: html for k in ("br", "zstd", "plain")}
+    ledger = warc.warc_parse_errors(rd).collect()
+    assert [r["record_id"] for r in ledger] == ["<urn:uuid:b3>"]
+    assert "NotImplementedError: content-coding 'compress'" in ledger[0]["parse_error"]
 
 
 def test_warc_revisit_records_read_and_credit(spark, tmp_path):
@@ -1082,18 +1144,28 @@ def test_warc_revisit_records_read_and_credit(spark, tmp_path):
     assert [r["text"] for r in docs.collect()] == [html]
 
 
-def test_warc_segmented_records_raise_loudly(spark, tmp_path):
+def test_warc_segmented_records_land_in_ledger(spark, tmp_path):
     """A segmented record's body is one SEGMENT of the logical record —
-    parsing it as complete ships silently truncated content, so the parse
-    stage raises naming the record."""
+    parsing it as complete ships silently truncated content, so it lands
+    in the parse_error ledger naming the segment (r13: a ledger row, not
+    a dead job — Heritrix segments any record over its 1 GB default, and
+    one such record must not kill a 100 TB ingest) while the file's other
+    records parse normally."""
     recs = [
         {"warc_type": "response", "url": "https://s.example.com/big",
          "record_id": "<urn:uuid:seg>", "html": "<p>first segment only</p>",
          "extra_headers": {"WARC-Segment-Number": "1"}},
+        {"warc_type": "response", "url": "https://s.example.com/ok",
+         "record_id": "<urn:uuid:ok0>", "html": "<p>sibling parses</p>"},
     ]
     (tmp_path / "s.warc.gz").write_bytes(warc.encode_warc(recs))
-    with pytest.raises(Exception, match="segmented WARC record"):
-        warc.read_warc(spark, str(tmp_path / "s.warc.gz")).collect()
+    rd = warc.read_warc(spark, str(tmp_path / "s.warc.gz"))
+    ledger = warc.warc_parse_errors(rd).collect()
+    assert [r["record_id"] for r in ledger] == ["<urn:uuid:seg>"]
+    assert "warc_segment_unsupported" in ledger[0]["parse_error"]
+    assert "WARC-Segment-Number=1" in ledger[0]["parse_error"]
+    docs = warc.warc_to_documents(rd)
+    assert [r["url"] for r in docs.collect()] == ["https://s.example.com/ok"]
     # an UNWANTED segmented record (e.g. continuation when reading
     # responses) is filtered before the guard — it cannot kill the archive
     recs2 = [
@@ -1124,7 +1196,10 @@ def test_content_decode_is_total_on_arbitrary_bytes():
     from hypothesis import strategies as st
 
     @settings(max_examples=300, deadline=None)
-    @given(st.binary(max_size=300), st.sampled_from(["gzip", "deflate"]))
+    @given(
+        st.binary(max_size=300),
+        st.sampled_from(["gzip", "deflate", "br", "zstd"]),
+    )
     def run_garbage(b, coding):
         out = warc._decode_content(b, coding)
         assert isinstance(out, bytes)
