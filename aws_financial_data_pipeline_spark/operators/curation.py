@@ -57,6 +57,7 @@ def curation_funnel(
     blocklist: "list[str] | DataFrame | None" = None,
     blocklist_on: str = "citations",
     extract_html: bool = False,
+    main_content: bool = False,
     domain_ranks: "DataFrame | None" = None,
     domain_rank_threshold: float = 0.0,
     robots_rules: "DataFrame | None" = None,
@@ -118,7 +119,12 @@ def curation_funnel(
     gate (the gate's regexp reads URLs anywhere in raw markup, including
     ``href`` attributes that tag-stripping deletes) and BEFORE every
     content stage — the raw-crawl entry point. Count-preserving, audited
-    as ``html_extract``.
+    as ``html_extract``. ``main_content=True`` upgrades that stage to the
+    jusText-shaped block scorer (:func:`..operators.text.
+    extract_main_content`): nav/footer/cookie-banner blocks drop at the
+    BLOCK level before any quality signal — the RefinedWeb/FineWeb
+    ordering — instead of relying on the C4 line rules to claw
+    boilerplate back.
 
     ``normalize=True`` prepends a count-preserving NFKC + control/whitespace
     normalization stage (:func:`..text.normalize_text`) so trivially-variant
@@ -269,7 +275,17 @@ def curation_funnel(
         # href attributes, which tag-stripping would delete — and BEFORE
         # every content stage (they need prose with line structure).
         # Count-preserving map, audited for lineage like normalize.
-        docs = tx.html_to_text(docs, text_col=text_col)
+        # main_content=True swaps in the jusText-shaped block scorer
+        # (:func:`..text.extract_main_content`) — boilerplate drops at
+        # the block level BEFORE quality signals, the RefinedWeb/FineWeb
+        # ordering — still a count-preserving map (audit cols dropped;
+        # run extract_main_content standalone to keep them).
+        if main_content:
+            docs = tx.extract_main_content(docs, text_col=text_col).drop(
+                "main_blocks_total", "main_blocks_kept"
+            )
+        else:
+            docs = tx.html_to_text(docs, text_col=text_col)
         docs = _stage(docs)
         stages.append(("html_extract", docs))
 

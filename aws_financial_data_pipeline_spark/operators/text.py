@@ -1153,6 +1153,201 @@ def html_to_text(
     return docs.withColumn(out_col or text_col, c)
 
 
+# --- main-content (boilerplate) block extraction -------------------------
+
+#: function words for the main-content stopword-density gate (jusText's
+#: stoplist idea at reduced size — public most-frequent English function
+#: words; real prose hits them constantly, menus/labels almost never).
+#: Pass another language's list via ``stopwords=``, or ``()`` to disable
+#: the gate (jusText's language-free mode: length+link density only).
+MAIN_CONTENT_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "on", "at", "for",
+    "with", "by", "from", "as", "is", "are", "was", "were", "be", "been",
+    "it", "its", "this", "that", "these", "those", "he", "she", "they",
+    "we", "you", "his", "her", "their", "not", "but", "have", "has", "had",
+    "will", "would", "can", "could", "which", "who", "what", "when",
+)
+
+#: block-level boundaries for the jusText-style block walk — every tag
+#: that starts or ends a visual block, open or close (attributes ride in
+#: the open form); <br> too
+_BLOCK_BOUNDARY_RE = (
+    r"(?i)<br\s*/?>|</?(?:p|div|li|h[1-6]|tr|td|th|ul|ol|table|blockquote"
+    r"|section|article|main|figure|figcaption|dd|dt|dl|pre|address)\b[^>]*>"
+)
+
+#: wholesale-droppable semantic containers (HTML5 landmark roles that are
+#:  chrome by definition; <header> is NOT here — article headers carry the
+#:  headline)
+_SEMANTIC_CHROME_RE = r"(?is)<(nav|aside|footer|form)\b[^>]*>.*?</\1\s*>"
+
+#: class/id tokens that mark chrome containers (cookie banners, consent
+#: walls, breadcrumbs, comment sections). Token-bounded lookarounds so
+#: 'commentary'/'bannerman' in a class name never over-drop; the
+#: non-greedy closer means a NESTED same-tag child ends the drop early —
+#: whatever chrome remains is caught by the density rules, the documented
+#: regex-not-DOM posture of html_tables.
+_BOILERPLATE_CLASS_RE = (
+    r"(?is)<(div|ul|section|p)\b[^>]*\b(?:class|id)\s*=\s*[\"'][^\"']*"
+    r"(?<![a-z])(?:cookie|consent|gdpr|banner|breadcrumbs?|sidebar|comments?)"
+    r"(?![a-z])[^\"']*[\"'][^>]*>.*?</\1\s*>"
+)
+
+
+def _strip_inline_expr(c: Column) -> Column:
+    """Fragment inner HTML → text: strip remaining (inline) tags, decode
+    the frequent entities (&amp; last — the html_to_text single-decode
+    order), collapse whitespace, trim."""
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def extract_main_content(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    length_low: int = 70,
+    length_high: int = 200,
+    max_link_density: float = 0.3,
+    min_stopword_density: float = 0.08,
+    stopwords: tuple[str, ...] = MAIN_CONTENT_STOPWORDS,
+    drop_semantic: bool = True,
+) -> DataFrame:
+    """Main-content extraction from raw crawl HTML — the
+    trafilatura/jusText-shaped stage RefinedWeb/FineWeb-class pipelines
+    run BEFORE quality signals, where :func:`html_to_text` keeps ALL
+    block text (nav, footers, cookie banners) and leans on downstream C4
+    line rules to claw boilerplate back. Pure Catalyst end to end
+    (map-only, zero Exchange — plan-asserted in tests): regex block walk,
+    array higher-order functions, no Python, no DOM.
+
+    Stages, all per-document:
+
+    1. drop ``<script>/<style>/<template>/<head>`` + comments (the
+       html_to_text rules), then — ``drop_semantic=True`` — the HTML5
+       chrome landmarks ``<nav>/<aside>/<footer>/<form>`` wholesale and
+       containers whose class/id carries a chrome token (cookie, consent,
+       gdpr, banner, breadcrumb, sidebar, comment; token-bounded so
+       'commentary' never over-drops),
+    2. split what remains into BLOCKS at block-level tag boundaries
+       (``_BLOCK_BOUNDARY_RE``) — the jusText unit of judgement,
+    3. score each non-empty block: extracted-text length, LINK DENSITY
+       (chars inside ``<a>`` ÷ all chars — menus score ~1.0, prose ~0),
+       and STOPWORD DENSITY (function-word fraction — prose hits
+       constantly, button labels almost never):
+       *bad* if link density > ``max_link_density``; *good* if at least
+       ``length_high`` chars with stopword density ≥
+       ``min_stopword_density``; *near-good* otherwise,
+    4. context pass (jusText's neighborhood rule, one hop): good blocks
+       keep, near-good blocks keep only when ADJACENT to a good block —
+       short paragraphs inside an article survive, isolated taglines and
+       footer fragments drop,
+    5. joined with ``\\n`` — the same DOM-as-line-structure contract
+       c4_line_filters / paragraph_dedup consume.
+
+    Adds ``main_blocks_total`` / ``main_blocks_kept`` audit columns.
+    ``stopwords=()`` disables the density gate (language-free mode — use
+    for non-English corpora without a stoplist, or pass the language's
+    own list). Known regex-not-DOM limits (html_tables posture): a
+    same-tag child nested inside a dropped container ends the wholesale
+    drop early; the density rules catch the remainder. NULL text yields
+    NULL output and zero counts."""
+    c = F.col(text_col)
+    c = F.regexp_replace(
+        c, r"(?is)<(script|style|template|head)\b[^>]*>.*?</\1\s*>", " "
+    )
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    if drop_semantic:
+        c = F.regexp_replace(c, _SEMANTIC_CHROME_RE, " ")
+        c = F.regexp_replace(c, _BOILERPLATE_CLASS_RE, " ")
+
+    def _info(b: Column) -> Column:
+        anchors = F.regexp_extract_all(
+            b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1)
+        )
+        link_len = F.aggregate(
+            anchors,
+            F.lit(0),
+            lambda acc, a: acc + F.length(_strip_inline_expr(a)),
+        )
+        return F.struct(
+            _strip_inline_expr(b).alias("txt"), link_len.alias("link_len")
+        )
+
+    blocks = F.filter(
+        F.transform(F.split(c, _BLOCK_BOUNDARY_RE), _info),
+        lambda s: F.length(s["txt"]) > 0,
+    )
+
+    stop_list = [w.lower() for w in stopwords]
+
+    def _classify(s: Column) -> Column:
+        clen = F.length(s["txt"])
+        link_bad = s["link_len"] > F.lit(float(max_link_density)) * clen
+        long_enough = clen >= length_high
+        if stop_list:
+            words = F.filter(
+                F.split(F.lower(s["txt"]), r"\s+"), lambda w: w != ""
+            )
+            n_stop = F.size(F.filter(words, _isin(stop_list)))
+            stop_ok = n_stop >= F.lit(float(min_stopword_density)) * F.size(words)
+        else:
+            stop_ok = F.lit(True)
+        return (
+            F.when(link_bad, F.lit(0))
+            .when(long_enough & stop_ok, F.lit(2))
+            # at length_low+ chars a block has enough text for the
+            # stopword signal to be meaningful: failing it there means
+            # label/menu clusters, not prose — bad. BELOW length_low the
+            # signal is noise (headings are short and function-word-free)
+            # — near-good, kept only next to a good block.
+            .when((clen >= length_low) & ~stop_ok, F.lit(0))
+            .otherwise(F.lit(1))
+        )
+
+    tmp_b, tmp_c = "_mc_blocks", "_mc_cls"
+    out = docs.withColumn(tmp_b, blocks).withColumn(
+        tmp_c, F.transform(F.col(tmp_b), _classify)
+    )
+    cls = F.col(tmp_c)
+    # try_element_at: 1-based, NULL (not an error) off either end — the
+    # boundary blocks simply have no neighbor on that side
+    prev_good = lambda i: (  # noqa: E731 — index 0 raises even in the
+        # try form; CaseWhen's lazy branches guard the first block
+        F.coalesce(F.when(i >= 1, F.try_element_at(cls, i)), F.lit(0)) == 2
+    )
+    next_good = lambda i: (  # noqa: E731
+        F.coalesce(F.try_element_at(cls, i + 2), F.lit(0)) == 2
+    )
+    kept = F.filter(
+        F.transform(
+            F.col(tmp_b),
+            lambda s, i: F.when(
+                (F.element_at(cls, i + 1) == 2)
+                | (
+                    (F.element_at(cls, i + 1) == 1)
+                    & (prev_good(i) | next_good(i))
+                ),
+                s["txt"],
+            ),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return (
+        out.withColumn(out_col or text_col, F.array_join(kept, "\n"))
+        .withColumn(
+            "main_blocks_total", F.coalesce(F.size(tmp_b), F.lit(0))
+        )
+        .withColumn(
+            "main_blocks_kept",
+            F.coalesce(F.size(kept), F.lit(0)),
+        )
+        .drop(tmp_b, tmp_c)
+    )
+
+
 def _clean_cell_expr(c: Column) -> Column:
     """One table cell's inner HTML → text: strip inline tags, decode the
     frequent entities (same table + &amp;-last order as html_to_text),

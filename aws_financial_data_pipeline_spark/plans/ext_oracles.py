@@ -190,6 +190,69 @@ def _script_sql(col: str) -> str:
     return ",\n           ".join(parts)
 
 
+def _wat_link_ctes(n_iter: int, damping: float = 0.85, hosts: int = 7) -> str:
+    """CTE chain for the x27 link-graph legs: the synthetic WAT edge list
+    stated directly from doc_id arithmetic (the Spark side must arrive at
+    the same edges THROUGH the real JSON-envelope parse —
+    ext_queries._wat_records), then ``n_iter`` unrolled pagerank power
+    iterations matching operators/graph.py's update rule
+    ``r = (1−d)/N + d·(Σ_in r/deg + dangling/N)``. Every float constant is
+    CAST AS DOUBLE — DuckDB would otherwise route ``1.0`` through DECIMAL
+    arithmetic and drift from Spark's doubles."""
+    d = f"CAST({damping} AS DOUBLE)"
+    omd = f"CAST({1.0 - damping} AS DOUBLE)"
+    parts = [
+        f"""
+    wk AS (SELECT doc_id % {hosts} AS k FROM documents),
+    wedge AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS src,
+             'site' || CAST((k + 1) % {hosts} AS VARCHAR) || '.example' AS dst
+      FROM wk
+      UNION ALL
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example',
+             'site' || CAST((3 * k + 1) % {hosts} AS VARCHAR) || '.example'
+      FROM wk WHERE (3 * k + 1) % {hosts} <> k
+    ),
+    -- DISTINCT over UNION ALL, not bare UNION: under the WITH RECURSIVE
+    -- this chain is spliced into (x27's transitive closure), DuckDB
+    -- executes a two-branch UNION CTE with recursive semantics and the
+    -- dedup between branches is lost (observed: 1858 rows for 7 nodes)
+    wnodes AS (SELECT DISTINCT node FROM
+               (SELECT src AS node FROM wedge UNION ALL SELECT dst FROM wedge)),
+    wn AS (SELECT COUNT(*) AS n FROM wnodes),
+    wdeg AS (SELECT src AS s, COUNT(*) AS deg FROM wedge GROUP BY src),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / wn.n AS r FROM wnodes, wn)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""
+    dm{t} AS (SELECT COALESCE(SUM(r), CAST(0 AS DOUBLE)) AS dm FROM pr{t - 1}
+              WHERE node NOT IN (SELECT s FROM wdeg)),
+    pr{t} AS (
+      SELECT n.node,
+             {omd} / wn.n
+             + {d} * (COALESCE(c.in_sum, CAST(0 AS DOUBLE)) + dm{t}.dm / wn.n) AS r
+      FROM wnodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.r / od.deg) AS in_sum
+        FROM wedge e
+        JOIN pr{t - 1} p ON p.node = e.src
+        JOIN wdeg od ON od.s = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+      CROSS JOIN dm{t} CROSS JOIN wn
+    )"""
+        )
+    return ",".join(parts)
+
+
+#: the four link-graph columns appended to every x27 leg (NULL-typed on
+#: the dedup legs) — names must match ext_queries' Spark-side aliases
+_X27_GRAPH_NULLS = (
+    'CAST(NULL AS VARCHAR) AS src, CAST(NULL AS VARCHAR) AS dst, '
+    'CAST(NULL AS BIGINT) AS n_links, CAST(NULL AS DOUBLE) AS "rank"'
+)
+
 EXT_ORACLES: dict[str, str] = {
     "x01_dedup_exact": """
     SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -217,13 +280,17 @@ EXT_ORACLES: dict[str, str] = {
     comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
     csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1),
     chist AS (SELECT cluster_size, count(*) AS n_clusters FROM csize GROUP BY 1),
-    ctot AS (SELECT count(*) AS total FROM documents)
+    ctot AS (SELECT count(*) AS total FROM documents),
+    """
+    + _wat_link_ctes(6)
+    + f"""
     SELECT 'cluster' AS method, d.doc_id, c.component,
            count(*) OVER (PARTITION BY c.component) AS cluster_size,
            d.doc_id = c.component AS is_canonical,
            CAST(NULL AS BIGINT) AS n_clusters, CAST(NULL AS BIGINT) AS n_docs,
            CAST(NULL AS BIGINT) AS docs_to_drop,
-           CAST(NULL AS DOUBLE) AS frac_of_corpus
+           CAST(NULL AS DOUBLE) AS frac_of_corpus,
+           {_X27_GRAPH_NULLS}
     FROM documents d JOIN comp c ON c.node = d.doc_id
     UNION ALL
     -- histogram leg (round 8): duplication-structure audit from the SAME
@@ -233,8 +300,30 @@ EXT_ORACLES: dict[str, str] = {
            CAST(NULL AS BOOLEAN) AS is_canonical,
            h.n_clusters, h.cluster_size * h.n_clusters AS n_docs,
            (h.cluster_size - 1) * h.n_clusters AS docs_to_drop,
-           round((h.cluster_size * h.n_clusters) / ctot.total, 6) AS frac_of_corpus
+           round((h.cluster_size * h.n_clusters) / ctot.total, 6) AS frac_of_corpus,
+           {_X27_GRAPH_NULLS}
     FROM chist h, ctot
+    UNION ALL
+    -- link-graph legs (round 13): the WAT edge list the real JSON parse
+    -- must reproduce, and the unrolled-power-iteration pagerank over it
+    SELECT 'wat_edge' AS method, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS component, CAST(NULL AS BIGINT) AS cluster_size,
+           CAST(NULL AS BOOLEAN) AS is_canonical,
+           CAST(NULL AS BIGINT) AS n_clusters, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS docs_to_drop,
+           CAST(NULL AS DOUBLE) AS frac_of_corpus,
+           we.src, we.dst, count(*) AS n_links, CAST(NULL AS DOUBLE) AS "rank"
+    FROM wedge we GROUP BY we.src, we.dst
+    UNION ALL
+    SELECT 'pagerank' AS method, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS component, CAST(NULL AS BIGINT) AS cluster_size,
+           CAST(NULL AS BOOLEAN) AS is_canonical,
+           CAST(NULL AS BIGINT) AS n_clusters, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS docs_to_drop,
+           CAST(NULL AS DOUBLE) AS frac_of_corpus,
+           p.node AS src, CAST(NULL AS VARCHAR) AS dst,
+           CAST(NULL AS BIGINT) AS n_links, round(p.r, 6) AS "rank"
+    FROM pr6 p
     """,
     # LSH candidates verified with exact Jaccard over their shingle sets
     "x39_minhash_dedup": _MINHASH_SIG

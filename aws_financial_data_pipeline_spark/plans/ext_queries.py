@@ -62,6 +62,63 @@ def x01_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
+#: number of synthetic WAT hosts / pagerank power iterations for the x27
+#: link-graph legs — shared with the SQL oracle generator (ext_oracles)
+WAT_HOSTS = 7
+WAT_PR_ITERATIONS = 6
+
+
+def _wat_records(docs: DataFrame) -> DataFrame:
+    """A deterministic WAT ``metadata`` records frame derived from the
+    documents table — the oracle-gating detour for ``wat_to_links``: each
+    doc becomes one WAT envelope (REAL JSON, parsed by the real
+    ``get_json_object`` path) whose link set is pure doc_id arithmetic the
+    DuckDB oracle can state directly. Per doc with ``k = doc_id mod 7``:
+    an anchor to ``site{(k+1)%7}``, an anchor to ``site{(3k+1)%7}``
+    (a SELF-LOOP when k=3 — must drop), an IMG link (must drop:
+    anchors_only) and a relative anchor (must drop: not http). Even
+    doc_ids ship a NULL url column so the envelope's WARC-Target-URI
+    fallback is exercised on half the corpus."""
+    k = F.pmod(F.col("doc_id"), F.lit(WAT_HOSTS))
+    host = lambda kk: F.concat(  # noqa: E731
+        F.lit("site"), kk.cast("string"), F.lit(".example")
+    )
+    k1, k2 = F.pmod(k + 1, F.lit(WAT_HOSTS)), F.pmod(k * 3 + 1, F.lit(WAT_HOSTS))
+    src_url = F.concat(
+        F.lit("http://"), host(k), F.lit("/page/"), F.col("doc_id").cast("string")
+    )
+    env = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
+        src_url,
+        F.lit(
+            '"},"Payload-Metadata":{"HTTP-Response-Metadata":'
+            '{"HTML-Metadata":{"Links":[{"path":"A@/href","url":"http://'
+        ),
+        host(k1),
+        F.lit('/x"},{"path":"A@/href","url":"http://'),
+        host(k2),
+        F.lit('/y"},{"path":"IMG@/src","url":"http://'),
+        host(k1),
+        F.lit('/i.png"},{"path":"A@/href","url":"/relative"}]}}}}}'),
+    )
+    return docs.select(
+        F.lit("wat").alias("path"),
+        F.concat(
+            F.lit("<urn:uuid:"), F.col("doc_id").cast("string"), F.lit(">")
+        ).alias("record_id"),
+        F.lit("metadata").alias("warc_type"),
+        F.lit(None).cast("string").alias("warc_date"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit(None).cast("string"))
+        .otherwise(src_url)
+        .alias("url"),
+        F.lit(None).cast("int").alias("http_status"),
+        F.lit("application/json").alias("content_type"),
+        env.cast("binary").alias("payload"),
+        F.lit(None).cast("string").alias("text_mb"),
+        F.lit(None).cast("string").alias("parse_error"),
+    )
+
+
 def x27_dedup_clusters(spark, sf_dir):
     """The full dedup DECISION over the LSH candidate graph: MinHash bands →
     candidate pairs → connected components (min-label propagation with pointer
@@ -70,12 +127,31 @@ def x27_dedup_clusters(spark, sf_dir):
     the 'histogram' leg (superset-union): ``graph.dedup_cluster_stats`` —
     the duplication-structure audit (one row per cluster SIZE with
     n_clusters / n_docs / docs_to_drop / 6dp frac_of_corpus), replicated
-    in SQL from the same closure."""
+    in SQL from the same closure.
+
+    Round-13 adds the LINK-GRAPH legs (the r12 verdict's missing oracle
+    gate): ``wat_edge`` — :func:`..sources.warc.wat_to_links` over a
+    deterministic WAT-envelope frame built from the documents table
+    (:func:`_wat_records`; real JSON through the real JSON-path parse,
+    edges grouped to (src, dst, n_links)) — and ``pagerank`` —
+    :func:`..operators.graph.pagerank` over those edges, 6 fixed power
+    iterations, rank rounded 6dp (both engines sum doubles in different
+    orders; 6dp is ~7 orders above the drift). The oracle unrolls the
+    same iterations as a CTE chain; the numpy cross-check in pytest
+    remains the convergence gate."""
+    from ..sources.warc import wat_to_links
+
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_candidates(dedup.minhash_signatures(docs))
     # both legs read the CC labeling — cut lineage so the iterative CC
     # joins don't replay for the histogram
     clustered = graph.dedup_clusters(docs, pairs).localCheckpoint(eager=False)
+    nulls = {
+        "src": F.lit(None).cast("string").alias("src"),
+        "dst": F.lit(None).cast("string").alias("dst"),
+        "n_links": F.lit(None).cast("long").alias("n_links"),
+        "rank": F.lit(None).cast("double").alias("rank"),
+    }
     base = clustered.select(
         F.lit("cluster").alias("method"),
         "doc_id",
@@ -86,6 +162,7 @@ def x27_dedup_clusters(spark, sf_dir):
         F.lit(None).cast("long").alias("n_docs"),
         F.lit(None).cast("long").alias("docs_to_drop"),
         F.lit(None).cast("double").alias("frac_of_corpus"),
+        *nulls.values(),
     )
     hist = graph.dedup_cluster_stats(clustered).select(
         F.lit("histogram").alias("method"),
@@ -97,8 +174,38 @@ def x27_dedup_clusters(spark, sf_dir):
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("docs_to_drop").cast("long").alias("docs_to_drop"),
         "frac_of_corpus",
+        *nulls.values(),
     )
-    return base.unionByName(hist)
+    edges = wat_to_links(_wat_records(docs))
+    gnulls = [
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("component"),
+        F.lit(None).cast("long").alias("cluster_size"),
+        F.lit(None).cast("boolean").alias("is_canonical"),
+        F.lit(None).cast("long").alias("n_clusters"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("docs_to_drop"),
+        F.lit(None).cast("double").alias("frac_of_corpus"),
+    ]
+    wat_leg = edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_links")
+    ).select(
+        F.lit("wat_edge").alias("method"),
+        *gnulls,
+        "src",
+        "dst",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.lit(None).cast("double").alias("rank"),
+    )
+    pr_leg = graph.pagerank(edges, iterations=WAT_PR_ITERATIONS).select(
+        F.lit("pagerank").alias("method"),
+        *gnulls,
+        F.col("node").alias("src"),
+        F.lit(None).cast("string").alias("dst"),
+        F.lit(None).cast("long").alias("n_links"),
+        F.round("rank", 6).alias("rank"),
+    )
+    return base.unionByName(hist).unionByName(wat_leg).unionByName(pr_leg)
 
 
 def x39_minhash_dedup(spark, sf_dir):

@@ -652,6 +652,45 @@ def test_funnel_raw_html_entry_point(spark):
     assert {1, 2} <= set(out)
 
 
+def test_funnel_main_content_entry_point(spark):
+    """main_content=True upgrades the html_extract stage to the jusText
+    block scorer: nav/footer chrome never reaches the content rules, the
+    stage stays count-preserving (audited as html_extract), and the
+    survivors carry boilerplate-free text."""
+    chrome = (
+        "<nav><a href='/'>Home</a> <a href='/shop'>Shop</a> "
+        "<a href='/faq'>FAQ</a></nav>"
+    )
+    footer = "<footer>Copyright 2026 Example. <a href='/tos'>Terms</a></footer>"
+    body = (
+        "<p>{text}</p><p>A second paragraph of the page written in plain "
+        "English prose with the usual run of articles and prepositions, "
+        "long enough for the block scorer to elect it a good block on "
+        "length and stopword density together.</p>"
+    )
+    rows = [
+        (1, chrome + body.format(
+            text="First page unique content words in a sentence. " * 8
+        ) + footer),
+        (2, chrome + body.format(
+            text="Second page distinct body words in the text. " * 8
+        ) + footer),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, audit = curation.curation_funnel(
+        docs, extract_html=True, main_content=True, rule_mode="any"
+    )
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["html_extract"] == 2  # count-preserving map
+    out = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert set(out) == {1, 2}
+    for t in out.values():
+        assert "Home" not in t and "Copyright" not in t and "<" not in t
+    assert "First page unique" in out[1] and "Second page distinct" in out[2]
+    # the audit columns do not leak into the funnel's corpus schema
+    assert "main_blocks_total" not in corpus.columns
+
+
 def test_funnel_domain_rank_gate(spark):
     """domain_ranks= adds the URL-trust gate right after the blocklist:
     docs on domains ranking below the threshold drop with a

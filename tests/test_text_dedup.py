@@ -1040,6 +1040,139 @@ def test_html_to_text_feeds_line_stages(spark):
     assert "Shared boilerplate" not in out[2] and "different second" in out[2]
 
 
+_ARTICLE_HTML = (
+    "<html><head><title>Site</title></head><body>"
+    "<nav><a href='/'>Home</a> <a href='/about'>About</a> "
+    "<a href='/contact'>Contact</a></nav>"
+    "<div class='cookie-banner'>We use cookies to improve your experience "
+    "on this site. <a href='#'>Accept</a> <a href='#'>Decline</a></div>"
+    "<article><header><h1>The Story of a Great Discovery</h1></header>"
+    "<p>This is the first paragraph of the article body, and it is long "
+    "enough to be a good block because it carries many common function "
+    "words of the English language in a natural prose rhythm that "
+    "continues for a while and a while longer until it crosses the two "
+    "hundred character threshold used by the scorer.</p>"
+    "<p>Short follow-up.</p>"
+    "<p>The second paragraph is also part of the main content and it too "
+    "is written in ordinary English prose, with the usual density of "
+    "articles and prepositions that real text has, going on long enough "
+    "to pass the length gate of the extractor by a comfortable margin of "
+    "characters.</p></article>"
+    "<div><a href='/a'>Related one</a> <a href='/b'>Related two</a> "
+    "<a href='/c'>Related three</a></div>"
+    "<footer>Copyright 2026 Example Corp. All rights reserved. "
+    "<a href='/privacy'>Privacy</a></footer>"
+    "</body></html>"
+)
+
+
+def test_extract_main_content_boilerplate_drops(spark):
+    """The jusText-shaped block scorer: nav / cookie banner / related-link
+    list / footer all drop, the headline (short, adjacent to good) and
+    both body paragraphs plus the short in-article follow-up keep, the
+    audit counts reconcile, NULL passes through, and the plan is map-only
+    JVM — zero Exchange, zero Python."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        extract_main_content,
+    )
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    docs = spark.createDataFrame(
+        [(1, _ARTICLE_HTML), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in extract_main_content(docs).collect()}
+    t = got[1]["text"]
+    lines = t.split("\n")
+    assert lines[0] == "The Story of a Great Discovery"
+    assert "first paragraph of the article body" in lines[1]
+    assert lines[2] == "Short follow-up."
+    assert "second paragraph is also part" in lines[3]
+    assert len(lines) == 4
+    for boiler in ("Home", "cookies", "Related", "Copyright", "Privacy"):
+        assert boiler not in t
+    assert got[1]["main_blocks_total"] == 5  # h1, p1, short, p2, related
+    assert got[1]["main_blocks_kept"] == 4
+    assert got[2]["text"] is None
+    assert got[2]["main_blocks_total"] == 0 and got[2]["main_blocks_kept"] == 0
+    counts = plan_counts(extract_main_content(docs))
+    assert counts["exchanges"] == 0 and counts["python_stages"] == 0
+
+
+def test_extract_main_content_context_and_density_rules(spark):
+    """The scoring rules one at a time: an ISOLATED short block drops (no
+    good neighbor), the same block next to a good paragraph keeps; a long
+    link-heavy block drops on link density; a long stopword-free label
+    wall drops on stopword density but keeps in language-free mode
+    (stopwords=()); thresholds are parameters."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        extract_main_content,
+    )
+
+    good = (
+        "<p>This paragraph is made of perfectly ordinary English prose "
+        "with the usual run of articles and prepositions and it rambles "
+        "on at sufficient length to clear the two hundred character bar "
+        "that the good-block election of the extractor requires of it.</p>"
+    )
+    menu = "<div>" + " ".join(
+        f"<a href='/{i}'>Navigation entry number {i} of the menu</a>"
+        for i in range(8)
+    ) + "</div>"
+    labels = "<p>" + " ".join(f"WIDGET-{i:04d} BLUE XL" for i in range(30)) + "</p>"
+    rows = [
+        (1, "<p>Isolated tagline.</p>"),
+        (2, f"{good}<p>Kept neighbor.</p>"),
+        (3, f"{menu}{good}"),
+        (4, f"{labels}{good}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in extract_main_content(docs).collect()}
+    assert got[1] == ""  # near-good with no good neighbor
+    assert "Kept neighbor." in got[2]
+    assert "Navigation entry" not in got[3] and "ordinary English" in got[3]
+    assert "WIDGET-0000" not in got[4] and "ordinary English" in got[4]
+    # language-free mode: the label wall passes (only link density gates)
+    free = {
+        r["doc_id"]: r["text"]
+        for r in extract_main_content(docs, stopwords=()).collect()
+    }
+    assert "WIDGET-0000" in free[4]
+
+
+def test_extract_main_content_feeds_line_stages(spark):
+    """Composition: extracted main content carries real newlines, so
+    paragraph_dedup and the C4 line rules act on it exactly like
+    html_to_text output — same contract, less boilerplate in."""
+    from aws_financial_data_pipeline_spark.operators import spans
+    from aws_financial_data_pipeline_spark.operators.text import (
+        extract_main_content,
+    )
+
+    shared = (
+        "<p>Shared opening paragraph used by both of the documents in the "
+        "fixture, written with enough ordinary English prose and the "
+        "usual function words to be elected a good content block by the "
+        "scorer, comfortably past the two hundred character threshold.</p>"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"<nav><a href='/'>Home</a></nav>{shared}"
+                "<p>Unique content of the first document.</p>"),
+            (2, f"{shared}<p>Entirely different second document body.</p>"),
+        ],
+        "doc_id long, text string",
+    )
+    txt = extract_main_content(docs).drop(
+        "main_blocks_total", "main_blocks_kept"
+    )
+    out = {
+        r["doc_id"]: r["clean_text"] for r in spans.paragraph_dedup(txt).collect()
+    }
+    assert "Shared opening" in out[1] and "Unique content" in out[1]
+    assert "Shared opening" not in out[2] and "different second" in out[2]
+    assert "Home" not in out[1]
+
+
 def test_script_profile_mix_and_argmax(spark):
     """Unicode-script mix: pure-script docs classify exactly; a mixed doc
     carries the right ratios; NULL/whitespace-only docs read as 'other'
