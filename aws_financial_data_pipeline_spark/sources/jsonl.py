@@ -342,21 +342,33 @@ def write_jsonl_conversations(
     id_col: str = "conv_id",
     turns_col: str = "turns",
     compress: bool = True,
+    codec: str = "gzip",
 ) -> None:
     """The SFT RELEASE direction: conversations out as OpenAI-format
-    ``.jsonl(.gz)`` shards (``{"id", "messages": [{"role", "content"},
-    …]}``) via Spark's native JSON sink — no Python in the path; the
-    nested array<struct> serializes in whole-stage codegen.
-    ``num_shards`` range-partitions by id for deterministic shard
-    membership and order (:func:`write_jsonl_corpus`'s reproducibility
-    contract). A release re-ingests through
-    :func:`read_jsonl_conversations` with ids re-keyed into the jsonl id
-    space; the round-trip invariant is turns-content equality
-    (fingerprint-stable) plus id stability across re-reads."""
+    ``.jsonl(.gz)`` / ``.jsonl.zst`` shards (``{"id", "messages":
+    [{"role", "content"}, …]}``) — ``codec="gzip"`` via Spark's native
+    JSON sink (no Python in the path; the nested array<struct>
+    serializes in whole-stage codegen), ``codec="zstd"`` via the
+    executor-side pyarrow compressor (:func:`_write_jsonl_zst_shards`,
+    JSON still JVM-serialized). ``num_shards`` range-partitions by id
+    for deterministic shard membership and order
+    (:func:`write_jsonl_corpus`'s reproducibility contract). A release
+    re-ingests through :func:`read_jsonl_conversations` with ids
+    re-keyed into the jsonl id space; the round-trip invariant is
+    turns-content equality (fingerprint-stable) plus id stability across
+    re-reads."""
+    if codec not in ("gzip", "zstd"):
+        raise ValueError(f"codec must be 'gzip' or 'zstd': {codec!r}")
     out = convs.select(
         F.col(id_col).cast("string").alias("id"),
         F.col(turns_col).alias("messages"),
     )
+    if compress and codec == "zstd":
+        lines = out.select(
+            "id", F.to_json(F.struct("id", "messages")).alias("_line")
+        )
+        _write_jsonl_zst_shards(lines, out_dir, num_shards, "id")
+        return
     if num_shards is not None:
         out = out.repartitionByRange(num_shards, F.col("id")).sortWithinPartitions(
             "id"
@@ -387,6 +399,53 @@ def _rename_json_shards(spark: SparkSession, out_dir: str) -> None:
             )
 
 
+def _write_jsonl_zst_shards(
+    lines: DataFrame, out_dir: str, num_shards: "int | None", key_col: str
+) -> None:
+    """Executor-side ``.jsonl.zst`` shard writer (r13): the JVM sink has
+    no zstd codec in this container (no native Hadoop lib), so the JSON
+    LINES are still serialized JVM-side (``to_json`` — byte-identical to
+    the native JSON sink's output) and only the compression runs in
+    Python, streaming through pyarrow's bundled zstd codec. The
+    write_tfrecord_shards determinism recipe: range-partition by the id,
+    sort within shard, per-attempt temp file + atomic ``os.replace`` (two
+    speculative attempts write identical bytes; whichever rename lands
+    last wins). ``out_dir`` must be executor-reachable (shared mount in
+    cluster mode); stale ``part-*.jsonl.zst`` shards are removed first
+    (overwrite semantics)."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "part-*.jsonl.zst")):
+        os.remove(stale)
+    if num_shards is not None:
+        lines = lines.repartitionByRange(
+            num_shards, F.col(key_col)
+        ).sortWithinPartitions(key_col)
+
+    def write_partition(idx: int, rows) -> Iterator:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        name = f"part-{idx:05d}.jsonl.zst"
+        path = os.path.join(out_dir, name)
+        ctx = TaskContext.get()
+        tmp = f"{path}.tmp-{ctx.taskAttemptId() if ctx else 0}"
+        n = 0
+        with pa.output_stream(tmp, compression="zstd") as fh:
+            for row in rows:
+                fh.write(row["_line"].encode("utf-8") + b"\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return iter(())
+        os.replace(tmp, path)
+        return iter(())
+
+    lines.rdd.mapPartitionsWithIndex(write_partition).collect()
+
+
 def write_jsonl_corpus(
     docs: DataFrame,
     out_dir: str,
@@ -395,22 +454,26 @@ def write_jsonl_corpus(
     url_col: str = "url",
     text_col: str = "text",
     compress: bool = True,
+    codec: str = "gzip",
 ) -> None:
-    """The RELEASE direction: write a curated corpus as ``.jsonl(.gz)``
-    shards — the interchange shape downstream consumers (HF datasets,
-    other training stacks) actually load. The writer codec is gzip ON
-    PURPOSE: this container's JVM has no native zstd codec, and Hadoop's
-    ``lz4`` is the non-interoperable block format (not the lz4 FRAME
-    other tools read) — gzip is the one codec that both stays JVM-side
-    and round-trips everywhere. READING ``.jsonl.zst``/``.lz4`` releases
-    works regardless (the source sniffs magic bytes through pyarrow's
-    bundled codecs). Rows become ``{"id", "url",
-    "text"}`` objects via Spark's native JSON sink (whole-stage codegen
-    serialization, gzip codec in the writer — no Python in the path);
+    """The RELEASE direction: write a curated corpus as ``.jsonl(.gz)`` or
+    ``.jsonl.zst`` shards — the interchange shapes downstream consumers
+    (HF datasets, other training stacks) actually load. ``codec="gzip"``
+    (default) uses Spark's native JSON sink end to end (whole-stage
+    codegen serialization, gzip codec in the writer — no Python in the
+    path). ``codec="zstd"`` — what Dolma/RedPajama-v2 consumers expect —
+    keeps the JSON serialization JVM-side (``to_json``) and compresses
+    executor-side through pyarrow's bundled zstd codec
+    (:func:`_write_jsonl_zst_shards`; the JVM sink itself has no zstd in
+    this container — no native Hadoop lib — and Hadoop's ``lz4`` is the
+    non-interoperable block format, so lz4 stays read-only). Either way a
+    release re-ingests through the same magic-byte-sniffing reader.
+    Rows become ``{"id", "url", "text"}`` objects;
     ``num_shards`` range-partitions by ``id_col`` first, so shard
     membership AND within-shard order are deterministic functions of the
-    ids (re-running a release reproduces byte-identical shard contents,
-    modulo gzip mtime headers — the reproducible-release property
+    ids (re-running a release reproduces byte-identical shard contents —
+    exactly, for zstd; modulo gzip mtime headers for gzip — the
+    reproducible-release property
     :func:`..operators.sampling.shard_manifest` certifies for parquet
     shards).
 
@@ -426,11 +489,19 @@ def write_jsonl_corpus(
     data), so a release directory drops straight into the streaming
     landing zone's ``.jsonl(.gz)`` dispatch; bare ``.json`` stays
     reserved for sidecar metadata there."""
+    if codec not in ("gzip", "zstd"):
+        raise ValueError(f"codec must be 'gzip' or 'zstd': {codec!r}")
     out = docs.select(
         F.col(id_col).cast("string").alias("id"),
         F.col(url_col).alias("url"),
         F.col(text_col).alias("text"),
     )
+    if compress and codec == "zstd":
+        lines = out.select(
+            "id", F.to_json(F.struct("id", "url", "text")).alias("_line")
+        )
+        _write_jsonl_zst_shards(lines, out_dir, num_shards, "id")
+        return
     if num_shards is not None:
         out = out.repartitionByRange(num_shards, F.col("id")).sortWithinPartitions(
             "id"

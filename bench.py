@@ -1024,6 +1024,94 @@ def _bench_pdf_extract(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_main_content(spark, sf_dir: str) -> float:
+    """The r13 jusText-shaped block scorer over the documents table
+    wrapped in realistic page chrome (nav + cookie banner + body
+    paragraphs + related-links + footer — built pre-t0 into a parquet
+    fixture so the timed region is the EXTRACTION, not the synthesis).
+    Map-only Catalyst: the timed job is one scan → one projection →
+    noop."""
+    import shutil
+    import tempfile
+
+    from aws_financial_data_pipeline_spark.operators.text import (
+        extract_main_content,
+    )
+
+    docs = _scaled_input(spark, f"{sf_dir}/documents.parquet")
+    chrome = (
+        "<nav><a href='/'>Home</a> <a href='/shop'>Shop</a> "
+        "<a href='/faq'>FAQ</a></nav><div class='cookie-banner'>We use "
+        "cookies on this site. <a href='#'>Accept</a></div>"
+    )
+    footer = (
+        "<div><a href='/a'>Related one</a> <a href='/b'>Related two</a>"
+        "</div><footer>Copyright 2026 Example. <a href='/t'>Terms</a></footer>"
+    )
+    html = F.concat(
+        F.lit(chrome + "<article><h1>Page title</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>Short follow-up.</p></article>" + footer),
+    )
+    tmp = tempfile.mkdtemp(prefix="afdp_bench_mc_")
+    try:
+        docs.select("doc_id", html.alias("text")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            extract_main_content(spark.read.parquet(tmp)).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            return time.perf_counter() - t0
+
+        return _best2(run)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_x28_leg(spark, sf_dir: str, leg: str) -> float:
+    """Per-leg timing for the x28 composite (r12 verdict: four
+    oracle-gated statistics timed as ONE row kept the repo-worst
+    2×-contract ratio needing a paragraph of adjudication every round —
+    these rows decide it from the artifact alone). Same operators and
+    parameters as the x28_tfidf_topk registry row, each leg timed alone;
+    the composite row itself stays in HEADLINE for round-over-round
+    comparability."""
+    from pyspark.sql import Window
+
+    from aws_financial_data_pipeline_spark.operators import similarity
+    from aws_financial_data_pipeline_spark.operators import text as txt
+
+    docs = _scaled_input(spark, f"{sf_dir}/documents.parquet")
+
+    def build():
+        if leg == "tfidf":
+            return txt.tfidf_top_terms(docs, k=5)
+        if leg == "pmi":
+            return txt.collocations(docs, k=50, min_count=5)
+        if leg == "bm25":
+            return txt.bm25_topk(docs, ["table", "join", "window"], k=20)
+        w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        lists = [
+            txt.bm25_topk(docs, q, k=20).select(
+                "doc_id", F.row_number().over(w).alias("rank")
+            )
+            for q in (["table", "join", "window"], ["filter", "group", "query"])
+        ]
+        return similarity.rrf_fuse(lists, k=10)
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        build().write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return elapsed
+
+    return _best2(run)
+
+
 def _bench_code_near_dup(spark, sf_dir: str) -> float:
     """The r12 identifier-normalized near-dup preset at corpus scale:
     code-SHAPED fixture files built pre-t0 from doc_id arithmetic —
@@ -1283,6 +1371,11 @@ def main() -> None:
         ("pdf_extract", _bench_pdf_extract, {}),
         ("code_curation", _bench_code_curation, {}),
         ("code_near_dup", _bench_code_near_dup, {}),
+        ("main_content_extract", _bench_main_content, {}),
+        ("x28_leg_tfidf", _bench_x28_leg, {"leg": "tfidf"}),
+        ("x28_leg_pmi", _bench_x28_leg, {"leg": "pmi"}),
+        ("x28_leg_bm25", _bench_x28_leg, {"leg": "bm25"}),
+        ("x28_leg_rrf", _bench_x28_leg, {"leg": "rrf"}),
         ("tfrecord_roundtrip", _bench_tfrecord_roundtrip, {}),
         ("chat_sft", _bench_chat_sft, {}),
         ("crawl_front_door", _bench_crawl_front_door, {}),

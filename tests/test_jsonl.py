@@ -174,6 +174,97 @@ def test_write_jsonl_corpus_release_roundtrip(spark, tmp_path):
     assert {r["doc_id"] for r in streamed.collect()} == current_ids
 
 
+def test_write_jsonl_corpus_zstd_release(spark, tmp_path):
+    """codec='zstd' (r13 — the Dolma/RedPajama-v2 release shape): shards
+    land as part-NNNNN.jsonl.zst, re-ingest through the magic-sniffing
+    reader with identical (url, text) content AND byte-identical line
+    payload vs the gzip release, a re-release is BYTE-identical file for
+    file (zstd carries no mtime header), and an unknown codec raises."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (101, "https://a.example.com/1", "Release doc one."),
+            (202, "https://a.example.com/2", "Release doc two."),
+            (303, None, "Release doc three, no url."),
+            (404, "https://b.example.com/4", "Release doc four."),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = tmp_path / "zst"
+    jsonlsrc.write_jsonl_corpus(docs, str(out), num_shards=2, codec="zstd")
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["part-00000.jsonl.zst", "part-00001.jsonl.zst"]
+
+    # decompressed payload equals what the gzip path serializes (the JSON
+    # lines are JVM-serialized either way) — verified via pyarrow,
+    # independent of the reader under test
+    import pyarrow as pa
+
+    gz = tmp_path / "gz"
+    jsonlsrc.write_jsonl_corpus(docs, str(gz), num_shards=2)
+    import gzip as _gz
+
+    gz_lines = sorted(
+        line
+        for p in gz.iterdir()
+        if p.name.endswith(".jsonl.gz")
+        for line in _gz.decompress(p.read_bytes()).splitlines()
+    )
+    zst_lines = sorted(
+        line
+        for p in out.iterdir()
+        for line in pa.input_stream(str(p), compression="zstd")
+        .read()
+        .splitlines()
+    )
+    assert zst_lines == gz_lines
+
+    back = jsonlsrc.read_jsonl_corpus(spark, str(out))
+    rows = back.collect()
+    assert {(r["url"], r["text"]) for r in rows if r["url"] and not r["url"].startswith("jsonl://")} == {
+        ("https://a.example.com/1", "Release doc one."),
+        ("https://a.example.com/2", "Release doc two."),
+        ("https://b.example.com/4", "Release doc four."),
+    }
+    assert len({r["doc_id"] for r in rows}) == 4
+
+    # re-release byte identity: fixed shard names, no timestamp headers
+    first = {p.name: p.read_bytes() for p in out.iterdir()}
+    jsonlsrc.write_jsonl_corpus(docs, str(out), num_shards=2, codec="zstd")
+    assert {p.name: p.read_bytes() for p in out.iterdir()} == first
+
+    with pytest.raises(ValueError, match="codec must be"):
+        jsonlsrc.write_jsonl_corpus(docs, str(out), codec="lz4")
+
+
+def test_write_jsonl_conversations_zstd_release(spark, tmp_path):
+    """The SFT release sink's zstd form: .jsonl.zst shards whose turns
+    round-trip through read_jsonl_conversations unchanged."""
+    convs = spark.createDataFrame(
+        [
+            (1, [("user", "Hi there"), ("assistant", "Hello!")]),
+            (2, [("system", "Be terse"), ("user", "Sum 2+2"),
+                 ("assistant", "4")]),
+        ],
+        jsonlsrc.CONV_CONTRACT,
+    )
+    out = str(tmp_path / "convs_zst")
+    jsonlsrc.write_jsonl_conversations(convs, out, num_shards=1, codec="zstd")
+    import os
+
+    assert [f for f in sorted(os.listdir(out))] == ["part-00000.jsonl.zst"]
+    back = jsonlsrc.read_jsonl_conversations(spark, out)
+    got = sorted(
+        tuple((t["role"], t["content"]) for t in r["turns"])
+        for r in back.collect()
+    )
+    assert got == [
+        (("system", "Be terse"), ("user", "Sum 2+2"), ("assistant", "4")),
+        (("user", "Hi there"), ("assistant", "Hello!")),
+    ]
+
+
 # --------------------------------------------------------------------------
 # Typed JSONL table scan/sink (round-2 API, restored in round 10 after the
 # corpus-shard rewrite accidentally replaced this module): explicit schema,
