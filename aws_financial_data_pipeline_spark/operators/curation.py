@@ -58,6 +58,7 @@ def curation_funnel(
     blocklist_on: str = "citations",
     extract_html: bool = False,
     main_content: bool = False,
+    main_content_stopwords: "tuple[str, ...] | None" = None,
     domain_ranks: "DataFrame | None" = None,
     domain_rank_threshold: float = 0.0,
     robots_rules: "DataFrame | None" = None,
@@ -124,7 +125,14 @@ def curation_funnel(
     extract_main_content`): nav/footer/cookie-banner blocks drop at the
     BLOCK level before any quality signal — the RefinedWeb/FineWeb
     ordering — instead of relying on the C4 line rules to claw
-    boilerplate back.
+    boilerplate back. Requires ``extract_html=True`` (raises otherwise —
+    a silent no-op would ship raw HTML into the content stages). The
+    scorer's stopword-density gate defaults to the ENGLISH function-word
+    list: for multilingual crawls pass the language's list via
+    ``main_content_stopwords=(...)`` or ``main_content_stopwords=()``
+    for the language-free mode (length + link density only) — a long
+    non-English prose block fails the English gate and would be dropped
+    as boilerplate.
 
     ``normalize=True`` prepends a count-preserving NFKC + control/whitespace
     normalization stage (:func:`..text.normalize_text`) so trivially-variant
@@ -175,6 +183,13 @@ def curation_funnel(
         raise ValueError(f"dedup_keep must be 'min_id' or 'best': {dedup_keep!r}")
     if dedup_keep == "best" and quality_model is None:
         raise ValueError("dedup_keep='best' requires quality_model (it keeps by quality_prob)")
+    if main_content and not extract_html:
+        # a silent no-op here would ship raw HTML into the content stages
+        # (the misconfiguration-raises convention of robots/domain gates)
+        raise ValueError(
+            "main_content=True requires extract_html=True (it selects the "
+            "extraction flavor of the html_extract stage)"
+        )
     def _stage(frame: DataFrame) -> DataFrame:
         return frame.localCheckpoint(eager=False) if materialize else frame
 
@@ -281,9 +296,14 @@ def curation_funnel(
         # ordering — still a count-preserving map (audit cols dropped;
         # run extract_main_content standalone to keep them).
         if main_content:
-            docs = tx.extract_main_content(docs, text_col=text_col).drop(
-                "main_blocks_total", "main_blocks_kept"
+            mc_kw = (
+                {}
+                if main_content_stopwords is None
+                else {"stopwords": tuple(main_content_stopwords)}
             )
+            docs = tx.extract_main_content(
+                docs, text_col=text_col, **mc_kw
+            ).drop("main_blocks_total", "main_blocks_kept")
         else:
             docs = tx.html_to_text(docs, text_col=text_col)
         docs = _stage(docs)

@@ -1177,9 +1177,12 @@ _BLOCK_BOUNDARY_RE = (
 )
 
 #: wholesale-droppable semantic containers (HTML5 landmark roles that are
-#:  chrome by definition; <header> is NOT here — article headers carry the
-#:  headline)
-_SEMANTIC_CHROME_RE = r"(?is)<(nav|aside|footer|form)\b[^>]*>.*?</\1\s*>"
+#: chrome by definition; <header> is NOT here — article headers carry the
+#: headline; <form> is NOT here either — classic ASP.NET WebForms wraps
+#: the ENTIRE page body in one <form runat=server>, so dropping forms
+#: wholesale deletes whole site families (r13 review, reproduced); form
+#: controls carry little text and the density rules handle what remains)
+_SEMANTIC_CHROME_RE = r"(?is)<(nav|aside|footer)\b[^>]*>.*?</\1\s*>"
 
 #: class/id tokens that mark chrome containers (cookie banners, consent
 #: walls, breadcrumbs, comment sections). Token-bounded lookarounds so
@@ -1227,7 +1230,7 @@ def extract_main_content(
 
     1. drop ``<script>/<style>/<template>/<head>`` + comments (the
        html_to_text rules), then — ``drop_semantic=True`` — the HTML5
-       chrome landmarks ``<nav>/<aside>/<footer>/<form>`` wholesale and
+       chrome landmarks ``<nav>/<aside>/<footer>`` wholesale and
        containers whose class/id carries a chrome token (cookie, consent,
        gdpr, banner, breadcrumb, sidebar, comment; token-bounded so
        'commentary' never over-drops),
@@ -1348,14 +1351,10 @@ def extract_main_content(
     )
 
 
-def _clean_cell_expr(c: Column) -> Column:
-    """One table cell's inner HTML → text: strip inline tags, decode the
-    frequent entities (same table + &amp;-last order as html_to_text),
-    collapse whitespace, trim."""
-    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
-    for ent, rep in _HTML_ENTITIES:
-        c = F.regexp_replace(c, ent, rep)
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+# table cells clean through the SAME fragment rule as main-content blocks
+# (strip inline tags, house entity order, collapse, trim) — one definition
+# so the entity-order-sensitive logic cannot drift (r13 review)
+_clean_cell_expr = _strip_inline_expr
 
 
 def html_tables(

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from ..operators.similarity import plane_rows
 from ..operators.text import BPE_REGEX, LANG_STOPWORDS, PII_PATTERNS
+from .ext_queries import WAT_HOSTS, WAT_PR_ITERATIONS
 from .transactions_view import ORACLE_PRELUDE as _P
 
 # shared shingle prelude (word 3-grams, distinct per doc)
@@ -282,7 +283,7 @@ EXT_ORACLES: dict[str, str] = {
     chist AS (SELECT cluster_size, count(*) AS n_clusters FROM csize GROUP BY 1),
     ctot AS (SELECT count(*) AS total FROM documents),
     """
-    + _wat_link_ctes(6)
+    + _wat_link_ctes(WAT_PR_ITERATIONS, hosts=WAT_HOSTS)
     + f"""
     SELECT 'cluster' AS method, d.doc_id, c.component,
            count(*) OVER (PARTITION BY c.component) AS cluster_size,
@@ -323,7 +324,7 @@ EXT_ORACLES: dict[str, str] = {
            CAST(NULL AS DOUBLE) AS frac_of_corpus,
            p.node AS src, CAST(NULL AS VARCHAR) AS dst,
            CAST(NULL AS BIGINT) AS n_links, round(p.r, 6) AS "rank"
-    FROM pr6 p
+    FROM pr{WAT_PR_ITERATIONS} p
     """,
     # LSH candidates verified with exact Jaccard over their shingle sets
     "x39_minhash_dedup": _MINHASH_SIG

@@ -399,6 +399,9 @@ def _rename_json_shards(spark: SparkSession, out_dir: str) -> None:
             )
 
 
+_ZST_STAGING = ".staging-jsonl-zst"
+
+
 def _write_jsonl_zst_shards(
     lines: DataFrame, out_dir: str, num_shards: "int | None", key_col: str
 ) -> None:
@@ -411,14 +414,26 @@ def _write_jsonl_zst_shards(
     sort within shard, per-attempt temp file + atomic ``os.replace`` (two
     speculative attempts write identical bytes; whichever rename lands
     last wins). ``out_dir`` must be executor-reachable (shared mount in
-    cluster mode); stale ``part-*.jsonl.zst`` shards are removed first
-    (overwrite semantics)."""
-    import glob
+    cluster mode).
+
+    Overwrite semantics mirror the native sink's commit protocol (r13
+    review — the first cut deleted old shards BEFORE the job and left
+    per-attempt tmp files readers could ingest): shards are written into
+    a hidden staging dir (dot-prefixed — binaryFile/Hadoop sources skip
+    hidden files, so a half-written release is invisible and a FAILED job
+    leaves the previous release untouched); only after the job succeeds
+    is every previous entry of ``out_dir`` — gzip shards from a codec
+    switch, _SUCCESS markers, orphaned tmps — removed and the staged
+    shards moved up. In-staging tmp files are dot-prefixed too, so an
+    orphan from a killed attempt is never promoted nor read."""
     import os
+    import shutil
 
     os.makedirs(out_dir, exist_ok=True)
-    for stale in glob.glob(os.path.join(out_dir, "part-*.jsonl.zst")):
-        os.remove(stale)
+    staging = os.path.join(out_dir, _ZST_STAGING)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
     if num_shards is not None:
         lines = lines.repartitionByRange(
             num_shards, F.col(key_col)
@@ -429,9 +444,10 @@ def _write_jsonl_zst_shards(
         from pyspark import TaskContext
 
         name = f"part-{idx:05d}.jsonl.zst"
-        path = os.path.join(out_dir, name)
         ctx = TaskContext.get()
-        tmp = f"{path}.tmp-{ctx.taskAttemptId() if ctx else 0}"
+        tmp = os.path.join(
+            staging, f".{name}.tmp-{ctx.taskAttemptId() if ctx else 0}"
+        )
         n = 0
         with pa.output_stream(tmp, compression="zstd") as fh:
             for row in rows:
@@ -440,10 +456,21 @@ def _write_jsonl_zst_shards(
         if n == 0:
             os.remove(tmp)
             return iter(())
-        os.replace(tmp, path)
+        os.replace(tmp, os.path.join(staging, name))
         return iter(())
 
     lines.rdd.mapPartitionsWithIndex(write_partition).collect()
+    # the job succeeded: swap the staged release in
+    for entry in os.listdir(out_dir):
+        if entry == _ZST_STAGING:
+            continue
+        p = os.path.join(out_dir, entry)
+        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    for entry in sorted(os.listdir(staging)):
+        if entry.startswith("."):
+            continue  # orphan tmp of a killed attempt: never promoted
+        os.replace(os.path.join(staging, entry), os.path.join(out_dir, entry))
+    shutil.rmtree(staging)
 
 
 def write_jsonl_corpus(

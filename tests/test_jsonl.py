@@ -234,6 +234,21 @@ def test_write_jsonl_corpus_zstd_release(spark, tmp_path):
     jsonlsrc.write_jsonl_corpus(docs, str(out), num_shards=2, codec="zstd")
     assert {p.name: p.read_bytes() for p in out.iterdir()} == first
 
+    # codec SWITCH into the same dir removes the other codec's shards —
+    # r13 review: the first cut left the .jsonl.gz shards behind and
+    # re-ingest returned every document twice
+    jsonlsrc.write_jsonl_corpus(docs, str(gz), num_shards=2, codec="zstd")
+    assert sorted(p.name for p in gz.iterdir()) == [
+        "part-00000.jsonl.zst", "part-00001.jsonl.zst",
+    ]
+    assert jsonlsrc.read_jsonl_corpus(spark, str(gz)).count() == 4
+
+    # an orphaned per-attempt tmp (killed executor) is dot-prefixed:
+    # invisible to the binaryFile reader, never promoted by a re-release
+    orphan = out / ".part-00000.jsonl.zst.tmp-99"
+    orphan.write_bytes(b"\x28\xb5\x2f\xfdgarbage")
+    assert jsonlsrc.read_jsonl_corpus(spark, str(out)).count() == 4
+
     with pytest.raises(ValueError, match="codec must be"):
         jsonlsrc.write_jsonl_corpus(docs, str(out), codec="lz4")
 

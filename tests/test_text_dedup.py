@@ -1139,6 +1139,72 @@ def test_extract_main_content_context_and_density_rules(spark):
     assert "WIDGET-0000" in free[4]
 
 
+def test_extract_main_content_keeps_form_wrapped_bodies(spark):
+    """Classic ASP.NET WebForms wraps the ENTIRE page body in one
+    <form runat=server> — <form> must NOT be a wholesale-dropped chrome
+    landmark or whole site families vanish (r13 review, reproduced);
+    nav/aside/footer still drop."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        extract_main_content,
+    )
+
+    prose = (
+        "This page is made of perfectly ordinary English prose with the "
+        "usual run of articles and prepositions and it rambles on at "
+        "sufficient length to clear the two hundred character bar that "
+        "the good-block election of the extractor requires of it."
+    )
+    html = (
+        "<body><form id='form1' runat='server'>"
+        "<nav><a href='/'>Home</a> <a href='/x'>Other</a></nav>"
+        f"<div><p>{prose}</p></div>"
+        "<footer>Copyright 2026.</footer></form></body>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    got = extract_main_content(docs).collect()[0]
+    assert "ordinary English prose" in got["text"]
+    assert "Home" not in got["text"] and "Copyright" not in got["text"]
+
+
+def test_extract_main_content_non_english_stopwords(spark):
+    """The stopword gate is language-parameterized: long German prose
+    fails the ENGLISH gate (classified boilerplate) but keeps with a
+    German stoplist or in language-free mode — the multilingual contract
+    curation_funnel(main_content_stopwords=...) forwards."""
+    from aws_financial_data_pipeline_spark.operators import curation
+    from aws_financial_data_pipeline_spark.operators.text import (
+        extract_main_content,
+    )
+
+    german = (
+        "Dieser Absatz ist in gewöhnlicher deutscher Prosa geschrieben und "
+        "er enthält die üblichen Artikel und Präpositionen der deutschen "
+        "Sprache. Er läuft lange genug weiter um die Schwelle von "
+        "zweihundert Zeichen zu überschreiten die der Extraktor für einen "
+        "guten Block verlangt. Und er besteht aus drei Sätzen damit auch "
+        "die Regeln für den Inhalt in der Pipeline ihn nicht verwerfen "
+        "wenn der Trichter ihn später noch einmal bewertet."
+    )
+    html = f"<body><p>{german}</p></body>"
+    docs = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    assert extract_main_content(docs).collect()[0]["text"] == ""
+    de_stop = ("der", "die", "das", "und", "ist", "ein", "in", "zu", "den",
+               "von", "für", "er", "sie", "es", "um", "im", "auf")
+    got = extract_main_content(docs, stopwords=de_stop).collect()[0]["text"]
+    assert "deutscher Prosa" in got
+    # … and the funnel forwards the list (plus raises on the silent no-op
+    # misconfiguration main_content without extract_html — r13 review)
+    import pytest as _pt
+
+    corpus, _audit = curation.curation_funnel(
+        docs, extract_html=True, main_content=True,
+        main_content_stopwords=de_stop, rule_mode="any",
+    )
+    assert "deutscher Prosa" in corpus.collect()[0]["text"]
+    with _pt.raises(ValueError, match="main_content=True requires"):
+        curation.curation_funnel(docs, main_content=True)
+
+
 def test_extract_main_content_feeds_line_stages(spark):
     """Composition: extracted main content carries real newlines, so
     paragraph_dedup and the C4 line rules act on it exactly like
