@@ -51,6 +51,7 @@ from .tar import parse_tar_files, parse_zip_files, read_tar_corpus, read_zip_cor
 from .warc import (
     parse_warc_files,
     read_warc,
+    warc_parse_errors,
     warc_to_documents,
     wet_to_documents,
 )
@@ -84,7 +85,8 @@ def ingest_corpus(
     archive_pattern: str | None = ".txt",
     max_member_bytes: int = 64 << 20,
     sniff: bool = False,
-) -> DataFrame:
+    with_errors: bool = False,
+):
     """Union every supplied corpus shape into one front-door frame.
     ``sniff=True`` enables statistical charset detection on the WARC
     leg's undeclared-invalid-UTF-8 residue (``warc_to_documents`` —
@@ -95,20 +97,36 @@ def ingest_corpus(
     plan-level, so the combined frame is still a shuffle-free scan+parse
     whose partition count is the total file count). At least one source
     directory is required.
-    """
+
+    ``with_errors=True`` (r13) returns ``(docs, errors)`` where
+    ``errors`` is the union of the WARC/WET legs' per-record parse-error
+    ledgers (:func:`..warc.warc_parse_errors` + a ``source`` column) —
+    the audit surface for records whose HTTP envelope could not be
+    inverted or that are unreassembled segments. Count it next to the
+    corpus the way the curation funnel counts its ledger: at 100 TB a
+    lost record must surface as a NUMBER, not a dead job. The other legs
+    contribute no rows (their parse conventions raise loudly at the file
+    level instead)."""
     legs: list[DataFrame] = []
+    err_legs: list[DataFrame] = []
     if warc_dir is not None:
-        docs = warc_to_documents(read_warc(spark, warc_dir), sniff=sniff)
+        records = read_warc(spark, warc_dir)
+        docs = warc_to_documents(records, sniff=sniff)
         if extract_html:
             from ..operators.text import html_to_text
 
             docs = html_to_text(docs)
         legs.append(docs.withColumn("source", F.lit("warc")))
-    if wet_dir is not None:
-        wet = wet_to_documents(
-            read_warc(spark, wet_dir, record_types=("conversion",))
+        err_legs.append(
+            warc_parse_errors(records).withColumn("source", F.lit("warc"))
         )
+    if wet_dir is not None:
+        wet_records = read_warc(spark, wet_dir, record_types=("conversion",))
+        wet = wet_to_documents(wet_records)
         legs.append(wet.withColumn("source", F.lit("wet")))
+        err_legs.append(
+            warc_parse_errors(wet_records).withColumn("source", F.lit("wet"))
+        )
     if tar_dir is not None:
         legs.append(
             _archive_docs(
@@ -147,7 +165,20 @@ def ingest_corpus(
     out = legs[0].select(*CORPUS_DOC_COLS)
     for leg in legs[1:]:
         out = out.unionByName(leg.select(*CORPUS_DOC_COLS))
-    return out
+    if not with_errors:
+        return out
+    err_cols = ("path", "record_id", "warc_type", "url", "parse_error", "source")
+    if err_legs:
+        errors = err_legs[0].select(*err_cols)
+        for e in err_legs[1:]:
+            errors = errors.unionByName(e.select(*err_cols))
+    else:
+        errors = spark.createDataFrame(
+            [],
+            "path string, record_id string, warc_type string, url string, "
+            "parse_error string, source string",
+        )
+    return out, errors
 
 
 #: the media front-door contract (the multimodal PAYLOAD shape + provenance)

@@ -140,6 +140,49 @@ def test_ingest_corpus_unions_all_legs(spark, tmp_path):
         corpussrc.ingest_corpus(spark)
 
 
+def test_ingest_corpus_with_errors_ledger(spark, tmp_path):
+    """with_errors=True returns (docs, errors): a record whose HTTP
+    envelope cannot be inverted (unknown content-coding) costs ONE ledger
+    row — named source, record id, real error string — while its
+    file-siblings and every other leg ingest normally; a clean landing
+    zone yields an empty, typed ledger."""
+    warc_dir, wet_dir, tar_dir, zip_dir = _write_fixtures(tmp_path)
+    poisoned = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: compress\r\n\r\n\x1f\x9d\x90junk"
+    )
+    (warc_dir / "poison.warc.gz").write_bytes(
+        warc.encode_warc(
+            [
+                {"warc_type": "response", "url": "https://p.example.com/bad",
+                 "record_id": "<urn:uuid:poison>", "body": poisoned},
+                {"warc_type": "response", "url": "https://p.example.com/ok",
+                 "record_id": "<urn:uuid:pok>",
+                 "html": f"<p>{_prose('wa1')}</p>"},
+            ]
+        )
+    )
+    docs, errors = corpussrc.ingest_corpus(
+        spark, warc_dir=str(warc_dir), wet_dir=str(wet_dir), with_errors=True
+    )
+    urls = {r["url"] for r in docs.collect()}
+    assert "https://p.example.com/ok" in urls
+    assert "https://p.example.com/bad" not in urls
+    led = errors.collect()
+    assert len(led) == 1
+    assert led[0]["source"] == "warc"
+    assert led[0]["record_id"] == "<urn:uuid:poison>"
+    assert "content-coding 'compress'" in led[0]["parse_error"]
+    # clean zone: empty ledger, stable schema
+    _docs2, errors2 = corpussrc.ingest_corpus(
+        spark, wet_dir=str(wet_dir), with_errors=True
+    )
+    assert errors2.count() == 0
+    assert errors2.columns == [
+        "path", "record_id", "warc_type", "url", "parse_error", "source",
+    ]
+
+
 def test_ingest_corpus_through_curation_funnel(spark, tmp_path):
     """The full composition: archives in → unified ingest → blocklist-gated
     curation funnel → audited survivors. The blocked domain drops its WARC
