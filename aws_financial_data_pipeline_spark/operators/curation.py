@@ -51,6 +51,7 @@ def curation_funnel(
     id_col: str = "doc_id",
     materialize: bool = True,
     rule_mode: str = "all",
+    repetition: bool = False,
     normalize: bool = False,
     dedup_keep: str = "min_id",
     with_ledger: bool = False,
@@ -133,6 +134,13 @@ def curation_funnel(
     for the language-free mode (length + link density only) — a long
     non-English prose block fails the English gate and would be dropped
     as boilerplate.
+
+    ``repetition=True`` adds the Gopher REPETITION gate right after the
+    rule families (:func:`..operators.text.repetition_profile` — dup
+    line/paragraph fractions and repeated-n-gram character coverage, one
+    Arrow kernel pass): documents failing ANY of the thirteen Gopher A1
+    thresholds drop. Audited as stage ``repetition_rules``; ledger
+    reason ``gopher_repetition``.
 
     ``normalize=True`` prepends a count-preserving NFKC + control/whitespace
     normalization stage (:func:`..text.normalize_text`) so trivially-variant
@@ -372,6 +380,19 @@ def curation_funnel(
     cur = cur.join(rules, id_col).filter(gate).drop("_c4_keep", "_gopher_keep")
     cur = _stage(cur)
     stages.append(("rule_filters", cur))
+
+    if repetition:
+        # the OTHER half of the Gopher gate (r13): dup-line/paragraph and
+        # repeated-n-gram character fractions — one Arrow kernel pass
+        # (repetition_profile), joined as a flag like the rule families
+        prev = cur
+        rep = tx.repetition_profile(cur, text_col=text_col, id_col=id_col).select(
+            F.col("doc_id").alias(id_col), F.col("keep").alias("_rep_keep")
+        )
+        cur = cur.join(rep, id_col).filter(F.col("_rep_keep")).drop("_rep_keep")
+        cur = _stage(cur)
+        stages.append(("repetition_rules", cur))
+        _gone(prev, cur, "repetition_rules", "gopher_repetition")
 
     if quality_model is not None:
         from .quality import score_quality

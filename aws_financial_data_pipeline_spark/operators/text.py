@@ -513,6 +513,164 @@ def gopher_quality_flags(
     return docs.select(id_col, *_gopher_output_cols(text_col, F.col("_tok")))
 
 
+# --- Gopher repetition filters (the OTHER half of the Gopher gate) -------
+
+#: Gopher (Rae et al. 2021, Table A1) repetition thresholds: signal name →
+#: max allowed fraction. Shared by the kernel's flag pass and the funnel
+#: gate so thresholds live in one place.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+_REPETITION_SCHEMA = ", ".join(
+    ["doc_id long"]
+    + [f"{name} double" for name in GOPHER_REPETITION_THRESHOLDS]
+    + [f"ok_{name} boolean" for name in GOPHER_REPETITION_THRESHOLDS]
+    + ["keep boolean"]
+)
+
+
+def _repetition_signals(text: "str | None") -> list:
+    """One document's thirteen Gopher repetition fractions (pure Python,
+    one linear pass per n — the per-doc kernel behind
+    :func:`repetition_profile`). Exact definitions (the public
+    datatrove/Gopher semantics, stated here because the paper leaves
+    corner cases open):
+
+    - lines split on ``\\n`` / paragraphs on ``\\n\\n``, blank elements
+      dropped, surrounding whitespace stripped;
+      ``dup_*_frac`` = duplicate OCCURRENCES (count−1 per distinct
+      element seen more than once) ÷ total elements;
+      ``dup_*_char_frac`` = characters of those duplicate occurrences ÷
+      characters of all elements.
+    - word n-grams over whitespace tokens. ``top_{2,3,4}gram_char_frac``
+      = word chars covered by the occurrences of the single MOST
+      FREQUENT n-gram ÷ total word chars (position-marked: a naive
+      count×len exceeds 1.0 whenever occurrences overlap, e.g. the top
+      4-gram of "x y x y x y" — "fraction of characters contained
+      within" is coverage), 0 when the max count is 1, ties broken by
+      first occurrence. ``dup_{5..10}gram_char_frac`` = word chars
+      covered by ANY occurrence of an n-gram appearing ≥ 2 times ÷ total
+      word chars — same marking, so overlaps never double-count.
+
+    Degenerate inputs are defined, not poisoned: empty/NULL text and
+    short docs yield all-zero fractions (nothing repeats in nothing)."""
+    if not text:
+        return [0.0] * len(GOPHER_REPETITION_THRESHOLDS)
+    from collections import Counter
+
+    out: list = []
+    for sep in ("\n", "\n\n"):
+        elems = [e.strip() for e in text.split(sep)]
+        elems = [e for e in elems if e]
+        if not elems:
+            out.append((0.0, 0.0))
+            continue
+        counts = Counter(elems)
+        dups = sum(c - 1 for c in counts.values() if c > 1)
+        dup_chars = sum(len(e) * (c - 1) for e, c in counts.items() if c > 1)
+        total_chars = sum(len(e) for e in elems)
+        out.append(
+            (dups / len(elems), dup_chars / total_chars if total_chars else 0.0)
+        )
+    (dl, dlc), (dp, dpc) = out
+    fracs = [dl, dp, dlc, dpc]
+
+    words = text.split()
+    total_wchars = sum(len(w) for w in words)
+    wlen = len(words)
+    def coverage(n: int, dup_only: bool) -> float:
+        if wlen < n or not total_wchars:
+            return 0.0
+        grams = [tuple(words[i:i + n]) for i in range(wlen - n + 1)]
+        counts = Counter(grams)
+        if dup_only:
+            hot = {g for g, c in counts.items() if c > 1}
+        else:
+            # first-occurrence tie-break: Counter preserves insertion order
+            top, top_count = max(counts.items(), key=lambda kv: kv[1])
+            if top_count < 2:
+                return 0.0
+            hot = {top}
+        marked = bytearray(wlen)
+        for i, g in enumerate(grams):
+            if g in hot:
+                for j in range(i, i + n):
+                    marked[j] = 1
+        covered = sum(len(w) for w, m in zip(words, marked) if m)
+        return covered / total_wchars
+
+    for n in (2, 3, 4):
+        fracs.append(coverage(n, dup_only=False))
+    for n in range(5, 11):
+        fracs.append(coverage(n, dup_only=True))
+    return fracs
+
+
+def repetition_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher REPETITION filters (Rae et al. 2021 §A1.1, public
+    method) — the other half of the Gopher gate next to
+    :func:`gopher_quality_flags`' shape rules, and the signal family
+    FineWeb/Dolma-class pipelines apply verbatim: per document, the
+    duplicate line / paragraph fractions (element- and character-based),
+    the character fraction of the single most frequent {2,3,4}-gram, and
+    the character fraction covered by duplicated {5..10}-grams
+    (position-marked — overlaps never double-count; exact definitions in
+    :func:`_repetition_signals`). Output: the thirteen fractions (4dp),
+    an ``ok_<signal>`` flag per Gopher threshold
+    (:data:`GOPHER_REPETITION_THRESHOLDS`), and ``keep`` = their
+    conjunction — flags, not a filter, so drop rates are auditable per
+    rule before committing thresholds.
+
+    Shape at 100 TB: every signal is PER-DOCUMENT, so this is ONE
+    Arrow-batched kernel pass — map-only, zero shuffle (plan-asserted),
+    linear per doc (one Counter pass per n). The Catalyst alternative
+    (explode n-grams → count → max per doc) shuffles the whole corpus
+    once per n; per-doc signals never need cross-doc aggregation, so
+    the Arrow kernel is the right plan, the sniff_decode rule."""
+    import pandas as pd
+
+    names = list(GOPHER_REPETITION_THRESHOLDS)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                fracs = [
+                    round(f, 4)
+                    for f in _repetition_signals(
+                        None if text is None else str(text)
+                    )
+                ]
+                flags = [
+                    f <= GOPHER_REPETITION_THRESHOLDS[n]
+                    for n, f in zip(names, fracs)
+                ]
+                rows.append((did, *fracs, *flags, all(flags)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", *names, *[f"ok_{n}" for n in names], "keep"],
+            )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(run, _REPETITION_SCHEMA)
+
+
 def _c4_output_cols(
     text_col: str,
     min_words_per_line: int = 5,

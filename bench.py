@@ -1024,6 +1024,26 @@ def _bench_pdf_extract(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_repetition_profile(spark, sf_dir: str) -> float:
+    """The Gopher repetition gate (r13) over the documents table: one
+    Arrow-batched kernel pass computing all thirteen dup-line/paragraph
+    and n-gram coverage fractions — map-only, zero shuffle; the number to
+    watch is kernel throughput (Counter passes per n are linear in doc
+    length)."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        repetition_profile,
+    )
+
+    docs = _scaled_input(spark, f"{sf_dir}/documents.parquet")
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        repetition_profile(docs).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    return _best2(run)
+
+
 def _bench_main_content(spark, sf_dir: str) -> float:
     """The r13 jusText-shaped block scorer over the documents table
     wrapped in realistic page chrome (nav + cookie banner + body
@@ -1372,6 +1392,7 @@ def main() -> None:
         ("code_curation", _bench_code_curation, {}),
         ("code_near_dup", _bench_code_near_dup, {}),
         ("main_content_extract", _bench_main_content, {}),
+        ("repetition_profile", _bench_repetition_profile, {}),
         ("x28_leg_tfidf", _bench_x28_leg, {"leg": "tfidf"}),
         ("x28_leg_pmi", _bench_x28_leg, {"leg": "pmi"}),
         ("x28_leg_bm25", _bench_x28_leg, {"leg": "bm25"}),

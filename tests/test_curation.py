@@ -691,6 +691,28 @@ def test_funnel_main_content_entry_point(spark):
     assert "main_blocks_total" not in corpus.columns
 
 
+def test_funnel_repetition_gate(spark):
+    """repetition=True adds the Gopher repetition gate after the rule
+    families: a doc that is one paragraph repeated four times drops with
+    a gopher_repetition ledger row; ordinary prose passes; the stage is
+    audited as repetition_rules."""
+    looper = "\n\n".join(
+        ["The same paragraph of marketing copy is repeated verbatim here."]
+        * 8
+    )
+    docs = spark.createDataFrame(
+        [(1, GOOD1), (2, GOOD3), (3, looper)], "doc_id long, text string"
+    )
+    corpus, audit, ledger = curation.curation_funnel(
+        docs, rule_mode="any", repetition=True, with_ledger=True
+    )
+    a = {r["stage"]: r["docs_kept"] for r in audit.collect()}
+    assert a["rule_filters"] == 3 and a["repetition_rules"] == 2
+    led = {r["doc_id"]: r["reason"] for r in ledger.collect()}
+    assert led[3] == "gopher_repetition"
+    assert {r["doc_id"] for r in corpus.collect()} == {1, 2}
+
+
 def test_funnel_domain_rank_gate(spark):
     """domain_ranks= adds the URL-trust gate right after the blocklist:
     docs on domains ranking below the threshold drop with a

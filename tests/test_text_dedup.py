@@ -1239,6 +1239,89 @@ def test_extract_main_content_feeds_line_stages(spark):
     assert "Home" not in out[1]
 
 
+def test_repetition_profile_known_values(spark):
+    """Gopher repetition signals against hand-computed ground truth:
+    duplicate line/paragraph fractions (element- and char-based), the
+    top-{2,3,4}-gram char fraction, and the position-marked duplicated
+    {5..10}-gram coverage; NULL/empty and no-repetition docs read
+    all-zero and keep; the plan is ONE Arrow stage, zero shuffle."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        repetition_profile,
+    )
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    rows = [
+        # 4 non-empty lines, 'alpha' twice: dup_line_frac = 1/4; chars:
+        # dup occurrence 5 of total 5+4+5+5=19
+        (1, "alpha\nbeta\nalpha\ngamma"),
+        # 3 paragraphs, 'para one' twice: dup_para_frac = 1/3,
+        # char frac = 8/24 (lines: 'para one','para one','para two' →
+        # dup_line too: same fractions)
+        (2, "para one\n\npara one\n\npara two"),
+        # top 2-gram ('x','y') count 3 of 6 words (total word chars 6):
+        # 3*2/6 = 1.0; dup 5-gram: (a..e) twice covers all 10 words
+        (3, "x y x y x y"),
+        (4, "a b c d e a b c d e"),
+        (5, None),
+        (6, ""),
+        (7, "every word here is completely distinct prose"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_profile(docs).collect()}
+    assert got[1]["dup_line_frac"] == 0.25
+    assert got[1]["dup_line_char_frac"] == round(5 / 19, 4)
+    assert got[1]["dup_para_frac"] == 0.0  # no blank line: one paragraph
+    assert got[2]["dup_para_frac"] == 0.3333
+    assert got[2]["dup_para_char_frac"] == 0.3333
+    assert got[3]["top_2gram_char_frac"] == 1.0
+    assert got[3]["ok_top_2gram_char_frac"] is False and got[3]["keep"] is False
+    assert got[4]["dup_5gram_char_frac"] == 1.0
+    assert got[4]["ok_dup_5gram_char_frac"] is False
+    # overlapping duplicated grams never double-count: coverage ≤ 1
+    assert 0.0 <= got[4]["dup_6gram_char_frac"] <= 1.0
+    for d in (5, 6, 7):
+        assert got[d]["keep"] is True
+        assert all(
+            got[d][c] == 0.0
+            for c in got[d].asDict()
+            if c.endswith("_frac") and not c.startswith("ok_")
+        )
+    counts = plan_counts(repetition_profile(docs))
+    assert counts["exchanges"] == 0 and counts["map_in_pandas"] == 1
+
+
+def test_repetition_profile_fraction_bounds(spark):
+    """Property: every fraction lands in [0, 1] for arbitrary text, and a
+    doc duplicated wholesale trips the line/paragraph rules."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_financial_data_pipeline_spark.operators.text import (
+        _repetition_signals,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=400))
+    def run(t):
+        for f in _repetition_signals(t):
+            assert 0.0 <= f <= 1.0
+
+    run()
+
+    para = "the same paragraph of words repeated verbatim"
+    fr = dict(
+        zip(
+            (
+                "dup_line_frac dup_para_frac dup_line_char_frac "
+                "dup_para_char_frac"
+            ).split(),
+            _repetition_signals("\n\n".join([para] * 4))[:4],
+        )
+    )
+    assert fr["dup_para_frac"] == 0.75 and fr["dup_para_char_frac"] == 0.75
+    assert fr["dup_line_frac"] == 0.75
+
+
 def test_script_profile_mix_and_argmax(spark):
     """Unicode-script mix: pure-script docs classify exactly; a mixed doc
     carries the right ratios; NULL/whitespace-only docs read as 'other'
