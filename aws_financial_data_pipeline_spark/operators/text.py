@@ -542,9 +542,13 @@ _REPETITION_SCHEMA = ", ".join(
 )
 
 
-def _repetition_signals(text: "str | None") -> list:
-    """One document's thirteen Gopher repetition fractions (pure Python,
-    one linear pass per n — the per-doc kernel behind
+def _repetition_counts(text: "str | None") -> "list[tuple[int, int]]":
+    """One document's thirteen Gopher repetition signals as EXACT integer
+    (numerator, denominator) pairs — fraction = num/den, den 0 meaning
+    "no elements" (fraction 0). Integers keep the operator's flags exact
+    (cross-multiplication against the thresholds, no float rounding in a
+    gate decision) and give the oracle leg a drift-free hash surface
+    (pure Python, one linear pass per n — the per-doc kernel behind
     :func:`repetition_profile`). Exact definitions (the public
     datatrove/Gopher semantics, stated here because the paper leaves
     corner cases open):
@@ -566,9 +570,9 @@ def _repetition_signals(text: "str | None") -> list:
       word chars — same marking, so overlaps never double-count.
 
     Degenerate inputs are defined, not poisoned: empty/NULL text and
-    short docs yield all-zero fractions (nothing repeats in nothing)."""
+    short docs yield zero numerators (nothing repeats in nothing)."""
     if not text:
-        return [0.0] * len(GOPHER_REPETITION_THRESHOLDS)
+        return [(0, 0)] * len(GOPHER_REPETITION_THRESHOLDS)
     from collections import Counter
 
     out: list = []
@@ -576,24 +580,23 @@ def _repetition_signals(text: "str | None") -> list:
         elems = [e.strip() for e in text.split(sep)]
         elems = [e for e in elems if e]
         if not elems:
-            out.append((0.0, 0.0))
+            out.append(((0, 0), (0, 0)))
             continue
         counts = Counter(elems)
         dups = sum(c - 1 for c in counts.values() if c > 1)
         dup_chars = sum(len(e) * (c - 1) for e, c in counts.items() if c > 1)
         total_chars = sum(len(e) for e in elems)
-        out.append(
-            (dups / len(elems), dup_chars / total_chars if total_chars else 0.0)
-        )
+        out.append(((dups, len(elems)), (dup_chars, total_chars)))
     (dl, dlc), (dp, dpc) = out
-    fracs = [dl, dp, dlc, dpc]
+    pairs = [dl, dp, dlc, dpc]
 
     words = text.split()
     total_wchars = sum(len(w) for w in words)
     wlen = len(words)
-    def coverage(n: int, dup_only: bool) -> float:
+
+    def coverage(n: int, dup_only: bool) -> "tuple[int, int]":
         if wlen < n or not total_wchars:
-            return 0.0
+            return (0, total_wchars)
         grams = [tuple(words[i:i + n]) for i in range(wlen - n + 1)]
         counts = Counter(grams)
         if dup_only:
@@ -602,7 +605,7 @@ def _repetition_signals(text: "str | None") -> list:
             # first-occurrence tie-break: Counter preserves insertion order
             top, top_count = max(counts.items(), key=lambda kv: kv[1])
             if top_count < 2:
-                return 0.0
+                return (0, total_wchars)
             hot = {top}
         marked = bytearray(wlen)
         for i, g in enumerate(grams):
@@ -610,17 +613,45 @@ def _repetition_signals(text: "str | None") -> list:
                 for j in range(i, i + n):
                     marked[j] = 1
         covered = sum(len(w) for w, m in zip(words, marked) if m)
-        return covered / total_wchars
+        return (covered, total_wchars)
 
     for n in (2, 3, 4):
-        fracs.append(coverage(n, dup_only=False))
+        pairs.append(coverage(n, dup_only=False))
     for n in range(5, 11):
-        fracs.append(coverage(n, dup_only=True))
-    return fracs
+        pairs.append(coverage(n, dup_only=True))
+    return pairs
+
+
+def _repetition_signals(text: "str | None") -> "list[float]":
+    """The thirteen repetition FRACTIONS (num/den over
+    :func:`_repetition_counts`; den 0 → 0.0) — the float view the
+    profile output and the property tests use."""
+    return [(n / d if d else 0.0) for n, d in _repetition_counts(text)]
+
+
+#: exact integer thresholds (percent): every Gopher threshold is a
+#: 2-decimal fraction, so flag = (num * 100 <= thr_pct * den) is the
+#: EXACT comparison — no float rounding in a gate decision
+_REPETITION_THR_PCT = {
+    name: round(t * 100) for name, t in GOPHER_REPETITION_THRESHOLDS.items()
+}
+
+_REPETITION_RAW_SCHEMA = ", ".join(
+    ["doc_id long"]
+    + [
+        f"{name}_num long, {name}_den long"
+        for name in GOPHER_REPETITION_THRESHOLDS
+    ]
+    + [f"ok_{name} boolean" for name in GOPHER_REPETITION_THRESHOLDS]
+    + ["keep boolean"]
+)
 
 
 def repetition_profile(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    raw_counts: bool = False,
 ) -> DataFrame:
     """The Gopher REPETITION filters (Rae et al. 2021 §A1.1, public
     method) — the other half of the Gopher gate next to
@@ -641,34 +672,54 @@ def repetition_profile(
     linear per doc (one Counter pass per n). The Catalyst alternative
     (explode n-grams → count → max per doc) shuffles the whole corpus
     once per n; per-doc signals never need cross-doc aggregation, so
-    the Arrow kernel is the right plan, the sniff_decode rule."""
+    the Arrow kernel is the right plan, the sniff_decode rule.
+
+    Flags compare the EXACT integer counts against the thresholds
+    (``num·100 ≤ pct·den`` — every Gopher threshold is a 2-decimal
+    fraction), never the 4dp-rounded output value, so a 0.3004 document
+    cannot sneak under the 0.30 gate via rounding. ``raw_counts=True``
+    emits the ``<signal>_num``/``<signal>_den`` integer pairs instead of
+    the fractions (same flags/keep) — the drift-free hash surface the
+    x32 oracle leg compares."""
     import pandas as pd
 
     names = list(GOPHER_REPETITION_THRESHOLDS)
+    pcts = [_REPETITION_THR_PCT[n] for n in names]
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                fracs = [
-                    round(f, 4)
-                    for f in _repetition_signals(
-                        None if text is None else str(text)
-                    )
-                ]
+                counts = _repetition_counts(
+                    None if text is None else str(text)
+                )
                 flags = [
-                    f <= GOPHER_REPETITION_THRESHOLDS[n]
-                    for n, f in zip(names, fracs)
+                    num * 100 <= pct * den
+                    for (num, den), pct in zip(counts, pcts)
                 ]
-                rows.append((did, *fracs, *flags, all(flags)))
+                if raw_counts:
+                    flat = [x for pair in counts for x in pair]
+                else:
+                    flat = [
+                        round(num / den, 4) if den else 0.0
+                        for num, den in counts
+                    ]
+                rows.append((did, *flat, *flags, all(flags)))
+            if raw_counts:
+                cols = ["doc_id"]
+                for n in names:
+                    cols += [f"{n}_num", f"{n}_den"]
+            else:
+                cols = ["doc_id", *names]
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", *names, *[f"ok_{n}" for n in names], "keep"],
+                rows, columns=[*cols, *[f"ok_{n}" for n in names], "keep"]
             )
 
     return docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).mapInPandas(run, _REPETITION_SCHEMA)
+    ).mapInPandas(
+        run, _REPETITION_RAW_SCHEMA if raw_counts else _REPETITION_SCHEMA
+    )
 
 
 def _c4_output_cols(

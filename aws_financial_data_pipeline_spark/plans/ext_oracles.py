@@ -9,7 +9,12 @@ sequential in both engines (Spark ``aggregate`` over ``zip_with`` ↔ DuckDB
 from __future__ import annotations
 
 from ..operators.similarity import plane_rows
-from ..operators.text import BPE_REGEX, LANG_STOPWORDS, PII_PATTERNS
+from ..operators.text import (
+    BPE_REGEX,
+    GOPHER_REPETITION_THRESHOLDS,
+    LANG_STOPWORDS,
+    PII_PATTERNS,
+)
 from .ext_queries import WAT_HOSTS, WAT_PR_ITERATIONS
 from .transactions_view import ORACLE_PRELUDE as _P
 
@@ -253,6 +258,141 @@ _X27_GRAPH_NULLS = (
     'CAST(NULL AS VARCHAR) AS src, CAST(NULL AS VARCHAR) AS dst, '
     'CAST(NULL AS BIGINT) AS n_links, CAST(NULL AS DOUBLE) AS "rank"'
 )
+
+
+def _repetition_sql() -> str:
+    """CTE chain replicating ``text.repetition_profile(raw_counts=True)``
+    over the SAME sanitized+augmented input ext_queries' x32 leg builds:
+    the thirteen Gopher repetition signals as exact integer
+    numerator/denominator pairs — no float anywhere until the consumer
+    divides, so the hash surface cannot drift on rounding mode. Ends
+    with ``r32rep`` = (doc_id, rep_<signal>_num/den ×13, rep_keep);
+    rep_keep is the integer cross-multiplication ``num·100 ≤ pct·den``
+    conjunction, the kernel's exact flag rule. Word coverage is
+    position-marked exactly like the kernel: occurrences of hot n-grams
+    mark word indices (DISTINCT j), overlaps never double-count; the
+    top-gram election tie-breaks on first occurrence (MIN(i)), matching
+    Counter insertion order."""
+    names = list(GOPHER_REPETITION_THRESHOLDS)
+    pct = {n: round(t * 100) for n, t in GOPHER_REPETITION_THRESHOLDS.items()}
+    parts = [
+        r"""
+    rA AS (SELECT doc_id,
+                  regexp_replace(text, '[^\x20-\x7E\n]', ' ', 'g') AS s
+           FROM documents),
+    rT AS (SELECT doc_id,
+                  s || repeat(
+                    (CASE WHEN doc_id % 2 = 0 THEN chr(10) || chr(10)
+                          ELSE chr(10) END) || substr(s, 1, 80),
+                    CAST((doc_id % 3) * 2 AS INT)) AS t
+           FROM rA),
+    rl AS (SELECT doc_id,
+                  list_filter(list_transform(string_split(t, chr(10)),
+                                             x -> trim(x, ' ' || chr(10))),
+                              x -> x <> '') AS els
+           FROM rT),
+    rq AS (SELECT doc_id,
+                  list_filter(list_transform(
+                      string_split(t, chr(10) || chr(10)),
+                      x -> trim(x, ' ' || chr(10))),
+                              x -> x <> '') AS els
+           FROM rT),
+    rls AS (SELECT doc_id,
+                   COALESCE(SUM(c - 1) FILTER (WHERE c > 1), 0) AS dup_n,
+                   SUM(c) AS tot_n,
+                   COALESCE(SUM(length(e) * (c - 1)) FILTER (WHERE c > 1), 0) AS dup_c,
+                   SUM(length(e) * c) AS tot_c
+            FROM (SELECT doc_id, e, COUNT(*) AS c
+                  FROM rl, UNNEST(els) AS u(e) GROUP BY doc_id, e)
+            GROUP BY doc_id),
+    rqs AS (SELECT doc_id,
+                   COALESCE(SUM(c - 1) FILTER (WHERE c > 1), 0) AS dup_n,
+                   SUM(c) AS tot_n,
+                   COALESCE(SUM(length(e) * (c - 1)) FILTER (WHERE c > 1), 0) AS dup_c,
+                   SUM(length(e) * c) AS tot_c
+            FROM (SELECT doc_id, e, COUNT(*) AS c
+                  FROM rq, UNNEST(els) AS u(e) GROUP BY doc_id, e)
+            GROUP BY doc_id),
+    rw AS (SELECT doc_id,
+                  list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS ws
+           FROM rT),
+    rp AS (SELECT doc_id, u.i AS i, length(ws[u.i]) AS wl
+           FROM rw, UNNEST(generate_series(1, len(ws))) AS u(i)),
+    rwt AS (SELECT doc_id, SUM(wl) AS twc FROM rp GROUP BY doc_id)"""
+    ]
+    for n in range(2, 11):
+        parts.append(
+            f"""
+    rg{n} AS (SELECT doc_id, u.i AS i,
+                     array_to_string(ws[u.i:u.i + {n - 1}], ' ') AS g
+              FROM rw,
+                   UNNEST(generate_series(1, len(ws) - {n} + 1)) AS u(i))"""
+        )
+        if n <= 4:
+            parts.append(
+                f"""
+    rh{n} AS (SELECT doc_id, g FROM (
+                SELECT doc_id, g, COUNT(*) AS c,
+                       row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY COUNT(*) DESC, MIN(i) ASC) AS rn
+                FROM rg{n} GROUP BY doc_id, g)
+              WHERE rn = 1 AND c >= 2)"""
+            )
+        else:
+            parts.append(
+                f"""
+    rh{n} AS (SELECT doc_id, g FROM rg{n}
+              GROUP BY doc_id, g HAVING COUNT(*) > 1)"""
+            )
+        parts.append(
+            f"""
+    rv{n} AS (SELECT c.doc_id, SUM(p.wl) AS cov FROM (
+                SELECT DISTINCT o.doc_id, v.j AS j
+                FROM rg{n} o JOIN rh{n} h USING (doc_id, g),
+                     UNNEST(generate_series(o.i, o.i + {n} - 1)) AS v(j)
+              ) c JOIN rp p ON p.doc_id = c.doc_id AND p.i = c.j
+              GROUP BY c.doc_id)"""
+        )
+    pair_sql = {
+        "dup_line_frac": ("COALESCE(l.dup_n, 0)", "COALESCE(l.tot_n, 0)"),
+        "dup_para_frac": ("COALESCE(q.dup_n, 0)", "COALESCE(q.tot_n, 0)"),
+        "dup_line_char_frac": ("COALESCE(l.dup_c, 0)", "COALESCE(l.tot_c, 0)"),
+        "dup_para_char_frac": ("COALESCE(q.dup_c, 0)", "COALESCE(q.tot_c, 0)"),
+        **{
+            f"{kind}_{n}gram_char_frac": (
+                f"COALESCE(rv{n}.cov, 0)",
+                "COALESCE(w.twc, 0)",
+            )
+            for kind, ns in (("top", (2, 3, 4)), ("dup", (5, 6, 7, 8, 9, 10)))
+            for n in ns
+        },
+    }
+    cols = []
+    keep_terms = []
+    for name in names:
+        num, den = pair_sql[name]
+        cols.append(f"{num} AS rep_{name}_num")
+        cols.append(f"{den} AS rep_{name}_den")
+        keep_terms.append(f"({num} * 100 <= {pct[name]} * {den})")
+    joins = " ".join(f"LEFT JOIN rv{n} ON rv{n}.doc_id = d.doc_id" for n in range(2, 11))
+    parts.append(
+        """
+    r32rep AS (SELECT d.doc_id,
+           """
+        + ",\n           ".join(cols)
+        + ",\n           ("
+        + " AND ".join(keep_terms)
+        + """) AS rep_keep
+      FROM documents d
+      LEFT JOIN rls l ON l.doc_id = d.doc_id
+      LEFT JOIN rqs q ON q.doc_id = d.doc_id
+      LEFT JOIN rwt w ON w.doc_id = d.doc_id
+      """
+        + joins
+        + ")"
+    )
+    return ",".join(parts)
 
 EXT_ORACLES: dict[str, str] = {
     "x01_dedup_exact": """
@@ -1191,10 +1331,20 @@ EXT_ORACLES: dict[str, str] = {
                LIMIT 1
              ), true) AS robots_kept
       FROM documents d
-    )
+    ),
+    """
+    + _repetition_sql()
+    + """
     SELECT doc_id, source, u.k AS epoch, lang_pred, quality_score, bucket,
-           split, in_sample, in_quota, in_weighted, host_kept, robots_kept
-    FROM exp JOIN hk USING (doc_id) JOIN rk USING (doc_id),
+           split, in_sample, in_quota, in_weighted, host_kept, robots_kept,
+           """
+    + ",\n           ".join(
+        f"rep_{n}_num, rep_{n}_den" for n in GOPHER_REPETITION_THRESHOLDS
+    )
+    + """,
+           rep_keep
+    FROM exp JOIN hk USING (doc_id) JOIN rk USING (doc_id)
+         JOIN r32rep USING (doc_id),
          LATERAL UNNEST(range(_n)) AS u(k)
     """,
     # tumbling + sliding consolidated (round-1 x14+x15); decimal value sums

@@ -1037,10 +1037,52 @@ def x32_corpus_curation(spark, sf_dir):
         "doc_id", F.col("robots_allowed").alias("robots_kept")
     )
     out = out.join(rv, "doc_id")
+    # round-13 leg: the Gopher repetition filters (text.repetition_profile,
+    # raw_counts=True — exact integer numerator/denominator pairs, the
+    # drift-free hash surface; the oracle recomputes every count in SQL).
+    # Input is the documents text SANITIZED to the ASCII+newline alphabet
+    # (so Python str.split()/strip() and RE2 '\s'/trim agree exactly) and
+    # AUGMENTED with deterministic repeats — (doc_id%3)*2 copies of the
+    # 80-char prefix appended as lines (odd ids) or paragraphs (even ids)
+    # — because the synthetic corpus has no newlines, and an all-zero
+    # signal table would gate nothing (the x10 script-augmentation rule).
+    rep_names = list(text.GOPHER_REPETITION_THRESHOLDS)
+    rep_in = (
+        _docs(spark, sf_dir)
+        .withColumn("_sane", F.regexp_replace("text", r"[^\x20-\x7E\n]", " "))
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("_sane"),
+                F.expr(
+                    "repeat(concat("
+                    "CASE WHEN doc_id % 2 = 0 THEN '\\n\\n' ELSE '\\n' END, "
+                    "substring(_sane, 1, 80)), "
+                    "CAST((doc_id % 3) * 2 AS INT))"
+                ),
+            ).alias("text"),
+        )
+    )
+    rep = text.repetition_profile(rep_in, raw_counts=True).select(
+        "doc_id",
+        *[
+            F.col(f"{n}_{p}").alias(f"rep_{n}_{p}")
+            for n in rep_names
+            for p in ("num", "den")
+        ],
+        F.col("keep").alias("rep_keep"),
+    )
+    out = out.join(rep, "doc_id")
     return out.select(
         "doc_id", "source", "epoch", "lang_pred", "quality_score", "bucket",
         "split", "in_sample", "in_quota", "in_weighted", "host_kept",
         "robots_kept",
+        *[
+            f"rep_{n}_{p}"
+            for n in rep_names
+            for p in ("num", "den")
+        ],
+        "rep_keep",
     )
 
 
