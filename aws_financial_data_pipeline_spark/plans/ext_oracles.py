@@ -260,6 +260,103 @@ _X27_GRAPH_NULLS = (
 )
 
 
+def _sq(s: str) -> str:
+    """SQL single-quoted literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _main_content_sql() -> str:
+    """CTE chain replicating ``text.extract_main_content`` over the x10
+    fixture input (each doc's sanitized text wrapped in
+    ``ext_queries.MC_FIXTURE_PRE/POST`` page chrome — ONE shared
+    definition). Ends with ``mres`` = (doc_id, main_text,
+    main_blocks_total, main_blocks_kept).
+
+    RE2 vs Java-regex parity notes: the Spark side's backreference forms
+    (``</\\1\\s*>``) are expanded per-tag here (RE2 has no backrefs); the
+    class/id chrome rule's lookarounds are replaced by the fixture's
+    exact ``class="cookie-banner"`` div (same span — the GENERAL
+    token-boundary rule stays pytest-gated); every float constant is
+    CAST AS DOUBLE so the 0.3/0.08 threshold comparisons run the same
+    IEEE arithmetic as Spark (DuckDB's bare decimals would compare
+    exactly at boundaries Spark's doubles miss). The input alphabet is
+    sanitized to ASCII+newline with ``<>&`` stripped, so ``\\s``/trim/
+    entity behavior is identical by construction."""
+    from ..operators.text import (
+        _BLOCK_BOUNDARY_RE,
+        _HTML_ENTITIES,
+        MAIN_CONTENT_STOPWORDS,
+    )
+    from .ext_queries import MC_FIXTURE_POST, MC_FIXTURE_PRE
+
+    def clean(e: str) -> str:
+        x = f"regexp_replace({e}, '(?s)<[^>]+>', ' ', 'g')"
+        for ent, rep in _HTML_ENTITIES:
+            x = f"replace({x}, {_sq(ent)}, {_sq(rep)})"
+        return rf"trim(regexp_replace({x}, '\s+', ' ', 'g'))"
+
+    stoplist = "[" + ", ".join(_sq(w) for w in MAIN_CONTENT_STOPWORDS) + "]"
+    words = r"list_filter(string_split_regex(lower(txt), '\s+'), w -> w <> '')"
+    stopok = (
+        f"(len(list_filter({words}, w -> list_contains({stoplist}, w)))"
+        f" >= CAST(0.08 AS DOUBLE) * len({words}))"
+    )
+    wholesale = (
+        r"(?is)(<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>"
+        r"|<template\b[^>]*>.*?</template\s*>|<head\b[^>]*>.*?</head\s*>)"
+    )
+    semantic = (
+        r"(?is)(<nav\b[^>]*>.*?</nav\s*>|<aside\b[^>]*>.*?</aside\s*>"
+        r"|<footer\b[^>]*>.*?</footer\s*>)"
+    )
+    classid = r'(?is)<div class="cookie-banner">.*?</div\s*>'
+    return f"""
+    mcs AS (SELECT doc_id,
+              {_sq(MC_FIXTURE_PRE)} ||
+              regexp_replace(regexp_replace(text, '[^\\x20-\\x7E\\n]', ' ', 'g'),
+                             '[<>&]', ' ', 'g') ||
+              {_sq(MC_FIXTURE_POST)} AS h
+            FROM documents),
+    mcp AS (SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+                {_sq(wholesale)}, ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+                {_sq(semantic)}, ' ', 'g'),
+                {_sq(classid)}, ' ', 'g') AS t
+            FROM mcs),
+    mcb AS (SELECT doc_id, u.i AS pos, frs[u.i] AS frag
+            FROM (SELECT doc_id,
+                         string_split_regex(t, {_sq(_BLOCK_BOUNDARY_RE)}) AS frs
+                  FROM mcp),
+                 UNNEST(generate_series(1, len(frs))) AS u(i)),
+    mcc AS (SELECT doc_id, pos, {clean('frag')} AS txt,
+                   COALESCE(list_aggregate(list_transform(
+                       regexp_extract_all(frag,
+                         '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
+                       a -> length({clean('a')})), 'sum'), 0) AS link_len
+            FROM mcb),
+    mcn AS (SELECT doc_id, txt, link_len,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+            FROM mcc WHERE length(txt) > 0),
+    mcg AS (SELECT doc_id, txt, p,
+                   CASE WHEN link_len > CAST(0.3 AS DOUBLE) * length(txt) THEN 0
+                        WHEN length(txt) >= 200 AND {stopok} THEN 2
+                        WHEN length(txt) >= 70 AND NOT {stopok} THEN 0
+                        ELSE 1 END AS cls
+            FROM mcn),
+    mck AS (SELECT doc_id, txt, p, cls,
+                   (cls = 2 OR (cls = 1 AND (
+                     COALESCE(lag(cls) OVER w, 0) = 2
+                     OR COALESCE(lead(cls) OVER w, 0) = 2))) AS kp
+            FROM mcg WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    mres AS (SELECT doc_id,
+                    COALESCE(string_agg(txt, chr(10) ORDER BY p)
+                             FILTER (WHERE kp), '') AS main_text,
+                    CAST(COUNT(*) AS INT) AS main_blocks_total,
+                    CAST(COUNT(*) FILTER (WHERE kp) AS INT) AS main_blocks_kept
+             FROM mck GROUP BY doc_id)"""
+
+
 def _repetition_sql() -> str:
     """CTE chain replicating ``text.repetition_profile(raw_counts=True)``
     over the SAME sanitized+augmented input ext_queries' x32 leg builds:
@@ -972,6 +1069,8 @@ EXT_ORACLES: dict[str, str] = {
       FROM t
     )
     """
+    + ","
+    + _main_content_sql()
     + _GOPHER_GP
     + r"""
     SELECT sc.doc_id, lang_actual,
@@ -1006,8 +1105,12 @@ EXT_ORACLES: dict[str, str] = {
     + ",\n           ".join(_pii_sql("text")[1])
     + ",\n           "
     + _script_sql("augx")
-    + r"""
+    + r""",
+           mres.main_text,
+           COALESCE(mres.main_blocks_total, 0) AS main_blocks_total,
+           COALESCE(mres.main_blocks_kept, 0) AS main_blocks_kept
     FROM sc LEFT JOIN fp USING (doc_id) JOIN gp USING (doc_id)
+         LEFT JOIN mres ON mres.doc_id = sc.doc_id
     """,
     # ranking is on the 6dp-ROUNDED score (see text.tfidf_top_terms: equal
     # real scores from different (tf,df) factorizations differ in the last

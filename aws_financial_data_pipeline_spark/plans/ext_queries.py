@@ -309,6 +309,24 @@ def _long(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+#: the synthetic page chrome wrapped around each document's sanitized
+#: text for the x10 main-content leg — ONE definition, imported by the
+#: oracle generator (ext_oracles._main_content_sql) so the two engines
+#: can never wrap differently. Double-quoted attributes on purpose (the
+#: oracle inlines these into single-quoted SQL literals).
+MC_FIXTURE_PRE = (
+    '<nav><a href="/">Home</a> <a href="/s">Shop</a> <a href="/f">FAQ</a>'
+    '</nav><div class="cookie-banner">We use cookies on this site. '
+    '<a href="#">Accept</a></div><script>var x = 1;</script>'
+    '<article><h1>Title of the page</h1><p>'
+)
+MC_FIXTURE_POST = (
+    "</p><p>Short tail.</p></article>"
+    '<div><a href="/a">Related one</a> <a href="/b">Related two</a></div>'
+    '<footer>Copyright 2026 Example. <a href="/t">Terms</a></footer>'
+)
+
+
 def x10_text_profile(spark, sf_dir):
     """All per-document text analysis in one map-only pass (round-1
     x10+x11+x12+x13 consolidated; round-3 folds in the Gopher quality-rule
@@ -319,18 +337,44 @@ def x10_text_profile(spark, sf_dir):
     and per-script char counts/ratios + main_script over an AUGMENTED text
     (the ASCII-only corpus gets deterministic Cyrillic/CJK tails by
     doc_id % 3 — built identically in both engines — so the script argmax
-    is non-vacuous). One checked slot, zero shuffle."""
+    is non-vacuous). One checked slot, zero shuffle.
+
+    Round-13 adds the MAIN-CONTENT leg: each doc's text (sanitized to the
+    ASCII+newline alphabet with ``<>&`` stripped, so Java regex and RE2
+    act on identical, fixture-controlled markup) is wrapped in the
+    :data:`MC_FIXTURE_PRE`/``POST`` page chrome — nav, cookie-banner div,
+    script, article with headline + body + short tail, related-links div,
+    footer — and ``extract_main_content`` runs over it as the SAME
+    projection (pure Catalyst, still zero joins). The ``main_text`` /
+    ``main_blocks_total`` / ``main_blocks_kept`` columns gate the whole
+    scorer — the body block's good/near/bad election varies with each
+    REAL document's length and stopword density, and the headline/tail
+    keep-decisions ride its class through the one-hop context rule."""
     aug = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 3 == 0, F.lit(" Привет мир"))
         .when(F.col("doc_id") % 3 == 1, F.lit(" 日本語テキスト"))
         .otherwise(F.lit("")),
     )
+    sane = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[^\x20-\x7E\n]", " "), r"[<>&]", " "
+    )
+    wrapped = _docs(spark, sf_dir).withColumn(
+        "_html", F.concat(F.lit(MC_FIXTURE_PRE), sane, F.lit(MC_FIXTURE_POST))
+    )
+    docs2 = text.extract_main_content(
+        wrapped, text_col="_html", out_col="main_text"
+    ).drop("_html")
     out = text.text_profile(
-        _docs(spark, sf_dir),
+        docs2,
         gopher=True,
         pii=True,
-        extra_cols=text._script_output_cols(aug, prefix="script_", include_nchars=False),
+        extra_cols=[
+            *text._script_output_cols(aug, prefix="script_", include_nchars=False),
+            F.col("main_text"),
+            F.col("main_blocks_total").cast("int").alias("main_blocks_total"),
+            F.col("main_blocks_kept").cast("int").alias("main_blocks_kept"),
+        ],
     )
     longs = ["n_chars", "n_tokens", "n_distinct_tokens", "ws_tokens", "bpe_tokens",
              "n_shingles", "n_shingles_total", "n_words", "n_distinct_stopwords",
