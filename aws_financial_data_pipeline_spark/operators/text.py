@@ -631,10 +631,22 @@ def _repetition_signals(text: "str | None") -> "list[float]":
 
 #: exact integer thresholds (percent): every Gopher threshold is a
 #: 2-decimal fraction, so flag = (num * 100 <= thr_pct * den) is the
-#: EXACT comparison — no float rounding in a gate decision
+#: EXACT comparison — no float rounding in a gate decision. The guard
+#: below keeps the claim honest: a threshold tuned off the whole-percent
+#: grid (say 0.125) would silently gate at the quantized value in BOTH
+#: the kernel and the oracle; it must fail loudly here instead.
 _REPETITION_THR_PCT = {
     name: round(t * 100) for name, t in GOPHER_REPETITION_THRESHOLDS.items()
 }
+for _n, _t in GOPHER_REPETITION_THRESHOLDS.items():
+    if _REPETITION_THR_PCT[_n] / 100 != _t:
+        raise AssertionError(
+            f"repetition threshold {_n}={_t} is not a whole percent; the "
+            "exact integer flag rule (num*100 <= pct*den) cannot represent "
+            "it — widen the scale factor in _REPETITION_THR_PCT and the "
+            "ext_oracles SQL together"
+        )
+del _n, _t
 
 _REPETITION_RAW_SCHEMA = ", ".join(
     ["doc_id long"]

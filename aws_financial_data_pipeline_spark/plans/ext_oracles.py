@@ -370,8 +370,9 @@ def _repetition_sql() -> str:
     mark word indices (DISTINCT j), overlaps never double-count; the
     top-gram election tie-breaks on first occurrence (MIN(i)), matching
     Counter insertion order."""
+    from ..operators.text import _REPETITION_THR_PCT as pct
+
     names = list(GOPHER_REPETITION_THRESHOLDS)
-    pct = {n: round(t * 100) for n, t in GOPHER_REPETITION_THRESHOLDS.items()}
     parts = [
         r"""
     rA AS (SELECT doc_id,

@@ -109,8 +109,18 @@ def ingest_corpus(
     level instead)."""
     legs: list[DataFrame] = []
     err_legs: list[DataFrame] = []
+
+    def _once(records: DataFrame) -> DataFrame:
+        # with_errors consumes the SAME parse twice (docs + ledger); a
+        # lazy localCheckpoint materializes the Arrow parse on first
+        # action and reuses it, so the audit count never re-reads and
+        # re-inverts the whole landing zone (r13 review — the parse is
+        # the heaviest kernel in the pipeline). The default single-output
+        # path stays checkpoint-free.
+        return records.localCheckpoint(eager=False) if with_errors else records
+
     if warc_dir is not None:
-        records = read_warc(spark, warc_dir)
+        records = _once(read_warc(spark, warc_dir))
         docs = warc_to_documents(records, sniff=sniff)
         if extract_html:
             from ..operators.text import html_to_text
@@ -121,7 +131,9 @@ def ingest_corpus(
             warc_parse_errors(records).withColumn("source", F.lit("warc"))
         )
     if wet_dir is not None:
-        wet_records = read_warc(spark, wet_dir, record_types=("conversion",))
+        wet_records = _once(
+            read_warc(spark, wet_dir, record_types=("conversion",))
+        )
         wet = wet_to_documents(wet_records)
         legs.append(wet.withColumn("source", F.lit("wet")))
         err_legs.append(
