@@ -73,6 +73,23 @@ def _archive_docs(docs: DataFrame, source: str) -> DataFrame:
     )
 
 
+def _html_stage(docs: DataFrame, main_content: bool) -> DataFrame:
+    """The WARC leg's HTML→text hop: :func:`..operators.text.html_to_text`
+    by default, or — ``main_content=True`` (r13) — the jusText-shaped
+    block scorer :func:`..operators.text.extract_main_content` (boilerplate
+    drops at the BLOCK level before any downstream signal; audit columns
+    stripped — run the operator standalone to keep them; English stoplist
+    defaults, so multilingual zones should run the operator directly with
+    their language's ``stopwords=``)."""
+    from ..operators.text import extract_main_content, html_to_text
+
+    if main_content:
+        return extract_main_content(docs).drop(
+            "main_blocks_total", "main_blocks_kept"
+        )
+    return html_to_text(docs)
+
+
 def ingest_corpus(
     spark: SparkSession,
     warc_dir: str | None = None,
@@ -86,6 +103,7 @@ def ingest_corpus(
     max_member_bytes: int = 64 << 20,
     sniff: bool = False,
     with_errors: bool = False,
+    main_content: bool = False,
 ):
     """Union every supplied corpus shape into one front-door frame.
     ``sniff=True`` enables statistical charset detection on the WARC
@@ -123,9 +141,7 @@ def ingest_corpus(
         records = _once(read_warc(spark, warc_dir))
         docs = warc_to_documents(records, sniff=sniff)
         if extract_html:
-            from ..operators.text import html_to_text
-
-            docs = html_to_text(docs)
+            docs = _html_stage(docs, main_content)
         legs.append(docs.withColumn("source", F.lit("warc")))
         err_legs.append(
             warc_parse_errors(records).withColumn("source", F.lit("warc"))
@@ -274,6 +290,7 @@ def corpus_batch_frame(
     max_member_bytes: int = 64 << 20,
     on_unknown: str = "error",
     sniff: bool = False,
+    main_content: bool = False,
 ) -> DataFrame:
     """The dispatch+parse+union plan of one landing-zone micro-batch,
     exposed as a plain frame so tests can assert its SHAPE (shuffle-free:
@@ -306,9 +323,7 @@ def corpus_batch_frame(
         if leg == "warc":
             docs = warc_to_documents(parse_warc_files(sub, ("response",)), sniff=sniff)
             if extract_html:
-                from ..operators.text import html_to_text
-
-                docs = html_to_text(docs)
+                docs = _html_stage(docs, main_content)
         elif leg == "wet":
             docs = wet_to_documents(parse_warc_files(sub, ("conversion",)))
         elif leg == "jsonl":
@@ -352,6 +367,7 @@ def process_corpus_batch(
     transform=None,
     on_unknown: str = "error",
     sniff: bool = False,
+    main_content: bool = False,
 ) -> None:
     """One micro-batch of the unified streaming front door: a binaryFile
     (path, content) frame → :func:`corpus_batch_frame` (dispatch + parse +
@@ -365,7 +381,8 @@ def process_corpus_batch(
     lives in :func:`corpus_batch_frame` (every entry point inherits it)
     and ``on_unknown`` passes through."""
     out = corpus_batch_frame(
-        batch, extract_html, archive_pattern, max_member_bytes, on_unknown, sniff
+        batch, extract_html, archive_pattern, max_member_bytes, on_unknown,
+        sniff, main_content,
     )
     if transform is not None:
         out = transform(out)
@@ -386,6 +403,7 @@ def ingest_corpus_stream(
     available_now: bool = True,
     on_unknown: str = "error",
     sniff: bool = False,
+    main_content: bool = False,
 ):
     """Streaming twin of :func:`ingest_corpus` over ONE landing zone: a
     directory where ``.warc.gz`` + ``.wet.gz`` + ``.tar.gz`` + ``.zip``
@@ -415,6 +433,7 @@ def ingest_corpus_stream(
             transform,
             on_unknown,
             sniff,
+            main_content,
         )
 
     return binaryfile_ingest_stream(

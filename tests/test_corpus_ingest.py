@@ -556,3 +556,61 @@ def test_landing_zone_zst_shards_dispatch(spark, tmp_path):
     rows = frame.collect()
     assert {r["source"] for r in rows} == {"jsonl", "tar"}
     assert len(rows) == 2
+
+
+def test_corpus_front_doors_thread_main_content(spark, tmp_path):
+    """main_content=True threads through BOTH front doors to the WARC
+    leg's HTML stage: nav/footer boilerplate drops at the block level
+    (the jusText-shaped extract_main_content), the article body
+    survives, and the operator's audit columns are stripped so the
+    corpus contract schema is unchanged. Default (False) keeps the
+    html_to_text everything-kept behavior."""
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    article = (
+        "The harbor town kept its own record of the storms, and the "
+        "keepers wrote each entry by hand in a ledger that the council "
+        "stored under the lighthouse stairs. Over the years the pages "
+        "filled with accounts of the winters that battered the coast, "
+        "and of the ships that found shelter in the bay."
+    )
+    html = (
+        "<html><body>"
+        '<nav><a href="/">Home</a> <a href="/about">About</a> '
+        '<a href="/contact">Contact</a></nav>'
+        f"<article><p>{article}</p></article>"
+        "<footer>Copyright 2026 Example Inc</footer>"
+        "</body></html>"
+    )
+    landing = tmp_path / "mc_landing"
+    landing.mkdir()
+    (landing / "a.warc.gz").write_bytes(
+        warcsrc.encode_warc(
+            [{
+                "warc_type": "response",
+                "url": "https://mc.example/p",
+                "record_id": "<urn:uuid:mc1>",
+                "html": html,
+            }]
+        )
+    )
+    kept = corpussrc.ingest_corpus(
+        spark, warc_dir=str(landing), main_content=True
+    ).collect()
+    assert len(kept) == 1
+    assert article in kept[0]["text"]
+    assert "Home" not in kept[0]["text"]
+    assert "Copyright" not in kept[0]["text"]
+    # audit columns stripped: the corpus contract is unchanged
+    assert set(kept[0].asDict()) == set(corpussrc.CORPUS_DOC_COLS)
+    # default keeps everything (html_to_text)
+    full = corpussrc.ingest_corpus(spark, warc_dir=str(landing)).collect()
+    assert "Home" in full[0]["text"] and article in full[0]["text"]
+
+    frame = spark.read.format("binaryFile").load(str(landing))
+    stream_kept = corpussrc.corpus_batch_frame(
+        frame, main_content=True
+    ).collect()
+    assert len(stream_kept) == 1
+    assert article in stream_kept[0]["text"]
+    assert "Home" not in stream_kept[0]["text"]
