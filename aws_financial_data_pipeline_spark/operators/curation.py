@@ -60,6 +60,7 @@ def curation_funnel(
     extract_html: bool = False,
     main_content: bool = False,
     main_content_stopwords: "tuple[str, ...] | None" = None,
+    main_content_lang_col: "str | None" = None,
     domain_ranks: "DataFrame | None" = None,
     domain_rank_threshold: float = 0.0,
     robots_rules: "DataFrame | None" = None,
@@ -129,8 +130,12 @@ def curation_funnel(
     boilerplate back. Requires ``extract_html=True`` (raises otherwise —
     a silent no-op would ship raw HTML into the content stages). The
     scorer's stopword-density gate defaults to the ENGLISH function-word
-    list: for multilingual crawls pass the language's list via
-    ``main_content_stopwords=(...)`` or ``main_content_stopwords=()``
+    list: for multilingual crawls pass ``main_content_lang_col=`` naming
+    a per-document language column (each document scored against its own
+    language's stoplist, unlisted/NULL degrading to the language-free
+    gate — :func:`..operators.text.extract_main_content`'s ``lang_col``
+    contract), or a single language's list via
+    ``main_content_stopwords=(...)``, or ``main_content_stopwords=()``
     for the language-free mode (length + link density only) — a long
     non-English prose block fails the English gate and would be dropped
     as boilerplate.
@@ -309,6 +314,8 @@ def curation_funnel(
                 if main_content_stopwords is None
                 else {"stopwords": tuple(main_content_stopwords)}
             )
+            if main_content_lang_col is not None:
+                mc_kw["lang_col"] = main_content_lang_col
             docs = tx.extract_main_content(
                 docs, text_col=text_col, **mc_kw
             ).drop("main_blocks_total", "main_blocks_kept")

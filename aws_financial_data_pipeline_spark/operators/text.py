@@ -1389,6 +1389,92 @@ MAIN_CONTENT_STOPWORDS: tuple[str, ...] = (
     "will", "would", "can", "could", "which", "who", "what", "when",
 )
 
+#: per-language stoplists for ``extract_main_content(lang_col=...)`` —
+#: jusText ships one stoplist per language because function-word density
+#: only works against the DOCUMENT's language: English "the/of/and"
+#: never fire on German prose, so an English-gated extractor silently
+#: drops foreign articles as "label clusters". Public most-frequent
+#: function words (closed-class: articles, prepositions, conjunctions,
+#: pronouns, auxiliaries), lowercase, keyed by ISO 639-1 primary
+#: subtag. Space-delimited languages only — zh/ja/th need a segmenter
+#: upstream; an UNLISTED or NULL language falls back to the
+#: language-free gate (length + link density), never to English.
+MAIN_CONTENT_STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
+    "en": MAIN_CONTENT_STOPWORDS,
+    "de": (
+        "der", "die", "das", "und", "ist", "ein", "eine", "nicht", "den",
+        "dem", "des", "im", "von", "mit", "auf", "für", "als", "auch",
+        "an", "es", "sich", "ich", "sie", "er", "wir", "aber", "oder",
+        "wenn", "nur", "noch", "zu", "bei", "nach", "aus", "durch",
+        "über", "war", "sind", "werden", "wird", "hat", "haben", "dass",
+    ),
+    "fr": (
+        "le", "la", "les", "un", "une", "des", "et", "est", "dans",
+        "que", "qui", "pour", "pas", "sur", "avec", "ne", "se", "au",
+        "aux", "du", "ce", "cette", "il", "elle", "nous", "vous", "ils",
+        "sont", "être", "avoir", "plus", "par", "mais", "ou", "si",
+        "comme", "tout", "été", "fait", "leur", "en", "on",
+    ),
+    "es": (
+        "el", "la", "los", "las", "un", "una", "de", "del", "y", "es",
+        "en", "que", "no", "se", "por", "con", "para", "su", "al", "lo",
+        "como", "más", "pero", "sus", "le", "ya", "o", "este", "sin",
+        "sobre", "también", "fue", "había", "era", "son", "entre",
+        "está", "cuando", "muy", "a",
+    ),
+    "pt": (
+        "o", "a", "os", "as", "um", "uma", "de", "do", "da", "dos",
+        "das", "e", "é", "em", "que", "não", "se", "por", "com", "para",
+        "seu", "sua", "ao", "à", "como", "mais", "mas", "ou", "foi",
+        "são", "tem", "nos", "pelo", "pela", "isso", "ele", "ela",
+        "você", "está", "no", "na",
+    ),
+    "it": (
+        "il", "lo", "la", "i", "gli", "le", "un", "una", "di", "del",
+        "della", "e", "è", "in", "che", "non", "si", "per", "con", "su",
+        "da", "come", "più", "ma", "anche", "se", "io", "lui", "lei",
+        "noi", "sono", "stato", "questa", "questo", "quando", "nel",
+        "alla", "dei", "al",
+    ),
+    "nl": (
+        "de", "het", "een", "en", "van", "is", "in", "dat", "op", "te",
+        "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als",
+        "maar", "bij", "dan", "nog", "naar", "uit", "door", "over",
+        "ze", "dit", "worden", "werd", "wordt", "heeft", "hebben",
+        "deze", "hij", "wij",
+    ),
+    "ru": (
+        "и", "в", "не", "на", "я", "он", "что", "с", "как", "это",
+        "она", "его", "но", "по", "из", "у", "за", "то", "же", "мы",
+        "вы", "так", "от", "бы", "был", "была", "были", "для", "о",
+        "а", "к", "или", "если", "при", "все", "они", "этот",
+    ),
+    "pl": (
+        "i", "w", "nie", "na", "się", "że", "jest", "z", "do", "to",
+        "jak", "po", "co", "tak", "o", "a", "ale", "dla", "od", "za",
+        "przez", "już", "tylko", "być", "jego", "są", "było", "przy",
+        "czy", "ich", "może", "przed", "oraz", "który", "która",
+    ),
+    "sv": (
+        "och", "det", "att", "i", "en", "som", "är", "av", "för", "på",
+        "den", "med", "de", "inte", "har", "till", "du", "om", "så",
+        "men", "ett", "han", "var", "sig", "vi", "kan", "där", "eller",
+        "vad", "från", "ut", "när", "efter", "upp", "man",
+    ),
+    "tr": (
+        "ve", "bir", "bu", "da", "de", "için", "ile", "olarak", "daha",
+        "çok", "en", "gibi", "ama", "kadar", "sonra", "olan", "her",
+        "ne", "ki", "veya", "ancak", "diye", "göre", "ise", "şu", "o",
+        "ben", "biz", "siz", "ya", "mi", "mı",
+    ),
+    "id": (
+        "yang", "dan", "di", "dengan", "untuk", "dari", "pada", "ini",
+        "itu", "tidak", "ke", "dalam", "adalah", "akan", "juga", "atau",
+        "oleh", "karena", "telah", "bisa", "ada", "mereka", "saya",
+        "kita", "sudah", "seperti", "dapat", "tersebut", "satu", "dua",
+    ),
+}
+
 #: block-level boundaries for the jusText-style block walk — every tag
 #: that starts or ends a visual block, open or close (attributes ride in
 #: the open form); <br> too
@@ -1438,6 +1524,8 @@ def extract_main_content(
     min_stopword_density: float = 0.08,
     stopwords: tuple[str, ...] = MAIN_CONTENT_STOPWORDS,
     drop_semantic: bool = True,
+    lang_col: str | None = None,
+    stopwords_by_lang: "dict[str, tuple[str, ...]] | None" = None,
 ) -> DataFrame:
     """Main-content extraction from raw crawl HTML — the
     trafilatura/jusText-shaped stage RefinedWeb/FineWeb-class pipelines
@@ -1474,7 +1562,23 @@ def extract_main_content(
     Adds ``main_blocks_total`` / ``main_blocks_kept`` audit columns.
     ``stopwords=()`` disables the density gate (language-free mode — use
     for non-English corpora without a stoplist, or pass the language's
-    own list). Known regex-not-DOM limits (html_tables posture): a
+    own list).
+
+    **Multilingual mode** (``lang_col=``): a 100 TB crawl is not one
+    language, and a single static stoplist under-keeps every other
+    language's prose. ``lang_col`` names a per-document language column
+    (ISO 639-1, region subtags like ``de-DE``/``pt_BR`` normalized to
+    the primary subtag, case-folded) — from crawl metadata, CDX, or a
+    first-pass :func:`language_id` over :func:`html_to_text` output —
+    and each document is scored against ITS language's stoplist from
+    ``stopwords_by_lang`` (default :data:`MAIN_CONTENT_STOPWORDS_BY_LANG`,
+    11 languages). An unlisted or NULL language degrades to the
+    language-free gate for that document (length + link density only) —
+    never to English, which would misclassify foreign prose as chrome.
+    Still pure Catalyst: the per-row stoplist is a literal-array
+    ``when`` chain projected once per document; ``stopwords=`` is
+    ignored in this mode. Known regex-not-DOM limits (html_tables
+    posture): a
     same-tag child nested inside a dropped container ends the wholesale
     drop early; the density rules catch the remainder. NULL text yields
     NULL output and zero counts."""
@@ -1506,12 +1610,43 @@ def extract_main_content(
     )
 
     stop_list = [w.lower() for w in stopwords]
+    tmp_s = "_mc_stop"
+    if lang_col is not None:
+        by_lang = (
+            MAIN_CONTENT_STOPWORDS_BY_LANG
+            if stopwords_by_lang is None
+            else stopwords_by_lang
+        )
+        # primary subtag, case-folded: 'de-DE'/'pt_BR' → 'de'/'pt'
+        norm_lang = F.element_at(
+            F.split(F.lower(F.col(lang_col)), r"[-_]"), 1
+        )
+        # literal-array when chain, PROJECTED once per document (tmp_s)
+        # so the chain is not re-evaluated per block inside _classify;
+        # unmatched/NULL language → NULL array → gate disabled below
+        stop_arr = F.lit(None).cast("array<string>")
+        for lang, words in sorted(by_lang.items()):
+            stop_arr = F.when(
+                norm_lang == lang.lower(),
+                F.array(*[F.lit(w.lower()) for w in words]),
+            ).otherwise(stop_arr)
 
     def _classify(s: Column) -> Column:
         clen = F.length(s["txt"])
         link_bad = s["link_len"] > F.lit(float(max_link_density)) * clen
         long_enough = clen >= length_high
-        if stop_list:
+        if lang_col is not None:
+            sa = F.col(tmp_s)
+            words = F.filter(
+                F.split(F.lower(s["txt"]), r"\s+"), lambda w: w != ""
+            )
+            n_stop = F.size(
+                F.filter(words, lambda w: F.array_contains(sa, w))
+            )
+            stop_ok = sa.isNull() | (
+                n_stop >= F.lit(float(min_stopword_density)) * F.size(words)
+            )
+        elif stop_list:
             words = F.filter(
                 F.split(F.lower(s["txt"]), r"\s+"), lambda w: w != ""
             )
@@ -1532,7 +1667,10 @@ def extract_main_content(
         )
 
     tmp_b, tmp_c = "_mc_blocks", "_mc_cls"
-    out = docs.withColumn(tmp_b, blocks).withColumn(
+    out = docs
+    if lang_col is not None:
+        out = out.withColumn(tmp_s, stop_arr)
+    out = out.withColumn(tmp_b, blocks).withColumn(
         tmp_c, F.transform(F.col(tmp_b), _classify)
     )
     cls = F.col(tmp_c)
@@ -1568,7 +1706,7 @@ def extract_main_content(
             "main_blocks_kept",
             F.coalesce(F.size(kept), F.lit(0)),
         )
-        .drop(tmp_b, tmp_c)
+        .drop(tmp_b, tmp_c, *([tmp_s] if lang_col is not None else []))
     )
 
 

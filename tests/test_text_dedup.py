@@ -1539,3 +1539,107 @@ def test_streaming_dedup_empty_landing_dir_no_ops(spark, tmp_path):
         str(tmp_path / "sigs"), str(tmp_path / "docs"), str(tmp_path / "pairs"),
     )
     assert out.columns == ["doc_a", "doc_b", "jaccard"] and out.count() == 0
+
+
+def test_extract_main_content_lang_col_multilingual(spark):
+    """lang_col mode scores each document against ITS language's stoplist
+    (MAIN_CONTENT_STOPWORDS_BY_LANG): in one frame the English article
+    keeps under 'en', the German article keeps under 'de' (it FAILS the
+    static English gate — the single-stoplist blind spot this mode
+    closes), region subtags normalize (de-DE), an unlisted language (ja)
+    and NULL degrade to the language-free gate (long prose keeps on
+    length + link density alone, a linky nav still drops), and the plan
+    stays map-only JVM."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        MAIN_CONTENT_STOPWORDS_BY_LANG,
+        extract_main_content,
+    )
+    from aws_financial_data_pipeline_spark.tuning import plan_counts
+
+    english = (
+        "This paragraph is written in ordinary English prose and it "
+        "carries the usual articles and prepositions of the language. "
+        "It keeps running long enough to cross the threshold of two "
+        "hundred characters that the extractor demands for a good block, "
+        "and it closes with a third sentence for the content rules."
+    )
+    german = (
+        "Dieser Absatz ist in gewöhnlicher deutscher Prosa geschrieben und "
+        "er enthält die üblichen Artikel und Präpositionen der deutschen "
+        "Sprache. Er läuft lange genug weiter um die Schwelle von "
+        "zweihundert Zeichen zu überschreiten die der Extraktor für einen "
+        "guten Block verlangt. Und er endet mit einem dritten Satz."
+    )
+    nav = (
+        "<div><a href='/a'>One</a> <a href='/b'>Two</a> "
+        "<a href='/c'>Three</a></div>"
+    )
+    mk = lambda body: f"<body>{nav}<p>{body}</p></body>"  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, mk(english), "en"),
+            (2, mk(german), "de-DE"),
+            (3, mk(german), "ja"),
+            (4, mk(german), None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # static English gate: German prose is misclassified as boilerplate
+    static = {r["doc_id"]: r["text"] for r in extract_main_content(docs).collect()}
+    assert "English prose" in static[1] and static[2] == ""
+    # lang_col mode: every document keeps its own prose, nav drops
+    got = {
+        r["doc_id"]: r["text"]
+        for r in extract_main_content(docs, lang_col="lang").collect()
+    }
+    assert "English prose" in got[1]
+    assert "deutscher Prosa" in got[2]          # de-DE → de stoplist
+    assert "deutscher Prosa" in got[3]          # unlisted → language-free
+    assert "deutscher Prosa" in got[4]          # NULL → language-free
+    for t in got.values():
+        assert "One" not in t                   # linky nav always drops
+    # schema contract: the temp stoplist column never leaks
+    cols = set(extract_main_content(docs, lang_col="lang").columns)
+    assert cols == {"doc_id", "text", "lang",
+                    "main_blocks_total", "main_blocks_kept"}
+    # custom map override narrows the language set
+    only_en = {"en": MAIN_CONTENT_STOPWORDS_BY_LANG["en"]}
+    narrowed = {
+        r["doc_id"]: r["text"]
+        for r in extract_main_content(
+            docs, lang_col="lang", stopwords_by_lang=only_en
+        ).collect()
+    }
+    assert "deutscher Prosa" in narrowed[2]     # de unlisted → language-free
+    counts = plan_counts(extract_main_content(docs, lang_col="lang"))
+    assert counts["exchanges"] == 0 and counts["python_stages"] == 0
+
+
+def test_curation_funnel_forwards_main_content_lang_col(spark):
+    """curation_funnel(main_content_lang_col=...) reaches the extractor:
+    a German article with lang='de' survives the funnel's main-content
+    stage that the static English gate would have emptied."""
+    from aws_financial_data_pipeline_spark.operators import curation
+
+    german = (
+        "Dieser Absatz ist in gewöhnlicher deutscher Prosa geschrieben und "
+        "er enthält die üblichen Artikel und Präpositionen der deutschen "
+        "Sprache. Er läuft lange genug weiter um die Schwelle von "
+        "zweihundert Zeichen zu überschreiten die der Extraktor für einen "
+        "guten Block verlangt. Und er endet mit einem dritten Satz."
+    )
+    docs = spark.createDataFrame(
+        [(1, f"<body><p>{german}</p></body>", "de")],
+        "doc_id long, text string, lang string",
+    )
+    corpus, _audit = curation.curation_funnel(
+        docs, extract_html=True, main_content=True,
+        main_content_lang_col="lang", rule_mode="any",
+    )
+    assert "deutscher Prosa" in corpus.collect()[0]["text"]
+    # control: under the static English gate the German article empties
+    # at the main-content stage and the funnel drops the document
+    empty, _ = curation.curation_funnel(
+        docs, extract_html=True, main_content=True, rule_mode="any",
+    )
+    assert empty.count() == 0
