@@ -19,12 +19,28 @@ TOKEN_SPLIT = r"\s+"
 # Small per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Public common words; overlap (la/de) is resolved by the
 # deterministic argmax chain below.
+#
+# UNIFORM 7-word lists: score = raw hit count, so unequal list sizes
+# would bias the argmax toward the longer list. New languages append
+# AFTER the original five — the chain order is the tie-break, so
+# existing predictions (incl. the all-zero → 'en' default) are stable.
+# The oracle SQL for every consumer row is GENERATED from this one dict
+# (ext_oracles._lang_scores_sql/_lang_pred_sql), so extending it cannot
+# drift the correctness gate.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "to", "in", "is"),
     "fr": ("le", "la", "les", "et", "une", "est", "dans"),
     "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
     "es": ("el", "los", "las", "y", "un", "es", "en"),
     "zh": ("的", "是", "了", "在", "我", "不", "和"),
+    "pt": ("o", "os", "uma", "não", "em", "do", "são"),
+    "it": ("il", "gli", "di", "che", "una", "è", "per"),
+    "nl": ("het", "een", "van", "niet", "zijn", "voor", "op"),
+    "ru": ("и", "в", "не", "на", "что", "это", "как"),
+    "pl": ("się", "że", "jest", "nie", "czy", "aby", "dla"),
+    "sv": ("och", "att", "är", "som", "på", "för", "ett"),
+    "tr": ("ve", "bir", "bu", "için", "ile", "değil", "gibi"),
+    "id": ("yang", "dan", "di", "untuk", "dari", "tidak", "ini"),
 }
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum symbol —

@@ -1086,7 +1086,9 @@ EXT_ORACLES: dict[str, str] = {
                + 0.3 * (1.0 - round(len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is'))) / len(tok), 4))
                + 0.4 * least(1.0, round(length(regexp_replace(text, '\s', '', 'g')) / len(tok), 4) / 8.0)
              AS quality_score,
-           score_en, score_fr, score_de, score_es, score_zh,
+           """
+    + ", ".join(f"score_{lang}" for lang in LANG_STOPWORDS)
+    + r""",
            """
     + _lang_pred_sql()
     + rf""" AS lang_pred,

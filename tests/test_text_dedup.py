@@ -245,6 +245,31 @@ def test_language_id(spark):
     assert got[(3,)]["lang_pred"] == "es"
 
 
+def test_language_id_extended_languages(spark):
+    """The r13 LID extension (13 languages, uniform 7-word lists):
+    pt/it/nl/ru/pl/sv/tr/id texts classify to their own language, the
+    original five fixtures are untouched by the appended lists, and an
+    all-zero-score doc still defaults to 'en' (chain order preserved)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "o livro não está em cima da mesa e os outros são novos", "pt"),
+            (2, "il libro è di una persona che scrive per i giornali", "it"),
+            (3, "het boek is niet van de tafel en een stoel voor op zolder", "nl"),
+            (4, "и вот не на столе что это как обычно бывает", "ru"),
+            (5, "że się jest nie wiadomo czy aby dla wszystkich", "pl"),
+            (6, "och att det är som ett hus på landet för alla", "sv"),
+            (7, "ve bir bu ev için ile değil gibi görünüyor", "tr"),
+            (8, "yang dan di rumah untuk dari tidak ini juga", "id"),
+            (9, "zzz qqq www", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = rows_by_key(text.language_id(docs), "doc_id")
+    for i, lang in enumerate(("pt", "it", "nl", "ru", "pl", "sv", "tr", "id"), 1):
+        assert got[(i,)]["lang_pred"] == lang, (i, got[(i,)])
+    assert got[(9,)]["lang_pred"] == "en"  # all-zero default unchanged
+
+
 def test_token_counts(spark):
     got = rows_by_key(text.token_counts(_docs(spark, [(1, "hello world42 foo-bar")])), "doc_id")
     r = got[(1,)]
