@@ -203,6 +203,23 @@ def curation_funnel(
             "main_content=True requires extract_html=True (it selects the "
             "extraction flavor of the html_extract stage)"
         )
+    if (
+        main_content_stopwords is not None
+        or main_content_lang_col is not None
+    ) and not main_content:
+        # same convention: a configured multilingual/custom stoplist that
+        # never runs is a silent no-op
+        raise ValueError(
+            "main_content_stopwords/main_content_lang_col require "
+            "main_content=True (they configure the block scorer)"
+        )
+    if main_content_stopwords is not None and main_content_lang_col is not None:
+        # extract_main_content ignores stopwords= in lang mode — refuse
+        # the combination instead of silently discarding the custom list
+        raise ValueError(
+            "pass either main_content_stopwords (one static list) or "
+            "main_content_lang_col (per-document lists), not both"
+        )
     def _stage(frame: DataFrame) -> DataFrame:
         return frame.localCheckpoint(eager=False) if materialize else frame
 
@@ -318,7 +335,7 @@ def curation_funnel(
                 mc_kw["lang_col"] = main_content_lang_col
             docs = tx.extract_main_content(
                 docs, text_col=text_col, **mc_kw
-            ).drop("main_blocks_total", "main_blocks_kept")
+            ).drop(*tx.MAIN_CONTENT_AUDIT_COLS)
         else:
             docs = tx.html_to_text(docs, text_col=text_col)
         docs = _stage(docs)

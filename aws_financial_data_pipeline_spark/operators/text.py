@@ -1491,6 +1491,13 @@ MAIN_CONTENT_STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
     ),
 }
 
+#: extract_main_content's audit columns — the ONE definition the corpus
+#: front door and curation_funnel drop when they run the extractor as a
+#: count-preserving stage (run the operator standalone to keep them)
+MAIN_CONTENT_AUDIT_COLS: tuple[str, ...] = (
+    "main_blocks_total", "main_blocks_kept",
+)
+
 #: block-level boundaries for the jusText-style block walk — every tag
 #: that starts or ends a visual block, open or close (attributes ride in
 #: the open form); <br> too
@@ -1588,9 +1595,10 @@ def extract_main_content(
     first-pass :func:`language_id` over :func:`html_to_text` output —
     and each document is scored against ITS language's stoplist from
     ``stopwords_by_lang`` (default :data:`MAIN_CONTENT_STOPWORDS_BY_LANG`,
-    11 languages). An unlisted or NULL language degrades to the
-    language-free gate for that document (length + link density only) —
-    never to English, which would misclassify foreign prose as chrome.
+    12 languages). An unlisted or NULL language — or an explicit empty
+    tuple in the map — degrades to the language-free gate for that
+    document (length + link density only) — never to English, which
+    would misclassify foreign prose as chrome.
     Still pure Catalyst: the per-row stoplist is a literal-array
     ``when`` chain projected once per document; ``stopwords=`` is
     ignored in this mode. Known regex-not-DOM limits (html_tables
@@ -1633,9 +1641,10 @@ def extract_main_content(
             if stopwords_by_lang is None
             else stopwords_by_lang
         )
-        # primary subtag, case-folded: 'de-DE'/'pt_BR' → 'de'/'pt'
+        # primary subtag, case-folded, trimmed (scraped metadata pads):
+        # 'de-DE'/'pt_BR'/' de ' → 'de'/'pt'/'de'
         norm_lang = F.element_at(
-            F.split(F.lower(F.col(lang_col)), r"[-_]"), 1
+            F.split(F.trim(F.lower(F.col(lang_col))), r"[-_]"), 1
         )
         # literal-array when chain, PROJECTED once per document (tmp_s)
         # so the chain is not re-evaluated per block inside _classify;
@@ -1659,8 +1668,13 @@ def extract_main_content(
             n_stop = F.size(
                 F.filter(words, lambda w: F.array_contains(sa, w))
             )
-            stop_ok = sa.isNull() | (
-                n_stop >= F.lit(float(min_stopword_density)) * F.size(words)
+            # NULL (unlisted/NULL lang) OR an explicit empty list both
+            # disable the gate — '(): language-free' matches the static
+            # mode's stopwords=() semantics instead of dropping all prose
+            stop_ok = (
+                sa.isNull()
+                | (F.size(sa) == 0)
+                | (n_stop >= F.lit(float(min_stopword_density)) * F.size(words))
             )
         elif stop_list:
             words = F.filter(

@@ -73,6 +73,18 @@ def _archive_docs(docs: DataFrame, source: str) -> DataFrame:
     )
 
 
+def _check_main_content(extract_html: bool, main_content: bool) -> None:
+    """``main_content=True`` without ``extract_html=True`` would be a
+    silent no-op shipping raw HTML — raise, matching curation_funnel's
+    misconfiguration convention. Shared by every front-door entry."""
+    if main_content and not extract_html:
+        raise ValueError(
+            "main_content=True requires extract_html=True (it selects "
+            "WHICH html extraction runs on the warc leg; without the "
+            "extraction stage it would silently ship raw HTML)"
+        )
+
+
 def _html_stage(docs: DataFrame, main_content: bool) -> DataFrame:
     """The WARC leg's HTML→text hop: :func:`..operators.text.html_to_text`
     by default, or — ``main_content=True`` (r13) — the jusText-shaped
@@ -80,13 +92,15 @@ def _html_stage(docs: DataFrame, main_content: bool) -> DataFrame:
     drops at the BLOCK level before any downstream signal; audit columns
     stripped — run the operator standalone to keep them; English stoplist
     defaults, so multilingual zones should run the operator directly with
-    their language's ``stopwords=``)."""
-    from ..operators.text import extract_main_content, html_to_text
+    their language's ``stopwords=`` or per-document ``lang_col=``)."""
+    from ..operators.text import (
+        MAIN_CONTENT_AUDIT_COLS,
+        extract_main_content,
+        html_to_text,
+    )
 
     if main_content:
-        return extract_main_content(docs).drop(
-            "main_blocks_total", "main_blocks_kept"
-        )
+        return extract_main_content(docs).drop(*MAIN_CONTENT_AUDIT_COLS)
     return html_to_text(docs)
 
 
@@ -125,6 +139,7 @@ def ingest_corpus(
     lost record must surface as a NUMBER, not a dead job. The other legs
     contribute no rows (their parse conventions raise loudly at the file
     level instead)."""
+    _check_main_content(extract_html, main_content)
     legs: list[DataFrame] = []
     err_legs: list[DataFrame] = []
 
@@ -310,6 +325,7 @@ def corpus_batch_frame(
     unchanged by it."""
     if on_unknown not in ("error", "skip"):
         raise ValueError(f"on_unknown must be 'error' or 'skip': {on_unknown!r}")
+    _check_main_content(extract_html, main_content)
     if on_unknown == "error":
         strays = unmatched_corpus_paths(batch)
         if strays:
@@ -413,13 +429,15 @@ def ingest_corpus_stream(
     leg and writes the unioned (doc_id, url, text, source) contract as
     idempotent ``batch=<id>`` parquet. Replay equals batch by construction
     — same parse stages, same id conventions, same single-decode guarantee
-    (``html_to_text`` on the warc leg only).
+    (the HTML stage — ``html_to_text``, or ``extract_main_content`` when
+    ``main_content=True`` — runs on the warc leg only).
 
     Files stay the parallelism axis (none of the containers is
     offset-splittable); at 100 TB the landing zone is how crawl dumps
     actually arrive, and each micro-batch's partition count is its file
     count. ``available_now=True`` drains and returns the combined docs
     frame; ``False`` tails the directory and returns the started query."""
+    _check_main_content(extract_html, main_content)  # fail at declaration
     from .warc import binaryfile_ingest_stream
 
     def process(batch: DataFrame, bid: int) -> None:

@@ -1668,3 +1668,80 @@ def test_curation_funnel_forwards_main_content_lang_col(spark):
         docs, extract_html=True, main_content=True, rule_mode="any",
     )
     assert empty.count() == 0
+
+
+def test_main_content_misconfiguration_guards(spark):
+    """r13 review: every configuration that silently would not run what
+    the user configured raises instead — lang values with padding/region
+    subtags normalize, and an explicit empty stoplist in the map means
+    'gate off' (the static stopwords=() semantics), not 'drop all'."""
+    import pytest as _pt
+
+    from aws_financial_data_pipeline_spark.operators import curation
+    from aws_financial_data_pipeline_spark.operators.text import (
+        extract_main_content,
+    )
+    from aws_financial_data_pipeline_spark.sources import corpus as corpussrc
+
+    docs = spark.createDataFrame(
+        [(1, "<body><p>text</p></body>", "de")],
+        "doc_id long, text string, lang string",
+    )
+    # funnel: configured scorer options without the scorer
+    with _pt.raises(ValueError, match="require\\s+main_content=True"):
+        curation.curation_funnel(
+            docs, extract_html=True, main_content_lang_col="lang"
+        )
+    with _pt.raises(ValueError, match="require\\s+main_content=True"):
+        curation.curation_funnel(
+            docs, extract_html=True, main_content_stopwords=("der",)
+        )
+    # funnel: both stoplist modes at once
+    with _pt.raises(ValueError, match="not both"):
+        curation.curation_funnel(
+            docs, extract_html=True, main_content=True,
+            main_content_stopwords=("der",), main_content_lang_col="lang",
+        )
+    # front doors: main_content without extract_html
+    with _pt.raises(ValueError, match="requires extract_html=True"):
+        corpussrc.ingest_corpus(
+            spark, warc_dir="/nonexistent", extract_html=False,
+            main_content=True,
+        )
+    with _pt.raises(ValueError, match="requires extract_html=True"):
+        corpussrc.corpus_batch_frame(
+            spark.createDataFrame(
+                [], "path string, modificationTime timestamp, "
+                    "length long, content binary"
+            ),
+            extract_html=False, main_content=True,
+        )
+    with _pt.raises(ValueError, match="requires extract_html=True"):
+        corpussrc.ingest_corpus_stream(
+            spark, "/nonexistent", "/nonexistent_out",
+            extract_html=False, main_content=True,
+        )
+    # padded/region lang values still pick the right stoplist
+    german = (
+        "Dieser Absatz ist in gewöhnlicher deutscher Prosa geschrieben und "
+        "er enthält die üblichen Artikel und Präpositionen der deutschen "
+        "Sprache. Er läuft lange genug weiter um die Schwelle von "
+        "zweihundert Zeichen zu überschreiten die der Extraktor für einen "
+        "guten Block verlangt. Und er endet mit einem dritten Satz."
+    )
+    padded = spark.createDataFrame(
+        [(1, f"<body><p>{german}</p></body>", "  DE-at ")],
+        "doc_id long, text string, lang string",
+    )
+    assert "deutscher Prosa" in (
+        extract_main_content(padded, lang_col="lang").collect()[0]["text"]
+    )
+    # explicit () in the map = language-free gate for that language
+    ja_docs = spark.createDataFrame(
+        [(1, f"<body><p>{german}</p></body>", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = extract_main_content(
+        ja_docs, lang_col="lang", stopwords_by_lang={"de": ()}
+    ).collect()[0]["text"]
+    assert "deutscher Prosa" in got
