@@ -501,3 +501,120 @@ def signal_drift(
     return old_docs.sparkSession.createDataFrame(
         rows, "signal string, psi double, verdict string"
     )
+
+
+def host_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    lang_col: "str | None" = None,
+    quality_col: "str | None" = None,
+    canonical_col: "str | None" = None,
+) -> DataFrame:
+    """Per-HOST corpus audit — the domain-level table RefinedWeb/FineWeb
+    curate against: web crawls are judged host by host (manual inspection
+    of top domains, per-domain duplication rates feeding blocklist
+    decisions, domain volume caps), and :func:`corpus_datasheet` answers
+    "what is the corpus" while this answers "WHERE did it come from and
+    which hosts deserve a gate". One row per host:
+
+    - ``host`` — lowercased, ``www.``-stripped (the house
+      ``try_parse_url`` idiom of the URL gates). Non-web provenance
+      URLs group by their authority segment — ``archive://bundle.tar.gz
+      #member`` rows under ``bundle.tar.gz``, i.e. per-ARCHIVE — and
+      docs with NULL/unparseable URLs keep a NULL-host row, so
+      off-crawl volume stays visible either way,
+    - ``n_docs``, ``total_chars``, ``total_ws_tokens``,
+      ``mean_doc_chars`` (2dp),
+    - ``lang_top`` + ``n_langs`` (``lang_col=``, e.g.
+      :func:`..text.language_id`'s ``lang_pred``): the host's dominant
+      language by the house deterministic mode — ``min(struct(-count,
+      lang))``, ties → lexicographically smallest, NULL langs electable
+      as NULL (sorted before every string, the A2 convention),
+    - ``quality_mean`` (6dp, ``quality_col=``; NULLs skipped by avg),
+    - ``n_dup`` + ``dup_fraction`` (6dp, ``canonical_col=``, from
+      :func:`..dedup.exact_duplicates`): docs that are non-canonical
+      members of an exact-dup cluster — the per-host duplication rate
+      that flags mirror/boilerplate farms.
+
+    100 TB shape: ONE hash aggregation (two when ``lang_col`` adds the
+    mode's (host, lang) pre-aggregate — the A2 two-level argmax, no
+    window sort). Map-side partial aggregation means a hot host
+    (wikipedia, blogspot) costs one combiner row per task, not a skewed
+    shuffle of documents; output cardinality is |hosts|, orders below
+    |docs|. Text bodies never shuffle — the projection is
+    (host, lengths, flags) only.
+    """
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
+    proj = [
+        host.alias("host"),
+        F.length(text_col).alias("_chars"),
+        F.size(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_toks"),
+    ]
+    if quality_col is not None:
+        proj.append(F.col(quality_col).cast("double").alias("_q"))
+    if canonical_col is not None:
+        proj.append(
+            (F.col(canonical_col) != F.col(id_col))
+            .cast("long")
+            .alias("_dup")
+        )
+    if lang_col is not None:
+        proj.append(F.col(lang_col).alias("_lang"))
+    base = docs.select(*proj)
+
+    if lang_col is None:
+        aggs = [
+            F.count("*").alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+            F.sum("_toks").alias("total_ws_tokens"),
+        ]
+        if quality_col is not None:
+            aggs.append(F.round(F.avg("_q"), 6).alias("quality_mean"))
+        if canonical_col is not None:
+            aggs.append(F.sum("_dup").alias("n_dup"))
+        out = base.groupBy("host").agg(*aggs)
+    else:
+        # level 1: per (host, lang) partials — the mode's count lives here
+        l1 = [
+            F.count("*").alias("_n"),
+            F.sum("_chars").alias("_c"),
+            F.sum("_toks").alias("_t"),
+        ]
+        if quality_col is not None:
+            l1 += [F.sum("_q").alias("_qs"), F.count("_q").alias("_qn")]
+        if canonical_col is not None:
+            l1.append(F.sum("_dup").alias("_d"))
+        lvl1 = base.groupBy("host", "_lang").agg(*l1)
+        # level 2: roll partials to the host + elect the mode
+        aggs = [
+            F.sum("_n").alias("n_docs"),
+            F.sum("_c").alias("total_chars"),
+            F.sum("_t").alias("total_ws_tokens"),
+            F.min(F.struct((-F.col("_n")).alias("nc"), F.col("_lang")))
+            .getField("_lang")
+            .alias("lang_top"),
+            F.count("*").alias("n_langs"),
+        ]
+        if quality_col is not None:
+            # Σsum/Σcount, not avg-of-avgs (the user_scalars convention)
+            aggs.append(
+                F.round(F.sum("_qs") / F.sum("_qn"), 6).alias("quality_mean")
+            )
+        if canonical_col is not None:
+            aggs.append(F.sum("_d").alias("n_dup"))
+        out = lvl1.groupBy("host").agg(*aggs)
+
+    out = out.withColumn(
+        "mean_doc_chars",
+        F.round(F.col("total_chars") / F.col("n_docs"), 2),
+    )
+    if canonical_col is not None:
+        out = out.withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup") / F.col("n_docs"), 6),
+        )
+    return out

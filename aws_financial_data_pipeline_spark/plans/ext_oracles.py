@@ -1438,11 +1438,52 @@ EXT_ORACLES: dict[str, str] = {
              ), true) AS robots_kept
       FROM documents d
     ),
+    -- per-host audit leg (round-13, quality.host_profile): per-doc host
+    -- signals → (host, lang) partials → host rollup with the two-level
+    -- deterministic language mode (row_number ORDER BY n DESC, lang ≡
+    -- Spark's min(struct(-n, lang))) and the Σsum/Σcount quality mean
+    hpd AS (
+      SELECT d.doc_id,
+             ('h' || CAST(d.doc_id % 7 AS VARCHAR) || '.' || d.source || '.org') AS host,
+             l.lang_pred,
+             -- integer-valued: exact order-free sums (half-up == half-away
+             -- for positives, so the single-value round matches Spark's)
+             round(q.quality_score * 1000000, 0) AS q_x1e6,
+             CASE WHEN cm.canonical_id <> d.doc_id THEN 1 ELSE 0 END AS dup
+      FROM documents d
+      JOIN l USING (doc_id) JOIN q USING (doc_id)
+      JOIN (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+            FROM documents) cm USING (doc_id)
+    ),
+    hp1 AS (
+      SELECT host, lang_pred, count(*) AS n,
+             sum(q_x1e6) AS qs, count(q_x1e6) AS qn,
+             sum(dup) AS dups
+      FROM hpd GROUP BY host, lang_pred
+    ),
+    hprof AS (
+      SELECT host,
+             CAST(sum(n) AS BIGINT) AS host_n_docs,
+             CAST(count(*) AS BIGINT) AS host_n_langs,
+             round(sum(qs) / sum(qn), 6) AS host_quality_mean_x1e6,
+             round(sum(dups) / sum(n), 6) AS host_dup_fraction
+      FROM hp1 GROUP BY host
+    ),
+    hmode AS (
+      SELECT host, lang_pred AS host_lang_top
+      FROM (SELECT host, lang_pred,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY n DESC, lang_pred) AS rn
+            FROM hp1)
+      WHERE rn = 1
+    ),
     """
     + _repetition_sql()
     + """
     SELECT doc_id, source, u.k AS epoch, lang_pred, quality_score, bucket,
            split, in_sample, in_quota, in_weighted, host_kept, robots_kept,
+           host_n_docs, host_n_langs, host_lang_top,
+           host_quality_mean_x1e6, host_dup_fraction,
            """
     + ",\n           ".join(
         f"rep_{n}_num, rep_{n}_den" for n in GOPHER_REPETITION_THRESHOLDS
@@ -1450,7 +1491,9 @@ EXT_ORACLES: dict[str, str] = {
     + """,
            rep_keep
     FROM exp JOIN hk USING (doc_id) JOIN rk USING (doc_id)
-         JOIN r32rep USING (doc_id),
+         JOIN r32rep USING (doc_id)
+         JOIN (SELECT doc_id, host FROM hpd) dh USING (doc_id)
+         JOIN hprof USING (host) JOIN hmode USING (host),
          LATERAL UNNEST(range(_n)) AS u(k)
     """,
     # tumbling + sliding consolidated (round-1 x14+x15); decimal value sums

@@ -1081,6 +1081,59 @@ def x32_corpus_curation(spark, sf_dir):
         "doc_id", F.col("robots_allowed").alias("robots_kept")
     )
     out = out.join(rv, "doc_id")
+    # round-13 leg: the per-host audit table (quality.host_profile — the
+    # RefinedWeb-style domain-level curation view) over the SAME
+    # synthesized URLs, with lang_pred / quality_score / exact-dup
+    # canonical as the optional columns, joined back per doc so every
+    # output row carries its host's aggregate stats. The oracle
+    # recomputes the two-level deterministic language mode
+    # (min(struct(-n, lang)) ≡ row_number ORDER BY n DESC, lang) and the
+    # Σsum/Σcount quality mean in SQL.
+    from ..operators import quality as qualop
+
+    all_docs = _docs(spark, sf_dir)
+    fp = all_docs.select("doc_id", F.md5("text").alias("fp"))
+    canon_map = (
+        dedup.exact_duplicates(all_docs).select("fp", "canonical_id")
+    )
+    # quality feeds the leg as round(q·1e6): INTEGER-VALUED doubles sum
+    # exactly in any order (the NOTES no-floats-until-division rule), so
+    # the operator's Σsum/Σcount mean is one deterministic quotient —
+    # a raw double sum put one host's 6dp mean on a rounding boundary
+    # (reproduced at sf0.001: 26 mismatched rows = one boundary host)
+    hp_in = (
+        all_docs.select("doc_id", "text")
+        .join(urls, "doc_id")
+        .join(lang, "doc_id")
+        .join(
+            stats.select(
+                "doc_id",
+                F.round(F.col("quality_score") * 1e6, 0).alias("q_x1e6"),
+            ),
+            "doc_id",
+        )
+        .join(fp.join(canon_map, "fp").select("doc_id", "canonical_id"), "doc_id")
+    )
+    hp = qualop.host_profile(
+        hp_in,
+        lang_col="lang_pred",
+        quality_col="q_x1e6",
+        canonical_col="canonical_id",
+    ).select(
+        "host",
+        F.col("n_docs").alias("host_n_docs"),
+        F.col("n_langs").alias("host_n_langs"),
+        F.col("lang_top").alias("host_lang_top"),
+        F.col("quality_mean").alias("host_quality_mean_x1e6"),
+        F.col("dup_fraction").alias("host_dup_fraction"),
+    )
+    doc_host = urls.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))), r"^www\.", ""
+        ).alias("host"),
+    )
+    out = out.join(doc_host, "doc_id").join(hp, "host").drop("host")
     # round-13 leg: the Gopher repetition filters (text.repetition_profile,
     # raw_counts=True — exact integer numerator/denominator pairs, the
     # drift-free hash surface; the oracle recomputes every count in SQL).
@@ -1121,6 +1174,8 @@ def x32_corpus_curation(spark, sf_dir):
         "doc_id", "source", "epoch", "lang_pred", "quality_score", "bucket",
         "split", "in_sample", "in_quota", "in_weighted", "host_kept",
         "robots_kept",
+        "host_n_docs", "host_n_langs", "host_lang_top",
+        "host_quality_mean_x1e6", "host_dup_fraction",
         *[
             f"rep_{n}_{p}"
             for n in rep_names

@@ -467,3 +467,76 @@ def test_score_quality_null_text_yields_null_prob(spark):
     )
     got = {r["doc_id"]: r["quality_prob"] for r in q.score_quality(docs, model).collect()}
     assert got[1] is not None and got[2] is None
+
+
+def _host_docs(spark):
+    rows = [
+        # a.example: 3 docs, two langs (en×2, de×1), one exact dup
+        (1, "https://www.a.example/p1", "one two three four", "en", 0.9, 1),
+        (2, "https://a.example/p2", "five six", "en", 0.7, 1),      # dup of 1
+        (3, "https://a.example:443/p3", "sieben acht neun", "de", 0.5, 3),
+        # b.example: 1 doc
+        (4, "http://b.example/q", "ten eleven", "fr", None, 4),
+        # archive provenance groups per-archive; NULL url → NULL host
+        (5, "archive://bundle.tar.gz#m.txt", "twelve", None, 0.1, 5),
+        (6, None, "thirteen", None, 0.2, 6),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, url string, text string, lang string, "
+        "q double, canonical_id long",
+    )
+
+
+def test_host_profile_full_columns(spark):
+    """host_profile: per-host volume, deterministic language mode,
+    Σ/Σ quality mean, and exact-dup fraction; www./port strip; NULL-host
+    provenance keeps its own row; two hash aggregations, no window."""
+    prof = {
+        r["host"]: r
+        for r in ql.host_profile(
+            _host_docs(spark),
+            lang_col="lang",
+            quality_col="q",
+            canonical_col="canonical_id",
+        ).collect()
+    }
+    a = prof["a.example"]
+    assert a["n_docs"] == 3
+    assert a["total_chars"] == len("one two three four") + len("five six") + len("sieben acht neun")
+    assert a["total_ws_tokens"] == 4 + 2 + 3
+    assert a["mean_doc_chars"] == round(a["total_chars"] / 3, 2)
+    assert a["lang_top"] == "en" and a["n_langs"] == 2
+    assert a["quality_mean"] == round((0.9 + 0.7 + 0.5) / 3, 6)
+    assert a["n_dup"] == 1 and a["dup_fraction"] == round(1 / 3, 6)
+    b = prof["b.example"]
+    assert b["n_docs"] == 1 and b["lang_top"] == "fr"
+    assert b["quality_mean"] is None  # avg over all-NULL quality
+    assert b["n_dup"] == 0 and b["dup_fraction"] == 0.0
+    assert prof["bundle.tar.gz"]["n_docs"] == 1  # per-archive row
+    none_row = prof[None]
+    assert none_row["n_docs"] == 1 and none_row["lang_top"] is None
+    # no window in the plan (the A2 two-level argmax promise)
+    plan = ql.host_profile(
+        _host_docs(spark), lang_col="lang"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_host_profile_minimal_and_tiebreak(spark):
+    """Without optional columns: one groupBy, volume-only schema. Language
+    tie at equal counts elects the lexicographically smallest (the A2
+    struct-ordering tie-break)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "https://t.example/1", "x", "fr"),
+            (2, "https://t.example/2", "y", "de"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    minimal = ql.host_profile(docs).collect()
+    assert {c for c in minimal[0].asDict()} == {
+        "host", "n_docs", "total_chars", "total_ws_tokens", "mean_doc_chars"
+    }
+    tie = ql.host_profile(docs, lang_col="lang").collect()[0]
+    assert tie["lang_top"] == "de" and tie["n_langs"] == 2
