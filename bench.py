@@ -581,6 +581,54 @@ def _bench_data_quality(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_host_profile(spark, sf_dir: str) -> float:
+    """The per-host audit table (r13): language_id + text_stats signals
+    plus exact-dup canonicals feeding quality.host_profile over
+    synthesized hosts — one signal pass, one (host, lang) partial
+    aggregate, one host rollup with the deterministic language mode.
+    The domain-level view every blocklist decision reads."""
+    from aws_financial_data_pipeline_spark.operators import dedup, quality, text
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("."), F.col("source"), F.lit(".org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+
+    def run():
+        t0 = time.perf_counter()
+        hp_in = (
+            docs.select("doc_id", "text")
+            .join(urls, "doc_id")
+            .join(text.language_id(docs).select("doc_id", "lang_pred"), "doc_id")
+            .join(text.text_stats(docs).select("doc_id", "quality_score"), "doc_id")
+            .join(
+                fp.join(
+                    dedup.exact_duplicates(docs).select("fp", "canonical_id"),
+                    "fp",
+                ).select("doc_id", "canonical_id"),
+                "doc_id",
+            )
+        )
+        quality.host_profile(
+            hp_in,
+            lang_col="lang_pred",
+            quality_col="quality_score",
+            canonical_col="canonical_id",
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    elapsed = _best2(run)
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def _bench_crawl_front_door(spark, sf_dir: str) -> float:
     """The full crawl front door as ONE timed chain (round-6 verdict
     next-step #8): synthetic markup pages → URL dedup (utm-variants and
@@ -1407,6 +1455,7 @@ def main() -> None:
         ("snapshot_diff", _bench_snapshot_diff, {}),
         ("table_audits", _bench_table_audits, {}),
         ("data_quality_checks", _bench_data_quality, {}),
+        ("host_profile", _bench_host_profile, {}),
     ]
     for name, fn, kw in composites:
         times[name] = _row(name, fn, spark, sf_dir, **kw)
