@@ -286,6 +286,7 @@ def _main_content_sql() -> str:
         _BLOCK_BOUNDARY_RE,
         _HTML_ENTITIES,
         MAIN_CONTENT_STOPWORDS,
+        MAIN_CONTENT_STOPWORDS_BY_LANG,
     )
     from .ext_queries import MC_FIXTURE_POST, MC_FIXTURE_PRE
 
@@ -301,6 +302,19 @@ def _main_content_sql() -> str:
         f"(len(list_filter({words}, w -> list_contains({stoplist}, w)))"
         f" >= CAST(0.08 AS DOUBLE) * len({words}))"
     )
+    # lang_col mode (r13): per-document stoplist CASE generated from the
+    # SAME dict as the Spark side; an unmatched lang (zh in the testdata)
+    # yields NULL → gate disabled, exercising the language-free fallback
+    by_lang_cases = " ".join(
+        f"WHEN {_sq(k)} THEN [" + ", ".join(_sq(w) for w in ws) + "]"
+        for k, ws in sorted(MAIN_CONTENT_STOPWORDS_BY_LANG.items())
+    )
+    stoparr = f"(CASE lang {by_lang_cases} ELSE NULL END)"
+    stopok_ml = (
+        f"(stop_arr IS NULL OR len(stop_arr) = 0 OR "
+        f"len(list_filter({words}, w -> list_contains(stop_arr, w)))"
+        f" >= CAST(0.08 AS DOUBLE) * len({words}))"
+    )
     wholesale = (
         r"(?is)(<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>"
         r"|<template\b[^>]*>.*?</template\s*>|<head\b[^>]*>.*?</head\s*>)"
@@ -311,49 +325,61 @@ def _main_content_sql() -> str:
     )
     classid = r'(?is)<div class="cookie-banner">.*?</div\s*>'
     return f"""
-    mcs AS (SELECT doc_id,
+    mcs AS (SELECT doc_id, lang,
               {_sq(MC_FIXTURE_PRE)} ||
               regexp_replace(regexp_replace(text, '[^\\x20-\\x7E\\n]', ' ', 'g'),
                              '[<>&]', ' ', 'g') ||
               {_sq(MC_FIXTURE_POST)} AS h
             FROM documents),
-    mcp AS (SELECT doc_id,
+    mcp AS (SELECT doc_id, lang,
               regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
                 {_sq(wholesale)}, ' ', 'g'),
                 '(?s)<!--.*?-->', ' ', 'g'),
                 {_sq(semantic)}, ' ', 'g'),
                 {_sq(classid)}, ' ', 'g') AS t
             FROM mcs),
-    mcb AS (SELECT doc_id, u.i AS pos, frs[u.i] AS frag
-            FROM (SELECT doc_id,
+    mcb AS (SELECT doc_id, lang, u.i AS pos, frs[u.i] AS frag
+            FROM (SELECT doc_id, lang,
                          string_split_regex(t, {_sq(_BLOCK_BOUNDARY_RE)}) AS frs
                   FROM mcp),
                  UNNEST(generate_series(1, len(frs))) AS u(i)),
-    mcc AS (SELECT doc_id, pos, {clean('frag')} AS txt,
+    mcc AS (SELECT doc_id, lang, pos, {clean('frag')} AS txt,
                    COALESCE(list_aggregate(list_transform(
                        regexp_extract_all(frag,
                          '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
                        a -> length({clean('a')})), 'sum'), 0) AS link_len
             FROM mcb),
     mcn AS (SELECT doc_id, txt, link_len,
+                   {stoparr} AS stop_arr,
                    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
             FROM mcc WHERE length(txt) > 0),
     mcg AS (SELECT doc_id, txt, p,
                    CASE WHEN link_len > CAST(0.3 AS DOUBLE) * length(txt) THEN 0
                         WHEN length(txt) >= 200 AND {stopok} THEN 2
                         WHEN length(txt) >= 70 AND NOT {stopok} THEN 0
-                        ELSE 1 END AS cls
+                        ELSE 1 END AS cls,
+                   CASE WHEN link_len > CAST(0.3 AS DOUBLE) * length(txt) THEN 0
+                        WHEN length(txt) >= 200 AND {stopok_ml} THEN 2
+                        WHEN length(txt) >= 70 AND NOT {stopok_ml} THEN 0
+                        ELSE 1 END AS cls_ml
             FROM mcn),
     mck AS (SELECT doc_id, txt, p, cls,
                    (cls = 2 OR (cls = 1 AND (
                      COALESCE(lag(cls) OVER w, 0) = 2
-                     OR COALESCE(lead(cls) OVER w, 0) = 2))) AS kp
+                     OR COALESCE(lead(cls) OVER w, 0) = 2))) AS kp,
+                   (cls_ml = 2 OR (cls_ml = 1 AND (
+                     COALESCE(lag(cls_ml) OVER w, 0) = 2
+                     OR COALESCE(lead(cls_ml) OVER w, 0) = 2))) AS kp_ml
             FROM mcg WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
     mres AS (SELECT doc_id,
                     COALESCE(string_agg(txt, chr(10) ORDER BY p)
                              FILTER (WHERE kp), '') AS main_text,
                     CAST(COUNT(*) AS INT) AS main_blocks_total,
-                    CAST(COUNT(*) FILTER (WHERE kp) AS INT) AS main_blocks_kept
+                    CAST(COUNT(*) FILTER (WHERE kp) AS INT) AS main_blocks_kept,
+                    COALESCE(string_agg(txt, chr(10) ORDER BY p)
+                             FILTER (WHERE kp_ml), '') AS main_text_ml,
+                    CAST(COUNT(*) FILTER (WHERE kp_ml) AS INT)
+                      AS main_ml_blocks_kept
              FROM mck GROUP BY doc_id)"""
 
 
@@ -1111,7 +1137,9 @@ EXT_ORACLES: dict[str, str] = {
     + r""",
            mres.main_text,
            COALESCE(mres.main_blocks_total, 0) AS main_blocks_total,
-           COALESCE(mres.main_blocks_kept, 0) AS main_blocks_kept
+           COALESCE(mres.main_blocks_kept, 0) AS main_blocks_kept,
+           mres.main_text_ml,
+           COALESCE(mres.main_ml_blocks_kept, 0) AS main_ml_blocks_kept
     FROM sc LEFT JOIN fp USING (doc_id) JOIN gp USING (doc_id)
          LEFT JOIN mres ON mres.doc_id = sc.doc_id
     """,

@@ -364,7 +364,25 @@ def x10_text_profile(spark, sf_dir):
     )
     docs2 = text.extract_main_content(
         wrapped, text_col="_html", out_col="main_text"
-    ).drop("_html")
+    )
+    # r13 second leg: the SAME fixture markup scored in lang_col mode —
+    # en/fr/es/de docs elect against their own stoplists, zh (not in
+    # MAIN_CONTENT_STOPWORDS_BY_LANG) exercises the language-free
+    # fallback. blocks_total is input-determined and identical to the
+    # static leg, so only the kept-count and text are new surface.
+    docs2 = (
+        text.extract_main_content(
+            docs2.withColumnRenamed("main_blocks_total", "_mbt")
+            .withColumnRenamed("main_blocks_kept", "_mbk"),
+            text_col="_html",
+            out_col="main_text_ml",
+            lang_col="lang",
+        )
+        .withColumnRenamed("main_blocks_kept", "main_ml_blocks_kept")
+        .drop("main_blocks_total", "_html")
+        .withColumnRenamed("_mbt", "main_blocks_total")
+        .withColumnRenamed("_mbk", "main_blocks_kept")
+    )
     out = text.text_profile(
         docs2,
         gopher=True,
@@ -374,6 +392,8 @@ def x10_text_profile(spark, sf_dir):
             F.col("main_text"),
             F.col("main_blocks_total").cast("int").alias("main_blocks_total"),
             F.col("main_blocks_kept").cast("int").alias("main_blocks_kept"),
+            F.col("main_text_ml"),
+            F.col("main_ml_blocks_kept").cast("int").alias("main_ml_blocks_kept"),
         ],
     )
     longs = ["n_chars", "n_tokens", "n_distinct_tokens", "ws_tokens", "bpe_tokens",
