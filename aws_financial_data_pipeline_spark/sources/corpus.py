@@ -30,6 +30,11 @@ Per-leg semantics:
   released-corpus interchange (C4/Pile/RedPajama shape); rows carry
   their own text (+ optional url/id fields); URL-less rows get the
   host-less ``jsonl://`` provenance, same gate-passing rule.
+- **parquet** (r13): released parquet shards (FineWeb/RedPajama-v2
+  shape) — the one offset-SPLITTABLE container, so the batch
+  ``parquet_dir=`` leg uses Spark's native column-pruned scan while
+  the landing-zone leg parses bytes via pyarrow with the same
+  (path, row) id recipe; ``parquet://`` provenance when URL-less.
 
 ``doc_id`` spaces: warc/wet ids are ``xxhash64(url:record_id)``,
 tar/zip ids ``xxhash64(archive:member)``, jsonl ids
@@ -112,6 +117,7 @@ def ingest_corpus(
     zip_dir: str | None = None,
     jsonl_dir: str | None = None,
     tfrecord_dir: str | None = None,
+    parquet_dir: str | None = None,
     extract_html: bool = True,
     archive_pattern: str | None = ".txt",
     max_member_bytes: int = 64 << 20,
@@ -200,10 +206,20 @@ def ingest_corpus(
                 )
             ).withColumn("source", F.lit("tfrecord"))
         )
+    if parquet_dir is not None:
+        from .parquet import read_parquet_corpus
+
+        # the one offset-SPLITTABLE leg: native scan, not binaryFile
+        legs.append(
+            read_parquet_corpus(spark, parquet_dir).withColumn(
+                "source", F.lit("parquet")
+            )
+        )
     if not legs:
         raise ValueError(
             "ingest_corpus needs at least one of "
-            "warc_dir/wet_dir/tar_dir/zip_dir/jsonl_dir/tfrecord_dir"
+            "warc_dir/wet_dir/tar_dir/zip_dir/jsonl_dir/tfrecord_dir/"
+            "parquet_dir"
         )
     out = legs[0].select(*CORPUS_DOC_COLS)
     for leg in legs[1:]:
@@ -285,6 +301,10 @@ _LEG_PATTERNS = (
     # released token-sequence shards (r12): Examples carrying id/text
     # features re-enter the corpus through the same front door
     ("tfrecord", r"\.tfrecord$"),
+    # released parquet shards (r13): FineWeb/RedPajama-v2-shape text
+    # columns; the landing-zone leg parses bytes via pyarrow, the batch
+    # front door's parquet_dir= uses the native splittable scan
+    ("parquet", r"\.parquet$"),
 )
 
 
@@ -309,7 +329,7 @@ def corpus_batch_frame(
 ) -> DataFrame:
     """The dispatch+parse+union plan of one landing-zone micro-batch,
     exposed as a plain frame so tests can assert its SHAPE (shuffle-free:
-    five filter → Arrow-parse legs over one binaryFile scan, plan-level
+    per-extension filter → Arrow-parse legs over one binaryFile scan, plan-level
     union, no Exchange anywhere): any (path, content) frame whose files
     may be ANY mix of the container shapes → per-extension dispatch
     onto the SAME per-leg parse stages the batch :func:`ingest_corpus`
@@ -352,6 +372,10 @@ def corpus_batch_frame(
                     sub, {"id": "long", "text": "string"}
                 )
             )
+        elif leg == "parquet":
+            from .parquet import parquet_to_documents, parse_parquet_files
+
+            docs = parquet_to_documents(parse_parquet_files(sub))
         else:
             parse = parse_tar_files if leg == "tar" else parse_zip_files
             parsed = parse(sub, archive_pattern, max_member_bytes)

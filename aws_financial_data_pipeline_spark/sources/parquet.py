@@ -1,0 +1,179 @@
+"""Parquet corpus-shard source: released-dataset parquet → the front-door
+(doc_id, url, text) contract.
+
+The dominant modern release format: FineWeb, RedPajama-v2, Dolma's
+parquet mirrors, and most HuggingFace dataset exports ship text corpora
+as parquet shards with a ``text`` column plus optional ``id``/``url``
+metadata. This is the SIXTH front-door leg — and the only one whose
+container is offset-SPLITTABLE, so the batch path uses Spark's native
+parquet scan (row-group parallelism, column pruning to exactly the
+three fields, predicate pushdown downstream) instead of the
+one-task-per-file binaryFile harness the opaque containers need.
+
+Two entry shapes, one id recipe:
+
+- **Batch** (:func:`read_parquet_corpus`): ``spark.read.parquet`` +
+  the ``_metadata`` hidden struct — ``doc_id = xxhash64(file_path
+  ‖ ':id:' ‖ id)`` when the shard carries ids, else ``xxhash64(
+  file_path ‖ ':row:' ‖ row_index)``; both stable under re-ingest of
+  the immutable shard, prefix-disambiguated like the jsonl leg
+  (ADVICE r10: an id field equal to another row's index must not
+  collide).
+- **Streaming** (:func:`parse_parquet_files` over one landing-zone
+  micro-batch's (path, content) rows): pyarrow reads the SAME columns
+  batch-wise (``iter_batches`` — bounded memory per row group) and
+  emits the same (path, rowno) pairs, so replay equals batch by
+  construction — the parity is test-pinned.
+
+NULL text stays NULL (it is data in a released shard, and every
+downstream operator has the NULL-text contract); a shard with no text
+COLUMN raises loudly naming the file — a silently dropped shard is a
+lost corpus slice, the jsonl leg's rule.
+
+No counterpart in the reference engine (its only file source is the
+CSV upload, docker/lambda_function.py:58-95); built for the
+LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the parse-stage contract (rowno plays lineno's role; one id space)
+PARQUET_COLS = "path string, rowno long, rid string, url string, text string"
+
+
+def parse_parquet_files(
+    files: DataFrame,
+    text_field: str = "text",
+    url_field: str = "url",
+    id_field: str = "id",
+) -> DataFrame:
+    """The Arrow parse stage over any (path, content) frame — one
+    landing-zone micro-batch or a binaryFile read: each parquet row
+    becomes one (path, rowno, rid, url, text) row. Reads ONLY the three
+    relevant columns and iterates row-group batches, so memory is
+    bounded by a row group, not the shard. Missing ``text_field``
+    raises naming the file; missing id/url columns yield NULLs."""
+
+    def run(batches) -> Iterator:
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                pf = pq.ParquetFile(io.BytesIO(bytes(content)))
+                names = set(pf.schema_arrow.names)
+                if text_field not in names:
+                    raise ValueError(
+                        f"parquet shard {fpath!r} has no {text_field!r} "
+                        "column (a silently dropped shard is a lost "
+                        f"corpus slice); columns: {sorted(names)}"
+                    )
+                cols = [text_field] + [
+                    c for c in (url_field, id_field) if c in names
+                ]
+                rowno = 0
+                for rb in pf.iter_batches(columns=cols):
+                    texts = rb.column(text_field).to_pylist()
+                    rids = (
+                        rb.column(id_field).to_pylist()
+                        if id_field in names
+                        else [None] * rb.num_rows
+                    )
+                    urls = (
+                        rb.column(url_field).to_pylist()
+                        if url_field in names
+                        else [None] * rb.num_rows
+                    )
+                    for t, rid, u in zip(texts, rids, urls):
+                        rows.append(
+                            (
+                                fpath,
+                                rowno,
+                                None if rid is None else str(rid),
+                                None if u is None else str(u),
+                                None if t is None else str(t),
+                            )
+                        )
+                        rowno += 1
+            yield pd.DataFrame(
+                rows, columns=["path", "rowno", "rid", "url", "text"]
+            )
+
+    return files.select("path", "content").mapInPandas(run, PARQUET_COLS)
+
+
+def _documents_from(parsed_like: DataFrame) -> DataFrame:
+    """(path, rowno, rid, url, text) → the corpus contract. ONE id
+    recipe for both entry shapes: xxhash64(path:id:rid) when the shard
+    carries ids, else xxhash64(path:row:rowno); URL-less rows get
+    host-less ``parquet://`` provenance (the archive-leg rule — no
+    crawl host to judge, so URL-domain gates pass)."""
+    key = F.concat_ws(
+        ":",
+        F.col("path"),
+        F.when(F.col("rid").isNotNull(), F.concat(F.lit("id:"), F.col("rid")))
+        .otherwise(F.concat(F.lit("row:"), F.col("rowno").cast("string"))),
+    )
+    url = F.coalesce(
+        F.col("url"),
+        F.concat(
+            F.lit("parquet://"), F.col("path"), F.lit("#R"), F.col("rowno")
+        ),
+    )
+    return parsed_like.select(
+        F.xxhash64(key).alias("doc_id"), url.alias("url"), "text"
+    )
+
+
+def parquet_to_documents(parsed: DataFrame) -> DataFrame:
+    """Streaming-shape adapter: the :func:`parse_parquet_files` frame →
+    (doc_id, url, text)."""
+    return _documents_from(parsed)
+
+
+def read_parquet_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    url_field: str = "url",
+    id_field: str = "id",
+) -> DataFrame:
+    """Batch front door: NATIVE parquet scan (splittable — row-group
+    parallelism and column pruning, the scale path the opaque-container
+    legs cannot have) + the ``_metadata`` hidden struct for the same
+    (path, rowno) id recipe as the streaming leg. The scan reads
+    exactly the projected fields (ReadSchema-pruned); a missing
+    ``text_field`` fails analysis naming the column."""
+    df = spark.read.parquet(path)
+    names = set(df.columns)
+    if text_field not in names:
+        raise ValueError(
+            f"parquet corpus at {path!r} has no {text_field!r} column; "
+            f"columns: {sorted(names)}"
+        )
+    rid = (
+        F.col(id_field).cast("string")
+        if id_field in names
+        else F.lit(None).cast("string")
+    )
+    url = (
+        F.col(url_field).cast("string")
+        if url_field in names
+        else F.lit(None).cast("string")
+    )
+    parsed_like = df.select(
+        F.col("_metadata.file_path").alias("path"),
+        F.col("_metadata.row_index").alias("rowno"),
+        rid.alias("rid"),
+        url.alias("url"),
+        F.col(text_field).cast("string").alias("text"),
+    )
+    return _documents_from(parsed_like)

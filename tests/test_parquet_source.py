@@ -1,0 +1,150 @@
+"""Parquet corpus-shard source (sources/parquet.py): the sixth front-door
+leg — the FineWeb/RedPajama-v2 release shape. Batch (native splittable
+scan + _metadata ids) and streaming (pyarrow Arrow stage) must produce
+IDENTICAL documents for the same shard, ids must be stable and
+prefix-disambiguated, and the landing-zone dispatch must route .parquet
+files to the leg."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aws_financial_data_pipeline_spark.sources import corpus as corpussrc
+from aws_financial_data_pipeline_spark.sources import parquet as pqsrc
+
+
+def _write_shard(path, rows, schema_cols=("id", "url", "text")):
+    cols = {}
+    if "id" in schema_cols:
+        cols["id"] = [r[0] for r in rows]
+    if "url" in schema_cols:
+        cols["url"] = [r[1] for r in rows]
+    if "text" in schema_cols:
+        cols["text"] = [r[2] for r in rows]
+    pq.write_table(pa.table(cols), str(path))
+
+
+ROWS = [
+    ("a1", "https://ex.com/1", "first parquet document body"),
+    ("a2", None, "second document with no url"),
+    ("a3", "https://ex.com/3", None),  # NULL text is data, not an error
+]
+
+
+def test_read_parquet_corpus_ids_urls_nulls(spark, tmp_path):
+    shard = tmp_path / "shard-000.parquet"
+    _write_shard(shard, ROWS)
+    got = sorted(
+        pqsrc.read_parquet_corpus(spark, str(shard)).collect(),
+        key=lambda r: (r["text"] is None, r["text"] or ""),
+    )
+    assert [r["text"] for r in got] == [
+        "first parquet document body",
+        "second document with no url",
+        None,
+    ]
+    # carried url wins; url-less rows get parquet:// provenance w/ rowno
+    assert got[0]["url"] == "https://ex.com/1"
+    assert got[1]["url"].startswith("parquet://") and got[1]["url"].endswith("#R1")
+    # ids are stable across re-reads
+    again = {r["doc_id"] for r in pqsrc.read_parquet_corpus(spark, str(shard)).collect()}
+    assert {r["doc_id"] for r in got} == again
+
+
+def test_parquet_batch_equals_streaming_leg(spark, tmp_path):
+    """The native _metadata path and the pyarrow Arrow stage emit the
+    SAME (doc_id, url, text) rows — replay equals batch for the leg."""
+    shard = tmp_path / "shard-001.parquet"
+    _write_shard(shard, ROWS)
+    batch = {
+        (r["doc_id"], r["url"], r["text"])
+        for r in pqsrc.read_parquet_corpus(spark, str(shard)).collect()
+    }
+    files = spark.read.format("binaryFile").load(str(shard))
+    stream = {
+        (r["doc_id"], r["url"], r["text"])
+        for r in pqsrc.parquet_to_documents(
+            pqsrc.parse_parquet_files(files)
+        ).collect()
+    }
+    assert batch == stream and len(batch) == 3
+
+
+def test_parquet_idless_shard_and_id_space_disambiguation(spark, tmp_path):
+    """An id-less shard falls back to row-index ids; a row whose id FIELD
+    equals another shard's row index must not collide (prefix rule)."""
+    a = tmp_path / "noid.parquet"
+    pq.write_table(pa.table({"text": ["t0", "t1"]}), str(a))
+    got = pqsrc.read_parquet_corpus(spark, str(a)).collect()
+    assert len({r["doc_id"] for r in got}) == 2
+    b = tmp_path / "withid.parquet"
+    # id "0" vs the other shard's rowno 0 — different paths anyway, but
+    # same-path disambiguation is pinned by the prefix in the key recipe
+    pq.write_table(pa.table({"id": ["0"], "text": ["t0"]}), str(b))
+    ids_a = {r["doc_id"] for r in pqsrc.read_parquet_corpus(spark, str(a)).collect()}
+    ids_b = {r["doc_id"] for r in pqsrc.read_parquet_corpus(spark, str(b)).collect()}
+    assert not (ids_a & ids_b)
+
+
+def test_parquet_missing_text_column_raises(spark, tmp_path):
+    shard = tmp_path / "notext.parquet"
+    pq.write_table(pa.table({"body": ["x"]}), str(shard))
+    with pytest.raises(ValueError, match="no 'text' column"):
+        pqsrc.read_parquet_corpus(spark, str(shard))
+    files = spark.read.format("binaryFile").load(str(shard))
+    with pytest.raises(Exception, match="no 'text' column"):
+        pqsrc.parquet_to_documents(pqsrc.parse_parquet_files(files)).collect()
+    # a renamed text field is one option away
+    alt = pqsrc.read_parquet_corpus(spark, str(shard), text_field="body")
+    assert alt.collect()[0]["text"] == "x"
+
+
+def test_parquet_native_scan_prunes_columns(spark, tmp_path):
+    """The batch leg's scale story: the native scan reads ONLY the three
+    projected fields — extra release-metadata columns never leave the
+    parquet footer (ReadSchema-pruned)."""
+    shard = tmp_path / "wide.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": ["a"],
+                "url": ["https://e.x/1"],
+                "text": ["body"],
+                "dump": ["CC-MAIN-2024-10"],
+                "language_score": [0.99],
+            }
+        ),
+        str(shard),
+    )
+    plan = (
+        pqsrc.read_parquet_corpus(spark, str(shard))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dump" not in plan and "language_score" not in plan
+    assert "Exchange" not in plan
+
+
+def test_parquet_landing_zone_dispatch_and_front_door(spark, tmp_path):
+    """.parquet files route to the parquet leg in corpus_batch_frame
+    (source='parquet') and union with other legs in ingest_corpus."""
+    landing = tmp_path / "landing_pq"
+    landing.mkdir()
+    _write_shard(landing / "s0.parquet", ROWS[:2])
+    frame = spark.read.format("binaryFile").load(str(landing))
+    rows = corpussrc.corpus_batch_frame(frame).collect()
+    assert {r["source"] for r in rows} == {"parquet"} and len(rows) == 2
+    # batch front door: parquet_dir unions under the same contract
+    import json
+
+    jd = tmp_path / "jsonl"
+    jd.mkdir()
+    (jd / "a.jsonl").write_text(json.dumps({"text": "jsonl doc"}) + "\n")
+    both = corpussrc.ingest_corpus(
+        spark, jsonl_dir=str(jd), parquet_dir=str(landing)
+    ).collect()
+    assert {r["source"] for r in both} == {"jsonl", "parquet"}
+    assert len(both) == 3
