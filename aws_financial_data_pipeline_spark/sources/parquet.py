@@ -4,7 +4,7 @@
 The dominant modern release format: FineWeb, RedPajama-v2, Dolma's
 parquet mirrors, and most HuggingFace dataset exports ship text corpora
 as parquet shards with a ``text`` column plus optional ``id``/``url``
-metadata. This is the SIXTH front-door leg — and the only one whose
+metadata. This is the SEVENTH front-door leg — and the only one whose
 container is offset-SPLITTABLE, so the batch path uses Spark's native
 parquet scan (row-group parallelism, column pruning to exactly the
 three fields, predicate pushdown downstream) instead of the

@@ -1,5 +1,5 @@
-"""Parquet corpus-shard source (sources/parquet.py): the sixth front-door
-leg — the FineWeb/RedPajama-v2 release shape. Batch (native splittable
+"""Parquet corpus-shard source (sources/parquet.py): the seventh
+front-door leg — the FineWeb/RedPajama-v2 release shape. Batch (native splittable
 scan + _metadata ids) and streaming (pyarrow Arrow stage) must produce
 IDENTICAL documents for the same shard, ids must be stable and
 prefix-disambiguated, and the landing-zone dispatch must route .parquet
@@ -148,3 +148,22 @@ def test_parquet_landing_zone_dispatch_and_front_door(spark, tmp_path):
     ).collect()
     assert {r["source"] for r in both} == {"jsonl", "parquet"}
     assert len(both) == 3
+
+
+def test_parquet_release_reingest_roundtrip(spark, tmp_path):
+    """Composition: a Spark-released parquet corpus (multi-file shard
+    directory) re-enters through read_parquet_corpus with every text
+    and carried id/url intact — the FineWeb-style release→re-ingest
+    loop closed."""
+    out = tmp_path / "release_pq"
+    src = spark.createDataFrame(
+        [(f"d{i}", f"https://ex.com/{i}", f"document body number {i}")
+         for i in range(20)],
+        "id string, url string, text string",
+    )
+    src.repartition(3).write.parquet(str(out))
+    got = pqsrc.read_parquet_corpus(spark, str(out)).collect()
+    assert len(got) == 20
+    assert {r["text"] for r in got} == {f"document body number {i}" for i in range(20)}
+    assert {r["url"] for r in got} == {f"https://ex.com/{i}" for i in range(20)}
+    assert len({r["doc_id"] for r in got}) == 20
