@@ -549,10 +549,14 @@ def host_profile(
     host = F.regexp_replace(
         F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
     )
+    from .text import TOKEN_SPLIT
+
     proj = [
         host.alias("host"),
         F.length(text_col).alias("_chars"),
-        F.size(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_toks"),
+        # no lower(): case cannot change a whitespace token count, and a
+        # full-text lowercase pass is not free at audit scale (r13 review)
+        F.size(F.split(F.col(text_col), TOKEN_SPLIT)).alias("_toks"),
     ]
     if quality_col is not None:
         proj.append(F.col(quality_col).cast("double").alias("_q"))

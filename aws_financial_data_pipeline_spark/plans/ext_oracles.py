@@ -1500,8 +1500,13 @@ EXT_ORACLES: dict[str, str] = {
     hmode AS (
       SELECT host, lang_pred AS host_lang_top
       FROM (SELECT host, lang_pred,
+                   -- NULLS FIRST: Spark's min(struct) sorts a NULL lang
+                   -- before every string (verified live); DuckDB
+                   -- defaults NULLS LAST, which would flip a NULL-lang
+                   -- tie if this leg is ever fed a nullable column
                    row_number() OVER (PARTITION BY host
-                                      ORDER BY n DESC, lang_pred) AS rn
+                                      ORDER BY n DESC,
+                                               lang_pred NULLS FIRST) AS rn
             FROM hp1)
       WHERE rn = 1
     ),

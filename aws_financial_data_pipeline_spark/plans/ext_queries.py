@@ -1009,11 +1009,8 @@ def x32_corpus_curation(spark, sf_dir):
     from ..operators import dedup, mixture, sampling, text
 
     docs = _docs(spark, sf_dir)
-    canon = (
-        dedup.exact_duplicates(docs)
-        .select(F.col("canonical_id").alias("doc_id"))
-        .distinct()
-    )
+    ed = dedup.exact_duplicates(docs)  # shared with the host-profile leg
+    canon = ed.select(F.col("canonical_id").alias("doc_id")).distinct()
     stats = text.text_stats(docs).select("doc_id", "quality_score")
     lang = text.language_id(docs).select("doc_id", "lang_pred")
     out = (
@@ -1111,18 +1108,15 @@ def x32_corpus_curation(spark, sf_dir):
     # Σsum/Σcount quality mean in SQL.
     from ..operators import quality as qualop
 
-    all_docs = _docs(spark, sf_dir)
-    fp = all_docs.select("doc_id", F.md5("text").alias("fp"))
-    canon_map = (
-        dedup.exact_duplicates(all_docs).select("fp", "canonical_id")
-    )
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    canon_map = ed.select("fp", "canonical_id")  # the shared dedup agg
     # quality feeds the leg as round(q·1e6): INTEGER-VALUED doubles sum
     # exactly in any order (the NOTES no-floats-until-division rule), so
     # the operator's Σsum/Σcount mean is one deterministic quotient —
     # a raw double sum put one host's 6dp mean on a rounding boundary
     # (reproduced at sf0.001: 26 mismatched rows = one boundary host)
     hp_in = (
-        all_docs.select("doc_id", "text")
+        docs.select("doc_id", "text")
         .join(urls, "doc_id")
         .join(lang, "doc_id")
         .join(

@@ -65,8 +65,8 @@ def parse_parquet_files(
         import pandas as pd
         import pyarrow.parquet as pq
 
+        cols_out = ["path", "rowno", "rid", "url", "text"]
         for pdf in batches:
-            rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 pf = pq.ParquetFile(io.BytesIO(bytes(content)))
                 names = set(pf.schema_arrow.names)
@@ -80,6 +80,9 @@ def parse_parquet_files(
                     c for c in (url_field, id_field) if c in names
                 ]
                 rowno = 0
+                # yield PER row-group batch — peak memory is one row
+                # group, never the shard (r13 review: a whole-shard
+                # accumulator defeated the iter_batches bound)
                 for rb in pf.iter_batches(columns=cols):
                     texts = rb.column(text_field).to_pylist()
                     rids = (
@@ -92,6 +95,7 @@ def parse_parquet_files(
                         if url_field in names
                         else [None] * rb.num_rows
                     )
+                    rows = []
                     for t, rid, u in zip(texts, rids, urls):
                         rows.append(
                             (
@@ -103,9 +107,7 @@ def parse_parquet_files(
                             )
                         )
                         rowno += 1
-            yield pd.DataFrame(
-                rows, columns=["path", "rowno", "rid", "url", "text"]
-            )
+                    yield pd.DataFrame(rows, columns=cols_out)
 
     return files.select("path", "content").mapInPandas(run, PARQUET_COLS)
 
@@ -139,20 +141,66 @@ def parquet_to_documents(parsed: DataFrame) -> DataFrame:
     return _documents_from(parsed)
 
 
+def _validate_shard_schemas(
+    spark: SparkSession, path: str, text_field: str
+) -> None:
+    """Distributed per-SHARD footer check: every file under ``path``
+    must carry ``text_field``. Without it, a merged-schema directory
+    read silently fills a missing column with NULLs — a whole shard of
+    'data NULLs' that the streaming leg would have rejected loudly
+    (r13 review: batch must not diverge from the stream contract).
+    Cost: a path-only listing + one footer read (~KB) per file,
+    executor-side — the same metadata pass any engine's planner pays."""
+    paths = spark.read.format("binaryFile").load(path).select("path")
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            bad = []
+            for p in pdf["path"]:
+                local = p[5:] if p.startswith("file:") else p
+                names = set(pq.read_schema(local).names)
+                if text_field not in names:
+                    bad.append(f"{p} (columns: {sorted(names)})")
+            yield pd.DataFrame({"bad": bad})
+
+    offenders = [
+        r["bad"] for r in paths.mapInPandas(run, "bad string").collect()
+    ]
+    if offenders:
+        raise ValueError(
+            f"parquet shards with no {text_field!r} column (a "
+            f"silently NULL-filled shard is a lost corpus slice): "
+            f"{offenders[:5]}"
+        )
+
+
 def read_parquet_corpus(
     spark: SparkSession,
     path: str,
     text_field: str = "text",
     url_field: str = "url",
     id_field: str = "id",
+    validate: bool = True,
 ) -> DataFrame:
     """Batch front door: NATIVE parquet scan (splittable — row-group
     parallelism and column pruning, the scale path the opaque-container
     legs cannot have) + the ``_metadata`` hidden struct for the same
     (path, rowno) id recipe as the streaming leg. The scan reads
-    exactly the projected fields (ReadSchema-pruned); a missing
-    ``text_field`` fails analysis naming the column."""
-    df = spark.read.parquet(path)
+    exactly the projected fields (ReadSchema-pruned) with
+    ``mergeSchema`` on, so a directory where only SOME shards carry
+    id/url still resolves per-row exactly like the streaming leg
+    (NULL rid/url for the shards without the column → same id recipe).
+    ``validate=True`` (default) runs the per-shard footer check first —
+    a shard missing ``text_field`` raises naming the file instead of
+    silently reading as NULL text; pass ``validate=False`` to skip the
+    metadata pass on a path you control (footer reads need
+    locally-openable paths — ``file:`` URIs)."""
+    if validate:
+        _validate_shard_schemas(spark, path, text_field)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     names = set(df.columns)
     if text_field not in names:
         raise ValueError(

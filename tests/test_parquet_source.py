@@ -167,3 +167,37 @@ def test_parquet_release_reingest_roundtrip(spark, tmp_path):
     assert {r["text"] for r in got} == {f"document body number {i}" for i in range(20)}
     assert {r["url"] for r in got} == {f"https://ex.com/{i}" for i in range(20)}
     assert len({r["doc_id"] for r in got}) == 20
+
+
+def test_parquet_mixed_schema_directory(spark, tmp_path):
+    """r13 review: per-shard footer validation — a directory where one
+    shard lacks the text column raises naming that shard (instead of
+    silently NULL-filling it), and a directory where only SOME shards
+    carry ids resolves the id recipe per row exactly like the streaming
+    leg (mergeSchema)."""
+    d = tmp_path / "mixed_missing_text"
+    d.mkdir()
+    pq.write_table(pa.table({"id": ["a"], "text": ["ok"]}), str(d / "s0.parquet"))
+    pq.write_table(pa.table({"id": ["b"], "body": ["no"]}), str(d / "s1.parquet"))
+    with pytest.raises(Exception, match="s1.parquet"):
+        pqsrc.read_parquet_corpus(spark, str(d))
+    # validate=False documents the narrowing: merged schema, NULL text
+    lax = pqsrc.read_parquet_corpus(spark, str(d), validate=False).collect()
+    assert sorted([r["text"] for r in lax], key=lambda x: (x is None, x)) == ["ok", None]
+
+    d2 = tmp_path / "mixed_ids"
+    d2.mkdir()
+    pq.write_table(pa.table({"id": ["x"], "text": ["has id"]}), str(d2 / "s0.parquet"))
+    pq.write_table(pa.table({"text": ["no id"]}), str(d2 / "s1.parquet"))
+    batch = {
+        (r["doc_id"], r["text"])
+        for r in pqsrc.read_parquet_corpus(spark, str(d2)).collect()
+    }
+    files = spark.read.format("binaryFile").load(str(d2))
+    stream = {
+        (r["doc_id"], r["text"])
+        for r in pqsrc.parquet_to_documents(
+            pqsrc.parse_parquet_files(files)
+        ).collect()
+    }
+    assert batch == stream and len(batch) == 2

@@ -540,3 +540,19 @@ def test_host_profile_minimal_and_tiebreak(spark):
     }
     tie = ql.host_profile(docs, lang_col="lang").collect()[0]
     assert tie["lang_top"] == "de" and tie["n_langs"] == 2
+
+
+def test_host_profile_null_lang_tie_elects_null(spark):
+    """The A2 struct-ordering convention, verified live (r13 review):
+    a NULL lang ties against a string at equal counts and WINS the
+    election (NULL sorts before every string in Spark's struct min) —
+    the oracle leg pins the same with NULLS FIRST."""
+    docs = spark.createDataFrame(
+        [
+            (1, "https://n.example/1", "a", None),
+            (2, "https://n.example/2", "b", "en"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    row = ql.host_profile(docs, lang_col="lang").collect()[0]
+    assert row["lang_top"] is None and row["n_langs"] == 2
