@@ -285,9 +285,22 @@ def process_conversation_batch(
     → optional ``transform(convs)`` tail (validation gate, dedup) →
     idempotent ``batch=<id>``-keyed overwrite parquet (the streaming
     exactly-once file-sink recipe). Exposed so tests can drive single
-    batches directly."""
+    batches directly. ``.parquet`` shards (r13 — HF-released SFT sets)
+    dispatch to the parquet conversation parse; everything else is the
+    jsonl shape."""
+    from .parquet import parse_parquet_conversations
+
+    # plan-level two-leg union (the corpus_batch_frame pattern — an
+    # empty leg parses to zero rows for free, no data peeking)
+    is_pq = F.col("path").rlike(r"\.parquet$")
     convs = _conversations_from_parsed(
-        parse_jsonl_conversations(batch, turns_field, id_field)
+        parse_jsonl_conversations(batch.filter(~is_pq), turns_field, id_field)
+    ).unionByName(
+        _conversations_from_parsed(
+            parse_parquet_conversations(
+                batch.filter(is_pq), turns_field, id_field
+            )
+        )
     )
     if transform is not None:
         convs = transform(convs)

@@ -225,3 +225,158 @@ def read_parquet_corpus(
         F.col(text_field).cast("string").alias("text"),
     )
     return _documents_from(parsed_like)
+
+
+# ── conversations (SFT) ──────────────────────────────────────────────────
+#
+# HF-hosted SFT/preference datasets ship parquet with a list-of-struct
+# message column — OpenAI shape (messages: [{role, content}]) or ShareGPT
+# (conversations: [{from, value}]). Same two entry shapes as documents:
+# native scan batch-side, pyarrow Arrow stage for the landing zone, the
+# jsonl conversation id recipe (path:id:rid | path:line:rowno) for both.
+
+
+def _conv_shape(names, turns_field):
+    """(column, role_key, content_key) for a conversation schema, or a
+    loud error — the parse convention: a silently dropped shard is a
+    lost conversation set."""
+    if turns_field is not None:
+        return turns_field, "role", "content"
+    if "messages" in names:
+        return "messages", "role", "content"
+    if "conversations" in names:
+        return "conversations", "from", "value"
+    raise ValueError(
+        "parquet conversation shard has no messages/conversations "
+        f"column; columns: {sorted(names)}"
+    )
+
+
+def parse_parquet_conversations(
+    files: DataFrame,
+    turns_field: "str | None" = None,
+    id_field: str = "id",
+) -> DataFrame:
+    """Arrow parse stage over (path, content): each parquet row is one
+    conversation → the jsonl CONV_COLS contract (rowno rides lineno).
+    Speakers normalize through the shared ShareGPT map; unknown tags
+    pass through verbatim for validate_conversations downstream."""
+    from .jsonl import CONV_COLS, _SHAREGPT_ROLES
+
+    def run(batches) -> Iterator:
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cols_out = ["path", "lineno", "rid", "turns"]
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                pf = pq.ParquetFile(io.BytesIO(bytes(content)))
+                names = set(pf.schema_arrow.names)
+                try:
+                    field, role_key, content_key = _conv_shape(
+                        names, turns_field
+                    )
+                except ValueError as e:
+                    raise ValueError(f"{e} (in {fpath!r})") from None
+                cols = [field] + ([id_field] if id_field in names else [])
+                rowno = 0
+                for rb in pf.iter_batches(columns=cols):
+                    raws = rb.column(field).to_pylist()
+                    rids = (
+                        rb.column(id_field).to_pylist()
+                        if id_field in names
+                        else [None] * rb.num_rows
+                    )
+                    rows = []
+                    for raw, rid in zip(raws, rids):
+                        turns = []
+                        for t in raw or []:
+                            role = t.get(role_key)
+                            role = (
+                                _SHAREGPT_ROLES.get(role, role)
+                                if role is not None
+                                else None
+                            )
+                            content = t.get(content_key)
+                            turns.append(
+                                {
+                                    "role": None if role is None else str(role),
+                                    "content": (
+                                        None if content is None else str(content)
+                                    ),
+                                }
+                            )
+                        rows.append(
+                            (
+                                fpath,
+                                rowno,
+                                None if rid is None else str(rid),
+                                turns,
+                            )
+                        )
+                        rowno += 1
+                    yield pd.DataFrame(rows, columns=cols_out)
+
+    return files.select("path", "content").mapInPandas(run, CONV_COLS)
+
+
+def parquet_to_conversations(parsed: DataFrame) -> DataFrame:
+    """The :func:`parse_parquet_conversations` frame → (conv_id, turns),
+    through the SAME id recipe as the jsonl SFT leg."""
+    from .jsonl import _conversations_from_parsed
+
+    return _conversations_from_parsed(parsed)
+
+
+def read_parquet_conversations(
+    spark: SparkSession,
+    path: str,
+    turns_field: "str | None" = None,
+    id_field: str = "id",
+) -> DataFrame:
+    """Batch SFT front door: NATIVE scan + pure-Catalyst speaker
+    normalization (a chained ``when`` over the shared ShareGPT map —
+    no Python row path on the scale side). Shape is detected from the
+    directory schema (``messages``: role/content; ``conversations``:
+    from/value; or pin ``turns_field``), and only the two relevant
+    struct fields project into the contract — extra per-turn metadata
+    columns stay in the footer."""
+    from .jsonl import _SHAREGPT_ROLES, _conversations_from_parsed
+
+    df = spark.read.parquet(path)
+    field, role_key, content_key = _conv_shape(set(df.columns), turns_field)
+    elem = df.schema[field].dataType.elementType
+    for k in (role_key, content_key):
+        if k not in elem.names:
+            raise ValueError(
+                f"parquet conversation column {field!r} has no {k!r} "
+                f"turn field; fields: {sorted(elem.names)}"
+            )
+
+    def _norm_role(c):
+        m = None
+        for k, v in sorted(_SHAREGPT_ROLES.items()):
+            m = (F.when if m is None else m.when)(c == k, F.lit(v))
+        return m.otherwise(c)
+
+    turns = F.transform(
+        F.col(field),
+        lambda t: F.struct(
+            _norm_role(t[role_key].cast("string")).alias("role"),
+            t[content_key].cast("string").alias("content"),
+        ),
+    )
+    rid = (
+        F.col(id_field).cast("string")
+        if id_field in df.columns
+        else F.lit(None).cast("string")
+    )
+    parsed_like = df.select(
+        F.col("_metadata.file_path").alias("path"),
+        F.col("_metadata.row_index").alias("lineno"),
+        rid.alias("rid"),
+        turns.alias("turns"),
+    )
+    return _conversations_from_parsed(parsed_like)

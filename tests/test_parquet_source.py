@@ -201,3 +201,97 @@ def test_parquet_mixed_schema_directory(spark, tmp_path):
         ).collect()
     }
     assert batch == stream and len(batch) == 2
+
+
+def _conv_table_openai():
+    return pa.table({
+        "id": ["c1", "c2"],
+        "messages": [
+            [{"role": "system", "content": "be brief"},
+             {"role": "user", "content": "hi"},
+             {"role": "assistant", "content": "hello"}],
+            [{"role": "user", "content": "q"},
+             {"role": "assistant", "content": "a"}],
+        ],
+    })
+
+
+def _conv_table_sharegpt():
+    return pa.table({
+        "conversations": [
+            [{"from": "human", "value": "hi"},
+             {"from": "gpt", "value": "hello"},
+             {"from": "observation", "value": "tool out"}],
+        ],
+    })
+
+
+def test_parquet_conversations_both_shapes(spark, tmp_path):
+    """OpenAI-shape (messages role/content) and ShareGPT-shape
+    (conversations from/value, speakers normalized through the shared
+    map) parquet both read into the conversation contract; native batch
+    equals the Arrow-stage leg row for row."""
+    oa = tmp_path / "oa.parquet"
+    pq.write_table(_conv_table_openai(), str(oa))
+    got = pqsrc.read_parquet_conversations(spark, str(oa)).collect()
+    assert len(got) == 2 and len({r["conv_id"] for r in got}) == 2
+    by_len = sorted(got, key=lambda r: len(r["turns"]))
+    assert [t["role"] for t in by_len[1]["turns"]] == ["system", "user", "assistant"]
+    assert by_len[1]["turns"][2]["content"] == "hello"
+
+    sg = tmp_path / "sg.parquet"
+    pq.write_table(_conv_table_sharegpt(), str(sg))
+    sg_rows = pqsrc.read_parquet_conversations(spark, str(sg)).collect()
+    assert [t["role"] for t in sg_rows[0]["turns"]] == ["user", "assistant", "tool"]
+
+    # batch == streaming leg
+    files = spark.read.format("binaryFile").load(str(oa))
+    stream = {
+        (r["conv_id"], tuple((t["role"], t["content"]) for t in r["turns"]))
+        for r in pqsrc.parquet_to_conversations(
+            pqsrc.parse_parquet_conversations(files)
+        ).collect()
+    }
+    batch = {
+        (r["conv_id"], tuple((t["role"], t["content"]) for t in r["turns"]))
+        for r in got
+    }
+    assert batch == stream
+
+
+def test_parquet_conversations_missing_column_raises(spark, tmp_path):
+    bad = tmp_path / "badconv.parquet"
+    pq.write_table(pa.table({"text": ["not a conversation"]}), str(bad))
+    with pytest.raises(ValueError, match="messages/conversations"):
+        pqsrc.read_parquet_conversations(spark, str(bad))
+    files = spark.read.format("binaryFile").load(str(bad))
+    with pytest.raises(Exception, match="messages/conversations"):
+        pqsrc.parquet_to_conversations(
+            pqsrc.parse_parquet_conversations(files)
+        ).collect()
+
+
+def test_conversation_landing_zone_accepts_parquet(spark, tmp_path):
+    """The SFT landing zone dispatches .parquet shards to the parquet
+    conversation parse and unions them with jsonl shards — one stream,
+    both release shapes."""
+    import json
+
+    from aws_financial_data_pipeline_spark.sources import jsonl as jsonlsrc
+
+    landing = tmp_path / "sft_landing"
+    landing.mkdir()
+    pq.write_table(_conv_table_sharegpt(), str(landing / "a.parquet"))
+    (landing / "b.jsonl").write_text(
+        json.dumps({"messages": [
+            {"role": "user", "content": "jq"},
+            {"role": "assistant", "content": "ja"},
+        ]}) + "\n"
+    )
+    out = jsonlsrc.conversation_ingest_stream(
+        spark, str(landing), str(tmp_path / "sft_out")
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    roles = sorted(tuple(t["role"] for t in r["turns"]) for r in rows)
+    assert roles == [("user", "assistant"), ("user", "assistant", "tool")]
