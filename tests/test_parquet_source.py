@@ -295,3 +295,23 @@ def test_conversation_landing_zone_accepts_parquet(spark, tmp_path):
     assert len(rows) == 2
     roles = sorted(tuple(t["role"] for t in r["turns"]) for r in rows)
     assert roles == [("user", "assistant"), ("user", "assistant", "tool")]
+
+
+def test_parquet_multi_rowgroup_rowno_continuity(spark, tmp_path):
+    """The Arrow stage yields per ROW GROUP (the r13 memory-bound fix):
+    rownos must stay continuous across group boundaries and the ids
+    must still equal the native batch path's."""
+    shard = tmp_path / "rg.parquet"
+    pq.write_table(
+        pa.table({"text": [f"doc {i}" for i in range(5)]}),
+        str(shard),
+        row_group_size=2,  # 3 groups: 2+2+1
+    )
+    files = spark.read.format("binaryFile").load(str(shard))
+    parsed = pqsrc.parse_parquet_files(files).collect()
+    assert sorted(r["rowno"] for r in parsed) == [0, 1, 2, 3, 4]
+    stream = {(r["doc_id"], r["text"]) for r in pqsrc.parquet_to_documents(
+        pqsrc.parse_parquet_files(files)).collect()}
+    batch = {(r["doc_id"], r["text"]) for r in
+             pqsrc.read_parquet_corpus(spark, str(shard)).collect()}
+    assert batch == stream and len(batch) == 5
