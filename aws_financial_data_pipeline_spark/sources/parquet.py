@@ -234,6 +234,12 @@ def read_parquet_corpus(
 # (conversations: [{from, value}]). Same two entry shapes as documents:
 # native scan batch-side, pyarrow Arrow stage for the landing zone, the
 # jsonl conversation id recipe (path:id:rid | path:line:rowno) for both.
+#
+# Preference (RM/DPO) parquet needs no dedicated reader: flat
+# prompt/chosen/rejected string columns are a plain native read straight
+# into operators.chat.validate_preference_pairs, and conversation-shaped
+# sets (UltraFeedback-style message lists) compose as
+# read_parquet_conversations → chat's prompt/response pair extraction.
 
 
 def _conv_shape(names, turns_field):
