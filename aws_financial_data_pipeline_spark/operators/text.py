@@ -41,7 +41,27 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "sv": ("och", "att", "är", "som", "på", "för", "ett"),
     "tr": ("ve", "bir", "bu", "için", "ile", "değil", "gibi"),
     "id": ("yang", "dan", "di", "untuk", "dari", "tidak", "ini"),
+    "ja": ("の", "に", "は", "を", "た", "が", "で"),
+    "ko": ("이", "는", "을", "가", "에", "하", "고"),
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "هذا"),
+    "hi": ("के", "है", "में", "की", "को", "से", "पर"),
+    "el": ("και", "το", "της", "να", "είναι", "με", "από"),
+    "he": ("של", "את", "על", "הוא", "זה", "גם", "כל"),
 }
+
+# Languages written WITHOUT word separators (plus Korean, whose particles
+# agglutinate onto the preceding word): whitespace tokens never equal a
+# bare function word, so token-equality scoring reads 0 on real text —
+# the r13 silent-wrong-answer find: unspaced Chinese argmaxed to 'en'
+# because every score was zero. These score by SUBSTRING occurrence
+# count instead (per char w: length(text) − length(replace(text, w)));
+# every listed word is a single BMP char, so the count needs no
+# division and Spark/DuckDB length() agree exactly. Cross-language
+# contamination is bounded by script: the ja list is kana-only and the
+# ko list hangul-only (neither occurs in Chinese), while zh's hanzi do
+# appear in Japanese kanji — but real ja prose is ~15-20% particle kana
+# versus occasional shared kanji, so the argmax stays ja.
+NONSPACING_LANGS: tuple[str, ...] = ("zh", "ja", "ko")
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum symbol —
 # the classic GPT-2-style pre-split shape, as a pure regex.
@@ -173,16 +193,35 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language ID: score = #tokens in each language's stopword
-    list; prediction = deterministic argmax (chain order en,fr,de,es,zh)."""
-    docs = with_tokens(docs, text_col)
-    tok = F.col("_tok")
-    scores = {
-        lang: F.size(F.filter(tok, _isin(words))) for lang, words in LANG_STOPWORDS.items()
-    }
+def _lang_score_exprs(text_col: str, tok: Column) -> "dict[str, Column]":
+    """score_<lang> expressions — the ONE builder :func:`language_id` and
+    :func:`text_profile` share (and the twin of the oracle generator
+    ``ext_oracles._lang_scores_sql``, both driven by :data:`LANG_STOPWORDS`
+    + :data:`NONSPACING_LANGS`). Space-delimited languages score by
+    whole-token stopword hits; the non-spacing CJK set by single-char
+    substring occurrence counts (see the NONSPACING_LANGS note). NULL
+    text yields NULL on both paths (split/length of NULL propagate), so
+    the argmax falls through every when-branch identically."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    scores: "dict[str, Column]" = {}
+    for lang, words in LANG_STOPWORDS.items():
+        if lang in NONSPACING_LANGS:
+            s = None
+            for w in words:
+                cnt = F.length(c) - F.length(F.replace(c, F.lit(w), F.lit("")))
+                s = cnt if s is None else s + cnt
+            scores[lang] = s
+        else:
+            scores[lang] = F.size(F.filter(tok, _isin(words)))
+    return scores
+
+
+def _lang_pred_expr(scores: "dict[str, Column]") -> Column:
+    """Deterministic argmax over the score map: chain order is dict
+    order (en first — the all-zero default), ties break to the earlier
+    language. The oracle twin is ``ext_oracles._lang_pred_sql``."""
     langs = list(LANG_STOPWORDS)
-    pred = None  # deterministic argmax: chain order en,fr,de,es,zh
+    pred = None
     for lang in langs:
         cond = None
         for other in langs:
@@ -191,7 +230,19 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    pred = pred.otherwise(F.lit(langs[-1]))
+    return pred.otherwise(F.lit(langs[-1]))
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: score = #tokens in each language's stopword
+    list (substring occurrences for the non-spacing CJK set — see
+    :data:`NONSPACING_LANGS`); prediction = deterministic argmax (chain
+    order = :data:`LANG_STOPWORDS` order, en first)."""
+    docs = with_tokens(docs, text_col)
+    tok = F.col("_tok")
+    scores = _lang_score_exprs(text_col, tok)
+    langs = list(LANG_STOPWORDS)
+    pred = _lang_pred_expr(scores)
     # a frame without a 'lang' column (crawl docs) keeps NULL
     # lang_actual — the text_profile convention (r12 review: the
     # standalone operator crashed unresolved where the consolidated
@@ -261,20 +312,9 @@ def text_profile(
         + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
         + F.lit(0.4) * F.least(F.lit(1.0), avg_tok_len / F.lit(8.0))
     )
-    scores = {
-        lang: F.size(F.filter(tok, _isin(words))) for lang, words in LANG_STOPWORDS.items()
-    }
+    scores = _lang_score_exprs(text_col, tok)
     langs = list(LANG_STOPWORDS)
-    pred = None
-    for lang in langs:
-        cond = None
-        for other in langs:
-            if other == lang:
-                continue
-            c = scores[lang] >= scores[other]
-            cond = c if cond is None else (cond & c)
-        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    pred = pred.otherwise(F.lit(langs[-1]))
+    pred = _lang_pred_expr(scores)
     lower = F.lower(F.col(text_col))
     shingled = docs.withColumn("_sh", shingles_expr(tok, n=shingle_n))
     # repetition signal (Gopher/CCNet-style quality rule): fraction of

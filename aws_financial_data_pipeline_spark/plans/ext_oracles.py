@@ -13,6 +13,7 @@ from ..operators.text import (
     BPE_REGEX,
     GOPHER_REPETITION_THRESHOLDS,
     LANG_STOPWORDS,
+    NONSPACING_LANGS,
     PII_PATTERNS,
 )
 from .ext_queries import WAT_HOSTS, WAT_PR_ITERATIONS
@@ -142,12 +143,24 @@ _GOPHER_FLAGS = """
 
 
 def _lang_scores_sql() -> str:
+    """Twin of ``text._lang_score_exprs`` — token-equality hits for
+    space-delimited languages, single-char substring occurrence counts
+    for the NONSPACING set; both generated from the same dict so the
+    engines cannot drift. Every nonspacing word is one BMP char, so
+    Spark and DuckDB ``length()`` count it identically."""
     parts = []
     for lang, words in LANG_STOPWORDS.items():
-        lst = ", ".join(f"'{w}'" for w in words)
-        parts.append(
-            f"CAST(len(list_filter(tok, x -> x IN ({lst}))) AS BIGINT) AS score_{lang}"
-        )
+        if lang in NONSPACING_LANGS:
+            cnt = " + ".join(
+                f"(length(text) - length(replace(text, '{w}', '')))"
+                for w in words
+            )
+            parts.append(f"CAST({cnt} AS BIGINT) AS score_{lang}")
+        else:
+            lst = ", ".join(f"'{w}'" for w in words)
+            parts.append(
+                f"CAST(len(list_filter(tok, x -> x IN ({lst}))) AS BIGINT) AS score_{lang}"
+            )
     return ",\n       ".join(parts)
 
 

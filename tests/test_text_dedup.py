@@ -270,6 +270,61 @@ def test_language_id_extended_languages(spark):
     assert got[(9,)]["lang_pred"] == "en"  # all-zero default unchanged
 
 
+def test_language_id_nonspacing_cjk(spark):
+    """The r13 silent-wrong-answer fix: real (unspaced) Chinese text has
+    no whitespace token equal to any stopword, so the token-equality
+    scorer read 0 and argmaxed to 'en'. The non-spacing set (zh/ja/ko)
+    now scores by substring occurrence count. Japanese prose carries
+    shared kanji (zh hits > 0) but the kana particles dominate; Korean
+    spaces its words but agglutinates particles, so token equality never
+    fired there either."""
+    docs = spark.createDataFrame(
+        [
+            # unspaced Chinese: 的 ×2, 是/了/在/我/不 — was score_zh=0 → 'en'
+            (1, "我的朋友是一个很好的人了他在北京工作不常回家", "zh"),
+            # Japanese with a shared kanji (不 hits zh) but kana particles win
+            (2, "私の家は駅に近いですが昨日は電車が不通になった", "ja"),
+            # Korean: spaced words, agglutinated particles (책이/학교에/...)
+            (3, "책이 책상 위에 있고 학생은 학교에 가고 있다", "ko"),
+            # English control: must not pick up substring noise
+            (4, "the cat is in the house and the dog is of note", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = rows_by_key(text.language_id(docs), "doc_id")
+    assert got[(1,)]["lang_pred"] == "zh", got[(1,)]
+    assert got[(1,)]["score_zh"] > 0
+    assert got[(2,)]["lang_pred"] == "ja", got[(2,)]
+    assert got[(2,)]["score_ja"] > got[(2,)]["score_zh"] > 0  # shared kanji hit zh
+    assert got[(3,)]["lang_pred"] == "ko", got[(3,)]
+    assert got[(4,)]["lang_pred"] == "en"
+    assert got[(4,)]["score_zh"] == got[(4,)]["score_ja"] == got[(4,)]["score_ko"] == 0
+    # text_profile shares the builder — same predictions in the one-pass form
+    prof = rows_by_key(text.text_profile(docs), "doc_id")
+    for i, lang in ((1, "zh"), (2, "ja"), (3, "ko"), (4, "en")):
+        assert prof[(i,)]["lang_pred"] == lang, (i, prof[(i,)])
+
+
+def test_language_id_rtl_and_indic(spark):
+    """ar/hi/el/he (r13): space-delimited scripts beyond Latin/Cyrillic —
+    token-equality scoring works as-is (the particles stand alone), the
+    lists just had to exist; before this, Arabic/Hindi/Greek/Hebrew text
+    all argmaxed to the all-zero 'en' default."""
+    docs = spark.createDataFrame(
+        [
+            (1, "الكتاب في البيت من الصباح على الطاولة هذا اليوم", "ar"),
+            (2, "किताब मेज पर है और वह घर में से आया", "hi"),
+            (3, "το βιβλίο είναι στο σπίτι και με τον φίλο από την πόλη", "el"),
+            (4, "הספר של הילד על השולחן הוא זה גם כל היום", "he"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = rows_by_key(text.language_id(docs), "doc_id")
+    for i, lang in enumerate(("ar", "hi", "el", "he"), 1):
+        assert got[(i,)]["lang_pred"] == lang, (i, got[(i,)])
+        assert got[(i,)][f"score_{lang}"] > 0
+
+
 def test_token_counts(spark):
     got = rows_by_key(text.token_counts(_docs(spark, [(1, "hello world42 foo-bar")])), "doc_id")
     r = got[(1,)]
