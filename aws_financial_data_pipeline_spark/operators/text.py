@@ -1370,6 +1370,15 @@ _HTML_ENTITIES = (
 )
 
 
+def _decode_entities_expr(c: Column) -> Column:
+    """The frequent-entity decode loop as one shared expression builder
+    (``&amp;`` last — the double-decode guard) — :func:`html_to_text`'s
+    step-4 default and :func:`html_metadata`'s field cleaner."""
+    for ent, rep in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    return c
+
+
 def html_to_text(
     docs: DataFrame,
     text_col: str = "text",
@@ -1418,8 +1427,7 @@ def html_to_text(
 
         c = html_unescape_pandas()(c)
     else:
-        for ent, rep in _HTML_ENTITIES:
-            c = F.regexp_replace(c, ent, rep)
+        c = _decode_entities_expr(c)
     c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")   # intra-line runs
     # inline-tag stripping leaves " ." / " ," artifacts — rejoin punctuation
     c = F.regexp_replace(c, r" +([.,;:!?)\]])", "$1")
@@ -1784,6 +1792,111 @@ def extract_main_content(
 # (strip inline tags, house entity order, collapse, trim) — one definition
 # so the entity-order-sensitive logic cannot drift (r13 review)
 _clean_cell_expr = _strip_inline_expr
+
+
+def _clean_meta_expr(c: Column) -> Column:
+    """Metadata-field cleaner: frequent-entity decode, whitespace collapse,
+    trim; empty → NULL (an absent field and an empty one read the same)."""
+    c = _decode_entities_expr(c)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.nullif(F.trim(c), F.lit(""))
+
+
+def _tag_attr_value(c: Column, tag: str, anchor: str, anchor_val: str,
+                    value_attr: str) -> Column:
+    """First ``<tag …>`` whose ``anchor="anchor_val"`` → its
+    ``value_attr`` quoted value, or NULL. Real-crawl attribute chaos is
+    the point: both attribute ORDERS (name before content and after) and
+    both QUOTE styles on the value are tried, first non-empty wins —
+    regexp_extract returns '' on no-match, so nullif folds miss and
+    present-but-empty together. Value classes exclude the closing quote
+    AND ``>`` so a malformed unterminated attribute cannot swallow the
+    rest of the document."""
+    anchored = rf"\b{anchor}\s*=\s*[\"']{anchor_val}[\"']"
+    pats = []
+    for vq in ('"', "'"):
+        val = rf"\b{value_attr}\s*=\s*{vq}([^{vq}>]*){vq}"
+        pats.append(rf"(?is)<{tag}\b[^>]*?{anchored}[^>]*?{val}")
+        pats.append(rf"(?is)<{tag}\b[^>]*?{val}[^>]*?{anchored}")
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(c, p, 1), F.lit("")) for p in pats]
+    )
+
+
+def html_metadata(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document-level HTML METADATA extraction — the trafilatura-shape
+    metadata pass a curation pipeline wants NEXT TO the text (title for
+    retrieval/display, description and og: cards for weak labels,
+    canonical URL for URL-dedup hints, the ``<html lang>`` author
+    declaration as a language-ID prior, ``article:published_time`` for
+    recency cutoffs and decontamination windows). :func:`html_to_text`
+    deliberately drops ``<head>`` wholesale; this reads ONLY from it.
+
+    Output per doc: ``title``, ``meta_description``, ``og_title``,
+    ``og_description``, ``canonical_url``, ``html_lang``,
+    ``published_time`` — all NULL when absent (or present-but-empty).
+    Fields are cleaned by the house rules (frequent-entity decode,
+    whitespace collapse, trim); URL-valued fields are NOT resolved or
+    canonicalized here — compose with :func:`canonicalize_urls` for
+    that. Pure Catalyst (one map-only projection, zero shuffle, zero
+    Python); attribute order and quote style both vary in the wild and
+    both are handled (see :func:`_tag_attr_value`). NULL html → all
+    NULL. No counterpart in the reference engine (its inputs are CSV
+    rows, docker/lambda_function.py:58-95); built for the LLM-pipeline
+    brief."""
+    c = F.col(text_col)
+    title = _clean_meta_expr(
+        F.nullif(
+            F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title", 1),
+            F.lit(""),
+        )
+    )
+    # <html lang="en-US"> — quoted form first, bare-token fallback
+    # (lang=en without quotes is legal and common)
+    html_lang = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                c, r"(?is)<html\b[^>]*?\blang\s*=\s*[\"']([^\"'>]+)[\"']", 1
+            ),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(
+                c, r"(?is)<html\b[^>]*?\blang\s*=\s*([A-Za-z][A-Za-z-]*)", 1
+            ),
+            F.lit(""),
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        title.alias("title"),
+        _clean_meta_expr(
+            _tag_attr_value(c, "meta", "name", "description", "content")
+        ).alias("meta_description"),
+        _clean_meta_expr(
+            _tag_attr_value(c, "meta", "property", "og:title", "content")
+        ).alias("og_title"),
+        _clean_meta_expr(
+            _tag_attr_value(c, "meta", "property", "og:description", "content")
+        ).alias("og_description"),
+        # URLs keep their bytes verbatim (no entity decode — & in query
+        # strings is data); whitespace-trim only
+        F.nullif(
+            F.trim(_tag_attr_value(c, "link", "rel", "canonical", "href")),
+            F.lit(""),
+        ).alias("canonical_url"),
+        html_lang.alias("html_lang"),
+        F.nullif(
+            F.trim(
+                _tag_attr_value(
+                    c, "meta", "property", "article:published_time", "content"
+                )
+            ),
+            F.lit(""),
+        ).alias("published_time"),
+    )
 
 
 def html_tables(

@@ -917,6 +917,27 @@ EXT_ORACLES: dict[str, str] = {
         FROM documents WHERE doc_id % 13 = 0
       )
     )
+    UNION ALL
+    -- html_meta leg: expected fields rebuilt from the CONSTRUCTION
+    -- arithmetic (sanitized substrings, collapse+trim), an independent
+    -- path to the values the Spark side extracts back out of the
+    -- planted head with the real html_metadata regexes
+    SELECT 'html_meta' AS method, doc_id,
+           CAST(6 AS BIGINT) AS removed_units,
+           trim(regexp_replace(s1 || ' & tail', '\s+', ' ', 'g'))
+           || '|' || trim(regexp_replace('D: ' || s2, '\s+', ' ', 'g'))
+           || '|OG <' || doc_id || '>'
+           || '|-'
+           || '|https://example.com/d/' || doc_id
+           || '|' || coalesce(lang, 'xx')
+           || '|2026-0' || (doc_id % 9 + 1) || '-01T00:00:00Z'
+             AS clean_text
+    FROM (
+      SELECT doc_id, lang,
+             regexp_replace(substr(text, 1, 24), '[<>&''"]', '', 'g') AS s1,
+             regexp_replace(substr(text, 25, 30), '[<>&''"]', '', 'g') AS s2
+      FROM documents WHERE doc_id % 11 = 0
+    )
     """,
     "x06_simhash_candidates": _SIMHASH64
     + """

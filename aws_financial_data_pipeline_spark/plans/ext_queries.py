@@ -1307,6 +1307,12 @@ def x42_dup_spans(spark, sf_dir):
       the doc's text length, so the hash gates row/cell splitting AND
       the cell-cleaning rules. One output row per ``<tr>``:
       removed_units = n_cells, clean_text = cells joined with '|'.
+    - ``html_meta``: document metadata extraction (``text.html_metadata``
+      — r13) over a head planted on every ``doc_id % 11 == 0`` row with
+      per-doc varying title/description, flipped attribute orders,
+      single-quoted values, and entities; removed_units = fields found
+      (6 — og:description is deliberately absent), clean_text = the
+      seven fields joined with '|' ('-' for NULL).
 
     clean_text rides in all legs, so the hash transitively gates the gram
     table, duplicate filters, interval merge, keeper election ((doc_id,pos)
@@ -1436,6 +1442,52 @@ def x42_dup_spans(spark, sf_dir):
         F.col("n_cells").cast("long").alias("removed_units"),
         F.array_join("cells", "|").alias("clean_text"),
     )
+    # html_meta leg (r13): a full metadata head planted on doc_id%11 rows —
+    # per-doc varying title/description (sanitized text substrings: the
+    # [<>&'"] strip keeps corpus bytes out of attribute grammar), flipped
+    # attribute orders and single-quoted values on purpose so the hash
+    # gates every _tag_attr_value pattern variant, entities in title and
+    # og:title gating the decode, og:description absent gating the NULL
+    # path. The oracle rebuilds the expected fields from the same
+    # construction arithmetic (substr/strip/collapse), not by re-running
+    # the regexes — an independent path to the same values.
+    did = F.col("doc_id").cast("string")
+    safe1 = F.regexp_replace(F.substring("text", 1, 24), "[<>&'\"]", "")
+    safe2 = F.regexp_replace(F.substring("text", 25, 30), "[<>&'\"]", "")
+    planted = F.concat(
+        F.lit('<html lang="'), F.coalesce(F.col("lang"), F.lit("xx")),
+        F.lit('"><head><title> '), safe1, F.lit(" &amp; tail </title>"),
+        F.lit("<meta content='D: "), safe2, F.lit("' name='description'>"),
+        F.lit('<meta property="og:title" content="OG &lt;'), did,
+        F.lit('&gt;">'),
+        F.lit('<link href="https://example.com/d/'), did,
+        F.lit('" rel="canonical">'),
+        F.lit('<meta content="2026-0'),
+        ((F.col("doc_id") % 9) + 1).cast("string"),
+        F.lit('-01T00:00:00Z" property="article:published_time">'),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    md = text.html_metadata(
+        docs.where(F.col("doc_id") % 11 == 0).select(
+            "doc_id", planted.alias("text")
+        )
+    )
+    meta_fields = (
+        "title", "meta_description", "og_title", "og_description",
+        "canonical_url", "html_lang", "published_time",
+    )
+    n_found = None
+    for fld in meta_fields:
+        one = F.col(fld).isNotNull().cast("int")
+        n_found = one if n_found is None else n_found + one
+    meta = md.select(
+        F.lit("html_meta").alias("method"),
+        "doc_id",
+        n_found.cast("long").alias("removed_units"),
+        F.concat_ws(
+            "|", *[F.coalesce(F.col(fld), F.lit("-")) for fld in meta_fields]
+        ).alias("clean_text"),
+    )
     return (
         ngram.unionByName(para)
         .unionByName(lines)
@@ -1443,6 +1495,7 @@ def x42_dup_spans(spark, sf_dir):
         .unionByName(secrets)
         .unionByName(chat)
         .unionByName(tables)
+        .unionByName(meta)
     )
 
 

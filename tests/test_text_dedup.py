@@ -1800,3 +1800,77 @@ def test_main_content_misconfiguration_guards(spark):
         ja_docs, lang_col="lang", stopwords_by_lang={"de": ()}
     ).collect()[0]["text"]
     assert "deutscher Prosa" in got
+
+
+def test_html_metadata_extraction(spark):
+    """r13 html_metadata: title/description/og/canonical/lang/published
+    against real-crawl attribute chaos — flipped attribute order, single
+    vs double quotes, entities in the title, bare (unquoted) lang."""
+    html = (
+        '<html lang="en-US"><head>'
+        "<title>\n  Tom &amp; Jerry &lt;3 \n</title>"
+        "<meta content='A &quot;fine&quot; page' name='description'>"
+        '<meta property="og:title" content="OG title here">'
+        '<link href="https://example.com/canon?a=1&amp;b=2" rel="canonical">'
+        '<meta content="2024-03-05T10:00:00Z" property="article:published_time">'
+        "</head><body><p>Body prose.</p></body></html>"
+    )
+    bare = "<html lang=fr><head><title>Sans guillemets</title></head></html>"
+    docs = spark.createDataFrame(
+        [(1, html), (2, bare), (3, "<p>no head at all</p>"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = rows_by_key(text.html_metadata(docs), "doc_id")
+    r = got[(1,)]
+    assert r["title"] == "Tom & Jerry <3"
+    assert r["meta_description"] == 'A "fine" page'
+    assert r["og_title"] == "OG title here"
+    assert r["og_description"] is None
+    # URL keeps its bytes verbatim — &amp; in a query string is data
+    assert r["canonical_url"] == "https://example.com/canon?a=1&amp;b=2"
+    assert r["html_lang"] == "en-US"
+    assert r["published_time"] == "2024-03-05T10:00:00Z"
+    assert got[(2,)]["title"] == "Sans guillemets"
+    assert got[(2,)]["html_lang"] == "fr"
+    r3 = got[(3,)]
+    assert all(
+        r3[k] is None
+        for k in ("title", "meta_description", "og_title", "canonical_url",
+                  "html_lang", "published_time")
+    )
+    assert all(v is None for k, v in got[(4,)].items() if k != "doc_id")
+
+
+def test_html_metadata_malformed_and_empty(spark):
+    """Present-but-empty content reads as NULL; an unterminated quoted
+    attribute cannot swallow the rest of the document (the value class
+    excludes '>'), and a second page's metadata never bleeds into the
+    first (per-row extraction)."""
+    docs = spark.createDataFrame(
+        [
+            (1, '<meta name="description" content="">'),
+            # unterminated quote: content value runs into > — must NULL,
+            # not capture the whole tail
+            (2, '<meta name="description" content="oops><title>T</title>'),
+            (3, '<html lang=""><head><title>   </title></head>'),
+        ],
+        "doc_id long, text string",
+    )
+    got = rows_by_key(text.html_metadata(docs), "doc_id")
+    assert got[(1,)]["meta_description"] is None
+    assert got[(2,)]["meta_description"] is None
+    assert got[(2,)]["title"] == "T"
+    assert got[(3,)]["title"] is None
+    assert got[(3,)]["html_lang"] is None
+
+
+def test_html_metadata_plan_is_map_only(spark):
+    """Zero Exchange, zero Python — metadata extraction is one
+    projection over the html column, exactly like the other per-doc
+    text operators."""
+    docs = spark.createDataFrame(
+        [(1, "<title>t</title>")], "doc_id long, text string"
+    )
+    plan = text.html_metadata(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
