@@ -47,6 +47,7 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "hi": ("के", "है", "में", "की", "को", "से", "पर"),
     "el": ("και", "το", "της", "να", "είναι", "με", "από"),
     "he": ("של", "את", "על", "הוא", "זה", "גם", "כל"),
+    "th": ("ที่", "ของ", "ใน", "และ", "เป็น", "ได้", "การ"),
 }
 
 # Languages written WITHOUT word separators (plus Korean, whose particles
@@ -54,14 +55,16 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 # bare function word, so token-equality scoring reads 0 on real text —
 # the r13 silent-wrong-answer find: unspaced Chinese argmaxed to 'en'
 # because every score was zero. These score by SUBSTRING occurrence
-# count instead (per char w: length(text) − length(replace(text, w)));
-# every listed word is a single BMP char, so the count needs no
-# division and Spark/DuckDB length() agree exactly. Cross-language
+# count instead (per word w: (length(text) − length(replace(text, w)))
+# ÷ length(w) — the diff is an exact multiple of length(w), so the
+# division is integer-exact in both engines' double arithmetic; all
+# listed words are BMP, where Spark and DuckDB length() both count
+# code points, probed incl. Thai combining marks). Cross-language
 # contamination is bounded by script: the ja list is kana-only and the
 # ko list hangul-only (neither occurs in Chinese), while zh's hanzi do
 # appear in Japanese kanji — but real ja prose is ~15-20% particle kana
 # versus occasional shared kanji, so the argmax stays ja.
-NONSPACING_LANGS: tuple[str, ...] = ("zh", "ja", "ko")
+NONSPACING_LANGS: tuple[str, ...] = ("zh", "ja", "ko", "th")
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum symbol —
 # the classic GPT-2-style pre-split shape, as a pure regex.
@@ -209,8 +212,11 @@ def _lang_score_exprs(text_col: str, tok: Column) -> "dict[str, Column]":
             s = None
             for w in words:
                 cnt = F.length(c) - F.length(F.replace(c, F.lit(w), F.lit("")))
+                if len(w) > 1:
+                    # exact: the diff is a multiple of len(w)
+                    cnt = (cnt / F.lit(len(w))).cast("long")
                 s = cnt if s is None else s + cnt
-            scores[lang] = s
+            scores[lang] = s.cast("long")
         else:
             scores[lang] = F.size(F.filter(tok, _isin(words)))
     return scores

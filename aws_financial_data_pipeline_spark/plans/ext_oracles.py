@@ -144,18 +144,25 @@ _GOPHER_FLAGS = """
 
 def _lang_scores_sql() -> str:
     """Twin of ``text._lang_score_exprs`` — token-equality hits for
-    space-delimited languages, single-char substring occurrence counts
-    for the NONSPACING set; both generated from the same dict so the
-    engines cannot drift. Every nonspacing word is one BMP char, so
-    Spark and DuckDB ``length()`` count it identically."""
+    space-delimited languages, substring occurrence counts for the
+    NONSPACING set; both generated from the same dict so the engines
+    cannot drift. Nonspacing words are BMP, where Spark and DuckDB
+    ``length()`` both count code points (probed incl. Thai combining
+    marks), and the length diff is an exact multiple of len(w), so the
+    division is integer-exact."""
     parts = []
     for lang, words in LANG_STOPWORDS.items():
         if lang in NONSPACING_LANGS:
-            cnt = " + ".join(
-                f"(length(text) - length(replace(text, '{w}', '')))"
-                for w in words
+            terms = []
+            for w in words:
+                t = f"(length(text) - length(replace(text, '{w}', '')))"
+                if len(w) > 1:
+                    # exact: the diff is a multiple of len(w)
+                    t = f"({t} / {len(w)})"
+                terms.append(t)
+            parts.append(
+                f"CAST({' + '.join(terms)} AS BIGINT) AS score_{lang}"
             )
-            parts.append(f"CAST({cnt} AS BIGINT) AS score_{lang}")
         else:
             lst = ", ".join(f"'{w}'" for w in words)
             parts.append(

@@ -325,6 +325,26 @@ def test_language_id_rtl_and_indic(spark):
         assert got[(i,)][f"score_{lang}"] > 0
 
 
+def test_language_id_thai_multichar_substrings(spark):
+    """th (r13): non-spacing like zh, but its function words are
+    multi-code-point (Thai combining vowels/tones) — the substring score
+    divides the length diff by len(w), exact because the diff is always
+    a multiple. Real unspaced Thai prose classifies th."""
+    docs = spark.createDataFrame(
+        [
+            (1, "หนังสือของฉันอยู่ในบ้านและการอ่านเป็นสิ่งที่ดีได้", "th"),
+            (2, "the cat is in the house and the dog is of note", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = rows_by_key(text.language_id(docs), "doc_id")
+    assert got[(1,)]["lang_pred"] == "th", got[(1,)]
+    # all seven words occur exactly once in the fixture
+    assert got[(1,)]["score_th"] == 7
+    assert got[(2,)]["lang_pred"] == "en"
+    assert got[(2,)]["score_th"] == 0
+
+
 def test_token_counts(spark):
     got = rows_by_key(text.token_counts(_docs(spark, [(1, "hello world42 foo-bar")])), "doc_id")
     r = got[(1,)]
