@@ -1808,24 +1808,36 @@ def _clean_meta_expr(c: Column) -> Column:
     return F.nullif(F.trim(c), F.lit(""))
 
 
+#: attribute-name guard: ``\bname`` alone also matches the tail of
+#: ``data-name`` ('-' and ':' are non-word chars, so \b fires there) —
+#: the lookbehind rejects hyphenated/namespaced lookalikes (r13 review,
+#: reproduced live with data-name/data-property). Java-regex-only is
+#: fine: the oracle twin rebuilds expected values from construction
+#: arithmetic, never from these patterns.
+_ATTR_GUARD = r"(?<![\w:-])"
+
+
 def _tag_attr_value(c: Column, tag: str, anchor: str, anchor_val: str,
                     value_attr: str) -> Column:
-    """First ``<tag …>`` whose ``anchor="anchor_val"`` → its
-    ``value_attr`` quoted value, or NULL. Real-crawl attribute chaos is
-    the point: both attribute ORDERS (name before content and after) and
-    both QUOTE styles on the value are tried, first non-empty wins —
-    regexp_extract returns '' on no-match, so nullif folds miss and
-    present-but-empty together. Value classes exclude the closing quote
-    AND ``>`` so a malformed unterminated attribute cannot swallow the
-    rest of the document."""
-    anchored = rf"\b{anchor}\s*=\s*[\"']{anchor_val}[\"']"
-    pats = []
-    for vq in ('"', "'"):
-        val = rf"\b{value_attr}\s*=\s*{vq}([^{vq}>]*){vq}"
-        pats.append(rf"(?is)<{tag}\b[^>]*?{anchored}[^>]*?{val}")
-        pats.append(rf"(?is)<{tag}\b[^>]*?{val}[^>]*?{anchored}")
+    """FIRST ``<tag …>`` in document order carrying both
+    ``anchor="anchor_val"`` and a quoted ``value_attr`` → that value, or
+    NULL. Real-crawl attribute chaos is the point: both attribute ORDERS
+    and both QUOTE styles match through ONE pattern (two alternatives ×
+    a quote alternation, four capture groups), so the leftmost matching
+    tag always wins — a pattern-per-variant coalesce would let a later
+    tag in an earlier-tried variant beat an earlier tag (r13 review,
+    reproduced). regexp_extract returns '' for a non-participating
+    group and on no-match; nullif folds those with present-but-empty.
+    Value classes exclude the closing quote AND ``>`` so a malformed
+    unterminated attribute cannot swallow the rest of the document."""
+    anchored = rf"{_ATTR_GUARD}{anchor}\s*=\s*[\"']{anchor_val}[\"']"
+    val = rf"{_ATTR_GUARD}{value_attr}\s*=\s*(?:\"([^\">]*)\"|'([^'>]*)')"
+    pat = (
+        rf"(?is)<{tag}\b(?:[^>]*?{anchored}[^>]*?{val}"
+        rf"|[^>]*?{val}[^>]*?{anchored})"
+    )
     return F.coalesce(
-        *[F.nullif(F.regexp_extract(c, p, 1), F.lit("")) for p in pats]
+        *[F.nullif(F.regexp_extract(c, pat, g), F.lit("")) for g in (1, 2, 3, 4)]
     )
 
 
@@ -1840,6 +1852,12 @@ def html_metadata(
     recency cutoffs and decontamination windows). :func:`html_to_text`
     deliberately drops ``<head>`` wholesale; this reads ONLY from it.
 
+    The scan is restricted to the HEAD REGION — the prefix up to
+    ``</head`` (or ``<body`` when the close tag is missing, or the whole
+    document when neither appears, the sloppy-HTML fallback) — so meta
+    markup quoted in article prose can never override the head's values
+    (r13 review: a body-embedded tutorial example won before).
+
     Output per doc: ``title``, ``meta_description``, ``og_title``,
     ``og_description``, ``canonical_url``, ``html_lang``,
     ``published_time`` — all NULL when absent (or present-but-empty).
@@ -1852,10 +1870,19 @@ def html_metadata(
     NULL. No counterpart in the reference engine (its inputs are CSV
     rows, docker/lambda_function.py:58-95); built for the LLM-pipeline
     brief."""
-    c = F.col(text_col)
+    whole = F.col(text_col)
+    # head region: prefix up to </head, else up to <body, else the whole
+    # document — lazy ^(.*?) keeps it the FIRST occurrence of either
+    c = F.coalesce(
+        F.nullif(
+            F.regexp_extract(whole, r"(?is)^(.*?)</head[\s>]", 1), F.lit("")
+        ),
+        F.nullif(F.regexp_extract(whole, r"(?is)^(.*?)<body\b", 1), F.lit("")),
+        whole,
+    )
     title = _clean_meta_expr(
         F.nullif(
-            F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title", 1),
+            F.regexp_extract(c, r"(?is)<title\b[^>]*>(.*?)</title", 1),
             F.lit(""),
         )
     )
@@ -1864,13 +1891,17 @@ def html_metadata(
     html_lang = F.coalesce(
         F.nullif(
             F.regexp_extract(
-                c, r"(?is)<html\b[^>]*?\blang\s*=\s*[\"']([^\"'>]+)[\"']", 1
+                c,
+                rf"(?is)<html\b[^>]*?{_ATTR_GUARD}lang\s*=\s*[\"']([^\"'>]+)[\"']",
+                1,
             ),
             F.lit(""),
         ),
         F.nullif(
             F.regexp_extract(
-                c, r"(?is)<html\b[^>]*?\blang\s*=\s*([A-Za-z][A-Za-z-]*)", 1
+                c,
+                rf"(?is)<html\b[^>]*?{_ATTR_GUARD}lang\s*=\s*([A-Za-z][A-Za-z-]*)",
+                1,
             ),
             F.lit(""),
         ),

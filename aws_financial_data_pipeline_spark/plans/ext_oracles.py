@@ -16,7 +16,7 @@ from ..operators.text import (
     NONSPACING_LANGS,
     PII_PATTERNS,
 )
-from .ext_queries import WAT_HOSTS, WAT_PR_ITERATIONS
+from .ext_queries import AUG_TAIL_0, AUG_TAIL_1, WAT_HOSTS, WAT_PR_ITERATIONS
 from .transactions_view import ORACLE_PRELUDE as _P
 
 # shared shingle prelude (word 3-grams, distinct per doc)
@@ -142,31 +142,42 @@ _GOPHER_FLAGS = """
 """
 
 
-def _lang_scores_sql() -> str:
+def _lang_scores_sql(
+    col: str = "text", langs=None, prefix: str = "score_"
+) -> str:
     """Twin of ``text._lang_score_exprs`` — token-equality hits for
     space-delimited languages, substring occurrence counts for the
     NONSPACING set; both generated from the same dict so the engines
     cannot drift. Nonspacing words are BMP, where Spark and DuckDB
     ``length()`` both count code points (probed incl. Thai combining
     marks), and the length diff is an exact multiple of len(w), so the
-    division is integer-exact."""
+    division is integer-exact. ``col``/``langs``/``prefix`` serve the
+    x10 ``aug_score_*`` gate (nonspacing scores over the augmented
+    text); token-scored languages always read the ``tok`` list, so a
+    non-default ``col`` is only valid with a nonspacing ``langs``."""
     parts = []
     for lang, words in LANG_STOPWORDS.items():
+        if langs is not None and lang not in langs:
+            continue
+        if col != "text" and lang not in NONSPACING_LANGS:
+            raise ValueError(
+                f"token-scored language {lang!r} cannot read column {col!r}"
+            )
         if lang in NONSPACING_LANGS:
             terms = []
             for w in words:
-                t = f"(length(text) - length(replace(text, '{w}', '')))"
+                t = f"(length({col}) - length(replace({col}, '{w}', '')))"
                 if len(w) > 1:
                     # exact: the diff is a multiple of len(w)
                     t = f"({t} / {len(w)})"
                 terms.append(t)
             parts.append(
-                f"CAST({' + '.join(terms)} AS BIGINT) AS score_{lang}"
+                f"CAST({' + '.join(terms)} AS BIGINT) AS {prefix}{lang}"
             )
         else:
             lst = ", ".join(f"'{w}'" for w in words)
             parts.append(
-                f"CAST(len(list_filter(tok, x -> x IN ({lst}))) AS BIGINT) AS score_{lang}"
+                f"CAST(len(list_filter(tok, x -> x IN ({lst}))) AS BIGINT) AS {prefix}{lang}"
             )
     return ",\n       ".join(parts)
 
@@ -1128,8 +1139,10 @@ EXT_ORACLES: dict[str, str] = {
           FROM documents),
     sc AS (
       SELECT doc_id, lang AS lang_actual, text, tok,
-             text || CASE WHEN doc_id % 3 = 0 THEN ' Привет мир'
-                          WHEN doc_id % 3 = 1 THEN ' 日本語テキスト'
+       """
+    + f"""
+             text || CASE WHEN doc_id % 3 = 0 THEN '{AUG_TAIL_0}'
+                          WHEN doc_id % 3 = 1 THEN '{AUG_TAIL_1}'
                           ELSE '' END AS augx,
        """
     + _lang_scores_sql()
@@ -1175,6 +1188,8 @@ EXT_ORACLES: dict[str, str] = {
     + ",\n           ".join(_pii_sql("text")[1])
     + ",\n           "
     + _script_sql("augx")
+    + ",\n           "
+    + _lang_scores_sql(col="augx", langs=NONSPACING_LANGS, prefix="aug_score_")
     + r""",
            mres.main_text,
            COALESCE(mres.main_blocks_total, 0) AS main_blocks_total,

@@ -326,6 +326,17 @@ MC_FIXTURE_POST = (
     '<footer>Copyright 2026 Example. <a href="/t">Terms</a></footer>'
 )
 
+#: deterministic script/LID augmentation tails for the x10 leg — spliced
+#: into BOTH engines from this ONE definition (the WAT-constants rule).
+#: Tail 0 carries Cyrillic (script counts) + hangul + Thai words from
+#:  the ko/th NONSPACING stopword lists; tail 1 carries kana + the
+#: ja particles の/で and the zh chars 和/的 — so the aug_score_* gate
+#: (r13 review: the ASCII corpus scored every nonspacing language 0,
+#: leaving the substring arithmetic oracle-unguarded) sees nonzero
+#: values on two of the three doc classes and zeros on the third.
+AUG_TAIL_0 = " Привет мир 이고 ไทยที่ได้"
+AUG_TAIL_1 = " 日本語のテキストです和的"
+
 
 def x10_text_profile(spark, sf_dir):
     """All per-document text analysis in one map-only pass (round-1
@@ -352,10 +363,14 @@ def x10_text_profile(spark, sf_dir):
     keep-decisions ride its class through the one-hop context rule."""
     aug = F.concat(
         F.col("text"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(" Привет мир"))
-        .when(F.col("doc_id") % 3 == 1, F.lit(" 日本語テキスト"))
+        F.when(F.col("doc_id") % 3 == 0, F.lit(AUG_TAIL_0))
+        .when(F.col("doc_id") % 3 == 1, F.lit(AUG_TAIL_1))
         .otherwise(F.lit("")),
     )
+    # nonspacing lang scores over the AUGMENTED text — the oracle gate
+    # for the substring-count arithmetic itself (raw text is ASCII, so
+    # scores over it are vacuously 0 in both engines)
+    aug_scores = text._lang_score_exprs(aug, text.tokens(aug))
     sane = F.regexp_replace(
         F.regexp_replace(F.col("text"), r"[^\x20-\x7E\n]", " "), r"[<>&]", " "
     )
@@ -389,6 +404,10 @@ def x10_text_profile(spark, sf_dir):
         pii=True,
         extra_cols=[
             *text._script_output_cols(aug, prefix="script_", include_nchars=False),
+            *[
+                aug_scores[lang].cast("long").alias(f"aug_score_{lang}")
+                for lang in text.NONSPACING_LANGS
+            ],
             F.col("main_text"),
             F.col("main_blocks_total").cast("int").alias("main_blocks_total"),
             F.col("main_blocks_kept").cast("int").alias("main_blocks_kept"),

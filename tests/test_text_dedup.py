@@ -1894,3 +1894,42 @@ def test_html_metadata_plan_is_map_only(spark):
     plan = text.html_metadata(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_html_metadata_document_order_and_scope(spark):
+    """r13 review regressions: (a) the FIRST tag in document order wins
+    regardless of quote style / attribute order (pattern-major coalesce
+    let a later double-quoted tag beat an earlier single-quoted one);
+    (b) extraction is head-region-scoped — meta markup quoted in body
+    prose cannot override or supply values; (c) data-name/data-property
+    lookalikes are not the real attributes."""
+    docs = spark.createDataFrame(
+        [
+            # (a) single-quoted first, double-quoted second → first wins
+            (1, "<meta content='A' name='description'>"
+                '<meta name="description" content="B">'),
+            # (a) flipped-order first, anchored-order second → first wins
+            (2, '<meta content="C" name="description">'
+                '<meta name="description" content="D">'),
+            # (b) head has the real value; body quotes a tutorial example
+            (3, "<head><meta content='real' name='description'></head>"
+                '<body><p>Use <meta name="description" content="example">'
+                "in your page.</p></body>"),
+            # (b) title only in body SVG, real head present → NULL title
+            (4, "<head><meta name='x' content='y'></head>"
+                "<body><svg><title>chart label</title></svg></body>"),
+            # (c) data-* lookalikes must not match
+            (5, '<meta data-name="description" content="X">'
+                '<meta data-property="og:title" content="Y">'
+                '<html data-lang="de">'),
+        ],
+        "doc_id long, text string",
+    )
+    got = rows_by_key(text.html_metadata(docs), "doc_id")
+    assert got[(1,)]["meta_description"] == "A"
+    assert got[(2,)]["meta_description"] == "C"
+    assert got[(3,)]["meta_description"] == "real"
+    assert got[(4,)]["title"] is None
+    assert got[(5,)]["meta_description"] is None
+    assert got[(5,)]["og_title"] is None
+    assert got[(5,)]["html_lang"] is None
