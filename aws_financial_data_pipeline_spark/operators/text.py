@@ -1870,7 +1870,24 @@ def html_metadata(
     NULL. No counterpart in the reference engine (its inputs are CSV
     rows, docker/lambda_function.py:58-95); built for the LLM-pipeline
     brief."""
-    whole = F.col(text_col)
+    return docs.select(
+        F.col(id_col), *_html_metadata_output_cols(F.col(text_col))
+    )
+
+
+#: output column names of :func:`html_metadata`, in order — the corpus
+#: front door's ``metadata=True`` rides these
+HTML_METADATA_COLS = (
+    "title", "meta_description", "og_title", "og_description",
+    "canonical_url", "html_lang", "published_time",
+)
+
+
+def _html_metadata_output_cols(whole: Column) -> "list[Column]":
+    """The seven aliased metadata columns over a raw-HTML Column — the
+    shared-expression builder (the ``_gopher_output_cols`` convention) so
+    :func:`html_metadata` and the corpus front door's ``metadata=True``
+    projection cannot drift."""
     # head region: prefix up to </head, else up to <body, else the whole
     # document — lazy ^(.*?) keeps it the FIRST occurrence of either
     c = F.coalesce(
@@ -1906,8 +1923,7 @@ def html_metadata(
             F.lit(""),
         ),
     )
-    return docs.select(
-        F.col(id_col),
+    return [
         title.alias("title"),
         _clean_meta_expr(
             _tag_attr_value(c, "meta", "name", "description", "content")
@@ -1933,7 +1949,7 @@ def html_metadata(
             ),
             F.lit(""),
         ).alias("published_time"),
-    )
+    ]
 
 
 def html_tables(

@@ -90,6 +90,33 @@ def _check_main_content(extract_html: bool, main_content: bool) -> None:
         )
 
 
+def _attach_metadata(docs: DataFrame, is_html: bool) -> DataFrame:
+    """``metadata=True``'s per-leg hop: the WARC leg (raw HTML in hand,
+    BEFORE the html→text flatten discards the head) computes the seven
+    :data:`..operators.text.HTML_METADATA_COLS` in the SAME projection
+    (zero shuffle, zero Python — the shared expression builder); every
+    other leg carries typed NULLs so the union schema is stable. WET is
+    already extracted text, archive members and jsonl/tfrecord/parquet
+    rows are arbitrary text — there is no head to read there."""
+    from ..operators.text import HTML_METADATA_COLS, _html_metadata_output_cols
+
+    if is_html:
+        return docs.select("*", *_html_metadata_output_cols(F.col("text")))
+    return docs.select(
+        "*",
+        *[
+            F.lit(None).cast("string").alias(name)
+            for name in HTML_METADATA_COLS
+        ],
+    )
+
+
+def _corpus_out_cols(metadata: bool) -> "tuple[str, ...]":
+    from ..operators.text import HTML_METADATA_COLS
+
+    return CORPUS_DOC_COLS + (HTML_METADATA_COLS if metadata else ())
+
+
 def _html_stage(docs: DataFrame, main_content: bool) -> DataFrame:
     """The WARC leg's HTML→text hop: :func:`..operators.text.html_to_text`
     by default, or — ``main_content=True`` (r13) — the jusText-shaped
@@ -124,6 +151,7 @@ def ingest_corpus(
     sniff: bool = False,
     with_errors: bool = False,
     main_content: bool = False,
+    metadata: bool = False,
 ):
     """Union every supplied corpus shape into one front-door frame.
     ``sniff=True`` enables statistical charset detection on the WARC
@@ -144,7 +172,14 @@ def ingest_corpus(
     corpus the way the curation funnel counts its ledger: at 100 TB a
     lost record must surface as a NUMBER, not a dead job. The other legs
     contribute no rows (their parse conventions raise loudly at the file
-    level instead)."""
+    level instead).
+
+    ``metadata=True`` (r13) appends the seven
+    :data:`..operators.text.HTML_METADATA_COLS` (title, meta/og fields,
+    canonical URL, html lang, published time) to the contract — computed
+    on the WARC leg from the raw HTML BEFORE the html→text flatten
+    discards the head, in the same map-only projection; typed NULLs on
+    every other leg (no head to read)."""
     _check_main_content(extract_html, main_content)
     legs: list[DataFrame] = []
     err_legs: list[DataFrame] = []
@@ -161,6 +196,8 @@ def ingest_corpus(
     if warc_dir is not None:
         records = _once(read_warc(spark, warc_dir))
         docs = warc_to_documents(records, sniff=sniff)
+        if metadata:
+            docs = _attach_metadata(docs, is_html=True)
         if extract_html:
             docs = _html_stage(docs, main_content)
         legs.append(docs.withColumn("source", F.lit("warc")))
@@ -221,9 +258,15 @@ def ingest_corpus(
             "warc_dir/wet_dir/tar_dir/zip_dir/jsonl_dir/tfrecord_dir/"
             "parquet_dir"
         )
-    out = legs[0].select(*CORPUS_DOC_COLS)
+    out_cols = _corpus_out_cols(metadata)
+    if metadata:
+        legs = [
+            leg if "title" in leg.columns else _attach_metadata(leg, is_html=False)
+            for leg in legs
+        ]
+    out = legs[0].select(*out_cols)
     for leg in legs[1:]:
-        out = out.unionByName(leg.select(*CORPUS_DOC_COLS))
+        out = out.unionByName(leg.select(*out_cols))
     if not with_errors:
         return out
     err_cols = ("path", "record_id", "warc_type", "url", "parse_error", "source")
@@ -326,6 +369,7 @@ def corpus_batch_frame(
     on_unknown: str = "error",
     sniff: bool = False,
     main_content: bool = False,
+    metadata: bool = False,
 ) -> DataFrame:
     """The dispatch+parse+union plan of one landing-zone micro-batch,
     exposed as a plain frame so tests can assert its SHAPE (shuffle-free:
@@ -358,6 +402,8 @@ def corpus_batch_frame(
         sub = batch.filter(F.col("path").rlike(pat))
         if leg == "warc":
             docs = warc_to_documents(parse_warc_files(sub, ("response",)), sniff=sniff)
+            if metadata:
+                docs = _attach_metadata(docs, is_html=True)
             if extract_html:
                 docs = _html_stage(docs, main_content)
         elif leg == "wet":
@@ -390,7 +436,10 @@ def corpus_batch_frame(
                 ),
                 leg,
             )
-        legs.append(docs.withColumn("source", F.lit(leg)).select(*CORPUS_DOC_COLS))
+        docs = docs.withColumn("source", F.lit(leg))
+        if metadata and "title" not in docs.columns:
+            docs = _attach_metadata(docs, is_html=False)
+        legs.append(docs.select(*_corpus_out_cols(metadata)))
     out = legs[0]
     for leg_df in legs[1:]:
         out = out.unionByName(leg_df)
@@ -408,6 +457,7 @@ def process_corpus_batch(
     on_unknown: str = "error",
     sniff: bool = False,
     main_content: bool = False,
+    metadata: bool = False,
 ) -> None:
     """One micro-batch of the unified streaming front door: a binaryFile
     (path, content) frame → :func:`corpus_batch_frame` (dispatch + parse +
@@ -422,7 +472,7 @@ def process_corpus_batch(
     and ``on_unknown`` passes through."""
     out = corpus_batch_frame(
         batch, extract_html, archive_pattern, max_member_bytes, on_unknown,
-        sniff, main_content,
+        sniff, main_content, metadata,
     )
     if transform is not None:
         out = transform(out)
@@ -444,6 +494,7 @@ def ingest_corpus_stream(
     on_unknown: str = "error",
     sniff: bool = False,
     main_content: bool = False,
+    metadata: bool = False,
 ):
     """Streaming twin of :func:`ingest_corpus` over ONE landing zone: a
     directory where ``.warc.gz`` + ``.wet.gz`` + ``.tar.gz`` + ``.zip``
@@ -476,14 +527,20 @@ def ingest_corpus_stream(
             on_unknown,
             sniff,
             main_content,
+            metadata,
         )
 
+    empty_schema = "doc_id long, url string, text string, source string"
+    if metadata:
+        from ..operators.text import HTML_METADATA_COLS
+
+        empty_schema += "".join(f", {n} string" for n in HTML_METADATA_COLS)
     return binaryfile_ingest_stream(
         spark,
         src_dir,
         docs_out,
         process,
-        empty_schema="doc_id long, url string, text string, source string",
+        empty_schema=empty_schema,
         checkpoint=checkpoint,
         max_files_per_trigger=max_files_per_trigger,
         path_glob=path_glob,

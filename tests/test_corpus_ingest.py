@@ -614,3 +614,76 @@ def test_corpus_front_doors_thread_main_content(spark, tmp_path):
     assert len(stream_kept) == 1
     assert article in stream_kept[0]["text"]
     assert "Home" not in stream_kept[0]["text"]
+
+
+def test_corpus_front_doors_thread_metadata(spark, tmp_path):
+    """metadata=True (r13) threads through BOTH front doors: the WARC
+    leg computes the seven HTML_METADATA_COLS from the raw HTML BEFORE
+    the html→text flatten discards the head, every other leg carries
+    typed NULLs, and the default (False) keeps the four-column contract
+    unchanged."""
+    from aws_financial_data_pipeline_spark.operators.text import (
+        HTML_METADATA_COLS,
+    )
+    from aws_financial_data_pipeline_spark.sources import warc as warcsrc
+
+    html = (
+        '<html lang="en"><head><title>Storm Ledger &amp; Archive</title>'
+        "<meta name='description' content='Harbor storm records'>"
+        '<link rel="canonical" href="https://md.example/canon">'
+        '<meta property="article:published_time" content="2025-11-02T09:00:00Z">'
+        "</head><body><p>The ledger entries survived the winters.</p>"
+        "</body></html>"
+    )
+    landing = tmp_path / "md_landing"
+    landing.mkdir()
+    (landing / "a.warc.gz").write_bytes(
+        warcsrc.encode_warc(
+            [{
+                "warc_type": "response",
+                "url": "https://md.example/p",
+                "record_id": "<urn:uuid:md1>",
+                "html": html,
+            }]
+        )
+    )
+    # jsonl leg alongside: must carry NULL metadata columns
+    jl = tmp_path / "md_jsonl"
+    jl.mkdir()
+    (jl / "shard.jsonl").write_text(
+        '{"id": 1, "text": "plain corpus text with no markup"}\n'
+    )
+    docs = corpussrc.ingest_corpus(
+        spark, warc_dir=str(landing), jsonl_dir=str(jl), metadata=True
+    ).collect()
+    by_src = {r["source"]: r for r in docs}
+    w = by_src["warc"]
+    assert w["title"] == "Storm Ledger & Archive"
+    assert w["meta_description"] == "Harbor storm records"
+    assert w["canonical_url"] == "https://md.example/canon"
+    assert w["html_lang"] == "en"
+    assert w["published_time"] == "2025-11-02T09:00:00Z"
+    assert w["og_title"] is None and w["og_description"] is None
+    # the flatten still ran — head markup is gone from text
+    assert "ledger entries survived" in w["text"]
+    assert "<title" not in w["text"]
+    j = by_src["jsonl"]
+    assert all(j[c] is None for c in HTML_METADATA_COLS)
+    assert set(docs[0].asDict()) == set(
+        corpussrc.CORPUS_DOC_COLS + HTML_METADATA_COLS
+    )
+    # default schema unchanged
+    plain = corpussrc.ingest_corpus(spark, warc_dir=str(landing)).collect()
+    assert set(plain[0].asDict()) == set(corpussrc.CORPUS_DOC_COLS)
+
+    # landing-zone twin: same columns, same values
+    frame = spark.read.format("binaryFile").load(str(landing))
+    st = corpussrc.corpus_batch_frame(frame, metadata=True).collect()
+    assert len(st) == 1
+    assert st[0]["title"] == "Storm Ledger & Archive"
+    assert st[0]["html_lang"] == "en"
+    # metadata composes with main_content (both pre/post the flatten swap)
+    mc = corpussrc.ingest_corpus(
+        spark, warc_dir=str(landing), metadata=True, main_content=True
+    ).collect()
+    assert mc[0]["title"] == "Storm Ledger & Archive"
