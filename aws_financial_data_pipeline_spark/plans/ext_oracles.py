@@ -956,6 +956,26 @@ EXT_ORACLES: dict[str, str] = {
              regexp_replace(substr(text, 25, 30), '[<>&''"]', '', 'g') AS s2
       FROM documents WHERE doc_id % 11 = 0
     )
+    UNION ALL
+    -- robots leg: expected verdict per (host, path-kind) cell stated
+    -- DIRECTLY from RFC 9309 semantics over the constructed rules —
+    -- site0 ('*' group): Disallow /private (8) < Allow /private/pub$
+    -- (13); Disallow /*.pdf$ hits the .pdf paths; /tie allow+disallow
+    -- tie at plen 4 → allow. site1: the named 'mybot' group (Disallow
+    -- /m only) SHADOWS the '*' Disallow-all. site2: no robots.txt.
+    SELECT 'robots' AS method, doc_id,
+           CAST(CASE WHEN (m3 = 0 AND pk IN (0, 3)) OR (m3 = 1 AND pk = 4)
+                     THEN 0 ELSE 1 END AS BIGINT) AS removed_units,
+           CASE WHEN m3 = 0 AND pk = 0 THEN '/private'
+                WHEN m3 = 0 AND pk = 1 THEN '/private/pub$'
+                WHEN m3 = 0 AND pk = 3 THEN '/*.pdf$'
+                WHEN m3 = 0 AND pk = 5 THEN '/tie'
+                WHEN m3 = 1 AND pk = 4 THEN '/m'
+                ELSE '-' END AS clean_text
+    FROM (
+      SELECT doc_id, doc_id % 3 AS m3, (doc_id // 3) % 6 AS pk
+      FROM documents
+    )
     """,
     "x06_simhash_candidates": _SIMHASH64
     + """

@@ -1332,6 +1332,13 @@ def x42_dup_spans(spark, sf_dir):
       single-quoted values, and entities; removed_units = fields found
       (6 — og:description is deliberately absent), clean_text = the
       seven fields joined with '|' ('-' for NULL).
+    - ``robots``: the RFC 9309 gate (``robots.parse_robots`` +
+      ``robots_verdicts`` — r13) over constructed per-host robots.txt
+      bodies and coprime-moduli URLs: named-group shadowing of '*',
+      '$' anchors, '*' wildcards, longest-match precedence and the
+      equal-length allow/disallow tie all decided per row;
+      removed_units = allowed (0/1), clean_text = the winning pattern
+      ('-' when no rule matched or the host has no robots.txt).
 
     clean_text rides in all legs, so the hash transitively gates the gram
     table, duplicate filters, interval merge, keeper election ((doc_id,pos)
@@ -1507,6 +1514,59 @@ def x42_dup_spans(spark, sf_dir):
             "|", *[F.coalesce(F.col(fld), F.lit("-")) for fld in meta_fields]
         ).alias("clean_text"),
     )
+    # robots leg (r13): the RFC 9309 gate end-to-end through the REAL
+    # parser + verdict machinery — per-host robots.txt BODIES (group
+    # selection: a named 'mybot' group must shadow '*'; '$' anchors;
+    # '*' wildcards; an allow/disallow tie at equal plen) parsed by
+    # parse_robots, URLs constructed with COPRIME moduli (host by
+    # doc_id%3, path kind by (doc_id div 3)%6) so every host sees every
+    # path shape. The oracle states the expected verdict per
+    # (host, path-kind) cell directly from the RFC semantics — an
+    # independent derivation, no LIKE machinery on the oracle side.
+    from ..operators import robots as robots_mod
+
+    site0_txt = (
+        "User-agent: evilbot\nDisallow: /\n\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/pub$\n"
+        "Disallow: /*.pdf$\n"
+        "Allow: /tie\n"
+        "Disallow: /tie\n"
+    )
+    site1_txt = (
+        "User-agent: mybot\nDisallow: /m\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    rules = robots_mod.parse_robots(
+        spark.createDataFrame(
+            [("site0.example", site0_txt), ("site1.example", site1_txt)],
+            "host string, robots_txt string",
+        ),
+        agent="mybot",
+    )
+    pk = F.expr("(doc_id div 3) % 6")
+    rpath = (
+        F.when(pk == 0, F.lit("/private/doc"))
+        .when(pk == 1, F.lit("/private/pub"))
+        .when(pk == 2, F.concat(F.lit("/public/doc"), did))
+        .when(pk == 3, F.concat(F.lit("/file"), did, F.lit(".pdf")))
+        .when(pk == 4, F.lit("/m/page"))
+        .otherwise(F.lit("/tie/x"))
+    )
+    rdocs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example"), rpath,
+        ).alias("url"),
+    )
+    robots = robots_mod.robots_verdicts(rdocs, rules).select(
+        F.lit("robots").alias("method"),
+        "doc_id",
+        F.col("robots_allowed").cast("long").alias("removed_units"),
+        F.coalesce(F.col("robots_rule"), F.lit("-")).alias("clean_text"),
+    )
     return (
         ngram.unionByName(para)
         .unionByName(lines)
@@ -1515,6 +1575,7 @@ def x42_dup_spans(spark, sf_dir):
         .unionByName(chat)
         .unionByName(tables)
         .unionByName(meta)
+        .unionByName(robots)
     )
 
 
