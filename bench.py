@@ -1139,6 +1139,53 @@ def _bench_main_content(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+def _bench_html_metadata(spark, sf_dir: str) -> float:
+    """The r13 head-metadata extractor over the documents table wrapped
+    in a realistic <head> (title + description + og + canonical + lang +
+    published_time, attribute orders/quotes mixed — built pre-t0 into a
+    parquet fixture so the timed region is the EXTRACTION). Map-only:
+    one scan -> the head-region slice -> seven anchored extracts ->
+    noop."""
+    import shutil
+    import tempfile
+
+    from aws_financial_data_pipeline_spark.operators.text import html_metadata
+
+    docs = _scaled_input(spark, f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit('<html lang="en"><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; friends</title>"
+              "<meta content='a page about things' name='description'>"
+              '<meta property="og:title" content="OG '),
+        F.col("doc_id").cast("string"),
+        F.lit('"><link href="https://example.com/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('" rel="canonical">'
+              '<meta content="2026-01-02T03:04:05Z" '
+              'property="article:published_time"></head><body><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    tmp = tempfile.mkdtemp(prefix="afdp_bench_hm_")
+    try:
+        docs.select("doc_id", html.alias("text")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            html_metadata(spark.read.parquet(tmp)).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            return time.perf_counter() - t0
+
+        return _best2(run)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_x28_leg(spark, sf_dir: str, leg: str) -> float:
     """Per-leg timing for the x28 composite (r12 verdict: four
     oracle-gated statistics timed as ONE row kept the repo-worst
@@ -1440,6 +1487,7 @@ def main() -> None:
         ("code_curation", _bench_code_curation, {}),
         ("code_near_dup", _bench_code_near_dup, {}),
         ("main_content_extract", _bench_main_content, {}),
+        ("html_metadata", _bench_html_metadata, {}),
         ("repetition_profile", _bench_repetition_profile, {}),
         ("x28_leg_tfidf", _bench_x28_leg, {"leg": "tfidf"}),
         ("x28_leg_pmi", _bench_x28_leg, {"leg": "pmi"}),
