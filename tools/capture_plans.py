@@ -1,0 +1,54 @@
+"""Capture .explain("formatted") for every declared query into plans/<tag>/.
+
+Usage: python tools/capture_plans.py <tag> [suffix] [query ...]
+  tag     e.g. r13        -> writes plans/r13/<query>_<suffix>.txt
+  suffix  "before" | "after" (default "before")
+  query   optional subset; default = every queries() entry
+
+Planning only (no execution): the files hold the AQE initial plan
+(isFinalPlan=false), which is what plan-shape claims are checked against.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+from aws_financial_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r13"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "plans", tag)
+    os.makedirs(outdir, exist_ok=True)
+
+    spark = get_spark("afdp-plan-capture")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    if not names:
+        names = sorted(queries)
+    for name in names:
+        try:
+            df = queries[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # capture the failure instead of dying
+            plan = f"PLANNING FAILED: {exc!r}\n"
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"{name}: {len(plan.splitlines())} lines -> {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

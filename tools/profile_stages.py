@@ -1,0 +1,137 @@
+"""Stage-level profiling for the expensive bench rows (guide §1: measure
+first; noop sink; labeled jobs). Each stage is timed best-of-2 at sf0.1.
+
+Usage: python tools/profile_stages.py [group ...]
+Groups: minhash, funnel, report, spans, similarity, x28
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aws_financial_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def t(spark, label, df, n=2):
+    best = None
+    for _ in range(n):
+        spark.sparkContext.setJobDescription(label)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    print(f"  {label:55s} {best:7.3f}s")
+    spark.sparkContext.setJobDescription(None)
+    return best
+
+
+def profile_minhash(spark):
+    from aws_financial_data_pipeline_spark.operators import dedup
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, SF_DIR)
+    print("minhash_dedup stages (x39 is the full chain):")
+    sig = dedup.minhash_signatures(docs)
+    t(spark, "signatures only", sig)
+    cand = dedup.minhash_candidates(dedup.minhash_signatures(docs))
+    t(spark, "signatures+candidates", cand)
+    spark.catalog.clearCache()
+    pairs = dedup.minhash_dedup(docs)
+    t(spark, "full minhash_dedup (x39 body)", pairs)
+    spark.catalog.clearCache()
+    # where inside signatures: shingle table alone vs the 16 mins
+    from aws_financial_data_pipeline_spark.operators.text import shingles_expr, with_tokens
+
+    tok = F.col("_tok")
+    sh = with_tokens(docs, "text").select(
+        "doc_id",
+        F.when(F.size(tok) >= 3, shingles_expr(tok, n=3))
+        .otherwise(F.array(F.concat_ws(" ", tok)))
+        .alias("_sh"),
+    )
+    t(spark, "shingle arrays only", sh)
+    one_mh = sh.select(
+        "doc_id",
+        F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit("0:"), s)))).alias("m0"),
+    )
+    t(spark, "shingles + 1 minhash", one_mh)
+
+
+def profile_funnel(spark):
+    from aws_financial_data_pipeline_spark.operators import curation, text as tx
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, SF_DIR)
+    print("curation_funnel(rule_mode='any') stages:")
+    corpus, audit = curation.curation_funnel(docs, rule_mode="any")
+    t(spark, "funnel corpus+audit (bench row body)", corpus)
+    spark.catalog.clearCache()
+    # isolate the rule stage cost: full text_profile vs flags-only
+    prof = tx.text_profile(docs, gopher=True, c4=True)
+    t(spark, "text_profile(gopher+c4) full", prof)
+    flags = prof.select("doc_id", "c4_keep", "keep")
+    t(spark, "text_profile -> 2 flags (pruned)", flags)
+
+
+def profile_report(spark):
+    from aws_financial_data_pipeline_spark.plans.queries import FINANCIAL_QUERIES
+
+    print("q15 components:")
+    t(spark, "q15_report_document (full)", FINANCIAL_QUERIES["q15_report_document"](spark, SF_DIR))
+
+
+def profile_spans(spark):
+    from aws_financial_data_pipeline_spark.operators import spans
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
+
+    docs = _docs(spark, SF_DIR)
+    print("spans stages:")
+    t(spark, "paragraph_dedup", spans.paragraph_dedup(docs))
+    t(spark, "duplicated_ngram_spans n=8", spans.duplicated_ngram_spans(docs))
+
+
+def profile_x28(spark):
+    from aws_financial_data_pipeline_spark.operators import text as txt
+    from aws_financial_data_pipeline_spark.session import read_parquet_scaled
+
+    docs = read_parquet_scaled(spark, f"{SF_DIR}/documents.parquet").cache()
+    docs.count()
+    print("x28 legs:")
+    t(spark, "tfidf_top_terms k=5", txt.tfidf_top_terms(docs, k=5))
+    t(spark, "collocations k=50", txt.collocations(docs, k=50, min_count=5))
+    t(spark, "bm25_topk", txt.bm25_topk(docs, ["table", "join", "window"], k=20))
+    spark.catalog.clearCache()
+
+
+GROUPS = {
+    "minhash": profile_minhash,
+    "funnel": profile_funnel,
+    "report": profile_report,
+    "spans": profile_spans,
+    "x28": profile_x28,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(GROUPS)
+    spark = get_spark("afdp-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    # python-worker warmup (bench.py convention)
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id bigint").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    for name in names:
+        GROUPS[name](spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
