@@ -350,32 +350,42 @@ def curation_funnel(
         docs = _stage(docs)
         stages.append(("normalize", docs))
 
-    canon = (
-        dd.exact_duplicates(docs, text_col, id_col)
-        .select(F.col("canonical_id").alias(id_col))
-        .distinct()
-    )
-    cur = docs.join(canon, id_col, "left_semi")
+    # r13 (guide §3/§8): anti-join against the SPARSE non-canonical-id set
+    # (exact_duplicate_ids) instead of semi-joining the corpus-sized
+    # canonical-id set — the build side is only the true duplicates, AQE
+    # broadcast-converts it, and document text never enters an exchange.
+    # Same surviving set (same md5 grouping, same min-id election).
+    dup_ids = dd.exact_duplicate_ids(docs, text_col, id_col)
+    cur = docs.join(dup_ids, id_col, "left_anti")
     cur = _stage(cur)
     stages.append(("exact_dedup", cur))
     _gone(docs, cur, "exact_dedup", "exact_duplicate")
 
     prev = cur
-    para = sps.paragraph_dedup(cur, text_col=text_col, id_col=id_col).select(
-        id_col, "clean_text"
-    )
-    cur = cur.join(para, id_col).drop(text_col).withColumnRenamed(
-        "clean_text", text_col
+    # r13: thread the non-text columns THROUGH paragraph_dedup (carry_cols)
+    # instead of joining clean_text back by id — the attach join inside
+    # paragraph_dedup is against the sparse drop-position lists only, so
+    # this stage no longer shuffles the corpus at all
+    carry = tuple(c for c in cur.columns if c not in (id_col, text_col))
+    cur = (
+        sps.paragraph_dedup(cur, text_col=text_col, id_col=id_col, carry_cols=carry)
+        .drop("n_paras", "n_removed")
+        .withColumnRenamed("clean_text", text_col)
     )
     cur = _stage(cur)
     stages.append(("paragraph_dedup", cur))
     _gone(prev, cur, "paragraph_dedup", "no_paragraphs_survived")
 
-    # both rule families come from the ONE-pass profile (c4_keep + gopher
-    # keep ride the same projection) — a single join instead of two
-    rules = tx.text_profile(
-        cur, text_col=text_col, id_col=id_col, gopher=True, c4=True
-    ).select(id_col, F.col("c4_keep").alias("_c4_keep"), F.col("keep").alias("_gopher_keep"))
+    # both rule families are INLINE map-only flag expressions on the staged
+    # frame (r13: rule_keep_exprs shares the text_profile/c4/gopher
+    # builders, so the gate cannot drift) — the previous shape computed a
+    # flags frame from the same lineage and joined it back by id, paying a
+    # corpus shuffle for a pure per-row predicate
+    base_cols = cur.columns
+    _c4k, _gk = tx.rule_keep_exprs(text_col)
+    flagged = tx.with_tokens(cur, text_col).select(
+        *base_cols, _c4k.alias("_c4_keep"), _gk.alias("_gopher_keep")
+    )
     gate = (
         (F.col("_c4_keep") & F.col("_gopher_keep"))
         if rule_mode == "all"
@@ -385,10 +395,7 @@ def curation_funnel(
         # the rule stage can name WHICH family failed — read the flags on
         # the dropped rows instead of a blind anti-join
         ledger_parts.append(
-            cur.select(id_col)
-            .join(rules, id_col)
-            .filter(~gate)
-            .select(
+            flagged.filter(~gate).select(
                 id_col,
                 F.lit("rule_filters").alias("stage"),
                 F.concat(
@@ -401,7 +408,7 @@ def curation_funnel(
                 ).alias("reason"),
             )
         )
-    cur = cur.join(rules, id_col).filter(gate).drop("_c4_keep", "_gopher_keep")
+    cur = flagged.filter(gate).select(*base_cols)
     cur = _stage(cur)
     stages.append(("rule_filters", cur))
 
@@ -419,14 +426,38 @@ def curation_funnel(
         _gone(prev, cur, "repetition_rules", "gopher_repetition")
 
     if quality_model is not None:
-        from .quality import score_quality
+        from pyspark.ml.functions import vector_to_array
 
-        scored = score_quality(
-            cur, quality_model, text_col=text_col, id_col=id_col
-        )
+        # r13: score INLINE on the staged frame instead of score_quality +
+        # join-back by id (the model transform is map-only broadcast
+        # inference, so attaching its probability never needs a shuffle).
+        # Non-(id,text) columns ride through the ML stages packed in ONE
+        # struct so the pipeline's intermediate column names (words,
+        # features, probability, ...) cannot collide with corpus columns.
+        # Same NULL-text contract as score_quality: score over coalesce('')
+        # and keep quality_prob NULL for NULL text (r12 review).
         prev = cur
-        cur = cur.join(scored, id_col).filter(
-            F.col("quality_prob") >= quality_threshold
+        others = [c for c in cur.columns if c not in (id_col, text_col)]
+        packed = cur.select(
+            id_col,
+            *([F.struct(*others).alias("_others")] if others else []),
+            F.col(text_col).alias("_raw_text"),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+        prob = F.when(
+            F.col("_raw_text").isNotNull(),
+            F.round(vector_to_array("probability").getItem(1), 6),
+        )
+        rebuilt = [
+            F.col("_raw_text").alias(text_col)
+            if c == text_col
+            else (F.col(id_col) if c == id_col else F.col(f"_others.{c}").alias(c))
+            for c in cur.columns
+        ]
+        cur = (
+            quality_model.transform(packed)
+            .select(*rebuilt, prob.alias("quality_prob"))
+            .filter(F.col("quality_prob") >= quality_threshold)
         )
         cur = _stage(cur)
         stages.append(("quality_model", cur))

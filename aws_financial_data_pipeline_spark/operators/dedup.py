@@ -27,7 +27,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles_expr, with_tokens
+from .text import shingles_expr, tokens, with_tokens
+
+
+def _shingle_array(tok, n: int):
+    """The per-doc DISTINCT shingle set as one array expression, with the
+    short-doc degenerate leg (< n tokens → the whole space-joined text as
+    ONE shingle — r12 review; see :func:`_shingle_table`). ``tok`` must be
+    a projected column reference (the shingles_expr contract)."""
+    return F.when(F.size(tok) >= n, shingles_expr(tok, n=n)).otherwise(
+        F.array(F.concat_ws(" ", tok))
+    )
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -37,6 +47,36 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_duplicate_ids(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The NON-canonical ids of every exact-duplicate group — i.e. the docs
+    an exact-dedup pass drops (complement of :func:`exact_duplicates`'
+    canonical pick; same md5 grouping, same min-id election).
+
+    This is the scale-friendly HANDLE on exact dedup (r13 optimization,
+    guide §3/§8): the drop set is sparse (only true duplicates), so the
+    caller filters the corpus with ``docs.join(out, id, "left_anti")`` —
+    a broadcast-able anti-join that never shuffles document text — instead
+    of semi-joining against the corpus-sized canonical-id set (which
+    forced a full shuffle of the text side). All shuffles here move only
+    (id, digest) pairs. NULL texts group together (null-safe digest join),
+    matching exact_duplicates' groupBy-on-null behavior."""
+    fp = docs.select(F.col(id_col).alias("_m_id"), F.md5(F.col(text_col)).alias("_fp"))
+    dup_groups = (
+        fp.groupBy("_fp")
+        .agg(F.min("_m_id").alias("_canon"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_fp", "_canon")
+    )
+    return (
+        fp.alias("m")
+        .join(dup_groups.alias("g"), F.col("m._fp").eqNullSafe(F.col("g._fp")))
+        .filter(F.col("_m_id") != F.col("_canon"))
+        .select(F.col("_m_id").alias(id_col))
     )
 
 
@@ -55,12 +95,9 @@ def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataF
     near-dup semantics for real documents are untouched. The DuckDB
     oracle's shared shingle prelude does not model this leg — the oracle
     corpus has no sub-``n`` documents; the unit suite pins it instead."""
-    tok = F.col("_tok")
-    arr = F.when(F.size(tok) >= n, shingles_expr(tok, n=n)).otherwise(
-        F.array(F.concat_ws(" ", tok))
-    )
     return with_tokens(docs, text_col).select(
-        F.col(id_col).alias("doc_id"), F.explode(arr).alias("s")
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingle_array(F.col("_tok"), n)).alias("s"),
     )
 
 
@@ -83,25 +120,20 @@ def jaccard_pairs(
     as the small-SF recall oracle; it raises by default so no caller can
     quadratic-join a full corpus by accident (round-1 verdict).
 
-    Candidate-bounded (round-2 verdict): in verify mode the corpus is
-    left-semi-joined to the docs IMPLICATED by ``candidates`` before any
-    shingling, so the exploded shingle table — the expensive intermediate —
-    is O(implicated docs), not O(corpus). At 100 TB the verify stage of a
-    sparse dedup touches a small fraction of the corpus; shingling all of it
-    (as round 2 did) made verification corpus-sized regardless of how few
-    pairs the LSH emitted. Same shape as
-    :func:`incremental_minhash_dedup`'s ``corpus_needed`` semi-join."""
-    if candidates is not None:
-        implicated = (
-            candidates.select(F.col("doc_a").alias(id_col))
-            .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
-            .distinct()
-        )
-        docs = docs.join(implicated, id_col, "left_semi")
-    # cached: referenced three times (both join sides + the size table);
-    # candidate-bounded when a candidates frame was given
-    sh = _shingle_table(docs, text_col, id_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    Candidate-bounded (round-2 verdict, RESHAPED round 13): in verify mode
+    the candidate pairs — sparse by construction — attach both documents'
+    texts via two joins whose BUILD side is the pair frame (AQE
+    broadcast-converts it; the corpus is scanned, never shuffled), and the
+    intersection/union sizes are computed PER ROW with set-array
+    expressions (``array_intersect`` over the same distinct shingle
+    arrays). Value-identical to the previous exploded-shingle-table +
+    groupBy form — shingle sets are distinct, so |A∩B| via array intersect
+    equals the equi-join row count, and zero-intersection pairs are
+    excluded in both shapes — but the verify stage now runs as one
+    map-heavy stage with NO exploded intermediate, no cached shingle
+    table, no pair-count groupBy and no size-table joins (~6 fewer jobs
+    per dedup, and at scale the shingle table never crosses an
+    exchange)."""
     if candidates is None:
         if not allow_full_corpus:
             raise ValueError(
@@ -109,6 +141,9 @@ def jaccard_pairs(
                 "form; pass candidates (see minhash_candidates / minhash_dedup) "
                 "or allow_full_corpus=True."
             )
+        # cached: referenced three times (both join sides + the size table)
+        sh = _shingle_table(docs, text_col, id_col, n).cache()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a = sh.alias("a")
         b = sh.alias("b")
         inter = (
@@ -116,24 +151,70 @@ def jaccard_pairs(
             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").alias("inter"))
         )
-    else:
-        a = sh.alias("sa")
-        b = sh.alias("sb")
-        inter = (
-            candidates.join(a, candidates.doc_a == F.col("sa.doc_id"))
-            .join(b, (candidates.doc_b == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
+        sa_ = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+        sb_ = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+        return (
+            inter.join(sa_, "doc_a")
+            .join(sb_, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
-    sa_ = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb_ = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return _verify_pairs_arrays(
+        candidates,
+        docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_txt_a")),
+        docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_txt_b")),
+        ("doc_a", "doc_b"),
+        n,
+        threshold,
+    )
+
+
+def _verify_pairs_arrays(
+    pairs: DataFrame,
+    a_side: DataFrame,
+    b_side: DataFrame,
+    keys: tuple[str, str],
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of sparse candidate pairs as per-row array
+    math (r13): attach ``_txt_a``/``_txt_b`` by the two pair keys, project
+    token arrays then distinct shingle arrays (each referenced twice —
+    the project-before-higher-order-lambda rule), and score
+    ``|A∩B| / (|A|+|B|−|A∩B|)``. Pairs with an empty intersection are
+    dropped (the exploded-table form never emitted them); the ≥ threshold
+    filter then matches it for every threshold including 0."""
+    ka, kb = keys
+    toked = (
+        pairs.join(a_side, ka)
+        .join(b_side, kb)
+        .select(ka, kb, tokens("_txt_a").alias("_ta"), tokens("_txt_b").alias("_tb"))
+    )
+    shingled = toked.select(
+        ka,
+        kb,
+        _shingle_array(F.col("_ta"), n).alias("_sa"),
+        _shingle_array(F.col("_tb"), n).alias("_sb"),
+    )
+    scored = shingled.select(
+        ka,
+        kb,
+        F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
+        F.size("_sa").alias("_na"),
+        F.size("_sb").alias("_nb"),
+    )
     return (
-        inter.join(sa_, "doc_a")
-        .join(sb_, "doc_b")
+        scored.filter(F.col("_i") > 0)
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+            ka,
+            kb,
+            F.round(
+                F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")), 4
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -343,12 +424,17 @@ def minhash_dedup(
         )
         .cache()
     )
+    # survivors via an ANTI-join on the NON-canonical ids (r13, guide §3):
+    # the drop set is sparse — only true duplicate members — so the join's
+    # build side is small and AQE broadcast-converts it; the previous
+    # semi-join against the corpus-sized canonical-id set forced a full
+    # shuffle of the text side. Same surviving set by construction.
     reps = docs.join(
-        members.filter(F.col("_m_id") == F.col("_canon")).select(
+        members.filter(F.col("_m_id") != F.col("_canon")).select(
             F.col("_m_id").alias(id_col)
         ),
         id_col,
-        "left_semi",
+        "left_anti",
     )
     sig = minhash_signatures(reps, text_col, id_col, num_hashes, band_size, n)
     cand = minhash_candidates(sig, bucket_cap=bucket_cap)
@@ -440,35 +526,20 @@ def incremental_minhash_dedup(
         .select("corpus_id", "new_id")
         .distinct()
     )
-    # verify with exact Jaccard over shingles of ONLY the implicated docs
-    corpus_needed = corpus_docs.join(
-        cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "left_semi"
-    )
-    sh_c = _shingle_table(corpus_needed, text_col, id_col, n).cache()
-    sh_n = _shingle_table(new_docs, text_col, id_col, n).cache()
-    sh_c2 = sh_c.select(F.col("doc_id").alias("_cid"), F.col("s").alias("_sc"))
-    sh_n2 = sh_n.select(F.col("doc_id").alias("_nid"), F.col("s").alias("_sn"))
-    inter = (
-        cand.join(sh_c2, F.col("corpus_id") == F.col("_cid"))
-        .join(sh_n2, (F.col("new_id") == F.col("_nid")) & (F.col("_sc") == F.col("_sn")))
-        .groupBy("corpus_id", "new_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes_c = sh_c.groupBy("doc_id").agg(F.count("*").alias("nc")).select(
-        F.col("doc_id").alias("corpus_id"), "nc"
-    )
-    sizes_n = sh_n.groupBy("doc_id").agg(F.count("*").alias("nn")).select(
-        F.col("doc_id").alias("new_id"), "nn"
-    )
-    return (
-        inter.join(sizes_c, "corpus_id")
-        .join(sizes_n, "new_id")
-        .select(
-            "corpus_id",
-            "new_id",
-            F.round(F.col("inter") / (F.col("nc") + F.col("nn") - F.col("inter")), 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    # verify with exact Jaccard as per-row array math over the sparse pair
+    # frame (r13 — see jaccard_pairs/_verify_pairs_arrays): the pair frame
+    # is the joins' build side, so the corpus text is scanned for the
+    # implicated rows and never shuffled; no exploded shingle tables, no
+    # caches, no size-table joins
+    return _verify_pairs_arrays(
+        cand,
+        corpus_docs.select(
+            F.col(id_col).alias("corpus_id"), F.col(text_col).alias("_txt_a")
+        ),
+        new_docs.select(F.col(id_col).alias("new_id"), F.col(text_col).alias("_txt_b")),
+        ("corpus_id", "new_id"),
+        n,
+        threshold,
     )
 
 

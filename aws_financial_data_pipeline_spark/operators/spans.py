@@ -130,6 +130,7 @@ def paragraph_dedup(
     keep_first: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cross-document PARAGRAPH dedup (the CCNet / RefinedWeb / MassiveWeb
     line-level rule — public method): a paragraph (newline-delimited segment,
@@ -140,64 +141,81 @@ def paragraph_dedup(
     boilerplate-strip form). Granularity sits between whole-document dedup
     (operators/dedup.py) and token-span removal (:func:`duplicated_ngram_spans`).
 
-    Returns (id, clean_text, n_paras, n_removed); documents losing no
-    paragraph keep their original text verbatim.
+    Returns (id, [carry_cols...,] clean_text, n_paras, n_removed); documents
+    losing no paragraph keep their original text verbatim. ``carry_cols``
+    ride through from ``docs`` unchanged (the funnel threads its non-text
+    columns here instead of paying a join back by id).
 
-    Scale shape: explode to (doc, pos, md5) — 16-byte keys, never paragraph
-    text — one groupBy on the hash (map-side combine), an aggregate keeper
-    pick via min(struct), a semi-ish join back, one per-doc reassembly
-    groupBy. No window, no Python, no driver action.
+    Scale shape (r13 optimization, guide §8 "decide with small rows, move
+    big rows once"): the DECISION runs entirely over (doc_id, pos, md5)
+    rows — one groupBy on the 16-byte hash (map-side combine), a keeper
+    pick via min(struct), one narrow join of hash rows against the
+    dup-key stats — and produces only the per-doc DROP POSITION lists,
+    which are sparse (docs that lose a paragraph). The REBUILD is then a
+    map-side array filter of the original split against those positions:
+    document text never enters any exchange (the previous shape shuffled
+    paragraph text twice — through the stats join and the reassembly
+    groupBy), and the final attach join's build side is the sparse drop
+    list, which AQE broadcast-converts. No window, no Python, no driver
+    action.
     """
-    paras = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "para"),
-    ).withColumn("_k", F.md5(F.trim("para")))
-    stats = paras.groupBy("_k").agg(
-        F.count_distinct("doc_id").alias("_nd"),
-        F.min(F.struct("doc_id", "pos")).alias("_keeper"),
-    )
-    marked = paras.join(stats, "_k")
+    segs = F.split(F.col(text_col), r"\n")
     # blank-after-trim segments are SEPARATORS, not paragraphs: they occur
     # in virtually every multi-paragraph document, so counting them as a
     # shared paragraph deduplicated every blank line corpus-wide and
     # silently restructured documents (r12 review) — they are never dup
-    # keys and never dropped
-    is_dup_key = (F.col("_nd") >= min_docs) & (F.trim("para") != "")
+    # keys and never dropped. Filtering them out HERE (rather than at the
+    # drop decision) is equivalent: a blank row can never drop, and its
+    # md5("") key never matches a non-blank key, so the stats it would
+    # have contributed are never read.
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(segs).alias("pos", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .select("doc_id", "pos", F.md5(F.trim("para")).alias("_k"))
+    )
+    dup_stats = (
+        paras.groupBy("_k")
+        .agg(
+            F.count_distinct("doc_id").alias("_nd"),
+            F.min(F.struct("doc_id", "pos")).alias("_keeper"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k", "_keeper")
+    )
     is_keeper = (F.col("_keeper.doc_id") == F.col("doc_id")) & (
         F.col("_keeper.pos") == F.col("pos")
     )
-    drop = is_dup_key & (~is_keeper if keep_first else F.lit(True))
-    kept = marked.filter(~drop)
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s.para,
-            ),
-            "\n",
-        ).alias("_clean"),
-        F.count("*").alias("_n_kept"),
+    drop = (~is_keeper) if keep_first else F.lit(True)
+    drops = (
+        paras.join(dup_stats, "_k")
+        .filter(drop)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_dp"))
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col),
-        F.size(F.split(F.col(text_col), r"\n")).alias("n_paras"),
+    if id_col != "doc_id":
+        drops = drops.withColumnRenamed("doc_id", id_col)
+    n_paras = F.size(segs)
+    n_drops = F.coalesce(F.size("_dp"), F.lit(0))
+    # exact reproduction of the previous join-and-reassemble semantics,
+    # including the degenerate rows the old coalesces produced: NULL text →
+    # n_paras = -1 (size of a null array), clean_text '' (rebuild of null →
+    # null, coalesced), n_removed -1; a doc whose every paragraph drops →
+    # '' via the empty array_join
+    n_kept = F.when(F.col(text_col).isNotNull(), n_paras - n_drops)
+    rebuilt = F.array_join(
+        F.filter(segs, lambda p, i: ~F.array_contains(F.col("_dp"), i)), "\n"
     )
-    return (
-        base.join(rebuilt, "doc_id", "left")
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.when(
-                F.coalesce(F.col("_n_kept"), F.lit(0)) == F.col("n_paras"),
-                F.col(text_col),
-            )
-            .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
-            .alias("clean_text"),
-            "n_paras",
-            (F.col("n_paras") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
-                "n_removed"
-            ),
-        )
+    return docs.join(drops, id_col, "left").select(
+        id_col,
+        *carry_cols,
+        F.when(F.coalesce(n_kept, F.lit(0)) == n_paras, F.col(text_col))
+        .otherwise(F.coalesce(rebuilt, F.lit("")))
+        .alias("clean_text"),
+        n_paras.alias("n_paras"),
+        (n_paras - F.coalesce(n_kept, F.lit(0))).alias("n_removed"),
     )
 
 

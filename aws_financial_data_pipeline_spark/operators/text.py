@@ -554,6 +554,26 @@ def _gopher_output_cols(text_col: str, tok: Column) -> list[Column]:
     ]
 
 
+def rule_keep_exprs(text_col: str = "text") -> tuple[Column, Column]:
+    """The two rule-family KEEP flags as bare expressions over a frame that
+    carries ``_tok`` (:func:`with_tokens`): ``(c4_keep, gopher_keep)`` —
+    unaliased. Built from the SAME ``_c4_output_cols`` / ``_gopher_exprs``
+    builders as :func:`text_profile` / :func:`c4_line_filters` /
+    :func:`gopher_quality_flags`, so the inline form cannot drift from the
+    frame-producing forms. This is the funnel's rule gate (r13
+    optimization): projecting the flags onto the staged frame directly
+    replaces a full text_profile + join-back by id — one map-only
+    projection instead of an extra shuffle of the corpus."""
+    _, gflags = _gopher_exprs(text_col, F.col("_tok"))
+    gopher_keep = None
+    for c in gflags.values():
+        gopher_keep = c if gopher_keep is None else (gopher_keep & c)
+    # _c4_output_cols' last element is the aliased c4_keep conjunction;
+    # rebuild it unaliased from the same builder output to keep one source
+    c4_keep = _c4_output_cols(text_col, include_clean_text=False)[-1]
+    return c4_keep, gopher_keep
+
+
 def gopher_quality_flags(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

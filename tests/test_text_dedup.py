@@ -134,24 +134,27 @@ def test_minhash_bucket_cap_bounds_near_identical_flood(spark):
 
 
 def test_jaccard_pairs_candidate_bounded_shingling(spark):
-    """Verify mode must shingle ONLY docs implicated by the candidates frame:
-    the plan shows a left-semi join below the shingle explode, and the
-    cached shingle table's doc set is candidate-bounded."""
+    """Verify mode must do work proportional to the CANDIDATE PAIRS, not the
+    corpus (r13 shape): texts attach to the sparse pair frame via two inner
+    joins and the Jaccard is per-row array math — the plan has NO shingle
+    explode (Generate) and no aggregation; only candidate pairs are scored."""
     rows = [(i, f"a b c d{i} e f") for i in range(50)]
     docs = _docs(spark, rows)
     cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     out = dedup.jaccard_pairs(docs, threshold=0.0, candidates=cand)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
-    # the shingle table under the semi-join covers 2 docs, not 50
-    implicated = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh = docs.join(implicated, "doc_id", "left_semi")
-    assert sh.count() == 2
+    # no exploded shingle table, no pair-count/size aggregations: the verify
+    # stage is joins + per-row array expressions
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
     assert out.count() == 1  # the (1,2) pair is scored; nothing else
+    # zero-intersection candidates are dropped even at threshold 0 (the
+    # exploded-table form never emitted them)
+    cand2 = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    docs2 = _docs(spark, [(1, "a b c d"), (2, "a b c e"), (3, "x y z w"), (4, "p q r s")])
+    out2 = dedup.jaccard_pairs(docs2, threshold=0.0, candidates=cand2)
+    got = {(r["doc_a"], r["doc_b"]) for r in out2.collect()}
+    assert got == {(1, 2)}
 
 
 def test_simhash_identical_and_candidates(spark):

@@ -1,0 +1,97 @@
+"""Run a SUBSET of bench rows with bench.py's exact methodology (same
+warmups, same best-of-2, same scaled-input handling) for before/after
+comparisons during optimization.
+
+Usage: SPARK_GRAFT_SF_DIR=... python tools/bench_rows.py row [row ...]
+Rows: any HEADLINE query name or composite row name from bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench as B
+import __spark_entry__ as entrymod
+
+from aws_financial_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("afdp-bench-rows")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    for w in ("q04_spending_by_category", "q09_trend", "x14_events_windows", "x17_events_profile"):
+        queries[w](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id bigint").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    # the composite table, mirroring bench.main's list
+    comp = {
+        "q15_report_from_summary": (B._bench_q15_from_summary, {}),
+        "incremental_dedup_batch": (B._bench_incremental_dedup, {}),
+        "paragraph_dedup": (B._bench_paragraph_dedup, {}),
+        "lm_perplexity_score": (B._bench_lm_perplexity, {}),
+        "curation_funnel_rules": (B._bench_curation_funnel, {"with_model": False}),
+        "curation_funnel_model": (B._bench_curation_funnel, {"with_model": True}),
+        "semantic_dedup": (B._bench_semantic_dedup, {}),
+        "score_quality": (B._bench_score_quality, {}),
+        "dsir_weights": (B._bench_dsir_weights, {}),
+        "pq_ann_topk": (B._bench_pq_ann, {}),
+        "bpe_encode": (B._bench_bpe_encode, {}),
+        "bpe_bytelevel_roundtrip": (B._bench_bytelevel_bpe, {}),
+        "unigram_encode": (B._bench_unigram_encode, {}),
+        "wordpiece_encode": (B._bench_wordpiece_encode, {}),
+        "corpus_divergence": (B._bench_corpus_divergence, {}),
+        "event_funnel": (B._bench_event_funnel, {}),
+        "image_dedup_mixed": (B._bench_image_dedup, {}),
+        "video_dedup": (B._bench_video_dedup, {}),
+        "pdf_extract": (B._bench_pdf_extract, {}),
+        "code_curation": (B._bench_code_curation, {}),
+        "code_near_dup": (B._bench_code_near_dup, {}),
+        "main_content_extract": (B._bench_main_content, {}),
+        "html_metadata": (B._bench_html_metadata, {}),
+        "repetition_profile": (B._bench_repetition_profile, {}),
+        "x28_leg_tfidf": (B._bench_x28_leg, {"leg": "tfidf"}),
+        "x28_leg_pmi": (B._bench_x28_leg, {"leg": "pmi"}),
+        "x28_leg_bm25": (B._bench_x28_leg, {"leg": "bm25"}),
+        "x28_leg_rrf": (B._bench_x28_leg, {"leg": "rrf"}),
+        "tfrecord_roundtrip": (B._bench_tfrecord_roundtrip, {}),
+        "chat_sft": (B._bench_chat_sft, {}),
+        "crawl_front_door": (B._bench_crawl_front_door, {}),
+        "archive_front_door": (B._bench_archive_front_door, {}),
+        "warc_ingest": (B._bench_warc_ingest, {}),
+        "mixture_plan_apply": (B._bench_mixture_plan_apply, {}),
+        "global_shuffle": (B._bench_global_shuffle, {}),
+        "snapshot_diff": (B._bench_snapshot_diff, {}),
+        "table_audits": (B._bench_table_audits, {}),
+        "data_quality_checks": (B._bench_data_quality, {}),
+        "host_profile": (B._bench_host_profile, {}),
+    }
+    times = {}
+    for name in names:
+        if name in comp:
+            fn, kw = comp[name]
+            times[name] = B._row(name, fn, spark, sf_dir, **kw)
+        else:
+            pair = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                pair.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            B.RUNS[name] = [round(v, 3) for v in pair]
+            times[name] = round(min(pair), 3)
+    print(json.dumps({"times": times, "runs": B.RUNS}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,12 +21,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def t(spark, label, df, n=2):
+    """df may be a DataFrame or a zero-arg builder returning one. Builders
+    are re-invoked per iteration so localCheckpoint/cache state inside the
+    built plan cannot leak between runs; the catalog cache is cleared after
+    every iteration (the bench-row convention)."""
+    build = df if callable(df) else (lambda: df)
     best = None
     for _ in range(n):
+        frame = build()
         spark.sparkContext.setJobDescription(label)
         t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
+        frame.write.mode("overwrite").format("noop").save()
         el = time.perf_counter() - t0
+        spark.catalog.clearCache()
         best = el if best is None else min(best, el)
     print(f"  {label:55s} {best:7.3f}s")
     spark.sparkContext.setJobDescription(None)
@@ -39,14 +46,10 @@ def profile_minhash(spark):
 
     docs = _docs(spark, SF_DIR)
     print("minhash_dedup stages (x39 is the full chain):")
-    sig = dedup.minhash_signatures(docs)
-    t(spark, "signatures only", sig)
-    cand = dedup.minhash_candidates(dedup.minhash_signatures(docs))
-    t(spark, "signatures+candidates", cand)
-    spark.catalog.clearCache()
-    pairs = dedup.minhash_dedup(docs)
-    t(spark, "full minhash_dedup (x39 body)", pairs)
-    spark.catalog.clearCache()
+    t(spark, "signatures only", lambda: dedup.minhash_signatures(docs))
+    t(spark, "signatures+candidates",
+      lambda: dedup.minhash_candidates(dedup.minhash_signatures(docs)))
+    t(spark, "full minhash_dedup (x39 body)", lambda: dedup.minhash_dedup(docs))
     # where inside signatures: shingle table alone vs the 16 mins
     from aws_financial_data_pipeline_spark.operators.text import shingles_expr, with_tokens
 
@@ -71,14 +74,26 @@ def profile_funnel(spark):
 
     docs = _docs(spark, SF_DIR)
     print("curation_funnel(rule_mode='any') stages:")
-    corpus, audit = curation.curation_funnel(docs, rule_mode="any")
-    t(spark, "funnel corpus+audit (bench row body)", corpus)
-    spark.catalog.clearCache()
+
+    # time corpus+audit from ONE funnel build per run (the bench-row shape)
+    import time as _time
+
+    def funnel_row():
+        t0 = _time.perf_counter()
+        corpus, audit = curation.curation_funnel(docs, rule_mode="any")
+        corpus.write.mode("overwrite").format("noop").save()
+        audit.write.mode("overwrite").format("noop").save()
+        el = _time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return el
+    pair = [funnel_row(), funnel_row()]
+    print(f"  {'funnel corpus+audit (bench row body)':55s} {min(pair):7.3f}s")
     # isolate the rule stage cost: full text_profile vs flags-only
-    prof = tx.text_profile(docs, gopher=True, c4=True)
-    t(spark, "text_profile(gopher+c4) full", prof)
-    flags = prof.select("doc_id", "c4_keep", "keep")
-    t(spark, "text_profile -> 2 flags (pruned)", flags)
+    t(spark, "text_profile(gopher+c4) full",
+      lambda: tx.text_profile(docs, gopher=True, c4=True))
+    t(spark, "text_profile -> 2 flags (pruned)",
+      lambda: tx.text_profile(docs, gopher=True, c4=True)
+      .select("doc_id", "c4_keep", "keep"))
 
 
 def profile_report(spark):
