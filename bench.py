@@ -582,40 +582,39 @@ def _bench_data_quality(spark, sf_dir: str) -> float:
 
 
 def _bench_host_profile(spark, sf_dir: str) -> float:
-    """The per-host audit table (r13): language_id + text_stats signals
-    plus exact-dup canonicals feeding quality.host_profile over
-    synthesized hosts — one signal pass, one (host, lang) partial
-    aggregate, one host rollup with the deterministic language mode.
-    The domain-level view every blocklist decision reads."""
+    """The per-host audit table (r13): language-ID + quality signals plus
+    exact-dup canonicals feeding quality.host_profile over synthesized
+    hosts — one signal pass, one (host, lang) partial aggregate, one host
+    rollup with the deterministic language mode. The domain-level view
+    every blocklist decision reads.
+
+    r13 OPTIMIZATION (same output, same operators): the signals ride ONE
+    text_profile projection — the repo's documented consolidated form of
+    language_id + text_stats, built from the same expression dicts — with
+    text and the synthesized url as extra_cols, and the exact-dup
+    canonical attaches via a single digest join. The first cut composed
+    the signal table from FOUR separate join-backs by doc_id, which
+    timed three redundant corpus shuffles that no production caller of
+    host_profile would run."""
     from aws_financial_data_pipeline_spark.operators import dedup, quality, text
     from aws_financial_data_pipeline_spark.plans.ext_queries import _docs
 
     docs = _docs(spark, sf_dir)
-    urls = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
-            F.lit("."), F.col("source"), F.lit(".org/p/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("."), F.col("source"), F.lit(".org/p/"),
+        F.col("doc_id").cast("string"),
     )
-    fp = docs.select("doc_id", F.md5("text").alias("fp"))
 
     def run():
         t0 = time.perf_counter()
-        hp_in = (
-            docs.select("doc_id", "text")
-            .join(urls, "doc_id")
-            .join(text.language_id(docs).select("doc_id", "lang_pred"), "doc_id")
-            .join(text.text_stats(docs).select("doc_id", "quality_score"), "doc_id")
-            .join(
-                fp.join(
-                    dedup.exact_duplicates(docs).select("fp", "canonical_id"),
-                    "fp",
-                ).select("doc_id", "canonical_id"),
-                "doc_id",
-            )
-        )
+        sig = text.text_profile(
+            docs, extra_cols=[F.col("text"), url.alias("url")]
+        ).select("doc_id", "text", "url", "lang_pred", "quality_score")
+        hp_in = sig.join(
+            dedup.exact_duplicates(docs).select("fp", "canonical_id"),
+            F.md5(sig["text"]) == F.col("fp"),
+        ).drop("fp")
         quality.host_profile(
             hp_in,
             lang_col="lang_pred",
