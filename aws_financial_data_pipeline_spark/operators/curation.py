@@ -248,6 +248,16 @@ def curation_funnel(
         # for a list blocklist, so it belongs ahead of every shuffle). List
         # → in-expression form; DataFrame → the broadcast semi-join
         # million-domain form.
+        if isinstance(blocklist, DataFrame):
+            # the frame forms derive their broadcast blocked-id set FROM
+            # ``docs`` (suffix explode → semi-join → distinct), so the raw
+            # input lineage — often a full crawl parse — would otherwise
+            # compute TWICE: once under the broadcast-build subquery and
+            # once on the anti-join's stream side (r13; measured as the
+            # url_gate stage costing 2 ingest passes on the archive front
+            # door). Stage the input once, consistent with the funnel's
+            # checkpoint-per-stage posture.
+            docs = _stage(docs)
         prev = docs
         if blocklist_on == "host":
             if url_col not in docs.columns:

@@ -406,31 +406,36 @@ def minhash_dedup(
     demands) while every intermediate is linear in distinct texts.
     ``bucket_cap`` additionally caps residual hot buckets of NEAR-identical
     texts (a recall tradeoff — see :func:`minhash_candidates`)."""
-    from pyspark.sql import Window
-
-    # canonical id + group size in ONE narrow shuffle (ids+digests only): a
-    # window over the digest replaces the round-3 groupBy + join-back, which
-    # shuffled the fingerprint frame twice and added a join stage. A window
-    # also never materializes a per-group id array, so a 10M-copy boilerplate
-    # group costs nothing extra (the groupBy+collect_list alternative would).
-    wfp = Window.partitionBy("_fp")
-    members = (
-        docs.select(F.col(id_col).alias("_m_id"), F.md5(F.col(text_col)).alias("_fp"))
-        .select(
-            "_fp",
-            "_m_id",
-            F.min("_m_id").over(wfp).alias("_canon"),
-            F.count("*").over(wfp).alias("_cnt"),
-        )
+    # exact-duplicate GROUPS as a sparse frame (r13 — replaces the
+    # corpus-wide window over the digest): one narrow groupBy (ids+digests
+    # only, map-side partials absorb boilerplate skew the window form
+    # could not split) keeps only groups with ≥ 2 members, and the member
+    # list re-attaches by digest — both sides of that join are sparse, so
+    # every downstream consumer (rep election, pair expansion, the within
+    # leg) now builds against TRUE DUPLICATES ONLY instead of a
+    # corpus-sized member table. Null-text docs group together (null-safe
+    # digest join), exactly like the window's null partition did.
+    fp_frame = docs.select(
+        F.col(id_col).alias("_m_id"), F.md5(F.col(text_col)).alias("_fp")
+    )
+    dup_groups = (
+        fp_frame.groupBy("_fp")
+        .agg(F.min("_m_id").alias("_canon"), F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") > 1)
+        .select(F.col("_fp").alias("_gfp"), "_canon")
+    )
+    dup_members = (
+        fp_frame.join(dup_groups, F.col("_fp").eqNullSafe(F.col("_gfp")))
+        .select("_fp", "_m_id", "_canon")
         .cache()
     )
-    # survivors via an ANTI-join on the NON-canonical ids (r13, guide §3):
-    # the drop set is sparse — only true duplicate members — so the join's
+    # survivors via an ANTI-join on the NON-canonical ids (guide §3): the
+    # drop set is sparse — only true duplicate members — so the join's
     # build side is small and AQE broadcast-converts it; the previous
     # semi-join against the corpus-sized canonical-id set forced a full
     # shuffle of the text side. Same surviving set by construction.
     reps = docs.join(
-        members.filter(F.col("_m_id") != F.col("_canon")).select(
+        dup_members.filter(F.col("_m_id") != F.col("_canon")).select(
             F.col("_m_id").alias(id_col)
         ),
         id_col,
@@ -439,17 +444,23 @@ def minhash_dedup(
     sig = minhash_signatures(reps, text_col, id_col, num_hashes, band_size, n)
     cand = minhash_candidates(sig, bucket_cap=bucket_cap)
     pairs_c = jaccard_pairs(reps, text_col, id_col, n, threshold=threshold, candidates=cand)
-    # expand canonical near-dup pairs to all members of both groups (groups
-    # differ in _fp, so the two sides never collide; least/greatest restores
-    # the doc_a < doc_b convention)
-    ma = members.select(F.col("_canon").alias("doc_a"), F.col("_m_id").alias("_ia"))
-    mb = members.select(F.col("_canon").alias("doc_b"), F.col("_m_id").alias("_ib"))
+    # expand canonical near-dup pairs to all members of both groups via
+    # LEFT joins against the sparse dup-member map — a singleton endpoint
+    # (the overwhelmingly common case) has no map row and stays itself
+    # (coalesce); groups differ in _fp, so the two sides never collide;
+    # least/greatest restores the doc_a < doc_b convention
+    ma = dup_members.select(F.col("_canon").alias("doc_a"), F.col("_m_id").alias("_ia"))
+    mb = dup_members.select(F.col("_canon").alias("doc_b"), F.col("_m_id").alias("_ib"))
     cross = (
-        pairs_c.join(ma, "doc_a")
-        .join(mb, "doc_b")
+        pairs_c.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
         .select(
-            F.least("_ia", "_ib").alias("doc_a"),
-            F.greatest("_ia", "_ib").alias("doc_b"),
+            F.least(
+                F.coalesce("_ia", F.col("doc_a")), F.coalesce("_ib", F.col("doc_b"))
+            ).alias("doc_a"),
+            F.greatest(
+                F.coalesce("_ia", F.col("doc_a")), F.coalesce("_ib", F.col("doc_b"))
+            ).alias("doc_b"),
             "jaccard",
         )
     )
@@ -458,19 +469,13 @@ def minhash_dedup(
     # pair in the direct form). Group members share the exact text (same
     # md5), so eligibility is decided once per GROUP by whether its
     # representative produced any signature row — reusing `sig` instead of
-    # re-tokenizing the whole corpus a second time. Only groups with ≥ 2
-    # members can pair at all, so filter on the window count FIRST (dup
-    # members are a sliver of the corpus), and take band 0 as the one-row-
-    # per-signed-doc marker (stack emits every band per doc) instead of a
-    # distinct over the signature table — drops a whole shuffle.
-    eligible = (
-        members.filter(F.col("_cnt") > 1)
-        .join(
-            sig.filter(F.col("band_id") == 0).select(F.col("doc_id").alias("_canon")),
-            "_canon",
-        )
-        .select("_fp", "_m_id")
-    )
+    # re-tokenizing anything a second time; band 0 is the one-row-per-
+    # signed-doc marker (stack emits every band per doc). dup_members is
+    # already ≥-2-member groups only.
+    eligible = dup_members.join(
+        sig.filter(F.col("band_id") == 0).select(F.col("doc_id").alias("_canon")),
+        "_canon",
+    ).select("_fp", "_m_id")
     within = (
         eligible.alias("x")
         .join(
