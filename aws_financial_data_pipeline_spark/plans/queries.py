@@ -39,7 +39,14 @@ def _base(spark: SparkSession, sf_dir: str, cols: tuple[str, ...] | None = None)
     if cols is not None and "ym" not in cols:
         cols = (*cols, "ym")
     txns = tv.transactions(spark, sf_dir, cols)
-    cur, hist = tv.current_and_historical(txns)
+    # the statement-month scalar from the ym-ONLY view (r13): max(ym) needs
+    # no dimension columns, but Catalyst cannot eliminate the pruned view's
+    # FK joins from the 1-row subquery branch on its own — same value by
+    # the key-preserving-join contract, join-free lineage for every query's
+    # cur/hist split
+    lym = tv.latest_ym(tv.transactions(spark, sf_dir, ("ym",)))
+    cur = txns.join(F.broadcast(lym), txns.ym == F.col("cur_ym")).drop("cur_ym")
+    hist = txns.join(F.broadcast(lym), txns.ym < F.col("cur_ym")).drop("cur_ym")
     return txns, cur, hist
 
 
@@ -74,7 +81,11 @@ def q05_prev_month_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 = P6+F3+A3 previous-month comparison (docker/lambda_function.py:154-173);
     January wrap handled by add_months inside prev_year_month."""
     txns, _, _ = _base(spark, sf_dir, ("user_id", "category", "amount", "date"))
-    prev = tv.statement_scalars(txns)["prev_ym"]
+    # scalar from the ym-ONLY view (r13): the 1-row max(ym) needs no
+    # dimension columns, but Catalyst cannot eliminate the FK joins of a
+    # pruned-to-this-query view on its own (the pruned-factory rationale) —
+    # same value by the key-preserving-join contract, join-free lineage
+    prev = tv.statement_scalars(tv.transactions(spark, sf_dir, ("ym",)))["prev_ym"]
     return fin.previous_month_spending(txns.withColumnRenamed("ym", "src_ym"), prev)
 
 
@@ -93,7 +104,8 @@ def q07_recurring_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (current ∪ historical) to exercise U1."""
     txns, cur, hist = _base(spark, sf_dir, ("user_id", "vendor", "amount", "date", "recurring"))
     unioned = cur.unionByName(hist)  # U1 (docker/lambda_function.py:241)
-    year = tv.statement_scalars(txns)["statement_year"]
+    # ym-only scalar view: see q05 (join-free max(ym), identical value)
+    year = tv.statement_scalars(tv.transactions(spark, sf_dir, ("ym",)))["statement_year"]
     return fin.recurring_ytd(unioned, year)
 
 
@@ -113,8 +125,9 @@ def q09_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9/P11: linear year-end extrapolation of recurring YTD totals
     (docker/lambda_function.py:392-399)."""
-    txns, cur, hist = _base(spark, sf_dir, ("user_id", "vendor", "amount", "date", "recurring"))
-    scalars = tv.statement_scalars(txns)
+    _, cur, hist = _base(spark, sf_dir, ("user_id", "vendor", "amount", "date", "recurring"))
+    # ym-only scalar view: see q05 (join-free max(ym), identical values)
+    scalars = tv.statement_scalars(tv.transactions(spark, sf_dir, ("ym",)))
     rec = fin.recurring_ytd(cur.unionByName(hist), scalars["statement_year"])
     return fin.predict_year_end(rec, scalars["months_elapsed"])
 
@@ -319,7 +332,8 @@ def q22_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on the full row — one shuffle each on user_id, broadcast 1-row month
     scalars, no collect."""
     txns, cur, _ = _base(spark, sf_dir, ("user_id",))
-    prev = tv.statement_scalars(txns)["prev_ym"]
+    # ym-only scalar view: see q05 (join-free max(ym), identical value)
+    prev = tv.statement_scalars(tv.transactions(spark, sf_dir, ("ym",)))["prev_ym"]
     prev_users = (
         txns.join(F.broadcast(prev), txns.ym == F.col("prev_ym")).select("user_id").distinct()
     )
@@ -377,7 +391,8 @@ def q25_category_mom_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's Q5 loop silently drops on either side). Key columns
     coalesce across sides; one shuffle on (user_id, category)."""
     txns, cur, _ = _base(spark, sf_dir, ("user_id", "category", "amount", "date"))
-    prev = tv.statement_scalars(txns)["prev_ym"]
+    # ym-only scalar view: see q05 (join-free max(ym), identical value)
+    prev = tv.statement_scalars(tv.transactions(spark, sf_dir, ("ym",)))["prev_ym"]
     cur_t = fin.spending_by_category(cur).withColumnRenamed("total", "cur_total")
     prev_t = fin.previous_month_spending(
         txns.withColumnRenamed("ym", "src_ym"), prev

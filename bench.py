@@ -133,7 +133,13 @@ def _bench_q15_from_summary(spark, sf_dir: str) -> float:
         def run():
             t0 = time.perf_counter()
             hist_summary = spark.read.parquet(sumdir)
-            year = tv.statement_scalars(txns)["statement_year"]
+            # the statement-year scalar needs only ym — deriving it from the
+            # FULL transactions view dragged the whole 5-table join tree into
+            # a 1-row max() (r13; Catalyst cannot eliminate FK joins, that is
+            # the pruned-factory contract). Same value, join-free lineage.
+            year = tv.statement_scalars(
+                tv.transactions(spark, sf_dir, ("ym",))
+            )["statement_year"]
             report = rpt.canonical_report(
                 rpt.assemble_report_from_summary(
                     cur, hist_summary, year, pruned=pruned_cur
