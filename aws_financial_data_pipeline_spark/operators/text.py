@@ -382,6 +382,14 @@ def tfidf_top_terms(
     equal scores with different (tf, df) factorizations (e.g. 2·ln(10) vs
     ln(100)) differ in the last ulp across engines — ranking on raw doubles
     would make the top-k cut engine-dependent.
+
+    (r13 note: a map-side array-tf variant — per-doc transform/filter
+    lambdas instead of the (doc, term) groupBy, in-array comparator top-k
+    instead of the window — was built and MEASURED SLOWER, 1.9s → 3.3s at
+    sf0.1: Catalyst evaluates nested array lambdas interpreted per element,
+    so the O(distinct·n) per-row tf loop costs more than the narrow
+    exchange it saves. The groupBy+window form stands; its window re-uses
+    the doc-keyed clustering and WindowGroupLimit pushes the k-cut down.)
     """
     from pyspark.sql import Window
 
@@ -1254,13 +1262,18 @@ def filter_blocked_hosts(
             F.sequence(F.lit(0), F.size(parts) - 1),
             lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts)), "."),
         )
+        # no distinct on the drop set (r13): anti-join semantics ignore
+        # duplicate build keys, and one host per doc bounds the duplicates
+        # at the handful of dot-boundary suffixes a blocklist can match —
+        # the distinct's exchange bought nothing here (the CITATIONS form
+        # keeps its distinct: a doc citing one blocked domain many times
+        # would otherwise multiply the broadcast)
         blocked = (
             docs.select(F.col(id_col), host.alias("_h"))
             .filter(F.col("_h").isNotNull())
             .select(id_col, F.explode(suffixes).alias("_s"))
             .join(F.broadcast(bl), F.col("_s") == F.col("_b"), "left_semi")
             .select(id_col)
-            .distinct()
         )
         # same escape hatch as filter_blocked_domains_frame: the drop set
         # is orders below the corpus for any sane gate (broadcast), but a
