@@ -740,6 +740,9 @@ def semantic_dedup(
         clusters = emb.select(id_col, F.lit(0).alias("cluster"))
     else:
         clusters = cluster_embeddings(emb, k, vec_col, id_col, seed, max_iter)
+    # cached: read three times (both candidate sides + the final label join);
+    # uncached, the broadcast-model transform re-scored the corpus per use
+    clusters = clusters.cache()
     a = clusters.select(F.col(id_col).alias("doc_a"), "cluster")
     b = clusters.select(F.col(id_col).alias("doc_b"), "cluster")
     cand = a.join(b, "cluster").filter(F.col("doc_a") < F.col("doc_b")).select(
@@ -821,7 +824,12 @@ def embedding_near_duplicates_lsh(
         auto_planes, auto_band = scale_lsh_params(emb.count(), threshold)
         num_planes = auto_planes if num_planes is None else num_planes
         band_size = auto_band if band_size is None else band_size
-    sig = lsh_bands(spark, emb, vec_col, id_col, num_planes=num_planes, band_size=band_size)
+    # cached: both sides of the band self-join read it (r13 — the
+    # minhash_candidates convention; uncached, the signature projection ran
+    # its num_planes dot products over the corpus twice)
+    sig = lsh_bands(
+        spark, emb, vec_col, id_col, num_planes=num_planes, band_size=band_size
+    ).cache()
     sig_b = sig.withColumnsRenamed({"vec_id": "_vb"})
     cand = (
         sig.join(sig_b, ["band_id", "band_val"])
