@@ -205,8 +205,17 @@ def paragraph_dedup(
     # null, coalesced), n_removed -1; a doc whose every paragraph drops →
     # '' via the empty array_join
     n_kept = F.when(F.col(text_col).isNotNull(), n_paras - n_drops)
+    # kept positions via array_except (hash-set membership, O(paras+drops))
+    # rather than a per-element array_contains filter (O(paras·drops) — a
+    # straggler on a pathological log-file doc losing thousands of lines);
+    # array_except preserves left-operand order, so the join order is the
+    # original document order
+    kept_pos = F.when(
+        F.size(segs) >= 1,
+        F.array_except(F.sequence(F.lit(0), F.size(segs) - 1), F.col("_dp")),
+    )
     rebuilt = F.array_join(
-        F.filter(segs, lambda p, i: ~F.array_contains(F.col("_dp"), i)), "\n"
+        F.transform(kept_pos, lambda i: F.element_at(segs, i + 1)), "\n"
     )
     return docs.join(drops, id_col, "left").select(
         id_col,
