@@ -1,0 +1,8 @@
+#!/bin/bash
+ROWS="curation_funnel_rules crawl_front_door archive_front_door host_profile x39_minhash_dedup code_near_dup"
+for i in 1 2 3; do
+  echo "=== iteration $i OLD (load: $(cut -d' ' -f1-3 /proc/loadavg)) ==="
+  (cd /tmp/afdp_base && python tools/bench_rows.py $ROWS 2>/dev/null | grep '"times"')
+  echo "=== iteration $i NEW (load: $(cut -d' ' -f1-3 /proc/loadavg)) ==="
+  (python tools/bench_rows.py $ROWS 2>/dev/null | grep '"times"')
+done
