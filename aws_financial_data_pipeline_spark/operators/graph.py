@@ -262,19 +262,23 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    out_deg = (
-        e.groupBy("s").agg(F.count("*").alias("_deg")).localCheckpoint(eager=True)
-    )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    # out-degree attached to the node table ONCE (r13): the rank frame
+    # carries _deg through every iteration, so the per-iteration
+    # ranks⋈out_deg join — which the contrib AND dangling branches each
+    # re-computed, twice per iteration — is gone entirely. Same arithmetic
+    # over the same multisets; the degree of a node never changes.
+    nodes_deg = nodes.join(
+        e.groupBy("s").agg(F.count("*").alias("_deg")).withColumnRenamed("s", "node"),
+        "node",
+        "left",
+    ).localCheckpoint(eager=True)
+    ranks = nodes_deg.select("node", "_deg", F.lit(1.0 / n).alias("rank"))
     iters_run, delta = 0, None
     for _ in range(iterations):
-        with_deg = ranks.join(
-            out_deg.withColumnRenamed("s", "node"), "node", "left"
-        )
         contrib = (
             e.join(
-                with_deg.filter(F.col("_deg").isNotNull()).withColumnRenamed(
-                    "node", "s"
+                ranks.filter(F.col("_deg").isNotNull()).select(
+                    F.col("node").alias("s"), "rank", "_deg"
                 ),
                 "s",
             )
@@ -282,15 +286,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        dangling = with_deg.filter(F.col("_deg").isNull()).agg(
+        dangling = ranks.filter(F.col("_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         prev = ranks
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes_deg.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
