@@ -511,6 +511,7 @@ def host_profile(
     lang_col: "str | None" = None,
     quality_col: "str | None" = None,
     canonical_col: "str | None" = None,
+    raw_counts: bool = False,
 ) -> DataFrame:
     """Per-HOST corpus audit — the domain-level table RefinedWeb/FineWeb
     curate against: web crawls are judged host by host (manual inspection
@@ -538,6 +539,16 @@ def host_profile(
       members of an exact-dup cluster — the per-host duplication rate
       that flags mirror/boilerplate farms.
 
+    ``raw_counts=True`` (the :func:`..text.repetition_profile` convention,
+    r14): the derived quotients are replaced by their exact numerators —
+    ``quality_sum`` + ``quality_cnt`` instead of ``quality_mean`` (the
+    column summed NATIVELY, no double cast: feed an integer-valued signal
+    and the surface is integer end-to-end), and ``dup_fraction`` omitted
+    (``n_dup``/``n_docs`` are its exact num/den). This is the drift-free
+    hash surface the oracle-gated x32 host leg compares on: a
+    ``round(sum/count, 6)`` double quotient is the one place two engines
+    (or two library versions) can disagree in the last ulp.
+
     100 TB shape: ONE hash aggregation (two when ``lang_col`` adds the
     mode's (host, lang) pre-aggregate — the A2 two-level argmax, no
     window sort). Map-side partial aggregation means a hot host
@@ -559,7 +570,8 @@ def host_profile(
         F.size(F.split(F.col(text_col), TOKEN_SPLIT)).alias("_toks"),
     ]
     if quality_col is not None:
-        proj.append(F.col(quality_col).cast("double").alias("_q"))
+        q = F.col(quality_col) if raw_counts else F.col(quality_col).cast("double")
+        proj.append(q.alias("_q"))
     if canonical_col is not None:
         proj.append(
             (F.col(canonical_col) != F.col(id_col))
@@ -577,7 +589,13 @@ def host_profile(
             F.sum("_toks").alias("total_ws_tokens"),
         ]
         if quality_col is not None:
-            aggs.append(F.round(F.avg("_q"), 6).alias("quality_mean"))
+            if raw_counts:
+                aggs += [
+                    F.sum("_q").alias("quality_sum"),
+                    F.count("_q").alias("quality_cnt"),
+                ]
+            else:
+                aggs.append(F.round(F.avg("_q"), 6).alias("quality_mean"))
         if canonical_col is not None:
             aggs.append(F.sum("_dup").alias("n_dup"))
         out = base.groupBy("host").agg(*aggs)
@@ -605,9 +623,15 @@ def host_profile(
         ]
         if quality_col is not None:
             # Σsum/Σcount, not avg-of-avgs (the user_scalars convention)
-            aggs.append(
-                F.round(F.sum("_qs") / F.sum("_qn"), 6).alias("quality_mean")
-            )
+            if raw_counts:
+                aggs += [
+                    F.sum("_qs").alias("quality_sum"),
+                    F.sum("_qn").alias("quality_cnt"),
+                ]
+            else:
+                aggs.append(
+                    F.round(F.sum("_qs") / F.sum("_qn"), 6).alias("quality_mean")
+                )
         if canonical_col is not None:
             aggs.append(F.sum("_d").alias("n_dup"))
         out = lvl1.groupBy("host").agg(*aggs)
@@ -616,7 +640,7 @@ def host_profile(
         "mean_doc_chars",
         F.round(F.col("total_chars") / F.col("n_docs"), 2),
     )
-    if canonical_col is not None:
+    if canonical_col is not None and not raw_counts:
         out = out.withColumn(
             "dup_fraction",
             F.round(F.col("n_dup") / F.col("n_docs"), 6),

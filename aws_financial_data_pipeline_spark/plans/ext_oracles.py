@@ -1545,14 +1545,16 @@ EXT_ORACLES: dict[str, str] = {
     -- per-host audit leg (round-13, quality.host_profile): per-doc host
     -- signals → (host, lang) partials → host rollup with the two-level
     -- deterministic language mode (row_number ORDER BY n DESC, lang ≡
-    -- Spark's min(struct(-n, lang))) and the Σsum/Σcount quality mean
+    -- Spark's min(struct(-n, lang))) and exact num/den quality counts
+    -- (r14: raw_counts — no rounded double quotient on the hash surface)
     hpd AS (
       SELECT d.doc_id,
              ('h' || CAST(d.doc_id % 7 AS VARCHAR) || '.' || d.source || '.org') AS host,
              l.lang_pred,
-             -- integer-valued: exact order-free sums (half-up == half-away
-             -- for positives, so the single-value round matches Spark's)
-             round(q.quality_score * 1000000, 0) AS q_x1e6,
+             -- floor(x+0.5) not round(): floor is an exact IEEE op with
+             -- identical semantics in every engine/version; round()'s
+             -- half-way rule is library-dependent (the r13 driver drift)
+             CAST(floor(q.quality_score * 1000000 + 0.5) AS BIGINT) AS q_x1e6,
              CASE WHEN cm.canonical_id <> d.doc_id THEN 1 ELSE 0 END AS dup
       FROM documents d
       JOIN l USING (doc_id) JOIN q USING (doc_id)
@@ -1569,8 +1571,9 @@ EXT_ORACLES: dict[str, str] = {
       SELECT host,
              CAST(sum(n) AS BIGINT) AS host_n_docs,
              CAST(count(*) AS BIGINT) AS host_n_langs,
-             round(sum(qs) / sum(qn), 6) AS host_quality_mean_x1e6,
-             round(sum(dups) / sum(n), 6) AS host_dup_fraction
+             CAST(sum(qs) AS BIGINT) AS host_q_sum,
+             CAST(sum(qn) AS BIGINT) AS host_q_cnt,
+             CAST(sum(dups) AS BIGINT) AS host_dup_num
       FROM hp1 GROUP BY host
     ),
     hmode AS (
@@ -1592,7 +1595,7 @@ EXT_ORACLES: dict[str, str] = {
     SELECT doc_id, source, u.k AS epoch, lang_pred, quality_score, bucket,
            split, in_sample, in_quota, in_weighted, host_kept, robots_kept,
            host_n_docs, host_n_langs, host_lang_top,
-           host_quality_mean_x1e6, host_dup_fraction,
+           host_q_sum, host_q_cnt, host_dup_num,
            """
     + ",\n           ".join(
         f"rep_{n}_num, rep_{n}_den" for n in GOPHER_REPETITION_THRESHOLDS

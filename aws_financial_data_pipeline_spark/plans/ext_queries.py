@@ -1129,11 +1129,16 @@ def x32_corpus_curation(spark, sf_dir):
 
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
     canon_map = ed.select("fp", "canonical_id")  # the shared dedup agg
-    # quality feeds the leg as round(q·1e6): INTEGER-VALUED doubles sum
-    # exactly in any order (the NOTES no-floats-until-division rule), so
-    # the operator's Σsum/Σcount mean is one deterministic quotient —
-    # a raw double sum put one host's 6dp mean on a rounding boundary
-    # (reproduced at sf0.001: 26 mismatched rows = one boundary host)
+    # quality feeds the leg as floor(q·1e6 + 0.5) cast BIGINT — an exact
+    # integer end-to-end (the NOTES no-floats-until-division rule, made
+    # total in r14): floor is an exact IEEE op both engines implement
+    # identically, where round(x, 0) is a library call whose half-way
+    # behavior has CHANGED across DuckDB versions — the r13 driver hash
+    # mismatch on this leg is exactly that class of drift. For positive x,
+    # floor(x+0.5) equals the previous round-half-up on every value that
+    # is not within half an ulp of a .5 boundary, and on the boundary both
+    # engines now agree by construction. The leg's hashed columns are raw
+    # num/den integers (raw_counts=True), never a rounded double quotient.
     hp_in = (
         docs.select("doc_id", "text")
         .join(urls, "doc_id")
@@ -1141,7 +1146,7 @@ def x32_corpus_curation(spark, sf_dir):
         .join(
             stats.select(
                 "doc_id",
-                F.round(F.col("quality_score") * 1e6, 0).alias("q_x1e6"),
+                F.floor(F.col("quality_score") * 1e6 + 0.5).alias("q_x1e6"),
             ),
             "doc_id",
         )
@@ -1152,13 +1157,15 @@ def x32_corpus_curation(spark, sf_dir):
         lang_col="lang_pred",
         quality_col="q_x1e6",
         canonical_col="canonical_id",
+        raw_counts=True,
     ).select(
         "host",
         F.col("n_docs").alias("host_n_docs"),
         F.col("n_langs").alias("host_n_langs"),
         F.col("lang_top").alias("host_lang_top"),
-        F.col("quality_mean").alias("host_quality_mean_x1e6"),
-        F.col("dup_fraction").alias("host_dup_fraction"),
+        F.col("quality_sum").alias("host_q_sum"),
+        F.col("quality_cnt").alias("host_q_cnt"),
+        F.col("n_dup").alias("host_dup_num"),
     )
     doc_host = urls.select(
         "doc_id",
@@ -1208,7 +1215,7 @@ def x32_corpus_curation(spark, sf_dir):
         "split", "in_sample", "in_quota", "in_weighted", "host_kept",
         "robots_kept",
         "host_n_docs", "host_n_langs", "host_lang_top",
-        "host_quality_mean_x1e6", "host_dup_fraction",
+        "host_q_sum", "host_q_cnt", "host_dup_num",
         *[
             f"rep_{n}_{p}"
             for n in rep_names

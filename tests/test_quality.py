@@ -523,6 +523,36 @@ def test_host_profile_full_columns(spark):
     assert "Window" not in plan
 
 
+def test_host_profile_raw_counts(spark):
+    """raw_counts=True (r14, the x32 hash-surface fix): the derived
+    quotients are replaced by exact numerators — quality_sum/quality_cnt
+    instead of quality_mean, no dup_fraction — and an integer quality
+    column is summed NATIVELY (long in, long out: no double cast), so the
+    hashed surface is integer end-to-end."""
+    docs = _host_docs(spark).withColumn(
+        "q_int", F.floor(F.col("q") * 10 + 0.5)
+    )
+    prof = {
+        r["host"]: r
+        for r in ql.host_profile(
+            docs,
+            lang_col="lang",
+            quality_col="q_int",
+            canonical_col="canonical_id",
+            raw_counts=True,
+        ).collect()
+    }
+    a = prof["a.example"]
+    cols = set(a.asDict())
+    assert {"quality_sum", "quality_cnt", "n_dup"} <= cols
+    assert "quality_mean" not in cols and "dup_fraction" not in cols
+    assert a["quality_sum"] == 9 + 7 + 5 and a["quality_cnt"] == 3
+    assert isinstance(a["quality_sum"], int)  # native long sum, no double
+    assert a["n_dup"] == 1 and a["n_docs"] == 3
+    b = prof["b.example"]
+    assert b["quality_sum"] is None and b["quality_cnt"] == 0
+
+
 def test_host_profile_minimal_and_tiebreak(spark):
     """Without optional columns: one groupBy, volume-only schema. Language
     tie at equal counts elects the lexicographically smallest (the A2

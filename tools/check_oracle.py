@@ -5,7 +5,14 @@ the same parquet tables, then compares row count, schema width, and an
 order-insensitive value hash (columns sorted by name, rows sorted, values
 normalized). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--lax] [sf_dir] [query ...]
+
+Floats compare at FULL precision by default (``repr`` — the shortest
+round-trip form, so a last-ulp cross-engine difference FAILS, matching the
+driver's full-precision hash; r13 verdict: the old 6-significant-figure
+normalization masked exactly the drift the driver catches on x32).
+``--lax`` restores the old ``{v:.6g}`` comparison for triage. On a hash
+mismatch the first differing normalized rows of each side are printed.
 """
 
 from __future__ import annotations
@@ -26,6 +33,9 @@ TABLES = [
 ]
 
 
+STRICT = True
+
+
 def _norm(v):
     if v is None:
         return "∅"
@@ -36,7 +46,7 @@ def _norm(v):
             return "nan"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        return repr(v) if STRICT else f"{v:.6g}"
     if isinstance(v, (datetime, date)):
         return v.isoformat()[:10] if isinstance(v, date) and not isinstance(v, datetime) else v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -54,9 +64,17 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def _lines(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--lax"]
+    STRICT = "--lax" not in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from aws_financial_data_pipeline_spark.session import get_spark
@@ -95,6 +113,15 @@ def main() -> int:
             failures.append(name)
             if sorted(scols) != sorted(ocols):
                 print(f"    spark cols: {sorted(scols)}\n    duck  cols: {sorted(ocols)}")
+            elif sh != oh:
+                sl, ol = _lines(srows, scols), _lines(orows, ocols)
+                shown = 0
+                for a, b in zip(sl, ol):
+                    if a != b and shown < 5:
+                        print(f"    spark: {a}\n    duck : {b}")
+                        shown += 1
+                print(f"    ({sum(1 for a, b in zip(sl, ol) if a != b)} differing sorted lines;"
+                      f" cols in sorted order: {sorted(scols)})")
     spark.stop()
     if failures:
         print(f"FAILURES: {failures}")
