@@ -458,10 +458,17 @@ def curation_funnel(
             F.col("_raw_text").isNotNull(),
             F.round(vector_to_array("probability").getItem(1), 6),
         )
+        # getField, not F.col(f"_others.{c}"): a dotted string parses as a
+        # nested-field PATH, so a carried column whose name contains a dot
+        # would fail or mis-resolve (r13 review)
         rebuilt = [
             F.col("_raw_text").alias(text_col)
             if c == text_col
-            else (F.col(id_col) if c == id_col else F.col(f"_others.{c}").alias(c))
+            else (
+                F.col(id_col)
+                if c == id_col
+                else F.col("_others").getField(c).alias(c)
+            )
             for c in cur.columns
         ]
         cur = (

@@ -424,6 +424,12 @@ def minhash_dedup(
         .filter(F.col("_cnt") > 1)
         .select(F.col("_fp").alias("_gfp"), "_canon")
     )
+    # cached: read four times (rep anti-join, both pair-expansion sides,
+    # the within-leg eligibility). The returned frame is LAZY, so the cache
+    # cannot be unpersisted here — like every operator-internal cache in
+    # this module it lives until the caller clears the catalog cache or the
+    # session ends (bench.py clears between timed runs; long-lived sessions
+    # should spark.catalog.clearCache() between corpus-scale calls).
     dup_members = (
         fp_frame.join(dup_groups, F.col("_fp").eqNullSafe(F.col("_gfp")))
         .select("_fp", "_m_id", "_canon")

@@ -741,7 +741,10 @@ def semantic_dedup(
     else:
         clusters = cluster_embeddings(emb, k, vec_col, id_col, seed, max_iter)
     # cached: read three times (both candidate sides + the final label join);
-    # uncached, the broadcast-model transform re-scored the corpus per use
+    # uncached, the broadcast-model transform re-scored the corpus per use.
+    # Lazy return → no unpersist here: the dedup.py cache-lifetime
+    # convention applies (caller clears the catalog cache between
+    # corpus-scale calls; bench.py does so between timed runs).
     clusters = clusters.cache()
     a = clusters.select(F.col(id_col).alias("doc_a"), "cluster")
     b = clusters.select(F.col(id_col).alias("doc_b"), "cluster")

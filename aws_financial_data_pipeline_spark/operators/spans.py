@@ -197,8 +197,16 @@ def paragraph_dedup(
     )
     if id_col != "doc_id":
         drops = drops.withColumnRenamed("doc_id", id_col)
-    n_paras = F.size(segs)
     n_drops = F.coalesce(F.size("_dp"), F.lit(0))
+    # the split array is projected as a REAL column before the rebuild: an
+    # inline expression referenced inside a higher-order lambda is
+    # re-evaluated PER ELEMENT (the shingles_expr rule, ~25× measured), so
+    # `element_at(split(text), i)` inside the transform re-split the whole
+    # document once per kept line — O(paras²) chars on exactly the
+    # many-paragraph docs this operator targets (r14; the r13 rebuild
+    # shipped with the inline form and the x42 bench row paid 2.4×)
+    sg = F.col("_segs")
+    n_paras = F.size(sg)
     # exact reproduction of the previous join-and-reassemble semantics,
     # including the degenerate rows the old coalesces produced: NULL text →
     # n_paras = -1 (size of a null array), clean_text '' (rebuild of null →
@@ -211,20 +219,24 @@ def paragraph_dedup(
     # array_except preserves left-operand order, so the join order is the
     # original document order
     kept_pos = F.when(
-        F.size(segs) >= 1,
-        F.array_except(F.sequence(F.lit(0), F.size(segs) - 1), F.col("_dp")),
+        n_paras >= 1,
+        F.array_except(F.sequence(F.lit(0), n_paras - 1), F.col("_dp")),
     )
     rebuilt = F.array_join(
-        F.transform(kept_pos, lambda i: F.element_at(segs, i + 1)), "\n"
+        F.transform(kept_pos, lambda i: F.element_at(sg, i + 1)), "\n"
     )
-    return docs.join(drops, id_col, "left").select(
-        id_col,
-        *carry_cols,
-        F.when(F.coalesce(n_kept, F.lit(0)) == n_paras, F.col(text_col))
-        .otherwise(F.coalesce(rebuilt, F.lit("")))
-        .alias("clean_text"),
-        n_paras.alias("n_paras"),
-        (n_paras - F.coalesce(n_kept, F.lit(0))).alias("n_removed"),
+    return (
+        docs.join(drops, id_col, "left")
+        .withColumn("_segs", segs)
+        .select(
+            id_col,
+            *carry_cols,
+            F.when(F.coalesce(n_kept, F.lit(0)) == n_paras, F.col(text_col))
+            .otherwise(F.coalesce(rebuilt, F.lit("")))
+            .alias("clean_text"),
+            n_paras.alias("n_paras"),
+            (n_paras - F.coalesce(n_kept, F.lit(0))).alias("n_removed"),
+        )
     )
 
 

@@ -1,0 +1,83 @@
+"""Dump the PER-ITERATION pagerank plan (r14, verdict item: the x27
+explain is blind to the iteration body because every iteration ends in a
+localCheckpoint that truncates lineage — the committed x27 plans are
+therefore node-identical across pagerank changes).
+
+This intercepts DataFrame.localCheckpoint during a 1-iteration
+graph.pagerank run over the x27 leg's own WAT edge frame and writes the
+PRE-checkpoint plan of every checkpointed frame to
+plans/<tag>/pagerank_iter_<n>_<label>.txt — the iteration-1 `ranks` plan is
+the evidence for what one power iteration actually executes (which joins,
+which exchanges).
+
+Usage: python tools/dump_pagerank_iter_plan.py [tag]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Spark 4: pyspark.sql.DataFrame is the abstract base; instances dispatch
+# on the classic subclass, so that is the one to intercept
+from pyspark.sql.classic.dataframe import DataFrame
+
+from aws_financial_data_pipeline_spark.operators import graph
+from aws_financial_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r14"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag
+    )
+    os.makedirs(outdir, exist_ok=True)
+
+    spark = get_spark("afdp-pagerank-plan")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # the x27 pagerank leg's real input: WAT links from the documents table
+    from aws_financial_data_pipeline_spark.plans.ext_queries import _docs, _wat_records
+    from aws_financial_data_pipeline_spark.sources.warc import wat_to_links
+
+    edges = wat_to_links(_wat_records(_docs(spark, sf_dir)))
+
+    orig = DataFrame.localCheckpoint
+    captured: list[tuple[str, str]] = []
+
+    def spy(self, eager=True, storageLevel=None):
+        import contextlib
+        import io
+
+        n = len(captured)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.explain(mode="formatted")
+        captured.append((f"{n:02d}", buf.getvalue()))
+        return orig(self, eager=eager)
+
+    DataFrame.localCheckpoint = spy
+    try:
+        graph.pagerank(edges, iterations=1).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    finally:
+        DataFrame.localCheckpoint = orig
+
+    # frames in call order: edges, nodes, nodes_deg, then one ranks/iteration
+    labels = ["edges", "nodes", "nodes_deg"] + [
+        f"iter{j}_ranks" for j in range(1, len(captured) - 2)
+    ]
+    for (idx, plan), label in zip(captured, labels):
+        path = os.path.join(outdir, f"pagerank_{idx}_{label}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"{label}: {len(plan.splitlines())} lines -> {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

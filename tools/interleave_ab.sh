@@ -1,0 +1,28 @@
+#!/bin/bash
+# Interleaved old-vs-new A/B bench — the repo's standing perf-evidence
+# protocol (r13/r14): the box's external load comes in waves larger than
+# most per-row deltas, so before/after numbers from separate sessions are
+# not evidence. This alternates PROCESSES — a worktree pinned at the OLD
+# ref, then the CURRENT tree — N times over the same rows with bench.py's
+# exact methodology (tools/bench_rows.py), recording load-avg at each
+# boundary. A level shift that survives the load spread is code, not box.
+#
+# Usage: tools/interleave_ab.sh <old_ref> <iterations> <row> [row ...]
+# Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+set -euo pipefail
+OLD_REF="$1"; ITERS="$2"; shift 2
+ROWS="$*"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+WT="/tmp/afdp_ab_$(git -C "$REPO" rev-parse --short "$OLD_REF")"
+if [ ! -d "$WT" ]; then
+  git -C "$REPO" worktree add --detach "$WT" "$OLD_REF" >/dev/null
+fi
+echo "old=$OLD_REF ($(git -C "$WT" rev-parse --short HEAD))  new=WORKING-TREE@$(git -C "$REPO" rev-parse --short HEAD)"
+echo "rows: $ROWS"
+for i in $(seq 1 "$ITERS"); do
+  echo "=== iter $i OLD (load: $(cut -d' ' -f1-3 /proc/loadavg)) ==="
+  (cd "$WT" && python tools/bench_rows.py $ROWS 2>/dev/null | grep '"times"')
+  echo "=== iter $i NEW (load: $(cut -d' ' -f1-3 /proc/loadavg)) ==="
+  (cd "$REPO" && python tools/bench_rows.py $ROWS 2>/dev/null | grep '"times"')
+done
+echo "=== done (load: $(cut -d' ' -f1-3 /proc/loadavg)) ==="
