@@ -334,10 +334,19 @@ def q22_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     txns, cur, _ = _base(spark, sf_dir, ("user_id",))
     # ym-only scalar view: see q05 (join-free max(ym), identical value)
     prev = tv.statement_scalars(tv.transactions(spark, sf_dir, ("ym",)))["prev_ym"]
+    # each user set is read by THREE set-op branches (intersect + both
+    # subtracts), and Catalyst inlines the shared subtree per branch — the
+    # month's scan+filter+distinct re-derived six times, 36 exchanges
+    # in-plan (r13 verdict). Staging each distinct set once (guide §5
+    # localCheckpoint; the sets are user-id-sized, far below the corpus)
+    # computes each derivation once and the set ops read the staged rows.
     prev_users = (
-        txns.join(F.broadcast(prev), txns.ym == F.col("prev_ym")).select("user_id").distinct()
+        txns.join(F.broadcast(prev), txns.ym == F.col("prev_ym"))
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    cur_users = cur.select("user_id").distinct()
+    cur_users = cur.select("user_id").distinct().localCheckpoint(eager=False)
     return (
         cur_users.intersect(prev_users).withColumn("op", F.lit("retained"))
         .unionByName(cur_users.subtract(prev_users).withColumn("op", F.lit("new")))
