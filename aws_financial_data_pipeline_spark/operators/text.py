@@ -369,11 +369,18 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document (tfidf = tf · ln(N/df)).
 
-    Scale shape: one shuffle for tf (keyed (doc, term) — uniform), one for df
-    (keyed term), then the df table joins BACK broadcast — document-frequency
-    is vocabulary-sized, orders of magnitude smaller than the corpus, so the
-    big tf table never reshuffles on term. Final top-k is a rank-limited
-    window per doc (WindowGroupLimit pushes the k cut below the sort).
+    Scale shape (r14 restructure, guide §2.4 "share one exchange"): ONE
+    corpus-sized shuffle total. The slim (id, text) projection is
+    repartitioned by doc_id BEFORE tokenizing, so the exchange carries each
+    document's text once; the (doc, term) groupBy then needs no exchange
+    (hash(doc_id) clusters every (doc, term) group) and the per-doc ranking
+    window reuses the SAME partitioning — the previous shape paid the
+    (doc, term) exchange in BOTH the tf and df branches (Catalyst inlines
+    the shared subtree) plus a third exchange re-keying tf by doc for the
+    window. tf is staged once (lazy localCheckpoint, which preserves the
+    hash(doc_id) partitioning for the window) so the df branch reads it
+    instead of re-exploding the corpus; df itself is a vocabulary-sized
+    aggregate joined back broadcast.
 
     N is read once driver-side (`docs.count()`) — a scalar, not a collect of
     data; at 100 TB this is a metadata-cheap count job reused as a literal.
@@ -388,16 +395,22 @@ def tfidf_top_terms(
     instead of the window — was built and MEASURED SLOWER, 1.9s → 3.3s at
     sf0.1: Catalyst evaluates nested array lambdas interpreted per element,
     so the O(distinct·n) per-row tf loop costs more than the narrow
-    exchange it saves. The groupBy+window form stands; its window re-uses
-    the doc-keyed clustering and WindowGroupLimit pushes the k-cut down.)
+    exchange it saves. The groupBy+window form stands.)
     """
     from pyspark.sql import Window
 
     n_docs = docs.count()
-    tok = with_tokens(docs, text_col).select(
-        F.col(id_col).alias("doc_id"), F.explode("_tok").alias("term")
+    slim = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).repartition("doc_id")
+    tok = with_tokens(slim, "_t").select(
+        "doc_id", F.explode("_tok").alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df_), "term").select(
         "doc_id",
