@@ -223,106 +223,166 @@ def curation_funnel(
     def _stage(frame: DataFrame) -> DataFrame:
         return frame.localCheckpoint(eager=False) if materialize else frame
 
-    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    # r14 stage-fold (guide §1.2 job count): the URL-level gates
+    # (url/robots/rank) are per-row broadcast predicates over the SAME
+    # input frame, and the content gates (rules/repetition/quality) are
+    # per-row predicates over the SAME post-paragraph frame — yet each was
+    # its own checkpointed stage with its own audit count subtree and
+    # (under with_ledger) its own anti-join. They now run as TWO folded
+    # flag passes: one staged frame carries every gate's boolean flag; the
+    # audit rows come from ONE aggregation of cumulative count_ifs per
+    # fold group (sequential-filter counts equal cumulative-conjunction
+    # counts exactly, because every flag is per-row and independent of the
+    # other gates); and the ledger rows are flag-partition FILTERS of the
+    # staged frame — zero anti-joins. Count-preserving stages
+    # (html_extract, normalize, paragraph_dedup, split_assign) reuse the
+    # neighbouring count instead of re-scanning their frame. Net: the
+    # funnel's checkpoint chain drops from ~10 to ~5 boundaries and the
+    # audit from one count subtree per stage to one per fold group; same
+    # stage names, same counts, same ledger rows, same corpus.
+    audit_parts: list[DataFrame] = []
     ledger_parts: list[DataFrame] = []
+
+    def _audit_rows(frame: DataFrame, rows) -> None:
+        # one aggregation over `frame` → one (stage, docs_kept) row per
+        # entry, in order; a None condition counts every row
+        aggs, items = [], []
+        for i, (name, cond) in enumerate(rows):
+            agg = F.count("*") if cond is None else F.count_if(cond)
+            aggs.append(agg.alias(f"_c{i}"))
+            items += [f"'{name}'", f"_c{i}"]
+        audit_parts.append(
+            frame.agg(*aggs).select(
+                F.expr(
+                    f"stack({len(rows)}, {', '.join(items)}) AS (stage, docs_kept)"
+                )
+            )
+        )
+
+    def _dropped(frame: DataFrame, cond, stage: str, reason) -> None:
+        # ledger rows = a flag-partition filter of an already-staged frame
+        if not with_ledger:
+            return
+        reason_col = F.lit(reason) if isinstance(reason, str) else reason
+        ledger_parts.append(
+            frame.filter(cond).select(
+                F.col(id_col), F.lit(stage).alias("stage"), reason_col.alias("reason")
+            )
+        )
 
     if blocklist_on not in ("citations", "host"):
         raise ValueError(
             f"blocklist_on must be 'citations' or 'host': {blocklist_on!r}"
         )
-    def _gone(prev: DataFrame, new: DataFrame, stage: str, reason) -> None:
-        # ids present before the stage but not after it, tagged with why —
-        # an id-only anti-join between two checkpointed frames
-        if not with_ledger:
-            return
-        reason_col = F.lit(reason) if isinstance(reason, str) else reason
-        ledger_parts.append(
-            prev.select(id_col)
-            .join(new.select(id_col), id_col, "left_anti")
-            .select(id_col, F.lit(stage).alias("stage"), reason_col.alias("reason"))
-        )
 
+    # the input is staged once: the flag pass, the frame-blocklist
+    # blocked-id derivation, AND (when no transform stage intervenes) the
+    # exact stage's digest aggregate all read the same lineage — often a
+    # full crawl parse on the front doors (r13 measured it computing twice)
+    docs = _stage(docs)
+
+    # ---- fold group 1: the URL-level gates as one flag pass ----
+    # RefinedWeb §3.1 order preserved (url → robots → rank, all before any
+    # content rule); each gate contributes a boolean flag column computed
+    # on the same frame — list blocklists as in-expression predicates,
+    # frame blocklists via their sparse blocked-id set (broadcast LEFT
+    # join instead of the filters' anti-join: same set, same semantics,
+    # but the flag stays readable for the audit/ledger).
+    gate_flags: list[tuple[str, str, str]] = []  # (stage, flag col, reason)
+    flagged = docs
     if blocklist is not None:
-        # URL-domain gate FIRST (RefinedWeb §3.1 order: the URL rule runs
-        # before any content rule — and it is the cheapest stage, map-only
-        # for a list blocklist, so it belongs ahead of every shuffle). List
-        # → in-expression form; DataFrame → the broadcast semi-join
-        # million-domain form.
-        if isinstance(blocklist, DataFrame):
-            # the frame forms derive their broadcast blocked-id set FROM
-            # ``docs`` (suffix explode → semi-join → distinct), so the raw
-            # input lineage — often a full crawl parse — would otherwise
-            # compute TWICE: once under the broadcast-build subquery and
-            # once on the anti-join's stream side (r13; measured as the
-            # url_gate stage costing 2 ingest passes on the archive front
-            # door). Stage the input once, consistent with the funnel's
-            # checkpoint-per-stage posture.
-            docs = _stage(docs)
-        prev = docs
         if blocklist_on == "host":
             if url_col not in docs.columns:
                 raise ValueError(
                     f"blocklist_on='host' needs a {url_col!r} column on docs "
                     "(pass url_col= to name it)"
                 )
-            cur = tx.filter_blocked_hosts(
-                docs, blocklist, url_col=url_col, id_col=id_col
-            )
+            if isinstance(blocklist, DataFrame):
+                blocked = F.broadcast(
+                    tx.blocked_host_ids(
+                        docs, blocklist, url_col=url_col, id_col=id_col
+                    ).distinct()  # LEFT-join build side must be a set
+                )
+                flagged = flagged.join(
+                    blocked.withColumn("_blk", F.lit(True)), id_col, "left"
+                )
+                keep = F.col("_blk").isNull()
+            else:
+                flagged = flagged.withColumn("_h", tx.url_host_expr(url_col))
+                keep = ~tx.blocked_host_expr("_h", blocklist)
         elif isinstance(blocklist, DataFrame):
-            cur = tx.filter_blocked_domains_frame(
-                docs, blocklist, text_col=text_col, id_col=id_col
+            blocked = F.broadcast(
+                tx.blocked_citation_ids(
+                    docs, blocklist, text_col=text_col, id_col=id_col
+                )
             )
+            flagged = flagged.join(
+                blocked.withColumn("_blk", F.lit(True)), id_col, "left"
+            )
+            keep = F.col("_blk").isNull()
         else:
-            cur = tx.filter_blocked_domains(
-                docs, blocklist, text_col=text_col, id_col=id_col
-            )
-        cur = _stage(cur)
-        stages.append(("url_gate", cur))
-        _gone(prev, cur, "url_gate", "blocked_domain")
-        docs = cur
+            _, doms_expr = tx._url_domain_exprs(text_col)
+            flagged = flagged.withColumn("_domains", doms_expr)
+            keep = ~tx.blocked_citation_expr("_domains", blocklist)
+        flagged = flagged.withColumn("_url_keep", keep).drop(
+            "_blk", "_h", "_domains"
+        )
+        gate_flags.append(("url_gate", "_url_keep", "blocked_domain"))
 
     if robots_rules is not None:
-        # RFC 9309 opt-out sweep: between the blocklist and the rank gate
-        # (all three are URL-level broadcast rules that belong before any
-        # content shuffle). NULL-url / unknown-host / no-match docs pass.
+        # RFC 9309 opt-out sweep: NULL-url / unknown-host / no-match pass
         if url_col not in docs.columns:
             raise ValueError(
                 f"robots_rules needs a {url_col!r} column on docs "
                 "(pass url_col= to name it)"
             )
-        from .robots import filter_robots_disallowed
+        from .robots import robots_verdicts
 
-        prev = docs
-        cur = _stage(filter_robots_disallowed(docs, robots_rules, url_col=url_col))
-        stages.append(("robots_gate", cur))
-        _gone(prev, cur, "robots_gate", "robots_disallow")
-        docs = cur
+        flagged = (
+            robots_verdicts(flagged, robots_rules, url_col=url_col)
+            .withColumnRenamed("robots_allowed", "_robots_keep")
+            .drop("robots_rule", "robots_url_unparsed")
+        )
+        gate_flags.append(("robots_gate", "_robots_keep", "robots_disallow"))
 
     if domain_ranks is not None:
-        # URL-trust gate right after the blocklist (both are URL-level
-        # rules — RefinedWeb order — and both are broadcast-side, so they
-        # run before any content shuffle). Unranked/unparseable hosts pass.
+        # URL-trust gate; unranked/unparseable hosts pass
         if url_col not in docs.columns:
             raise ValueError(
                 f"domain_ranks needs a {url_col!r} column on docs "
                 "(pass url_col= to name it)"
             )
-        prev = docs
-        cur = (
-            tx.attach_domain_rank(docs, domain_ranks, url_col=url_col)
-            .filter(
+        flagged = (
+            tx.attach_domain_rank(flagged, domain_ranks, url_col=url_col)
+            .withColumn(
+                "_rank_keep",
                 F.col("domain_rank").isNull()
-                | (F.col("domain_rank") >= domain_rank_threshold)
+                | (F.col("domain_rank") >= domain_rank_threshold),
             )
             .drop("domain_rank")
         )
-        cur = _stage(cur)
-        stages.append(("domain_rank_gate", cur))
-        _gone(
-            prev, cur, "domain_rank_gate",
-            f"domain_rank<{domain_rank_threshold}",
+        gate_flags.append(
+            ("domain_rank_gate", "_rank_keep", f"domain_rank<{domain_rank_threshold}")
         )
-        docs = cur
+
+    # count-preserving maps downstream of the gates reuse the gate count
+    preserve1 = (["html_extract"] if extract_html else []) + (
+        ["normalize"] if normalize else []
+    )
+    if gate_flags:
+        flagged = _stage(flagged)
+        acc = F.lit(True)
+        rows = [("input", None)]
+        for name, colname, reason in gate_flags:
+            flag = F.col(colname)
+            _dropped(flagged, acc & ~flag, name, reason)
+            acc = acc & flag
+            rows.append((name, acc))
+        rows += [(n, acc) for n in preserve1]
+        _audit_rows(flagged, rows)
+        docs = flagged.filter(acc).drop(*[c for _, c, _ in gate_flags])
+    else:
+        _audit_rows(docs, [("input", None)] + [(n, None) for n in preserve1])
 
     if extract_html:
         # raw-crawl entry point: HTML → text. Runs AFTER the URL gate —
@@ -348,17 +408,17 @@ def curation_funnel(
             ).drop(*tx.MAIN_CONTENT_AUDIT_COLS)
         else:
             docs = tx.html_to_text(docs, text_col=text_col)
-        docs = _stage(docs)
-        stages.append(("html_extract", docs))
 
     if normalize:
-        # stage 0 (opt-in): NFKC + control/whitespace normalization BEFORE
-        # any hashing, so trivially-variant copies (ligatures, full-width
+        # opt-in NFKC + control/whitespace normalization BEFORE any
+        # hashing, so trivially-variant copies (ligatures, full-width
         # forms, zero-width junk) collide in exact AND minhash dedup.
-        # Count-preserving (a map), but audited so lineage shows it ran.
         docs = tx.normalize_text(docs, text_col=text_col)
+
+    if extract_html or normalize:
+        # the extraction is the expensive map; the exact stage below reads
+        # its output twice (digest aggregate + anti-join stream side)
         docs = _stage(docs)
-        stages.append(("normalize", docs))
 
     # r13 (guide §3/§8): anti-join against the SPARSE non-canonical-id set
     # (exact_duplicate_ids) instead of semi-joining the corpus-sized
@@ -366,31 +426,36 @@ def curation_funnel(
     # broadcast-converts it, and document text never enters an exchange.
     # Same surviving set (same md5 grouping, same min-id election).
     dup_ids = dd.exact_duplicate_ids(docs, text_col, id_col)
-    cur = docs.join(dup_ids, id_col, "left_anti")
-    cur = _stage(cur)
-    stages.append(("exact_dedup", cur))
-    _gone(docs, cur, "exact_dedup", "exact_duplicate")
+    if with_ledger:
+        # dup_ids ⊆ docs by construction, so the drop set IS the ledger
+        # row set — staged because the anti-join reads it too
+        dup_ids = _stage(dup_ids)
+        _dropped(dup_ids, F.lit(True), "exact_dedup", "exact_duplicate")
+    cur = _stage(docs.join(dup_ids, id_col, "left_anti"))
+    # paragraph_dedup emits exactly one row per input doc (count-preserving)
+    _audit_rows(cur, [("exact_dedup", None), ("paragraph_dedup", None)])
 
-    prev = cur
     # r13: thread the non-text columns THROUGH paragraph_dedup (carry_cols)
     # instead of joining clean_text back by id — the attach join inside
     # paragraph_dedup is against the sparse drop-position lists only, so
-    # this stage no longer shuffles the corpus at all
+    # this stage no longer shuffles the corpus at all. No checkpoint here:
+    # fold group 2's flag pass is its only consumer (r14).
     carry = tuple(c for c in cur.columns if c not in (id_col, text_col))
     cur = (
         sps.paragraph_dedup(cur, text_col=text_col, id_col=id_col, carry_cols=carry)
         .drop("n_paras", "n_removed")
         .withColumnRenamed("clean_text", text_col)
     )
-    cur = _stage(cur)
-    stages.append(("paragraph_dedup", cur))
-    _gone(prev, cur, "paragraph_dedup", "no_paragraphs_survived")
 
-    # both rule families are INLINE map-only flag expressions on the staged
+    # ---- fold group 2: the content gates as one flag pass ----
+    # both rule families are INLINE map-only flag expressions on the same
     # frame (r13: rule_keep_exprs shares the text_profile/c4/gopher
-    # builders, so the gate cannot drift) — the previous shape computed a
-    # flags frame from the same lineage and joined it back by id, paying a
-    # corpus shuffle for a pure per-row predicate
+    # builders, so the gate cannot drift); the repetition flag joins on
+    # (its Arrow kernel emits a fresh frame) and the classifier scores
+    # inline — one staged frame carries every content flag. Trade
+    # documented (r14): the kernel and the model now score rule-DROPPED
+    # docs too (their flags are computed, then filtered), buying one fewer
+    # full-corpus materialization per enabled stage.
     base_cols = cur.columns
     _c4k, _gk = tx.rule_keep_exprs(text_col)
     flagged = tx.with_tokens(cur, text_col).select(
@@ -401,54 +466,25 @@ def curation_funnel(
         if rule_mode == "all"
         else (F.col("_c4_keep") | F.col("_gopher_keep"))
     )
-    if with_ledger:
-        # the rule stage can name WHICH family failed — read the flags on
-        # the dropped rows instead of a blind anti-join
-        ledger_parts.append(
-            flagged.filter(~gate).select(
-                id_col,
-                F.lit("rule_filters").alias("stage"),
-                F.concat(
-                    F.lit("rules:"),
-                    F.concat_ws(
-                        "+",
-                        F.when(~F.col("_c4_keep"), F.lit("c4")),
-                        F.when(~F.col("_gopher_keep"), F.lit("gopher")),
-                    ),
-                ).alias("reason"),
-            )
-        )
-    cur = flagged.filter(gate).select(*base_cols)
-    cur = _stage(cur)
-    stages.append(("rule_filters", cur))
-
     if repetition:
         # the OTHER half of the Gopher gate (r13): dup-line/paragraph and
         # repeated-n-gram character fractions — one Arrow kernel pass
-        # (repetition_profile), joined as a flag like the rule families
-        prev = cur
         rep = tx.repetition_profile(cur, text_col=text_col, id_col=id_col).select(
             F.col("doc_id").alias(id_col), F.col("keep").alias("_rep_keep")
         )
-        cur = cur.join(rep, id_col).filter(F.col("_rep_keep")).drop("_rep_keep")
-        cur = _stage(cur)
-        stages.append(("repetition_rules", cur))
-        _gone(prev, cur, "repetition_rules", "gopher_repetition")
-
+        flagged = flagged.join(rep, id_col)
     if quality_model is not None:
         from pyspark.ml.functions import vector_to_array
 
-        # r13: score INLINE on the staged frame instead of score_quality +
-        # join-back by id (the model transform is map-only broadcast
-        # inference, so attaching its probability never needs a shuffle).
-        # Non-(id,text) columns ride through the ML stages packed in ONE
-        # struct so the pipeline's intermediate column names (words,
-        # features, probability, ...) cannot collide with corpus columns.
-        # Same NULL-text contract as score_quality: score over coalesce('')
-        # and keep quality_prob NULL for NULL text (r12 review).
-        prev = cur
-        others = [c for c in cur.columns if c not in (id_col, text_col)]
-        packed = cur.select(
+        # r13: score INLINE instead of score_quality + join-back by id
+        # (the model transform is map-only broadcast inference). Non-(id,
+        # text) columns — the gate flags included — ride through the ML
+        # stages packed in ONE struct so the pipeline's intermediate
+        # column names (words, features, probability, ...) cannot collide.
+        # Same NULL-text contract as score_quality: score over
+        # coalesce('') and keep quality_prob NULL for NULL text.
+        others = [c for c in flagged.columns if c not in (id_col, text_col)]
+        packed = flagged.select(
             id_col,
             *([F.struct(*others).alias("_others")] if others else []),
             F.col(text_col).alias("_raw_text"),
@@ -469,18 +505,52 @@ def curation_funnel(
                 if c == id_col
                 else F.col("_others").getField(c).alias(c)
             )
-            for c in cur.columns
+            for c in flagged.columns
         ]
-        cur = (
-            quality_model.transform(packed)
-            .select(*rebuilt, prob.alias("quality_prob"))
-            .filter(F.col("quality_prob") >= quality_threshold)
+        flagged = quality_model.transform(packed).select(
+            *rebuilt, prob.alias("quality_prob")
         )
-        cur = _stage(cur)
-        stages.append(("quality_model", cur))
-        _gone(prev, cur, "quality_model", f"quality_prob<{quality_threshold}")
+    flagged = _stage(flagged)
 
-    prev = cur
+    rows = [("rule_filters", gate)]
+    _dropped(
+        flagged,
+        ~gate,
+        "rule_filters",
+        # the rule stage names WHICH family failed
+        F.concat(
+            F.lit("rules:"),
+            F.concat_ws(
+                "+",
+                F.when(~F.col("_c4_keep"), F.lit("c4")),
+                F.when(~F.col("_gopher_keep"), F.lit("gopher")),
+            ),
+        ),
+    )
+    cond = gate
+    if repetition:
+        _dropped(
+            flagged, cond & ~F.col("_rep_keep"), "repetition_rules",
+            "gopher_repetition",
+        )
+        cond = cond & F.col("_rep_keep")
+        rows.append(("repetition_rules", cond))
+    if quality_model is not None:
+        qok = F.col("quality_prob") >= quality_threshold
+        _dropped(
+            flagged,
+            cond & ~F.coalesce(qok, F.lit(False)),
+            "quality_model",
+            f"quality_prob<{quality_threshold}",
+        )
+        cond = cond & qok
+        rows.append(("quality_model", cond))
+    _audit_rows(flagged, rows)
+    keep_cols = list(base_cols) + (
+        ["quality_prob"] if quality_model is not None else []
+    )
+    cur = flagged.filter(cond).select(*keep_cols)
+
     pairs = dd.minhash_dedup(
         cur.select(id_col, text_col), text_col, id_col, minhash_threshold
     )
@@ -490,37 +560,39 @@ def curation_funnel(
         clustered = dedup_clusters(cur.select(id_col), pairs, id_col=id_col).join(
             cur.select(id_col, "quality_prob"), id_col
         )
-        keep = (
-            cluster_representatives(clustered, "quality_prob", id_col=id_col)
-            .filter(F.col("is_representative"))
-            .select(id_col)
-        )
+        reps = cluster_representatives(clustered, "quality_prob", id_col=id_col)
+        if with_ledger:
+            # reps covers every doc in cur with is_representative — the
+            # drop partition is a filter, not an anti-join; staged because
+            # the keep semi-join reads it too
+            reps = _stage(reps)
+            _dropped(
+                reps, ~F.col("is_representative"), "minhash_dedup",
+                "not_cluster_representative",
+            )
+        keep = reps.filter(F.col("is_representative")).select(id_col)
         cur = cur.join(keep, id_col, "left_semi")
     else:
-        dup_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        cur = cur.join(dup_ids, id_col, "left_anti")
-    cur = _stage(cur)
-    stages.append(("minhash_dedup", cur))
-    _gone(
-        prev,
-        cur,
-        "minhash_dedup",
-        "fuzzy_duplicate" if dedup_keep == "min_id" else "not_cluster_representative",
-    )
+        dup_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        if with_ledger:
+            # every doc_b came from pairs over cur, so the drop set IS the
+            # ledger row set; staged because the anti-join reads it too
+            dup_b = _stage(dup_b)
+            _dropped(dup_b, F.lit(True), "minhash_dedup", "fuzzy_duplicate")
+        cur = cur.join(dup_b, id_col, "left_anti")
 
     # drop split_assign's intermediate bucket column: the documented
     # corpus contract is original columns + quality_prob + split (r12
-    # review — a stray int column broke schema-pinned consumers)
+    # review — a stray int column broke schema-pinned consumers).
+    # split_assign is count-preserving: both audit rows read the one
+    # staged output frame.
     cur = sp.split_assign(cur, id_col=id_col).drop("bucket")
     cur = _stage(cur)
-    stages.append(("split_assign", cur))
+    _audit_rows(cur, [("minhash_dedup", None), ("split_assign", None)])
 
-    audit = None
-    for name, frame in stages:
-        row = frame.agg(
-            F.lit(name).alias("stage"), F.count("*").alias("docs_kept")
-        )
-        audit = row if audit is None else audit.unionByName(row)
+    audit = audit_parts[0]
+    for part in audit_parts[1:]:
+        audit = audit.unionByName(part)
     if with_ledger:
         ledger = ledger_parts[0]
         for part in ledger_parts[1:]:

@@ -1169,20 +1169,30 @@ def filter_blocked_domains(
     verdict caught that form paying a full corpus shuffle including text
     bodies), so the plan is one scan, zero exchanges (plan-asserted in
     tests/test_plans.py)."""
-    import re as _re
-
-    doms = F.col("_domains")
-    blocked = sorted({b.lower() for b in blocklist})
-    hit = F.lit(False)
-    for b in blocked:
-        pat = f"(^|\\.){_re.escape(b)}$"
-        hit = hit | (F.size(F.filter(doms, lambda d: d.rlike(pat))) > 0)
+    hit = blocked_citation_expr("_domains", blocklist)
     _, doms_expr = _url_domain_exprs(text_col)
     return (
         docs.withColumn("_domains", doms_expr)
         .filter(~hit)
         .drop("_domains")
     )
+
+
+def blocked_citation_expr(domains_col: str, blocklist: "list[str]"):
+    """Boolean Column: TRUE when the pre-projected domain ARRAY column
+    cites any blocklisted domain (exact or at a dot boundary) — the
+    in-expression predicate :func:`filter_blocked_domains` filters on,
+    exported so the funnel's folded flag pass shares the identical gate
+    (r14 stage-fold). Never NULL (the domain array is [] for no matches).
+    Project ``_url_domain_exprs(text_col)[1]`` as ``domains_col`` first."""
+    import re as _re
+
+    doms = F.col(domains_col)
+    hit = F.lit(False)
+    for b in sorted({b.lower() for b in blocklist}):
+        pat = f"(^|\\.){_re.escape(b)}$"
+        hit = hit | (F.size(F.filter(doms, lambda d: d.rlike(pat))) > 0)
+    return hit
 
 
 def filter_blocked_domains_frame(
@@ -1212,6 +1222,24 @@ def filter_blocked_domains_frame(
     blocks half the crawl). Blocklist entries are trimmed + lowercased and
     deduplicated; result parity with the in-expression form is pinned in
     tests/test_text_dedup.py."""
+    blocked = blocked_citation_ids(docs, blocklist, text_col, id_col, domain_col)
+    if broadcast_blocked_ids:
+        blocked = F.broadcast(blocked)
+    return docs.join(blocked, id_col, "left_anti")
+
+
+def blocked_citation_ids(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """The DISTINCT ids of docs citing a blocklisted domain — the sparse
+    drop set :func:`filter_blocked_domains_frame` anti-joins, exported so
+    the funnel's folded flag pass derives its gate flag from the identical
+    set (r14 stage-fold; distinct, so it is also safe as a LEFT-join build
+    side)."""
     bl = (
         blocklist.select(F.lower(F.trim(F.col(domain_col))).alias("_b"))
         .filter(F.col("_b") != "")  # an empty entry must not match the ""
@@ -1224,16 +1252,13 @@ def filter_blocked_domains_frame(
         F.sequence(F.lit(0), F.size(parts) - 1),
         lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts)), "."),
     )
-    blocked = (
+    return (
         docs.select(F.col(id_col), F.explode(doms_expr).alias("_d"))
         .select(id_col, F.explode(suffixes).alias("_s"))
         .join(F.broadcast(bl), F.col("_s") == F.col("_b"), "left_semi")
         .select(id_col)
         .distinct()
     )
-    if broadcast_blocked_ids:
-        blocked = F.broadcast(blocked)
-    return docs.join(blocked, id_col, "left_anti")
 
 
 def filter_blocked_hosts(
@@ -1259,35 +1284,8 @@ def filter_blocked_hosts(
     semi-joins, the :func:`filter_blocked_domains_frame` shape minus the
     citations explode (one host per doc, so the narrow frame is exactly
     |docs| rows before the suffix explode)."""
-    import re as _re
-
-    host = F.regexp_replace(
-        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
-    )
     if isinstance(blocklist, DataFrame):
-        bl = (
-            blocklist.select(F.lower(F.trim(F.col(domain_col))).alias("_b"))
-            .filter(F.col("_b") != "")
-            .distinct()
-        )
-        parts = F.split(F.col("_h"), r"\.")
-        suffixes = F.transform(
-            F.sequence(F.lit(0), F.size(parts) - 1),
-            lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts)), "."),
-        )
-        # no distinct on the drop set (r13): anti-join semantics ignore
-        # duplicate build keys, and one host per doc bounds the duplicates
-        # at the handful of dot-boundary suffixes a blocklist can match —
-        # the distinct's exchange bought nothing here (the CITATIONS form
-        # keeps its distinct: a doc citing one blocked domain many times
-        # would otherwise multiply the broadcast)
-        blocked = (
-            docs.select(F.col(id_col), host.alias("_h"))
-            .filter(F.col("_h").isNotNull())
-            .select(id_col, F.explode(suffixes).alias("_s"))
-            .join(F.broadcast(bl), F.col("_s") == F.col("_b"), "left_semi")
-            .select(id_col)
-        )
+        blocked = blocked_host_ids(docs, blocklist, url_col, id_col, domain_col)
         # same escape hatch as filter_blocked_domains_frame: the drop set
         # is orders below the corpus for any sane gate (broadcast), but a
         # misconfigured list blocking half the crawl must not OOM the
@@ -1295,15 +1293,71 @@ def filter_blocked_hosts(
         if broadcast_blocked_ids:
             blocked = F.broadcast(blocked)
         return docs.join(blocked, id_col, "left_anti")
-    hit = F.lit(False)
-    for b in sorted({b.lower() for b in blocklist}):
-        hit = hit | F.col("_h").rlike(f"(^|\\.){_re.escape(b)}$")
-    # NULL host → NULL predicate → coalesce to "not blocked", or the
-    # filter would silently drop every unparseable-URL doc
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
     return (
         docs.withColumn("_h", host)
-        .filter(~F.coalesce(hit, F.lit(False)))
+        .filter(~blocked_host_expr("_h", blocklist))
         .drop("_h")
+    )
+
+
+def url_host_expr(url_col: str):
+    """The house host extraction as a Column: lowercased
+    ``try_parse_url(.., HOST)`` with the leading ``www.`` stripped — the
+    idiom every URL gate shares (NULL for unparseable URLs)."""
+    return F.regexp_replace(
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
+
+
+def blocked_host_expr(host_col: str, blocklist: "list[str]"):
+    """Boolean Column over a pre-projected HOST column: TRUE when the host
+    is blocklisted (exact or subdomain) — :func:`filter_blocked_hosts`'
+    in-expression predicate, exported for the funnel's folded flag pass
+    (r14 stage-fold). NULL host coalesces to FALSE (unparseable-URL docs
+    pass — absence of evidence), so the expression is never NULL."""
+    import re as _re
+
+    hit = F.lit(False)
+    for b in sorted({b.lower() for b in blocklist}):
+        hit = hit | F.col(host_col).rlike(f"(^|\\.){_re.escape(b)}$")
+    return F.coalesce(hit, F.lit(False))
+
+
+def blocked_host_ids(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Ids of docs whose own host is blocklisted — the sparse drop set
+    :func:`filter_blocked_hosts` anti-joins (r14: exported for the funnel's
+    folded flag pass). NOT distinct-ed: anti-join semantics ignore
+    duplicate build keys, and one host per doc bounds the duplicates at
+    the handful of dot-boundary suffixes a blocklist can match (r13) —
+    callers using this as a LEFT-join build side must ``.distinct()`` it."""
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
+    bl = (
+        blocklist.select(F.lower(F.trim(F.col(domain_col))).alias("_b"))
+        .filter(F.col("_b") != "")
+        .distinct()
+    )
+    parts = F.split(F.col("_h"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts)), "."),
+    )
+    return (
+        docs.select(F.col(id_col), host.alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .select(id_col, F.explode(suffixes).alias("_s"))
+        .join(F.broadcast(bl), F.col("_s") == F.col("_b"), "left_semi")
+        .select(id_col)
     )
 
 
