@@ -39,13 +39,24 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     check_every: int = 1,
+    first_check: int = 2,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the minimum
     node id reachable from it (the component id).
 
     Returns (node, component). Nodes are whatever integer/string type the
     edge columns carry; ``min`` must be meaningful on it.
-    """
+
+    ``first_check`` (r14, guide §1.2 job count): the iteration-1
+    convergence probe is provably wasted whenever the graph has any edge
+    between distinct nodes — the higher endpoint's label always changes in
+    iteration 1 — so probing starts at iteration ``first_check`` (default
+    2: one probe job saved per call on the 2-iteration graphs near-dup
+    clustering produces, identical output by construction since the probe
+    only decides EARLY EXIT and converged iterations are idempotent).
+    ``check_every`` then spaces subsequent probes for high-diameter
+    graphs. Set ``first_check=1`` to restore the old probe-every-iteration
+    behavior (e.g. for a self-loop-only edge set, which converges at 1)."""
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -74,7 +85,7 @@ def connected_components(
             .select("node", F.coalesce("c_comp", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        if (it + 1) % check_every == 0:
+        if (it + 1) >= first_check and (it + 1) % check_every == 0:
             changed = (
                 new.alias("n")
                 .join(labels.alias("o"), "node")

@@ -57,6 +57,46 @@ def test_edge_direction_irrelevant(spark):
     assert _run(spark, [(5, 4), (4, 3)]) == {3: 3, 4: 3, 5: 3}
 
 
+def test_cc_first_check_skips_wasted_probe(spark):
+    """r14 probe batching (guide §1.2): the iteration-1 convergence probe
+    never fires under the default first_check=2 — it is provably wasted on
+    any graph with an edge between distinct nodes — and the labeling is
+    identical for every (first_check, check_every) combination, including
+    on a skewed star+path graph where one hub owns most edges."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    # skewed fixture: hub 0 with 30 spokes (one giant component) + a
+    # 6-node path component + a self-loop singleton
+    edges = (
+        [(0, i) for i in range(1, 31)]
+        + [(100 + i, 101 + i) for i in range(5)]
+        + [(400, 400)]
+    )
+    expect = _run(spark, edges, first_check=1)
+
+    counts = {"n": 0}
+    orig = _CDF.count
+
+    def spy(self):
+        counts["n"] += 1
+        return orig(self)
+
+    probes = {}
+    for fc in (1, 2):
+        _CDF.count = spy
+        counts["n"] = 0
+        try:
+            got = _run(spark, edges, first_check=fc)
+        finally:
+            _CDF.count = orig
+        assert got == expect
+        probes[fc] = counts["n"]
+    # same labels, one fewer probe job under the default offset
+    assert probes[2] == probes[1] - 1
+    # batched probing also reproduces the labels exactly
+    assert _run(spark, edges, check_every=2) == expect
+
+
 def test_random_graph_matches_union_find(spark):
     # deterministic pseudo-random graph: 60 nodes, 45 edges
     edges, x = [], 7
