@@ -32,6 +32,27 @@ def test_tfidf_known_values(spark):
     assert out[(2, "common")]["tfidf"] == 0.0
 
 
+def test_tfidf_one_corpus_exchange_plan(spark):
+    """r14 restructure: the visible tfidf plan above the staged tf frame
+    carries NO explode (Generate) and NO corpus re-exchange — only the
+    vocabulary-sized df aggregate's exchange and the window's k-cut
+    exchange remain; the single corpus shuffle (repartition by doc_id)
+    and the one explode live below the tf checkpoint boundary."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} tok{i % 5} shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        tfidf_top_terms(docs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan  # explode is below the checkpoint
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2  # df agg + window k-cut only
+
+
 def test_tfidf_k_cut_and_tiebreak(spark):
     # doc 1 has three equal-scored singleton terms -> tie broken by term asc
     docs = spark.createDataFrame(
